@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational queries over the star schema: scan+filter+agg, multi-way
+  * broadcast join, window top-k. These exercise the Spark planner paths
+  * (pushdown, partial agg, broadcast) every other operator builds on.
+  *
+  * Scale notes (100 TB): q1 is scan+partial-agg — shuffle is |groups| only.
+  * q2 broadcasts the three dimension tables (supplier/nation/region are tiny
+  * relative to lineitem at every TPC-H SF), so the only wide exchange is the
+  * final small group-by. q3's window shuffles by o_custkey once; no
+  * driver-side collects anywhere.
+  */
+object CoreQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2024-11-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      val lineitem = Tables(s, dir, "lineitem")
+      val supplier = Tables(s, dir, "supplier")
+      val nation   = Tables(s, dir, "nation")
+      val region   = Tables(s, dir, "region")
+      lineitem
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("line_count"))
+    }),
+
+    "q3_top_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2024-11-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q3_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin)
+}

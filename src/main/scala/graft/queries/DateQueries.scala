@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dates.{DatePart, DateRanges, DateKernel}
+import graft.functions.DateFunctions
+
+/** Date/calendar operators as distributed queries.
+  *
+  * - generate_date_array (reference date.py:70-155) → native `sequence`
+  *   with BQ edge guards, exploded to rows.
+  * - get_relative_date_frame (date.py:158-235) → driver kernel; the DuckDB
+  *   oracle recomputes the frames independently from date_trunc/last_day.
+  * - split_lookback_period (date.py:907-956) → driver-computed range list
+  *   broadcast-joined against the events fact (the reference's backfill
+  *   loop, run as ONE distributed range join instead of N sequential jobs).
+  *
+  * Scale notes: the range list is O(#chunks) — broadcast, never shuffled;
+  * the events side stays partition-local until the final tiny group-by.
+  * Constant date bounds are pushdown-able to the parquet scan.
+  */
+object DateQueries {
+
+  private val FrameAnchor = "2024-06-15"
+  private val frameSpecs: Seq[(String, Int)] =
+    for {
+      part <- Seq("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")
+      n    <- Seq(-2, -1, 0, 1, 2)
+    } yield (part, n)
+
+  private val arraySpecs: Seq[(String, String, String, Int, DatePart)] = Seq(
+    ("monthly_fwd",   "2024-01-15", "2024-12-15",  1, DatePart.Month),
+    ("monthend_clamp","2023-01-31", "2023-06-30",  1, DatePart.Month),
+    ("biweekly_back", "2024-03-31", "2024-01-01", -2, DatePart.Week),
+    ("quarterly",     "2023-02-28", "2024-12-31",  1, DatePart.Quarter),
+    ("yearly",        "2020-02-29", "2024-12-31",  1, DatePart.Year),
+    ("daily_step3",   "2024-01-01", "2024-01-31",  3, DatePart.Day))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_generate_date_array" -> ((s, dir) => {
+      arraySpecs.map { case (tag, start, end, iv, part) =>
+        s.range(1).select(
+          lit(tag).as("series"),
+          explode(DateFunctions.generateDateArray(lit(start), lit(end), iv, part)).as("d"))
+      }.reduce(_ unionAll _)
+        .select(col("series"), date_format(col("d"), "yyyy-MM-dd").as("d"))
+    }),
+
+    "q5_relative_date_frames" -> ((s, dir) => {
+      import s.implicits._
+      frameSpecs.map { case (part, n) =>
+        val (fs, fe) = DateKernel.getRelativeDateFrame(DatePart.parse(part), n, FrameAnchor)
+        (part, n, fs, fe)
+      }.toDF("date_part", "n", "frame_start", "frame_end")
+    }),
+
+    "q6_backfill_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ranges = DateRanges
+        .splitLookbackPeriod(totalDays = 30, chunkDays = 7, dateEnd = Some("2024-01-30"))
+        .map(r => (r.dateStart, r.dateEnd))
+        .toDF("range_start", "range_end")
+      Tables(s, dir, "events")
+        .join(
+          broadcast(ranges),
+          col("ts").cast("date").between(
+            col("range_start").cast("date"), col("range_end").cast("date")))
+        .groupBy(col("range_start"), col("range_end"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }))
+
+  def oracle: Map[String, String] = {
+    // Independent reformulation: start + i*step from the ORIGINAL start
+    // (DuckDB's generate_series steps months cumulatively, which diverges
+    // from BQ/reference/Spark on month-end clamping — so multiply instead).
+    def seriesSql(tag: String, start: String, end: String, iv: Int, part: DatePart): String = {
+      val stepExpr = part match {
+        case DatePart.Day     => s"(i * $iv) * INTERVAL 1 DAY"
+        case DatePart.Week    => s"(i * ${iv * 7}) * INTERVAL 1 DAY"
+        case DatePart.Month   => s"(i * $iv) * INTERVAL 1 MONTH"
+        case DatePart.Quarter => s"(i * ${iv * 3}) * INTERVAL 1 MONTH"
+        case DatePart.Year    => s"(i * $iv) * INTERVAL 1 YEAR"
+      }
+      val cmp = if (iv > 0) s"d BETWEEN DATE '$start' AND DATE '$end'"
+                else s"d BETWEEN DATE '$end' AND DATE '$start'"
+      s"""SELECT '$tag' AS series, strftime(d, '%Y-%m-%d') AS d FROM (
+         |  SELECT CAST(DATE '$start' + $stepExpr AS DATE) AS d
+         |  FROM generate_series(0, 200) t(i)) WHERE $cmp""".stripMargin
+    }
+
+    Map(
+      "q4_generate_date_array" ->
+        arraySpecs.map { case (tag, st, en, iv, part) => seriesSql(tag, st, en, iv, part) }
+          .mkString("\nUNION ALL\n"),
+
+      "q5_relative_date_frames" -> {
+        val values = frameSpecs.map { case (p, n) => s"('$p', $n)" }.mkString(", ")
+        s"""WITH p(date_part, n) AS (VALUES $values),
+           |base AS (SELECT date_part, CAST(n AS INT) AS n, DATE '$FrameAnchor' AS d FROM p)
+           |SELECT date_part, n,
+           |  strftime(CASE date_part
+           |    WHEN 'DAY' THEN d + n * INTERVAL 1 DAY
+           |    WHEN 'WEEK' THEN date_trunc('week', d + n * INTERVAL 7 DAY)
+           |    WHEN 'MONTH' THEN date_trunc('month', d + n * INTERVAL 1 MONTH)
+           |    WHEN 'QUARTER' THEN date_trunc('quarter', d + n * INTERVAL 3 MONTH)
+           |    WHEN 'YEAR' THEN date_trunc('year', d + n * INTERVAL 1 YEAR)
+           |  END, '%Y-%m-%d') AS frame_start,
+           |  strftime(CASE date_part
+           |    WHEN 'DAY' THEN d + n * INTERVAL 1 DAY
+           |    WHEN 'WEEK' THEN date_trunc('week', d + n * INTERVAL 7 DAY) + INTERVAL 6 DAY
+           |    WHEN 'MONTH' THEN last_day(d + n * INTERVAL 1 MONTH)
+           |    WHEN 'QUARTER' THEN date_trunc('quarter', d + n * INTERVAL 3 MONTH) + INTERVAL 3 MONTH - INTERVAL 1 DAY
+           |    WHEN 'YEAR' THEN date_trunc('year', d + n * INTERVAL 1 YEAR) + INTERVAL 1 YEAR - INTERVAL 1 DAY
+           |  END, '%Y-%m-%d') AS frame_end
+           |FROM base""".stripMargin
+      },
+
+      "q6_backfill_range_join" -> {
+        val ranges = DateRanges
+          .splitLookbackPeriod(totalDays = 30, chunkDays = 7, dateEnd = Some("2024-01-30"))
+          .map(r => s"('${r.dateStart}', '${r.dateEnd}')").mkString(", ")
+        s"""SELECT r.range_start, r.range_end,
+           |  count(*) AS cnt, round(sum(e.value), 2) AS sum_value
+           |FROM events e
+           |JOIN (VALUES $ranges) r(range_start, range_end)
+           |  ON CAST(e.ts AS DATE) BETWEEN CAST(r.range_start AS DATE)
+           |                            AND CAST(r.range_end AS DATE)
+           |GROUP BY r.range_start, r.range_end""".stripMargin
+      })
+  }
+}

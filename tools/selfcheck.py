@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mirroring the driver's DuckDB oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Loads each <name>.parquet written by graft.Verify, runs the matching SQL
+from oracle_sql.json in DuckDB (tables = parquet files in sfDir), and
+compares: row count, column names (sorted), and values (rows sorted by all
+columns). Reports exact and tolerant (1e-9 rel) float mismatches separately.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def rows_sorted(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def close(a, b):
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return False
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            gcols, grows = [d[0] for d in got.description], got.fetchall()
+            exp = con.sql(sql)
+            ecols, erows = [d[0] for d in exp.description], exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
+            n_fail += 1
+            continue
+        if len(grows) != len(erows):
+            print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
+            n_fail += 1
+            continue
+        g = rows_sorted(gcols, grows)
+        e = rows_sorted(ecols, erows)
+        exact = sum(1 for a, b in zip(g, e) if a == b)
+        if exact == len(g):
+            print(f"PASS {name} ({len(g)} rows, exact)")
+            n_pass += 1
+            continue
+        tol = sum(1 for a, b in zip(g, e)
+                  if all(close(x, y) for x, y in zip(a, b)))
+        if tol == len(g):
+            print(f"WARN {name}: {len(g)-exact}/{len(g)} rows only tolerant-equal (float drift) — hash compare would FAIL")
+            for a, b in zip(g, e):
+                if a != b:
+                    print(f"  got {a}\n  exp {b}")
+                    break
+            n_fail += 1
+        else:
+            print(f"FAIL {name}: {len(g)-tol}/{len(g)} rows differ")
+            for a, b in zip(g, e):
+                if not all(close(x, y) for x, y in zip(a, b)):
+                    print(f"  got {a}\n  exp {b}")
+                    break
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
