@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints ONE bare JSON line (build.sbt routes forked stdout unprefixed).
+  *
+  * Methodology: one untimed warm-up pass at sf0.001 (janino/codegen/class
+  * loading are charged to nobody), then a timed pass in sorted query order
+  * (stable per-query attribution across runs). Failures are recorded in an
+  * "errors" map instead of masquerading as fast timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,48 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val warmDir = {
+      val d = "/root/testdata/sf0.001"
+      if (new java.io.File(d).exists()) d else sfDir
+    }
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () } // warm-up only; real error surfaces below
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

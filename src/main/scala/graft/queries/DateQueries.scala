@@ -58,15 +58,23 @@ object DateQueries {
 
     "q6_backfill_range_join" -> ((s, dir) => {
       import s.implicits._
-      val ranges = DateRanges
+      val rangeList = DateRanges
         .splitLookbackPeriod(totalDays = 30, chunkDays = 7, dateEnd = Some("2024-01-30"))
-        .map(r => (r.dateStart, r.dateEnd))
+      // Driver-side range list → (a) a STATIC min/max pushdown predicate on
+      // the fact scan (parquet row-group pruning does the heavy lifting at
+      // 100 TB — without it a 30-day backfill is a full-table scan), and
+      // (b) a broadcast side pre-cast to DateType ONCE, so the BNLJ
+      // predicate compares dates, not per-row string casts.
+      val lo = rangeList.map(_.dateStart).min
+      val hiExcl = java.time.LocalDate.parse(rangeList.map(_.dateEnd).max)
+        .plusDays(1).toString
+      val ranges = rangeList.map(r => (r.dateStart, r.dateEnd))
         .toDF("range_start", "range_end")
-      Tables(s, dir, "events")
-        .join(
-          broadcast(ranges),
-          col("ts").cast("date").between(
-            col("range_start").cast("date"), col("range_end").cast("date")))
+        .withColumn("rs", col("range_start").cast("date"))
+        .withColumn("re", col("range_end").cast("date"))
+      Tables.eventsBetween(s, dir, lo, hiExcl)
+        .withColumn("ts_date", col("ts").cast("date"))
+        .join(broadcast(ranges), col("ts_date").between(col("rs"), col("re")))
         .groupBy(col("range_start"), col("range_end"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }))
