@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (CoreQueries.queries, CoreQueries.oracle),
-      (DateQueries.queries, DateQueries.oracle))
+      (DateQueries.queries, DateQueries.oracle),
+      (RecordQueries.queries, RecordQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
