@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Flatten, Prune}
+import graft.ops.{ConvertType, ConvertTypes, DateFieldRule, Flatten, NormalizeDateFields, Prune}
 
 /** Record-shape operators (SURVEY.md §2.1) as distributed queries over the
   * driver tables, each with an independent DuckDB oracle.
@@ -56,6 +56,54 @@ object RecordQueries {
           col("profile.c_name").as("name"),
           col("profile.fin.c_acctbal").as("acctbal"),
           col("tags"))
+    }),
+
+    // D4 convert_dict_types: the API-payload shape — everything arrives as
+    // strings, a schema casts it back. Exercises the "3.14"→int-via-float
+    // path, bool vocabulary, lenient NULL fallback, date parse, and the
+    // unix-timestamp→ISO family.
+    "q9_convert_types" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          // corrupt every 7th row to exercise the lenient fallback
+          when(col("o_orderkey") % 7 === 0, lit("n/a"))
+            .otherwise(col("o_totalprice").cast("string")).as("qty_str"),
+          when(col("o_orderstatus") === "F", lit("true")).otherwise(lit("no")).as("flag_str"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
+          (col("o_orderkey") * 100000 + 1700000000L).cast("string").as("epoch_str"))
+        .transform(ConvertTypes(Map(
+          "qty_str" -> ConvertType.ToInt,
+          "flag_str" -> ConvertType.ToBool,
+          "date_str" -> ConvertType.ToDate,
+          "epoch_str" -> ConvertType.TsToIso))(_))
+        .select(
+          col("o_orderkey"),
+          col("qty_str").as("qty"),
+          col("flag_str").as("flag"),
+          col("date_str").as("d"),
+          col("epoch_str").as("created_iso"))
+    }),
+
+    // D7 normalize_date_fields: suffix rule renames `*_at` epoch fields to
+    // `datetime_*` ISO strings, nested struct handled recursively.
+    "q10_normalize_dates" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("ts").cast("long").as("created_at"),
+          struct(
+            (col("ts").cast("long") + 86400L).as("updated_at"),
+            col("event_type").as("kind")).as("meta"))
+        .transform(NormalizeDateFields(
+          rules = Seq(DateFieldRule(
+            suffix = Seq("_at"), convert = ConvertType.TsToIso, target = "datetime")),
+          recursive = true)(_))
+        .select(
+          col("event_id"),
+          col("datetime_created"),
+          col("meta.datetime_updated").as("datetime_updated"),
+          col("meta.kind").as("kind"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -81,5 +129,36 @@ object RecordQueries {
         |    list_filter(
         |      [c_mktsegment, '', upper(substr(c_name, 1, 2))],
         |      x -> NOT (x = '' OR x = 'CU' OR x = 'BUILDING')) AS l
-        |  FROM customer)""".stripMargin)
+        |  FROM customer)""".stripMargin,
+
+    // Independent reimplementation of the conversion matrix: int-via-float
+    // truncates toward zero (DuckDB CAST rounds — use trunc), bool
+    // vocabulary {'true','1','yes','on'}, lenient failures → NULL,
+    // epoch→ISO rendered in UTC.
+    "q9_convert_types" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN regexp_matches(src.qty_str, '^-?[0-9]+(\.[0-9]+)?$')
+        |       THEN CAST(trunc(CAST(src.qty_str AS DOUBLE)) AS BIGINT)
+        |       ELSE NULL END AS qty,
+        |  lower(src.flag_str) IN ('true', '1', 'yes', 'on') AS flag,
+        |  try_cast(src.date_str AS DATE) AS d,
+        |  strftime(to_timestamp(CAST(src.epoch_str AS BIGINT)),
+        |           '%Y-%m-%dT%H:%M:%S') AS created_iso
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'n/a'
+        |         ELSE CAST(o_totalprice AS VARCHAR) END AS qty_str,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'true' ELSE 'no' END AS flag_str,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |    CAST(o_orderkey * 100000 + 1700000000 AS VARCHAR) AS epoch_str
+        |  FROM orders) src""".stripMargin,
+
+    "q10_normalize_dates" ->
+      """SELECT event_id,
+        |  strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+        |           '%Y-%m-%dT%H:%M:%S') AS datetime_created,
+        |  strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) + 86400),
+        |           '%Y-%m-%dT%H:%M:%S') AS datetime_updated,
+        |  event_type AS kind
+        |FROM events""".stripMargin)
 }

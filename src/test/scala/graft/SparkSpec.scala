@@ -8,6 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // Pin the JVM default TZ too: java.sql.Timestamp literals in test
+    // expectations resolve against it, and the session default derives from
+    // it before the conf below applies.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
