@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.immutable.ListMap
+
 import graft.Tables
-import graft.ops.{ConvertType, ConvertTypes, DateFieldRule, Flatten, NormalizeDateFields, Prune}
+import graft.ops.{CleanColumns, ConvertType, ConvertTypes, DateFieldRule, Flatten,
+  JsonStringify, MoveUnknown, NormalizeDateFields, Prune, Walk}
 
 /** Record-shape operators (SURVEY.md §2.1) as distributed queries over the
   * driver tables, each with an independent DuckDB oracle.
@@ -104,6 +107,59 @@ object RecordQueries {
           col("datetime_created"),
           col("meta.datetime_updated").as("datetime_updated"),
           col("meta.kind").as("kind"))
+    }),
+
+    // D5 clean_dict: SHA-256 scrub with a suffix allowlist skip rule and
+    // global string truncation.
+    "q11_clean_pii" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          concat(lit("user"), col("c_custkey"),
+            when(col("c_nationkey") % 5 === 0, lit("@corp.com"))
+              .otherwise(lit("@ext.io"))).as("email"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("note"))
+        .transform(CleanColumns(
+          keysToClean = Seq("c_name", "email"),
+          mode = CleanColumns.Hash,
+          skipRules = Map("email" -> Seq(CleanColumns.Suffix("@corp.com"))),
+          truncateStrings = Some(20))(_))
+    }),
+
+    // D3 move_unknown_keys_to_extra: stable-schema whitelist; extras
+    // collected (sorted) and exported through D8 to_json.
+    "q12_move_unknown" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .transform(MoveUnknown(
+          allowedKeys = Seq("p_partkey", "p_name", "p_retailprice", "p_missing"),
+          fillMissing = true)(_))
+        .transform(JsonStringify(keys = Some(Seq("extra_collected")))(_))
+    }),
+
+    // D8 convert_to_json_string: type-dispatched stringification.
+    "q13_json_stringify" -> ((s, dir) => {
+      Tables(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          struct(col("s_name"), col("s_nationkey")).as("obj"),
+          array(col("s_name"), col("s_nationkey").cast("string")).as("arr"),
+          (col("s_acctbal") > 0).as("flag"),
+          col("s_acctbal").as("num"))
+        .transform(JsonStringify()(_))
+    }),
+
+    // D2 walk: ASCII tree of a summary record. Driver-side by design (the
+    // reference renders one record for humans); the 5-row dim collect is
+    // the debug-utility exception, not a pattern.
+    "q14_walk_render" -> ((s, dir) => {
+      import s.implicits._
+      val names = Tables(s, dir, "region")
+        .select(col("r_name")).collect().map(_.getString(0)).toSeq.sorted
+      val item = ListMap[String, Any]("regions" -> names, "total" -> names.size)
+      Walk(showTypes = true, showLengths = true).lines(item)
+        .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("line_no", "line")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -160,5 +216,62 @@ object RecordQueries {
         |  strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) + 86400),
         |           '%Y-%m-%dT%H:%M:%S') AS datetime_updated,
         |  event_type AS kind
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    // Cleaning semantics reimplemented: hash = sha256 of utf-8 bytes; the
+    // @corp.com suffix skip keeps originals; every string (hashes included,
+    // 64 hex > 20) truncates to 20 chars + '… truncated (etl)'.
+    "q11_clean_pii" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name,
+        |    'user' || CAST(c_custkey AS VARCHAR) ||
+        |      (CASE WHEN c_nationkey % 5 = 0 THEN '@corp.com' ELSE '@ext.io' END) AS email,
+        |    c_mktsegment || '-' || c_name AS note
+        |  FROM customer),
+        |trunc_fn AS (SELECT 20 AS lim)
+        |SELECT c_custkey,
+        |  CASE WHEN length(sha256(c_name)) > 20
+        |       THEN substr(sha256(c_name), 1, 20) || '… truncated (etl)'
+        |       ELSE sha256(c_name) END AS c_name,
+        |  CASE WHEN email LIKE '%@corp.com'
+        |       THEN CASE WHEN length(email) > 20
+        |                 THEN substr(email, 1, 20) || '… truncated (etl)'
+        |                 ELSE email END
+        |       ELSE CASE WHEN length(sha256(email)) > 20
+        |                 THEN substr(sha256(email), 1, 20) || '… truncated (etl)'
+        |                 ELSE sha256(email) END END AS email,
+        |  CASE WHEN length(note) > 20
+        |       THEN substr(note, 1, 20) || '… truncated (etl)'
+        |       ELSE note END AS note
+        |FROM src""".stripMargin,
+
+    "q12_move_unknown" ->
+      """SELECT p_name, CAST(NULL AS VARCHAR) AS p_missing, p_partkey, p_retailprice,
+        |  to_json(struct_pack(p_brand := p_brand, p_size := p_size,
+        |                      p_type := p_type)) AS extra_collected
+        |FROM part""".stripMargin,
+
+    "q13_json_stringify" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS s_suppkey,
+        |  to_json(struct_pack(s_name := s_name, s_nationkey := s_nationkey)) AS obj,
+        |  to_json([s_name, CAST(s_nationkey AS VARCHAR)]) AS arr,
+        |  CASE WHEN s_acctbal > 0 THEN 'true' ELSE 'false' END AS flag,
+        |  CAST(s_acctbal AS VARCHAR) AS num
+        |FROM supplier""".stripMargin,
+
+    // The tree lines recomputed from the region table itself.
+    "q14_walk_render" ->
+      """WITH r AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn,
+        |                  count(*) OVER () AS n FROM region)
+        |SELECT CAST(0 AS BIGINT) AS line_no, '[dict len=2]' AS line
+        |UNION ALL
+        |SELECT 1, '├─ regions [list len=' || CAST((SELECT count(*) FROM region) AS VARCHAR) || ']'
+        |UNION ALL
+        |SELECT 1 + rn,
+        |  (CASE WHEN rn = n THEN '│  └─ ' ELSE '│  ├─ ' END)
+        |  || '[' || CAST(rn - 1 AS VARCHAR) || ']: ' || r_name || ' (str)'
+        |FROM r
+        |UNION ALL
+        |SELECT (SELECT count(*) + 2 FROM region),
+        |  '└─ total: ' || CAST((SELECT count(*) FROM region) AS VARCHAR) || ' (int)'""".stripMargin)
 }
