@@ -16,7 +16,8 @@ object SparkEntry {
     Seq(
       (CoreQueries.queries, CoreQueries.oracle),
       (DateQueries.queries, DateQueries.oracle),
-      (RecordQueries.queries, RecordQueries.oracle))
+      (RecordQueries.queries, RecordQueries.oracle),
+      (ScaleQueries.queries, ScaleQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`.
+  * Oracle-checked where the computation is engine-independent (exact
+  * dedup, blocked Jaccard, brute-force cosine, text stats, media
+  * metadata); xxhash64-derived paths (MinHash/LSH/SimHash signatures)
+  * get the driver's rows-only check plus recall tests in the spec suite.
+  */
+object ScaleQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one shuffle on a 16-byte md5 content key.
+    "q15_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(
+          Tables(s, dir, "documents"),
+          Dedup.contentKey(col("text"), prefixWords = 8),
+          col("doc_id"))
+        .select(col("doc_id"), col("content_key"), col("group_size"))
+    }),
+
+    // MinHash-LSH near-dup: banded candidates, exact-Jaccard verified.
+    // Signature hashes are xxhash64 → rows-only oracle; recall vs brute
+    // force is asserted in DedupSpec.
+    "q16_minhash_neardup" -> ((s, dir) => {
+      Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.9)
+    }),
+
+    // Blocked exact n-gram Jaccard — the verifiable brute-force baseline.
+    "q17_jaccard_pairs" -> ((s, dir) => {
+      Dedup.blockedJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", "lang", threshold = 0.9)
+    }),
+
+    // Brute-force cosine top-k against the vec_id=0 embedding.
+    "q18_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(Similarity.toDouble(col("embedding")))
+        .head().getSeq[Double](0).toSeq // the query point: one driver-side vector
+      val e = Similarity.toDouble(col("embedding"))
+      val q = array(query.map(lit): _*)
+      emb.select(col("vec_id"), round(Similarity.cosine(e, q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // ANN: hyperplane-LSH bucket probe + exact rerank (rows-only; recall
+    // asserted in SimilaritySpec).
+    "q19_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(Similarity.toDouble(col("embedding")))
+        .head().getSeq[Double](0).toSeq
+      Similarity.annTopK(emb, "embedding", "vec_id", query, k = 10, dim = 64,
+          numPlanes = 12, maxHammingProbe = 6)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // Per-document text analysis: counts, ratios, lang-ID, quality, md5.
+    "q20_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wordCount(t).as("n_words"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        round(TextAnalysis.distinctRatio(t), 6).as("distinct_ratio"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(t, "en"), 6).as("stopword_ratio"),
+        TextAnalysis.langId(t).as("lang_guess"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.fingerprintMd5(t).as("fp_md5"))
+    }),
+
+    // SimHash signatures + near-pair count (xxhash64-based → rows-only).
+    "q21_simhash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    }),
+
+    // Multimodal metadata path: binary payload, typed meta, byte sampling.
+    "q22_multimodal_meta" -> ((s, dir) => {
+      val df = Multimodal.withMedia(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text").cast("binary"), "text/plain")
+      df.select(
+        col("doc_id"),
+        col("media.meta.mime").as("mime"),
+        col("media.meta.size_bytes").as("size_bytes"),
+        hex(Multimodal.sampleBytes(col("media.payload"), 0, 8)).as("head_hex"))
+    }),
+
+    // Decode-stub path: mapPartitions feature extraction (rows-only; the
+    // stub is deterministic and unit-tested).
+    "q23_multimodal_decode" -> ((s, dir) => {
+      val df = Multimodal.withMedia(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text").cast("binary"), "text/plain")
+        .select(col("doc_id"), col("media.payload").as("payload"))
+      Multimodal.decodeStub(df, "payload")
+        .select(col("doc_id"), col("features.width").as("width"),
+          col("features.height").as("height"), col("features.n_frames").as("n_frames"))
+    }))
+
+  private val wsSplit = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  def oracle: Map[String, String] = Map(
+    "q15_exact_dedup" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice($wsSplit, 1, 8), ' ')) AS key
+         |  FROM documents),
+         |g AS (SELECT key, min(doc_id) AS keep, count(*) AS group_size
+         |      FROM k GROUP BY key)
+         |SELECT k.doc_id, k.key AS content_key, g.group_size
+         |FROM k JOIN g ON k.key = g.key AND k.doc_id = g.keep""".stripMargin,
+
+    "q17_jaccard_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, list_distinct($wsSplit) AS ws FROM documents)
+         |SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |        / list_unique(a.ws || b.ws), 6) AS sim
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |      / list_unique(a.ws || b.ws) >= 0.9""".stripMargin,
+
+    "q18_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, score FROM (
+        |  SELECT e.vec_id,
+        |    round(
+        |      (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE))
+        |       FROM range(1, 65) t(i))
+        |      / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE))
+        |               FROM range(1, 65) t(i)))
+        |         * sqrt((SELECT sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE))
+        |                 FROM range(1, 65) t(i)))), 6) AS score
+        |  FROM embeddings e, q)
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q20_text_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $wsSplit AS ws,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+         |  round(CAST(list_unique(ws) AS DOUBLE) / len(ws), 6) AS distinct_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        / length(text), 6) AS punct_ratio,
+         |  round(CAST(en_hits AS DOUBLE) / len(ws), 6) AS stopword_ratio,
+         |  CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
+         |       WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
+         |       ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess,
+         |  round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |         + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                        / length(text) * 5.0, 1.0))
+         |         + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
+         |  md5(array_to_string(ws, ' ')) AS fp_md5
+         |FROM d""".stripMargin,
+
+    "q22_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(length(text) AS INT) AS size_bytes,
+        |  hex(substr(text, 1, 8)) AS head_hex
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,70 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque BINARY columns
+  * with typed metadata structs.
+  *
+  * The Spark-side plumbing is real — schema, batch shape, partition-local
+  * processing — while the actual media DECODE is stubbed behind
+  * `decodeStub` (the image/audio codecs are not in this container; on a
+  * real cluster the stub body is replaced by the codec call inside the
+  * same `mapPartitions` shape, preserving the plan).
+  *
+  * Scale notes: payload bytes never enter a shuffle — metadata extraction
+  * is map-side; joins/groupBys run on the metadata projection with the
+  * binary column pruned away (nested-schema pruning keeps the parquet
+  * scan from reading payloads when only metadata is referenced).
+  */
+object Multimodal {
+
+  /** Attach a payload + metadata pair from a binary column. */
+  def withMedia(df: DataFrame, bin: Column, mime: String): DataFrame =
+    df.withColumn("media",
+      struct(
+        bin.as("payload"),
+        struct(
+          lit(mime).as("mime"),
+          length(bin).as("size_bytes"),
+          xxhash64(bin).as("content_hash64")).as("meta")))
+
+  /** Metadata-only projection — the binary column prunes out of the scan. */
+  def mediaMeta(df: DataFrame): DataFrame =
+    df.select(col("*"), col("media.meta.*")).drop("media")
+
+  /** "Frame sample": byte-range slices of the payload (the video-frame /
+    * audio-window access pattern, partition-local).
+    */
+  def sampleBytes(payload: Column, offset: Int, len: Int): Column =
+    substring(payload, offset + 1, len)
+
+  /** Decode stub: on a real cluster this body is the codec call; here it
+    * derives deterministic fake features so the schema, batch shape and
+    * downstream plumbing are testable end-to-end. Runs per partition —
+    * the same iterator shape a JNI/codec decoder uses.
+    */
+  def decodeStub(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType)))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx) match {
+          case b: Array[Byte] => b
+          case _ => Array.empty[Byte]
+        }
+        // STUB: deterministic fake decode — replace with the real codec.
+        val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 16)
+        val h = 16 + (payload.length % 16)
+        val frames = 1 + payload.length / 64
+        Row.fromSeq(r.toSeq :+ Row(w, h, frames))
+      }
+    }(enc)
+  }
+}

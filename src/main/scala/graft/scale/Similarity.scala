@@ -1,0 +1,80 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, both UDF-free:
+  *  - BRUTE-FORCE cosine top-k: one scan, per-row dot product via
+  *    `zip_with`+`aggregate` (all in DoubleType for cross-engine
+  *    reproducibility), `ORDER BY score LIMIT k` — Spark's TakeOrdered
+  *    keeps only k rows per partition, so the "sort" is a per-partition
+  *    heap + tiny driver merge, no full shuffle. This is the exact
+  *    baseline and the right plan up to ~10⁹ vectors per query batch.
+  *  - LSH (random hyperplanes): deterministic seeded pseudo-random planes
+  *    (xxhash64-derived coefficients), vectors bucketed by signature;
+  *    a query probes only its bucket (and optionally neighbors) then
+  *    reranks exactly. At 100 TB the bucket table is written partitioned
+  *    by signature, so a probe is a partition-pruned scan — the scale path.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (fold in index order — matches any
+    * sequential oracle bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def toDouble(arr: Column): Column = transform(arr, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector. */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val e = toDouble(col(embCol))
+    df.select(col(idCol), cosine(e, q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient: plane j, dim i →
+    * a value in [-1, 1) derived from xxhash64 — reproducible across runs
+    * and engines, no RNG state.
+    */
+  private def planeCoef(j: Int, i: Int): Column =
+    (xxhash64(lit(j * 100003 + i)).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** LSH signature: `numPlanes` sign bits packed into a long. */
+  def lshSignature(emb: Column, dim: Int, numPlanes: Int): Column = {
+    val e = toDouble(emb)
+    val bits = (0 until numPlanes).map { j =>
+      val d = (0 until dim).map(i => element_at(e, i + 1) * planeCoef(j, i))
+        .reduce(_ + _)
+      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN search: probe buckets whose signature is within `maxHammingProbe`
+    * of the query signature (0 = exact bucket), rerank candidates exactly,
+    * return top-k. Candidate set is the probed buckets only — the scan is
+    * partition-prunable when the table is written partitioned by `sig`.
+    */
+  def annTopK(df: DataFrame, embCol: String, idCol: String,
+              query: Seq[Double], k: Int, dim: Int,
+              numPlanes: Int = 12, maxHammingProbe: Int = 1): DataFrame = {
+    val withSig = df.withColumn("__sig", lshSignature(col(embCol), dim, numPlanes))
+    // query signature computed with the same plan expression on one row
+    val qDf = df.sparkSession.range(1)
+      .select(array(query.map(lit): _*).as("q"))
+      .select(lshSignature(col("q"), dim, numPlanes).as("qsig"))
+    val qsig = qDf.head().getLong(0) // driver-side scalar: one 8-byte value
+    val cands = withSig.filter(Dedup.hamming(col("__sig"), lit(qsig)) <= maxHammingProbe)
+    bruteForceTopK(cands, embCol, idCol, query, k)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Similarity search: brute-force exactness and ANN recall on sf0.001. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private lazy val query: Seq[Double] =
+    emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toSeq
+
+  test("brute-force top-k: self is rank 1 with score 1.0") {
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    // scores non-increasing
+    assert(top.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
+
+  test("ANN probe contains the exact top-1 and overlaps exact top-10") {
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ann = Similarity.annTopK(emb, "embedding", "vec_id", query, k = 10,
+        dim = 64, numPlanes = 12, maxHammingProbe = 6)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ann.contains(0L)) // the query itself always lands in its own bucket
+    val overlap = (exact intersect ann).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"ANN overlap with exact top-10 too low: $overlap")
+  }
+
+  test("lsh signature is deterministic") {
+    val s1 = emb.select(Similarity.lshSignature(col("embedding"), 64, 12)).head().getLong(0)
+    val s2 = emb.select(Similarity.lshSignature(col("embedding"), 64, 12)).head().getLong(0)
+    assert(s1 == s2)
+  }
+
+  test("dot/cosine fold matches a driver-side computation") {
+    val row = emb.filter(col("vec_id") === 1)
+      .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
+    val expectedDot = row.zip(query).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+    val got = emb.filter(col("vec_id") === 1)
+      .select(Similarity.dot(Similarity.toDouble(col("embedding")),
+        array(query.map(lit): _*))).head().getDouble(0)
+    assert(math.abs(got - expectedDot) < 1e-12)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text analysis + multimodal plumbing behavior. */
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word/token counts and ratios") {
+    val df = Seq("The quick, brown fox! It is fast.").toDF("text")
+    val r = df.select(
+      TextAnalysis.wordCount(col("text")),
+      TextAnalysis.tokenCount(col("text")),
+      round(TextAnalysis.punctRatio(col("text")), 4),
+      round(TextAnalysis.stopwordRatio(col("text"), "en"), 4)).head()
+    assert(r.getInt(0) == 7)
+    assert(r.getInt(1) == 10) // 7 words + , ! .
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < 0.2)
+    assert(r.getDouble(3) > 0) // "the", "it", "is"
+  }
+
+  test("langId picks the dominant stopword list; 'und' when no hits") {
+    val df = Seq(
+      "the cat is on the mat and it is fine",
+      "el gato es un animal y la casa es de juan",
+      "der hund und die katze sind mit dem ball",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("quality score in [0,1] and monotone in diversity") {
+    val df = Seq("a a a a a a a a a a", "the quick brown fox jumps over lazy dogs")
+      .toDF("text")
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(v => v >= 0 && v <= 1))
+    assert(q(1) > q(0))
+  }
+
+  test("fingerprints are normalization-invariant") {
+    val df = Seq(("Hello  World", "  hello world ")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.fingerprintMd5(col("a")) === TextAnalysis.fingerprintMd5(col("b")),
+      TextAnalysis.fingerprint64(col("a")) === TextAnalysis.fingerprint64(col("b"))).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("multimodal: meta extraction prunes payload; decode stub is deterministic") {
+    val df = Seq(("doc1", "some fake media bytes")).toDF("id", "text")
+    val media = Multimodal.withMedia(df, col("text").cast("binary"), "application/octet-stream")
+    val meta = media.select(col("media.meta.mime"), col("media.meta.size_bytes")).head()
+    assert(meta.getString(0) == "application/octet-stream")
+    assert(meta.getInt(1) == "some fake media bytes".length)
+
+    val payload = media.select(col("id"), col("media.payload").as("payload"))
+    val d1 = Multimodal.decodeStub(payload, "payload")
+      .select("features.width", "features.height", "features.n_frames").head()
+    val d2 = Multimodal.decodeStub(payload, "payload")
+      .select("features.width", "features.height", "features.n_frames").head()
+    assert(d1 == d2)
+    assert(d1.getInt(0) >= 16 && d1.getInt(0) < 32)
+  }
+
+  test("sampleBytes slices byte ranges") {
+    val df = Seq("abcdefghij").toDF("text")
+    val out = df.select(
+      Multimodal.sampleBytes(col("text").cast("binary"), 2, 3).cast("string")).head()
+    assert(out.getString(0) == "cde")
+  }
+}
