@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dates.{DatePart, DateRanges, DateKernel}
+import graft.dates.{DateKernel, DatePart, DateRange, DateRanges}
 import graft.functions.DateFunctions
 
 /** Date/calendar operators as distributed queries.
@@ -77,6 +77,90 @@ object DateQueries {
         .join(broadcast(ranges), col("ts_date").between(col("rs"), col("re")))
         .groupBy(col("range_start"), col("range_end"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // T2/T3: ISO-string and year-month Column forms as group-by keys —
+    // the canonical monthly rollup.
+    "q24_yearmonth_rollup" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(DateFunctions.yearMonth(col("ts")).as("ym"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // T18 calendar_periods driving a period-bucketed aggregate: the
+    // reference README cohort pattern run as ONE scan with a static
+    // pushdown window (periods computed on the driver).
+    "q25_calendar_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val periods = DateRanges.calendarPeriods(
+        DatePart.Week, count = 4, dateEnd = Some("2024-02-25"))
+      val lo = periods.map(_.dateStart).min
+      val hiExcl = java.time.LocalDate.parse(periods.map(_.dateEnd).max)
+        .plusDays(1).toString
+      val pdf = periods.map(p => (p.dateStart, p.dateEnd))
+        .toDF("period_start", "period_end")
+        .withColumn("ps", col("period_start").cast("date"))
+        .withColumn("pe", col("period_end").cast("date"))
+      Tables.eventsBetween(s, dir, lo, hiExcl)
+        .withColumn("d", col("ts").cast("date"))
+        .join(broadcast(pdf), col("d").between(col("ps"), col("pe")))
+        .groupBy(col("period_start"), col("period_end"))
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("user_id")).as("users"))
+    }),
+
+    // T11 split + T13 contains/daysCount Column forms: weekly backfill
+    // chunks as a broadcast range join with per-chunk day counts.
+    "q26_split_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = DateRange("2024-01-01", "2024-01-30").split(7)
+      val lo = chunks.map(_.dateStart).min
+      val hiExcl = java.time.LocalDate.parse(chunks.map(_.dateEnd).max)
+        .plusDays(1).toString
+      val cdf = chunks.map(c => (c.dateStart, c.dateEnd))
+        .toDF("chunk_start", "chunk_end")
+        .withColumn("cs", col("chunk_start").cast("date"))
+        .withColumn("ce", col("chunk_end").cast("date"))
+        .withColumn("chunk_days", DateFunctions.daysCount(col("cs"), col("ce")))
+      Tables.eventsBetween(s, dir, lo, hiExcl)
+        .withColumn("d", col("ts").cast("date"))
+        .join(broadcast(cdf), col("d").between(col("cs"), col("ce")))
+        .groupBy(col("chunk_start"), col("chunk_end"), col("chunk_days"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // T6-T10: DateRange API emitters driven by real per-group min/max
+    // dates (3 groups → driver-side range objects → literal output).
+    "q27_timestamp_emitters" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("lo"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("hi"))
+        .collect() // 3 status groups — the driver-side emitters are the operator
+        .map { r =>
+          val dr = DateRange(r.getString(1), r.getString(2))
+          val fb = dr.toFbTimeRange
+          val ts = dr.toTimestamps()
+          val same = dr.toTimestampsButSameDates()
+          val bing = dr.toBingCustomDateRange
+          (r.getString(0), fb("since"), fb("until"),
+            ts("starts_at"), ts("ends_at"), same("ends_at"),
+            bing("CustomDateRangeStart")("Day"), bing("CustomDateRangeEnd")("Month"),
+            dr.daysCount)
+        }.toSeq
+      rows.toDF("status", "fb_since", "fb_until", "ts_start", "ts_end",
+        "ts_end_same", "bing_start_day", "bing_end_month", "days_count")
+    }),
+
+    // Raw-timestamp precision pin: µs-rendered ts must match DuckDB's
+    // ns→µs cast exactly (guards the integer-div conversion).
+    "q28_raw_ts" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_micro"))
     }))
 
   def oracle: Map[String, String] = {
@@ -136,6 +220,61 @@ object DateQueries {
            |  ON CAST(e.ts AS DATE) BETWEEN CAST(r.range_start AS DATE)
            |                            AND CAST(r.range_end AS DATE)
            |GROUP BY r.range_start, r.range_end""".stripMargin
-      })
+      },
+
+      "q24_yearmonth_rollup" ->
+        """SELECT strftime(ts, '%Y-%m') AS ym, event_type,
+          |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // Weekly periods ending 2024-02-25 (a Sunday): week i spans
+      // [trunc - 7i, trunc - 7i + 6], most recent trimmed to date_end.
+      "q25_calendar_cohorts" ->
+        """WITH p AS (
+          |  SELECT strftime(date_trunc('week', DATE '2024-02-25') - i * INTERVAL 7 DAY,
+          |                  '%Y-%m-%d') AS period_start,
+          |    strftime(least(date_trunc('week', DATE '2024-02-25') - i * INTERVAL 7 DAY
+          |                   + INTERVAL 6 DAY, TIMESTAMP '2024-02-25'), '%Y-%m-%d') AS period_end
+          |  FROM generate_series(0, 3) t(i))
+          |SELECT p.period_start, p.period_end,
+          |  count(*) AS cnt, count(DISTINCT e.user_id) AS users
+          |FROM events e JOIN p
+          |  ON CAST(e.ts AS DATE) BETWEEN CAST(p.period_start AS DATE)
+          |                            AND CAST(p.period_end AS DATE)
+          |GROUP BY 1, 2""".stripMargin,
+
+      // 7-day chunks of 2024-01-01..30: starts 1,8,15,22,29; last is 2 days.
+      "q26_split_chunks" ->
+        """WITH c AS (
+          |  SELECT strftime(DATE '2024-01-01' + i * INTERVAL 7 DAY, '%Y-%m-%d') AS chunk_start,
+          |    strftime(least(DATE '2024-01-01' + (i * 7 + 6) * INTERVAL 1 DAY,
+          |                   TIMESTAMP '2024-01-30'), '%Y-%m-%d') AS chunk_end,
+          |    CAST(date_diff('day', DATE '2024-01-01' + i * INTERVAL 7 DAY,
+          |      least(DATE '2024-01-01' + (i * 7 + 6) * INTERVAL 1 DAY,
+          |            TIMESTAMP '2024-01-30')) + 1 AS INT) AS chunk_days
+          |  FROM generate_series(0, 4) t(i))
+          |SELECT c.chunk_start, c.chunk_end, c.chunk_days, count(*) AS cnt
+          |FROM events e JOIN c
+          |  ON CAST(e.ts AS DATE) BETWEEN CAST(c.chunk_start AS DATE)
+          |                            AND CAST(c.chunk_end AS DATE)
+          |GROUP BY 1, 2, 3""".stripMargin,
+
+      "q27_timestamp_emitters" ->
+        """SELECT o_orderstatus AS status,
+          |  strftime(min(o_orderdate), '%Y-%m-%d') AS fb_since,
+          |  strftime(max(o_orderdate), '%Y-%m-%d') AS fb_until,
+          |  strftime(min(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS ts_start,
+          |  strftime(max(o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%SZ') AS ts_end,
+          |  strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS ts_end_same,
+          |  CAST(day(min(o_orderdate)) AS INT) AS bing_start_day,
+          |  CAST(month(max(o_orderdate)) AS INT) AS bing_end_month,
+          |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+          |                 CAST(max(o_orderdate) AS DATE)) + 1 AS INT) AS days_count
+          |FROM orders GROUP BY 1""".stripMargin,
+
+      "q28_raw_ts" ->
+        """SELECT event_id,
+          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_micro
+          |FROM events WHERE event_id % 97 = 0""".stripMargin)
   }
 }
