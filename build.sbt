@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with array-heavy operators needs headroom: 8g thrashes GC
+  // with wildly variable timings (the box has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

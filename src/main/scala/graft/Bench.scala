@@ -23,7 +23,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated subset for bisecting (dev use).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).exists()) d else sfDir

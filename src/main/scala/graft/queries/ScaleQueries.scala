@@ -29,7 +29,7 @@ object ScaleQueries {
     // force is asserted in DedupSpec.
     "q16_minhash_neardup" -> ((s, dir) => {
       Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.9)
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
     }),
 
     // Blocked exact n-gram Jaccard — the verifiable brute-force baseline.

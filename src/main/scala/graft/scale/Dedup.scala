@@ -62,12 +62,19 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum `xxhash64(seed, shingle)` over the shingle set.
+    * minimum `xxhash64(seed, shingle)` over the shingle set. Computed in
+    * ONE pass over the shingles (`aggregate` with an array accumulator) —
+    * an `array_min(transform(...))` per hash would traverse the shingle
+    * array numHashes times.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val seeds = array((0 until numHashes).map(i => lit(i)): _*)
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, transform(seeds, i => xxhash64(i, s)),
+        (a, h) => least(a, h)))
+  }
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`,
     * each hashed to one bucket id struct (band, hash).
@@ -83,6 +90,15 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Jaccard with precomputed set sizes: |∪| = |a| + |b| − |∩|, so only
+    * the intersection is materialized — half the hash-set allocations of
+    * the intersect+union form on the hot verify path.
+    */
+  def jaccardWithSizes(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    i / (na.cast("double") + nb.cast("double") - i)
+  }
+
   /** MinHash-LSH near-duplicate pairs: band-bucket candidate generation,
     * exact-Jaccard verification at `threshold`. Returns (id_a, id_b, sim)
     * with id_a < id_b.
@@ -91,7 +107,7 @@ object Dedup {
     * then two hash joins back to the shingle sets. Never all-pairs.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   shingleK: Int = 3, numHashes: Int = 48, bands: Int = 6,
                    threshold: Double = 0.9): DataFrame = {
     val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -99,16 +115,25 @@ object Dedup {
     val sig = base.withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bk", bandBuckets(col("sig"), bands, rowsPerBand))
     val buckets = sig.select(col("id"), explode(col("bk")).as("b"))
-    // candidate pairs: ids sharing a band bucket (distinct across bands)
+    // candidate pairs: ids sharing a band bucket (distinct across bands).
+    // Explicit probe-side spread — same single-input-split trap as the
+    // blocked join: broadcast joins inherit the probe partitioning.
+    val parts = df.sparkSession.sparkContext.defaultParallelism * 2
     val l = buckets.select(col("b").as("lb"), col("id").as("id_a"))
+      .repartition(parts, col("lb"))
     val r = buckets.select(col("b").as("rb"), col("id").as("id_b"))
     val cand = l.join(r, col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = base.select(col("id"), col("sh"))
+    val sets = base.select(col("id"), col("sh"), size(col("sh")).as("n"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      // size-ratio prefilter: Jaccard(a,b) <= min|.|/max|.| — kills most
+      // candidates with two int ops before the array intersect runs
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .withColumn("sim", jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -141,12 +166,32 @@ object Dedup {
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, threshold: Double): DataFrame = {
+    // Two-phase shape: (1) candidate generation joins LIGHT rows only
+    // (id, block, set size) — the size-ratio bound (Jaccard ≤ min/max
+    // sizes) prunes inside the join, and even a skewed block only loops
+    // over 8-byte ids; (2) the surviving pairs are round-robin
+    // repartitioned (explicit count — AQE would coalesce on byte stats
+    // that under-estimate the verify cost) and only then joined back to
+    // the word sets for the exact-Jaccard verify, so the heavy
+    // intersect work is spread evenly across the cluster no matter how
+    // skewed the blocks are.
     val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(words(col(textCol))).as("ws"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("ws").as("ws_a"))
-    val b = base.select(col("blk").as("blk_b"), col("id").as("id_b"), col("ws").as("ws_b"))
-    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
-      .withColumn("sim", jaccard(col("ws_a"), col("ws_b")))
+      .withColumn("n", size(col("ws")))
+    val ids = base.select(col("blk"), col("id"), col("n"))
+    val a = ids.select(col("blk"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = ids.select(col("blk").as("blk_b"), col("id").as("id_b"), col("n").as("n_b"))
+    val cand = a.join(b,
+      col("blk") === col("blk_b") && col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") /
+          greatest(col("n_a"), col("n_b")) >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    val parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    val sets = base.select(col("id"), col("ws"))
+    cand.repartition(parts)
+      .join(sets.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .withColumn("sim", jaccardWithSizes(col("ws_a"), col("ws_b"), col("n_a"), col("n_b")))
       .filter(col("sim") >= threshold)
       .select(col("blk").as("block"), col("id_a"), col("id_b"),
         round(col("sim"), 6).as("sim"))

@@ -43,21 +43,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane coefficient: plane j, dim i →
-    * a value in [-1, 1) derived from xxhash64 — reproducible across runs
-    * and engines, no RNG state.
+    * a value in [-1, 1) derived from xxhash64 — reproducible across runs,
+    * no RNG state. j and i are runtime columns so the expression tree
+    * stays SMALL: an unrolled dim×planes sum is a multi-hundred-term tree
+    * that blows up janino compilation (tens of seconds of codegen).
     */
-  private def planeCoef(j: Int, i: Int): Column =
-    (xxhash64(lit(j * 100003 + i)).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeCoef(j: Column, i: Column): Column =
+    xxhash64(j * lit(100003) + i).cast("double") / lit(Long.MaxValue.toDouble)
 
-  /** LSH signature: `numPlanes` sign bits packed into a long. */
+  /** LSH signature: `numPlanes` sign bits packed into a long — computed
+    * with nested higher-order functions (runtime loops, compact codegen).
+    */
   def lshSignature(emb: Column, dim: Int, numPlanes: Int): Column = {
     val e = toDouble(emb)
-    val bits = (0 until numPlanes).map { j =>
-      val d = (0 until dim).map(i => element_at(e, i + 1) * planeCoef(j, i))
-        .reduce(_ + _)
-      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val dims = sequence(lit(0), lit(dim - 1))
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), j => {
+      val d = aggregate(
+        zip_with(e, dims, (x, i) => x * planeCoef(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L)).otherwise(lit(0L))
+    })
+    val masks = array((0 until numPlanes).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(bits, masks, (b, m) => when(b === 1L, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** ANN search: probe buckets whose signature is within `maxHammingProbe`

@@ -39,7 +39,7 @@ class DedupSpec extends SparkSpec {
       .filter(col("sim") >= 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val found = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.95)
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(truth.nonEmpty, "test data should contain 0.95-similar pairs")
     // every LSH pair is exact-verified → no false positives by construction
