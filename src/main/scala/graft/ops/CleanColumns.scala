@@ -12,10 +12,9 @@ import org.apache.spark.sql.types._
   *  - `Hash`: SHA-256 hex of the value bytes (`sha2`; strings hash their
   *    UTF-8 bytes — exact reference parity; non-strings hash their string
   *    rendering, the analog of Python `repr`) — STRING;
-  *  - `FarmFingerprint`: 64-bit fingerprint. The reference uses FarmHash64
-  *    with a blake2b fallback; here the native codegen'd `xxhash64` is the
-  *    deliberate substitute (same role: stable 64-bit fingerprint; not
-  *    bit-compatible — documented divergence, SURVEY.md §4);
+  *  - `FarmFingerprint`: bit-exact FarmHash Fingerprint64 via the custom
+  *    codegen'd Catalyst expression [[graft.expr.FarmFingerprint64]]
+  *    (reference parity; string rendering uses the unsigned decimal form);
   *  - `Empty`: NULL, original type kept;
   *  - `Delete`: static field drop (a fixed schema cannot drop per-row; with
   *    skip rules the value is kept where skipped, NULLed elsewhere).
@@ -154,13 +153,17 @@ final case class CleanColumns(
         val hashed = truncate(sha2(toBytes(f.dataType, c), 256))
         Some((when(keepCond, toStringForm(keptDt, keptProcessed)).otherwise(hashed), StringType))
       case FarmFingerprint =>
-        val fp = xxhash64(toBytes(f.dataType, c))
+        val fp = graft.expr.FarmFingerprint64(toBytes(f.dataType, c))
         f.dataType match {
           case LongType =>
+            // two's-complement bits of the unsigned fingerprint
             Some((when(keepCond, keptProcessed).otherwise(fp), LongType))
           case _ =>
+            // unsigned decimal rendering, matching Python's arbitrary-
+            // precision int from farmhash Fingerprint64
+            val unsignedStr = conv(hex(fp), 16, 10)
             Some((when(keepCond, toStringForm(keptDt, keptProcessed))
-              .otherwise(fp.cast(StringType)), StringType))
+              .otherwise(unsignedStr), StringType))
         }
     }
   }
