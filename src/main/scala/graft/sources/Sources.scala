@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.3): the reference has no I/O layer —
+  * its target systems are BigQuery/Parquet/CSV — so this is the engine's
+  * native ingestion/export path for those formats, schema-first.
+  *
+  * Scale notes: always pass an explicit schema (inference is a full extra
+  * scan); partition output by the natural pruning key (date) so downstream
+  * backfills driven by the date-range kernels prune partitions instead of
+  * scanning; JSON payload columns go through `from_json` + the record
+  * operators (the README pipeline).
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Schema-first CSV (no inference scan). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Schema-first JSON-lines. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** The "messy API payload" ingestion shape: a raw JSON string column
+    * parsed against a declared payload schema — the entry point the
+    * record-shape operators (flatten/prune/convert/move-unknown) chain
+    * onto.
+    */
+  def parseJsonColumn(df: DataFrame, jsonCol: String, payloadSchema: StructType,
+                      as: String = "payload"): DataFrame =
+    df.withColumn(as, from_json(col(jsonCol), payloadSchema))
+
+  /** Parquet sink, optionally partitioned by pruning keys (dates). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** CSV export — stringify nested columns first (D8), CSV cannot hold
+    * structs.
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    graft.ops.JsonStringify()(df)
+      .write.mode(mode).option("header", header.toString).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}

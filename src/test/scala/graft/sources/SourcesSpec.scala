@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Source/sink round-trips: parquet (partitioned), CSV, JSON-lines, and
+  * the JSON-payload-column ingestion shape chained into record operators.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("parquet round-trip with partition pruning layout") {
+    val dir = tmp() + "/pq"
+    val df = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+      .toDF("id", "d", "v")
+    Sources.writeParquet(df, dir, partitionBy = Seq("d"))
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == 2)
+    // partition-pruned read: only one directory is scanned
+    val pruned = back.filter(col("d") === "2024-01-02")
+    assert(pruned.select("id").head() == Row(2L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("csv round-trip stringifies nested columns via D8") {
+    val dir = tmp() + "/csv"
+    val df = Seq(1).toDF("i").select(
+      lit(7L).as("id"), struct(lit(1L).as("a")).as("obj"))
+    Sources.writeCsv(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("obj", StringType)))
+    val back = Sources.readCsv(spark, dir, schema)
+    assert(back.head() == Row(7L, """{"a":1}"""))
+  }
+
+  test("jsonl round-trip and payload-column parsing chain") {
+    val dir = tmp() + "/jsonl"
+    val df = Seq((1L, """{"k": 5, "deep": {"x": "y"}}""")).toDF("id", "raw")
+    Sources.writeJsonl(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("raw", StringType)))
+    val back = Sources.readJsonl(spark, dir, schema)
+    val payloadSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("deep", StructType(Seq(StructField("x", StringType))))))
+    val parsed = Sources.parseJsonColumn(back, "raw", payloadSchema)
+      .drop("raw")
+      .transform(graft.ops.Flatten()(_)) // the README pipeline shape
+    assert(parsed.columns.toSeq == Seq("id", "payload__k", "payload__deep__x"))
+    assert(parsed.head() == Row(1L, 5L, "y"))
+  }
+}
