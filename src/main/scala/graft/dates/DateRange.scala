@@ -13,6 +13,14 @@ import DateKernel._
   */
 final case class DateRange(dateStart: String, dateEnd: String) {
 
+  // contains/overlaps compare lexicographically, which is only date order
+  // for canonical ISO bounds — reject datetime-shaped or non-padded input
+  // here (the reference normalizes in __init__, date.py:273-300; use
+  // DateRange.of to normalize datetime-shaped strings).
+  require(DateRange.isCanonical(dateStart) && DateRange.isCanonical(dateEnd),
+    s"DateRange bounds must be canonical yyyy-MM-dd (got '$dateStart', '$dateEnd'); " +
+      "use DateRange.of(...) to normalize")
+
   override def toString: String = s"[$dateStart → $dateEnd]"
 
   def asTuple: (String, String)    = (dateStart, dateEnd)
@@ -131,6 +139,10 @@ final case class DateRange(dateStart: String, dateEnd: String) {
 }
 
 object DateRange {
+  private val CanonicalIso = "\\d{4}-\\d{2}-\\d{2}".r
+  private[dates] def isCanonical(s: String): Boolean =
+    CanonicalIso.matches(s)
+
   /** `DateRange()` → today/today; `DateRange(d)` → d/d (date.py:273-300). */
   def apply(): DateRange = {
     val today = toDateIsoStr(LocalDate.now(ZoneOffset.UTC))

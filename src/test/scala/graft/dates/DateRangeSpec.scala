@@ -18,6 +18,11 @@ class DateRangeSpec extends AnyFunSuite {
     assert(DateRange.of("2024-01-05T10:00:00", "2024-02-01").dateStart == "2024-01-05")
   }
 
+  test("non-canonical bounds rejected (lexicographic compares need yyyy-MM-dd)") {
+    intercept[IllegalArgumentException] { DateRange("2024-01-05T10:00", "2024-02-01") }
+    intercept[IllegalArgumentException] { DateRange("2024-1-5", "2024-02-01") }
+  }
+
   test("conversions: tuple/list/dict/format/custom keys") {
     assert(jan.asTuple == ("2024-01-01", "2024-01-31"))
     assert(jan.asList == List("2024-01-01", "2024-01-31"))

@@ -27,7 +27,15 @@ def norm(v):
 def rows_sorted(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in idx) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+    # Floats are rounded in the sort key so tiny drift cannot sort the two
+    # sides into different orders and mispair rows in the zip-compare.
+    def key_of(x):
+        if isinstance(x, float):
+            return (x is None, f"{x:.6g}")
+        return (x is None, str(x))
+
+    return sorted(out, key=lambda t: tuple(key_of(x) for x in t))
 
 
 def close(a, b):
