@@ -110,21 +110,30 @@ object Dedup {
                    shingleK: Int = 3, numHashes: Int = 48, bands: Int = 6,
                    threshold: Double = 0.9): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleK))
-    val sig = base.withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bk", bandBuckets(col("sig"), bands, rowsPerBand))
-    val buckets = sig.select(col("id"), explode(col("bk")).as("b"))
-    // candidate pairs: ids sharing a band bucket (distinct across bands).
-    // Explicit probe-side spread — same single-input-split trap as the
-    // blocked join: broadcast joins inherit the probe partitioning.
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    // Shingle + signature once, then ONE explicit exchange: the enriched
+    // rows feed four downstream branches (bucket l/r sides, set a/b
+    // sides) and without the shared shuffle boundary each branch would
+    // re-tokenize and re-minhash the corpus (ReuseExchange dedups the
+    // exchange; the repartition also spreads a single-split input before
+    // the most CPU-heavy map stage of the pipeline).
+    val enriched = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), shingleK))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("n", size(col("sh")))
+      .select(col("id"), col("sh"), col("sig"), col("n"))
+      .repartition(parts)
+    val buckets = enriched
+      .select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
+    // candidate pairs: ids sharing a band bucket (distinct across bands).
+    // Explicit probe-side spread — broadcast joins inherit probe
+    // partitioning, and byte-based AQE stats under-estimate pair blow-up.
     val l = buckets.select(col("b").as("lb"), col("id").as("id_a"))
       .repartition(parts, col("lb"))
     val r = buckets.select(col("b").as("rb"), col("id").as("id_b"))
     val cand = l.join(r, col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = base.select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val sets = enriched.select(col("id"), col("sh"), col("n"))
     cand
       .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
