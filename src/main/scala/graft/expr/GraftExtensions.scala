@@ -14,5 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("farm_fingerprint64"),
       new ExpressionInfo(classOf[FarmFingerprint64].getName, "farm_fingerprint64"),
       (children: Seq[Expression]) => FarmFingerprint64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }

@@ -96,6 +96,11 @@ object ScaleQueries {
         hex(Multimodal.sampleBytes(col("media.payload"), 0, 8)).as("head_hex"))
     }),
 
+    // Embedding-cosine near-dup: exact nearest neighbor per vector.
+    "q29_embedding_nn" -> ((s, dir) => {
+      Similarity.nnJoin(Tables(s, dir, "embeddings"), "embedding", "vec_id")
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {
@@ -171,6 +176,20 @@ object ScaleQueries {
          |         + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
          |  md5(array_to_string(ws, ' ')) AS fp_md5
          |FROM d""".stripMargin,
+
+    "q29_embedding_nn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+        |     FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(CAST(b.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        |SELECT id_a AS vec_id, id_b AS nn_id, round(c, 6) AS cos FROM (
+        |  SELECT id_a, id_b, c,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+        |  FROM p) WHERE rn = 1""".stripMargin,
 
     "q22_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

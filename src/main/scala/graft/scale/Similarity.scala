@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (fold in index order — matches any
-    * sequential oracle bit-for-bit).
+  /** Dot product of two double arrays — the custom codegen'd expression
+    * [[graft.expr.DotProduct]]: higher-order-function folds are
+    * CodegenFallback (interpreted, boxed) and dominate quadratic
+    * similarity joins; the native expression is a primitive loop inside
+    * whole-stage codegen. Summation is in index order, bit-for-bit equal
+    * to a sequential oracle.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.expr.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -67,6 +70,34 @@ object Similarity {
     aggregate(
       zip_with(bits, masks, (b, m) => when(b === 1L, m).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Exact cosine nearest-neighbor join: for every vector, its top
+    * neighbor — the embedding-cosine near-dup primitive (candidates for
+    * dedup review are pairs whose nn cosine exceeds a threshold).
+    *
+    * Unit vectors are computed once behind a shared exchange, so the
+    * pairwise stage is pure dot products; the per-vector argmax is a
+    * window on the id key (one shuffle). Quadratic by construction — the
+    * exact baseline; at 100 TB bucket first (lshSignature) and run this
+    * within buckets, trading recall for the cross product.
+    */
+  def nnJoin(df: DataFrame, embCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    val unit = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+      .select(col("id"), col("u"))
+      .repartition(parts)
+    val a = unit.select(col("id").as("id_a"), col("u").as("u_a"))
+    val b = unit.select(col("id").as("id_b"), col("u").as("u_b"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("cos", dot(col("u_a"), col("u_b")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** ANN search: probe buckets whose signature is within `maxHammingProbe`
