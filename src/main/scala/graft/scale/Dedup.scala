@@ -62,19 +62,12 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum `xxhash64(seed, shingle)` over the shingle set. Computed in
-    * ONE pass over the shingles (`aggregate` with an array accumulator) —
-    * an `array_min(transform(...))` per hash would traverse the shingle
-    * array numHashes times.
+    * minimum seeded xxhash64 over the shingle set — the native codegen'd
+    * [[graft.expr.MinHashSignature]] (a HOF fold here is interpreted and
+    * allocates two accumulator arrays per shingle).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val seeds = array((0 until numHashes).map(i => lit(i)): _*)
-    aggregate(
-      shingleCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, transform(seeds, i => xxhash64(i, s)),
-        (a, h) => least(a, h)))
-  }
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.expr.MinHashSignature(shingleCol, numHashes)
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`,
     * each hashed to one bucket id struct (band, hash).
