@@ -19,9 +19,12 @@ object SparkEntry {
       (RecordQueries.queries, RecordQueries.oracle),
       (ScaleQueries.queries, ScaleQueries.oracle))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 end-to-end slice: parse → flatten → convert →
+    * normalize-dates → aggregate in one declarative plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q30_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

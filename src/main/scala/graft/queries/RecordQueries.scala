@@ -149,6 +149,29 @@ object RecordQueries {
         .transform(JsonStringify()(_))
     }),
 
+    // The SURVEY §7.2 end-to-end slice: messy API payload → columnar
+    // monthly rollup, chaining parse → flatten (D6) → type conversion (D4)
+    // → date-field normalization (D7) → aggregate. One scan, one shuffle.
+    "q30_pipeline" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("ts").cast("long").as("created_at"),
+          col("event_type"),
+          col("value").cast("string").as("value_str"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("props"))
+        .transform(Flatten()(_))
+        .transform(ConvertTypes(Map("value_str" -> ConvertType.ToFloat))(_))
+        .transform(NormalizeDateFields(Seq(DateFieldRule(
+          suffix = Seq("_at"), convert = ConvertType.TsToIsoDate, target = "date")))(_))
+        .groupBy(substring(col("date_created"), 1, 7).as("month"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("value_str")), 2).as("sum_value"),
+          count_distinct(col("props__k")).as("distinct_k"))
+    }),
+
     // D2 walk: ASCII tree of a summary record. Driver-side by design (the
     // reference renders one record for humans); the 5-row dim collect is
     // the debug-utility exception, not a pattern.
@@ -258,6 +281,13 @@ object RecordQueries {
         |  CASE WHEN s_acctbal > 0 THEN 'true' ELSE 'false' END AS flag,
         |  CAST(s_acctbal AS VARCHAR) AS num
         |FROM supplier""".stripMargin,
+
+    "q30_pipeline" ->
+      """SELECT substr(strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+        |              '%Y-%m-%d'), 1, 7) AS month,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS distinct_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // The tree lines recomputed from the region table itself.
     "q14_walk_render" ->
