@@ -84,11 +84,13 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** Jaccard with precomputed set sizes: |∪| = |a| + |b| − |∩|, so only
-    * the intersection is materialized — half the hash-set allocations of
-    * the intersect+union form on the hot verify path.
+    * the intersection size is computed — via the zero-allocation merge
+    * scan [[graft.expr.SortedIntersectSize]] (both sides MUST be sorted,
+    * which the operators do once per row in their enrichment stage;
+    * `size(array_intersect(...))` builds a boxed hash set per pair).
     */
-  def jaccardWithSizes(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val i = size(array_intersect(a, b)).cast("double")
+  def jaccardWithSizes(aSorted: Column, bSorted: Column, na: Column, nb: Column): Column = {
+    val i = graft.expr.SortedIntersectSize(aSorted, bSorted).cast("double")
     i / (na.cast("double") + nb.cast("double") - i)
   }
 
@@ -111,7 +113,7 @@ object Dedup {
     // exchange; the repartition also spreads a single-split input before
     // the most CPU-heavy map stage of the pipeline).
     val enriched = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleK))
+      .withColumn("sh", array_sort(shingles(col("text"), shingleK)))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("n", size(col("sh")))
       .select(col("id"), col("sh"), col("sig"), col("n"))
@@ -178,7 +180,7 @@ object Dedup {
     // intersect work is spread evenly across the cluster no matter how
     // skewed the blocks are.
     val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(words(col(textCol))).as("ws"))
+      array_sort(array_distinct(words(col(textCol)))).as("ws"))
       .withColumn("n", size(col("ws")))
     val ids = base.select(col("blk"), col("id"), col("n"))
     val a = ids.select(col("blk"), col("id").as("id_a"), col("n").as("n_a"))
