@@ -128,9 +128,20 @@ object Dedup {
     val r = buckets.select(col("b").as("rb"), col("id").as("id_b"))
     val cand = l.join(r, col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = enriched.select(col("id"), col("sh"), col("n"))
-    cand
+    // Two-stage verification: (1) estimate Jaccard from the COMPACT
+    // signatures (48 longs/row) with a conservative margin — E[agreement]
+    // = J, so threshold−0.15 keeps recall while pruning most candidates —
+    // then (2) only survivors join the heavy shingle sets for the exact
+    // check with the size-ratio bound.
+    val sigs = enriched.select(col("id"), col("sig"))
+    val estimated = cand
       .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(graft.expr.SigAgreement(col("sig_a"), col("sig_b")) >= threshold - 0.15)
+      .select(col("id_a"), col("id_b"))
+    val sets = enriched.select(col("id"), col("sh"), col("n"))
+    estimated
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
       // size-ratio prefilter: Jaccard(a,b) <= min|.|/max|.| — kills most
