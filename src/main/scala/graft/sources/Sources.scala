@@ -57,4 +57,19 @@ object Sources {
 
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Bucketed parquet table: rows hash-partitioned into `numBuckets` by
+    * `bucketCols` at WRITE time (and sorted within buckets), so repeated
+    * joins/aggregations on those keys read co-located data and skip the
+    * shuffle entirely — the 100 TB answer for fact tables joined on the
+    * same key every day. Bucketed tables require the catalog
+    * (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -56,4 +56,27 @@ class SourcesSpec extends SparkSpec {
     assert(parsed.columns.toSeq == Seq("id", "payload__k", "payload__deep__x"))
     assert(parsed.head() == Row(1L, 5L, "y"))
   }
+
+  test("bucketed tables join without a shuffle (co-location)") {
+    val facts = (1L to 100L).map(i => (i % 10, i, i * 1.5)).toDF("k", "id", "v")
+    val dims = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "name")
+    Sources.writeBucketed(facts, "bkt_facts", Seq("k"), 4)
+    Sources.writeBucketed(dims, "bkt_dims", Seq("k"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so co-location (not broadcast) is what
+      // removes the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
 }
