@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
 import graft.Tables
-import graft.ops.{CleanColumns, ConvertType, ConvertTypes, DateFieldRule, Flatten,
+import graft.ops.{AsOfJoin, CleanColumns, ConvertType, ConvertTypes, DateFieldRule, Flatten,
   JsonStringify, MoveUnknown, NormalizeDateFields, Prune, Walk}
 
 /** Record-shape operators (SURVEY.md §2.1) as distributed queries over the
@@ -172,6 +172,26 @@ object RecordQueries {
           count_distinct(col("props__k")).as("distinct_k"))
     }),
 
+    // As-of join: every event enriched with the customer's latest order at
+    // event time (one shuffle on the key; checked against DuckDB's native
+    // ASOF JOIN). Right side deduped to one order per (custkey, date) —
+    // equal-timestamp duplicates make as-of semantics ambiguous.
+    "q31_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val events = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val orders = Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("odate"),
+          col("o_orderkey").as("last_order"), col("o_totalprice").as("last_price"))
+      AsOfJoin.asofJoin(events, orders, "user_id", "ts", "odate")
+        .select(col("event_id"), col("user_id"), col("last_order"),
+          round(col("last_price"), 2).as("last_price"))
+    }),
+
     // D2 walk: ASCII tree of a summary record. Driver-side by design (the
     // reference renders one record for humans); the 5-row dim collect is
     // the debug-utility exception, not a pattern.
@@ -281,6 +301,18 @@ object RecordQueries {
         |  CASE WHEN s_acctbal > 0 THEN 'true' ELSE 'false' END AS flag,
         |  CAST(s_acctbal AS VARCHAR) AS num
         |FROM supplier""".stripMargin,
+
+    "q31_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS odate,
+        |    o_orderkey AS last_order, o_totalprice AS last_price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                     ORDER BY o_orderkey DESC) AS rn
+        |        FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.last_order,
+        |  round(o.last_price, 2) AS last_price
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.odate""".stripMargin,
 
     "q30_pipeline" ->
       """SELECT substr(strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
