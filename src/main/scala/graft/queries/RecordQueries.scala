@@ -58,7 +58,10 @@ object RecordQueries {
           col("c_custkey"),
           col("profile.c_name").as("name"),
           col("profile.fin.c_acctbal").as("acctbal"),
-          col("tags"))
+          // rendered as a JSON string so the oracle compare can sort/hash
+          // rows (raw arrays are unhashable in the driver's pandas sort);
+          // NULL (array emptied by pruning) stays NULL through to_json.
+          to_json(col("tags")).as("tags"))
     }),
 
     // D4 convert_dict_types: the API-payload shape — everything arrives as
@@ -222,7 +225,7 @@ object RecordQueries {
     // columnar equivalent is NULL, not [].
     "q8_prune_nested" ->
       """SELECT c_custkey, name, acctbal,
-        |  CASE WHEN len(l) = 0 THEN NULL ELSE l END AS tags
+        |  CASE WHEN len(l) = 0 THEN NULL ELSE to_json(l) END AS tags
         |FROM (
         |  SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
         |    list_filter(

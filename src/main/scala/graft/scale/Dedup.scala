@@ -38,15 +38,23 @@ object Dedup {
   /** Exact dedup: keep the row with the minimal `tieBreak` per content key.
     * One shuffle on the 128-bit key; map-side partial min. Equivalent to
     * the reference user's drop-duplicates-by-hash pattern at any scale.
+    *
+    * Implemented as a single min-struct aggregation — the struct orders on
+    * `tieBreak` first and the remaining columns break residual ties, so the
+    * survivor is deterministic (exactly one row per key) even when several
+    * rows share the minimal `tieBreak`. A join-back formulation is both a
+    * second shuffle and, derived from the same plan, resolves the key
+    * columns ambiguously (a trivially-true self-equality).
     */
   def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
-    val keyed = df.withColumn("__key", key)
-    val keep = keyed.groupBy(col("__key"))
-      .agg(min(tieBreak).as("__keep"), count(lit(1)).as("group_size"))
-    keyed.join(keep,
-        keyed("__key") === keep("__key") && tieBreak === col("__keep"))
-      .drop("__keep").drop(keep("__key"))
-      .withColumnRenamed("__key", "content_key")
+    val cols = df.columns.toSeq
+    df.withColumn("__key", key)
+      .groupBy(col("__key"))
+      .agg(
+        min(struct(tieBreak.as("__tb") +: cols.map(col): _*)).as("__best"),
+        count(lit(1)).as("group_size"))
+      .select(cols.map(c => col(s"__best.$c")) ++
+        Seq(col("__key").as("content_key"), col("group_size")): _*)
   }
 
   /** Word k-shingles (distinct). `transform` over an index sequence is the
@@ -98,50 +106,93 @@ object Dedup {
     * exact-Jaccard verification at `threshold`. Returns (id_a, id_b, sim)
     * with id_a < id_b.
     *
-    * Shuffles: explode→groupBy on (band,bucket) [bounded by docs×bands],
-    * then two hash joins back to the shingle sets. Never all-pairs.
+    * Scale shape, in order:
+    *  1. EXACT-DUPLICATE COLLAPSE — identical normalized content has
+    *     identical shingle sets, so clone pairs are emitted directly as
+    *     sim=1.0 (an equi-join on the 16-byte content key, linear in
+    *     output) and only UNIQUE contents enter the LSH. Without this,
+    *     every band of an m-clone cluster emits m(m−1)/2 candidates ×
+    *     bands — quadratic blow-up on exactly the corpora (crawl dumps)
+    *     near-dup exists for.
+    *  2. BAND BUCKETS over unique contents; bucket sizes counted in the
+    *     same window shuffle, and buckets larger than `maxBucketSize` are
+    *     dropped (the standard LSH mega-bucket guard — a band hash shared
+    *     by >B distinct contents is hash imbalance, not signal; every
+    *     true pair still has `bands-1` other chances). The dropped-row
+    *     count is published as an `observe` metric ("minhash_lsh":
+    *     dropped_bucket_rows).
+    *  3. Two-stage verification: compact-signature agreement estimate
+    *     (threshold − 0.15 margin) prunes candidates before the heavy
+    *     shingle sets are joined; exact Jaccard with the size-ratio bound
+    *     decides.
+    *  4. EXPANSION — verified unique-content pairs are mapped back to all
+    *     clone-cluster members (two equi-joins, linear in output size).
+    *
+    * Shuffles: collapse group-by, bucket window, verify joins, expansion
+    * joins — all on keys, never all-pairs, no skew-prone self-join on
+    * duplicate-heavy buckets.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 48, bands: Int = 6,
-                   threshold: Double = 0.9): DataFrame = {
+                   threshold: Double = 0.9, maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rowsPerBand = numHashes / bands
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    // Shingle + signature once, then ONE explicit exchange: the enriched
-    // rows feed four downstream branches (bucket l/r sides, set a/b
-    // sides) and without the shared shuffle boundary each branch would
-    // re-tokenize and re-minhash the corpus (ReuseExchange dedups the
-    // exchange; the repartition also spreads a single-split input before
-    // the most CPU-heavy map stage of the pipeline).
-    val enriched = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", array_sort(shingles(col("text"), shingleK)))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("n", size(col("sh")))
-      .select(col("id"), col("sh"), col("sig"), col("n"))
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("ck", contentKey(col("text")))
+    val members = docs.select(col("ck"), col("id"))
+    // 1a. clone pairs: same normalized content ⇒ Jaccard exactly 1.0
+    val intra = members.select(col("ck"), col("id").as("id_a"))
+      .join(members.select(col("ck").as("ck_b"), col("id").as("id_b")),
+        col("ck") === col("ck_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("sim"))
+    // 1b. unique contents (deterministic representative: min (id, text))
+    val uniq = docs.groupBy(col("ck"))
+      .agg(min(struct(col("id"), col("text"))).as("m"))
+      .select(col("ck"), col("m.id").as("id"), col("m.text").as("text"))
+    // Tokenize once per unique content; signatures and sorted sets are two
+    // NARROW branches, each ending in its own repartition exchange. Every
+    // downstream consumer of a branch (bucket generation + two signature
+    // probes; two set probes) projects the same columns, so the exchange
+    // subtrees stay byte-identical and ReuseExchange computes each branch
+    // once. A single wide "enriched" exchange does NOT get that: column
+    // pruning pushes per-consumer projections below the exchange, the
+    // subtrees diverge, and the corpus is re-tokenized and re-minhashed
+    // per consumer (measured 4× at sf0.1).
+    val tokenized = uniq.withColumn("sh", shingles(col("text"), shingleK))
+    val sigs = tokenized
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .repartition(parts)
-    val buckets = enriched
+    val sets = tokenized
+      .select(col("id"), array_sort(col("sh")).as("sh"), size(col("sh")).as("n"))
+      .repartition(parts)
+    // 2. band buckets with the mega-bucket cap: ONE window shuffle counts
+    // the bucket and orders members, pairs come from a bucket-local
+    // self-join (sort-merge on the already-partitioned key).
+    val buckets = sigs
       .select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
-    // candidate pairs: ids sharing a band bucket (distinct across bands).
-    // Explicit probe-side spread — broadcast joins inherit probe
-    // partitioning, and byte-based AQE stats under-estimate pair blow-up.
-    val l = buckets.select(col("b").as("lb"), col("id").as("id_a"))
-      .repartition(parts, col("lb"))
-    val r = buckets.select(col("b").as("rb"), col("id").as("id_b"))
-    val cand = l.join(r, col("lb") === col("rb") && col("id_a") < col("id_b"))
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
+    val kept = buckets
+      .observe("minhash_lsh",
+        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("dropped_bucket_rows"))
+      .filter(col("bs") <= maxBucketSize && col("bs") >= 2)
+      .select(col("b"), col("id"))
+    val cand = kept.select(col("b").as("lb"), col("id").as("id_a"))
+      .join(kept.select(col("b").as("rb"), col("id").as("id_b")),
+        col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Two-stage verification: (1) estimate Jaccard from the COMPACT
+    // 3. two-stage verification: (1) estimate Jaccard from the COMPACT
     // signatures (48 longs/row) with a conservative margin — E[agreement]
     // = J, so threshold−0.15 keeps recall while pruning most candidates —
     // then (2) only survivors join the heavy shingle sets for the exact
     // check with the size-ratio bound.
-    val sigs = enriched.select(col("id"), col("sig"))
     val estimated = cand
       .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .filter(graft.expr.SigAgreement(col("sig_a"), col("sig_b")) >= threshold - 0.15)
       .select(col("id_a"), col("id_b"))
-    val sets = enriched.select(col("id"), col("sh"), col("n"))
-    estimated
+    val repPairs = estimated
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
       // size-ratio prefilter: Jaccard(a,b) <= min|.|/max|.| — kills most
@@ -150,27 +201,29 @@ object Dedup {
         greatest(col("n_a"), col("n_b")) >= threshold)
       .withColumn("sim", jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    // 4. expand representative pairs back to every clone-cluster member on
+    // both sides (identical content ⇒ identical Jaccard to anything).
+    val ckOf = uniq.select(col("id"), col("ck"))
+    val expanded = repPairs
+      .join(ckOf.select(col("id").as("id_a"), col("ck").as("ck_a")), "id_a")
+      .join(ckOf.select(col("id").as("id_b"), col("ck").as("ck_b")), "id_b")
+      .join(members.select(col("ck").as("ck_a"), col("id").as("ma")), "ck_a")
+      .join(members.select(col("ck").as("ck_b"), col("id").as("mb")), "ck_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("sim"))
+    expanded.unionAll(intra)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** SimHash: 64-bit signature — per bit, the sign of the sum of ±1 votes
-    * from each word's hash bit. Single map-side pass (`aggregate` over the
-    * word array with a 64-slot accumulator).
+    * from each distinct word's hash bit. Single map-side pass via the
+    * native codegen'd [[graft.expr.SimHash64]] (the HOF `aggregate` +
+    * `zip_with` formulation is CodegenFallback: interpreted, two boxed
+    * 64-element arrays per word).
     */
-  def simhash(text: Column): Column = {
-    val ws = array_distinct(words(text))
-    // literal per-bit masks (shift amounts must be static in the Scala API)
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    val votes = aggregate(
-      ws,
-      array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(acc,
-        transform(masks, m => when(xxhash64(w).bitwiseAND(m) =!= 0, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    graft.expr.SimHash64(array_distinct(words(text)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -22,6 +22,21 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == total)
   }
 
+  test("exactDedup picks one deterministic survivor under duplicate tie-breaks") {
+    // two rows in k1 share the minimal tieBreak (score=1) — the survivor
+    // must be exactly one row, chosen by the full-row ordering, and no
+    // cross-group row may leak in (the old join-back formulation matched
+    // any row whose tieBreak equaled any group's min).
+    val df = Seq(
+      ("k1", 1, 100L), ("k1", 1, 101L), ("k1", 2, 102L),
+      ("k2", 1, 200L), ("k2", 3, 201L)
+    ).toDF("content", "score", "row_id")
+    val out = Dedup.exactDedup(df, col("content"), col("score"))
+    val rows = out.select(col("content_key"), col("score"), col("row_id"), col("group_size"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(rows == Set(("k1", 1, 100L, 3L), ("k2", 1, 200L, 2L)))
+  }
+
   test("exactDedup is idempotent") {
     val once = Dedup.exactDedup(docs, Dedup.contentKey(col("text"), 4), col("doc_id"))
       .drop("content_key", "group_size")
@@ -46,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(truth))
     val recall = found.size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall (found ${found.size} of ${truth.size})")
+  }
+
+  test("minhash pairs carry exact Jaccard similarities (clone pairs = 1.0)") {
+    import org.apache.spark.sql.Row
+    val found = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 6, threshold = 0.95)
+    // exact duplicates (same normalized content) must appear with sim 1.0
+    val clones = docs.select(Dedup.contentKey(col("text")).as("ck"), col("doc_id"))
+    val clonePairs = clones.as("a").join(clones.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val foundOnes = found.filter(col("sim") === 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(clonePairs.subsetOf(foundOnes),
+      s"${clonePairs.size} clone pairs should all surface with sim=1.0")
+    // no duplicate pairs in the output
+    val n = found.count()
+    assert(found.select("id_a", "id_b").distinct().count() == n)
   }
 
   test("simhash: identical text → identical signature; near docs → small hamming") {
