@@ -1,12 +1,14 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 import graft.scale.Dedup
 
-/** Dev-only stage profiler for the MinHash-LSH pipeline (q16). */
+/** Dev-only stage profiler for the MinHash-LSH pipeline (q16): bench-like
+  * conditions (sf0.001 warm-up, then one timed run) with per-stage wall /
+  * executor-run times from a listener.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,63 +21,29 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $r")
-      r
-    }
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Int)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
+        stages += ((i.stageId, wall, i.taskMetrics.executorRunTime, i.numTasks))
+      }
+    })
 
-    val (shingleK, numHashes, bands, threshold) = (3, 48, 6, 0.9)
-    val rowsPerBand = numHashes / bands
-    val parts = spark.sparkContext.defaultParallelism * 2
-    val df = Tables(spark, sfDir, "documents")
-    val docs = df.select(col("doc_id").as("id"), col("text"))
-      .withColumn("ck", Dedup.contentKey(col("text")))
-    val members = docs.select(col("ck"), col("id"))
-    t("docs")(docs.count())
-    val uniq = docs.groupBy(col("ck"))
-      .agg(min(struct(col("id"), col("text"))).as("m"))
-      .select(col("ck"), col("m.id").as("id"), col("m.text").as("text"))
-    val enriched = uniq
-      .withColumn("sh", array_sort(Dedup.shingles(col("text"), shingleK)))
-      .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
-      .withColumn("n", size(col("sh")))
-      .select(col("ck"), col("id"), col("sh"), col("sig"), col("n"))
-      .repartition(parts)
-    t("enriched")(enriched.count())
-    val buckets = enriched
-      .select(col("id"), explode(Dedup.bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
-      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
-    t("bucket size dist")(buckets.groupBy(col("bs")).count()
-      .orderBy(col("bs").desc).collect().take(8).mkString(" "))
-    val kept = buckets.filter(col("bs") <= 1024 && col("bs") >= 2).select(col("b"), col("id"))
-    val cand = kept.select(col("b").as("lb"), col("id").as("id_a"))
-      .join(kept.select(col("b").as("rb"), col("id").as("id_b")),
-        col("lb") === col("rb") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    t("candidates")(cand.count())
-    val sigs = enriched.select(col("id"), col("sig"))
-    val estimated = cand
-      .repartition(parts)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(graft.expr.SigAgreement(col("sig_a"), col("sig_b")) >= threshold - 0.15)
-      .select(col("id_a"), col("id_b"))
-    t("estimated")(estimated.count())
-    val sets = enriched.select(col("id"), col("sh"), col("n"))
-    val repPairs = estimated
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      .filter(least(col("n_a"), col("n_b")).cast("double") /
-        greatest(col("n_a"), col("n_b")) >= threshold)
-      .withColumn("sim", Dedup.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
-    t("repPairs")(repPairs.count())
-    t("full minhashPairs")(Dedup.minhashPairs(df, "doc_id", "text",
-      shingleK, numHashes, bands, threshold).count())
-    t("full again (warm)")(Dedup.minhashPairs(df, "doc_id", "text",
-      shingleK, numHashes, bands, threshold).count())
+    Dedup.minhashPairs(Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", 3, 48, 6, 0.9).count()
+    Thread.sleep(500)
+    stages.clear()
+
+    val t0 = System.nanoTime()
+    val n = Dedup.minhashPairs(Tables(spark, sfDir, "documents"),
+      "doc_id", "text", 3, 48, 6, 0.9).count()
+    val tot = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"TOTAL $tot%.2f s rows=$n stages=${stages.size}")
+    stages.sortBy(-_._2).take(15).foreach { case (id, wall, run, nt) =>
+      println(f"stage $id%4d wall=${wall / 1e3}%7.2f s run=${run / 1e3}%8.2f s tasks=$nt%4d")
+    }
     spark.stop()
   }
 }

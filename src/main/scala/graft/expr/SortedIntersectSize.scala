@@ -5,16 +5,18 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** Native codegen'd intersection SIZE of two SORTED string arrays
-  * (binary-comparison order, i.e. Spark's `array_sort` order) — a merge
-  * scan, O(n+m) with zero allocations.
+/** Native codegen'd intersection SIZE of two SORTED arrays (binary-
+  * comparison order, i.e. Spark's `array_sort` order) — a merge scan,
+  * O(n+m) with zero allocations. Supports `array<string>` (shingle
+  * strings) and `array<long>` (hashed shingle sets).
   *
-  * `size(array_intersect(a, b))` builds a hash set of boxed strings per
+  * `size(array_intersect(a, b))` builds a hash set of boxed elements per
   * CALL — on near-dup verification that is millions of set builds. Callers
-  * must pre-sort both sides once per ROW (`array_sort`), which the dedup
-  * operators do in their enrichment stage.
+  * must pre-sort both sides once per ROW (`array_sort` or
+  * [[ShingleHashSet]]), which the dedup operators do in their enrichment
+  * stage.
   */
 final case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -22,14 +24,22 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => true
+    case _ => false
+  }
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    def elem(dt: DataType): DataType = dt.asInstanceOf[ArrayType].elementType
+    if (elemOk(left.dataType) && elemOk(right.dataType) &&
+        elem(left.dataType) == elem(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_size requires two array<string> inputs, got " +
+      s"sorted_intersect_size requires two array<string> or two array<bigint> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -38,8 +48,11 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val n = x.numElements(); val m = y.numElements()
+    val long = isLong
     while (i < n && j < m) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (long) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -52,11 +65,14 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val cmpExpr =
+        if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |int $n = $a.numElements(), $m = $b.numElements();
          |while ($i < $n && $j < $m) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

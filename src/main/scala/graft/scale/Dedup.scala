@@ -102,9 +102,12 @@ object Dedup {
     i / (na.cast("double") + nb.cast("double") - i)
   }
 
+  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** MinHash-LSH near-duplicate pairs: band-bucket candidate generation,
-    * exact-Jaccard verification at `threshold`. Returns (id_a, id_b, sim)
-    * with id_a < id_b.
+    * exact-Jaccard verification at `threshold` (Jaccard over 64-bit
+    * shingle hashes — equal to string-shingle Jaccard up to ~n²/2⁶⁵
+    * collisions per pair). Returns (id_a, id_b, sim) with id_a < id_b.
     *
     * Scale shape, in order:
     *  1. EXACT-DUPLICATE COLLAPSE — identical normalized content has
@@ -114,22 +117,36 @@ object Dedup {
     *     every band of an m-clone cluster emits m(m−1)/2 candidates ×
     *     bands — quadratic blow-up on exactly the corpora (crawl dumps)
     *     near-dup exists for.
-    *  2. BAND BUCKETS over unique contents; bucket sizes counted in the
-    *     same window shuffle, and buckets larger than `maxBucketSize` are
-    *     dropped (the standard LSH mega-bucket guard — a band hash shared
-    *     by >B distinct contents is hash imbalance, not signal; every
-    *     true pair still has `bands-1` other chances). The dropped-row
-    *     count is published as an `observe` metric ("minhash_lsh":
-    *     dropped_bucket_rows).
-    *  3. Two-stage verification: compact-signature agreement estimate
-    *     (threshold − 0.15 margin) prunes candidates before the heavy
-    *     shingle sets are joined; exact Jaccard with the size-ratio bound
+    *  2. SIGNATURES over unique contents via the fused
+    *     [[graft.expr.MinHashShingles]] (one string hash per word, cheap
+    *     derived hash family — no shingle strings materialize). The
+    *     corpus is explicitly repartitioned BEFORE this projection: at
+    *     small inputs AQE coalesces the collapse group-by output to few
+    *     partitions and the per-doc work would otherwise run serially.
+    *  3. BAND BUCKETS: one window shuffle counts each bucket's size, then
+    *     a self-equi-join on the bucket key emits candidate pairs.
+    *     Buckets larger than `maxBucketSize` are NOT dropped — members
+    *     are salted into ceil(size/maxBucketSize) chunks (per-band salt,
+    *     so different bands chunk a mega-cluster differently) and pairs
+    *     form within chunks. A size-m mega-bucket therefore costs
+    *     O(m·maxBucketSize) instead of O(m²), and a true pair in an
+    *     m-member near-dup cluster keeps ≈ 1−(1−1/c)^bands chance of
+    *     co-chunking (c = chunks/bucket) instead of falling off the
+    *     dropped-bucket cliff. The affected row count is published via
+    *     `observe` ("minhash_lsh_<n>": oversized_bucket_rows — the metric
+    *     name carries a sequence number so composing several
+    *     differently-parameterized calls in one query stays analyzable).
+    *  4. Two-stage verification: compact-signature agreement estimate
+    *     (threshold − 0.15 margin) prunes candidates first; then shingle
+    *     HASH SETS are built ONLY for ids that survive (never
+    *     corpus-wide) and exact Jaccard with the size-ratio bound
     *     decides.
-    *  4. EXPANSION — verified unique-content pairs are mapped back to all
+    *  5. EXPANSION — verified unique-content pairs are mapped back to all
     *     clone-cluster members (two equi-joins, linear in output size).
     *
-    * Shuffles: collapse group-by, bucket window, verify joins, expansion
-    * joins — all on keys, never all-pairs, no skew-prone self-join on
+    * Shuffles: collapse group-by, signature repartition (reused by all
+    * three signature consumers), bucket window, verify joins, expansion
+    * joins — all on keys, never all-pairs, no quadratic blow-up on
     * duplicate-heavy buckets.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -149,62 +166,68 @@ object Dedup {
     // 1b. unique contents (deterministic representative: min (id, text))
     val uniq = docs.groupBy(col("ck"))
       .agg(min(struct(col("id"), col("text"))).as("m"))
-      .select(col("ck"), col("m.id").as("id"), col("m.text").as("text"))
-    // Tokenize once per unique content; signatures and sorted sets are two
-    // NARROW branches, each ending in its own repartition exchange. Every
-    // downstream consumer of a branch (bucket generation + two signature
-    // probes; two set probes) projects the same columns, so the exchange
-    // subtrees stay byte-identical and ReuseExchange computes each branch
-    // once. A single wide "enriched" exchange does NOT get that: column
-    // pruning pushes per-consumer projections below the exchange, the
-    // subtrees diverge, and the corpus is re-tokenized and re-minhashed
-    // per consumer (measured 4× at sf0.1).
-    val tokenized = uniq.withColumn("sh", shingles(col("text"), shingleK))
-    val sigs = tokenized
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .repartition(parts)
-    val sets = tokenized
-      .select(col("id"), array_sort(col("sh")).as("sh"), size(col("sh")).as("n"))
-      .repartition(parts)
-    // 2. band buckets with the mega-bucket cap: ONE window shuffle counts
-    // the bucket and orders members, pairs come from a bucket-local
-    // self-join (sort-merge on the already-partitioned key).
+      .select(col("m.id").as("id"), col("m.text").as("text"))
+    // 2. signatures: repartition FIRST (spread the per-doc work), then one
+    // fused projection. All three consumers (bucket explode + two probe
+    // sides) share the byte-identical exchange subtree, so ReuseExchange
+    // computes the signatures exactly once.
+    val sigs = uniq.repartition(parts)
+      .select(col("id"),
+        graft.expr.MinHashShingles(words(col("text")), shingleK, numHashes).as("sig"))
+    // 3. band buckets: one window shuffle for bucket sizes; oversized
+    // buckets are salted into chunks of ≤ maxBucketSize (see Scaladoc).
+    val seq = observeSeq.incrementAndGet()
     val buckets = sigs
       .select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
       .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
     val kept = buckets
-      .observe("minhash_lsh",
-        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("dropped_bucket_rows"))
-      .filter(col("bs") <= maxBucketSize && col("bs") >= 2)
-      .select(col("b"), col("id"))
-    val cand = kept.select(col("b").as("lb"), col("id").as("id_a"))
-      .join(kept.select(col("b").as("rb"), col("id").as("id_b")),
+      .observe(s"minhash_lsh_$seq",
+        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("oversized_bucket_rows"))
+      .filter(col("bs") >= 2)
+      .withColumn("chunk",
+        pmod(xxhash64(col("id"), col("b.band")), ceil(col("bs") / maxBucketSize)).cast("int"))
+      .select(struct(col("b"), col("chunk")).as("bk"), col("id"))
+    val cand = kept.select(col("bk").as("lb"), col("id").as("id_a"))
+      .join(kept.select(col("bk").as("rb"), col("id").as("id_b")),
         col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // 3. two-stage verification: (1) estimate Jaccard from the COMPACT
-    // signatures (48 longs/row) with a conservative margin — E[agreement]
-    // = J, so threshold−0.15 keeps recall while pruning most candidates —
-    // then (2) only survivors join the heavy shingle sets for the exact
-    // check with the size-ratio bound.
+    // 4a. signature-agreement prefilter: E[agreement] = J, so
+    // threshold−0.15 keeps recall while pruning most candidates on the
+    // compact signatures (numHashes longs/row).
     val estimated = cand
       .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .filter(graft.expr.SigAgreement(col("sig_a"), col("sig_b")) >= threshold - 0.15)
       .select(col("id_a"), col("id_b"))
+    // 4b. exact verify: shingle hash sets ONLY for surviving candidate ids
+    // (semi-join back to the unique contents), then the merge-scan
+    // intersect. The candidate set is orders of magnitude smaller than
+    // the corpus, so the corpus-wide sorted-set materialization the old
+    // formulation did is gone.
+    val candIds = estimated.select(col("id_a").as("id"))
+      .unionAll(estimated.select(col("id_b").as("id"))).distinct()
+    val vsets = uniq.join(candIds, Seq("id"), "left_semi")
+      .repartition(parts)
+      .select(col("id"),
+        graft.expr.ShingleHashSet(words(col("text")), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
     val repPairs = estimated
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .join(vsets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(vsets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
       // size-ratio prefilter: Jaccard(a,b) <= min|.|/max|.| — kills most
-      // candidates with two int ops before the array intersect runs
+      // candidates with two int ops before the merge scan runs
       .filter(least(col("n_a"), col("n_b")).cast("double") /
         greatest(col("n_a"), col("n_b")) >= threshold)
       .withColumn("sim", jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-    // 4. expand representative pairs back to every clone-cluster member on
+    // 5. expand representative pairs back to every clone-cluster member on
     // both sides (identical content ⇒ identical Jaccard to anything).
-    val ckOf = uniq.select(col("id"), col("ck"))
+    // representative id per content key = min(id) (matches uniq's
+    // min(struct(id, text)) since id leads the ordering); derived from the
+    // narrow (ck, id) projection, not the text-carrying uniq.
+    val ckOf = members.groupBy(col("ck")).agg(min(col("id")).as("id"))
     val expanded = repPairs
       .join(ckOf.select(col("id").as("id_a"), col("ck").as("ck_a")), "id_a")
       .join(ckOf.select(col("id").as("id_b"), col("ck").as("ck_b")), "id_b")
