@@ -37,9 +37,10 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try rows(name) = SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
@@ -53,10 +54,11 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val rowsJson = rows.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")

@@ -39,19 +39,31 @@ object Dedup {
     * One shuffle on the 128-bit key; map-side partial min. Equivalent to
     * the reference user's drop-duplicates-by-hash pattern at any scale.
     *
-    * Implemented as a single min-struct aggregation — the struct orders on
-    * `tieBreak` first and the remaining columns break residual ties, so the
-    * survivor is deterministic (exactly one row per key) even when several
-    * rows share the minimal `tieBreak`. A join-back formulation is both a
-    * second shuffle and, derived from the same plan, resolves the key
-    * columns ambiguously (a trivially-true self-equality).
+    * Implemented as a single `min_by` aggregation: the full row travels as
+    * PAYLOAD (so non-orderable columns — maps — are carried, not compared)
+    * and the ORDERING key is a struct of (tieBreak-is-null, tieBreak, the
+    * orderable columns). Rows with a NULL `tieBreak` therefore lose to any
+    * non-NULL row (matching `min(tieBreak)`'s NULL-ignoring semantics), and
+    * the orderable columns break residual ties, so the survivor is
+    * deterministic whenever duplicate tie-break rows differ in at least one
+    * orderable column. (Rows identical in the tie-break AND every orderable
+    * column but differing in a map column: survivor is any one of them.)
+    * A join-back formulation is both a second shuffle and, derived from the
+    * same plan, resolves the key columns ambiguously (a trivially-true
+    * self-equality).
     */
   def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
     val cols = df.columns.toSeq
+    val orderable = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(_.name).toSeq
+    val ordering = struct(
+      tieBreak.isNull.as("__tbnull") +: tieBreak.as("__tb") +:
+        orderable.zipWithIndex.map { case (c, i) => col(c).as(s"__o$i") }: _*)
     df.withColumn("__key", key)
       .groupBy(col("__key"))
       .agg(
-        min(struct(tieBreak.as("__tb") +: cols.map(col): _*)).as("__best"),
+        min_by(struct(cols.map(col): _*), ordering).as("__best"),
         count(lit(1)).as("group_size"))
       .select(cols.map(c => col(s"__best.$c")) ++
         Seq(col("__key").as("content_key"), col("group_size")): _*)

@@ -37,6 +37,30 @@ class DedupSpec extends SparkSpec {
     assert(rows == Set(("k1", 1, 100L, 3L), ("k2", 1, 200L, 2L)))
   }
 
+  test("exactDedup: NULL tieBreak loses to any non-NULL row") {
+    // old min(tieBreak)+join ignored NULLs; the min-struct formulation made
+    // NULL win (struct ordering is nulls-first) — pin the NULL-loses rule.
+    val df = Seq(
+      ("k1", Some(5), 100L), ("k1", None, 101L),
+      ("k2", None, 200L), ("k2", None, 201L)
+    ).toDF("content", "score", "row_id")
+    val out = Dedup.exactDedup(df, col("content"), col("score"))
+      .select(col("content_key"), col("row_id")).as[(String, Long)].collect().toSet
+    // k1: non-NULL score survives; k2: all-NULL group still keeps one row
+    assert(out == Set(("k1", 100L), ("k2", 200L)))
+  }
+
+  test("exactDedup carries non-orderable (map) columns as payload") {
+    val df = Seq(
+      ("k1", 2, Map("a" -> 1)), ("k1", 1, Map("b" -> 2)),
+      ("k2", 7, Map("c" -> 3))
+    ).toDF("content", "score", "attrs")
+    val out = Dedup.exactDedup(df, col("content"), col("score"))
+    val rows = out.select(col("content_key"), col("score"), col("attrs"))
+      .as[(String, Int, Map[String, Int])].collect().toSet
+    assert(rows == Set(("k1", 1, Map("b" -> 2)), ("k2", 7, Map("c" -> 3))))
+  }
+
   test("exactDedup is idempotent") {
     val once = Dedup.exactDedup(docs, Dedup.contentKey(col("text"), 4), col("doc_id"))
       .drop("content_key", "group_size")
