@@ -154,6 +154,58 @@ object DateQueries {
         "ts_end_same", "bing_start_day", "bing_end_month", "days_count")
     }),
 
+    // T7/T8/T12/T14-T17/T19: the remaining DateRange surface, exercised as
+    // a literal-driven table (the operators are driver-side range algebra;
+    // the DuckDB oracle recomputes every row independently from the INPUT
+    // literals with SQL date arithmetic, never from our outputs).
+    "q32_daterange_methods" -> ((s, dir) => {
+      import s.implicits._
+      val b = DateRange("2024-02-10", "2024-03-05")
+      val t7 = Seq(
+        ("as_tuple", "base", b.asTuple._1, b.asTuple._2),
+        ("as_list", "base", b.asList.head, b.asList(1)),
+        ("as_dict", "base", b.asDict("date_start"), b.asDict("date_end")),
+        ("format", "dots", b.format("{start}..{end}"), "-"),
+        ("custom_keys", "since_until",
+          b.toDictWithCustomKeys("since", "until")("since"),
+          b.toDictWithCustomKeys("since", "until")("until")))
+      val t8 = Seq(
+        ("to_reddit_range", "base",
+          b.toRedditRange()("starts_at"), b.toRedditRange()("ends_at")),
+        ("to_reddit_range_same", "base",
+          b.toRedditRangeButSameDates()("starts_at"),
+          b.toRedditRangeButSameDates()("ends_at")))
+      val t12 = Seq(
+        DateRange.aroundDate(Some("2024-03-15"), 10, 5) -> ("around_date", "lb10_lf5"),
+        DateRange.aroundDate(Some("2024-03-15"))        -> ("around_date", "zero"))
+      val t14 = Seq(
+        b.extendByDays(3, 4) -> ("extend_by_days", "s3_e4"),
+        b.shiftByDays(-7)    -> ("shift_by_days", "minus7"))
+      val t15 = Seq(
+        b.extendToWeekBounds  -> ("extend_to_week_bounds", "base"),
+        b.extendToMonthBounds -> ("extend_to_month_bounds", "base"))
+      val t16 = Seq("leap" -> "2024-02-15", "nonleap" -> "2023-02-10").flatMap {
+        case (tag, anchor) =>
+          DateRange.splitMonth888Rest(Some(anchor)).zipWithIndex.map {
+            case (r, i) => r -> ("split_month_8_8_8_rest", s"${tag}_${i + 1}")
+          }
+      }
+      val t17 = Seq(
+        DateRange.singleCalendarPeriod(DatePart.Quarter, -1, Some("2024-05-20")) ->
+          ("single_calendar_period", "quarter_m1"),
+        DateRange.singleCalendarPeriod(DatePart.Year, 1, Some("2024-05-20")) ->
+          ("single_calendar_period", "year_p1"))
+      val t19 =
+        DateRanges.offsetRangeBuckets(DatePart.Week, 0, -3, Some("2024-02-25"))
+          .zipWithIndex.map { case (r, i) => r -> ("offset_range_buckets", s"week_m$i") } ++
+        DateRanges.offsetRangeBuckets(DatePart.Month, 0, -2, Some("2024-02-25"))
+          .zipWithIndex.map { case (r, i) => r -> ("offset_range_buckets", s"month_m$i") }
+      val rangeRows = (t12 ++ t14 ++ t15 ++ t16 ++ t17 ++ t19).map {
+        case (r, (op, tag)) => (op, tag, r.dateStart, r.dateEnd)
+      }
+      (t7 ++ t8 ++ rangeRows).toDF("op", "tag", "v1", "v2")
+    }),
+
     // Raw-timestamp precision pin: µs-rendered ts must match DuckDB's
     // ns→µs cast exactly (guards the integer-div conversion).
     "q28_raw_ts" -> ((s, dir) => {
@@ -275,6 +327,65 @@ object DateQueries {
       "q28_raw_ts" ->
         """SELECT event_id,
           |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_micro
-          |FROM events WHERE event_id % 97 = 0""".stripMargin)
+          |FROM events WHERE event_id % 97 = 0""".stripMargin,
+
+      // Independent recomputation of every q32 row from the INPUT literals
+      // (DuckDB date arithmetic, never copied outputs).
+      "q32_daterange_methods" ->
+        """WITH b(s, e) AS (VALUES (DATE '2024-02-10', DATE '2024-03-05'))
+          |SELECT 'as_tuple' AS op, 'base' AS tag,
+          |  strftime(s, '%Y-%m-%d') AS v1, strftime(e, '%Y-%m-%d') AS v2 FROM b
+          |UNION ALL SELECT 'as_list', 'base', strftime(s, '%Y-%m-%d'), strftime(e, '%Y-%m-%d') FROM b
+          |UNION ALL SELECT 'as_dict', 'base', strftime(s, '%Y-%m-%d'), strftime(e, '%Y-%m-%d') FROM b
+          |UNION ALL SELECT 'format', 'dots',
+          |  strftime(s, '%Y-%m-%d') || '..' || strftime(e, '%Y-%m-%d'), '-' FROM b
+          |UNION ALL SELECT 'custom_keys', 'since_until',
+          |  strftime(s, '%Y-%m-%d'), strftime(e, '%Y-%m-%d') FROM b
+          |UNION ALL SELECT 'to_reddit_range', 'base',
+          |  strftime(s, '%Y-%m-%dT%H:%M:%SZ'),
+          |  strftime(e + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%SZ') FROM b
+          |UNION ALL SELECT 'to_reddit_range_same', 'base',
+          |  strftime(s, '%Y-%m-%dT%H:%M:%SZ'), strftime(e, '%Y-%m-%dT%H:%M:%SZ') FROM b
+          |UNION ALL SELECT 'around_date', 'lb10_lf5',
+          |  strftime(DATE '2024-03-15' - INTERVAL 10 DAY, '%Y-%m-%d'),
+          |  strftime(DATE '2024-03-15' + INTERVAL 5 DAY, '%Y-%m-%d')
+          |UNION ALL SELECT 'around_date', 'zero',
+          |  strftime(DATE '2024-03-15', '%Y-%m-%d'), strftime(DATE '2024-03-15', '%Y-%m-%d')
+          |UNION ALL SELECT 'extend_by_days', 's3_e4',
+          |  strftime(s - INTERVAL 3 DAY, '%Y-%m-%d'), strftime(e + INTERVAL 4 DAY, '%Y-%m-%d') FROM b
+          |UNION ALL SELECT 'shift_by_days', 'minus7',
+          |  strftime(s - INTERVAL 7 DAY, '%Y-%m-%d'), strftime(e - INTERVAL 7 DAY, '%Y-%m-%d') FROM b
+          |UNION ALL SELECT 'extend_to_week_bounds', 'base',
+          |  strftime(date_trunc('week', s), '%Y-%m-%d'),
+          |  strftime(date_trunc('week', e) + INTERVAL 6 DAY, '%Y-%m-%d') FROM b
+          |UNION ALL SELECT 'extend_to_month_bounds', 'base',
+          |  strftime(date_trunc('month', s), '%Y-%m-%d'), strftime(last_day(e), '%Y-%m-%d') FROM b
+          |UNION ALL
+          |SELECT 'split_month_8_8_8_rest', a.tag || '_' || CAST(i + 1 AS VARCHAR),
+          |  strftime(date_trunc('month', a.d) + (i * 8) * INTERVAL 1 DAY, '%Y-%m-%d'),
+          |  strftime(CASE WHEN i < 3 THEN date_trunc('month', a.d) + (i * 8 + 7) * INTERVAL 1 DAY
+          |                ELSE CAST(last_day(a.d) AS TIMESTAMP) END, '%Y-%m-%d')
+          |FROM (VALUES ('leap', DATE '2024-02-15'), ('nonleap', DATE '2023-02-10')) a(tag, d),
+          |     generate_series(0, 3) t(i)
+          |UNION ALL SELECT 'single_calendar_period', 'quarter_m1',
+          |  strftime(date_trunc('quarter', DATE '2024-05-20' - INTERVAL 3 MONTH), '%Y-%m-%d'),
+          |  strftime(date_trunc('quarter', DATE '2024-05-20' - INTERVAL 3 MONTH)
+          |           + INTERVAL 3 MONTH - INTERVAL 1 DAY, '%Y-%m-%d')
+          |UNION ALL SELECT 'single_calendar_period', 'year_p1',
+          |  strftime(date_trunc('year', DATE '2024-05-20' + INTERVAL 1 YEAR), '%Y-%m-%d'),
+          |  strftime(date_trunc('year', DATE '2024-05-20' + INTERVAL 1 YEAR)
+          |           + INTERVAL 1 YEAR - INTERVAL 1 DAY, '%Y-%m-%d')
+          |UNION ALL
+          |SELECT 'offset_range_buckets', 'week_m' || CAST(i AS VARCHAR),
+          |  strftime(date_trunc('week', DATE '2024-02-25' - i * INTERVAL 7 DAY), '%Y-%m-%d'),
+          |  strftime(least(date_trunc('week', DATE '2024-02-25' - i * INTERVAL 7 DAY)
+          |                 + INTERVAL 6 DAY, TIMESTAMP '2024-02-25'), '%Y-%m-%d')
+          |FROM generate_series(0, 3) t(i)
+          |UNION ALL
+          |SELECT 'offset_range_buckets', 'month_m' || CAST(i AS VARCHAR),
+          |  strftime(date_trunc('month', DATE '2024-02-25' - i * INTERVAL 1 MONTH), '%Y-%m-%d'),
+          |  strftime(least(CAST(last_day(DATE '2024-02-25' - i * INTERVAL 1 MONTH) AS TIMESTAMP),
+          |                 TIMESTAMP '2024-02-25'), '%Y-%m-%d')
+          |FROM generate_series(0, 2) t(i)""".stripMargin)
   }
 }
