@@ -101,6 +101,17 @@ object ScaleQueries {
       Similarity.nnJoin(Tables(s, dir, "embeddings"), "embedding", "vec_id")
     }),
 
+    // The SCALE path for the same primitive: IVF-bucketed approximate NN
+    // join at nprobe/K = 1/4 of the brute-force compute. Centroid training
+    // is xxhash64-deterministic, but k-means assignment is not
+    // SQL-expressible → rows-only oracle; SimilaritySpec pins recall vs
+    // the exact join and the nprobe=K ≡ exact degeneration.
+    "q33_embedding_nn_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 16)
+      Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 4)
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {

@@ -100,6 +100,102 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Spherical k-means centroids for IVF, trained on the driver over a
+    * DETERMINISTIC sample: rows ordered by `xxhash64(id)` (a seedless
+    * pseudo-random but reproducible shuffle), first `sampleSize` taken,
+    * normalized to unit length, k-means with dot-product assignment for
+    * `iters` Lloyd rounds (init = first k of the sample). Driver memory is
+    * O(sampleSize·dim) doubles — megabytes — and the result is K×dim,
+    * kilobytes, shipped to executors inside the plan. This is the standard
+    * IVF split: train on a sample centrally, assign distributed.
+    */
+  def trainCentroids(df: DataFrame, embCol: String, idCol: String,
+                     k: Int, sampleSize: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
+    val rows = df
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(toDouble(col(embCol)))
+      .collect() // bounded: sampleSize × dim doubles on the driver, by design
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length >= k, s"need at least $k sample vectors, got ${rows.length}")
+    val dim = rows(0).length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = rows.map(unit)
+    var cents = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v(i) * cents(c)(i); i += 1 }
+          if (s > bestDot) { bestDot = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else unit(sums(c))
+      }
+    }
+    cents
+  }
+
+  /** IVF approximate nearest-neighbor JOIN: every vector searches the
+    * members of its `nprobe` nearest centroid cells and keeps the best
+    * match — the scale path for the embedding-near-dup primitive (q29's
+    * exact [[nnJoin]] stays as the oracle-checked baseline).
+    *
+    * Why IVF rather than LSH buckets for the JOIN form: hyperplane-LSH
+    * collision probability at the cosine levels a top-1 neighbor has on
+    * isotropic data (~0.5 → θ≈60°) is (1−θ/π)^planes ≈ 0.66^planes —
+    * vanishing for any signature wide enough to keep buckets small, so a
+    * bucketed nnJoin returns near-zero recall or degenerates to brute
+    * force. IVF-nprobe instead gives a smooth compute/recall dial
+    * (cost ≈ nprobe/K of brute force) and keeps working when the corpus
+    * HAS cluster structure (real-world embeddings), where its recall is
+    * far higher than on this synthetic isotropic data.
+    *
+    * Plan shape: unit vectors computed once; one [[graft.expr.NearestCells]]
+    * projection serves both sides (element 0 = home cell = membership;
+    * exploded = probes); candidates come from an EQUI-join on the cell id
+    * (each (query, member) pair arises at most once because a member has
+    * one home cell); per-query argmax is one window. No cartesian product
+    * anywhere. The cell-id join key has only K distinct values — K must
+    * scale with the corpus (K ≈ √n keeps cells ≈ √n) and AQE's skew-join
+    * handles residual imbalance at the 100 TB end.
+    */
+  def ivfNnJoin(df: DataFrame, embCol: String, idCol: String,
+                centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    val unit = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+      .select(col("id"), col("u"))
+      .repartition(parts)
+    val withCells = unit.withColumn("cells",
+      graft.expr.NearestCells(col("u"), centroids, nprobe))
+    val members = withCells.select(
+      col("cells")(0).as("cell"), col("id"), col("u"))
+    val probes = withCells.select(
+      explode(col("cells")).as("cell"), col("id").as("qid"), col("u").as("qu"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    probes.join(members, "cell")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", dot(col("qu"), col("u")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("id").as("nn_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** ANN search: probe buckets whose signature is within `maxHammingProbe`
     * of the query signature (0 = exact bucket), rerank candidates exactly,
     * return top-k. Candidate set is the probed buckets only — the scan is

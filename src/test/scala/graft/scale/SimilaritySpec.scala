@@ -42,6 +42,48 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("IVF at nprobe=K degenerates to the exact NN join") {
+    // probing every cell makes the candidate set the full corpus, so the
+    // result must equal nnJoin row-for-row — catches any candidate loss in
+    // the member/probe plumbing.
+    val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
+    val ivf = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.nnJoin(emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF nprobe<K: one row per vector, true cos values, useful recall") {
+    val n = emb.count()
+    val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 16)
+    val ivf = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.length == n, "every vector must find a neighbor in its probed cells")
+    assert(ivf.map(_._1).distinct.length == n)
+    val exact = Similarity.nnJoin(emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect()
+    val exactBy = exact.map(r => r._1 -> r).toMap
+    // reported cos is never above the exact top-1 (candidates ⊆ corpus) and
+    // each reported pair's cos is the TRUE cosine of that pair
+    ivf.foreach { case (id, nnId, cos) =>
+      assert(cos <= exactBy(id)._3 + 1e-6, s"vec $id: ivf cos $cos above exact")
+    }
+    val recall = ivf.count { case (id, nnId, _) => exactBy(id)._2 == nnId }.toDouble / n
+    assert(recall >= 0.5, s"IVF recall@1 $recall below 0.5 at nprobe=4/K=16")
+    // isotropic data: found neighbor's cos should be close to the exact one
+    val meanGap = ivf.map { case (id, _, cos) => exactBy(id)._3 - cos }.sum / n
+    assert(meanGap <= 0.05, s"mean cos gap to exact NN too large: $meanGap")
+  }
+
+  test("IVF plan has no cartesian product") {
+    val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
+    val plan = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("dot/cosine fold matches a driver-side computation") {
     val row = emb.filter(col("vec_id") === 1)
       .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
