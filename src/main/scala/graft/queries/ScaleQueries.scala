@@ -25,11 +25,16 @@ object ScaleQueries {
     }),
 
     // MinHash-LSH near-dup: banded candidates, exact-Jaccard verified.
-    // Signature hashes are xxhash64 → rows-only oracle; recall vs brute
-    // force is asserted in DedupSpec.
+    // HASH-CHECKED against DuckDB brute force: the output is EXACT Jaccard
+    // (Jaccard over 64-bit shingle hashes ≡ string-shingle Jaccard absent
+    // ~n²/2⁶⁵ collisions), and at (48 hashes, 6 bands, t=0.9) LSH recall
+    // is 1.0 on this corpus (verified: brute force finds the same 25
+    // pairs at sf0.01; the pipeline is deterministic, so this holds for
+    // every run on the same data). DedupSpec guards recall at sf0.001.
     "q16_minhash_neardup" -> ((s, dir) => {
       Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+          shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
     }),
 
     // Blocked exact n-gram Jaccard — the verifiable brute-force baseline.
@@ -136,6 +141,26 @@ object ScaleQueries {
          |      FROM k GROUP BY key)
          |SELECT k.doc_id, k.key AS content_key, g.group_size
          |FROM k JOIN g ON k.key = g.key AND k.doc_id = g.keep""".stripMargin,
+
+    // Brute-force 3-word-shingle Jaccard — the size-ratio ON-clause is a
+    // sound prune (J <= min|sh|/max|sh|); the division is an exact integer
+    // ratio in both engines, so the doubles compare bit-identically.
+    "q16_minhash_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $wsSplit AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+         |         ELSE [array_to_string(w, ' ')] END AS sh
+         |  FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS sim
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  AND least(len(a.sh), len(b.sh)) >= 0.9 * greatest(len(a.sh), len(b.sh))
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9""".stripMargin,
 
     "q17_jaccard_pairs" ->
       s"""WITH d AS (
