@@ -1,0 +1,111 @@
+package graft.expr
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** Interpreted-eval vs whole-stage-codegen parity for every custom
+  * expression with a `doGenCode`. A DataFrame query exercises the
+  * GENERATED Java; calling `eval` on the same expression tree exercises
+  * the INTERPRETED path — divergence means one of the two hand-written
+  * implementations is wrong, which end-to-end specs can miss because the
+  * planner near-always picks codegen.
+  */
+class ExprParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strArray(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two",
+    "a a a a a",
+    "")
+
+  test("MinHashShingles: interpreted == codegen") {
+    val fromDf = docs.toDF("text")
+      .select(MinHashShingles(split(trim(lower(col("text"))), "\\s+"), 3, 16))
+      .as[Seq[Long]].collect()
+    val expr = MinHashShingles(BoundReference(0, ArrayType(StringType), nullable = false), 3, 16)
+    docs.zip(fromDf).foreach { case (text, fromCodegen) =>
+      val words = text.trim.toLowerCase.split("\\s+").toSeq
+      val interp = expr.eval(InternalRow(strArray(words)))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      assert(interp == fromCodegen, s"text '$text'")
+    }
+  }
+
+  test("ShingleHashSet: interpreted == codegen, sorted distinct") {
+    val fromDf = docs.toDF("text")
+      .select(ShingleHashSet(split(trim(lower(col("text"))), "\\s+"), 3))
+      .as[Seq[Long]].collect()
+    val expr = ShingleHashSet(BoundReference(0, ArrayType(StringType), nullable = false), 3)
+    docs.zip(fromDf).foreach { case (text, fromCodegen) =>
+      val words = text.trim.toLowerCase.split("\\s+").toSeq
+      val interp = expr.eval(InternalRow(strArray(words)))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      assert(interp == fromCodegen, s"text '$text'")
+      assert(interp == interp.distinct.sorted, "must be sorted distinct")
+    }
+  }
+
+  test("SortedIntersectSize over array<long>: interpreted == codegen == reference") {
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L)))
+    val fromDf = cases.toDF("a", "b")
+      .select(SortedIntersectSize(col("a"), col("b"))).as[Int].collect()
+    cases.zip(fromDf).foreach { case ((a, b), got) =>
+      val expected = a.toSet.intersect(b.toSet).size
+      assert(got == expected, s"codegen: $a ∩ $b")
+      val expr = SortedIntersectSize(
+        Literal.create(a, ArrayType(LongType)), Literal.create(b, ArrayType(LongType)))
+      assert(expr.eval(InternalRow.empty) == expected, s"interpreted: $a ∩ $b")
+    }
+  }
+
+  test("NearestCells: interpreted == codegen == driver argmax, float and double") {
+    val cents = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(-1.0, 0.0, 0.0))
+    val vecs = Seq(Seq(0.9, 0.1, 0.2), Seq(-1.0, -0.5, 0.1), Seq(0.0, 0.0, 0.0))
+    def driverTop(v: Seq[Double], nprobe: Int): Seq[Int] = {
+      val dots = cents.map(c => c.zip(v).map { case (x, y) => x * y }.sum)
+      dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }.take(nprobe).map(_._2).toSeq
+    }
+    // double input (codegen via DataFrame)
+    val fromDouble = vecs.toDF("v")
+      .select(NearestCells(col("v"), cents, 3)).as[Seq[Int]].collect()
+    // float input
+    val fromFloat = vecs.map(_.map(_.toFloat)).toDF("v")
+      .select(NearestCells(col("v"), cents, 3)).as[Seq[Int]].collect()
+    vecs.indices.foreach { i =>
+      assert(fromDouble(i) == driverTop(vecs(i), 3), s"double vec $i")
+      assert(fromFloat(i) == driverTop(vecs(i), 3), s"float vec $i")
+      val expr = NearestCells(
+        Literal.create(vecs(i), ArrayType(DoubleType)), cents, 3)
+      assert(expr.eval(InternalRow.empty).asInstanceOf[ArrayData].toIntArray.toSeq
+        == driverTop(vecs(i), 3), s"interpreted vec $i")
+    }
+  }
+
+  test("MinHash property: signature agreement estimates Jaccard") {
+    // identical inputs agree on every hash; disjoint inputs agree on ~none
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("a b c d e f g h", "q r s t u v w x")).toDF("t1", "t2")
+    def sig(c: org.apache.spark.sql.Column) =
+      MinHashShingles(split(trim(lower(c)), "\\s+"), 2, 32)
+    val agr = df.select(SigAgreement(sig(col("t1")), sig(col("t2")))).as[Double].collect()
+    assert(agr(0) == 1.0)
+    assert(agr(1) <= 0.25, s"disjoint docs should rarely agree, got ${agr(1)}")
+  }
+}
