@@ -22,8 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * one expression serve both the member-assignment and the probe side of
   * an IVF join.
   */
-final case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+final case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
     extends UnaryExpression {
+
+  // Seq (not Array) constructor field: case-class equality must be
+  // STRUCTURAL for plan canonicalization — with an Array field two
+  // semantically-identical plan branches never compare equal and
+  // ReuseExchange silently stops deduplicating the scan subtree.
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   require(centroids.nonEmpty, "centroids must be non-empty")
   require(nprobe > 0 && nprobe <= centroids.length,
@@ -50,7 +57,7 @@ final case class NearestCells(child: Expression, centroids: Array[Array[Double]]
     val dots = new Array[Double](k)
     var c = 0
     while (c < k) {
-      val cent = centroids(c)
+      val cent = cents(c)
       val d = math.min(arr.numElements(), cent.length)
       var s = 0.0; var i = 0
       while (i < d) {
@@ -64,7 +71,7 @@ final case class NearestCells(child: Expression, centroids: Array[Array[Double]]
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
       val dots = ctx.freshName("dots"); val c = ctx.freshName("c")
       val s = ctx.freshName("s"); val i = ctx.freshName("i")
       val d = ctx.freshName("d"); val cent = ctx.freshName("cent")
@@ -72,7 +79,7 @@ final case class NearestCells(child: Expression, centroids: Array[Array[Double]]
       s"""
          |double[] $dots = new double[${centroids.length}];
          |for (int $c = 0; $c < ${centroids.length}; $c++) {
-         |  double[] $cent = $cents[$c];
+         |  double[] $cent = $centsRef[$c];
          |  int $d = java.lang.Math.min($a.numElements(), $cent.length);
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $d; $i++) { $s += $getElem * $cent[$i]; }
@@ -108,6 +115,6 @@ object NearestCells {
     out
   }
 
-  def apply(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+  def apply(emb: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(emb), centroids, nprobe))
 }

@@ -110,7 +110,7 @@ object Similarity {
     * IVF split: train on a sample centrally, assign distributed.
     */
   def trainCentroids(df: DataFrame, embCol: String, idCol: String,
-                     k: Int, sampleSize: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
+                     k: Int, sampleSize: Int = 2048, iters: Int = 5): Seq[Seq[Double]] = {
     val rows = df
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleSize)
@@ -145,7 +145,7 @@ object Similarity {
         if (counts(c) == 0) old else unit(sums(c))
       }
     }
-    cents
+    cents.map(_.toSeq).toSeq
   }
 
   /** IVF approximate nearest-neighbor JOIN: every vector searches the
@@ -173,19 +173,27 @@ object Similarity {
     * handles residual imbalance at the 100 TB end.
     */
   def ivfNnJoin(df: DataFrame, embCol: String, idCol: String,
-                centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+                centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    val unit = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+    // Normalization + cell assignment happen BELOW one repartition, and
+    // the cells array is POSEXPLODED once before the consumers branch:
+    // members = rank 0 (the home cell), probes = all ranks. Both
+    // consumers' extra predicates (rank = 0, join-key null checks) bind to
+    // GENERATED columns, so they cannot push below the Generate — the
+    // exchange subtrees stay byte-identical and ReuseExchange computes the
+    // scan + unit vectors + NearestCells exactly once.
+    val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
       .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"))
+      .select(col("id"), col("u"),
+        graft.expr.NearestCells(col("u"), centroids, nprobe).as("cells"))
       .repartition(parts)
-    val withCells = unit.withColumn("cells",
-      graft.expr.NearestCells(col("u"), centroids, nprobe))
-    val members = withCells.select(
-      col("cells")(0).as("cell"), col("id"), col("u"))
-    val probes = withCells.select(
-      explode(col("cells")).as("cell"), col("id").as("qid"), col("u").as("qu"))
+      .select(col("id"), col("u"), posexplode(col("cells")))
+      .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
+    val members = exploded.filter(col("rank") === 0)
+      .select(col("cell"), col("id"), col("u"))
+    val probes = exploded.select(
+      col("cell"), col("id").as("qid"), col("u").as("qu"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     probes.join(members, "cell")
       .filter(col("qid") =!= col("id"))

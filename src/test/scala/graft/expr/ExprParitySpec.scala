@@ -73,9 +73,9 @@ class ExprParitySpec extends SparkSpec {
   }
 
   test("NearestCells: interpreted == codegen == driver argmax, float and double") {
-    val cents = Array(
-      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
-      Array(0.0, 0.0, 1.0), Array(-1.0, 0.0, 0.0))
+    val cents = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 0.0, 1.0), Seq(-1.0, 0.0, 0.0))
     val vecs = Seq(Seq(0.9, 0.1, 0.2), Seq(-1.0, -0.5, 0.1), Seq(0.0, 0.0, 0.0))
     def driverTop(v: Seq[Double], nprobe: Int): Seq[Int] = {
       val dots = cents.map(c => c.zip(v).map { case (x, y) => x * y }.sum)
