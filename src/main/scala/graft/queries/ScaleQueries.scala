@@ -113,8 +113,10 @@ object ScaleQueries {
     // the exact join and the nprobe=K ≡ exact degeneration.
     "q33_embedding_nn_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 16)
-      Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 4)
+      val (k, nprobe) = Similarity.ivfParams(emb) // K ≈ √n keeps cell size,
+      // join parallelism, and candidate work all scaling with the corpus
+      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
+      Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = nprobe)
     }),
 
     // Decode-stub path: mapPartitions feature extraction (rows-only; the

@@ -78,12 +78,16 @@ object Similarity {
     *
     * Unit vectors are computed once behind a shared exchange, so the
     * pairwise stage is pure dot products; the per-vector argmax is a
-    * window on the id key (one shuffle). Quadratic by construction — the
-    * exact baseline; at 100 TB bucket first (lshSignature) and run this
-    * within buckets, trading recall for the cross product.
+    * `max_by` GROUP-BY, not a window: partial aggregation collapses each
+    * partition's candidates map-side, so the only shuffle carries one row
+    * per (vector × partition) instead of every candidate pair — at n²
+    * candidates that is the difference between shuffling n rows and n².
+    * Tie-break (equal cos → smaller id) matches the old window ordering
+    * via the lexicographic (cos, −id) max key. Quadratic by construction —
+    * the exact baseline; at 100 TB bucket first (lshSignature) and run
+    * this within buckets, trading recall for the cross product.
     */
   def nnJoin(df: DataFrame, embCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
     val unit = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
       .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
@@ -91,13 +95,13 @@ object Similarity {
       .repartition(parts)
     val a = unit.select(col("id").as("id_a"), col("u").as("u_a"))
     val b = unit.select(col("id").as("id_b"), col("u").as("u_b"))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     a.join(b, col("id_a") =!= col("id_b"))
-      .withColumn("cos", dot(col("u_a"), col("u_b")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
+      .groupBy(col("id_a"))
+      .agg(max_by(struct(col("id_b"), col("cos")),
+        struct(col("cos"), -col("id_b"))).as("m"))
+      .select(col("id_a").as("vec_id"), col("m.id_b").as("nn_id"),
+        round(col("m.cos"), 6).as("cos"))
   }
 
   /** Spherical k-means centroids for IVF, trained on the driver over a
@@ -167,14 +171,16 @@ object Similarity {
     * projection serves both sides (element 0 = home cell = membership;
     * exploded = probes); candidates come from an EQUI-join on the cell id
     * (each (query, member) pair arises at most once because a member has
-    * one home cell); per-query argmax is one window. No cartesian product
-    * anywhere. The cell-id join key has only K distinct values — K must
-    * scale with the corpus (K ≈ √n keeps cells ≈ √n) and AQE's skew-join
-    * handles residual imbalance at the 100 TB end.
+    * one home cell); per-query argmax is a map-side-combining `max_by`
+    * group-by (see [[nnJoin]] — the shuffle carries surviving best rows,
+    * never candidate pairs). No cartesian product anywhere. The cell-id
+    * join key has only K distinct values, so K caps the join's
+    * parallelism AND the per-cell candidate product — K must scale with
+    * the corpus (K ≈ √n keeps cells ≈ √n; [[ivfParams]] computes that)
+    * and AQE's skew-join handles residual imbalance at the 100 TB end.
     */
   def ivfNnJoin(df: DataFrame, embCol: String, idCol: String,
                 centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
     // Normalization + cell assignment happen BELOW one repartition, and
     // the cells array is POSEXPLODED once before the consumers branch:
@@ -194,14 +200,26 @@ object Similarity {
       .select(col("cell"), col("id"), col("u"))
     val probes = exploded.select(
       col("cell"), col("id").as("qid"), col("u").as("qu"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     probes.join(members, "cell")
       .filter(col("qid") =!= col("id"))
-      .withColumn("cos", dot(col("qu"), col("u")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid").as("vec_id"), col("id").as("nn_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("qid"), col("id"), dot(col("qu"), col("u")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("id"), col("cos")),
+        struct(col("cos"), -col("id"))).as("m"))
+      .select(col("qid").as("vec_id"), col("m.id").as("nn_id"),
+        round(col("m.cos"), 6).as("cos"))
+  }
+
+  /** IVF sizing from the corpus count: K ≈ √n cells (each cell ≈ √n
+    * members, so total candidate work ≈ nprobe·n^1.5/K ≈ nprobe·n — linear
+    * in the corpus) probing ⌈K/8⌉ cells, floored so tiny inputs keep
+    * enough cells for a meaningful approximation and enough probes for
+    * recall. One metadata-cheap `count()` job.
+    */
+  def ivfParams(df: DataFrame): (Int, Int) = {
+    val n = df.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    (k, math.max(4, k / 8))
   }
 
   /** ANN search: probe buckets whose signature is within `maxHammingProbe`
