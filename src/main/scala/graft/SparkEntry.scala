@@ -17,7 +17,8 @@ object SparkEntry {
       (CoreQueries.queries, CoreQueries.oracle),
       (DateQueries.queries, DateQueries.oracle),
       (RecordQueries.queries, RecordQueries.oracle),
-      (ScaleQueries.queries, ScaleQueries.oracle))
+      (ScaleQueries.queries, ScaleQueries.oracle),
+      (StreamQueries.queries, StreamQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7.2 end-to-end slice: parse → flatten → convert →

@@ -1,0 +1,112 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming correctness coverage. q34 runs the REAL streaming
+  * engine (file source → watermarked windowed aggregate → sink) over the
+  * finite events table with an AvailableNow trigger, so the driver's
+  * DuckDB compare checks streaming execution itself — not a batch
+  * re-statement of it. q35 is the batch form of sessionization via the
+  * native `session_window`, oracle-checked against an independent
+  * lag/cumulative-sum formulation (the streaming form,
+  * [[graft.streaming.StreamOps.sessionize]], is spec-tested — a gap
+  * session's flushes depend on processing-time timeouts, which no
+  * engine-independent SQL oracle can restate).
+  */
+object StreamQueries {
+
+  // Memory-sink table names must be unique per start() within a session
+  // (bench invokes each query twice: warm-up + timed pass).
+  private val runSeq = new AtomicInteger(0)
+
+  /** events with the INT64-nanos ts converted to a µs timestamp — the
+    * streaming twin of [[graft.Tables]]' conversion (same integer `div`).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // events.parquet is a single file, and the file stream source only
+    // accepts a directory or a glob — so glob for exactly that file.
+    val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Streaming daily rollup: the q24-style aggregate executed by the
+    // streaming engine (stateful windowed agg, watermark bounding state).
+    // Complete-mode memory sink because the run is finite and the oracle
+    // needs every window; a production sink would be parquet/Kafka in
+    // Append mode with the watermark evicting closed windows.
+    "q34_stream_rollup" -> ((s, dir) => {
+      val out = StreamOps.windowedCounts(eventsStream(s, dir), "ts", "1 day",
+          watermarkDelay = "1 hour")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          col("event_type"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+      val name = s"q34_mem_${runSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
+    // Gap-based sessionization, batch form: native session_window (state
+    // merges inside the aggregate — one shuffle on user_id, no
+    // self-join/window over the event stream). Session bounds rendered at
+    // µs precision (q28's exact ns→µs contract).
+    "q35_sessionize" -> ((s, dir) => {
+      graft.Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          date_format(col("t0"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("sum_value"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // Spark's window("1 day") is epoch-aligned; so is date_trunc('day').
+    // CAST(ts AS TIMESTAMP) truncates ns→µs exactly like `ts div 1000`.
+    "q34_stream_rollup" ->
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY,
+        |           '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // Independent restatement: session breaks where the gap to the
+    // previous event is >= 8h (session_window merges [t, t+gap) intervals,
+    // so a gap of exactly 8h starts a new session on both sides).
+    "q35_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin)
+}
