@@ -89,6 +89,14 @@ object ScaleQueries {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
     }),
 
+    // SimHash near-dup pairs: pigeonhole bit-band candidates, exact
+    // hamming verify (xxhash64-based signatures → rows-only; DedupSpec
+    // pins the output equal to a brute-force hamming join).
+    "q36_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    }),
+
     // Multimodal metadata path: binary payload, typed meta, byte sampling.
     "q22_multimodal_meta" -> ((s, dir) => {
       val df = Multimodal.withMedia(

@@ -263,6 +263,56 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs: all (id_a, id_b, hamming) with
+    * hamming(simhash_a, simhash_b) <= `maxHamming`, id_a < id_b.
+    *
+    * EXACT over the signature domain, not approximate: candidates come
+    * from `maxHamming + 1` disjoint bit-bands of the 64-bit signature,
+    * and by pigeonhole two signatures within `maxHamming` differing bits
+    * agree on at least one whole band — so banding loses no qualifying
+    * pair, it only prunes the non-qualifying ones before the exact
+    * `bit_count(xor)` verify.
+    *
+    * Scale shape mirrors [[minhashPairs]]: identical signatures (clone
+    * clusters — hamming 0) are collapsed first and their pairs emitted
+    * via a linear equi-join, so band buckets see one representative per
+    * distinct signature and a crawl dump's duplicate mass cannot go
+    * quadratic inside a bucket; verified representative pairs expand back
+    * to members through two equi-joins (identical signature ⇒ identical
+    * hamming to anything). Shuffles: the signature group-by, the band
+    * self-join, the expansion joins — all on keys, never all-pairs.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = (64 + bands - 1) / bands // last band may run past bit 63 — harmless
+    val members = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val intra = members.select(col("sig"), col("id").as("id_a"))
+      .join(members.select(col("sig").as("sig_b"), col("id").as("id_b")),
+        col("sig") === col("sig_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    val uniq = members.groupBy(col("sig")).agg(min(col("id")).as("id"))
+    val banded = uniq.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1)).as("bits"))
+      }: _*)).as("bk"))
+    val a = banded.select(col("bk").as("ka"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bk").as("kb"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val repPairs = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair can agree on several bands
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming) // >= 1: equal sigs collapsed above
+    val expanded = repPairs
+      .join(members.select(col("sig").as("sig_a"), col("id").as("ma")), "sig_a")
+      .join(members.select(col("sig").as("sig_b"), col("id").as("mb")), "sig_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    expanded.unionAll(intra)
+  }
+
   /** Blocked exact n-gram Jaccard pairs: brute force WITHIN `blockCol`
     * only. The baseline the LSH path approximates; at scale the cost is
     * sum of block² not corpus².
