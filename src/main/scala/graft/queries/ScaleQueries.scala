@@ -127,6 +127,24 @@ object ScaleQueries {
       Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = nprobe)
     }),
 
+    // Corpus-level top-100 bigrams by occurrence: explode → count with
+    // map-side partial aggregation (the shuffle carries one row per
+    // distinct gram per partition, not one per occurrence) → TakeOrdered
+    // (per-partition top-k heap + driver merge, no global sort). The
+    // canonical vocabulary/statistics pass of a training-data pipeline.
+    "q37_top_ngrams" -> ((s, dir) => {
+      val ws = Dedup.words(col("text"))
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      Tables(s, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(100)
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {
@@ -236,6 +254,15 @@ object ScaleQueries {
         |  SELECT id_a, id_b, c,
         |    row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
         |  FROM p) WHERE rn = 1""".stripMargin,
+
+    "q37_top_ngrams" ->
+      s"""WITH w AS (SELECT $wsSplit AS ws FROM documents),
+         |b AS (
+         |  SELECT unnest([array_to_string(ws[i:i+1], ' ')
+         |                 for i in range(1, len(ws))]) AS bigram
+         |  FROM w WHERE len(ws) >= 2)
+         |SELECT bigram, count(*) AS cnt FROM b
+         |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
 
     "q22_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
