@@ -54,6 +54,43 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Hierarchical ROLLUP: one shuffle produces all three grouping levels
+    // (year×status, year, grand total) — partial aggregation still applies,
+    // so the map side combines before the exchange exactly as a flat
+    // group-by would. grouping_id() disambiguates the NULL subtotal rows.
+    "q38_rollup_totals" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().as("gid"))
+    }),
+
+    // PIVOT with an explicit value list: compiles to one group-by with a
+    // conditional aggregate per pivot value — no collect-distinct job on
+    // the driver (an open pivot would scan once just to learn the values;
+    // at 100 TB the vocabulary must be declared, not discovered).
+    "q39_pivot_events" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+    }),
+
+    // Anti join: customers that never emitted an event. The events side is
+    // projected to the bare join key before the exchange; with AQE the
+    // deduplicated key set is broadcast-able even when the raw event log is
+    // not. Grouped per nation so the output stays |nations|-sized at any SF.
+    "q40_inactive_customers" -> ((s, dir) => {
+      val customers = Tables(s, dir, "customer")
+      val eventUsers = Tables(s, dir, "events").select(col("user_id")).distinct()
+      customers
+        .join(eventUsers, col("c_custkey") === col("user_id"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_inactive"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -84,5 +121,32 @@ object CoreQueries {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) WHERE rn <= 3""".stripMargin)
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    // DuckDB GROUPING() returns one bit per argument; Spark's grouping_id()
+    // packs the same bits, so the composed integer matches.
+    "q38_rollup_totals" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  count(*) AS n_orders,
+        |  2 * GROUPING(year(o_orderdate)) + GROUPING(o_orderstatus) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    // Spark names single-agg pivot columns after the bare pivot value.
+    "q39_pivot_events" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (event_type = 'view'), 2) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q40_inactive_customers" ->
+      """SELECT c_nationkey, count(*) AS n_inactive,
+        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin)
 }

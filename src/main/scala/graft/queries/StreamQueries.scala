@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
 
+import graft.Tables
 import graft.streaming.StreamOps
 
 /** Structured Streaming correctness coverage. q34 runs the REAL streaming
@@ -60,6 +61,26 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Stream-static enrichment: the unbounded side joins a broadcast
+    // dimension snapshot — no state, no stream-side shuffle for the join
+    // (each micro-batch probes the broadcast hash table map-side); the only
+    // stateful operator is the final |nations|-sized aggregate. This is the
+    // canonical "enrich events with a dimension" streaming shape.
+    "q41_stream_enrich" -> ((s, dir) => {
+      val dim = broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val out = eventsStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+      val name = s"q41_mem_${runSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Gap-based sessionization, batch form: native session_window (state
     // merges inside the aggregate — one shuffle on user_id, no
     // self-join/window over the event stream). Session bounds rendered at
@@ -86,6 +107,12 @@ object StreamQueries {
         |           '%Y-%m-%d %H:%M:%S') AS window_end,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q41_stream_enrich" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     // Independent restatement: session breaks where the gap to the
     // previous event is >= 8h (session_window merges [t, t+gap) intervals,
