@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression tests: execute registered queries at sf0.001 and
+  * assert the FINAL adaptive plan has the structure the 100 TB design
+  * claims (broadcasts, pushed filters, top-k without global sort, no
+  * accidental cartesian products). Correctness is the oracle's job; this
+  * suite pins the physical strategy so a refactor can't silently trade the
+  * right plan for a working-but-wrong-at-scale one.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def count(plan: String, marker: String): Int =
+    marker.r.findAllIn(plan).size
+
+  test("q1: single-exchange partial aggregation with shipdate pushdown") {
+    val p = finalPlan("q1_pricing_summary")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_sum"), "map-side combine missing:\n" + p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      "filter not pushed to parquet scan:\n" + p)
+  }
+
+  test("q2: all three dims broadcast; the only wide exchange is the group-by") {
+    val p = finalPlan("q2_revenue_by_nation")
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q6: static date window pushed onto the raw INT64 nanos column") {
+    val p = finalPlan("q6_backfill_range_join")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      "range window not pushed to scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q18: brute-force top-k is TakeOrdered, not a global sort") {
+    val p = finalPlan("q18_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), "unexpected full sort:\n" + p)
+  }
+
+  test("q37: explode feeds partial count before the single exchange; top-k is TakeOrdered") {
+    val p = finalPlan("q37_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q40: anti join builds a broadcast from the deduplicated key set") {
+    val p = finalPlan("q40_inactive_customers")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q16: LSH candidate generation never goes cartesian") {
+    val p = finalPlan("q16_minhash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q33: IVF join never goes cartesian and probes cells with an equi-join") {
+    val p = finalPlan("q33_embedding_nn_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q38: rollup is one exchange with map-side partial aggregation over Expand") {
+    val p = finalPlan("q38_rollup_totals")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+}
