@@ -79,6 +79,21 @@ object CoreQueries {
         .agg(round(sum(col("value")), 2))
     }),
 
+    // Distinct aggregation: daily active users alongside plain counts.
+    // Spark plans the mixed distinct/non-distinct aggregate with Expand +
+    // two-phase partial aggregation — the distinct keys are deduplicated
+    // map-side before the exchange, so the shuffle carries |day × user|
+    // rows, never the raw event log. (At 100 TB the approximate form —
+    // approx_count_distinct, an HLL sketch whose partial state is a fixed
+    // few KB per group — replaces this when exactness isn't required;
+    // spec-tested since no cross-engine oracle can hash-match a sketch.)
+    "q43_daily_active" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("active_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // Anti join: customers that never emitted an event. The events side is
     // projected to the bare join key before the exchange; with AQE the
     // deduplicated key set is broadcast-able even when the raw event log is
@@ -141,6 +156,12 @@ object CoreQueries {
         |  round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
         |  round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
         |  round(sum(value) FILTER (event_type = 'view'), 2) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q43_daily_active" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS active_users,
+        |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 
     "q40_inactive_customers" ->

@@ -81,6 +81,27 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Streaming dedup, executed by the real engine: project to the dedup
+    // key FIRST (state stores keys, not rows — the 100 TB discipline), then
+    // dropDuplicatesWithinWatermark. The 40-day delay exceeds the table's
+    // 30-day span so no row is ever late: the emitted set is exactly the
+    // distinct keys, deterministically, and the DuckDB compare checks the
+    // streaming dedup operator itself. Production would size the delay to
+    // the real late-data horizon; state stays O(keys inside it).
+    "q42_stream_dedup" -> ((s, dir) => {
+      val out = StreamOps.streamingDedup(
+        eventsStream(s, dir)
+          .select(col("ts"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day")),
+        "ts", Seq("user_id", "day"), watermarkDelay = "40 days")
+        .select(col("user_id"), col("day"))
+      val name = s"q42_mem_${runSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Gap-based sessionization, batch form: native session_window (state
     // merges inside the aggregate — one shuffle on user_id, no
     // self-join/window over the event stream). Session bounds rendered at
@@ -113,6 +134,11 @@ object StreamQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q42_stream_dedup" ->
+      """SELECT DISTINCT user_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM events""".stripMargin,
 
     // Independent restatement: session breaks where the gap to the
     // previous event is >= 8h (session_window merges [t, t+gap) intervals,
