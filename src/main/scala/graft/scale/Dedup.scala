@@ -71,6 +71,13 @@ object Dedup {
 
   /** Word k-shingles (distinct). `transform` over an index sequence is the
     * native sliding window — no explode, no shuffle.
+    *
+    * CAUTION (hot paths): the lambda references `ws`, and a lambda that
+    * closes over a non-trivial outer expression re-evaluates it PER ARRAY
+    * ELEMENT (measured 5× on the bigram query) — so this form is for
+    * tests/small data. The production dedup paths shingle inside the fused
+    * codegen'd expressions ([[graft.expr.MinHashShingles]],
+    * [[graft.expr.ShingleHashSet]]), which walk the word array once.
     */
   def shingles(text: Column, k: Int): Column = {
     val ws = words(text)
