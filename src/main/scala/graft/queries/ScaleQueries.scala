@@ -152,6 +152,30 @@ object ScaleQueries {
         .limit(100)
     }),
 
+    // End-to-end curation pipeline — the flagship composition of the
+    // training-data operators: score every document map-side (quality +
+    // language-ID + token count, one projection, zero shuffles), keep
+    // high-quality English, collapse exact duplicates (ONE min_by shuffle
+    // on the content key), then per-source-label accounting. The only
+    // exchanges in the whole plan are the dedup group-by and the final
+    // |langs|-sized aggregate — at 100 TB the scored filter runs inside
+    // the scan stage and drops most of the corpus before anything wide.
+    "q44_curation" -> ((s, dir) => {
+      val t = col("text")
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), t,
+          TextAnalysis.qualityScore(t).as("quality"),
+          TextAnalysis.langId(t).as("lang_guess"),
+          TextAnalysis.tokenCount(t).as("n_tokens"))
+        .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
+      Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("group_size")).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {
@@ -247,6 +271,41 @@ object ScaleQueries {
          |         + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
          |  md5(array_to_string(ws, ' ')) AS fp_md5
          |FROM d""".stripMargin,
+
+    // Independent restatement of the whole pipeline: survivor per content
+    // key = min doc_id (exactDedup's min_by ordering leads with the
+    // unique tie-break), group sizes counted within the filtered set.
+    "q44_curation" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text, $wsSplit AS ws,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, ws, n_tokens,
+         |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                     / length(text) * 5.0, 1.0))
+         |      + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
+         |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
+         |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
+         |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
+         |  FROM d),
+         |f AS (SELECT * FROM scored WHERE quality >= 0.75 AND lang_guess = 'en'),
+         |k AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY md5(array_to_string(ws, ' '))
+         |                       ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY md5(array_to_string(ws, ' '))) AS gs
+         |  FROM f)
+         |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
+         |  sum(n_tokens) AS sum_tokens, round(avg(quality), 6) AS avg_quality
+         |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
 
     "q29_embedding_nn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
