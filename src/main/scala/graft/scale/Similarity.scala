@@ -45,32 +45,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient: plane j, dim i →
-    * a value in [-1, 1) derived from xxhash64 — reproducible across runs,
-    * no RNG state. j and i are runtime columns so the expression tree
-    * stays SMALL: an unrolled dim×planes sum is a multi-hundred-term tree
-    * that blows up janino compilation (tens of seconds of codegen).
+  /** LSH signature: `numPlanes` sign bits packed into a long — the fused
+    * codegen'd [[graft.expr.HyperplaneSig]] (the equivalent nested
+    * higher-order-function formulation is CodegenFallback: interpreted,
+    * boxed, two accumulator arrays allocated per plane per row;
+    * `ExprParitySpec` pins the native expression bit-equal to it).
     */
-  private def planeCoef(j: Column, i: Column): Column =
-    xxhash64(j * lit(100003) + i).cast("double") / lit(Long.MaxValue.toDouble)
-
-  /** LSH signature: `numPlanes` sign bits packed into a long — computed
-    * with nested higher-order functions (runtime loops, compact codegen).
-    */
-  def lshSignature(emb: Column, dim: Int, numPlanes: Int): Column = {
-    val e = toDouble(emb)
-    val dims = sequence(lit(0), lit(dim - 1))
-    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), j => {
-      val d = aggregate(
-        zip_with(e, dims, (x, i) => x * planeCoef(j, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L)).otherwise(lit(0L))
-    })
-    val masks = array((0 until numPlanes).map(i => lit(1L << i)): _*)
-    aggregate(
-      zip_with(bits, masks, (b, m) => when(b === 1L, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def lshSignature(emb: Column, dim: Int, numPlanes: Int): Column =
+    graft.expr.HyperplaneSig(emb, dim, numPlanes)
 
   /** Exact cosine nearest-neighbor join: for every vector, its top
     * neighbor — the embedding-cosine near-dup primitive (candidates for

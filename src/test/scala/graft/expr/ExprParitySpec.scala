@@ -97,6 +97,44 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneSig: native == HOF formulation == interpreted, float == double") {
+    // the higher-order-function formulation HyperplaneSig replaced — the
+    // original plane-coefficient math spelled out in column expressions
+    val dim = 8; val planes = 12
+    def hofSig(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val dims = sequence(lit(0), lit(dim - 1))
+      val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
+        val d = aggregate(
+          zip_with(emb, dims, (x, i) =>
+            x * (xxhash64(j * lit(100003) + i).cast("double") / lit(Long.MaxValue.toDouble))),
+          lit(0.0), (acc, x) => acc + x)
+        when(d > 0, lit(1L)).otherwise(lit(0L))
+      })
+      val masks = array((0 until planes).map(i => lit(1L << i)): _*)
+      aggregate(
+        zip_with(bits, masks, (b, m) => when(b === 1L, m).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    val vecs = (0 until 6).map(v => (0 until dim).map(i =>
+      math.sin(v * 17 + i * 3.7)).toSeq)
+    val hof = vecs.toDF("v").select(hofSig(col("v"))).as[Long].collect()
+    val native = vecs.toDF("v").select(HyperplaneSig(col("v"), dim, planes)).as[Long].collect()
+    // float path compared against the HOF over the float-rounded values
+    // (comparing against the full-precision doubles could flip a sign)
+    val hofFloat = vecs.map(_.map(x => x.toFloat.toDouble)).toDF("v")
+      .select(hofSig(col("v"))).as[Long].collect()
+    val fromFloat = vecs.map(_.map(_.toFloat)).toDF("v")
+      .select(HyperplaneSig(col("v"), dim, planes)).as[Long].collect()
+    vecs.indices.foreach { i =>
+      assert(native(i) == hof(i), s"vec $i: native ${native(i)} != HOF ${hof(i)}")
+      assert(fromFloat(i) == hofFloat(i), s"vec $i float")
+      val interp = HyperplaneSig(
+        Literal.create(vecs(i), ArrayType(DoubleType)), dim, planes)
+        .eval(InternalRow.empty)
+      assert(interp == hof(i), s"vec $i interpreted")
+    }
+  }
+
   test("MinHash property: signature agreement estimates Jaccard") {
     // identical inputs agree on every hash; disjoint inputs agree on ~none
     val df = Seq(
