@@ -2,21 +2,45 @@ package graft.expr
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions registration: makes the engine's custom
   * expressions available to SQL as functions. Enable with
   * `spark.sql.extensions=graft.expr.GraftExtensions`.
+  *
+  * Integer tuning parameters (shingle k, hash counts, plane counts) are
+  * CONSTRUCTOR fields of the expressions, so the SQL forms require them
+  * as integer literals — they size generated loops and must be known at
+  * plan time. [[NearestCells]] is deliberately NOT registered: its
+  * centroid matrix is driver-trained per corpus and has no literal form.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("farm_fingerprint64"),
-      new ExpressionInfo(classOf[FarmFingerprint64].getName, "farm_fingerprint64"),
-      (children: Seq[Expression]) => FarmFingerprint64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    def register(name: String, clazz: Class[_])(build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        build))
+
+    register("farm_fingerprint64", classOf[FarmFingerprint64])(c => FarmFingerprint64(c.head))
+    register("dot_product", classOf[DotProduct])(c => DotProduct(c(0), c(1)))
+    register("minhash_shingles", classOf[MinHashShingles])(c =>
+      MinHashShingles(c(0), intLit(c(1), "shingle k"), intLit(c(2), "numHashes")))
+    register("shingle_hash_set", classOf[ShingleHashSet])(c =>
+      ShingleHashSet(c(0), intLit(c(1), "shingle k")))
+    register("sig_agreement", classOf[SigAgreement])(c => SigAgreement(c(0), c(1)))
+    register("sorted_intersect_size", classOf[SortedIntersectSize])(c =>
+      SortedIntersectSize(c(0), c(1)))
+    register("simhash64", classOf[SimHash64])(c => SimHash64(c.head))
+    register("hyperplane_sig", classOf[HyperplaneSig])(c =>
+      HyperplaneSig(c(0), intLit(c(1), "dim"), intLit(c(2), "numPlanes")))
   }
 }

@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Install an extensions object's injected functions into an ALREADY
+    * RUNNING session's function registry. `spark.sql.extensions` only
+    * applies at session construction; this is the live-session path (and
+    * what lets tests exercise the SQL surface on the shared session).
+    */
+  def installFunctions(spark: SparkSession, ext: SparkSessionExtensions => Unit): Unit = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

@@ -2,6 +2,8 @@ package graft.expr
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.GraftBridge
+
 import graft.SparkSpec
 
 /** Custom Catalyst expression: bit-exact FarmHash Fingerprint64. */
@@ -37,8 +39,28 @@ class FarmFingerprint64Spec extends SparkSpec {
     assert(rendered == java.lang.Long.toUnsignedString(sig))
   }
 
-  test("GraftExtensions registers the SQL function") {
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must not throw; used via spark.sql.extensions
+  test("GraftExtensions functions resolve and run from SQL") {
+    GraftBridge.installFunctions(spark, new GraftExtensions())
+    val row = spark.sql(
+      """SELECT
+        |  farm_fingerprint64(CAST('alex' AS BINARY)) AS fp,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  simhash64(array('a', 'b')) AS sh,
+        |  shingle_hash_set(array('a', 'b', 'c'), 2) AS shs,
+        |  minhash_shingles(array('a', 'b', 'c'), 2, 8) AS mh,
+        |  hyperplane_sig(array(0.5D, -0.25D), 2, 12) AS hp,
+        |  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS isz
+        |""".stripMargin).head()
+    assert(row.getLong(0) == guava("alex"))
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getSeq[Long](3).size == 2) // two 2-shingles of a 3-word doc
+    assert(row.getSeq[Long](4).size == 8)
+    assert(row.getInt(6) == 2)
+    // sig_agreement over two minhash columns
+    val agr = spark.sql(
+      """SELECT sig_agreement(minhash_shingles(array('a','b'), 2, 8),
+        |                     minhash_shingles(array('a','b'), 2, 8)) AS a""".stripMargin)
+      .head().getDouble(0)
+    assert(agr == 1.0)
   }
 }
