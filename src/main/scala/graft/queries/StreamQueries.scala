@@ -81,6 +81,38 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Stream-stream interval join: purchases matched to the same user's
+    // clicks in the preceding hour. Both sides carry watermarks AND the
+    // join has a time-range condition — together they bound the state the
+    // engine must hold (each side keeps only rows inside watermark +
+    // interval, keyed by user) — the canonical attribution join shape.
+    // Inner join in append mode emits exactly the matching pairs, so the
+    // DuckDB restatement is a plain interval self-join.
+    "q45_stream_join" -> ((s, dir) => {
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val out = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") < col("p_ts"))
+        .select(col("p_id"), col("c_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"))
+      val name = s"q45_mem_${runSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Streaming dedup, executed by the real engine: project to the dedup
     // key FIRST (state stores keys, not rows — the 100 TB discipline), then
     // dropDuplicatesWithinWatermark. The 40-day delay exceeds the table's
@@ -139,6 +171,19 @@ object StreamQueries {
       """SELECT DISTINCT user_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
         |FROM events""".stripMargin,
+
+    "q45_stream_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_id, c_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+        |  strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS c_time
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts""".stripMargin,
 
     // Independent restatement: session breaks where the gap to the
     // previous event is >= 8h (session_window merges [t, t+gap) intervals,
