@@ -176,6 +176,20 @@ object ScaleQueries {
           round(avg(col("quality")), 6).as("avg_quality"))
     }),
 
+    // Winnowing fingerprints (rolling k-gram hash + per-window min): the
+    // substring-overlap detector. Each stage is materialized in its own
+    // projection so every lambda dereferences an attribute, never an
+    // inlined expression (the q37 lesson) — the whole thing stays one
+    // map-side pass, no shuffle until the final accounting.
+    "q46_winnow_fingerprints" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k = 3).as("hs"))
+        .select(col("doc_id"), TextAnalysis.winnow(col("hs"), w = 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          to_json(col("fps")).as("fps"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {
@@ -306,6 +320,26 @@ object ScaleQueries {
          |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
          |  sum(n_tokens) AS sum_tokens, round(avg(quality), 6) AS avg_quality
          |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
+
+    // Gram slices l[i:i+2] are 1-based INCLUSIVE in DuckDB; the 60-bit
+    // gram hash is CAST('0x'||first-15-md5-hex-chars), matching Spark's
+    // conv(substring(md5, 1, 15), 16, 10).
+    "q46_winnow_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 3
+         |       THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         |       ELSE [array_to_string(ws, ' ')] END AS grams FROM d),
+         |h AS (SELECT doc_id,
+         |  [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) for g in grams] AS hs
+         |  FROM g),
+         |w AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4
+         |       THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+         |       ELSE [list_min(hs)] END AS mins FROM h)
+         |SELECT doc_id, len(list_distinct(mins)) AS n_fps,
+         |  concat('[', array_to_string(list_sort(list_distinct(mins)), ','), ']') AS fps
+         |FROM w""".stripMargin,
 
     "q29_embedding_nn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

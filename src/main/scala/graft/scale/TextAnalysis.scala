@@ -77,4 +77,35 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(concat_ws(" ", split(trim(lower(text)), "\\s+")))
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every word
+    * k-gram, then keep the minimum hash of each sliding window of `w`
+    * consecutive gram hashes — a deterministic, position-robust selection
+    * of ~1/w of the grams. Two documents sharing a run of ≥ k+w−1 words
+    * share a fingerprint, which makes the DISTINCT fingerprint set the
+    * classic substring-overlap detector (plagiarism / quote / boilerplate
+    * detection — finer-grained than MinHash's whole-document similarity).
+    *
+    * The gram hash is the low 60 bits of md5 (not xxhash64) so the result
+    * is restatable in any engine with md5 — that keeps the operator
+    * oracle-checkable. All steps are native expressions; `wsCol`/`hsCol`
+    * must be MATERIALIZED columns (see the q37 note on lambda CSE):
+    * lambdas here only dereference attributes and their own element.
+    * Map-side only, no shuffles.
+    */
+  def gramHashes(wsCol: Column, k: Int): Column = {
+    val grams = when(size(wsCol) >= k,
+      transform(sequence(lit(0), size(wsCol) - k),
+        i => concat_ws(" ", slice(wsCol, i + lit(1), lit(k)))))
+      .otherwise(array(concat_ws(" ", wsCol)))
+    transform(grams, g =>
+      conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long"))
+  }
+
+  def winnow(hsCol: Column, w: Int): Column =
+    array_sort(array_distinct(
+      when(size(hsCol) >= w,
+        transform(sequence(lit(0), size(hsCol) - w),
+          i => array_min(slice(hsCol, i + lit(1), lit(w)))))
+        .otherwise(array(array_min(hsCol)))))
 }

@@ -69,4 +69,27 @@ class TextMultimodalSpec extends SparkSpec {
       Multimodal.sampleBytes(col("text").cast("binary"), 2, 3).cast("string")).head()
     assert(out.getString(0) == "cde")
   }
+
+  test("winnowing: shared >= k+w-1 word run shares a fingerprint; disjoint texts share none") {
+    val k = 3; val w = 4
+    val run = "alpha bravo charlie delta echo foxtrot golf" // k+w-1 = 6 < 7 words
+    val docs = Seq(
+      ("a", s"unrelated prefix words here $run and then a suffix"),
+      ("b", s"$run totally different continuation of the second document"),
+      ("c", "no overlap with anything else whatsoever in this text at all"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k).as("hs"))
+      .select(col("doc_id"), TextAnalysis.winnow(col("hs"), w).as("fps"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(fps("a").intersect(fps("b")).nonEmpty,
+      s"shared run must share a fingerprint: ${fps("a")} vs ${fps("b")}")
+    assert(fps("a").intersect(fps("c")).isEmpty)
+    assert(fps("b").intersect(fps("c")).isEmpty)
+    // ~1/w selectivity: far fewer fingerprints than grams
+    val nGrams = docs.select(size(TextAnalysis.gramHashes(
+      Dedup.words(col("text")), k))).as[Int].collect()
+    assert(fps.values.map(_.size).sum < nGrams.sum)
+  }
 }
