@@ -190,6 +190,26 @@ object ScaleQueries {
           to_json(col("fps")).as("fps"))
     }),
 
+    // Substring-overlap pairs: documents sharing >= 3 winnow fingerprints
+    // (i.e. >= 3 selected common word runs). Inverted-index shape: explode
+    // fingerprints, self-equi-join on the fingerprint, count per pair —
+    // the shuffle is bounded by docs × fingerprints (~grams/w), never
+    // all-pairs. At 100 TB, stop-fingerprints (boilerplate runs shared by
+    // a corpus-scale doc set) get the same mega-bucket cap as the LSH
+    // path; at these SFs exactness keeps the DuckDB oracle.
+    "q47_overlap_pairs" -> ((s, dir) => {
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k = 3).as("hs"))
+        .select(col("doc_id"), explode(TextAnalysis.winnow(col("hs"), w = 4)).as("fp"))
+      fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp").as("fp_b"), col("doc_id").as("id_b")),
+          col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {
@@ -340,6 +360,24 @@ object ScaleQueries {
          |SELECT doc_id, len(list_distinct(mins)) AS n_fps,
          |  concat('[', array_to_string(list_sort(list_distinct(mins)), ','), ']') AS fps
          |FROM w""".stripMargin,
+
+    "q47_overlap_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 3
+         |       THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         |       ELSE [array_to_string(ws, ' ')] END AS grams FROM d),
+         |h AS (SELECT doc_id,
+         |  [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) for g in grams] AS hs
+         |  FROM g),
+         |w AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4
+         |       THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+         |       ELSE [list_min(hs)] END AS mins FROM h),
+         |e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q29_embedding_nn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
