@@ -94,6 +94,21 @@ object CoreQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Set operations: INTERSECT/EXCEPT compile to a distinct-aggregate
+    // feeding a semi/anti join — one shuffle each on the compared key, no
+    // row-level comparison of the full tables. Buyers who never clicked,
+    // alongside users who did both.
+    "q48_set_ops" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      def usersOf(t: String) =
+        events.filter(col("event_type") === t).select(col("user_id"))
+      val buyersOnly = usersOf("purchase").except(usersOf("click"))
+        .select(col("user_id"), lit("buyer_no_click").as("segment"))
+      val both = usersOf("purchase").intersect(usersOf("click"))
+        .select(col("user_id"), lit("buyer_and_clicker").as("segment"))
+      buyersOnly.unionAll(both)
+    }),
+
     // Anti join: customers that never emitted an event. The events side is
     // projected to the bare join key before the exchange; with AQE the
     // deduplicated key set is broadcast-able even when the raw event log is
@@ -163,6 +178,17 @@ object CoreQueries {
         |  count(DISTINCT user_id) AS active_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q48_set_ops" ->
+      """SELECT user_id, 'buyer_no_click' AS segment FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT user_id, 'buyer_and_clicker' AS segment FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'click')""".stripMargin,
 
     "q40_inactive_customers" ->
       """SELECT c_nationkey, count(*) AS n_inactive,
