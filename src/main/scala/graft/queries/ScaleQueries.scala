@@ -71,16 +71,19 @@ object ScaleQueries {
     // Per-document text analysis: counts, ratios, lang-ID, quality, md5.
     "q20_text_stats" -> ((s, dir) => {
       val t = col("text")
-      Tables(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.wordCount(t).as("n_words"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        round(TextAnalysis.distinctRatio(t), 6).as("distinct_ratio"),
-        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(t, "en"), 6).as("stopword_ratio"),
-        TextAnalysis.langId(t).as("lang_guess"),
-        TextAnalysis.qualityScore(t).as("quality"),
-        TextAnalysis.fingerprintMd5(t).as("fp_md5"))
+      val ws = col("ws")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), t, Dedup.words(t).as("ws")) // split ONCE
+        .select(
+          col("doc_id"),
+          TextAnalysis.wordCount(t).as("n_words"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          round(TextAnalysis.distinctRatioW(ws), 6).as("distinct_ratio"),
+          round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatioW(ws, "en"), 6).as("stopword_ratio"),
+          TextAnalysis.langIdW(ws).as("lang_guess"),
+          TextAnalysis.qualityScoreW(t, ws).as("quality"),
+          md5(concat_ws(" ", ws).cast("binary")).as("fp_md5"))
     }),
 
     // SimHash signatures + near-pair count (xxhash64-based → rows-only).
@@ -162,12 +165,15 @@ object ScaleQueries {
     // the scan stage and drops most of the corpus before anything wide.
     "q44_curation" -> ((s, dir) => {
       val t = col("text")
+      val ws = col("ws")
       val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), t,
-          TextAnalysis.qualityScore(t).as("quality"),
-          TextAnalysis.langId(t).as("lang_guess"),
+        .select(col("doc_id"), col("lang"), t, Dedup.words(t).as("ws"))
+        .select(col("doc_id"), col("lang"), t, ws,
+          TextAnalysis.qualityScoreW(t, ws).as("quality"),
+          TextAnalysis.langIdW(ws).as("lang_guess"),
           TextAnalysis.tokenCount(t).as("n_tokens"))
         .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
+        .drop("ws")
       Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_unique"),

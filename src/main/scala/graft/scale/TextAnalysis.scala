@@ -20,11 +20,19 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
 
+  private def wordsOf(text: Column): Column = split(trim(lower(text)), "\\s+")
+
   /** Distinct-word ratio (repetition detector). */
-  def distinctRatio(text: Column): Column = {
-    val ws = split(trim(lower(text)), "\\s+")
+  def distinctRatio(text: Column): Column = distinctRatioW(wordsOf(text))
+
+  /** As [[distinctRatio]] over a precomputed word array. Every `*W` form
+    * exists so multi-score projections can MATERIALIZE the split once and
+    * feed all consumers (an expression tree that repeats `split` — e.g.
+    * langId's argmax, or a pushed-down filter on a scored alias —
+    * re-evaluates the regex split at every occurrence).
+    */
+  def distinctRatioW(ws: Column): Column =
     size(array_distinct(ws)).cast("double") / size(ws).cast("double")
-  }
 
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
@@ -36,20 +44,24 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"))
 
   /** Stopword hit ratio for one language list. */
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val ws = split(trim(lower(text)), "\\s+")
-    val sw = stopwords(lang)
-    size(filter(ws, w => w.isin(sw.map(lit(_)): _*))).cast("double") /
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordRatioW(wordsOf(text), lang)
+
+  def stopwordRatioW(ws: Column, lang: String = "en"): Column =
+    graft.expr.StopwordHits(ws, stopwords(lang)).cast("double") /
       size(ws).cast("double")
-  }
 
   /** n-gram-heuristic language ID: argmax of stopword hits across the
     * built-in lists; ties break by language code order; no hits → "und".
+    * NOTE the argmax tree references each hit-count ~2× per reduce level —
+    * pass a materialized word array ([[langIdW]]) so what gets repeated is
+    * an attribute read, not the split.
     */
-  def langId(text: Column): Column = {
-    val ws = split(trim(lower(text)), "\\s+")
+  def langId(text: Column): Column = langIdW(wordsOf(text))
+
+  def langIdW(ws: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (code, sw) =>
-      struct(size(filter(ws, w => w.isin(sw.map(lit(_)): _*))).as("hits"),
+      struct(graft.expr.StopwordHits(ws, sw).as("hits"),
         lit(code).as("code"))
     }
     val best = scored.reduce((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
@@ -59,10 +71,12 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
     * vocabulary diversity. Deterministic, monotone in its parts.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreW(text, wordsOf(text))
+
+  def qualityScoreW(text: Column, ws: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
     val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val diversity = distinctRatio(text)
+    val diversity = distinctRatioW(ws)
     round((lenScore + punct + diversity) / 3.0, 6)
   }
 
