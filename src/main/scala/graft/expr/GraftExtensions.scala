@@ -2,8 +2,9 @@ package graft.expr
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions registration: makes the engine's custom
   * expressions available to SQL as functions. Enable with
@@ -21,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def stringSeqLit(e: Expression, what: String): Seq[String] = e match {
+    case CreateArray(elems, _) if elems.forall {
+      case Literal(_: UTF8String, StringType) => true; case _ => false
+    } => elems.map { case Literal(s: UTF8String, StringType) => s.toString }
+    case other => throw new IllegalArgumentException(
+      s"$what must be array(<string literals>), got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -42,5 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("simhash64", classOf[SimHash64])(c => SimHash64(c.head))
     register("hyperplane_sig", classOf[HyperplaneSig])(c =>
       HyperplaneSig(c(0), intLit(c(1), "dim"), intLit(c(2), "numPlanes")))
+    register("stopword_hits", classOf[StopwordHits])(c =>
+      StopwordHits(c(0), stringSeqLit(c(1), "vocabulary")))
   }
 }

@@ -49,13 +49,15 @@ class FarmFingerprint64Spec extends SparkSpec {
         |  shingle_hash_set(array('a', 'b', 'c'), 2) AS shs,
         |  minhash_shingles(array('a', 'b', 'c'), 2, 8) AS mh,
         |  hyperplane_sig(array(0.5D, -0.25D), 2, 12) AS hp,
-        |  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS isz
+        |  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS isz,
+        |  stopword_hits(array('the', 'cat', 'the'), array('the', 'a')) AS sw
         |""".stripMargin).head()
     assert(row.getLong(0) == guava("alex"))
     assert(row.getDouble(1) == 11.0)
     assert(row.getSeq[Long](3).size == 2) // two 2-shingles of a 3-word doc
     assert(row.getSeq[Long](4).size == 8)
     assert(row.getInt(6) == 2)
+    assert(row.getInt(7) == 2) // 'the' counts per occurrence
     // sig_agreement over two minhash columns
     val agr = spark.sql(
       """SELECT sig_agreement(minhash_shingles(array('a','b'), 2, 8),
