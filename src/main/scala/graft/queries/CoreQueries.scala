@@ -94,6 +94,33 @@ object CoreQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Large-large fact join (TPC-H Q3 shape): lineitem ⋈ orders is the
+    // one join in the suite where BOTH sides are fact-scale — shuffled
+    // hash/sort-merge on the order key (AQE may still broadcast the
+    // filtered orders side at small SF; at 100 TB both sides exchange
+    // once on l_orderkey/o_orderkey, or read shuffle-free from tables
+    // bucketed on it — see Sources.writeBucketed). The customer segment
+    // filter reduces to a broadcast semi-side, and the top-10 is
+    // TakeOrdered, never a global sort.
+    "q49_shipping_priority" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2024-06-01").cast("timestamp"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .limit(10)
+    }),
+
     // Set operations: INTERSECT/EXCEPT compile to a distinct-aggregate
     // feeding a semi/anti join — one shuffle each on the compared key, no
     // row-level comparison of the full tables. Buyers who never clicked,
@@ -178,6 +205,19 @@ object CoreQueries {
         |  count(DISTINCT user_id) AS active_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q49_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '2024-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q48_set_ops" ->
       """SELECT user_id, 'buyer_no_click' AS segment FROM (
