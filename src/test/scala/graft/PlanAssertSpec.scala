@@ -79,6 +79,15 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q49: fact-fact join is equi-join only; top-10 is TakeOrdered") {
+    val p = finalPlan("q49_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      "lineitem filter not pushed:\n" + p)
+  }
+
   test("q38: rollup is one exchange with map-side partial aggregation over Expand") {
     val p = finalPlan("q38_rollup_totals")
     assert(count(p, "Exchange hashpartitioning") == 1, p)
