@@ -27,6 +27,20 @@ object StreamQueries {
   // (bench invokes each query twice: warm-up + timed pass).
   private val runSeq = new AtomicInteger(0)
 
+  /** Run a streaming query with its own state-partition count. The number
+    * of state stores per stateful operator IS `spark.sql.shuffle.partitions`
+    * at first run (and is then fixed in the checkpoint forever), and every
+    * micro-batch pays a per-store commit — so a stream sizes this to its
+    * throughput instead of inheriting the batch session's shuffle width.
+    * These finite demo streams are small; a production deployment sizes up.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** events with the INT64-nanos ts converted to a µs timestamp — the
     * streaming twin of [[graft.Tables]]' conversion (same integer `div`).
     */
@@ -55,9 +69,11 @@ object StreamQueries {
           col("event_type"), col("cnt"),
           round(col("sum_value"), 2).as("sum_value"))
       val name = s"q34_mem_${runSeq.incrementAndGet()}"
+      withStatePartitions(s, 8) {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       s.table(name)
     }),
 
@@ -75,9 +91,11 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
       val name = s"q41_mem_${runSeq.incrementAndGet()}"
+      withStatePartitions(s, 8) {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       s.table(name)
     }),
 
@@ -107,9 +125,11 @@ object StreamQueries {
           date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
           date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"))
       val name = s"q45_mem_${runSeq.incrementAndGet()}"
+      withStatePartitions(s, 8) {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       s.table(name)
     }),
 
@@ -128,9 +148,11 @@ object StreamQueries {
         "ts", Seq("user_id", "day"), watermarkDelay = "40 days")
         .select(col("user_id"), col("day"))
       val name = s"q42_mem_${runSeq.incrementAndGet()}"
+      withStatePartitions(s, 8) {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       s.table(name)
     }),
 
