@@ -204,10 +204,16 @@ object ScaleQueries {
     // a corpus-scale doc set) get the same mega-bucket cap as the LSH
     // path; at these SFs exactness keeps the DuckDB oracle.
     "q47_overlap_pairs" -> ((s, dir) => {
+      // One explicit repartition on the fingerprint feeds BOTH join sides:
+      // the subtrees below the exchange are byte-identical, so
+      // ReuseExchange computes the winnow pipeline once, and the rename
+      // projections preserve the partitioning (alias-aware), so the
+      // self-join adds no further shuffle.
       val fps = Tables(s, dir, "documents")
         .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
         .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k = 3).as("hs"))
         .select(col("doc_id"), explode(TextAnalysis.winnow(col("hs"), w = 4)).as("fp"))
+        .repartition(col("fp"))
       fps.select(col("fp"), col("doc_id").as("id_a"))
         .join(fps.select(col("fp").as("fp_b"), col("doc_id").as("id_b")),
           col("fp") === col("fp_b") && col("id_a") < col("id_b"))
