@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * prints ONE bare JSON line (build.sbt routes forked stdout unprefixed).
   *
   * Methodology: one untimed warm-up pass at sf0.001 (janino/codegen/class
-  * loading are charged to nobody), then a timed pass in sorted query order
-  * (stable per-query attribution across runs). Failures are recorded in an
-  * "errors" map instead of masquerading as fast timings.
+  * loading are charged to nobody), then SPARK_GRAFT_BENCH_PASSES (default
+  * 2) timed passes in sorted query order, reporting each query's MINIMUM —
+  * this host's wall-times are bimodal under outside load (2-3× swings on
+  * identical code), and the min is the standard noise-resistant estimator
+  * of the code's actual cost. Failures are recorded in an "errors" map
+  * instead of masquerading as fast timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,16 +39,20 @@ object Bench {
       catch { case _: Throwable => () } // warm-up only; real error surfaces below
     }
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val results = names.map { name =>
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
       try rows(name) = SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (!best.get(name).exists(_ <= sec)) best(name) = sec
     }
+    val results = names.map(n => n -> best(n))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
