@@ -222,6 +222,27 @@ object ScaleQueries {
         .filter(col("n_shared") >= 3)
     }),
 
+    // Train/eval decontamination: flag TRAINING documents that share a
+    // winnow fingerprint (i.e. a selected common word run) with any EVAL
+    // document — the benchmark-leakage scan every training corpus needs.
+    // The eval fingerprint set is deduplicated and typically orders of
+    // magnitude smaller than the corpus, so the probe is a broadcast-able
+    // LEFT SEMI join against the training side's single scan; output is
+    // per-flagged-doc hit counts. (Splits here are doc_id parity — a demo
+    // stand-in for real train/eval tables.)
+    "q50_decontamination" -> ((s, dir) => {
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k = 3).as("hs"))
+        .select(col("doc_id"), explode(TextAnalysis.winnow(col("hs"), w = 4)).as("fp"))
+      val train = fps.filter(col("doc_id") % 2 === 0)
+      val evalFps = fps.filter(col("doc_id") % 2 === 1)
+        .select(col("fp")).distinct()
+      train.join(broadcast(evalFps), Seq("fp"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("fp")).as("n_contaminated"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction (rows-only; the
     // stub is deterministic and unit-tested).
     "q23_multimodal_decode" -> ((s, dir) => {
@@ -390,6 +411,26 @@ object ScaleQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q50_decontamination" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 3
+         |       THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         |       ELSE [array_to_string(ws, ' ')] END AS grams FROM d),
+         |h AS (SELECT doc_id,
+         |  [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) for g in grams] AS hs
+         |  FROM g),
+         |w AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4
+         |       THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+         |       ELSE [list_min(hs)] END AS mins FROM h),
+         |e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w)
+         |SELECT doc_id, count(DISTINCT fp) AS n_contaminated
+         |FROM e
+         |WHERE doc_id % 2 = 0
+         |  AND fp IN (SELECT fp FROM e WHERE doc_id % 2 = 1)
+         |GROUP BY doc_id""".stripMargin,
 
     "q29_embedding_nn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
