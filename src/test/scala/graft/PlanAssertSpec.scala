@@ -88,6 +88,12 @@ class PlanAssertSpec extends SparkSpec {
       "lineitem filter not pushed:\n" + p)
   }
 
+  test("q50: decontamination probes the eval set with a broadcast semi join") {
+    val p = finalPlan("q50_decontamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q38: rollup is one exchange with map-side partial aggregation over Expand") {
     val p = finalPlan("q38_rollup_totals")
     assert(count(p, "Exchange hashpartitioning") == 1, p)
