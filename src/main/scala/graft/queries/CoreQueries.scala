@@ -121,6 +121,23 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Statistical aggregates: sample stddev and Pearson correlation are
+    // single-pass partial aggregates (constant state per group); the exact
+    // median is the one that does NOT scale — percentile buffers the
+    // group's values, so at 100 TB it becomes approx_percentile (fixed-KB
+    // sketch state; bound pinned in ApproxAggSpec) and the exact form
+    // stays as the small-data oracle.
+    "q51_stats_by_type" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("h", hour(col("ts")))
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 6).as("sd_value"),
+          round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+          round(corr(col("value"), col("h")), 6).as("corr_value_hour"),
+          count(lit(1)).as("n"))
+    }),
+
     // Set operations: INTERSECT/EXCEPT compile to a distinct-aggregate
     // feeding a semi/anti join — one shuffle each on the compared key, no
     // row-level comparison of the full tables. Buyers who never clicked,
@@ -205,6 +222,14 @@ object CoreQueries {
         |  count(DISTINCT user_id) AS active_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q51_stats_by_type" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(quantile_cont(value, 0.5), 6) AS median_value,
+        |  round(corr(value, hour(CAST(ts AS TIMESTAMP))), 6) AS corr_value_hour,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q49_shipping_priority" ->
       """SELECT l_orderkey,
