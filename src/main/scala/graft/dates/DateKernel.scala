@@ -53,9 +53,15 @@ object DateKernel {
     }
   }
 
+  // The DateLike union's other two members (reference date.py:27):
+  // identity on LocalDate, date-part of LocalDateTime.
+  def toDate(d: java.time.LocalDate): java.time.LocalDate = d
+  def toDate(dt: java.time.LocalDateTime): java.time.LocalDate = dt.toLocalDate
+
   /** date → "yyyy-MM-dd" (reference `to_date_iso_str`, date.py:40-42). */
   def toDateIsoStr(d: LocalDate): String = d.format(IsoDate)
   def toDateIsoStr(s: String): String    = toDateIsoStr(toDate(s))
+  def toDateIsoStr(dt: java.time.LocalDateTime): String = toDateIsoStr(dt.toLocalDate)
 
   /** date → "yyyy-MM" (reference `format_year_month`, date.py:45-67). */
   def formatYearMonth(d: LocalDate): String = f"${d.getYear}%04d-${d.getMonthValue}%02d"
