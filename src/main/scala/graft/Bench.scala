@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,8 +68,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"errors":$errJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    // Always persist the full line: a truncated stdout capture cost round 4
+    // its official perf record (BENCH_r04.json cut mid-JSON).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

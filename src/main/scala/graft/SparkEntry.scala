@@ -18,6 +18,7 @@ object SparkEntry {
       (DateQueries.queries, DateQueries.oracle),
       (RecordQueries.queries, RecordQueries.oracle),
       (ScaleQueries.queries, ScaleQueries.oracle),
+      (SourceQueries.queries, SourceQueries.oracle),
       (StreamQueries.queries, StreamQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -206,6 +206,32 @@ object DateQueries {
       (t7 ++ t8 ++ rangeRows).toDF("op", "tag", "v1", "v2")
     }),
 
+    // T13 `overlaps` — the range-×-range interval-join predicate
+    // (date.py:665-666) exercised end-to-end: calendar month periods ×
+    // reverse-chronological lookback chunks, keeping overlapping pairs
+    // with their inclusive overlap-day counts. Both lists are driver-side
+    // range algebra (O(#ranges), broadcast); the oracle recomputes every
+    // bound from the input literals with SQL date arithmetic, so the
+    // predicate AND the bound generators are both hash-checked.
+    "q52_overlap_join" -> ((s, dir) => {
+      import s.implicits._
+      val periods = DateRanges.calendarPeriods(
+        DatePart.Month, count = 3, dateEnd = Some("2024-03-20"))
+      val chunks = DateRanges.splitLookbackPeriod(
+        totalDays = 45, chunkDays = 10, dateEnd = Some("2024-03-20"))
+      val p = periods.map(r => (r.dateStart, r.dateEnd)).toDF("p_start", "p_end")
+        .withColumn("ps", col("p_start").cast("date"))
+        .withColumn("pe", col("p_end").cast("date"))
+      val c = chunks.map(r => (r.dateStart, r.dateEnd)).toDF("c_start", "c_end")
+        .withColumn("cs", col("c_start").cast("date"))
+        .withColumn("ce", col("c_end").cast("date"))
+      p.join(broadcast(c),
+          DateFunctions.overlaps(col("ps"), col("pe"), col("cs"), col("ce")))
+        .select(col("p_start"), col("p_end"), col("c_start"), col("c_end"),
+          DateFunctions.daysCount(greatest(col("ps"), col("cs")),
+            least(col("pe"), col("ce"))).as("overlap_days"))
+    }),
+
     // Raw-timestamp precision pin: µs-rendered ts must match DuckDB's
     // ns→µs cast exactly (guards the integer-div conversion).
     "q28_raw_ts" -> ((s, dir) => {
@@ -323,6 +349,29 @@ object DateQueries {
           |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
           |                 CAST(max(o_orderdate) AS DATE)) + 1 AS INT) AS days_count
           |FROM orders GROUP BY 1""".stripMargin,
+
+      // Both range lists recomputed from the literals: month periods as in
+      // q32's offset_range_buckets month form; lookback chunks walk back
+      // from the end date, start clamped at end − (total−1) days.
+      "q52_overlap_join" ->
+        """WITH p AS (
+          |  SELECT strftime(date_trunc('month', DATE '2024-03-20' - i * INTERVAL 1 MONTH),
+          |                  '%Y-%m-%d') AS p_start,
+          |    strftime(least(CAST(last_day(DATE '2024-03-20' - i * INTERVAL 1 MONTH) AS TIMESTAMP),
+          |                   TIMESTAMP '2024-03-20'), '%Y-%m-%d') AS p_end
+          |  FROM generate_series(0, 2) t(i)),
+          |c AS (
+          |  SELECT strftime(greatest(DATE '2024-03-20' - (i * 10 + 9) * INTERVAL 1 DAY,
+          |                           DATE '2024-03-20' - 44 * INTERVAL 1 DAY), '%Y-%m-%d') AS c_start,
+          |    strftime(DATE '2024-03-20' - (i * 10) * INTERVAL 1 DAY, '%Y-%m-%d') AS c_end
+          |  FROM generate_series(0, 4) t(i))
+          |SELECT p.p_start, p.p_end, c.c_start, c.c_end,
+          |  CAST(date_diff('day',
+          |         greatest(CAST(p.p_start AS DATE), CAST(c.c_start AS DATE)),
+          |         least(CAST(p.p_end AS DATE), CAST(c.c_end AS DATE))) + 1 AS INT) AS overlap_days
+          |FROM p JOIN c
+          |  ON CAST(p.p_start AS DATE) <= CAST(c.c_end AS DATE)
+          | AND CAST(p.p_end AS DATE) >= CAST(c.c_start AS DATE)""".stripMargin,
 
       "q28_raw_ts" ->
         """SELECT event_id,

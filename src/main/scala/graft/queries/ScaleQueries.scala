@@ -174,12 +174,24 @@ object ScaleQueries {
           TextAnalysis.tokenCount(t).as("n_tokens"))
         .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
         .drop("ws")
+      // avg_quality is computed in EXACT integer arithmetic: quality is
+      // already 6-digit-rounded, so round(quality*1e6) recovers its integer
+      // micro-units losslessly; the bigint sum is order-independent (a
+      // double `avg` sums in partition order, and when the mean lands
+      // within an ulp of a 0.5e-6 boundary, round(avg, 6) flips with the
+      // partition count — the one flaky hash of round 4); and
+      // (2S + n) div (2n) is round-half-up of S/n without any float op.
+      // The final /1e6 is one IEEE double division — bit-identical in any
+      // engine. The oracle restates the same integer formula.
       Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_unique"),
           sum(col("group_size")).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
-          round(avg(col("quality")), 6).as("avg_quality"))
+          sum(round(col("quality") * 1e6).cast("long")).as("__sq"))
+        .withColumn("avg_quality",
+          expr("(__sq * 2 + n_unique) div (n_unique * 2)").cast("double") / 1e6)
+        .drop("__sq")
     }),
 
     // Winnowing fingerprints (rolling k-gram hash + per-window min): the
@@ -200,20 +212,19 @@ object ScaleQueries {
     // (i.e. >= 3 selected common word runs). Inverted-index shape: explode
     // fingerprints, self-equi-join on the fingerprint, count per pair —
     // the shuffle is bounded by docs × fingerprints (~grams/w), never
-    // all-pairs. At 100 TB, stop-fingerprints (boilerplate runs shared by
-    // a corpus-scale doc set) get the same mega-bucket cap as the LSH
-    // path; at these SFs exactness keeps the DuckDB oracle.
+    // all-pairs. Stop-fingerprints (boilerplate runs shared by more than
+    // maxDocsPerFp documents — the m²-bucket skew of crawl corpora) are
+    // dropped inside winnowPostings with an observed count; the oracle
+    // mirrors the same cap, so the query stays hash-checked.
     "q47_overlap_pairs" -> ((s, dir) => {
-      // One explicit repartition on the fingerprint feeds BOTH join sides:
-      // the subtrees below the exchange are byte-identical, so
-      // ReuseExchange computes the winnow pipeline once, and the rename
-      // projections preserve the partitioning (alias-aware), so the
-      // self-join adds no further shuffle.
-      val fps = Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
-        .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k = 3).as("hs"))
-        .select(col("doc_id"), explode(TextAnalysis.winnow(col("hs"), w = 4)).as("fp"))
-        .repartition(col("fp"))
+      // winnowPostings repartitions on the fingerprint, and BOTH join
+      // sides derive from the same subtree: ReuseExchange computes the
+      // winnow pipeline once, and the rename projections preserve the
+      // partitioning (alias-aware), so the self-join adds no further
+      // shuffle.
+      val fps = TextAnalysis.winnowPostings(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3, w = 4, maxDocsPerFp = 256)
       fps.select(col("fp"), col("doc_id").as("id_a"))
         .join(fps.select(col("fp").as("fp_b"), col("doc_id").as("id_b")),
           col("fp") === col("fp_b") && col("id_a") < col("id_b"))
@@ -229,12 +240,14 @@ object ScaleQueries {
     // magnitude smaller than the corpus, so the probe is a broadcast-able
     // LEFT SEMI join against the training side's single scan; output is
     // per-flagged-doc hit counts. (Splits here are doc_id parity — a demo
-    // stand-in for real train/eval tables.)
+    // stand-in for real train/eval tables.) Stop-fingerprints are dropped
+    // by winnowPostings BEFORE the split: boilerplate shared corpus-wide
+    // is not benchmark leakage, and it is also what makes the explode
+    // output skewed — the cap bounds both.
     "q50_decontamination" -> ((s, dir) => {
-      val fps = Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
-        .select(col("doc_id"), TextAnalysis.gramHashes(col("ws"), k = 3).as("hs"))
-        .select(col("doc_id"), explode(TextAnalysis.winnow(col("hs"), w = 4)).as("fp"))
+      val fps = TextAnalysis.winnowPostings(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3, w = 4, maxDocsPerFp = 256)
       val train = fps.filter(col("doc_id") % 2 === 0)
       val evalFps = fps.filter(col("doc_id") % 2 === 1)
         .select(col("fp")).distinct()
@@ -371,7 +384,9 @@ object ScaleQueries {
          |    count(*) OVER (PARTITION BY md5(array_to_string(ws, ' '))) AS gs
          |  FROM f)
          |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
-         |  sum(n_tokens) AS sum_tokens, round(avg(quality), 6) AS avg_quality
+         |  sum(n_tokens) AS sum_tokens,
+         |  CAST((sum(CAST(round(quality * 1000000) AS BIGINT)) * 2 + count(*))
+         |       // (count(*) * 2) AS DOUBLE) / 1000000.0 AS avg_quality
          |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
 
     // Gram slices l[i:i+2] are 1-based INCLUSIVE in DuckDB; the 60-bit
@@ -407,7 +422,9 @@ object ScaleQueries {
          |  CASE WHEN len(hs) >= 4
          |       THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
          |       ELSE [list_min(hs)] END AS mins FROM h),
-         |e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w)
+         |e0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+         |keep AS (SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= 256),
+         |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN keep USING (fp))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
@@ -425,7 +442,9 @@ object ScaleQueries {
          |  CASE WHEN len(hs) >= 4
          |       THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
          |       ELSE [list_min(hs)] END AS mins FROM h),
-         |e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w)
+         |e0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+         |keep AS (SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= 256),
+         |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN keep USING (fp))
          |SELECT doc_id, count(DISTINCT fp) AS n_contaminated
          |FROM e
          |WHERE doc_id % 2 = 0

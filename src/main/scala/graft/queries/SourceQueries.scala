@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Sources
+
+/** The source/sink surface (graft.sources.Sources) as a correctness-bearing
+  * query: the reference's declared I/O targets are BigQuery/Parquet/CSV
+  * (data_structures.py:1770-1773), and the engine-side story for them is
+  * schema-first reads plus PARTITIONED writes keyed by the natural pruning
+  * column (SURVEY.md §2.3). SourcesSpec covers the format matrix
+  * (CSV/JSON-lines/bucketed); this query makes the partitioned-parquet
+  * path oracle-checked end to end.
+  */
+object SourceQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Round trip: events written partitioned by day, read back through a
+    // date filter that prunes to the 14 selected partitions (asserted in
+    // PlanAssertSpec — the scan lists the window under PartitionFilters,
+    // so at 100 TB a backfill reads 14 directories, not the table), then
+    // the per-day rollup. The oracle aggregates the ORIGINAL events table
+    // directly: identical output proves the write→read cycle is lossless
+    // (partition-column round trip included) and the pruned read complete.
+    "q53_partitioned_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/q53-roundtrip/" + new java.io.File(dir).getName
+      val events = Tables(s, dir, "events")
+        .withColumn("day", col("ts").cast("date"))
+      Sources.writeParquet(events, out, partitionBy = Seq("day"))
+      Sources.readParquet(s, out)
+        .filter(col("day").between(lit("2024-01-08").cast("date"),
+          lit("2024-01-21").cast("date")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          count_distinct(col("user_id")).as("users"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("sum_value"), col("users"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q53_partitioned_roundtrip" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |GROUP BY 1""".stripMargin)
+}

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: token counting, quality
@@ -122,4 +122,45 @@ object TextAnalysis {
         transform(sequence(lit(0), size(hsCol) - w),
           i => array_min(slice(hsCol, i + lit(1), lit(w)))))
         .otherwise(array(array_min(hsCol)))))
+
+  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Winnow POSTINGS LIST: one row per (document, distinct winnow
+    * fingerprint) — the inverted-index input for substring-overlap
+    * self-joins and train/eval decontamination probes. Hash-partitioned by
+    * fingerprint, so a downstream equi-join on `fp` adds no shuffle, and a
+    * self-join's two sides reuse the one exchange.
+    *
+    * STOP-FINGERPRINT GUARD: a fingerprint shared by more than
+    * `maxDocsPerFp` documents is boilerplate (license headers, navigation
+    * chrome — exactly what crawl corpora contain), and an inverted-index
+    * self-join on it produces an m² pair bucket: the overlap analogue of
+    * the LSH mega-bucket. Like stopwords, such fingerprints carry no
+    * overlap SIGNAL — sharing a run that a corpus-scale document set also
+    * shares identifies nothing — so they are DROPPED, not salted (a pair
+    * of documents whose only commonality is boilerplate is a false
+    * positive, where for MinHash a mega-bucket still holds true near-dups).
+    * The per-fp document count is one window over the same hash
+    * partitioning (no extra exchange), and the dropped row count is
+    * published via `observe` ("winnow_postings_<n>": stop_fp_rows — the
+    * name carries a sequence number so two differently-parameterized calls
+    * compose in one query).
+    */
+  def winnowPostings(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, w: Int = 4,
+                     maxDocsPerFp: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = df
+      .select(col(idCol), wordsOf(col(textCol)).as("__ws"))
+      .select(col(idCol), gramHashes(col("__ws"), k).as("__hs"))
+      .select(col(idCol), explode(winnow(col("__hs"), w)).as("fp"))
+      .repartition(col("fp"))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
+    val seq = observeSeq.incrementAndGet()
+    posts
+      .observe(s"winnow_postings_$seq",
+        sum(when(col("__nd") > maxDocsPerFp, 1L).otherwise(0L)).as("stop_fp_rows"))
+      .filter(col("__nd") <= maxDocsPerFp)
+      .select(col(idCol), col("fp"))
+  }
 }

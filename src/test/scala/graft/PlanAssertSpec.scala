@@ -94,6 +94,13 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q53: read-back scan prunes partitions to the filtered day window") {
+    val p = finalPlan("q53_partitioned_roundtrip")
+    assert(p.contains("PartitionFilters: [isnotnull(day"),
+      "day window not applied as partition pruning:\n" + p)
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
+
   test("q38: rollup is one exchange with map-side partial aggregation over Expand") {
     val p = finalPlan("q38_rollup_totals")
     assert(count(p, "Exchange hashpartitioning") == 1, p)

@@ -92,4 +92,42 @@ class TextMultimodalSpec extends SparkSpec {
       Dedup.words(col("text")), k))).as[Int].collect()
     assert(fps.values.map(_.size).sum < nGrams.sum)
   }
+
+  test("winnowPostings drops corpus-wide boilerplate fingerprints, keeps genuine overlaps") {
+    // The crawl-corpus skew case: a license-header run shared by 60
+    // documents. Uncapped, its fingerprints produce C(60,2) boilerplate
+    // pairs; the stop-fingerprint guard drops them while a genuine 20-word
+    // shared run between two documents keeps its pairs.
+    val boiler = "copyright acme corporation all rights reserved this file is " +
+      "published under the standard demonstration license and may be copied " +
+      "freely provided this notice remains intact in every redistribution"
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs =
+      (0 until 60).map(i => (i.toLong, s"$boiler uniq${i}a uniq${i}b uniq${i}c")) ++
+        Seq((1000L, s"first document distinct opening words $run"),
+            (1001L, s"a completely different second prologue $run"))
+    val df = docs.toDF("doc_id", "text")
+
+    def pairsOf(posts: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      posts.select(col("fp"), col("doc_id").as("id_a"))
+        .join(posts.select(col("fp").as("fp_b"), col("doc_id").as("id_b")),
+          col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val capped = TextAnalysis.winnowPostings(df, "doc_id", "text",
+      k = 3, w = 4, maxDocsPerFp = 10)
+    // no surviving fingerprint exceeds the cap
+    val maxDocs = capped.groupBy("fp").count().agg(max("count")).head().getLong(0)
+    assert(maxDocs <= 10, s"fp above cap survived: $maxDocs docs")
+    // boilerplate pairs are gone; the genuine overlap is the only pair
+    assert(pairsOf(capped) == Set((1000L, 1001L)))
+
+    val uncapped = TextAnalysis.winnowPostings(df, "doc_id", "text",
+      k = 3, w = 4, maxDocsPerFp = Int.MaxValue)
+    // without the guard the same join drowns in m² boilerplate pairs
+    assert(pairsOf(uncapped).size > 1000)
+  }
 }
