@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("sorted_intersect_size", classOf[SortedIntersectSize])(c =>
       SortedIntersectSize(c(0), c(1)))
     register("simhash64", classOf[SimHash64])(c => SimHash64(c.head))
+    register("simhash_bits", classOf[SimHashBits])(c =>
+      SimHashBits(c(0), intLit(c(1), "bits")))
     register("hyperplane_sig", classOf[HyperplaneSig])(c =>
       HyperplaneSig(c(0), intLit(c(1), "dim"), intLit(c(2), "numPlanes")))
     register("stopword_hits", classOf[StopwordHits])(c =>

@@ -8,9 +8,11 @@ import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`.
   * Oracle-checked where the computation is engine-independent (exact
-  * dedup, blocked Jaccard, brute-force cosine, text stats, media
-  * metadata); xxhash64-derived paths (MinHash/LSH/SimHash signatures)
-  * get the driver's rows-only check plus recall tests in the spec suite.
+  * dedup, blocked Jaccard, brute-force cosine, SimHash on the md5-derived
+  * family, winnowing, text stats, media metadata); the remaining
+  * xxhash64/k-means paths (hyperplane-LSH ANN, IVF NN, decode stub) get
+  * the driver's rows-only check plus recall/parity tests in the spec
+  * suite.
   */
 object ScaleQueries {
 
@@ -86,18 +88,24 @@ object ScaleQueries {
           md5(concat_ws(" ", ws).cast("binary")).as("fp_md5"))
     }),
 
-    // SimHash signatures + near-pair count (xxhash64-based → rows-only).
+    // SimHash signatures — the md5-derived 60-bit hash family, chosen (like
+    // winnowing's gram hash) so DuckDB can recompute every signature with
+    // md5 + bit arithmetic: HASH-CHECKED, not rows-only. The xxhash64-fused
+    // SimHash64 stays the registered throughput form (DedupSpec pins its
+    // behavior); the scheme is identical.
     "q21_simhash" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .select(col("doc_id"), Dedup.simhashMd5(col("text")).as("sig"))
     }),
 
     // SimHash near-dup pairs: pigeonhole bit-band candidates, exact
-    // hamming verify (xxhash64-based signatures → rows-only; DedupSpec
-    // pins the output equal to a brute-force hamming join).
+    // hamming verify — on the md5 family, so the DuckDB oracle brute-forces
+    // hamming over independently recomputed signatures (the banding must
+    // then find EXACTLY the brute-force pair set; DedupSpec additionally
+    // pins the xxhash64 family against its own brute force).
     "q36_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, sigOf = Dedup.simhashMd5(_), bits = 60)
     }),
 
     // Multimodal metadata path: binary payload, typed meta, byte sampling.
@@ -324,6 +332,46 @@ object ScaleQueries {
         |                 FROM range(1, 65) t(i)))), 6) AS score
         |  FROM embeddings e, q)
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Signature recomputed per document from scratch: per distinct word a
+    // 60-bit md5-derived hash, per bit position the ±1 vote sum, bit set
+    // when the sum is positive — the SimHash definition, independently
+    // restated (nested list comprehensions, no shared code with the
+    // engine).
+    "q21_simhash" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_distinct($wsSplit) AS ws FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    [CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) for x in ws] AS hs
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST(list_sum([
+         |    CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+         |    for b in range(0, 60)]) AS BIGINT) AS sig
+         |FROM h""".stripMargin,
+
+    // Brute-force hamming join over the independently recomputed
+    // signatures: the banded pipeline must emit exactly this set.
+    "q36_simhash_pairs" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_distinct($wsSplit) AS ws FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    [CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) for x in ws] AS hs
+         |  FROM w),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum([
+         |      CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+         |      for b in range(0, 60)]) AS BIGINT) AS sig
+         |  FROM h)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
 
     "q20_text_stats" ->
       s"""WITH d AS (

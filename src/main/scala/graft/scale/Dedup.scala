@@ -267,18 +267,37 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.expr.SimHash64(array_distinct(words(text)))
 
+  /** SimHash over md5-derived 60-bit word hashes (low 15 hex chars, the
+    * [[TextAnalysis.gramHashes]] scheme) — the ORACLE-RESTATABLE hash
+    * family: any engine with md5 + bit ops recomputes the signature
+    * exactly, which is what promotes the SimHash queries from rows-only to
+    * hash-checked. Same scheme, vote rule, and scale shape as [[simhash]];
+    * the xxhash64 form stays the throughput choice (fused string hashing,
+    * no per-word md5/conv), this one the verifiable choice. 60 bits keeps
+    * the per-word hash inside a signed BIGINT everywhere.
+    */
+  def simhashMd5(text: Column, bits: Int = 60): Column =
+    graft.expr.SimHashBits(
+      transform(array_distinct(words(text)),
+        w => conv(substring(md5(w.cast("binary")), 1, (bits + 3) / 4), 16, 10).cast("long")),
+      bits)
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-duplicate pairs: all (id_a, id_b, hamming) with
-    * hamming(simhash_a, simhash_b) <= `maxHamming`, id_a < id_b.
+    * hamming(simhash_a, simhash_b) <= `maxHamming`, id_a < id_b. `sigOf`
+    * picks the signature family ([[simhash]] xxhash64-fused by default;
+    * [[simhashMd5]] for oracle restatability) and `bits` its width — the
+    * bands tile `bits`, so both families get the same pigeonhole
+    * guarantee.
     *
     * EXACT over the signature domain, not approximate: candidates come
-    * from `maxHamming + 1` disjoint bit-bands of the 64-bit signature,
-    * and by pigeonhole two signatures within `maxHamming` differing bits
-    * agree on at least one whole band — so banding loses no qualifying
-    * pair, it only prunes the non-qualifying ones before the exact
-    * `bit_count(xor)` verify.
+    * from `maxHamming + 1` disjoint bit-bands of the `bits`-wide
+    * signature, and by pigeonhole two signatures within `maxHamming`
+    * differing bits agree on at least one whole band — so banding loses no
+    * qualifying pair, it only prunes the non-qualifying ones before the
+    * exact `bit_count(xor)` verify.
     *
     * Scale shape mirrors [[minhashPairs]]: identical signatures (clone
     * clusters — hamming 0) are collapsed first and their pairs emitted
@@ -290,10 +309,12 @@ object Dedup {
     * self-join, the expansion joins — all on keys, never all-pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   sigOf: Column => Column = simhash,
+                   bits: Int = 64): DataFrame = {
     val bands = maxHamming + 1
-    val width = (64 + bands - 1) / bands // last band may run past bit 63 — harmless
-    val members = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val width = (bits + bands - 1) / bands // last band may run past the top bit — harmless
+    val members = df.select(col(idCol).as("id"), sigOf(col(textCol)).as("sig"))
     val intra = members.select(col("sig"), col("id").as("id_a"))
       .join(members.select(col("sig").as("sig_b"), col("id").as("id_b")),
         col("sig") === col("sig_b") && col("id_a") < col("id_b"))

@@ -160,6 +160,17 @@ object Similarity {
     * parallelism AND the per-cell candidate product — K must scale with
     * the corpus (K ≈ √n keeps cells ≈ √n; [[ivfParams]] computes that)
     * and AQE's skew-join handles residual imbalance at the 100 TB end.
+    *
+    * KNOWN SCALE BOUND of the flat assignment: [[graft.expr.NearestCells]]
+    * scans all K centroids per row, so the assignment projection costs
+    * O(K·dim) = O(√n·dim) multiplies per row — ~2M at n = 10⁹ (K ≈ 32k,
+    * dim 64). Fine at every testable SF and still map-side at 100×, but at
+    * the true 10⁹⁺-vector end the standard fix is a TWO-LEVEL IVF: √K
+    * super-cells route each row to the nearest super-cell, whose √K
+    * sub-cells are then scanned — O(2·n^0.25·dim) per row inside the same
+    * expression, with identical join/argmax shape above it. Not
+    * implemented until a SF that needs it exists; the seam is confined to
+    * `NearestCells` + this assignment projection.
     */
   def ivfNnJoin(df: DataFrame, embCol: String, idCol: String,
                 centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {

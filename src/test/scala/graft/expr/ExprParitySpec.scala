@@ -56,6 +56,39 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("SimHashBits: interpreted == codegen == reference vote loop; md5 family matches SQL restatement") {
+    val cases = Seq(
+      Seq(571994129146021618L, 196290446655796844L, 504200503016324522L),
+      Seq(1L),
+      Seq(-1L, 0L, 7L),
+      Seq.empty[Long])
+    def reference(hs: Seq[Long], bits: Int): Long = {
+      val votes = (0 until bits).map(i =>
+        hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum)
+      votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > 0) acc | (1L << i) else acc
+      }
+    }
+    val fromDf = cases.toDF("hs")
+      .select(SimHashBits(col("hs"), 60)).as[Long].collect()
+    cases.zip(fromDf).foreach { case (hs, got) =>
+      assert(got == reference(hs, 60), s"codegen: $hs")
+      val expr = SimHashBits(Literal.create(hs, ArrayType(LongType)), 60)
+      assert(expr.eval(InternalRow.empty) == reference(hs, 60), s"interpreted: $hs")
+    }
+    // the md5-derived word-hash family produces hashes a SQL engine can
+    // recompute: conv(first 15 md5 hex chars) == parsing them as a 60-bit
+    // integer (the q21/q36 oracle's CAST('0x'||…) formulation)
+    val word = "the"
+    val sparkHash = Seq(word).toDF("w")
+      .select(conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .as[Long].head()
+    val jvmHash = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(word.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    assert(sparkHash == jvmHash)
+  }
+
   test("SortedIntersectSize over array<long>: interpreted == codegen == reference") {
     val cases = Seq(
       (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),

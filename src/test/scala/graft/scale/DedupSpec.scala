@@ -130,6 +130,20 @@ class DedupSpec extends SparkSpec {
     assert(found == truth)
   }
 
+  test("simhashPairs on the md5 60-bit family equals its brute-force hamming join") {
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.simhashMd5(col("text")).as("sig"))
+    val truth = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Dedup.hamming(col("a.sig"), col("b.sig")).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        sigOf = Dedup.simhashMd5(_), bits = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(truth.nonEmpty, "test data should contain hamming<=3 md5-simhash pairs")
+    assert(found == truth)
+  }
+
   test("shingles: sliding word windows, distinct; short docs fall back to whole text") {
     val df = Seq("a b c d", "x y").toDF("text")
     val out = df.select(Dedup.shingles(col("text"), 3).as("sh"))
