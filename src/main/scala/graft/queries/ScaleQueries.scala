@@ -58,14 +58,16 @@ object ScaleQueries {
         .limit(20)
     }),
 
-    // ANN: hyperplane-LSH bucket probe + exact rerank (rows-only; recall
-    // asserted in SimilaritySpec).
+    // ANN: hyperplane-LSH bucket probe + exact rerank, on the md5-derived
+    // plane family so the oracle independently recomputes planes,
+    // signatures, probe set, and rerank — HASH-CHECKED (the xxhash64-fused
+    // HyperplaneSig form keeps its recall spec in SimilaritySpec).
     "q19_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
         .select(Similarity.toDouble(col("embedding")))
         .head().getSeq[Double](0).toSeq
-      Similarity.annTopK(emb, "embedding", "vec_id", query, k = 10, dim = 64,
+      Similarity.annTopKMd5(emb, "embedding", "vec_id", query, k = 10, dim = 64,
           numPlanes = 12, maxHammingProbe = 6)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
@@ -264,8 +266,11 @@ object ScaleQueries {
         .agg(countDistinct(col("fp")).as("n_contaminated"))
     }),
 
-    // Decode-stub path: mapPartitions feature extraction (rows-only; the
-    // stub is deterministic and unit-tested).
+    // Decode-stub path: mapPartitions feature extraction. The stub's fake
+    // features are md5/length arithmetic over the payload bytes, so the
+    // oracle recomputes them from the same text — HASH-CHECKED, proving
+    // the mapPartitions boundary (the real codec's seam) round-trips
+    // every row unchanged.
     "q23_multimodal_decode" -> ((s, dir) => {
       val df = Multimodal.withMedia(
         Tables(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -332,6 +337,34 @@ object ScaleQueries {
         |                 FROM range(1, 65) t(i)))), 6) AS score
         |  FROM embeddings e, q)
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Full ANN restatement: md5-derived plane coefficients → sign-bit
+    // signatures → hamming-≤6 probe against vec_id 0's signature → exact
+    // cosine rerank of the probed set. Order by the UNROUNDED score (the
+    // engine ranks before rounding), round in the outer select.
+    "q19_ann_lsh" ->
+      """WITH sg AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST((SELECT sum(CASE WHEN (
+        |        SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) *
+        |          ((CAST(('0x' || substring(md5('plane:' || p.j || ':' || (t.i - 1)), 1, 15)) AS BIGINT)
+        |            / 1152921504606846976.0) * 2 - 1))
+        |        FROM range(1, 65) t(i)) > 0
+        |      THEN CAST(1 AS BIGINT) << p.j ELSE CAST(0 AS BIGINT) END)
+        |      FROM range(0, 12) p(j)) AS BIGINT) AS sig
+        |  FROM embeddings e),
+        |q AS (SELECT sig AS qsig, embedding AS qe FROM sg WHERE vec_id = 0)
+        |SELECT vec_id, round(score, 6) AS score FROM (
+        |  SELECT c.vec_id,
+        |    (SELECT sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.qe[t.i] AS DOUBLE))
+        |     FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE))
+        |             FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(CAST(c.qe[t.i] AS DOUBLE) * CAST(c.qe[t.i] AS DOUBLE))
+        |               FROM range(1, 65) t(i)))) AS score
+        |  FROM (SELECT sg.vec_id, sg.embedding, q.qe FROM sg, q
+        |        WHERE bit_count(xor(sg.sig, q.qsig)) <= 6) c
+        |  ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin,
 
     // Signature recomputed per document from scratch: per distinct word a
     // 60-bit md5-derived hash, per bit position the ±1 vote sum, bit set
@@ -526,5 +559,14 @@ object ScaleQueries {
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS INT) AS size_bytes,
         |  hex(substr(text, 1, 8)) AS head_hex
+        |FROM documents""".stripMargin,
+
+    // The stub formulas restated over the same bytes: payload is the
+    // UTF-8 text, so md5(text)/strlen(text) see identical input.
+    "q23_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 16 AS INT) AS width,
+        |  CAST(16 + strlen(text) % 16 AS INT) AS height,
+        |  CAST(1 + strlen(text) // 64 AS INT) AS n_frames
         |FROM documents""".stripMargin)
 }

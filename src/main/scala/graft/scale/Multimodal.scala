@@ -44,6 +44,12 @@ object Multimodal {
     * derives deterministic fake features so the schema, batch shape and
     * downstream plumbing are testable end-to-end. Runs per partition —
     * the same iterator shape a JNI/codec decoder uses.
+    *
+    * The fake features are md5/length arithmetic over the payload BYTES
+    * (not a JVM-specific hash) so an external engine can recompute them —
+    * which is what lets the decode-path query be DuckDB-hash-checked
+    * end to end: the `mapPartitions` boundary provably round-trips every
+    * row and column unchanged.
     */
   def decodeStub(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -54,13 +60,20 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
+      // one digest per partition, reset by each digest() call — the same
+      // per-partition init a real decoder context uses
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val payload = r.get(idx) match {
           case b: Array[Byte] => b
           case _ => Array.empty[Byte]
         }
         // STUB: deterministic fake decode — replace with the real codec.
-        val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 16)
+        // 60-bit integer from the first 15 md5 hex chars (the
+        // TextAnalysis.gramHashes scheme).
+        val h60 = java.lang.Long.parseLong(
+          md.digest(payload).take(8).map("%02x".format(_)).mkString.take(15), 16)
+        val w = 16 + (h60 % 16).toInt
         val h = 16 + (payload.length % 16)
         val frames = 1 + payload.length / 64
         Row.fromSeq(r.toSeq :+ Row(w, h, frames))

@@ -54,6 +54,34 @@ object Similarity {
   def lshSignature(emb: Column, dim: Int, numPlanes: Int): Column =
     graft.expr.HyperplaneSig(emb, dim, numPlanes)
 
+  /** md5-derived hyperplane coefficients: c(j,i) = 2·u − 1 with u the
+    * 60-bit integer of the first 15 md5 hex chars of "plane:j:i", scaled
+    * to [0,1) — the ORACLE-RESTATABLE plane family (any engine with md5
+    * recomputes the planes bit-for-bit; the fused xxhash64
+    * [[lshSignature]] stays the throughput form). Computed once on the
+    * driver — numPlanes×dim doubles, folded into the plan as literals.
+    */
+  def md5Planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble * 2 - 1
+      }.toSeq
+    }.toSeq
+  }
+
+  /** Packed sign-bit signature on an explicit plane family: bit j set when
+    * dot(emb, planes(j)) > 0. One codegen'd [[graft.expr.DotProduct]] per
+    * plane over constant-folded literal arrays — index-order summation,
+    * bit-equal to a sequential restatement.
+    */
+  def planeSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(emb, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
   /** Exact cosine nearest-neighbor join: for every vector, its top
     * neighbor — the embedding-cosine near-dup primitive (candidates for
     * dedup review are pairs whose nn cosine exceeds a threshold).
@@ -229,6 +257,26 @@ object Similarity {
       .select(array(query.map(lit): _*).as("q"))
       .select(lshSignature(col("q"), dim, numPlanes).as("qsig"))
     val qsig = qDf.head().getLong(0) // driver-side scalar: one 8-byte value
+    val cands = withSig.filter(Dedup.hamming(col("__sig"), lit(qsig)) <= maxHammingProbe)
+    bruteForceTopK(cands, embCol, idCol, query, k)
+  }
+
+  /** [[annTopK]] on the md5 plane family ([[md5Planes]]): identical
+    * probe-then-exact-rerank shape and scale story (bucket signatures are
+    * partition-prunable keys), but every stage — plane coefficients,
+    * signatures, hamming probe, cosine rerank — is restatable in SQL,
+    * which is what moves the ANN query from rows-only to hash-checked.
+    */
+  def annTopKMd5(df: DataFrame, embCol: String, idCol: String,
+                 query: Seq[Double], k: Int, dim: Int,
+                 numPlanes: Int = 12, maxHammingProbe: Int = 1): DataFrame = {
+    val planes = md5Planes(numPlanes, dim)
+    val withSig = df.withColumn("__sig", planeSignature(toDouble(col(embCol)), planes))
+    // driver-side query signature: same ascending-index fold as DotProduct
+    val qsig = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
+      val d = p.zip(query).foldLeft(0.0) { case (s, (c, x)) => s + c * x }
+      if (d > 0) acc | (1L << j) else acc
+    }
     val cands = withSig.filter(Dedup.hamming(col("__sig"), lit(qsig)) <= maxHammingProbe)
     bruteForceTopK(cands, embCol, idCol, query, k)
   }
