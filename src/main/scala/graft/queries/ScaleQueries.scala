@@ -266,6 +266,40 @@ object ScaleQueries {
         .agg(countDistinct(col("fp")).as("n_contaminated"))
     }),
 
+    // Gopher-style repetition signals — the quality-filter family the
+    // curation pipeline composes with: longest immediate word repeat
+    // (max_run), most-frequent-word occupancy (top_word_frac), and
+    // most-frequent-bigram occupancy (top_bigram_frac), plus the
+    // thresholded `repetitive` flag. ONE map-side pass: each array stage
+    // (split, sort, bigrams) is materialized in its own projection so the
+    // run/boundary lambdas dereference attributes (the q37 CSE lesson);
+    // mode counts come from max-run-of-sorted (no per-doc shuffle, no
+    // explode). The oracle recomputes the modes with an INDEPENDENT
+    // algorithm (distinct-element filter counts, not sorted runs).
+    "q54_repetition" -> ((s, dir) => {
+      val ws = col("ws")
+      val bgRaw = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"), ws, array_sort(ws).as("sws"),
+          filter(bgRaw, x => x.isNotNull).as("bg"))
+        .select(col("doc_id"), ws, col("sws"), col("bg"),
+          array_sort(col("bg")).as("sbg"))
+        .select(col("doc_id"),
+          size(ws).as("n_words"),
+          TextAnalysis.maxRunLengthW(ws).as("max_run"),
+          round(TextAnalysis.maxRunLengthW(col("sws")).cast("double") / size(ws), 6)
+            .as("top_word_frac"),
+          when(size(col("bg")) === 0, lit(0.0))
+            .otherwise(round(
+              TextAnalysis.maxRunLengthW(col("sbg")).cast("double") / size(col("bg")), 6))
+            .as("top_bigram_frac"))
+        .withColumn("repetitive",
+          col("max_run") >= 5 || col("top_word_frac") > 0.2 ||
+            col("top_bigram_frac") > 0.18)
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -560,6 +594,38 @@ object ScaleQueries {
         |  CAST(length(text) AS INT) AS size_bytes,
         |  hex(substr(text, 1, 8)) AS head_hex
         |FROM documents""".stripMargin,
+
+    // Mode counts via an INDEPENDENT algorithm (per-distinct-element
+    // filter counts vs the engine's sorted-run trick); max_run via
+    // run-boundary indices.
+    "q54_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS ws FROM documents),
+         |f AS (
+         |  SELECT doc_id, ws, len(ws) AS n,
+         |    CASE WHEN len(ws) >= 2
+         |         THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+         |         ELSE CAST([] AS VARCHAR[]) END AS bg
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, n, len(bg) AS nb,
+         |    [i for i in range(1, n + 1) if i = 1 OR ws[i] != ws[i-1]] AS rb,
+         |    list_max([len(list_filter(ws, y -> y = x)) for x in list_distinct(ws)]) AS topw,
+         |    CASE WHEN len(bg) = 0 THEN 0
+         |         ELSE list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)]) END AS topb
+         |  FROM f),
+         |m AS (
+         |  SELECT doc_id, n, nb, topw, topb,
+         |    list_max([(list_concat(rb, [n + 1]))[k + 1] - rb[k]
+         |              for k in range(1, len(rb) + 1)]) AS max_run
+         |  FROM r)
+         |SELECT doc_id, CAST(n AS INT) AS n_words, CAST(max_run AS INT) AS max_run,
+         |  round(CAST(topw AS DOUBLE) / n, 6) AS top_word_frac,
+         |  CASE WHEN nb = 0 THEN 0.0
+         |       ELSE round(CAST(topb AS DOUBLE) / nb, 6) END AS top_bigram_frac,
+         |  (max_run >= 5 OR round(CAST(topw AS DOUBLE) / n, 6) > 0.2
+         |   OR (CASE WHEN nb = 0 THEN 0.0
+         |            ELSE round(CAST(topb AS DOUBLE) / nb, 6) END) > 0.18) AS repetitive
+         |FROM m""".stripMargin,
 
     // The stub formulas restated over the same bytes: payload is the
     // UTF-8 text, so md5(text)/strlen(text) see identical input.

@@ -123,6 +123,28 @@ object TextAnalysis {
           i => array_min(slice(hsCol, i + lit(1), lit(w)))))
         .otherwise(array(array_min(hsCol)))))
 
+  /** Longest run of consecutive equal elements — 0 for an empty array.
+    * The repetition primitive behind the Gopher-style quality signals:
+    * `maxRunLengthW(ws)` is the longest immediate word repeat, and
+    * `maxRunLengthW(array_sort(ws))` is the occurrence count of the MOST
+    * FREQUENT element (the mode count) without any per-document shuffle —
+    * sorting groups equal elements into one run.
+    *
+    * Runs are found as boundary indices (positions where the element
+    * differs from its predecessor) and max-diffed — one filtered index
+    * sequence + one zip_with, all native. `arr` MUST be a materialized
+    * attribute: the lambdas dereference it per element (the q37 CSE note),
+    * so an inlined `array_sort(...)` argument would re-sort per element.
+    */
+  def maxRunLengthW(arr: Column): Column = {
+    val starts = filter(sequence(lit(1), size(arr)),
+      i => (i === lit(1)) || element_at(arr, i) =!= try_element_at(arr, i - lit(1)))
+    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(size(arr) + lit(1)))
+    when(size(arr) === 0, lit(0))
+      .otherwise(array_max(zip_with(ends, starts, (e, s) => e - s)))
+  }
+
   private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Winnow POSTINGS LIST: one row per (document, distinct winnow

@@ -93,6 +93,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fps.values.map(_.size).sum < nGrams.sum)
   }
 
+  test("maxRunLengthW: consecutive runs; mode count via sorted runs") {
+    val df = Seq(
+      (1L, Seq("a", "a", "b", "a", "a", "a", "c")), // longest run 3; mode "a" x5
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .withColumn("sorted", array_sort(col("arr")))
+    val r = df.select(col("id"), TextAnalysis.maxRunLengthW(col("arr")),
+        TextAnalysis.maxRunLengthW(col("sorted")))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 3, 5)))
+    assert(r(1) == ((2L, 1, 1)))
+    assert(r(2) == ((3L, 0, 0)))
+  }
+
   test("winnowPostings drops corpus-wide boilerplate fingerprints, keeps genuine overlaps") {
     // The crawl-corpus skew case: a license-header run shared by 60
     // documents. Uncapped, its fingerprints produce C(60,2) boilerplate
