@@ -128,16 +128,22 @@ object ScaleQueries {
     }),
 
     // The SCALE path for the same primitive: IVF-bucketed approximate NN
-    // join at nprobe/K = 1/4 of the brute-force compute. Centroid training
-    // is xxhash64-deterministic, but k-means assignment is not
+    // join at nprobe/K = 1/4 of the brute-force compute, with TWO-LEVEL
+    // routed assignment (S ≈ √K super-cells, probe ⌈S/2⌉) — the full
+    // 10⁹⁺-vector shape, exercised end to end at every SF. Centroid
+    // training is xxhash64-deterministic, but k-means assignment is not
     // SQL-expressible → rows-only oracle; SimilaritySpec pins recall vs
-    // the exact join and the nprobe=K ≡ exact degeneration.
+    // the exact join, the nprobe=K ≡ exact degeneration, and the
+    // superProbe=S ≡ flat-assignment degeneration.
     "q33_embedding_nn_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val (k, nprobe) = Similarity.ivfParams(emb) // K ≈ √n keeps cell size,
       // join parallelism, and candidate work all scaling with the corpus
       val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
-      Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = nprobe)
+      val (superK, superProbe) = Similarity.routingParams(cents.length)
+      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = nprobe,
+        routing = Some((sup, kids, superProbe)))
     }),
 
     // Corpus-level top-100 bigrams by occurrence: explode → count with

@@ -189,19 +189,78 @@ object Similarity {
     * the corpus (K ≈ √n keeps cells ≈ √n; [[ivfParams]] computes that)
     * and AQE's skew-join handles residual imbalance at the 100 TB end.
     *
-    * KNOWN SCALE BOUND of the flat assignment: [[graft.expr.NearestCells]]
+    * SCALE BOUND of the flat assignment: [[graft.expr.NearestCells]]
     * scans all K centroids per row, so the assignment projection costs
     * O(K·dim) = O(√n·dim) multiplies per row — ~2M at n = 10⁹ (K ≈ 32k,
-    * dim 64). Fine at every testable SF and still map-side at 100×, but at
-    * the true 10⁹⁺-vector end the standard fix is a TWO-LEVEL IVF: √K
-    * super-cells route each row to the nearest super-cell, whose √K
-    * sub-cells are then scanned — O(2·n^0.25·dim) per row inside the same
-    * expression, with identical join/argmax shape above it. Not
-    * implemented until a SF that needs it exists; the seam is confined to
-    * `NearestCells` + this assignment projection.
+    * dim 64). Fine at every testable SF; at the 10⁹⁺-vector end pass
+    * `routing` (from [[trainSuperCells]] + [[routingParams]]) to switch
+    * the same projection to [[graft.expr.RoutedNearestCells]]: S ≈ √K
+    * super-cells route each row to its `superProbe` nearest supers, whose
+    * children alone are ranked — O((S + superProbe·K/S)·dim) ≈
+    * O(n^0.25·dim) per row with the identical join/argmax shape above it.
+    * With superProbe = S the routed output is spec-pinned EQUAL to the
+    * flat one, so the dial starts from exactness.
     */
+  /** Group trained cell centroids under `superK` super-cells: spherical
+    * k-means over the K cell vectors (init = first superK cells, dot
+    * assignment, same Lloyd loop as [[trainCentroids]] — driver-side,
+    * O(K·superK·dim·iters), microseconds at any realistic K). Empty
+    * supers are dropped, so every returned super has at least one child
+    * and the two-level probe can never strand a vector with zero
+    * candidate cells. Returns (superCentroids, childCellIdsPerSuper).
+    */
+  def trainSuperCells(cells: Seq[Seq[Double]], superK: Int,
+                      iters: Int = 5): (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    require(cells.nonEmpty, "cells must be non-empty")
+    val k = math.min(superK, cells.length)
+    val arr = cells.map(_.toArray).toArray
+    val dim = arr(0).length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * cents(c)(i); i += 1 }
+        if (s > bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    var sup = arr.take(k).map(u => unit(u.clone))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      arr.foreach { v =>
+        val s = nearest(v, sup)
+        var i = 0
+        while (i < dim) { sums(s)(i) += v(i); i += 1 }
+        counts(s) += 1
+      }
+      sup = sup.zipWithIndex.map { case (old, s) =>
+        if (counts(s) == 0) old else unit(sums(s))
+      }
+    }
+    val assign = arr.map(nearest(_, sup))
+    val grouped = (0 until k).map(s => arr.indices.filter(assign(_) == s).toSeq)
+    val nonEmpty = grouped.zipWithIndex.filter(_._1.nonEmpty)
+    (nonEmpty.map { case (_, s) => sup(s).toSeq }, nonEmpty.map(_._1))
+  }
+
+  /** Two-level routing sizes for K cells: S ≈ √K supers, probe ⌈S/2⌉ —
+    * the assignment-side analogue of the nprobe/K search dial.
+    */
+  def routingParams(k: Int): (Int, Int) = {
+    val s = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    (s, math.max(2, (s + 1) / 2))
+  }
+
   def ivfNnJoin(df: DataFrame, embCol: String, idCol: String,
-                centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+                centroids: Seq[Seq[Double]], nprobe: Int,
+                routing: Option[(Seq[Seq[Double]], Seq[Seq[Int]], Int)] = None): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
     // Normalization + cell assignment happen BELOW one repartition, and
     // the cells array is POSEXPLODED once before the consumers branch:
@@ -210,10 +269,15 @@ object Similarity {
     // GENERATED columns, so they cannot push below the Generate — the
     // exchange subtrees stay byte-identical and ReuseExchange computes the
     // scan + unit vectors + NearestCells exactly once.
+    val assign: Column => Column = routing match {
+      case Some((sup, kids, superProbe)) =>
+        u => graft.expr.RoutedNearestCells(u, sup, centroids, kids, nprobe, superProbe)
+      case None =>
+        u => graft.expr.NearestCells(u, centroids, nprobe)
+    }
     val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
       .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"),
-        graft.expr.NearestCells(col("u"), centroids, nprobe).as("cells"))
+      .select(col("id"), col("u"), assign(col("u")).as("cells"))
       .repartition(parts)
       .select(col("id"), col("u"), posexplode(col("cells")))
       .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))

@@ -130,6 +130,39 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("RoutedNearestCells: interpreted == codegen; all-supers probe == flat NearestCells") {
+    val cells = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0),
+      Seq(-1.0, 0.0, 0.0), Seq(0.7, 0.7, 0.0), Seq(0.0, 0.7, 0.7))
+    val (sup, kids) = graft.scale.Similarity.trainSuperCells(cells, 2)
+    val vecs = Seq(Seq(0.9, 0.1, 0.2), Seq(-1.0, -0.5, 0.1), Seq(0.1, 0.8, 0.55))
+    val flat = vecs.toDF("v")
+      .select(NearestCells(col("v"), cells, 4)).as[Seq[Int]].collect()
+    // probing every super ranks every cell → identical to the flat scan
+    val routedAll = vecs.toDF("v")
+      .select(RoutedNearestCells(col("v"), sup, cells, kids, 4, sup.length))
+      .as[Seq[Int]].collect()
+    assert(routedAll.toSeq == flat.toSeq)
+    vecs.indices.foreach { i =>
+      val expr = RoutedNearestCells(
+        Literal.create(vecs(i), ArrayType(DoubleType)), sup, cells, kids, 4, sup.length)
+      assert(expr.eval(InternalRow.empty).asInstanceOf[ArrayData].toIntArray.toSeq
+        == flat(i).toSeq, s"interpreted vec $i")
+    }
+    // partial probe: non-empty, valid cell ids, home cell = best probed cell
+    val routed1 = vecs.toDF("v")
+      .select(RoutedNearestCells(col("v"), sup, cells, kids, 4, 1))
+      .as[Seq[Int]].collect()
+    routed1.foreach { r =>
+      assert(r.nonEmpty && r.forall(cells.indices.contains(_)))
+    }
+    // float input parity
+    val fromFloat = vecs.map(_.map(_.toFloat)).toDF("v")
+      .select(RoutedNearestCells(col("v"), sup, cells, kids, 4, sup.length))
+      .as[Seq[Int]].collect()
+    assert(fromFloat.toSeq == flat.toSeq)
+  }
+
   test("HyperplaneSig: native == HOF formulation == interpreted, float == double") {
     // the higher-order-function formulation HyperplaneSig replaced — the
     // original plane-coefficient math spelled out in column expressions

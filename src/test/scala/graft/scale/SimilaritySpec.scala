@@ -76,6 +76,25 @@ class SimilaritySpec extends SparkSpec {
     assert(meanGap <= 0.05, s"mean cos gap to exact NN too large: $meanGap")
   }
 
+  test("two-level routed IVF: all-supers probe equals the flat join; partial probe keeps coverage") {
+    val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
+    val (sup, kids) = Similarity.trainSuperCells(cents, 3)
+    val flat = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    // routing through ALL supers ranks every cell → identical assignment →
+    // identical join output
+    val routedAll = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 4,
+        routing = Some((sup, kids, sup.length)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(routedAll == flat)
+    // the real routed configuration still gives every vector a neighbor
+    val (superK, superProbe) = Similarity.routingParams(cents.length)
+    val (supB, kidsB) = Similarity.trainSuperCells(cents, superK)
+    val part = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 4,
+      routing = Some((supB, kidsB, math.min(superProbe, supB.length))))
+    assert(part.count() == flat.size.toLong)
+  }
+
   test("IVF plan has no cartesian product") {
     val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
     val plan = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 2)
