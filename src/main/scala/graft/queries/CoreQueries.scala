@@ -68,6 +68,19 @@ object CoreQueries {
           grouping_id().as("gid"))
     }),
 
+    // CUBE: all four grouping sets (type×day, type, day, grand total)
+    // from ONE shuffle via Expand — completes the grouping family next to
+    // rollup (q38), pivot (q39), and distinct-agg (q43). The Expand
+    // factor is the fixed grouping-set count, so partial aggregation
+    // still collapses map-side before the exchange.
+    "q55_cube_matrix" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .cube(col("event_type"), dayofmonth(col("ts")).as("dom"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          grouping_id().as("gid"))
+    }),
+
     // PIVOT with an explicit value list: compiles to one group-by with a
     // conditional aggregate per pivot value — no collect-distinct job on
     // the driver (an open pivot would scan once just to learn the values;
@@ -206,6 +219,12 @@ object CoreQueries {
         |  2 * GROUPING(year(o_orderdate)) + GROUPING(o_orderstatus) AS gid
         |FROM orders
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    "q55_cube_matrix" ->
+      """SELECT event_type, CAST(day(ts) AS INT) AS dom, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value,
+        |  2 * GROUPING(event_type) + GROUPING(day(ts)) AS gid
+        |FROM events GROUP BY CUBE(event_type, day(ts))""".stripMargin,
 
     // Spark names single-agg pivot columns after the bare pivot value.
     "q39_pivot_events" ->

@@ -107,4 +107,17 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q54: repetition signals are one map-side pass — no exchange at all") {
+    val p = finalPlan("q54_repetition")
+    assert(!p.contains("Exchange"), "repetition scoring must not shuffle:\n" + p)
+    assert(p.contains("*(1)"), "scan stage should be codegen'd:\n" + p)
+  }
+
+  test("q55: cube is one exchange with map-side partial aggregation over Expand") {
+    val p = finalPlan("q55_cube_matrix")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
