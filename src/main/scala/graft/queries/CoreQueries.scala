@@ -68,6 +68,26 @@ object CoreQueries {
           grouping_id().as("gid"))
     }),
 
+    // Window FRAMES + offsets — the rolling/time-series family (moving
+    // sum/avg over the last 4 events, previous value, delta), one shuffle
+    // on user_id with the user_id filter pushed to the scan. The rolling
+    // sum is computed over DECIMAL(18,2) (value is exactly 2-decimal):
+    // decimal frame sums are exact, so the result cannot depend on
+    // whether an engine sums the frame sequentially or via a segment
+    // tree — the same order-independence lesson as the q44 average.
+    "q56_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-3, Window.currentRow)
+      val sumDec = sum(col("value").cast("decimal(18,2)")).over(w3).cast("double")
+      Tables(s, dir, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"),
+          sumDec.as("roll_sum"),
+          round(sumDec / count(lit(1)).over(w3), 6).as("roll_avg"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+    }),
+
     // CUBE: all four grouping sets (type×day, type, day, grand total)
     // from ONE shuffle via Expand — completes the grouping family next to
     // rollup (q38), pivot (q39), and distinct-agg (q43). The Expand
@@ -219,6 +239,19 @@ object CoreQueries {
         |  2 * GROUPING(year(o_orderdate)) + GROUPING(o_orderstatus) AS gid
         |FROM orders
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    "q56_rolling_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) AS roll_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        |        / (count(*) OVER w3), 6) AS roll_avg,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  round(value - lag(value, 1) OVER w, 2) AS delta
+        |FROM events
+        |WHERE user_id <= 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q55_cube_matrix" ->
       """SELECT event_type, CAST(day(ts) AS INT) AS dom, count(*) AS cnt,

@@ -114,6 +114,13 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("*(1)"), "scan stage should be codegen'd:\n" + p)
   }
 
+  test("q56: rolling window is one user_id exchange with the filter pushed to the scan") {
+    val p = finalPlan("q56_rolling_window")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), LessThanOrEqual(user_id"),
+      "user_id filter not pushed to scan:\n" + p)
+  }
+
   test("q55: cube is one exchange with map-side partial aggregation over Expand") {
     val p = finalPlan("q55_cube_matrix")
     assert(count(p, "Exchange hashpartitioning") == 1, p)
