@@ -272,6 +272,25 @@ object ScaleQueries {
         .agg(countDistinct(col("fp")).as("n_contaminated"))
     }),
 
+    // Deterministic train/val/test split assignment — the reproducible
+    // sharding every training corpus needs: bucket = md5(doc_id) mod 100
+    // (content-independent, stable across runs/engines/cluster sizes, no
+    // sampling state), 90/5/5 split. Pure map-side projection; at 100 TB
+    // this is the partition key for the split-out writes. md5-derived so
+    // the oracle recomputes every assignment.
+    "q57_split_assign" -> ((s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(100))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+    }),
+
     // Gopher-style repetition signals — the quality-filter family the
     // curation pipeline composes with: longest immediate word repeat
     // (max_run), most-frequent-word occupancy (top_word_frac), and
@@ -599,6 +618,14 @@ object ScaleQueries {
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS INT) AS size_bytes,
         |  hex(substr(text, 1, 8)) AS head_hex
+        |FROM documents""".stripMargin,
+
+    "q57_split_assign" ->
+      """SELECT doc_id, source,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
     // Mode counts via an INDEPENDENT algorithm (per-distinct-element
