@@ -272,6 +272,22 @@ object ScaleQueries {
         .agg(countDistinct(col("fp")).as("n_contaminated"))
     }),
 
+    // Duplicate-CLUSTER assignment: the pairs→clusters closure every dedup
+    // pipeline ends with. Edges are the hash-verified q16 MinHash pairs;
+    // min-label propagation (join + group-by-min per round, lineage
+    // truncated per round) converges in O(cluster diameter) rounds — dense
+    // near-dup clusters take 2–3. Output: every doc in a cluster with its
+    // canonical representative (min doc_id) and cluster size — exactly the
+    // join a keep-one-per-cluster curation step consumes. The oracle
+    // recomputes pairs by brute-force Jaccard and closes them with a
+    // recursive CTE — fully independent restatement of both stages.
+    "q58_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     // Deterministic train/val/test split assignment — the reproducible
     // sharding every training corpus needs: bucket = md5(doc_id) mod 100
     // (content-independent, stable across runs/engines/cluster sizes, no
@@ -323,6 +339,84 @@ object ScaleQueries {
         .withColumn("repetitive",
           col("max_run") >= 5 || col("top_word_frac") > 0.2 ||
             col("top_bigram_frac") > 0.18)
+    }),
+
+    // Deterministic per-source stratified sample — fixed FRACTION per group
+    // with exact group quotas: rank docs inside each source by an md5 hash
+    // of the id (content-independent, reproducible on any engine/cluster),
+    // keep the first ceil(0.2·|group|). One window shuffle on the group
+    // key; the quota needs the exact group count, which is what separates
+    // this from the shuffle-free hash-threshold split (q57) — that form
+    // samples ≈20% per group, this one EXACTLY ceil(20%), the contract a
+    // balanced eval-set draw needs. Skew note: a mega-group serializes its
+    // window sort; at 100 TB prefer q57's thresholding unless exact quotas
+    // are required.
+    "q59_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), hk.as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") <= ceil(col("n") * 0.2))
+        .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
+    }),
+
+    // Corpus TF-IDF: top-3 highest-scoring terms per document — the
+    // keyword-extraction pass of a curation pipeline. Shape: per-doc term
+    // frequencies (one shuffle on (doc, term) with map-side partial
+    // counts), document frequencies (one shuffle on term — counts rows of
+    // the ALREADY-AGGREGATED tf table, so df is exact with no distinct),
+    // corpus size joined in as a broadcast 1-row aggregate (no driver
+    // action), score = tf·ln(N/df), then a per-doc top-k window. Every
+    // exchange is keyed; nothing is all-pairs; the vocabulary never sits
+    // on the driver.
+    "q60_tfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+    }),
+
+    // Sliding-window passage chunking — the context-window packing step
+    // between curation and tokenization: 32-word windows advancing by 24
+    // (8-word overlap), last window short-but-reaching-the-end, whole doc
+    // when it fits in one window. Pure map-side: the chunk index sequence
+    // and slices are native array ops inside one projection (word array
+    // materialized first — the q37 CSE lesson), then ONE explode; no
+    // shuffle anywhere. Emits the chunk fingerprint + length, not the
+    // text: at 100 TB the downstream exact-dedup of chunks joins on the
+    // 16-byte md5, never the strings.
+    "q62_passages" -> ((s, dir) => {
+      val win = 32
+      val stride = 24
+      val ws = col("ws")
+      val nchunks = (lit(1) +
+        ceil(greatest(size(ws) - win, lit(0)).cast("double") / stride)).cast("int")
+      val chunks = transform(sequence(lit(0), col("nc") - 1),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ", slice(col("ws"), i * stride + 1, win)).as("chunk")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"), ws, nchunks.as("nc"))
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          size(split(col("c.chunk"), " ")).as("n_words"),
+          md5(col("c.chunk").cast("binary")).as("chunk_fp"))
     }),
 
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
@@ -620,6 +714,35 @@ object ScaleQueries {
         |  hex(substr(text, 1, 8)) AS head_hex
         |FROM documents""".stripMargin,
 
+    // Pairs by brute-force shingle Jaccard (the q16 restatement), closed
+    // into components with a recursive CTE — min label reachable from each
+    // node IS its component's min id, since reachability is symmetric.
+    "q58_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $wsSplit AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+         |         ELSE [array_to_string(w, ' ')] END AS sh
+         |  FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |    AND least(len(a.sh), len(b.sh)) >= 0.9 * greatest(len(a.sh), len(b.sh))
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(node, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
+         |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node),
+         |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
+         |SELECT lab.node AS doc_id, lab.lbl AS cluster_id, sz.cluster_size
+         |FROM lab JOIN sz USING (lbl)""".stripMargin,
+
     "q57_split_assign" ->
       """SELECT doc_id, source,
         |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
@@ -659,6 +782,47 @@ object ScaleQueries {
          |   OR (CASE WHEN nb = 0 THEN 0.0
          |            ELSE round(CAST(topb AS DOUBLE) / nb, 6) END) > 0.18) AS repetitive
          |FROM m""".stripMargin,
+
+    "q59_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d)
+        |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+        |FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
+
+    "q60_tfidf_terms" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsSplit) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+         |  FROM tf JOIN df USING (term), n),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY tfidf DESC, term) AS rk
+         |  FROM sc)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
+         |  round(tfidf, 6) AS tfidf
+         |FROM rk WHERE rk <= 3""".stripMargin,
+
+    // Slices are 1-based INCLUSIVE: chunk i covers words i·24+1 .. i·24+32.
+    "q62_passages" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        CAST(1 + ceil(greatest(len(ws) - 32, 0) / 24.0) AS INT) AS nc
+         |      FROM d),
+         |e AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, ws FROM c)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  CAST(len(string_split(
+         |    array_to_string(ws[chunk_id*24+1:chunk_id*24+32], ' '), ' ')) AS INT) AS n_words,
+         |  md5(array_to_string(ws[chunk_id*24+1:chunk_id*24+32], ' ')) AS chunk_fp
+         |FROM e""".stripMargin,
 
     // The stub formulas restated over the same bytes: payload is the
     // UTF-8 text, so md5(text)/strlen(text) see identical input.

@@ -151,4 +151,43 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == Seq("a b c", "b c d"))
     assert(out(1) == Seq("x y"))
   }
+
+  test("connectedComponents: transitive closure, min-id labels, sizes") {
+    // triangle {20,21,22}, chain {1,2,3} (1~3 never emitted), pair {10,11}
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
+  test("connectedComponents: long chain converges (diameter-bounded rounds)") {
+    // path 0-1-2-...-9: worst case for label propagation — min label must
+    // travel the full diameter; also the min sits at one END of the chain.
+    val edges = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 10)
+    assert(out.forall { case (_, cid, sz) => cid == 0L && sz == 10L })
+  }
+
+  test("connectedComponents on minhash pairs groups every pair's endpoints together") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9).cache()
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // every edge endpoint got a cluster, and both endpoints share it
+    val lab = cc.select(col("node"), col("cluster_id"))
+    val broken = pairs
+      .join(lab.select(col("node").as("id_a"), col("cluster_id").as("ca")), "id_a")
+      .join(lab.select(col("node").as("id_b"), col("cluster_id").as("cb")), "id_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(broken == 0)
+    // cluster id is a member of its own cluster
+    val selfish = cc.filter(col("node") === col("cluster_id")).count()
+    val nClusters = cc.select(col("cluster_id")).distinct().count()
+    assert(selfish == nClusters)
+  }
 }
