@@ -198,6 +198,36 @@ object CoreQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_inactive"),
           round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+    }),
+
+    // Per-group z-score outlier flagging — the anomaly-filter pass of an
+    // event pipeline. Two-pass map-reduce shape: (1) per-type moments in
+    // ONE aggregation — counts and sums over exact integer micro-units
+    // (round(value·10⁶) as long; the squared sums in decimal(38,0)), so
+    // the statistics are ORDER-INDEPENDENT (a double `avg`/`stddev` sums
+    // in partition order — the q44 lesson); (2) the |types|-row stats
+    // table broadcast back onto the scan, z computed per row in a fixed
+    // IEEE expression (+,−,×,÷,√ are all correctly rounded, so identical
+    // in any engine given identical exact inputs). Only |z| > 3 rows are
+    // emitted — at 100 TB the output is the anomaly set, not the log.
+    "q61_value_outliers" -> ((s, dir) => {
+      val vmu = round(col("value") * 1e6).cast("long")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), vmu.as("v"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v").cast("decimal(19,0)") * col("v")).as("s2"))
+        .withColumn("mean", col("s1").cast("double") / col("n"))
+        .withColumn("sd", sqrt(
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)))
+        .select(col("event_type"), col("mean"), col("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("v") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -282,6 +312,29 @@ object CoreQueries {
         |  round(corr(value, hour(CAST(ts AS TIMESTAMP))), 6) AS corr_value_hour,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Same exact-integer moments: hugeint sums ≡ Spark's long/decimal
+    // sums; the z expression mirrors the engine's operation order so the
+    // IEEE doubles match bit for bit.
+    "q61_value_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2
+        |  FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+        |  FROM st)
+        |SELECT v.event_id, v.event_type, v.value,
+        |  round((v.v - d.mean) / d.sd, 6) AS z
+        |FROM v JOIN d USING (event_type)
+        |WHERE abs((v.v - d.mean) / d.sd) > 3""".stripMargin,
 
     "q49_shipping_priority" ->
       """SELECT l_orderkey,

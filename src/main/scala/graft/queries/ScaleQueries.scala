@@ -409,7 +409,7 @@ object ScaleQueries {
         ceil(greatest(size(ws) - win, lit(0)).cast("double") / stride)).cast("int")
       val chunks = transform(sequence(lit(0), col("nc") - 1),
         i => struct(i.as("chunk_id"),
-          concat_ws(" ", slice(col("ws"), i * stride + 1, win)).as("chunk")))
+          concat_ws(" ", slice(col("ws"), i * stride + 1, lit(win))).as("chunk")))
       Tables(s, dir, "documents")
         .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
         .select(col("doc_id"), ws, nchunks.as("nc"))

@@ -376,9 +376,17 @@ object Dedup {
       .unionAll(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint() // reused every round — compute the edge list once
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Round 1 fused into initialization: everyone takes min(self, direct
+    // neighbors) in the same group-by that builds the node set — a dense
+    // (quasi-clique) near-dup cluster is DONE here, and the loop only
+    // confirms the fixpoint.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = e.unionAll(e.select(col("src"), col("src").as("dst")))
+      .groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+      .withColumnRenamed("src", "node")
       .localCheckpoint()
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -387,12 +395,13 @@ object Dedup {
       val next = labels.unionAll(nbr)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      // one scalar per round: does any node still improve? limit(1) lets
-      // the scan short-circuit on the first changed label.
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      // Convergence via ONE aggregate, no join: labels only ever decrease,
+      // and a non-converged round strictly decreases at least one — so the
+      // (exact, decimal) label sum is strictly monotone until fixpoint.
+      val nextSum = lblSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
