@@ -419,6 +419,35 @@ object ScaleQueries {
           md5(col("c.chunk").cast("binary")).as("chunk_fp"))
     }),
 
+    // Sequence packing — the bin-packing step between curation and
+    // tokenization: stream documents into fixed 512-token training
+    // sequences. Distributed shape: docs hash into S shards (md5-derived,
+    // engine-independent), each shard orders ITS docs deterministically
+    // and assigns pack = floor(tokens-before / budget) from ONE window
+    // cumulative sum — so packing parallelism scales with S, the only
+    // shuffle is the shard exchange, and every engine reproduces the
+    // exact same (shard, pack, offset) layout. A doc straddling a
+    // boundary starts its pack at its start-offset's bin (first-fit
+    // stream packing). At 100 TB: S ≈ cluster cores, window state is one
+    // running long per shard.
+    "q63_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val hk = md5(col("doc_id").cast("string").cast("binary"))
+      val shard = pmod(
+        conv(substring(hk, 1, 15), 16, 10).cast("long"), lit(8))
+      val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), hk.as("hk"), shard.as("shard"))
+        .select(col("doc_id"), col("hk"), col("shard"),
+          graft.scale.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          ((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"),
+          ((col("cum") - col("n_tokens")) % budget).as("offset"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -810,6 +839,22 @@ object ScaleQueries {
          |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
          |  round(tfidf, 6) AS tfidf
          |FROM rk WHERE rk <= 3""".stripMargin,
+
+    "q63_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS offset
+        |FROM c""".stripMargin,
 
     // Slices are 1-based INCLUSIVE: chunk i covers words i·24+1 .. i·24+32.
     "q62_passages" ->

@@ -127,4 +127,32 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q62: passage chunking is pure map-side — no exchange at all") {
+    val p = finalPlan("q62_passages")
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q63: sequence packing is one shard exchange, nothing else") {
+    val p = finalPlan("q63_pack")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "window must sort within shards, not globally:\n" + p)
+  }
+
+  test("q60: tf-idf joins stay keyed; corpus size arrives as a 1-row broadcast") {
+    val p = finalPlan("q60_tfidf_terms")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row corpus-count broadcast
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(p.contains("partial_count"), "df/tf counts must combine map-side:\n" + p)
+  }
+
+  test("q61: outlier stats broadcast back onto the scan; moments combine map-side") {
+    val p = finalPlan("q61_value_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
