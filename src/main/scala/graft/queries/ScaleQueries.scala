@@ -448,6 +448,36 @@ object ScaleQueries {
           ((col("cum") - col("n_tokens")) % budget).as("offset"))
     }),
 
+    // Per-label centroid cohesion — the embedding-space cluster audit: how
+    // close each vector sits to its class centroid (low cohesion = label
+    // noise / outlier candidates). Centroid components are EXACT integer
+    // micro-sums (posexplode → one (label, pos) shuffle with map-side
+    // partial sums — element-wise array aggregation with no float
+    // order-dependence, the q44/q61 discipline), assembled into an array
+    // per label (sorted by position, so collect_list's order freedom
+    // cancels) and broadcast back onto the scan; cosine is scale-invariant
+    // so the raw integer sums serve as the centroid without any division.
+    // Per-row cosine is the codegen'd index-order DotProduct — the same
+    // fixed IEEE summation the oracle restates. At 100 TB: the exploded
+    // shuffle carries n·dim skinny rows with partial aggregation, the
+    // |labels|×dim centroid table is kilobytes, the join is broadcast.
+    "q64_label_cohesion" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb
+        .select(col("label"), posexplode(Similarity.toDouble(col("embedding"))))
+        .select(col("label"), col("pos"),
+          round(col("col") * 1e6).cast("long").as("v"))
+        .groupBy(col("label"), col("pos")).agg(sum(col("v")).as("sv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          s => s.getField("sv").cast("double")).as("c"))
+      emb.select(col("vec_id"), col("label"),
+          Similarity.toDouble(col("embedding")).as("e"))
+        .join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("e"), col("c")), 6).as("cohesion"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -839,6 +869,30 @@ object ScaleQueries {
          |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
          |  round(tfidf, 6) AS tfidf
          |FROM rk WHERE rk <= 3""".stripMargin,
+
+    // Centroid components recomputed as the same exact integer sums; the
+    // cosine's three dot products are correlated subqueries over an
+    // ordered range — index-order summation, matching DotProduct.
+    "q64_label_cohesion" ->
+      """WITH x AS (
+        |  SELECT label, t.i AS pos,
+        |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |c AS (
+        |  SELECT label, pos, sum(v) AS sv FROM x GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT label, list(CAST(sv AS DOUBLE) ORDER BY pos) AS c
+        |  FROM c GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  round(
+        |    (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * cl.c[t.i])
+        |     FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE)
+        |                        * CAST(e.embedding[t.i] AS DOUBLE))
+        |             FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(cl.c[t.i] * cl.c[t.i])
+        |               FROM range(1, 65) t(i)))), 6) AS cohesion
+        |FROM embeddings e JOIN cl USING (label)""".stripMargin,
 
     "q63_pack" ->
       """WITH t AS (
