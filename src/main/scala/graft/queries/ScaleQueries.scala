@@ -363,90 +363,22 @@ object ScaleQueries {
         .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
     }),
 
-    // Corpus TF-IDF: top-3 highest-scoring terms per document — the
-    // keyword-extraction pass of a curation pipeline. Shape: per-doc term
-    // frequencies (one shuffle on (doc, term) with map-side partial
-    // counts), document frequencies (one shuffle on term — counts rows of
-    // the ALREADY-AGGREGATED tf table, so df is exact with no distinct),
-    // corpus size joined in as a broadcast 1-row aggregate (no driver
-    // action), score = tf·ln(N/df), then a per-doc top-k window. Every
-    // exchange is keyed; nothing is all-pairs; the vocabulary never sits
-    // on the driver.
-    "q60_tfidf_terms" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term"))
-      tf.join(dfreq, "term")
-        .crossJoin(broadcast(n))
-        .withColumn("tfidf",
-          col("tf") * log(col("n_docs").cast("double") / col("df")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
-          round(col("tfidf"), 6).as("tfidf"))
-    }),
+    // Corpus TF-IDF: top-3 highest-scoring terms per document — see
+    // [[TextAnalysis.tfidfTopTerms]] for the keyed-shuffle shape.
+    "q60_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)),
 
-    // Sliding-window passage chunking — the context-window packing step
-    // between curation and tokenization: 32-word windows advancing by 24
-    // (8-word overlap), last window short-but-reaching-the-end, whole doc
-    // when it fits in one window. Pure map-side: the chunk index sequence
-    // and slices are native array ops inside one projection (word array
-    // materialized first — the q37 CSE lesson), then ONE explode; no
-    // shuffle anywhere. Emits the chunk fingerprint + length, not the
-    // text: at 100 TB the downstream exact-dedup of chunks joins on the
-    // 16-byte md5, never the strings.
-    "q62_passages" -> ((s, dir) => {
-      val win = 32
-      val stride = 24
-      val ws = col("ws")
-      val nchunks = (lit(1) +
-        ceil(greatest(size(ws) - win, lit(0)).cast("double") / stride)).cast("int")
-      val chunks = transform(sequence(lit(0), col("nc") - 1),
-        i => struct(i.as("chunk_id"),
-          concat_ws(" ", slice(col("ws"), i * stride + 1, lit(win))).as("chunk")))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
-        .select(col("doc_id"), ws, nchunks.as("nc"))
-        .select(col("doc_id"), explode(chunks).as("c"))
-        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
-          size(split(col("c.chunk"), " ")).as("n_words"),
-          md5(col("c.chunk").cast("binary")).as("chunk_fp"))
-    }),
+    // Sliding-window passage chunking: 32-word windows advancing by 24
+    // (8-word overlap) — see [[TextAnalysis.chunkPassages]].
+    "q62_passages" -> ((s, dir) =>
+      TextAnalysis.chunkPassages(Tables(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)),
 
-    // Sequence packing — the bin-packing step between curation and
-    // tokenization: stream documents into fixed 512-token training
-    // sequences. Distributed shape: docs hash into S shards (md5-derived,
-    // engine-independent), each shard orders ITS docs deterministically
-    // and assigns pack = floor(tokens-before / budget) from ONE window
-    // cumulative sum — so packing parallelism scales with S, the only
-    // shuffle is the shard exchange, and every engine reproduces the
-    // exact same (shard, pack, offset) layout. A doc straddling a
-    // boundary starts its pack at its start-offset's bin (first-fit
-    // stream packing). At 100 TB: S ≈ cluster cores, window state is one
-    // running long per shard.
-    "q63_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 512
-      val hk = md5(col("doc_id").cast("string").cast("binary"))
-      val shard = pmod(
-        conv(substring(hk, 1, 15), 16, 10).cast("long"), lit(8))
-      val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), hk.as("hk"), shard.as("shard"))
-        .select(col("doc_id"), col("hk"), col("shard"),
-          graft.scale.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          ((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"),
-          ((col("cum") - col("n_tokens")) % budget).as("offset"))
-    }),
+    // Sequence packing: fixed 512-token training sequences over 8
+    // md5-derived shards — see [[TextAnalysis.packSequences]].
+    "q63_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
+        budget = 512, shards = 8)),
 
     // Per-label centroid cohesion — the embedding-space cluster audit: how
     // close each vector sits to its class centroid (low cohesion = label

@@ -185,4 +185,84 @@ object TextAnalysis {
       .filter(col("__nd") <= maxDocsPerFp)
       .select(col(idCol), col("fp"))
   }
+
+  /** Sliding-window passage chunking — the context-window packing step
+    * between curation and tokenization: `window`-word chunks advancing by
+    * `stride` (overlap = window − stride), the last chunk
+    * short-but-reaching-the-end, a doc that fits in one window emitting
+    * exactly one chunk. Pure map-side: the chunk-index sequence and slices
+    * are native array ops inside one projection (word array materialized
+    * first — the lambda-CSE rule), then ONE explode; no shuffle. Emits the
+    * chunk md5 fingerprint + word count, not the text — downstream
+    * chunk-level dedup joins on the 16-byte key, never the strings.
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, s"need window >= stride > 0, got ($window, $stride)")
+    val ws = col("__ws")
+    val nchunks = (lit(1) +
+      ceil(greatest(size(ws) - window, lit(0)).cast("double") / stride)).cast("int")
+    val chunks = transform(sequence(lit(0), col("__nc") - 1),
+      i => struct(i.as("chunk_id"),
+        concat_ws(" ", slice(col("__ws"), i * stride + 1, lit(window))).as("chunk")))
+    df.select(col(idCol), wordsOf(col(textCol)).as("__ws"))
+      .select(col(idCol), ws, nchunks.as("__nc"))
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_id").as("chunk_id"),
+        size(split(col("__c.chunk"), " ")).as("n_words"),
+        md5(col("__c.chunk").cast("binary")).as("chunk_fp"))
+  }
+
+  /** Fixed-budget sequence packing — stream documents into `budget`-token
+    * training sequences. Distributed shape: docs hash into `shards` shards
+    * (md5-derived, engine-independent), each shard orders ITS docs
+    * deterministically (md5 rank) and assigns pack = floor(tokens-before /
+    * budget) from ONE window cumulative sum — first-fit stream packing
+    * whose (shard, pack_id, offset) layout is identical on any engine or
+    * cluster size. The only shuffle is the shard exchange; window state is
+    * one running long per shard; parallelism scales with `shards` (set it
+    * ≈ cluster cores at 100 TB).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = md5(col(idCol).cast("string").cast("binary"))
+    val shard = pmod(conv(substring(hk, 1, 15), 16, 10).cast("long"), lit(shards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(textCol).as("__text"), hk.as("__hk"), shard.as("shard"))
+      .select(col(idCol), col("__hk"), col("shard"),
+        tokenCount(col("__text")).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        ((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack_id"),
+        ((col("__cum") - col("n_tokens")) % budget).as("offset"))
+  }
+
+  /** Per-document top-`k` TF-IDF terms — the keyword-extraction pass of a
+    * curation pipeline. Term frequencies come from one (doc, term) shuffle
+    * with map-side partial counts; document frequencies count rows of the
+    * already-aggregated tf table (exact, no distinct); the corpus size
+    * joins in as a broadcast 1-row aggregate (no driver action); score =
+    * tf·ln(N/df); a per-doc window keeps the top `k`. Every exchange is
+    * keyed — the vocabulary never sits on the driver.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(wordsOf(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("__n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
 }
