@@ -10,16 +10,18 @@ import org.apache.spark.sql.types.LongType
 import graft.Tables
 import graft.streaming.StreamOps
 
-/** Structured Streaming correctness coverage. q34 runs the REAL streaming
-  * engine (file source → watermarked windowed aggregate → sink) over the
+/** Structured Streaming correctness coverage. q34/q41/q42/q45/q65 run the
+  * REAL streaming engine (file source → stateful operator → sink) over the
   * finite events table with an AvailableNow trigger, so the driver's
   * DuckDB compare checks streaming execution itself — not a batch
-  * re-statement of it. q35 is the batch form of sessionization via the
-  * native `session_window`, oracle-checked against an independent
-  * lag/cumulative-sum formulation (the streaming form,
-  * [[graft.streaming.StreamOps.sessionize]], is spec-tested — a gap
-  * session's flushes depend on processing-time timeouts, which no
-  * engine-independent SQL oracle can restate).
+  * re-statement of it: watermarked windowed rollup, broadcast enrichment,
+  * watermark-bounded dedup, stream-stream interval join, and
+  * session-merging `session_window` aggregation. q35 is the batch twin of
+  * the sessionization (same aggregate, batch planner); the custom-state
+  * form, [[graft.streaming.StreamOps.sessionize]]
+  * (`flatMapGroupsWithState`), is spec-tested — its flushes depend on
+  * processing-time timeouts, which no engine-independent SQL oracle can
+  * restate.
   */
 object StreamQueries {
 
@@ -156,6 +158,33 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Gap-based sessionization executed by the REAL streaming engine:
+    // the same native session_window aggregate as q35, but as a stateful
+    // streaming query (file source → session-merging state store → sink).
+    // Complete-mode memory sink because the run is finite and the oracle
+    // needs every session; production appends with a watermark so closed
+    // sessions emit and their state evicts. Hash-checked against the q35
+    // lag/cumsum restatement — the streaming session-merge must reproduce
+    // the batch semantics exactly.
+    "q65_stream_session" -> ((s, dir) => {
+      val out = eventsStream(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          date_format(col("t0"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("sum_value"))
+      val name = s"q65_mem_${runSeq.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // Gap-based sessionization, batch form: native session_window (state
     // merges inside the aggregate — one shuffle on user_id, no
     // self-join/window over the event stream). Session bounds rendered at
@@ -206,6 +235,26 @@ object StreamQueries {
         |  strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS c_time
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts""".stripMargin,
+
+    "q65_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // Independent restatement: session breaks where the gap to the
     // previous event is >= 8h (session_window merges [t, t+gap) intervals,
