@@ -155,4 +155,17 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q64: centroid sums combine map-side; centroids broadcast back onto the scan") {
+    val p = finalPlan("q64_label_cohesion")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), "element sums must combine map-side:\n" + p)
+  }
+
+  test("q59: both windows share one group-key exchange; no global sort") {
+    val p = finalPlan("q59_stratified_sample")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }

@@ -145,4 +145,37 @@ class TextMultimodalSpec extends SparkSpec {
     // without the guard the same join drowns in m² boilerplate pairs
     assert(pairsOf(uncapped).size > 1000)
   }
+
+  test("chunkPassages: window/stride geometry, short docs, boundary cases") {
+    def wordsDoc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    // 10 words @ window 4 stride 3: chunks start at 0,3,6 — the start-6
+    // chunk reaches the end, so no start-9 chunk is emitted
+    val df = Seq(wordsDoc(1, 10), wordsDoc(2, 4), wordsDoc(3, 1),
+      wordsDoc(4, 5)).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(df, "doc_id", "text", window = 4, stride = 3)
+      .select(col("doc_id"), col("chunk_id"), col("n_words"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 4), // 10 words: [0..3][3..6][6..9]
+      (2L, 0, 4),                         // exactly one window
+      (3L, 0, 1),                         // short doc: whole text, one chunk
+      (4L, 0, 4), (4L, 1, 2)))            // last chunk short but reaches end
+  }
+
+  test("packSequences: packs fill to the budget; offsets are cumulative within shard") {
+    val df = (1L to 200L).map(i => (i, "tok " * 10)).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(df, "doc_id", "text", budget = 64, shards = 4)
+    import org.apache.spark.sql.Row
+    // every doc's offset is its shard-cumsum mod nothing: offset < budget
+    assert(out.filter(col("offset") >= 64 || col("offset") < 0).count() == 0)
+    // within a (shard, pack), offsets + n_tokens never exceed budget except
+    // for the boundary-straddling first doc of the NEXT pack — i.e. each
+    // pack's docs start strictly inside the budget
+    val rows = out.collect()
+    rows.foreach { case Row(_, _, _, _, off: Long) => assert(off < 64) }
+    // conservation: total tokens = sum over shards of last cum value;
+    // every doc appears exactly once
+    assert(out.count() == 200)
+    assert(out.select(sum(col("n_tokens"))).head().getLong(0) == 200 * 10)
+  }
 }
