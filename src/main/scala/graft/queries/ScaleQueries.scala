@@ -288,6 +288,19 @@ object ScaleQueries {
         .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // The SAME closure on the alternating large-star/small-star algorithm
+    // — O(log² n) rounds independent of component diameter, the true
+    // 100 TB graph path (min-label propagation pays O(diameter) rounds).
+    // Identical output contract, so the one recursive-CTE oracle
+    // hash-checks BOTH implementations; DedupSpec additionally pins them
+    // equal on chains/cliques/stars/random graphs.
+    "q66_dup_clusters_bigstar" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+      Dedup.connectedComponentsBigStar(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     // Deterministic train/val/test split assignment — the reproducible
     // sharding every training corpus needs: bucket = md5(doc_id) mod 100
     // (content-independent, stable across runs/engines/cluster sizes, no
@@ -426,6 +439,37 @@ object ScaleQueries {
     }))
 
   private val wsSplit = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  // Pairs by brute-force shingle Jaccard (the q16 restatement), closed
+  // into components with a recursive CTE — min label reachable from each
+  // node IS its component's min id, since reachability is symmetric.
+  // Shared verbatim by q58 (min-label propagation) and q66 (large-star/
+  // small-star): same contract, one independent restatement checks both.
+  private val dupClustersOracle: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, $wsSplit AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+       |         ELSE [array_to_string(w, ' ')] END AS sh
+       |  FROM d),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |    AND least(len(a.sh), len(b.sh)) >= 0.9 * greatest(len(a.sh), len(b.sh))
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
+       |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node),
+       |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
+       |SELECT lab.node AS doc_id, lab.lbl AS cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (lbl)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q15_exact_dedup" ->
@@ -705,34 +749,8 @@ object ScaleQueries {
         |  hex(substr(text, 1, 8)) AS head_hex
         |FROM documents""".stripMargin,
 
-    // Pairs by brute-force shingle Jaccard (the q16 restatement), closed
-    // into components with a recursive CTE — min label reachable from each
-    // node IS its component's min id, since reachability is symmetric.
-    "q58_dup_clusters" ->
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, $wsSplit AS w FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(w) >= 3
-         |         THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
-         |         ELSE [array_to_string(w, ' ')] END AS sh
-         |  FROM d),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |    AND least(len(a.sh), len(b.sh)) >= 0.9 * greatest(len(a.sh), len(b.sh))
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM p
-         |      UNION SELECT id_b, id_a FROM p),
-         |walk(node, lbl) AS (
-         |  SELECT src, src FROM e
-         |  UNION
-         |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
-         |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node),
-         |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
-         |SELECT lab.node AS doc_id, lab.lbl AS cluster_id, sz.cluster_size
-         |FROM lab JOIN sz USING (lbl)""".stripMargin,
+    "q58_dup_clusters" -> dupClustersOracle,
+    "q66_dup_clusters_bigstar" -> dupClustersOracle,
 
     "q57_split_assign" ->
       """SELECT doc_id, source,

@@ -411,6 +411,83 @@ object Dedup {
       .select(col("node"), col("lbl").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the 100 TB-scale path: O(log² n) rounds INDEPENDENT of component
+    * diameter, where [[connectedComponents]]' min-label propagation needs
+    * O(diameter) rounds (fine for dense near-dup clusters, pathological
+    * for chain-shaped graphs). Same building blocks per round — a
+    * group-by-min and an equi-join on the node key, never all-pairs:
+    *
+    *  - large-star: every node u computes m = min(Γ(u) ∪ {u}) and rewires
+    *    each STRICTLY LARGER neighbor v to m — tall trees flatten
+    *    geometrically;
+    *  - small-star: every node u rewires its smaller-or-self closure
+    *    {v ∈ Γ(u): v < u} ∪ {u} to its minimum — stars consolidate;
+    *  - fixpoint when a full round leaves the canonical edge set
+    *    unchanged (size + xxhash64 checksum, one aggregate — no join);
+    *    at fixpoint the graph is a forest of stars, each centered at its
+    *    component's minimum node.
+    *
+    * Returns the same (node, cluster_id, cluster_size) contract as
+    * [[connectedComponents]] — `DedupSpec` pins the two equal on chains,
+    * cliques, stars, and random graphs.
+    */
+  def connectedComponentsBigStar(edges: DataFrame, aCol: String, bCol: String,
+                                 maxIter: Int = 30): DataFrame = {
+    def sym(pairs: DataFrame): DataFrame =
+      pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src")).agg(least(min(col("dst")), col("src")).as("m"))
+      e.filter(col("dst") > col("src")).join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val neigh = e.filter(col("dst") < col("src"))
+      val m = neigh.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val rewired = neigh.join(m, "src")
+      rewired.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(rewired.select(col("src"), col("m").as("dst")).distinct())
+    }
+    // (count, checksum) of the canonical (small, large) edge set — one
+    // aggregate; equality of both ⇒ the round was a no-op (rewiring only
+    // ever replaces endpoints with smaller ones, so the set evolution is
+    // monotone and a checksum tie is a true fixpoint up to 2⁻⁶⁴ hash luck).
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(least(col("src"), col("dst")),
+          greatest(col("src"), col("dst"))).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var e = sym(edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))).localCheckpoint()
+    var prev = sig(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      e = sym(smallStar(sym(largeStar(e)))).localCheckpoint()
+      val cur = sig(e)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsBigStar did not converge in $maxIter rounds")
+    // fixpoint: stars centered at component minima. Non-center nodes hold
+    // exactly one (node > center) edge; centers label themselves.
+    val stars = e.filter(col("src") > col("dst"))
+      .select(col("src").as("node"), col("dst").as("lbl")).distinct()
+    val centers = stars.select(col("lbl")).distinct()
+      .select(col("lbl").as("node"), col("lbl"))
+    val labels = stars.unionAll(centers)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("cluster_id"), col("cluster_size"))
+  }
+
   /** Blocked exact n-gram Jaccard pairs: brute force WITHIN `blockCol`
     * only. The baseline the LSH path approximates; at scale the cost is
     * sum of block² not corpus².

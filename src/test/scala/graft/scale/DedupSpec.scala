@@ -174,6 +174,31 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (_, cid, sz) => cid == 0L && sz == 10L })
   }
 
+  test("connectedComponentsBigStar equals min-label propagation on varied graph shapes") {
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      // long chain (worst case for propagation, the big-star motivation)
+      (0L until 30L).map(i => (i, i + 1)),
+      // clique on 8 nodes
+      (for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i.toLong, j.toLong)).toSeq,
+      // star whose CENTER is not the minimum (min is a leaf)
+      Seq(50L -> 10L, 50L -> 60L, 50L -> 70L, 50L -> 80L),
+      // two components + a bridge-less extra pair, ids descending
+      Seq(9L -> 7L, 7L -> 5L, 100L -> 90L, 90L -> 95L, 3L -> 2L),
+      // pseudo-random graph, fixed arithmetic generator
+      (0 until 60).map(i => ((i * 37 + 11) % 40).toLong -> ((i * 53 + 29) % 40).toLong)
+        .filter(p => p._1 != p._2))
+    graphs.zipWithIndex.foreach { case (g, gi) =>
+      val edges = g.toDF("id_a", "id_b")
+      // propagation needs O(diameter) rounds — raise its cap for the chain;
+      // big-star keeps its default (the point of the comparison)
+      val prop = Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 40)
+        .as[(Long, Long, Long)].collect().toSet
+      val star = Dedup.connectedComponentsBigStar(edges, "id_a", "id_b")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(star == prop, s"graph #$gi: big-star != propagation")
+    }
+  }
+
   test("connectedComponents on minhash pairs groups every pair's endpoints together") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9).cache()
