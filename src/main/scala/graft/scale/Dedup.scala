@@ -385,7 +385,7 @@ object Dedup {
     var labels = e.unionAll(e.select(col("src"), col("src").as("dst")))
       .groupBy(col("src")).agg(min(col("dst")).as("lbl"))
       .withColumnRenamed("src", "node")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the label-sum action materializes it
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
@@ -394,7 +394,7 @@ object Dedup {
         .select(col("dst").as("node"), col("lbl"))
       val next = labels.unionAll(nbr)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: one job per round (sum = materialize)
       // Convergence via ONE aggregate, no join: labels only ever decrease,
       // and a non-converged round strictly decreases at least one — so the
       // (exact, decimal) label sum is strictly monotone until fixpoint.
@@ -468,7 +468,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = sym(smallStar(sym(largeStar(e)))).localCheckpoint()
+      e = sym(smallStar(sym(largeStar(e)))).localCheckpoint(false) // sig() materializes
       val cur = sig(e)
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
