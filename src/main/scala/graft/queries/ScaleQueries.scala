@@ -423,6 +423,35 @@ object ScaleQueries {
           round(Similarity.cosine(col("e"), col("c")), 6).as("cohesion"))
     }),
 
+    // Corpus-statistics quality scoring: mean unigram SURPRISAL per
+    // document (−ln of each word's corpus frequency) — the cheap
+    // language-model proxy that flags gibberish (high surprisal) and
+    // boilerplate (low) where the doc-local signals (q20/q54) cannot see
+    // corpus context. Shape: corpus term frequencies in one keyed shuffle
+    // with map-side partial counts; the 1-row token total broadcast; each
+    // occurrence's surprisal quantized to integer micro-nats BEFORE the
+    // per-doc aggregation, so the per-doc sum is order-independent (the
+    // q44/q61 discipline — per-word ln is a fixed IEEE expression, but a
+    // double SUM of them would depend on partition order); one final
+    // per-doc shuffle. At 100 TB the vocabulary never leaves the
+    // executors and every exchange is keyed.
+    "q67_surprisal" -> ((s, dir) => {
+      val terms = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+      val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      val tot = tf.agg(sum(col("ctf")).as("n_tot"))
+      terms.join(tf, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("s_mu",
+          round(-log(col("ctf").cast("double") / col("n_tot").cast("double")) * 1e6)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("s_mu")).as("ssum"))
+        .select(col("doc_id"), col("n_words"),
+          round((col("ssum").cast("double") / col("n_words")) / 1e6, 6)
+            .as("avg_surprisal"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -751,6 +780,22 @@ object ScaleQueries {
 
     "q58_dup_clusters" -> dupClustersOracle,
     "q66_dup_clusters_bigstar" -> dupClustersOracle,
+
+    // Same micro-nat quantization before the per-doc sum: integer sums
+    // are order-independent, and the per-word −ln is one IEEE expression
+    // over identical exact ratios.
+    "q67_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsSplit) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS ctf FROM w GROUP BY 1),
+         |tot AS (SELECT sum(ctf) AS n_tot FROM tf),
+         |x AS (
+         |  SELECT w.doc_id,
+         |    CAST(round(-ln(CAST(ctf AS DOUBLE) / CAST(n_tot AS DOUBLE)) * 1000000)
+         |         AS BIGINT) AS s_mu
+         |  FROM w JOIN tf USING (term), tot)
+         |SELECT doc_id, count(*) AS n_words,
+         |  round((CAST(sum(s_mu) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_surprisal
+         |FROM x GROUP BY doc_id""".stripMargin,
 
     "q57_split_assign" ->
       """SELECT doc_id, source,
