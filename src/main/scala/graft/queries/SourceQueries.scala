@@ -38,6 +38,32 @@ object SourceQueries {
           count_distinct(col("user_id")).as("users"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("cnt"), col("sum_value"), col("users"))
+    }),
+
+    // Bucketed round trip: lineitem and orders written BUCKETED (and
+    // sorted) on the order key with the same bucket count, read back, and
+    // fact-fact joined — the shuffle-free repeated-join story: both scans
+    // report the bucket layout, so the join needs NO exchange on either
+    // side (PlanAssertSpec pins exactly one exchange in the whole plan —
+    // the final group-by — with broadcast disabled). At 100 TB this is
+    // the difference between re-shuffling both fact tables on every join
+    // and paying the shuffle once at write time. The oracle joins the
+    // ORIGINAL tables: identical output proves the bucketed write→read
+    // cycle lossless and the bucket-pruned join complete.
+    "q68_bucketed_join" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Sources.writeBucketed(li, s"g68_lineitem_$sf", Seq("l_orderkey"), numBuckets = 8)
+      Sources.writeBucketed(ord, s"g68_orders_$sf", Seq("o_orderkey"), numBuckets = 8)
+      s.table(s"g68_lineitem_$sf")
+        .join(s.table(s"g68_orders_$sf"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -47,5 +73,11 @@ object SourceQueries {
         |  count(DISTINCT user_id) AS users
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "q68_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }

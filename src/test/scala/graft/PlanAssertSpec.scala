@@ -168,4 +168,21 @@ class PlanAssertSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("q68: bucketed fact-fact join runs with NO join-side exchange") {
+    // disable broadcast so the bucket layout (not table size) must carry
+    // the join — at 100 TB neither fact side broadcasts
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = finalPlan("q68_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      // the ONLY exchange is the final group-by; both scans feed the join
+      // straight from their bucket layout
+      assert(count(p, "Exchange hashpartitioning") == 1,
+        "bucketed join must not re-shuffle its inputs:\n" + p)
+      assert(p.contains("SelectedBucketsCount"), "scan not bucket-aware:\n" + p)
+    } finally spark.conf.set(key, prev)
+  }
 }
