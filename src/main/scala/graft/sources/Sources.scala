@@ -66,10 +66,27 @@ object Sources {
     * (`saveAsTable`), not a bare path.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      // An in-memory catalog dies with its JVM but the warehouse files
+      // survive; CREATE then refuses the orphaned location. Drop both the
+      // catalog entry and any leftover directory so Overwrite really does.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
