@@ -452,6 +452,44 @@ object ScaleQueries {
             .as("avg_surprisal"))
     }),
 
+    // Data-MIXTURE budgeting — the source-weighting step of corpus
+    // assembly: score every source by mean quality (exact integer
+    // micro-units, the q44 round-half-up formula), rank sources best
+    // first, and allocate a global token budget (60% of the corpus) down
+    // the ranking — full allocation while it lasts, the boundary source
+    // pro-rated, the tail excluded. The scan-side work is one map-side
+    // scoring pass + one |sources|-sized aggregation; the ranking window
+    // runs over the AGGREGATED rows (|sources|, not docs — a global
+    // window is fine after cardinality collapse), and the corpus total
+    // arrives as a broadcast 1-row aggregate. Everything downstream of
+    // the quality rounding is integer arithmetic — engine-independent.
+    "q69_mixture" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val ws = col("ws")
+      val scored = Tables(s, dir, "documents")
+        .select(col("source"), t, Dedup.words(t).as("ws"))
+        .select(col("source"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          round(TextAnalysis.qualityScoreW(t, ws) * 1e6).cast("long").as("q_mu"))
+      val agg = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("q_mu")).as("__sq"))
+        .withColumn("q_mean",
+          expr("(__sq * 2 + n_docs) div (n_docs * 2)").cast("double") / 1e6)
+      val tot = agg.agg(sum(col("sum_tokens")).as("__tot"))
+      val w = Window.orderBy(col("q_mean").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      agg.crossJoin(broadcast(tot))
+        .withColumn("__budget", expr("(__tot * 6) div 10"))
+        .withColumn("__cum", coalesce(sum(col("sum_tokens")).over(w), lit(0L)))
+        .withColumn("alloc_tokens",
+          greatest(lit(0L), least(col("sum_tokens"), col("__budget") - col("__cum"))))
+        .select(col("source"), col("n_docs"), col("sum_tokens"), col("q_mean"),
+          col("alloc_tokens"), (col("alloc_tokens") > 0).as("included"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -780,6 +818,43 @@ object ScaleQueries {
 
     "q58_dup_clusters" -> dupClustersOracle,
     "q66_dup_clusters_bigstar" -> dupClustersOracle,
+
+    // Quality restated as in q44; everything after the 6-digit rounding
+    // is integer arithmetic, so ranking, budget, and allocations match
+    // exactly.
+    "q69_mixture" ->
+      s"""WITH d AS (
+         |  SELECT source, text, $wsSplit AS ws,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, n_tokens,
+         |    CAST(round(round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                     / length(text) * 5.0, 1.0))
+         |      + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) * 1000000)
+         |      AS BIGINT) AS q_mu
+         |  FROM d),
+         |a AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(q_mu) AS BIGINT) AS sq
+         |  FROM q GROUP BY 1),
+         |m AS (
+         |  SELECT source, n_docs, sum_tokens,
+         |    CAST((sq * 2 + n_docs) // (n_docs * 2) AS DOUBLE) / 1000000.0 AS q_mean
+         |  FROM a),
+         |t AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot FROM a),
+         |c AS (
+         |  SELECT m.*, (t.tot * 6) // 10 AS budget,
+         |    CAST(coalesce(sum(sum_tokens) OVER (
+         |      ORDER BY q_mean DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM m, t)
+         |SELECT source, n_docs, sum_tokens, q_mean,
+         |  CAST(greatest(0, least(sum_tokens, budget - cum)) AS BIGINT) AS alloc_tokens,
+         |  greatest(0, least(sum_tokens, budget - cum)) > 0 AS included
+         |FROM c""".stripMargin,
 
     // Same micro-nat quantization before the per-doc sum: integer sums
     // are order-independent, and the per-word −ln is one IEEE expression
