@@ -301,6 +301,28 @@ object ScaleQueries {
         .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // The canonical near-dup REMOVAL pipeline end to end: LSH pairs →
+    // connected-component clusters → keep one doc per cluster (the
+    // cluster minimum) → per-source survivorship accounting. The cluster
+    // table is orders of magnitude smaller than the corpus (only docs in
+    // some near-dup pair), so the membership join is broadcast-able at
+    // any scale; the keep rule is a null-tolerant predicate, no second
+    // pass. Complements q44 (which collapses EXACT duplicates only).
+    "q70_neardup_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("keep",
+          col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+    }),
+
     // Deterministic train/val/test split assignment — the reproducible
     // sharding every training corpus needs: bucket = md5(doc_id) mod 100
     // (content-independent, stable across runs/engines/cluster sizes, no
@@ -510,9 +532,10 @@ object ScaleQueries {
   // Pairs by brute-force shingle Jaccard (the q16 restatement), closed
   // into components with a recursive CTE — min label reachable from each
   // node IS its component's min id, since reachability is symmetric.
-  // Shared verbatim by q58 (min-label propagation) and q66 (large-star/
-  // small-star): same contract, one independent restatement checks both.
-  private val dupClustersOracle: String =
+  // Shared verbatim by q58 (min-label propagation), q66 (large-star/
+  // small-star), and q70 (keep-one survivorship): same closure, one
+  // independent restatement checks all three.
+  private val dupClustersCtes: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, $wsSplit AS w FROM documents),
        |sh AS (
@@ -533,7 +556,10 @@ object ScaleQueries {
        |  SELECT src, src FROM e
        |  UNION
        |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
-       |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node),
+       |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node)""".stripMargin
+
+  private val dupClustersOracle: String =
+    s"""$dupClustersCtes,
        |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
        |SELECT lab.node AS doc_id, lab.lbl AS cluster_id, sz.cluster_size
        |FROM lab JOIN sz USING (lbl)""".stripMargin
@@ -818,6 +844,16 @@ object ScaleQueries {
 
     "q58_dup_clusters" -> dupClustersOracle,
     "q66_dup_clusters_bigstar" -> dupClustersOracle,
+
+    "q70_neardup_dedup" ->
+      s"""$dupClustersCtes
+         |SELECT doc.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lab.node IS NULL OR lab.lbl = doc.doc_id
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN lab.node IS NULL OR lab.lbl = doc.doc_id
+         |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.node
+         |GROUP BY 1""".stripMargin,
 
     // Quality restated as in q44; everything after the 6-digit rounding
     // is integer arithmetic, so ranking, budget, and allocations match
