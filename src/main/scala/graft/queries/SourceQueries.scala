@@ -50,6 +50,45 @@ object SourceQueries {
     // and paying the shuffle once at write time. The oracle joins the
     // ORIGINAL tables: identical output proves the bucketed write→read
     // cycle lossless and the bucket-pruned join complete.
+    // CSV round trip — the reference's declared flat-file target: events
+    // written as headered CSV (quoting protects the embedded JSON payload
+    // column), read back SCHEMA-FIRST (no inference scan — at 100 TB an
+    // inference pass is a second full read), then aggregated. The payload
+    // integrity check (sum of the numeric field extracted from the
+    // round-tripped JSON string) and the oracle on the ORIGINAL parquet
+    // prove the text encode/decode cycle lossless.
+    "q71_csv_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/q71-csv/" + new java.io.File(dir).getName
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      Sources.writeCsv(ev, out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      Sources.readCsv(s, out, schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          count_distinct(col("user_id")).as("users"),
+          sum(regexp_extract(col("props"), "[0-9]+", 0).cast("long")).as("sum_k"))
+    }),
+
+    // JSON-lines round trip: documents (multi-lingual text included)
+    // written as JSONL, read back schema-first, aggregated per
+    // (lang, source) with a distinct-md5 count over the round-tripped
+    // text — byte-exact text survival is the whole point of the check.
+    "q72_jsonl_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/q72-jsonl/" + new java.io.File(dir).getName
+      Sources.writeJsonl(Tables(s, dir, "documents"), out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      Sources.readJsonl(s, out, schema)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(md5(col("text").cast("binary"))).as("distinct_texts"))
+    }),
+
     "q68_bucketed_join" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val li = Tables(s, dir, "lineitem")
@@ -74,6 +113,19 @@ object SourceQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
         |GROUP BY 1""".stripMargin,
+
+    "q71_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS users,
+        |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q72_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS distinct_texts
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
