@@ -40,16 +40,6 @@ object SourceQueries {
           col("cnt"), col("sum_value"), col("users"))
     }),
 
-    // Bucketed round trip: lineitem and orders written BUCKETED (and
-    // sorted) on the order key with the same bucket count, read back, and
-    // fact-fact joined — the shuffle-free repeated-join story: both scans
-    // report the bucket layout, so the join needs NO exchange on either
-    // side (PlanAssertSpec pins exactly one exchange in the whole plan —
-    // the final group-by — with broadcast disabled). At 100 TB this is
-    // the difference between re-shuffling both fact tables on every join
-    // and paying the shuffle once at write time. The oracle joins the
-    // ORIGINAL tables: identical output proves the bucketed write→read
-    // cycle lossless and the bucket-pruned join complete.
     // CSV round trip — the reference's declared flat-file target: events
     // written as headered CSV (quoting protects the embedded JSON payload
     // column), read back SCHEMA-FIRST (no inference scan — at 100 TB an
@@ -89,6 +79,16 @@ object SourceQueries {
           count_distinct(md5(col("text").cast("binary"))).as("distinct_texts"))
     }),
 
+    // Bucketed round trip: lineitem and orders written BUCKETED (and
+    // sorted) on the order key with the same bucket count, read back, and
+    // fact-fact joined — the shuffle-free repeated-join story: both scans
+    // report the bucket layout, so the join needs NO exchange on either
+    // side (PlanAssertSpec pins exactly one exchange in the whole plan —
+    // the final group-by — with broadcast disabled). At 100 TB this is
+    // the difference between re-shuffling both fact tables on every join
+    // and paying the shuffle once at write time. The oracle joins the
+    // ORIGINAL tables: identical output proves the bucketed write→read
+    // cycle lossless and the bucket-pruned join complete.
     "q68_bucketed_join" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val li = Tables(s, dir, "lineitem")
