@@ -512,6 +512,29 @@ object ScaleQueries {
           col("alloc_tokens"), (col("alloc_tokens") > 0).as("included"))
     }),
 
+    // The SQL-TEXT surface: the same engine driven entirely through
+    // `spark.sql(...)` with the custom expressions resolved from the
+    // function registry (GraftExtensions via the live-session installer)
+    // — a reference user's SQL-first workflow is first-class, not a
+    // DataFrame-only API. stopword_hits is the codegen'd vocabulary
+    // counter; the signature is the md5-family SimHash built from plain
+    // SQL building blocks around simhash_bits — both independently
+    // restated by the oracle (list_filter count; the q21 bit formula).
+    "q73_sql_surface" -> ((s, dir) => {
+      org.apache.spark.sql.GraftBridge.installFunctions(
+        s, new graft.expr.GraftExtensions())
+      Tables(s, dir, "documents").createOrReplaceTempView("g73_docs")
+      s.sql("""
+        SELECT doc_id,
+          stopword_hits(split(trim(lower(text)), '\\s+'),
+            array('the','a','and','of','to','in','is','it','for','on')) AS en_hits,
+          simhash_bits(
+            transform(array_distinct(split(trim(lower(text)), '\\s+')),
+              w -> cast(conv(substring(md5(cast(w AS binary)), 1, 15), 16, 10) AS bigint)),
+            60) AS sig
+        FROM g73_docs""")
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -891,6 +914,23 @@ object ScaleQueries {
          |  CAST(greatest(0, least(sum_tokens, budget - cum)) AS BIGINT) AS alloc_tokens,
          |  greatest(0, least(sum_tokens, budget - cum)) > 0 AS included
          |FROM c""".stripMargin,
+
+    "q73_sql_surface" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $wsSplit AS ws, list_distinct($wsSplit) AS dws
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ws,
+         |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
+         |    [CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) for x in dws] AS hs
+         |  FROM w)
+         |SELECT doc_id, CAST(en_hits AS INT) AS en_hits,
+         |  CAST(list_sum([
+         |    CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+         |    for b in range(0, 60)]) AS BIGINT) AS sig
+         |FROM h""".stripMargin,
 
     // Same micro-nat quantization before the per-doc sum: integer sums
     // are order-independent, and the per-word −ln is one IEEE expression

@@ -169,6 +169,23 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("global sweep: no registered query plans a CartesianProduct") {
+    // Streaming queries (memory-table output — the stateful plan already
+    // ran) and the CC loops (iterative jobs during construction; the
+    // returned frame is the final labels join) are skipped: their
+    // returned plan is not the operator's plan, and constructing them
+    // executes the full pipeline. Everything else is planned lazily here
+    // and swept for the one join shape that never belongs at 100 TB.
+    val skip = Set(
+      "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",
+      "q45_stream_join", "q65_stream_session",
+      "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
+      val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
+
   test("q68: bucketed fact-fact join runs with NO join-side exchange") {
     // disable broadcast so the bucket layout (not table size) must carry
     // the join — at 100 TB neither fact side broadcasts
