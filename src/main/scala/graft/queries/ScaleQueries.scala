@@ -146,6 +146,25 @@ object ScaleQueries {
         routing = Some((sup, kids, superProbe)))
     }),
 
+    // The IVF machinery in its EXACT-degeneration mode: nprobe = K and
+    // every super-cell probed, which SimilaritySpec pins ≡ the exact NN
+    // join — so the whole IVF code path (two-level routed assignment,
+    // posexplode membership/probes, cell equi-join, map-side argmax) runs
+    // under the q29 DuckDB oracle, hash-checked. Only the approximation
+    // dial itself (nprobe < K, q33) is inherently non-restatable (driver
+    // k-means) and stays rows-only + recall-spec'd. Same plan shape as
+    // q33 — this is a correctness harness for the scale path, not a
+    // second algorithm.
+    "q74_ivf_exact" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val (k, _) = Similarity.ivfParams(emb)
+      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
+      val (superK, _) = Similarity.routingParams(cents.length)
+      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = cents.length,
+        routing = Some((sup, kids, sup.length)))
+    }),
+
     // Corpus-level top-100 bigrams by occurrence: explode → count with
     // map-side partial aggregation (the shuffle carries one row per
     // distinct gram per partition, not one per occurrence) → TakeOrdered
@@ -581,6 +600,23 @@ object ScaleQueries {
        |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
        |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node)""".stripMargin
 
+  // Exact nearest neighbor per vector, brute-forced with index-order dot
+  // products (matches DotProduct's summation) — checks q29 directly and
+  // q74 (the IVF machinery forced to exactness).
+  private val nnOracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    (SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+      |     FROM range(1, 65) t(i))
+      |    / (sqrt((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+      |       * sqrt((SELECT sum(CAST(b.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+      |SELECT id_a AS vec_id, id_b AS nn_id, round(c, 6) AS cos FROM (
+      |  SELECT id_a, id_b, c,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+      |  FROM p) WHERE rn = 1""".stripMargin
+
   private val dupClustersOracle: String =
     s"""$dupClustersCtes,
        |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
@@ -836,19 +872,10 @@ object ScaleQueries {
          |  AND fp IN (SELECT fp FROM e WHERE doc_id % 2 = 1)
          |GROUP BY doc_id""".stripMargin,
 
-    "q29_embedding_nn" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    (SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
-        |     FROM range(1, 65) t(i))
-        |    / (sqrt((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
-        |       * sqrt((SELECT sum(CAST(b.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
-        |SELECT id_a AS vec_id, id_b AS nn_id, round(c, 6) AS cos FROM (
-        |  SELECT id_a, id_b, c,
-        |    row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
-        |  FROM p) WHERE rn = 1""".stripMargin,
+    "q29_embedding_nn" -> nnOracle,
+    // the IVF join at nprobe=K / all supers probed degenerates to the
+    // exact NN join — one brute-force restatement checks both
+    "q74_ivf_exact" -> nnOracle,
 
     "q37_top_ngrams" ->
       s"""WITH w AS (SELECT $wsSplit AS ws FROM documents),
