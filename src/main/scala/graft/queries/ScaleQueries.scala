@@ -480,7 +480,10 @@ object ScaleQueries {
       val terms = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
       val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
-      val tot = tf.agg(sum(col("ctf")).as("n_tot"))
+      // total occurrences = Σ|words| computed map-side off the scan — same
+      // value as Σctf without re-running the explode+aggregate subtree
+      val tot = Tables(s, dir, "documents")
+        .agg(sum(size(Dedup.words(col("text")))).as("n_tot"))
       terms.join(tf, "term")
         .crossJoin(broadcast(tot))
         .withColumn("s_mu",
