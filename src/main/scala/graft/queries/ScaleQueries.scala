@@ -342,6 +342,38 @@ object ScaleQueries {
         .withColumn("n_dropped", col("n_docs") - col("n_kept"))
     }),
 
+    // INCREMENTAL ingestion dedup — the production pattern: a new batch
+    // (odd ids — a stand-in for today's crawl) deduped against the
+    // existing corpus (even ids). Two passes in the production order:
+    // (1) the cheap exact pass — a LEFT ANTI join of batch content keys
+    // against the corpus key set (16-byte md5 keys, broadcast-able);
+    // (2) the near-dup pass — the verified LSH pipeline over the union,
+    // keeping only pairs that CROSS the batch/corpus boundary (within-
+    // batch near-dups are a separate policy decision and deliberately
+    // kept). Survivors = batch minus both drop sets. Exact dups are also
+    // sim-1.0 LSH pairs, so the passes overlap by design — pass 1 exists
+    // because at 100 TB it removes the (typically dominant) exact-dup
+    // mass before any signature is computed.
+    "q75_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val corpusKeys = docs.filter(col("doc_id") % 2 === 0)
+        .select(Dedup.contentKey(col("text")).as("ck")).distinct()
+      val exactSurvivors = batch
+        .withColumn("ck", Dedup.contentKey(col("text")))
+        .join(corpusKeys, Seq("ck"), "left_anti")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+      val crossDropIds = pairs
+        .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+        .select(when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b"))
+          .as("doc_id"))
+        .distinct()
+      exactSurvivors
+        .join(crossDropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Deterministic train/val/test split assignment — the reproducible
     // sharding every training corpus needs: bucket = md5(doc_id) mod 100
     // (content-independent, stable across runs/engines/cluster sizes, no
@@ -897,6 +929,31 @@ object ScaleQueries {
 
     "q58_dup_clusters" -> dupClustersOracle,
     "q66_dup_clusters_bigstar" -> dupClustersOracle,
+
+    // Survivors = odd-id docs in no cross-parity brute-force pair.
+    // (Exact dups have identical shingle sets ⇒ Jaccard 1.0 ⇒ already in
+    // the pair set, so the engine's exact-key pass drops a subset of the
+    // same ids — the restatement needs only the pairs.)
+    "q75_incremental_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $wsSplit AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+         |         ELSE [array_to_string(w, ' ')] END AS sh
+         |  FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |    AND least(len(a.sh), len(b.sh)) >= 0.9 * greatest(len(a.sh), len(b.sh))
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+         |drop_ids AS (
+         |  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+         |  FROM p WHERE id_a % 2 <> id_b % 2)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin,
 
     "q70_neardup_dedup" ->
       s"""$dupClustersCtes
