@@ -161,14 +161,40 @@ object CoreQueries {
     // sketch state; bound pinned in ApproxAggSpec) and the exact form
     // stays as the small-data oracle.
     "q51_stats_by_type" -> ((s, dir) => {
+      // stddev/corr from EXACT integer micro-unit moments, not the
+      // built-in double aggregates: `stddev_samp`/`corr` sum doubles in
+      // partition order, and at round(…, 6) tightness that is exactly the
+      // order-dependent hash that made q44 flaky in round 4. Moments are
+      // longs/decimals (order-independent); the final formulas are fixed
+      // IEEE expressions over exact inputs, mirrored by the oracle.
+      // `percentile` stays: exact median sorts, no float accumulation.
+      val vmu = round(col("value") * 1e6).cast("long")
+      val d38 = "decimal(38,0)"
       Tables(s, dir, "events")
-        .withColumn("h", hour(col("ts")))
+        .select(col("event_type"), col("value"), vmu.as("v"), hour(col("ts")).as("h"))
         .groupBy(col("event_type"))
         .agg(
-          round(stddev_samp(col("value")), 6).as("sd_value"),
-          round(expr("percentile(value, 0.5)"), 6).as("median_value"),
-          round(corr(col("value"), col("h")), 6).as("corr_value_hour"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          sum(col("v")).as("s1"),
+          sum(col("v").cast("decimal(19,0)") * col("v")).as("s2"),
+          sum(col("h").cast("long")).as("sh"),
+          sum(col("h").cast("long") * col("h")).as("shh"),
+          sum(col("v") * col("h")).as("svh"),
+          round(expr("percentile(value, 0.5)"), 6).as("median_value"))
+        .select(col("event_type"),
+          round(sqrt(
+            (col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+              (col("n") - 1)) / 1e6, 6).as("sd_value"),
+          col("median_value"),
+          round(
+            (col("n").cast(d38) * col("svh") - col("s1").cast(d38) * col("sh"))
+              .cast("double") /
+              (sqrt((col("n").cast(d38) * col("s2") - col("s1").cast(d38) * col("s1"))
+                .cast("double")) *
+               sqrt((col("n").cast(d38) * col("shh") - col("sh").cast(d38) * col("sh"))
+                 .cast("double"))), 6).as("corr_value_hour"),
+          col("n"))
     }),
 
     // Set operations: INTERSECT/EXCEPT compile to a distinct-aggregate
@@ -305,13 +331,32 @@ object CoreQueries {
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Same exact integer moments (hugeint sums ≡ the engine's
+    // long/decimal sums); the sd/corr formulas mirror the engine's
+    // operation order so the IEEE doubles match bit for bit.
     "q51_stats_by_type" ->
-      """SELECT event_type,
-        |  round(stddev_samp(value), 6) AS sd_value,
-        |  round(quantile_cont(value, 0.5), 6) AS median_value,
-        |  round(corr(value, hour(CAST(ts AS TIMESTAMP))), 6) AS corr_value_hour,
-        |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(v) AS s1, sum(CAST(v AS HUGEINT) * v) AS s2,
+        |    sum(h) AS sh, sum(h * h) AS shh, sum(v * h) AS svh,
+        |    round(quantile_cont(value, 0.5), 6) AS median_value
+        |  FROM v GROUP BY 1)
+        |SELECT event_type,
+        |  round(sqrt((CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+        |        / 1000000.0, 6) AS sd_value,
+        |  median_value,
+        |  round(CAST(CAST(n AS HUGEINT) * svh - CAST(s1 AS HUGEINT) * sh AS DOUBLE)
+        |        / (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+        |           * sqrt(CAST(CAST(n AS HUGEINT) * shh - CAST(sh AS HUGEINT) * sh AS DOUBLE))),
+        |        6) AS corr_value_hour,
+        |  n
+        |FROM m""".stripMargin,
 
     // Same exact-integer moments: hugeint sums ≡ Spark's long/decimal
     // sums; the z expression mirrors the engine's operation order so the
