@@ -162,6 +162,62 @@ class TextMultimodalSpec extends SparkSpec {
       (4L, 0, 4), (4L, 1, 2)))            // last chunk short but reaches end
   }
 
+  test("chunkPassages matches a sequential reference over random doc lengths") {
+    // plain-Scala restatement of the geometry: starts advance by stride
+    // until a window reaches the end; chunks are word slices
+    def reference(words: Seq[String], window: Int, stride: Int): Seq[(Int, Int)] = {
+      val n = words.length
+      val nc = 1 + math.ceil(math.max(0, n - window).toDouble / stride).toInt
+      (0 until nc).map { i =>
+        val chunk = words.slice(i * stride, i * stride + window)
+        (i, chunk.length)
+      }
+    }
+    // deterministic pseudo-random lengths incl. the boundary cases around
+    // multiples of stride and window
+    val lengths = Seq(1, 2, 7, 8, 9, 15, 16, 17, 24, 31, 32, 33, 40, 47, 48, 49, 96) ++
+      (0 until 20).map(i => 1 + (i * 37 + 11) % 120)
+    val docs = lengths.zipWithIndex
+      .map { case (n, id) => (id.toLong, (1 to n).map(j => s"w$j").mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(df, "doc_id", "text", window = 16, stride = 8)
+      .select(col("doc_id"), col("chunk_id"), col("n_words"))
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val exp = reference(text.split(" ").toSeq, 16, 8)
+      assert(out(id) == exp, s"doc $id (${text.split(' ').length} words)")
+    }
+  }
+
+  test("packSequences matches a sequential reference packing per shard") {
+    val docs = (1L to 150L).map(i => (i, ("tok " * (1 + (i % 13)).toInt).trim))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(df, "doc_id", "text", budget = 40, shards = 4)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"), col("offset"))
+      .as[(Long, Long, Int, Long, Long)].collect()
+    // reference: group by the same md5 shard, order by (md5 hex, id),
+    // stream-pack with a running token counter
+    def md5hex(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def shardOf(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id).take(15), 16) % 4
+    val byShard = docs.map { case (id, text) =>
+      (id, shardOf(id), text.split(" ").length)
+    }.groupBy(_._2)
+    val expected = byShard.flatMap { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy { case (id, _, _) => (md5hex(id), id) }.map { case (id, _, nt) =>
+        val before = cum
+        cum += nt
+        (id, shard, nt, before / 40, before % 40)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
   test("packSequences: packs fill to the budget; offsets are cumulative within shard") {
     val df = (1L to 200L).map(i => (i, "tok " * 10)).toDF("doc_id", "text")
     val out = TextAnalysis.packSequences(df, "doc_id", "text", budget = 64, shards = 4)
