@@ -110,6 +110,16 @@ class DateRangeSpec extends AnyFunSuite {
       DateRange("2023-02-25", "2023-02-28"))
   }
 
+  test("split_month_8_8_8_rest: December has no year-overflow; anchor day is irrelevant") {
+    // reference test_date.py:1199-1217 — last_day via next month must not
+    // overflow the year at December, and any anchor inside the month
+    // yields the same chunks
+    assert(DateRange.splitMonth888Rest(Some("2024-12-15"))(3) ==
+      DateRange("2024-12-25", "2024-12-31"))
+    assert(DateRange.splitMonth888Rest(Some("2024-03-01")) ==
+      DateRange.splitMonth888Rest(Some("2024-03-31")))
+  }
+
   test("single_calendar_period composes the frame kernel") {
     assert(DateRange.singleCalendarPeriod(Month, -1, Some("2024-06-15")) ==
       DateRange("2024-05-01", "2024-05-31"))
