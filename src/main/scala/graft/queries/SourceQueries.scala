@@ -79,6 +79,45 @@ object SourceQueries {
           count_distinct(md5(col("text").cast("binary"))).as("distinct_texts"))
     }),
 
+    // The CAPSTONE export: the full curation pipeline ending where a real
+    // training-data run ends — on disk, partitioned for consumption.
+    // Score map-side → keep high-quality English → collapse exact
+    // duplicates (one min_by shuffle) → deterministic md5 split
+    // assignment → WRITE partitioned by split → read back ONLY the train
+    // partition (directory pruning, not a filter over the full set) →
+    // per-source token accounting. Every stage is an already-verified
+    // operator; this query proves they compose through a round trip of
+    // the export format. The oracle independently restates the whole
+    // chain from the raw table.
+    "q76_corpus_export" -> ((s, dir) => {
+      import graft.scale.{Dedup, TextAnalysis}
+      val out = "/root/repo/target/q76-export/" + new java.io.File(dir).getName
+      val t = col("text")
+      val ws = col("ws")
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), t, Dedup.words(t).as("ws"))
+        .select(col("doc_id"), col("source"), t, ws,
+          TextAnalysis.qualityScoreW(t, ws).as("quality"),
+          TextAnalysis.langIdW(ws).as("lang_guess"),
+          TextAnalysis.tokenCount(t).as("n_tokens"))
+        .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
+        .drop("ws")
+      val curated = Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(100))
+      val assigned = curated
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("split"))
+      Sources.writeParquet(assigned, out, partitionBy = Seq("split"))
+      Sources.readParquet(s, out)
+        .filter(col("split") === "train")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -126,6 +165,44 @@ object SourceQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT md5(text)) AS distinct_texts
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Full-chain restatement: q44's scoring/filter/dedup, q57's split
+    // buckets, then the train-only accounting — derived from the RAW
+    // table, so the engine's write→pruned-read cycle is covered too.
+    "q76_corpus_export" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, ws, n_tokens,
+        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                     / length(text) * 5.0, 1.0))
+        |      + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
+        |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
+        |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
+        |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
+        |  FROM d),
+        |f AS (SELECT * FROM scored WHERE quality >= 0.75 AND lang_guess = 'en'),
+        |k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(array_to_string(ws, ' '))
+        |                              ORDER BY doc_id) AS rn
+        |  FROM f),
+        |sp AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM k WHERE rn = 1)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM sp WHERE b < 90
+        |GROUP BY source""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -186,6 +186,13 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("q76: export read-back prunes to the train partition directory") {
+    val p = finalPlan("q76_corpus_export")
+    assert(p.contains("PartitionFilters: [isnotnull(split"),
+      "train read must prune partitions, not filter rows:\n" + p)
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
+
   test("q68: bucketed fact-fact join runs with NO join-side exchange") {
     // disable broadcast so the bucket layout (not table size) must carry
     // the join — at 100 TB neither fact side broadcasts
