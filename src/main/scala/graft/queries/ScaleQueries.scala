@@ -589,6 +589,20 @@ object ScaleQueries {
         FROM g73_docs""")
     }),
 
+    // Strided frame sampling over the binary payload — the "every Nth
+    // frame" decode-prep pattern with REAL plumbing: native byte slices
+    // (no UDF, no codec), one explode, payload never shuffled; emitted as
+    // hex fingerprints. The oracle re-slices the same bytes in DuckDB, so
+    // the byte-level frame geometry is hash-checked end to end.
+    "q77_frame_sample" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          posexplode(Multimodal.frameSample(col("payload"), frameSize = 16, stride = 48)))
+        .select(col("doc_id"), col("pos").as("frame_idx"),
+          hex(col("col")).as("frame_hex"))
+    }),
+
     // Decode-stub path: mapPartitions feature extraction. The stub's fake
     // features are md5/length arithmetic over the payload bytes, so the
     // oracle recomputes them from the same text — HASH-CHECKED, proving
@@ -1155,6 +1169,24 @@ object ScaleQueries {
          |    array_to_string(ws[chunk_id*24+1:chunk_id*24+32], ' '), ' ')) AS INT) AS n_words,
          |  md5(array_to_string(ws[chunk_id*24+1:chunk_id*24+32], ' ')) AS chunk_fp
          |FROM e""".stripMargin,
+
+    // Frames re-sliced from the same bytes. DuckDB has no BLOB substring,
+    // so the slice runs on the VARCHAR — equivalent here because this
+    // corpus is pure ASCII (octet_length = length for every row, which
+    // the q22 head-hex check already pins); a multibyte corpus would need
+    // the engine-side byte offsets restated differently.
+    "q77_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text AS p, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, p,
+        |    CAST(1 + ceil(greatest(n - 16, 0) / 48.0) AS INT) AS nf
+        |  FROM b),
+        |e AS (SELECT doc_id, unnest(range(0, nf)) AS i, p FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  hex(substring(p, CAST(i * 48 + 1 AS INT), 16)) AS frame_hex
+        |FROM e""".stripMargin,
 
     // The stub formulas restated over the same bytes: payload is the
     // UTF-8 text, so md5(text)/strlen(text) see identical input.

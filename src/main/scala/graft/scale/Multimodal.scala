@@ -40,6 +40,22 @@ object Multimodal {
   def sampleBytes(payload: Column, offset: Int, len: Int): Column =
     substring(payload, offset + 1, len)
 
+  /** Strided frame sampling: every `stride`-bytes offset yields one
+    * `frameSize`-byte frame, until a frame reaches the end of the payload
+    * (same geometry as [[TextAnalysis.chunkPassages]], in bytes) — the
+    * "sample every Nth frame" decode-prep pattern as PURE native
+    * expressions (sequence + per-element byte slice), fully distributed,
+    * no UDF, payload never shuffled. `payload` must be a materialized
+    * binary attribute (the lambda dereferences it per frame).
+    */
+  def frameSample(payload: Column, frameSize: Int, stride: Int): Column = {
+    require(stride > 0 && frameSize > 0, s"need frameSize, stride > 0, got ($frameSize, $stride)")
+    val nFrames = (lit(1) +
+      ceil(greatest(length(payload) - frameSize, lit(0)).cast("double") / stride)).cast("int")
+    transform(sequence(lit(0), nFrames - 1),
+      i => payload.substr(i * stride + 1, lit(frameSize)))
+  }
+
   /** Decode stub: on a real cluster this body is the codec call; here it
     * derives deterministic fake features so the schema, batch shape and
     * downstream plumbing are testable end-to-end. Runs per partition —
