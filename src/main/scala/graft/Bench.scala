@@ -70,7 +70,10 @@ object Bench {
     println(line)
     // Always persist the full line: a truncated stdout capture cost round 4
     // its official perf record (BENCH_r04.json cut mid-JSON).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // default is absolute (gitignored target/) so a cwd-relative run can't
+    // dirty the tree or scatter artifacts
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")

@@ -173,13 +173,17 @@ object CoreQueries {
       Tables(s, dir, "events")
         .select(col("event_type"), col("value"), vmu.as("v"), hour(col("ts")).as("h"))
         .groupBy(col("event_type"))
+        // every moment sums in DECIMAL: long sums of micro-unit products
+        // (v·h ~ 1e10·23 per row) would wrap silently at the 1e12-row
+        // group sizes this is designed for, while the oracle's HUGEINT
+        // stays exact — the overflow WOULD be the hash mismatch
         .agg(
           count(lit(1)).as("n"),
-          sum(col("v")).as("s1"),
+          sum(col("v").cast("decimal(28,0)")).as("s1"),
           sum(col("v").cast("decimal(19,0)") * col("v")).as("s2"),
-          sum(col("h").cast("long")).as("sh"),
-          sum(col("h").cast("long") * col("h")).as("shh"),
-          sum(col("v") * col("h")).as("svh"),
+          sum(col("h").cast("decimal(28,0)")).as("sh"),
+          sum(col("h").cast("decimal(19,0)") * col("h")).as("shh"),
+          sum(col("v").cast("decimal(19,0)") * col("h")).as("svh"),
           round(expr("percentile(value, 0.5)"), 6).as("median_value"))
         .select(col("event_type"),
           round(sqrt(
@@ -241,7 +245,8 @@ object CoreQueries {
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"), vmu.as("v"))
       val stats = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(28,0)")).as("s1"), // no long wrap at 1e12 rows
           sum(col("v").cast("decimal(19,0)") * col("v")).as("s2"))
         .withColumn("mean", col("s1").cast("double") / col("n"))
         .withColumn("sd", sqrt(

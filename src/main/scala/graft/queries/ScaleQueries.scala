@@ -381,10 +381,7 @@ object ScaleQueries {
     // this is the partition key for the split-out writes. md5-derived so
     // the oracle recomputes every assignment.
     "q57_split_assign" -> ((s, dir) => {
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"),
-        lit(100))
+      val bucket = pmod(Dedup.md5Long60(col("doc_id")), lit(100))
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), bucket.as("bucket"))
         .withColumn("split",
@@ -1100,6 +1097,8 @@ object ScaleQueries {
         |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
         |FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
 
+    // idf quantized to integer micro-nats before scoring (mirrors the
+    // engine): ranking runs on an exact integer product.
     "q60_tfidf_terms" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsSplit) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
@@ -1107,14 +1106,15 @@ object ScaleQueries {
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |sc AS (
          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+         |    tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000)
+         |                 AS BIGINT) AS tfidf_mu
          |  FROM tf JOIN df USING (term), n),
          |rk AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
-         |                              ORDER BY tfidf DESC, term) AS rk
+         |                              ORDER BY tfidf_mu DESC, term) AS rk
          |  FROM sc)
          |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
-         |  round(tfidf, 6) AS tfidf
+         |  CAST(tfidf_mu AS DOUBLE) / 1000000.0 AS tfidf
          |FROM rk WHERE rk <= 3""".stripMargin,
 
     // Centroid components recomputed as the same exact integer sums; the
@@ -1181,7 +1181,8 @@ object ScaleQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, p,
-        |    CAST(1 + ceil(greatest(n - 16, 0) / 48.0) AS INT) AS nf
+        |    CAST(1 + least(ceil(greatest(n - 16, 0) / 48.0),
+        |                   greatest(floor((n - 1) / 48.0), 0)) AS INT) AS nf
         |  FROM b),
         |e AS (SELECT doc_id, unnest(range(0, nf)) AS i, p FROM c)
         |SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -103,10 +103,7 @@ object SourceQueries {
         .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
         .drop("ws")
       val curated = Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"),
-        lit(100))
+      val bucket = pmod(Dedup.md5Long60(col("doc_id")), lit(100))
       val assigned = curated
         .withColumn("split",
           when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))

@@ -35,6 +35,15 @@ object Dedup {
     md5(concat_ws(" ", base).cast("binary"))
   }
 
+  /** 60-bit integer from the first 15 md5 hex chars of a value's string
+    * form — THE engine-independent bucketing scheme shared by split
+    * assignment (q57/q76), pack sharding, and the stratified-sample rank:
+    * any engine with md5 recomputes it bit-for-bit, so every consumer
+    * stays oracle-checkable, and a change here changes them all together.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup: keep the row with the minimal `tieBreak` per content key.
     * One shuffle on the 128-bit key; map-side partial min. Equivalent to
     * the reference user's drop-duplicates-by-hash pattern at any scale.
@@ -380,8 +389,11 @@ object Dedup {
     // neighbors) in the same group-by that builds the node set — a dense
     // (quasi-clique) near-dup cluster is DONE here, and the loop only
     // confirms the fixpoint.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      // empty edge list (no near-dup pairs at all) sums to NULL
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var labels = e.unionAll(e.select(col("src"), col("src").as("dst")))
       .groupBy(col("src")).agg(min(col("dst")).as("lbl"))
       .withColumnRenamed("src", "node")

@@ -50,8 +50,14 @@ object Multimodal {
     */
   def frameSample(payload: Column, frameSize: Int, stride: Int): Column = {
     require(stride > 0 && frameSize > 0, s"need frameSize, stride > 0, got ($frameSize, $stride)")
-    val nFrames = (lit(1) +
-      ceil(greatest(length(payload) - frameSize, lit(0)).cast("double") / stride)).cast("int")
+    // Frames start at 0, stride, 2·stride, …; stop once a frame reaches
+    // the end — AND never start past the end (with stride > frameSize the
+    // chunk formula alone would emit a phantom empty frame whenever the
+    // payload ends inside a gap between frames).
+    val len = length(payload)
+    val nFrames = (lit(1) + least(
+      ceil(greatest(len - frameSize, lit(0)).cast("double") / stride),
+      greatest(floor((len - 1).cast("double") / stride), lit(0)))).cast("int")
     transform(sequence(lit(0), nFrames - 1),
       i => payload.substr(i * stride + 1, lit(frameSize)))
   }

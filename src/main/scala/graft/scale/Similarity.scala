@@ -271,7 +271,11 @@ object Similarity {
     // scan + unit vectors + NearestCells exactly once.
     val assign: Column => Column = routing match {
       case Some((sup, kids, superProbe)) =>
-        u => graft.expr.RoutedNearestCells(u, sup, centroids, kids, nprobe, superProbe)
+        // trainSuperCells drops empty supers, so it can return fewer than
+        // routingParams sized for — clamp here so every caller composes
+        // the two safely (RoutedNearestCells requires superProbe <= |sup|)
+        val probe = math.min(superProbe, sup.length)
+        u => graft.expr.RoutedNearestCells(u, sup, centroids, kids, nprobe, probe)
       case None =>
         u => graft.expr.NearestCells(u, centroids, nprobe)
     }

@@ -227,7 +227,7 @@ object TextAnalysis {
                     budget: Int, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hk = md5(col(idCol).cast("string").cast("binary"))
-    val shard = pmod(conv(substring(hk, 1, 15), 16, 10).cast("long"), lit(shards))
+    val shard = pmod(Dedup.md5Long60(col(idCol)), lit(shards))
     val w = Window.partitionBy(col("shard")).orderBy(col("__hk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(textCol).as("__text"), hk.as("__hk"), shard.as("shard"))
@@ -255,14 +255,22 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n_docs"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    // idf quantized to integer micro-nats BEFORE scoring: libm ln is only
+    // ~1-ulp accurate (unlike +,−,×,÷,√) and engines may differ in the
+    // last bit — ranking by an unrounded double product would let that
+    // ulp reorder near-equal terms and change the emitted top-k row set.
+    // After quantization the score is an exact integer, so ranking and
+    // output are engine-independent (up to the ~1e-10-probability event
+    // of ln landing within an ulp of a .5 micro-nat boundary).
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf_mu").desc, col("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        col("tf") * log(col("__n_docs").cast("double") / col("df")))
+      .withColumn("idf_mu",
+        round(log(col("__n_docs").cast("double") / col("df")) * 1e6).cast("long"))
+      .withColumn("tfidf_mu", col("tf") * col("idf_mu"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
-        round(col("tfidf"), 6).as("tfidf"))
+        (col("tfidf_mu").cast("double") / 1e6).as("tfidf"))
   }
 }

@@ -164,6 +164,12 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
   }
 
+  test("connectedComponents handles an empty edge list (no pairs found)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    assert(Dedup.connectedComponentsBigStar(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("connectedComponents: long chain converges (diameter-bounded rounds)") {
     // path 0-1-2-...-9: worst case for label propagation — min label must
     // travel the full diameter; also the min sits at one END of the chain.

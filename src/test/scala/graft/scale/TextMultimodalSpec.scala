@@ -162,6 +162,28 @@ class TextMultimodalSpec extends SparkSpec {
       (4L, 0, 4), (4L, 1, 2)))            // last chunk short but reaches end
   }
 
+  test("frameSample: strided geometry never emits a frame starting past the payload") {
+    // stride > frameSize leaves gaps; a payload ending inside a gap must
+    // not produce a phantom empty frame (len=96 @ fs=16, st=48: frames at
+    // 0 and 48 only — offset 96 is past the end)
+    val cases = Seq(1, 15, 16, 17, 47, 48, 49, 63, 64, 65, 95, 96, 97, 144, 145)
+    val df = cases.zipWithIndex
+      .map { case (n, id) => (id.toLong, "x" * n) }.toDF("id", "text")
+    val out = df.select(col("id"), col("text").cast("binary").as("p"))
+      .select(col("id"), posexplode(Multimodal.frameSample(col("p"), 16, 48)))
+      .select(col("id"), col("pos"), length(col("col")).as("flen"))
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    cases.zipWithIndex.foreach { case (n, id) =>
+      val expStarts = Iterator.from(0, 48).takeWhile { s =>
+        s < n && (s == 0 || s - 48 + 16 < n)
+      }.toSeq
+      val exp = expStarts.map(s => math.min(16, n - s))
+      assert(out(id.toLong) == exp, s"len=$n")
+      assert(out(id.toLong).forall(_ > 0), s"len=$n emitted an empty frame")
+    }
+  }
+
   test("chunkPassages matches a sequential reference over random doc lengths") {
     // plain-Scala restatement of the geometry: starts advance by stride
     // until a window reaches the end; chunks are word slices
