@@ -230,6 +230,32 @@ object CoreQueries {
           round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
     }),
 
+    // The ranking-function family over one total order: decile buckets
+    // (ntile), percent_rank, cume_dist — the score-calibration shapes
+    // (quantile binning for stratified eval, percentile features). One
+    // exchange on the group key; the order is made TOTAL with the event
+    // id tiebreak, so every engine assigns identical ranks; percent_rank
+    // and cume_dist are exact integer ratios evaluated in one double
+    // division each. Emitted only for the decile edges (first/last rank
+    // of each bucket) to keep the output calibration-table-sized.
+    "q78_rank_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("rn", row_number().over(w))
+      val edges = ranked.groupBy(col("event_type"), col("decile"))
+        .agg(min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+      ranked.join(edges, Seq("event_type", "decile"))
+        .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+        .select(col("event_type"), col("decile"), col("event_id"),
+          col("value"), col("pr"), col("cd"))
+    }),
+
     // Per-group z-score outlier flagging — the anomaly-filter pass of an
     // event pipeline. Two-pass map-reduce shape: (1) per-type moments in
     // ONE aggregation — counts and sums over exact integer micro-units
@@ -362,6 +388,23 @@ object CoreQueries {
         |        6) AS corr_value_hour,
         |  n
         |FROM m""".stripMargin,
+
+    "q78_rank_family" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    ntile(10) OVER w AS decile,
+        |    round(percent_rank() OVER w, 6) AS pr,
+        |    round(cume_dist() OVER w, 6) AS cd,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)),
+        |e AS (
+        |  SELECT event_type, decile, min(rn) AS lo, max(rn) AS hi
+        |  FROM r GROUP BY 1, 2)
+        |SELECT r.event_type, CAST(r.decile AS INT) AS decile, r.event_id,
+        |  r.value, r.pr, r.cd
+        |FROM r JOIN e ON r.event_type = e.event_type AND r.decile = e.decile
+        |WHERE r.rn = e.lo OR r.rn = e.hi""".stripMargin,
 
     // Same exact-integer moments: hugeint sums ≡ Spark's long/decimal
     // sums; the z expression mirrors the engine's operation order so the
