@@ -256,6 +256,45 @@ object CoreQueries {
           col("value"), col("pr"), col("cd"))
     }),
 
+    // Time-based RANGE window frame — the trailing-hour rolling metric.
+    // Distinct from q56's ROWS frames: the frame is bounded by the ORDER
+    // VALUE (ts − 1h), not a row count, so peers enter/leave by
+    // timestamp. Decimal sums keep the moving aggregate exact; the
+    // per-user exchange is the only shuffle. Timestamps order on the µs
+    // long under the hood — identical in any engine.
+    "q79_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables(s, dir, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
+          col("n_1h"), col("sum_1h"))
+    }),
+
+    // FULL OUTER join of two derived aggregates — the reconciliation
+    // report shape (days with clicks but no purchases and vice versa
+    // both survive). Both sides are |days|-sized aggregates, so at any
+    // scale the join inputs are tiny relative to the log; the outer join
+    // itself shuffles on the day key once.
+    "q80_full_outer" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def daily(t: String, as: String) = ev.filter(col("event_type") === t)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(as))
+      daily("click", "n_clicks")
+        .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+    }),
+
     // Per-group z-score outlier flagging — the anomaly-filter pass of an
     // event pipeline. Two-pass map-reduce shape: (1) per-type moments in
     // ONE aggregation — counts and sums over exact integer micro-units
@@ -388,6 +427,36 @@ object CoreQueries {
         |        6) AS corr_value_hour,
         |  n
         |FROM m""".stripMargin,
+
+    // Same epoch-second order key (floor of µs — positive epochs make
+    // floor ≡ Spark's timestamp→long truncation); RANGE peers at equal
+    // seconds make the frame tie-order-independent.
+    "q79_range_window" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, value
+        |  FROM events WHERE user_id <= 50)
+        |SELECT user_id, event_id,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS t,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q80_full_outer" ->
+      """WITH c AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.day, p.day) AS day,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.day = p.day""".stripMargin,
 
     "q78_rank_family" ->
       """WITH r AS (
