@@ -201,29 +201,28 @@ object ScaleQueries {
     "q44_curation" -> ((s, dir) => {
       val t = col("text")
       val ws = col("ws")
+      // The whole decision path is integer arithmetic: qualityMicro is
+      // exact integer micro-units (no per-row double ever feeds the
+      // `>= 750000` filter — a double `>= 0.75` flips membership on
+      // threshold rows with 1-ulp engine differences, the driver-red of
+      // rounds 4-5), the bigint sum is order-independent, and
+      // (2S + n) div (2n) is round-half-up of S/n without any float op.
+      // The final /1e6 is one IEEE double division — bit-identical in
+      // any engine. The oracle restates the same integer formula.
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), t, Dedup.words(t).as("ws"))
         .select(col("doc_id"), col("lang"), t, ws,
-          TextAnalysis.qualityScoreW(t, ws).as("quality"),
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"),
           TextAnalysis.langIdW(ws).as("lang_guess"),
           TextAnalysis.tokenCount(t).as("n_tokens"))
-        .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
+        .filter(col("q_mu") >= 750000L && col("lang_guess") === "en")
         .drop("ws")
-      // avg_quality is computed in EXACT integer arithmetic: quality is
-      // already 6-digit-rounded, so round(quality*1e6) recovers its integer
-      // micro-units losslessly; the bigint sum is order-independent (a
-      // double `avg` sums in partition order, and when the mean lands
-      // within an ulp of a 0.5e-6 boundary, round(avg, 6) flips with the
-      // partition count — the one flaky hash of round 4); and
-      // (2S + n) div (2n) is round-half-up of S/n without any float op.
-      // The final /1e6 is one IEEE double division — bit-identical in any
-      // engine. The oracle restates the same integer formula.
       Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_unique"),
           sum(col("group_size")).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
-          sum(round(col("quality") * 1e6).cast("long")).as("__sq"))
+          sum(col("q_mu")).as("__sq"))
         .withColumn("avg_quality",
           expr("(__sq * 2 + n_unique) div (n_unique * 2)").cast("double") / 1e6)
         .drop("__sq")
@@ -544,7 +543,7 @@ object ScaleQueries {
         .select(col("source"), t, Dedup.words(t).as("ws"))
         .select(col("source"),
           TextAnalysis.tokenCount(t).as("n_tokens"),
-          round(TextAnalysis.qualityScoreW(t, ws) * 1e6).cast("long").as("q_mu"))
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"))
       val agg = scored.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
@@ -616,6 +615,19 @@ object ScaleQueries {
     }))
 
   private val wsSplit = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** TextAnalysis.qualityMicro restated for DuckDB: integer micro-units
+    * end-to-end, round-half-up via `(2a + b) // (2b)` — no double ever
+    * feeds the score, so both engines agree bit-for-bit. Expects columns
+    * `text` and `ws` in scope.
+    */
+  private[queries] val qMuSql: String =
+    """((least(5000 * CAST(length(text) AS BIGINT), 1000000)
+      |   + (1000000 - least(
+      |       (10000000 * CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT)
+      |        + length(text)) // (CAST(length(text) AS BIGINT) * 2), 1000000))
+      |   + (2000000 * CAST(list_unique(ws) AS BIGINT) + len(ws)) // (CAST(len(ws) AS BIGINT) * 2)
+      |  ) * 2 + 3) // 6""".stripMargin
 
   // Pairs by brute-force shingle Jaccard (the q16 restatement), closed
   // into components with a recursive CTE — min label reachable from each
@@ -812,10 +824,7 @@ object ScaleQueries {
          |  CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
          |       WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
          |       ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess,
-         |  round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-         |         + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |                        / length(text) * 5.0, 1.0))
-         |         + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
+         |  CAST($qMuSql AS DOUBLE) / 1000000.0 AS quality,
          |  md5(array_to_string(ws, ' ')) AS fp_md5
          |FROM d""".stripMargin,
 
@@ -835,15 +844,12 @@ object ScaleQueries {
          |  FROM documents),
          |scored AS (
          |  SELECT doc_id, lang, ws, n_tokens,
-         |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-         |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |                     / length(text) * 5.0, 1.0))
-         |      + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
+         |    $qMuSql AS q_mu,
          |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
          |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
          |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
          |  FROM d),
-         |f AS (SELECT * FROM scored WHERE quality >= 0.75 AND lang_guess = 'en'),
+         |f AS (SELECT * FROM scored WHERE q_mu >= 750000 AND lang_guess = 'en'),
          |k AS (
          |  SELECT *,
          |    row_number() OVER (PARTITION BY md5(array_to_string(ws, ' '))
@@ -852,7 +858,7 @@ object ScaleQueries {
          |  FROM f)
          |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
          |  sum(n_tokens) AS sum_tokens,
-         |  CAST((sum(CAST(round(quality * 1000000) AS BIGINT)) * 2 + count(*))
+         |  CAST((sum(q_mu) * 2 + count(*))
          |       // (count(*) * 2) AS DOUBLE) / 1000000.0 AS avg_quality
          |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
 
@@ -976,9 +982,8 @@ object ScaleQueries {
          |FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.node
          |GROUP BY 1""".stripMargin,
 
-    // Quality restated as in q44; everything after the 6-digit rounding
-    // is integer arithmetic, so ranking, budget, and allocations match
-    // exactly.
+    // Quality restated as in q44 — integer micro-units end-to-end, so
+    // ranking, budget, and allocations match exactly.
     "q69_mixture" ->
       s"""WITH d AS (
          |  SELECT source, text, $wsSplit AS ws,
@@ -986,11 +991,7 @@ object ScaleQueries {
          |  FROM documents),
          |q AS (
          |  SELECT source, n_tokens,
-         |    CAST(round(round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-         |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |                     / length(text) * 5.0, 1.0))
-         |      + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) * 1000000)
-         |      AS BIGINT) AS q_mu
+         |    $qMuSql AS q_mu
          |  FROM d),
          |a AS (
          |  SELECT source, count(*) AS n_docs,

@@ -97,10 +97,10 @@ object SourceQueries {
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), t, Dedup.words(t).as("ws"))
         .select(col("doc_id"), col("source"), t, ws,
-          TextAnalysis.qualityScoreW(t, ws).as("quality"),
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"),
           TextAnalysis.langIdW(ws).as("lang_guess"),
           TextAnalysis.tokenCount(t).as("n_tokens"))
-        .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
+        .filter(col("q_mu") >= 750000L && col("lang_guess") === "en")
         .drop("ws")
       val curated = Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
       val bucket = pmod(Dedup.md5Long60(col("doc_id")), lit(100))
@@ -167,28 +167,25 @@ object SourceQueries {
     // buckets, then the train-only accounting — derived from the RAW
     // table, so the engine's write→pruned-read cycle is covered too.
     "q76_corpus_export" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, source, text,
-        |    string_split_regex(trim(lower(text)), '\s+') AS ws,
-        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    string_split_regex(trim(lower(text)), '\\s+') AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
         |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
         |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
         |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, source, ws, n_tokens,
-        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-        |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-        |                     / length(text) * 5.0, 1.0))
-        |      + CAST(list_unique(ws) AS DOUBLE) / len(ws)) / 3.0, 6) AS quality,
+        |    ${ScaleQueries.qMuSql} AS q_mu,
         |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
         |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
         |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
         |  FROM d),
-        |f AS (SELECT * FROM scored WHERE quality >= 0.75 AND lang_guess = 'en'),
+        |f AS (SELECT * FROM scored WHERE q_mu >= 750000 AND lang_guess = 'en'),
         |k AS (
         |  SELECT *, row_number() OVER (PARTITION BY md5(array_to_string(ws, ' '))
         |                              ORDER BY doc_id) AS rn

@@ -68,17 +68,49 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
   }
 
-  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
-    * vocabulary diversity. Deterministic, monotone in its parts.
+  /** Round-half-up integer division of nonnegative longs without any
+    * float op: `(2a + b) div (2b)`. Inputs here stay < 2^43, so the
+    * doubled numerator cannot overflow.
+    */
+  private def divHalfUp(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(a * 2 + b),
+        org.apache.spark.sql.GraftBridge.expression(b * 2)))
+
+  /** Composite quality score in INTEGER MICRO-UNITS [0, 1_000_000]:
+    * length sweet-spot, low punctuation, vocabulary diversity — each
+    * component quantized to micro-units with round-half-up integer
+    * division, then averaged the same way. Every input is an integer
+    * count (chars, punct chars, distinct words, words), so the score is
+    * exact integer arithmetic end-to-end: no IEEE expression ever feeds
+    * a filter boundary or a sum, and any engine with 64-bit integers
+    * reproduces it bit-for-bit. (The previous double formulation was
+    * cross-engine flaky exactly at threshold rows — documents whose raw
+    * score sits ON `0.75` flip membership with 1-ulp library
+    * differences.) Monotone in its parts; [0, 1e6] by construction.
+    */
+  def qualityMicro(text: Column, ws: Column): Column = {
+    val len = length(text).cast("long")
+    val punct = len - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")).cast("long")
+    val n = size(ws).cast("long")
+    val d = size(array_distinct(ws)).cast("long")
+    val lenMu = least(len * 5000L, lit(1000000L))           // min(len/200, 1)
+    val punctMu = lit(1000000L) -
+      least(divHalfUp(punct * 5000000L, len), lit(1000000L)) // 1 - min(5p/len, 1)
+    val divMu = divHalfUp(d * 1000000L, n)                   // d/n
+    divHalfUp(lenMu + punctMu + divMu, lit(3L))
+  }
+
+  /** [[qualityMicro]] rescaled to a display double in [0,1]. The single
+    * division by 1e6 is one correctly-rounded IEEE op on an exact
+    * integer — bit-identical in any engine. Use [[qualityMicro]] (not
+    * this) wherever the score feeds a filter, sum, or rank.
     */
   def qualityScore(text: Column): Column = qualityScoreW(text, wordsOf(text))
 
-  def qualityScoreW(text: Column, ws: Column): Column = {
-    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
-    val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val diversity = distinctRatioW(ws)
-    round((lenScore + punct + diversity) / 3.0, 6)
-  }
+  def qualityScoreW(text: Column, ws: Column): Column =
+    qualityMicro(text, ws).cast("double") / 1e6
 
   /** Exact content fingerprint (md5 of normalized text) — cross-engine
     * checkable; see Dedup.contentKey for the prefix variant.
