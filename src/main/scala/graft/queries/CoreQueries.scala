@@ -260,8 +260,11 @@ object CoreQueries {
     // Distinct from q56's ROWS frames: the frame is bounded by the ORDER
     // VALUE (ts − 1h), not a row count, so peers enter/leave by
     // timestamp. Decimal sums keep the moving aggregate exact; the
-    // per-user exchange is the only shuffle. Timestamps order on the µs
-    // long under the hood — identical in any engine.
+    // per-user exchange is the only shuffle. cast("long") floors the
+    // timestamp to epoch SECONDS, so the order key has second
+    // granularity: same-second events are frame peers and the trailing
+    // window is 3600 s inclusive — the oracle mirrors the same
+    // floored-seconds key.
     "q79_range_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))

@@ -1182,8 +1182,10 @@ object ScaleQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, p,
-        |    CAST(1 + least(ceil(greatest(n - 16, 0) / 48.0),
-        |                   greatest(floor((n - 1) / 48.0), 0)) AS INT) AS nf
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE CAST(1 + least(ceil(greatest(n - 16, 0) / 48.0),
+        |                             greatest(floor((n - 1) / 48.0), 0)) AS INT)
+        |    END AS nf
         |  FROM b),
         |e AS (SELECT doc_id, unnest(range(0, nf)) AS i, p FROM c)
         |SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -379,12 +379,32 @@ object Dedup {
     * cluster curation join consumes. Isolated documents (no edges) are by
     * definition their own singleton clusters and are not materialized.
     */
+  /** Per-round lineage truncation for the iterative CC loops. Default is
+    * `localCheckpoint` — executor-pinned blocks, zero extra I/O, right
+    * for local mode and short interactive jobs. Pass `reliableDir` to
+    * checkpoint to a fault-tolerant filesystem (HDFS/object store)
+    * instead: at 100 TB on preemptible machines an executor loss under
+    * `localCheckpoint` kills the whole iterative job, while a reliable
+    * checkpoint bounds the blast radius to one round's recompute. The
+    * trade-off is one distributed write per round — pay it when round
+    * state is large and executors are mortal.
+    */
+  private def ckpt(df: DataFrame, eager: Boolean, reliableDir: Option[String]): DataFrame =
+    reliableDir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val e0 = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionAll(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint() // reused every round — compute the edge list once
+    val e = ckpt(e0, eager = true, checkpointDir) // reused every round — compute the edge list once
     // Round 1 fused into initialization: everyone takes min(self, direct
     // neighbors) in the same group-by that builds the node set — a dense
     // (quasi-clique) near-dup cluster is DONE here, and the loop only
@@ -394,19 +414,21 @@ object Dedup {
       // empty edge list (no near-dup pairs at all) sums to NULL
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var labels = e.unionAll(e.select(col("src"), col("src").as("dst")))
-      .groupBy(col("src")).agg(min(col("dst")).as("lbl"))
-      .withColumnRenamed("src", "node")
-      .localCheckpoint(false) // lazy: the label-sum action materializes it
+    var labels = ckpt(
+      e.unionAll(e.select(col("src"), col("src").as("dst")))
+        .groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+        .withColumnRenamed("src", "node"),
+      eager = false, checkpointDir) // lazy: the label-sum action materializes it
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbr = e.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.unionAll(nbr)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false) // lazy: one job per round (sum = materialize)
+      val next = ckpt(
+        labels.unionAll(nbr)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")),
+        eager = false, checkpointDir) // lazy: one job per round (sum = materialize)
       // Convergence via ONE aggregate, no join: labels only ever decrease,
       // and a non-converged round strictly decreases at least one — so the
       // (exact, decimal) label sum is strictly monotone until fixpoint.
@@ -446,7 +468,8 @@ object Dedup {
     * cliques, stars, and random graphs.
     */
   def connectedComponentsBigStar(edges: DataFrame, aCol: String, bCol: String,
-                                 maxIter: Int = 30): DataFrame = {
+                                 maxIter: Int = 30,
+                                 checkpointDir: Option[String] = None): DataFrame = {
     def sym(pairs: DataFrame): DataFrame =
       pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
@@ -474,13 +497,14 @@ object Dedup {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var e = sym(edges.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))).localCheckpoint()
+    val raw = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    var e = ckpt(sym(raw), eager = true, checkpointDir)
     var prev = sig(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = sym(smallStar(sym(largeStar(e)))).localCheckpoint(false) // sig() materializes
+      e = ckpt(sym(smallStar(sym(largeStar(e)))), eager = false, checkpointDir) // sig() materializes
       val cur = sig(e)
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
@@ -494,7 +518,17 @@ object Dedup {
       .select(col("src").as("node"), col("dst").as("lbl")).distinct()
     val centers = stars.select(col("lbl")).distinct()
       .select(col("lbl").as("node"), col("lbl"))
-    val labels = stars.unionAll(centers)
+    // sym() drops self-loops from the iteration (they carry no
+    // connectivity), but the output contract is one row per node that
+    // APPEARS in `edges` — so a node whose only edge is (a, a) comes back
+    // as its own singleton cluster, exactly as [[connectedComponents]]
+    // emits it (DedupSpec pins the two equal on a self-loop edge list).
+    val loners = raw.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct()
+      .join(stars.select(col("node"))
+        .unionAll(centers.select(col("node"))), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lbl"))
+    val labels = stars.unionAll(centers).unionAll(loners)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("node"), col("lbl").as("cluster_id"), col("cluster_size"))

@@ -58,8 +58,11 @@ object Multimodal {
     val nFrames = (lit(1) + least(
       ceil(greatest(len - frameSize, lit(0)).cast("double") / stride),
       greatest(floor((len - 1).cast("double") / stride), lit(0)))).cast("int")
-    transform(sequence(lit(0), nFrames - 1),
-      i => payload.substr(i * stride + 1, lit(frameSize)))
+    // A zero-length payload has no frames at all (the chunk formula's
+    // floor-at-1 would otherwise emit one empty frame).
+    when(len === 0, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), nFrames - 1),
+        i => payload.substr(i * stride + 1, lit(frameSize))))
   }
 
   /** Decode stub: on a real cluster this body is the codec call; here it

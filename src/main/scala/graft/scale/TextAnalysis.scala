@@ -267,7 +267,11 @@ object TextAnalysis {
         tokenCount(col("__text")).as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("shard"), col("n_tokens"),
-        ((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack_id"),
+        // exact integer floor division: Spark's `/` on integral operands
+        // is IEEE double division, whose ulp rounding can cross an
+        // integer boundary once a shard's cumulative count exceeds ~2^52
+        // — `div` keeps the layout engine-independent at any scale.
+        expr(s"(__cum - n_tokens) div $budget").as("pack_id"),
         ((col("__cum") - col("n_tokens")) % budget).as("offset"))
   }
 

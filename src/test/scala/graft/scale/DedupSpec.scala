@@ -170,6 +170,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsBigStar(empty, "id_a", "id_b").count() == 0)
   }
 
+  test("both CC impls emit a self-loop-only node as its own singleton cluster") {
+    // (5,5) is a node whose ONLY edge is a self-loop; (2,2) is a self-loop
+    // on a node that also has a real edge — both impls must agree on the
+    // full (node, cluster_id, cluster_size) contract.
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+    val exp = Set((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L))
+    val prop = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    val star = Dedup.connectedComponentsBigStar(edges, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prop == exp)
+    assert(star == exp)
+  }
+
+  test("CC reliable-checkpoint path produces identical output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val edges = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val exp = (0L until 10L).map(n => (n, 0L, 10L)).toSet
+    val prop = Dedup.connectedComponents(edges, "id_a", "id_b",
+      checkpointDir = Some(dir)).as[(Long, Long, Long)].collect().toSet
+    val star = Dedup.connectedComponentsBigStar(edges, "id_a", "id_b",
+      checkpointDir = Some(dir)).as[(Long, Long, Long)].collect().toSet
+    assert(prop == exp)
+    assert(star == exp)
+  }
+
   test("connectedComponents: long chain converges (diameter-bounded rounds)") {
     // path 0-1-2-...-9: worst case for label propagation — min label must
     // travel the full diameter; also the min sits at one END of the chain.

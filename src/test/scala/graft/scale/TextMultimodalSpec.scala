@@ -162,6 +162,13 @@ class TextMultimodalSpec extends SparkSpec {
       (4L, 0, 4), (4L, 1, 2)))            // last chunk short but reaches end
   }
 
+  test("frameSample: zero-length payload emits no frames") {
+    val df = Seq((1L, "")).toDF("id", "text")
+    val n = df.select(col("id"), col("text").cast("binary").as("p"))
+      .select(size(Multimodal.frameSample(col("p"), 16, 48))).as[Int].head()
+    assert(n == 0)
+  }
+
   test("frameSample: strided geometry never emits a frame starting past the payload") {
     // stride > frameSize leaves gaps; a payload ending inside a gap must
     // not produce a phantom empty frame (len=96 @ fs=16, st=48: frames at
