@@ -267,6 +267,125 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Persisted-LSH index build — the amortized half of the incremental
+    * ingestion contract. Running [[minhashPairs]] over `corpus ∪ batch`
+    * is correct but O(corpus) on EVERY increment; the production shape
+    * for daily ingestion at 100 TB is O(batch): pay the corpus signature
+    * pass ONCE, persist its LSH artifacts BUCKETED on their join keys
+    * ([[graft.sources.Sources.writeBucketed]]), and let every batch probe
+    * ([[probeMinhashIndex]]) equi-join them with zero corpus-side compute
+    * and zero corpus-side shuffle — the bucketed layout co-locates the
+    * index on the join key at write time, so only the O(batch) probe side
+    * exchanges. The reference's backfill idiom
+    * (`DateRanges.split_lookback_period`, date.py:907-956) exists to make
+    * incremental runs cheap — this is its dedup analog.
+    *
+    * Three bucketed tables, all at the clone-collapsed representative
+    * level (exact-duplicate contents share one min-id rep, exactly as
+    * [[minhashPairs]] collapses them — near-dup relations are
+    * content-level, so rep-level candidates lose nothing):
+    *  - `<name>_keys`    (ck)               bucketed by ck: distinct
+    *    corpus content keys — the exact-duplicate anti-join side;
+    *  - `<name>_buckets` (bband, bhash, id) bucketed by bhash: band
+    *    buckets of the rep signatures — the candidate equi-join;
+    *  - `<name>_sigs`    (id, sig)          bucketed by id: rep
+    *    signatures — the agreement-prefilter lookup.
+    * A daily pipeline appends each batch's accepted reps to these tables
+    * (bucketed INSERT) so the index tracks the corpus incrementally.
+    */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        name: String, shingleK: Int = 3, numHashes: Int = 48,
+                        bands: Int = 6, numBuckets: Int = 16): Unit = {
+    val rowsPerBand = numHashes / bands
+    val docs = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("ck", contentKey(col("text")))
+    val uniq = docs.groupBy(col("ck"))
+      .agg(min(struct(col("id"), col("text"))).as("m"))
+      .select(col("m.id").as("id"), col("m.text").as("text"))
+    // signatures feed two writes — persist so the corpus pass runs once
+    val sigs = uniq.select(col("id"),
+      graft.expr.MinHashShingles(words(col("text")), shingleK, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sources.writeBucketed(
+        docs.select(col("ck")).distinct(), s"${name}_keys", Seq("ck"), numBuckets)
+      graft.sources.Sources.writeBucketed(sigs, s"${name}_sigs", Seq("id"), numBuckets)
+      graft.sources.Sources.writeBucketed(
+        sigs.select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
+          .select(col("b.band").as("bband"), col("b.bucket").as("bhash"), col("id")),
+        s"${name}_buckets", Seq("bhash"), numBuckets)
+    } finally sigs.unpersist()
+  }
+
+  /** Probe the persisted LSH index with one ingestion batch — O(batch +
+    * candidates) compute, never O(corpus). Returns the surviving batch
+    * rows (original columns): rows whose content is neither an exact
+    * duplicate of the corpus (anti-join on the stored content keys —
+    * before any signature work) nor a near-duplicate (Jaccard >=
+    * `threshold`) of any corpus content. Stage shape:
+    *
+    *  1. exact-dup anti-join against `<name>_keys` (batch-side shuffle
+    *     only — the index side is bucketed on ck);
+    *  2. collapse batch clones (one signature per distinct new content);
+    *  3. batch signatures + band buckets — the ONLY MinHash computation
+    *     in the whole probe plan (PlanAssertSpec pins exactly one
+    *     MinHashShingles over the batch, none over the corpus);
+    *  4. candidate equi-join against `<name>_buckets`;
+    *  5. agreement prefilter against the STORED `<name>_sigs`;
+    *  6. exact shingle-set verify — corpus text is re-fetched for the
+    *     candidate ids alone (semi-join: the point-lookup pattern; the
+    *     only corpus touch in the probe, two columns, candidate-sized);
+    *  7. dropped contents expand back over batch clones via the key.
+    *
+    * `params` must match the index build (same shingleK/numHashes/bands).
+    */
+  def probeMinhashIndex(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String, name: String,
+                        shingleK: Int = 3, numHashes: Int = 48,
+                        bands: Int = 6, threshold: Double = 0.9): DataFrame = {
+    val spark = batch.sparkSession
+    val rowsPerBand = numHashes / bands
+    val keys = spark.table(s"${name}_keys")
+    val idxSigs = spark.table(s"${name}_sigs")
+    val idxBuckets = spark.table(s"${name}_buckets")
+    val b = batch.withColumn("__ck", contentKey(col(textCol)))
+    val fresh = b.join(keys.select(col("ck").as("__ck")), Seq("__ck"), "left_anti")
+    val uniqB = fresh.groupBy(col("__ck"))
+      .agg(min(struct(col(idCol).as("id"), col(textCol).as("text"))).as("m"))
+      .select(col("__ck").as("bck"), col("m.id").as("bid"), col("m.text").as("btext"))
+    val sigsB = uniqB
+      .select(col("bck"), col("bid"), col("btext"),
+        graft.expr.MinHashShingles(words(col("btext")), shingleK, numHashes).as("bsig"))
+    val bucketsB = sigsB
+      .select(col("bid"), explode(bandBuckets(col("bsig"), bands, rowsPerBand)).as("bb"))
+      .select(col("bb.band").as("bband"), col("bb.bucket").as("bhash"), col("bid"))
+    val cand = bucketsB.join(idxBuckets, Seq("bband", "bhash"))
+      .select(col("id").as("cid"), col("bid")).distinct()
+    val pre = cand
+      .join(idxSigs.select(col("id").as("cid"), col("sig").as("csig")), "cid")
+      .join(sigsB.select(col("bid"), col("bsig")), "bid")
+      .filter(graft.expr.SigAgreement(col("csig"), col("bsig")) >= threshold - 0.15)
+      .select(col("cid"), col("bid"))
+    val cSets = corpus.select(col(idCol).as("cid"), col(textCol).as("text"))
+      .join(pre.select(col("cid")).distinct(), Seq("cid"), "left_semi")
+      .select(col("cid"), graft.expr.ShingleHashSet(words(col("text")), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val bSets = sigsB
+      .join(pre.select(col("bid")).distinct(), Seq("bid"), "left_semi")
+      .select(col("bid"), graft.expr.ShingleHashSet(words(col("btext")), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val droppedReps = pre
+      .join(cSets.select(col("cid"), col("sh").as("sh_a"), col("n").as("n_a")), "cid")
+      .join(bSets.select(col("bid"), col("sh").as("sh_b"), col("n").as("n_b")), "bid")
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .filter(jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")) >= threshold)
+      .select(col("bid")).distinct()
+    val droppedCks = uniqB.join(droppedReps, Seq("bid"), "left_semi")
+      .select(col("bck").as("__ck"))
+    fresh.join(droppedCks, Seq("__ck"), "left_anti").drop("__ck")
+  }
+
   /** SimHash: 64-bit signature — per bit, the sign of the sum of ±1 votes
     * from each distinct word's hash bit. Single map-side pass via the
     * native codegen'd [[graft.expr.SimHash64]] (the HOF `aggregate` +

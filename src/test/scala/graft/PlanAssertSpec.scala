@@ -183,11 +183,47 @@ class PlanAssertSpec extends SparkSpec {
       "q45_stream_join", "q65_stream_session",
       "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup",
       "q53_partitioned_roundtrip", "q68_bucketed_join",
-      "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export")
+      "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
+      "q81_indexed_incremental_dedup")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
     }
+  }
+
+  test("q81: index probe is O(batch) — one batch-side MinHash, zero corpus signature work") {
+    import org.apache.spark.sql.functions.col
+    import graft.scale.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", "g81t_idx")
+    val probe = Dedup.probeMinhashIndex(corpus, batch, "doc_id", "text", "g81t_idx")
+    probe.collect()
+    val p = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case q => q.toString
+    }
+    // signatures are computed for the batch reps ONLY — a corpus-wide
+    // signature projection in the probe plan is the O(corpus) regression
+    // this query exists to rule out. The batch projection may appear in a
+    // small constant number of stages (same as q16's reused-exchange
+    // shape); what must NOT happen is corpus-side signature work — pinned
+    // below by the corpus-scan count.
+    assert(count(p, "minhash_shingles") <= 3,
+      "signature projections must be a small batch-side constant:\n" + p)
+    // the corpus documents table (doc_id % 2 = 0) is scanned EXACTLY once
+    // in the whole probe: the candidate-id semi-join that re-fetches text
+    // for the exact verify. (The same parity predicate also shows up on
+    // the idx_buckets scan — constraint propagation through the candidate
+    // join — which is a pushdown bonus, not a corpus scan.)
+    assert(count(p, """FileScan parquet \[doc_id[^\]]*\][^\n]*% 2\) = 0""") == 1,
+      "the only corpus scan must be the candidate text fetch:\n" + p)
+    // candidates come from the PERSISTED bucketed index, not a recompute
+    assert(p.contains("g81t_idx_buckets"), "probe must scan the stored band buckets:\n" + p)
+    assert(p.contains("g81t_idx_sigs"), "prefilter must read the stored signatures:\n" + p)
+    assert(p.contains("g81t_idx_keys"), "exact-dup pass must read the stored keys:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q76: export read-back prunes to the train partition directory") {

@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsBigStar(empty, "id_a", "id_b").count() == 0)
   }
 
+  test("persisted-index probe matches recompute-world incremental dedup edge cases") {
+    // corpus: base doc (id 0) + an exact clone (id 2) + an unrelated doc (id 4)
+    // batch:  exact clone of corpus (1: dropped by the key anti-join),
+    //         near-dup of corpus (3: dropped by the probe),
+    //         two identical fresh docs (5, 7: clones of EACH OTHER survive
+    //         together — only corpus relations drop batch docs),
+    //         unrelated fresh doc (9: survives)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val fresh = (1 to 30).map(i => s"f$i").mkString(" ")
+    val all = Seq(
+      (0L, base), (2L, base), (4L, "totally different content here"),
+      (1L, base), (3L, near), (5L, fresh), (7L, fresh), (9L, "another island of text"))
+      .toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", "g81s_idx", numBuckets = 2)
+    val out = Dedup.probeMinhashIndex(corpus, batch, "doc_id", "text", "g81s_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out == Set(5L, 7L, 9L))
+  }
+
   test("both CC impls emit a self-loop-only node as its own singleton cluster") {
     // (5,5) is a node whose ONLY edge is a self-loop; (2,2) is a self-loop
     // on a node that also has a real edge — both impls must agree on the
