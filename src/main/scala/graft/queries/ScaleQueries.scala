@@ -146,6 +146,31 @@ object ScaleQueries {
         routing = Some((sup, kids, superProbe)))
     }),
 
+    // The approximation-quality artifact for q33: recall@1 of the IVF
+    // join measured against the exact join, emitted as a VERIFIABLE
+    // single-row result (integer counts + round-half-up permille). The
+    // one inherently non-restatable ingredient (driver k-means) keeps
+    // this rows-only like q33 — but unlike q33, the number itself is the
+    // contract: SimilaritySpec pins recall_permille >= 500, so the
+    // approximation dial is regression-guarded, not just demonstrated.
+    "q82_ivf_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.nnJoin(emb, "embedding", "vec_id")
+        .select(col("vec_id"), col("nn_id").as("exact_nn"))
+      val (k, nprobe) = Similarity.ivfParams(emb)
+      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
+      val (superK, superProbe) = Similarity.routingParams(cents.length)
+      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      val approx = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
+        nprobe = nprobe, routing = Some((sup, kids, superProbe)))
+        .select(col("vec_id"), col("nn_id").as("ivf_nn"))
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("recall_permille",
+          expr("(n_match * 2000 + n_vectors) div (n_vectors * 2)"))
+    }),
+
     // The IVF machinery in its EXACT-degeneration mode: nprobe = K and
     // every super-cell probed, which SimilaritySpec pins ≡ the exact NN
     // join — so the whole IVF code path (two-level routed assignment,

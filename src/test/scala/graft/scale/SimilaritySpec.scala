@@ -76,6 +76,16 @@ class SimilaritySpec extends SparkSpec {
     assert(meanGap <= 0.05, s"mean cos gap to exact NN too large: $meanGap")
   }
 
+  test("q82 recall artifact: one row, exact counts, recall_permille above the spec bound") {
+    val row = graft.SparkEntry.queries("q82_ivf_recall")(spark, "/root/testdata/sf0.001")
+      .head()
+    val n = row.getAs[Long]("n_vectors")
+    val m = row.getAs[Long]("n_match")
+    val r = row.getAs[Long]("recall_permille")
+    assert(n > 0 && m <= n)
+    assert(r >= 500, s"q33's production dial (ivfParams) fell below recall@1 0.5: $r permille")
+  }
+
   test("two-level routed IVF: all-supers probe equals the flat join; partial probe keeps coverage") {
     val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
     val (sup, kids) = Similarity.trainSuperCells(cents, 3)
