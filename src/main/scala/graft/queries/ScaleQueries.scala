@@ -493,6 +493,40 @@ object ScaleQueries {
         .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
     }),
 
+    // q59's exact-quota contract at MEGA-GROUP scale: the same sample —
+    // same ranks, same rows, same oracle — without any single-partition
+    // per-group sort. Range-bucketed order statistics: the md5 rank key's
+    // first two hex chars split each group into 256 ranges whose
+    // LEXICOGRAPHIC order equals their numeric order, so global rank =
+    // (sum of earlier buckets' counts) + rank within the bucket — exact,
+    // with the only row-level sorts partitioned (source, bucket) at
+    // ~n/256 rows each, and the offset/count tables (|groups|·256 rows)
+    // arriving as broadcasts. This is how a 100 TB group with one skewed
+    // mega-source ranks without serializing it through one task; q59
+    // stays registered as the simple-window reference implementation.
+    "q83_stratified_sample_bucketed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = md5(col("doc_id").cast("string").cast("binary"))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), hk.as("hk"))
+        .withColumn("__bkt", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("source"), col("__bkt"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+        .select(col("source"), col("__bkt"), col("off"))
+      val wLocal = Window.partitionBy(col("source"), col("__bkt"))
+        .orderBy(col("hk"), col("doc_id"))
+      docs.withColumn("lr", row_number().over(wLocal))
+        .join(broadcast(offsets), Seq("source", "__bkt"))
+        .join(broadcast(counts), "source")
+        .withColumn("rn", (col("off") + col("lr")).cast("int"))
+        .filter(col("rn") <= ceil(col("n") * 0.2))
+        .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
+    }),
+
     // Corpus TF-IDF: top-3 highest-scoring terms per document — see
     // [[TextAnalysis.tfidfTopTerms]] for the keyed-shuffle shape.
     "q60_tfidf_terms" -> ((s, dir) =>
@@ -705,6 +739,20 @@ object ScaleQueries {
        |  UNION
        |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
        |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node)""".stripMargin
+
+  // Exact-quota stratified sample: top ceil(0.2·n) per source by the md5
+  // rank key — shared by q59 (single window) and q83 (range-bucketed
+  // order statistics), which must agree row-for-row.
+  private val stratifiedSampleOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM d)
+      |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+      |FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin
 
   // Incremental-dedup survivors = odd-id (batch) docs in no cross-parity
   // brute-force near-dup pair with the even-id (corpus) half.
@@ -1144,16 +1192,12 @@ object ScaleQueries {
          |            ELSE round(CAST(topb AS DOUBLE) / nb, 6) END) > 0.18) AS repetitive
          |FROM m""".stripMargin,
 
-    "q59_stratified_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
-        |r AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM d)
-        |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
-        |FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
+    "q59_stratified_sample" -> stratifiedSampleOracle,
+
+    // The bucketed two-pass ranking must reproduce the simple window's
+    // answer EXACTLY — one restatement checks both implementations
+    // against each other (same pattern as q58/q66 and q75/q81).
+    "q83_stratified_sample_bucketed" -> stratifiedSampleOracle,
 
     // idf quantized to integer micro-nats before scoring (mirrors the
     // engine): ranking runs on an exact integer product.

@@ -226,6 +226,23 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q83: row-level ranking sorts are partitioned (source, bucket) — no mega-group window") {
+    val p = finalPlan("q83_stratified_sample_bucketed")
+    // the row-carrying window runs per (source, __bkt); the only
+    // source-partitioned window is the 256-rows-per-group offset cumsum
+    assert(count(p, """hashpartitioning\(source#\d+, __bkt""") >= 1,
+      "row-level rank window must be bucket-partitioned:\n" + p)
+    assert(count(p, "BroadcastHashJoin") == 2,
+      "offset and count tables must broadcast back onto the scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the two implementations are the SAME sample, rank for rank
+    val simple = SparkEntry.queries("q59_stratified_sample")(spark, sf)
+      .collect().map(_.toString).toSet
+    val bucketed = SparkEntry.queries("q83_stratified_sample_bucketed")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(simple == bucketed, "bucketed ranking diverged from the window reference")
+  }
+
   test("q76: export read-back prunes to the train partition directory") {
     val p = finalPlan("q76_corpus_export")
     assert(p.contains("PartitionFilters: [isnotnull(split"),
