@@ -171,6 +171,38 @@ object ScaleQueries {
           expr("(n_match * 2000 + n_vectors) div (n_vectors * 2)"))
     }),
 
+    // Quantized candidate generation + exact rerank — the memory-bound
+    // scale lever ([[Similarity.quantizeInt8]]): rank the corpus by
+    // cosine over per-vector int8 quantizations (4× smaller scan side;
+    // quantized dots are exact small integers, so the candidate ranking
+    // is engine-independent), TakeOrdered the top 4k shortlist, then
+    // rerank those rows with the true float cosine. Same answer surface
+    // as q18 — and the oracle restates BOTH stages (quantization,
+    // shortlist cut, rerank), so the approximation pipeline itself is
+    // hash-checked, not just its final top-k.
+    "q84_quantized_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val e = Similarity.toDouble(col("embedding"))
+      val quant = emb.select(col("vec_id"), e.as("e"))
+        .withColumn("sc", Similarity.int8Scale(col("e")))
+        .withColumn("qv", Similarity.quantizeInt8(col("e"), col("sc")))
+      val qrow = quant.filter(col("vec_id") === 0)
+        .select(col("qv"), col("e")).head()
+      val qq = array(qrow.getSeq[Int](0).map(i => lit(i.toDouble)): _*)
+      val qe = array(qrow.getSeq[Double](1).map(lit): _*)
+      val qvd = Similarity.toDouble(col("qv"))
+      val cand = quant
+        .withColumn("qcos", Similarity.dot(qvd, qq) /
+          (Similarity.norm(qvd) * Similarity.norm(qq)))
+        .orderBy(col("qcos").desc, col("vec_id"))
+        .limit(80)
+      cand
+        .withColumn("cos", Similarity.cosine(col("e"), qe))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("cos"), 6).as("score"))
+    }),
+
     // The IVF machinery in its EXACT-degeneration mode: nprobe = K and
     // every super-cell probed, which SimilaritySpec pins ≡ the exact NN
     // join — so the whole IVF code path (two-level routed assignment,
@@ -854,6 +886,37 @@ object ScaleQueries {
         |                 FROM range(1, 65) t(i)))), 6) AS score
         |  FROM embeddings e, q)
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Both stages of the quantized pipeline restated: per-vector int8
+    // quantization (abs-max scale, round-half-away is identical in both
+    // engines), quantized-cosine shortlist of 80, float-cosine rerank.
+    // Quantized dots are exact small integers, so stage-1 ranking is
+    // engine-independent; ORDER BY the unrounded rerank score.
+    "q84_quantized_topk" ->
+      """WITH d AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e, list_max([abs(x) for x in e]) AS sc FROM d),
+        |z AS (
+        |  SELECT vec_id, e, [CAST(round(x * 127 / sc) AS INT) for x in e] AS qv FROM s),
+        |q AS (SELECT qv AS qqv, e AS qe FROM z WHERE vec_id = 0),
+        |c AS (
+        |  SELECT z.vec_id, z.e,
+        |    (SELECT sum(CAST(z.qv[t.i] AS DOUBLE) * CAST(q.qqv[t.i] AS DOUBLE))
+        |     FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(CAST(z.qv[t.i] AS DOUBLE) * CAST(z.qv[t.i] AS DOUBLE))
+        |             FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(CAST(q.qqv[t.i] AS DOUBLE) * CAST(q.qqv[t.i] AS DOUBLE))
+        |               FROM range(1, 65) t(i)))) AS qcos
+        |  FROM z, q
+        |  ORDER BY qcos DESC, z.vec_id LIMIT 80)
+        |SELECT vec_id, round(cos, 6) AS score FROM (
+        |  SELECT c.vec_id,
+        |    (SELECT sum(c.e[t.i] * q.qe[t.i]) FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(c.e[t.i] * c.e[t.i]) FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(q.qe[t.i] * q.qe[t.i]) FROM range(1, 65) t(i)))) AS cos
+        |  FROM c, q)
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
     // Full ANN restatement: md5-derived plane coefficients → sign-bit
     // signatures → hamming-≤6 probe against vec_id 0's signature → exact

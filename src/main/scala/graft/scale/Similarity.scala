@@ -35,6 +35,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-vector symmetric int8 quantization — the memory lever for ANN at
+    * 10⁹⁺ vectors: a 64-dim float payload shrinks 4× (one byte per
+    * component + one scale), which is what keeps a scan-side candidate
+    * pass or an IVF verify side in memory when full floats would spill.
+    * Direction is preserved (the scale cancels in cosine), so quantized
+    * cosine ranks candidates and an exact float rerank of the short list
+    * restores true scores — the standard two-stage shape (q84 registers
+    * it end-to-end under a DuckDB oracle). Deterministic cross-engine:
+    * abs/max are exact, the scale division and round-half-up land
+    * identically in any IEEE engine, and quantized dot products are exact
+    * small integers.
+    */
+  def int8Scale(e: Column): Column = array_max(transform(e, x => abs(x)))
+
+  def quantizeInt8(e: Column, scale: Column): Column =
+    transform(e, x => round(x * 127 / scale).cast("int"))
+
   /** Brute-force cosine top-k against one query vector. */
   def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
                      query: Seq[Double], k: Int): DataFrame = {

@@ -86,6 +86,16 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 500, s"q33's production dial (ivfParams) fell below recall@1 0.5: $r permille")
   }
 
+  test("int8-quantized shortlist + exact rerank recovers the exact top-k") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q18_cosine_topk")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = graft.SparkEntry.queries("q84_quantized_topk")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & quant).size >= 16,
+      s"quantized pipeline lost too much of the exact top-20: ${(exact & quant).size}/20")
+  }
+
   test("two-level routed IVF: all-supers probe equals the flat join; partial probe keeps coverage") {
     val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
     val (sup, kids) = Similarity.trainSuperCells(cents, 3)
