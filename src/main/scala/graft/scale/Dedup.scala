@@ -618,7 +618,19 @@ object Dedup {
     }
     val raw = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    var e = ckpt(sym(raw), eager = true, checkpointDir)
+    // Canonical undirected edge list INCLUDING self-loops, checkpointed
+    // ONCE: both the star iteration (via sym, which drops self-loops) and
+    // the self-loop singleton recovery below read this artifact — the
+    // (possibly expensive) upstream pair pipeline never re-executes.
+    val base = ckpt(raw.select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst")).distinct(),
+      eager = true, checkpointDir)
+    // base is canonical (src <= dst) and distinct, so after dropping
+    // self-loops the two directions cannot collide — symmetrize without
+    // paying sym()'s distinct exchange again.
+    val nonSelf = base.filter(col("src") =!= col("dst"))
+    var e = nonSelf.unionAll(
+      nonSelf.select(col("dst").as("src"), col("src").as("dst")))
     var prev = sig(e)
     var converged = false
     var iter = 0
@@ -642,8 +654,8 @@ object Dedup {
     // APPEARS in `edges` — so a node whose only edge is (a, a) comes back
     // as its own singleton cluster, exactly as [[connectedComponents]]
     // emits it (DedupSpec pins the two equal on a self-loop edge list).
-    val loners = raw.filter(col("src") === col("dst"))
-      .select(col("src").as("node")).distinct()
+    val loners = base.filter(col("src") === col("dst"))
+      .select(col("src").as("node"))
       .join(stars.select(col("node"))
         .unionAll(centers.select(col("node"))), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("lbl"))
