@@ -164,7 +164,10 @@ object ScaleQueries {
       val approx = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
         nprobe = nprobe, routing = Some((sup, kids, superProbe)))
         .select(col("vec_id"), col("nn_id").as("ivf_nn"))
-      exact.join(approx, Seq("vec_id"))
+      // LEFT join from the exact side: a vector the IVF join returns no
+      // row for is a recall MISS and must stay in the denominator — an
+      // inner join would silently drop it and inflate the artifact.
+      exact.join(approx, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_vectors"),
           sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)).as("n_match"))
         .withColumn("recall_permille",
@@ -554,9 +557,14 @@ object ScaleQueries {
       docs.withColumn("lr", row_number().over(wLocal))
         .join(broadcast(offsets), Seq("source", "__bkt"))
         .join(broadcast(counts), "source")
-        .withColumn("rn", (col("off") + col("lr")).cast("int"))
+        // quota membership decides on the LONG rank (an int cast before
+        // the filter would wrap negative past 2^31 rows per group and
+        // admit out-of-quota rows); the emitted width is q59's int
+        // contract, safe up to a 5·2^31-row group at the 20% quota
+        .withColumn("rn", col("off") + col("lr"))
         .filter(col("rn") <= ceil(col("n") * 0.2))
-        .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
+        .select(col("doc_id"), col("source"),
+          col("rn").cast("int").as("sample_rank"))
     }),
 
     // Corpus TF-IDF: top-3 highest-scoring terms per document — see

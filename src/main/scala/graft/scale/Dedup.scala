@@ -132,6 +132,54 @@ object Dedup {
 
   private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Signature-agreement slack below the Jaccard threshold for the LSH
+    * candidate prefilter: E[agreement] = J, so `threshold − slack` keeps
+    * recall while pruning most candidates on the compact signatures. ONE
+    * constant shared by [[minhashPairs]] and [[probeMinhashIndex]] — the
+    * recompute world and the index world must stay tuned together or
+    * their shared-oracle contract (q75 ≡ q81) silently diverges.
+    */
+  private val sigAgreementSlack = 0.15
+
+  /** Clone collapse: one deterministic representative per content key —
+    * min (id, text), id leading the ordering. Expects (ck, id, text);
+    * keeps ck so callers that expand back over clones can join on it.
+    */
+  private def repCollapse(docs: DataFrame): DataFrame =
+    docs.groupBy(col("ck"))
+      .agg(min(struct(col("id"), col("text"))).as("m"))
+      .select(col("ck"), col("m.id").as("id"), col("m.text").as("text"))
+
+  /** Sorted shingle-hash sets for exactly the ids in `ids` (semi-join:
+    * candidate-sized, never corpus-wide), repartitioned to spread the
+    * per-doc work. Expects (id, text); emits (id, sh, n).
+    */
+  private def shingleSets(docs: DataFrame, ids: DataFrame, shingleK: Int,
+                          parts: Int): DataFrame =
+    docs.join(ids, Seq("id"), "left_semi")
+      .repartition(parts)
+      .select(col("id"),
+        graft.expr.ShingleHashSet(words(col("text")), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-side (id, sh, n) shingle sets: size-ratio prefilter (J can never
+    * exceed min|.|/max|.| — two int ops kill most candidates before any
+    * merge scan), then [[jaccardWithSizes]]' zero-allocation intersect.
+    * The single verify stage behind both [[minhashPairs]] and
+    * [[probeMinhashIndex]].
+    */
+  private def verifyJaccard(pairs: DataFrame, aSets: DataFrame,
+                            bSets: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(aSets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(bSets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .withColumn("sim", jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+
   /** MinHash-LSH near-duplicate pairs: band-bucket candidate generation,
     * exact-Jaccard verification at `threshold` (Jaccard over 64-bit
     * shingle hashes — equal to string-shingle Jaccard up to ~n²/2⁶⁵
@@ -192,9 +240,7 @@ object Dedup {
         col("ck") === col("ck_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("sim"))
     // 1b. unique contents (deterministic representative: min (id, text))
-    val uniq = docs.groupBy(col("ck"))
-      .agg(min(struct(col("id"), col("text"))).as("m"))
-      .select(col("m.id").as("id"), col("m.text").as("text"))
+    val uniq = repCollapse(docs).drop("ck")
     // 2. signatures: repartition FIRST (spread the per-doc work), then one
     // fused projection. All three consumers (bucket explode + two probe
     // sides) share the byte-identical exchange subtree, so ReuseExchange
@@ -226,7 +272,7 @@ object Dedup {
       .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(graft.expr.SigAgreement(col("sig_a"), col("sig_b")) >= threshold - 0.15)
+      .filter(graft.expr.SigAgreement(col("sig_a"), col("sig_b")) >= threshold - sigAgreementSlack)
       .select(col("id_a"), col("id_b"))
     // 4b. exact verify: shingle hash sets ONLY for surviving candidate ids
     // (semi-join back to the unique contents), then the merge-scan
@@ -235,21 +281,8 @@ object Dedup {
     // formulation did is gone.
     val candIds = estimated.select(col("id_a").as("id"))
       .unionAll(estimated.select(col("id_b").as("id"))).distinct()
-    val vsets = uniq.join(candIds, Seq("id"), "left_semi")
-      .repartition(parts)
-      .select(col("id"),
-        graft.expr.ShingleHashSet(words(col("text")), shingleK).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val repPairs = estimated
-      .join(vsets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(vsets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      // size-ratio prefilter: Jaccard(a,b) <= min|.|/max|.| — kills most
-      // candidates with two int ops before the merge scan runs
-      .filter(least(col("n_a"), col("n_b")).cast("double") /
-        greatest(col("n_a"), col("n_b")) >= threshold)
-      .withColumn("sim", jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    val vsets = shingleSets(uniq, candIds, shingleK, parts)
+    val repPairs = verifyJaccard(estimated, vsets, vsets, threshold)
     // 5. expand representative pairs back to every clone-cluster member on
     // both sides (identical content ⇒ identical Jaccard to anything).
     // representative id per content key = min(id) (matches uniq's
@@ -299,9 +332,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val docs = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("ck", contentKey(col("text")))
-    val uniq = docs.groupBy(col("ck"))
-      .agg(min(struct(col("id"), col("text"))).as("m"))
-      .select(col("m.id").as("id"), col("m.text").as("text"))
+    val uniq = repCollapse(docs).drop("ck")
     // signatures feed two writes — persist so the corpus pass runs once
     val sigs = uniq.select(col("id"),
       graft.expr.MinHashShingles(words(col("text")), shingleK, numHashes).as("sig"))
@@ -345,44 +376,40 @@ object Dedup {
                         bands: Int = 6, threshold: Double = 0.9): DataFrame = {
     val spark = batch.sparkSession
     val rowsPerBand = numHashes / bands
+    val parts = spark.sparkContext.defaultParallelism * 2
     val keys = spark.table(s"${name}_keys")
     val idxSigs = spark.table(s"${name}_sigs")
     val idxBuckets = spark.table(s"${name}_buckets")
     val b = batch.withColumn("__ck", contentKey(col(textCol)))
     val fresh = b.join(keys.select(col("ck").as("__ck")), Seq("__ck"), "left_anti")
-    val uniqB = fresh.groupBy(col("__ck"))
-      .agg(min(struct(col(idCol).as("id"), col(textCol).as("text"))).as("m"))
-      .select(col("__ck").as("bck"), col("m.id").as("bid"), col("m.text").as("btext"))
-    val sigsB = uniqB
-      .select(col("bck"), col("bid"), col("btext"),
-        graft.expr.MinHashShingles(words(col("btext")), shingleK, numHashes).as("bsig"))
+    val uniqB = repCollapse(
+      fresh.select(col("__ck").as("ck"), col(idCol).as("id"), col(textCol).as("text")))
+    // repartition before the signature projection for the same reason
+    // minhashPairs does: AQE coalesces the collapse group-by output on
+    // small inputs, and the per-doc signature work — the probe's hot
+    // path — must spread, not serialize
+    val sigsB = uniqB.repartition(parts)
+      .select(col("ck"), col("id"), col("text"),
+        graft.expr.MinHashShingles(words(col("text")), shingleK, numHashes).as("bsig"))
     val bucketsB = sigsB
-      .select(col("bid"), explode(bandBuckets(col("bsig"), bands, rowsPerBand)).as("bb"))
-      .select(col("bb.band").as("bband"), col("bb.bucket").as("bhash"), col("bid"))
-    val cand = bucketsB.join(idxBuckets, Seq("bband", "bhash"))
-      .select(col("id").as("cid"), col("bid")).distinct()
+      .select(col("id"), explode(bandBuckets(col("bsig"), bands, rowsPerBand)).as("bb"))
+      .select(col("bb.band").as("bband"), col("bb.bucket").as("bhash"), col("id").as("bid"))
+    val cand = bucketsB.join(idxBuckets.withColumnRenamed("id", "cid"), Seq("bband", "bhash"))
+      .select(col("cid").as("id_a"), col("bid").as("id_b")).distinct()
     val pre = cand
-      .join(idxSigs.select(col("id").as("cid"), col("sig").as("csig")), "cid")
-      .join(sigsB.select(col("bid"), col("bsig")), "bid")
-      .filter(graft.expr.SigAgreement(col("csig"), col("bsig")) >= threshold - 0.15)
-      .select(col("cid"), col("bid"))
-    val cSets = corpus.select(col(idCol).as("cid"), col(textCol).as("text"))
-      .join(pre.select(col("cid")).distinct(), Seq("cid"), "left_semi")
-      .select(col("cid"), graft.expr.ShingleHashSet(words(col("text")), shingleK).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val bSets = sigsB
-      .join(pre.select(col("bid")).distinct(), Seq("bid"), "left_semi")
-      .select(col("bid"), graft.expr.ShingleHashSet(words(col("btext")), shingleK).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val droppedReps = pre
-      .join(cSets.select(col("cid"), col("sh").as("sh_a"), col("n").as("n_a")), "cid")
-      .join(bSets.select(col("bid"), col("sh").as("sh_b"), col("n").as("n_b")), "bid")
-      .filter(least(col("n_a"), col("n_b")).cast("double") /
-        greatest(col("n_a"), col("n_b")) >= threshold)
-      .filter(jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")) >= threshold)
-      .select(col("bid")).distinct()
-    val droppedCks = uniqB.join(droppedReps, Seq("bid"), "left_semi")
-      .select(col("bck").as("__ck"))
+      .join(idxSigs.select(col("id").as("id_a"), col("sig").as("csig")), "id_a")
+      .join(sigsB.select(col("id").as("id_b"), col("bsig")), "id_b")
+      .filter(graft.expr.SigAgreement(col("csig"), col("bsig")) >= threshold - sigAgreementSlack)
+      .select(col("id_a"), col("id_b"))
+    val cSets = shingleSets(
+      corpus.select(col(idCol).as("id"), col(textCol).as("text")),
+      pre.select(col("id_a").as("id")).distinct(), shingleK, parts)
+    val bSets = shingleSets(sigsB.select(col("id"), col("text")),
+      pre.select(col("id_b").as("id")).distinct(), shingleK, parts)
+    val droppedReps = verifyJaccard(pre, cSets, bSets, threshold)
+      .select(col("id_b").as("id")).distinct()
+    val droppedCks = uniqB.join(droppedReps, Seq("id"), "left_semi")
+      .select(col("ck").as("__ck"))
     fresh.join(droppedCks, Seq("__ck"), "left_anti").drop("__ck")
   }
 
@@ -512,8 +539,19 @@ object Dedup {
     reliableDir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-        df.checkpoint(eager)
+        // setCheckpointDir stores the QUALIFIED path of d/<random-UUID>,
+        // so an equality guard never fires; substring-match the parent to
+        // set it once (a fresh UUID dir per round would scatter the
+        // checkpoints and re-run mkdirs every call).
+        if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+        // Dataset.checkpoint launches its own write job from lineage —
+        // unpersisted, every round would COMPUTE TWICE (once for the
+        // caller's fixpoint action, once for the checkpoint write). Cache
+        // the round, checkpoint eagerly from the cache, drop the cache:
+        // one compute + one cached-read write per round.
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist()
       case None => df.localCheckpoint(eager)
     }
 

@@ -194,6 +194,10 @@ class PlanAssertSpec extends SparkSpec {
   test("q81: index probe is O(batch) — one batch-side MinHash, zero corpus signature work") {
     import org.apache.spark.sql.functions.col
     import graft.scale.Dedup
+    // another suite in the same JVM may have cached this table, and the
+    // CacheManager would swap the corpus FileScan for an
+    // InMemoryTableScan — clear so the scan-count assertions see files
+    spark.catalog.clearCache()
     val docs = Tables(spark, sf, "documents")
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
