@@ -185,6 +185,42 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Streaming ingestion front-end for the persisted dedup index (q81's
+    // streaming twin): the odd-id batch arrives as a STREAM, exact
+    // duplicates of the indexed corpus are dropped IN-FLIGHT by a
+    // stream-static anti join against the bucketed keys table, and
+    // within-stream clones collapse via streaming dropDuplicates on the
+    // content key. Output = the accepted content keys — the q42
+    // determinism idiom: emitting exactly the dedup key makes
+    // first-arrival order irrelevant, so the run is oracle-restatable.
+    // The near-dup second stage stays the q81 batch probe (LSH verify is
+    // a candidate join, not per-event state); this query is the seam
+    // where a daily-ingest stream hands off to it. Production uses
+    // dropDuplicatesWithinWatermark keyed the same way so key state
+    // evicts; the finite demo stream keeps plain dropDuplicates.
+    "q85_stream_index_dedup" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val idx = s"g85_idx_$sf"
+      val docs = graft.Tables(s, dir, "documents")
+      graft.scale.Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .filter(col("doc_id") % 2 === 1)
+        .select(graft.scale.Dedup.contentKey(col("text")).as("ck"))
+      val fresh = stream
+        .join(s.table(s"${idx}_keys"), Seq("ck"), "left_anti")
+        .dropDuplicates("ck")
+      val name = s"q85_mem_${runSeq.incrementAndGet()}"
+      withStatePartitions(s, 8) {
+        val q = fresh.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // Gap-based sessionization, batch form: native session_window (state
     // merges inside the aggregate — one shuffle on user_id, no
     // self-join/window over the event stream). Session bounds rendered at
@@ -222,6 +258,17 @@ object StreamQueries {
       """SELECT DISTINCT user_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
         |FROM events""".stripMargin,
+
+    // Accepted keys = distinct batch content keys absent from the corpus
+    // key set — the in-flight half of the incremental-dedup contract.
+    "q85_stream_index_dedup" ->
+      """WITH ck AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS ck
+        |  FROM documents)
+        |SELECT DISTINCT b.ck FROM ck b
+        |WHERE b.doc_id % 2 = 1
+        |  AND b.ck NOT IN (SELECT ck FROM ck WHERE doc_id % 2 = 0)""".stripMargin,
 
     "q45_stream_join" ->
       """WITH p AS (

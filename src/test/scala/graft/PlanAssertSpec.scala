@@ -180,7 +180,7 @@ class PlanAssertSpec extends SparkSpec {
     // swept for the one join shape that never belongs at 100 TB.
     val skip = Set(
       "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",
-      "q45_stream_join", "q65_stream_session",
+      "q45_stream_join", "q65_stream_session", "q85_stream_index_dedup",
       "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup",
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
