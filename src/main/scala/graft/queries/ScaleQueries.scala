@@ -567,6 +567,50 @@ object ScaleQueries {
           col("rn").cast("int").as("sample_rank"))
     }),
 
+    // Exact distribution quantiles per source — the filter-threshold
+    // selection pass (where should the length cutoff sit per domain?).
+    // percentile_disc semantics in pure INTEGER rank arithmetic: the
+    // p-quantile is the value at row ceil(p·n) of the (value, id)-sorted
+    // group — no interpolation, no floats, any engine agrees. One window
+    // per source + a 3-value conditional aggregate; at 100 TB the same
+    // two-pass bucketed ranking as q83 drops in for mega-groups.
+    "q86_token_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextAnalysis.tokenCount(t).as("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") === ceil(col("n") * 0.1) ||
+          col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.9))
+        .groupBy(col("source"))
+        .agg(max(col("n")).cast("long").as("n_docs"),
+          max(when(col("rn") === ceil(col("n") * 0.1), col("n_tokens"))).as("p10_tokens"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("n_tokens"))).as("p50_tokens"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("n_tokens"))).as("p90_tokens"))
+    }),
+
+    // Per-source document cap — the per-domain cap of a crawl curation
+    // pipeline: keep at most K best documents per source, best = highest
+    // integer quality micro-units, ties broken by id. Deterministic
+    // everywhere (the rank key is (exact integer, unique id)); the
+    // window is per-source and the K-row tail is all that survives, so
+    // at scale this is the q83 bucketed-ranking shape with quota = K.
+    "q87_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val ws = col("ws")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q_mu").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), t, Dedup.words(t).as("ws"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"))
+        .withColumn("rank_in_source", row_number().over(w))
+        .filter(col("rank_in_source") <= 15)
+    }),
+
     // Corpus TF-IDF: top-3 highest-scoring terms per document — see
     // [[TextAnalysis.tfidfTopTerms]] for the keyed-shuffle shape.
     "q60_tfidf_terms" -> ((s, dir) =>
@@ -1269,6 +1313,40 @@ object ScaleQueries {
     // answer EXACTLY — one restatement checks both implementations
     // against each other (same pattern as q58/q66 and q75/q81).
     "q83_stratified_sample_bucketed" -> stratifiedSampleOracle,
+
+    // percentile_disc rank arithmetic restated: value at ceil(p·n) of the
+    // (value, id)-sorted group. INT casts match Spark's size() width.
+    "q86_token_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM d)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST(max(CASE WHEN rn = ceil(n * 0.1) THEN n_tokens END) AS INT) AS p10_tokens,
+         |  CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN n_tokens END) AS INT) AS p50_tokens,
+         |  CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN n_tokens END) AS INT) AS p90_tokens
+         |FROM r
+         |WHERE rn = ceil(n * 0.1) OR rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+         |GROUP BY source""".stripMargin,
+
+    // The quality rank key is (exact integer micro-units, unique id), so
+    // the kept set and ranks are engine-independent.
+    "q87_source_cap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, $wsSplit AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, $qMuSql AS q_mu FROM d),
+         |r AS (
+         |  SELECT doc_id, source, q_mu,
+         |    row_number() OVER (PARTITION BY source ORDER BY q_mu DESC, doc_id) AS rn
+         |  FROM s)
+         |SELECT doc_id, source, q_mu, CAST(rn AS INT) AS rank_in_source
+         |FROM r WHERE rn <= 15""".stripMargin,
 
     // idf quantized to integer micro-nats before scoring (mirrors the
     // engine): ranking runs on an exact integer product.
