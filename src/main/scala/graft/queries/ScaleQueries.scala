@@ -259,33 +259,47 @@ object ScaleQueries {
     // |langs|-sized aggregate — at 100 TB the scored filter runs inside
     // the scan stage and drops most of the corpus before anything wide.
     "q44_curation" -> ((s, dir) => {
-      val t = col("text")
-      val ws = col("ws")
       // The whole decision path is integer arithmetic: qualityMicro is
       // exact integer micro-units (no per-row double ever feeds the
       // `>= 750000` filter — a double `>= 0.75` flips membership on
       // threshold rows with 1-ulp engine differences, the driver-red of
       // rounds 4-5), the bigint sum is order-independent, and
       // (2S + n) div (2n) is round-half-up of S/n without any float op.
-      // The final /1e6 is one IEEE double division — bit-identical in
-      // any engine. The oracle restates the same integer formula.
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), t, Dedup.words(t).as("ws"))
-        .select(col("doc_id"), col("lang"), t, ws,
-          TextAnalysis.qualityMicro(t, ws).as("q_mu"),
-          TextAnalysis.langIdW(ws).as("lang_guess"),
-          TextAnalysis.tokenCount(t).as("n_tokens"))
-        .filter(col("q_mu") >= 750000L && col("lang_guess") === "en")
-        .drop("ws")
-      Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
+      // The output is now ALL BIGINT (avg_quality_micro stays in integer
+      // micro-units — no double anywhere in the result), so a hash
+      // divergence cannot come from float formatting either. q44a/q44b
+      // below register the decomposition stages separately to localize
+      // any remaining divergence to a specific cell.
+      curationSurvivors(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_unique"),
           sum(col("group_size")).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
           sum(col("q_mu")).as("__sq"))
-        .withColumn("avg_quality",
-          expr("(__sq * 2 + n_unique) div (n_unique * 2)").cast("double") / 1e6)
+        .withColumn("avg_quality_micro",
+          expr("(__sq * 2 + n_unique) div (n_unique * 2)"))
         .drop("__sq")
+    }),
+
+    // q44 stage A: the same per-lang aggregation with NO derived column —
+    // raw integer sums only. If q44 diverges while this is green, the
+    // divergence lives in the round-half-up average cell alone.
+    "q44a_curation_sums" -> ((s, dir) => {
+      curationSurvivors(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("group_size")).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("q_mu")).as("sum_q_mu"))
+    }),
+
+    // q44 stage B: the survivor SET itself — per-document filter + dedup
+    // outcome with the per-row integer ingredients. If q44 diverges while
+    // this is green, the divergence is in aggregation, not membership.
+    "q44b_curation_survivors" -> ((s, dir) => {
+      curationSurvivors(s, dir)
+        .select(col("doc_id"), col("lang"), col("group_size"),
+          col("n_tokens"), col("q_mu"))
     }),
 
     // Winnowing fingerprints (rolling k-gram hash + per-window min): the
@@ -780,6 +794,26 @@ object ScaleQueries {
           col("features.height").as("height"), col("features.n_frames").as("n_frames"))
     }))
 
+  /** The shared curation front-end of q44/q44a/q44b: score every document
+    * map-side (exact integer micro-unit quality, language-ID, token
+    * count — one projection, zero shuffles), keep high-quality English,
+    * collapse exact duplicates with ONE min_by shuffle on the content
+    * key. Every emitted column is a string or exact integer.
+    */
+  private def curationSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val ws = col("ws")
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), t, Dedup.words(t).as("ws"))
+      .select(col("doc_id"), col("lang"), t, ws,
+        TextAnalysis.qualityMicro(t, ws).as("q_mu"),
+        TextAnalysis.langIdW(ws).as("lang_guess"),
+        TextAnalysis.tokenCount(t).as("n_tokens"))
+      .filter(col("q_mu") >= 750000L && col("lang_guess") === "en")
+      .drop("ws")
+    Dedup.exactDedup(scored, Dedup.contentKey(t), col("doc_id"))
+  }
+
   private val wsSplit = """string_split_regex(trim(lower(text)), '\s+')"""
 
   /** TextAnalysis.qualityMicro restated for DuckDB: integer micro-units
@@ -794,6 +828,36 @@ object ScaleQueries {
       |        + length(text)) // (CAST(length(text) AS BIGINT) * 2), 1000000))
       |   + (2000000 * CAST(list_unique(ws) AS BIGINT) + len(ws)) // (CAST(len(ws) AS BIGINT) * 2)
       |  ) * 2 + 3) // 6""".stripMargin
+
+  // Shared restatement of the q44 curation front-end (score → filter →
+  // exact-dedup): `k WHERE rn = 1` is the survivor set. Used verbatim by
+  // q44 (per-lang accounting), q44a (raw sums), q44b (survivor rows) —
+  // the decomposition that localizes any divergence to one stage.
+  private val curationCtes: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text, $wsSplit AS ws,
+       |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+       |    len(list_filter($wsSplit,
+       |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
+       |    len(list_filter($wsSplit,
+       |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
+       |    len(list_filter($wsSplit,
+       |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, ws, n_tokens,
+       |    $qMuSql AS q_mu,
+       |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
+       |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
+       |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
+       |  FROM d),
+       |f AS (SELECT * FROM scored WHERE q_mu >= 750000 AND lang_guess = 'en'),
+       |k AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY md5(array_to_string(ws, ' '))
+       |                       ORDER BY doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY md5(array_to_string(ws, ' '))) AS gs
+       |  FROM f)""".stripMargin
 
   // Pairs by brute-force shingle Jaccard (the q16 restatement), closed
   // into components with a recursive CTE — min label reachable from each
@@ -1065,36 +1129,24 @@ object ScaleQueries {
     // Independent restatement of the whole pipeline: survivor per content
     // key = min doc_id (exactDedup's min_by ordering leads with the
     // unique tie-break), group sizes counted within the filtered set.
+    // All-integer output (avg stays in micro-units).
     "q44_curation" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, lang, text, $wsSplit AS ws,
-         |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
-         |    len(list_filter($wsSplit,
-         |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
-         |    len(list_filter($wsSplit,
-         |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
-         |    len(list_filter($wsSplit,
-         |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, lang, ws, n_tokens,
-         |    $qMuSql AS q_mu,
-         |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
-         |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
-         |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
-         |  FROM d),
-         |f AS (SELECT * FROM scored WHERE q_mu >= 750000 AND lang_guess = 'en'),
-         |k AS (
-         |  SELECT *,
-         |    row_number() OVER (PARTITION BY md5(array_to_string(ws, ' '))
-         |                       ORDER BY doc_id) AS rn,
-         |    count(*) OVER (PARTITION BY md5(array_to_string(ws, ' '))) AS gs
-         |  FROM f)
+      s"""$curationCtes
          |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
          |  sum(n_tokens) AS sum_tokens,
-         |  CAST((sum(q_mu) * 2 + count(*))
-         |       // (count(*) * 2) AS DOUBLE) / 1000000.0 AS avg_quality
+         |  (sum(q_mu) * 2 + count(*)) // (count(*) * 2) AS avg_quality_micro
          |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
+
+    "q44a_curation_sums" ->
+      s"""$curationCtes
+         |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
+         |  sum(n_tokens) AS sum_tokens, sum(q_mu) AS sum_q_mu
+         |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
+
+    "q44b_curation_survivors" ->
+      s"""$curationCtes
+         |SELECT doc_id, lang, gs AS group_size, n_tokens, q_mu
+         |FROM k WHERE rn = 1""".stripMargin,
 
     // Gram slices l[i:i+2] are 1-based INCLUSIVE in DuckDB; the 60-bit
     // gram hash is CAST('0x'||first-15-md5-hex-chars), matching Spark's
