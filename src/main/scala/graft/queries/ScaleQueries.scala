@@ -457,7 +457,10 @@ object ScaleQueries {
     // for candidate ids alone. The in-query index build is a measurement
     // artifact of a self-contained registered query (like q68's writes);
     // PlanAssertSpec pins the probe plan to exactly one batch-side
-    // MinHashShingles and zero corpus-side signature work.
+    // MinHashShingles and zero corpus-side signature work. Day-over-day
+    // maintenance is [[Dedup.appendToMinhashIndex]] (bucketed INSERT of
+    // each day's accepted reps; probe-after-append ≡ probe-after-rebuild,
+    // pinned by DedupSpec) — the index is built once, not per run.
     "q81_indexed_incremental_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val docs = Tables(s, dir, "documents")

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -324,7 +324,8 @@ object Dedup {
     *  - `<name>_sigs`    (id, sig)          bucketed by id: rep
     *    signatures — the agreement-prefilter lookup.
     * A daily pipeline appends each batch's accepted reps to these tables
-    * (bucketed INSERT) so the index tracks the corpus incrementally.
+    * via [[appendToMinhashIndex]] so the index tracks the corpus
+    * incrementally.
     */
   def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         name: String, shingleK: Int = 3, numHashes: Int = 48,
@@ -345,6 +346,63 @@ object Dedup {
         sigs.select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
           .select(col("b.band").as("bband"), col("b.bucket").as("bhash"), col("id")),
         s"${name}_buckets", Seq("bhash"), numBuckets)
+    } finally sigs.unpersist()
+  }
+
+  /** Index maintenance — the repeated-increment half of the contract
+    * ([[buildMinhashIndex]] pays the corpus pass once; this keeps the
+    * index tracking the corpus at O(batch) per day, the same
+    * repeated-increment economics as the reference's backfill idiom,
+    * `DateRanges.split_lookback_period`, date.py:907-956). Appends the
+    * ACCEPTED batch rows (the survivors [[probeMinhashIndex]] returned)
+    * to the three bucketed tables with bucketed INSERTs — Spark validates
+    * the bucket spec against the existing tables, so the co-located
+    * equi-join layout survives every increment.
+    *
+    * Idempotent by construction: contents whose key is already stored are
+    * anti-joined away first, so re-ingesting the same batch (a replayed
+    * daily run) appends nothing. Clones within the batch collapse to one
+    * min-id rep, exactly as the builder does — and since accepted rows
+    * are never exact duplicates of indexed content, rep choice after
+    * append equals rep choice after a full rebuild over corpus ∪ batch
+    * (no content-key group ever spans the boundary), which is what makes
+    * probe-after-append ≡ probe-after-rebuild (pinned by DedupSpec).
+    *
+    * CONTRACT: `accepted` must be MATERIALIZED rows (the corpus partition
+    * the survivors were persisted to), not the live [[probeMinhashIndex]]
+    * plan — that plan reads the very tables this call mutates, so lazy
+    * re-evaluation after the first append would see the grown key set and
+    * resolve to empty. A real pipeline lands the accepted rows in the
+    * corpus store first and appends from there; in tests, collect or
+    * write-and-read-back before appending.
+    *
+    * `params` must match the index build (same shingleK/numHashes/bands).
+    */
+  def appendToMinhashIndex(accepted: DataFrame, idCol: String, textCol: String,
+                           name: String, shingleK: Int = 3, numHashes: Int = 48,
+                           bands: Int = 6, numBuckets: Int = 16): Unit = {
+    val spark = accepted.sparkSession
+    val rowsPerBand = numHashes / bands
+    val docs = accepted.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("ck", contentKey(col("text")))
+    val fresh = docs.join(spark.table(s"${name}_keys"), Seq("ck"), "left_anti")
+    val sigs = repCollapse(fresh)
+      .select(col("ck"), col("id"),
+        graft.expr.MinHashShingles(words(col("text")), shingleK, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Write order matters: every write re-executes this lazy plan, and
+      // the plan anti-joins `_keys` — the first write materializes the
+      // cache, and `_keys` goes LAST so any recompute still sees the
+      // pre-append key set.
+      graft.sources.Sources.writeBucketed(sigs.select(col("id"), col("sig")),
+        s"${name}_sigs", Seq("id"), numBuckets, SaveMode.Append)
+      graft.sources.Sources.writeBucketed(
+        sigs.select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
+          .select(col("b.band").as("bband"), col("b.bucket").as("bhash"), col("id")),
+        s"${name}_buckets", Seq("bhash"), numBuckets, SaveMode.Append)
+      graft.sources.Sources.writeBucketed(sigs.select(col("ck")).distinct(),
+        s"${name}_keys", Seq("ck"), numBuckets, SaveMode.Append)
     } finally sigs.unpersist()
   }
 

@@ -192,6 +192,54 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(5L, 7L, 9L))
   }
 
+  test("index append: probe-after-append equals probe-after-rebuild, re-ingest is a no-op") {
+    // day 0: corpus; day 1: batch1 (one corpus near-dup 3, one fresh pair
+    // 5/7, one island 9); day 2: batch2 probes content related to BATCH1
+    // docs (11: near-dup of batch1's fresh content — only the appended
+    // index state can drop it), plus a fresh doc (13).
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"f$i").mkString(" ")
+    val nearFresh = (1 to 29).map(i => s"f$i").mkString(" ") + " qq"
+    val corpus = Seq((0L, base), (4L, "totally different content here"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (3L, (1 to 29).map(i => s"w$i").mkString(" ") + " zz"),
+      (5L, fresh), (7L, fresh), (9L, "another island of text"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((11L, nearFresh), (13L, "yet another unrelated island"))
+      .toDF("doc_id", "text")
+
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", "g88a_idx", numBuckets = 2)
+    // materialize the survivors before appending (the probe plan reads the
+    // index tables the append mutates — the documented contract: a real
+    // pipeline lands accepted rows in the corpus store first)
+    val acc1 = Dedup.probeMinhashIndex(corpus, batch1, "doc_id", "text", "g88a_idx")
+      .as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+    assert(acc1.select(col("doc_id")).as[Long].collect().toSet == Set(5L, 7L, 9L))
+    Dedup.appendToMinhashIndex(acc1, "doc_id", "text", "g88a_idx", numBuckets = 2)
+
+    val ingested = corpus.unionAll(acc1)
+    val appended = Dedup.probeMinhashIndex(ingested, batch2, "doc_id", "text", "g88a_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // 11 is a near-dup of batch1's accepted fresh content -> dropped
+    assert(appended == Set(13L))
+
+    // full rebuild over everything ingested so far must agree exactly
+    Dedup.buildMinhashIndex(ingested, "doc_id", "text", "g88b_idx", numBuckets = 2)
+    val rebuilt = Dedup.probeMinhashIndex(ingested, batch2, "doc_id", "text", "g88b_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(rebuilt == appended)
+
+    // idempotent re-ingest: appending the same accepted batch again must
+    // leave all three index tables untouched
+    val before = Seq("g88a_idx_keys", "g88a_idx_buckets", "g88a_idx_sigs")
+      .map(t => spark.table(t).count())
+    Dedup.appendToMinhashIndex(acc1, "doc_id", "text", "g88a_idx", numBuckets = 2)
+    val after = Seq("g88a_idx_keys", "g88a_idx_buckets", "g88a_idx_sigs")
+      .map(t => spark.table(t).count())
+    assert(after == before)
+  }
+
   test("both CC impls emit a self-loop-only node as its own singleton cluster") {
     // (5,5) is a node whose ONLY edge is a self-loop; (2,2) is a self-loop
     // on a node that also has a real edge — both impls must agree on the
