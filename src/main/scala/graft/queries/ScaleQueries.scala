@@ -906,8 +906,9 @@ object ScaleQueries {
       |FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin
 
   // Incremental-dedup survivors = odd-id (batch) docs in no cross-parity
-  // brute-force near-dup pair with the even-id (corpus) half.
-  private val incrementalDedupOracle: String =
+  // brute-force near-dup pair with the even-id (corpus) half. Shared by
+  // q75/q81 and the streaming ingestion form (q88 in StreamQueries).
+  private[queries] val incrementalDedupOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id, $wsSplit AS w FROM documents),
        |sh AS (
