@@ -541,7 +541,9 @@ object ScaleQueries {
         .select(col("doc_id"), col("source"), hk.as("hk"))
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-        .filter(col("rn") <= ceil(col("n") * 0.2))
+        // ceil(0.2·n) as the INTEGER (n + 4) div 5 — the quota boundary
+        // never rides on an IEEE product (the q86 discipline)
+        .filter(col("rn") <= expr("(n + 4) div 5"))
         .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
     }),
 
@@ -579,7 +581,7 @@ object ScaleQueries {
         // admit out-of-quota rows); the emitted width is q59's int
         // contract, safe up to a 5·2^31-row group at the 20% quota
         .withColumn("rn", col("off") + col("lr"))
-        .filter(col("rn") <= ceil(col("n") * 0.2))
+        .filter(col("rn") <= expr("(n + 4) div 5"))
         .select(col("doc_id"), col("source"),
           col("rn").cast("int").as("sample_rank"))
     }),
@@ -588,24 +590,41 @@ object ScaleQueries {
     // selection pass (where should the length cutoff sit per domain?).
     // percentile_disc semantics in pure INTEGER rank arithmetic: the
     // p-quantile is the value at row ceil(p·n) of the (value, id)-sorted
-    // group — no interpolation, no floats, any engine agrees. One window
-    // per source + a 3-value conditional aggregate; at 100 TB the same
-    // two-pass bucketed ranking as q83 drops in for mega-groups.
+    // group, with the thresholds THEMSELVES integer expressions
+    // ((n+9) div 10, (n+1) div 2, (9n+9) div 10 — no IEEE product ever
+    // touches the row selection, on either engine). Ranking is the q83
+    // bucketed-order-statistics shape with bucket = the exact token
+    // count: global rank = (sum of smaller-value bucket counts) + rank
+    // within the bucket, so the only row-level sorts are partitioned
+    // (source, n_tokens) — a mega-source never serializes through one
+    // task — and the offset/count tables (|source|×|distinct counts|
+    // aggregated rows) broadcast back onto the scan.
     "q86_token_quantiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val t = col("text")
-      val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
-      Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), TextAnalysis.tokenCount(t).as("n_tokens"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-        .filter(col("rn") === ceil(col("n") * 0.1) ||
-          col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.9))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("source"), col("n_tokens"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+        .select(col("source"), col("n_tokens"), col("off"))
+      val wLocal = Window.partitionBy(col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+      docs.withColumn("lr", row_number().over(wLocal))
+        .join(broadcast(offsets), Seq("source", "n_tokens"))
+        .join(broadcast(counts), "source")
+        .withColumn("rn", col("off") + col("lr"))
+        .filter(col("rn") === expr("(n + 9) div 10") ||
+          col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(9 * n + 9) div 10"))
         .groupBy(col("source"))
-        .agg(max(col("n")).cast("long").as("n_docs"),
-          max(when(col("rn") === ceil(col("n") * 0.1), col("n_tokens"))).as("p10_tokens"),
-          max(when(col("rn") === ceil(col("n") * 0.5), col("n_tokens"))).as("p50_tokens"),
-          max(when(col("rn") === ceil(col("n") * 0.9), col("n_tokens"))).as("p90_tokens"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n + 9) div 10"), col("n_tokens"))).as("p10_tokens"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_tokens"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tokens"))).as("p90_tokens"))
     }),
 
     // Per-source document cap — the per-domain cap of a crawl curation
@@ -903,7 +922,7 @@ object ScaleQueries {
       |    count(*) OVER (PARTITION BY source) AS n
       |  FROM d)
       |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
-      |FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin
+      |FROM r WHERE rn <= (n + 4) // 5""".stripMargin
 
   // Incremental-dedup survivors = odd-id (batch) docs in no cross-parity
   // brute-force near-dup pair with the even-id (corpus) half. Shared by
@@ -1383,11 +1402,11 @@ object ScaleQueries {
          |    count(*) OVER (PARTITION BY source) AS n
          |  FROM d)
          |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
-         |  CAST(max(CASE WHEN rn = ceil(n * 0.1) THEN n_tokens END) AS INT) AS p10_tokens,
-         |  CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN n_tokens END) AS INT) AS p50_tokens,
-         |  CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN n_tokens END) AS INT) AS p90_tokens
+         |  CAST(max(CASE WHEN rn = (n + 9) // 10 THEN n_tokens END) AS INT) AS p10_tokens,
+         |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS INT) AS p50_tokens,
+         |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS INT) AS p90_tokens
          |FROM r
-         |WHERE rn = ceil(n * 0.1) OR rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+         |WHERE rn = (n + 9) // 10 OR rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
          |GROUP BY source""".stripMargin,
 
     // The quality rank key is (exact integer micro-units, unique id), so

@@ -247,6 +247,24 @@ class PlanAssertSpec extends SparkSpec {
     assert(simple == bucketed, "bucketed ranking diverged from the window reference")
   }
 
+  test("q86: row-level ranking sorts are partitioned (source, n_tokens) — no mega-group window") {
+    val p = finalPlan("q86_token_quantiles")
+    // the row-carrying rank window runs per (source, n_tokens) bucket;
+    // only the aggregated offset cumsum is source-partitioned
+    assert(count(p, """hashpartitioning\(source#\d+, n_tokens""") >= 1,
+      "row-level rank window must be bucket-partitioned:\n" + p)
+    assert(count(p, "BroadcastHashJoin") == 2,
+      "offset and count tables must broadcast back onto the scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q87: per-source top-k pushes down as WindowGroupLimit, one exchange") {
+    val p = finalPlan("q87_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group rank<=K must push down before the full window sort:\n" + p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("q76: export read-back prunes to the train partition directory") {
     val p = finalPlan("q76_corpus_export")
     assert(p.contains("PartitionFilters: [isnotnull(split"),
