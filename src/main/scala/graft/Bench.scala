@@ -78,6 +78,24 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // The round's OFFICIAL per-query record goes to a TRACKED path as part
+    // of the bench run itself (round 6's record missed two late queries
+    // because the tracked file was committed mid-round by hand). Round
+    // number = 1 + the latest driver-graded round on disk. Only a FULL
+    // suite at the driver's sf0.1 qualifies — subset/dev runs never
+    // overwrite the official record.
+    if (only.isEmpty && sfDir.contains("sf0.1")) {
+      val graded = Option(new java.io.File("/root/repo").list()).toSeq.flatten
+        .flatMap { f =>
+          "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(f).map(_.group(1).toInt)
+        }
+      val round = (graded :+ 0).max + 1
+      val tracked = f"/root/repo/BENCH_FULL_r$round%02d.json"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(tracked), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $tracked: ${e.getMessage}")
+      }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

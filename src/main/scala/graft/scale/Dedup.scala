@@ -582,6 +582,11 @@ object Dedup {
     * deterministic, engine-independent, and exactly what a keep-one-per-
     * cluster curation join consumes. Isolated documents (no edges) are by
     * definition their own singleton clusters and are not materialized.
+    *
+    * `checkpointDir` (both CC variants): reliable per-round checkpoints
+    * accumulate in the directory and the caller owns its lifecycle —
+    * delete after consuming the result, or enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` (see [[ckpt]]).
     */
   /** Per-round lineage truncation for the iterative CC loops. Default is
     * `localCheckpoint` — executor-pinned blocks, zero extra I/O, right
@@ -592,16 +597,38 @@ object Dedup {
     * checkpoint bounds the blast radius to one round's recompute. The
     * trade-off is one distributed write per round — pay it when round
     * state is large and executors are mortal.
+    *
+    * Lifecycle: the reliable dir accumulates one rdd-N subdirectory per
+    * checkpointed round; Spark exposes no handle to a Dataset
+    * checkpoint's files, so THE CALLER owns the directory — delete it
+    * after fully consuming the iterative result (the returned frame's
+    * final round still reads from it), or run the session with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
+    * superseded rounds as their RDDs are GC'd. The CC entry points
+    * document the same contract on their `checkpointDir` parameter.
+    *
+    * `eager` is honored on the localCheckpoint branch only: the reliable
+    * branch is ALWAYS eager, because the cache-then-checkpoint idiom that
+    * avoids the double compute (below) requires materializing while the
+    * cache is alive — a lazy reliable checkpoint would re-run the round's
+    * lineage at first use after unpersist.
     */
   private def ckpt(df: DataFrame, eager: Boolean, reliableDir: Option[String]): DataFrame =
     reliableDir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir stores the QUALIFIED path of d/<random-UUID>,
-        // so an equality guard never fires; substring-match the parent to
-        // set it once (a fresh UUID dir per round would scatter the
-        // checkpoints and re-run mkdirs every call).
-        if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+        // setCheckpointDir stores the QUALIFIED path of d/<random-UUID>;
+        // qualify `d` the same way and compare the stored dir's PARENT for
+        // equality — set once per dir (a fresh UUID dir per round would
+        // scatter the checkpoints), and a later different dir that happens
+        // to be a substring of the old path still takes effect.
+        val qualified = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        }
+        val alreadySet = sc.getCheckpointDir.exists(cur =>
+          Option(new org.apache.hadoop.fs.Path(cur).getParent).exists(_.toString == qualified))
+        if (!alreadySet) sc.setCheckpointDir(d)
         // Dataset.checkpoint launches its own write job from lineage —
         // unpersisted, every round would COMPUTE TWICE (once for the
         // caller's fixpoint action, once for the checkpoint write). Cache
