@@ -174,6 +174,36 @@ object ScaleQueries {
           expr("(n_match * 2000 + n_vectors) div (n_vectors * 2)"))
     }),
 
+    // q82's audit at GROWING-corpus scale: the exact side is recomputed
+    // only for a deterministic 10% md5 sample of the QUERY vectors
+    // (md5(vec_id) mod 10 = 0 — engine/cluster-independent, no sampling
+    // state), while the corpus side stays FULL on both legs, so every
+    // sampled query's exact_nn is its true corpus-wide neighbor and the
+    // left-join denominator stays honest. The exact audit cost drops 10×
+    // (and dials further down at 100 TB by raising the modulus); the IVF
+    // leg is the unchanged production join being audited. Rows-only like
+    // q82 (driver k-means); SimilaritySpec pins the sampled recall bound
+    // and pins the sampled exact side ≡ the full exact join restricted
+    // to the sample.
+    "q89_ivf_recall_sampled" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val sample = emb.filter(pmod(Dedup.md5Long60(col("vec_id")), lit(10)) === 0)
+      val exact = Similarity.nnJoinAgainst(sample, emb, "embedding", "vec_id")
+        .select(col("vec_id"), col("nn_id").as("exact_nn"))
+      val (k, nprobe) = Similarity.ivfParams(emb)
+      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
+      val (superK, superProbe) = Similarity.routingParams(cents.length)
+      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      val approx = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
+        nprobe = nprobe, routing = Some((sup, kids, superProbe)))
+        .select(col("vec_id"), col("nn_id").as("ivf_nn"))
+      exact.join(approx, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("recall_permille",
+          expr("(n_match * 2000 + n_sampled) div (n_sampled * 2)"))
+    }),
+
     // Quantized candidate generation + exact rerank — the memory-bound
     // scale lever ([[Similarity.quantizeInt8]]): rank the corpus by
     // cosine over per-vector int8 quantizations (4× smaller scan side;

@@ -275,9 +275,49 @@ object Similarity {
     (s, math.max(2, (s + 1) / 2))
   }
 
+  /** NN join with distinct query and corpus sides: for every `queries`
+    * vector, its best `corpus` neighbor (self excluded by id). Same
+    * map-side-combining `max_by` shape as [[nnJoin]]; quadratic in
+    * |queries|×|corpus| by construction — the audit-artifact form
+    * (q89 samples the query side so the exact audit stays runnable as
+    * the corpus grows; the corpus side is never sampled, keeping the
+    * denominator honest).
+    */
+  def nnJoinAgainst(queries: DataFrame, corpus: DataFrame,
+                    embCol: String, idCol: String): DataFrame = {
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    def unitOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+      .select(col("id"), col("u"))
+    val a = unitOf(queries).select(col("id").as("id_a"), col("u").as("u_a"))
+    val b = unitOf(corpus).repartition(parts)
+      .select(col("id").as("id_b"), col("u").as("u_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
+      .groupBy(col("id_a"))
+      .agg(max_by(struct(col("id_b"), col("cos")),
+        struct(col("cos"), -col("id_b"))).as("m"))
+      .select(col("id_a").as("vec_id"), col("m.id_b").as("nn_id"),
+        round(col("m.cos"), 6).as("cos"))
+  }
+
+  /** `int8Shortlist = Some(m)`: the candidate join runs on per-vector
+    * int8 quantizations ([[quantizeInt8]] over the unit vectors, carried
+    * as `array<tinyint>` — the 4× memory lever of q84 applied to the IVF
+    * join's exchange and build side), keeps the top-`m` candidates per
+    * query by quantized cosine (a per-query WindowGroupLimit — the
+    * per-partition top-m prunes before the shuffle), and reranks the
+    * shortlist with the TRUE float cosine via two keyed fetches of the
+    * unit vectors. At 10⁹ vectors this is what keeps the per-cell
+    * candidate pass in executor memory; recall vs the float path is
+    * spec-pinned in SimilaritySpec. Default `None` is the exact float
+    * path — q74's nprobe=K degeneration contract is unchanged.
+    */
   def ivfNnJoin(df: DataFrame, embCol: String, idCol: String,
                 centroids: Seq[Seq[Double]], nprobe: Int,
-                routing: Option[(Seq[Seq[Double]], Seq[Seq[Int]], Int)] = None): DataFrame = {
+                routing: Option[(Seq[Seq[Double]], Seq[Seq[Int]], Int)] = None,
+                int8Shortlist: Option[Int] = None): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
     // Normalization + cell assignment happen BELOW one repartition, and
     // the cells array is POSEXPLODED once before the consumers branch:
@@ -296,24 +336,71 @@ object Similarity {
       case None =>
         u => graft.expr.NearestCells(u, centroids, nprobe)
     }
-    val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"), assign(col("u")).as("cells"))
-      .repartition(parts)
-      .select(col("id"), col("u"), posexplode(col("cells")))
-      .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
-    val members = exploded.filter(col("rank") === 0)
-      .select(col("cell"), col("id"), col("u"))
-    val probes = exploded.select(
-      col("cell"), col("id").as("qid"), col("u").as("qu"))
-    probes.join(members, "cell")
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), dot(col("qu"), col("u")).as("cos"))
-      .groupBy(col("qid"))
-      .agg(max_by(struct(col("id"), col("cos")),
-        struct(col("cos"), -col("id"))).as("m"))
-      .select(col("qid").as("vec_id"), col("m.id").as("nn_id"),
-        round(col("m.cos"), 6).as("cos"))
+    int8Shortlist match {
+      case None =>
+        val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+          .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+          .select(col("id"), col("u"), assign(col("u")).as("cells"))
+          .repartition(parts)
+          .select(col("id"), col("u"), posexplode(col("cells")))
+          .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
+        val members = exploded.filter(col("rank") === 0)
+          .select(col("cell"), col("id"), col("u"))
+        val probes = exploded.select(
+          col("cell"), col("id").as("qid"), col("u").as("qu"))
+        probes.join(members, "cell")
+          .filter(col("qid") =!= col("id"))
+          .select(col("qid"), col("id"), dot(col("qu"), col("u")).as("cos"))
+          .groupBy(col("qid"))
+          .agg(max_by(struct(col("id"), col("cos")),
+            struct(col("cos"), -col("id"))).as("m"))
+          .select(col("qid").as("vec_id"), col("m.id").as("nn_id"),
+            round(col("m.cos"), 6).as("cos"))
+
+      case Some(m) =>
+        import org.apache.spark.sql.expressions.Window
+        // the exchange and candidate join carry array<tinyint> + one
+        // precomputed quantized norm — floats never enter the wide stage
+        val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+          .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+          .select(col("id"), col("u"), assign(col("u")).as("cells"))
+          .withColumn("qv",
+            quantizeInt8(col("u"), int8Scale(col("u"))).cast("array<tinyint>"))
+          .withColumn("qn", norm(toDouble(col("qv"))))
+          .select(col("id"), col("qv"), col("qn"), col("cells"))
+          .repartition(parts)
+          .select(col("id"), col("qv"), col("qn"), posexplode(col("cells")))
+          .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
+        val members = exploded.filter(col("rank") === 0)
+          .select(col("cell"), col("id"), col("qv"), col("qn"))
+        val probes = exploded.select(col("cell"), col("id").as("qid"),
+          col("qv").as("qqv"), col("qn").as("qqn"))
+        // quantized cosine ranks candidates; quantized dots are exact
+        // small integers, so the shortlist cut is deterministic
+        val wq = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("id"))
+        val shortlist = probes.join(members, "cell")
+          .filter(col("qid") =!= col("id"))
+          .select(col("qid"), col("id"),
+            (dot(toDouble(col("qqv")), toDouble(col("qv")))
+              / (col("qqn") * col("qn"))).as("qcos"))
+          .withColumn("r", row_number().over(wq))
+          .filter(col("r") <= m)
+          .select(col("qid"), col("id"))
+        // exact rerank: fetch the float unit vectors for the shortlist
+        // pairs only (two keyed joins, shortlist-sized)
+        val unitv = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+          .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+          .select(col("id"), col("u"))
+        shortlist
+          .join(unitv.select(col("id").as("qid"), col("u").as("uq")), "qid")
+          .join(unitv.select(col("id"), col("u").as("um")), "id")
+          .select(col("qid"), col("id"), dot(col("uq"), col("um")).as("cos"))
+          .groupBy(col("qid"))
+          .agg(max_by(struct(col("id"), col("cos")),
+            struct(col("cos"), -col("id"))).as("m"))
+          .select(col("qid").as("vec_id"), col("m.id").as("nn_id"),
+            round(col("m.cos"), 6).as("cos"))
+    }
   }
 
   /** IVF sizing from the corpus count: K ≈ √n cells (each cell ≈ √n

@@ -115,6 +115,47 @@ class SimilaritySpec extends SparkSpec {
     assert(part.count() == flat.size.toLong)
   }
 
+  test("int8-shortlist IVF: recall vs the float path, full coverage, true cos values") {
+    val n = emb.count()
+    val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
+    // nprobe=K so the candidate set is the full corpus: any loss is the
+    // quantization's, not the cell approximation's
+    val exact = Similarity.nnJoin(emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val quant = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 8,
+        int8Shortlist = Some(8))
+      .as[(Long, Long, Double)].collect()
+    assert(quant.length == n, "every vector must keep a neighbor through the shortlist")
+    // reported cos is the TRUE cosine of the chosen pair, never above exact
+    quant.foreach { case (id, _, cos) =>
+      assert(cos <= exact(id)._3 + 1e-6, s"vec $id: rerank cos $cos above exact")
+    }
+    val recall = quant.count { case (id, nnId, _) => exact(id)._2 == nnId }.toDouble / n
+    assert(recall >= 0.9,
+      s"int8 top-8 shortlist lost the exact NN too often: recall $recall")
+  }
+
+  test("nnJoinAgainst on a sampled query side equals the full join restricted to the sample") {
+    val sample = emb.filter(pmod(Dedup.md5Long60(col("vec_id")), lit(10)) === 0)
+    val sampled = Similarity.nnJoinAgainst(sample, emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val ids = sample.select(col("vec_id")).as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.size < emb.count())
+    val full = Similarity.nnJoin(emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().filter(r => ids.contains(r._1)).toSet
+    assert(sampled == full)
+  }
+
+  test("q89 sampled recall artifact: one row, sane counts, above the spec bound") {
+    val row = graft.SparkEntry.queries("q89_ivf_recall_sampled")(spark, "/root/testdata/sf0.001")
+      .head()
+    val n = row.getAs[Long]("n_sampled")
+    val m = row.getAs[Long]("n_match")
+    val r = row.getAs[Long]("recall_permille")
+    assert(n > 0 && m <= n)
+    assert(r >= 500, s"sampled IVF recall fell below 0.5: $r permille")
+  }
+
   test("IVF plan has no cartesian product") {
     val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
     val plan = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = 2)
