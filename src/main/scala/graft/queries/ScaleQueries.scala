@@ -657,6 +657,71 @@ object ScaleQueries {
           max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tokens"))).as("p90_tokens"))
     }),
 
+    // Deterministic GLOBAL training-order shuffle — the corpus-ordering
+    // step before sequence packing: every document gets its exact
+    // position in md5(doc_id) order (content-independent, reproducible
+    // on any engine/cluster, re-runnable mid-pipeline), with NO global
+    // sort: the q83 bucketed order statistics degenerate-grouped to one
+    // global group. The md5 prefix's 256 lexicographic=numeric ranges
+    // give bucket offsets from a 256-row cumsum (driver-trivial window),
+    // and the only row-level sorts are the per-bucket (hk, doc_id)
+    // rank windows at ~n/256 rows each. At 100 TB this is how a corpus
+    // gets one total order without one task ever seeing it all.
+    "q90_corpus_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = md5(col("doc_id").cast("string").cast("binary"))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), hk.as("hk"))
+        .withColumn("__bkt", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
+      val wOff = Window.orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("__bkt")).agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+        .select(col("__bkt"), col("off"))
+      val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("hk"), col("doc_id"))
+      docs.withColumn("lr", row_number().over(wLocal))
+        .join(broadcast(offsets), "__bkt")
+        .select(col("doc_id"), col("source"),
+          (col("off") + col("lr")).as("shuffle_rank"))
+    }),
+
+    // Greedy token-budget corpus cut — the global form of q69's mixture
+    // budgeting: keep the BEST documents (highest integer quality
+    // micro-units, ties by id) until 40% of the corpus's tokens are
+    // spent; a document is kept iff the tokens of all strictly-better
+    // documents leave budget. The global quality-ordered cumulative sum
+    // never runs as one sort: bucket = the exact q_mu value (the q86
+    // idiom), per-bucket token sums cumulate in q_mu-descending order
+    // over the AGGREGATED |distinct q_mu| rows, and each row's
+    // tokens-before = its bucket's offset + the within-bucket cumsum —
+    // row-level sorts partitioned by q_mu, offsets and the 1-row budget
+    // broadcast. Everything after tokenCount is integer arithmetic.
+    "q91_token_budget_cut" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val ws = col("ws")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), t, Dedup.words(t).as("ws"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
+      val tot = docs.agg(sum(col("n_tokens")).as("__tot"))
+      val wOff = Window.orderBy(col("q_mu").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("q_mu")).agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("q_mu"), col("off"))
+      val wLocal = Window.partitionBy(col("q_mu")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("lt", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+        .join(broadcast(offsets), "q_mu")
+        .crossJoin(broadcast(tot))
+        .withColumn("tokens_before", col("off") + col("lt"))
+        .filter(col("tokens_before") < expr("(__tot * 2) div 5"))
+        .select(col("doc_id"), col("q_mu"), col("n_tokens"), col("tokens_before"))
+    }),
+
     // Per-source document cap — the per-domain cap of a crawl curation
     // pipeline: keep at most K best documents per source, best = highest
     // integer quality micro-units, ties broken by id. Deterministic
@@ -1438,6 +1503,31 @@ object ScaleQueries {
          |FROM r
          |WHERE rn = (n + 9) // 10 OR rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
          |GROUP BY source""".stripMargin,
+
+    // Global md5 total order restated as one window — the engine must
+    // reproduce these exact positions from its bucketed two-pass ranking.
+    "q90_corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
+
+    // Greedy budget cut restated as one quality-ordered cumulative sum;
+    // the budget boundary is integer arithmetic on exact token counts.
+    "q91_token_budget_cut" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $wsSplit AS ws,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT doc_id, $qMuSql AS q_mu, n_tokens FROM d),
+         |c AS (
+         |  SELECT *,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY q_mu DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         |  FROM s),
+         |t AS (SELECT sum(n_tokens) AS tot FROM s)
+         |SELECT doc_id, q_mu, n_tokens, tokens_before
+         |FROM c, t WHERE tokens_before < (tot * 2) // 5""".stripMargin,
 
     // The quality rank key is (exact integer micro-units, unique id), so
     // the kept set and ranks are engine-independent.

@@ -181,6 +181,7 @@ class PlanAssertSpec extends SparkSpec {
     val skip = Set(
       "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",
       "q45_stream_join", "q65_stream_session", "q85_stream_index_dedup",
+      "q88_stream_neardup_ingest",
       "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup",
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
@@ -263,6 +264,23 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       "per-group rank<=K must push down before the full window sort:\n" + p)
     assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q90: global shuffle rank sorts only per md5 bucket — no single global sort") {
+    val p = finalPlan("q90_corpus_shuffle")
+    assert(count(p, """hashpartitioning\(__bkt""") >= 1,
+      "row-level rank window must be bucket-partitioned:\n" + p)
+    assert(count(p, "BroadcastHashJoin") == 1,
+      "bucket offsets must broadcast back onto the scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q91: budget-cut cumsum sorts only per quality value; offsets and total broadcast") {
+    val p = finalPlan("q91_token_budget_cut")
+    assert(count(p, """hashpartitioning\(q_mu""") >= 1,
+      "row-level cumsum window must be value-partitioned:\n" + p)
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q76: export read-back prunes to the train partition directory") {
