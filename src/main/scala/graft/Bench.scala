@@ -46,14 +46,17 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
-      try rows(name) = SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
+      // a failed pass must never contribute a timing: an early abort looks
+      // like a speedup and would win the min (the contract in the scaladoc)
+      try {
+        rows(name) = SparkEntry.queries(name)(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (!best.get(name).exists(_ <= sec)) best(name) = sec
+      } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (!best.get(name).exists(_ <= sec)) best(name) = sec
     }
-    val results = names.map(n => n -> best(n))
+    val results = names.flatMap(n => best.get(n).map(n -> _))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -81,10 +84,12 @@ object Bench {
     // The round's OFFICIAL per-query record goes to a TRACKED path as part
     // of the bench run itself (round 6's record missed two late queries
     // because the tracked file was committed mid-round by hand). Round
-    // number = 1 + the latest driver-graded round on disk. Only a FULL
-    // suite at the driver's sf0.1 qualifies — subset/dev runs never
-    // overwrite the official record.
-    if (only.isEmpty && sfDir.contains("sf0.1")) {
+    // number = 1 + the latest driver-graded round on disk. Only a CLEAN
+    // FULL suite at exactly the driver's sf0.1 qualifies — subset runs,
+    // other scale factors (exact basename, not substring), and runs with
+    // failures never overwrite the official record.
+    if (only.isEmpty && errors.isEmpty &&
+        new java.io.File(sfDir).getName == "sf0.1") {
       val graded = Option(new java.io.File("/root/repo").list()).toSeq.flatten
         .flatMap { f =>
           "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(f).map(_.group(1).toInt)

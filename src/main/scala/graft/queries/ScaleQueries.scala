@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -594,13 +594,9 @@ object ScaleQueries {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), hk.as("hk"))
         .withColumn("__bkt", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
-      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val wOff = Window.partitionBy(col("source")).orderBy(col("__bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("source"), col("__bkt"))
-        .agg(count(lit(1)).as("bc"))
-        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
-        .select(col("source"), col("__bkt"), col("off"))
+      val bkts = bucketOffsets(docs, Seq("source"), "__bkt", count(lit(1)))
+      val counts = bkts.groupBy(col("source")).agg(sum(col("__bm")).as("n"))
+      val offsets = bkts.select(col("source"), col("__bkt"), col("__off").as("off"))
       val wLocal = Window.partitionBy(col("source"), col("__bkt"))
         .orderBy(col("hk"), col("doc_id"))
       docs.withColumn("lr", row_number().over(wLocal))
@@ -634,13 +630,9 @@ object ScaleQueries {
       val t = col("text")
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), TextAnalysis.tokenCount(t).as("n_tokens"))
-      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val wOff = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("source"), col("n_tokens"))
-        .agg(count(lit(1)).as("bc"))
-        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
-        .select(col("source"), col("n_tokens"), col("off"))
+      val bkts = bucketOffsets(docs, Seq("source"), "n_tokens", count(lit(1)))
+      val counts = bkts.groupBy(col("source")).agg(sum(col("__bm")).as("n"))
+      val offsets = bkts.select(col("source"), col("n_tokens"), col("__off").as("off"))
       val wLocal = Window.partitionBy(col("source"), col("n_tokens"))
         .orderBy(col("doc_id"))
       docs.withColumn("lr", row_number().over(wLocal))
@@ -673,11 +665,8 @@ object ScaleQueries {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), hk.as("hk"))
         .withColumn("__bkt", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
-      val wOff = Window.orderBy(col("__bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("__bkt")).agg(count(lit(1)).as("bc"))
-        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
-        .select(col("__bkt"), col("off"))
+      val offsets = bucketOffsets(docs, Nil, "__bkt", count(lit(1)))
+        .select(col("__bkt"), col("__off").as("off"))
       val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("hk"), col("doc_id"))
       docs.withColumn("lr", row_number().over(wLocal))
         .join(broadcast(offsets), "__bkt")
@@ -705,12 +694,11 @@ object ScaleQueries {
         .select(col("doc_id"),
           TextAnalysis.qualityMicro(t, ws).as("q_mu"),
           TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
-      val tot = docs.agg(sum(col("n_tokens")).as("__tot"))
-      val wOff = Window.orderBy(col("q_mu").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("q_mu")).agg(sum(col("n_tokens")).as("bt"))
-        .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-        .select(col("q_mu"), col("off"))
+      val bkts = bucketOffsets(docs, Nil, "q_mu", sum(col("n_tokens")), desc = true)
+      // the corpus total re-sums the bucket measures — same aggregation
+      // exchange as the offsets, NOT a second scoring pass over the corpus
+      val tot = bkts.agg(sum(col("__bm")).as("__tot"))
+      val offsets = bkts.select(col("q_mu"), col("__off").as("off"))
       val wLocal = Window.partitionBy(col("q_mu")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       docs
@@ -910,6 +898,31 @@ object ScaleQueries {
         .select(col("doc_id"), col("features.width").as("width"),
           col("features.height").as("height"), col("features.n_frames").as("n_frames"))
     }))
+
+  /** The shared scaffold of the bucketed-order-statistics family (q83 /
+    * q86 / q90 / q91): per `partitionCols` group, aggregate `measure`
+    * over each `bucketCol` bucket and attach the bucket's EXCLUSIVE
+    * running total in bucket order — `__bm` is the bucket's own measure,
+    * `__off` the total of all earlier buckets. The result is AGGREGATED
+    * (|groups|·|buckets| rows): callers broadcast-join it back onto the
+    * row stream, add their own bucket-partitioned local window (rank or
+    * running sum), and derive group totals by re-summing `__bm` — which
+    * reuses this aggregation's exchange instead of paying a second
+    * corpus scan. This is how an exact global/grouped order statistic is
+    * computed at 100 TB with every row-level sort partitioned by
+    * (group, bucket) and no mega-group window anywhere.
+    */
+  private def bucketOffsets(docs: DataFrame, partitionCols: Seq[String],
+                            bucketCol: String, measure: Column,
+                            desc: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pcols = partitionCols.map(col)
+    val wOff = Window.partitionBy(pcols: _*)
+      .orderBy(if (desc) col(bucketCol).desc else col(bucketCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.groupBy(pcols :+ col(bucketCol): _*).agg(measure.as("__bm"))
+      .withColumn("__off", coalesce(sum(col("__bm")).over(wOff), lit(0L)))
+  }
 
   /** The shared curation front-end of q44/q44a/q44b: score every document
     * map-side (exact integer micro-unit quality, language-ID, token

@@ -237,15 +237,17 @@ object StreamQueries {
     // cross-batch behavior (later batches dropped against earlier
     // accepts) is pinned by DedupSpec's append test.
     "q88_stream_neardup_ingest" -> ((s, dir) => {
+      // fixed names per sf (the q85 pattern): the index build overwrites
+      // and outRoot is cleared below, so repeated runs in one process
+      // reuse instead of accumulating tables/directories
       val sf = new java.io.File(dir).getName.replace('.', '_')
-      val run = runSeq.incrementAndGet()
-      val idx = s"g88_idx_${sf}_$run"
+      val idx = s"g88_idx_$sf"
       val docs = graft.Tables(s, dir, "documents")
       val cols = docs.columns.toSeq
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       graft.scale.Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
       val outRoot = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_q88_${sf}_$run")
+        System.getProperty("java.io.tmpdir"), s"graft_q88_$sf")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
