@@ -8,6 +8,31 @@ import graft.SparkSpec
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q44 decomposition is self-consistent: aggregate == sums == re-aggregated survivors") {
+    // The bisect contract: if any one of q44/q44a/q44b ever drifts from
+    // the others, the decomposition argument (README §Verification) is
+    // void — pin their mutual consistency, not just each oracle match.
+    val sf = "/root/testdata/sf0.001"
+    val q44 = graft.SparkEntry.queries("q44_curation")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val sums = graft.SparkEntry.queries("q44a_curation_sums")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val fromSurvivors = graft.SparkEntry.queries("q44b_curation_survivors")(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("group_size")).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"), sum(col("q_mu")).as("sum_q_mu"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sums.keySet == q44.keySet && fromSurvivors == sums)
+    q44.foreach { case (lang, (_, nu, nd, st, avgMu)) =>
+      val (_, nuA, ndA, stA, sq) = sums(lang)
+      assert((nu, nd, st) == ((nuA, ndA, stA)))
+      assert(avgMu == (sq * 2 + nuA) / (nuA * 2), s"round-half-up mismatch for $lang")
+    }
+  }
+
   test("word/token counts and ratios") {
     val df = Seq("The quick, brown fox! It is fast.").toDF("text")
     val r = df.select(
