@@ -213,7 +213,8 @@ object Dedup {
     *     name carries a sequence number so composing several
     *     differently-parameterized calls in one query stays analyzable).
     *  4. Two-stage verification: compact-signature agreement estimate
-    *     (threshold − 0.15 margin) prunes candidates first; then shingle
+    *     (threshold − [[sigAgreementSlack]] margin) prunes candidates
+    *     first; then shingle
     *     HASH SETS are built ONLY for ids that survive (never
     *     corpus-wide) and exact Jaccard with the size-ratio bound
     *     decides.
@@ -266,8 +267,8 @@ object Dedup {
         col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // 4a. signature-agreement prefilter: E[agreement] = J, so
-    // threshold−0.15 keeps recall while pruning most candidates on the
-    // compact signatures (numHashes longs/row).
+    // threshold − sigAgreementSlack keeps recall while pruning most
+    // candidates on the compact signatures (numHashes longs/row).
     val estimated = cand
       .repartition(parts) // even spread of the verify work (see blockedJaccardPairs)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
