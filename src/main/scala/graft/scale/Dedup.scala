@@ -369,6 +369,18 @@ object Dedup {
     * (no content-key group ever spans the boundary), which is what makes
     * probe-after-append ≡ probe-after-rebuild (pinned by DedupSpec).
     *
+    * CRASH RECOVERY: keys-last also makes a torn append self-healing. If
+    * the job dies after signatures/buckets land but before the keys
+    * write, a rerun's anti-join still sees the contents as fresh and
+    * re-appends everything — the index converges, and the only artifact
+    * of the torn state is duplicate signature/bucket rows, which cost
+    * duplicate candidate work but cannot change any result (the probe's
+    * dropped-set goes through `.distinct()` and verification is
+    * content-level). Had keys gone FIRST, a crash would strand accepted
+    * contents as exact-dup-detectable but never near-dup-detectable,
+    * and the rerun would skip them forever. Pinned by DedupSpec's
+    * torn-append test.
+    *
     * CONTRACT: `accepted` must be MATERIALIZED rows (the corpus partition
     * the survivors were persisted to), not the live [[probeMinhashIndex]]
     * plan — that plan reads the very tables this call mutates, so lazy

@@ -240,6 +240,39 @@ class DedupSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("index append crash recovery: a torn append (keys missing) converges on rerun") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"f$i").mkString(" ")
+    val nearFresh = (1 to 29).map(i => s"f$i").mkString(" ") + " qq"
+    val corpus = Seq((0L, base), (4L, "totally different content here"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((5L, fresh), (9L, "another island of text"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((11L, nearFresh), (13L, "yet another unrelated island"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", "g88c_idx", numBuckets = 2)
+    val acc1 = Dedup.probeMinhashIndex(corpus, batch1, "doc_id", "text", "g88c_idx")
+      .as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+    // snapshot the pre-append key set, append fully, then roll the keys
+    // table back — reproducing EXACTLY the torn state of a crash between
+    // the sig/bucket appends and the keys append
+    val keysBefore = spark.table("g88c_idx_keys").as[String].collect().toSeq.toDF("ck")
+    Dedup.appendToMinhashIndex(acc1, "doc_id", "text", "g88c_idx", numBuckets = 2)
+    graft.sources.Sources.writeBucketed(keysBefore, "g88c_idx_keys", Seq("ck"), 2)
+    // recovery rerun: contents look fresh again, everything re-appends
+    Dedup.appendToMinhashIndex(acc1, "doc_id", "text", "g88c_idx", numBuckets = 2)
+    // the torn state really left duplicate sig rows behind (degraded, not clean)
+    val ingested = corpus.unionAll(acc1)
+    Dedup.buildMinhashIndex(ingested, "doc_id", "text", "g88d_idx", numBuckets = 2)
+    assert(spark.table("g88c_idx_sigs").count() > spark.table("g88d_idx_sigs").count())
+    // and the probe result is STILL identical to a clean rebuild
+    val recovered = Dedup.probeMinhashIndex(ingested, batch2, "doc_id", "text", "g88c_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val rebuilt = Dedup.probeMinhashIndex(ingested, batch2, "doc_id", "text", "g88d_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(recovered == Set(13L) && rebuilt == recovered)
+  }
+
   test("both CC impls emit a self-loop-only node as its own singleton cluster") {
     // (5,5) is a node whose ONLY edge is a self-loop; (2,2) is a self-loop
     // on a node that also has a real edge — both impls must agree on the
