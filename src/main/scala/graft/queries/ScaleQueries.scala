@@ -710,6 +710,57 @@ object ScaleQueries {
         .select(col("doc_id"), col("q_mu"), col("n_tokens"), col("tokens_before"))
     }),
 
+    // Quality-PROPORTIONAL Bernoulli downsampling — between q57's uniform
+    // split and q87's hard cap sits the soft lever corpus assembly
+    // actually uses: keep each document with probability equal to its
+    // quality score, so high-quality text survives at full rate and
+    // boilerplate thins out without a cliff. Decision = pure integer
+    // compare (md5-derived uniform in [0, 1e6) vs the exact micro-unit
+    // score): content-independent reproducibility like q57, zero
+    // shuffles, restatable on any engine with md5. Emits the survivor
+    // set + the per-doc draw so the oracle checks the mechanism, not
+    // just the set.
+    "q92_weighted_sample" -> ((s, dir) => {
+      val t = col("text")
+      val ws = col("ws")
+      val draw = pmod(Dedup.md5Long60(col("doc_id")), lit(1000000L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), t, Dedup.words(t).as("ws"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"), draw.as("draw"))
+        .filter(col("draw") < col("q_mu"))
+    }),
+
+    // Square-root TEMPERATURE source rebalancing — the multilingual-
+    // corpus idiom (sample low-resource sources up, mega-sources down,
+    // rates ∝ share^(1/T)) at T = 2, where the only transcendental is
+    // sqrt — correctly-rounded IEEE on every engine, unlike pow/ln, so
+    // the thresholds are bit-identical anywhere (the q44 lesson applied
+    // BEFORE it bites). Shape: one |sources|-row token aggregate, the
+    // corpus total as a 1-row broadcast, per-source keep threshold
+    // floor(1e6·sqrt(share)) materialized as an INTEGER, inclusion by
+    // the q92 integer draw — the scan-side decision joins a broadcast
+    // threshold table and never shuffles the corpus.
+    "q93_temperature_rebalance" -> ((s, dir) => {
+      val t = col("text")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
+      val bySource = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+      val tot = bySource.agg(sum(col("src_tokens")).as("__tot"))
+      val thr = bySource.crossJoin(broadcast(tot))
+        .withColumn("keep_thr",
+          floor(sqrt(col("src_tokens").cast("double") / col("__tot").cast("double"))
+            * 1000000.0).cast("long"))
+        .select(col("source"), col("src_tokens"), col("keep_thr"))
+      val draw = pmod(Dedup.md5Long60(col("doc_id")), lit(1000000L))
+      docs.join(broadcast(thr), "source")
+        .withColumn("draw", draw)
+        .filter(col("draw") < col("keep_thr"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("keep_thr"), col("draw"))
+    }),
+
     // Per-source document cap — the per-domain cap of a crawl curation
     // pipeline: keep at most K best documents per source, best = highest
     // integer quality micro-units, ties broken by id. Deterministic
@@ -1516,6 +1567,38 @@ object ScaleQueries {
          |FROM r
          |WHERE rn = (n + 9) // 10 OR rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
          |GROUP BY source""".stripMargin,
+
+    // The draw and the score both restated from scratch; the WHERE is
+    // the same integer compare, so membership AND mechanism are checked.
+    "q92_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $wsSplit AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, $qMuSql AS q_mu,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000000 AS draw
+         |  FROM d)
+         |SELECT doc_id, source, q_mu, draw FROM s WHERE draw < q_mu""".stripMargin,
+
+    // sqrt is correctly-rounded IEEE in every engine, so the integer
+    // thresholds floor(1e6*sqrt(share)) agree bit-for-bit.
+    "q93_temperature_rebalance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY source),
+         |t AS (SELECT sum(src_tokens) AS tot FROM b),
+         |th AS (
+         |  SELECT source, src_tokens,
+         |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE) / CAST(tot AS DOUBLE))
+         |         * 1000000.0) AS BIGINT) AS keep_thr
+         |  FROM b, t)
+         |SELECT d.doc_id, d.source, d.n_tokens, th.keep_thr,
+         |  CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    % 1000000 AS draw
+         |FROM d JOIN th USING (source)
+         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000000 < th.keep_thr""".stripMargin,
 
     // Global md5 total order restated as one window — the engine must
     // reproduce these exact positions from its bucketed two-pass ranking.

@@ -283,6 +283,19 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q92: quality-proportional sampling is one map-side pass — no exchange at all") {
+    val p = finalPlan("q92_weighted_sample")
+    assert(!p.contains("Exchange hashpartitioning"), "sampling must not shuffle:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q93: per-source thresholds broadcast onto the scan; the corpus never shuffles for the join") {
+    val p = finalPlan("q93_temperature_rebalance")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q76: export read-back prunes to the train partition directory") {
     val p = finalPlan("q76_corpus_export")
     assert(p.contains("PartitionFilters: [isnotnull(split"),
