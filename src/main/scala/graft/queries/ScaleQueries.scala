@@ -761,6 +761,44 @@ object ScaleQueries {
           col("keep_thr"), col("draw"))
     }),
 
+    // CONDITIONAL bigram surprisal — the 2-gram step up from q67's
+    // unigram proxy and the mechanism CCNet-style quality filtering
+    // actually uses: each occurrence scores −ln P(w₂|w₁) with
+    // P(w₂|w₁) = c(w₁w₂) / c(w₁·) (history count = bigrams starting
+    // with w₁, so the conditional sums to 1 over observed successors).
+    // Same float discipline as q67: the per-occurrence log is a fixed
+    // IEEE expression on exact integer counts, quantized to integer
+    // micro-nats BEFORE the per-doc sum, so the aggregate is partition-
+    // order-independent. Shape: one explode, TWO vocabulary-sized keyed
+    // count shuffles (bigram and history — joined back KEYED, not
+    // broadcast: a 100 TB vocabulary outgrows any broadcast), one
+    // per-doc aggregate. Documents under two words carry no bigram and
+    // drop out, exactly as in the oracle.
+    "q94_bigram_surprisal" -> ((s, dir) => {
+      val ws = col("ws")
+      // the q37 bigram idiom (materialized ws, zip_with against the
+      // shifted tail, null padding filtered) carrying the history word
+      val pairs = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))
+      val occ = Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+        .filter(size(ws) >= 2)
+        .select(col("doc_id"), explode(pairs).as("o"))
+        .filter(col("o.bg").isNotNull)
+        .select(col("doc_id"), col("o.w1").as("w1"), col("o.bg").as("bg"))
+      val cb = occ.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val ch = occ.groupBy(col("w1")).agg(count(lit(1)).as("ch"))
+      occ.join(cb, "bg").join(ch, "w1")
+        .withColumn("s_mu",
+          round(-log(col("cb").cast("double") / col("ch").cast("double")) * 1e6)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s_mu")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round((col("ssum").cast("double") / col("n_bigrams")) / 1e6, 6)
+            .as("avg_bigram_surprisal"))
+    }),
+
     // Per-source document cap — the per-domain cap of a crawl curation
     // pipeline: keep at most K best documents per source, best = highest
     // integer quality micro-units, ties broken by id. Deterministic
@@ -1499,6 +1537,28 @@ object ScaleQueries {
          |  FROM w JOIN tf USING (term), tot)
          |SELECT doc_id, count(*) AS n_words,
          |  round((CAST(sum(s_mu) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_surprisal
+         |FROM x GROUP BY doc_id""".stripMargin,
+
+    // History word recovered from the bigram text itself (words contain
+    // no spaces, so split_part(bg, ' ', 1) = w1) — an independent route
+    // to the same conditional.
+    "q94_bigram_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS ws FROM documents),
+         |o AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS bg
+         |  FROM d WHERE len(ws) >= 2),
+         |ob AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM o),
+         |cb AS (SELECT bg, count(*) AS cb FROM ob GROUP BY bg),
+         |ch AS (SELECT w1, count(*) AS ch FROM ob GROUP BY w1),
+         |x AS (
+         |  SELECT ob.doc_id,
+         |    CAST(round(-ln(CAST(cb.cb AS DOUBLE) / CAST(ch.ch AS DOUBLE)) * 1000000)
+         |         AS BIGINT) AS s_mu
+         |  FROM ob JOIN cb USING (bg) JOIN ch USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round((CAST(sum(s_mu) AS DOUBLE) / count(*)) / 1000000.0, 6)
+         |    AS avg_bigram_surprisal
          |FROM x GROUP BY doc_id""".stripMargin,
 
     "q57_split_assign" ->
