@@ -799,6 +799,36 @@ object ScaleQueries {
             .as("avg_bigram_surprisal"))
     }),
 
+    // Embedding-cosine near-dup REMOVAL end-to-end — the last member of
+    // the dedup family (exact q15 / MinHash q16 / SimHash q36 / Jaccard
+    // q17 / embedding-cosine here): banded hyperplane-LSH candidates →
+    // exact-cosine verify → connected components → keep min id per
+    // cluster. The corpus has no natural near-dup vectors (max pair
+    // cosine ≈ 0.6), so the query plants them deterministically: every
+    // vec_id % 7 == 0 vector gets a clone (id + 1_000_000) with ONE
+    // coordinate (index vec_id % 64) scaled by 1.0625 — a pure-IEEE
+    // double product both engines compute bit-identically — giving
+    // planted pair cosines ≥ 0.9997 against a 0.8 threshold (no
+    // borderline comparisons anywhere). HASH-CHECKED against a DuckDB
+    // oracle that brute-forces ALL pair cosines and runs recursive-CTE
+    // components: the LSH banding must find exactly the brute-force
+    // pair set (the q16 contract; deterministic md5 planes, so recall
+    // on this corpus is a constant — SimilaritySpec pins it at 1.0).
+    "q95_embedding_neardup_dedup" -> ((s, dir) => {
+      val corpus = embCloneCorpus(s, dir)
+      val pairs = Similarity.cosineNearDupPairs(corpus, "emb", "vec_id",
+        threshold = 0.8, dim = 64)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+      corpus.join(clusters, Seq("vec_id"), "left")
+        .withColumn("keep",
+          col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
+        .groupBy(pmod(col("vec_id"), lit(10L)).as("shard"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_dropped", col("n_vecs") - col("n_kept"))
+    }),
+
     // Per-source document cap — the per-domain cap of a crawl curation
     // pipeline: keep at most K best documents per source, best = highest
     // integer quality micro-units, ties broken by id. Deterministic
@@ -1084,6 +1114,23 @@ object ScaleQueries {
   // Shared verbatim by q58 (min-label propagation), q66 (large-star/
   // small-star), and q70 (keep-one survivorship): same closure, one
   // independent restatement checks all three.
+  /** q95's corpus: embeddings ∪ planted near-dup clones. Every
+    * vec_id % 7 == 0 vector is cloned at id + 1_000_000 with coordinate
+    * (vec_id % 64) scaled by 1.0625 — all in DOUBLE, restated verbatim
+    * in the oracle (1-based index there), so both engines build the
+    * bit-identical corpus.
+    */
+  private[graft] def embCloneCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+    val clones = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("emb"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64L)).cast("int"), x * lit(1.0625d))
+            .otherwise(x)).as("emb"))
+    emb.unionAll(clones)
+  }
+
   private val dupClustersCtes: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, $wsSplit AS w FROM documents),
@@ -1560,6 +1607,46 @@ object ScaleQueries {
          |  round((CAST(sum(s_mu) AS DOUBLE) / count(*)) / 1000000.0, 6)
          |    AS avg_bigram_surprisal
          |FROM x GROUP BY doc_id""".stripMargin,
+
+    // Brute-force ground truth for the LSH pipeline (the q16 contract):
+    // ALL pair cosines over the clone-planted corpus, threshold 0.8,
+    // recursive-CTE components, keep min id per cluster. Every float op
+    // (cast, ×1.0625, /norm, index-order dot, sqrt) is the identical
+    // IEEE sequence on both engines, and the planted-pair cosines
+    // (≥ 0.9997) vs the max natural pair (≈ 0.6) leave no borderline
+    // comparison at 0.8.
+    "q95_embedding_neardup_dedup" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT ovid + 1000000 AS vec_id,
+        |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
+        |     for i in range(1, 65)] AS emb
+        |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0)),
+        |corpus AS (SELECT * FROM e0 UNION ALL SELECT * FROM c),
+        |nn AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM corpus),
+        |u AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM nn),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) >= 0.8),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |walk(node, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node),
+        |lab AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node)
+        |SELECT corpus.vec_id % 10 AS shard, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN lab.node IS NULL OR lab.lbl = corpus.vec_id
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN lab.node IS NULL OR lab.lbl = corpus.vec_id
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM corpus LEFT JOIN lab ON corpus.vec_id = lab.node
+        |GROUP BY 1""".stripMargin,
 
     "q57_split_assign" ->
       """SELECT doc_id, source,

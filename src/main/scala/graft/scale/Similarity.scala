@@ -452,4 +452,74 @@ object Similarity {
     val cands = withSig.filter(Dedup.hamming(col("__sig"), lit(qsig)) <= maxHammingProbe)
     bruteForceTopK(cands, embCol, idCol, query, k)
   }
+
+  /** Embedding-cosine near-dup PAIRS — the embedding analog of
+    * [[graft.scale.Dedup.minhashPairs]]: banded hyperplane-LSH candidates,
+    * exact-cosine verified. Completes the dedup family (exact / MinHash /
+    * SimHash / n-gram Jaccard / embedding-cosine) with the same
+    * two-stage never-all-pairs shape:
+    *
+    *  1. one unit-vector projection per row (computed once, shared);
+    *  2. a 60-bit sign signature on the [[md5Planes]] family (60
+    *     constant-folded codegen'd [[dot]]s per row — O(planes·dim)
+    *     multiplies, trivial beside any shuffle);
+    *  3. band explode (`bands` × `rowsPerBand`-bit keys) and an equi-join
+    *     on (band, bits) — only same-bucket pairs are ever materialized.
+    *     A bucket-size window prefilter drops singleton buckets before
+    *     the join (most of the corpus: isotropic vectors spread over
+    *     2^rowsPerBand buckets per band);
+    *  4. exact verify: candidate ids fetch their unit vectors back (two
+    *     id-keyed joins — the candidate set, not the corpus, pays the
+    *     shuffle) and keep pairs with true cosine ≥ `threshold`.
+    *
+    * Near-dup pairs (θ small) flip a sign bit with probability θ/π per
+    * plane, so a band of r bits matches with prob (1−θ/π)^r and the pair
+    * is missed only if ALL `bands` bands differ — at cosine ≥ 0.99
+    * (θ ≤ 0.15) the miss probability is < 1e-6 per pair; the whole
+    * pipeline is deterministic (md5 planes, fixed data), so recall on a
+    * given corpus is a checkable constant, not a random variable —
+    * SimilaritySpec pins it at 1.0 against brute force, which is what
+    * lets q95 run under a brute-force DuckDB oracle (the q16 contract).
+    * At 100 TB the bucket join carries only (band, bits, id) — 20
+    * bytes/row×bands — and oversized buckets (mass near a hyperplane
+    * intersection) would salt into chunks exactly as
+    * [[graft.scale.Dedup.minhashPairs]] salts; on isotropic data buckets
+    * are geometrically balanced and the window prefilter suffices.
+    */
+  def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                         threshold: Double, dim: Int,
+                         numPlanes: Int = 60, bands: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numPlanes % bands == 0, "numPlanes must divide into bands")
+    require(numPlanes <= 63, "signature is packed into one long")
+    val rowsPerBand = numPlanes / bands
+    val mask = (1L << rowsPerBand) - 1
+    val parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    val planes = md5Planes(numPlanes, dim)
+    val unit = df
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+      .select(col("id"), col("u"))
+      .repartition(parts)
+    val sigs = unit.select(col("id"), planeSignature(col("u"), planes).as("sig"))
+    val buckets = sigs.select(col("id"), explode(array(
+        (0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            shiftright(col("sig"), j * rowsPerBand).bitwiseAND(lit(mask)).as("bits"))
+        }: _*)).as("b"))
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .filter(col("bs") >= 2)
+      .select(col("b"), col("id"))
+    val cand = buckets.select(col("b").as("lb"), col("id").as("id_a"))
+      .join(buckets.select(col("b").as("rb"), col("id").as("id_b")),
+        col("lb") === col("rb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .repartition(parts)
+      .join(unit.select(col("id").as("id_a"), col("u").as("u_a")), "id_a")
+      .join(unit.select(col("id").as("id_b"), col("u").as("u_b")), "id_b")
+      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 }

@@ -164,6 +164,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("cosineNearDupPairs: LSH recall 1.0 vs brute force on the clone corpus") {
+    // the q95 contract: the banded-LSH candidate stage must find EXACTLY
+    // the brute-force pair set at the verify threshold, or the DuckDB
+    // oracle (which brute-forces ground truth) would diverge.
+    val corpus = graft.queries.ScaleQueries
+      .embCloneCorpus(spark, "/root/testdata/sf0.001").cache()
+    val lsh = Similarity.cosineNearDupPairs(corpus, "emb", "vec_id",
+        threshold = 0.8, dim = 64)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val unit = corpus.select(col("vec_id"),
+      transform(col("emb"), x =>
+        x / sqrt(Similarity.dot(col("emb"), col("emb")))).as("u"))
+    val brute = unit.select(col("vec_id").as("id_a"), col("u").as("u_a"))
+      .join(unit.select(col("vec_id").as("id_b"), col("u").as("u_b")),
+        col("id_a") < col("id_b"))
+      .filter(Similarity.dot(col("u_a"), col("u_b")) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == brute,
+      s"LSH pairs != brute force: missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+    // the planted clones are exactly the expected pair set
+    val planted = corpus.filter(col("vec_id") < 1000000 && col("vec_id") % 7 === 0)
+      .select(col("vec_id")).as[Long].collect()
+      .map(v => (v, v + 1000000L)).toSet
+    assert(brute == planted)
+    corpus.unpersist()
+  }
+
   test("dot/cosine fold matches a driver-side computation") {
     val row = emb.filter(col("vec_id") === 1)
       .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
