@@ -814,6 +814,16 @@ object ScaleQueries {
     // components: the LSH banding must find exactly the brute-force
     // pair set (the q16 contract; deterministic md5 planes, so recall
     // on this corpus is a constant — SimilaritySpec pins it at 1.0).
+    // Cross-document chunk dedup — the boilerplate-removal pass (CCNet
+    // paragraph dedup / RefinedWeb repeated-line filter, adapted to this
+    // corpus's flat word stream): drop 3-word chunk instances occurring
+    // in >= 3 distinct documents; per-doc counts plus the md5 of the
+    // kept chunks in original order. Everything is exact string/integer
+    // work, so the oracle restates it directly.
+    "q96_chunk_dedup" -> ((s, dir) =>
+      TextAnalysis.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, minDocs = 3)),
+
     "q95_embedding_neardup_dedup" -> ((s, dir) => {
       val corpus = embCloneCorpus(s, dir)
       val pairs = Similarity.cosineNearDupPairs(corpus, "emb", "vec_id",
@@ -1607,6 +1617,31 @@ object ScaleQueries {
          |  round((CAST(sum(s_mu) AS DOUBLE) / count(*)) / 1000000.0, 6)
          |    AS avg_bigram_surprisal
          |FROM x GROUP BY doc_id""".stripMargin,
+
+    // Chunking, distinct-doc counts, and order-preserving reassembly all
+    // restated; `list(... ORDER BY pos) FILTER` goes NULL (not empty)
+    // when every chunk is boilerplate — coalesce matches Spark's empty
+    // collect_list → md5('').
+    "q96_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $wsSplit AS w FROM documents),
+         |ch AS (
+         |  SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+         |    SELECT doc_id,
+         |      unnest([{'pos': i, 'chunk': array_to_string(w[i*3+1:i*3+3], ' ')}
+         |              for i in range(0, len(w)//3)]) AS u
+         |    FROM d WHERE len(w) >= 3)),
+         |bp AS (
+         |  SELECT chunk FROM (
+         |    SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+         |  WHERE nd >= 3),
+         |fl AS (
+         |  SELECT ch.doc_id, ch.pos, ch.chunk, bp.chunk IS NOT NULL AS is_bp
+         |  FROM ch LEFT JOIN bp USING (chunk))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  md5(coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (NOT is_bp), ' '), ''))
+         |    AS kept_fp
+         |FROM fl GROUP BY doc_id""".stripMargin,
 
     // Brute-force ground truth for the LSH pipeline (the q16 contract):
     // ALL pair cosines over the clone-planted corpus, threshold 0.8,

@@ -245,6 +245,52 @@ object TextAnalysis {
         md5(col("__c.chunk").cast("binary")).as("chunk_fp"))
   }
 
+  /** Cross-document chunk dedup — the boilerplate-removal pass of a web
+    * curation pipeline (CCNet's paragraph dedup / RefinedWeb's
+    * repeated-line filter, adapted to this corpus's flat word stream):
+    * split every document into non-overlapping `k`-word chunks, count
+    * each chunk's distinct-document frequency corpus-wide, and drop
+    * chunk INSTANCES whose chunk occurs in ≥ `minDocs` documents. Emits
+    * per document the chunk count, the dropped count, and the md5
+    * fingerprint of the kept chunks in original order — the reassembled
+    * text's identity without ever shuffling the text itself.
+    *
+    * Scale shape: one map-side chunk explode carrying (id, pos, chunk);
+    * ONE count shuffle keyed by chunk (partially aggregated — the
+    * distinct-doc count's first phase collapses a document's repeats of
+    * a chunk map-side); a keyed join of instances against the
+    * boilerplate set — which is the HEAD of the frequency distribution,
+    * orders of magnitude smaller than the chunk universe, and
+    * broadcastable at any corpus size; and a per-document re-aggregation
+    * whose state is one document's own chunks (`array_sort` of the kept
+    * (pos, chunk) pairs restores original order deterministically —
+    * `collect_list` order is not).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, minDocs: Int): DataFrame = {
+    require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2, got ($k, $minDocs)")
+    val ch = df
+      .select(col(idCol), wordsOf(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), floor(size(col("__ws")) / k).cast("int") - 1),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("__ws"), i * k + 1, lit(k))).as("chunk")))).as("__c"))
+      .select(col(idCol), col("__c.pos").as("pos"), col("__c.chunk").as("chunk"))
+    val bp = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("chunk"), lit(true).as("__bp"))
+    ch.join(bp, Seq("chunk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__bp"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("pos"), col("chunk"))))),
+          c => c.getField("chunk"))).cast("binary")).as("kept_fp"))
+  }
+
   /** Fixed-budget sequence packing — stream documents into `budget`-token
     * training sequences. Distributed shape: docs hash into `shards` shards
     * (md5-derived, engine-independent), each shard orders ITS docs

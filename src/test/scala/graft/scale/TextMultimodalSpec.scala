@@ -33,6 +33,27 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup: non-vacuous, bounded, and kept_fp matches a driver-side reassembly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.chunkDedup(docs, "doc_id", "text", k = 3, minDocs = 3)
+      .cache()
+    assert(out.filter(col("n_dropped") > col("n_chunks")).count() == 0)
+    assert(out.filter(col("n_dropped") > 0).count() > 0, "boilerplate pass is vacuous")
+    // a doc with NOTHING dropped fingerprints its full chunk stream —
+    // recompute one independently (plain JVM string ops, no Spark)
+    val clean = out.filter(col("n_dropped") === 0)
+      .select(col("doc_id"), col("kept_fp")).as[(Long, String)].head()
+    val text = docs.filter(col("doc_id") === clean._1)
+      .select(col("text")).as[String].head()
+    val ws = text.trim.toLowerCase.split("\\s+")
+    val expected = ws.grouped(3).filter(_.length == 3).map(_.mkString(" "))
+      .mkString(" ")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(clean._2 == fp, s"kept_fp mismatch for doc ${clean._1}")
+    out.unpersist()
+  }
+
   test("word/token counts and ratios") {
     val df = Seq("The quick, brown fox! It is fast.").toDF("text")
     val r = df.select(
