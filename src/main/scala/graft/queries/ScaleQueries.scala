@@ -824,6 +824,24 @@ object ScaleQueries {
       TextAnalysis.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, minDocs = 3)),
 
+    // Persisted cosine-LSH index + O(batch) probe — q81's amortized
+    // incremental-ingestion contract on the embedding surface. The
+    // corpus (original vectors) pays its signature pass once into two
+    // bucketed tables; the batch (the q95 planted clones) probes by
+    // band equi-join and verifies against candidate-sized unit-vector
+    // point lookups, never rescanning the corpus (plan-asserted).
+    // HASH-CHECKED: the oracle brute-forces every batch × corpus cosine,
+    // so banding recall must be exactly 1.0 (the q16/q95 contract).
+    "q97_indexed_embedding_neardup" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val corpus = embCloneCorpus(s, dir).filter(col("vec_id") < 1000000L)
+      val batch = embCloneCorpus(s, dir).filter(col("vec_id") >= 1000000L)
+      Similarity.buildCosineIndex(corpus, "emb", "vec_id", s"g97_idx_$sf", dim = 64)
+      Similarity.probeCosineIndex(batch, "emb", "vec_id", s"g97_idx_$sf",
+          dim = 64, threshold = 0.8)
+        .select(col("id_b").as("vec_id"), col("id_a").as("match_id"), col("cos"))
+    }),
+
     "q95_embedding_neardup_dedup" -> ((s, dir) => {
       val corpus = embCloneCorpus(s, dir)
       val pairs = Similarity.cosineNearDupPairs(corpus, "emb", "vec_id",
@@ -1642,6 +1660,35 @@ object ScaleQueries {
          |  md5(coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (NOT is_bp), ' '), ''))
          |    AS kept_fp
          |FROM fl GROUP BY doc_id""".stripMargin,
+
+    // Brute-force batch × corpus ground truth for the indexed probe:
+    // every (clone, original) cross pair with true cosine >= 0.8 — the
+    // same corpus/clone/unit construction as q95's oracle, cross-joined
+    // instead of clustered.
+    "q97_indexed_embedding_neardup" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT ovid + 1000000 AS vec_id,
+        |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
+        |     for i in range(1, 65)] AS emb
+        |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0)),
+        |n0 AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM e0),
+        |nc AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM c),
+        |u0 AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM n0),
+        |uc AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM nc),
+        |p AS (
+        |  SELECT b.vec_id AS vec_id, a.vec_id AS match_id,
+        |    (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) AS cs
+        |  FROM u0 a, uc b)
+        |SELECT vec_id, match_id, round(cs, 6) AS cos FROM p WHERE cs >= 0.8""".stripMargin,
 
     // Brute-force ground truth for the LSH pipeline (the q16 contract):
     // ALL pair cosines over the clone-planted corpus, threshold 0.8,

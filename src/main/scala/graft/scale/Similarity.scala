@@ -486,6 +486,25 @@ object Similarity {
     * [[graft.scale.Dedup.minhashPairs]] salts; on isotropic data buckets
     * are geometrically balanced and the window prefilter suffices.
     */
+  /** The `bands` × `rowsPerBand`-bit slices of a packed sign signature,
+    * as an array of (band, bits) structs ready to explode — shared by
+    * [[cosineNearDupPairs]] and the persisted index build/probe, which
+    * must slice identically for their buckets to collide.
+    */
+  private[scale] def signBands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val mask = (1L << rowsPerBand) - 1
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(sig, j * rowsPerBand).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
+  /** One unit-vector projection: (id, u) with u = e/‖e‖ in double. */
+  private def unitVectors(df: DataFrame, embCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+      .select(col("id"), col("u"))
+
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                          threshold: Double, dim: Int,
                          numPlanes: Int = 60, bands: Int = 6): DataFrame = {
@@ -493,20 +512,12 @@ object Similarity {
     require(numPlanes % bands == 0, "numPlanes must divide into bands")
     require(numPlanes <= 63, "signature is packed into one long")
     val rowsPerBand = numPlanes / bands
-    val mask = (1L << rowsPerBand) - 1
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
     val planes = md5Planes(numPlanes, dim)
-    val unit = df
-      .select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"))
-      .repartition(parts)
+    val unit = unitVectors(df, embCol, idCol).repartition(parts)
     val sigs = unit.select(col("id"), planeSignature(col("u"), planes).as("sig"))
-    val buckets = sigs.select(col("id"), explode(array(
-        (0 until bands).map { j =>
-          struct(lit(j).as("band"),
-            shiftright(col("sig"), j * rowsPerBand).bitwiseAND(lit(mask)).as("bits"))
-        }: _*)).as("b"))
+    val buckets = sigs
+      .select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b"))
       .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
       .filter(col("bs") >= 2)
       .select(col("b"), col("id"))
@@ -518,6 +529,74 @@ object Similarity {
       .repartition(parts)
       .join(unit.select(col("id").as("id_a"), col("u").as("u_a")), "id_a")
       .join(unit.select(col("id").as("id_b"), col("u").as("u_b")), "id_b")
+      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persisted cosine-LSH index — [[graft.scale.Dedup.buildMinhashIndex]]'s
+    * amortized-ingestion contract on the embedding surface: pay the
+    * corpus unit-vector + signature pass ONCE, persist the artifacts
+    * BUCKETED on their join keys, and let every ingestion batch probe at
+    * O(batch + candidates) with zero corpus-side compute and zero
+    * corpus-side shuffle ([[probeCosineIndex]]). Two bucketed tables:
+    *  - `<name>_buckets` (bband, bbits, id) bucketed by bbits — the
+    *    candidate equi-join side (20 bytes/row × bands);
+    *  - `<name>_units`   (id, u)            bucketed by id — unit
+    *    vectors for the exact-cosine verify, fetched candidate-sized
+    *    (the point-lookup pattern), never corpus-wide.
+    * Parquet round-trips doubles bit-exactly, so a verify against stored
+    * units equals a verify against live ones. An append path would
+    * mirror [[graft.scale.Dedup.appendToMinhashIndex]] (bucketed INSERT
+    * of the accepted batch's bands + units; no content-key table here —
+    * embedding identity is the id).
+    */
+  def buildCosineIndex(corpus: DataFrame, embCol: String, idCol: String,
+                       name: String, dim: Int, numPlanes: Int = 60,
+                       bands: Int = 6, numBuckets: Int = 16): Unit = {
+    require(numPlanes % bands == 0 && numPlanes <= 63)
+    val rowsPerBand = numPlanes / bands
+    val planes = md5Planes(numPlanes, dim)
+    val units = unitVectors(corpus, embCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sources.writeBucketed(units, s"${name}_units", Seq("id"), numBuckets)
+      graft.sources.Sources.writeBucketed(
+        units.select(col("id"), planeSignature(col("u"), planes).as("sig"))
+          .select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b"))
+          .select(col("b.band").as("bband"), col("b.bits").as("bbits"), col("id")),
+        s"${name}_buckets", Seq("bbits"), numBuckets)
+    } finally units.unpersist()
+  }
+
+  /** Probe the persisted cosine index with one ingestion batch: returns
+    * (id_a = corpus id, id_b = batch id, cos) for every cross pair with
+    * true cosine ≥ `threshold`. O(batch + candidates): the only plane
+    * projections are batch-side, candidates come from an equi-join
+    * against the STORED band buckets, and the corpus contributes only
+    * candidate-sized unit-vector point lookups — PlanAssertSpec pins
+    * that the corpus source is never rescanned. `dim`/`numPlanes`/
+    * `bands` must match the build.
+    */
+  def probeCosineIndex(batch: DataFrame, embCol: String, idCol: String,
+                       name: String, dim: Int, threshold: Double,
+                       numPlanes: Int = 60, bands: Int = 6): DataFrame = {
+    val spark = batch.sparkSession
+    val rowsPerBand = numPlanes / bands
+    val planes = md5Planes(numPlanes, dim)
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val idxUnits = spark.table(s"${name}_units")
+    val idxBuckets = spark.table(s"${name}_buckets")
+    val ub = unitVectors(batch, embCol, idCol).repartition(parts)
+    val bb = ub
+      .select(col("id"),
+        explode(signBands(planeSignature(col("u"), planes), bands, rowsPerBand)).as("b"))
+      .select(col("b.band").as("bband"), col("b.bits").as("bbits"), col("id").as("bid"))
+    val cand = bb.join(idxBuckets.withColumnRenamed("id", "cid"), Seq("bband", "bbits"))
+      .select(col("cid").as("id_a"), col("bid").as("id_b")).distinct()
+    cand
+      .join(idxUnits.select(col("id").as("id_a"), col("u").as("u_a")), "id_a")
+      .join(ub.select(col("id").as("id_b"), col("u").as("u_b")), "id_b")
       .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

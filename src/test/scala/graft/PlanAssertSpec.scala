@@ -231,6 +231,41 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q97: cosine index probe is O(batch) — stored tables serve candidates, corpus never rescanned") {
+    import org.apache.spark.sql.functions.col
+    import graft.scale.Similarity
+    spark.catalog.clearCache()
+    val corpus = graft.queries.ScaleQueries.embCloneCorpus(spark, sf)
+      .filter(col("vec_id") < 1000000L)
+    val batch = graft.queries.ScaleQueries.embCloneCorpus(spark, sf)
+      .filter(col("vec_id") >= 1000000L)
+    Similarity.buildCosineIndex(corpus, "emb", "vec_id", "g97t_idx", dim = 64)
+    val probe = Similarity.probeCosineIndex(batch, "emb", "vec_id", "g97t_idx",
+      dim = 64, threshold = 0.8)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case q => q.toString
+    }
+    // candidates and the verify side come from the PERSISTED index
+    assert(p.contains("g97t_idx_buckets"), "probe must scan the stored band buckets:\n" + p)
+    assert(p.contains("g97t_idx_units"), "verify must read the stored unit vectors:\n" + p)
+    // the embeddings source appears only under the batch construction:
+    // embCloneCorpus is a two-branch union and the probe consumes the
+    // batch twice (band explode + verify), so ≤ 4 scans, and every
+    // filtered scan carries the BATCH predicate. The corpus branch's
+    // pushed filter (LessThan(vec_id,1000000), as the build plan shows)
+    // must be ABSENT — its presence is the O(corpus) recompute this
+    // index exists to rule out
+    assert(count(p, """FileScan parquet \[vec_id""") <= 4,
+      "unexpected embeddings rescan count in the probe plan:\n" + p)
+    assert(!p.contains("LessThan(vec_id,1000000)"),
+      "corpus-side branch present in the probe plan — O(corpus) recompute:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(vec_id,1000000)"),
+      "batch predicate not pushed to the embeddings scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q83: row-level ranking sorts are partitioned (source, bucket) — no mega-group window") {
     val p = finalPlan("q83_stratified_sample_bucketed")
     // the row-carrying window runs per (source, __bkt); the only

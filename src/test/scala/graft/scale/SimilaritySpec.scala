@@ -192,6 +192,29 @@ class SimilaritySpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("cosine index probe finds exactly the brute-force cross pairs") {
+    val all = graft.queries.ScaleQueries
+      .embCloneCorpus(spark, "/root/testdata/sf0.001").cache()
+    val corpus = all.filter(col("vec_id") < 1000000L)
+    val batch = all.filter(col("vec_id") >= 1000000L)
+    Similarity.buildCosineIndex(corpus, "emb", "vec_id", "g97s_idx", dim = 64)
+    val probed = Similarity.probeCosineIndex(batch, "emb", "vec_id", "g97s_idx",
+        dim = 64, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    def unitOf(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      transform(col("emb"), x =>
+        x / sqrt(Similarity.dot(col("emb"), col("emb")))).as("u"))
+    val brute = unitOf(corpus).select(col("vec_id").as("id_a"), col("u").as("u_a"))
+      .crossJoin(unitOf(batch).select(col("vec_id").as("id_b"), col("u").as("u_b")))
+      .filter(Similarity.dot(col("u_a"), col("u_b")) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(probed == brute,
+      s"probe != brute force: missing=${(brute -- probed).take(5)} extra=${(probed -- brute).take(5)}")
+    assert(probed.nonEmpty)
+    all.unpersist()
+  }
+
   test("dot/cosine fold matches a driver-side computation") {
     val row = emb.filter(col("vec_id") === 1)
       .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
