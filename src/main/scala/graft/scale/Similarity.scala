@@ -546,10 +546,8 @@ object Similarity {
     *    vectors for the exact-cosine verify, fetched candidate-sized
     *    (the point-lookup pattern), never corpus-wide.
     * Parquet round-trips doubles bit-exactly, so a verify against stored
-    * units equals a verify against live ones. An append path would
-    * mirror [[graft.scale.Dedup.appendToMinhashIndex]] (bucketed INSERT
-    * of the accepted batch's bands + units; no content-key table here —
-    * embedding identity is the id).
+    * units equals a verify against live ones. [[appendToCosineIndex]]
+    * keeps the index tracking the corpus at O(batch) per increment.
     */
   def buildCosineIndex(corpus: DataFrame, embCol: String, idCol: String,
                        name: String, dim: Int, numPlanes: Int = 60,
@@ -567,6 +565,55 @@ object Similarity {
           .select(col("b.band").as("bband"), col("b.bits").as("bbits"), col("id")),
         s"${name}_buckets", Seq("bbits"), numBuckets)
     } finally units.unpersist()
+  }
+
+  /** Cosine-index maintenance — [[graft.scale.Dedup.appendToMinhashIndex]]'s
+    * repeated-increment contract for the embedding index: bucketed
+    * INSERTs of the ACCEPTED batch rows' band buckets and unit vectors,
+    * so every daily increment stays O(batch) and the co-located bucketed
+    * join layout survives (Spark validates the bucket spec on append).
+    *
+    * Idempotent: ids already indexed are anti-joined away first, so
+    * re-ingesting a replayed batch appends nothing. Write order matters,
+    * for the same two reasons as the minhash index's keys-LAST rule:
+    * `_units` is the anti-join table, so it goes LAST — (a) every write
+    * re-executes this lazy plan, and a recompute during the second write
+    * must still see the pre-append id set; (b) a torn append (buckets
+    * landed, units not) self-heals on rerun — the anti-join still sees
+    * those ids as fresh and re-appends everything, and the only artifact
+    * is duplicate bucket rows, which collapse in the probe's candidate
+    * `.distinct()`. Units-FIRST would strand a torn batch's ids as
+    * indexed-but-bucketless: never candidates, invisible to every future
+    * probe. (During the torn window itself a candidate without its unit
+    * row drops at the verify join — a transient miss the rerun heals;
+    * SimilaritySpec pins append ≡ rebuild and idempotent re-ingest.)
+    *
+    * CONTRACT (as [[graft.scale.Dedup.appendToMinhashIndex]]): `accepted`
+    * must not be a live plan that READS the tables this call mutates;
+    * land accepted rows in the corpus store (or derive them from a
+    * collected id list) first. `dim`/`numPlanes`/`bands`/`numBuckets`
+    * must match the build.
+    */
+  def appendToCosineIndex(accepted: DataFrame, embCol: String, idCol: String,
+                          name: String, dim: Int, numPlanes: Int = 60,
+                          bands: Int = 6, numBuckets: Int = 16): Unit = {
+    val spark = accepted.sparkSession
+    val rowsPerBand = numPlanes / bands
+    val planes = md5Planes(numPlanes, dim)
+    val fresh = unitVectors(accepted, embCol, idCol)
+      .join(spark.table(s"${name}_units").select(col("id")), Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sources.writeBucketed(
+        fresh.select(col("id"), planeSignature(col("u"), planes).as("sig"))
+          .select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b"))
+          .select(col("b.band").as("bband"), col("b.bits").as("bbits"), col("id")),
+        s"${name}_buckets", Seq("bbits"), numBuckets,
+        org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Sources.writeBucketed(fresh,
+        s"${name}_units", Seq("id"), numBuckets,
+        org.apache.spark.sql.SaveMode.Append)
+    } finally fresh.unpersist()
   }
 
   /** Probe the persisted cosine index with one ingestion batch: returns

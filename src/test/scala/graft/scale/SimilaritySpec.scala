@@ -215,6 +215,82 @@ class SimilaritySpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("cosine index append: probe-after-append == probe-after-rebuild, idempotent re-ingest") {
+    val all = graft.queries.ScaleQueries
+      .embCloneCorpus(spark, "/root/testdata/sf0.001").cache()
+    val originals = all.filter(col("vec_id") < 1000000L)
+    val corpus = originals.filter(col("vec_id") % 2 === 0)
+    val day1 = originals.filter(col("vec_id") % 2 === 1)
+    val clones = all.filter(col("vec_id") >= 1000000L)
+    Similarity.buildCosineIndex(corpus, "emb", "vec_id", "g97a_idx", dim = 64)
+    // day-1 ingest: no near-dups among originals (max natural cos ≈ 0.5),
+    // so every odd id is accepted — derive accepted from a COLLECTED id
+    // list (the append contract: never a live plan over the index tables)
+    val matched = Similarity.probeCosineIndex(day1, "emb", "vec_id", "g97a_idx",
+        dim = 64, threshold = 0.8)
+      .select(col("id_b")).as[Long].collect().toSet
+    val accepted = day1.filter(!col("vec_id").isin(matched.toSeq: _*))
+    Similarity.appendToCosineIndex(accepted, "emb", "vec_id", "g97a_idx", dim = 64)
+    // day-2: the planted clones; odd-origin clones can only match via the
+    // APPENDED rows, so this pins that appended rows are probe-visible
+    val afterAppend = Similarity.probeCosineIndex(clones, "emb", "vec_id", "g97a_idx",
+        dim = 64, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterAppend.exists(_._1 % 2 == 1), "no odd-origin match — append invisible")
+    Similarity.buildCosineIndex(originals, "emb", "vec_id", "g97r_idx", dim = 64)
+    val afterRebuild = Similarity.probeCosineIndex(clones, "emb", "vec_id", "g97r_idx",
+        dim = 64, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterAppend == afterRebuild,
+      s"append != rebuild: missing=${(afterRebuild -- afterAppend).take(5)} " +
+        s"extra=${(afterAppend -- afterRebuild).take(5)}")
+    // replayed batch: anti-join leaves nothing to append
+    val before = (spark.table("g97a_idx_units").count(),
+      spark.table("g97a_idx_buckets").count())
+    Similarity.appendToCosineIndex(accepted, "emb", "vec_id", "g97a_idx", dim = 64)
+    val after = (spark.table("g97a_idx_units").count(),
+      spark.table("g97a_idx_buckets").count())
+    assert(before == after, s"re-ingest appended rows: $before -> $after")
+    all.unpersist()
+  }
+
+  test("cosine index append crash recovery: a torn append (units missing) converges on rerun") {
+    val corpus = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.0, 0.0, 1.0, 0.0)))
+      .toDF("vec_id", "emb")
+    val batch1 = Seq((5L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "emb")
+    val batch2 = Seq((11L, Array(0.02, 0.9995, 0.01, 0.0)),
+      (13L, Array(0.5, 0.0, -0.5, 0.7))).toDF("vec_id", "emb")
+    Similarity.buildCosineIndex(corpus, "emb", "vec_id", "g97c_idx", dim = 4, numBuckets = 2)
+    // batch1 is orthogonal to the corpus: accepted in full
+    assert(Similarity.probeCosineIndex(batch1, "emb", "vec_id", "g97c_idx",
+      dim = 4, threshold = 0.8).count() == 0)
+    // snapshot the pre-append units (the anti-join table), append fully,
+    // then roll units back — EXACTLY the torn state of a crash between
+    // the buckets append and the units append
+    val snap = spark.table("g97c_idx_units").as[(Long, Seq[Double])]
+      .collect().toSeq.toDF("id", "u")
+    Similarity.appendToCosineIndex(batch1, "emb", "vec_id", "g97c_idx",
+      dim = 4, numBuckets = 2)
+    graft.sources.Sources.writeBucketed(snap, "g97c_idx_units", Seq("id"), 2)
+    // recovery rerun: the ids look fresh again, everything re-appends
+    Similarity.appendToCosineIndex(batch1, "emb", "vec_id", "g97c_idx",
+      dim = 4, numBuckets = 2)
+    val ingested = corpus.unionAll(batch1)
+    Similarity.buildCosineIndex(ingested, "emb", "vec_id", "g97d_idx", dim = 4, numBuckets = 2)
+    // the torn state really left duplicate bucket rows (degraded, not clean)
+    assert(spark.table("g97c_idx_buckets").count() >
+      spark.table("g97d_idx_buckets").count())
+    // and the probe result is STILL identical to a clean rebuild: 11 finds
+    // the appended 5, 13 matches nothing
+    val recovered = Similarity.probeCosineIndex(batch2, "emb", "vec_id", "g97c_idx",
+        dim = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val rebuilt = Similarity.probeCosineIndex(batch2, "emb", "vec_id", "g97d_idx",
+        dim = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(recovered == Set((5L, 11L)) && rebuilt == recovered)
+  }
+
   test("dot/cosine fold matches a driver-side computation") {
     val row = emb.filter(col("vec_id") === 1)
       .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
