@@ -1148,14 +1148,20 @@ object ScaleQueries {
     * in the oracle (1-based index there), so both engines build the
     * bit-identical corpus.
     */
+  /** The clone perturbation: coordinate (vecId % 64) scaled by 1.0625 in
+    * double — shared by [[embCloneCorpus]] and the q98 stream so every
+    * consumer builds bit-identical clones.
+    */
+  private[graft] def perturbedClone(emb: Column, vecId: Column): Column =
+    transform(emb, (x, i) =>
+      when(i === pmod(vecId, lit(64L)).cast("int"), x * lit(1.0625d)).otherwise(x))
+
   private[graft] def embCloneCorpus(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
     val clones = emb.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-        transform(col("emb"), (x, i) =>
-          when(i === pmod(col("vec_id"), lit(64L)).cast("int"), x * lit(1.0625d))
-            .otherwise(x)).as("emb"))
+        perturbedClone(col("emb"), col("vec_id")).as("emb"))
     emb.unionAll(clones)
   }
 

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.scale.Similarity
 import graft.streaming.StreamOps
 
 /** Structured Streaming correctness coverage. q34/q41/q42/q45/q65 run the
@@ -283,6 +284,68 @@ object StreamQueries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // q88's streaming ingestion loop on the EMBEDDING surface: every
+    // arriving micro-batch (odd-id originals ∪ all planted clones —
+    // constructed inside foreachBatch with the shared q95 perturbation)
+    // is probed against the persisted cosine index
+    // ([[graft.scale.Similarity.probeCosineIndex]] — the hash-green q97
+    // function), accepted vectors LAND in a parquet partition per
+    // micro-batch, and the index is appended
+    // ([[graft.scale.Similarity.appendToCosineIndex]]) so later batches
+    // dedup against everything accepted before them — O(batch) per
+    // micro-batch. Clones of EVEN originals must be rejected (their
+    // originals are indexed); odd originals and their clones arrive in
+    // the same single-file micro-batch and are accepted (within-batch
+    // near-dups are kept — the q75/q88 policy). The oracle derives the
+    // accepted set from brute-force batch × corpus cosines, so the
+    // banding recall contract is the same as q97's. Cross-batch
+    // behavior is pinned by SimilaritySpec's append tests.
+    "q98_stream_embedding_ingest" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val idx = s"g98_idx_$sf"
+      val emb = graft.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+      Similarity.buildCosineIndex(
+        emb.filter(col("vec_id") % 2 === 0), "emb", "vec_id", idx, dim = 64)
+      val outRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q98_$sf")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (outRoot.exists()) rm(outRoot)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      def acceptedDirs(): Seq[java.io.File] =
+        Option(outRoot.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
+      val ingest: (DataFrame, Long) => Unit = (raw, batchId) => {
+        val sp = raw.sparkSession
+        val e = raw.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+        val batch = e.filter(col("vec_id") % 2 === 1)
+          .unionAll(e.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              graft.queries.ScaleQueries.perturbedClone(col("emb"), col("vec_id")).as("emb")))
+        val matched = Similarity.probeCosineIndex(batch, "emb", "vec_id", idx,
+            dim = 64, threshold = 0.8)
+          .select(col("id_b").as("vec_id")).distinct()
+        val bPath = new java.io.File(outRoot, s"b$batchId").getAbsolutePath
+        // the accepted write MATERIALIZES the probe-derived plan before
+        // the append mutates the tables it reads (the q88 ordering)
+        batch.join(matched, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(bPath)
+        Similarity.appendToCosineIndex(sp.read.parquet(bPath), "emb", "vec_id",
+          idx, dim = 64)
+      }
+      val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.foreachBatch(ingest)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      acceptedDirs().map(d => s.read.parquet(d.getAbsolutePath))
+        .reduce(_.unionAll(_))
+        .select(col("vec_id"))
+    }),
+
     // Gap-based sessionization, batch form: native session_window (state
     // merges inside the aggregate — one shuffle on user_id, no
     // self-join/window over the event stream). Session bounds rendered at
@@ -336,6 +399,37 @@ object StreamQueries {
     // stream is one micro-batch, so the full foreachBatch probe+append
     // loop must reproduce the batch incremental-dedup contract exactly.
     "q88_stream_neardup_ingest" -> ScaleQueries.incrementalDedupOracle,
+
+    // Accepted = batch ids (odd originals ∪ all clones) with NO
+    // brute-force cosine >= 0.8 against the even-id corpus — the q97
+    // ground-truth idiom restated for the streaming ingest's accept set.
+    "q98_stream_embedding_ingest" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT ovid + 1000000 AS vec_id,
+        |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
+        |     for i in range(1, 65)] AS emb
+        |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0)),
+        |batch AS (SELECT * FROM e0 WHERE vec_id % 2 = 1 UNION ALL SELECT * FROM c),
+        |corp AS (SELECT * FROM e0 WHERE vec_id % 2 = 0),
+        |nb AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM batch),
+        |ncp AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM corp),
+        |ub AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM nb),
+        |ucp AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM ncp),
+        |matched AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ucp a, ub b
+        |  WHERE (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) >= 0.8)
+        |SELECT vec_id FROM batch
+        |WHERE vec_id NOT IN (SELECT vec_id FROM matched)""".stripMargin,
 
     "q45_stream_join" ->
       """WITH p AS (

@@ -90,14 +90,15 @@ object Similarity {
   }
 
   /** Packed sign-bit signature on an explicit plane family: bit j set when
-    * dot(emb, planes(j)) > 0. One codegen'd [[graft.expr.DotProduct]] per
-    * plane over constant-folded literal arrays — index-order summation,
-    * bit-equal to a sequential restatement.
+    * dot(emb, planes(j)) > 0 — the fused codegen'd
+    * [[graft.expr.MaterializedPlaneSig]] (index-order summation, bit-equal
+    * to the one-DotProduct-per-plane composition it replaced, which blew
+    * past Janino's method-size limit at 60 planes × 64 dims and dropped
+    * the projection out of whole-stage codegen; `ExprParitySpec` pins the
+    * equivalence).
     */
   def planeSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dot(emb, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.expr.MaterializedPlaneSig(emb, planes)
 
   /** Exact cosine nearest-neighbor join: for every vector, its top
     * neighbor — the embedding-cosine near-dup primitive (candidates for

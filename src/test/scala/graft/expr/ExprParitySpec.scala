@@ -201,6 +201,36 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("MaterializedPlaneSig: native == composed DotProduct form == interpreted, float == double") {
+    // the composed formulation MaterializedPlaneSig replaced: one
+    // codegen'd DotProduct against a constant-folded literal array per
+    // plane, OR-reduced — correct, but 60 planes × 64 literal doubles
+    // exceeded Janino's method-size limit and fell back to interpreted
+    val dim = 8
+    val planes = graft.scale.Similarity.md5Planes(12, dim)
+    def composedSig(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(DotProduct(emb, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val vecs = (0 until 6).map(v => (0 until dim).map(i =>
+      math.sin(v * 23 + i * 2.9)).toSeq)
+    val composed = vecs.toDF("v").select(composedSig(col("v"))).as[Long].collect()
+    val native = vecs.toDF("v").select(MaterializedPlaneSig(col("v"), planes))
+      .as[Long].collect()
+    val composedFloat = vecs.map(_.map(x => x.toFloat.toDouble)).toDF("v")
+      .select(composedSig(col("v"))).as[Long].collect()
+    val fromFloat = vecs.map(_.map(_.toFloat)).toDF("v")
+      .select(MaterializedPlaneSig(col("v"), planes)).as[Long].collect()
+    vecs.indices.foreach { i =>
+      assert(native(i) == composed(i), s"vec $i: native ${native(i)} != composed ${composed(i)}")
+      assert(fromFloat(i) == composedFloat(i), s"vec $i float")
+      val interp = MaterializedPlaneSig(
+        Literal.create(vecs(i), ArrayType(DoubleType)), planes)
+        .eval(InternalRow.empty)
+      assert(interp == composed(i), s"vec $i interpreted")
+    }
+  }
+
   test("MinHash property: signature agreement estimates Jaccard") {
     // identical inputs agree on every hash; disjoint inputs agree on ~none
     val df = Seq(
