@@ -231,6 +231,16 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q96: the boilerplate set broadcasts — chunk instances never shuffle for the flag join") {
+    val p = finalPlan("q96_chunk_dedup")
+    // the >= minDocs head of the frequency distribution is tiny at any
+    // corpus size; if this join ever degrades to a sort-merge, every
+    // chunk instance pays a shuffle it doesn't need
+    assert(p.contains("BroadcastHashJoin"), "boilerplate join must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "chunk instances shuffled for the flag join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q97: cosine index probe is O(batch) — stored tables serve candidates, corpus never rescanned") {
     import org.apache.spark.sql.functions.col
     import graft.scale.Similarity
