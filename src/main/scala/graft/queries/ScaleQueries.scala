@@ -1142,12 +1142,6 @@ object ScaleQueries {
   // Shared verbatim by q58 (min-label propagation), q66 (large-star/
   // small-star), and q70 (keep-one survivorship): same closure, one
   // independent restatement checks all three.
-  /** q95's corpus: embeddings ∪ planted near-dup clones. Every
-    * vec_id % 7 == 0 vector is cloned at id + 1_000_000 with coordinate
-    * (vec_id % 64) scaled by 1.0625 — all in DOUBLE, restated verbatim
-    * in the oracle (1-based index there), so both engines build the
-    * bit-identical corpus.
-    */
   /** The clone perturbation: coordinate (vecId % 64) scaled by 1.0625 in
     * double — shared by [[embCloneCorpus]] and the q98 stream so every
     * consumer builds bit-identical clones.
@@ -1156,6 +1150,12 @@ object ScaleQueries {
     transform(emb, (x, i) =>
       when(i === pmod(vecId, lit(64L)).cast("int"), x * lit(1.0625d)).otherwise(x))
 
+  /** q95/q97/q98's corpus: embeddings ∪ planted near-dup clones. Every
+    * vec_id % 7 == 0 vector is cloned at id + 1_000_000 with coordinate
+    * (vec_id % 64) scaled by 1.0625 — all in DOUBLE, restated verbatim
+    * in the oracles (1-based index there), so both engines build the
+    * bit-identical corpus.
+    */
   private[graft] def embCloneCorpus(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))

@@ -92,10 +92,14 @@ object Similarity {
   /** Packed sign-bit signature on an explicit plane family: bit j set when
     * dot(emb, planes(j)) > 0 — the fused codegen'd
     * [[graft.expr.MaterializedPlaneSig]] (index-order summation, bit-equal
-    * to the one-DotProduct-per-plane composition it replaced, which blew
-    * past Janino's method-size limit at 60 planes × 64 dims and dropped
-    * the projection out of whole-stage codegen; `ExprParitySpec` pins the
-    * equivalence).
+    * on NON-NULL input to the one-DotProduct-per-plane composition it
+    * replaced, which blew past Janino's method-size limit at 60 planes ×
+    * 64 dims and dropped the projection out of whole-stage codegen;
+    * `ExprParitySpec` pins the equivalence). One semantic difference: a
+    * NULL embedding now yields a NULL signature (standard null
+    * propagation) where the composed when/otherwise form yielded 0L —
+    * every caller feeds non-null vectors, and dropping a NULL vector
+    * from LSH candidate sets is the saner contract anyway.
     */
   def planeSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
     graft.expr.MaterializedPlaneSig(emb, planes)
@@ -117,10 +121,7 @@ object Similarity {
     */
   def nnJoin(df: DataFrame, embCol: String, idCol: String): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    val unit = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"))
-      .repartition(parts)
+    val unit = unitVectors(df, embCol, idCol).repartition(parts)
     val a = unit.select(col("id").as("id_a"), col("u").as("u_a"))
     val b = unit.select(col("id").as("id_b"), col("u").as("u_b"))
     a.join(b, col("id_a") =!= col("id_b"))
@@ -287,10 +288,7 @@ object Similarity {
   def nnJoinAgainst(queries: DataFrame, corpus: DataFrame,
                     embCol: String, idCol: String): DataFrame = {
     val parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
-    def unitOf(df: DataFrame) = df
-      .select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"))
+    def unitOf(df: DataFrame) = unitVectors(df, embCol, idCol)
     val a = unitOf(queries).select(col("id").as("id_a"), col("u").as("u_a"))
     val b = unitOf(corpus).repartition(parts)
       .select(col("id").as("id_b"), col("u").as("u_b"))
@@ -339,8 +337,7 @@ object Similarity {
     }
     int8Shortlist match {
       case None =>
-        val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-          .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+        val exploded = unitVectors(df, embCol, idCol)
           .select(col("id"), col("u"), assign(col("u")).as("cells"))
           .repartition(parts)
           .select(col("id"), col("u"), posexplode(col("cells")))
@@ -362,8 +359,7 @@ object Similarity {
         import org.apache.spark.sql.expressions.Window
         // the exchange and candidate join carry array<tinyint> + one
         // precomputed quantized norm — floats never enter the wide stage
-        val exploded = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-          .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
+        val exploded = unitVectors(df, embCol, idCol)
           .select(col("id"), col("u"), assign(col("u")).as("cells"))
           .withColumn("qv",
             quantizeInt8(col("u"), int8Scale(col("u"))).cast("array<tinyint>"))
@@ -389,9 +385,7 @@ object Similarity {
           .select(col("qid"), col("id"))
         // exact rerank: fetch the float unit vectors for the shortlist
         // pairs only (two keyed joins, shortlist-sized)
-        val unitv = df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-          .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-          .select(col("id"), col("u"))
+        val unitv = unitVectors(df, embCol, idCol)
         shortlist
           .join(unitv.select(col("id").as("qid"), col("u").as("uq")), "qid")
           .join(unitv.select(col("id"), col("u").as("um")), "id")
@@ -454,6 +448,31 @@ object Similarity {
     bruteForceTopK(cands, embCol, idCol, query, k)
   }
 
+  /** The `bands` × `rowsPerBand`-bit slices of a packed sign signature,
+    * as an array of (band, bits) structs ready to explode — shared by
+    * [[cosineNearDupPairs]] and the persisted index build/probe, which
+    * must slice identically for their buckets to collide.
+    */
+  private[scale] def signBands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val mask = (1L << rowsPerBand) - 1
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(sig, j * rowsPerBand).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
+  /** One unit-vector projection: (id, u) with u = e/‖e‖ in double. The
+    * norm is materialized ONCE per row before the element lambda — a
+    * lambda-captured `norm(e)` re-evaluates the full dot per ELEMENT
+    * (O(dim²) per row, interpreted: ArrayTransform is CodegenFallback).
+    * Division values are identical either way, so oracle parity is
+    * unaffected.
+    */
+  private def unitVectors(df: DataFrame, embCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("__n", norm(col("e")))
+      .select(col("id"), transform(col("e"), x => x / col("__n")).as("u"))
+
   /** Embedding-cosine near-dup PAIRS — the embedding analog of
     * [[graft.scale.Dedup.minhashPairs]]: banded hyperplane-LSH candidates,
     * exact-cosine verified. Completes the dedup family (exact / MinHash /
@@ -461,9 +480,9 @@ object Similarity {
     * two-stage never-all-pairs shape:
     *
     *  1. one unit-vector projection per row (computed once, shared);
-    *  2. a 60-bit sign signature on the [[md5Planes]] family (60
-    *     constant-folded codegen'd [[dot]]s per row — O(planes·dim)
-    *     multiplies, trivial beside any shuffle);
+    *  2. a 60-bit sign signature on the [[md5Planes]] family (the fused
+    *     codegen'd [[graft.expr.MaterializedPlaneSig]] — O(planes·dim)
+    *     multiplies per row, trivial beside any shuffle);
     *  3. band explode (`bands` × `rowsPerBand`-bit keys) and an equi-join
     *     on (band, bits) — only same-bucket pairs are ever materialized.
     *     A bucket-size window prefilter drops singleton buckets before
@@ -487,25 +506,6 @@ object Similarity {
     * [[graft.scale.Dedup.minhashPairs]] salts; on isotropic data buckets
     * are geometrically balanced and the window prefilter suffices.
     */
-  /** The `bands` × `rowsPerBand`-bit slices of a packed sign signature,
-    * as an array of (band, bits) structs ready to explode — shared by
-    * [[cosineNearDupPairs]] and the persisted index build/probe, which
-    * must slice identically for their buckets to collide.
-    */
-  private[scale] def signBands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
-    val mask = (1L << rowsPerBand) - 1
-    array((0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(sig, j * rowsPerBand).bitwiseAND(lit(mask)).as("bits"))
-    }: _*)
-  }
-
-  /** One unit-vector projection: (id, u) with u = e/‖e‖ in double. */
-  private def unitVectors(df: DataFrame, embCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("u", transform(col("e"), x => x / norm(col("e"))))
-      .select(col("id"), col("u"))
-
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                          threshold: Double, dim: Int,
                          numPlanes: Int = 60, bands: Int = 6): DataFrame = {
@@ -598,6 +598,10 @@ object Similarity {
   def appendToCosineIndex(accepted: DataFrame, embCol: String, idCol: String,
                           name: String, dim: Int, numPlanes: Int = 60,
                           bands: Int = 6, numBuckets: Int = 16): Unit = {
+    // same validation as the build: a silently-truncating rowsPerBand
+    // would emit band keys that never match the stored ones — every
+    // future probe would find zero candidates instead of failing here
+    require(numPlanes % bands == 0 && numPlanes <= 63)
     val spark = accepted.sparkSession
     val rowsPerBand = numPlanes / bands
     val planes = md5Planes(numPlanes, dim)
@@ -629,6 +633,10 @@ object Similarity {
   def probeCosineIndex(batch: DataFrame, embCol: String, idCol: String,
                        name: String, dim: Int, threshold: Double,
                        numPlanes: Int = 60, bands: Int = 6): DataFrame = {
+    // same validation as the build: mismatched banding against a stored
+    // index would silently return zero candidates (= accept everything),
+    // the worst possible failure mode for a dedup gate
+    require(numPlanes % bands == 0 && numPlanes <= 63)
     val spark = batch.sparkSession
     val rowsPerBand = numPlanes / bands
     val planes = md5Planes(numPlanes, dim)
