@@ -502,13 +502,14 @@ object Similarity {
     * lets q95 run under a brute-force DuckDB oracle (the q16 contract).
     * At 100 TB the bucket join carries only (band, bits, id) — 20
     * bytes/row×bands — and oversized buckets (mass near a hyperplane
-    * intersection) would salt into chunks exactly as
+    * intersection) salt into chunks of ≤ `maxBucketSize` exactly as
     * [[graft.scale.Dedup.minhashPairs]] salts; on isotropic data buckets
-    * are geometrically balanced and the window prefilter suffices.
+    * stay far below the cap and the salt is the identity.
     */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                          threshold: Double, dim: Int,
-                         numPlanes: Int = 60, bands: Int = 6): DataFrame = {
+                         numPlanes: Int = 60, bands: Int = 6,
+                         maxBucketSize: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numPlanes % bands == 0, "numPlanes must divide into bands")
     require(numPlanes <= 63, "signature is packed into one long")
@@ -521,9 +522,15 @@ object Similarity {
       .select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b"))
       .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
       .filter(col("bs") >= 2)
-      .select(col("b"), col("id"))
-    val cand = buckets.select(col("b").as("lb"), col("id").as("id_a"))
-      .join(buckets.select(col("b").as("rb"), col("id").as("id_b")),
+      // oversized buckets (mass near a hyperplane intersection) salt into
+      // chunks of ≤ maxBucketSize — the minhashPairs scheme: caps the
+      // per-bucket pair product at the cost of missing cross-chunk pairs
+      // inside a pathological bucket (trade-off documented there)
+      .withColumn("chunk",
+        pmod(xxhash64(col("id"), col("b.band")), ceil(col("bs") / maxBucketSize)).cast("int"))
+      .select(struct(col("b"), col("chunk")).as("bk"), col("id"))
+    val cand = buckets.select(col("bk").as("lb"), col("id").as("id_a"))
+      .join(buckets.select(col("bk").as("rb"), col("id").as("id_b")),
         col("lb") === col("rb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
