@@ -1165,6 +1165,19 @@ object ScaleQueries {
     emb.unionAll(clones)
   }
 
+  // Shared oracle CTEs for the planted-clone corpus (q95/q97/q98): the
+  // originals cast to double and the clones perturbed exactly as
+  // embCloneCorpus does (1-based index here).
+  private[queries] val embCloneCtes: String =
+    """e0 AS (
+      |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT ovid + 1000000 AS vec_id,
+      |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
+      |     for i in range(1, 65)] AS emb
+      |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0))""".stripMargin
+
   private val dupClustersCtes: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, $wsSplit AS w FROM documents),
@@ -1672,14 +1685,7 @@ object ScaleQueries {
     // same corpus/clone/unit construction as q95's oracle, cross-joined
     // instead of clustered.
     "q97_indexed_embedding_neardup" ->
-      """WITH e0 AS (
-        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT ovid + 1000000 AS vec_id,
-        |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
-        |     for i in range(1, 65)] AS emb
-        |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0)),
+      s"""WITH $embCloneCtes,
         |n0 AS (
         |  SELECT vec_id, emb,
         |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
@@ -1704,14 +1710,7 @@ object ScaleQueries {
     // (≥ 0.9997) vs the max natural pair (≈ 0.6) leave no borderline
     // comparison at 0.8.
     "q95_embedding_neardup_dedup" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT ovid + 1000000 AS vec_id,
-        |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
-        |     for i in range(1, 65)] AS emb
-        |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0)),
+      s"""WITH RECURSIVE $embCloneCtes,
         |corpus AS (SELECT * FROM e0 UNION ALL SELECT * FROM c),
         |nn AS (
         |  SELECT vec_id, emb,

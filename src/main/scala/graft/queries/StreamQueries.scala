@@ -404,14 +404,7 @@ object StreamQueries {
     // brute-force cosine >= 0.8 against the even-id corpus — the q97
     // ground-truth idiom restated for the streaming ingest's accept set.
     "q98_stream_embedding_ingest" ->
-      """WITH e0 AS (
-        |  SELECT vec_id, [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS emb
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT ovid + 1000000 AS vec_id,
-        |    [CASE WHEN i = ovid % 64 + 1 THEN emb[i] * 1.0625 ELSE emb[i] END
-        |     for i in range(1, 65)] AS emb
-        |  FROM (SELECT vec_id AS ovid, emb FROM e0 WHERE vec_id % 7 = 0)),
+      s"""WITH ${ScaleQueries.embCloneCtes},
         |batch AS (SELECT * FROM e0 WHERE vec_id % 2 = 1 UNION ALL SELECT * FROM c),
         |corp AS (SELECT * FROM e0 WHERE vec_id % 2 = 0),
         |nb AS (

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Unique suffix per named observation (Spark requires distinct
+    * observation names within a session — the minhashPairs idiom).
+    */
+  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Dot product of two double arrays — the custom codegen'd expression
     * [[graft.expr.DotProduct]]: higher-order-function folds are
     * CodegenFallback (interpreted, boxed) and dominate quadratic
@@ -518,9 +523,14 @@ object Similarity {
     val planes = md5Planes(numPlanes, dim)
     val unit = unitVectors(df, embCol, idCol).repartition(parts)
     val sigs = unit.select(col("id"), planeSignature(col("u"), planes).as("sig"))
+    val seq = Similarity.observeSeq.incrementAndGet()
     val buckets = sigs
       .select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b"))
       .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
+      // no silent cap: rows landing in salted (oversized) buckets are
+      // counted into a named observation, as minhashPairs does
+      .observe(s"cosine_lsh_$seq",
+        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("oversized_bucket_rows"))
       .filter(col("bs") >= 2)
       // oversized buckets (mass near a hyperplane intersection) salt into
       // chunks of ≤ maxBucketSize — the minhashPairs scheme: caps the
