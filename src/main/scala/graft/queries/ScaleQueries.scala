@@ -842,6 +842,35 @@ object ScaleQueries {
         .select(col("id_b").as("vec_id"), col("id_a").as("match_id"), col("cos"))
     }),
 
+    // Best-representative selection — the production dedup policy: a
+    // near-dup cluster keeps its HIGHEST-QUALITY member (exact integer
+    // micro-units, ties to the smaller id), not the min-id one that
+    // q70's survivorship uses. Pairs + components as q58/q70; the rep
+    // choice is ONE map-side-combining max_by group-by keyed by cluster
+    // (the shuffle carries one surviving candidate per cluster per
+    // partition, never the membership lists). Fully restated by the
+    // oracle: recursive-CTE components + the shared q_mu fragment +
+    // a per-cluster argmax window.
+    "q99_cluster_best_rep" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val scored = docs
+        .select(col("doc_id"), col("text"), Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityMicro(col("text"), col("ws")).as("q_mu"))
+      clusters.join(scored, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(struct(col("doc_id"), col("q_mu")),
+            struct(col("q_mu"), -col("doc_id"))).as("m"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("cluster_id"), col("m.doc_id").as("keep_id"),
+          col("m.q_mu").as("keep_q_mu"), col("cluster_size"))
+    }),
+
     "q95_embedding_neardup_dedup" -> ((s, dir) => {
       val corpus = embCloneCorpus(s, dir)
       val pairs = Similarity.cosineNearDupPairs(corpus, "emb", "vec_id",
@@ -1679,6 +1708,25 @@ object ScaleQueries {
          |  md5(coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (NOT is_bp), ' '), ''))
          |    AS kept_fp
          |FROM fl GROUP BY doc_id""".stripMargin,
+
+    // Components from the brute-force pair ground truth + the shared
+    // integer quality fragment + a per-cluster argmax window (DESC q_mu,
+    // ties to the smaller id — the max_by key restated).
+    "q99_cluster_best_rep" ->
+      s"""$dupClustersCtes,
+         |q AS (
+         |  SELECT doc_id, $qMuSql AS q_mu
+         |  FROM (SELECT doc_id, text, $wsSplit AS ws FROM documents)),
+         |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl),
+         |best AS (
+         |  SELECT lab.lbl AS cluster_id, q.doc_id, q.q_mu,
+         |    row_number() OVER (PARTITION BY lab.lbl
+         |                       ORDER BY q.q_mu DESC, q.doc_id) AS rn
+         |  FROM lab JOIN q ON lab.node = q.doc_id)
+         |SELECT best.cluster_id, best.doc_id AS keep_id, best.q_mu AS keep_q_mu,
+         |  sz.cluster_size
+         |FROM best JOIN sz ON best.cluster_id = sz.lbl
+         |WHERE rn = 1""".stripMargin,
 
     // Brute-force batch × corpus ground truth for the indexed probe:
     // every (clone, original) cross pair with true cosine >= 0.8 — the
