@@ -63,6 +63,23 @@ object SourceQueries {
           sum(regexp_extract(col("props"), "[0-9]+", 0).cast("long")).as("sum_k"))
     }),
 
+    // ORC round trip: documents through the third columnar codec
+    // (bundled with Spark), schema-first read back, per-source aggregate
+    // with a distinct-md5 count over the round-tripped text — byte-exact
+    // survival through an entirely different storage format.
+    "q100_orc_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/q100-orc/" + new java.io.File(dir).getName
+      Sources.writeOrc(Tables(s, dir, "documents"), out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      Sources.readOrc(s, out, schema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(md5(col("text").cast("binary"))).as("distinct_texts"))
+    }),
+
     // JSON-lines round trip: documents (multi-lingual text included)
     // written as JSONL, read back schema-first, aggregated per
     // (lang, source) with a distinct-md5 count over the round-tripped
@@ -162,6 +179,13 @@ object SourceQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT md5(text)) AS distinct_texts
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q100_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS distinct_texts
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // Full-chain restatement: q44's scoring/filter/dedup, q57's split
     // buckets, then the train-only accounting — derived from the RAW

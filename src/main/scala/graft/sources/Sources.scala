@@ -58,6 +58,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Schema-first ORC — the third columnar codec (ships with Spark; no
+    * extra dependency). Same contract as the parquet pair: declared
+    * schema on read, no inference scan.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed parquet table: rows hash-partitioned into `numBuckets` by
     * `bucketCols` at WRITE time (and sorted within buckets), so repeated
     * joins/aggregations on those keys read co-located data and skip the
