@@ -132,6 +132,31 @@ object Dedup {
 
   private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Salt LSH band buckets into chunks of ≤ `maxBucketSize`, with the
+    * oversized mass counted into a named observation (no silent cap).
+    * Input carries (id, b) with `b.band` the band index; output is
+    * (bk, id) where bk = (b, chunk) is the salted join key. ONE
+    * implementation shared by [[minhashPairs]] and
+    * [[graft.scale.Similarity.cosineNearDupPairs]] — both Scaladocs
+    * promise "exactly the same salting", so the scheme must not drift.
+    * The chunk split caps the per-bucket pair product at the cost of
+    * missing cross-chunk pairs inside a pathological bucket; buckets
+    * under the cap get `ceil(bs/max) = 1` chunk — the identity.
+    */
+  private[scale] def saltedBucketKeys(buckets: DataFrame, metricPrefix: String,
+                                      maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = observeSeq.incrementAndGet()
+    buckets
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .observe(s"${metricPrefix}_$seq",
+        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("oversized_bucket_rows"))
+      .filter(col("bs") >= 2)
+      .withColumn("chunk",
+        pmod(xxhash64(col("id"), col("b.band")), ceil(col("bs") / maxBucketSize)).cast("int"))
+      .select(struct(col("b"), col("chunk")).as("bk"), col("id"))
+  }
+
   /** Signature-agreement slack below the Jaccard threshold for the LSH
     * candidate prefilter: E[agreement] = J, so `threshold − slack` keeps
     * recall while pruning most candidates on the compact signatures. ONE
@@ -251,17 +276,9 @@ object Dedup {
         graft.expr.MinHashShingles(words(col("text")), shingleK, numHashes).as("sig"))
     // 3. band buckets: one window shuffle for bucket sizes; oversized
     // buckets are salted into chunks of ≤ maxBucketSize (see Scaladoc).
-    val seq = observeSeq.incrementAndGet()
-    val buckets = sigs
-      .select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b"))
-      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
-    val kept = buckets
-      .observe(s"minhash_lsh_$seq",
-        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("oversized_bucket_rows"))
-      .filter(col("bs") >= 2)
-      .withColumn("chunk",
-        pmod(xxhash64(col("id"), col("b.band")), ceil(col("bs") / maxBucketSize)).cast("int"))
-      .select(struct(col("b"), col("chunk")).as("bk"), col("id"))
+    val kept = saltedBucketKeys(
+      sigs.select(col("id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("b")),
+      "minhash_lsh", maxBucketSize)
     val cand = kept.select(col("bk").as("lb"), col("id").as("id_a"))
       .join(kept.select(col("bk").as("rb"), col("id").as("id_b")),
         col("lb") === col("rb") && col("id_a") < col("id_b"))

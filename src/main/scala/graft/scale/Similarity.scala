@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Unique suffix per named observation (Spark requires distinct
-    * observation names within a session — the minhashPairs idiom).
-    */
-  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Dot product of two double arrays — the custom codegen'd expression
     * [[graft.expr.DotProduct]]: higher-order-function folds are
     * CodegenFallback (interpreted, boxed) and dominate quadratic
@@ -515,7 +510,6 @@ object Similarity {
                          threshold: Double, dim: Int,
                          numPlanes: Int = 60, bands: Int = 6,
                          maxBucketSize: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(numPlanes % bands == 0, "numPlanes must divide into bands")
     require(numPlanes <= 63, "signature is packed into one long")
     val rowsPerBand = numPlanes / bands
@@ -523,22 +517,12 @@ object Similarity {
     val planes = md5Planes(numPlanes, dim)
     val unit = unitVectors(df, embCol, idCol).repartition(parts)
     val sigs = unit.select(col("id"), planeSignature(col("u"), planes).as("sig"))
-    val seq = Similarity.observeSeq.incrementAndGet()
-    val buckets = sigs
-      .select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("b"))))
-      // no silent cap: rows landing in salted (oversized) buckets are
-      // counted into a named observation, as minhashPairs does
-      .observe(s"cosine_lsh_$seq",
-        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L)).as("oversized_bucket_rows"))
-      .filter(col("bs") >= 2)
-      // oversized buckets (mass near a hyperplane intersection) salt into
-      // chunks of ≤ maxBucketSize — the minhashPairs scheme: caps the
-      // per-bucket pair product at the cost of missing cross-chunk pairs
-      // inside a pathological bucket (trade-off documented there)
-      .withColumn("chunk",
-        pmod(xxhash64(col("id"), col("b.band")), ceil(col("bs") / maxBucketSize)).cast("int"))
-      .select(struct(col("b"), col("chunk")).as("bk"), col("id"))
+    // oversized buckets (mass near a hyperplane intersection) salt into
+    // chunks of ≤ maxBucketSize with an observed oversized count — the
+    // ONE implementation minhashPairs uses ([[Dedup.saltedBucketKeys]])
+    val buckets = Dedup.saltedBucketKeys(
+      sigs.select(col("id"), explode(signBands(col("sig"), bands, rowsPerBand)).as("b")),
+      "cosine_lsh", maxBucketSize)
     val cand = buckets.select(col("bk").as("lb"), col("id").as("id_a"))
       .join(buckets.select(col("bk").as("rb"), col("id").as("id_b")),
         col("lb") === col("rb") && col("id_a") < col("id_b"))
