@@ -1475,15 +1475,16 @@ object ScaleQueries {
     // All-integer output (avg stays in micro-units).
     "q44_curation" ->
       s"""$curationCtes
-         |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
-         |  sum(n_tokens) AS sum_tokens,
-         |  (sum(q_mu) * 2 + count(*)) // (count(*) * 2) AS avg_quality_micro
+         |SELECT lang, count(*) AS n_unique, CAST(sum(gs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST((sum(q_mu) * 2 + count(*)) // (count(*) * 2) AS BIGINT) AS avg_quality_micro
          |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
 
     "q44a_curation_sums" ->
       s"""$curationCtes
-         |SELECT lang, count(*) AS n_unique, sum(gs) AS n_docs,
-         |  sum(n_tokens) AS sum_tokens, sum(q_mu) AS sum_q_mu
+         |SELECT lang, count(*) AS n_unique, CAST(sum(gs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(q_mu) AS BIGINT) AS sum_q_mu
          |FROM k WHERE rn = 1 GROUP BY lang""".stripMargin,
 
     "q44b_curation_survivors" ->
@@ -1900,8 +1901,8 @@ object ScaleQueries {
          |s AS (SELECT doc_id, $qMuSql AS q_mu, n_tokens FROM d),
          |c AS (
          |  SELECT *,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY q_mu DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY q_mu DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
          |  FROM s),
          |t AS (SELECT sum(n_tokens) AS tot FROM s)
          |SELECT doc_id, q_mu, n_tokens, tokens_before

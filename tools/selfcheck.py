@@ -24,6 +24,42 @@ def norm(v):
     return v
 
 
+def fmt_class(duck_type):
+    """Collapse a DuckDB type name to the class that decides how the
+    driver's typed fetch path FORMATS the value.
+
+    The driver hashes a typed conversion of each result (pandas-style):
+    HUGEINT/DECIMAL become float64 there, so `sum(BIGINT)` (HUGEINT in
+    DuckDB) prints `3.0` where Spark's BIGINT prints `3` — values equal,
+    hash red. fetchall() can't see this (Python ints arrive exact), which
+    hid the q44 family for four rounds; this classifier can.
+    """
+    t = str(duck_type).upper()
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "float"  # pandas-converts to float64 -> '3.0' formatting
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("JSON", "VARCHAR"):
+        return "str"  # DuckDB JSON formats as its string body (driver-green)
+    return t
+
+
+def type_mismatches(gcols, gtypes, ecols, etypes):
+    """Column-name-matched format-class diffs between Spark output and
+    oracle output. Any hit is a latent driver hash-red even when every
+    value compares equal."""
+    gmap = {c: fmt_class(t) for c, t in zip(gcols, gtypes)}
+    out = []
+    for c, t in zip(ecols, etypes):
+        ec = fmt_class(t)
+        if c in gmap and gmap[c] != ec:
+            out.append(f"{c}: spark={gmap[c]} oracle={ec}({t})")
+    return out
+
+
 def rows_sorted(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in idx) for r in rows]
@@ -58,15 +94,23 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            gcols, grows = [d[0] for d in got.description], got.fetchall()
+            gcols, gtypes = [d[0] for d in got.description], got.types
+            grows = got.fetchall()
             exp = con.sql(sql)
-            ecols, erows = [d[0] for d in exp.description], exp.fetchall()
+            ecols, etypes = [d[0] for d in exp.description], exp.types
+            erows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
+            n_fail += 1
+            continue
+        tmis = type_mismatches(gcols, gtypes, ecols, etypes)
+        if tmis:
+            print(f"FAIL {name}: TYPE mismatch (driver hash would differ even "
+                  f"on equal values): {'; '.join(tmis)}")
             n_fail += 1
             continue
         if len(grows) != len(erows):
