@@ -279,8 +279,11 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      // reduceOption: zero micro-batches (empty/missing source) must
+      // yield an empty frame, not an UnsupportedOperationException
       acceptedDirs().map(d => s.read.schema(schema).parquet(d.getAbsolutePath))
-        .reduce(_.unionAll(_))
+        .reduceOption(_.unionAll(_))
+        .getOrElse(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
         .select(col("doc_id"), col("source"))
     }),
 
@@ -341,8 +344,12 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      // reduceOption: zero micro-batches must yield an empty frame (the
+      // landed-batch schema, not the raw source's)
       acceptedDirs().map(d => s.read.parquet(d.getAbsolutePath))
-        .reduce(_.unionAll(_))
+        .reduceOption(_.unionAll(_))
+        .getOrElse(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, emb ARRAY<DOUBLE>")))
         .select(col("vec_id"))
     }),
 

@@ -461,17 +461,17 @@ object Similarity {
     }: _*)
   }
 
-  /** One unit-vector projection: (id, u) with u = e/‖e‖ in double. The
-    * norm is materialized ONCE per row before the element lambda — a
-    * lambda-captured `norm(e)` re-evaluates the full dot per ELEMENT
-    * (O(dim²) per row, interpreted: ArrayTransform is CodegenFallback).
-    * Division values are identical either way, so oracle parity is
-    * unaffected.
+  /** One unit-vector projection: (id, u) with u = e/‖e‖ in double, via
+    * the codegen'd [[graft.expr.UnitVector]] — the norm computed ONCE
+    * per row in a primitive loop. (The earlier declarative hoist — alias
+    * the norm, divide in a lambda — was a no-op: CollapseProject inlines
+    * a single-use alias back into the transform lambda, re-evaluating
+    * the O(dim) norm per ELEMENT, interpreted. Division values are
+    * bit-identical either way, so oracle parity is unaffected.)
     */
   private def unitVectors(df: DataFrame, embCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("__n", norm(col("e")))
-      .select(col("id"), transform(col("e"), x => x / col("__n")).as("u"))
+    df.select(col(idCol).as("id"),
+      graft.expr.UnitVector(toDouble(col(embCol))).as("u"))
 
   /** Embedding-cosine near-dup PAIRS — the embedding analog of
     * [[graft.scale.Dedup.minhashPairs]]: banded hyperplane-LSH candidates,

@@ -181,11 +181,12 @@ class PlanAssertSpec extends SparkSpec {
     val skip = Set(
       "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",
       "q45_stream_join", "q65_stream_session", "q85_stream_index_dedup",
-      "q88_stream_neardup_ingest",
+      "q88_stream_neardup_ingest", "q98_stream_embedding_ingest",
       "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup",
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
-      "q81_indexed_incremental_dedup")
+      "q81_indexed_incremental_dedup", "q97_indexed_embedding_neardup",
+      "q100_orc_roundtrip")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")

@@ -231,6 +231,34 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("MaterializedPlaneSig: NULL embedding yields NULL signature and drops from LSH candidate sets") {
+    // Pins the semantic change the fused expression introduced (the
+    // composed when/otherwise form yielded 0L on NULL): standard null
+    // propagation, so a NULL vector's row is filtered out by any
+    // signature predicate at the probe boundary rather than colliding
+    // with whatever hashes to 0. An engine-parity run must not be
+    // surprised by this.
+    val dim = 8
+    val planes = graft.scale.Similarity.md5Planes(12, dim)
+    val rows = Seq(
+      (1L, Some((0 until dim).map(i => math.sin(i * 2.9)))),
+      (2L, Option.empty[Seq[Double]]))
+    val sigs = rows.toDF("id", "v")
+      .select(col("id"), MaterializedPlaneSig(col("v"), planes).as("sig"))
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byId(1L) != null)
+    assert(byId(2L) == null, "NULL embedding must produce NULL signature")
+    // interpreted path agrees
+    assert(MaterializedPlaneSig(
+      Literal.create(null, ArrayType(DoubleType)), planes)
+      .eval(InternalRow.empty) == null)
+    // the probe-boundary consequence: ANY hamming/equality predicate on
+    // the signature evaluates NULL -> row silently drops from candidates
+    val hamSelf = sigs.filter(
+      graft.scale.Dedup.hamming(col("sig"), col("sig")) <= 64)
+    assert(hamSelf.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("MinHash property: signature agreement estimates Jaccard") {
     // identical inputs agree on every hash; disjoint inputs agree on ~none
     val df = Seq(

@@ -57,6 +57,26 @@ class SourcesSpec extends SparkSpec {
     assert(parsed.head() == Row(1L, 5L, "y"))
   }
 
+  test("orc round-trip is byte-exact and pushes filters into the scan") {
+    val dir = tmp() + "/orc"
+    val df = Seq((1L, "héllo\tworld", 12L), (2L, "中文 text", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    Sources.writeOrc(df, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val back = Sources.readOrc(spark, dir, schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      Seq(Row(1L, "héllo\tworld", 12L), Row(2L, "中文 text", 7L)))
+    // the q100 scan contract: a predicate reaches the ORC reader as a
+    // pushed filter and a projection prunes the read schema to the
+    // referenced columns — same discipline as the parquet scans
+    val plan = back.filter(col("doc_id") === 2L).select("doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]"), plan)
+    assert(!plan.substring(plan.indexOf("ReadSchema")).contains("text"), plan)
+  }
+
   test("bucketed tables join without a shuffle (co-location)") {
     val facts = (1L to 100L).map(i => (i % 10, i, i * 1.5)).toDF("k", "id", "v")
     val dims = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "name")
