@@ -255,6 +255,27 @@ object ScaleQueries {
         routing = Some((sup, kids, sup.length)))
     }),
 
+    // The PERSISTED-IVF contract under a hash oracle — q74's trick
+    // applied to the stored index ([[Similarity.buildIvfIndex]]): build
+    // on the even half (train-once centroids + bucketed cell
+    // assignments as catalog tables), probe the odd half at nprobe = K.
+    // Probing every stored cell makes the candidate set the full stored
+    // corpus, so centroid quality drops out and the result is exactly
+    // the brute-force odd→even argmax DuckDB restates — the entire
+    // stored path (centroid round trip, bucketed cell join, argmax)
+    // runs hash-checked. The approximation dial (nprobe < K) and the
+    // append/idempotency/torn-recovery contract are SimilaritySpec's.
+    "q101_ivf_index_probe" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val name = s"g101_ivf_$sf"
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val (k, _) = Similarity.ivfParams(corpus)
+      val cents = Similarity.buildIvfIndex(corpus, "embedding", "vec_id", name, k = k)
+      Similarity.probeIvfIndex(batch, "embedding", "vec_id", name, nprobe = cents.length)
+    }),
+
     // Corpus-level top-100 bigrams by occurrence: explode → count with
     // map-side partial aggregation (the shuffle carries one row per
     // distinct gram per partition, not one per occurrence) → TakeOrdered
@@ -1558,6 +1579,22 @@ object ScaleQueries {
     // the IVF join at nprobe=K / all supers probed degenerates to the
     // exact NN join — one brute-force restatement checks both
     "q74_ivf_exact" -> nnOracle,
+
+    // the persisted-index probe at nprobe=K: best EVEN neighbor of each
+    // ODD vector, brute-forced (index-order dots = DotProduct)
+    "q101_ivf_index_probe" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+        |     FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(CAST(b.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
+        |  FROM e a JOIN e b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        |SELECT id_a AS vec_id, id_b AS nn_id, round(c, 6) AS cos FROM (
+        |  SELECT id_a, id_b, c,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+        |  FROM p) WHERE rn = 1""".stripMargin,
 
     "q37_top_ngrams" ->
       s"""WITH w AS (SELECT $wsSplit AS ws FROM documents),

@@ -77,43 +77,54 @@ object Sources {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val spark = df.sparkSession
-    if (mode == SaveMode.Overwrite) {
-      if (spark.catalog.tableExists(table)) {
-        // The catalog knows the table's REAL location (custom LOCATION,
-        // non-default database, whatever) and DROP on a managed table
-        // deletes its data there — no path reconstruction needed.
-        spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      } else if (!table.contains('.')) {
-        // Orphaned-directory recovery: an in-memory catalog dies with its
-        // JVM but the warehouse files survive, and CREATE then refuses
-        // the leftover location. Only the default-database layout can be
-        // reconstructed here (warehouse/<table-lowercase>); the path is
-        // decoded via java.net.URI, never string surgery, and only local
-        // file:// locations are touched.
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val whPath = scala.util.Try {
-          val u = java.net.URI.create(wh)
-          if (u.getScheme == null) wh
-          else if (u.getScheme == "file") u.getPath
-          else null
-        }.getOrElse(wh.stripPrefix("file:"))
-        if (whPath != null) {
-          val loc = new java.io.File(whPath, table.toLowerCase)
-          if (loc.exists()) {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(): Unit
-            }
-            rm(loc)
-          }
-        }
-      }
-    }
+    if (mode == SaveMode.Overwrite) prepareOverwrite(df.sparkSession, table)
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Plain (non-bucketed) managed parquet table with the same
+    * overwrite-safety as [[writeBucketed]] — for small catalog tables
+    * like stored centroid matrices where bucketing buys nothing.
+    */
+  def saveTable(df: DataFrame, table: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) prepareOverwrite(df.sparkSession, table)
+    df.write.mode(mode).format("parquet").saveAsTable(table)
+  }
+
+  private def prepareOverwrite(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(table)) {
+      // The catalog knows the table's REAL location (custom LOCATION,
+      // non-default database, whatever) and DROP on a managed table
+      // deletes its data there — no path reconstruction needed.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    } else if (!table.contains('.')) {
+      // Orphaned-directory recovery: an in-memory catalog dies with its
+      // JVM but the warehouse files survive, and CREATE then refuses
+      // the leftover location. Only the default-database layout can be
+      // reconstructed here (warehouse/<table-lowercase>); the path is
+      // decoded via java.net.URI, never string surgery, and only local
+      // file:// locations are touched.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = scala.util.Try {
+        val u = java.net.URI.create(wh)
+        if (u.getScheme == null) wh
+        else if (u.getScheme == "file") u.getPath
+        else null
+      }.getOrElse(wh.stripPrefix("file:"))
+      if (whPath != null) {
+        val loc = new java.io.File(whPath, table.toLowerCase)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+      }
+    }
   }
 }

@@ -186,7 +186,7 @@ class PlanAssertSpec extends SparkSpec {
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
       "q81_indexed_incremental_dedup", "q97_indexed_embedding_neardup",
-      "q100_orc_roundtrip")
+      "q100_orc_roundtrip", "q101_ivf_index_probe")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
@@ -274,6 +274,39 @@ class PlanAssertSpec extends SparkSpec {
       "corpus-side branch present in the probe plan — O(corpus) recompute:\n" + p)
     assert(p.contains("GreaterThanOrEqual(vec_id,1000000)"),
       "batch predicate not pushed to the embeddings scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q101: IVF index probe is O(batch) — stored cells served bucketed, corpus never reassigned") {
+    import org.apache.spark.sql.functions.col
+    import graft.scale.Similarity
+    spark.catalog.clearCache()
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.buildIvfIndex(corpus, "embedding", "vec_id", "g101t", k = 8)
+    val probe = Similarity.probeIvfIndex(batch, "embedding", "vec_id", "g101t",
+      nprobe = cents.length)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case q => q.toString
+    }
+    // members (cell, id, u) come from the PERSISTED bucketed table:
+    // scanned in place — no exchange may sit between its scan and the
+    // cell join, and no NearestCells reassignment may touch it
+    assert(p.contains("g101t_cells"), "probe must scan the stored cells:\n" + p)
+    assert(p.contains("Bucketed: true"), "stored cells must be read bucketed:\n" + p)
+    // the raw embeddings source appears ONLY as the batch side: exactly
+    // one scan, carrying the batch predicate; the corpus parity filter
+    // must be absent (its presence = corpus-side recompute)
+    assert(count(p, """FileScan parquet \[vec_id""") == 1,
+      "expected exactly one raw-embeddings scan (the batch):\n" + p)
+    assert(!p.contains("% 2) = 0)"), "corpus-side branch present in the probe plan:\n" + p)
+    // one NearestCells routing total — batch-side; the stored side's
+    // assignment happened at build time
+    assert(count(p, "nearest_cells") == 1,
+      "stored side must not recompute cell assignment:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -291,6 +291,68 @@ class SimilaritySpec extends SparkSpec {
     assert(recovered == Set((5L, 11L)) && rebuilt == recovered)
   }
 
+  test("persisted IVF index: probe at nprobe=K equals the exact join; partial probe keeps recall") {
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.buildIvfIndex(corpus, "embedding", "vec_id", "g101s", k = 8)
+    // nprobe=K: candidate set = full stored corpus, centroid quality
+    // drops out — must equal the exact query-vs-corpus join row-for-row
+    val probed = Similarity.probeIvfIndex(batch, "embedding", "vec_id", "g101s",
+        nprobe = cents.length)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.nnJoinAgainst(batch, corpus, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == exact,
+      s"missing=${(exact -- probed).take(3)} extra=${(probed -- exact).take(3)}")
+    assert(probed.nonEmpty)
+    // the approximation dial on the STORED index: nprobe/K = 1/4
+    val partial = Similarity.probeIvfIndex(batch, "embedding", "vec_id", "g101s",
+        nprobe = math.max(2, cents.length / 4))
+      .as[(Long, Long, Double)].collect()
+    assert(partial.map(_._1).distinct.length == partial.length, "dup query rows")
+    val exactNn = exact.map(p => p._1 -> p._2).toMap
+    val hits = partial.count(p => exactNn.get(p._1).contains(p._2))
+    assert(hits * 1000 >= 500 * exactNn.size,
+      s"stored-index partial-probe recall too low: $hits/${exactNn.size}")
+  }
+
+  test("persisted IVF index append: probe-after-append == exact, idempotent, torn append converges, centroids immutable") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildIvfIndex(evens, "embedding", "vec_id", "g101a", k = 8)
+    val centsBefore = spark.table("g101a_centroids").orderBy("cell")
+      .as[(Int, Seq[Double])].collect().toSeq
+    Similarity.appendToIvfIndex(odds, "embedding", "vec_id", "g101a")
+    // append assigns to STORED centroids and never retrains
+    assert(spark.table("g101a_centroids").orderBy("cell")
+      .as[(Int, Seq[Double])].collect().toSeq == centsBefore)
+    // nprobe=K probe of the appended index == the exact self-join over
+    // the full set (ids are disjoint halves, so self-exclusion aligns)
+    val probedAll = Similarity.probeIvfIndex(emb, "embedding", "vec_id", "g101a",
+        nprobe = 8).as[(Long, Long, Double)].collect().toSet
+    val exactAll = Similarity.nnJoin(emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probedAll == exactAll)
+    // replayed batch: anti-join leaves nothing to append
+    val full = spark.table("g101a_cells").count()
+    Similarity.appendToIvfIndex(odds, "embedding", "vec_id", "g101a")
+    assert(spark.table("g101a_cells").count() == full)
+    // torn append: rewrite _cells with part of the appended half missing
+    // (a crash mid-INSERT); the rerun's anti-join sees exactly the
+    // missing ids as fresh and converges to the full set — no ordering
+    // rule needed with one mutable table, and no duplicate rows at all
+    val torn = spark.table("g101a_cells")
+      .filter(!(col("id") % 2 === 1 && col("id") % 3 === 0))
+      .as[(Int, Long, Seq[Double])].collect().toSeq // materialized BEFORE the overwrite
+    assert(torn.size < full)
+    graft.sources.Sources.writeBucketed(
+      torn.toDF("cell", "id", "u"), "g101a_cells", Seq("cell"), 16)
+    Similarity.appendToIvfIndex(odds, "embedding", "vec_id", "g101a")
+    assert(spark.table("g101a_cells").count() == full)
+    assert(Similarity.probeIvfIndex(emb, "embedding", "vec_id", "g101a", nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet == exactAll)
+  }
+
   test("dot/cosine fold matches a driver-side computation") {
     val row = emb.filter(col("vec_id") === 1)
       .select(Similarity.toDouble(col("embedding"))).head().getSeq[Double](0)
