@@ -524,6 +524,27 @@ object ScaleQueries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Index COMPACTION under the hash oracle: q81's exact flow with
+    // [[Dedup.compactMinhashIndex]] between build and probe — the
+    // crash-safe distinct→temp→swap rewrite of all three stored tables
+    // runs end-to-end and the probe over the compacted index must still
+    // produce q75/q81's survivors bit-for-bit (shared oracle). The
+    // duplicate-removal half of compaction (torn-append debris) and the
+    // file-count reclaim are DedupSpec/SimilaritySpec territory; this
+    // query pins that a compacted index is THE index.
+    "q102_compacted_index_probe" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", s"g102_idx_$sf",
+        shingleK = 3, numHashes = 48, bands = 6)
+      Dedup.compactMinhashIndex(s, s"g102_idx_$sf")
+      Dedup.probeMinhashIndex(corpus, batch, "doc_id", "text", s"g102_idx_$sf",
+        shingleK = 3, numHashes = 48, bands = 6, threshold = 0.9)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Deterministic train/val/test split assignment — the reproducible
     // sharding every training corpus needs: bucket = md5(doc_id) mod 100
     // (content-independent, stable across runs/engines/cluster sizes, no
@@ -1624,6 +1645,9 @@ object ScaleQueries {
     "q75_incremental_dedup" -> incrementalDedupOracle,
 
     "q81_indexed_incremental_dedup" -> incrementalDedupOracle,
+
+    // compaction must not change what the index IS — same restatement
+    "q102_compacted_index_probe" -> incrementalDedupOracle,
 
     "q70_neardup_dedup" ->
       s"""$dupClustersCtes

@@ -436,6 +436,40 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Compact the minhash index after many appends — the maintenance move
+    * that completes [[appendToMinhashIndex]]'s story: each append adds
+    * `numBuckets` files per table (after N days each bucket is N+1 files
+    * every probe opens) and each torn-append recovery leaves duplicate
+    * signature/bucket rows (harmless for results, paid for in candidate
+    * work). One crash-safe bucketed rewrite per table
+    * ([[graft.sources.Sources.compactTable]]: distinct → temp table →
+    * swap) restores the one-file-per-bucket layout and drops the
+    * duplicates; probe-after-compact ≡ probe-before is pinned by
+    * DedupSpec. `numBuckets` must match the build.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                          numBuckets: Int = 16): Seq[graft.sources.Sources.CompactStats] = Seq(
+    graft.sources.Sources.compactTable(spark, s"${name}_keys", Seq("ck"), numBuckets),
+    graft.sources.Sources.compactTable(spark, s"${name}_sigs", Seq("id"), numBuckets),
+    graft.sources.Sources.compactTable(spark, s"${name}_buckets", Seq("bhash"), numBuckets))
+
+  /** The oversized-bucket observation ([[saltedBucketKeys]]'s metric)
+    * extended to a STORED bucket table: one aggregate row (buckets,
+    * max_bucket_rows, oversized_buckets) over the persisted index, so a
+    * maintenance job can alert on skew that accumulated across appends —
+    * the live-side `observe` only sees one batch at a time. `keyCols` is
+    * the bucket identity: (bband, bhash) for the minhash index,
+    * (bband, bbits) for the cosine index, (cell) for IVF cells.
+    */
+  def storedBucketStats(spark: org.apache.spark.sql.SparkSession, table: String,
+                        keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    spark.table(table)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_rows"))
+      .agg(count(lit(1)).as("buckets"),
+        max(col("bucket_rows")).as("max_bucket_rows"),
+        sum(when(col("bucket_rows") > maxBucketSize, 1L).otherwise(0L))
+          .as("oversized_buckets"))
+
   /** Probe the persisted LSH index with one ingestion batch — O(batch +
     * candidates) compute, never O(corpus). Returns the surviving batch
     * rows (original columns): rows whose content is neither an exact

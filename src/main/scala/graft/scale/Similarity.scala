@@ -622,6 +622,18 @@ object Similarity {
     } finally fresh.unpersist()
   }
 
+  /** Compact the cosine index — [[graft.scale.Dedup.compactMinhashIndex]]'s
+    * maintenance move for this family: crash-safe bucketed rewrite of
+    * `_buckets`/`_units` ([[graft.sources.Sources.compactTable]]) that
+    * repays the per-append small-files debt and drops the duplicate
+    * bucket rows a torn append leaves behind. Probe-after-compact ≡
+    * probe-before (SimilaritySpec). `numBuckets` must match the build.
+    */
+  def compactCosineIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                         numBuckets: Int = 16): Seq[graft.sources.Sources.CompactStats] = Seq(
+    graft.sources.Sources.compactTable(spark, s"${name}_buckets", Seq("bbits"), numBuckets),
+    graft.sources.Sources.compactTable(spark, s"${name}_units", Seq("id"), numBuckets))
+
   /** Probe the persisted cosine index with one ingestion batch: returns
     * (id_a = corpus id, id_b = batch id, cos) for every cross pair with
     * true cosine ≥ `threshold`. O(batch + candidates): the only plane
@@ -730,6 +742,16 @@ object Similarity {
       s"${name}_cells", Seq("cell"), numBuckets,
       org.apache.spark.sql.SaveMode.Append)
   }
+
+  /** Compact the IVF cells table after many appends — same maintenance
+    * move as [[compactCosineIndex]], one table: `_cells` is the only
+    * growing side (`_centroids` is immutable and kilobytes). IVF appends
+    * never duplicate rows (single-table anti-join), so this is purely
+    * the small-files rewrite. `numBuckets` must match the build.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                      numBuckets: Int = 16): Seq[graft.sources.Sources.CompactStats] = Seq(
+    graft.sources.Sources.compactTable(spark, s"${name}_cells", Seq("cell"), numBuckets))
 
   /** Probe the persisted IVF index with one batch: each batch vector
     * searches the members of its `nprobe` nearest stored cells and keeps

@@ -95,6 +95,58 @@ object Sources {
     df.write.mode(mode).format("parquet").saveAsTable(table)
   }
 
+  /** Before/after observability for [[compactTable]] — the numbers a
+    * maintenance dashboard alerts on (row delta = torn-append duplicates
+    * removed; file delta = small-files debt repaid).
+    */
+  final case class CompactStats(table: String, rowsBefore: Long, filesBefore: Int,
+                                rowsAfter: Long, filesAfter: Int)
+
+  /** Compact a bucketed managed table after many [[SaveMode.Append]]
+    * increments: one bucketed rewrite that (a) repays the small-files
+    * debt — every append adds `numBuckets` files per table, and after N
+    * appends each bucket is N+1 files that every probe must open — and
+    * (b) drops the duplicate rows a torn append leaves behind (the
+    * documented crash artifact of the keys-LAST / units-LAST recovery
+    * orderings: re-appended signature/bucket rows that cost duplicate
+    * candidate work but cannot change results). `distinct()` is the
+    * canonicalization: every index table's rows are value-keyed (no
+    * ordering, no versioning), so duplicates are exact row copies.
+    *
+    * CRASH-SAFE by temp-table swap: the compacted copy lands complete in
+    * `<table>__compact` while the live table still serves probes; only
+    * then DROP + RENAME swap it in. A crash before the DROP changes
+    * nothing (the rewrite restarts); a crash in the swap window (live
+    * dropped, rename pending) is auto-recovered on rerun — the complete
+    * compacted copy is renamed into place before anything else happens.
+    * Probes concurrent with the swap window fail-loud (table missing),
+    * never read-partial.
+    */
+  def compactTable(spark: SparkSession, table: String, bucketCols: Seq[String],
+                   numBuckets: Int): CompactStats = {
+    val tmp = s"${table}__compact"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      // torn-swap recovery: the previous run wrote the full compacted
+      // copy and dropped the live table but died before the rename
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+    val before = spark.table(table)
+    val (rowsBefore, filesBefore) = (before.count(), before.inputFiles.length)
+    // repartition on the bucket columns with numBuckets partitions:
+    // HashPartitioning and the bucket-id function are the same
+    // Murmur3-pmod, so every task holds exactly one bucket's rows and
+    // the rewrite lands ONE file per bucket — without this, each write
+    // task emits a file per bucket it touches and the rewrite wouldn't
+    // actually repay the small-files debt it exists to repay
+    writeBucketed(
+      before.distinct().repartition(numBuckets, bucketCols.map(c => before(c)): _*),
+      tmp, bucketCols, numBuckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    val after = spark.table(table)
+    CompactStats(table, rowsBefore, filesBefore, after.count(), after.inputFiles.length)
+  }
+
   private def prepareOverwrite(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(table)) {
       // The catalog knows the table's REAL location (custom LOCATION,

@@ -273,6 +273,77 @@ class DedupSpec extends SparkSpec {
     assert(recovered == Set(13L) && rebuilt == recovered)
   }
 
+  test("index compaction: torn-append duplicates dropped, small files repaid, probe unchanged") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"f$i").mkString(" ")
+    val nearFresh = (1 to 29).map(i => s"f$i").mkString(" ") + " qq"
+    val corpus = Seq((0L, base), (4L, "totally different content here"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((5L, fresh), (9L, "another island of text"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((11L, nearFresh), (13L, "yet another unrelated island"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", "g102c_idx", numBuckets = 2)
+    val acc1 = Dedup.probeMinhashIndex(corpus, batch1, "doc_id", "text", "g102c_idx")
+      .as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+    // torn append + recovery rerun: leaves the documented debris —
+    // duplicate signature/bucket rows — that compaction exists to drop
+    val keysBefore = spark.table("g102c_idx_keys").as[String].collect().toSeq.toDF("ck")
+    Dedup.appendToMinhashIndex(acc1, "doc_id", "text", "g102c_idx", numBuckets = 2)
+    graft.sources.Sources.writeBucketed(keysBefore, "g102c_idx_keys", Seq("ck"), 2)
+    Dedup.appendToMinhashIndex(acc1, "doc_id", "text", "g102c_idx", numBuckets = 2)
+    val ingested = corpus.unionAll(acc1)
+    val probeBefore = Dedup.probeMinhashIndex(ingested, batch2, "doc_id", "text", "g102c_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val sigsBefore = spark.table("g102c_idx_sigs").count()
+    val sigFilesBefore = spark.table("g102c_idx_sigs").inputFiles.length
+    val stats = Dedup.compactMinhashIndex(spark, "g102c_idx", numBuckets = 2)
+    // the duplicates are really gone: compacted sigs == a clean rebuild's
+    Dedup.buildMinhashIndex(ingested, "doc_id", "text", "g102d_idx", numBuckets = 2)
+    assert(spark.table("g102c_idx_sigs").count() == spark.table("g102d_idx_sigs").count())
+    assert(spark.table("g102c_idx_sigs").count() < sigsBefore)
+    // small-files debt repaid, and the returned stats record both deltas
+    assert(spark.table("g102c_idx_sigs").inputFiles.length < sigFilesBefore)
+    val st = stats.find(_.table == "g102c_idx_sigs").get
+    assert(st.rowsBefore == sigsBefore && st.rowsAfter < st.rowsBefore
+      && st.filesAfter < st.filesBefore)
+    // the bucketed layout survives the swap — the zero-corpus-shuffle
+    // probe joins depend on it
+    assert(spark.sql("DESCRIBE EXTENDED g102c_idx_sigs")
+      .filter(col("col_name") === "Num Buckets").head().getString(1) == "2")
+    // and the probe answer is identical
+    val probeAfter = Dedup.probeMinhashIndex(ingested, batch2, "doc_id", "text", "g102c_idx")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(probeAfter == probeBefore && probeAfter == Set(13L))
+  }
+
+  test("compactTable: torn-swap window (live dropped, rename pending) auto-recovers on rerun") {
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v")
+    graft.sources.Sources.writeBucketed(df, "gcmp_t", Seq("id"), 2)
+    // the complete compacted copy landed; crash after DROP, before RENAME
+    graft.sources.Sources.writeBucketed(df.distinct(), "gcmp_t__compact", Seq("id"), 2)
+    spark.sql("DROP TABLE gcmp_t")
+    val st = graft.sources.Sources.compactTable(spark, "gcmp_t", Seq("id"), 2)
+    assert(spark.catalog.tableExists("gcmp_t"))
+    assert(!spark.catalog.tableExists("gcmp_t__compact"))
+    assert(spark.table("gcmp_t").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    assert(st.rowsAfter == 2)
+  }
+
+  test("storedBucketStats: persisted bucket sizes aggregate with an oversized count") {
+    val docs = Seq((0L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", "g102s_idx", numBuckets = 2)
+    val relaxed = Dedup.storedBucketStats(spark, "g102s_idx_buckets",
+      Seq("bband", "bhash"), maxBucketSize = 1024).head()
+    assert(relaxed.getLong(0) > 0 && relaxed.getLong(2) == 0L)
+    // cap 0: every stored bucket counts as oversized — the alert fires
+    val strict = Dedup.storedBucketStats(spark, "g102s_idx_buckets",
+      Seq("bband", "bhash"), maxBucketSize = 0).head()
+    assert(strict.getLong(2) == strict.getLong(0))
+  }
+
   test("both CC impls emit a self-loop-only node as its own singleton cluster") {
     // (5,5) is a node whose ONLY edge is a self-loop; (2,2) is a self-loop
     // on a node that also has a real edge — both impls must agree on the

@@ -291,6 +291,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recovered == Set((5L, 11L)) && rebuilt == recovered)
   }
 
+  test("cosine index compaction: probe unchanged, append file debt repaid") {
+    val corpus = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.0, 0.0, 1.0, 0.0)))
+      .toDF("vec_id", "emb")
+    val batch1 = Seq((5L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "emb")
+    val batch2 = Seq((11L, Array(0.02, 0.9995, 0.01, 0.0)),
+      (13L, Array(0.5, 0.0, -0.5, 0.7))).toDF("vec_id", "emb")
+    Similarity.buildCosineIndex(corpus, "emb", "vec_id", "g97k_idx", dim = 4, numBuckets = 2)
+    Similarity.appendToCosineIndex(batch1, "emb", "vec_id", "g97k_idx",
+      dim = 4, numBuckets = 2)
+    val probeBefore = Similarity.probeCosineIndex(batch2, "emb", "vec_id", "g97k_idx",
+        dim = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val filesBefore = spark.table("g97k_idx_buckets").inputFiles.length
+    val stats = Similarity.compactCosineIndex(spark, "g97k_idx", numBuckets = 2)
+    assert(spark.table("g97k_idx_buckets").inputFiles.length < filesBefore)
+    // clean appends: nothing to dedupe, rows carry over exactly
+    assert(stats.forall(s => s.rowsAfter == s.rowsBefore))
+    val probeAfter = Similarity.probeCosineIndex(batch2, "emb", "vec_id", "g97k_idx",
+        dim = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(probeAfter == probeBefore && probeAfter == Set((5L, 11L)))
+  }
+
+  test("IVF index compaction: probe still exact after compaction, file debt repaid") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildIvfIndex(evens, "embedding", "vec_id", "g101k", k = 8)
+    Similarity.appendToIvfIndex(odds, "embedding", "vec_id", "g101k")
+    val filesBefore = spark.table("g101k_cells").inputFiles.length
+    val stats = Similarity.compactIvfIndex(spark, "g101k")
+    assert(spark.table("g101k_cells").inputFiles.length < filesBefore)
+    assert(stats.head.rowsAfter == stats.head.rowsBefore)
+    val probed = Similarity.probeIvfIndex(emb, "embedding", "vec_id", "g101k", nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.nnJoin(emb, "embedding", "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == exact)
+  }
+
   test("persisted IVF index: probe at nprobe=K equals the exact join; partial probe keeps recall") {
     val corpus = emb.filter(col("vec_id") % 2 === 0)
     val batch = emb.filter(col("vec_id") % 2 === 1)
