@@ -884,6 +884,34 @@ object ScaleQueries {
         .select(col("id_b").as("vec_id"), col("id_a").as("match_id"), col("cos"))
     }),
 
+    // The q82/q89 recall-artifact pattern for the COSINE index — but
+    // HASH-CHECKED, which the IVF artifacts (driver k-means) can never
+    // be: the cosine-LSH pipeline is fully deterministic (md5 planes),
+    // and q95/q97 pin its banding recall at exactly 1.0 on this corpus,
+    // so the artifact's expected value is itself restatable. The exact
+    // side is the brute-force batch × corpus pair set
+    // ([[Similarity.crossPairsAbove]] — the audit cost, q82's pattern;
+    // at 100 TB dial it down by md5-sampling the batch, the q89 move);
+    // the measured side re-probes the stored q97-layout index. One
+    // missed pair ⇒ n_found < n_true_pairs ⇒ hash-red — a recall
+    // regression fails the driver gate instead of degrading silently.
+    "q103_cosine_recall" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val name = s"g103_idx_$sf"
+      val corpus = embCloneCorpus(s, dir).filter(col("vec_id") < 1000000L)
+      val batch = embCloneCorpus(s, dir).filter(col("vec_id") >= 1000000L)
+      Similarity.buildCosineIndex(corpus, "emb", "vec_id", name, dim = 64)
+      val found = Similarity.probeCosineIndex(batch, "emb", "vec_id", name,
+          dim = 64, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      Similarity.crossPairsAbove(corpus, batch, "emb", "vec_id", 0.8)
+        .join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .withColumn("recall_permille",
+          expr("(n_found * 2000 + n_true_pairs) div (n_true_pairs * 2)"))
+    }),
+
     // Best-representative selection — the production dedup policy: a
     // near-dup cluster keeps its HIGHEST-QUALITY member (exact integer
     // micro-units, ties to the smaller id), not the min-id one that
@@ -1811,6 +1839,35 @@ object ScaleQueries {
         |    (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) AS cs
         |  FROM u0 a, uc b)
         |SELECT vec_id, match_id, round(cs, 6) AS cos FROM p WHERE cs >= 0.8""".stripMargin,
+
+    // The recall artifact's expected value: the brute-force cross-pair
+    // count (q97's construction), with n_found equal to it and recall
+    // exactly 1000 permille — restatable BECAUSE the engine's banding
+    // recall is deterministic-1.0 on this corpus (q95/q97's hash-checked
+    // contract). A single missed pair diverges n_found and recall, so
+    // the hash compare IS the recall regression gate. count(*) is
+    // already BIGINT in DuckDB; the casts keep the type-class guard
+    // (tools/selfcheck.py) trivially satisfied.
+    "q103_cosine_recall" ->
+      s"""WITH $embCloneCtes,
+        |n0 AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM e0),
+        |nc AS (
+        |  SELECT vec_id, emb,
+        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+        |  FROM c),
+        |u0 AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM n0),
+        |uc AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM nc),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM u0 a, uc b
+        |  WHERE (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) >= 0.8)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_found,
+        |  CAST(1000 AS BIGINT) AS recall_permille
+        |FROM p""".stripMargin,
 
     // Brute-force ground truth for the LSH pipeline (the q16 contract):
     // ALL pair cosines over the clone-planted corpus, threshold 0.8,

@@ -622,6 +622,26 @@ object Similarity {
     } finally fresh.unpersist()
   }
 
+  /** Brute-force cross-pair audit leg: every (corpus id, batch id) pair
+    * with TRUE cosine ≥ `threshold` — quadratic BY DESIGN, the exact
+    * baseline a recall artifact (q103) measures the LSH path against,
+    * exactly as [[nnJoin]] is q82's exact leg. Same non-equi join shape
+    * as [[nnJoinAgainst]] (broadcast NL, never a cartesian plan node);
+    * at scale the audit cost dials down by md5-sampling the BATCH side
+    * (the q89 move) — the production probe being audited is untouched.
+    */
+  def crossPairsAbove(corpus: DataFrame, batch: DataFrame, embCol: String,
+                      idCol: String, threshold: Double): DataFrame = {
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    val a = unitVectors(corpus, embCol, idCol).repartition(parts)
+      .select(col("id").as("id_a"), col("u").as("u_a"))
+    val b = unitVectors(batch, embCol, idCol)
+      .select(col("id").as("id_b"), col("u").as("u_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Compact the cosine index — [[graft.scale.Dedup.compactMinhashIndex]]'s
     * maintenance move for this family: crash-safe bucketed rewrite of
     * `_buckets`/`_units` ([[graft.sources.Sources.compactTable]]) that

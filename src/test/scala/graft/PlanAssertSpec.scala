@@ -186,7 +186,8 @@ class PlanAssertSpec extends SparkSpec {
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
       "q81_indexed_incremental_dedup", "q97_indexed_embedding_neardup",
-      "q100_orc_roundtrip", "q101_ivf_index_probe", "q102_compacted_index_probe")
+      "q100_orc_roundtrip", "q101_ivf_index_probe", "q102_compacted_index_probe",
+      "q103_cosine_recall")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")

@@ -291,6 +291,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recovered == Set((5L, 11L)) && rebuilt == recovered)
   }
 
+  test("q103 recall artifact: exactly 1000 permille with every planted clone in the truth set") {
+    val out = graft.queries.ScaleQueries
+      .queries("q103_cosine_recall")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].head()
+    val planted = emb.filter(col("vec_id") % 7 === 0).count()
+    // truth set == the planted clone pairs (naturals max out near 0.6,
+    // far under the 0.8 threshold), found == truth, recall exactly 1.0
+    assert(out == ((planted, planted, 1000L)), s"artifact row: $out")
+    assert(planted > 0)
+  }
+
   test("cosine index compaction: probe unchanged, append file debt repaid") {
     val corpus = Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.0, 0.0, 1.0, 0.0)))
       .toDF("vec_id", "emb")
