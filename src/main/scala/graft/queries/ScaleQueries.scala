@@ -662,34 +662,10 @@ object ScaleQueries {
     // ((n+9) div 10, (n+1) div 2, (9n+9) div 10 — no IEEE product ever
     // touches the row selection, on either engine). Ranking is the q83
     // bucketed-order-statistics shape with bucket = the exact token
-    // count: global rank = (sum of smaller-value bucket counts) + rank
-    // within the bucket, so the only row-level sorts are partitioned
-    // (source, n_tokens) — a mega-source never serializes through one
-    // task — and the offset/count tables (|source|×|distinct counts|
-    // aggregated rows) broadcast back onto the scan.
-    "q86_token_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = col("text")
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), TextAnalysis.tokenCount(t).as("n_tokens"))
-      val bkts = bucketOffsets(docs, Seq("source"), "n_tokens", count(lit(1)))
-      val counts = bkts.groupBy(col("source")).agg(sum(col("__bm")).as("n"))
-      val offsets = bkts.select(col("source"), col("n_tokens"), col("__off").as("off"))
-      val wLocal = Window.partitionBy(col("source"), col("n_tokens"))
-        .orderBy(col("doc_id"))
-      docs.withColumn("lr", row_number().over(wLocal))
-        .join(broadcast(offsets), Seq("source", "n_tokens"))
-        .join(broadcast(counts), "source")
-        .withColumn("rn", col("off") + col("lr"))
-        .filter(col("rn") === expr("(n + 9) div 10") ||
-          col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(9 * n + 9) div 10"))
-        .groupBy(col("source"))
-        .agg(max(col("n")).as("n_docs"),
-          max(when(col("rn") === expr("(n + 9) div 10"), col("n_tokens"))).as("p10_tokens"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_tokens"),
-          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tokens"))).as("p90_tokens"))
-    }),
+    // count, plus the within-value md5-prefix sub-split (see
+    // tokenQuantiles) so even a degenerate corpus of identical counts
+    // never serializes one window partition.
+    "q86_token_quantiles" -> ((s, dir) => tokenQuantiles(s, dir, DefaultSubCap)),
 
     // Deterministic GLOBAL training-order shuffle — the corpus-ordering
     // step before sequence packing: every document gets its exact
@@ -718,39 +694,15 @@ object ScaleQueries {
 
     // Greedy token-budget corpus cut — the global form of q69's mixture
     // budgeting: keep the BEST documents (highest integer quality
-    // micro-units, ties by id) until 40% of the corpus's tokens are
-    // spent; a document is kept iff the tokens of all strictly-better
-    // documents leave budget. The global quality-ordered cumulative sum
-    // never runs as one sort: bucket = the exact q_mu value (the q86
-    // idiom), per-bucket token sums cumulate in q_mu-descending order
-    // over the AGGREGATED |distinct q_mu| rows, and each row's
-    // tokens-before = its bucket's offset + the within-bucket cumsum —
-    // row-level sorts partitioned by q_mu, offsets and the 1-row budget
-    // broadcast. Everything after tokenCount is integer arithmetic.
-    "q91_token_budget_cut" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = col("text")
-      val ws = col("ws")
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), t, Dedup.words(t).as("ws"))
-        .select(col("doc_id"),
-          TextAnalysis.qualityMicro(t, ws).as("q_mu"),
-          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
-      val bkts = bucketOffsets(docs, Nil, "q_mu", sum(col("n_tokens")), desc = true)
-      // the corpus total re-sums the bucket measures — same aggregation
-      // exchange as the offsets, NOT a second scoring pass over the corpus
-      val tot = bkts.agg(sum(col("__bm")).as("__tot"))
-      val offsets = bkts.select(col("q_mu"), col("__off").as("off"))
-      val wLocal = Window.partitionBy(col("q_mu")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs
-        .withColumn("lt", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-        .join(broadcast(offsets), "q_mu")
-        .crossJoin(broadcast(tot))
-        .withColumn("tokens_before", col("off") + col("lt"))
-        .filter(col("tokens_before") < expr("(__tot * 2) div 5"))
-        .select(col("doc_id"), col("q_mu"), col("n_tokens"), col("tokens_before"))
-    }),
+    // micro-units, ties by content-independent md5 order) until 40% of
+    // the corpus's tokens are spent; a document is kept iff the tokens of
+    // all strictly-better documents leave budget. The global
+    // quality-ordered cumulative sum never runs as one sort: bucket = the
+    // exact q_mu value, sub-split by the md5-prefix ranges when one value
+    // carries too much mass (see tokenBudgetCut) — row-level sorts
+    // partitioned (q_mu, __sub), offsets and the 1-row budget broadcast.
+    // Everything after tokenCount is integer arithmetic.
+    "q91_token_budget_cut" -> ((s, dir) => tokenBudgetCut(s, dir, DefaultSubCap)),
 
     // Quality-PROPORTIONAL Bernoulli downsampling — between q57's uniform
     // split and q87's hard cap sits the soft lever corpus assembly
@@ -1160,14 +1112,126 @@ object ScaleQueries {
     */
   private def bucketOffsets(docs: DataFrame, partitionCols: Seq[String],
                             bucketCol: String, measure: Column,
-                            desc: Boolean = false): DataFrame = {
+                            desc: Boolean = false,
+                            extra: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pcols = partitionCols.map(col)
     val wOff = Window.partitionBy(pcols: _*)
       .orderBy(if (desc) col(bucketCol).desc else col(bucketCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.groupBy(pcols :+ col(bucketCol): _*).agg(measure.as("__bm"))
+    docs.groupBy(pcols :+ col(bucketCol): _*).agg(measure.as("__bm"), extra: _*)
       .withColumn("__off", coalesce(sum(col("__bm")).over(wOff), lit(0L)))
+  }
+
+  /** Sub-split factor for an exact-value bucket whose row mass exceeds the
+    * per-partition window-input discipline: the next power of two above
+    * mass/cap, capped at 256 (the q83 md5-prefix range count). A power of
+    * two dividing 256 makes the sub-bucket id a PREFIX-RANGE of the md5
+    * head (`__hx div (256 div __ns)`), so ordering by (__sub, hk, id)
+    * equals ordering by (hk, id) — the split never changes the merged
+    * order, whatever __ns the data produces. The double-valued log/pow
+    * here only picks a partitioning fan-out; no output value rides on it.
+    */
+  private def pow2Subs(mass: Column, cap: Long): Column =
+    least(lit(256), pow(lit(2.0),
+      ceil(log(2.0, greatest(lit(1.0), mass.cast("double") / lit(cap.toDouble))))).cast("int"))
+
+  /** Per-partition window-input discipline for the exact-value-bucketed
+    * order statistics (q86/q91): a value bucket holding more rows than
+    * this sub-splits into md5-prefix ranges. 2^20 rows sort comfortably
+    * inside one task; the adversarial case this guards is a corpus where
+    * millions of documents share one exact score.
+    */
+  private[graft] val DefaultSubCap: Long = 1L << 20
+
+  /** q86's implementation, exposed with the sub-split cap as a parameter
+    * so the spec can force every bucket through the salted path and prove
+    * the output is bit-identical to the unsalted form. The within-value
+    * order is (md5(id), id); because the sub-bucket id is a prefix-range
+    * of that same md5 head (pow2Subs), the split is order-invisible, and
+    * because every row of a value bucket shares `n_tokens`, the emitted
+    * quantile values don't depend on within-value order at all.
+    */
+  private[graft] def tokenQuantiles(s: SparkSession, dir: String,
+                                      subCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val hk = md5(col("doc_id").cast("string").cast("binary"))
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(t).as("n_tokens"), hk.as("hk"))
+      .withColumn("__hx", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
+    val bkts = bucketOffsets(docs, Seq("source"), "n_tokens", count(lit(1)))
+    val counts = bkts.groupBy(col("source")).agg(sum(col("__bm")).as("n"))
+    val offsets = bkts.select(col("source"), col("n_tokens"), col("__off").as("off"))
+    val ns = bkts.select(col("source"), col("n_tokens"),
+      pow2Subs(col("__bm"), subCap).as("__ns"))
+    val sub = docs.join(broadcast(ns), Seq("source", "n_tokens"))
+      .withColumn("__sub", expr("__hx div (256 div __ns)"))
+    val subOff = bucketOffsets(sub, Seq("source", "n_tokens"), "__sub", count(lit(1)))
+      .select(col("source"), col("n_tokens"), col("__sub"), col("__off").as("soff"))
+    val wLocal = Window.partitionBy(col("source"), col("n_tokens"), col("__sub"))
+      .orderBy(col("hk"), col("doc_id"))
+    sub.withColumn("lr", row_number().over(wLocal))
+      .join(broadcast(subOff), Seq("source", "n_tokens", "__sub"))
+      .join(broadcast(offsets), Seq("source", "n_tokens"))
+      .join(broadcast(counts), "source")
+      .withColumn("rn", col("off") + col("soff") + col("lr"))
+      .filter(col("rn") === expr("(n + 9) div 10") ||
+        col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rn") === expr("(n + 9) div 10"), col("n_tokens"))).as("p10_tokens"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tokens"))).as("p90_tokens"))
+  }
+
+  /** q91's implementation with the sub-split cap as a parameter. Unlike
+    * q86, the emitted `tokens_before` DOES depend on within-value order,
+    * so the tie-break is pinned to (md5(id), id) — the q90
+    * content-independent order the oracle restates verbatim — and the
+    * prefix-range sub-split (order-invisible by construction) keeps the
+    * output identical for EVERY cap value, which is exactly what
+    * SaltedOrderStatsSpec asserts. The sub-count pass is a second
+    * map-side-combining aggregation over the scored scan; the row stream
+    * still shuffles once, to the (q_mu, __sub) window.
+    */
+  private[graft] def tokenBudgetCut(s: SparkSession, dir: String,
+                                      subCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val ws = col("ws")
+    val hk = md5(col("doc_id").cast("string").cast("binary"))
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), t, Dedup.words(t).as("ws"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityMicro(t, ws).as("q_mu"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
+      .withColumn("hk", hk)
+      .withColumn("__hx", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
+    val bkts = bucketOffsets(docs, Nil, "q_mu", sum(col("n_tokens")), desc = true,
+      extra = Seq(count(lit(1)).as("__bc")))
+    // the corpus total re-sums the bucket measures — same aggregation
+    // exchange as the offsets, NOT a second scoring pass over the corpus
+    val tot = bkts.agg(sum(col("__bm")).as("__tot"))
+    val offsets = bkts.select(col("q_mu"), col("__off").as("off"))
+    // fan-out keys off ROW count (__bc): rows are what the window sorts
+    val ns = bkts.select(col("q_mu"), pow2Subs(col("__bc"), subCap).as("__ns"))
+    val sub = docs.join(broadcast(ns), "q_mu")
+      .withColumn("__sub", expr("__hx div (256 div __ns)"))
+    val subOff = bucketOffsets(sub, Seq("q_mu"), "__sub", sum(col("n_tokens")))
+      .select(col("q_mu"), col("__sub"), col("__off").as("soff"))
+    val wLocal = Window.partitionBy(col("q_mu"), col("__sub"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sub.withColumn("lt", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(subOff), Seq("q_mu", "__sub"))
+      .join(broadcast(offsets), "q_mu")
+      .crossJoin(broadcast(tot))
+      .withColumn("tokens_before", col("off") + col("soff") + col("lt"))
+      .filter(col("tokens_before") < expr("(__tot * 2) div 5"))
+      .select(col("doc_id"), col("q_mu"), col("n_tokens"), col("tokens_before"))
   }
 
   /** The shared curation front-end of q44/q44a/q44b: score every document
@@ -2011,6 +2075,9 @@ object ScaleQueries {
 
     // Greedy budget cut restated as one quality-ordered cumulative sum;
     // the budget boundary is integer arithmetic on exact token counts.
+    // Within-value tie-break is the q90 md5 order — the same
+    // content-independent order the engine's prefix-range sub-split
+    // preserves at any fan-out.
     "q91_token_budget_cut" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, $wsSplit AS ws,
@@ -2019,7 +2086,8 @@ object ScaleQueries {
          |s AS (SELECT doc_id, $qMuSql AS q_mu, n_tokens FROM d),
          |c AS (
          |  SELECT *,
-         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY q_mu DESC, doc_id
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY q_mu DESC,
+         |      md5(CAST(doc_id AS VARCHAR)), doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
          |  FROM s),
          |t AS (SELECT sum(n_tokens) AS tot FROM s)

@@ -353,6 +353,68 @@ object StreamQueries {
         .select(col("vec_id"))
     }),
 
+    // q98's ingestion loop on the PERSISTED IVF INDEX — the third index
+    // family's streaming front-end, closing the build/probe/append/stream
+    // symmetry (minhash q88, cosine-LSH q98, IVF q104). Same batch
+    // construction and accept threshold as q98, but the near-dup screen
+    // is [[graft.scale.Similarity.matchedPairsIvfIndex]] at nprobe = K:
+    // the candidate set is the full stored corpus, so the accept decision
+    // is EXACTLY brute force — where q98's oracle parity rests on the
+    // planted clones' banding recall, q104's holds unconditionally.
+    // Appended vectors land in `_cells` under their nearest stored
+    // centroid, and at nprobe = K stay fully visible to later batches
+    // regardless of centroid quality. The oracle is q98's verbatim: the
+    // LSH-banded, cell-routed, and brute-force-SQL answers pinned equal.
+    "q104_stream_ivf_ingest" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val idx = s"g104_idx_$sf"
+      val emb = graft.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val (k, _) = Similarity.ivfParams(corpus)
+      val cents = Similarity.buildIvfIndex(corpus, "emb", "vec_id", idx, k = k)
+      val outRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q104_$sf")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (outRoot.exists()) rm(outRoot)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      def acceptedDirs(): Seq[java.io.File] =
+        Option(outRoot.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
+      val ingest: (DataFrame, Long) => Unit = (raw, batchId) => {
+        val sp = raw.sparkSession
+        val e = raw.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+        val batch = e.filter(col("vec_id") % 2 === 1)
+          .unionAll(e.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              graft.queries.ScaleQueries.perturbedClone(col("emb"), col("vec_id")).as("emb")))
+        val matched = Similarity.matchedPairsIvfIndex(batch, "emb", "vec_id", idx,
+            nprobe = cents.length, threshold = 0.8)
+          .select(col("id_b").as("vec_id")).distinct()
+        val bPath = new java.io.File(outRoot, s"b$batchId").getAbsolutePath
+        // the accepted write MATERIALIZES the probe-derived plan before
+        // the append mutates the tables it reads (the q88 ordering)
+        batch.join(matched, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(bPath)
+        Similarity.appendToIvfIndex(sp.read.parquet(bPath), "emb", "vec_id", idx)
+      }
+      val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.foreachBatch(ingest)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // reduceOption: zero micro-batches must yield an empty frame (the
+      // landed-batch schema, not the raw source's)
+      acceptedDirs().map(d => s.read.parquet(d.getAbsolutePath))
+        .reduceOption(_.unionAll(_))
+        .getOrElse(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, emb ARRAY<DOUBLE>")))
+        .select(col("vec_id"))
+    }),
+
     // Gap-based sessionization, batch form: native session_window (state
     // merges inside the aggregate — one shuffle on user_id, no
     // self-join/window over the event stream). Session bounds rendered at
@@ -368,6 +430,33 @@ object StreamQueries {
           date_format(col("t1"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
           col("n_events"), col("sum_value"))
     }))
+
+  /** Accepted = batch ids (odd originals ∪ all clones) with no
+    * brute-force cosine ≥ 0.8 against the even-id corpus — shared
+    * verbatim by q98 (LSH-banded screen) and q104 (IVF cell-routed
+    * screen): one ground truth pinning both index families' ingest
+    * answers equal.
+    */
+  private val embIngestAcceptOracle: String =
+    s"""WITH ${ScaleQueries.embCloneCtes},
+       |batch AS (SELECT * FROM e0 WHERE vec_id % 2 = 1 UNION ALL SELECT * FROM c),
+       |corp AS (SELECT * FROM e0 WHERE vec_id % 2 = 0),
+       |nb AS (
+       |  SELECT vec_id, emb,
+       |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+       |  FROM batch),
+       |ncp AS (
+       |  SELECT vec_id, emb,
+       |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
+       |  FROM corp),
+       |ub AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM nb),
+       |ucp AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM ncp),
+       |matched AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM ucp a, ub b
+       |  WHERE (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) >= 0.8)
+       |SELECT vec_id FROM batch
+       |WHERE vec_id NOT IN (SELECT vec_id FROM matched)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // Spark's window("1 day") is epoch-aligned; so is date_trunc('day').
@@ -410,26 +499,13 @@ object StreamQueries {
     // Accepted = batch ids (odd originals ∪ all clones) with NO
     // brute-force cosine >= 0.8 against the even-id corpus — the q97
     // ground-truth idiom restated for the streaming ingest's accept set.
-    "q98_stream_embedding_ingest" ->
-      s"""WITH ${ScaleQueries.embCloneCtes},
-        |batch AS (SELECT * FROM e0 WHERE vec_id % 2 = 1 UNION ALL SELECT * FROM c),
-        |corp AS (SELECT * FROM e0 WHERE vec_id % 2 = 0),
-        |nb AS (
-        |  SELECT vec_id, emb,
-        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
-        |  FROM batch),
-        |ncp AS (
-        |  SELECT vec_id, emb,
-        |    sqrt((SELECT sum(emb[t.i] * emb[t.i]) FROM range(1, 65) t(i))) AS nrm
-        |  FROM corp),
-        |ub AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM nb),
-        |ucp AS (SELECT vec_id, [emb[i] / nrm for i in range(1, 65)] AS u FROM ncp),
-        |matched AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM ucp a, ub b
-        |  WHERE (SELECT sum(a.u[t.i] * b.u[t.i]) FROM range(1, 65) t(i)) >= 0.8)
-        |SELECT vec_id FROM batch
-        |WHERE vec_id NOT IN (SELECT vec_id FROM matched)""".stripMargin,
+    "q98_stream_embedding_ingest" -> embIngestAcceptOracle,
+
+    // Same restatement VERBATIM: q104 runs the identical ingest contract
+    // through the stored IVF index at nprobe = K, where the cell-routed
+    // candidate set is the full stored corpus — three answers (banded
+    // LSH, cell routing, brute-force SQL) pinned equal on one oracle.
+    "q104_stream_ivf_ingest" -> embIngestAcceptOracle,
 
     "q45_stream_join" ->
       """WITH p AS (

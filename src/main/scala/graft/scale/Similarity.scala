@@ -788,6 +788,36 @@ object Similarity {
     * stored-index path under a brute-force DuckDB oracle (the q74
     * pattern); partial-nprobe recall is spec-floored instead.
     */
+  /** Near-duplicate screen on the persisted IVF index —
+    * [[probeCosineIndex]]'s accept/reject surface served by centroid
+    * routing instead of banded LSH: (id_a = stored member, id_b = batch
+    * id, cos) for every cross pair whose true cosine reaches `threshold`,
+    * candidates limited to each batch vector's `nprobe` nearest stored
+    * cells. Same O(batch) probe shape as [[probeIvfIndex]]; the filter
+    * compares the UNROUNDED dot product (exactly as probeCosineIndex
+    * does), so at nprobe = K — where the candidate set is the full stored
+    * corpus — the accept decision is EXACTLY the brute-force one, with no
+    * banding-recall caveat at all: the one screening mode LSH cannot
+    * offer. Ingest loops (q104) anti-join `id_b` out of the batch.
+    */
+  def matchedPairsIvfIndex(batch: DataFrame, embCol: String, idCol: String,
+                           name: String, nprobe: Int,
+                           threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = loadIvfCentroids(spark, name)
+    val probe = math.min(nprobe, cents.length)
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val probes = unitVectors(batch, embCol, idCol).repartition(parts)
+      .select(col("id").as("qid"), col("u").as("qu"),
+        explode(graft.expr.NearestCells(col("u"), cents, probe)).as("cell"))
+    probes.join(spark.table(s"${name}_cells"), "cell")
+      .filter(col("qid") =!= col("id"))
+      .select(col("id").as("id_a"), col("qid").as("id_b"),
+        dot(col("u"), col("qu")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   def probeIvfIndex(batch: DataFrame, embCol: String, idCol: String,
                     name: String, nprobe: Int): DataFrame = {
     val spark = batch.sparkSession

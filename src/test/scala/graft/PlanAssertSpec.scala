@@ -182,6 +182,7 @@ class PlanAssertSpec extends SparkSpec {
       "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",
       "q45_stream_join", "q65_stream_session", "q85_stream_index_dedup",
       "q88_stream_neardup_ingest", "q98_stream_embedding_ingest",
+      "q104_stream_ivf_ingest",
       "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup",
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
@@ -328,14 +329,19 @@ class PlanAssertSpec extends SparkSpec {
     assert(simple == bucketed, "bucketed ranking diverged from the window reference")
   }
 
-  test("q86: row-level ranking sorts are partitioned (source, n_tokens) — no mega-group window") {
+  test("q86: row-level ranking sorts are partitioned (source, n_tokens, __sub) — no mega-group window") {
     val p = finalPlan("q86_token_quantiles")
-    // the row-carrying rank window runs per (source, n_tokens) bucket;
-    // only the aggregated offset cumsum is source-partitioned
-    assert(count(p, """hashpartitioning\(source#\d+, n_tokens""") >= 1,
-      "row-level rank window must be bucket-partitioned:\n" + p)
-    assert(count(p, "BroadcastHashJoin") == 2,
-      "offset and count tables must broadcast back onto the scan:\n" + p)
+    // the row-carrying rank window runs per (source, n_tokens, __sub)
+    // sub-bucket — the md5-prefix split that caps window input even when
+    // one exact value holds the whole corpus; only the aggregated offset
+    // cumsum is source-partitioned
+    assert(count(p, """hashpartitioning\(source#\d+, n_tokens#\d+, __sub""") >= 1,
+      "row-level rank window must be sub-bucket-partitioned:\n" + p)
+    // 5: the ns fan-out join appears under BOTH consumers of the salted
+    // stream (the rank window and the sub-offset aggregation), plus the
+    // sub-offset, offset, and count broadcasts
+    assert(count(p, "BroadcastHashJoin") == 5,
+      "ns/sub-offset/offset/count tables must broadcast back onto the scan:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -355,12 +361,24 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q91: budget-cut cumsum sorts only per quality value; offsets and total broadcast") {
+  test("q91: budget-cut cumsum sorts only per (quality value, md5 sub-range); offsets and total broadcast") {
     val p = finalPlan("q91_token_budget_cut")
-    assert(count(p, """hashpartitioning\(q_mu""") >= 1,
-      "row-level cumsum window must be value-partitioned:\n" + p)
-    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, """hashpartitioning\(q_mu#\d+L?, __sub""") >= 1,
+      "row-level cumsum window must be sub-bucket-partitioned:\n" + p)
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      "ns/sub-offset/offset tables must broadcast back onto the scan:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q23: the decode seam is map-side — payloads never shuffle, iterator order preserved") {
+    // the mapPartitions decode boundary (Multimodal.decodeStub — the seam
+    // a real codec plugs into) must sit directly on the scan: no Exchange
+    // anywhere means payload bytes never cross the network and the
+    // per-partition input iterator order is the file order, the two
+    // contract points a future real decoder must not regress
+    val p = finalPlan("q23_multimodal_decode")
+    assert(!p.contains("Exchange"), "decode pipeline must not shuffle payloads:\n" + p)
+    assert(p.contains("MapPartitions"), "decode seam missing from the plan:\n" + p)
   }
 
   test("q92: quality-proportional sampling is one map-side pass — no exchange at all") {

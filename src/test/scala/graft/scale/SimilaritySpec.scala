@@ -215,6 +215,32 @@ class SimilaritySpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("IVF near-dup screen at nprobe=K finds exactly the brute-force cross pairs") {
+    // the q104 accept/reject surface: with every stored cell probed, the
+    // candidate set is the full stored corpus and the threshold decision
+    // must match brute force pair-for-pair — no banding, no recall caveat
+    val all = graft.queries.ScaleQueries
+      .embCloneCorpus(spark, "/root/testdata/sf0.001").cache()
+    val corpus = all.filter(col("vec_id") < 1000000L)
+    val batch = all.filter(col("vec_id") >= 1000000L)
+    val cents = Similarity.buildIvfIndex(corpus, "emb", "vec_id", "g104s_idx", k = 8)
+    val screened = Similarity.matchedPairsIvfIndex(batch, "emb", "vec_id",
+        "g104s_idx", nprobe = cents.length, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    def unitOf(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      transform(col("emb"), x =>
+        x / sqrt(Similarity.dot(col("emb"), col("emb")))).as("u"))
+    val brute = unitOf(corpus).select(col("vec_id").as("id_a"), col("u").as("u_a"))
+      .crossJoin(unitOf(batch).select(col("vec_id").as("id_b"), col("u").as("u_b")))
+      .filter(Similarity.dot(col("u_a"), col("u_b")) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(screened == brute,
+      s"screen != brute force: missing=${(brute -- screened).take(5)} extra=${(screened -- brute).take(5)}")
+    assert(screened.nonEmpty)
+    all.unpersist()
+  }
+
   test("cosine index append: probe-after-append == probe-after-rebuild, idempotent re-ingest") {
     val all = graft.queries.ScaleQueries
       .embCloneCorpus(spark, "/root/testdata/sf0.001").cache()
