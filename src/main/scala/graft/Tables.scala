@@ -2,35 +2,62 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import java.util.concurrent.ConcurrentHashMap
 
 /** Parquet table loader for the driver-generated star schema (TESTDATA.md).
   * One parquet file per table under the scale-factor directory.
+  *
+  * Ingestion normalization contract: `events.ts` has shipped in three
+  * physical parquet encodings across testdata generations — INT64
+  * TIMESTAMP(NANOS), TIMESTAMP_MICROS(isAdjustedToUTC=0) (Spark:
+  * TIMESTAMP_NTZ), and TIMESTAMP_MICROS(isAdjustedToUTC=1) (Spark:
+  * TIMESTAMP). The loader owns accepting every physical encoding and
+  * emitting ONE logical type (`TimestampType`, UTC session), the way the
+  * reference's `to_date` accepts the whole DateLike union and emits one
+  * date (etlutil/date.py:27-37) — consumers never branch on layout.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Sessions whose nanosAsLong conf we've already pinned. Our own mains set
-  // the conf at builder time; this guards driver-provided sessions (entry())
-  // without re-mutating conf on every table load.
+  // Sessions whose confs we've already pinned. Our own mains set these at
+  // builder time; this guards driver-provided sessions (entry()) without
+  // re-mutating conf on every table load.
   private val confPinned = ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark rejects by
-    // default — read nanos as long, then truncate to a micros timestamp.
-    // `ts div 1000` stays in Long (integer division, exact) — a `/` here
-    // would go through Double, whose 53-bit mantissa cannot represent
-    // epoch-nanos (~1.7e18) exactly and corrupts ~1.5% of values by 1 µs.
-    if (confPinned.add(spark))
+  private[graft] def pinConf(spark: SparkSession): Unit =
+    if (confPinned.add(spark)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ→TIMESTAMP normalization below is wall-clock-preserving only
+      // under a UTC session timezone; pin it here so an external session
+      // with a different zone cannot silently shift values.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+
+  /** Normalize any physical encoding of `ts` to `TimestampType`.
+    *   - INT64 nanos-as-long: `ts div 1000` stays in Long (integer
+    *     division, exact) — a `/` would go through Double, whose 53-bit
+    *     mantissa cannot represent epoch-nanos (~1.7e18) exactly and
+    *     corrupts ~1.5% of values by 1 µs.
+    *   - TIMESTAMP_NTZ: cast to TimestampType. Session TZ is pinned UTC, so
+    *     the wall-clock value is unchanged and every DuckDB oracle (which
+    *     reads the same parquet as naive timestamps) stays hash-identical.
+    *   - TimestampType: already the target.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    pinConf(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** events scan with a static `[startDate, endDateExclusive)` window pushed
@@ -42,18 +69,27 @@ object Tables {
     */
   def eventsBetween(spark: SparkSession, sfDir: String,
                     startDateIso: String, endDateExclusiveIso: String): DataFrame = {
-    if (confPinned.add(spark))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pinConf(spark)
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     def nanos(iso: String): Long =
       java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
         .toInstant.getEpochSecond * 1000000000L
-    if (df.schema("ts").dataType == LongType)
-      df.filter(col("ts") >= lit(nanos(startDateIso)) &&
-          col("ts") < lit(nanos(endDateExclusiveIso)))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      df.filter(col("ts") >= lit(startDateIso).cast("timestamp") &&
-        col("ts") < lit(endDateExclusiveIso).cast("timestamp"))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= lit(nanos(startDateIso)) &&
+            col("ts") < lit(nanos(endDateExclusiveIso)))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Predicate on the raw NTZ column against NTZ literals, BEFORE the
+        // cast to TimestampType — a TIMESTAMP literal would make coercion
+        // cast the column side and the filter would no longer reach
+        // PushedFilters (silent full scan).
+        normalizeTs(
+          df.filter(col("ts") >= lit(startDateIso).cast(TimestampNTZType) &&
+            col("ts") < lit(endDateExclusiveIso).cast(TimestampNTZType)))
+      case _ =>
+        df.filter(col("ts") >= lit(startDateIso).cast("timestamp") &&
+          col("ts") < lit(endDateExclusiveIso).cast("timestamp"))
+    }
   }
 }

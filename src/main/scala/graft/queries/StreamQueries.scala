@@ -5,7 +5,6 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.scale.Similarity
@@ -44,17 +43,19 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
-  /** events with the INT64-nanos ts converted to a µs timestamp — the
-    * streaming twin of [[graft.Tables]]' conversion (same integer `div`).
+  /** events with `ts` normalized to `TimestampType` whatever the physical
+    * parquet encoding — the streaming twin of [[graft.Tables.normalizeTs]]
+    * (INT64 nanos div-1000; TIMESTAMP_NTZ cast under the UTC session TZ,
+    * without which `withWatermark` rejects the column with
+    * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    Tables.pinConf(s)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // events.parquet is a single file, and the file stream source only
     // accepts a directory or a glob — so glob for exactly that file.
     val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeTs(raw)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -41,7 +41,10 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q6: static date window pushed onto the raw INT64 nanos column") {
+  // Encoding-agnostic: matches the pushed ts predicate whether the live
+  // testdata ships INT64 nanos (long filter) or MICROS-NTZ (NTZ-literal
+  // filter) — both must land in PushedFilters or the scan goes full-table.
+  test("q6: static date window pushed onto the raw physical ts column") {
     val p = finalPlan("q6_backfill_range_join")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
       "range window not pushed to scan:\n" + p)
