@@ -146,23 +146,26 @@ object ScaleQueries {
         routing = Some((sup, kids, superProbe)))
     }),
 
-    // The approximation-quality artifact for q33: recall@1 of the IVF
-    // join measured against the exact join, emitted as a VERIFIABLE
-    // single-row result (integer counts + round-half-up permille). The
-    // one inherently non-restatable ingredient (driver k-means) keeps
-    // this rows-only like q33 — but unlike q33, the number itself is the
-    // contract: SimilaritySpec pins recall_permille >= 500, so the
-    // approximation dial is regression-guarded, not just demonstrated.
+    // The approximation-quality artifact for the IVF machinery: recall@1
+    // of the IVF join measured against the exact join, emitted as a
+    // VERIFIABLE single-row result (integer counts + round-half-up
+    // permille). HASH-CHECKED since round 9 (the q103 move): centroids
+    // come from [[Similarity.seedCentroids]] — unit-normalized corpus
+    // vectors at id % ⌈√n⌉ = 0, id-ordered — so the DuckDB oracle
+    // restates the ENTIRE pipeline (seed selection, cell assignment,
+    // nprobe probing, candidate argmax, recall division) and one flipped
+    // assignment or missed candidate is hash-red at the driver gate.
+    // The trained-k-means dial that q33 actually runs stays spec-pinned
+    // in SimilaritySpec (mean-cos-gap + routed-degeneration tests);
+    // q33 remains the one rows-only entry because driver Lloyd
+    // iterations are inherently non-restatable.
     "q82_ivf_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val exact = Similarity.nnJoin(emb, "embedding", "vec_id")
         .select(col("vec_id"), col("nn_id").as("exact_nn"))
-      val (k, nprobe) = Similarity.ivfParams(emb)
-      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
-      val (superK, superProbe) = Similarity.routingParams(cents.length)
-      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      val (cents, nprobe) = Similarity.seedCentroids(emb, "embedding", "vec_id")
       val approx = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
-        nprobe = nprobe, routing = Some((sup, kids, superProbe)))
+          nprobe = nprobe)
         .select(col("vec_id"), col("nn_id").as("ivf_nn"))
       // LEFT join from the exact side: a vector the IVF join returns no
       // row for is a recall MISS and must stay in the denominator — an
@@ -181,21 +184,17 @@ object ScaleQueries {
     // sampled query's exact_nn is its true corpus-wide neighbor and the
     // left-join denominator stays honest. The exact audit cost drops 10×
     // (and dials further down at 100 TB by raising the modulus); the IVF
-    // leg is the unchanged production join being audited. Rows-only like
-    // q82 (driver k-means); SimilaritySpec pins the sampled recall bound
-    // and pins the sampled exact side ≡ the full exact join restricted
-    // to the sample.
+    // leg is the unchanged q82 join being audited. HASH-CHECKED like q82
+    // (seed centroids; md5 sampling restated via the q57 conv-of-md5
+    // fragment), so the scale-shape audit carries a real oracle too.
     "q89_ivf_recall_sampled" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val sample = emb.filter(pmod(Dedup.md5Long60(col("vec_id")), lit(10)) === 0)
       val exact = Similarity.nnJoinAgainst(sample, emb, "embedding", "vec_id")
         .select(col("vec_id"), col("nn_id").as("exact_nn"))
-      val (k, nprobe) = Similarity.ivfParams(emb)
-      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
-      val (superK, superProbe) = Similarity.routingParams(cents.length)
-      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      val (cents, nprobe) = Similarity.seedCentroids(emb, "embedding", "vec_id")
       val approx = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
-        nprobe = nprobe, routing = Some((sup, kids, superProbe)))
+          nprobe = nprobe)
         .select(col("vec_id"), col("nn_id").as("ivf_nn"))
       exact.join(approx, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_sampled"),
@@ -1419,6 +1418,71 @@ object ScaleQueries {
       |    row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
       |  FROM p) WHERE rn = 1""".stripMargin
 
+  /** Full restatement of the seed-centroid IVF recall pipeline (q82/q89):
+    * seeds = corpus vectors at id % ⌈√n⌉ = 0 in id order (srank = the
+    * engine's centroid index), cell assignment = argmax cosine over seeds
+    * (ties → lower index, NearestCells' scan order), probes = top-nprobe
+    * cells with nprobe = min(K, max(4, K/4)) (seedCentroids' dial),
+    * candidates = probe-cell members minus self, IVF nn = argmax cosine
+    * (ties → smaller id, the max_by (cos,−id) key), exact nn = brute
+    * force, recall = round-half-up integer permille. `sampleCond` filters
+    * the QUERY side on both legs (q89's md5 10% sample; TRUE for q82) —
+    * the corpus side is never sampled. Cosines use the q29/q101
+    * dot/(norm·norm) form; the ~1e-16 float path difference vs the
+    * engine's unit-vector dots is far below any argmax gap on this data.
+    */
+  private def ivfRecallOracle(sampleCond: String => String, nAlias: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |md AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
+       |s AS (SELECT vec_id AS sid, embedding AS se,
+       |        row_number() OVER (ORDER BY vec_id) AS srank
+       |      FROM e, md WHERE vec_id % md.m = 0),
+       |np AS (SELECT least(count(*), greatest(4, count(*) // 4)) AS p FROM s),
+       |vs AS (
+       |  SELECT e.vec_id, s.sid, s.srank,
+       |    (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.se[t.i] AS DOUBLE))
+       |     FROM range(1, 65) t(i))
+       |    / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+       |       * sqrt((SELECT sum(CAST(s.se[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
+       |  FROM e, s),
+       |rk AS (SELECT vec_id, sid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, srank) AS rn
+       |       FROM vs),
+       |home AS (SELECT vec_id, sid AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT rk.vec_id, rk.sid AS cell FROM rk, np WHERE rk.rn <= np.p),
+       |cand AS (
+       |  SELECT p.vec_id AS qid, h.vec_id AS mid
+       |  FROM probes p JOIN home h ON p.cell = h.cell AND h.vec_id <> p.vec_id
+       |  WHERE ${sampleCond("p.vec_id")}),
+       |ivfc AS (
+       |  SELECT c.qid, c.mid,
+       |    (SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+       |     FROM range(1, 65) t(i))
+       |    / (sqrt((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+       |       * sqrt((SELECT sum(CAST(b.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c2
+       |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.mid),
+       |ivf AS (SELECT qid AS vec_id, mid AS ivf_nn FROM (
+       |  SELECT qid, mid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c2 DESC, mid) AS rn
+       |  FROM ivfc) WHERE rn = 1),
+       |exc AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS mid,
+       |    (SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))
+       |     FROM range(1, 65) t(i))
+       |    / (sqrt((SELECT sum(CAST(a.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+       |       * sqrt((SELECT sum(CAST(b.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c2
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE ${sampleCond("a.vec_id")}),
+       |ex AS (SELECT qid AS vec_id, mid AS exact_nn FROM (
+       |  SELECT qid, mid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c2 DESC, mid) AS rn
+       |  FROM exc) WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS $nAlias,
+       |  CAST(coalesce(sum(CASE WHEN ivf.ivf_nn = ex.exact_nn THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_match,
+       |  CAST((coalesce(sum(CASE WHEN ivf.ivf_nn = ex.exact_nn THEN 1 ELSE 0 END), 0) * 2000
+       |        + count(*)) // (count(*) * 2) AS BIGINT) AS recall_permille
+       |FROM ex LEFT JOIN ivf USING (vec_id)""".stripMargin
+
   private val dupClustersOracle: String =
     s"""$dupClustersCtes,
        |sz AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
@@ -1692,6 +1756,13 @@ object ScaleQueries {
     // the IVF join at nprobe=K / all supers probed degenerates to the
     // exact NN join — one brute-force restatement checks both
     "q74_ivf_exact" -> nnOracle,
+
+    // seed-centroid IVF recall artifacts — the WHOLE approximation
+    // pipeline restated, so the recall number is under the hash gate
+    "q82_ivf_recall" -> ivfRecallOracle(_ => "TRUE", "n_vectors"),
+    "q89_ivf_recall_sampled" -> ivfRecallOracle(
+      q => s"CAST(('0x' || substring(md5(CAST($q AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0",
+      "n_sampled"),
 
     // the persisted-index probe at nprobe=K: best EVEN neighbor of each
     // ODD vector, brute-forced (index-order dots = DotProduct)

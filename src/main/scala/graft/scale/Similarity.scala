@@ -410,6 +410,37 @@ object Similarity {
     (k, math.max(4, k / 8))
   }
 
+  /** Deterministic, SQL-RESTATABLE IVF centroids for the hash-checked
+    * recall artifacts (q82/q89): the unit-normalized embedding vectors of
+    * every id divisible by ⌈√n⌉, in id order. Unlike [[trainCentroids]]
+    * (Lloyd iterations over an engine-ordered sample — inherently
+    * non-restatable, which is why q33 stays rows-only), every step here is
+    * integer arithmetic a DuckDB oracle recomputes verbatim, so the recall
+    * number itself lands under the driver's hash gate: a recall regression
+    * fails CORRECTNESS instead of degrading silently. K ≈ n/⌈√n⌉ ≈ √n
+    * keeps the ivfParams cell geometry; nprobe = K/4 (clamped to [4, K]) —
+    * wider than ivfParams' trained K/8 dial because unlloyd'd seeds have
+    * worse cell geometry, and the artifact's spec floor (recall ≥ 0.5)
+    * must hold at every SF; still a 4× candidate-work saving. Driver
+    * memory: K×dim doubles — kilobytes, same bound as trainCentroids.
+    */
+  def seedCentroids(df: DataFrame, embCol: String, idCol: String): (Seq[Seq[Double]], Int) = {
+    val n = df.count()
+    val mod = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val rows = df.filter(col(idCol) % mod === 0)
+      .orderBy(col(idCol))
+      .select(toDouble(col(embCol)))
+      .collect() // bounded: ~√n × dim doubles on the driver, by design
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "seedCentroids: empty corpus")
+    def unit(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      if (nm == 0) v else v.map(_ / nm)
+    }
+    val cents = rows.map(u => unit(u).toSeq).toSeq
+    (cents, math.min(cents.length, math.max(4, cents.length / 4)))
+  }
+
   /** ANN search: probe buckets whose signature is within `maxHammingProbe`
     * of the query signature (0 = exact bucket), rerank candidates exactly,
     * return top-k. Candidate set is the probed buckets only — the scan is

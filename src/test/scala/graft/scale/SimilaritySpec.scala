@@ -83,7 +83,7 @@ class SimilaritySpec extends SparkSpec {
     val m = row.getAs[Long]("n_match")
     val r = row.getAs[Long]("recall_permille")
     assert(n > 0 && m <= n)
-    assert(r >= 500, s"q33's production dial (ivfParams) fell below recall@1 0.5: $r permille")
+    assert(r >= 500, s"seed-centroid dial (seedCentroids) fell below recall@1 0.5: $r permille")
   }
 
   test("int8-quantized shortlist + exact rerank recovers the exact top-k") {
