@@ -863,6 +863,45 @@ object ScaleQueries {
           expr("(n_found * 2000 + n_true_pairs) div (n_true_pairs * 2)"))
     }),
 
+    // The maintenance-observability artifact — registers what was
+    // spec-only in round 8 (storedBucketStats, CompactStats) under the
+    // driver's hash gate. Full lifecycle on the persisted IVF index with
+    // SEED centroids (the q82 move — every assignment SQL-restatable):
+    // build over the even ids, append the odd ids (nearest STORED
+    // centroid), replay a partial append of the id%3 slice — the
+    // duplicate-row crash artifact a torn two-table-family append leaves,
+    // written with the writer's own deterministic rows — then compact.
+    // Emits the numbers a maintenance dashboard alerts on: rows
+    // before/after/dropped (compaction's distinct() must drop EXACTLY the
+    // replayed slice), occupied-cell stats over the compacted table
+    // (buckets / max_bucket_rows / oversized at cap 64 — the stored-skew
+    // alert), and the small-files flag (compaction strictly reduced file
+    // count; the exact file total is layout-dependent, the direction is
+    // the contract).
+    "q105_index_maintenance_stats" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val name = s"g105_idx_$sf"
+      val emb = Tables(s, dir, "embeddings")
+      val (cents, _) = Similarity.seedCentroids(emb, "embedding", "vec_id")
+      Similarity.buildIvfIndexWith(emb.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", name, cents)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id", name)
+      graft.sources.Sources.writeBucketed(
+        Similarity.cellAssignments(emb.filter(col("vec_id") % 3 === 0),
+          "embedding", "vec_id", cents),
+        s"${name}_cells", Seq("cell"), 16,
+        org.apache.spark.sql.SaveMode.Append)
+      val stats = Similarity.compactIvfIndex(s, name).head
+      Dedup.storedBucketStats(s, s"${name}_cells", Seq("cell"), maxBucketSize = 64)
+        .select(
+          lit(stats.rowsBefore).as("rows_before"),
+          lit(stats.rowsAfter).as("rows_after"),
+          lit(stats.rowsBefore - stats.rowsAfter).as("rows_dropped"),
+          col("buckets"), col("max_bucket_rows"), col("oversized_buckets"),
+          lit(stats.filesBefore > stats.filesAfter).as("files_reclaimed"))
+    }),
+
     // Best-representative selection — the production dedup policy: a
     // near-dup cluster keeps its HIGHEST-QUALITY member (exact integer
     // micro-units, ties to the smaller id), not the min-id one that
@@ -1763,6 +1802,42 @@ object ScaleQueries {
     "q89_ivf_recall_sampled" -> ivfRecallOracle(
       q => s"CAST(('0x' || substring(md5(CAST($q AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0",
       "n_sampled"),
+
+    // q105: the maintenance lifecycle restated — every id's home cell is
+    // the argmax cosine over the seed vectors (build and append use the
+    // same stored matrix), compaction's distinct() drops exactly the
+    // replayed id%3 slice, and the occupied-cell stats follow from the
+    // assignment alone. files_reclaimed is the direction contract
+    // (strictly fewer files after the one-file-per-bucket rewrite).
+    "q105_index_maintenance_stats" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |md AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
+        |s AS (SELECT vec_id AS sid, embedding AS se,
+        |        row_number() OVER (ORDER BY vec_id) AS srank
+        |      FROM e, md WHERE vec_id % md.m = 0),
+        |vs AS (
+        |  SELECT e.vec_id, s.sid, s.srank,
+        |    (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.se[t.i] AS DOUBLE))
+        |     FROM range(1, 65) t(i))
+        |    / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+        |       * sqrt((SELECT sum(CAST(s.se[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
+        |  FROM e, s),
+        |rk AS (SELECT vec_id, sid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, srank) AS rn
+        |       FROM vs),
+        |home AS (SELECT vec_id, sid AS cell FROM rk WHERE rn = 1),
+        |cz AS (SELECT cell, count(*) AS n FROM home GROUP BY cell),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS buckets,
+        |               CAST(max(n) AS BIGINT) AS max_bucket_rows,
+        |               CAST(coalesce(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS oversized_buckets
+        |        FROM cz),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |              CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT) AS planted
+        |       FROM e)
+        |SELECT nn.total + nn.planted AS rows_before, nn.total AS rows_after,
+        |  nn.planted AS rows_dropped, agg.buckets, agg.max_bucket_rows,
+        |  agg.oversized_buckets, TRUE AS files_reclaimed
+        |FROM nn, agg""".stripMargin,
 
     // the persisted-index probe at nprobe=K: best EVEN neighbor of each
     // ODD vector, brute-forced (index-order dots = DotProduct)

@@ -744,19 +744,40 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
                     name: String, k: Int, sampleSize: Int = 2048,
                     iters: Int = 5, numBuckets: Int = 16): Seq[Seq[Double]] = {
+    val cents = trainCentroids(corpus, embCol, idCol, k, sampleSize, iters)
+    buildIvfIndexWith(corpus, embCol, idCol, name, cents, numBuckets)
+    cents
+  }
+
+  /** [[buildIvfIndex]] with a caller-supplied centroid matrix (e.g.
+    * [[seedCentroids]] for the hash-checked maintenance artifact q105):
+    * stores the given matrix and the corpus cell assignments, training
+    * nothing — the build/append/probe contract is otherwise identical.
+    */
+  def buildIvfIndexWith(corpus: DataFrame, embCol: String, idCol: String,
+                        name: String, cents: Seq[Seq[Double]],
+                        numBuckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(corpus, embCol, idCol, k, sampleSize, iters)
     graft.sources.Sources.saveTable(
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "c"),
       s"${name}_centroids")
     graft.sources.Sources.writeBucketed(
-      unitVectors(corpus, embCol, idCol)
-        .select(element_at(graft.expr.NearestCells(col("u"), cents, 1), 1).as("cell"),
-          col("id"), col("u")),
+      cellAssignments(corpus, embCol, idCol, cents),
       s"${name}_cells", Seq("cell"), numBuckets)
-    cents
   }
+
+  /** The `_cells` row shape for one input set: (home cell, id, unit
+    * vector) under the given centroid matrix — the write side of
+    * [[buildIvfIndexWith]]/[[appendToIvfIndex]], exposed so q105 can
+    * replay a partial append (the torn-append crash artifact that
+    * compaction cleans) with exactly the writer's own deterministic rows.
+    */
+  def cellAssignments(df: DataFrame, embCol: String, idCol: String,
+                      cents: Seq[Seq[Double]]): DataFrame =
+    unitVectors(df, embCol, idCol)
+      .select(element_at(graft.expr.NearestCells(col("u"), cents, 1), 1).as("cell"),
+        col("id"), col("u"))
 
   /** The stored centroid matrix, driver-side: K×dim doubles, kilobytes —
     * the same bounded-by-design driver action as [[trainCentroids]]'s
@@ -786,10 +807,11 @@ object Similarity {
     val spark = accepted.sparkSession
     val cents = loadIvfCentroids(spark, name)
     graft.sources.Sources.writeBucketed(
-      unitVectors(accepted, embCol, idCol)
-        .join(spark.table(s"${name}_cells").select(col("id")), Seq("id"), "left_anti")
-        .select(element_at(graft.expr.NearestCells(col("u"), cents, 1), 1).as("cell"),
-          col("id"), col("u")),
+      cellAssignments(
+        accepted.join(
+          spark.table(s"${name}_cells").select(col("id").as(idCol)),
+          Seq(idCol), "left_anti"),
+        embCol, idCol, cents),
       s"${name}_cells", Seq("cell"), numBuckets,
       org.apache.spark.sql.SaveMode.Append)
   }

@@ -367,6 +367,20 @@ class SimilaritySpec extends SparkSpec {
     assert(probed == exact)
   }
 
+  test("q105 maintenance artifact: rows_dropped = replayed slice, occupied cells, files reclaimed") {
+    val row = graft.SparkEntry.queries("q105_index_maintenance_stats")(
+      spark, "/root/testdata/sf0.001").head()
+    val total = emb.count()
+    val planted = emb.filter(col("vec_id") % 3 === 0).count()
+    assert(row.getAs[Long]("rows_before") == total + planted)
+    assert(row.getAs[Long]("rows_after") == total)
+    assert(row.getAs[Long]("rows_dropped") == planted)
+    assert(row.getAs[Long]("buckets") > 0 &&
+      row.getAs[Long]("buckets") <= total)
+    assert(row.getAs[Long]("max_bucket_rows") >= total / row.getAs[Long]("buckets"))
+    assert(row.getAs[Boolean]("files_reclaimed"))
+  }
+
   test("persisted IVF index: probe at nprobe=K equals the exact join; partial probe keeps recall") {
     val corpus = emb.filter(col("vec_id") % 2 === 0)
     val batch = emb.filter(col("vec_id") % 2 === 1)
