@@ -1199,15 +1199,23 @@ object ScaleQueries {
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(t).as("n_tokens"), hk.as("hk"))
       .withColumn("__hx", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
-    val bkts = bucketOffsets(docs, Seq("source"), "n_tokens", count(lit(1)))
+    // ONE md5-prefix-level aggregation (≤256 rows per value bucket) feeds
+    // bucket offsets, fan-outs, AND sub-offsets — the scored corpus is
+    // scanned twice in total (this agg + the final window stream), not
+    // three times as when the sub-offset pass re-aggregated the raw rows.
+    val hxAgg = docs.groupBy(col("source"), col("n_tokens"), col("__hx"))
+      .agg(count(lit(1)).as("__hc"))
+    val bkts = bucketOffsets(hxAgg, Seq("source"), "n_tokens", sum(col("__hc")))
     val counts = bkts.groupBy(col("source")).agg(sum(col("__bm")).as("n"))
     val offsets = bkts.select(col("source"), col("n_tokens"), col("__off").as("off"))
     val ns = bkts.select(col("source"), col("n_tokens"),
       pow2Subs(col("__bm"), subCap).as("__ns"))
+    val hxSub = hxAgg.join(broadcast(ns), Seq("source", "n_tokens"))
+      .withColumn("__sub", expr("__hx div (256 div __ns)"))
+    val subOff = bucketOffsets(hxSub, Seq("source", "n_tokens"), "__sub", sum(col("__hc")))
+      .select(col("source"), col("n_tokens"), col("__sub"), col("__off").as("soff"))
     val sub = docs.join(broadcast(ns), Seq("source", "n_tokens"))
       .withColumn("__sub", expr("__hx div (256 div __ns)"))
-    val subOff = bucketOffsets(sub, Seq("source", "n_tokens"), "__sub", count(lit(1)))
-      .select(col("source"), col("n_tokens"), col("__sub"), col("__off").as("soff"))
     val wLocal = Window.partitionBy(col("source"), col("n_tokens"), col("__sub"))
       .orderBy(col("hk"), col("doc_id"))
     sub.withColumn("lr", row_number().over(wLocal))
@@ -1231,9 +1239,11 @@ object ScaleQueries {
     * content-independent order the oracle restates verbatim — and the
     * prefix-range sub-split (order-invisible by construction) keeps the
     * output identical for EVERY cap value, which is exactly what
-    * SaltedOrderStatsSpec asserts. The sub-count pass is a second
-    * map-side-combining aggregation over the scored scan; the row stream
-    * still shuffles once, to the (q_mu, __sub) window.
+    * SaltedOrderStatsSpec asserts. As in [[tokenQuantiles]], one
+    * md5-prefix-level aggregation feeds offsets, fan-outs, and
+    * sub-offsets, so the scored corpus is scanned exactly twice (agg +
+    * window stream); the row stream still shuffles once, to the
+    * (q_mu, __sub) window.
     */
   private[graft] def tokenBudgetCut(s: SparkSession, dir: String,
                                       subCap: Long): DataFrame = {
@@ -1248,18 +1258,22 @@ object ScaleQueries {
         TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
       .withColumn("hk", hk)
       .withColumn("__hx", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
-    val bkts = bucketOffsets(docs, Nil, "q_mu", sum(col("n_tokens")), desc = true,
-      extra = Seq(count(lit(1)).as("__bc")))
+    val hxAgg = docs.groupBy(col("q_mu"), col("__hx"))
+      .agg(sum(col("n_tokens")).as("__hm"), count(lit(1)).as("__hc"))
+    val bkts = bucketOffsets(hxAgg, Nil, "q_mu", sum(col("__hm")), desc = true,
+      extra = Seq(sum(col("__hc")).as("__bc")))
     // the corpus total re-sums the bucket measures — same aggregation
     // exchange as the offsets, NOT a second scoring pass over the corpus
     val tot = bkts.agg(sum(col("__bm")).as("__tot"))
     val offsets = bkts.select(col("q_mu"), col("__off").as("off"))
     // fan-out keys off ROW count (__bc): rows are what the window sorts
     val ns = bkts.select(col("q_mu"), pow2Subs(col("__bc"), subCap).as("__ns"))
+    val hxSub = hxAgg.join(broadcast(ns), "q_mu")
+      .withColumn("__sub", expr("__hx div (256 div __ns)"))
+    val subOff = bucketOffsets(hxSub, Seq("q_mu"), "__sub", sum(col("__hm")))
+      .select(col("q_mu"), col("__sub"), col("__off").as("soff"))
     val sub = docs.join(broadcast(ns), "q_mu")
       .withColumn("__sub", expr("__hx div (256 div __ns)"))
-    val subOff = bucketOffsets(sub, Seq("q_mu"), "__sub", sum(col("n_tokens")))
-      .select(col("q_mu"), col("__sub"), col("__off").as("soff"))
     val wLocal = Window.partitionBy(col("q_mu"), col("__sub"))
       .orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

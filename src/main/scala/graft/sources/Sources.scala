@@ -147,6 +147,32 @@ object Sources {
     CompactStats(table, rowsBefore, filesBefore, after.count(), after.inputFiles.length)
   }
 
+  /** The compaction POLICY that turns [[compactTable]] from a manual move
+    * into a maintenance loop: compact only when the small-files debt has
+    * actually accumulated — more than `maxFilesPerBucket` files per bucket
+    * on average (each append adds up to `numBuckets` files, so the
+    * threshold is "roughly `maxFilesPerBucket` uncompacted appends").
+    * Returns None when the table is within budget, so a daily ingest job
+    * can call this unconditionally after its append and pay the rewrite
+    * only once per N days — the metadata check is one catalog listing, no
+    * data read. Debt-triggered, not clock-triggered, so an idle index is
+    * never rewritten and a hot one is compacted as often as it needs.
+    */
+  def compactIfNeeded(spark: SparkSession, table: String, bucketCols: Seq[String],
+                      numBuckets: Int,
+                      maxFilesPerBucket: Int = 4): Option[CompactStats] = {
+    val tmp = s"${table}__compact"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      // same torn-swap recovery as compactTable: finish the pending rename
+      // before deciding anything from the (otherwise missing) live table
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+    val files = spark.table(table).inputFiles.length
+    if (files > maxFilesPerBucket.toLong * numBuckets)
+      Some(compactTable(spark, table, bucketCols, numBuckets))
+    else None
+  }
+
   private def prepareOverwrite(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(table)) {
       // The catalog knows the table's REAL location (custom LOCATION,

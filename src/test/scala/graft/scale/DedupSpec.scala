@@ -331,6 +331,30 @@ class DedupSpec extends SparkSpec {
     assert(st.rowsAfter == 2)
   }
 
+  test("compactIfNeeded: debt-triggered, no-op within budget, quiet after the rewrite") {
+    val df = (1L to 40L).toDF("id").withColumn("k", col("id") % 4)
+    graft.sources.Sources.writeBucketed(df, "gcin_t", Seq("k"), 4)
+    // freshly built: within the file budget — policy must not rewrite
+    assert(graft.sources.Sources.compactIfNeeded(spark, "gcin_t", Seq("k"), 4,
+      maxFilesPerBucket = 4).isEmpty)
+    // replayed appends accumulate small-files debt (and duplicate rows)
+    (1 to 8).foreach { _ =>
+      graft.sources.Sources.writeBucketed(df, "gcin_t", Seq("k"), 4,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(spark.table("gcin_t").inputFiles.length > 16)
+    val st = graft.sources.Sources.compactIfNeeded(spark, "gcin_t", Seq("k"), 4,
+      maxFilesPerBucket = 4)
+    assert(st.nonEmpty && st.get.rowsAfter == 40 && st.get.rowsBefore == 360)
+    // one file per OCCUPIED bucket (bucket id = murmur3(k) pmod 4, so
+    // distinct keys may share a bucket — ≤ numBuckets files, never more)
+    assert(spark.table("gcin_t").inputFiles.length <= 4)
+    assert(spark.table("gcin_t").inputFiles.length < st.get.filesBefore)
+    // debt repaid: the next daily call is a metadata no-op
+    assert(graft.sources.Sources.compactIfNeeded(spark, "gcin_t", Seq("k"), 4,
+      maxFilesPerBucket = 4).isEmpty)
+  }
+
   test("storedBucketStats: persisted bucket sizes aggregate with an oversized count") {
     val docs = Seq((0L, (1 to 30).map(i => s"w$i").mkString(" ")),
       (2L, (1 to 30).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
