@@ -400,6 +400,13 @@ object StreamQueries {
         batch.join(matched, Seq("vec_id"), "left_anti")
           .write.mode("overwrite").parquet(bPath)
         Similarity.appendToIvfIndex(sp.read.parquet(bPath), "emb", "vec_id", idx)
+        // the daily-job shape: the policy check runs after EVERY append
+        // (one catalog listing); the bucketed rewrite actually fires only
+        // once the accumulated appends exceed the per-bucket file budget.
+        // Compaction preserves probe results exactly (q102's contract), so
+        // the artifact's hash does not depend on when it fires.
+        graft.sources.Sources.compactIfNeeded(sp, s"${idx}_cells", Seq("cell"),
+          numBuckets = 16, maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
       withStatePartitions(s, 8) {
