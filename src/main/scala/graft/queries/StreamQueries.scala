@@ -272,6 +272,10 @@ object StreamQueries {
         // append from the LANDED rows (the materialized-input contract)
         graft.scale.Dedup.appendToMinhashIndex(
           sp.read.schema(schema).parquet(bPath), "doc_id", "text", idx)
+        // unconditional policy call, q104's daily-job shape: rewrites only
+        // past the file budget; probe results are compaction-invariant
+        graft.scale.Dedup.compactMinhashIndexIfNeeded(sp, idx,
+          maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
         .filter(col("doc_id") % 2 === 1)
@@ -338,6 +342,10 @@ object StreamQueries {
           .write.mode("overwrite").parquet(bPath)
         Similarity.appendToCosineIndex(sp.read.parquet(bPath), "emb", "vec_id",
           idx, dim = 64)
+        // unconditional policy call, q104's daily-job shape: rewrites only
+        // past the file budget; probe results are compaction-invariant
+        Similarity.compactCosineIndexIfNeeded(sp, idx,
+          maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
       withStatePartitions(s, 8) {
@@ -405,8 +413,7 @@ object StreamQueries {
         // once the accumulated appends exceed the per-bucket file budget.
         // Compaction preserves probe results exactly (q102's contract), so
         // the artifact's hash does not depend on when it fires.
-        graft.sources.Sources.compactIfNeeded(sp, s"${idx}_cells", Seq("cell"),
-          numBuckets = 16, maxFilesPerBucket = 2): Unit
+        Similarity.compactIvfIndexIfNeeded(sp, idx, maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
       withStatePartitions(s, 8) {

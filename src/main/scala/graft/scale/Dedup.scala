@@ -453,6 +453,20 @@ object Dedup {
     graft.sources.Sources.compactTable(spark, s"${name}_sigs", Seq("id"), numBuckets),
     graft.sources.Sources.compactTable(spark, s"${name}_buckets", Seq("bhash"), numBuckets))
 
+  /** [[compactMinhashIndex]] behind the debt policy
+    * ([[graft.sources.Sources.compactIfNeeded]]): each of the three tables
+    * rewrites only once it exceeds `maxFilesPerBucket` files per bucket —
+    * the unconditional after-append call of a daily ingest loop. Returns
+    * stats for the tables actually rewritten (possibly none).
+    */
+  def compactMinhashIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                  name: String, numBuckets: Int = 16,
+                                  maxFilesPerBucket: Int = 4): Seq[graft.sources.Sources.CompactStats] =
+    Seq("keys" -> "ck", "sigs" -> "id", "buckets" -> "bhash").flatMap {
+      case (t, c) => graft.sources.Sources.compactIfNeeded(
+        spark, s"${name}_$t", Seq(c), numBuckets, maxFilesPerBucket)
+    }
+
   /** The oversized-bucket observation ([[saltedBucketKeys]]'s metric)
     * extended to a STORED bucket table: one aggregate row (buckets,
     * max_bucket_rows, oversized_buckets) over the persisted index, so a

@@ -685,6 +685,17 @@ object Similarity {
     graft.sources.Sources.compactTable(spark, s"${name}_buckets", Seq("bbits"), numBuckets),
     graft.sources.Sources.compactTable(spark, s"${name}_units", Seq("id"), numBuckets))
 
+  /** [[compactCosineIndex]] behind the debt policy — see
+    * [[graft.scale.Dedup.compactMinhashIndexIfNeeded]].
+    */
+  def compactCosineIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, numBuckets: Int = 16,
+                                 maxFilesPerBucket: Int = 4): Seq[graft.sources.Sources.CompactStats] =
+    Seq("buckets" -> "bbits", "units" -> "id").flatMap {
+      case (t, c) => graft.sources.Sources.compactIfNeeded(
+        spark, s"${name}_$t", Seq(c), numBuckets, maxFilesPerBucket)
+    }
+
   /** Probe the persisted cosine index with one ingestion batch: returns
     * (id_a = corpus id, id_b = batch id, cos) for every cross pair with
     * true cosine ≥ `threshold`. O(batch + candidates): the only plane
@@ -825,6 +836,15 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                       numBuckets: Int = 16): Seq[graft.sources.Sources.CompactStats] = Seq(
     graft.sources.Sources.compactTable(spark, s"${name}_cells", Seq("cell"), numBuckets))
+
+  /** [[compactIvfIndex]] behind the debt policy — see
+    * [[graft.scale.Dedup.compactMinhashIndexIfNeeded]].
+    */
+  def compactIvfIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                              name: String, numBuckets: Int = 16,
+                              maxFilesPerBucket: Int = 4): Seq[graft.sources.Sources.CompactStats] =
+    graft.sources.Sources.compactIfNeeded(
+      spark, s"${name}_cells", Seq("cell"), numBuckets, maxFilesPerBucket).toSeq
 
   /** Probe the persisted IVF index with one batch: each batch vector
     * searches the members of its `nprobe` nearest stored cells and keeps
