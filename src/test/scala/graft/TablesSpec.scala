@@ -62,6 +62,24 @@ class TablesSpec extends SparkSpec {
       s"UTC wall-clock drifted: ${results("utc")} vs ${results("nanos")}")
   }
 
+  test("orders/lineitem date columns read as timestamps, never nanos-longs") {
+    // o_orderdate / l_shipdate are intentionally NOT normalized: their
+    // consumers use only NTZ-safe ops (literal compares, date_format,
+    // grouping), and a post-scan cast would break the l_shipdate/o_orderdate
+    // filter pushdown that PlanAssertSpec pins. This guard fires loudly if
+    // a future testdata regeneration ships them as INT64 nanos (which the
+    // session-wide nanosAsLong pin would surface as LongType) — extend
+    // Tables.normalizeTs to those columns at that point, preserving the
+    // raw-column pushdown the way eventsBetween does.
+    val dir = "/root/testdata/sf0.001"
+    val dateCols = Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+    dateCols.foreach { case (t, c) =>
+      val dt = Tables(spark, dir, t).schema(c).dataType
+      assert(dt == TimestampType || dt == TimestampNTZType,
+        s"$t.$c reads as $dt — the testdata layout changed; normalize it in Tables")
+    }
+  }
+
   test("eventsBetween pushes the window predicate in every encoding") {
     layouts.foreach { l =>
       val dir = writeLayout(l)
