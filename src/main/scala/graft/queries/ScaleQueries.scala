@@ -902,6 +902,35 @@ object ScaleQueries {
           lit(stats.filesBefore > stats.filesAfter).as("files_reclaimed"))
     }),
 
+    // Payload-file round trip through the binaryFile source — the
+    // multimodal shard layout exercised end to end: a deterministic
+    // subset of documents exports one `<id>.bin` payload file per row
+    // (distributed foreachPartition write, no driver round-trip), then
+    // re-ingests the directory as opaque binaries and emits the id parsed
+    // from the path, the byte length, and the payload md5. HASH-CHECKED:
+    // the oracle recomputes length/md5 from the source table directly, so
+    // a torn export, a truncated file, or an encoding drift in the write
+    // path is hash-red. At 100 TB the dir is object storage and the same
+    // plan shape holds (binaryFile prunes `content` when only metadata is
+    // projected).
+    "q106_binaryfile_ingest" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q106_$sf")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (outRoot.exists()) rm(outRoot)
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      Multimodal.exportPayloads(docs, "doc_id", col("text").cast("binary"),
+        outRoot.getAbsolutePath)
+      Multimodal.readPayloadDir(s, outRoot.getAbsolutePath)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+    }),
+
     // Best-representative selection — the production dedup policy: a
     // near-dup cluster keeps its HIGHEST-QUALITY member (exact integer
     // micro-units, ties to the smaller id), not the min-id one that
@@ -1883,6 +1912,13 @@ object ScaleQueries {
         |  CAST(length(text) AS INT) AS size_bytes,
         |  hex(substr(text, 1, 8)) AS head_hex
         |FROM documents""".stripMargin,
+
+    // the exported file's bytes are the text's UTF-8 encoding, so byte
+    // length (strlen) and md5 restate directly from the source table
+    "q106_binaryfile_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "q58_dup_clusters" -> dupClustersOracle,
     "q66_dup_clusters_bigstar" -> dupClustersOracle,

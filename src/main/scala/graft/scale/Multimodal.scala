@@ -105,4 +105,34 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Export one payload FILE per row into `dir` — the standard multimodal
+    * shard layout (payload objects on shared storage, metadata in the
+    * table). Distributed: each task writes its own partition's files
+    * (`foreachPartition`), no driver round-trip, no shuffle, payloads
+    * never leave their partition. On a cluster `dir` is shared/object
+    * storage; file name = `<id>.bin`, so the id survives the round trip
+    * in the path.
+    */
+  def exportPayloads(df: DataFrame, idCol: String, payload: Column,
+                     dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("string").as("__id"), payload.cast("binary").as("__p"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".bin"),
+            r.getAs[Array[Byte]]("__p")): Unit
+        }
+      }
+  }
+
+  /** Ingest a payload directory via Spark's `binaryFile` source — the
+    * opaque-binary twin of the parquet path: (path, modificationTime,
+    * length, content), with `content` pruned from the read when only
+    * metadata is projected. This is how image/audio/video dirs enter the
+    * engine before [[withMedia]]/[[decodeStub]] take over.
+    */
+  def readPayloadDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
 }

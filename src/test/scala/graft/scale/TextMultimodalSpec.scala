@@ -208,6 +208,29 @@ class TextMultimodalSpec extends SparkSpec {
       (4L, 0, 4), (4L, 1, 2)))            // last chunk short but reaches end
   }
 
+  test("binaryFile ingest round-trips payload bytes; metadata projection prunes content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binfile").toString
+    val docs = Seq((7L, "hello payload"), (13L, "café bytes"))
+      .toDF("doc_id", "text")
+    Multimodal.exportPayloads(docs, "doc_id", col("text").cast("binary"), dir)
+    val back = Multimodal.readPayloadDir(spark, dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length"), col("content"))
+    val rows = back.as[(Long, Long, Array[Byte])].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set(7L, 13L))
+    assert(new String(rows(7L)._3, "UTF-8") == "hello payload")
+    // byte length, not char length: 'café bytes' is 10 chars, 11 UTF-8 bytes
+    assert(rows(13L)._2 == 11L && rows(13L)._3.length == 11)
+    // the scale contract: a metadata-only projection must not read payloads
+    val metaPlan = Multimodal.readPayloadDir(spark, dir)
+      .select(col("path"), col("length"))
+      .queryExecution.executedPlan.toString
+    val readSchema = metaPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse(metaPlan)
+    assert(!readSchema.contains("content"),
+      "binaryFile scan reads payload bytes for a metadata projection:\n" + readSchema)
+  }
+
   test("frameSample: zero-length payload emits no frames") {
     val df = Seq((1L, "")).toDF("id", "text")
     val n = df.select(col("id"), col("text").cast("binary").as("p"))
