@@ -51,7 +51,15 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      case other =>
+        // fail LOUD on a layout this boundary has never seen — a silent
+        // pass-through is exactly the round-8 drift class this function
+        // exists to close (every known encoding is matched above; a new
+        // one needs an explicit branch plus a TablesSpec case)
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — the testdata layout " +
+            "changed; extend Tables.normalizeTs (and TablesSpec) for it")
     }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

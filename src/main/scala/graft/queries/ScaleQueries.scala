@@ -1513,24 +1513,34 @@ object ScaleQueries {
     * dot/(norm·norm) form; the ~1e-16 float path difference vs the
     * engine's unit-vector dots is far below any argmax gap on this data.
     */
+  /** Shared CTE chain restating [[graft.scale.Similarity.seedCentroids]]
+    * selection + cell assignment — used VERBATIM by both the recall
+    * oracles (q82/q89) and the maintenance oracle (q105), so a change to
+    * the seeding rule or tie order desyncs in one place, not silently in
+    * two. `e` = corpus, `s` = seeds with `srank` (the engine's centroid
+    * index), `rk` = per-vector seed ranking, `home` = home cell.
+    */
+  private val seedAssignCtes: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |md AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
+      |s AS (SELECT vec_id AS sid, embedding AS se,
+      |        row_number() OVER (ORDER BY vec_id) AS srank
+      |      FROM e, md WHERE vec_id % md.m = 0),
+      |vs AS (
+      |  SELECT e.vec_id, s.sid, s.srank,
+      |    (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.se[t.i] AS DOUBLE))
+      |     FROM range(1, 65) t(i))
+      |    / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+      |       * sqrt((SELECT sum(CAST(s.se[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
+      |  FROM e, s),
+      |rk AS (SELECT vec_id, sid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, srank) AS rn
+      |       FROM vs),
+      |home AS (SELECT vec_id, sid AS cell FROM rk WHERE rn = 1)""".stripMargin
+
   private def ivfRecallOracle(sampleCond: String => String, nAlias: String): String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |md AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
-       |s AS (SELECT vec_id AS sid, embedding AS se,
-       |        row_number() OVER (ORDER BY vec_id) AS srank
-       |      FROM e, md WHERE vec_id % md.m = 0),
+    s"""$seedAssignCtes,
        |np AS (SELECT least(count(*), greatest(4, count(*) // 4)) AS p FROM s),
-       |vs AS (
-       |  SELECT e.vec_id, s.sid, s.srank,
-       |    (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.se[t.i] AS DOUBLE))
-       |     FROM range(1, 65) t(i))
-       |    / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
-       |       * sqrt((SELECT sum(CAST(s.se[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
-       |  FROM e, s),
-       |rk AS (SELECT vec_id, sid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, srank) AS rn
-       |       FROM vs),
-       |home AS (SELECT vec_id, sid AS cell FROM rk WHERE rn = 1),
        |probes AS (SELECT rk.vec_id, rk.sid AS cell FROM rk, np WHERE rk.rn <= np.p),
        |cand AS (
        |  SELECT p.vec_id AS qid, h.vec_id AS mid
@@ -1853,22 +1863,7 @@ object ScaleQueries {
     // assignment alone. files_reclaimed is the direction contract
     // (strictly fewer files after the one-file-per-bucket rewrite).
     "q105_index_maintenance_stats" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |md AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
-        |s AS (SELECT vec_id AS sid, embedding AS se,
-        |        row_number() OVER (ORDER BY vec_id) AS srank
-        |      FROM e, md WHERE vec_id % md.m = 0),
-        |vs AS (
-        |  SELECT e.vec_id, s.sid, s.srank,
-        |    (SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.se[t.i] AS DOUBLE))
-        |     FROM range(1, 65) t(i))
-        |    / (sqrt((SELECT sum(CAST(e.embedding[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
-        |       * sqrt((SELECT sum(CAST(s.se[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))) AS c
-        |  FROM e, s),
-        |rk AS (SELECT vec_id, sid,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, srank) AS rn
-        |       FROM vs),
-        |home AS (SELECT vec_id, sid AS cell FROM rk WHERE rn = 1),
+      s"""$seedAssignCtes,
         |cz AS (SELECT cell, count(*) AS n FROM home GROUP BY cell),
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS buckets,
         |               CAST(max(n) AS BIGINT) AS max_bucket_rows,

@@ -260,6 +260,14 @@ object StreamQueries {
           .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
       val ingest: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
+        // policy call at BATCH START, not after the append: compactIfNeeded
+        // leads with torn-swap recovery, so a crash inside a previous
+        // batch's compaction is healed here before anything reads the
+        // index — the rerun-convergence contract survives the policy.
+        // Rewrites fire only past the file budget; probe results are
+        // compaction-invariant, so the artifact hash is placement-blind.
+        graft.scale.Dedup.compactMinhashIndexIfNeeded(sp, idx,
+          maxFilesPerBucket = 2): Unit
         // corpus ∪ everything accepted by earlier micro-batches — the
         // probe's candidate text fetch must see appended reps' text
         val ingested = acceptedDirs().foldLeft(corpus)((acc, d) =>
@@ -272,10 +280,6 @@ object StreamQueries {
         // append from the LANDED rows (the materialized-input contract)
         graft.scale.Dedup.appendToMinhashIndex(
           sp.read.schema(schema).parquet(bPath), "doc_id", "text", idx)
-        // unconditional policy call, q104's daily-job shape: rewrites only
-        // past the file budget; probe results are compaction-invariant
-        graft.scale.Dedup.compactMinhashIndexIfNeeded(sp, idx,
-          maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
         .filter(col("doc_id") % 2 === 1)
@@ -327,6 +331,9 @@ object StreamQueries {
           .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
       val ingest: (DataFrame, Long) => Unit = (raw, batchId) => {
         val sp = raw.sparkSession
+        // batch-start policy call — recovery-first, see the q88 comment
+        Similarity.compactCosineIndexIfNeeded(sp, idx,
+          maxFilesPerBucket = 2): Unit
         val e = raw.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
         val batch = e.filter(col("vec_id") % 2 === 1)
           .unionAll(e.filter(col("vec_id") % 7 === 0)
@@ -342,10 +349,6 @@ object StreamQueries {
           .write.mode("overwrite").parquet(bPath)
         Similarity.appendToCosineIndex(sp.read.parquet(bPath), "emb", "vec_id",
           idx, dim = 64)
-        // unconditional policy call, q104's daily-job shape: rewrites only
-        // past the file budget; probe results are compaction-invariant
-        Similarity.compactCosineIndexIfNeeded(sp, idx,
-          maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
       withStatePartitions(s, 8) {
@@ -394,6 +397,13 @@ object StreamQueries {
           .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
       val ingest: (DataFrame, Long) => Unit = (raw, batchId) => {
         val sp = raw.sparkSession
+        // batch-start policy call — recovery-first, see the q88 comment:
+        // compactIfNeeded leads with torn-swap recovery, so a crash inside
+        // a previous batch's compaction heals before any index read, and
+        // the bucketed rewrite fires only past the per-bucket file budget.
+        // Compaction preserves probe results exactly (q102's contract), so
+        // the artifact's hash does not depend on when it fires.
+        Similarity.compactIvfIndexIfNeeded(sp, idx, maxFilesPerBucket = 2): Unit
         val e = raw.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
         val batch = e.filter(col("vec_id") % 2 === 1)
           .unionAll(e.filter(col("vec_id") % 7 === 0)
@@ -408,12 +418,6 @@ object StreamQueries {
         batch.join(matched, Seq("vec_id"), "left_anti")
           .write.mode("overwrite").parquet(bPath)
         Similarity.appendToIvfIndex(sp.read.parquet(bPath), "emb", "vec_id", idx)
-        // the daily-job shape: the policy check runs after EVERY append
-        // (one catalog listing); the bucketed rewrite actually fires only
-        // once the accumulated appends exceed the per-bucket file budget.
-        // Compaction preserves probe results exactly (q102's contract), so
-        // the artifact's hash does not depend on when it fires.
-        Similarity.compactIvfIndexIfNeeded(sp, idx, maxFilesPerBucket = 2): Unit
       }
       val stream = s.readStream.schema(schema).parquet(s"$dir/embeddings.parque[t]")
       withStatePartitions(s, 8) {

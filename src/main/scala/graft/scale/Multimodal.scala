@@ -110,19 +110,26 @@ object Multimodal {
     * shard layout (payload objects on shared storage, metadata in the
     * table). Distributed: each task writes its own partition's files
     * (`foreachPartition`), no driver round-trip, no shuffle, payloads
-    * never leave their partition. On a cluster `dir` is shared/object
-    * storage; file name = `<id>.bin`, so the id survives the round trip
-    * in the path.
+    * never leave their partition. Writes go through the Hadoop FileSystem
+    * API with the session's Hadoop conf shipped to the tasks, so `dir`
+    * may be any Hadoop-addressable store (local path, HDFS, s3a://…) —
+    * the same filesystem `readPayloadDir`'s binaryFile source lists.
+    * File name = `<id>.bin`, so the id survives the round trip in the
+    * path.
     */
   def exportPayloads(df: DataFrame, idCol: String, payload: Column,
                      dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val base = new org.apache.hadoop.fs.Path(dir)
+    base.getFileSystem(hconf.value).mkdirs(base): Unit
     df.select(col(idCol).cast("string").as("__id"), payload.cast("binary").as("__p"))
       .foreachPartition { rows: Iterator[Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf.value)
         rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, r.getString(0) + ".bin"),
-            r.getAs[Array[Byte]]("__p")): Unit
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".bin"), true)
+          try out.write(r.getAs[Array[Byte]]("__p")) finally out.close()
         }
       }
   }

@@ -167,6 +167,10 @@ object Sources {
       // before deciding anything from the (otherwise missing) live table
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     }
+    // "call unconditionally" includes before the first append ever created
+    // the table (empty first batch) — a missing table is a policy no-op,
+    // not an error
+    if (!spark.catalog.tableExists(table)) return None
     val files = spark.table(table).inputFiles.length
     if (files > maxFilesPerBucket.toLong * numBuckets)
       Some(compactTable(spark, table, bucketCols, numBuckets))

@@ -367,6 +367,46 @@ class SimilaritySpec extends SparkSpec {
     assert(probed == exact)
   }
 
+  test("oracle-parity canary: argmax margins at the driver's gate SF are macroscopic") {
+    // q82/q89/q105's hash gates bet that the engine's unit-vector dots and
+    // the oracle's raw-vector cosines (different float paths, ~1e-16 apart)
+    // never flip an argmax. That holds because top-1-vs-top-2 gaps on this
+    // data are macroscopic — which THIS test pins at the driver's gate SF,
+    // so a regenerated embeddings table with planted exact/near-exact
+    // clones fails here, locally and attributably, instead of flaking the
+    // driver's hash compare.
+    val rows = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect() // bounded: gate-SF corpus is 500 × 64 doubles
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def minTop2Gap(queries: Array[(Long, Array[Double])],
+                   cands: Array[(Long, Array[Double])]): Double =
+      queries.map { case (qid, q) =>
+        var best = Double.NegativeInfinity; var second = Double.NegativeInfinity
+        cands.foreach { case (cid, c) =>
+          if (cid != qid) {
+            val s = cos(q, c)
+            if (s > best) { second = best; best = s } else if (s > second) second = s
+          }
+        }
+        best - second
+      }.min
+    val nnGap = minTop2Gap(rows, rows)
+    val mod = math.max(1L, math.ceil(math.sqrt(rows.length.toDouble)).toLong)
+    val seeds = rows.filter(_._1 % mod == 0)
+    val seedGap = minTop2Gap(rows, seeds)
+    assert(nnGap > 1e-9 && seedGap > 1e-9,
+      f"near-tied argmax candidates in the gate-SF embeddings (nn gap $nnGap%.2e, " +
+        f"seed-assignment gap $seedGap%.2e) — the q82/q89/q105 oracle float-parity " +
+        "bet no longer holds; pin tie handling or exclude the tied ids")
+  }
+
   test("q105 maintenance artifact: rows_dropped = replayed slice, occupied cells, files reclaimed") {
     val row = graft.SparkEntry.queries("q105_index_maintenance_stats")(
       spark, "/root/testdata/sf0.001").head()
