@@ -50,7 +50,18 @@ object Tables {
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TIMESTAMP cast is wall-clock-preserving ONLY under a UTC
+        // session TZ. pinConf pins it once per session, but external code
+        // can reset the conf afterwards — re-check at cast time and fail
+        // LOUD instead of silently shifting every value by the zone offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC")
+          throw new IllegalStateException(
+            s"events.ts normalization needs spark.sql.session.timeZone=UTC " +
+              s"but the session now has '$tz' — the NTZ cast would shift " +
+              "wall-clock values; restore UTC before loading events")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other =>
         // fail LOUD on a layout this boundary has never seen — a silent

@@ -915,18 +915,24 @@ object ScaleQueries {
     // projected).
     "q106_binaryfile_ingest" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
-      val outRoot = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_q106_$sf")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      if (outRoot.exists()) rm(outRoot)
+      // Scratch root under the SHARED warehouse (not java.io.tmpdir, which
+      // is node-local: on a multi-node deployment executors would write
+      // their own /tmp while the listing reads the driver's). The
+      // warehouse is Hadoop-addressable by every task, and the pre-clean
+      // goes through the same FileSystem API as the writes.
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        s"graft_q106_$sf")
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       Multimodal.exportPayloads(docs, "doc_id", col("text").cast("binary"),
-        outRoot.getAbsolutePath)
-      Multimodal.readPayloadDir(s, outRoot.getAbsolutePath)
+        outRoot.toString)
+      // `-?` keeps a negative id's sign through the round trip; `*.bin`
+      // glob keeps crashed-attempt tmp files out of the listing
+      Multimodal.readPayloadDir(s, outRoot.toString, glob = Some("*.bin"))
         .select(
-          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("path"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
           col("length").as("n_bytes"),
           md5(col("content")).as("payload_md5"))
     }),

@@ -116,6 +116,16 @@ object Multimodal {
     * the same filesystem `readPayloadDir`'s binaryFile source lists.
     * File name = `<id>.bin`, so the id survives the round trip in the
     * path.
+    *
+    * TORN-FILE-SAFE: each attempt writes `<id>.bin.<taskAttemptId>.tmp`
+    * and renames into place (rename is atomic on HDFS and local FS), so a
+    * speculative duplicate or racing retry can never interleave bytes into
+    * a half-written `<id>.bin` — a reader sees the old complete file or
+    * the new complete file, nothing in between. Both attempts derive the
+    * same bytes from the same row, so whichever rename lands is correct;
+    * the loser deletes its own tmp. Readers must filter `*.bin` (see
+    * [[readPayloadDir]]'s glob) so a crashed attempt's orphan tmp is
+    * invisible until the next export's mkdir-era cleanup.
     */
   def exportPayloads(df: DataFrame, idCol: String, payload: Column,
                      dir: String): Unit = {
@@ -126,10 +136,22 @@ object Multimodal {
     df.select(col(idCol).cast("string").as("__id"), payload.cast("binary").as("__p"))
       .foreachPartition { rows: Iterator[Row] =>
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf.value)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         rows.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".bin"), true)
+          val dst = new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".bin")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s"${r.getString(0)}.bin.$attempt.tmp")
+          val out = fs.create(tmp, true)
           try out.write(r.getAs[Array[Byte]]("__p")) finally out.close()
+          // re-export over an existing dir replaces the old file; within
+          // one job only attempt clones race here, and they carry
+          // identical bytes, so either rename winning is correct
+          if (fs.exists(dst)) fs.delete(dst, false): Unit
+          if (!fs.rename(tmp, dst)) {
+            if (fs.exists(dst)) fs.delete(tmp, false): Unit
+            else throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          }
         }
       }
   }
@@ -139,7 +161,14 @@ object Multimodal {
     * length, content), with `content` pruned from the read when only
     * metadata is projected. This is how image/audio/video dirs enter the
     * engine before [[withMedia]]/[[decodeStub]] take over.
+    *
+    * `glob` filters the listing (e.g. `*.bin`) — pass it when reading an
+    * [[exportPayloads]] dir so a crashed attempt's orphan `.tmp` file can
+    * never surface as a payload row.
     */
-  def readPayloadDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(dir)
+  def readPayloadDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
 }

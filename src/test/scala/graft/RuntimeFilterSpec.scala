@@ -34,8 +34,14 @@ class RuntimeFilterSpec extends SparkSpec {
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
       val lineitem = Tables(spark, dir, "lineitem")
+      // Derive the selectivity cut from the live data (top ~2% by price)
+      // so a testdata regeneration with a different price scale can
+      // neither fail the join-rows assert nor blow the 10 MB bloom
+      // creation threshold — the spec pins the plan SHAPE, not a price.
+      val cut = Tables(spark, dir, "orders")
+        .stat.approxQuantile("o_totalprice", Array(0.98), 0.0).head
       val orders = Tables(spark, dir, "orders")
-        .filter(col("o_totalprice") > 400000.0) // selective build side
+        .filter(col("o_totalprice") >= cut) // selective, provably non-empty
       val joined = lineitem.join(orders,
         lineitem("l_orderkey") === orders("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString

@@ -62,6 +62,22 @@ class TablesSpec extends SparkSpec {
       s"UTC wall-clock drifted: ${results("utc")} vs ${results("nanos")}")
   }
 
+  test("NTZ normalization fails loud if the session TZ was reset off UTC") {
+    // pinConf pins UTC once per session, but external code can reset the
+    // conf afterwards; a silent NTZ cast would then shift every wall-clock
+    // value by the zone offset. The boundary re-checks at cast time.
+    val dir = writeLayout("ntz")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalStateException] { Tables(spark, dir, "events") }
+      assert(e.getMessage.contains("UTC"))
+      // the TZ-independent encodings still load under any session zone
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(Tables(spark, dir, "events").schema("ts").dataType == TimestampType)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("orders/lineitem date columns read as timestamps, never nanos-longs") {
     // o_orderdate / l_shipdate are intentionally NOT normalized: their
     // consumers use only NTZ-safe ops (literal compares, date_format,

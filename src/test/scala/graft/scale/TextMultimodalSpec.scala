@@ -210,18 +210,26 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("binaryFile ingest round-trips payload bytes; metadata projection prunes content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binfile").toString
-    val docs = Seq((7L, "hello payload"), (13L, "café bytes"))
+    val docs = Seq((7L, "hello payload"), (13L, "café bytes"), (-3L, "neg id"))
       .toDF("doc_id", "text")
     Multimodal.exportPayloads(docs, "doc_id", col("text").cast("binary"), dir)
-    val back = Multimodal.readPayloadDir(spark, dir)
+    // re-export over the same dir must REPLACE files (the tmp+rename path
+    // deletes a stale destination before the atomic rename lands)
+    Multimodal.exportPayloads(docs, "doc_id", col("text").cast("binary"), dir)
+    // a crashed attempt's orphan tmp must be invisible behind the glob
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "7.bin.99.tmp"),
+      "torn".getBytes("UTF-8"))
+    val back = Multimodal.readPayloadDir(spark, dir, glob = Some("*.bin"))
       .select(
-        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
         col("length"), col("content"))
     val rows = back.as[(Long, Long, Array[Byte])].collect().map(r => r._1 -> r).toMap
-    assert(rows.keySet == Set(7L, 13L))
+    assert(rows.keySet == Set(7L, 13L, -3L))
     assert(new String(rows(7L)._3, "UTF-8") == "hello payload")
     // byte length, not char length: 'café bytes' is 10 chars, 11 UTF-8 bytes
     assert(rows(13L)._2 == 11L && rows(13L)._3.length == 11)
+    // the sign survives the path round trip
+    assert(new String(rows(-3L)._3, "UTF-8") == "neg id")
     // the scale contract: a metadata-only projection must not read payloads
     val metaPlan = Multimodal.readPayloadDir(spark, dir)
       .select(col("path"), col("length"))
