@@ -99,4 +99,52 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("compactIfNeeded threshold: exactly at budget is quiet, one file over fires") {
+    // numBuckets = 1 and single-partition appends pin the file count
+    // exactly (one task x one bucket = one file per write), so the policy
+    // boundary `files > maxFilesPerBucket * numBuckets` is testable on
+    // both sides instead of somewhere past it.
+    val df = (1L to 10L).toDF("k").coalesce(1)
+    try {
+      Sources.writeBucketed(df, "gsrc_thr", Seq("k"), 1)
+      (1 to 2).foreach { _ =>
+        Sources.writeBucketed(df, "gsrc_thr", Seq("k"), 1,
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      assert(spark.table("gsrc_thr").inputFiles.length == 3)
+      // files == threshold: within budget, policy must NOT rewrite
+      assert(Sources.compactIfNeeded(spark, "gsrc_thr", Seq("k"), 1,
+        maxFilesPerBucket = 3).isEmpty)
+      Sources.writeBucketed(df, "gsrc_thr", Seq("k"), 1,
+        org.apache.spark.sql.SaveMode.Append)
+      // files == threshold + 1: the smallest over-budget state fires
+      val st = Sources.compactIfNeeded(spark, "gsrc_thr", Seq("k"), 1,
+        maxFilesPerBucket = 3)
+      assert(st.nonEmpty && st.get.rowsBefore == 40 && st.get.rowsAfter == 10)
+      assert(spark.table("gsrc_thr").inputFiles.length == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS gsrc_thr")
+  }
+
+  test("compactIfNeeded recovery: missing table is a no-op, torn swap is finished first") {
+    try {
+      // a table the ingest loop has not created yet: policy no-op, no error
+      assert(Sources.compactIfNeeded(spark, "gsrc_missing", Seq("k"), 1).isEmpty)
+      // torn-swap crash state: the compacted copy landed in __compact and
+      // the live table was dropped, but the rename never ran
+      val df = (1L to 10L).toDF("k").coalesce(1)
+      Sources.writeBucketed(df, "gsrc_torn__compact", Seq("k"), 1)
+      assert(!spark.catalog.tableExists("gsrc_torn"))
+      // the next unconditional policy call must finish the rename BEFORE
+      // deciding anything, then judge the (within-budget) table quiet
+      assert(Sources.compactIfNeeded(spark, "gsrc_torn", Seq("k"), 1,
+        maxFilesPerBucket = 3).isEmpty)
+      assert(spark.catalog.tableExists("gsrc_torn"))
+      assert(!spark.catalog.tableExists("gsrc_torn__compact"))
+      assert(spark.table("gsrc_torn").count() == 10)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gsrc_torn")
+      spark.sql("DROP TABLE IF EXISTS gsrc_torn__compact")
+    }
+  }
 }
