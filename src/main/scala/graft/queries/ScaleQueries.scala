@@ -937,6 +937,32 @@ object ScaleQueries {
           md5(col("content")).as("payload_md5"))
     }),
 
+    // Sharded payload round trip — q106's contract through the
+    // WebDataset-style layout: size-capped tar shards written per
+    // partition (the billions-of-tiny-payloads answer — shard size, not
+    // shard count, scales with the data), then streamed back entry by
+    // entry and restated against the source table. The 64 KB cap forces
+    // multiple shards per partition at test scale so the roll boundary is
+    // actually exercised; a torn shard, a dropped entry, or a byte drift
+    // in the tar framing is hash-red. HASH-CHECKED (same oracle shape as
+    // q106, different doc subset).
+    "q107_shard_ingest" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        s"graft_q107_$sf")
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 5)
+      Multimodal.exportPayloadShards(docs, "doc_id", col("text").cast("binary"),
+        outRoot.toString, maxShardBytes = 64L << 10)
+      Multimodal.readPayloadShards(s, outRoot.toString)
+        .select(
+          regexp_extract(col("name"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+    }),
+
     // Best-representative selection — the production dedup policy: a
     // near-dup cluster keeps its HIGHEST-QUALITY member (exact integer
     // micro-units, ties to the smaller id), not the min-id one that
@@ -1920,6 +1946,13 @@ object ScaleQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // the tar framing is transparent to the contract: entry bytes are the
+    // text's UTF-8 encoding, so the oracle is q106's on the q107 subset
+    "q107_shard_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id % 10 = 5""".stripMargin,
 
     "q58_dup_clusters" -> dupClustersOracle,
     "q66_dup_clusters_bigstar" -> dupClustersOracle,

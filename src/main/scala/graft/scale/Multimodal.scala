@@ -171,4 +171,135 @@ object Multimodal {
     val r = spark.read.format("binaryFile")
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
+
+  /** Export payloads as size-capped TAR SHARDS instead of one file per
+    * row — the WebDataset-style layout for the billions-of-tiny-payloads
+    * case where [[exportPayloads]]'s file-per-row becomes an object-store
+    * metadata bomb (list/request/rename costs dominate the bytes). Each
+    * task streams its partition into `shard-<partition>-<seq>.tar`,
+    * rolling to a new shard once `maxShardBytes` of payload have been
+    * written, so shard size — not shard COUNT — is what scales with the
+    * data, and a downstream reader gets sequential-IO-friendly archives.
+    *
+    * Entry name = `<id>.bin` (the [[exportPayloads]] contract, so the id
+    * survives inside the archive); entry mtime is pinned to 0 so a
+    * re-export of the same rows is byte-identical. Same torn-file
+    * discipline as [[exportPayloads]]: every shard is written to a
+    * task-attempt-unique `.tmp` and atomically renamed, speculative
+    * clones produce identical bytes (the partition iterator is
+    * deterministic for a deterministic plan), and readers glob `*.tar`.
+    *
+    * WHICH LAYOUT: file-per-row ([[exportPayloads]]) when payloads are
+    * large (images/audio, ≳1 MB each — random access per id matters);
+    * shards (this) when payloads are small and numerous (text/thumbnails
+    * — listing cost dominates and access is scan-shaped).
+    */
+  def exportPayloadShards(df: DataFrame, idCol: String, payload: Column,
+                          dir: String, maxShardBytes: Long = 256L << 20): Unit = {
+    require(maxShardBytes > 0, s"need maxShardBytes > 0, got $maxShardBytes")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val base = new org.apache.hadoop.fs.Path(dir)
+    base.getFileSystem(hconf.value).mkdirs(base): Unit
+    df.select(col(idCol).cast("string").as("__id"), payload.cast("binary").as("__p"))
+      .foreachPartition { rows: Iterator[Row] =>
+        import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf.value)
+        val ctx = org.apache.spark.TaskContext.get()
+        val (pid, attempt) =
+          if (ctx == null) (0, 0L) else (ctx.partitionId(), ctx.taskAttemptId())
+        var seq = 0
+        var written = 0L
+        var tmpPath: org.apache.hadoop.fs.Path = null
+        var tar: TarArchiveOutputStream = null
+        def open(): Unit = {
+          tmpPath = new org.apache.hadoop.fs.Path(dir,
+            f"shard-$pid%05d-$seq%05d.tar.$attempt.tmp")
+          tar = new TarArchiveOutputStream(fs.create(tmpPath, true))
+          tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+          written = 0L
+        }
+        def closeAndCommit(): Unit = if (tar != null) {
+          tar.finish(); tar.close()
+          val dst = new org.apache.hadoop.fs.Path(dir,
+            f"shard-$pid%05d-$seq%05d.tar")
+          if (fs.exists(dst)) fs.delete(dst, false): Unit
+          if (!fs.rename(tmpPath, dst)) {
+            if (fs.exists(dst)) fs.delete(tmpPath, false): Unit
+            else throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
+          }
+          tar = null; seq += 1
+        }
+        try {
+          rows.foreach { r =>
+            val bytes = r.getAs[Array[Byte]]("__p")
+            // roll BEFORE writing so a shard only exceeds the cap when a
+            // single payload does — an oversized payload gets its own shard
+            if (tar != null && written > 0 && written + bytes.length > maxShardBytes)
+              closeAndCommit()
+            if (tar == null) open()
+            val e = new TarArchiveEntry(r.getString(0) + ".bin")
+            e.setSize(bytes.length.toLong)
+            e.setModTime(0L)
+            tar.putArchiveEntry(e)
+            tar.write(bytes)
+            tar.closeArchiveEntry()
+            written += bytes.length
+          }
+          closeAndCommit()
+        } finally if (tar != null) { // failure path: abandon the torn tmp
+          tar.close()
+          fs.delete(tmpPath, false): Unit
+        }
+      }
+  }
+
+  /** Ingest an [[exportPayloadShards]] directory back into rows of
+    * (shard_path, name, content). The shard LISTING is a pruned
+    * binaryFile scan (paths only, content never read); each task then
+    * streams its shards' entries through the Hadoop FS API, so memory is
+    * bounded by one entry, not one shard, and shards parallelize across
+    * tasks the way any file source does. Orphan `.tmp` shards from a
+    * crashed attempt are excluded by the `*.tar` glob.
+    */
+  def readPayloadShards(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row => SRow}
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val outSchema = StructType(Seq(
+      StructField("shard_path", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val paths = readPayloadDir(spark, dir, glob = Some("*.tar")).select(col("path"))
+    paths.mapPartitions { rows =>
+      import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+      rows.flatMap { r =>
+        val p = new org.apache.hadoop.fs.Path(java.net.URI.create(r.getString(0)))
+        val fs = p.getFileSystem(hconf.value)
+        val in = new TarArchiveInputStream(fs.open(p))
+        // entries stream one at a time; the Seq holds one shard's DECODED
+        // rows, bounded by maxShardBytes (+ one oversized payload)
+        val out = Seq.newBuilder[SRow]
+        try {
+          var e = in.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory) {
+              val buf = new Array[Byte](e.getSize.toInt)
+              var off = 0
+              while (off < buf.length) {
+                val n = in.read(buf, off, buf.length - off)
+                if (n < 0) throw new java.io.EOFException(
+                  s"torn tar entry ${e.getName} in $p")
+                off += n
+              }
+              out += SRow(r.getString(0), e.getName, buf)
+            }
+            e = in.getNextEntry
+          }
+        } finally in.close()
+        out.result()
+      }
+    }(Encoders.row(outSchema))
+  }
 }

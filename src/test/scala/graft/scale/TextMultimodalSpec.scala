@@ -239,6 +239,40 @@ class TextMultimodalSpec extends SparkSpec {
       "binaryFile scan reads payload bytes for a metadata projection:\n" + readSchema)
   }
 
+  test("payload shards: size-capped tar round trip, rolls at the cap, tmps invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // ~30-byte payloads against a 64-byte cap: every shard rolls after two
+    // entries, so the cap boundary and multi-shard listing are exercised
+    val docs = (1L to 9L).map(i => (i, s"payload-$i-" + ("x" * 20)))
+      .toDF("doc_id", "text").coalesce(2)
+    Multimodal.exportPayloadShards(docs, "doc_id", col("text").cast("binary"),
+      dir, maxShardBytes = 64L)
+    // drop the local-FS checksum sidecars (.crc) — hidden files, which
+    // the binaryFile listing skips anyway
+    val shards = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(shards.forall(_.endsWith(".tar")), s"non-tar debris: $shards")
+    assert(shards.size >= 3, s"cap never rolled a shard: $shards")
+    // an orphan tmp from a crashed attempt must not surface as entries
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00009-00000.tar.7.tmp"),
+      "torn".getBytes("UTF-8"))
+    val back = Multimodal.readPayloadShards(spark, dir)
+      .select(regexp_extract(col("name"), "(-?[0-9]+)\\.bin$", 1).cast("long"),
+        col("content").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(back.keySet == (1L to 9L).toSet)
+    (1L to 9L).foreach(i => assert(back(i) == s"payload-$i-" + ("x" * 20)))
+    // a single payload larger than the cap still lands (its own shard)
+    val big = Seq((100L, "y" * 500)).toDF("doc_id", "text").coalesce(1)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    Multimodal.exportPayloadShards(big, "doc_id", col("text").cast("binary"),
+      dir2, maxShardBytes = 64L)
+    val one = Multimodal.readPayloadShards(spark, dir2)
+      .select(col("content").cast("string")).as[String].collect().toSeq
+    assert(one == Seq("y" * 500))
+  }
+
   test("frameSample: zero-length payload emits no frames") {
     val df = Seq((1L, "")).toDF("id", "text")
     val n = df.select(col("id"), col("text").cast("binary").as("p"))
