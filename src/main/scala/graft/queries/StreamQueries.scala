@@ -43,6 +43,34 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Fresh per-query scratch root for landed micro-batches, under the
+    * SHARED warehouse — not `java.io.tmpdir`, which is node-local: on a
+    * multi-node deployment executors would write their partition files to
+    * their own /tmp while the driver lists its own (the q106 lesson).
+    * Pre-cleans through the Hadoop FileSystem API so local, HDFS, and
+    * object-store warehouses all behave the same.
+    */
+  private def scratchRoot(s: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), name)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true): Unit
+    p
+  }
+
+  /** The landed micro-batch dirs (`b<batchId>`) under a [[scratchRoot]],
+    * listed through the Hadoop FS — name-sorted for a deterministic union
+    * order.
+    */
+  private def batchDirs(s: SparkSession,
+                        root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
+      .map(_.getPath.toString).sorted
+  }
+
   /** events with `ts` normalized to `TimestampType` whatever the physical
     * parquet encoding — the streaming twin of [[graft.Tables.normalizeTs]]
     * (INT64 nanos div-1000; TIMESTAMP_NTZ cast under the UTC session TZ,
@@ -248,16 +276,9 @@ object StreamQueries {
       val cols = docs.columns.toSeq
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       graft.scale.Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
-      val outRoot = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_q88_$sf")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      if (outRoot.exists()) rm(outRoot)
+      val outRoot = scratchRoot(s, s"graft_q88_$sf")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      def acceptedDirs(): Seq[java.io.File] =
-        Option(outRoot.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
+      def acceptedDirs(): Seq[String] = batchDirs(s, outRoot)
       val ingest: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         // policy call at BATCH START, not after the append: compactIfNeeded
@@ -271,9 +292,9 @@ object StreamQueries {
         // corpus ∪ everything accepted by earlier micro-batches — the
         // probe's candidate text fetch must see appended reps' text
         val ingested = acceptedDirs().foldLeft(corpus)((acc, d) =>
-          acc.unionAll(sp.read.schema(schema).parquet(d.getAbsolutePath)
+          acc.unionAll(sp.read.schema(schema).parquet(d)
             .select(cols.map(col): _*)))
-        val bPath = new java.io.File(outRoot, s"b$batchId").getAbsolutePath
+        val bPath = new org.apache.hadoop.fs.Path(outRoot, s"b$batchId").toString
         graft.scale.Dedup.probeMinhashIndex(
             ingested, batch.select(cols.map(col): _*), "doc_id", "text", idx)
           .write.mode("overwrite").parquet(bPath)
@@ -290,7 +311,7 @@ object StreamQueries {
       }
       // reduceOption: zero micro-batches (empty/missing source) must
       // yield an empty frame, not an UnsupportedOperationException
-      acceptedDirs().map(d => s.read.schema(schema).parquet(d.getAbsolutePath))
+      acceptedDirs().map(d => s.read.schema(schema).parquet(d))
         .reduceOption(_.unionAll(_))
         .getOrElse(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
         .select(col("doc_id"), col("source"))
@@ -319,16 +340,9 @@ object StreamQueries {
         .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
       Similarity.buildCosineIndex(
         emb.filter(col("vec_id") % 2 === 0), "emb", "vec_id", idx, dim = 64)
-      val outRoot = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_q98_$sf")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      if (outRoot.exists()) rm(outRoot)
+      val outRoot = scratchRoot(s, s"graft_q98_$sf")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      def acceptedDirs(): Seq[java.io.File] =
-        Option(outRoot.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
+      def acceptedDirs(): Seq[String] = batchDirs(s, outRoot)
       val ingest: (DataFrame, Long) => Unit = (raw, batchId) => {
         val sp = raw.sparkSession
         // batch-start policy call — recovery-first, see the q88 comment
@@ -342,7 +356,7 @@ object StreamQueries {
         val matched = Similarity.probeCosineIndex(batch, "emb", "vec_id", idx,
             dim = 64, threshold = 0.8)
           .select(col("id_b").as("vec_id")).distinct()
-        val bPath = new java.io.File(outRoot, s"b$batchId").getAbsolutePath
+        val bPath = new org.apache.hadoop.fs.Path(outRoot, s"b$batchId").toString
         // the accepted write MATERIALIZES the probe-derived plan before
         // the append mutates the tables it reads (the q88 ordering)
         batch.join(matched, Seq("vec_id"), "left_anti")
@@ -358,7 +372,7 @@ object StreamQueries {
       }
       // reduceOption: zero micro-batches must yield an empty frame (the
       // landed-batch schema, not the raw source's)
-      acceptedDirs().map(d => s.read.parquet(d.getAbsolutePath))
+      acceptedDirs().map(d => s.read.parquet(d))
         .reduceOption(_.unionAll(_))
         .getOrElse(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, emb ARRAY<DOUBLE>")))
@@ -385,16 +399,9 @@ object StreamQueries {
       val corpus = emb.filter(col("vec_id") % 2 === 0)
       val (k, _) = Similarity.ivfParams(corpus)
       val cents = Similarity.buildIvfIndex(corpus, "emb", "vec_id", idx, k = k)
-      val outRoot = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_q104_$sf")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      if (outRoot.exists()) rm(outRoot)
+      val outRoot = scratchRoot(s, s"graft_q104_$sf")
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      def acceptedDirs(): Seq[java.io.File] =
-        Option(outRoot.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
+      def acceptedDirs(): Seq[String] = batchDirs(s, outRoot)
       val ingest: (DataFrame, Long) => Unit = (raw, batchId) => {
         val sp = raw.sparkSession
         // batch-start policy call — recovery-first, see the q88 comment:
@@ -412,7 +419,7 @@ object StreamQueries {
         val matched = Similarity.matchedPairsIvfIndex(batch, "emb", "vec_id", idx,
             nprobe = cents.length, threshold = 0.8)
           .select(col("id_b").as("vec_id")).distinct()
-        val bPath = new java.io.File(outRoot, s"b$batchId").getAbsolutePath
+        val bPath = new org.apache.hadoop.fs.Path(outRoot, s"b$batchId").toString
         // the accepted write MATERIALIZES the probe-derived plan before
         // the append mutates the tables it reads (the q88 ordering)
         batch.join(matched, Seq("vec_id"), "left_anti")
@@ -427,7 +434,7 @@ object StreamQueries {
       }
       // reduceOption: zero micro-batches must yield an empty frame (the
       // landed-batch schema, not the raw source's)
-      acceptedDirs().map(d => s.read.parquet(d.getAbsolutePath))
+      acceptedDirs().map(d => s.read.parquet(d))
         .reduceOption(_.unionAll(_))
         .getOrElse(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, emb ARRAY<DOUBLE>")))
