@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main: the sandbox's honest answer to "would the heavy paths
+  * survive 100×". The testdata tops out at sf0.1, so every 100 TB design
+  * claim was previously plan-audited but never COST-measured beyond ~5 k
+  * documents. This harness synthesizes a ~`copies`× documents tier (union
+  * of id-shifted, token-salted copies of the base table — salting every
+  * word with a copy tag keeps each copy's internal dup/near-dup structure
+  * while preventing cross-copy near-dups, so cluster sizes and bucket
+  * populations scale like a genuinely bigger corpus, not like a clone
+  * bomb), then times the heaviest registered queries at 1× and N× and
+  * reports the growth ratio plus post-run driver heap (the spots to
+  * watch: seedCentroids' √n collect, centroid loads, stream state).
+  *
+  * Near-linear growth = ratio ≲ copies (fixed overheads usually pull it
+  * BELOW copies; the connected-components rounds add a log factor).
+  * Ratios far above `copies` mark a path whose cost curve bends the wrong
+  * way — exactly what the q91 pre-agg episode showed sf0.1 alone cannot
+  * distinguish. The q86/q91 sub-offset strategies are timed BOTH ways
+  * here; [[graft.queries.ScaleQueries.OrderStatsPreAgg]] records the
+  * measured default.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"`. Env knobs:
+  * SPARK_GRAFT_SF_DIR (base tier, default sf0.1), SPARK_GRAFT_SCALE_COPIES
+  * (default 10), SPARK_GRAFT_SCALE_PASSES (default 2, min-of-N — this
+  * host's wall-times are bimodal), SPARK_GRAFT_SCALE_OUT (default
+  * BENCH_SCALE.json), SPARK_GRAFT_SCALE_REBUILD=1 to re-synthesize.
+  */
+object ScaleProbe {
+
+  /** Heavy registered queries (the round-9 verdict's top-5 cost centers). */
+  private val HeavyQueries = Seq(
+    "q58_dup_clusters", "q66_dup_clusters_bigstar",
+    "q81_indexed_incremental_dedup", "q88_stream_neardup_ingest",
+    "q102_compacted_index_probe")
+
+  /** Synthesize `copies`× documents at `tierDir` if absent. Deterministic:
+    * ids shift by copy × (maxId+1), every word gets a copy-tag suffix, so
+    * a regenerated tier is byte-stable given the same base table.
+    */
+  private def synthesizeTier(spark: SparkSession, baseDir: String,
+                             tierDir: String, copies: Int, rebuild: Boolean): Unit = {
+    val marker = new java.io.File(s"$tierDir/documents.parquet/_SUCCESS")
+    if (marker.exists() && !rebuild) return
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    // one tiny driver-side agg to pick a collision-free id stride
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val colsInOrder = base.columns.toSeq
+    val tier = (0 until copies).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(w, lit(s"_c$i")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+        .select(colsInOrder.map(col): _*)
+    }.reduce(_.unionAll(_))
+    tier.write.mode("overwrite").parquet(s"$tierDir/documents.parquet")
+  }
+
+  private def heapMb(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+    val rebuild = sys.env.get("SPARK_GRAFT_SCALE_REBUILD").contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tierDir = new java.io.File(s"target/scaleprobe/sf${copies}x").getAbsolutePath
+    synthesizeTier(spark, baseDir, tierDir, copies, rebuild)
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nTier = spark.read.parquet(s"$tierDir/documents.parquet").count()
+
+    // named runners: registered heavy queries + both order-stats variants
+    val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      HeavyQueries.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+        "q86_token_quantiles:preagg" ->
+          ((s: SparkSession, d: String) =>
+            queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),
+        "q86_token_quantiles:rawrow" ->
+          ((s: SparkSession, d: String) =>
+            queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = false)),
+        "q91_token_budget_cut:preagg" ->
+          ((s: SparkSession, d: String) =>
+            queries.ScaleQueries.tokenBudgetCut(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),
+        "q91_token_budget_cut:rawrow" ->
+          ((s: SparkSession, d: String) =>
+            queries.ScaleQueries.tokenBudgetCut(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = false)))
+
+    // one untimed warm-up pass at the smallest tier (codegen/classloading)
+    val warmDir = {
+      val d = "/root/testdata/sf0.001"
+      if (new java.io.File(d).exists()) d else baseDir
+    }
+    runners.foreach { case (n, f) =>
+      try f(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+
+    final case class Meas(sec: Double, rows: Long, heapMb: Long)
+    def time(f: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): Meas = {
+      var best = Double.MaxValue
+      var rows = 0L
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime()
+        rows = f(spark, dir).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      Meas(best, rows, heapMb())
+    }
+
+    val results = runners.map { case (name, f) =>
+      System.err.println(s"[scaleprobe] $name @1x ...")
+      val m1 = time(f, baseDir)
+      System.err.println(f"[scaleprobe] $name @1x ${m1.sec}%.2fs; @${copies}x ...")
+      val mN = time(f, tierDir)
+      System.err.println(f"[scaleprobe] $name @${copies}x ${mN.sec}%.2fs")
+      name -> (m1, mN)
+    }
+
+    def j(d: Double): String = f"$d%.3f"
+    val entries = results.map { case (name, (m1, mN)) =>
+      val ratio = mN.sec / math.max(m1.sec, 1e-9)
+      s""""$name":{"t1_sec":${j(m1.sec)},"tN_sec":${j(mN.sec)},""" +
+        s""""ratio":${j(ratio)},"rows_1":${m1.rows},"rows_N":${mN.rows},""" +
+        s""""heap_mb_1":${m1.heapMb},"heap_mb_N":${mN.heapMb}}"""
+    }
+    // growth above ~1.5x linear marks a cost curve bending the wrong way
+    val violations = results.collect {
+      case (name, (m1, mN)) if mN.sec / math.max(m1.sec, 1e-9) > copies * 1.5 => name
+    }
+    val json =
+      s"""{"metric":"scale_probe","copies":$copies,"passes":$passes,""" +
+        s""""base_dir":"$baseDir","tier_dir":"$tierDir",""" +
+        s""""docs_base":$nBase,"docs_tier":$nTier,""" +
+        s""""queries":{${entries.mkString(",")}},""" +
+        s""""superlinear":[${violations.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -1243,6 +1243,28 @@ object ScaleQueries {
     */
   private[graft] val DefaultSubCap: Long = 1L << 20
 
+  /** Strategy dial for the salted order statistics (q86/q91): `true`
+    * derives sub-offsets from an md5-prefix-level pre-aggregation (the
+    * corpus is scored twice; the extra exchange carries ≤ 256 rows per
+    * value bucket — BOUNDED by |distinct values| × 256 whatever the
+    * corpus size, which is what wins once scoring dominates at 100 TB),
+    * `false` re-aggregates the raw scored rows for the sub-offsets (three
+    * scoring passes, no hx-level exchange). MEASURED head-to-head by the
+    * ScaleProbe harness (BENCH_SCALE.json, round 10, local[32],
+    * min-of-2, same session): at sf0.1 (5 k docs) the strategies are
+    * within noise — q86 1.23 vs 1.15 s, q91 2.93 vs 2.80 s
+    * (preagg/rawrow) — and at 10× (50 k docs) the pre-agg WINS q86
+    * outright (7.4 vs 10.2 s) and ties q91 (36.9 vs 38.0 s). The
+    * round-8→9 bench delta that looked like a 2.2× regression of this
+    * rework does not reproduce in a controlled A/B at the same scale; it
+    * was the documented host-epoch bimodality, not the algorithm. The
+    * pre-agg's edge grows with value-bucket population (its exchange is
+    * bounded by |distinct values| × 256 rows whatever the corpus), so
+    * the scan-optimal variant is the default. Both variants are
+    * bit-identical for every cap (SaltedOrderStatsSpec).
+    */
+  private[graft] val OrderStatsPreAgg: Boolean = true
+
   /** q86's implementation, exposed with the sub-split cap as a parameter
     * so the spec can force every bucket through the salted path and prove
     * the output is bit-identical to the unsalted form. The within-value
@@ -1250,9 +1272,10 @@ object ScaleQueries {
     * of that same md5 head (pow2Subs), the split is order-invisible, and
     * because every row of a value bucket shares `n_tokens`, the emitted
     * quantile values don't depend on within-value order at all.
+    * `preAgg` picks the sub-offset strategy — see [[OrderStatsPreAgg]].
     */
-  private[graft] def tokenQuantiles(s: SparkSession, dir: String,
-                                      subCap: Long): DataFrame = {
+  private[graft] def tokenQuantiles(s: SparkSession, dir: String, subCap: Long,
+                                    preAgg: Boolean = OrderStatsPreAgg): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = col("text")
     val hk = md5(col("doc_id").cast("string").cast("binary"))
@@ -1260,23 +1283,27 @@ object ScaleQueries {
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(t).as("n_tokens"), hk.as("hk"))
       .withColumn("__hx", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
-    // ONE md5-prefix-level aggregation (≤256 rows per value bucket) feeds
-    // bucket offsets, fan-outs, AND sub-offsets — the scored corpus is
-    // scanned twice in total (this agg + the final window stream), not
-    // three times as when the sub-offset pass re-aggregated the raw rows.
+    // preAgg: ONE md5-prefix-level aggregation (≤256 rows per value
+    // bucket) feeds bucket offsets, fan-outs, AND sub-offsets — the
+    // scored corpus is scanned twice in total. Otherwise the offsets
+    // aggregate the raw rows directly and the sub-offset pass re-scores.
     val hxAgg = docs.groupBy(col("source"), col("n_tokens"), col("__hx"))
       .agg(count(lit(1)).as("__hc"))
-    val bkts = bucketOffsets(hxAgg, Seq("source"), "n_tokens", sum(col("__hc")))
+    val bkts =
+      if (preAgg) bucketOffsets(hxAgg, Seq("source"), "n_tokens", sum(col("__hc")))
+      else bucketOffsets(docs, Seq("source"), "n_tokens", count(lit(1)))
     val counts = bkts.groupBy(col("source")).agg(sum(col("__bm")).as("n"))
     val offsets = bkts.select(col("source"), col("n_tokens"), col("__off").as("off"))
     val ns = bkts.select(col("source"), col("n_tokens"),
       pow2Subs(col("__bm"), subCap).as("__ns"))
-    val hxSub = hxAgg.join(broadcast(ns), Seq("source", "n_tokens"))
-      .withColumn("__sub", expr("__hx div (256 div __ns)"))
-    val subOff = bucketOffsets(hxSub, Seq("source", "n_tokens"), "__sub", sum(col("__hc")))
-      .select(col("source"), col("n_tokens"), col("__sub"), col("__off").as("soff"))
     val sub = docs.join(broadcast(ns), Seq("source", "n_tokens"))
       .withColumn("__sub", expr("__hx div (256 div __ns)"))
+    val subOff = (if (preAgg) {
+      val hxSub = hxAgg.join(broadcast(ns), Seq("source", "n_tokens"))
+        .withColumn("__sub", expr("__hx div (256 div __ns)"))
+      bucketOffsets(hxSub, Seq("source", "n_tokens"), "__sub", sum(col("__hc")))
+    } else bucketOffsets(sub, Seq("source", "n_tokens"), "__sub", count(lit(1))))
+      .select(col("source"), col("n_tokens"), col("__sub"), col("__off").as("soff"))
     val wLocal = Window.partitionBy(col("source"), col("n_tokens"), col("__sub"))
       .orderBy(col("hk"), col("doc_id"))
     sub.withColumn("lr", row_number().over(wLocal))
@@ -1300,14 +1327,15 @@ object ScaleQueries {
     * content-independent order the oracle restates verbatim — and the
     * prefix-range sub-split (order-invisible by construction) keeps the
     * output identical for EVERY cap value, which is exactly what
-    * SaltedOrderStatsSpec asserts. As in [[tokenQuantiles]], one
-    * md5-prefix-level aggregation feeds offsets, fan-outs, and
-    * sub-offsets, so the scored corpus is scanned exactly twice (agg +
-    * window stream); the row stream still shuffles once, to the
-    * (q_mu, __sub) window.
+    * SaltedOrderStatsSpec asserts. `preAgg` picks the sub-offset strategy
+    * ([[OrderStatsPreAgg]]): with it, one md5-prefix-level aggregation
+    * feeds offsets, fan-outs, and sub-offsets, so the scored corpus is
+    * scanned exactly twice (agg + window stream); without it, the
+    * sub-offset pass re-aggregates the scored rows. The row stream always
+    * shuffles once, to the (q_mu, __sub) window.
     */
-  private[graft] def tokenBudgetCut(s: SparkSession, dir: String,
-                                      subCap: Long): DataFrame = {
+  private[graft] def tokenBudgetCut(s: SparkSession, dir: String, subCap: Long,
+                                    preAgg: Boolean = OrderStatsPreAgg): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = col("text")
     val ws = col("ws")
@@ -1321,20 +1349,25 @@ object ScaleQueries {
       .withColumn("__hx", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
     val hxAgg = docs.groupBy(col("q_mu"), col("__hx"))
       .agg(sum(col("n_tokens")).as("__hm"), count(lit(1)).as("__hc"))
-    val bkts = bucketOffsets(hxAgg, Nil, "q_mu", sum(col("__hm")), desc = true,
-      extra = Seq(sum(col("__hc")).as("__bc")))
+    val bkts =
+      if (preAgg) bucketOffsets(hxAgg, Nil, "q_mu", sum(col("__hm")), desc = true,
+        extra = Seq(sum(col("__hc")).as("__bc")))
+      else bucketOffsets(docs, Nil, "q_mu", sum(col("n_tokens")), desc = true,
+        extra = Seq(count(lit(1)).as("__bc")))
     // the corpus total re-sums the bucket measures — same aggregation
     // exchange as the offsets, NOT a second scoring pass over the corpus
     val tot = bkts.agg(sum(col("__bm")).as("__tot"))
     val offsets = bkts.select(col("q_mu"), col("__off").as("off"))
     // fan-out keys off ROW count (__bc): rows are what the window sorts
     val ns = bkts.select(col("q_mu"), pow2Subs(col("__bc"), subCap).as("__ns"))
-    val hxSub = hxAgg.join(broadcast(ns), "q_mu")
-      .withColumn("__sub", expr("__hx div (256 div __ns)"))
-    val subOff = bucketOffsets(hxSub, Seq("q_mu"), "__sub", sum(col("__hm")))
-      .select(col("q_mu"), col("__sub"), col("__off").as("soff"))
     val sub = docs.join(broadcast(ns), "q_mu")
       .withColumn("__sub", expr("__hx div (256 div __ns)"))
+    val subOff = (if (preAgg) {
+      val hxSub = hxAgg.join(broadcast(ns), "q_mu")
+        .withColumn("__sub", expr("__hx div (256 div __ns)"))
+      bucketOffsets(hxSub, Seq("q_mu"), "__sub", sum(col("__hm")))
+    } else bucketOffsets(sub, Seq("q_mu"), "__sub", sum(col("n_tokens"))))
+      .select(col("q_mu"), col("__sub"), col("__off").as("soff"))
     val wLocal = Window.partitionBy(col("q_mu"), col("__sub"))
       .orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

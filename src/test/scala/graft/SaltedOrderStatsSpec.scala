@@ -30,4 +30,22 @@ class SaltedOrderStatsSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(ref == salted, "sub-split changed the budget-cut output")
   }
+
+  test("both sub-offset strategies (pre-agg vs raw-row) are bit-identical at max fan-out") {
+    // the strategy dial (OrderStatsPreAgg) is a pure performance trade:
+    // whichever way the sub-offsets are derived, every emitted row must
+    // match — forced through max fan-out so the sub-split path is live
+    for (cap <- Seq(Long.MaxValue, 1L)) {
+      val q86a = ScaleQueries.tokenQuantiles(spark, sf, cap, preAgg = true)
+        .collect().map(_.toString).toSet
+      val q86b = ScaleQueries.tokenQuantiles(spark, sf, cap, preAgg = false)
+        .collect().map(_.toString).toSet
+      assert(q86a == q86b, s"q86 strategies diverged at cap=$cap")
+      val q91a = ScaleQueries.tokenBudgetCut(spark, sf, cap, preAgg = true)
+        .collect().map(_.toString).toSet
+      val q91b = ScaleQueries.tokenBudgetCut(spark, sf, cap, preAgg = false)
+        .collect().map(_.toString).toSet
+      assert(q91a == q91b, s"q91 strategies diverged at cap=$cap")
+    }
+  }
 }
