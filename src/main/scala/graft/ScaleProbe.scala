@@ -47,7 +47,9 @@ object ScaleProbe {
     if (marker.exists() && !rebuild) return
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     // one tiny driver-side agg to pick a collision-free id stride
-    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val maxId = base.agg(max(col("doc_id"))).head()
+    require(!maxId.isNullAt(0), s"$baseDir/documents.parquet is empty — nothing to scale")
+    val stride = maxId.getLong(0) + 1L
     val colsInOrder = base.columns.toSeq
     val tier = (0 until copies).map { i =>
       base.select(

@@ -247,9 +247,11 @@ object Multimodal {
             written += bytes.length
           }
           closeAndCommit()
-        } finally if (tar != null) { // failure path: abandon the torn tmp
-          tar.close()
-          fs.delete(tmpPath, false): Unit
+        } finally if (tar != null) { // failure path: abandon the torn tmp.
+          // close() would call finish(), which THROWS on an unclosed entry
+          // and would mask the original failure — best-effort close only.
+          scala.util.Try(tar.close()): Unit
+          scala.util.Try(fs.delete(tmpPath, false)): Unit
         }
       }
   }
