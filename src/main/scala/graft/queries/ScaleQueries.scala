@@ -130,18 +130,23 @@ object ScaleQueries {
     // The SCALE path for the same primitive: IVF-bucketed approximate NN
     // join at nprobe/K = 1/4 of the brute-force compute, with TWO-LEVEL
     // routed assignment (S ≈ √K super-cells, probe ⌈S/2⌉) — the full
-    // 10⁹⁺-vector shape, exercised end to end at every SF. Centroid
-    // training is xxhash64-deterministic, but k-means assignment is not
-    // SQL-expressible → rows-only oracle; SimilaritySpec pins recall vs
-    // the exact join, the nprobe=K ≡ exact degeneration, and the
-    // superProbe=S ≡ flat-assignment degeneration.
+    // 10⁹⁺-vector shape, exercised end to end at every SF. HASH-CHECKED
+    // since round 10 (the q82 seed-centroid move carried to routing):
+    // centroids are [[Similarity.seedCentroids]] and super-cells
+    // [[Similarity.seedSuperCells]] — integer selections plus one argmax,
+    // so the DuckDB oracle restates the ENTIRE routed pipeline (seed
+    // selection, super selection, kid assignment, top-superProbe routing,
+    // children-only top-nprobe cells, home-cell membership, candidate
+    // argmax) and a flipped routing decision anywhere is hash-red. The
+    // PRODUCTION dial — trained Lloyd centroids + trained supers
+    // ([[Similarity.trainCentroids]]/[[Similarity.trainSuperCells]],
+    // inherently non-restatable driver float iteration) — stays
+    // spec-pinned in SimilaritySpec: recall floors vs the exact join,
+    // nprobe=K ≡ exact, superProbe=S ≡ flat.
     "q33_embedding_nn_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val (k, nprobe) = Similarity.ivfParams(emb) // K ≈ √n keeps cell size,
-      // join parallelism, and candidate work all scaling with the corpus
-      val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = k)
-      val (superK, superProbe) = Similarity.routingParams(cents.length)
-      val (sup, kids) = Similarity.trainSuperCells(cents, superK)
+      val (cents, nprobe) = Similarity.seedCentroids(emb, "embedding", "vec_id")
+      val (sup, kids, superProbe) = Similarity.seedSuperCells(cents)
       Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = nprobe,
         routing = Some((sup, kids, superProbe)))
     }),
@@ -155,9 +160,10 @@ object ScaleQueries {
     // restates the ENTIRE pipeline (seed selection, cell assignment,
     // nprobe probing, candidate argmax, recall division) and one flipped
     // assignment or missed candidate is hash-red at the driver gate.
-    // The trained-k-means dial that q33 actually runs stays spec-pinned
-    // in SimilaritySpec (mean-cos-gap + routed-degeneration tests);
-    // q33 remains the one rows-only entry because driver Lloyd
+    // Since round 10 the same move covers q33's ROUTED pipeline too
+    // (seedSuperCells), so every registered query carries a real oracle;
+    // the trained-k-means dial stays spec-pinned in SimilaritySpec
+    // (mean-cos-gap + routed-degeneration tests) because driver Lloyd
     // iterations are inherently non-restatable.
     "q82_ivf_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -239,11 +245,11 @@ object ScaleQueries {
     // every super-cell probed, which SimilaritySpec pins ≡ the exact NN
     // join — so the whole IVF code path (two-level routed assignment,
     // posexplode membership/probes, cell equi-join, map-side argmax) runs
-    // under the q29 DuckDB oracle, hash-checked. Only the approximation
-    // dial itself (nprobe < K, q33) is inherently non-restatable (driver
-    // k-means) and stays rows-only + recall-spec'd. Same plan shape as
-    // q33 — this is a correctness harness for the scale path, not a
-    // second algorithm.
+    // under the q29 DuckDB oracle, hash-checked. q33 runs the REAL
+    // approximation dial (nprobe < K, partial super probe) under its own
+    // oracle via seed centroids + seed supers; only TRAINED centroids
+    // (driver k-means) stay spec-side. Same plan shape as q33 — this is
+    // a correctness harness for the scale path, not a second algorithm.
     "q74_ivf_exact" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val (k, _) = Similarity.ivfParams(emb)
@@ -1603,6 +1609,78 @@ object ScaleQueries {
       |       FROM vs),
       |home AS (SELECT vec_id, sid AS cell FROM rk WHERE rn = 1)""".stripMargin
 
+  /** The correlated-subquery cosine the embedding oracles share: 64-dim
+    * dot over `range(1,65)` divided by both norms — DuckDB's sum order
+    * matches the engine's ascending-index DotProduct, and the argmax
+    * margins are canary-pinned in SimilaritySpec.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(SELECT sum(CAST($a[t.i] AS DOUBLE) * CAST($b[t.i] AS DOUBLE))
+       |     FROM range(1, 65) t(i))
+       |    / (sqrt((SELECT sum(CAST($a[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i)))
+       |       * sqrt((SELECT sum(CAST($b[t.i] AS DOUBLE) ^ 2) FROM range(1, 65) t(i))))""".stripMargin
+
+  /** q33's full restatement: seed centroids, seed SUPER-cells, kid
+    * assignment, top-superProbe routing, children-only top-nprobe cells,
+    * home-cell membership, candidate argmax — the two-level
+    * [[graft.scale.Similarity.seedSuperCells]]/RoutedNearestCells
+    * pipeline verbatim. srank/sprank are 1-based row_numbers over the
+    * id-ordered seed lists, so `(srank - 1) % m` is the engine's 0-based
+    * `idx % smod` super selection, and every `ORDER BY c DESC, <rank>`
+    * is the expressions' descending-dot/smaller-index tie rule.
+    */
+  private val routedSeedNnOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |md AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
+       |s AS (SELECT vec_id AS sid, embedding AS se,
+       |        row_number() OVER (ORDER BY vec_id) AS srank
+       |      FROM e, md WHERE vec_id % md.m = 0),
+       |np AS (SELECT least(count(*), greatest(4, count(*) // 4)) AS p FROM s),
+       |sm AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM s),
+       |sup AS (SELECT sid, se AS ue, srank,
+       |          row_number() OVER (ORDER BY srank) AS sprank
+       |        FROM s, sm WHERE (srank - 1) % sm.m = 0),
+       |sp AS (SELECT least(count(*), greatest(2, (count(*) + 1) // 2)) AS p FROM sup),
+       |cs AS (
+       |  SELECT s.srank AS crank, sup.sprank,
+       |    ${cosSql("s.se", "sup.ue")} AS c
+       |  FROM s, sup),
+       |kid AS (SELECT crank, sprank FROM (
+       |  SELECT crank, sprank,
+       |    row_number() OVER (PARTITION BY crank ORDER BY c DESC, sprank) AS rn
+       |  FROM cs) WHERE rn = 1),
+       |vsup AS (
+       |  SELECT e.vec_id, sup.sprank,
+       |    ${cosSql("e.embedding", "sup.ue")} AS c
+       |  FROM e, sup),
+       |tsup AS (SELECT vec_id, sprank FROM (
+       |  SELECT vec_id, sprank,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sprank) AS rn
+       |  FROM vsup), sp WHERE rn <= sp.p),
+       |vcell AS (
+       |  SELECT e.vec_id, s.srank,
+       |    ${cosSql("e.embedding", "s.se")} AS c
+       |  FROM e
+       |  JOIN tsup ON tsup.vec_id = e.vec_id
+       |  JOIN kid ON kid.sprank = tsup.sprank
+       |  JOIN s ON s.srank = kid.crank),
+       |rk AS (SELECT vec_id, srank,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, srank) AS rn
+       |       FROM vcell),
+       |home AS (SELECT vec_id, srank AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT rk.vec_id, rk.srank AS cell FROM rk, np WHERE rk.rn <= np.p),
+       |cand AS (
+       |  SELECT p.vec_id AS qid, h.vec_id AS mid
+       |  FROM probes p JOIN home h ON p.cell = h.cell AND h.vec_id <> p.vec_id),
+       |nnc AS (
+       |  SELECT c.qid, c.mid,
+       |    ${cosSql("a.embedding", "b.embedding")} AS c2
+       |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.mid)
+       |SELECT qid AS vec_id, mid AS nn_id, round(c2, 6) AS cos FROM (
+       |  SELECT qid, mid, c2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c2 DESC, mid) AS rn
+       |  FROM nnc) WHERE rn = 1""".stripMargin
+
   private def ivfRecallOracle(sampleCond: String => String, nAlias: String): String =
     s"""$seedAssignCtes,
        |np AS (SELECT least(count(*), greatest(4, count(*) // 4)) AS p FROM s),
@@ -1910,6 +1988,10 @@ object ScaleQueries {
          |GROUP BY doc_id""".stripMargin,
 
     "q29_embedding_nn" -> nnOracle,
+
+    // the routed two-level IVF pipeline restated end to end — seed
+    // centroids + seed supers make every routing decision SQL-derivable
+    "q33_embedding_nn_ivf" -> routedSeedNnOracle,
     // the IVF join at nprobe=K / all supers probed degenerates to the
     // exact NN join — one brute-force restatement checks both
     "q74_ivf_exact" -> nnOracle,

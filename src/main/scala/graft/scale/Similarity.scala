@@ -441,6 +441,44 @@ object Similarity {
     (cents, math.min(cents.length, math.max(4, cents.length / 4)))
   }
 
+  /** Deterministic, SQL-RESTATABLE two-level routing over a SEED centroid
+    * list — the routed analogue of [[seedCentroids]], so the full
+    * production assignment shape (super-cells → children-only ranking,
+    * [[graft.expr.RoutedNearestCells]]) can run under a DuckDB hash
+    * oracle at a real approximation dial instead of only in its
+    * probe-everything degeneration. Supers = every ⌈√K⌉-th centroid of
+    * the id-ordered seed list (already unit vectors); each centroid is
+    * assigned to its nearest super by dot, descending, ties to the
+    * smaller super ordinal — exactly [[graft.expr.NearestCells.selectTop]]'s
+    * rule, so an oracle restates the kid lists with one windowed argmax.
+    * superProbe mirrors [[routingParams]]' ⌈S/2⌉ dial, clamped to S.
+    * Unlike [[trainSuperCells]] (driver k-means — non-restatable), every
+    * step is integer selection plus one argmax.
+    */
+  def seedSuperCells(cents: Seq[Seq[Double]]): (Seq[Seq[Double]], Seq[Seq[Int]], Int) = {
+    require(cents.nonEmpty, "seedSuperCells: empty centroid list")
+    val smod = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val supIdx = cents.indices.filter(_ % smod == 0)
+    val sup = supIdx.map(cents)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val d = math.min(a.length, b.length)
+      while (i < d) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val kids = Array.fill(sup.length)(Seq.newBuilder[Int])
+    cents.indices.foreach { c =>
+      var best = 0; var bd = Double.NegativeInfinity
+      sup.indices.foreach { s =>
+        val d = dot(cents(c), sup(s))
+        if (d > bd) { bd = d; best = s } // strict > keeps the smaller ordinal on ties
+      }
+      kids(best) += c
+    }
+    val superProbe = math.min(sup.length, math.max(2, (sup.length + 1) / 2))
+    (sup, kids.map(_.result()).toSeq, superProbe)
+  }
+
   /** ANN search: probe buckets whose signature is within `maxHammingProbe`
     * of the query signature (0 = exact bucket), rerank candidates exactly,
     * return top-k. Candidate set is the probed buckets only — the scan is

@@ -179,7 +179,8 @@ class PlanAssertSpec extends SparkSpec {
     // trips (construction executes full writes; each has its own
     // dedicated plan assertion). The rest is planned here without
     // collecting — construction still runs small driver actions for
-    // q18/q19 (query-vector head) and q33/q74 (sample k-means) — and
+    // q18/q19 (query-vector head), q33 (seed-centroid collect), and
+    // q74 (sample k-means) — and
     // swept for the one join shape that never belongs at 100 TB.
     val skip = Set(
       "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",

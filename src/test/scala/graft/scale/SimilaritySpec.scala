@@ -115,6 +115,31 @@ class SimilaritySpec extends SparkSpec {
     assert(part.count() == flat.size.toLong)
   }
 
+  test("seedSuperCells: kids partition the cells; all-supers probe degenerates to flat") {
+    val (cents, nprobe) = Similarity.seedCentroids(emb, "embedding", "vec_id")
+    val (sup, kids, superProbe) = Similarity.seedSuperCells(cents)
+    // structural contract RoutedNearestCells requires: every cell index
+    // exactly once, probe within [1, S]
+    assert(kids.flatten.sorted == cents.indices.toList)
+    assert(superProbe >= 1 && superProbe <= sup.length)
+    // every super is one of the centroids (integer selection, no training)
+    sup.foreach(sv => assert(cents.contains(sv)))
+    // probing ALL supers ranks every cell → identical to the flat seed
+    // assignment (the q33 hash-gate rests on this family being exact
+    // degenerations of one another)
+    val flat = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents, nprobe = nprobe)
+      .as[(Long, Long, Double)].collect().toSet
+    val routedAll = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
+        nprobe = nprobe, routing = Some((sup, kids, sup.length)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(routedAll == flat)
+    // the registered q33 dial (partial super probe) still covers every
+    // vector that has any same-cell companion
+    val routed = Similarity.ivfNnJoin(emb, "embedding", "vec_id", cents,
+      nprobe = nprobe, routing = Some((sup, kids, superProbe)))
+    assert(routed.count() > 0)
+  }
+
   test("int8-shortlist IVF: recall vs the float path, full coverage, true cos values") {
     val n = emb.count()
     val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 8)
