@@ -273,6 +273,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(one == Seq("y" * 500))
   }
 
+  test("payload shards: arbitrary binary payloads round-trip under random caps") {
+    // deterministic pseudo-random corpus: empty payloads, payloads above
+    // the cap, non-UTF8 bytes — the shard framing must be content-blind
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val cap = 1L << (4 + rnd.nextInt(6)) // 16 B .. 512 B
+      val docs = (0 until 20).map { i =>
+        val len = rnd.nextInt(4) match {
+          case 0 => 0                           // empty entry
+          case 1 => rnd.nextInt(8)              // tiny
+          case 2 => rnd.nextInt(64)             // around the cap
+          case _ => 64 + rnd.nextInt(600)       // multiples of the cap
+        }
+        val b = new Array[Byte](len); rnd.nextBytes(b)
+        (i.toLong, b)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-shprop$round").toString
+      val df = docs.toDF("doc_id", "payload").repartition(3)
+      Multimodal.exportPayloadShards(df, "doc_id", col("payload"), dir,
+        maxShardBytes = cap)
+      val back = Multimodal.readPayloadShards(spark, dir)
+        .select(regexp_extract(col("name"), "(-?[0-9]+)\\.bin$", 1).cast("long"),
+          col("content"))
+        .as[(Long, Array[Byte])].collect().toMap
+      assert(back.keySet == docs.map(_._1).toSet,
+        s"round $round cap $cap: lost/invented entries")
+      docs.foreach { case (id, bytes) =>
+        assert(java.util.Arrays.equals(back(id), bytes),
+          s"round $round cap $cap: payload $id corrupted")
+      }
+    }
+  }
+
   test("frameSample: zero-length payload emits no frames") {
     val df = Seq((1L, "")).toDF("id", "text")
     val n = df.select(col("id"), col("text").cast("binary").as("p"))
