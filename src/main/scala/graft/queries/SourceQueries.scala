@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sources.Sources
+import graft.sources.{Merge, Sources}
 
 /** The source/sink surface (graft.sources.Sources) as a correctness-bearing
   * query: the reference's declared I/O targets are BigQuery/Parquet/CSV
@@ -132,6 +132,76 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // CDC merge applied to a PERSISTED partitioned table: orders landed
+    // as a year-partitioned parquet table (version 0), then one change
+    // batch — updates (price bump, v1), tombstones (v2, winning over a
+    // same-key update), and inserts (new keys, v1) — all confined to two
+    // of the seven year partitions. Merge.upsertPartitioned reads ONLY
+    // the touched partitions (partition-pruned base scan) and rewrites
+    // ONLY their directories (dynamic partition overwrite) — at 100 TB a
+    // daily batch touching 3 of 2,000 date partitions reads and rewrites
+    // 3. The final state is read back whole and aggregated, so a lost
+    // insert, an unapplied tombstone, a stale version surviving, or a
+    // partition the rewrite should not have touched is hash-red. The
+    // oracle restates base ∪ changes → per-key argmax → tombstone filter
+    // from the raw table, plus the touched-partition count.
+    "q108_partitioned_merge" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q108_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      Sources.writeParquet(base, outRoot.toString, partitionBy = Seq("o_year"))
+      val inYears = col("o_year").isin(1997, 1999)
+      val upd = base.filter(col("o_orderkey") % 7 === 0 && inYears)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("version", lit(1))
+      val del = base.filter(col("o_orderkey") % 13 === 0 && inYears)
+        .withColumn("version", lit(2))
+        .withColumn("op", lit("D"))
+      val ins = base.filter(col("o_orderkey") % 11 === 0 && inYears)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+        .withColumn("version", lit(1))
+      val stats = Merge.upsertPartitioned(s, outRoot.toString,
+        upd.unionByName(del).unionByName(ins),
+        keyCols = Seq("o_orderkey"), orderCols = Seq("version"),
+        partitionCol = "o_year", opCol = "op")
+      Sources.readParquet(s, outRoot.toString)
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("parts_touched", lit(stats.partitionsTouched))
+    }),
+
+    // SCD2 history from a change feed: the events stream read as a
+    // per-user attribute feed, change-compressed (consecutive rows with
+    // the same tracked attribute open no new version), each survivor
+    // becoming a validity interval closed by the next change — the
+    // lag/lead passes share one (user, ts) sort, so the whole history
+    // build is a single shuffle. Aggregated per attribute value over
+    // interval counts, current-row counts, and exact microsecond
+    // durations: a dropped change row, a mis-closed interval, or a
+    // compression bug shifts the sums and is hash-red.
+    "q109_scd2_history" -> ((s, dir) => {
+      val feed = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("etype"))
+      Merge.scd2(feed, keyCols = Seq("user_id"), tsCol = "ts",
+          attrCols = Seq("etype"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(when(col("is_current"), 1)).as("n_current"),
+          coalesce(sum(unix_micros(col("valid_to")) -
+            unix_micros(col("valid_from"))), lit(0L)).as("sum_dur_us"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -221,6 +291,60 @@ object SourceQueries {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM sp WHERE b < 90
         |GROUP BY source""".stripMargin,
+
+    // Full restatement of the merge: base ∪ (updates, tombstones,
+    // inserts) → row_number argmax per key on version → drop keys whose
+    // winner is a tombstone → the same aggregate the engine computes from
+    // the persisted table, plus the touched-partition count.
+    "q108_partitioned_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         o_totalprice AS price, year(o_orderdate) AS o_year,
+        |         0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, price * 1.1 AS price, o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)),
+        |del AS (
+        |  SELECT k, status, price, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year IN (1997, 1999)),
+        |ins AS (
+        |  SELECT k + 10000000 AS k, 'N' AS status, price * 0.5 AS price,
+        |         o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |changes AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  round(sum(price), 2) AS sum_price,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  (SELECT count(DISTINCT o_year) FROM changes) AS parts_touched
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q109_scd2_history" ->
+      """WITH feed AS (
+        |  SELECT user_id, ts, min(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT user_id, ts, etype,
+        |    lag(etype) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM feed),
+        |changed AS (
+        |  SELECT user_id, ts, etype FROM marked
+        |  WHERE prev IS NULL OR prev <> etype),
+        |iv AS (
+        |  SELECT etype, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM changed)
+        |SELECT etype, count(*) AS n_intervals,
+        |  count(*) FILTER (WHERE valid_to IS NULL) AS n_current,
+        |  CAST(coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0) AS BIGINT)
+        |    AS sum_dur_us
+        |FROM iv GROUP BY 1""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

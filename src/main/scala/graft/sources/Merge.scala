@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC / merge surface: latest-wins upsert, delete-aware merge, SCD2
+  * history, and a partition-pruned persisted upsert. The reference has no
+  * mutation story (its pipelines rebuild from scratch each run), but a
+  * daily-crawl training-data pipeline is incremental by nature — new and
+  * re-crawled documents arrive keyed by id, tombstones arrive for taken-down
+  * content, and dimension attributes drift over time. This module is the
+  * engine-native answer, shaped for Spark's execution model:
+  *
+  *  - Merging is ONE keyed shuffle: `union` → `max_by(payload, orderKey)`
+  *    group-by (partial aggregation combines map-side, so the shuffle
+  *    carries at most one candidate row per key per partition — never the
+  *    full change history).
+  *  - Applying a merge to a persisted table rewrites ONLY the partitions
+  *    the change batch touches (partition-pruned base scan + dynamic
+  *    partition overwrite). At 100 TB a daily batch touching 3 of 2,000
+  *    date partitions reads and rewrites 3.
+  *  - Merge application is IDEMPOTENT: re-merging an already-applied
+  *    change batch reproduces the same rows (`max_by` over a set that
+  *    already contains the winners returns the winners; a re-applied
+  *    tombstone wins again and is filtered again). That makes the torn
+  *    dynamic-overwrite commit recoverable by rerun — a crash that
+  *    replaced only some partition directories is healed by running the
+  *    same merge once more, no undo log needed.
+  */
+object Merge {
+
+  /** Latest-wins upsert: one row per key survives from `base ∪ changes`,
+    * chosen by the LARGEST `orderCols` tuple (e.g. `(version)` or
+    * `(updated_at, source_priority)`). The order key must be a total order
+    * within each key for the result to be deterministic — callers with
+    * possibly-tied versions should append a content tiebreak column.
+    * Both inputs must share a schema that includes the order columns.
+    * One shuffle, map-side combining.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+             orderCols: Seq[String]): DataFrame =
+    argmaxByKey(base.unionByName(changes), keyCols, orderCols)
+
+  /** Delete-aware merge: `changes` carries an `opCol` whose value
+    * `deleteOp` marks a tombstone; any other value is an upsert. The
+    * latest change per key wins exactly as in [[upsert]], and a key whose
+    * WINNER is a tombstone is dropped from the result. A tombstone that is
+    * not the latest change loses to the newer upsert — out-of-order CDC
+    * replay converges to the same state. `base` rows (which have no op)
+    * are tagged as upserts; the surviving rows keep the op column so the
+    * result can be persisted and re-merged (idempotency needs the stored
+    * winners to carry their order key and op).
+    */
+  def merge(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+            orderCols: Seq[String], opCol: String,
+            deleteOp: String = "D", upsertOp: String = "U"): DataFrame = {
+    val baseTagged =
+      if (base.columns.contains(opCol)) base
+      else base.withColumn(opCol, lit(upsertOp))
+    argmaxByKey(baseTagged.unionByName(changes), keyCols, orderCols)
+      .filter(col(opCol) =!= deleteOp)
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) history from a change feed:
+    * per key, consecutive feed rows whose tracked attributes are UNCHANGED
+    * are compressed away, and each surviving row becomes a validity
+    * interval `[valid_from, valid_to)` — `valid_to` is NULL on the current
+    * row. Two window passes over the SAME (key, ts) sort, so Catalyst
+    * plans one shuffle and one sort; nothing else moves. The feed must
+    * have at most one row per (key, ts) — enforce upstream or add a
+    * tiebreak to `tsCol` — or the lag-compression is nondeterministic.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // first row per key (null __prev) always opens an interval
+      .filter(col("__prev").isNull || col("__prev") =!= attrs)
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Observability for [[upsertPartitioned]] — what a daily merge job
+    * logs: how much of the table the batch actually touched.
+    */
+  final case class MergeStats(partitionsTouched: Long, rowsWritten: Long)
+
+  /** Apply a delete-aware merge to a PERSISTED partitioned parquet table,
+    * rewriting only the partitions the change batch touches:
+    *
+    *  1. the touched partition values are collected (bounded by the
+    *     number of partitions in the batch — a daily feed touches a
+    *     handful; this is the only driver-side state),
+    *  2. the base read is filtered to those values — a partition-pruned
+    *     scan, so the untouched 99.9% of the table is never read,
+    *  3. the merged partitions are written with DYNAMIC partition
+    *     overwrite (a per-write option, no session mutation), which
+    *     replaces exactly the directories present in the output and
+    *     leaves every other partition's files untouched on disk.
+    *
+    * The change batch must carry the partition column with values
+    * matching the stored layout (an update may not move a row across
+    * partitions — enforce by deriving the partition column from the key
+    * or a stable attribute). CRASH SEMANTICS: the commit replaces
+    * partition directories one by one, so a crash mid-commit can leave a
+    * prefix of partitions merged — rerunning the same call converges
+    * (merge is idempotent per partition, see object doc).
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, changes: DataFrame,
+                        keyCols: Seq[String], orderCols: Seq[String],
+                        partitionCol: String, opCol: String,
+                        deleteOp: String = "D"): MergeStats = {
+    // driver-bounded: one value per touched partition (daily batches touch
+    // a handful of date partitions, never the table's full partition set)
+    val touched = changes.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0))
+    val base = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val merged = merge(base, changes, keyCols, orderCols, opCol, deleteOp)
+    // Partition values ride on directory names through the write; select
+    // explicitly with the partition column last so the stored column order
+    // stays stable across merges.
+    val dataCols = merged.columns.filterNot(_ == partitionCol)
+    val out = merged.select((dataCols :+ partitionCol).map(col): _*)
+    // STAGE-THEN-PUBLISH: the merged rows derive from a scan of `path`
+    // itself, and Spark (rightly) refuses a plan that overwrites a path it
+    // is reading — and a direct overwrite would also destroy the base
+    // mid-job on failure. So the merged partitions land COMPLETE in a
+    // staging dir first (a crash here leaves the live table untouched;
+    // the orphan is deleted on the next run), then a scan of the staging
+    // copy is published with dynamic partition overwrite, replacing
+    // exactly the touched directories. A crash mid-publish can leave a
+    // subset of partitions replaced — rerunning the same merge converges
+    // (idempotency, see object doc). The staged copy is read back with
+    // the writer's schema so partition-value inference can't retype the
+    // partition column.
+    val stagingPath = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = stagingPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true): Unit
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(stagingPath.toString)
+    // Dynamic overwrite replaces only directories PRESENT in the output —
+    // a touched partition whose every row was tombstoned away produces no
+    // output directory and would silently keep its stale files. Diff the
+    // staged directory names (metadata listing, no data read) against the
+    // touched set and delete the emptied ones after publish. Partition
+    // values must be non-null (Hive's default-partition convention is not
+    // supported here).
+    val stagedDirs = fs.listStatus(stagingPath)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "=")).toSet
+    val touchedDirs = touched.map(v => partitionCol + "=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v))).toSet
+    spark.read.schema(out.schema).parquet(stagingPath.toString)
+      .select(out.columns.map(col).toIndexedSeq: _*)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    (touchedDirs -- stagedDirs).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, d), true): Unit
+    }
+    fs.delete(stagingPath, true): Unit
+    MergeStats(touched.length.toLong, spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*)).count())
+  }
+
+  /** The shared argmax: group by key, keep the single row with the
+    * largest `orderCols` tuple. `max_by` with a struct ordering key gives
+    * lexicographic comparison over the order columns; partial aggregation
+    * keeps the shuffle at one candidate per key per partition.
+    */
+  private def argmaxByKey(all: DataFrame, keyCols: Seq[String],
+                          orderCols: Seq[String]): DataFrame = {
+    val payloadCols = all.columns.filterNot(keyCols.contains)
+    val ordKey = struct(orderCols.map(col): _*)
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), ordKey).as("__winner"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__winner.`$c`").as(c)): _*)
+  }
+}

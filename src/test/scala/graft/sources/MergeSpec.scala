@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CDC / merge semantics: latest-wins upsert, tombstone handling,
+  * out-of-order replay convergence, SCD2 change compression, and the
+  * partition-pruned persisted merge (only touched directories rewritten;
+  * rerun of the same batch converges).
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-merge").toString
+
+  test("upsert keeps the largest order key per key and inserts new keys") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0)).toDF("k", "v", "ver")
+    val changes = Seq((2L, "b2", 1), (3L, "c", 1)).toDF("k", "v", "ver")
+    val out = Merge.upsert(base, changes, Seq("k"), Seq("ver"))
+      .orderBy("k").collect().toSeq
+    assert(out == Seq(Row(1L, "a", 0), Row(2L, "b2", 1), Row(3L, "c", 1)))
+  }
+
+  test("upsert breaks order ties by the full order tuple") {
+    val base = Seq((1L, "old", 0, 0)).toDF("k", "v", "ver", "pri")
+    // same version, higher priority second column wins
+    val changes = Seq((1L, "lo", 1, 0), (1L, "hi", 1, 5)).toDF("k", "v", "ver", "pri")
+    val out = Merge.upsert(base, changes, Seq("k"), Seq("ver", "pri")).collect()
+    assert(out.toSeq == Seq(Row(1L, "hi", 1, 5)))
+  }
+
+  test("merge drops a key whose latest change is a tombstone") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0)).toDF("k", "v", "ver")
+    val changes = Seq((1L, "a", 1, "D"), (2L, "b2", 1, "U"))
+      .toDF("k", "v", "ver", "op")
+    val out = Merge.merge(base, changes, Seq("k"), Seq("ver"), "op")
+      .select("k", "v", "ver").orderBy("k").collect().toSeq
+    assert(out == Seq(Row(2L, "b2", 1)))
+  }
+
+  test("merge: a tombstone older than the latest upsert loses (out-of-order replay)") {
+    val base = Seq((1L, "a", 0)).toDF("k", "v", "ver")
+    // delete at ver 1 arrives in the same batch as a newer upsert at ver 2
+    val changes = Seq((1L, "a", 1, "D"), (1L, "a2", 2, "U"))
+      .toDF("k", "v", "ver", "op")
+    val out = Merge.merge(base, changes, Seq("k"), Seq("ver"), "op")
+      .select("k", "v", "ver").collect().toSeq
+    assert(out == Seq(Row(1L, "a2", 2)))
+  }
+
+  test("merge is idempotent: re-applying the same changes reproduces the state") {
+    val base = Seq((1L, "a", 0, "U"), (2L, "b", 0, "U")).toDF("k", "v", "ver", "op")
+    val changes = Seq((1L, "a1", 1, "U"), (2L, "b", 1, "D"), (3L, "c", 1, "U"))
+      .toDF("k", "v", "ver", "op")
+    val once = Merge.merge(base, changes, Seq("k"), Seq("ver"), "op")
+    val twice = Merge.merge(once, changes, Seq("k"), Seq("ver"), "op")
+    assert(twice.orderBy("k").collect().toSeq ==
+      once.orderBy("k").collect().toSeq)
+  }
+
+  test("scd2 compresses unchanged rows and closes intervals at the next change") {
+    val feed = Seq(
+      (1L, 10L, "x"), (1L, 20L, "x"), (1L, 30L, "y"), (1L, 40L, "x"),
+      (2L, 15L, "z"))
+      .toDF("k", "t", "attr")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Merge.scd2(feed, Seq("k"), "ts", Seq("attr"))
+      .select(col("k"), col("attr"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"), col("is_current"))
+      .orderBy("k", "from_us").collect().toSeq
+    assert(out == Seq(
+      // (1,20,"x") opens no interval; the x interval closes at the y change
+      Row(1L, "x", 10L, 30L, false),
+      Row(1L, "y", 30L, 40L, false),
+      Row(1L, "x", 40L, null, true),
+      Row(2L, "z", 15L, null, true)))
+  }
+
+  test("upsertPartitioned rewrites only touched partitions and converges on rerun") {
+    val dir = tmp() + "/t"
+    val base = Seq(
+      (1L, "a", 0, "p1"), (2L, "b", 0, "p1"),
+      (3L, "c", 0, "p2"), (4L, "d", 0, "p3"))
+      .toDF("k", "v", "ver", "p")
+    Sources.writeParquet(base, dir, partitionBy = Seq("p"))
+    def filesIn(part: String): Set[String] = {
+      val d = new java.io.File(dir, s"p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    }
+    val p3Before = filesIn("p3")
+    // changes touch p1 (update + tombstone) and p2 (insert); p3 untouched
+    val changes = Seq(
+      (1L, "a1", 1, "p1", "U"), (2L, "b", 1, "p1", "D"),
+      (5L, "e", 1, "p2", "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    val stats = Merge.upsertPartitioned(spark, dir, changes,
+      Seq("k"), Seq("ver"), "p", "op")
+    assert(stats.partitionsTouched == 2)
+    // untouched partition's files are bit-identical on disk (same names,
+    // same mtimes — dynamic overwrite never listed that directory)
+    assert(filesIn("p3") == p3Before)
+    val state = spark.read.parquet(dir)
+      .select("k", "v", "ver", "p").orderBy("k").collect().toSeq
+    assert(state == Seq(
+      Row(1L, "a1", 1, "p1"), Row(3L, "c", 0, "p2"),
+      Row(4L, "d", 0, "p3"), Row(5L, "e", 1, "p2")))
+    // rerun of the same batch (the torn-publish recovery move) converges
+    val stats2 = Merge.upsertPartitioned(spark, dir, changes,
+      Seq("k"), Seq("ver"), "p", "op")
+    assert(stats2.partitionsTouched == 2)
+    assert(spark.read.parquet(dir)
+      .select("k", "v", "ver", "p").orderBy("k").collect().toSeq == state)
+  }
+
+  test("upsertPartitioned deletes a partition the tombstones emptied") {
+    val dir = tmp() + "/t"
+    val base = Seq((1L, "a", 0, "p1"), (2L, "b", 0, "p2")).toDF("k", "v", "ver", "p")
+    Sources.writeParquet(base, dir, partitionBy = Seq("p"))
+    // every p1 row is tombstoned: dynamic overwrite alone would leave the
+    // stale p1 directory in place; the emptied-partition sweep must drop it
+    val changes = Seq((1L, "a", 1, "p1", "D")).toDF("k", "v", "ver", "p", "op")
+    Merge.upsertPartitioned(spark, dir, changes, Seq("k"), Seq("ver"), "p", "op")
+    assert(!new java.io.File(dir, "p=p1").exists())
+    assert(spark.read.parquet(dir).select("k").collect().toSeq == Seq(Row(2L)))
+  }
+
+  test("upsertPartitioned cleans an orphaned staging dir from a crashed run") {
+    val dir = tmp() + "/t"
+    val base = Seq((1L, "a", 0, "p1")).toDF("k", "v", "ver", "p")
+    Sources.writeParquet(base, dir, partitionBy = Seq("p"))
+    // simulate a crash that left a full staged copy but never published
+    val orphan = new java.io.File(dir + "__stage/p=p1")
+    orphan.mkdirs()
+    val junk = new java.io.File(dir + "__stage", "leftover")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val changes = Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    Merge.upsertPartitioned(spark, dir, changes, Seq("k"), Seq("ver"), "p", "op")
+    assert(!new java.io.File(dir + "__stage").exists())
+    assert(spark.read.parquet(dir).select("k", "v", "ver").collect().toSeq ==
+      Seq(Row(1L, "a1", 1)))
+  }
+}
