@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SF_DIR (base tier, default sf0.1), SPARK_GRAFT_SCALE_COPIES
   * (default 10), SPARK_GRAFT_SCALE_PASSES (default 2, min-of-N — this
   * host's wall-times are bimodal), SPARK_GRAFT_SCALE_OUT (default
-  * BENCH_SCALE.json), SPARK_GRAFT_SCALE_REBUILD=1 to re-synthesize.
+  * BENCH_SCALE.json), SPARK_GRAFT_SCALE_REBUILD=1 to re-synthesize,
+  * SPARK_GRAFT_SCALE_QUERIES=name,name to probe a subset (substring
+  * match) — the dial for a deeper-copies run on just the scan-bound
+  * queries without paying for the whole battery.
   */
 object ScaleProbe {
 
@@ -36,6 +39,16 @@ object ScaleProbe {
     "q58_dup_clusters", "q66_dup_clusters_bigstar",
     "q81_indexed_incremental_dedup", "q88_stream_neardup_ingest",
     "q102_compacted_index_probe")
+
+  /** Embedding-heavy registered queries — the ANN surface. The sf0.1
+    * embeddings table is only 2 k vectors, so these paths carry the LEAST
+    * at-scale evidence of any: the IVF cell count (√n via ivfParams), the
+    * seedCentroids √n×dim driver collect, and the LSH band-bucket
+    * populations all change shape with n, not just cost.
+    */
+  private val EmbeddingQueries = Seq(
+    "q95_embedding_neardup_dedup", "q97_indexed_embedding_neardup",
+    "q101_ivf_index_probe", "q82_ivf_recall")
 
   /** Synthesize `copies`× documents at `tierDir` if absent. Deterministic:
     * ids shift by copy × (maxId+1), every word gets a copy-tag suffix, so
@@ -60,6 +73,38 @@ object ScaleProbe {
         .select(colsInOrder.map(col): _*)
     }.reduce(_.unionAll(_))
     tier.write.mode("overwrite").parquet(s"$tierDir/documents.parquet")
+  }
+
+  /** Synthesize `copies`× embeddings at `tierDir` if absent. Each copy's
+    * vectors are CIRCULARLY ROTATED by the copy index — a permutation, so
+    * every within-copy dot product (and thus every cluster, near-dup pair,
+    * and IVF cell shape) is preserved EXACTLY, while cross-copy cosines
+    * decorrelate (rotated vs unrotated components line up randomly). The
+    * embedding analog of the documents tier's word-salting: bigger corpus,
+    * same internal structure, no clone bomb.
+    */
+  private def synthesizeEmbTier(spark: SparkSession, baseDir: String,
+                                tierDir: String, copies: Int, rebuild: Boolean): Unit = {
+    val marker = new java.io.File(s"$tierDir/embeddings.parquet/_SUCCESS")
+    if (marker.exists() && !rebuild) return
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val maxId = base.agg(max(col("vec_id"))).head()
+    require(!maxId.isNullAt(0), s"$baseDir/embeddings.parquet is empty — nothing to scale")
+    val stride = maxId.getLong(0) + 1L
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val colsInOrder = base.columns.toSeq
+    val tier = (0 until copies).map { i =>
+      val k = i % dim
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      base.select(
+        (col("vec_id") + lit(i.toLong * stride)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+        .select(colsInOrder.map(col): _*)
+    }.reduce(_.unionAll(_))
+    tier.write.mode("overwrite").parquet(s"$tierDir/embeddings.parquet")
   }
 
   private def heapMb(): Long = {
@@ -87,12 +132,13 @@ object ScaleProbe {
 
     val tierDir = new java.io.File(s"target/scaleprobe/sf${copies}x").getAbsolutePath
     synthesizeTier(spark, baseDir, tierDir, copies, rebuild)
+    synthesizeEmbTier(spark, baseDir, tierDir, copies, rebuild)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nTier = spark.read.parquet(s"$tierDir/documents.parquet").count()
 
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      HeavyQueries.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      (HeavyQueries ++ EmbeddingQueries).map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "q86_token_quantiles:preagg" ->
           ((s: SparkSession, d: String) =>
             queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),
@@ -106,12 +152,19 @@ object ScaleProbe {
           ((s: SparkSession, d: String) =>
             queries.ScaleQueries.tokenBudgetCut(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = false)))
 
+    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = onlyFilter match {
+      case Some(pats) => runners.filter { case (n, _) => pats.exists(n.contains) }
+      case None => runners
+    }
+
     // one untimed warm-up pass at the smallest tier (codegen/classloading)
     val warmDir = {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).exists()) d else baseDir
     }
-    runners.foreach { case (n, f) =>
+    selected.foreach { case (n, f) =>
       try f(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
@@ -129,7 +182,7 @@ object ScaleProbe {
       Meas(best, rows, heapMb())
     }
 
-    val results = runners.map { case (name, f) =>
+    val results = selected.map { case (name, f) =>
       System.err.println(s"[scaleprobe] $name @1x ...")
       val m1 = time(f, baseDir)
       System.err.println(f"[scaleprobe] $name @1x ${m1.sec}%.2fs; @${copies}x ...")

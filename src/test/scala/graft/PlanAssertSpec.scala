@@ -192,7 +192,10 @@ class PlanAssertSpec extends SparkSpec {
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
       "q81_indexed_incremental_dedup", "q97_indexed_embedding_neardup",
       "q100_orc_roundtrip", "q101_ivf_index_probe", "q102_compacted_index_probe",
-      "q103_cosine_recall")
+      "q103_cosine_recall",
+      // persisted-merge round trip: construction executes the base write
+      // and the merge publish; MergeSpec pins the pruning/rewrite shape
+      "q108_partitioned_merge")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")

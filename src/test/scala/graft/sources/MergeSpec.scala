@@ -130,6 +130,23 @@ class MergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("k").collect().toSeq == Seq(Row(2L)))
   }
 
+  test("the merge base scan prunes to the touched partitions") {
+    // pins the expression shape upsertPartitioned builds its base read
+    // from: an isin() on the partition column lands as PartitionFilters,
+    // so the untouched 99.9% of a 100 TB table is never READ (the
+    // rewrite-side guarantee is the files_in assertion above)
+    val dir = tmp() + "/t"
+    val base = Seq((1L, 0, "p1"), (2L, 0, "p2"), (3L, 0, "p3"))
+      .toDF("k", "ver", "p")
+    Sources.writeParquet(base, dir, partitionBy = Seq("p"))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("p").isin(Seq("p1", "p2"): _*))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && !plan.contains("PartitionFilters: []"),
+      plan)
+  }
+
   test("upsertPartitioned cleans an orphaned staging dir from a crashed run") {
     val dir = tmp() + "/t"
     val base = Seq((1L, "a", 0, "p1")).toDF("k", "v", "ver", "p")
