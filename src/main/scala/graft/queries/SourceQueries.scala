@@ -202,6 +202,31 @@ object SourceQueries {
             unix_micros(col("valid_from"))), lit(0L)).as("sum_dur_us"))
     }),
 
+    // Incremental SCD2 maintenance — the daily-batch form of q109: the
+    // history is built from the feed BEFORE the cut, then the post-cut
+    // batch is folded in with scd2Apply (closed intervals pass through
+    // untouched via a broadcast key split; only open rows + the batch
+    // re-enter the window). The ORACLE IS THE BATCH BUILD over the full
+    // feed — hash equality proves the incremental path is exactly
+    // equivalent to recomputing from scratch, which is the entire
+    // contract of incremental dimension maintenance at 100 TB (recompute
+    // cost O(batch), result indistinguishable from a rebuild).
+    "q110_scd2_incremental" -> ((s, dir) => {
+      val feed = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("etype"))
+      val cut = lit("2024-01-20").cast("timestamp")
+      val history = Merge.scd2(feed.filter(col("ts") < cut),
+        keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("etype"))
+      Merge.scd2Apply(history, feed.filter(col("ts") >= cut),
+          keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("etype"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(when(col("is_current"), 1)).as("n_current"),
+          coalesce(sum(unix_micros(col("valid_to")) -
+            unix_micros(col("valid_from"))), lit(0L)).as("sum_dur_us"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -326,6 +351,30 @@ object SourceQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q109_scd2_history" ->
+      """WITH feed AS (
+        |  SELECT user_id, ts, min(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT user_id, ts, etype,
+        |    lag(etype) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM feed),
+        |changed AS (
+        |  SELECT user_id, ts, etype FROM marked
+        |  WHERE prev IS NULL OR prev <> etype),
+        |iv AS (
+        |  SELECT etype, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM changed)
+        |SELECT etype, count(*) AS n_intervals,
+        |  count(*) FILTER (WHERE valid_to IS NULL) AS n_current,
+        |  CAST(coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0) AS BIGINT)
+        |    AS sum_dur_us
+        |FROM iv GROUP BY 1""".stripMargin,
+
+    // The batch rebuild over the FULL feed — identical to q109's oracle
+    // on purpose: the engine side runs the incremental apply, so hash
+    // equality IS the incremental ≡ batch proof.
+    "q110_scd2_incremental" ->
       """WITH feed AS (
         |  SELECT user_id, ts, min(event_type) AS etype
         |  FROM events GROUP BY 1, 2),

@@ -86,6 +86,47 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incremental SCD2 maintenance: fold a NEW change batch into an
+    * existing [[scd2]] history without recomputing the closed intervals.
+    * The history is split by a broadcast of the batch's key set (daily
+    * batches touch a bounded key set — the broadcast side is
+    * `distinct` keys of the batch, never the history):
+    *
+    *  - keys absent from the batch pass through UNTOUCHED (anti join, no
+    *    window work, no shuffle of their rows beyond the broadcast probe),
+    *  - affected keys keep their CLOSED intervals as-is (immutable once
+    *    closed), and only their single OPEN row re-enters the window
+    *    recompute as a feed row at its `valid_from`, together with the
+    *    batch rows — so the recompute is O(affected keys + batch), not
+    *    O(history),
+    *  - keys new to the table simply flow through the recompute.
+    *
+    * Change-compression across the boundary falls out: the open row
+    * carries its attributes into the mini-feed, so a batch row that
+    * repeats them opens no new interval — exactly what the from-scratch
+    * build would do. PRECONDITION: the feed is append-only per key (every
+    * batch `tsCol` is later than the affected key's open `valid_from`);
+    * a late row would need the closed prefix and must go through a batch
+    * rebuild instead. Under that precondition
+    * `scd2Apply(scd2(old), new) ≡ scd2(old ∪ new)` — q110 puts exactly
+    * that equivalence under the DuckDB hash gate.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                tsCol: String, attrCols: Seq[String]): DataFrame = {
+    val newKeys = changes.select(keyCols.map(col): _*).distinct()
+    val untouched = history.join(broadcast(newKeys), keyCols, "left_anti")
+    val affected = history.join(broadcast(newKeys), keyCols, "left_semi")
+    val closed = affected.filter(!col("is_current"))
+    val feedCols = (keyCols :+ tsCol) ++ attrCols
+    val openAsFeed = affected.filter(col("is_current"))
+      .withColumn(tsCol, col("valid_from"))
+      .select(feedCols.map(col): _*)
+    val miniFeed = openAsFeed.unionByName(changes.select(feedCols.map(col): _*))
+    untouched
+      .unionByName(closed)
+      .unionByName(scd2(miniFeed, keyCols, tsCol, attrCols))
+  }
+
   /** Observability for [[upsertPartitioned]] — what a daily merge job
     * logs: how much of the table the batch actually touched.
     */

@@ -130,6 +130,43 @@ class MergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("k").collect().toSeq == Seq(Row(2L)))
   }
 
+  test("scd2Apply ≡ batch scd2 over untouched, compressed, changed, and new keys") {
+    def feedOf(rows: Seq[(Long, Long, String)]) = rows.toDF("k", "t", "attr")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    // old feed: k=1 stable 'x', k=2 ends open on 'b', k=3 untouched later
+    val oldFeed = feedOf(Seq(
+      (1L, 10L, "x"), (2L, 10L, "a"), (2L, 20L, "b"), (3L, 10L, "q")))
+    // batch: k=1 repeats 'x' (boundary compression, no new interval),
+    // k=2 changes (closes the open row), k=4 is brand new; k=3 absent
+    val batch = feedOf(Seq((1L, 30L, "x"), (2L, 30L, "c"), (4L, 30L, "n")))
+    val keys = Seq("k")
+    val incremental = Merge.scd2Apply(
+      Merge.scd2(oldFeed, keys, "ts", Seq("attr")), batch, keys, "ts", Seq("attr"))
+    val batchBuild = Merge.scd2(oldFeed.unionByName(batch), keys, "ts", Seq("attr"))
+    val proj = Seq("k", "attr", "valid_from", "valid_to", "is_current")
+    assert(incremental.select(proj.map(col): _*).orderBy("k", "valid_from")
+      .collect().toSeq ==
+      batchBuild.select(proj.map(col): _*).orderBy("k", "valid_from")
+        .collect().toSeq)
+  }
+
+  test("scd2Apply splits the history with broadcast joins on the batch keys") {
+    val hist = Merge.scd2(
+      Seq((1L, 10L, "x"), (2L, 10L, "y")).toDF("k", "t", "attr")
+        .withColumn("ts", timestamp_micros(col("t"))).drop("t"),
+      Seq("k"), "ts", Seq("attr"))
+    val batch = Seq((2L, 20L, "z")).toDF("k", "t", "attr")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Merge.scd2Apply(hist, batch, Seq("k"), "ts", Seq("attr"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the untouched/affected split must be broadcast (anti + semi), never
+    // a shuffled join of the full history against a daily batch's keys
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("the merge base scan prunes to the touched partitions") {
     // pins the expression shape upsertPartitioned builds its base read
     // from: an isin() on the partition column lands as PartitionFilters,
