@@ -227,6 +227,35 @@ object SourceQueries {
             unix_micros(col("valid_from"))), lit(0L)).as("sum_dur_us"))
     }),
 
+    // Range-sorted export: documents written globally ordered by doc_id
+    // across 8 disjoint-range parquet files (sampled boundaries — a
+    // RangePartitioning exchange, NEVER a global sort), then the per-file
+    // manifest is folded into one row of invariants: file count, row
+    // total, key checksum, and the DISJOINTNESS bit (every file's min
+    // strictly above the previous file's max — the contract that lets a
+    // downstream range predicate prune to one file). The oracle restates
+    // the totals from the source table and pins the invariant bits at
+    // TRUE: a boundary overlap, a dropped row, or a wrong file count is
+    // hash-red. The manifest window runs over n_files rows, not data.
+    "q111_range_sorted_export" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q111_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      Sources.writeRangeSorted(docs, outRoot.toString, "doc_id", numFiles = 8)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("min_key"))
+      Sources.rangeManifest(s, outRoot.toString, "doc_id")
+        .withColumn("prev_max", lag(col("max_key"), 1).over(w))
+        .agg(
+          count(lit(1)).cast("int").as("n_files"),
+          sum(col("n")).as("n_rows"),
+          min(when(col("prev_max").isNull, true)
+            .otherwise(col("prev_max") < col("min_key"))).as("disjoint"),
+          sum(col("sum_key")).as("sum_key"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -394,6 +423,17 @@ object SourceQueries {
         |  CAST(coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0) AS BIGINT)
         |    AS sum_dur_us
         |FROM iv GROUP BY 1""".stripMargin,
+
+    // Totals restated from the source; the invariant bits pinned TRUE —
+    // the engine computes them from the actual file manifest, so a
+    // boundary overlap or a dropped row flips a bit and goes hash-red.
+    // n_files pins the explicit numFiles (RangePartitioning boundary
+    // sampling is seeded deterministically, so the count is stable for a
+    // given tier).
+    "q111_range_sorted_export" ->
+      """SELECT 8 AS n_files, count(*) AS n_rows, TRUE AS disjoint,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_key
+        |FROM documents""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -177,6 +177,37 @@ object Sources {
     else None
   }
 
+  /** Range-sorted export: the corpus globally ORDERED by `keyCol` across
+    * `numFiles` parquet files — file i holds a contiguous, disjoint key
+    * range below file i+1's. `repartitionByRange` picks the boundaries by
+    * SAMPLING (one lightweight pass, never a global sort — the planner's
+    * RangePartitioning exchange), and `sortWithinPartitions` makes each
+    * task write its file in key order, so parquet row-group min/max stats
+    * are tight and a downstream range predicate prunes to the one file
+    * (and row group) that can hold it. The 100 TB shape for
+    * merge-joinable / binary-searchable exports: no stage ever holds a
+    * total order, only per-file orders plus disjoint boundaries.
+    * Explicit `numFiles` keeps AQE from coalescing the range exchange.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, keyCol: String,
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Per-file manifest of a [[writeRangeSorted]] export: (file, min_key,
+    * max_key, n, sum_key), one row per parquet file via the `_metadata`
+    * column — a metadata-shaped aggregation, one scan of the key column
+    * only. Downstream planners use it for file-level skipping; q111 uses
+    * it to hash-gate the disjointness contract.
+    */
+  def rangeManifest(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(keyCol), col("_metadata.file_path").as("__file"))
+      .groupBy(col("__file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n"), sum(col(keyCol)).as("sum_key"))
+
   private def prepareOverwrite(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(table)) {
       // The catalog knows the table's REAL location (custom LOCATION,

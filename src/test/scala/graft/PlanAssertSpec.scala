@@ -195,7 +195,10 @@ class PlanAssertSpec extends SparkSpec {
       "q103_cosine_recall",
       // persisted-merge round trip: construction executes the base write
       // and the merge publish; MergeSpec pins the pruning/rewrite shape
-      "q108_partitioned_merge")
+      "q108_partitioned_merge",
+      // range-sorted export: construction executes the write; SourcesSpec
+      // pins the RangePartitioning (not global sort) exchange shape
+      "q111_range_sorted_export")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")

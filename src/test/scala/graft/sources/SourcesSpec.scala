@@ -126,6 +126,37 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gsrc_thr")
   }
 
+  test("writeRangeSorted: disjoint per-file ranges, in-file order, range exchange not global sort") {
+    val dir = tmp() + "/rs"
+    // deliberately unsorted input across 2 partitions
+    val df = spark.range(0, 200).select((col("id") * 37 % 200).as("k"))
+      .repartition(2)
+    // plan shape: boundaries come from a RangePartitioning exchange, and
+    // no global Sort sits above it
+    val shaped = df.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    val plan = shaped.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    // Sort prints its global flag positionally: `Sort [...], <global>, 0`
+    // — the within-partition sort must be local (false), never a global
+    // total-order sort
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty, plan)
+    assert("Sort \\[[^\\]]*\\], false".r.findFirstIn(plan).isDefined, plan)
+    Sources.writeRangeSorted(df, dir, "k", numFiles = 4)
+    val man = Sources.rangeManifest(spark, dir, "k")
+      .orderBy("min_key").collect()
+    assert(man.length == 4)
+    // files hold disjoint, increasing ranges
+    man.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_key") < b.getAs[Long]("min_key"), man.mkString("\n"))
+    }
+    assert(man.map(_.getAs[Long]("n")).sum == 200)
+    // each file is internally sorted (read one file alone, check order)
+    val firstFile = man.head.getAs[String]("__file")
+    val rows = spark.read.parquet(firstFile).select("k")
+      .collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted), "file not internally sorted")
+  }
+
   test("compactIfNeeded recovery: missing table is a no-op, torn swap is finished first") {
     try {
       // a table the ingest loop has not created yet: policy no-op, no error
