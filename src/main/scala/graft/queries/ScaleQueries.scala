@@ -978,6 +978,43 @@ object ScaleQueries {
     // partition, never the membership lists). Fully restated by the
     // oracle: recursive-CTE components + the shared q_mu fragment +
     // a per-cluster argmax window.
+    // Curation FUNNEL provenance — "where did my data go": per source,
+    // the document and token counts surviving each pipeline stage
+    // (raw → quality gate → language gate → exact-dup survivor), computed
+    // in ONE scan with stage flags instead of re-running the pipeline
+    // per stage. The survivor flag rides the same content-key window the
+    // dedup uses, ordered pass-first so the kept row per group is exactly
+    // q44's survivor. At 100 TB this is the retention dashboard a
+    // curation run publishes — and a silent filter regression (a stage
+    // suddenly dropping 30% more) moves a cell and goes hash-red.
+    "q112_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val ws = col("ws")
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), t, Dedup.words(t).as("ws"))
+        .select(col("doc_id"), col("source"), t, ws,
+          TextAnalysis.qualityMicro(t, ws).as("q_mu"),
+          TextAnalysis.langIdW(ws).as("lang_guess"),
+          TextAnalysis.tokenCount(t).as("n_tokens"))
+        .withColumn("pass_q", col("q_mu") >= 750000L)
+        .withColumn("pass_lang", col("pass_q") && col("lang_guess") === "en")
+        .withColumn("__key", Dedup.contentKey(t))
+      val w = Window.partitionBy(col("__key"))
+        .orderBy(col("pass_lang").desc, col("doc_id"))
+      scored
+        .withColumn("survivor", col("pass_lang") && row_number().over(w) === 1)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("pass_q"), 1)).as("n_quality"),
+          count(when(col("pass_lang"), 1)).as("n_lang"),
+          count(when(col("survivor"), 1)).as("n_unique"),
+          sum(col("n_tokens")).as("tokens_in"),
+          coalesce(sum(when(col("survivor"), col("n_tokens"))), lit(0L))
+            .as("tokens_kept"))
+    }),
+
     "q99_cluster_best_rep" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
@@ -2207,6 +2244,46 @@ object ScaleQueries {
          |  md5(coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (NOT is_bp), ' '), ''))
          |    AS kept_fp
          |FROM fl GROUP BY doc_id""".stripMargin,
+
+    // The funnel restated stage by stage: scoring + language CTEs with
+    // `source` carried through, the survivor via the same pass-first
+    // content-key window, FILTERed counts per stage.
+    "q112_curation_funnel" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, $wsSplit AS ws,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS en_hits,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS de_hits,
+         |    len(list_filter($wsSplit,
+         |      x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es_hits
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, ws, n_tokens,
+         |    $qMuSql AS q_mu,
+         |    CASE WHEN greatest(de_hits, en_hits, es_hits) = 0 THEN 'und'
+         |         WHEN en_hits > de_hits THEN (CASE WHEN es_hits > en_hits THEN 'es' ELSE 'en' END)
+         |         ELSE (CASE WHEN es_hits > de_hits THEN 'es' ELSE 'de' END) END AS lang_guess
+         |  FROM d),
+         |fl AS (
+         |  SELECT doc_id, source, ws, n_tokens,
+         |    (q_mu >= 750000) AS pass_q,
+         |    (q_mu >= 750000 AND lang_guess = 'en') AS pass_lang
+         |  FROM scored),
+         |k AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY md5(array_to_string(ws, ' '))
+         |      ORDER BY pass_lang DESC, doc_id) AS rn
+         |  FROM fl)
+         |SELECT source, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE pass_q) AS n_quality,
+         |  count(*) FILTER (WHERE pass_lang) AS n_lang,
+         |  count(*) FILTER (WHERE pass_lang AND rn = 1) AS n_unique,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_in,
+         |  CAST(coalesce(sum(n_tokens) FILTER (WHERE pass_lang AND rn = 1), 0) AS BIGINT)
+         |    AS tokens_kept
+         |FROM k GROUP BY source""".stripMargin,
 
     // Components from the brute-force pair ground truth + the shared
     // integer quality fragment + a per-cluster argmax window (DESC q_mu,
