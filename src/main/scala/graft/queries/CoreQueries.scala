@@ -88,6 +88,41 @@ object CoreQueries {
           round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
     }),
 
+    // Sequential conversion FUNNEL over the event stream: per user, the
+    // first 'view', the first 'click' strictly AFTER it, the first
+    // 'purchase' strictly after that — the order-sensitive pattern a
+    // plain group-by cannot express. Three min(CASE) windows share ONE
+    // user_id partitioning (one shuffle, sort reused), the per-user
+    // collapse reuses the same hash partitioning (no extra exchange), and
+    // the result is a single global row of step counts plus exact
+    // microsecond dwell-time sums. At 100 TB the shuffle carries the
+    // events once, keyed by user — no self-joins, no per-step passes.
+    "q113_event_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("ts") > col("fv"),
+            col("ts"))).over(w))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("ts") > col("fc"),
+            col("ts"))).over(w))
+      ev.groupBy(col("user_id"))
+        .agg(min(col("fv")).as("fv"), min(col("fc")).as("fc"),
+          min(col("fp")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("fv")).as("n_view"),
+          count(col("fc")).as("n_click"),
+          count(col("fp")).as("n_purchase"),
+          coalesce(sum(unix_micros(col("fc")) - unix_micros(col("fv"))),
+            lit(0L)).as("sum_view_to_click_us"),
+          coalesce(sum(unix_micros(col("fp")) - unix_micros(col("fc"))),
+            lit(0L)).as("sum_click_to_purchase_us"))
+    }),
+
     // CUBE: all four grouping sets (type×day, type, day, grand total)
     // from ONE shuffle via Expand — completes the grouping family next to
     // rollup (q38), pivot (q39), and distinct-agg (q43). The Expand
@@ -381,6 +416,32 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // The funnel restated step by step with the same min(CASE) windows.
+    "q113_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS fv
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+        |      OVER (PARTITION BY user_id) AS fc
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+        |      OVER (PARTITION BY user_id) AS fp
+        |  FROM s2),
+        |u AS (
+        |  SELECT user_id, min(fv) AS fv, min(fc) AS fc, min(fp) AS fp
+        |  FROM s3 GROUP BY 1)
+        |SELECT count(*) AS n_users, count(fv) AS n_view, count(fc) AS n_click,
+        |  count(fp) AS n_purchase,
+        |  CAST(coalesce(sum(epoch_us(fc) - epoch_us(fv)), 0) AS BIGINT)
+        |    AS sum_view_to_click_us,
+        |  CAST(coalesce(sum(epoch_us(fp) - epoch_us(fc)), 0) AS BIGINT)
+        |    AS sum_click_to_purchase_us
+        |FROM u""".stripMargin,
 
     "q55_cube_matrix" ->
       """SELECT event_type, CAST(day(ts) AS INT) AS dom, count(*) AS cnt,

@@ -256,6 +256,48 @@ object SourceQueries {
           sum(col("sum_key")).as("sum_key"))
     }),
 
+    // Schema-evolution round trip: two epochs of orders land with
+    // DIFFERENT physical schemas — epoch 1 (≤1997) has no priority column
+    // and an INT quantity; epoch 2 (>1997) adds the priority column and
+    // widens quantity to BIGINT. readEvolved reconciles both against the
+    // declared schema (missing column → typed NULL, int → bigint lossless
+    // widening) and the per-year aggregate proves it: priority counts are
+    // zero exactly for the old years, the widened sums are exact. The
+    // oracle restates the drift from the raw table, so a silently dropped
+    // epoch column, a wrong NULL fill, or a lossy cast is hash-red.
+    "q114_schema_evolution" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q114_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"),
+        (col("o_orderkey") % 50 + 1).as("qty"))
+      val e1 = s"$outRoot/epoch1"
+      val e2 = s"$outRoot/epoch2"
+      base.filter(col("o_year") <= 1997)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_year"),
+          col("qty").cast("int").as("qty"))
+        .write.mode("overwrite").parquet(e1)
+      base.filter(col("o_year") > 1997)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_year"),
+          col("o_orderpriority").as("priority"),
+          col("qty").cast("long").as("qty"))
+        .write.mode("overwrite").parquet(e2)
+      val declared = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT, " +
+          "priority STRING, qty BIGINT")
+      Sources.readEvolved(s, Seq(e1, e2), declared)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(col("priority")).as("n_priority"),
+          sum(col("qty")).as("sum_qty"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -434,6 +476,17 @@ object SourceQueries {
       """SELECT 8 AS n_files, count(*) AS n_rows, TRUE AS disjoint,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_key
         |FROM documents""".stripMargin,
+
+    // The drift restated: priority exists only after 1997, qty is the
+    // same derivation in both epochs (the widening changes no value).
+    "q114_schema_evolution" ->
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  count(CASE WHEN year(o_orderdate) > 1997 THEN o_orderpriority END)
+        |    AS n_priority,
+        |  CAST(sum(o_orderkey % 50 + 1) AS BIGINT) AS sum_qty
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -177,6 +177,50 @@ object Sources {
     else None
   }
 
+  /** Schema-drift boundary: read several EPOCHS of a dataset whose schema
+    * evolved over time (columns added, columns dropped, integer/float
+    * widths widened) against one DECLARED schema — the table-level analog
+    * of the record operators' drift handling (`move_unknown_keys_to_extra`
+    * for unexpected fields, `convert_dict_types` for type coercion;
+    * reference `data_structures.py`). Per epoch:
+    *
+    *  - a column missing from the epoch materializes as typed NULL,
+    *  - an exact type match passes through,
+    *  - a LOSSLESS widening (int→long, float→double …, `Cast.canUpCast`)
+    *    is cast in place,
+    *  - anything lossy FAILS LOUD naming the column and both types — a
+    *    silent narrow/reinterpret is how a 100 TB backfill corrupts
+    *    quietly.
+    *
+    * Epochs are reconciled independently then `unionByName`d, so no
+    * cross-epoch footer merge pass runs (mergeSchema reads every file's
+    * footer up front AND refuses width changes); driver cost is one
+    * schema read per epoch, bounded by the epoch count. Matching is
+    * case-insensitive like the rest of Spark's resolution.
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String],
+                  expected: StructType): DataFrame = {
+    require(paths.nonEmpty, "readEvolved needs at least one epoch path")
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    paths.map { p =>
+      val df = spark.read.parquet(p)
+      df.select(expected.fields.toIndexedSeq.map { f =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case None =>
+            lit(null).cast(f.dataType).as(f.name)
+          case Some(g) if g.dataType == f.dataType =>
+            col(g.name).as(f.name)
+          case Some(g) if Cast.canUpCast(g.dataType, f.dataType) =>
+            col(g.name).cast(f.dataType).as(f.name)
+          case Some(g) =>
+            throw new IllegalArgumentException(
+              s"readEvolved: column `${f.name}` in $p has ${g.dataType.sql}, " +
+                s"which cannot losslessly evolve to declared ${f.dataType.sql}")
+        }
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Range-sorted export: the corpus globally ORDERED by `keyCol` across
     * `numFiles` parquet files — file i holds a contiguous, disjoint key
     * range below file i+1's. `repartitionByRange` picks the boundaries by

@@ -172,6 +172,15 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q113: the three funnel windows and the per-user collapse share ONE user_id exchange") {
+    val p = finalPlan("q113_event_funnel")
+    // sequential min(CASE) windows + the groupBy(user_id) all run on the
+    // same hash partitioning; the only other exchange is the single-row
+    // final aggregate's
+    assert(count(p, "Exchange hashpartitioning\\(user_id") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("global sweep: no registered query plans a CartesianProduct") {
     // Skipped: streaming queries (memory-table output — the stateful plan
     // already ran), the CC loops (iterative jobs during construction; the
@@ -198,7 +207,10 @@ class PlanAssertSpec extends SparkSpec {
       "q108_partitioned_merge",
       // range-sorted export: construction executes the write; SourcesSpec
       // pins the RangePartitioning (not global sort) exchange shape
-      "q111_range_sorted_export")
+      "q111_range_sorted_export",
+      // schema-evolution round trip: construction writes both epochs;
+      // SourcesSpec pins the reconciliation semantics
+      "q114_schema_evolution")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")

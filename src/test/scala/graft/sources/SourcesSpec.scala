@@ -157,6 +157,25 @@ class SourcesSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted), "file not internally sorted")
   }
 
+  test("readEvolved: missing column fills typed NULL, lossless widening casts, lossy fails loud") {
+    val d1 = tmp() + "/e1"
+    val d2 = tmp() + "/e2"
+    Seq((1L, 10)).toDF("k", "qty").write.parquet(d1)                 // no tag, INT qty
+    Seq((2L, 20L, "x")).toDF("k", "qty", "TAG").write.parquet(d2)    // BIGINT qty, tag added
+    val declared = StructType.fromDDL("k BIGINT, qty BIGINT, tag STRING")
+    val out = Sources.readEvolved(spark, Seq(d1, d2), declared)
+      .orderBy("k").collect().toSeq
+    // epoch-1 row: widened qty, NULL tag; epoch-2 row: case-insensitive
+    // TAG resolves to the declared name
+    assert(out == Seq(Row(1L, 10L, null), Row(2L, 20L, "x")))
+    // lossy direction (BIGINT epoch vs declared INT) must fail loud
+    val narrow = StructType.fromDDL("k BIGINT, qty INT, tag STRING")
+    val e = intercept[IllegalArgumentException] {
+      Sources.readEvolved(spark, Seq(d2), narrow)
+    }
+    assert(e.getMessage.contains("qty") && e.getMessage.contains("BIGINT"))
+  }
+
   test("compactIfNeeded recovery: missing table is a no-op, torn swap is finished first") {
     try {
       // a table the ingest loop has not created yet: policy no-op, no error
