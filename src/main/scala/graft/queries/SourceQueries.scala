@@ -151,14 +151,19 @@ object SourceQueries {
         "graft_q108_" + new java.io.File(dir).getName.replace('.', '_'))
       val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      // integer CENTS end-to-end (the q44 lesson): a double price sum is
+      // order-dependent across file layouts — 1-ulp at a rounding
+      // boundary is hash-red (q115 caught exactly this). Cents sums are
+      // exact and order-independent.
       val base = Tables(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
         year(col("o_orderdate")).as("o_year"),
         lit(0).as("version"), lit("U").as("op"))
       Sources.writeParquet(base, outRoot.toString, partitionBy = Seq("o_year"))
       val inYears = col("o_year").isin(1997, 1999)
       val upd = base.filter(col("o_orderkey") % 7 === 0 && inYears)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("cents", expr("(cents * 110) div 100"))
         .withColumn("version", lit(1))
       val del = base.filter(col("o_orderkey") % 13 === 0 && inYears)
         .withColumn("version", lit(2))
@@ -166,7 +171,7 @@ object SourceQueries {
       val ins = base.filter(col("o_orderkey") % 11 === 0 && inYears)
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
         .withColumn("o_orderstatus", lit("N"))
-        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+        .withColumn("cents", expr("cents div 2"))
         .withColumn("version", lit(1))
       val stats = Merge.upsertPartitioned(s, outRoot.toString,
         upd.unionByName(del).unionByName(ins),
@@ -175,7 +180,7 @@ object SourceQueries {
       Sources.readParquet(s, outRoot.toString)
         .groupBy(col("o_year"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(col("cents")).as("sum_cents"),
           sum(col("version")).as("sum_version"))
         .withColumn("parts_touched", lit(stats.partitionsTouched))
     }),
@@ -298,6 +303,37 @@ object SourceQueries {
           sum(col("qty")).as("sum_qty"))
     }),
 
+    // Z-ORDER layout: events laid out by the bit-interleaved
+    // (user-bucket, day) key through the same range-sorted writer — each
+    // file's Z-interval covers a bounded rectangle of the 2-D space, so
+    // a (user-range × day-range) box predicate prunes files on BOTH
+    // dimensions (one-key range sort prunes only its own key; ZOrderSpec
+    // measures the advantage). The interleave is plain bitwise column
+    // arithmetic — fully codegen'd, and restated TERM BY TERM in the
+    // oracle via the shared interleaveSql emitter, so a drifted bit
+    // position in either emitter is hash-red. Layout invariants as q111.
+    "q116_zorder_layout" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q116_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val ev = Tables(s, dir, "events").select(
+        pmod(col("user_id"), lit(64)).as("xb"),
+        dayofmonth(col("ts")).as("yb"))
+        .withColumn("z", graft.functions.ZOrder.interleave(col("xb"), col("yb"), bits = 8))
+      Sources.writeRangeSorted(ev, outRoot.toString, "z", numFiles = 16)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("min_key"))
+      Sources.rangeManifest(s, outRoot.toString, "z")
+        .withColumn("prev_max", lag(col("max_key"), 1).over(w))
+        .agg(
+          count(lit(1)).cast("int").as("n_files"),
+          sum(col("n")).as("n_rows"),
+          min(when(col("prev_max").isNull, true)
+            .otherwise(col("prev_max") <= col("min_key"))).as("disjoint"),
+          sum(col("sum_key")).as("sum_z"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -395,17 +431,18 @@ object SourceQueries {
     "q108_partitioned_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,
-        |         o_totalprice AS price, year(o_orderdate) AS o_year,
-        |         0 AS version, 'U' AS op
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
         |  FROM orders),
         |upd AS (
-        |  SELECT k, status, price * 1.1 AS price, o_year, 1 AS version, 'U' AS op
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
         |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)),
         |del AS (
-        |  SELECT k, status, price, o_year, 2 AS version, 'D' AS op
+        |  SELECT k, status, cents, o_year, 2 AS version, 'D' AS op
         |  FROM base WHERE k % 13 = 0 AND o_year IN (1997, 1999)),
         |ins AS (
-        |  SELECT k + 10000000 AS k, 'N' AS status, price * 0.5 AS price,
+        |  SELECT k + 10000000 AS k, 'N' AS status, cents // 2 AS cents,
         |         o_year, 1 AS version, 'U' AS op
         |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
         |changes AS (
@@ -415,7 +452,7 @@ object SourceQueries {
         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)),
         |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
         |SELECT o_year, status AS o_orderstatus, count(*) AS n,
-        |  round(sum(price), 2) AS sum_price,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(version) AS BIGINT) AS sum_version,
         |  (SELECT count(DISTINCT o_year) FROM changes) AS parts_touched
         |FROM final
@@ -487,6 +524,15 @@ object SourceQueries {
         |  CAST(sum(o_orderkey % 50 + 1) AS BIGINT) AS sum_qty
         |FROM orders
         |GROUP BY 1""".stripMargin,
+
+    // Totals restated with the SAME term-by-term interleave emitter the
+    // engine plans from — one drifted bit position on either side moves
+    // sum_z and goes hash-red.
+    "q116_zorder_layout" ->
+      s"""SELECT 16 AS n_files, count(*) AS n_rows, TRUE AS disjoint,
+         |  CAST(sum(${graft.functions.ZOrder.interleaveSql("(user_id % 64)", "day(ts)", 8)}) AS BIGINT)
+         |    AS sum_z
+         |FROM events""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -228,6 +228,71 @@ object StreamQueries {
     // where a daily-ingest stream hands off to it. Production uses
     // dropDuplicatesWithinWatermark keyed the same way so key state
     // evicts; the finite demo stream keeps plain dropDuplicates.
+    // Streaming CDC apply — the merge family's production front-end: a
+    // change stream folds into a persisted partitioned table per
+    // micro-batch via foreachBatch + [[graft.sources.Merge
+    // .upsertPartitioned]] (the hash-green q108 function: partition-pruned
+    // base read, stage-then-publish dynamic overwrite, emptied-partition
+    // sweep). Updates, tombstones, and inserts are derived from the
+    // arriving batch; a replayed micro-batch (Structured Streaming's
+    // at-least-once foreachBatch contract after a crash) CONVERGES
+    // because the merge is idempotent — the same property that heals a
+    // torn publish. The finite demo stream arrives as one micro-batch,
+    // so the final table state restates q108's oracle (minus the stats
+    // column); cross-batch convergence is pinned by MergeSpec's rerun
+    // test.
+    "q115_stream_merge_ingest" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q115_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      // integer CENTS end-to-end (the q44 lesson): a double price sum is
+      // order-dependent and the streaming path's file layout orders the
+      // adds differently than the oracle — 1-ulp at a rounding boundary
+      // is hash-red. Cents sums are exact and order-independent.
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      graft.sources.Sources.writeParquet(
+        shape(graft.Tables(s, dir, "orders")), tablePath,
+        partitionBy = Seq("o_year"))
+      val schema = s.read.parquet(s"$dir/orders.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/orders.parque[t]")
+      val apply: (DataFrame, Long) => Unit = (batch, _) => {
+        val sp = batch.sparkSession
+        val b = shape(batch)
+        val inYears = col("o_year").isin(1997, 1999)
+        val upd = b.filter(col("o_orderkey") % 7 === 0 && inYears)
+          .withColumn("cents", expr("(cents * 110) div 100"))
+          .withColumn("version", lit(1))
+        val del = b.filter(col("o_orderkey") % 13 === 0 && inYears)
+          .withColumn("version", lit(2))
+          .withColumn("op", lit("D"))
+        val ins = b.filter(col("o_orderkey") % 11 === 0 && inYears)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("cents", expr("cents div 2"))
+          .withColumn("version", lit(1))
+        val changes = upd.unionByName(del).unionByName(ins)
+        if (!changes.isEmpty) {
+          graft.sources.Merge.upsertPartitioned(sp, tablePath, changes,
+            keyCols = Seq("o_orderkey"), orderCols = Seq("version"),
+            partitionCol = "o_year", opCol = "op"): Unit
+        }
+      }
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.foreachBatch(apply)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.sources.Sources.readParquet(s, tablePath)
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+    }),
+
     "q85_stream_index_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val idx = s"g85_idx_$sf"
@@ -505,6 +570,37 @@ object StreamQueries {
       """SELECT DISTINCT user_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
         |FROM events""".stripMargin,
+
+    // The q108 merge restatement (base ∪ changes → per-key argmax →
+    // tombstone filter → per-year aggregate) — the streaming apply must
+    // land exactly the batch-merge state.
+    "q115_stream_merge_ingest" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)),
+        |del AS (
+        |  SELECT k, status, cents, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year IN (1997, 1999)),
+        |ins AS (
+        |  SELECT k + 10000000 AS k, 'N' AS status, cents // 2 AS cents,
+        |         o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
 
     // Accepted keys = distinct batch content keys absent from the corpus
     // key set — the in-flight half of the incremental-dedup contract.

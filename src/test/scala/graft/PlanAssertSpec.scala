@@ -195,7 +195,7 @@ class PlanAssertSpec extends SparkSpec {
       "q34_stream_rollup", "q41_stream_enrich", "q42_stream_dedup",
       "q45_stream_join", "q65_stream_session", "q85_stream_index_dedup",
       "q88_stream_neardup_ingest", "q98_stream_embedding_ingest",
-      "q104_stream_ivf_ingest",
+      "q104_stream_ivf_ingest", "q115_stream_merge_ingest",
       "q58_dup_clusters", "q66_dup_clusters_bigstar", "q70_neardup_dedup",
       "q53_partitioned_roundtrip", "q68_bucketed_join",
       "q71_csv_roundtrip", "q72_jsonl_roundtrip", "q76_corpus_export",
@@ -210,7 +210,10 @@ class PlanAssertSpec extends SparkSpec {
       "q111_range_sorted_export",
       // schema-evolution round trip: construction writes both epochs;
       // SourcesSpec pins the reconciliation semantics
-      "q114_schema_evolution")
+      "q114_schema_evolution",
+      // z-order layout: construction executes the write; ZOrderSpec pins
+      // the interleave and the 2-D skipping advantage
+      "q116_zorder_layout")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
