@@ -3,48 +3,63 @@ package graft
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
-/** AQE skew handling — the runtime half of the engine's skew story (the
-  * compile-time half is explicit salting, e.g. minhashPairs' band-bucket
-  * chunks). A join with one dominant key must come out of AQE with the
-  * skewed partition split (`skew=true` on the join), not one straggler
-  * task doing 90% of the work.
+/** AQE skew-join coverage: the runtime lever for the hot-key joins the
+  * engine cannot pre-salt (ad-hoc fact-fact joins on organically skewed
+  * keys — at 100 TB one viral user/document key can hold 1000× the median
+  * partition). The engine's own skew-prone paths pre-salt deterministically
+  * (LSH buckets, verification pairs); this spec pins that the PLAIN join
+  * shapes the library emits stay eligible for Spark's adaptive skew split,
+  * by building a synthetic skewed join and asserting AQE actually marks
+  * the skewed side split at runtime (`isSkew=true` in the final adaptive
+  * plan) while the result stays correct. Thresholds are dialed down so a
+  * toy dataset exhibits "skew" — the assertion is about plan mechanics,
+  * not data volume.
   */
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  test("AQE splits the dominant key of a skewed sort-merge join") {
-    val confs = Seq(
-      // enough partitions that the median partition size is the small ones
-      // (skew detection compares against the median; at the suite default
-      // of 2 the hot partition IS the median and nothing is ever skewed)
-      "spark.sql.shuffle.partitions" -> "16",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      // ~95% of fact rows share key 0; payload pads partition bytes over
-      // the threshold so the hot partition is unambiguously skewed.
-      val facts = spark.range(20000)
-        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
-          concat_ws("", Seq.fill(8)(md5(col("id").cast("string"))): _*).as("pad"))
-      val dims = spark.range(1000).select(col("id").as("k"), lit("d").as("name"))
-      val joined = facts.join(dims, "k")
-      // execute THIS DataFrame's query execution (a count() would build
-      // its own plan tree and leave `joined`'s unexecuted/non-adaptive)
-      assert(joined.collect().length == 20000)
-      val plan = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-        case p => p.toString
-      }
-      assert(plan.contains("skew=true"),
-        s"expected AQE to mark the skewed join, got:\n$plan")
-    } finally saved.foreach {
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed partition of a shuffled equi-join at runtime") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      // enough partitions that the median is a NORMAL partition — with
+      // the test session's 2, the hot partition IS the median and can
+      // never exceed factor x itself
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // toy-scale dials: any partition over ~16 KB and 1.1x the median
+      // counts as skewed, so the planted hot key trips the optimization
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384") {
+      // hot key 0 carries 50k left rows; keys 1..50 a handful each
+      val left = spark.range(0, 50000).select(lit(0L).as("k"), col("id").as("v"))
+        .unionAll(spark.range(1, 51).select(col("id").as("k"), col("id").as("v")))
+      val right = spark.range(0, 51).select(col("id").as("k"),
+        concat(lit("r"), col("id")).as("tag"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's plan (count() would plan a separate
+      // aggregate tree and leave joined's adaptive plan un-run)
+      assert(joined.collect().length == 50000 + 50)
+      val adaptive = joined.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      assert(adaptive.nonEmpty, "expected an adaptive plan")
+      val finalPlan = adaptive.get.executedPlan.toString
+      assert(finalPlan.contains("skew=true") &&
+        finalPlan.contains("AQEShuffleRead skewed"),
+        "AQE did not mark the hot partition skew-split:\n" + finalPlan.take(4000))
     }
   }
 }
