@@ -123,6 +123,37 @@ object CoreQueries {
             lit(0L)).as("sum_click_to_purchase_us"))
     }),
 
+    // Incremental statistics maintenance — q110's contract for algebraic
+    // aggregates: per-epoch moment tables (n, Σv, Σv² in exact DECIMAL
+    // micro-units) computed separately, the old epoch PERSISTED and read
+    // back, then merged by plain per-key addition and finished into the
+    // q51 stddev formula. The oracle computes the same stats from the
+    // FULL feed in one pass — hash equality proves merge-of-partials ≡
+    // batch bit-for-bit (exact sums: merge order cannot flip a ulp). At
+    // 100 TB this is the daily stats refresh that reads one day, not a
+    // year.
+    "q118_incremental_stats" -> ((s, dir) => {
+      import graft.scale.Stats
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q118_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val ev = Tables(s, dir, "events").select(col("event_type"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("v"))
+      val cut = lit("2024-01-20").cast("timestamp")
+      val mOld = Stats.moments(ev.filter(col("ts") < cut),
+        Seq("event_type"), "v")
+      mOld.write.mode("overwrite").parquet(outRoot.toString)
+      val mNew = Stats.moments(ev.filter(col("ts") >= cut),
+        Seq("event_type"), "v")
+      val merged = Stats.merge(Seq("event_type"),
+        s.read.parquet(outRoot.toString), mNew)
+      Stats.stddevFromMoments(merged)
+        .select(col("event_type"), col("n"),
+          col("s1").cast("string").as("s1"), col("sd_value"))
+    }),
+
     // CUBE: all four grouping sets (type×day, type, day, grand total)
     // from ONE shuffle via Expand — completes the grouping family next to
     // rollup (q38), pivot (q39), and distinct-agg (q43). The Expand
@@ -416,6 +447,22 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // The BATCH restatement over the full feed — one pass, no epochs:
+    // hash equality is the merge-of-partials ≡ batch proof.
+    "q118_incremental_stats" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(v) AS s1, sum(CAST(v AS HUGEINT) * v) AS s2
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, n, CAST(s1 AS VARCHAR) AS s1,
+        |  round(sqrt((CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+        |        / 1000000.0, 6) AS sd_value
+        |FROM m""".stripMargin,
 
     // The funnel restated step by step with the same min(CASE) windows.
     "q113_event_funnel" ->

@@ -198,6 +198,27 @@ object RecordQueries {
     // D2 walk: ASCII tree of a summary record. Driver-side by design (the
     // reference renders one record for humans); the 5-row dim collect is
     // the debug-utility exception, not a pattern.
+    // Table-level data-quality gate (ops.Validate) — the ingestion-
+    // boundary complement of the record-local strict conversions: seven
+    // declared expectations over orders evaluate as conditional
+    // aggregates in ONE scan, unpivoted into the (rule, violations,
+    // max_violations, passed) report. One rule (the tight price range) is
+    // deliberately FAILING so the report's red path is itself under the
+    // hash gate — its exact violation count is restated by the oracle, so
+    // both a broken metric and a silently-green gate are hash-red.
+    "q117_data_quality" -> ((s, dir) => {
+      import graft.ops.Validate
+      import graft.ops.Validate._
+      Validate.report(Tables(s, dir, "orders"), Seq(
+        notNull("o_orderkey"),
+        unique("o_orderkey"),
+        inRange("o_totalprice", 0.0, 1000000.0),
+        inRange("o_totalprice", 0.0, 100000.0),
+        acceptedValues("o_orderstatus", Seq("O", "F", "P")),
+        matches("o_orderpriority", "^[1-5]-"),
+        minRows(1000L)))
+    }),
+
     "q14_walk_render" -> ((s, dir) => {
       import s.implicits._
       val names = Tables(s, dir, "region")
@@ -323,6 +344,35 @@ object RecordQueries {
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
         |  count(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS distinct_k
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Every rule's violation count restated independently; passed is
+    // derived the same way on both sides.
+    "q117_data_quality" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS v_nn,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+        |    CAST(count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |                      OR o_totalprice > 1000000 THEN 1 END) AS BIGINT) AS v_r1,
+        |    CAST(count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |                      OR o_totalprice > 100000 THEN 1 END) AS BIGINT) AS v_r2,
+        |    CAST(count(CASE WHEN o_orderstatus IS NULL
+        |                      OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT) AS v_av,
+        |    CAST(count(CASE WHEN o_orderpriority IS NULL
+        |                      OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS BIGINT) AS v_rx,
+        |    CAST(greatest(0, 1000 - count(*)) AS BIGINT) AS v_mr
+        |  FROM orders),
+        |r AS (
+        |  SELECT 'not_null(o_orderkey)' AS rule, v_nn AS violations, CAST(0 AS BIGINT) AS max_violations FROM m
+        |  UNION ALL SELECT 'unique(o_orderkey)', v_uq, 0 FROM m
+        |  UNION ALL SELECT 'in_range(o_totalprice,0.0,1000000.0)', v_r1, 0 FROM m
+        |  UNION ALL SELECT 'in_range(o_totalprice,0.0,100000.0)', v_r2, 0 FROM m
+        |  UNION ALL SELECT 'accepted_values(o_orderstatus)', v_av, 0 FROM m
+        |  UNION ALL SELECT 'matches(o_orderpriority)', v_rx, 0 FROM m
+        |  UNION ALL SELECT 'min_rows(1000)', v_mr, 0 FROM m)
+        |SELECT rule, violations, max_violations,
+        |  violations <= max_violations AS passed
+        |FROM r""".stripMargin,
 
     // The tree lines recomputed from the region table itself.
     "q14_walk_render" ->

@@ -213,7 +213,10 @@ class PlanAssertSpec extends SparkSpec {
       "q114_schema_evolution",
       // z-order layout: construction executes the write; ZOrderSpec pins
       // the interleave and the 2-D skipping advantage
-      "q116_zorder_layout")
+      "q116_zorder_layout",
+      // incremental stats: construction persists the old-epoch moments;
+      // StatsSpec pins the merge algebra
+      "q118_incremental_stats")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
