@@ -334,6 +334,28 @@ object SourceQueries {
           sum(col("sum_key")).as("sum_z"))
     }),
 
+    // The shard round trip through the DataSource V2 reader — q107's
+    // contract via `spark.read.format("graft-shards")`: shards planned as
+    // real input partitions (one per shard file) and column pruning
+    // pushed into the scan (ShardSourceSpec pins both). Same oracle shape
+    // as q106/q107 on its own doc subset: a torn shard, a dropped entry,
+    // or a byte drift through the DSv2 path is hash-red.
+    "q119_shard_dsv2" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q119_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)
+      graft.scale.Multimodal.exportPayloadShards(docs, "doc_id",
+        col("text").cast("binary"), outRoot.toString, maxShardBytes = 64L << 10)
+      s.read.format("graft-shards").load(outRoot.toString)
+        .select(
+          regexp_extract(col("name"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -533,6 +555,13 @@ object SourceQueries {
          |  CAST(sum(${graft.functions.ZOrder.interleaveSql("(user_id % 64)", "day(ts)", 8)}) AS BIGINT)
          |    AS sum_z
          |FROM events""".stripMargin,
+
+    // q106/q107's contract on the q119 subset — the DSv2 path must
+    // deliver the same bytes the source table holds.
+    "q119_shard_dsv2" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id % 10 = 7""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -1,0 +1,160 @@
+package graft.sources.shardsource
+
+import java.util
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 for the WebDataset-style tar payload shards written by
+  * [[graft.scale.Multimodal.exportPayloadShards]] — the preference-order
+  * (c) move done where it genuinely pays: tar shards are not a Spark
+  * built-in format, and a first-class source gives the planner two things
+  * the `mapPartitions` reader cannot express:
+  *
+  *  - **Partition planning**: one input partition per shard file, planned
+  *    from a driver-side listing (a metadata op), so shards parallelize
+  *    exactly like parquet files and locality/ordering stay with the
+  *    scheduler, not with a hand-rolled `mapPartitions` over a path list.
+  *  - **Column-pruning pushdown** (`SupportsPushDownRequiredColumns`): a
+  *    metadata-only projection — `select(name)`, a manifest or count —
+  *    never materializes payload bytes; the reader skips over each tar
+  *    entry's body (a seek on seekable filesystems) instead of buffering
+  *    it. On a 100 TB shard corpus that is the difference between
+  *    listing entry names and reading the archive.
+  *
+  * Usage: `spark.read.format("graft-shards").load(dir)` (shortName via
+  * META-INF service registration, or the full class name). Schema:
+  * `shard_path STRING, name STRING, content BINARY`. Orphan `.tmp`
+  * shards from crashed write attempts are excluded at planning.
+  */
+class ShardSourceProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-shards"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-shards needs a path — .load(dir)"))
+    new ShardTable(path)
+  }
+}
+
+object ShardTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard_path", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+}
+
+class ShardTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-shards(`$path`)"
+  override def schema(): StructType = ShardTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardScanBuilder(path)
+}
+
+class ShardScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ShardTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // an empty projection (count(*)) still needs a row per entry; keep
+    // the empty struct — the reader emits empty rows without any IO body
+    required = requiredSchema
+  }
+  override def build(): Scan = new ShardScan(path, required)
+}
+
+final case class ShardInputPartition(uri: String) extends InputPartition
+
+class ShardScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-shards $path readSchema=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side metadata listing only — one partition per shard file;
+    // `.tmp` orphans from crashed write attempts never plan
+    val p = new Path(path)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tar"))
+      .map(st => ShardInputPartition(st.getPath.toUri.toString): InputPartition)
+      .toArray.sortBy(_.asInstanceOf[ShardInputPartition].uri)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new ShardReaderFactory(required,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+}
+
+class ShardReaderFactory(required: StructType, conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ShardPartitionReader(
+      partition.asInstanceOf[ShardInputPartition].uri, required, conf)
+}
+
+/** Streams one shard's entries. Memory is bounded by ONE entry — and only
+  * when `content` is actually required; otherwise the body is skipped by
+  * the tar stream on the next `getNextEntry` (a positioned skip, not a
+  * read, on seekable filesystems).
+  */
+class ShardPartitionReader(uri: String, required: StructType,
+                           conf: SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
+
+  private val needContent = required.fieldNames.contains("content")
+  private val pathUtf8 = UTF8String.fromString(uri)
+  private val in: TarArchiveInputStream = {
+    val p = new Path(java.net.URI.create(uri))
+    new TarArchiveInputStream(p.getFileSystem(conf.value).open(p))
+  }
+  private var cur: TarArchiveEntry = _
+
+  override def next(): Boolean = {
+    cur = in.getNextEntry
+    while (cur != null && cur.isDirectory) cur = in.getNextEntry
+    cur != null
+  }
+
+  override def get(): InternalRow = {
+    val values = required.fieldNames.map {
+      case "shard_path" => pathUtf8
+      case "name" => UTF8String.fromString(cur.getName)
+      case "content" =>
+        val buf = new Array[Byte](cur.getSize.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val n = in.read(buf, off, buf.length - off)
+          if (n < 0) throw new java.io.EOFException(
+            s"torn tar entry ${cur.getName} in $uri")
+          off += n
+        }
+        buf
+      case other => throw new IllegalStateException(s"unknown column $other")
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = in.close()
+}

@@ -216,7 +216,10 @@ class PlanAssertSpec extends SparkSpec {
       "q116_zorder_layout",
       // incremental stats: construction persists the old-epoch moments;
       // StatsSpec pins the merge algebra
-      "q118_incremental_stats")
+      "q118_incremental_stats",
+      // dsv2 shard round trip: construction exports the shards;
+      // ShardSourceSpec pins partition planning and pruning
+      "q119_shard_dsv2")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
