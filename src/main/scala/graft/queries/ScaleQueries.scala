@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1013,6 +1013,30 @@ object ScaleQueries {
           sum(col("n_tokens")).as("tokens_in"),
           coalesce(sum(when(col("survivor"), col("n_tokens"))), lit(0L))
             .as("tokens_kept"))
+    }),
+
+    // Grouped top-k via the typed Aggregator (ops.TopKAgg) — per-source
+    // top-3 documents by exact quality, WITHOUT a window: the k-row
+    // buffer combines map-side, so the shuffle carries at most k rows per
+    // source per partition and no group is ever sorted (the window form
+    // sorts every group in full — the skew-prone mega-group shape q83/q86
+    // work to avoid). The oracle computes the same top-3 with the window
+    // form, so the Aggregator's insert/merge path is hash-checked against
+    // the reference semantics including ties (score DESC, id ASC).
+    "q120_grouped_topk" -> ((s, dir) => {
+      import graft.ops.{ScoredId, TopKAgg}
+      val topk = udaf(new TopKAgg(3), Encoders.product[ScoredId])
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          Dedup.words(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityMicro(col("text"), col("ws")).as("q_mu"))
+        .groupBy(col("source"))
+        .agg(topk(col("q_mu"), col("doc_id")).as("t"))
+        .select(col("source"),
+          posexplode(arrays_zip(col("t.scores").as("s"), col("t.ids").as("i"))))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.i").as("doc_id"), col("col.s").as("q_mu"))
     }),
 
     "q99_cluster_best_rep" -> ((s, dir) => {
@@ -2284,6 +2308,21 @@ object ScaleQueries {
          |  CAST(coalesce(sum(n_tokens) FILTER (WHERE pass_lang AND rn = 1), 0) AS BIGINT)
          |    AS tokens_kept
          |FROM k GROUP BY source""".stripMargin,
+
+    // The window restatement of the Aggregator's contract: row_number
+    // over (q_mu DESC, doc_id ASC) per source, kept through rank 3.
+    "q120_grouped_topk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, $wsSplit AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, $qMuSql AS q_mu FROM d),
+         |r AS (
+         |  SELECT source, doc_id, q_mu,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY q_mu DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT source, rank, doc_id, CAST(q_mu AS BIGINT) AS q_mu
+         |FROM r WHERE rank <= 3""".stripMargin,
 
     // Components from the brute-force pair ground truth + the shared
     // integer quality fragment + a per-cluster argmax window (DESC q_mu,
