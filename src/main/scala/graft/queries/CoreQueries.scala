@@ -154,6 +154,34 @@ object CoreQueries {
           col("s1").cast("string").as("s1"), col("sd_value"))
     }),
 
+    // FULL OUTER reconciliation — the cross-table referential-integrity
+    // audit (the two-table complement of q117's single-table gate):
+    // filtered order and lineitem populations full-outer join on the
+    // order key, and the aggregate counts matched keys, orders with no
+    // lines, and orphan lines with no order, per status (orphans land in
+    // the NULL-status bucket). Both orphan classes are deliberately
+    // non-empty via disjoint population filters so neither leg of the
+    // outer join is vacuous. One shuffle each side; completes the join
+    // matrix next to inner/broadcast (q2/q49), anti (q40), semi (q50),
+    // range (q52), as-of (q31).
+    "q121_full_outer_reconcile" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 =!= 0)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull, 1))
+            .as("n_matched"),
+          count(when(col("l_orderkey").isNull, 1)).as("n_orders_no_lines"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_orphan_lines"),
+          coalesce(sum(col("n_lines")), lit(0L)).as("sum_lines"))
+    }),
+
     // CUBE: all four grouping sets (type×day, type, day, grand total)
     // from ONE shuffle via Expand — completes the grouping family next to
     // rollup (q38), pivot (q39), and distinct-agg (q43). The Expand
@@ -447,6 +475,23 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q121_full_outer_reconcile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0),
+        |l AS (
+        |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |  WHERE l_orderkey % 3 <> 0 GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus, l.l_orderkey, l.n_lines
+        |  FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+        |             THEN 1 END) AS n_matched,
+        |  count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_orders_no_lines,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_orphan_lines,
+        |  CAST(coalesce(sum(n_lines), 0) AS BIGINT) AS sum_lines
+        |FROM j GROUP BY 1""".stripMargin,
 
     // The BATCH restatement over the full feed — one pass, no epochs:
     // hash equality is the merge-of-partials ≡ batch proof.
