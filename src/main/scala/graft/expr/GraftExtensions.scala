@@ -55,5 +55,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig(c(0), intLit(c(1), "dim"), intLit(c(2), "numPlanes")))
     register("stopword_hits", classOf[StopwordHits])(c =>
       StopwordHits(c(0), stringSeqLit(c(1), "vocabulary")))
+    register("nfc_normalize", classOf[NfcNormalize])(c => NfcNormalize(c.head))
   }
 }

@@ -1015,6 +1015,34 @@ object ScaleQueries {
             .as("tokens_kept"))
     }),
 
+    // Unicode NFC normalization at the ingestion boundary — the
+    // prerequisite for every byte-keyed text operator: canonically
+    // equivalent strings ("é" precomposed vs "e"+U+0301) hash to
+    // DIFFERENT dedup keys until normalized. A planted suffix gives every
+    // third doc the decomposed form: the raw md5 key space holds two
+    // classes per lang, the NFC'd space exactly one, and the full-text
+    // md5s pin byte-exact NFC agreement between the codegen'd JVM
+    // expression and DuckDB's utf8proc implementation. Fast path: already-
+    // NFC input returns the input object, no allocation.
+    "q122_unicode_normalize" -> ((s, dir) => {
+      import graft.expr.NfcNormalize
+      val suf = when(col("doc_id") % 3 === 0, lit("Cafe\u0301"))
+        .otherwise(lit("Caf\u00e9"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("text"), suf.as("suf"))
+        .select(col("lang"), col("suf"),
+          NfcNormalize.column(col("suf")).as("sufn"),
+          NfcNormalize.column(concat(col("text"), lit(" "), col("suf")))
+            .as("docn"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("sufn") =!= col("suf"), 1)).as("n_denorm"),
+          count_distinct(md5(col("suf").cast("binary"))).as("distinct_raw_keys"),
+          count_distinct(md5(col("sufn").cast("binary"))).as("distinct_norm_keys"),
+          count_distinct(md5(col("docn").cast("binary"))).as("distinct_docs"))
+    }),
+
     // Grouped top-k via the typed Aggregator (ops.TopKAgg) — per-source
     // top-3 documents by exact quality, WITHOUT a window: the k-row
     // buffer combines map-side, so the shuffle carries at most k rows per
@@ -2308,6 +2336,21 @@ object ScaleQueries {
          |  CAST(coalesce(sum(n_tokens) FILTER (WHERE pass_lang AND rn = 1), 0) AS BIGINT)
          |    AS tokens_kept
          |FROM k GROUP BY source""".stripMargin,
+
+    // The same planted drift restated through DuckDB's utf8proc NFC —
+    // byte-exact agreement with the JVM Normalizer is the contract.
+    "q122_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769)
+        |         ELSE 'Caf' || chr(233) END AS suf
+        |  FROM documents)
+        |SELECT lang, count(*) AS n,
+        |  count(CASE WHEN nfc_normalize(suf) <> suf THEN 1 END) AS n_denorm,
+        |  count(DISTINCT md5(suf)) AS distinct_raw_keys,
+        |  count(DISTINCT md5(nfc_normalize(suf))) AS distinct_norm_keys,
+        |  count(DISTINCT md5(nfc_normalize(text || ' ' || suf))) AS distinct_docs
+        |FROM d GROUP BY 1""".stripMargin,
 
     // The window restatement of the Aggregator's contract: row_number
     // over (q_mu DESC, doc_id ASC) per source, kept through rank 3.
