@@ -50,6 +50,15 @@ object ScaleProbe {
     "q95_embedding_neardup_dedup", "q97_indexed_embedding_neardup",
     "q101_ivf_index_probe", "q82_ivf_recall")
 
+  /** The CDC merge at scale: q108 lands a year-partitioned base table and
+    * applies a two-partition change batch — at N× orders the partition
+    * COUNT stays constant while rows per partition grow N×, exactly how a
+    * real table ages, so the probe measures whether the partition-pruned
+    * read + touched-directory rewrite stays proportional to the touched
+    * partitions' size.
+    */
+  private val MergeQueries = Seq("q108_partitioned_merge")
+
   /** Synthesize `copies`× documents at `tierDir` if absent. Deterministic:
     * ids shift by copy × (maxId+1), every word gets a copy-tag suffix, so
     * a regenerated tier is byte-stable given the same base table.
@@ -107,6 +116,27 @@ object ScaleProbe {
     tier.write.mode("overwrite").parquet(s"$tierDir/embeddings.parquet")
   }
 
+  /** Synthesize `copies`× orders at `tierDir` if absent: keys shift by a
+    * collision-free stride, dates/status stay — so the year-partition
+    * count is constant and each partition holds `copies`× the rows (how a
+    * real partitioned table actually grows).
+    */
+  private def synthesizeOrdersTier(spark: SparkSession, baseDir: String,
+                                   tierDir: String, copies: Int, rebuild: Boolean): Unit = {
+    val marker = new java.io.File(s"$tierDir/orders.parquet/_SUCCESS")
+    if (marker.exists() && !rebuild) return
+    val base = spark.read.parquet(s"$baseDir/orders.parquet")
+    val maxId = base.agg(max(col("o_orderkey"))).head()
+    require(!maxId.isNullAt(0), s"$baseDir/orders.parquet is empty — nothing to scale")
+    val stride = maxId.getLong(0) + 1L
+    val colsInOrder = base.columns.toSeq
+    val tier = (0 until copies).map { i =>
+      base.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * stride))
+        .select(colsInOrder.map(col): _*)
+    }.reduce(_.unionAll(_))
+    tier.write.mode("overwrite").parquet(s"$tierDir/orders.parquet")
+  }
+
   private def heapMb(): Long = {
     System.gc()
     val rt = Runtime.getRuntime
@@ -133,12 +163,14 @@ object ScaleProbe {
     val tierDir = new java.io.File(s"target/scaleprobe/sf${copies}x").getAbsolutePath
     synthesizeTier(spark, baseDir, tierDir, copies, rebuild)
     synthesizeEmbTier(spark, baseDir, tierDir, copies, rebuild)
+    synthesizeOrdersTier(spark, baseDir, tierDir, copies, rebuild)
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nTier = spark.read.parquet(s"$tierDir/documents.parquet").count()
 
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      (HeavyQueries ++ EmbeddingQueries).map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      (HeavyQueries ++ EmbeddingQueries ++ MergeQueries)
+        .map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "q86_token_quantiles:preagg" ->
           ((s: SparkSession, d: String) =>
             queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),
