@@ -287,6 +287,10 @@ object Multimodal {
           var e = in.getNextEntry
           while (e != null) {
             if (!e.isDirectory) {
+              // fail loud rather than truncating a >2 GB entry via toInt
+              require(e.getSize <= Int.MaxValue,
+                s"tar entry ${e.getName} in $p is ${e.getSize} bytes — " +
+                  "exceeds the 2 GB single-entry limit")
               val buf = new Array[Byte](e.getSize.toInt)
               var off = 0
               while (off < buf.length) {

@@ -142,6 +142,11 @@ class ShardPartitionReader(uri: String, required: StructType,
       case "shard_path" => pathUtf8
       case "name" => UTF8String.fromString(cur.getName)
       case "content" =>
+        // fail loud rather than silently truncating a >2 GB entry via
+        // toInt wraparound (the shard writer caps entries well below this)
+        require(cur.getSize <= Int.MaxValue,
+          s"tar entry ${cur.getName} in $uri is ${cur.getSize} bytes — " +
+            "exceeds the 2 GB single-entry limit")
         val buf = new Array[Byte](cur.getSize.toInt)
         var off = 0
         while (off < buf.length) {
