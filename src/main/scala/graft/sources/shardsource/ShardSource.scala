@@ -81,6 +81,26 @@ class ShardScanBuilder(path: String)
 
 final case class ShardInputPartition(uri: String) extends InputPartition
 
+/** Scan-level observability, surfaced in the Spark UI / status store like
+  * any built-in source metric: how many archive entries were produced and
+  * how many payload bytes the pruning fast-path never read.
+  */
+final class EntriesReadMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "entriesRead"
+  override def description(): String = "shard entries read"
+}
+
+final class BytesSkippedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesSkipped"
+  override def description(): String = "payload bytes skipped by column pruning"
+}
+
+private final class ShardTaskMetric(n: String, v: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = n
+  override def value(): Long = v
+}
+
 class ShardScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -105,6 +125,10 @@ class ShardScan(path: String, required: StructType) extends Scan with Batch {
     new ShardReaderFactory(required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
+
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new EntriesReadMetric, new BytesSkippedMetric)
 }
 
 class ShardReaderFactory(required: StructType, conf: SerializableConfiguration)
@@ -130,12 +154,25 @@ class ShardPartitionReader(uri: String, required: StructType,
     new TarArchiveInputStream(p.getFileSystem(conf.value).open(p))
   }
   private var cur: TarArchiveEntry = _
+  private var entriesRead = 0L
+  private var bytesSkipped = 0L
 
   override def next(): Boolean = {
     cur = in.getNextEntry
     while (cur != null && cur.isDirectory) cur = in.getNextEntry
+    if (cur != null) {
+      entriesRead += 1
+      // with content pruned, the body is never read — the stream skips it
+      // on the next getNextEntry; account for it here
+      if (!needContent) bytesSkipped += cur.getSize
+    }
     cur != null
   }
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new ShardTaskMetric("entriesRead", entriesRead),
+      new ShardTaskMetric("bytesSkipped", bytesSkipped))
 
   override def get(): InternalRow = {
     val values = required.fieldNames.map {

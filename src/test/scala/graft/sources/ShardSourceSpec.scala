@@ -52,6 +52,28 @@ class ShardSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-shards").load(dir).count() == 64)
   }
 
+  test("custom scan metrics: entries counted, pruned bytes accounted") {
+    val (dir, _) = writeShards()
+    def scanMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = root.collectFirst { case b: BatchScanExec => b }.get
+      scan.metrics.map { case (k, m) => k -> m.value }
+    }
+    val pruned = scanMetrics(
+      spark.read.format("graft-shards").load(dir).select("name"))
+    assert(pruned("entriesRead") == 64L, pruned)
+    assert(pruned("bytesSkipped") > 0L, pruned)
+    val full = scanMetrics(
+      spark.read.format("graft-shards").load(dir).select("name", "content"))
+    assert(full("entriesRead") == 64L && full("bytesSkipped") == 0L, full)
+  }
+
   test("missing directory plans zero partitions, .tmp orphans are excluded") {
     val empty = Files.createTempDirectory("graft-dsv2").toString + "/none"
     assert(spark.read.format("graft-shards").load(empty).count() == 0)
