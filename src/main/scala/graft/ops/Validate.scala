@@ -64,8 +64,9 @@ object Validate {
     // the scan already happened; this is driver-free reshaping)
     val n = expectations.size
     val cells = expectations.zipWithIndex.map { case (e, i) =>
-      // rule names are code-authored literals; escape quotes defensively
-      val name = e.rule.replace("'", "\\'")
+      // rule names are code-authored literals; escape defensively anyway —
+      // backslashes FIRST (or the quote escape's own backslash doubles)
+      val name = e.rule.replace("\\", "\\\\").replace("'", "\\'")
       s"'$name', __v$i, CAST(${e.maxViolations} AS BIGINT)"
     }.mkString(", ")
     one.selectExpr(

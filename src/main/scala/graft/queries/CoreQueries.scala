@@ -504,9 +504,11 @@ object CoreQueries {
         |    sum(v) AS s1, sum(CAST(v AS HUGEINT) * v) AS s2
         |  FROM v GROUP BY 1)
         |SELECT event_type, n, CAST(s1 AS VARCHAR) AS s1,
-        |  round(sqrt((CAST(s2 AS DOUBLE)
-        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
-        |        / 1000000.0, 6) AS sd_value
+        |  CASE WHEN n > 1 THEN
+        |    round(sqrt((CAST(s2 AS DOUBLE)
+        |                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+        |          / 1000000.0, 6)
+        |  END AS sd_value
         |FROM m""".stripMargin,
 
     // The funnel restated step by step with the same min(CASE) windows.

@@ -254,7 +254,10 @@ object SourceQueries {
       Sources.rangeManifest(s, outRoot.toString, "doc_id")
         .withColumn("prev_max", lag(col("max_key"), 1).over(w))
         .agg(
-          count(lit(1)).cast("int").as("n_files"),
+          // range partitions that sample to an empty key range write no
+          // file, so the COUNT is bounded by numFiles, not pinned to it —
+          // the invariant is 1..numFiles, asserted engine-side as a bit
+          (count(lit(1)).between(1, 8)).as("files_ok"),
           sum(col("n")).as("n_rows"),
           min(when(col("prev_max").isNull, true)
             .otherwise(col("prev_max") < col("min_key"))).as("disjoint"),
@@ -327,7 +330,7 @@ object SourceQueries {
       Sources.rangeManifest(s, outRoot.toString, "z")
         .withColumn("prev_max", lag(col("max_key"), 1).over(w))
         .agg(
-          count(lit(1)).cast("int").as("n_files"),
+          (count(lit(1)).between(1, 16)).as("files_ok"),
           sum(col("n")).as("n_rows"),
           min(when(col("prev_max").isNull, true)
             .otherwise(col("prev_max") <= col("min_key"))).as("disjoint"),
@@ -350,6 +353,41 @@ object SourceQueries {
       graft.scale.Multimodal.exportPayloadShards(docs, "doc_id",
         col("text").cast("binary"), outRoot.toString, maxShardBytes = 64L << 10)
       s.read.format("graft-shards").load(outRoot.toString)
+        .select(
+          regexp_extract(col("name"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+    }),
+
+    // Single-id lookups through the shard DSv2's FILTER pushdown — the
+    // point of the per-shard entry manifest: the IN predicate on `name`
+    // is consumed by the source, shards whose manifest rules out every
+    // wanted id are never planned (ShardSourceSpec pins the partition
+    // count and the bytesSkipped/entriesRead evidence), and within
+    // surviving shards only the matching bodies are read. The layout is
+    // NESTED (bucket=even/ bucket=odd/ subtrees) so the recursive shard
+    // listing is itself under the hash gate. The oracle restates the
+    // same id set from the source table — a dropped shard subtree, an
+    // over-eager manifest prune, or a filter mis-eval loses rows and
+    // goes hash-red.
+    "q123_shard_pushdown_lookup" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q123_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val docs = Tables(s, dir, "documents")
+      graft.scale.Multimodal.exportPayloadShards(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        col("text").cast("binary"), s"$outRoot/bucket=even",
+        maxShardBytes = 64L << 10)
+      graft.scale.Multimodal.exportPayloadShards(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
+        col("text").cast("binary"), s"$outRoot/bucket=odd",
+        maxShardBytes = 64L << 10)
+      val wanted = (7L to 97L by 10L).map(i => s"$i.bin")
+      s.read.format("graft-shards").load(outRoot.toString)
+        .filter(col("name").isin(wanted: _*))
         .select(
           regexp_extract(col("name"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
           length(col("content")).cast("long").as("n_bytes"),
@@ -527,12 +565,12 @@ object SourceQueries {
 
     // Totals restated from the source; the invariant bits pinned TRUE —
     // the engine computes them from the actual file manifest, so a
-    // boundary overlap or a dropped row flips a bit and goes hash-red.
-    // n_files pins the explicit numFiles (RangePartitioning boundary
-    // sampling is seeded deterministically, so the count is stable for a
-    // given tier).
+    // boundary overlap, a dropped row, or a file count outside
+    // 1..numFiles flips a bit and goes hash-red. (The count is a range,
+    // not a literal: a range partition that samples empty writes no file,
+    // which is correct behavior, not an error.)
     "q111_range_sorted_export" ->
-      """SELECT 8 AS n_files, count(*) AS n_rows, TRUE AS disjoint,
+      """SELECT TRUE AS files_ok, count(*) AS n_rows, TRUE AS disjoint,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_key
         |FROM documents""".stripMargin,
 
@@ -551,7 +589,7 @@ object SourceQueries {
     // engine plans from — one drifted bit position on either side moves
     // sum_z and goes hash-red.
     "q116_zorder_layout" ->
-      s"""SELECT 16 AS n_files, count(*) AS n_rows, TRUE AS disjoint,
+      s"""SELECT TRUE AS files_ok, count(*) AS n_rows, TRUE AS disjoint,
          |  CAST(sum(${graft.functions.ZOrder.interleaveSql("(user_id % 64)", "day(ts)", 8)}) AS BIGINT)
          |    AS sum_z
          |FROM events""".stripMargin,
@@ -562,6 +600,14 @@ object SourceQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents WHERE doc_id % 10 = 7""".stripMargin,
+
+    // The same id set the engine pushes as an IN predicate on entry
+    // names, restated straight from the source table.
+    "q123_shard_pushdown_lookup" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents
+        |WHERE doc_id % 10 = 7 AND doc_id BETWEEN 0 AND 97""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -164,11 +164,14 @@ object Multimodal {
     *
     * `glob` filters the listing (e.g. `*.bin`) — pass it when reading an
     * [[exportPayloads]] dir so a crashed attempt's orphan `.tmp` file can
-    * never surface as a payload row.
+    * never surface as a payload row. `recursive` descends into
+    * subdirectories (a date-partitioned layout like `dt=.../shard-*.tar`).
     */
   def readPayloadDir(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     glob: Option[String] = None): DataFrame = {
+                     glob: Option[String] = None,
+                     recursive: Boolean = false): DataFrame = {
     val r = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
 
@@ -193,6 +196,13 @@ object Multimodal {
     * large (images/audio, ≳1 MB each — random access per id matters);
     * shards (this) when payloads are small and numerous (text/thumbnails
     * — listing cost dominates and access is scan-shaped).
+    *
+    * Each committed shard also gets a `<shard>.tar.manifest` sidecar
+    * ([[graft.sources.shardsource.ShardManifest]]) listing its entry
+    * names — what lets the `graft-shards` DSv2 skip whole shards at
+    * planning for a pushed name predicate. The manifest commits strictly
+    * after its tar (a crash between the two leaves a scannable shard
+    * with no pruning info, never a manifest for a missing shard).
     */
   def exportPayloadShards(df: DataFrame, idCol: String, payload: Column,
                           dir: String, maxShardBytes: Long = 256L << 20): Unit = {
@@ -212,12 +222,16 @@ object Multimodal {
         var written = 0L
         var tmpPath: org.apache.hadoop.fs.Path = null
         var tar: TarArchiveOutputStream = null
+        // one shard's entry names+sizes for the manifest sidecar — bounded
+        // by entries-per-shard (maxShardBytes / payload size)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         def open(): Unit = {
           tmpPath = new org.apache.hadoop.fs.Path(dir,
             f"shard-$pid%05d-$seq%05d.tar.$attempt.tmp")
           tar = new TarArchiveOutputStream(fs.create(tmpPath, true))
           tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
           written = 0L
+          entries.clear()
         }
         def closeAndCommit(): Unit = if (tar != null) {
           tar.finish(); tar.close()
@@ -228,6 +242,9 @@ object Multimodal {
             if (fs.exists(dst)) fs.delete(tmpPath, false): Unit
             else throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
           }
+          // manifest strictly AFTER the tar commit — see ShardManifest doc
+          graft.sources.shardsource.ShardManifest.write(
+            fs, dst, entries.toSeq, attempt)
           tar = null; seq += 1
         }
         try {
@@ -244,6 +261,7 @@ object Multimodal {
             tar.putArchiveEntry(e)
             tar.write(bytes)
             tar.closeArchiveEntry()
+            entries += ((e.getName, bytes.length.toLong))
             written += bytes.length
           }
           closeAndCommit()
@@ -262,7 +280,9 @@ object Multimodal {
     * streams its shards' entries through the Hadoop FS API, so memory is
     * bounded by one entry, not one shard, and shards parallelize across
     * tasks the way any file source does. Orphan `.tmp` shards from a
-    * crashed attempt are excluded by the `*.tar` glob.
+    * crashed attempt are excluded by the `*.tar` glob; nested layouts
+    * (`dt=.../shard-*.tar`) are listed recursively, matching the DSv2
+    * reader.
     */
   def readPayloadShards(spark: org.apache.spark.sql.SparkSession,
                         dir: String): DataFrame = {
@@ -273,7 +293,8 @@ object Multimodal {
       StructField("shard_path", StringType, nullable = false),
       StructField("name", StringType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
-    val paths = readPayloadDir(spark, dir, glob = Some("*.tar")).select(col("path"))
+    val paths = readPayloadDir(spark, dir, glob = Some("*.tar"),
+      recursive = true).select(col("path"))
     paths.mapPartitions { rows =>
       import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
       rows.flatMap { r =>

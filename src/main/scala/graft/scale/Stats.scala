@@ -43,11 +43,16 @@ object Stats {
 
   /** Sample standard deviation (in original units) from micro-unit
     * moments — the q51 formula: fixed IEEE expressions over exact inputs.
+    * A single-row group has no sample stddev (the n−1 denominator would
+    * divide by zero), so n=1 yields a defined NULL rather than leaving
+    * the result at the mercy of ANSI-mode/engine divide-by-zero behavior.
     */
   def stddevFromMoments(m: DataFrame, scale: Double = 1e6): DataFrame =
     m.withColumn("sd_value",
-      round(sqrt(
-        (col("s2").cast("double") -
-          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
-          (col("n") - 1)) / scale, 6))
+      when(col("n") > 1,
+        round(sqrt(
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)) / scale, 6))
+        .otherwise(lit(null).cast("double")))
 }

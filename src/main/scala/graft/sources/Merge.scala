@@ -110,12 +110,25 @@ object Merge {
     * rebuild instead. Under that precondition
     * `scd2Apply(scd2(old), new) ≡ scd2(old ∪ new)` — q110 puts exactly
     * that equivalence under the DuckDB hash gate.
+    *
+    * The "daily batches touch a bounded key set" precondition on the
+    * broadcast is ENFORCED, not assumed: the batch's distinct keys are
+    * counted first (one aggregation over the BATCH — never the history),
+    * and above `broadcastKeyLimit` the explicit `broadcast()` hints are
+    * dropped so the planner picks a shuffle semi/anti join instead of
+    * OOMing the driver on a backfill-shaped batch (millions of keys). The
+    * default limit of 1,000,000 keys keeps the broadcast in the tens of
+    * MB for typical key widths; results are identical on both paths
+    * (MergeSpec pins that) — only the join strategy changes.
     */
   def scd2Apply(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
-                tsCol: String, attrCols: Seq[String]): DataFrame = {
+                tsCol: String, attrCols: Seq[String],
+                broadcastKeyLimit: Long = 1000000L): DataFrame = {
     val newKeys = changes.select(keyCols.map(col): _*).distinct()
-    val untouched = history.join(broadcast(newKeys), keyCols, "left_anti")
-    val affected = history.join(broadcast(newKeys), keyCols, "left_semi")
+    val keySide =
+      if (newKeys.count() <= broadcastKeyLimit) broadcast(newKeys) else newKeys
+    val untouched = history.join(keySide, keyCols, "left_anti")
+    val affected = history.join(keySide, keyCols, "left_semi")
     val closed = affected.filter(!col("is_current"))
     val feedCols = (keyCols :+ tsCol) ++ attrCols
     val openAsFeed = affected.filter(col("is_current"))
@@ -181,9 +194,31 @@ object Merge {
     // (idempotency, see object doc). The staged copy is read back with
     // the writer's schema so partition-value inference can't retype the
     // partition column.
-    val stagingPath = new org.apache.hadoop.fs.Path(path + "__stage")
+    // The stage dir carries a UNIQUE suffix (application id + nonce), so
+    // two in-flight merges can never clobber each other's staged rows.
+    // Orphan stages from crashed runs are reclaimed here, but only ones
+    // recognizably NOT ours: a different application id can't be this
+    // run (and cross-APPLICATION writers on one table are out of contract
+    // — the dynamic-overwrite publish itself is not transactional across
+    // writers; see object doc). Same-app stages are left alone — they may
+    // belong to a live concurrent merge in this application, which IS
+    // supported.
+    val appId = spark.sparkContext.applicationId
+    val stagingPath = new org.apache.hadoop.fs.Path(
+      path + "__stage_" + appId + "_" + java.util.UUID.randomUUID().toString.take(8))
     val fs = stagingPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(stagingPath)) fs.delete(stagingPath, true): Unit
+    val parent = stagingPath.getParent
+    val stagePrefix = new org.apache.hadoop.fs.Path(path).getName + "__stage_"
+    if (parent != null && fs.exists(parent)) {
+      val legacyName = new org.apache.hadoop.fs.Path(path).getName + "__stage"
+      fs.listStatus(parent).iterator
+        .filter(st => st.isDirectory && {
+          val n = st.getPath.getName
+          (n.startsWith(stagePrefix) && !n.startsWith(stagePrefix + appId + "_")) ||
+            n == legacyName // pre-unique-suffix layout: always reclaimable
+        })
+        .foreach(st => fs.delete(st.getPath, true): Unit)
+    }
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(stagingPath.toString)

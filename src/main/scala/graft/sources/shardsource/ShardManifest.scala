@@ -1,0 +1,89 @@
+package graft.sources.shardsource
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-shard entry manifest — the tar analog of parquet's footer stats,
+  * shaped after the engine's own `rangeManifest` file-skipping contract
+  * (`graft.sources.Sources.rangeManifest`): a tiny sidecar
+  * `<shard>.tar.manifest` listing every entry's (size, name) lets the
+  * DSv2 planner decide "can this shard contain a row matching the pushed
+  * name predicate?" WITHOUT opening the archive. At 100 TB that is the
+  * difference between a single-id lookup walking every shard's entry
+  * headers and it opening exactly the one shard that holds the id.
+  *
+  * Durability contract mirrors the shard writer's tmp+rename discipline,
+  * and the manifest commits strictly AFTER its tar: every reachable
+  * manifest describes a committed shard, and a shard whose manifest is
+  * missing or torn (crash between the two renames, pre-manifest layout)
+  * degrades to "cannot prune — scan it", never to a wrong answer. The
+  * same fallback covers unknown future versions: [[read]] returns None
+  * for anything it does not fully recognize.
+  *
+  * Entry names are URL-encoded per line (ids are caller strings and may
+  * contain tabs/newlines); sizes are recorded for completeness and
+  * debugging — pruning needs only the names.
+  */
+object ShardManifest {
+
+  val Suffix = ".manifest"
+  private val Header = "graft-shard-manifest\tv1"
+
+  def manifestPath(shard: Path): Path =
+    new Path(shard.getParent, shard.getName + Suffix)
+
+  /** Write the sidecar for a COMMITTED shard: task-attempt-unique tmp,
+    * then atomic rename — identical discipline to the shard itself, so a
+    * crashed attempt leaves only an unreachable `.tmp` orphan.
+    */
+  def write(fs: FileSystem, shard: Path, entries: Seq[(String, Long)],
+            attempt: Long): Unit = {
+    val tmp = new Path(shard.getParent, shard.getName + Suffix + s".$attempt.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder(Header).append('\n')
+      entries.foreach { case (name, size) =>
+        sb.append(size).append('\t')
+          .append(java.net.URLEncoder.encode(name, StandardCharsets.UTF_8))
+          .append('\n')
+      }
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    val dst = manifestPath(shard)
+    if (fs.exists(dst)) fs.delete(dst, false): Unit
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(dst)) fs.delete(tmp, false): Unit
+      else throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
+  }
+
+  /** Read a shard's manifest as (name, size) pairs. None — absent, torn,
+    * or unrecognized version — means "no pruning information; scan the
+    * shard", which is always safe.
+    */
+  def read(fs: FileSystem, shard: Path): Option[Seq[(String, Long)]] =
+    try {
+      val mp = manifestPath(shard)
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val text =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 << 10)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            new String(bos.toByteArray, StandardCharsets.UTF_8)
+          } finally in.close()
+        val lines = text.split('\n').iterator.filter(_.nonEmpty).toIndexedSeq
+        if (lines.isEmpty || lines.head != Header) None
+        else Some(lines.tail.map { ln =>
+          val i = ln.indexOf('\t')
+          require(i > 0, s"malformed manifest line in $mp")
+          (java.net.URLDecoder.decode(ln.substring(i + 1), StandardCharsets.UTF_8),
+            ln.substring(0, i).toLong)
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,11 +31,25 @@ import org.apache.spark.util.SerializableConfiguration
   *    entry's body (a seek on seekable filesystems) instead of buffering
   *    it. On a 100 TB shard corpus that is the difference between
   *    listing entry names and reading the archive.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): equality / IN /
+  *    prefix predicates on `name` and `shard_path` are taken by the
+  *    source and evaluated EXACTLY — shards that a predicate rules out
+  *    are skipped at PLANNING (shard_path directly; name via the
+  *    per-shard entry manifest [[ShardManifest]], the tar analog of
+  *    parquet row-group pruning), and within a surviving shard,
+  *    non-matching entries' bodies are skipped, never buffered. A
+  *    single-id lookup on a 100 TB corpus opens one shard and reads one
+  *    body. Manifest reads happen on the driver and only when a name
+  *    predicate was pushed — O(surviving shards) small metadata reads,
+  *    the same planning-cost class as parquet footers; a shard with no
+  *    (or a torn) manifest is planned unpruned, never dropped.
   *
   * Usage: `spark.read.format("graft-shards").load(dir)` (shortName via
   * META-INF service registration, or the full class name). Schema:
   * `shard_path STRING, name STRING, content BINARY`. Orphan `.tmp`
-  * shards from crashed write attempts are excluded at planning.
+  * shards from crashed write attempts are excluded at planning; listing
+  * is recursive, so date-partitioned layouts (`dt=.../shard-*.tar`)
+  * plan all their shards.
   */
 class ShardSourceProvider extends TableProvider with DataSourceRegister {
 
@@ -68,15 +82,55 @@ class ShardTable(path: String) extends Table with SupportsRead {
     new ShardScanBuilder(path)
 }
 
+/** The pushable predicate dialect: equality / IN / prefix over the two
+  * string metadata columns. Everything here is evaluated EXACTLY by the
+  * source (planning + reader), so accepted filters are fully consumed —
+  * Spark plans no residual Filter for them.
+  */
+private[shardsource] object ShardFilters {
+  private def attrOf(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) if v.isInstanceOf[String] => Some(a)
+    case In(a, vs) if vs != null && vs.nonEmpty &&
+      vs.forall(_.isInstanceOf[String]) => Some(a)
+    case StringStartsWith(a, _) => Some(a)
+    case _ => None
+  }
+  def supported(f: Filter): Boolean =
+    attrOf(f).exists(a => a == "name" || a == "shard_path")
+  def onName(f: Filter): Boolean = attrOf(f).contains("name")
+
+  /** Exact evaluation against one entry's (name, shard_path) — both
+    * columns are non-null by schema, so three-valued logic collapses to
+    * plain boolean.
+    */
+  def eval(f: Filter, name: String, shardPath: String): Boolean = {
+    def v(a: String): String = if (a == "name") name else shardPath
+    f match {
+      case EqualTo(a, x: String) => v(a) == x
+      case In(a, xs) => xs.exists(_ == v(a))
+      case StringStartsWith(a, p) => v(a).startsWith(p)
+      case _ => true // unreachable: only supported() filters are pushed
+    }
+  }
+}
+
 class ShardScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = ShardTable.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // an empty projection (count(*)) still needs a row per entry; keep
     // the empty struct — the reader emits empty rows without any IO body
     required = requiredSchema
   }
-  override def build(): Scan = new ShardScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(ShardFilters.supported)
+    pushed = sup
+    unsup // residual conjuncts Spark keeps evaluating post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ShardScan(path, required, pushed)
 }
 
 final case class ShardInputPartition(uri: String) extends InputPartition
@@ -101,28 +155,58 @@ private final class ShardTaskMetric(n: String, v: Long)
   override def value(): Long = v
 }
 
-class ShardScan(path: String, required: StructType) extends Scan with Batch {
+class ShardScan(path: String, required: StructType,
+                pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-shards $path readSchema=${required.fieldNames.mkString(",")}"
+    s"graft-shards $path readSchema=${required.fieldNames.mkString(",")} " +
+      s"pushedFilters=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side metadata listing only — one partition per shard file;
-    // `.tmp` orphans from crashed write attempts never plan
+    // driver-side metadata listing only (recursive — nested dt=... layouts
+    // plan too) — one partition per shard file; `.tmp` orphans from
+    // crashed write attempts never plan
     val p = new Path(path)
     val spark = org.apache.spark.sql.SparkSession.active
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tar"))
-      .map(st => ShardInputPartition(st.getPath.toUri.toString): InputPartition)
+    if (!fs.exists(p)) return Array.empty
+    val shards = {
+      val out = Array.newBuilder[Path]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".tar")) out += st.getPath
+      }
+      out.result()
+    }
+    val pathFilters = pushed.filterNot(ShardFilters.onName)
+    val nameFilters = pushed.filter(ShardFilters.onName)
+    shards.iterator
+      .map(sp => (sp, sp.toUri.toString))
+      // shard_path predicates prune on the listing alone
+      .filter { case (_, uri) =>
+        pathFilters.forall(ShardFilters.eval(_, "", uri))
+      }
+      // name predicates prune via the entry manifest: drop a shard only
+      // when its manifest PROVES no entry can satisfy the conjunction; a
+      // missing/torn manifest plans the shard unpruned (the reader still
+      // filters exactly)
+      .filter { case (sp, uri) =>
+        nameFilters.isEmpty || (ShardManifest.read(fs, sp) match {
+          case Some(entries) => entries.exists { case (n, _) =>
+            nameFilters.forall(ShardFilters.eval(_, n, uri))
+          }
+          case None => true
+        })
+      }
+      .map { case (_, uri) => ShardInputPartition(uri): InputPartition }
       .toArray.sortBy(_.asInstanceOf[ShardInputPartition].uri)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    new ShardReaderFactory(required,
+    new ShardReaderFactory(required, pushed,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 
@@ -131,19 +215,23 @@ class ShardScan(path: String, required: StructType) extends Scan with Batch {
     Array(new EntriesReadMetric, new BytesSkippedMetric)
 }
 
-class ShardReaderFactory(required: StructType, conf: SerializableConfiguration)
+class ShardReaderFactory(required: StructType, pushed: Array[Filter],
+                         conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ShardPartitionReader(
-      partition.asInstanceOf[ShardInputPartition].uri, required, conf)
+      partition.asInstanceOf[ShardInputPartition].uri, required, pushed, conf)
 }
 
 /** Streams one shard's entries. Memory is bounded by ONE entry — and only
   * when `content` is actually required; otherwise the body is skipped by
   * the tar stream on the next `getNextEntry` (a positioned skip, not a
-  * read, on seekable filesystems).
+  * read, on seekable filesystems). Pushed filters are evaluated per entry
+  * HEADER: a non-matching entry is never emitted and its body is skipped
+  * the same way, so a pushed single-id lookup reads exactly one body.
   */
 class ShardPartitionReader(uri: String, required: StructType,
+                           pushed: Array[Filter],
                            conf: SerializableConfiguration)
   extends PartitionReader[InternalRow] {
 
@@ -157,9 +245,17 @@ class ShardPartitionReader(uri: String, required: StructType,
   private var entriesRead = 0L
   private var bytesSkipped = 0L
 
+  private def matches(name: String): Boolean =
+    pushed.forall(ShardFilters.eval(_, name, uri))
+
   override def next(): Boolean = {
     cur = in.getNextEntry
-    while (cur != null && cur.isDirectory) cur = in.getNextEntry
+    while (cur != null && (cur.isDirectory || !matches(cur.getName))) {
+      // a filtered-out entry's body is skipped by the stream, not read —
+      // account for it alongside the column-pruning skips
+      if (!cur.isDirectory) bytesSkipped += cur.getSize
+      cur = in.getNextEntry
+    }
     if (cur != null) {
       entriesRead += 1
       // with content pruned, the body is never read — the stream skips it

@@ -58,6 +58,15 @@ class ValidateSpec extends SparkSpec {
       e.getMessage.contains("unique(id)=2"))
   }
 
+  test("hostile rule names (quotes, backslashes) survive the report verbatim") {
+    val clean = Seq((1L, "a")).toDF("id", "tag")
+    val names = Seq("""odd\rule""", "it's", """back\\and'mixed""", """trailing\""")
+    val rep = Validate.report(clean,
+      names.map(n => Expectation(n, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)) * 0)))
+    assert(rep.select("rule").collect().map(_.getString(0)).toSeq == names)
+  }
+
   test("the report is ONE scan: a single aggregate over the source") {
     val rep = Validate.report(df, Seq(notNull("id"), unique("id"),
       inRange("v", 0.0, 100.0)))

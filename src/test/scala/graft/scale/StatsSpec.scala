@@ -37,4 +37,15 @@ class StatsSpec extends SparkSpec {
     // values 1, 3, 5 → sample sd = 2
     assert(sd == 2.0)
   }
+
+  test("a single-row group has NULL sample stddev, not a division blowup") {
+    val df = Seq(("solo", 7000000L), ("pair", 1000000L), ("pair", 3000000L))
+      .toDF("k", "v")
+    val out = Stats.stddevFromMoments(Stats.moments(df, Seq("k"), "v"))
+      .select("k", "sd_value").collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("solo").isEmpty, out)
+    // values 1, 3 → sample sd = sqrt(2), rounded to 6 places
+    assert(out("pair").contains(1.414214), out)
+  }
 }

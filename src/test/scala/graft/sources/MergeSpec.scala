@@ -184,19 +184,78 @@ class MergeSpec extends SparkSpec {
       plan)
   }
 
-  test("upsertPartitioned cleans an orphaned staging dir from a crashed run") {
+  test("upsertPartitioned reclaims crashed-run stages, spares live same-app ones") {
     val dir = tmp() + "/t"
     val base = Seq((1L, "a", 0, "p1")).toDF("k", "v", "ver", "p")
     Sources.writeParquet(base, dir, partitionBy = Seq("p"))
-    // simulate a crash that left a full staged copy but never published
-    val orphan = new java.io.File(dir + "__stage/p=p1")
-    orphan.mkdirs()
-    val junk = new java.io.File(dir + "__stage", "leftover")
-    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    // crashed-run stages: legacy fixed-name layout + a foreign app's token
+    for (stale <- Seq(dir + "__stage", dir + "__stage_app-crashed_deadbeef")) {
+      new java.io.File(stale, "p=p1").mkdirs()
+      java.nio.file.Files.write(new java.io.File(stale, "leftover").toPath,
+        Array[Byte](1, 2, 3))
+    }
+    // a stage owned by THIS application = possibly a live concurrent
+    // merge; the sweep must not touch it
+    val live = new java.io.File(
+      dir + "__stage_" + spark.sparkContext.applicationId + "_zzzzzzzz")
+    new java.io.File(live, "p=p9").mkdirs()
     val changes = Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
     Merge.upsertPartitioned(spark, dir, changes, Seq("k"), Seq("ver"), "p", "op")
     assert(!new java.io.File(dir + "__stage").exists())
+    assert(!new java.io.File(dir + "__stage_app-crashed_deadbeef").exists())
+    assert(live.exists(), "live same-app stage must survive the sweep")
     assert(spark.read.parquet(dir).select("k", "v", "ver").collect().toSeq ==
       Seq(Row(1L, "a1", 1)))
+    // this run's own stage is gone after publish: nothing stage-shaped
+    // remains beyond the planted live one
+    val left = new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(_.startsWith("t__stage")).toSet
+    assert(left == Set(live.getName), left)
+  }
+
+  test("two concurrent-style merges of disjoint batches both land (unique stages)") {
+    val dir = tmp() + "/t"
+    val base = Seq((1L, "a", 0, "p1"), (2L, "b", 0, "p2")).toDF("k", "v", "ver", "p")
+    Sources.writeParquet(base, dir, partitionBy = Seq("p"))
+    // same app, interleaved in time: each run stages under its own token,
+    // so neither clobbers the other's staged rows (the pre-fix layout
+    // shared one fixed dir and could publish a mix)
+    val c1 = Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    val c2 = Seq((2L, "b1", 1, "p2", "U")).toDF("k", "v", "ver", "p", "op")
+    val t1 = new Thread(() =>
+      Merge.upsertPartitioned(spark, dir, c1, Seq("k"), Seq("ver"), "p", "op"): Unit)
+    val t2 = new Thread(() =>
+      Merge.upsertPartitioned(spark, dir, c2, Seq("k"), Seq("ver"), "p", "op"): Unit)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(spark.read.parquet(dir).select("k", "v", "ver").orderBy("k")
+      .collect().toSeq == Seq(Row(1L, "a1", 1), Row(2L, "b1", 1)))
+  }
+
+  test("scd2Apply drops the broadcast above the key limit, same result") {
+    def feedOf(rows: Seq[(Long, Long, String)]) = rows.toDF("k", "t", "attr")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val hist = Merge.scd2(
+      feedOf((1L to 40L).map(k => (k, 10L, "v" + (k % 3)))), Seq("k"), "ts", Seq("attr"))
+    val batch = feedOf((20L to 60L).map(k => (k, 30L, "w" + (k % 2))))
+    val broadcasted = Merge.scd2Apply(hist, batch, Seq("k"), "ts", Seq("attr"))
+    val guarded = Merge.scd2Apply(hist, batch, Seq("k"), "ts", Seq("attr"),
+      broadcastKeyLimit = 0L) // a backfill-shaped batch: guard must kick in
+    val proj = Seq("k", "attr", "valid_from", "valid_to", "is_current")
+    assert(guarded.select(proj.map(col): _*).orderBy("k", "valid_from")
+      .collect().toSeq ==
+      broadcasted.select(proj.map(col): _*).orderBy("k", "valid_from")
+        .collect().toSeq)
+    // with auto-broadcast off, the guarded path really is a shuffle join
+    // (the default path pins BroadcastHashJoin in the spec above)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = Merge.scd2Apply(hist, batch, Seq("k"), "ts", Seq("attr"),
+        broadcastKeyLimit = 0L)
+      g.collect()
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
