@@ -154,6 +154,66 @@ object CoreQueries {
           col("s1").cast("string").as("s1"), col("sd_value"))
     }),
 
+    // Mergeable APPROXIMATE sketches — q118's contract for the
+    // probabilistic summaries a 100 TB pipeline persists per epoch: three
+    // epochs each write an HLL distinct-user partial and a fixed-bin
+    // value histogram to parquet, the partials are read back and MERGED,
+    // and the output pins (a) the HLL union being lossless — merged
+    // estimate ≡ from-scratch estimate, an exact bit because registers
+    // merge by max, (b) the estimate landing within 5% of the exact
+    // distinct count (restated by DuckDB), and (c) the histogram
+    // quantiles — integer bin counts merge exactly, and the p50/p90
+    // interpolation is a fixed IEEE formula the oracle restates TERM BY
+    // TERM from the raw table (a drifted bin edge or operation order on
+    // either side is hash-red). Epoch merging folds sketch-sized rows,
+    // never data.
+    "q124_mergeable_sketches" -> ((s, dir) => {
+      import graft.scale.Sketches
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q124_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"), col("ts"))
+      val (c1, c2) = (lit("2024-01-10").cast("timestamp"),
+        lit("2024-01-20").cast("timestamp"))
+      val epochs = Seq(
+        ev.filter(col("ts") < c1),
+        ev.filter(col("ts") >= c1 && col("ts") < c2),
+        ev.filter(col("ts") >= c2))
+      val keys = Seq("event_type")
+      val (lo, step, nBins) = (0.0, 2.0, 256)
+      epochs.zipWithIndex.foreach { case (e, i) =>
+        Sketches.hllSketch(e, keys, "user_id")
+          .write.mode("overwrite").parquet(s"$outRoot/hll/$i")
+        Sketches.histSketch(e, keys, "value", lo, step, nBins)
+          .write.mode("overwrite").parquet(s"$outRoot/hist/$i")
+      }
+      val mHll = Sketches.hllMerge(keys,
+        epochs.indices.map(i => s.read.parquet(s"$outRoot/hll/$i")): _*)
+      val mHist = Sketches.histMerge(keys,
+        epochs.indices.map(i => s.read.parquet(s"$outRoot/hist/$i")): _*)
+      val estM = Sketches.hllEstimate(mHll, keys, "est_m")
+      val estB = Sketches.hllEstimate(
+        Sketches.hllSketch(ev, keys, "user_id"), keys, "est_b")
+      val qM = Sketches.histQuantiles(mHist, keys,
+        Seq("p50_est" -> 0.5, "p90_est" -> 0.9), lo, step)
+      val qB = Sketches.histQuantiles(
+        Sketches.histSketch(ev, keys, "value", lo, step, nBins), keys,
+        Seq("b50" -> 0.5, "b90" -> 0.9), lo, step)
+      ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .join(estM, keys).join(estB, keys).join(qM, keys).join(qB, keys)
+        .select(col("event_type"), col("exact_users"),
+          (col("est_m") === col("est_b")).as("hll_merge_lossless"),
+          (abs(col("est_m") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("hll_within_5pct"),
+          col("p50_est"), col("p90_est"),
+          (col("p50_est") === col("b50") && col("p90_est") === col("b90"))
+            .as("hist_merge_lossless"))
+    }),
+
     // FULL OUTER reconciliation — the cross-table referential-integrity
     // audit (the two-table complement of q117's single-table gate):
     // filtered order and lineitem populations full-outer join on the
@@ -510,6 +570,37 @@ object CoreQueries {
         |          / 1000000.0, 6)
         |  END AS sd_value
         |FROM m""".stripMargin,
+
+    // The invariant bits pinned TRUE; the exact distinct count and the
+    // histogram p50/p90 recomputed from raw events with the SAME bin and
+    // interpolation emitters the engine plans from.
+    "q124_mergeable_sketches" -> {
+      import graft.scale.Sketches
+      val (lo, step, nBins) = (0.0, 2.0, 256)
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    ${Sketches.histBinSql("value", lo, step, nBins)} AS bin,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS total
+         |  FROM b),
+         |q AS (
+         |  SELECT event_type,
+         |    min_by(${Sketches.histQuantileSql(0.5, lo, step)}, bin)
+         |      FILTER (WHERE cum >= 0.5*total) AS p50_est,
+         |    min_by(${Sketches.histQuantileSql(0.9, lo, step)}, bin)
+         |      FILTER (WHERE cum >= 0.9*total) AS p90_est
+         |  FROM c GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, e.exact_users,
+         |  TRUE AS hll_merge_lossless, TRUE AS hll_within_5pct,
+         |  q.p50_est, q.p90_est, TRUE AS hist_merge_lossless
+         |FROM e JOIN q USING (event_type)""".stripMargin
+    },
 
     // The funnel restated step by step with the same min(CASE) windows.
     "q113_event_funnel" ->

@@ -237,14 +237,18 @@ object StreamQueries {
     // arriving batch; a replayed micro-batch (Structured Streaming's
     // at-least-once foreachBatch contract after a crash) CONVERGES
     // because the merge is idempotent — the same property that heals a
-    // torn publish. The finite demo stream arrives as one micro-batch,
-    // so the final table state restates q108's oracle (minus the stats
-    // column); cross-batch convergence is pinned by MergeSpec's rerun
-    // test.
+    // torn publish. The feed is a 4-file copy of orders consumed with
+    // maxFilesPerTrigger=1, so the registered run itself exercises
+    // CROSS-BATCH merge convergence over ≥3 micro-batches (counted and
+    // enforced — a silent one-batch collapse fails the query, not just a
+    // spec); the final table state restates q108's oracle (minus the
+    // stats column) because per-key changes land wholly within one
+    // batch, so any batch split folds to the same table.
     "q115_stream_merge_ingest" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val outRoot = scratchRoot(s, s"graft_q115_$sf")
       val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val feedPath = new org.apache.hadoop.fs.Path(outRoot, "feed").toString
       // integer CENTS end-to-end (the q44 lesson): a double price sum is
       // order-dependent and the streaming path's file layout orders the
       // adds differently than the oracle — 1-ulp at a rounding boundary
@@ -257,9 +261,15 @@ object StreamQueries {
       graft.sources.Sources.writeParquet(
         shape(graft.Tables(s, dir, "orders")), tablePath,
         partitionBy = Seq("o_year"))
-      val schema = s.read.parquet(s"$dir/orders.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/orders.parque[t]")
+      // several-file feed so maxFilesPerTrigger=1 yields real micro-batches
+      s.read.parquet(s"$dir/orders.parquet").repartition(4)
+        .write.mode("overwrite").parquet(feedPath)
+      val schema = s.read.parquet(feedPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedPath)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
       val apply: (DataFrame, Long) => Unit = (batch, _) => {
+        batches.incrementAndGet(): Unit
         val sp = batch.sparkSession
         val b = shape(batch)
         val inYears = col("o_year").isin(1997, 1999)
@@ -286,6 +296,9 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      require(batches.get() >= 3,
+        s"expected ≥3 micro-batches (maxFilesPerTrigger=1 over a 4-file " +
+          s"feed), saw ${batches.get()}")
       graft.sources.Sources.readParquet(s, tablePath)
         .groupBy(col("o_year"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
