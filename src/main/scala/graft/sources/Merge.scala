@@ -194,6 +194,18 @@ object Merge {
     // (idempotency, see object doc). The staged copy is read back with
     // the writer's schema so partition-value inference can't retype the
     // partition column.
+    //
+    // THE COST OF PATH-BASED TABLES, measured: the touched partitions are
+    // written TWICE (stage, then publish), so merge write-IO is 2× the
+    // touched-partition bytes — the price of crash safety without a
+    // transactional table format (a commit-log format would write once
+    // and flip a pointer). The cost tracks the TOUCHED partitions, not
+    // the table: the scale probe ages the same 7-partition table 10× and
+    // 40× (partition count constant, rows per partition growing) and the
+    // whole merge — both writes included — grows 1.2× at 10× and 2.0× at
+    // 40× data (BENCH_SCALE_MERGE.json, BENCH_SCALE_MERGE40.json), i.e.
+    // ~0.05× linear, bounded by the two touched years' size. When this
+    // engine grows a real table format, this block is what it replaces.
     // The stage dir carries a UNIQUE suffix (application id + nonce), so
     // two in-flight merges can never clobber each other's staged rows.
     // Orphan stages from crashed runs are reclaimed here, but only ones

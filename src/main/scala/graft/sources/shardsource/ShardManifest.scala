@@ -65,25 +65,24 @@ object ShardManifest {
   def read(fs: FileSystem, shard: Path): Option[Seq[(String, Long)]] =
     try {
       val mp = manifestPath(shard)
-      if (!fs.exists(mp)) None
-      else {
-        val in = fs.open(mp)
-        val text =
-          try {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](64 << 10)
-            var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            new String(bos.toByteArray, StandardCharsets.UTF_8)
-          } finally in.close()
-        val lines = text.split('\n').iterator.filter(_.nonEmpty).toIndexedSeq
-        if (lines.isEmpty || lines.head != Header) None
-        else Some(lines.tail.map { ln =>
-          val i = ln.indexOf('\t')
-          require(i > 0, s"malformed manifest line in $mp")
-          (java.net.URLDecoder.decode(ln.substring(i + 1), StandardCharsets.UTF_8),
-            ln.substring(0, i).toLong)
-        })
-      }
+      // open directly — a missing manifest lands in the catch; probing
+      // with exists() first would double the metadata round trips
+      val in = fs.open(mp)
+      val text =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 << 10)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      val lines = text.split('\n').iterator.filter(_.nonEmpty).toIndexedSeq
+      if (lines.isEmpty || lines.head != Header) None
+      else Some(lines.tail.map { ln =>
+        val i = ln.indexOf('\t')
+        require(i > 0, s"malformed manifest line in $mp")
+        (java.net.URLDecoder.decode(ln.substring(i + 1), StandardCharsets.UTF_8),
+          ln.substring(0, i).toLong)
+      })
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,10 +82,13 @@ class ShardTable(path: String) extends Table with SupportsRead {
     new ShardScanBuilder(path)
 }
 
-/** The pushable predicate dialect: equality / IN / prefix over the two
-  * string metadata columns. Everything here is evaluated EXACTLY by the
-  * source (planning + reader), so accepted filters are fully consumed —
-  * Spark plans no residual Filter for them.
+/** The pushable predicate dialect: equality / IN / prefix / suffix /
+  * contains / not-null over the two string metadata columns. Everything
+  * here is evaluated EXACTLY by the source (planning + reader), so
+  * accepted filters are fully consumed — Spark plans no residual Filter
+  * for them. (`IsNotNull` conjuncts, which Catalyst adds next to almost
+  * every comparison, are vacuously true on these non-null columns —
+  * consuming them keeps the plan free of leftover Filter nodes.)
   */
 private[shardsource] object ShardFilters {
   private def attrOf(f: Filter): Option[String] = f match {
@@ -93,6 +96,9 @@ private[shardsource] object ShardFilters {
     case In(a, vs) if vs != null && vs.nonEmpty &&
       vs.forall(_.isInstanceOf[String]) => Some(a)
     case StringStartsWith(a, _) => Some(a)
+    case StringEndsWith(a, _) => Some(a)
+    case StringContains(a, _) => Some(a)
+    case IsNotNull(a) => Some(a)
     case _ => None
   }
   def supported(f: Filter): Boolean =
@@ -109,6 +115,9 @@ private[shardsource] object ShardFilters {
       case EqualTo(a, x: String) => v(a) == x
       case In(a, xs) => xs.exists(_ == v(a))
       case StringStartsWith(a, p) => v(a).startsWith(p)
+      case StringEndsWith(a, s) => v(a).endsWith(s)
+      case StringContains(a, s) => v(a).contains(s)
+      case IsNotNull(_) => true // schema-non-null
       case _ => true // unreachable: only supported() filters are pushed
     }
   }
@@ -155,15 +164,45 @@ private final class ShardTaskMetric(n: String, v: Long)
   override def value(): Long = v
 }
 
+object ShardScan {
+  /** Above this many candidate shards, manifest pruning fans out as a
+    * Spark job instead of serial driver reads.
+    */
+  val ParallelPruneThreshold = 64
+}
+
 class ShardScan(path: String, required: StructType,
-                pushed: Array[Filter]) extends Scan with Batch {
+                pushed: Array[Filter]) extends Scan with Batch
+  with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-shards $path readSchema=${required.fieldNames.mkString(",")} " +
       s"pushedFilters=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Planning-time size estimate = archive bytes of the shards that
+    * SURVIVED pruning, so a pushed single-id lookup reports KB against a
+    * TB corpus and the planner can broadcast its result side. Row count
+    * is left unknown (manifests are only consulted when a name predicate
+    * was pushed; guessing rows from bytes would just mislead the CBO).
+    */
+  override def estimateStatistics(): Statistics = {
+    planned: Unit // force the (cached) plan so plannedBytes is populated
+    val bytes = plannedBytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  private var plannedBytes: Long = 0L
+  private lazy val planned: Array[InputPartition] = plan()
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private def plan(): Array[InputPartition] = {
     // driver-side metadata listing only (recursive — nested dt=... layouts
     // plan too) — one partition per shard file; `.tmp` orphans from
     // crashed write attempts never plan
@@ -171,37 +210,69 @@ class ShardScan(path: String, required: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Array.empty
+    // plain listStatus recursion, NOT fs.listFiles(recursive): the
+    // located-status iterator fetches block locations per file, which we
+    // never use and which costs ~100x on some filesystems (measured
+    // 3 s vs 0.03 s for 720 local files)
     val shards = {
-      val out = Array.newBuilder[Path]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".tar")) out += st.getPath
+      val out = Array.newBuilder[(Path, Long)]
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".tar")) out += ((st.getPath, st.getLen))
       }
+      walk(p)
       out.result()
     }
+    val sizeOf = shards.map { case (sp, len) => sp.toUri.toString -> len }.toMap
     val pathFilters = pushed.filterNot(ShardFilters.onName)
     val nameFilters = pushed.filter(ShardFilters.onName)
-    shards.iterator
-      .map(sp => (sp, sp.toUri.toString))
-      // shard_path predicates prune on the listing alone
-      .filter { case (_, uri) =>
-        pathFilters.forall(ShardFilters.eval(_, "", uri))
-      }
-      // name predicates prune via the entry manifest: drop a shard only
-      // when its manifest PROVES no entry can satisfy the conjunction; a
-      // missing/torn manifest plans the shard unpruned (the reader still
-      // filters exactly)
-      .filter { case (sp, uri) =>
-        nameFilters.isEmpty || (ShardManifest.read(fs, sp) match {
-          case Some(entries) => entries.exists { case (n, _) =>
-            nameFilters.forall(ShardFilters.eval(_, n, uri))
+    // shard_path predicates prune on the listing alone
+    val candidates = shards.iterator.map(_._1.toUri.toString)
+      .filter(uri => pathFilters.forall(ShardFilters.eval(_, "", uri)))
+      .toArray
+    // name predicates prune via the entry manifest: drop a shard only
+    // when its manifest PROVES no entry can satisfy the conjunction; a
+    // missing/torn manifest plans the shard unpruned (the reader still
+    // filters exactly). Few shards read serially on the driver; beyond
+    // that the manifest sweep fans out as a tiny Spark job over the
+    // candidate URIs (the InMemoryFileIndex listing pattern) — at 100 TB
+    // a single-id lookup over 400k shards must not serialize 400k
+    // metadata reads through one thread.
+    val survivors =
+      if (nameFilters.isEmpty) candidates
+      else {
+        if (candidates.length <= ShardScan.ParallelPruneThreshold)
+          candidates.filter { uri =>
+            val sp = new Path(java.net.URI.create(uri))
+            ShardManifest.read(fs, sp) match {
+              case Some(entries) => entries.exists { case (n, _) =>
+                nameFilters.forall(ShardFilters.eval(_, n, uri))
+              }
+              case None => true
+            }
           }
-          case None => true
-        })
+        else {
+          val sc = spark.sparkContext
+          val conf = new SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          val nf = nameFilters // avoid closing over the Scan
+          sc.parallelize(candidates.toIndexedSeq,
+            math.min(candidates.length, sc.defaultParallelism * 4))
+            .filter { uri =>
+              val sp = new Path(java.net.URI.create(uri))
+              ShardManifest.read(sp.getFileSystem(conf.value), sp) match {
+                case Some(entries) => entries.exists { case (n, _) =>
+                  nf.forall(ShardFilters.eval(_, n, uri))
+                }
+                case None => true
+              }
+            }
+            .collect() // bounded by the surviving shard count
+        }
       }
-      .map { case (_, uri) => ShardInputPartition(uri): InputPartition }
-      .toArray.sortBy(_.asInstanceOf[ShardInputPartition].uri)
+    plannedBytes = survivors.iterator.map(sizeOf.getOrElse(_, 0L)).sum
+    survivors.sorted
+      .map(uri => ShardInputPartition(uri): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

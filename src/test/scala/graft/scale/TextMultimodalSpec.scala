@@ -249,10 +249,14 @@ class TextMultimodalSpec extends SparkSpec {
       dir, maxShardBytes = 64L)
     // drop the local-FS checksum sidecars (.crc) — hidden files, which
     // the binaryFile listing skips anyway
-    val shards = new java.io.File(dir).listFiles().map(_.getName)
+    val listed = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq
-    assert(shards.forall(_.endsWith(".tar")), s"non-tar debris: $shards")
+    assert(listed.forall(f => f.endsWith(".tar") || f.endsWith(".tar.manifest")),
+      s"non-tar debris: $listed")
+    val shards = listed.filter(_.endsWith(".tar"))
     assert(shards.size >= 3, s"cap never rolled a shard: $shards")
+    // every committed shard carries its entry-manifest sidecar
+    assert(shards.forall(s => listed.contains(s + ".manifest")), listed)
     // an orphan tmp from a crashed attempt must not surface as entries
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "shard-00009-00000.tar.7.tmp"),

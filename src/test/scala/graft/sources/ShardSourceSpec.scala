@@ -123,6 +123,31 @@ class ShardSourceSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("suffix/contains/not-null predicates push and evaluate exactly") {
+    val (dir, _) = writeShards()
+    val src = spark.read.format("graft-shards").load(dir)
+    // ids 0..63: names ending in "7.bin" → 7,17,27,37,47,57
+    assert(src.filter(col("name").endsWith("7.bin")).count() == 6)
+    // ids containing digit 3 → 3,13,23,30..39,43,53,63
+    assert(src.filter(col("name").contains("3")).count() == 16)
+    // Catalyst's IsNotNull conjunct is consumed too: no residual Filter
+    val q = src.filter(col("name").isNotNull && col("name") === "9.bin")
+    assert(q.count() == 1)
+    assert(!q.queryExecution.executedPlan.toString.contains("Filter ("),
+      q.queryExecution.executedPlan.toString)
+  }
+
+  test("planning statistics shrink with pruning (pushed lookup ≪ full scan)") {
+    val (dir, _) = writeShards()
+    def size(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = size(spark.read.format("graft-shards").load(dir))
+    val pruned = size(spark.read.format("graft-shards").load(dir)
+      .filter(col("name") === "17.bin"))
+    assert(pruned > 0 && pruned < full / 2,
+      s"pruned=$pruned full=$full — statistics don't reflect shard pruning")
+  }
+
   test("missing manifests degrade to unpruned-but-correct") {
     val (dir, nShards) = writeShards()
     new java.io.File(dir).listFiles()
