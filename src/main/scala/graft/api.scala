@@ -56,6 +56,7 @@ object api {
   // ---------------------------------------------------- sources and layout
   val Sources = sources.Sources
   val Merge = sources.Merge
+  val LogTable = sources.LogTable
   val ZOrder = functions.ZOrder
   val ShardManifest = sources.shardsource.ShardManifest
 

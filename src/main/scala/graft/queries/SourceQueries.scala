@@ -394,6 +394,78 @@ object SourceQueries {
           md5(col("content")).as("payload_md5"))
     }),
 
+    // The COMMIT-LOG table — q108's merge semantics on the transactional
+    // layout (write-once data files + atomic commit rename, no
+    // stage-then-publish double write): base orders become version 1,
+    // the same update/tombstone/insert batch q108 derives lands as one
+    // log transaction (version 2), and the snapshot read restates q108's
+    // oracle plus the pinned final version. A lost row through the
+    // file-level rewrite, a mis-pruned spanning file, or a phantom commit
+    // is hash-red.
+    "q125_logtable_merge" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q125_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(Tables(s, dir, "orders"))
+      graft.sources.LogTable.create(s, outRoot.toString, base, "o_year")
+      val inYears = col("o_year").isin(1997, 1999)
+      val upd = base.filter(col("k") % 7 === 0 && inYears)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("version", lit(1))
+      val del = base.filter(col("k") % 13 === 0 && inYears)
+        .withColumn("version", lit(2)).withColumn("op", lit("D"))
+      val ins = base.filter(col("k") % 11 === 0 && inYears)
+        .withColumn("k", col("k") + lit(10000000L))
+        .withColumn("status", lit("N"))
+        .withColumn("cents", expr("cents div 2"))
+        .withColumn("version", lit(1))
+      val v = graft.sources.LogTable.upsert(s, outRoot.toString,
+        upd.unionByName(del).unionByName(ins),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
+      graft.sources.LogTable.read(s, outRoot.toString)
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("log_version", lit(v).cast("int"))
+    }),
+
+    // Time travel on the same log table: after the merge commits version
+    // 2, a version-1 read must reproduce the PRE-merge table exactly —
+    // the oracle aggregates the raw orders, so a vacuumed-too-early file,
+    // a replay that leaks post-merge rows, or an off-by-one version pin
+    // is hash-red.
+    "q126_logtable_timetravel" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q126_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(Tables(s, dir, "orders"))
+      graft.sources.LogTable.create(s, outRoot.toString, base, "o_year")
+      val changes = base.filter(col("k") % 5 === 0)
+        .withColumn("cents", expr("cents div 3"))
+        .withColumn("version", lit(1))
+      graft.sources.LogTable.upsert(s, outRoot.toString, changes,
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      graft.sources.LogTable.read(s, outRoot.toString, asOf = Some(1L))
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("version_read", lit(1))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -608,6 +680,47 @@ object SourceQueries {
         |  md5(text) AS payload_md5
         |FROM documents
         |WHERE doc_id % 10 = 7 AND doc_id BETWEEN 0 AND 97""".stripMargin,
+
+    // q108's merge restatement with the final commit version pinned.
+    "q125_logtable_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)),
+        |del AS (
+        |  SELECT k, status, cents, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year IN (1997, 1999)),
+        |ins AS (
+        |  SELECT k + 10000000 AS k, 'N' AS status, cents // 2 AS cents,
+        |         o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |changes AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  2 AS log_version
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The pre-merge state straight from the raw table: time travel to
+    // version 1 must reproduce it bit for bit.
+    "q126_logtable_timetravel" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  1 AS version_read
+        |FROM orders
+        |GROUP BY 1, 2""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -1,0 +1,280 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A minimal TRANSACTIONAL table format — the commit-log layout that
+  * [[Merge.upsertPartitioned]]'s scaladoc names as what replaces its
+  * stage-then-publish double write. Directory-encoded tables make the
+  * FILESYSTEM the source of truth, so safe replacement needs every
+  * touched partition written twice; a log-table makes the LOG the source
+  * of truth, so a merge writes its data files ONCE and then publishes
+  * them with one atomic commit-file rename. This is the (heavily
+  * simplified) shape of Delta/Iceberg, built from nothing but parquet,
+  * JSON, and rename:
+  *
+  * {{{
+  * table/
+  *   part-<job>-<task>-<uuid>.parquet     immutable data files
+  *   _graft_log/00000000000000000001.json ordered commits
+  * }}}
+  *
+  * Each commit records the schema, the files it ADDS (with per-file
+  * partition min/max — log-level pruning, finer than directory pruning
+  * because a file spanning several partition values is tracked honestly
+  * as a range) and the files it REMOVES. A snapshot at version V =
+  * replay of commits 1..V; readers list one directory and never race
+  * writers:
+  *
+  *  - **Atomic publish**: data files land under non-referenced names
+  *    (invisible — readers only trust the log), then the commit file is
+  *    renamed into place. HDFS/local `rename` fails if the destination
+  *    exists, which doubles as OPTIMISTIC CONCURRENCY: two writers
+  *    racing to version V+1 → exactly one rename wins, the loser
+  *    re-reads the new snapshot and retries its merge against it. (On
+  *    stores without atomic no-overwrite rename — S3 — this needs a
+  *    coordinator; out of scope, same as Delta's S3 story.)
+  *  - **Crash safety for free**: a crash before commit leaves only
+  *    unreferenced data files (invisible; reclaimed by [[vacuum]]); a
+  *    crash after commit is a completed merge. No torn state exists, no
+  *    idempotent-rerun reasoning needed, and nothing is written twice.
+  *  - **Time travel**: `read(spark, path, asOf = Some(v))` replays the
+  *    prefix — yesterday's table for audits/backfills, until a vacuum
+  *    reclaims removed files.
+  *
+  * Costs, honestly: the log grows one small JSON per commit (compaction
+  * into checkpoints is the standard fix, not implemented); [[vacuum]]
+  * breaks time travel behind the current version and must out-wait
+  * in-flight readers/writers (`olderThanMs`).
+  */
+object LogTable {
+
+  /** One live data file: absolute-relative path (table-rooted name),
+    * partition value range as strings (pmin==pmax ⇒ single-partition
+    * file, equality-prunable), exact rows, bytes.
+    */
+  final case class LogFile(name: String, pmin: String, pmax: String,
+                           rows: Long, bytes: Long)
+
+  final case class Snapshot(version: Long, schemaDdl: String,
+                            partitionCol: String, files: Seq[LogFile]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
+
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  private val Mapper = new ObjectMapper()
+
+  private def logDir(path: String) = new Path(path, "_graft_log")
+  private def commitPath(path: String, v: Long) =
+    new Path(logDir(path), f"$v%020d.json")
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Create a new log table at `path` from `df`, partition-tracked on
+    * `partitionCol` (kept as an ordinary column IN the data — the log,
+    * not the directory name, carries partition values). One data write,
+    * one commit. Fails if a log already exists.
+    */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partitionCol: String): Long = {
+    val fs = fsOf(spark, path)
+    require(!fs.exists(logDir(path)),
+      s"log table already exists at $path — use upsert")
+    fs.mkdirs(logDir(path)): Unit
+    val adds = writeDataFiles(spark, path, df, partitionCol)
+    commit(spark, path, 1L, df.schema.toDDL, partitionCol, adds, Nil)
+    1L
+  }
+
+  /** Current (or `asOf`-pinned) snapshot by replaying the commit log —
+    * one directory listing plus one small JSON read per commit.
+    */
+  def snapshot(spark: SparkSession, path: String,
+               asOf: Option[Long] = None): Snapshot = {
+    val fs = fsOf(spark, path)
+    val commits = fs.listStatus(logDir(path)).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => (st.getPath.getName.stripSuffix(".json").toLong, st.getPath))
+      .toSeq.sortBy(_._1)
+    require(commits.nonEmpty, s"no commits at $path")
+    val upTo = asOf.fold(commits)(v => commits.filter(_._1 <= v))
+    require(upTo.nonEmpty, s"no commit at or before version ${asOf.get}")
+    var schemaDdl = ""
+    var pcol = ""
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
+    upTo.foreach { case (_, cp) =>
+      val in = fs.open(cp)
+      val node = try Mapper.readTree(in) finally in.close()
+      schemaDdl = node.get("schema").asText()
+      pcol = node.get("partitionCol").asText()
+      node.get("removes").forEach(r => live.remove(r.asText()): Unit)
+      node.get("adds").forEach { a =>
+        val f = LogFile(a.get("name").asText(), a.get("pmin").asText(),
+          a.get("pmax").asText(), a.get("rows").asLong(), a.get("bytes").asLong())
+        live.put(f.name, f): Unit
+      }
+    }
+    Snapshot(upTo.last._1, schemaDdl, pcol, live.values.toSeq)
+  }
+
+  /** Read the table at the current (or a historical) version. */
+  def read(spark: SparkSession, path: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    readFiles(spark, path, snap, snap.files)
+  }
+
+  /** The files a batch touching `values` (stringified partition values)
+    * must rewrite: every single-partition file holding a touched value,
+    * plus every range file (pmin != pmax) — its non-touched rows ride
+    * along through the rewrite, which is what keeps removal sound.
+    */
+  def prunedFiles(snap: Snapshot, values: Set[String]): Seq[LogFile] =
+    snap.files.filter(f => f.pmin != f.pmax || values.contains(f.pmin))
+
+  /** Delete-aware latest-wins merge (q108 semantics — see [[Merge.merge]])
+    * committed as one log transaction: read ONLY the prunable files, merge
+    * with the batch, write the replacement files once, commit
+    * {adds, removes}. A losing race re-reads the fresh snapshot and
+    * retries the whole merge (the batch re-merges against the winner's
+    * state — converging exactly because the merge itself is the conflict
+    * resolution).
+    */
+  def upsert(spark: SparkSession, path: String, changes: DataFrame,
+             keyCols: Seq[String], orderCols: Seq[String], opCol: String,
+             deleteOp: String = "D", maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val touched = changes
+        .select(col(snap.partitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet // bounded: touched partitions
+      val victims = prunedFiles(snap, touched)
+      val base = readFiles(spark, path, snap, victims)
+      val merged = Merge.merge(base, changes, keyCols, orderCols, opCol, deleteOp)
+      val adds = writeDataFiles(spark, path, merged, snap.partitionCol)
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCol, adds, victims.map(_.name))
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          // our uncommitted files are invisible; drop them eagerly rather
+          // than waiting for vacuum, then retry against the new snapshot
+          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Reclaim data files invisible to the CURRENT snapshot: crash orphans
+    * and vacated history. Irreversibly breaks time travel behind the
+    * current version; `olderThanMs` must out-wait any in-flight reader of
+    * an old snapshot and any writer that has staged but not committed.
+    * Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, path: String, olderThanMs: Long): Int = {
+    val fs = fsOf(spark, path)
+    val live = snapshot(spark, path).files.map(_.name).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = fs.listStatus(new Path(path)).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !live.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath).toSeq
+    dead.foreach(p => fs.delete(p, false): Unit)
+    dead.size
+  }
+
+  // -------------------------------------------------------------- internals
+
+  private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
+                        files: Seq[LogFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+    else
+      spark.read.schema(snap.schema)
+        .parquet(files.map(f => new Path(path, f.name).toString): _*)
+
+  /** Write `df` once as parquet files directly referenced by the log:
+    * land in a scratch dir, collect per-file (partition min/max, rows)
+    * with ONE metadata-shaped scan of the new files only, then rename
+    * each into the table root under its (already unique) name. Files are
+    * invisible until a commit references them.
+    */
+  private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
+                             partitionCol: String): Seq[LogFile] = {
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    // partition-clustered output: RANGE partitioning on the partition
+    // value keeps equal values in one task and never hash-collides
+    // distant values into one file, so files come out single-partition
+    // (pmin==pmax, equality-prunable) whenever the sampled boundaries
+    // split the values — and an unlucky file degrades to a tracked RANGE,
+    // never to wrong pruning. The partition count is EXPLICIT so AQE
+    // cannot coalesce small outputs into one multi-partition file.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, col(partitionCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val stats = spark.read.parquet(tmp.toString)
+      .select(col(partitionCol).cast("string").as("__p"),
+        col("_metadata.file_path").as("__f"))
+      .groupBy(col("__f"))
+      .agg(min(col("__p")).as("pmin"), max(col("__p")).as("pmax"),
+        count(lit(1)).as("rows"))
+      .collect() // bounded: one row per NEW file
+    val adds = stats.map { r =>
+      val src = new Path(java.net.URI.create(r.getString(0)))
+      val name = src.getName
+      val bytes = fs.getFileStatus(src).getLen
+      val dst = new Path(path, name)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+      LogFile(name, r.getString(1), r.getString(2), r.getLong(3), bytes)
+    }.toIndexedSeq
+    fs.delete(tmp, true): Unit
+    adds
+  }
+
+  private def commit(spark: SparkSession, path: String, version: Long,
+                     schemaDdl: String, partitionCol: String,
+                     adds: Seq[LogFile], removes: Seq[String]): Unit = {
+    val fs = fsOf(spark, path)
+    val root = Mapper.createObjectNode()
+    root.put("version", version): Unit
+    root.put("schema", schemaDdl): Unit
+    root.put("partitionCol", partitionCol): Unit
+    val aArr = root.putArray("adds")
+    adds.foreach { f =>
+      val n = aArr.addObject()
+      n.put("name", f.name): Unit
+      n.put("pmin", f.pmin): Unit
+      n.put("pmax", f.pmax): Unit
+      n.put("rows", f.rows): Unit
+      n.put("bytes", f.bytes): Unit
+    }
+    val rArr = root.putArray("removes")
+    removes.foreach(r => rArr.add(r): Unit)
+    val tmp = new Path(logDir(path),
+      ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Mapper.writeValueAsBytes(root)) finally out.close()
+    val dst = commitPath(path, version)
+    // rename-no-overwrite IS the transaction: exactly one writer can
+    // publish version N
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false): Unit
+      if (fs.exists(dst))
+        throw new CommitConflictException(
+          s"version $version already committed at $path")
+      throw new java.io.IOException(s"commit rename failed for $dst")
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The commit-log table: atomic single-write merges, optimistic
+  * concurrency via the commit rename, time travel, crash invisibility,
+  * and vacuum discipline.
+  */
+class LogTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-logtable").toString
+
+  private def baseDf = Seq(
+    (1L, "a", 0, "p1", "U"), (2L, "b", 0, "p1", "U"),
+    (3L, "c", 0, "p2", "U"), (4L, "d", 0, "p3", "U"))
+    .toDF("k", "v", "ver", "p", "op")
+
+  test("create + read round trip; upsert equals the in-memory merge") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq ==
+      baseDf.orderBy("k").collect().toSeq)
+    val changes = Seq(
+      (1L, "a1", 1, "p1", "U"), (3L, "c", 1, "p2", "D"),
+      (9L, "n", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    val v = LogTable.upsert(spark, dir, changes,
+      Seq("k"), Seq("ver"), "op")
+    assert(v == 2L)
+    val expect = Merge.merge(baseDf, changes, Seq("k"), Seq("ver"), "op")
+      .orderBy("k").collect().toSeq
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expect)
+  }
+
+  test("merge rewrites only the touched partitions' files") {
+    val dir = tmp() + "/t"
+    // well-populated partitions so range boundaries isolate the values
+    val big = (1L to 60L).map(k => (k, "v" + k, 0, "p" + (k % 3 + 1), "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    LogTable.create(spark, dir, big, "p")
+    val before = LogTable.snapshot(spark, dir)
+    val changes = Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
+    val after = LogTable.snapshot(spark, dir)
+    // files of untouched partitions survive by NAME (never rewritten)
+    val untouchedBefore = before.files.filter(f => f.pmin == f.pmax && f.pmin != "p1")
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach(f => assert(after.files.map(_.name).contains(f.name), f))
+    // p1's old files are gone from the live set
+    before.files.filter(f => f.pmin == "p1" && f.pmax == "p1")
+      .foreach(f => assert(!after.files.map(_.name).contains(f.name), f))
+  }
+
+  test("a file spanning partitions is rewritten whole — no rows lost") {
+    val dir = tmp() + "/t"
+    // more distinct partition values than shuffle partitions (2 in this
+    // session) forces files that SPAN values — the layout the equality
+    // prune must treat as always-touched
+    val many = (1L to 100L).map(k => (k, "v" + k, 0, f"p${k % 20}%02d", "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    LogTable.create(spark, dir, many, "p")
+    val snap = LogTable.snapshot(spark, dir)
+    val spanning = snap.files.filter(f => f.pmin != f.pmax).map(_.name).toSet
+    assert(spanning.nonEmpty, snap.files)
+    val pruned = LogTable.prunedFiles(snap, Set("p01")).map(_.name).toSet
+    assert(spanning.subsetOf(pruned), s"$spanning not all in $pruned")
+    // k=1 lives in p01; every other row must ride through the rewrite
+    val changes = Seq((1L, "a1", 1, "p01", "U")).toDF("k", "v", "ver", "p", "op")
+    LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
+    val out = LogTable.read(spark, dir)
+    assert(out.count() == 100)
+    assert(out.filter($"k" === 1L).select("v").as[String].head() == "a1")
+    assert(out.filter($"k" =!= 1L && !$"v".startsWith("v")).count() == 0)
+  }
+
+  test("time travel: historical versions replay the log prefix") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val changes = Seq((2L, "b9", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
+    assert(LogTable.read(spark, dir, asOf = Some(1L)).orderBy("k")
+      .collect().toSeq == baseDf.orderBy("k").collect().toSeq)
+    assert(LogTable.read(spark, dir).filter($"k" === 2L)
+      .select("v").as[String].head() == "b9")
+  }
+
+  test("uncommitted data files are invisible; vacuum reclaims them but never live ones") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // a crashed writer's moved-but-never-committed file
+    val orphan = new java.io.File(dir, "part-crashed-orphan.parquet")
+    baseDf.limit(1).write.mode("overwrite")
+      .parquet(orphan.toString + ".dir")
+    val part = new java.io.File(orphan.toString + ".dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+    assert(LogTable.read(spark, dir).count() == 4) // orphan invisible
+    val live = LogTable.snapshot(spark, dir).files.map(_.name).toSet
+    val deleted = LogTable.vacuum(spark, dir, olderThanMs = 0L)
+    assert(deleted == 1)
+    assert(!orphan.exists())
+    assert(LogTable.snapshot(spark, dir).files.map(_.name).toSet == live)
+    assert(LogTable.read(spark, dir).count() == 4)
+  }
+
+  test("a losing commit race retries against the winner's snapshot") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // winner: someone else publishes version 2 first
+    val w = Seq((2L, "winner", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    LogTable.upsert(spark, dir, w, Seq("k"), Seq("ver"), "op")
+    // loser-turned-retry: a batch prepared against version 1 still lands,
+    // and BOTH changes survive (the retry merges against the new state)
+    val l = Seq((1L, "later", 2, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    assert(LogTable.upsert(spark, dir, l, Seq("k"), Seq("ver"), "op") == 3L)
+    val out = LogTable.read(spark, dir).filter($"k".isin(1L, 2L))
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(out == Seq(Row(1L, "later"), Row(2L, "winner")))
+  }
+
+  test("version numbers are contended: the same version cannot commit twice") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // occupy version 2 with a hand-planted (empty) commit
+    val snap = LogTable.snapshot(spark, dir)
+    val json = ("""{"version":2,"schema":"""" + snap.schemaDdl.replace("\"", "\\\"") +
+      """","partitionCol":"p","adds":[],"removes":[]}""")
+    java.nio.file.Files.write(
+      new java.io.File(dir + "/_graft_log", f"${2L}%020d.json").toPath,
+      json.getBytes("UTF-8"))
+    // an upsert prepared against v1 must NOT silently collide with v2 —
+    // it retries and lands at v3
+    val c = Seq((4L, "d1", 1, "p3", "U")).toDF("k", "v", "ver", "p", "op")
+    assert(LogTable.upsert(spark, dir, c, Seq("k"), Seq("ver"), "op") == 3L)
+    assert(LogTable.read(spark, dir).filter($"k" === 4L)
+      .select("v").as[String].head() == "d1")
+  }
+}
