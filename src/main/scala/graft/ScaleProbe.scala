@@ -57,7 +57,12 @@ object ScaleProbe {
     * read + touched-directory rewrite stays proportional to the touched
     * partitions' size.
     */
-  private val MergeQueries = Seq("q108_partitioned_merge")
+  /** q108 (stage-then-publish double write) vs q125 (commit-log table,
+    * write-once) run the SAME merge contract over the same aged table —
+    * the head-to-head that prices the two layouts against each other at
+    * scale.
+    */
+  private val MergeQueries = Seq("q108_partitioned_merge", "q125_logtable_merge")
 
   /** The shard layout at scale: q107 (mapPartitions round trip) and q119
     * (DSv2 scan) re-archive and re-read the whole doc subset — linear by

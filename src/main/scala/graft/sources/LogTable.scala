@@ -45,10 +45,13 @@ import org.apache.spark.sql.types.StructType
   *    prefix — yesterday's table for audits/backfills, until a vacuum
   *    reclaims removed files.
   *
-  * Costs, honestly: the log grows one small JSON per commit (compaction
-  * into checkpoints is the standard fix, not implemented); [[vacuum]]
-  * breaks time travel behind the current version and must out-wait
-  * in-flight readers/writers (`olderThanMs`).
+  * Log growth is handled the standard way: [[checkpoint]] writes a full
+  * snapshot file at the current version, [[snapshot]] replays from the
+  * newest checkpoint at-or-before the requested version instead of from
+  * commit 1, and [[expireLog]] deletes the commits a checkpoint made
+  * redundant (giving up time travel behind it — pair with [[vacuum]]).
+  * [[vacuum]] itself breaks time travel behind the current version and
+  * must out-wait in-flight readers/writers (`olderThanMs`).
   */
 object LogTable {
 
@@ -90,27 +93,44 @@ object LogTable {
     1L
   }
 
-  /** Current (or `asOf`-pinned) snapshot by replaying the commit log —
-    * one directory listing plus one small JSON read per commit.
+  private val CommitName = """^(\d{20})\.json$""".r
+  private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
+
+  /** Current (or `asOf`-pinned) snapshot: replay starts from the newest
+    * checkpoint at-or-before the target version (one file instead of the
+    * whole history), then folds the remaining commits — one directory
+    * listing plus O(commits since checkpoint) small JSON reads.
     */
   def snapshot(spark: SparkSession, path: String,
                asOf: Option[Long] = None): Snapshot = {
     val fs = fsOf(spark, path)
-    val commits = fs.listStatus(logDir(path)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
-      .map(st => (st.getPath.getName.stripSuffix(".json").toLong, st.getPath))
-      .toSeq.sortBy(_._1)
-    require(commits.nonEmpty, s"no commits at $path")
-    val upTo = asOf.fold(commits)(v => commits.filter(_._1 <= v))
-    require(upTo.nonEmpty, s"no commit at or before version ${asOf.get}")
+    val listed = fs.listStatus(logDir(path)).iterator
+      .filter(_.isFile).map(_.getPath).toSeq
+    val commits = listed.flatMap(p => p.getName match {
+      case CommitName(v) => Some((v.toLong, p))
+      case _ => None
+    }).sortBy(_._1)
+    val ckptAll = listed.flatMap(p => p.getName match {
+      case CheckpointName(v) => Some((v.toLong, p))
+      case _ => None
+    }).sortBy(_._1)
+    require(commits.nonEmpty || ckptAll.nonEmpty, s"no commits at $path")
+    val target = asOf.getOrElse(
+      (commits.lastOption.map(_._1) ++ ckptAll.lastOption.map(_._1)).max)
+    val upTo = commits.filter(_._1 <= target)
+    val ckpt = ckptAll.filter(_._1 <= target).lastOption
+    require(upTo.nonEmpty || ckpt.nonEmpty,
+      s"no commit at or before version $target (expired log?)")
     var schemaDdl = ""
     var pcol = ""
+    var version = 0L
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
-    upTo.foreach { case (_, cp) =>
-      val in = fs.open(cp)
+    def fold(p: Path): Unit = {
+      val in = fs.open(p)
       val node = try Mapper.readTree(in) finally in.close()
       schemaDdl = node.get("schema").asText()
       pcol = node.get("partitionCol").asText()
+      version = node.get("version").asLong()
       node.get("removes").forEach(r => live.remove(r.asText()): Unit)
       node.get("adds").forEach { a =>
         val f = LogFile(a.get("name").asText(), a.get("pmin").asText(),
@@ -118,7 +138,59 @@ object LogTable {
         live.put(f.name, f): Unit
       }
     }
-    Snapshot(upTo.last._1, schemaDdl, pcol, live.values.toSeq)
+    ckpt.foreach { case (_, p) => fold(p) }
+    upTo.filter { case (v, _) => ckpt.forall(v > _._1) }
+      .foreach { case (_, p) => fold(p) }
+    // a replay must END at the requested version — a gap (expired commits
+    // past the checkpoint) is an error, not a silently older table
+    require(asOf.forall(_ == version),
+      s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
+    Snapshot(version, schemaDdl, pcol, live.values.toSeq)
+  }
+
+  /** Write a full-snapshot checkpoint at the current version, so future
+    * [[snapshot]] calls replay O(commits since) instead of the whole log.
+    * Idempotent: an existing checkpoint for the version is kept.
+    */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    val fs = fsOf(spark, path)
+    val dst = new Path(logDir(path), f"${snap.version}%020d.checkpoint.json")
+    if (!fs.exists(dst)) {
+      val tmp = new Path(logDir(path),
+        ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCol,
+        snap.files, Nil)) finally out.close()
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false): Unit
+        // lost a race to an identical checkpoint — fine
+        if (!fs.exists(dst))
+          throw new java.io.IOException(s"checkpoint rename failed for $dst")
+      }
+    }
+    snap.version
+  }
+
+  /** Delete the commits the newest checkpoint made redundant. Time travel
+    * to versions before the checkpoint stops working (fails loud in
+    * [[snapshot]], never silently serves an older table). Returns the
+    * number of commit files removed.
+    */
+  def expireLog(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val listed = fs.listStatus(logDir(path)).iterator
+      .filter(_.isFile).map(_.getPath).toSeq
+    val ckptV = listed.flatMap(p => p.getName match {
+      case CheckpointName(v) => Some(v.toLong)
+      case _ => None
+    }).sorted.lastOption.getOrElse(return 0)
+    val dead = listed.filter(p => p.getName match {
+      case CommitName(v) => v.toLong <= ckptV
+      case _ => false
+    })
+    dead.foreach(p => fs.delete(p, false): Unit)
+    dead.size
   }
 
   /** Read the table at the current (or a historical) version. */
@@ -243,10 +315,8 @@ object LogTable {
     adds
   }
 
-  private def commit(spark: SparkSession, path: String, version: Long,
-                     schemaDdl: String, partitionCol: String,
-                     adds: Seq[LogFile], removes: Seq[String]): Unit = {
-    val fs = fsOf(spark, path)
+  private def commitJson(version: Long, schemaDdl: String, partitionCol: String,
+                         adds: Seq[LogFile], removes: Seq[String]): Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
@@ -262,10 +332,18 @@ object LogTable {
     }
     val rArr = root.putArray("removes")
     removes.foreach(r => rArr.add(r): Unit)
+    Mapper.writeValueAsBytes(root)
+  }
+
+  private def commit(spark: SparkSession, path: String, version: Long,
+                     schemaDdl: String, partitionCol: String,
+                     adds: Seq[LogFile], removes: Seq[String]): Unit = {
+    val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(Mapper.writeValueAsBytes(root)) finally out.close()
+    try out.write(commitJson(version, schemaDdl, partitionCol, adds, removes))
+    finally out.close()
     val dst = commitPath(path, version)
     // rename-no-overwrite IS the transaction: exactly one writer can
     // publish version N

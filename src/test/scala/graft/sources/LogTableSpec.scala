@@ -123,6 +123,36 @@ class LogTableSpec extends SparkSpec {
     assert(out == Seq(Row(1L, "later"), Row(2L, "winner")))
   }
 
+  test("checkpoint truncates replay; expired versions fail loud, never stale") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.upsert(spark, dir,
+      Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    LogTable.upsert(spark, dir,
+      Seq((3L, "c1", 1, "p2", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    assert(LogTable.checkpoint(spark, dir) == 3L)
+    val expected = LogTable.read(spark, dir).orderBy("k").collect().toSeq
+    assert(LogTable.expireLog(spark, dir) == 3) // commits 1..3 now redundant
+    // replay now starts at the checkpoint — same table
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expected)
+    assert(LogTable.snapshot(spark, dir).version == 3L)
+    // the checkpointed version itself is still addressable; earlier ones
+    // fail loud instead of silently serving an older state
+    assert(LogTable.read(spark, dir, asOf = Some(3L)).orderBy("k")
+      .collect().toSeq == expected)
+    intercept[IllegalArgumentException] {
+      LogTable.read(spark, dir, asOf = Some(2L))
+    }
+    // and the table keeps accepting commits after expiry
+    assert(LogTable.upsert(spark, dir,
+      Seq((4L, "d1", 1, "p3", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op") == 4L)
+    assert(LogTable.read(spark, dir).filter($"k" === 4L)
+      .select("v").as[String].head() == "d1")
+  }
+
   test("version numbers are contended: the same version cannot commit twice") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
