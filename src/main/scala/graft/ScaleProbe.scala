@@ -205,12 +205,53 @@ object ScaleProbe {
         .select(col("name"), length(col("content")).as("n_bytes"))
     }
 
+    // the MERGE in isolation: the registered q108/q125 runners rebuild
+    // their base table every pass (q125's create is a full range shuffle
+    // of the tier), which swamps the layout comparison actually at stake.
+    // These runners create each tier's base table ONCE into a cache and
+    // time only change-derivation + upsert + read-back — the daily-merge
+    // shape. Re-applying the same batch converges (merge idempotency), so
+    // repeated passes do equivalent work.
+    def mergeOnly(kind: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.{LogTable, Merge, Sources}
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(s"target/scaleprobe/mergecache/$kind/$key").getAbsolutePath
+      def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(s.read.parquet(s"$d/orders.parquet"))
+      val marker = new java.io.File(t,
+        if (kind == "logtable") "_graft_log" else "_SUCCESS")
+      if (!marker.exists()) {
+        if (kind == "logtable") LogTable.create(s, t, base, "o_year"): Unit
+        else Sources.writeParquet(base, t, partitionBy = Seq("o_year"))
+      }
+      val inYears = col("o_year").isin(1997, 1999)
+      val changes = base.filter(col("k") % 7 === 0 && inYears)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("version", lit(1))
+        .unionByName(base.filter(col("k") % 13 === 0 && inYears)
+          .withColumn("version", lit(2)).withColumn("op", lit("D")))
+      if (kind == "logtable") {
+        LogTable.upsert(s, t, changes, Seq("k"), Seq("version"), "op"): Unit
+        LogTable.read(s, t).groupBy(col("o_year")).count()
+      } else {
+        Merge.upsertPartitioned(s, t, changes, Seq("k"), Seq("version"),
+          "o_year", "op"): Unit
+        s.read.parquet(t).groupBy(col("o_year")).count()
+      }
+    }
+
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (HeavyQueries ++ EmbeddingQueries ++ MergeQueries ++
         ShardQueries ++ StreamMergeQueries)
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "shard_lookup_pushdown" -> (shardLookup _),
+        "merge_only:partitioned" -> (mergeOnly("partitioned") _),
+        "merge_only:logtable" -> (mergeOnly("logtable") _),
         "q86_token_quantiles:preagg" ->
           ((s: SparkSession, d: String) =>
             queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),

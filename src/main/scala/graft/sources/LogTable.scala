@@ -228,8 +228,14 @@ object LogTable {
         .collect().map(_.getString(0)).toSet // bounded: touched partitions
       val victims = prunedFiles(snap, touched)
       val base = readFiles(spark, path, snap, victims)
+      // persisted across the range-sampling pass and the shuffled write,
+      // so the merge aggregation runs ONCE (bounded by the touched
+      // partitions + batch — the rows being rewritten anyway)
       val merged = Merge.merge(base, changes, keyCols, orderCols, opCol, deleteOp)
-      val adds = writeDataFiles(spark, path, merged, snap.partitionCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adds =
+        try writeDataFiles(spark, path, merged, snap.partitionCol)
+        finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCol, adds, victims.map(_.name))
@@ -285,15 +291,21 @@ object LogTable {
                              partitionCol: String): Seq[LogFile] = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    // partition-clustered output: RANGE partitioning on the partition
-    // value keeps equal values in one task and never hash-collides
-    // distant values into one file, so files come out single-partition
-    // (pmin==pmax, equality-prunable) whenever the sampled boundaries
-    // split the values — and an unlucky file degrades to a tracked RANGE,
-    // never to wrong pruning. The partition count is EXPLICIT so AQE
-    // cannot coalesce small outputs into one multi-partition file.
+    // partition-clustered output: RANGE partitioning on (value, salt).
+    // The leading value keeps equal values adjacent and never
+    // hash-collides distant values into one file, so files come out
+    // single-partition (pmin==pmax, equality-prunable) except at value
+    // boundaries — and an unlucky file degrades to a tracked RANGE,
+    // never to wrong pruning. The SALT lets one hot partition value
+    // spread across many writer tasks (range-partitioning on the value
+    // alone would funnel a whole 100 TB date-partition through one
+    // task). The partition count is EXPLICIT so AQE cannot coalesce
+    // small outputs into one multi-partition file.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartitionByRange(n, col(partitionCol))
+    df.withColumn("__salt",
+        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
+      .repartitionByRange(n, col(partitionCol), col("__salt"))
+      .drop("__salt")
       .write.mode("overwrite").parquet(tmp.toString)
     val stats = spark.read.parquet(tmp.toString)
       .select(col(partitionCol).cast("string").as("__p"),

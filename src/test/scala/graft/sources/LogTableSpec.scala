@@ -39,14 +39,20 @@ class LogTableSpec extends SparkSpec {
 
   test("merge rewrites only the touched partitions' files") {
     val dir = tmp() + "/t"
-    // well-populated partitions so range boundaries isolate the values
+    // well-populated partitions + enough writer tasks that the sampled
+    // (value, salt) boundaries isolate the values into their own files
     val big = (1L to 60L).map(k => (k, "v" + k, 0, "p" + (k % 3 + 1), "U"))
       .toDF("k", "v", "ver", "p", "op")
-    LogTable.create(spark, dir, big, "p")
-    val before = LogTable.snapshot(spark, dir)
-    val changes = Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
-    LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
-    val after = LogTable.snapshot(spark, dir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val (before, after) =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "12")
+        LogTable.create(spark, dir, big, "p")
+        val b = LogTable.snapshot(spark, dir)
+        val changes = Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+        LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
+        (b, LogTable.snapshot(spark, dir))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // files of untouched partitions survive by NAME (never rewritten)
     val untouchedBefore = before.files.filter(f => f.pmin == f.pmax && f.pmin != "p1")
     assert(untouchedBefore.nonEmpty)
