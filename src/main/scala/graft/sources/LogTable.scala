@@ -200,6 +200,27 @@ object LogTable {
     readFiles(spark, path, snap, snap.files)
   }
 
+  /** Read ONLY the partitions in `values` — log-level file pruning: the
+    * plan never references a file whose (pmin, pmax) range excludes every
+    * requested value, so the scan-side cost of a one-partition query on a
+    * 2,000-partition table is one partition's files plus any boundary
+    * files. The residual equality filter still applies (boundary files
+    * carry neighbor rows).
+    */
+  def readPartitions(spark: SparkSession, path: String, values: Seq[Any],
+                     asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    val wanted = values.map(String.valueOf).toSet
+    val keep = snap.files.filter(f =>
+      // string min/max bounds are ORDER-comparable only within one value,
+      // so range files prune solely on the exact-match endpoints; a
+      // spanning file is kept conservatively
+      (f.pmin == f.pmax && wanted.contains(f.pmin)) || f.pmin != f.pmax)
+    readFiles(spark, path, snap, keep)
+      .filter(col(snap.partitionCol).cast("string")
+        .isin(wanted.toSeq: _*))
+  }
+
   /** The files a batch touching `values` (stringified partition values)
     * must rewrite: every single-partition file holding a touched value,
     * plus every range file (pmin != pmax) — its non-touched rows ride

@@ -125,9 +125,10 @@ private[shardsource] object ShardFilters {
 
 class ShardScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = ShardTable.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // an empty projection (count(*)) still needs a row per entry; keep
     // the empty struct — the reader emits empty rows without any IO body
@@ -139,7 +140,13 @@ class ShardScanBuilder(path: String)
     unsup // residual conjuncts Spark keeps evaluating post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ShardScan(path, required, pushed)
+  // PARTIAL limit pushdown: each reader stops streaming its archive after
+  // `limit` matching entries (a head(5) on a TB corpus reads ~5 bodies in
+  // the first shard), while Spark's own Limit still enforces the global
+  // count across partitions.
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+  override def build(): Scan = new ShardScan(path, required, pushed, limit)
 }
 
 final case class ShardInputPartition(uri: String) extends InputPartition
@@ -172,13 +179,14 @@ object ShardScan {
 }
 
 class ShardScan(path: String, required: StructType,
-                pushed: Array[Filter]) extends Scan with Batch
+                pushed: Array[Filter], limit: Int = -1) extends Scan with Batch
   with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-shards $path readSchema=${required.fieldNames.mkString(",")} " +
-      s"pushedFilters=[${pushed.mkString(", ")}]"
+      s"pushedFilters=[${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   /** Planning-time size estimate = archive bytes of the shards that
     * SURVIVED pruning, so a pushed single-id lookup reports KB against a
@@ -277,7 +285,7 @@ class ShardScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    new ShardReaderFactory(required, pushed,
+    new ShardReaderFactory(required, pushed, limit,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 
@@ -287,11 +295,12 @@ class ShardScan(path: String, required: StructType,
 }
 
 class ShardReaderFactory(required: StructType, pushed: Array[Filter],
-                         conf: SerializableConfiguration)
+                         limit: Int, conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ShardPartitionReader(
-      partition.asInstanceOf[ShardInputPartition].uri, required, pushed, conf)
+      partition.asInstanceOf[ShardInputPartition].uri, required, pushed,
+      limit, conf)
 }
 
 /** Streams one shard's entries. Memory is bounded by ONE entry — and only
@@ -302,7 +311,7 @@ class ShardReaderFactory(required: StructType, pushed: Array[Filter],
   * the same way, so a pushed single-id lookup reads exactly one body.
   */
 class ShardPartitionReader(uri: String, required: StructType,
-                           pushed: Array[Filter],
+                           pushed: Array[Filter], limit: Int,
                            conf: SerializableConfiguration)
   extends PartitionReader[InternalRow] {
 
@@ -320,6 +329,9 @@ class ShardPartitionReader(uri: String, required: StructType,
     pushed.forall(ShardFilters.eval(_, name, uri))
 
   override def next(): Boolean = {
+    // pushed limit satisfied: stop streaming the archive entirely — the
+    // remaining entries (headers AND bodies) are never read
+    if (limit >= 0 && entriesRead >= limit) { cur = null; return false }
     cur = in.getNextEntry
     while (cur != null && (cur.isDirectory || !matches(cur.getName))) {
       // a filtered-out entry's body is skipped by the stream, not read —

@@ -84,6 +84,23 @@ class LogTableSpec extends SparkSpec {
     assert(out.filter($"k" =!= 1L && !$"v".startsWith("v")).count() == 0)
   }
 
+  test("readPartitions plans only matching and boundary files") {
+    val dir = tmp() + "/t"
+    val big = (1L to 60L).map(k => (k, "v" + k, 0, "p" + (k % 3 + 1), "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, "p")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val all = LogTable.read(spark, dir)
+    val one = LogTable.readPartitions(spark, dir, Seq("p2"))
+    assert(one.count() == 20)
+    assert(one.select("p").distinct().as[String].collect().toSeq == Seq("p2"))
+    assert(one.inputFiles.length < all.inputFiles.length,
+      s"${one.inputFiles.length} vs ${all.inputFiles.length} — no log pruning")
+  }
+
   test("time travel: historical versions replay the log prefix") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")

@@ -148,6 +148,24 @@ class ShardSourceSpec extends SparkSpec {
       s"pruned=$pruned full=$full — statistics don't reflect shard pruning")
   }
 
+  test("limit pushdown stops streaming the archive early") {
+    val (dir, _) = writeShards()
+    val limited = spark.read.format("graft-shards").load(dir).limit(3)
+    assert(limited.collect().length == 3) // Spark's global limit holds
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = limited.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = root.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("limit=3"), scan.scan.description())
+    // the executed readers emitted only up to the limit each, not their
+    // whole shard (64 entries total across shards)
+    val entries = scan.metrics("entriesRead").value
+    assert(entries > 0 && entries < 64, s"entriesRead=$entries")
+  }
+
   test("missing manifests degrade to unpruned-but-correct") {
     val (dir, nShards) = writeShards()
     new java.io.File(dir).listFiles()
