@@ -306,6 +306,74 @@ object StreamQueries {
           sum(col("version")).as("sum_version"))
     }),
 
+    // Streaming CDC onto the COMMIT-LOG table — q115's contract on the
+    // transactional layout: each micro-batch's changes land as one
+    // LogTable.upsert (write-once data files, atomic commit, a replayed
+    // batch converges by merge idempotency exactly as the path-based
+    // twin), consumed with maxFilesPerTrigger=1 so ≥3 real micro-batches
+    // commit ≥2 log versions. versions_ok pins the commit-count window
+    // (1 create + 1..4 non-empty change batches); the aggregate restates
+    // q115's oracle — identical final state through a completely
+    // different storage engine.
+    "q127_stream_logtable_ingest" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q127_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val feedPath = new org.apache.hadoop.fs.Path(outRoot, "feed").toString
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      LogTable.create(s, tablePath,
+        shape(graft.Tables(s, dir, "orders")), "o_year"): Unit
+      s.read.parquet(s"$dir/orders.parquet").repartition(4)
+        .write.mode("overwrite").parquet(feedPath)
+      val schema = s.read.parquet(feedPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedPath)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val apply: (DataFrame, Long) => Unit = (batch, _) => {
+        batches.incrementAndGet(): Unit
+        val sp = batch.sparkSession
+        val b = shape(batch)
+        val inYears = col("o_year").isin(1997, 1999)
+        val upd = b.filter(col("o_orderkey") % 7 === 0 && inYears)
+          .withColumn("cents", expr("(cents * 110) div 100"))
+          .withColumn("version", lit(1))
+        val del = b.filter(col("o_orderkey") % 13 === 0 && inYears)
+          .withColumn("version", lit(2))
+          .withColumn("op", lit("D"))
+        val ins = b.filter(col("o_orderkey") % 11 === 0 && inYears)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("cents", expr("cents div 2"))
+          .withColumn("version", lit(1))
+        val changes = upd.unionByName(del).unionByName(ins)
+        if (!changes.isEmpty) {
+          LogTable.upsert(sp, tablePath, changes,
+            keyCols = Seq("o_orderkey"), orderCols = Seq("version"),
+            opCol = "op"): Unit
+        }
+      }
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.foreachBatch(apply)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      require(batches.get() >= 3,
+        s"expected ≥3 micro-batches, saw ${batches.get()}")
+      val version = LogTable.snapshot(s, tablePath).version
+      LogTable.read(s, tablePath)
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("versions_ok",
+          lit(version >= 2L && version <= 5L))
+    }),
+
     "q85_stream_index_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val idx = s"g85_idx_$sf"
@@ -612,6 +680,38 @@ object StreamQueries {
         |SELECT o_year, status AS o_orderstatus, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(version) AS BIGINT) AS sum_version
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q115's restatement with the commit-count window pinned TRUE.
+    "q127_stream_logtable_ingest" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, (cents * 110) // 100 AS cents,
+        |         o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_year IN (1997, 1999)),
+        |del AS (
+        |  SELECT o_orderkey, o_orderstatus, cents, o_year, 2 AS version,
+        |         'D' AS op
+        |  FROM base WHERE o_orderkey % 13 = 0 AND o_year IN (1997, 1999)),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |         cents // 2 AS cents, o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE o_orderkey % 11 = 0 AND o_year IN (1997, 1999)),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  TRUE AS versions_ok
         |FROM final
         |GROUP BY 1, 2""".stripMargin,
 

@@ -172,6 +172,44 @@ object LogTable {
     snap.version
   }
 
+  /** Debt-triggered small-file compaction — the log-table sibling of
+    * `Sources.compactIfNeeded`'s discipline: daily merges leave each
+    * touched partition a few more files, and once a partition value
+    * exceeds `maxFilesPerPartition` live files its rows are rewritten
+    * into a fresh (range-salted, so still parallel) set and swapped in
+    * with ONE commit — readers atomically flip from the small files to
+    * the compacted ones. Partitions under budget are untouched; a
+    * metadata-only check decides from the snapshot, no data read.
+    * Boundary files (pmin != pmax) are counted toward every value they
+    * span. Returns the new version, or -1 if nothing needed compacting.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+                        maxFilesPerPartition: Int = 8): Long = {
+    require(maxFilesPerPartition > 0, "need a positive file budget")
+    val snap = snapshot(spark, path)
+    val countByValue = scala.collection.mutable.Map.empty[String, Int]
+    snap.files.foreach { f =>
+      // a range file adds debt to both endpoints (values between the
+      // endpoints are unknown without reading — endpoints are the
+      // honest lower bound)
+      (Set(f.pmin) ++ Set(f.pmax)).foreach { v =>
+        countByValue(v) = countByValue.getOrElse(v, 0) + 1
+      }
+    }
+    val over = countByValue.filter(_._2 > maxFilesPerPartition).keySet
+    if (over.isEmpty) return -1L
+    val victims = snap.files.filter(f =>
+      over.contains(f.pmin) || over.contains(f.pmax))
+    val rows = readFiles(spark, path, snap, victims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adds =
+      try writeDataFiles(spark, path, rows, snap.partitionCol)
+      finally { rows.unpersist(): Unit }
+    commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCol,
+      adds, victims.map(_.name))
+    snap.version + 1
+  }
+
   /** Delete the commits the newest checkpoint made redundant. Time travel
     * to versions before the checkpoint stops working (fails loud in
     * [[snapshot]], never silently serves an older table). Returns the

@@ -30,6 +30,21 @@ class SketchesSpec extends SparkSpec {
     assert(batch == exact)
   }
 
+  test("across the sparse→dense promotion, union agrees with batch within 1%") {
+    // big enough that partials promote out of the sketch's exact sparse
+    // mode — union and single-pass may round apart, but only slightly
+    val df = (1L to 20000L).map(i => ("k", i)).toDF("k", "u")
+    val parts = Seq(df.filter($"u" % 2 === 0), df.filter($"u" % 2 === 1))
+    val m = Sketches.hllEstimate(
+      Sketches.hllMerge(Seq("k"), parts.map(Sketches.hllSketch(_, Seq("k"), "u")): _*),
+      Seq("k"), "est").head().getLong(1)
+    val b = Sketches.hllEstimate(
+      Sketches.hllSketch(df, Seq("k"), "u"), Seq("k"), "est").head().getLong(1)
+    assert(math.abs(m - b) <= math.max(1L, b / 100), s"merged=$m batch=$b")
+    assert(math.abs(m - 20000L) <= 1000L && math.abs(b - 20000L) <= 1000L,
+      s"merged=$m batch=$b vs exact 20000")
+  }
+
   test("histogram counts merge bit-exactly under any split") {
     val df = rows.toDF("k", "v", "u")
     val parts = Seq(df.filter($"u" % 4 <= 1), df.filter($"u" % 4 === 2),

@@ -176,6 +176,38 @@ class LogTableSpec extends SparkSpec {
       .select("v").as[String].head() == "d1")
   }
 
+  test("compaction swaps a partition's small files for few, atomically") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // age p1 with a wide writer count: each merge rewrites the partition
+    // across many salted range tasks, leaving it fragmented — the debt a
+    // production shuffle-partition setting (32) creates for small
+    // partitions
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.upsert(spark, dir,
+        (101L to 108L).map(k => (k, "x" + k, 1, "p1", "U"))
+          .toDF("k", "v", "ver", "p", "op"),
+        Seq("k"), Seq("ver"), "op")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val before = LogTable.snapshot(spark, dir)
+    val p1Before = before.files.count(f => f.pmin == "p1" || f.pmax == "p1")
+    assert(p1Before > 2, s"aging produced only $p1Before p1 files")
+    val expected = LogTable.read(spark, dir).orderBy("k").collect().toSeq
+    // under-budget: no-op, no commit
+    assert(LogTable.compactPartitions(spark, dir,
+      maxFilesPerPartition = 100) == -1L)
+    assert(LogTable.snapshot(spark, dir).version == before.version)
+    // over-budget: one commit, fewer p1 files, identical rows
+    val v = LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 2)
+    assert(v == before.version + 1)
+    val after = LogTable.snapshot(spark, dir)
+    val p1After = after.files.count(f => f.pmin == "p1" || f.pmax == "p1")
+    assert(p1After < p1Before, s"$p1Before -> $p1After")
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expected)
+  }
+
   test("version numbers are contended: the same version cannot commit twice") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
