@@ -73,7 +73,8 @@ object ScaleProbe {
     */
   private val ShardQueries = Seq(
     "q107_shard_ingest", "q119_shard_dsv2", "q123_shard_pushdown_lookup")
-  private val StreamMergeQueries = Seq("q115_stream_merge_ingest")
+  private val StreamMergeQueries =
+    Seq("q115_stream_merge_ingest", "q127_stream_logtable_ingest")
 
   /** Synthesize `copies`× documents at `tierDir` if absent. Deterministic:
     * ids shift by copy × (maxId+1), every word gets a copy-tag suffix, so
