@@ -235,6 +235,7 @@ object Multimodal {
         }
         def closeAndCommit(): Unit = if (tar != null) {
           tar.finish(); tar.close()
+          val tarBytes = fs.getFileStatus(tmpPath).getLen
           val dst = new org.apache.hadoop.fs.Path(dir,
             f"shard-$pid%05d-$seq%05d.tar")
           if (fs.exists(dst)) fs.delete(dst, false): Unit
@@ -242,9 +243,11 @@ object Multimodal {
             if (fs.exists(dst)) fs.delete(tmpPath, false): Unit
             else throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
           }
-          // manifest strictly AFTER the tar commit — see ShardManifest doc
+          // manifest strictly AFTER the tar commit, stamped with the tar's
+          // byte length so a mismatched pair demotes to scan-not-prune —
+          // see ShardManifest doc
           graft.sources.shardsource.ShardManifest.write(
-            fs, dst, entries.toSeq, attempt)
+            fs, dst, tarBytes, entries.toSeq, attempt)
           tar = null; seq += 1
         }
         try {

@@ -31,12 +31,16 @@ import org.apache.spark.sql.types.StructType
   *
   *  - **Atomic publish**: data files land under non-referenced names
   *    (invisible — readers only trust the log), then the commit file is
-  *    renamed into place. HDFS/local `rename` fails if the destination
-  *    exists, which doubles as OPTIMISTIC CONCURRENCY: two writers
-  *    racing to version V+1 → exactly one rename wins, the loser
-  *    re-reads the new snapshot and retries its merge against it. (On
-  *    stores without atomic no-overwrite rename — S3 — this needs a
-  *    coordinator; out of scope, same as Delta's S3 story.)
+  *    renamed into place with no-overwrite semantics, which doubles as
+  *    OPTIMISTIC CONCURRENCY: two writers racing to version V+1 →
+  *    exactly one wins, the loser re-reads the new snapshot and retries
+  *    its merge against it. On HDFS-class filesystems the no-overwrite
+  *    rename is atomic by itself; a RAW LOCAL filesystem's rename would
+  *    silently replace, so local commits additionally serialize under a
+  *    JVM-wide lock — correct for every writer in one application
+  *    (Spark local / one driver). Separate-process writers on a raw
+  *    local path, and S3-class stores (which need a coordinator), are
+  *    out of contract — the same boundary as Delta's non-HDFS story.
   *  - **Crash safety for free**: a crash before commit leaves only
   *    unreferenced data files (invisible; reclaimed by [[vacuum]]); a
   *    crash after commit is a completed merge. No torn state exists, no
@@ -200,13 +204,31 @@ object LogTable {
     if (over.isEmpty) return -1L
     val victims = snap.files.filter(f =>
       over.contains(f.pmin) || over.contains(f.pmax))
+    // EXPLICIT output count, or the default shuffle-partition fan-out
+    // would re-fragment exactly what we are defragmenting: half the
+    // budget per value involved, so the rewritten partitions land well
+    // under budget and the next call is a metadata no-op (convergence)
+    val valuesInvolved = victims.iterator
+      .flatMap(f => Iterator(f.pmin, f.pmax)).toSet
+    val target = math.max(1,
+      valuesInvolved.size * math.max(1, maxFilesPerPartition / 2))
     val rows = readFiles(spark, path, snap, victims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
-      try writeDataFiles(spark, path, rows, snap.partitionCol)
+      try writeDataFiles(spark, path, rows, snap.partitionCol, Some(target))
       finally { rows.unpersist(): Unit }
-    commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCol,
-      adds, victims.map(_.name))
+    try {
+      commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCol,
+        adds, victims.map(_.name))
+    } catch {
+      case e: CommitConflictException =>
+        // same discipline as upsert's losing race: our files are invisible,
+        // drop them eagerly; compaction is maintenance, so no retry — the
+        // next scheduled run re-decides from the winner's snapshot
+        val fs = fsOf(spark, path)
+        adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+        throw e
+    }
     snap.version + 1
   }
 
@@ -311,23 +333,33 @@ object LogTable {
     -1L // unreachable
   }
 
-  /** Reclaim data files invisible to the CURRENT snapshot: crash orphans
-    * and vacated history. Irreversibly breaks time travel behind the
-    * current version; `olderThanMs` must out-wait any in-flight reader of
-    * an old snapshot and any writer that has staged but not committed.
-    * Returns the number of files deleted.
+  /** Reclaim everything invisible to the CURRENT snapshot: unreferenced
+    * data files (crash orphans and vacated history), whole `_tmp_*`
+    * scratch directories from writers that died before their renames,
+    * and torn `.tmp` commit/checkpoint files in the log. Irreversibly
+    * breaks time travel behind the current version; `olderThanMs` must
+    * out-wait any in-flight reader of an old snapshot and any writer
+    * that has staged but not committed. Returns the number of
+    * files/directories deleted.
     */
   def vacuum(spark: SparkSession, path: String, olderThanMs: Long): Int = {
     val fs = fsOf(spark, path)
     val live = snapshot(spark, path).files.map(_.name).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val dead = fs.listStatus(new Path(path)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        !live.contains(st.getPath.getName) &&
+    val deadData = fs.listStatus(new Path(path)).iterator.filter { st =>
+      st.getModificationTime < cutoff && {
+        (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !live.contains(st.getPath.getName)) ||
+          (st.isDirectory && st.getPath.getName.startsWith("_tmp_"))
+      }
+    }.map(_.getPath).toSeq
+    val deadLog = fs.listStatus(logDir(path)).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime < cutoff)
       .map(_.getPath).toSeq
-    dead.foreach(p => fs.delete(p, false): Unit)
-    dead.size
+    deadData.foreach(p => fs.delete(p, true): Unit)
+    deadLog.foreach(p => fs.delete(p, false): Unit)
+    deadData.size + deadLog.size
   }
 
   // -------------------------------------------------------------- internals
@@ -347,7 +379,8 @@ object LogTable {
     * invisible until a commit references them.
     */
   private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
-                             partitionCol: String): Seq[LogFile] = {
+                             partitionCol: String,
+                             numFiles: Option[Int] = None): Seq[LogFile] = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
     // partition-clustered output: RANGE partitioning on (value, salt).
@@ -360,7 +393,8 @@ object LogTable {
     // alone would funnel a whole 100 TB date-partition through one
     // task). The partition count is EXPLICIT so AQE cannot coalesce
     // small outputs into one multi-partition file.
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = numFiles.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     df.withColumn("__salt",
         pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
       .repartitionByRange(n, col(partitionCol), col("__salt"))
@@ -374,6 +408,12 @@ object LogTable {
         count(lit(1)).as("rows"))
       .collect() // bounded: one row per NEW file
     val adds = stats.map { r =>
+      // NULL partition values would round-trip through the commit JSON as
+      // the string "null" and desynchronize pruning — same contract as
+      // upsertPartitioned: partition values must be non-null, fail loud
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"log table $path: NULL values in partition column " +
+          s"`$partitionCol` are not supported")
       val src = new Path(java.net.URI.create(r.getString(0)))
       val name = src.getName
       val bytes = fs.getFileStatus(src).getLen
@@ -416,9 +456,20 @@ object LogTable {
     try out.write(commitJson(version, schemaDdl, partitionCol, adds, removes))
     finally out.close()
     val dst = commitPath(path, version)
-    // rename-no-overwrite IS the transaction: exactly one writer can
-    // publish version N
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    // Rename-no-overwrite IS the transaction: exactly one writer can
+    // publish version N. HDFS-class filesystems make the no-overwrite
+    // rename atomic on its own; a RAW LOCAL filesystem's rename is
+    // POSIX rename(2), which silently REPLACES an existing destination —
+    // so the exists+rename pair is additionally serialized under a
+    // JVM-wide lock, which makes the check-then-act atomic for every
+    // writer in one application (Spark local / one driver, incl. the
+    // concurrent-merge threads MergeSpec exercises). Separate-PROCESS
+    // writers against a raw local path are out of contract (same
+    // boundary as Delta's non-HDFS story).
+    val won = CommitLock.synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!won) {
       fs.delete(tmp, false): Unit
       if (fs.exists(dst))
         throw new CommitConflictException(
@@ -426,4 +477,6 @@ object LogTable {
       throw new java.io.IOException(s"commit rename failed for $dst")
     }
   }
+
+  private object CommitLock
 }

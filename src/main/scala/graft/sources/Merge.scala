@@ -124,7 +124,12 @@ object Merge {
   def scd2Apply(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
                 tsCol: String, attrCols: Seq[String],
                 broadcastKeyLimit: Long = 1000000L): DataFrame = {
+    // cached: the distinct key-set is computed ONCE and reused by the
+    // guard count and both join probes (uncached it would run three
+    // times); the cache is released by Spark's context cleaner when the
+    // result plan is garbage-collected
     val newKeys = changes.select(keyCols.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keySide =
       if (newKeys.count() <= broadcastKeyLimit) broadcast(newKeys) else newKeys
     val untouched = history.join(keySide, keyCols, "left_anti")

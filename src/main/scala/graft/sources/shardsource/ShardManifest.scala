@@ -28,21 +28,29 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ShardManifest {
 
   val Suffix = ".manifest"
-  private val Header = "graft-shard-manifest\tv1"
+  private val Header = "graft-shard-manifest\tv2"
 
   def manifestPath(shard: Path): Path =
     new Path(shard.getParent, shard.getName + Suffix)
 
   /** Write the sidecar for a COMMITTED shard: task-attempt-unique tmp,
     * then atomic rename — identical discipline to the shard itself, so a
-    * crashed attempt leaves only an unreachable `.tmp` orphan.
+    * crashed attempt leaves only an unreachable `.tmp` orphan. The
+    * sidecar records the tar's exact byte length, which [[read]] checks
+    * against the live tar: if a racing attempt's differently-packed tar
+    * ends up next to this manifest, the length mismatch demotes the
+    * manifest to "absent" and the shard is scanned instead of pruned.
+    * (Attempts of a DETERMINISTIC plan — the export's documented
+    * precondition — produce identical bytes, so the check never fires
+    * in contract; it is defense-in-depth for violated preconditions.)
     */
-  def write(fs: FileSystem, shard: Path, entries: Seq[(String, Long)],
-            attempt: Long): Unit = {
+  def write(fs: FileSystem, shard: Path, tarBytes: Long,
+            entries: Seq[(String, Long)], attempt: Long): Unit = {
     val tmp = new Path(shard.getParent, shard.getName + Suffix + s".$attempt.tmp")
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder(Header).append('\n')
+        .append(tarBytes).append('\n')
       entries.foreach { case (name, size) =>
         sb.append(size).append('\t')
           .append(java.net.URLEncoder.encode(name, StandardCharsets.UTF_8))
@@ -59,10 +67,12 @@ object ShardManifest {
   }
 
   /** Read a shard's manifest as (name, size) pairs. None — absent, torn,
-    * or unrecognized version — means "no pruning information; scan the
+    * unrecognized version, or describing a tar of a DIFFERENT length
+    * than `liveTarBytes` — means "no pruning information; scan the
     * shard", which is always safe.
     */
-  def read(fs: FileSystem, shard: Path): Option[Seq[(String, Long)]] =
+  def read(fs: FileSystem, shard: Path,
+           liveTarBytes: Long = -1L): Option[Seq[(String, Long)]] =
     try {
       val mp = manifestPath(shard)
       // open directly — a missing manifest lands in the catch; probing
@@ -77,8 +87,9 @@ object ShardManifest {
           new String(bos.toByteArray, StandardCharsets.UTF_8)
         } finally in.close()
       val lines = text.split('\n').iterator.filter(_.nonEmpty).toIndexedSeq
-      if (lines.isEmpty || lines.head != Header) None
-      else Some(lines.tail.map { ln =>
+      if (lines.length < 2 || lines.head != Header) None
+      else if (liveTarBytes >= 0 && lines(1).toLong != liveTarBytes) None
+      else Some(lines.drop(2).map { ln =>
         val i = ln.indexOf('\t')
         require(i > 0, s"malformed manifest line in $mp")
         (java.net.URLDecoder.decode(ln.substring(i + 1), StandardCharsets.UTF_8),

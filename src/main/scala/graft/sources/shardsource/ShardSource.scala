@@ -252,7 +252,7 @@ class ShardScan(path: String, required: StructType,
         if (candidates.length <= ShardScan.ParallelPruneThreshold)
           candidates.filter { uri =>
             val sp = new Path(java.net.URI.create(uri))
-            ShardManifest.read(fs, sp) match {
+            ShardManifest.read(fs, sp, sizeOf.getOrElse(uri, -1L)) match {
               case Some(entries) => entries.exists { case (n, _) =>
                 nameFilters.forall(ShardFilters.eval(_, n, uri))
               }
@@ -264,17 +264,19 @@ class ShardScan(path: String, required: StructType,
           val conf = new SerializableConfiguration(
             spark.sessionState.newHadoopConf())
           val nf = nameFilters // avoid closing over the Scan
-          sc.parallelize(candidates.toIndexedSeq,
+          val withSizes = candidates.map(u => (u, sizeOf.getOrElse(u, -1L)))
+          sc.parallelize(withSizes.toIndexedSeq,
             math.min(candidates.length, sc.defaultParallelism * 4))
-            .filter { uri =>
+            .filter { case (uri, len) =>
               val sp = new Path(java.net.URI.create(uri))
-              ShardManifest.read(sp.getFileSystem(conf.value), sp) match {
+              ShardManifest.read(sp.getFileSystem(conf.value), sp, len) match {
                 case Some(entries) => entries.exists { case (n, _) =>
                   nf.forall(ShardFilters.eval(_, n, uri))
                 }
                 case None => true
               }
             }
+            .map(_._1)
             .collect() // bounded by the surviving shard count
         }
       }

@@ -123,12 +123,33 @@ class LogTableSpec extends SparkSpec {
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath, orphan.toPath)
     assert(LogTable.read(spark, dir).count() == 4) // orphan invisible
+    // a writer that died before its renames: whole scratch dir + a torn
+    // commit tmp — vacuum must reclaim both
+    new java.io.File(dir + "/_tmp_deadbeef").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir + "/_tmp_deadbeef/part-x.parquet").toPath,
+      Array[Byte](1))
+    java.nio.file.Files.write(
+      new java.io.File(dir + "/_graft_log/.commit_dead.tmp").toPath,
+      Array[Byte](1))
     val live = LogTable.snapshot(spark, dir).files.map(_.name).toSet
     val deleted = LogTable.vacuum(spark, dir, olderThanMs = 0L)
-    assert(deleted == 1)
+    assert(deleted == 3, s"deleted $deleted")
     assert(!orphan.exists())
+    assert(!new java.io.File(dir + "/_tmp_deadbeef").exists())
+    assert(!new java.io.File(dir + "/_graft_log/.commit_dead.tmp").exists())
     assert(LogTable.snapshot(spark, dir).files.map(_.name).toSet == live)
     assert(LogTable.read(spark, dir).count() == 4)
+  }
+
+  test("null partition values fail loud at write time") {
+    val dir = tmp() + "/t"
+    val withNull = Seq((1L, "a", 0, "p1", "U"), (2L, "b", 0, null, "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    val e = intercept[IllegalArgumentException] {
+      LogTable.create(spark, dir, withNull, "p")
+    }
+    assert(e.getMessage.contains("NULL values in partition column"))
   }
 
   test("a losing commit race retries against the winner's snapshot") {
@@ -205,7 +226,11 @@ class LogTableSpec extends SparkSpec {
     val after = LogTable.snapshot(spark, dir)
     val p1After = after.files.count(f => f.pmin == "p1" || f.pmax == "p1")
     assert(p1After < p1Before, s"$p1Before -> $p1After")
+    assert(p1After <= 2, s"compaction left $p1After files — over its own budget")
     assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expected)
+    // CONVERGENCE: a second compaction at the same budget is a no-op —
+    // the explicit output count keeps the rewrite from re-fragmenting
+    assert(LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 2) == -1L)
   }
 
   test("version numbers are contended: the same version cannot commit twice") {

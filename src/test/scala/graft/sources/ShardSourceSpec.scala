@@ -166,6 +166,23 @@ class ShardSourceSpec extends SparkSpec {
     assert(entries > 0 && entries < 64, s"entriesRead=$entries")
   }
 
+  test("a manifest whose recorded tar length mismatches is ignored, not trusted") {
+    val (dir, nShards) = writeShards()
+    // simulate a mismatched tar/manifest pair (a racing attempt's
+    // differently-packed tar): bump every manifest's recorded length
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".manifest")).foreach { f =>
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        lines.set(1, (lines.get(1).toLong + 1L).toString)
+        java.nio.file.Files.write(f.toPath, lines): Unit
+      }
+    val lookup = spark.read.format("graft-shards").load(dir)
+      .filter(col("name") === "17.bin")
+    // nothing provably prunable — every shard plans, the answer stays right
+    assert(lookup.rdd.getNumPartitions == nShards)
+    assert(lookup.select("name").as[String].collect().toSeq == Seq("17.bin"))
+  }
+
   test("missing manifests degrade to unpruned-but-correct") {
     val (dir, nShards) = writeShards()
     new java.io.File(dir).listFiles()
