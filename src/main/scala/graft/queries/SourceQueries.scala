@@ -466,6 +466,39 @@ object SourceQueries {
         .withColumn("version_read", lit(1))
     }),
 
+    // q114's schema-drift contract INSIDE the log table: the pre-1998
+    // epoch commits without a priority column, the later epoch arrives
+    // carrying it, and the upsert widens the committed schema WITHOUT
+    // rewriting the old epoch's files (schema-on-read NULLs, pinned by
+    // n_priority being zero exactly for the old years). A silently
+    // dropped new column, a wrong NULL fill, or an old-file rewrite that
+    // loses rows is hash-red.
+    "q128_logtable_evolution" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q128_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"),
+        lit(0).as("version"), lit("U").as("op"))
+      graft.sources.LogTable.create(s, outRoot.toString,
+        orders.filter(col("o_year") <= 1997).drop("o_orderpriority"), "o_year")
+      graft.sources.LogTable.upsert(s, outRoot.toString,
+        orders.filter(col("o_year") > 1997)
+          .withColumn("version", lit(1))
+          .withColumnRenamed("o_orderpriority", "priority"),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
+      graft.sources.LogTable.read(s, outRoot.toString)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          count(col("priority")).as("n_priority"))
+    }),
+
     // Bucketed round trip: lineitem and orders written BUCKETED (and
     // sorted) on the order key with the same bucket count, read back, and
     // fact-fact joined — the shuffle-free repeated-join story: both scans
@@ -711,6 +744,17 @@ object SourceQueries {
         |  2 AS log_version
         |FROM final
         |GROUP BY 1, 2""".stripMargin,
+
+    // The drift restated from the raw table: priority counts exist only
+    // after 1997 (the old epoch's files read the evolved column as NULL).
+    "q128_logtable_evolution" ->
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(CASE WHEN year(o_orderdate) > 1997 THEN o_orderpriority END)
+        |    AS n_priority
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
 
     // The pre-merge state straight from the raw table: time travel to
     // version 1 must reproduce it bit for bit.

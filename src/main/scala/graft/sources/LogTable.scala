@@ -48,6 +48,11 @@ import org.apache.spark.sql.types.StructType
   *  - **Time travel**: `read(spark, path, asOf = Some(v))` replays the
   *    prefix — yesterday's table for audits/backfills, until a vacuum
   *    reclaims removed files.
+  *  - **Add-column schema evolution**: a batch carrying new columns
+  *    widens the committed schema; untouched files are never rewritten
+  *    (schema-on-read fills NULLs), historical versions keep their
+  *    schema, and type changes fail loud — the in-table twin of
+  *    `Sources.readEvolved`'s multi-epoch rule.
   *
   * Log growth is handled the standard way: [[checkpoint]] writes a full
   * snapshot file at the current version, [[snapshot]] replays from the
@@ -304,21 +309,49 @@ object LogTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      // ADD-COLUMN schema evolution: batch columns absent from the table
+      // widen the schema (appended, kept nullable); untouched files are
+      // NEVER rewritten — parquet schema-on-read fills the new column
+      // with NULLs on old files, and the commit carries the widened DDL
+      // so every later snapshot resolves it. Column TYPE changes are not
+      // evolution and fail loud below (select cast mismatch), same
+      // boundary as readEvolved's lossy rule.
+      val known = snap.schema.fieldNames.map(_.toLowerCase).toSet
+      val added = changes.schema.fields.toIndexedSeq
+        .filterNot(f => known.contains(f.name.toLowerCase))
+        .map(_.copy(nullable = true))
+      val schema =
+        if (added.isEmpty) snap.schema
+        else org.apache.spark.sql.types.StructType(snap.schema.fields.toIndexedSeq ++ added)
+      val evolved = snap.copy(schemaDdl = schema.toDDL)
       val touched = changes
         .select(col(snap.partitionCol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet // bounded: touched partitions
       val victims = prunedFiles(snap, touched)
-      val base = readFiles(spark, path, snap, victims)
+      val base = readFiles(spark, path, evolved, victims)
+      // the batch aligned to the (possibly widened) table schema: a
+      // missing nullable column fills with typed NULL; a TYPE clash is
+      // not evolution and fails loud
+      val aligned = changes.select(schema.fields.toIndexedSeq.map { f =>
+        changes.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case Some(g) if g.dataType == f.dataType => col(g.name).as(f.name)
+          case Some(g) => throw new IllegalArgumentException(
+            s"log table $path: column `${f.name}` is ${f.dataType.sql}; a " +
+              s"${g.dataType.sql} batch cannot evolve it — only ADD-column " +
+              "evolution is supported")
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
       // persisted across the range-sampling pass and the shuffled write,
       // so the merge aggregation runs ONCE (bounded by the touched
       // partitions + batch — the rows being rewritten anyway)
-      val merged = Merge.merge(base, changes, keyCols, orderCols, opCol, deleteOp)
+      val merged = Merge.merge(base, aligned, keyCols, orderCols, opCol, deleteOp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val adds =
         try writeDataFiles(spark, path, merged, snap.partitionCol)
         finally { merged.unpersist(): Unit }
       try {
-        commit(spark, path, snap.version + 1, snap.schemaDdl,
+        commit(spark, path, snap.version + 1, evolved.schemaDdl,
           snap.partitionCol, adds, victims.map(_.name))
         return snap.version + 1
       } catch {

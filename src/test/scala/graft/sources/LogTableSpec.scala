@@ -142,6 +142,44 @@ class LogTableSpec extends SparkSpec {
     assert(LogTable.read(spark, dir).count() == 4)
   }
 
+  test("add-column evolution widens the schema without rewriting old files") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val before = LogTable.snapshot(spark, dir)
+    // a batch with a NEW column (and one updated + one fresh key)
+    val withTag = Seq((1L, "a1", 1, "p1", "U", "hot"), (9L, "n", 1, "p2", "U", "cold"))
+      .toDF("k", "v", "ver", "p", "op", "tag")
+    LogTable.upsert(spark, dir, withTag, Seq("k"), Seq("ver"), "op")
+    val now = LogTable.read(spark, dir)
+    assert(now.schema.fieldNames.contains("tag"))
+    val tags = now.select("k", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tags(1L).contains("hot") && tags(9L).contains("cold"))
+    assert(tags(3L).isEmpty && tags(4L).isEmpty) // old files read as NULL
+    // untouched partitions' files were NOT rewritten for the evolution
+    val after = LogTable.snapshot(spark, dir)
+    val untouched = before.files.filter(f => f.pmin == f.pmax &&
+      f.pmin != "p1" && f.pmin != "p2").map(_.name)
+    untouched.foreach(n => assert(after.files.map(_.name).contains(n), n))
+    // history keeps its own schema
+    assert(!LogTable.read(spark, dir, asOf = Some(1L))
+      .schema.fieldNames.contains("tag"))
+    // a batch MISSING an old column null-fills it on its own rows only
+    LogTable.upsert(spark, dir,
+      Seq((2L, 7, "p1", "U")).toDF("k", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    val vs = LogTable.read(spark, dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(vs(2L).isEmpty && vs(1L).contains("a1"))
+    // a TYPE change is not evolution
+    val e = intercept[IllegalArgumentException] {
+      LogTable.upsert(spark, dir,
+        Seq((3L, 5, 9, "p2", "U")).toDF("k", "v", "ver", "p", "op"),
+        Seq("k"), Seq("ver"), "op")
+    }
+    assert(e.getMessage.contains("only ADD-column"))
+  }
+
   test("null partition values fail loud at write time") {
     val dir = tmp() + "/t"
     val withNull = Seq((1L, "a", 0, "p1", "U"), (2L, "b", 0, null, "U"))
