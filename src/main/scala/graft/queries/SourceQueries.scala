@@ -491,7 +491,8 @@ object SourceQueries {
         orders.filter(col("o_year") > 1997)
           .withColumn("version", lit(1))
           .withColumnRenamed("o_orderpriority", "priority"),
-        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op",
+        mergeSchema = true)
       graft.sources.LogTable.read(s, outRoot.toString)
         .groupBy(col("o_year"))
         .agg(count(lit(1)).as("n"),

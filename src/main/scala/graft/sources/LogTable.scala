@@ -48,11 +48,15 @@ import org.apache.spark.sql.types.StructType
   *  - **Time travel**: `read(spark, path, asOf = Some(v))` replays the
   *    prefix — yesterday's table for audits/backfills, until a vacuum
   *    reclaims removed files.
-  *  - **Add-column schema evolution**: a batch carrying new columns
-  *    widens the committed schema; untouched files are never rewritten
-  *    (schema-on-read fills NULLs), historical versions keep their
-  *    schema, and type changes fail loud — the in-table twin of
-  *    `Sources.readEvolved`'s multi-epoch rule.
+  *  - **Add-column schema evolution** (opt-in, `mergeSchema = true`): a
+  *    batch carrying new columns widens the committed schema; untouched
+  *    files are never rewritten (schema-on-read fills NULLs), historical
+  *    versions keep their schema, and type changes fail loud — the
+  *    in-table twin of `Sources.readEvolved`'s multi-epoch rule. By
+  *    default any schema difference is an ERROR (a typo'd column name
+  *    must never silently widen a table), and the columns the merge
+  *    itself consumes (keys, order, op, partition) must always be
+  *    physically present in the batch.
   *
   * Log growth is handled the standard way: [[checkpoint]] writes a full
   * snapshot file at the current version, [[snapshot]] replays from the
@@ -304,25 +308,49 @@ object LogTable {
     */
   def upsert(spark: SparkSession, path: String, changes: DataFrame,
              keyCols: Seq[String], orderCols: Seq[String], opCol: String,
-             deleteOp: String = "D", maxRetries: Int = 3): Long = {
+             deleteOp: String = "D", maxRetries: Int = 3,
+             mergeSchema: Boolean = false): Long = {
     val fs = fsOf(spark, path)
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
-      // ADD-COLUMN schema evolution: batch columns absent from the table
-      // widen the schema (appended, kept nullable); untouched files are
-      // NEVER rewritten — parquet schema-on-read fills the new column
-      // with NULLs on old files, and the commit carries the widened DDL
-      // so every later snapshot resolves it. Column TYPE changes are not
-      // evolution and fail loud below (select cast mismatch), same
-      // boundary as readEvolved's lossy rule.
+      // The columns the MERGE ITSELF consumes must be physically present
+      // in the batch regardless of evolution mode — NULL-filling the op
+      // column would turn `op =!= deleteOp` three-valued and silently
+      // DELETE every updated key; a NULL-filled key/order column
+      // corrupts the argmax. Loud, always.
+      val batchCols = changes.schema.fieldNames.map(_.toLowerCase).toSet
+      ((keyCols ++ orderCols) :+ opCol :+ snap.partitionCol).foreach { c =>
+        require(batchCols.contains(c.toLowerCase),
+          s"log table $path: batch is missing merge-critical column `$c`")
+      }
+      // ADD-COLUMN schema evolution — OPT-IN via mergeSchema (a typo'd
+      // column name is indistinguishable from an intentional new column,
+      // so silent widening must never be the default): batch columns
+      // absent from the table widen the schema (appended, nullable);
+      // untouched files are NEVER rewritten — parquet schema-on-read
+      // fills the new column with NULLs on old files, and the commit
+      // carries the widened DDL so every later snapshot resolves it.
+      // Table columns the batch omits NULL-fill on the batch's own rows
+      // (also gated by mergeSchema), and the committed field becomes
+      // nullable — the data now contains NULLs and the DDL must say so.
+      // Column TYPE changes are not evolution and fail loud below.
       val known = snap.schema.fieldNames.map(_.toLowerCase).toSet
       val added = changes.schema.fields.toIndexedSeq
         .filterNot(f => known.contains(f.name.toLowerCase))
         .map(_.copy(nullable = true))
-      val schema =
-        if (added.isEmpty) snap.schema
-        else org.apache.spark.sql.types.StructType(snap.schema.fields.toIndexedSeq ++ added)
+      val missing = snap.schema.fields.toIndexedSeq
+        .filterNot(f => batchCols.contains(f.name.toLowerCase))
+      require(mergeSchema || (added.isEmpty && missing.isEmpty),
+        s"log table $path: batch schema differs from the table " +
+          s"(new: ${added.map(_.name).mkString(",")}; " +
+          s"missing: ${missing.map(_.name).mkString(",")}) — pass " +
+          "mergeSchema=true to evolve/NULL-fill, or fix the batch")
+      val missingNames = missing.map(_.name.toLowerCase).toSet
+      val schema = StructType(
+        snap.schema.fields.toIndexedSeq.map(f =>
+          if (missingNames.contains(f.name.toLowerCase)) f.copy(nullable = true)
+          else f) ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
       val touched = changes
         .select(col(snap.partitionCol).cast("string")).distinct()
@@ -333,8 +361,11 @@ object LogTable {
       // missing nullable column fills with typed NULL; a TYPE clash is
       // not evolution and fails loud
       val aligned = changes.select(schema.fields.toIndexedSeq.map { f =>
+        // backtick-quoted so a literal dot in a column name is never
+        // parsed as nested-field access
+        def ref(n: String) = col("`" + n.replace("`", "``") + "`")
         changes.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-          case Some(g) if g.dataType == f.dataType => col(g.name).as(f.name)
+          case Some(g) if g.dataType == f.dataType => ref(g.name).as(f.name)
           case Some(g) => throw new IllegalArgumentException(
             s"log table $path: column `${f.name}` is ${f.dataType.sql}; a " +
               s"${g.dataType.sql} batch cannot evolve it — only ADD-column " +

@@ -144,38 +144,63 @@ class LogTableSpec extends SparkSpec {
 
   test("add-column evolution widens the schema without rewriting old files") {
     val dir = tmp() + "/t"
-    LogTable.create(spark, dir, baseDf, "p")
+    // well-populated isolated partitions (k%3: k=1→p2, k=2→p3, k=3→p1) so
+    // "untouched files survive by name" is a real check, not vacuous
+    val big = (1L to 60L).map(k => (k, "v" + k, 0, "p" + (k % 3 + 1), "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, "p")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val before = LogTable.snapshot(spark, dir)
-    // a batch with a NEW column (and one updated + one fresh key)
-    val withTag = Seq((1L, "a1", 1, "p1", "U", "hot"), (9L, "n", 1, "p2", "U", "cold"))
+    // a batch with a NEW column: one updated + one fresh key, both in p2
+    val withTag = Seq((1L, "a1", 1, "p2", "U", "hot"),
+      (109L, "n", 1, "p2", "U", "cold"))
       .toDF("k", "v", "ver", "p", "op", "tag")
-    LogTable.upsert(spark, dir, withTag, Seq("k"), Seq("ver"), "op")
+    // schema drift is LOUD unless evolution is opted into
+    val drift = intercept[IllegalArgumentException] {
+      LogTable.upsert(spark, dir, withTag, Seq("k"), Seq("ver"), "op")
+    }
+    assert(drift.getMessage.contains("mergeSchema"))
+    LogTable.upsert(spark, dir, withTag, Seq("k"), Seq("ver"), "op",
+      mergeSchema = true)
     val now = LogTable.read(spark, dir)
     assert(now.schema.fieldNames.contains("tag"))
     val tags = now.select("k", "tag").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
-    assert(tags(1L).contains("hot") && tags(9L).contains("cold"))
-    assert(tags(3L).isEmpty && tags(4L).isEmpty) // old files read as NULL
-    // untouched partitions' files were NOT rewritten for the evolution
+    assert(tags(1L).contains("hot") && tags(109L).contains("cold"))
+    assert(tags(2L).isEmpty && tags(3L).isEmpty) // old files read as NULL
+    // untouched partitions' (p1/p3) files were NOT rewritten
     val after = LogTable.snapshot(spark, dir)
     val untouched = before.files.filter(f => f.pmin == f.pmax &&
-      f.pmin != "p1" && f.pmin != "p2").map(_.name)
+      f.pmin != "p2").map(_.name)
+    assert(untouched.nonEmpty, before.files) // or the check below is vacuous
     untouched.foreach(n => assert(after.files.map(_.name).contains(n), n))
     // history keeps its own schema
     assert(!LogTable.read(spark, dir, asOf = Some(1L))
       .schema.fieldNames.contains("tag"))
-    // a batch MISSING an old column null-fills it on its own rows only
+    // a batch MISSING an old column null-fills it on its own rows only —
+    // and the committed schema turns that column nullable
     LogTable.upsert(spark, dir,
-      Seq((2L, 7, "p1", "U")).toDF("k", "ver", "p", "op"),
-      Seq("k"), Seq("ver"), "op")
+      Seq((2L, 7, "p3", "U")).toDF("k", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op", mergeSchema = true)
     val vs = LogTable.read(spark, dir).select("k", "v").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(vs(2L).isEmpty && vs(1L).contains("a1"))
-    // a TYPE change is not evolution
+    assert(LogTable.snapshot(spark, dir).schema("v").nullable)
+    // merge-critical columns can never be NULL-filled, even when evolving
+    val crit = intercept[IllegalArgumentException] {
+      LogTable.upsert(spark, dir,
+        Seq((2L, "x", 8, "p3")).toDF("k", "v", "ver", "p"),
+        Seq("k"), Seq("ver"), "op", mergeSchema = true)
+    }
+    assert(crit.getMessage.contains("merge-critical"))
+    // a TYPE change is not evolution, even with evolution opted in
     val e = intercept[IllegalArgumentException] {
       LogTable.upsert(spark, dir,
-        Seq((3L, 5, 9, "p2", "U")).toDF("k", "v", "ver", "p", "op"),
-        Seq("k"), Seq("ver"), "op")
+        Seq((3L, 5, 9, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+        Seq("k"), Seq("ver"), "op", mergeSchema = true)
     }
     assert(e.getMessage.contains("only ADD-column"))
   }
