@@ -586,7 +586,8 @@ object CoreQueries {
          |  SELECT event_type,
          |    ${Sketches.histBinSql("value", lo, step, nBins)} AS bin,
          |    count(*) AS cnt
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE ${Sketches.histFilterSql("value")}
+         |  GROUP BY 1, 2),
          |c AS (
          |  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
          |    sum(cnt) OVER (PARTITION BY event_type) AS total

@@ -68,7 +68,14 @@ object Sketches {
 
   /** Per-key equi-width bin counts of `valueCol` over `[lo, lo+nBins·step)`:
     * (keys..., bin BIGINT, cnt BIGINT). Values outside the domain clamp
-    * to the first/last bin — never dropped, so totals stay exact.
+    * to the first/last bin — never dropped, so totals stay exact over the
+    * NON-NULL values. NULL values are EXCLUDED explicitly: a NULL has no
+    * position on the value axis, and without the filter the clamp
+    * arithmetic would silently land it in bin 0 (`floor(NULL/step)` is
+    * NULL, `greatest(NULL, 0)` skips the NULL → 0), skewing low
+    * quantiles. Callers that must account for NULLs should count them
+    * separately; the oracle-side twin of this filter is
+    * [[histFilterSql]].
     */
   def histSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
                  lo: Double, step: Double, nBins: Int): DataFrame = {
@@ -76,7 +83,8 @@ object Sketches {
     val bin = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(step)).cast("long"), lit(0L)),
       lit(nBins - 1L)).as("bin")
-    df.groupBy((keyCols.map(col) :+ bin): _*)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ bin): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -132,6 +140,16 @@ object Sketches {
   def histQuantileSql(q: Double, lo: Double, step: Double): String =
     s"round((bin + ($q*total - (cum - cnt))/cnt) * $step + $lo, 6)"
 
+  /** Oracle twin of the bin expression. Pair with [[histFilterSql]] in the
+    * restatement's WHERE clause — [[histSketch]] excludes NULL values, and
+    * an unfiltered oracle would bucket them into bin 0.
+    */
   def histBinSql(valueExpr: String, lo: Double, step: Double, nBins: Int): String =
     s"least(greatest(CAST(floor(($valueExpr - $lo)/$step) AS BIGINT), 0), ${nBins - 1})"
+
+  /** The NULL-exclusion predicate [[histSketch]] applies, as SQL — emitted
+    * here so the oracle's WHERE clause can never drift from the engine's
+    * filter.
+    */
+  def histFilterSql(valueExpr: String): String = s"$valueExpr IS NOT NULL"
 }

@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** How old a FOREIGN application's orphan stage directory must be
+    * before [[upsertPartitioned]] reclaims it. Several hours out-waits
+    * any realistically in-flight merge; a crashed run's orphan is
+    * reclaimed by the first merge after the window.
+    */
+  val StaleStageMs: Long = 6L * 60 * 60 * 1000
+
   /** Latest-wins upsert: one row per key survives from `base ∪ changes`,
     * chosen by the LARGEST `orderCols` tuple (e.g. `(version)` or
     * `(updated_at, source_priority)`). The order key must be a total order
@@ -126,12 +133,26 @@ object Merge {
                 broadcastKeyLimit: Long = 1000000L): DataFrame = {
     // cached: the distinct key-set is computed ONCE and reused by the
     // guard count and both join probes (uncached it would run three
-    // times); the cache is released by Spark's context cleaner when the
-    // result plan is garbage-collected
+    // times). MEMORY_ONLY so a long-lived driver never accumulates
+    // orphaned disk blocks — an evicted partition recomputes from the
+    // batch instead of lingering on local disk.
     val newKeys = changes.select(keyCols.map(col): _*).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val keySide =
-      if (newKeys.count() <= broadcastKeyLimit) broadcast(newKeys) else newKeys
+      if (newKeys.count() <= broadcastKeyLimit) {
+        // Broadcast path: the key rows would be collected to the driver at
+        // execution time anyway (that IS what broadcast does), so collect
+        // them NOW, release the cache eagerly, and broadcast a local
+        // relation — a long-lived driver running many daily applies holds
+        // zero cached blocks per apply instead of leaking one key-set
+        // cache per day until the result plans are GC'd.
+        val rows = newKeys.collect() // bounded: <= broadcastKeyLimit keys
+        val schema = newKeys.schema
+        newKeys.unpersist(): Unit
+        broadcast(changes.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema))
+      } else newKeys // backfill shape: cache reused by both shuffled probes,
+                     // evicted cleanly (recompute) and context-cleaned
     val untouched = history.join(keySide, keyCols, "left_anti")
     val affected = history.join(keySide, keyCols, "left_semi")
     val closed = affected.filter(!col("is_current"))
@@ -214,12 +235,17 @@ object Merge {
     // The stage dir carries a UNIQUE suffix (application id + nonce), so
     // two in-flight merges can never clobber each other's staged rows.
     // Orphan stages from crashed runs are reclaimed here, but only ones
-    // recognizably NOT ours: a different application id can't be this
-    // run (and cross-APPLICATION writers on one table are out of contract
-    // — the dynamic-overwrite publish itself is not transactional across
-    // writers; see object doc). Same-app stages are left alone — they may
-    // belong to a live concurrent merge in this application, which IS
-    // supported.
+    // recognizably NOT ours (a different application id can't be this
+    // run) AND demonstrably stale — older than `StaleStageMs`, the same
+    // out-wait discipline as LogTable.vacuum's olderThanMs. Cross-
+    // APPLICATION writers on one table are out of contract (the
+    // dynamic-overwrite publish itself is not transactional across
+    // writers; see object doc), but "out of contract" must mean "unsafe
+    // publish", never "another live process actively deletes your staged
+    // data mid-run" — the age guard keeps a concurrently running second
+    // application's in-flight stage safe. Same-app stages are left alone
+    // at any age — they may belong to a live concurrent merge in this
+    // application, which IS supported.
     val appId = spark.sparkContext.applicationId
     val stagingPath = new org.apache.hadoop.fs.Path(
       path + "__stage_" + appId + "_" + java.util.UUID.randomUUID().toString.take(8))
@@ -228,11 +254,12 @@ object Merge {
     val stagePrefix = new org.apache.hadoop.fs.Path(path).getName + "__stage_"
     if (parent != null && fs.exists(parent)) {
       val legacyName = new org.apache.hadoop.fs.Path(path).getName + "__stage"
+      val staleCutoff = System.currentTimeMillis() - StaleStageMs
       fs.listStatus(parent).iterator
-        .filter(st => st.isDirectory && {
+        .filter(st => st.isDirectory && st.getModificationTime < staleCutoff && {
           val n = st.getPath.getName
           (n.startsWith(stagePrefix) && !n.startsWith(stagePrefix + appId + "_")) ||
-            n == legacyName // pre-unique-suffix layout: always reclaimable
+            n == legacyName // pre-unique-suffix layout: reclaimable once stale
         })
         .foreach(st => fs.delete(st.getPath, true): Unit)
     }

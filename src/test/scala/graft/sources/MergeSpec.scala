@@ -188,14 +188,22 @@ class MergeSpec extends SparkSpec {
     val dir = tmp() + "/t"
     val base = Seq((1L, "a", 0, "p1")).toDF("k", "v", "ver", "p")
     Sources.writeParquet(base, dir, partitionBy = Seq("p"))
-    // crashed-run stages: legacy fixed-name layout + a foreign app's token
+    // crashed-run stages: legacy fixed-name layout + a foreign app's
+    // token — both aged past StaleStageMs (the sweep only reclaims
+    // PROVABLY stale foreign dirs; a fresh one could be a live run)
     for (stale <- Seq(dir + "__stage", dir + "__stage_app-crashed_deadbeef")) {
       new java.io.File(stale, "p=p1").mkdirs()
       java.nio.file.Files.write(new java.io.File(stale, "leftover").toPath,
         Array[Byte](1, 2, 3))
+      assert(new java.io.File(stale).setLastModified(
+        System.currentTimeMillis() - Merge.StaleStageMs - 3600000L))
     }
+    // a FRESH foreign-app stage = possibly a concurrently running second
+    // application mid-merge; the age guard must spare it
+    val freshForeign = new java.io.File(dir + "__stage_app-running_cafe0001")
+    new java.io.File(freshForeign, "p=p8").mkdirs()
     // a stage owned by THIS application = possibly a live concurrent
-    // merge; the sweep must not touch it
+    // merge; the sweep must not touch it at any age
     val live = new java.io.File(
       dir + "__stage_" + spark.sparkContext.applicationId + "_zzzzzzzz")
     new java.io.File(live, "p=p9").mkdirs()
@@ -203,14 +211,15 @@ class MergeSpec extends SparkSpec {
     Merge.upsertPartitioned(spark, dir, changes, Seq("k"), Seq("ver"), "p", "op")
     assert(!new java.io.File(dir + "__stage").exists())
     assert(!new java.io.File(dir + "__stage_app-crashed_deadbeef").exists())
+    assert(freshForeign.exists(), "fresh foreign stage must out-wait the age guard")
     assert(live.exists(), "live same-app stage must survive the sweep")
     assert(spark.read.parquet(dir).select("k", "v", "ver").collect().toSeq ==
       Seq(Row(1L, "a1", 1)))
     // this run's own stage is gone after publish: nothing stage-shaped
-    // remains beyond the planted live one
+    // remains beyond the planted survivors
     val left = new java.io.File(dir).getParentFile.listFiles()
       .map(_.getName).filter(_.startsWith("t__stage")).toSet
-    assert(left == Set(live.getName), left)
+    assert(left == Set(live.getName, freshForeign.getName), left)
   }
 
   test("two concurrent-style merges of disjoint batches both land (unique stages)") {

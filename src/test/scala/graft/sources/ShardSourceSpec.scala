@@ -205,7 +205,12 @@ class ShardSourceSpec extends SparkSpec {
     // and the legacy mapPartitions reader agrees on the nested layout
     assert(Multimodal.readPayloadShards(spark, root).count() == 16)
     val day2 = src.filter(col("shard_path").contains("dt=2024-01-02"))
-    assert(day2.count() == 8) // contains() is residual — correct, unpruned
+    assert(day2.count() == 8)
+    // contains() IS pushed (StringContains is in ShardFilters.supported):
+    // the plan references only the day-2 shards — pinned by the planned
+    // partition count (one input partition per surviving shard)
+    val day2Shards = day2.select("shard_path").distinct().count()
+    assert(day2.rdd.getNumPartitions == day2Shards)
     val pfx = "file:" // sanity: a pushable prefix filter over everything
     assert(src.filter(col("shard_path").startsWith(pfx)).count() == 16)
     // equality on one shard's full uri plans exactly that shard
