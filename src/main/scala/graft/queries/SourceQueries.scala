@@ -466,6 +466,141 @@ object SourceQueries {
         .withColumn("version_read", lit(1))
     }),
 
+    // DATA SKIPPING off the commit log: the table declares per-file
+    // min/max stats on two NON-partition columns at create, a merge
+    // rewrites the 1997 partition (fresh files must carry fresh stats),
+    // and a date-range read plans only the files whose odate range can
+    // match — `files_skipped` pins that the pruned plan references
+    // strictly fewer files, and the aggregate restates the merged state
+    // under the range predicate. A stale stat after the rewrite, a
+    // lexicographic (untyped) bound compare, or a wrongly skipped file
+    // is hash-red.
+    "q129_logtable_skipping" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q129_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").as("odate"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(Tables(s, dir, "orders"))
+      graft.sources.LogTable.create(s, outRoot.toString, base,
+        Seq("o_year"), Seq("odate", "cents"))
+      val upd = base.filter(col("k") % 7 === 0 && col("o_year") === 1997)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("version", lit(1))
+      val del = base.filter(col("k") % 13 === 0 && col("o_year") === 1997)
+        .withColumn("version", lit(2)).withColumn("op", lit("D"))
+      graft.sources.LogTable.upsert(s, outRoot.toString,
+        upd.unionByName(del),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      val pred = col("odate").between("1997-03-01", "1997-09-30")
+      val pruned = graft.sources.LogTable.readWhere(s, outRoot.toString, pred)
+      val skipped = pruned.inputFiles.length <
+        graft.sources.LogTable.read(s, outRoot.toString).inputFiles.length
+      pruned.groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("files_skipped", lit(skipped))
+    }),
+
+    // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
+    // must reconstruct version 3 from version 1 EXACTLY —
+    // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
+    // (pinned by cdf_consistent via two exceptAll probes), and the
+    // aggregate of the RECONSTRUCTION restates the final merged state
+    // from the raw table. A missed removed file, a double-counted add,
+    // or a vacuumed-too-early change window is hash-red.
+    "q130_logtable_changes" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q130_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(Tables(s, dir, "orders"))
+      graft.sources.LogTable.create(s, outRoot.toString, base, "o_year") // v1
+      val inYears = col("o_year").isin(1997, 1999)
+      val upd = base.filter(col("k") % 7 === 0 && inYears)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("version", lit(1))
+      val del = base.filter(col("k") % 13 === 0 && inYears)
+        .withColumn("version", lit(2)).withColumn("op", lit("D"))
+      val ins = base.filter(col("k") % 11 === 0 && inYears)
+        .withColumn("k", col("k") + lit(10000000L))
+        .withColumn("status", lit("N"))
+        .withColumn("cents", expr("cents div 2"))
+        .withColumn("version", lit(1))
+      graft.sources.LogTable.upsert(s, outRoot.toString,
+        upd.unionByName(del).unionByName(ins),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit // v2
+      val upd3 = base.filter(col("k") % 5 === 0 && col("o_year") === 1996)
+        .withColumn("cents", expr("cents div 3"))
+        .withColumn("version", lit(3))
+      graft.sources.LogTable.upsert(s, outRoot.toString, upd3,
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit // v3
+      val ch = graft.sources.LogTable.readChanges(s, outRoot.toString, 1L, 3L)
+      val insRows = ch.filter(col("_change_type") === "insert").drop("_change_type")
+      val delRows = ch.filter(col("_change_type") === "delete").drop("_change_type")
+      val recon = graft.sources.LogTable.read(s, outRoot.toString, Some(1L))
+        .exceptAll(delRows).unionAll(insRows)
+      val direct = graft.sources.LogTable.read(s, outRoot.toString, Some(3L))
+      val consistent = recon.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(recon).count() == 0
+      recon
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("cdf_consistent", lit(consistent))
+        .withColumn("from_version", lit(1))
+        .withColumn("to_version", lit(3))
+    }),
+
+    // MULTI-COLUMN partitioning: the q125 merge discipline on a
+    // (o_year, status)-partitioned log table — the batch touches exactly
+    // the (1997, 'O') tuple, so the rewrite prunes on BOTH partition
+    // columns (a file in 1997 with only 'F' rows survives by name; the
+    // spec pins that), and the snapshot restates the merge. An update
+    // may not move a row across its partition tuple — the batch keeps
+    // status fixed, the contract `upsertPartitioned` documents.
+    "q131_logtable_multipart" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q131_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(Tables(s, dir, "orders"))
+      graft.sources.LogTable.create(s, outRoot.toString, base,
+        Seq("o_year", "status"), Nil)
+      val touched = col("o_year") === 1997 && col("status") === "O"
+      val upd = base.filter(col("k") % 7 === 0 && touched)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("version", lit(1))
+      val del = base.filter(col("k") % 13 === 0 && touched)
+        .withColumn("version", lit(2)).withColumn("op", lit("D"))
+      val v = graft.sources.LogTable.upsert(s, outRoot.toString,
+        upd.unionByName(del),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
+      val nPcols =
+        graft.sources.LogTable.snapshot(s, outRoot.toString).partitionCols.length
+      graft.sources.LogTable.read(s, outRoot.toString)
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("log_version", lit(v).cast("int"))
+        .withColumn("n_partition_cols", lit(nPcols))
+    }),
+
     // q114's schema-drift contract INSIDE the log table: the pre-1998
     // epoch commits without a priority column, the later epoch arrives
     // carrying it, and the upsert widens the committed schema WITHOUT
@@ -743,6 +878,93 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(version) AS BIGINT) AS sum_version,
         |  2 AS log_version
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The merged 1997 state under the same date-range predicate, straight
+    // from the raw table; files_skipped pinned TRUE.
+    "q129_logtable_skipping" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderdate AS odate, year(o_orderdate) AS o_year,
+        |         0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, odate, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year = 1997),
+        |del AS (
+        |  SELECT k, status, cents, odate, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year = 1997),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS files_skipped
+        |FROM final
+        |WHERE odate BETWEEN DATE '1997-03-01' AND DATE '1997-09-30'
+        |GROUP BY 1""".stripMargin,
+
+    // The version-3 state restated (the reconstruction must equal it);
+    // the CDF identity bit pinned TRUE and the window pinned (1, 3).
+    "q130_logtable_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)),
+        |del AS (
+        |  SELECT k, status, cents, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year IN (1997, 1999)),
+        |ins AS (
+        |  SELECT k + 10000000 AS k, 'N' AS status, cents // 2 AS cents,
+        |         o_year, 1 AS version, 'U' AS op
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |upd3 AS (
+        |  SELECT k, status, cents // 3 AS cents, o_year, 3 AS version, 'U' AS op
+        |  FROM base WHERE k % 5 = 0 AND o_year = 1996),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+        |        UNION ALL SELECT * FROM upd3)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS cdf_consistent, 1 AS from_version, 3 AS to_version
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The (1997, 'O')-touching merge restated; the partition-column count
+    // and final version pinned.
+    "q131_logtable_multipart" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year = 1997 AND status = 'O'),
+        |del AS (
+        |  SELECT k, status, cents, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year = 1997 AND status = 'O'),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  2 AS log_version, 2 AS n_partition_cols
         |FROM final
         |GROUP BY 1, 2""".stripMargin,
 

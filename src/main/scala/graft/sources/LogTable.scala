@@ -2,9 +2,12 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A minimal TRANSACTIONAL table format — the commit-log layout that
   * [[Merge.upsertPartitioned]]'s scaladoc names as what replaces its
@@ -22,12 +25,14 @@ import org.apache.spark.sql.types.StructType
   *   _graft_log/00000000000000000001.json ordered commits
   * }}}
   *
-  * Each commit records the schema, the files it ADDS (with per-file
-  * partition min/max — log-level pruning, finer than directory pruning
-  * because a file spanning several partition values is tracked honestly
-  * as a range) and the files it REMOVES. A snapshot at version V =
-  * replay of commits 1..V; readers list one directory and never race
-  * writers:
+  * Each commit records the schema, the partition column(s), the files it
+  * ADDS and the files it REMOVES. Every added file carries per-column
+  * MIN/MAX/NULL-COUNT statistics for the partition columns plus a
+  * DECLARED set of data columns (`statsCols`, fixed at [[create]]) — the
+  * Delta/Iceberg data-skipping move: a predicate on a stats-tracked
+  * column plans only the files whose value range can match, whether or
+  * not the column partitions the table. A snapshot at version V = replay
+  * of commits 1..V; readers list one directory and never race writers:
   *
   *  - **Atomic publish**: data files land under non-referenced names
   *    (invisible — readers only trust the log), then the commit file is
@@ -38,9 +43,12 @@ import org.apache.spark.sql.types.StructType
   *    rename is atomic by itself; a RAW LOCAL filesystem's rename would
   *    silently replace, so local commits additionally serialize under a
   *    JVM-wide lock — correct for every writer in one application
-  *    (Spark local / one driver). Separate-process writers on a raw
-  *    local path, and S3-class stores (which need a coordinator), are
-  *    out of contract — the same boundary as Delta's non-HDFS story.
+  *    (Spark local / one driver). The publish primitive is PLUGGABLE
+  *    ([[CommitCoordinator]]): separate-process writers on a raw local
+  *    path, and S3-class stores, are out of the DEFAULT coordinator's
+  *    contract (the same boundary as Delta's non-HDFS story) and are
+  *    exactly what a swapped-in lock-file / conditional-put coordinator
+  *    covers.
   *  - **Crash safety for free**: a crash before commit leaves only
   *    unreferenced data files (invisible; reclaimed by [[vacuum]]); a
   *    crash after commit is a completed merge. No torn state exists, no
@@ -48,6 +56,16 @@ import org.apache.spark.sql.types.StructType
   *  - **Time travel**: `read(spark, path, asOf = Some(v))` replays the
   *    prefix — yesterday's table for audits/backfills, until a vacuum
   *    reclaims removed files.
+  *  - **Change feed**: [[readChanges]] diffs two versions' live file
+  *    sets off the log — O(changed files), never a table scan — so an
+  *    incremental consumer folds `snapshot(v1) ∖ deletes ∪ inserts`
+  *    instead of re-reading snapshots.
+  *  - **Typed pruning**: min/max are persisted as strings but COMPARED
+  *    under the column's type (numeric, string, boolean, date,
+  *    timestamp), so a date-range predicate on a date-partitioned table
+  *    range-prunes instead of falling back to equality on exact file
+  *    bounds. Any value the comparator cannot interpret keeps the file —
+  *    pruning degrades to scanning, never to wrong answers.
   *  - **Add-column schema evolution** (opt-in, `mergeSchema = true`): a
   *    batch carrying new columns widens the committed schema; untouched
   *    files are never rewritten (schema-on-read fills NULLs), historical
@@ -55,7 +73,7 @@ import org.apache.spark.sql.types.StructType
   *    in-table twin of `Sources.readEvolved`'s multi-epoch rule. By
   *    default any schema difference is an ERROR (a typo'd column name
   *    must never silently widen a table), and the columns the merge
-  *    itself consumes (keys, order, op, partition) must always be
+  *    itself consumes (keys, order, op, partitions) must always be
   *    physically present in the batch.
   *
   * Log growth is handled the standard way: [[checkpoint]] writes a full
@@ -63,24 +81,83 @@ import org.apache.spark.sql.types.StructType
   * newest checkpoint at-or-before the requested version instead of from
   * commit 1, and [[expireLog]] deletes the commits a checkpoint made
   * redundant (giving up time travel behind it — pair with [[vacuum]]).
-  * [[vacuum]] itself breaks time travel behind the current version and
-  * must out-wait in-flight readers/writers (`olderThanMs`).
+  * [[vacuum]] itself breaks time travel AND change feeds behind the
+  * current version and must out-wait in-flight readers/writers
+  * (`olderThanMs`).
   */
 object LogTable {
 
-  /** One live data file: absolute-relative path (table-rooted name),
-    * partition value range as strings (pmin==pmax ⇒ single-partition
-    * file, equality-prunable), exact rows, bytes.
+  /** Per-column file statistics: min/max rendered as strings (compared
+    * TYPED against the schema — see [[Snapshot.schema]]), and the
+    * column's null count in the file. min/max are None when every value
+    * in the file is NULL.
+    */
+  final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+  /** One live data file: table-rooted name, the LEADING partition
+    * column's value range (pmin==pmax ⇒ single-partition file), exact
+    * rows, bytes, and per-column stats for every tracked column
+    * (partition columns + declared statsCols). `stats` is empty on files
+    * committed by a pre-stats writer — they are kept (never wrongly
+    * pruned) by every skipping path.
     */
   final case class LogFile(name: String, pmin: String, pmax: String,
-                           rows: Long, bytes: Long)
+                           rows: Long, bytes: Long,
+                           stats: Map[String, ColStats] = Map.empty)
 
   final case class Snapshot(version: Long, schemaDdl: String,
-                            partitionCol: String, files: Seq[LogFile]) {
+                            partitionCols: Seq[String],
+                            statsCols: Seq[String], files: Seq[LogFile]) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
+    /** Leading partition column (single-column tables' only one). */
+    def partitionCol: String = partitionCols.head
   }
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** The PUBLISH primitive of the commit protocol, extracted so the
+    * exactly-once guarantee can come from whatever the storage offers:
+    * the default is the no-overwrite rename below; an object-store
+    * deployment would swap in a conditional-put (if-none-match)
+    * coordinator, a shared-nothing cluster a lock-file or service-backed
+    * one. The contract is strict: return true iff THIS call atomically
+    * made `tmp`'s bytes visible at `dst` and nothing was at `dst`
+    * before; return false iff `dst` was (or concurrently became) owned
+    * by another writer — the caller then treats the commit as lost and
+    * retries against the new snapshot. A coordinator must never leave
+    * `dst` torn or claim a win it did not have; `tmp` cleanup on loss is
+    * the caller's job.
+    */
+  trait CommitCoordinator {
+    def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean
+  }
+
+  /** Default coordinator: rename-no-overwrite. HDFS-class filesystems
+    * make the no-overwrite rename atomic on its own; a RAW LOCAL
+    * filesystem's rename is POSIX rename(2), which silently REPLACES an
+    * existing destination — so the exists+rename pair is additionally
+    * serialized under a JVM-wide lock, which makes the check-then-act
+    * atomic for every writer in one application (Spark local / one
+    * driver, incl. the concurrent-merge threads MergeSpec exercises).
+    * Separate-PROCESS writers against a raw local path are out of THIS
+    * coordinator's contract (the same boundary as Delta's non-HDFS
+    * story) — that is exactly the case a swapped-in lock-file or
+    * conditional-put coordinator exists for.
+    */
+  object RenameCommitCoordinator extends CommitCoordinator {
+    private object Lock
+    override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+      Lock.synchronized {
+        !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+  }
+
+  /** Session-level commit-publish policy — swap for storage that needs a
+    * different exactly-once primitive. Applies to every table this JVM
+    * writes (publish semantics are a property of the storage, not of one
+    * table).
+    */
+  @volatile var coordinator: CommitCoordinator = RenameCommitCoordinator
 
   private val Mapper = new ObjectMapper()
 
@@ -91,20 +168,37 @@ object LogTable {
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Create a new log table at `path` from `df`, partition-tracked on
-    * `partitionCol` (kept as an ordinary column IN the data — the log,
-    * not the directory name, carries partition values). One data write,
-    * one commit. Fails if a log already exists.
+    * `partitionCols` (kept as ordinary columns IN the data — the log,
+    * not the directory name, carries partition values) with per-file
+    * min/max stats additionally collected for `statsCols` (data-skipping
+    * columns, fixed for the table's lifetime). One data write, one
+    * commit. Fails if a log already exists.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partitionCol: String): Long = {
+             partitionCols: Seq[String], statsCols: Seq[String]): Long = {
     val fs = fsOf(spark, path)
     require(!fs.exists(logDir(path)),
       s"log table already exists at $path — use upsert")
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    (partitionCols ++ statsCols).foreach { c =>
+      val fd = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"log table $path: tracked column `$c` is not in the schema"))
+      require(orderableForStats(fd.dataType),
+        s"log table $path: column `$c` (${fd.dataType.sql}) cannot carry " +
+          "min/max stats — only numeric, string, boolean, date and " +
+          "timestamp columns are trackable")
+    }
     fs.mkdirs(logDir(path)): Unit
-    val adds = writeDataFiles(spark, path, df, partitionCol)
-    commit(spark, path, 1L, df.schema.toDDL, partitionCol, adds, Nil)
+    val adds = writeDataFiles(spark, path, df, partitionCols, statsCols)
+    commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds, Nil)
     1L
   }
+
+  /** Single-partition-column convenience form of [[create]]. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partitionCol: String, statsCols: Seq[String] = Nil): Long =
+    create(spark, path, df, Seq(partitionCol), statsCols)
 
   private val CommitName = """^(\d{20})\.json$""".r
   private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
@@ -135,19 +229,46 @@ object LogTable {
     require(upTo.nonEmpty || ckpt.nonEmpty,
       s"no commit at or before version $target (expired log?)")
     var schemaDdl = ""
-    var pcol = ""
+    var pcols = Seq.empty[String]
+    var scols = Seq.empty[String]
     var version = 0L
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
     def fold(p: Path): Unit = {
       val in = fs.open(p)
       val node = try Mapper.readTree(in) finally in.close()
       schemaDdl = node.get("schema").asText()
-      pcol = node.get("partitionCol").asText()
+      // new commits carry `partitionCols`; the original single-column
+      // format carried `partitionCol` — both are readable forever
+      pcols =
+        if (node.hasNonNull("partitionCols")) {
+          val b = Seq.newBuilder[String]
+          node.get("partitionCols").forEach(c => b += c.asText(): Unit)
+          b.result()
+        } else Seq(node.get("partitionCol").asText())
+      scols =
+        if (node.hasNonNull("statsCols")) {
+          val b = Seq.newBuilder[String]
+          node.get("statsCols").forEach(c => b += c.asText(): Unit)
+          b.result()
+        } else Nil
       version = node.get("version").asLong()
       node.get("removes").forEach(r => live.remove(r.asText()): Unit)
       node.get("adds").forEach { a =>
+        val stats =
+          if (a.hasNonNull("stats")) {
+            val b = Map.newBuilder[String, ColStats]
+            a.get("stats").properties().forEach { e =>
+              val s = e.getValue
+              b += e.getKey -> ColStats(
+                if (s.hasNonNull("min")) Some(s.get("min").asText()) else None,
+                if (s.hasNonNull("max")) Some(s.get("max").asText()) else None,
+                s.get("nulls").asLong())
+            }
+            b.result()
+          } else Map.empty[String, ColStats]
         val f = LogFile(a.get("name").asText(), a.get("pmin").asText(),
-          a.get("pmax").asText(), a.get("rows").asLong(), a.get("bytes").asLong())
+          a.get("pmax").asText(), a.get("rows").asLong(),
+          a.get("bytes").asLong(), stats)
         live.put(f.name, f): Unit
       }
     }
@@ -158,7 +279,7 @@ object LogTable {
     // past the checkpoint) is an error, not a silently older table
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
-    Snapshot(version, schemaDdl, pcol, live.values.toSeq)
+    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq)
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -173,8 +294,8 @@ object LogTable {
       val tmp = new Path(logDir(path),
         ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val out = fs.create(tmp, true)
-      try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCol,
-        snap.files, Nil)) finally out.close()
+      try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
+        snap.statsCols, snap.files, Nil)) finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
         // lost a race to an identical checkpoint — fine
@@ -187,12 +308,12 @@ object LogTable {
 
   /** Debt-triggered small-file compaction — the log-table sibling of
     * `Sources.compactIfNeeded`'s discipline: daily merges leave each
-    * touched partition a few more files, and once a partition value
-    * exceeds `maxFilesPerPartition` live files its rows are rewritten
-    * into a fresh (range-salted, so still parallel) set and swapped in
-    * with ONE commit — readers atomically flip from the small files to
-    * the compacted ones. Partitions under budget are untouched; a
-    * metadata-only check decides from the snapshot, no data read.
+    * touched partition a few more files, and once a LEADING-partition
+    * value exceeds `maxFilesPerPartition` live files its rows are
+    * rewritten into a fresh (range-salted, so still parallel) set and
+    * swapped in with ONE commit — readers atomically flip from the small
+    * files to the compacted ones. Partitions under budget are untouched;
+    * a metadata-only check decides from the snapshot, no data read.
     * Boundary files (pmin != pmax) are counted toward every value they
     * span. Returns the new version, or -1 if nothing needed compacting.
     */
@@ -224,11 +345,12 @@ object LogTable {
     val rows = readFiles(spark, path, snap, victims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
-      try writeDataFiles(spark, path, rows, snap.partitionCol, Some(target))
+      try writeDataFiles(spark, path, rows, snap.partitionCols,
+        snap.statsCols, Some(target))
       finally { rows.unpersist(): Unit }
     try {
-      commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCol,
-        adds, victims.map(_.name))
+      commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
+        snap.statsCols, adds, victims.map(_.name))
     } catch {
       case e: CommitConflictException =>
         // same discipline as upsert's losing race: our files are invisible,
@@ -269,34 +391,104 @@ object LogTable {
     readFiles(spark, path, snap, snap.files)
   }
 
-  /** Read ONLY the partitions in `values` — log-level file pruning: the
-    * plan never references a file whose (pmin, pmax) range excludes every
-    * requested value, so the scan-side cost of a one-partition query on a
-    * 2,000-partition table is one partition's files plus any boundary
-    * files. The residual equality filter still applies (boundary files
-    * carry neighbor rows).
+  /** Read with DATA SKIPPING: the top-level AND-conjuncts of `predicate`
+    * that compare a stats-tracked column (partition columns + the
+    * create-time `statsCols`) against literals — `=`, `<`, `<=`, `>`,
+    * `>=`, `IN`, `BETWEEN`, `IS [NOT] NULL` — prune every file whose
+    * per-file min/max range cannot match, typed per the column. The plan
+    * then never references the pruned files, so a selective predicate on
+    * a 100 TB table costs the matching files, not a scan. Everything the
+    * analyzer can't interpret (other operators, expressions over the
+    * column, untracked columns, unparsable bounds) keeps files —
+    * degrading to scanning, never to wrong pruning — and the FULL
+    * predicate is always applied residually, so the result is exactly
+    * `read(...).filter(predicate)` with fewer files planned.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: Column,
+                asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    // Resolve the predicate through the ANALYZER against the table schema
+    // (an empty relation — metadata only, no scan): names resolve
+    // case-insensitively, literals get coerced to the column's type
+    // ("2024-03-01" against a date column becomes a date literal), and a
+    // typo'd column fails LOUD here instead of silently skipping nothing.
+    val probe = spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+      .filter(predicate)
+    val cj = probe.queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        conjuncts(f.condition) }
+      .getOrElse(Nil)
+    val keep = snap.files.filter(f => cj.forall(c => mayMatch(snap, f, c, zone)))
+    readFiles(spark, path, snap, keep).filter(predicate)
+  }
+
+  /** File-level CHANGE FEED between two committed versions, off the log
+    * alone: the rows of files net-ADDED in `(fromVersion, toVersion]`
+    * tagged `_change_type = 'insert'`, plus the rows of files net-REMOVED
+    * tagged `'delete'`, both read under `toVersion`'s schema
+    * (schema-on-read NULL-fills evolved columns on older files, exactly
+    * as a `toVersion` snapshot would). The reconstruction identity an
+    * incremental consumer folds by — as MULTISETS —
+    *
+    * {{{ snapshot(to) ≡ snapshot(from) EXCEPT ALL deletes UNION ALL inserts }}}
+    *
+    * holds exactly, because the live file set replays as
+    * `live(from) − removed + added`. This is FILE-level change data:
+    * a merge rewrites whole files, so unchanged rider rows appear as a
+    * (delete, insert) pair with identical content — downstreams wanting
+    * net row-level changes diff by key on top. Cost is O(changed files) —
+    * an incremental consumer never re-reads the table. Both versions
+    * must still be replayable (see [[expireLog]]) and the removed files
+    * still on disk — [[vacuum]] breaks change feeds behind the current
+    * version, and a vacuumed window fails loud at scan time.
+    */
+  def readChanges(spark: SparkSession, path: String, fromVersion: Long,
+                  toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val from = snapshot(spark, path, Some(fromVersion))
+    val to = snapshot(spark, path, Some(toVersion))
+    val fromNames = from.files.map(_.name).toSet
+    val toNames = to.files.map(_.name).toSet
+    val inserted = to.files.filterNot(f => fromNames.contains(f.name))
+    val removed = from.files.filterNot(f => toNames.contains(f.name))
+    readFiles(spark, path, to, inserted)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(readFiles(spark, path, to, removed)
+        .withColumn("_change_type", lit("delete")))
+  }
+
+  /** Read ONLY the rows whose LEADING partition column is in `values` —
+    * log-level file pruning: the plan never references a file whose
+    * typed (pmin, pmax) range excludes every requested value, so the
+    * scan-side cost of a one-partition query on a 2,000-partition table
+    * is one partition's files plus genuinely boundary-spanning files.
+    * The residual equality filter still applies (boundary files carry
+    * neighbor rows).
     */
   def readPartitions(spark: SparkSession, path: String, values: Seq[Any],
                      asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
-    val wanted = values.map(String.valueOf).toSet
-    val keep = snap.files.filter(f =>
-      // string min/max bounds are ORDER-comparable only within one value,
-      // so range files prune solely on the exact-match endpoints; a
-      // spanning file is kept conservatively
-      (f.pmin == f.pmax && wanted.contains(f.pmin)) || f.pmin != f.pmax)
+    val wanted = values.map(String.valueOf)
+    val keep = prunedFiles(snap, wanted.toSet)
     readFiles(spark, path, snap, keep)
       .filter(col(snap.partitionCol).cast("string")
-        .isin(wanted.toSeq: _*))
+        .isin(wanted: _*))
   }
 
-  /** The files a batch touching `values` (stringified partition values)
-    * must rewrite: every single-partition file holding a touched value,
-    * plus every range file (pmin != pmax) — its non-touched rows ride
-    * along through the rewrite, which is what keeps removal sound.
+  /** The files whose LEADING-partition value range may contain any of
+    * `values` (stringified): every such file must be scanned by a read
+    * of those partitions, and rewritten by a batch touching them (its
+    * non-matching rows ride along through the rewrite, which is what
+    * keeps removal sound). Ranges compare TYPED per the leading
+    * partition column; a bound the comparator cannot interpret keeps
+    * the file.
     */
-  def prunedFiles(snap: Snapshot, values: Set[String]): Seq[LogFile] =
-    snap.files.filter(f => f.pmin != f.pmax || values.contains(f.pmin))
+  def prunedFiles(snap: Snapshot, values: Set[String]): Seq[LogFile] = {
+    val dt = leadingType(snap)
+    snap.files.filter(f => values.exists(v => rangeMayContain(dt, f.pmin, f.pmax, v)))
+  }
 
   /** Delete-aware latest-wins merge (q108 semantics — see [[Merge.merge]])
     * committed as one log transaction: read ONLY the prunable files, merge
@@ -320,7 +512,7 @@ object LogTable {
       // DELETE every updated key; a NULL-filled key/order column
       // corrupts the argmax. Loud, always.
       val batchCols = changes.schema.fieldNames.map(_.toLowerCase).toSet
-      ((keyCols ++ orderCols) :+ opCol :+ snap.partitionCol).foreach { c =>
+      ((keyCols ++ orderCols) :+ opCol).++(snap.partitionCols).foreach { c =>
         require(batchCols.contains(c.toLowerCase),
           s"log table $path: batch is missing merge-critical column `$c`")
       }
@@ -352,10 +544,20 @@ object LogTable {
           if (missingNames.contains(f.name.toLowerCase)) f.copy(nullable = true)
           else f) ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
+      // bounded: one row per touched partition TUPLE (a daily batch
+      // touches a handful of partitions, never the table's full set)
       val touched = changes
-        .select(col(snap.partitionCol).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSet // bounded: touched partitions
-      val victims = prunedFiles(snap, touched)
+        .select(snap.partitionCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map { r =>
+          snap.partitionCols.indices.map { i =>
+            require(!r.isNullAt(i),
+              s"log table $path: NULL values in partition column " +
+                s"`${snap.partitionCols(i)}` are not supported")
+            r.getString(i)
+          }
+        }.toIndexedSeq
+      val victims = victimFiles(snap, touched)
       val base = readFiles(spark, path, evolved, victims)
       // the batch aligned to the (possibly widened) table schema: a
       // missing nullable column fills with typed NULL; a TYPE clash is
@@ -379,11 +581,11 @@ object LogTable {
       val merged = Merge.merge(base, aligned, keyCols, orderCols, opCol, deleteOp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val adds =
-        try writeDataFiles(spark, path, merged, snap.partitionCol)
+        try writeDataFiles(spark, path, merged, snap.partitionCols, snap.statsCols)
         finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
-          snap.partitionCol, adds, victims.map(_.name))
+          snap.partitionCols, snap.statsCols, adds, victims.map(_.name))
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -426,6 +628,250 @@ object LogTable {
     deadData.size + deadLog.size
   }
 
+  // ------------------------------------------------------- typed pruning
+
+  /** Column types whose min/max can be compared meaningfully from their
+    * string rendering. Everything else is untrackable — declared loud at
+    * [[create]], and unknown strings degrade to keep-the-file at read.
+    */
+  private def orderableForStats(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Parse a persisted stat/partition string into a comparable key under
+    * the column's type. None ⇒ not comparable ⇒ the caller must keep the
+    * file (prune conservatively, never wrongly).
+    */
+  private def keyOfString(dt: DataType, s: String,
+                          zone: String): Option[Comparable[Any]] = {
+    def c(x: Any) = Some(x.asInstanceOf[Comparable[Any]])
+    try dt match {
+      case _: NumericType => c(BigDecimal(s))
+      case StringType => c(UTF8String.fromString(s))
+      case BooleanType => c(java.lang.Boolean.valueOf(s))
+      case DateType =>
+        c(java.lang.Long.valueOf(java.time.LocalDate.parse(s).toEpochDay))
+      case TimestampType =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(s),
+          java.time.ZoneId.of(zone)).map(m => java.lang.Long.valueOf(m))
+          .map(_.asInstanceOf[Comparable[Any]])
+      case TimestampNTZType =>
+        DateTimeUtils.stringToTimestampWithoutTimeZone(UTF8String.fromString(s))
+          .map(m => java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The same key space, from a predicate literal — the literal's OWN
+    * type decides how its internal value is interpreted (an unresolved
+    * predicate has seen no type coercion), the COLUMN's type decides the
+    * key space. A cross-family literal (e.g. an int against a string
+    * column) yields None ⇒ no pruning.
+    */
+  private def keyOfLiteral(colDt: DataType, l: Literal,
+                           zone: String): Option[Comparable[Any]] = {
+    def c(x: Any) = Some(x.asInstanceOf[Comparable[Any]])
+    try (colDt, l.dataType) match {
+      case (_, _) if l.value == null => None
+      case (_: NumericType, _: NumericType) => l.value match {
+        case d: Decimal => c(d.toBigDecimal)
+        case n: java.lang.Number => c(BigDecimal(n.toString))
+        case _ => None
+      }
+      case (StringType, StringType) => c(l.value.asInstanceOf[UTF8String])
+      case (BooleanType, BooleanType) =>
+        c(java.lang.Boolean.valueOf(l.value.asInstanceOf[Boolean]))
+      case (DateType, DateType) =>
+        c(java.lang.Long.valueOf(l.value.asInstanceOf[Int].toLong))
+      case (DateType, StringType) =>
+        c(java.lang.Long.valueOf(
+          java.time.LocalDate.parse(l.value.toString).toEpochDay))
+      case (TimestampType, TimestampType) =>
+        c(java.lang.Long.valueOf(l.value.asInstanceOf[Long]))
+      case (TimestampType, StringType) =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(l.value.toString),
+          java.time.ZoneId.of(zone))
+          .map(m => java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
+      case (TimestampNTZType, TimestampNTZType) =>
+        c(java.lang.Long.valueOf(l.value.asInstanceOf[Long]))
+      case (TimestampNTZType, StringType) =>
+        DateTimeUtils.stringToTimestampWithoutTimeZone(
+          UTF8String.fromString(l.value.toString))
+          .map(m => java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def leadingType(snap: Snapshot): DataType =
+    snap.schema.fields.find(_.name.equalsIgnoreCase(snap.partitionCol))
+      .map(_.dataType).getOrElse(StringType)
+
+  /** Typed `lo ≤ v ≤ hi` over string renderings; an uninterpretable
+    * bound answers TRUE (keep the file).
+    */
+  private def rangeMayContain(dt: DataType, lo: String, hi: String,
+                              v: String, zone: String = "UTC"): Boolean =
+    (for {
+      kl <- keyOfString(dt, lo, zone)
+      kh <- keyOfString(dt, hi, zone)
+      kv <- keyOfString(dt, v, zone)
+    } yield kl.compareTo(kv) <= 0 && kv.compareTo(kh) <= 0).getOrElse(true)
+
+  /** The files a batch touching the given partition-value TUPLES must
+    * rewrite: a file is a victim unless, for every touched tuple, some
+    * partition column's stats range provably excludes the tuple's value.
+    * Missing stats (pre-stats files, untracked columns) and
+    * uninterpretable bounds keep the file — over-rewriting is safe,
+    * under-rewriting would duplicate keys.
+    */
+  private def victimFiles(snap: Snapshot,
+                          touched: Seq[Seq[String]]): Seq[LogFile] = {
+    val types = snap.partitionCols.map(c =>
+      c -> snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(StringType))
+    snap.files.filter { f =>
+      touched.exists { tuple =>
+        types.zip(tuple).forall { case ((c, dt), v) =>
+          statsRange(snap, f, c) match {
+            case Some((lo, hi)) => rangeMayContain(dt, lo, hi, v)
+            case None => true // all-NULL stats can't hold a (non-null)
+                              // touched value — but partition values are
+                              // non-null by contract, so None here means
+                              // UNKNOWN (legacy file) ⇒ keep
+          }
+        }
+      }
+    }
+  }
+
+  /** A file's (min, max) for `c`: the stats entry when present, falling
+    * back to (pmin, pmax) for the leading partition column on files
+    * committed before per-column stats existed. None ⇒ unknown.
+    */
+  private def statsRange(snap: Snapshot, f: LogFile,
+                         c: String): Option[(String, String)] =
+    f.stats.collectFirst {
+      case (k, ColStats(Some(lo), Some(hi), _)) if k.equalsIgnoreCase(c) =>
+        (lo, hi)
+    }.orElse(
+      if (c.equalsIgnoreCase(snap.partitionCol)) Some((f.pmin, f.pmax))
+      else None)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The column an analyzed comparison side refers to. A widening CAST
+    * around the attribute (analyzer type coercion, e.g. int column vs
+    * long literal) is transparent: the literal then carries the widened
+    * type and [[keyOfLiteral]]'s family matrix decides comparability —
+    * an unsupported pairing yields None there, never a wrong prune.
+    */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast => attrName(c.child)
+    case _ => None
+  }
+
+  /** Fold an analyzed literal side (a Literal, or a foldable expression
+    * like Cast(Literal) the coercion rules insert) into a typed Literal.
+    */
+  private object FoldedLit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case _ if e.foldable =>
+        try Some(Literal.create(e.eval(null), e.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
+  /** Can `f` possibly hold a row satisfying conjunct `e`? TRUE on
+    * anything the analyzer does not understand — the residual filter
+    * catches those rows; skipping only ever REMOVES provably
+    * non-matching files.
+    */
+  private def mayMatch(snap: Snapshot, f: LogFile, e: Expression,
+                       zone: String): Boolean = {
+    val schema = snap.schema
+    def colInfo(a: Expression): Option[(DataType, Option[ColStats])] =
+      attrName(a).flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))
+        .map(fd => (fd.dataType,
+          f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(n) => s }
+            .orElse(
+              // leading partition column: legacy pmin/pmax double as stats
+              // (null count unknown ⇒ 0 is safe: partition values are
+              // non-null by the write-path contract)
+              if (n.equalsIgnoreCase(snap.partitionCol))
+                Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
+              else None))))
+    // sign of (stat − literal), None ⇒ unknown ⇒ keep
+    def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
+      for {
+        ks <- keyOfString(dt, stat, zone)
+        kl <- keyOfLiteral(dt, l, zone)
+      } yield ks.compareTo(kl)
+    // each bound test answers Some(false) only when provably impossible
+    def test(a: Expression, l: Literal)(
+        p: (DataType, ColStats) => Option[Boolean]): Boolean =
+      colInfo(a) match {
+        case Some((dt, Some(st))) =>
+          st match {
+            // all-NULL file: no non-null value can satisfy a comparison
+            case ColStats(None, None, _) => false
+            case _ => p(dt, st).getOrElse(true)
+          }
+        case _ => true // untracked column / no stats ⇒ keep
+      }
+    def containsLit(dt: DataType, st: ColStats, l: Literal): Option[Boolean] =
+      for {
+        lo <- st.min; hi <- st.max
+        cl <- cmp(dt, lo, l); ch <- cmp(dt, hi, l)
+      } yield cl <= 0 && ch >= 0
+    e match {
+      case EqualTo(a, FoldedLit(l)) if attrName(a).isDefined =>
+        test(a, l)(containsLit(_, _, l))
+      case EqualTo(FoldedLit(l), a) if attrName(a).isDefined =>
+        test(a, l)(containsLit(_, _, l))
+      case GreaterThan(a, FoldedLit(l)) if attrName(a).isDefined => // a > l
+        test(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ > 0))
+      case GreaterThan(FoldedLit(l), a) if attrName(a).isDefined => // a < l
+        test(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ < 0))
+      case GreaterThanOrEqual(a, FoldedLit(l)) if attrName(a).isDefined =>
+        test(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ >= 0))
+      case GreaterThanOrEqual(FoldedLit(l), a) if attrName(a).isDefined =>
+        test(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ <= 0))
+      case LessThan(a, FoldedLit(l)) if attrName(a).isDefined =>
+        test(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ < 0))
+      case LessThan(FoldedLit(l), a) if attrName(a).isDefined =>
+        test(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ > 0))
+      case LessThanOrEqual(a, FoldedLit(l)) if attrName(a).isDefined =>
+        test(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ <= 0))
+      case LessThanOrEqual(FoldedLit(l), a) if attrName(a).isDefined =>
+        test(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ >= 0))
+      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
+          vs.forall(FoldedLit.unapply(_).isDefined) =>
+        vs.exists { v =>
+          val l = FoldedLit.unapply(v).get
+          test(a, l)(containsLit(_, _, l))
+        }
+      case IsNull(a) =>
+        colInfo(a) match {
+          case Some((_, Some(st))) => st.nulls > 0
+          case _ => true
+        }
+      case IsNotNull(a) =>
+        colInfo(a) match {
+          case Some((_, Some(st))) => st.min.isDefined
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
   // -------------------------------------------------------------- internals
 
   private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
@@ -437,23 +883,25 @@ object LogTable {
         .parquet(files.map(f => new Path(path, f.name).toString): _*)
 
   /** Write `df` once as parquet files directly referenced by the log:
-    * land in a scratch dir, collect per-file (partition min/max, rows)
-    * with ONE metadata-shaped scan of the new files only, then rename
-    * each into the table root under its (already unique) name. Files are
-    * invisible until a commit references them.
+    * land in a scratch dir, collect per-file stats (partition bounds,
+    * rows, per-tracked-column min/max/nulls) with ONE metadata-shaped
+    * scan of the new files only — the scan reads ONLY the tracked
+    * columns — then rename each into the table root under its (already
+    * unique) name. Files are invisible until a commit references them.
     */
   private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
-                             partitionCol: String,
+                             partitionCols: Seq[String],
+                             statsCols: Seq[String],
                              numFiles: Option[Int] = None): Seq[LogFile] = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    // partition-clustered output: RANGE partitioning on (value, salt).
-    // The leading value keeps equal values adjacent and never
-    // hash-collides distant values into one file, so files come out
+    // partition-clustered output: RANGE partitioning on (values..., salt).
+    // The leading values keep equal tuples adjacent and never
+    // hash-collide distant values into one file, so files come out
     // single-partition (pmin==pmax, equality-prunable) except at value
     // boundaries — and an unlucky file degrades to a tracked RANGE,
     // never to wrong pruning. The SALT lets one hot partition value
-    // spread across many writer tasks (range-partitioning on the value
+    // spread across many writer tasks (range-partitioning on the values
     // alone would funnel a whole 100 TB date-partition through one
     // task). The partition count is EXPLICIT so AQE cannot coalesce
     // small outputs into one multi-partition file.
@@ -461,41 +909,68 @@ object LogTable {
       df.sparkSession.sessionState.conf.numShufflePartitions)
     df.withColumn("__salt",
         pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
-      .repartitionByRange(n, col(partitionCol), col("__salt"))
+      .repartitionByRange(n, partitionCols.map(col) :+ col("__salt"): _*)
       .drop("__salt")
       .write.mode("overwrite").parquet(tmp.toString)
+    // tracked columns: partitions first (dedup preserves order), then the
+    // declared data-skipping columns; matched case-insensitively against
+    // the frame actually written (an evolved merge carries every column)
+    val tracked = (partitionCols ++ statsCols).foldLeft(Vector.empty[String]) {
+      (acc, c) => if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+    }.flatMap(c => df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+    val aggs = count(lit(1)).as("__rows") +:
+      tracked.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).cast("string").as(s"__min_$i"),
+          max(col(c)).cast("string").as(s"__max_$i"),
+          count(col(c)).as(s"__nn_$i"))
+      }
     val stats = spark.read.parquet(tmp.toString)
-      .select(col(partitionCol).cast("string").as("__p"),
-        col("_metadata.file_path").as("__f"))
+      .select(col("_metadata.file_path").as("__f") +: tracked.map(col): _*)
       .groupBy(col("__f"))
-      .agg(min(col("__p")).as("pmin"), max(col("__p")).as("pmax"),
-        count(lit(1)).as("rows"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per NEW file
     val adds = stats.map { r =>
-      // NULL partition values would round-trip through the commit JSON as
-      // the string "null" and desynchronize pruning — same contract as
-      // upsertPartitioned: partition values must be non-null, fail loud
-      require(!r.isNullAt(1) && !r.isNullAt(2),
-        s"log table $path: NULL values in partition column " +
-          s"`$partitionCol` are not supported")
-      val src = new Path(java.net.URI.create(r.getString(0)))
+      val rows = r.getLong(r.fieldIndex("__rows"))
+      val colStats = tracked.zipWithIndex.map { case (c, i) =>
+        val mn = Option(r.getString(r.fieldIndex(s"__min_$i")))
+        val mx = Option(r.getString(r.fieldIndex(s"__max_$i")))
+        val nulls = rows - r.getLong(r.fieldIndex(s"__nn_$i"))
+        // NULL partition values would desynchronize pruning (and a NULL
+        // tuple has no home partition) — same contract as
+        // upsertPartitioned: partition values must be non-null, fail loud
+        if (partitionCols.exists(_.equalsIgnoreCase(c)))
+          require(nulls == 0L && mn.isDefined && mx.isDefined,
+            s"log table $path: NULL values in partition column " +
+              s"`$c` are not supported")
+        c -> ColStats(mn, mx, nulls)
+      }.toMap
+      val lead = tracked.head
+      val src = new Path(java.net.URI.create(r.getString(r.fieldIndex("__f"))))
       val name = src.getName
       val bytes = fs.getFileStatus(src).getLen
       val dst = new Path(path, name)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"rename $src -> $dst failed")
-      LogFile(name, r.getString(1), r.getString(2), r.getLong(3), bytes)
+      LogFile(name, colStats(lead).min.get, colStats(lead).max.get,
+        rows, bytes, colStats)
     }.toIndexedSeq
     fs.delete(tmp, true): Unit
     adds
   }
 
-  private def commitJson(version: Long, schemaDdl: String, partitionCol: String,
+  private def commitJson(version: Long, schemaDdl: String,
+                         partitionCols: Seq[String], statsCols: Seq[String],
                          adds: Seq[LogFile], removes: Seq[String]): Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
-    root.put("partitionCol", partitionCol): Unit
+    // `partitionCol` (singular) kept for forward-compat reading of the
+    // leading column by older tooling; `partitionCols` is authoritative
+    root.put("partitionCol", partitionCols.head): Unit
+    val pArr = root.putArray("partitionCols")
+    partitionCols.foreach(c => pArr.add(c): Unit)
+    val sArr = root.putArray("statsCols")
+    statsCols.foreach(c => sArr.add(c): Unit)
     val aArr = root.putArray("adds")
     adds.foreach { f =>
       val n = aArr.addObject()
@@ -504,6 +979,18 @@ object LogTable {
       n.put("pmax", f.pmax): Unit
       n.put("rows", f.rows): Unit
       n.put("bytes", f.bytes): Unit
+      if (f.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        // deterministic key order keeps commit bytes reproducible
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+          val o = st.putObject(c)
+          s.min match { case Some(v) => o.put("min", v): Unit
+                        case None => o.putNull("min"): Unit }
+          s.max match { case Some(v) => o.put("max", v): Unit
+                        case None => o.putNull("max"): Unit }
+          o.put("nulls", s.nulls): Unit
+        }
+      }
     }
     val rArr = root.putArray("removes")
     removes.foreach(r => rArr.add(r): Unit)
@@ -511,28 +998,21 @@ object LogTable {
   }
 
   private def commit(spark: SparkSession, path: String, version: Long,
-                     schemaDdl: String, partitionCol: String,
+                     schemaDdl: String, partitionCols: Seq[String],
+                     statsCols: Seq[String],
                      adds: Seq[LogFile], removes: Seq[String]): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(commitJson(version, schemaDdl, partitionCol, adds, removes))
+    try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
+      adds, removes))
     finally out.close()
     val dst = commitPath(path, version)
-    // Rename-no-overwrite IS the transaction: exactly one writer can
-    // publish version N. HDFS-class filesystems make the no-overwrite
-    // rename atomic on its own; a RAW LOCAL filesystem's rename is
-    // POSIX rename(2), which silently REPLACES an existing destination —
-    // so the exists+rename pair is additionally serialized under a
-    // JVM-wide lock, which makes the check-then-act atomic for every
-    // writer in one application (Spark local / one driver, incl. the
-    // concurrent-merge threads MergeSpec exercises). Separate-PROCESS
-    // writers against a raw local path are out of contract (same
-    // boundary as Delta's non-HDFS story).
-    val won = CommitLock.synchronized {
-      !fs.exists(dst) && fs.rename(tmp, dst)
-    }
+    // The coordinator's publish IS the transaction: exactly one writer
+    // can own version N (see [[CommitCoordinator]]; the default is the
+    // no-overwrite rename, serialized under a JVM lock on raw local FS).
+    val won = coordinator.publish(fs, tmp, dst)
     if (!won) {
       fs.delete(tmp, false): Unit
       if (fs.exists(dst))
@@ -541,6 +1021,4 @@ object LogTable {
       throw new java.io.IOException(s"commit rename failed for $dst")
     }
   }
-
-  private object CommitLock
 }

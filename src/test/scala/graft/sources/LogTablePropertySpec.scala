@@ -12,13 +12,17 @@ import graft.SparkSpec
   * final table must agree with the naive in-memory fold (per key, the
   * largest (ver, op, v) tuple wins; a winning tombstone deletes). The
   * maintenance operations are metadata rewrites, so running them at any
-  * point between batches must never change a row.
+  * point between batches must never change a row. On top of the fold,
+  * every batch checks the CHANGE-FEED identity: `snapshot(before) ∖
+  * deletes ∪ inserts ≡ snapshot(after)` as multisets — readChanges must
+  * reconstruct every commit exactly, whatever the batch contents.
   */
 class LogTablePropertySpec extends SparkSpec {
   import spark.implicits._
 
   private final case class Change(k: Long, v: String, ver: Int, op: String) {
     def p: String = "p" + (k % 3)
+    def q: String = if (k % 2 == 0) "even" else "odd"
   }
 
   private val batchesGen: Gen[List[List[Change]]] =
@@ -38,9 +42,6 @@ class LogTablePropertySpec extends SparkSpec {
     }
   }
 
-  private def toDf(rows: Seq[Change]): DataFrame =
-    rows.map(c => (c.k, c.v, c.ver, c.p, c.op)).toDF("k", "v", "ver", "p", "op")
-
   private def forSamples[T](gen: Gen[T], n: Int)(f: (T, Int) => Unit): Unit = {
     val params = Gen.Parameters.default
     var seed = Seed(11L)
@@ -51,18 +52,35 @@ class LogTablePropertySpec extends SparkSpec {
     }
   }
 
-  test("arbitrary batch sequences + maintenance agree with the naive fold") {
-    forSamples(batchesGen, 4) { (batches, i) =>
+  /** `snapshot(before) ∖ deletes ∪ inserts ≡ snapshot(after)` (multisets). */
+  private def assertCdf(dir: String, before: Long, after: Long): Unit = {
+    val ch = LogTable.readChanges(spark, dir, before, after)
+    val ins = ch.filter($"_change_type" === "insert").drop("_change_type")
+    val del = ch.filter($"_change_type" === "delete").drop("_change_type")
+    val recon = LogTable.read(spark, dir, Some(before)).exceptAll(del).unionAll(ins)
+    val direct = LogTable.read(spark, dir, Some(after))
+    assert(recon.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(recon).count() == 0, s"CDF $before->$after drifted")
+  }
+
+  private def runScenario(partitionCols: Seq[String],
+                          toDf: Seq[Change] => DataFrame,
+                          samples: Int, checkCdf: Boolean): Unit =
+    forSamples(batchesGen, samples) { (batches, i) =>
       val dir = java.nio.file.Files.createTempDirectory("graft-lt-prop")
         .toString + "/t"
       val base = (0L to 5L).map(k => Change(k, "b" + k, 0, "U"))
-      LogTable.create(spark, dir, toDf(base), "p")
+      LogTable.create(spark, dir, toDf(base), partitionCols, Nil)
       var ref = base.map(c => c.k -> c).toMap
       batches.zipWithIndex.foreach { case (b, j) =>
         if (b.nonEmpty) {
-          LogTable.upsert(spark, dir, toDf(b),
+          val before = LogTable.snapshot(spark, dir).version
+          val after = LogTable.upsert(spark, dir, toDf(b),
             Seq("k"), Seq("ver", "op", "v"), "op")
           ref = reference(ref, b)
+          // the change feed of THIS commit reconstructs it exactly (checked
+          // pre-maintenance: vacuum below may reclaim the removed files)
+          if (checkCdf) assertCdf(dir, before, after)
         }
         // maintenance between batches must be row-invisible
         if ((i + j) % 2 == 0)
@@ -73,10 +91,23 @@ class LogTablePropertySpec extends SparkSpec {
           LogTable.vacuum(spark, dir, olderThanMs = 0L): Unit
         }
       }
-      val got = LogTable.read(spark, dir).collect()
+      val got = LogTable.read(spark, dir).select("k", "v", "ver", "op").collect()
         .map(r => r.getLong(0) -> Change(r.getLong(0), r.getString(1),
-          r.getInt(2), r.getString(4))).toMap
+          r.getInt(2), r.getString(3))).toMap
       assert(got == ref, s"sample $i: $got vs $ref")
     }
+
+  test("arbitrary batch sequences + maintenance agree with the naive fold") {
+    runScenario(Seq("p"),
+      rows => rows.map(c => (c.k, c.v, c.ver, c.p, c.op))
+        .toDF("k", "v", "ver", "p", "op"),
+      samples = 4, checkCdf = true)
+  }
+
+  test("multi-column partitioning folds identically (tuple-pruned rewrites)") {
+    runScenario(Seq("p", "q"),
+      rows => rows.map(c => (c.k, c.v, c.ver, c.p, c.q, c.op))
+        .toDF("k", "v", "ver", "p", "q", "op"),
+      samples = 2, checkCdf = true)
   }
 }

@@ -71,10 +71,15 @@ class LogTableSpec extends SparkSpec {
       .toDF("k", "v", "ver", "p", "op")
     LogTable.create(spark, dir, many, "p")
     val snap = LogTable.snapshot(spark, dir)
-    val spanning = snap.files.filter(f => f.pmin != f.pmax).map(_.name).toSet
+    val spanning = snap.files.filter(f => f.pmin != f.pmax)
     assert(spanning.nonEmpty, snap.files)
     val pruned = LogTable.prunedFiles(snap, Set("p01")).map(_.name).toSet
-    assert(spanning.subsetOf(pruned), s"$spanning not all in $pruned")
+    // typed range pruning: every spanning file whose [pmin,pmax] can hold
+    // p01 is a victim; one provably past it (pmin > p01) is NOT
+    spanning.filter(f => f.pmin <= "p01" && "p01" <= f.pmax)
+      .foreach(f => assert(pruned.contains(f.name), f))
+    spanning.filter(_.pmin > "p01")
+      .foreach(f => assert(!pruned.contains(f.name), f))
     // k=1 lives in p01; every other row must ride through the rewrite
     val changes = Seq((1L, "a1", 1, "p01", "U")).toDF("k", "v", "ver", "p", "op")
     LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
@@ -294,6 +299,188 @@ class LogTableSpec extends SparkSpec {
     // CONVERGENCE: a second compaction at the same budget is a no-op —
     // the explicit output count keeps the rewrite from re-fragmenting
     assert(LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 2) == -1L)
+  }
+
+  test("data skipping: stats-tracked non-partition columns prune files typed") {
+    val dir = tmp() + "/t"
+    // partition p correlates with date d and with cents — the layout
+    // clusters by (p, salt), so per-file d/cents ranges are tight and a
+    // selective predicate on either NON-partition column can skip files
+    val rows = (1 to 90).map { i =>
+      val (p, m) = if (i <= 30) ("p1", 1) else if (i <= 60) ("p2", 2) else ("p3", 3)
+      (i.toLong, f"2024-$m%02d-${i % 28 + 1}%02d", i * 100L, p,
+        if (i % 30 == 0) "x" else null, "U", 0)
+    }.toDF("k", "dstr", "cents", "p", "tag", "op", "ver")
+      .withColumn("d", col("dstr").cast("date")).drop("dstr")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, rows, Seq("p"), Seq("d", "cents", "tag"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = LogTable.read(spark, dir).inputFiles.length
+    // DATE-typed range predicate (string literal against a date column)
+    val mar = LogTable.readWhere(spark, dir, col("d") >= "2024-03-01")
+    assert(mar.count() == 30)
+    assert(mar.inputFiles.length < total,
+      s"${mar.inputFiles.length} vs $total — no skipping on d")
+    // result ≡ unpruned read + residual filter
+    assert(mar.exceptAll(LogTable.read(spark, dir)
+      .filter(col("d") >= "2024-03-01")).count() == 0)
+    // NUMERIC-typed bound (a lexicographic compare of "8000" vs "900"
+    // would prune wrong — typed compare must not lose rows)
+    val rich = LogTable.readWhere(spark, dir, col("cents") >= 8000L)
+    assert(rich.count() == 11)
+    assert(rich.inputFiles.length < total)
+    // IS NOT NULL skips the all-NULL-tag files
+    val tagged = LogTable.readWhere(spark, dir, col("tag").isNotNull)
+    assert(tagged.count() == 3)
+    assert(tagged.inputFiles.length < total)
+    // an uninterpretable conjunct degrades to scan for ITSELF but the
+    // analyzable conjunct still prunes — and never drops a row
+    val mixed = LogTable.readWhere(spark, dir,
+      col("d") >= "2024-03-01" && length(col("p")) === 2)
+    assert(mixed.count() == 30)
+    assert(mixed.inputFiles.length == mar.inputFiles.length)
+    // stats survive a MERGE: the rewritten files carry fresh bounds
+    LogTable.upsert(spark, dir,
+      Seq((61L, "2024-03-05", 999900L, "p3", null.asInstanceOf[String], "U", 1))
+        .toDF("k", "dstr", "cents", "p", "tag", "op", "ver")
+        .withColumn("d", col("dstr").cast("date")).drop("dstr")
+        .select(rows.columns.map(col).toIndexedSeq: _*),
+      Seq("k"), Seq("ver"), "op")
+    val after = LogTable.readWhere(spark, dir, col("cents") >= 999900L)
+    assert(after.count() == 1)
+    assert(after.inputFiles.length < LogTable.read(spark, dir).inputFiles.length)
+  }
+
+  test("partition pruning compares TYPED: numeric values never prune lexicographic") {
+    val dir = tmp() + "/t"
+    val df = (1L to 60L).map(k => (k, "v" + k, (k % 20 + 1).toInt, 0, "U"))
+      .toDF("k", "v", "y", "ver", "op")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, df, "y")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val snap = LogTable.snapshot(spark, dir)
+    val pruned = LogTable.prunedFiles(snap, Set("2")).map(_.name).toSet
+    // a file whose numeric range starts past 2 (e.g. ["10","19"]) is NOT
+    // kept — lexicographically "10" <= "2" <= "19" would wrongly keep it
+    snap.files.filter(f => BigDecimal(f.pmin) > 2 || BigDecimal(f.pmax) < 2)
+      .foreach(f => assert(!pruned.contains(f.name), f))
+    snap.files.filter(f => BigDecimal(f.pmin) <= 2 && BigDecimal(f.pmax) >= 2)
+      .foreach(f => assert(pruned.contains(f.name), f))
+    val one = LogTable.readPartitions(spark, dir, Seq(2))
+    assert(one.count() == 3) // k = 1, 21, 41
+    assert(one.inputFiles.length < LogTable.read(spark, dir).inputFiles.length)
+    // typed range predicates on the partition column prune the same way
+    val high = LogTable.readWhere(spark, dir, col("y") >= 19)
+    assert(high.count() == 6) // y in {19, 20}: k%20 in {18, 19}
+    assert(high.inputFiles.length < LogTable.read(spark, dir).inputFiles.length)
+  }
+
+  test("multi-column partitioning: tuple-pruned merge, untouched files survive") {
+    val dir = tmp() + "/t"
+    val df = (1L to 80L).map(k =>
+      (k, "v" + k, 0, (2000 + k % 4).toInt, if (k % 2 == 0) "A" else "B", "U"))
+      .toDF("k", "v", "ver", "y", "s", "op")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val (before, after) = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, df, Seq("y", "s"), Nil)
+      val b = LogTable.snapshot(spark, dir)
+      // touch exactly (y=2001, s=B): k % 4 == 1 keys are all odd → s=B
+      val changes = Seq((1L, "x1", 1, 2001, "B", "U"))
+        .toDF("k", "v", "ver", "y", "s", "op")
+      LogTable.upsert(spark, dir, changes, Seq("k"), Seq("ver"), "op")
+      (b, LogTable.snapshot(spark, dir))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(before.partitionCols == Seq("y", "s"))
+    // merged state equals the in-memory merge
+    val changes = Seq((1L, "x1", 1, 2001, "B", "U"))
+      .toDF("k", "v", "ver", "y", "s", "op")
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq ==
+      Merge.merge(df, changes, Seq("k"), Seq("ver"), "op")
+        .orderBy("k").collect().toSeq)
+    // files provably outside the touched tuple survive by NAME: either
+    // their y-range excludes 2001, or (SECOND-column pruning) their
+    // y-range holds 2001 but their s-range excludes B
+    def stat(f: LogTable.LogFile, c: String) = f.stats(c)
+    val untouched = before.files.filter { f =>
+      BigDecimal(f.pmin) > 2001 || BigDecimal(f.pmax) < 2001 ||
+        stat(f, "s").max.exists(_ < "B") || stat(f, "s").min.exists(_ > "B")
+    }
+    assert(untouched.nonEmpty, before.files)
+    val live = after.files.map(_.name).toSet
+    untouched.foreach(f => assert(live.contains(f.name), f))
+    // and at least one (2001, B)-capable file was rewritten
+    assert(before.files.exists(f => !live.contains(f.name)))
+  }
+
+  test("readChanges: snapshot(from) ∖ deletes ∪ inserts ≡ snapshot(to)") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p") // v1
+    LogTable.upsert(spark, dir, Seq(
+      (1L, "a1", 1, "p1", "U"), (3L, "c", 1, "p2", "D"),
+      (9L, "n", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op") // v2
+    LogTable.upsert(spark, dir, Seq(
+      (9L, "n2", 2, "p1", "U"), (4L, "d", 2, "p3", "D"))
+      .toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op") // v3
+    def reconcile(fromV: Long, toV: Long): Unit = {
+      val ch = LogTable.readChanges(spark, dir, fromV, toV)
+      val ins = ch.filter($"_change_type" === "insert").drop("_change_type")
+      val del = ch.filter($"_change_type" === "delete").drop("_change_type")
+      val recon = LogTable.read(spark, dir, Some(fromV))
+        .exceptAll(del).unionAll(ins)
+      val direct = LogTable.read(spark, dir, Some(toV))
+      assert(recon.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(recon).count() == 0, s"CDF $fromV->$toV drifted")
+    }
+    reconcile(1L, 2L); reconcile(2L, 3L); reconcile(1L, 3L)
+    // maintenance commits are row-invisible but file-visible — the
+    // reconstruction identity must hold straight across a compaction
+    val v = LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    if (v > 0) reconcile(1L, v)
+    intercept[IllegalArgumentException] {
+      LogTable.readChanges(spark, dir, 2L, 2L)
+    }
+  }
+
+  test("commit coordinator is pluggable: a lost publish retries, a win lands") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val prev = LogTable.coordinator
+    var calls = 0
+    try {
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          calls += 1
+          if (calls == 1) {
+            // simulate a competing writer (e.g. another process under a
+            // conditional-put store) winning this version: a valid empty
+            // commit lands at dst, and WE report the loss
+            val snap = LogTable.snapshot(spark, dir)
+            val json = ("""{"version":2,"schema":"""" +
+              snap.schemaDdl.replace("\"", "\\\"") +
+              """","partitionCol":"p","adds":[],"removes":[]}""")
+            val out = fs.create(d, false)
+            try out.write(json.getBytes("UTF-8")) finally out.close()
+            false
+          } else LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      // the lost race surfaces as a conflict; the retry merges against the
+      // foreign version 2 and lands at 3 through the swapped coordinator
+      val c = Seq((4L, "d1", 1, "p3", "U")).toDF("k", "v", "ver", "p", "op")
+      assert(LogTable.upsert(spark, dir, c, Seq("k"), Seq("ver"), "op") == 3L)
+      assert(calls >= 2, s"coordinator consulted $calls times")
+    } finally LogTable.coordinator = prev
+    assert(LogTable.read(spark, dir).filter($"k" === 4L)
+      .select("v").as[String].head() == "d1")
   }
 
   test("version numbers are contended: the same version cannot commit twice") {
