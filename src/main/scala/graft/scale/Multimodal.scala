@@ -275,6 +275,14 @@ object Multimodal {
           scala.util.Try(fs.delete(tmpPath, false)): Unit
         }
       }
+    // Directory-level AGGREGATE manifest, built once all shards have
+    // committed: one file summarizing every shard's name set as a Bloom
+    // filter, so a pushed equality/IN lookup's planning cost stops being
+    // O(shards-in-dir) manifest reads (see ShardAggManifest doc). Built
+    // as a small Spark job from the per-shard sidecars; a crash before
+    // this point leaves committed, scannable shards with per-shard
+    // pruning only — degradation, not wrongness.
+    graft.sources.shardsource.ShardAggManifest.write(df.sparkSession, dir): Unit
   }
 
   /** Ingest an [[exportPayloadShards]] directory back into rows of

@@ -176,6 +176,14 @@ object ShardScan {
     * Spark job instead of serial driver reads.
     */
   val ParallelPruneThreshold = 64
+
+  /** Above this many pending directories, the recursive listing walk
+    * fans out as a Spark job instead of driver-serial `listStatus`
+    * recursion — a 400k-shard corpus under a deep dt=.../bucket=... tree
+    * must not serialize its metadata calls through one thread (the
+    * `InMemoryFileIndex` parallel-listing discipline).
+    */
+  val ParallelListThreshold = 32
 }
 
 class ShardScan(path: String, required: StructType,
@@ -210,6 +218,91 @@ class ShardScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
+  /** Recursive shard listing — driver-serial `listStatus` recursion for
+    * shallow trees, fanning out as a Spark job once the pending-directory
+    * frontier exceeds [[ShardScan.ParallelListThreshold]]. Plain
+    * listStatus, NOT fs.listFiles(recursive): the located-status iterator
+    * fetches block locations per file, which we never use and which costs
+    * ~100x on some filesystems (measured 3 s vs 0.03 s for 720 local
+    * files). `.tmp` orphans and sidecar files never plan (only `.tar`).
+    */
+  private def listShards(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         root: Path): Array[(String, Long)] = {
+    val out = Array.newBuilder[(String, Long)]
+    var pending: List[Path] = List(root)
+    while (pending.nonEmpty) {
+      if (pending.length > ShardScan.ParallelListThreshold) {
+        val sc = spark.sparkContext
+        val conf = new SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val dirs = pending.map(_.toUri.toString)
+        pending = Nil
+        out ++= sc.parallelize(dirs, math.min(dirs.length,
+            sc.defaultParallelism * 4))
+          .flatMap { uri =>
+            val d = new Path(java.net.URI.create(uri))
+            val dfs = d.getFileSystem(conf.value)
+            def walk(x: Path): Iterator[(String, Long)] =
+              dfs.listStatus(x).iterator.flatMap { st =>
+                if (st.isDirectory) walk(st.getPath)
+                else if (st.getPath.getName.endsWith(".tar"))
+                  Iterator((st.getPath.toUri.toString, st.getLen))
+                else Iterator.empty
+              }
+            walk(d)
+          }
+          .collect() // bounded by the shard count (same as planned partitions)
+      } else {
+        val level = pending
+        pending = Nil
+        level.foreach { d =>
+          fs.listStatus(d).foreach { st =>
+            if (st.isDirectory) pending ::= st.getPath
+            else if (st.getPath.getName.endsWith(".tar"))
+              out += ((st.getPath.toUri.toString, st.getLen))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Pre-prune candidates with the per-directory AGGREGATE manifest: one
+    * sidecar read per candidate directory answers every equality/IN name
+    * probe from in-memory Blooms (no false negatives ⇒ exact-safe), so a
+    * single-id lookup stops paying O(shards) per-shard manifest reads.
+    * Shards the aggregate does not describe — or describes with a stale
+    * byte stamp, or whose directory has no aggregate — survive to the
+    * per-shard sweep. Only EqualTo/In on `name` consult it: a membership
+    * sketch cannot answer prefix/suffix/contains.
+    */
+  private def aggPrune(fs: org.apache.hadoop.fs.FileSystem,
+                       candidates: Array[String], sizeOf: Map[String, Long],
+                       exact: Array[Filter]): Array[String] = {
+    def bloomSaysPossible(s: ShardAggManifest.ShardSummary): Boolean =
+      exact.forall {
+        case EqualTo(_, v: String) => s.bloom.mightContainString(v)
+        case In(_, vs) => vs.exists(v =>
+          s.bloom.mightContainString(v.asInstanceOf[String]))
+        case _ => true
+      }
+    candidates.groupBy(u => new Path(java.net.URI.create(u)).getParent)
+      .iterator.flatMap { case (dir, uris) =>
+        ShardAggManifest.read(fs, dir) match {
+          case None => uris // no aggregate for this directory → keep all
+          case Some(m) => uris.filter { uri =>
+            val name = new Path(java.net.URI.create(uri)).getName
+            m.get(name) match {
+              case Some(s) if s.tarBytes == sizeOf.getOrElse(uri, -1L) =>
+                bloomSaysPossible(s)
+              case _ => true // unknown shard / stale stamp → keep
+            }
+          }
+        }
+      }.toArray
+  }
+
   private def plan(): Array[InputPartition] = {
     // driver-side metadata listing only (recursive — nested dt=... layouts
     // plan too) — one partition per shard file; `.tmp` orphans from
@@ -218,29 +311,27 @@ class ShardScan(path: String, required: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Array.empty
-    // plain listStatus recursion, NOT fs.listFiles(recursive): the
-    // located-status iterator fetches block locations per file, which we
-    // never use and which costs ~100x on some filesystems (measured
-    // 3 s vs 0.03 s for 720 local files)
-    val shards = {
-      val out = Array.newBuilder[(Path, Long)]
-      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".tar")) out += ((st.getPath, st.getLen))
-      }
-      walk(p)
-      out.result()
-    }
-    val sizeOf = shards.map { case (sp, len) => sp.toUri.toString -> len }.toMap
+    val shards = listShards(spark, fs, p)
+    val sizeOf = shards.toMap
     val pathFilters = pushed.filterNot(ShardFilters.onName)
     val nameFilters = pushed.filter(ShardFilters.onName)
     // shard_path predicates prune on the listing alone
-    val candidates = shards.iterator.map(_._1.toUri.toString)
+    val pathPruned = shards.iterator.map(_._1)
       .filter(uri => pathFilters.forall(ShardFilters.eval(_, "", uri)))
       .toArray
-    // name predicates prune via the entry manifest: drop a shard only
-    // when its manifest PROVES no entry can satisfy the conjunction; a
-    // missing/torn manifest plans the shard unpruned (the reader still
+    // equality/IN name predicates consult the per-directory AGGREGATE
+    // first — one read per directory, O(1) in the shard count
+    val exactNameFilters = nameFilters.filter {
+      case EqualTo(a, _) => a == "name"
+      case In(a, _) => a == "name"
+      case _ => false
+    }
+    val candidates =
+      if (exactNameFilters.isEmpty) pathPruned
+      else aggPrune(fs, pathPruned, sizeOf, exactNameFilters)
+    // remaining name predicates prune via the entry manifest: drop a shard
+    // only when its manifest PROVES no entry can satisfy the conjunction;
+    // a missing/torn manifest plans the shard unpruned (the reader still
     // filters exactly). Few shards read serially on the driver; beyond
     // that the manifest sweep fans out as a tiny Spark job over the
     // candidate URIs (the InMemoryFileIndex listing pattern) — at 100 TB

@@ -166,8 +166,18 @@ class ShardSourceSpec extends SparkSpec {
     assert(entries > 0 && entries < 64, s"entriesRead=$entries")
   }
 
+  // isolates the PER-SHARD pruning path: without this, the directory
+  // AGGREGATE (which has its own degradation tests below) would prune on
+  // its own and mask the behavior under test
+  private def dropAggregate(dir: String): Unit = {
+    val agg = new java.io.File(dir,
+      graft.sources.shardsource.ShardAggManifest.FileName)
+    assert(agg.delete(), "expected the export-written aggregate manifest")
+  }
+
   test("a manifest whose recorded tar length mismatches is ignored, not trusted") {
     val (dir, nShards) = writeShards()
+    dropAggregate(dir)
     // simulate a mismatched tar/manifest pair (a racing attempt's
     // differently-packed tar): bump every manifest's recorded length
     new java.io.File(dir).listFiles()
@@ -185,6 +195,7 @@ class ShardSourceSpec extends SparkSpec {
 
   test("missing manifests degrade to unpruned-but-correct") {
     val (dir, nShards) = writeShards()
+    dropAggregate(dir)
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".manifest")).foreach(f => assert(f.delete()))
     val lookup = spark.read.format("graft-shards").load(dir)
@@ -229,5 +240,73 @@ class ShardSourceSpec extends SparkSpec {
     val orphan = new java.io.File(dir, "shard-99999-00000.tar.7.tmp")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
     assert(spark.read.format("graft-shards").load(dir).count() == 64)
+  }
+
+  test("aggregate manifest: one-file-per-dir pruning, safe degradation") {
+    val (dir, nShards) = writeShards()
+    import graft.sources.shardsource.ShardAggManifest
+    val aggFile = new java.io.File(dir, ShardAggManifest.FileName)
+    assert(aggFile.exists(), "export must write the aggregate manifest")
+    // the aggregate alone can prune: remove every PER-SHARD manifest, so
+    // any pruning observed comes from the directory-level blooms
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar.manifest")).foreach(f => assert(f.delete()))
+    def lookup() = spark.read.format("graft-shards").load(dir)
+      .filter(col("name") === "17.bin")
+    val viaAgg = lookup()
+    assert(viaAgg.select("name").as[String].collect().toSeq == Seq("17.bin"))
+    val plannedViaAgg = viaAgg.rdd.getNumPartitions
+    assert(plannedViaAgg < nShards,
+      s"$plannedViaAgg of $nShards planned — aggregate did not prune")
+    // torn aggregate degrades to keep-everything (per-shard manifests are
+    // gone too) — correct rows, no pruning, never an error
+    java.nio.file.Files.write(aggFile.toPath,
+      "garbage".getBytes("UTF-8"))
+    val torn = lookup()
+    assert(torn.select("name").as[String].collect().toSeq == Seq("17.bin"))
+    assert(torn.rdd.getNumPartitions == nShards)
+    // a STALE byte stamp (shard rewritten after the aggregate was built)
+    // keeps that shard: fresh dir, grow one shard on disk, look up a name
+    // that lives elsewhere — the plan is exactly {true holder, stamp-
+    // mismatched victim}: the aggregate can't vouch for the victim, and
+    // the per-shard sweep (length-stamped the same way) keeps it too
+    val (dir2, _) = writeShards()
+    val victim = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val probe = spark.read.format("graft-shards").load(dir2)
+      .filter(!col("shard_path").endsWith(victim.getName))
+      .select("name").as[String].head()
+    val grown = java.nio.file.Files.readAllBytes(victim.toPath) ++ Array[Byte](0)
+    java.nio.file.Files.write(victim.toPath, grown)
+    // drop the local-FS checksum sidecar the out-of-band edit invalidated
+    // (production rewrites go through the FileSystem API and keep it)
+    new java.io.File(victim.getParentFile, "." + victim.getName + ".crc")
+      .delete(): Unit
+    val stale = spark.read.format("graft-shards").load(dir2)
+      .filter(col("name") === probe)
+    assert(stale.select("name").as[String].collect().toSeq == Seq(probe))
+    assert(stale.rdd.getNumPartitions == 2, "holder + stamp-mismatched victim")
+  }
+
+  test("listing fans out above the directory threshold — same shards planned") {
+    val (src, _) = writeShards()
+    val one = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val oneRows = spark.read.format("graft-shards")
+      .load(one.getAbsolutePath).count()
+    assert(oneRows > 0)
+    // a tree with more directories than ParallelListThreshold: the walk
+    // must switch to the Spark-job path and find every shard
+    val root = Files.createTempDirectory("graft-dsv2-wide").toString
+    val nDirs = graft.sources.shardsource.ShardScan.ParallelListThreshold + 8
+    (0 until nDirs).foreach { i =>
+      val d = new java.io.File(root, f"dt=2024-01-$i%02d/bucket=0")
+      assert(d.mkdirs())
+      java.nio.file.Files.copy(one.toPath,
+        new java.io.File(d, one.getName).toPath)
+    }
+    val wide = spark.read.format("graft-shards").load(root)
+    assert(wide.rdd.getNumPartitions == nDirs)
+    assert(wide.count() == oneRows * nDirs)
   }
 }
