@@ -206,6 +206,34 @@ object ScaleProbe {
         .select(col("name"), length(col("content")).as("n_bytes"))
     }
 
+    // the DATA-SKIPPING read in isolation: a stats-declared log table is
+    // built once per tier, and the probe times only readWhere — a
+    // predicate on the partition column plus a stats-tracked data column.
+    // The pruned read's cost should track the MATCHING files' size (one
+    // year of a constant-partition-count table → ~linear in copies),
+    // while staying well under a full scan; a ratio far above copies
+    // would mean the per-file pruning loop or the stats decode bends the
+    // wrong way with file count.
+    def skippingRead(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/logtable_stats/$key").getAbsolutePath
+      val marker = new java.io.File(t, "_graft_log")
+      if (!marker.exists()) {
+        val base = s.read.parquet(s"$d/orders.parquet").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).as("o_year"),
+          lit(0).as("version"), lit("U").as("op"))
+        LogTable.create(s, t, base, Seq("o_year"), Seq("status", "cents")): Unit
+      }
+      LogTable.readWhere(s, t,
+          col("o_year") === 1998 && col("cents") >= 10000L)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
     // the MERGE in isolation: the registered q108/q125 runners rebuild
     // their base table every pass (q125's create is a full range shuffle
     // of the tier), which swamps the layout comparison actually at stake.
@@ -251,6 +279,7 @@ object ScaleProbe {
         ShardQueries ++ StreamMergeQueries)
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "shard_lookup_pushdown" -> (shardLookup _),
+        "logtable_skipping_read" -> (skippingRead _),
         "merge_only:partitioned" -> (mergeOnly("partitioned") _),
         "merge_only:logtable" -> (mergeOnly("logtable") _),
         "q86_token_quantiles:preagg" ->

@@ -374,6 +374,77 @@ object StreamQueries {
           lit(version >= 2L && version <= 5L))
     }),
 
+    // STREAMING SKETCH FOLD — q124's per-epoch pipeline with the epochs
+    // arriving as micro-batches: each batch writes its HLL and histogram
+    // PARTIALS (sketch-sized, never data-sized) keyed by batch id, so an
+    // at-least-once foreachBatch replay OVERWRITES its own partial and
+    // converges instead of double counting. The final fold merges the
+    // persisted partials and must agree with the from-scratch batch
+    // sketch: the HLL union within 1% (the honest sparse→dense bound
+    // q124 pins), the histogram quantiles BIT-EXACT (integer bin counts
+    // merge exactly under any batch split), both restated term-by-term
+    // by the oracle from raw events. ≥3 real micro-batches enforced
+    // in-query.
+    "q132_stream_sketch_fold" -> ((s, dir) => {
+      import graft.scale.Sketches
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q132_$sf")
+      val feedPath = new org.apache.hadoop.fs.Path(outRoot, "feed").toString
+      val partRoot = new org.apache.hadoop.fs.Path(outRoot, "partials").toString
+      val keys = Seq("event_type")
+      val (lo, step, nBins) = (0.0, 2.0, 256)
+      def shape(df: DataFrame): DataFrame =
+        df.select(col("event_type"), col("user_id"), col("value"))
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(feedPath)
+      val schema = s.read.parquet(feedPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedPath)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val fold: (DataFrame, Long) => Unit = (batch, id) => {
+        batches.incrementAndGet(): Unit
+        val b = shape(batch)
+        // partials keyed by BATCH ID with overwrite: a replayed batch
+        // rewrites the same paths — exactly-once state from an
+        // at-least-once contract, the q115/q127 convergence discipline
+        Sketches.hllSketch(b, keys, "user_id")
+          .write.mode("overwrite").parquet(s"$partRoot/hll/$id")
+        Sketches.histSketch(b, keys, "value", lo, step, nBins)
+          .write.mode("overwrite").parquet(s"$partRoot/hist/$id")
+      }
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.foreachBatch(fold)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      require(batches.get() >= 3,
+        s"expected ≥3 micro-batches, saw ${batches.get()}")
+      val mHll = Sketches.hllMerge(keys, s.read.parquet(s"$partRoot/hll/*"))
+      val mHist = Sketches.histMerge(keys, s.read.parquet(s"$partRoot/hist/*"))
+      val ev = shape(graft.Tables(s, dir, "events"))
+      val estM = Sketches.hllEstimate(mHll, keys, "est_m")
+      val estB = Sketches.hllEstimate(
+        Sketches.hllSketch(ev, keys, "user_id"), keys, "est_b")
+      val qM = Sketches.histQuantiles(mHist, keys,
+        Seq("p50_est" -> 0.5, "p90_est" -> 0.9), lo, step)
+      val qB = Sketches.histQuantiles(
+        Sketches.histSketch(ev, keys, "value", lo, step, nBins), keys,
+        Seq("b50" -> 0.5, "b90" -> 0.9), lo, step)
+      ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .join(estM, keys).join(estB, keys).join(qM, keys).join(qB, keys)
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est_m") - col("est_b")) <=
+            greatest(lit(1.0), col("est_b") * lit(0.01)))
+            .as("hll_merge_agrees"),
+          (abs(col("est_m") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("hll_within_5pct"),
+          col("p50_est"), col("p90_est"),
+          (col("p50_est") === col("b50") && col("p90_est") === col("b90"))
+            .as("hist_merge_lossless"))
+        .withColumn("batches_ok", lit(batches.get() >= 3L))
+    }),
+
     "q85_stream_index_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val idx = s"g85_idx_$sf"
@@ -714,6 +785,40 @@ object StreamQueries {
         |  TRUE AS versions_ok
         |FROM final
         |GROUP BY 1, 2""".stripMargin,
+
+    // q124's term-by-term restatement (same shared bin/quantile/filter
+    // emitters) with the invariant bits and the micro-batch floor pinned
+    // TRUE — the streamed fold must land exactly where the batch build
+    // does.
+    "q132_stream_sketch_fold" -> {
+      import graft.scale.Sketches
+      val (lo, step, nBins) = (0.0, 2.0, 256)
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    ${Sketches.histBinSql("value", lo, step, nBins)} AS bin,
+         |    count(*) AS cnt
+         |  FROM events WHERE ${Sketches.histFilterSql("value")}
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS total
+         |  FROM b),
+         |q AS (
+         |  SELECT event_type,
+         |    min_by(${Sketches.histQuantileSql(0.5, lo, step)}, bin)
+         |      FILTER (WHERE cum >= 0.5*total) AS p50_est,
+         |    min_by(${Sketches.histQuantileSql(0.9, lo, step)}, bin)
+         |      FILTER (WHERE cum >= 0.9*total) AS p90_est
+         |  FROM c GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, e.exact_users,
+         |  TRUE AS hll_merge_agrees, TRUE AS hll_within_5pct,
+         |  q.p50_est, q.p90_est, TRUE AS hist_merge_lossless,
+         |  TRUE AS batches_ok
+         |FROM e JOIN q USING (event_type)""".stripMargin
+    },
 
     // Accepted keys = distinct batch content keys absent from the corpus
     // key set — the in-flight half of the incremental-dedup contract.
