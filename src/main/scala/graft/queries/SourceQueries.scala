@@ -507,6 +507,61 @@ object SourceQueries {
         .withColumn("files_skipped", lit(skipped))
     }),
 
+    // The log table as a FIRST-CLASS DataFrame: q129's merge + predicate
+    // through LogTable.table — a FileIndex-backed parquet relation where
+    // an ORDINARY .filter() prunes files via the commit log's stats
+    // inside Spark's own planning (Catalyst pushdown → FileIndex
+    // .listFiles), composing with the vectorized reader and codegen.
+    // files_skipped pins the executed scan's numFiles metric strictly
+    // under the snapshot's file count; the aggregate restates the merged
+    // state under the predicate — same oracle discipline as q129, a
+    // completely different read path.
+    "q133_logtable_table" -> ((s, dir) => {
+      val outRoot = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_q133_" + new java.io.File(dir).getName.replace('.', '_'))
+      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").as("odate"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(Tables(s, dir, "orders"))
+      graft.sources.LogTable.create(s, outRoot.toString, base,
+        Seq("o_year"), Seq("odate", "cents"))
+      val upd = base.filter(col("k") % 7 === 0 && col("o_year") === 1997)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("version", lit(1))
+      val del = base.filter(col("k") % 13 === 0 && col("o_year") === 1997)
+        .withColumn("version", lit(2)).withColumn("op", lit("D"))
+      graft.sources.LogTable.upsert(s, outRoot.toString,
+        upd.unionByName(del),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      val pred = col("odate").between("1997-03-01", "1997-09-30")
+      val t = graft.sources.LogTable.table(s, outRoot.toString)
+      // one probe execution surfaces the scan's numFiles metric — the
+      // proof the FileIndex actually answered the pushdown with fewer
+      // files (inputFiles can't show this: it reports the snapshot)
+      val probe = t.filter(pred).select(col("k"))
+      probe.collect(): Unit
+      val root = probe.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanned = root.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+      val total = graft.sources.LogTable.snapshot(s, outRoot.toString).files.length
+      t.filter(pred)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("files_skipped", lit(scanned < total))
+        .withColumn("via_table_api", lit(true))
+    }),
+
     // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
     // must reconstruct version 3 from version 1 EXACTLY —
     // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
@@ -904,6 +959,34 @@ object SourceQueries {
         |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
         |SELECT status AS o_orderstatus, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS files_skipped
+        |FROM final
+        |WHERE odate BETWEEN DATE '1997-03-01' AND DATE '1997-09-30'
+        |GROUP BY 1""".stripMargin,
+
+    // q129's restatement through the table() read path: same merged
+    // state, same predicate; the scan-metric and route bits pinned TRUE.
+    "q133_logtable_table" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderdate AS odate, year(o_orderdate) AS o_year,
+        |         0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, odate, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year = 1997),
+        |del AS (
+        |  SELECT k, status, cents, odate, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year = 1997),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS files_skipped,
+        |  TRUE AS via_table_api
         |FROM final
         |WHERE odate BETWEEN DATE '1997-03-01' AND DATE '1997-09-30'
         |GROUP BY 1""".stripMargin,

@@ -171,16 +171,21 @@ object LogTable {
     * `partitionCols` (kept as ordinary columns IN the data — the log,
     * not the directory name, carries partition values) with per-file
     * min/max stats additionally collected for `statsCols` (data-skipping
-    * columns, fixed for the table's lifetime). One data write, one
-    * commit. Fails if a log already exists.
+    * columns, fixed for the table's lifetime). `clusterBy` additionally
+    * range-sorts rows within each partition value so those columns'
+    * per-file stats come out TIGHT — declare a stats column here when it
+    * does not correlate with the partition columns, or its min/max will
+    * span every file and skip nothing. One data write, one commit. Fails
+    * if a log already exists.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partitionCols: Seq[String], statsCols: Seq[String]): Long = {
+             partitionCols: Seq[String], statsCols: Seq[String] = Nil,
+             clusterBy: Seq[String] = Nil): Long = {
     val fs = fsOf(spark, path)
     require(!fs.exists(logDir(path)),
       s"log table already exists at $path — use upsert")
     require(partitionCols.nonEmpty, "need at least one partition column")
-    (partitionCols ++ statsCols).foreach { c =>
+    (partitionCols ++ statsCols ++ clusterBy).foreach { c =>
       val fd = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"log table $path: tracked column `$c` is not in the schema"))
@@ -189,16 +194,24 @@ object LogTable {
           "min/max stats — only numeric, string, boolean, date and " +
           "timestamp columns are trackable")
     }
+    // clustering without recorded stats would sort data for nothing —
+    // the read side prunes from statsCols, so demand the declaration
+    clusterBy.foreach { c =>
+      require((partitionCols ++ statsCols).exists(_.equalsIgnoreCase(c)),
+        s"log table $path: clusterBy column `$c` must also be declared in " +
+          "statsCols — clustering exists to make ITS min/max ranges prune")
+    }
     fs.mkdirs(logDir(path)): Unit
-    val adds = writeDataFiles(spark, path, df, partitionCols, statsCols)
+    val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
+      clusterBy = clusterBy)
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds, Nil)
     1L
   }
 
   /** Single-partition-column convenience form of [[create]]. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partitionCol: String, statsCols: Seq[String] = Nil): Long =
-    create(spark, path, df, Seq(partitionCol), statsCols)
+             partitionCol: String): Long =
+    create(spark, path, df, Seq(partitionCol))
 
   private val CommitName = """^(\d{20})\.json$""".r
   private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
@@ -315,12 +328,24 @@ object LogTable {
     * files to the compacted ones. Partitions under budget are untouched;
     * a metadata-only check decides from the snapshot, no data read.
     * Boundary files (pmin != pmax) are counted toward every value they
-    * span. Returns the new version, or -1 if nothing needed compacting.
+    * span. `clusterBy` re-sorts the rewritten rows within each partition
+    * value (columns must be stats-declared), so compaction doubles as
+    * OPTIMIZE: a table whose hot filter column arrived scattered across
+    * daily merges comes out of compaction with tight per-file ranges and
+    * working data skipping. Returns the new version, or -1 if nothing
+    * needed compacting.
     */
   def compactPartitions(spark: SparkSession, path: String,
-                        maxFilesPerPartition: Int = 8): Long = {
+                        maxFilesPerPartition: Int = 8,
+                        clusterBy: Seq[String] = Nil): Long = {
     require(maxFilesPerPartition > 0, "need a positive file budget")
     val snap = snapshot(spark, path)
+    clusterBy.foreach { c =>
+      require((snap.partitionCols ++ snap.statsCols).exists(_.equalsIgnoreCase(c)),
+        s"log table $path: clusterBy column `$c` must be stats-declared " +
+          "(create-time statsCols) — clustering exists to make ITS " +
+          "min/max ranges prune")
+    }
     val countByValue = scala.collection.mutable.Map.empty[String, Int]
     snap.files.foreach { f =>
       // a range file adds debt to both endpoints (values between the
@@ -346,7 +371,7 @@ object LogTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
       try writeDataFiles(spark, path, rows, snap.partitionCols,
-        snap.statsCols, Some(target))
+        snap.statsCols, Some(target), clusterBy)
       finally { rows.unpersist(): Unit }
     try {
       commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
@@ -421,6 +446,29 @@ object LogTable {
       .getOrElse(Nil)
     val keep = snap.files.filter(f => cj.forall(c => mayMatch(snap, f, c, zone)))
     readFiles(spark, path, snap, keep).filter(predicate)
+  }
+
+  /** The log table as a FIRST-CLASS Spark DataFrame: a parquet
+    * `HadoopFsRelation` over a [[LogTableFileIndex]], so the snapshot's
+    * per-file stats drive file skipping INSIDE Spark's normal planning —
+    * `table(...).filter(col("odate") >= ...)` prunes files exactly like
+    * [[readWhere]], but through Catalyst's own pushdown, composing with
+    * joins, aggregates, AQE, and the vectorized parquet reader. Planning
+    * is metadata-only (file sizes come from the log, not the
+    * filesystem), and `sizeInBytes` reflects the live snapshot so the
+    * planner can broadcast a small table. The returned frame pins the
+    * snapshot at call time (optionally `asOf` — time travel composes).
+    */
+  def table(spark: SparkSession, path: String,
+            asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val snap = snapshot(spark, path, asOf)
+    val index = new LogTableFileIndex(spark, path, snap)
+    val relation = HadoopFsRelation(index, StructType(Nil), snap.schema,
+      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relation, isStreaming = false))
   }
 
   /** File-level CHANGE FEED between two committed versions, off the log
@@ -759,7 +807,7 @@ object LogTable {
       if (c.equalsIgnoreCase(snap.partitionCol)) Some((f.pmin, f.pmax))
       else None)
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  private[sources] def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
   }
@@ -794,8 +842,8 @@ object LogTable {
     * catches those rows; skipping only ever REMOVES provably
     * non-matching files.
     */
-  private def mayMatch(snap: Snapshot, f: LogFile, e: Expression,
-                       zone: String): Boolean = {
+  private[sources] def mayMatch(snap: Snapshot, f: LogFile, e: Expression,
+                                zone: String): Boolean = {
     val schema = snap.schema
     def colInfo(a: Expression): Option[(DataType, Option[ColStats])] =
       attrName(a).flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))
@@ -892,24 +940,32 @@ object LogTable {
   private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
-                             numFiles: Option[Int] = None): Seq[LogFile] = {
+                             numFiles: Option[Int] = None,
+                             clusterBy: Seq[String] = Nil): Seq[LogFile] = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    // partition-clustered output: RANGE partitioning on (values..., salt).
-    // The leading values keep equal tuples adjacent and never
-    // hash-collide distant values into one file, so files come out
-    // single-partition (pmin==pmax, equality-prunable) except at value
-    // boundaries — and an unlucky file degrades to a tracked RANGE,
-    // never to wrong pruning. The SALT lets one hot partition value
-    // spread across many writer tasks (range-partitioning on the values
-    // alone would funnel a whole 100 TB date-partition through one
-    // task). The partition count is EXPLICIT so AQE cannot coalesce
-    // small outputs into one multi-partition file.
+    // partition-clustered output: RANGE partitioning on (partition
+    // values..., cluster values..., salt). The leading values keep equal
+    // tuples adjacent and never hash-collide distant values into one
+    // file, so files come out single-partition (pmin==pmax,
+    // equality-prunable) except at value boundaries — and an unlucky
+    // file degrades to a tracked RANGE, never to wrong pruning. The
+    // optional CLUSTER columns sort WITHIN each partition value, so
+    // their per-file stats ranges come out tight and data skipping on
+    // them actually skips (the OPTIMIZE/cluster-by story — without
+    // clustering, a scattered column's min/max spans every file and its
+    // stats prune nothing). The SALT ranges LAST, splitting only ties,
+    // so one hot (partition, cluster) value still spreads across many
+    // writer tasks (range-partitioning on the values alone would funnel
+    // a whole 100 TB date-partition through one task). The partition
+    // count is EXPLICIT so AQE cannot coalesce small outputs into one
+    // multi-partition file.
     val n = numFiles.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     df.withColumn("__salt",
         pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
-      .repartitionByRange(n, partitionCols.map(col) :+ col("__salt"): _*)
+      .repartitionByRange(n,
+        (partitionCols ++ clusterBy).map(col) :+ col("__salt"): _*)
       .drop("__salt")
       .write.mode("overwrite").parquet(tmp.toString)
     // tracked columns: partitions first (dedup preserves order), then the

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into `private[sql]` Column↔Expression conversion for the
   * engine's custom Catalyst expressions (the standard extension-point
@@ -10,6 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A DataFrame over an arbitrary logical plan — `Dataset.ofRows` is
+    * `private[sql]`; this is how a custom relation (e.g. a
+    * FileIndex-backed HadoopFsRelation) enters the public Dataset API.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   /** Install an extensions object's injected functions into an ALREADY
     * RUNNING session's function registry. `spark.sql.extensions` only

@@ -353,6 +353,56 @@ class LogTableSpec extends SparkSpec {
     assert(after.inputFiles.length < LogTable.read(spark, dir).inputFiles.length)
   }
 
+  test("table(): FileIndex-backed frame prunes files inside Spark's own planning") {
+    val dir = tmp() + "/t"
+    val rows = (1 to 90).map { i =>
+      val (p, m) = if (i <= 30) ("p1", 1) else if (i <= 60) ("p2", 2) else ("p3", 3)
+      (i.toLong, f"2024-$m%02d-${i % 28 + 1}%02d", i * 100L, p, "U", 0)
+    }.toDF("k", "dstr", "cents", "p", "op", "ver")
+      .withColumn("d", col("dstr").cast("date")).drop("dstr")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, rows, Seq("p"), Seq("d", "cents"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = LogTable.snapshot(spark, dir).files.length
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    // an ORDINARY filter on the table() frame prunes via the log's stats —
+    // Catalyst pushes it to the scan, the FileIndex answers with fewer files
+    val t = LogTable.table(spark, dir)
+    val filtered = t.filter(col("d") >= "2024-03-01")
+    assert(filtered.count() == 30)
+    val scanned = scannedFiles(filtered.select("k"))
+    assert(scanned < total, s"$scanned of $total files scanned — no skipping")
+    assert(scannedFiles(t.select("k")) == total) // unfiltered reads all
+    // identical rows to the metadata-level API
+    assert(filtered.exceptAll(
+      LogTable.readWhere(spark, dir, col("d") >= "2024-03-01")).count() == 0)
+    // equality on the partition column prunes the same way
+    val onePart = t.filter(col("p") === "p2")
+    assert(onePart.count() == 30)
+    assert(scannedFiles(onePart.select("k")) < total)
+    // time travel composes: a version-pinned frame sees the old table
+    LogTable.upsert(spark, dir,
+      Seq((1L, 999900L, "p1", "U", 1, java.sql.Date.valueOf("2024-01-05")))
+        .toDF("k", "cents", "p", "op", "ver", "d"),
+      Seq("k"), Seq("ver"), "op")
+    assert(LogTable.table(spark, dir).filter($"k" === 1L)
+      .select("cents").as[Long].head() == 999900L)
+    assert(LogTable.table(spark, dir, asOf = Some(1L)).filter($"k" === 1L)
+      .select("cents").as[Long].head() == 100L)
+  }
+
   test("partition pruning compares TYPED: numeric values never prune lexicographic") {
     val dir = tmp() + "/t"
     val df = (1L to 60L).map(k => (k, "v" + k, (k % 20 + 1).toInt, 0, "U"))
@@ -415,6 +465,51 @@ class LogTableSpec extends SparkSpec {
     untouched.foreach(f => assert(live.contains(f.name), f))
     // and at least one (2001, B)-capable file was rewritten
     assert(before.files.exists(f => !live.contains(f.name)))
+  }
+
+  test("clusterBy: compaction re-sorts a scattered column into working skipping") {
+    val dir = tmp() + "/t"
+    // cents is UNCORRELATED with the partition column — the salted write
+    // scatters it, so each file's cents range spans nearly everything and
+    // stats on it prune (almost) nothing until the data is re-clustered
+    val rows = (1 to 120).map(i =>
+      (i.toLong, (i % 40) * 100L, "p" + (i % 3), "U", 0))
+      .toDF("k", "cents", "p", "op", "ver")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "30")
+      // clustering demands the stats declaration — fail loud otherwise
+      intercept[IllegalArgumentException] {
+        LogTable.create(spark, dir + "x", rows, Seq("p"), Nil, Seq("cents"))
+      }
+      LogTable.create(spark, dir, rows, Seq("p"), Seq("cents"))
+      // ~10 files per partition value — over budget, compaction triggers,
+      // and clusterBy turns the rewrite into OPTIMIZE
+      val v = LogTable.compactPartitions(spark, dir,
+        maxFilesPerPartition = 8, clusterBy = Seq("cents"))
+      assert(v > 0, "compaction should have triggered")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val all = LogTable.read(spark, dir)
+    val hot = LogTable.readWhere(spark, dir, col("cents") >= 3500L)
+    assert(hot.count() == 15) // i % 40 in 35..39 → 5 values × 3
+    assert(hot.inputFiles.length < all.inputFiles.length / 2,
+      s"${hot.inputFiles.length} of ${all.inputFiles.length} — clustering " +
+        "did not tighten the ranges")
+    // a clusterBy column outside the stats declaration fails loud
+    intercept[IllegalArgumentException] {
+      LogTable.compactPartitions(spark, dir, 1, Seq("k"))
+    }
+    // create-time clustering gives the same layout without the compaction
+    val dir2 = tmp() + "/t2"
+    val prev2 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir2, rows, Seq("p"), Seq("cents"), Seq("cents"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev2)
+    val hot2 = LogTable.readWhere(spark, dir2, col("cents") >= 3500L)
+    assert(hot2.count() == 15)
+    assert(hot2.inputFiles.length <
+      LogTable.read(spark, dir2).inputFiles.length / 2)
   }
 
   test("readChanges: snapshot(from) ∖ deletes ∪ inserts ≡ snapshot(to)") {
