@@ -7,17 +7,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Directory-level AGGREGATE shard manifest — what makes a pushed
-  * single-id lookup's planning cost independent of the corpus size. The
-  * per-shard sidecars ([[ShardManifest]]) answer "can THIS shard contain
-  * the name?" at one metadata read per candidate shard — O(shards) reads
-  * per query, parallelized but still linear (the 10× scale probe grew a
-  * lookup 3×). This sidecar summarizes EVERY shard in one directory into
-  * one file — per shard, a Bloom filter over its entry names (Spark's
+/** Directory-level AGGREGATE shard manifest — what takes a pushed
+  * single-id lookup's planning METADATA READS from O(shards) to
+  * O(directories + bloom false-positives). The per-shard sidecars
+  * ([[ShardManifest]]) answer "can THIS shard contain the name?" at one
+  * metadata read per candidate shard — parallelized but still linear
+  * (the 10× scale probe grew a lookup 3×). This sidecar summarizes
+  * EVERY shard in one directory into one file — per shard, a Bloom
+  * filter over its entry names (Spark's
   * `org.apache.spark.util.sketch.BloomFilter`, the same public sketch
   * `DataFrameStatFunctions.bloomFilter` builds) plus the tar byte-length
   * stamp — so an equality/IN name lookup reads ONE file per candidate
-  * directory and probes blooms in memory:
+  * directory and probes blooms in memory. Honest accounting: the
+  * recursive LISTING that discovers shards remains O(shards) — it is
+  * what guarantees a shard written after the aggregate is never missed —
+  * so on a local filesystem (sub-µs stats) the aggregate is roughly a
+  * wash in wall time; the win is on object stores, where each avoided
+  * sidecar read is a network round trip and a directory's pruning costs
+  * one GET instead of hundreds. ShardSourceSpec pins the read-count
+  * claim itself via [[ShardManifest.reads]]/[[reads]].
   *
   *  - **Soundness**: a Bloom filter has no false negatives, so "not
   *    contained" proves the shard cannot hold the name — pruning is
@@ -110,12 +118,57 @@ object ShardAggManifest {
     }
   }
 
+  /** Planning-observability counter: aggregate files actually read (cache
+    * misses). Meaningful within one JVM (local mode / driver-side
+    * planning) — what the spec uses to pin the read-count contract.
+    */
+  val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Parsed-aggregate cache: repeated lookups against the same directory
+    * pay ONE `getFileStatus` freshness probe instead of re-reading and
+    * re-deserializing every bloom. Entries are validated by the aggregate
+    * file's (length, mtime) — a rebuilt aggregate invalidates on the next
+    * probe, and the cache can never mask a NEW shard (new shards are
+    * simply absent from any aggregate and stay unpruned; discovery is the
+    * listing's job). Bounded LRU — planning metadata, not data.
+    */
+  private val CacheMax = 64
+  private val cache = new java.util.LinkedHashMap[
+      String, (Long, Long, Option[Map[String, ShardSummary]])](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, (Long, Long, Option[Map[String, ShardSummary]])]) =
+      size() > CacheMax
+  }
+
   /** Read a directory's aggregate: shard file name → summary. None —
     * absent, torn, or unrecognized — means "no aggregate information for
     * this directory; fall back to the per-shard sweep".
     */
-  def read(fs: FileSystem, dir: Path): Option[Map[String, ShardSummary]] =
+  def read(fs: FileSystem, dir: Path): Option[Map[String, ShardSummary]] = {
+    val key = dir.toUri.toString
+    val st =
+      try Some(fs.getFileStatus(aggPath(dir)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    st match {
+      case None => None // no aggregate file
+      case Some(s) =>
+        cache.synchronized {
+          Option(cache.get(key)) match {
+            case Some((len, mtime, parsed))
+                if len == s.getLen && mtime == s.getModificationTime => parsed
+            case _ =>
+              val parsed = readUncached(fs, dir)
+              cache.put(key, (s.getLen, s.getModificationTime, parsed)): Unit
+              parsed
+          }
+        }
+    }
+  }
+
+  private def readUncached(fs: FileSystem,
+                           dir: Path): Option[Map[String, ShardSummary]] =
     try {
+      reads.incrementAndGet(): Unit
       val in = fs.open(aggPath(dir))
       val text =
         try {

@@ -66,6 +66,13 @@ object ShardManifest {
     }
   }
 
+  /** Planning-observability counter: per-shard manifest read attempts.
+    * Incremented on executors too, so it is meaningful within one JVM
+    * (local mode) — what ShardSourceSpec uses to pin that the aggregate
+    * manifest actually removes O(shards) sidecar reads from a lookup.
+    */
+  val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Read a shard's manifest as (name, size) pairs. None — absent, torn,
     * unrecognized version, or describing a tar of a DIFFERENT length
     * than `liveTarBytes` — means "no pruning information; scan the
@@ -74,6 +81,7 @@ object ShardManifest {
   def read(fs: FileSystem, shard: Path,
            liveTarBytes: Long = -1L): Option[Seq[(String, Long)]] =
     try {
+      reads.incrementAndGet(): Unit
       val mp = manifestPath(shard)
       // open directly — a missing manifest lands in the catch; probing
       // with exists() first would double the metadata round trips

@@ -288,6 +288,29 @@ class ShardSourceSpec extends SparkSpec {
     assert(stale.rdd.getNumPartitions == 2, "holder + stamp-mismatched victim")
   }
 
+  test("aggregate manifest removes O(shards) sidecar reads from a lookup") {
+    val (dir, nShards) = writeShards()
+    import graft.sources.shardsource.{ShardAggManifest, ShardManifest}
+    def lookup(): Long = spark.read.format("graft-shards").load(dir)
+      .filter(col("name") === "17.bin").count()
+    assert(lookup() == 1L) // warm: fills the parsed-aggregate cache
+    ShardManifest.reads.set(0L); ShardAggManifest.reads.set(0L)
+    assert(lookup() == 1L)
+    // the directory's blooms answer from the (mtime-validated) cache —
+    // zero or one aggregate read — and only the true holder plus bloom
+    // false positives pay a per-shard manifest read
+    assert(ShardAggManifest.reads.get() <= 1L)
+    val withAgg = ShardManifest.reads.get()
+    assert(withAgg < nShards / 2, s"$withAgg of $nShards manifests read")
+    // without the aggregate, the sweep reads EVERY candidate's manifest —
+    // the linear cost the aggregate exists to remove
+    dropAggregate(dir)
+    ShardManifest.reads.set(0L)
+    assert(lookup() == 1L)
+    assert(ShardManifest.reads.get() == nShards,
+      s"${ShardManifest.reads.get()} vs $nShards")
+  }
+
   test("listing fans out above the directory threshold — same shards planned") {
     val (src, _) = writeShards()
     val one = new java.io.File(src).listFiles()
