@@ -219,8 +219,13 @@ object ScaleProbe {
       val key = new java.io.File(d).getName
       val t = new java.io.File(
         s"target/scaleprobe/mergecache/logtable_stats/$key").getAbsolutePath
-      val marker = new java.io.File(t, "_graft_log")
+      // the marker is the FIRST COMMIT, not the bare log dir — a crash
+      // between create's mkdirs and its commit must not poison the cache
+      val marker = new java.io.File(t, f"_graft_log/${1L}%020d.json")
       if (!marker.exists()) {
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val tfs = tp.getFileSystem(s.sessionState.newHadoopConf())
+        if (tfs.exists(tp)) tfs.delete(tp, true): Unit
         val base = s.read.parquet(s"$d/orders.parquet").select(
           col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
           round(col("o_totalprice") * 100).cast("long").as("cents"),
@@ -251,9 +256,14 @@ object ScaleProbe {
         year(col("o_orderdate")).as("o_year"),
         lit(0).as("version"), lit("U").as("op"))
       val base = shape(s.read.parquet(s"$d/orders.parquet"))
+      // log-table marker = the FIRST COMMIT (a crash between create's
+      // mkdirs and its commit would otherwise poison the cache forever)
       val marker = new java.io.File(t,
-        if (kind == "logtable") "_graft_log" else "_SUCCESS")
+        if (kind == "logtable") f"_graft_log/${1L}%020d.json" else "_SUCCESS")
       if (!marker.exists()) {
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val tfs = tp.getFileSystem(s.sessionState.newHadoopConf())
+        if (tfs.exists(tp)) tfs.delete(tp, true): Unit
         if (kind == "logtable") LogTable.create(s, t, base, "o_year"): Unit
         else Sources.writeParquet(base, t, partitionBy = Seq("o_year"))
       }

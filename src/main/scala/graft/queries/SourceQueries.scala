@@ -16,6 +16,45 @@ import graft.sources.{Merge, Sources}
   */
 object SourceQueries {
 
+  /** Fresh scratch root under the warehouse for a log-table gate query —
+    * one per (query, sf) so reruns never inherit stale state.
+    */
+  private def scratch(s: SparkSession, dir: String, name: String): String = {
+    val outRoot = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      name + "_" + new java.io.File(dir).getName.replace('.', '_'))
+    val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
+    outRoot.toString
+  }
+
+  /** The shared orders shape of the q125-family log-table gates — ONE
+    * definition feeding q129/q130/q131/q133, so a change to the recipe
+    * cannot silently diverge a runner from its oracle copy-by-copy.
+    * Integer cents (the q44 lesson: exact, order-free sums).
+    */
+  private def ordersShaped(s: SparkSession, dir: String,
+                           withOdate: Boolean): DataFrame = {
+    val cols = Seq(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents")) ++
+      (if (withOdate) Seq(col("o_orderdate").as("odate")) else Nil) ++
+      Seq(year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+    Tables(s, dir, "orders").select(cols: _*)
+  }
+
+  /** The shared change batch: +10% cents on every 7th key (version 1),
+    * tombstone every 13th (version 2), restricted to `touched`.
+    */
+  private def ordersUpdDel(base: DataFrame,
+                           touched: org.apache.spark.sql.Column): DataFrame =
+    base.filter(col("k") % 7 === 0 && touched)
+      .withColumn("cents", expr("(cents * 110) div 100"))
+      .withColumn("version", lit(1))
+      .unionByName(base.filter(col("k") % 13 === 0 && touched)
+        .withColumn("version", lit(2)).withColumn("op", lit("D")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Round trip: events written partitioned by day, read back through a
     // date filter that prunes to the 14 selected partitions (asserted in
@@ -476,32 +515,17 @@ object SourceQueries {
     // lexicographic (untyped) bound compare, or a wrongly skipped file
     // is hash-red.
     "q129_logtable_skipping" -> ((s, dir) => {
-      val outRoot = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
-        "graft_q129_" + new java.io.File(dir).getName.replace('.', '_'))
-      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
-      def shape(df: DataFrame): DataFrame = df.select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        col("o_orderdate").as("odate"),
-        year(col("o_orderdate")).as("o_year"),
-        lit(0).as("version"), lit("U").as("op"))
-      val base = shape(Tables(s, dir, "orders"))
-      graft.sources.LogTable.create(s, outRoot.toString, base,
+      val t = scratch(s, dir, "graft_q129")
+      val base = ordersShaped(s, dir, withOdate = true)
+      graft.sources.LogTable.create(s, t, base,
         Seq("o_year"), Seq("odate", "cents"))
-      val upd = base.filter(col("k") % 7 === 0 && col("o_year") === 1997)
-        .withColumn("cents", expr("(cents * 110) div 100"))
-        .withColumn("version", lit(1))
-      val del = base.filter(col("k") % 13 === 0 && col("o_year") === 1997)
-        .withColumn("version", lit(2)).withColumn("op", lit("D"))
-      graft.sources.LogTable.upsert(s, outRoot.toString,
-        upd.unionByName(del),
+      graft.sources.LogTable.upsert(s, t,
+        ordersUpdDel(base, col("o_year") === 1997),
         keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
       val pred = col("odate").between("1997-03-01", "1997-09-30")
-      val pruned = graft.sources.LogTable.readWhere(s, outRoot.toString, pred)
+      val pruned = graft.sources.LogTable.readWhere(s, t, pred)
       val skipped = pruned.inputFiles.length <
-        graft.sources.LogTable.read(s, outRoot.toString).inputFiles.length
+        graft.sources.LogTable.read(s, t).inputFiles.length
       pruned.groupBy(col("status").as("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .withColumn("files_skipped", lit(skipped))
@@ -517,49 +541,55 @@ object SourceQueries {
     // state under the predicate — same oracle discipline as q129, a
     // completely different read path.
     "q133_logtable_table" -> ((s, dir) => {
-      val outRoot = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
-        "graft_q133_" + new java.io.File(dir).getName.replace('.', '_'))
-      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
-      def shape(df: DataFrame): DataFrame = df.select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        col("o_orderdate").as("odate"),
-        year(col("o_orderdate")).as("o_year"),
-        lit(0).as("version"), lit("U").as("op"))
-      val base = shape(Tables(s, dir, "orders"))
-      graft.sources.LogTable.create(s, outRoot.toString, base,
+      val root = scratch(s, dir, "graft_q133")
+      val base = ordersShaped(s, dir, withOdate = true)
+      graft.sources.LogTable.create(s, root, base,
         Seq("o_year"), Seq("odate", "cents"))
-      val upd = base.filter(col("k") % 7 === 0 && col("o_year") === 1997)
-        .withColumn("cents", expr("(cents * 110) div 100"))
-        .withColumn("version", lit(1))
-      val del = base.filter(col("k") % 13 === 0 && col("o_year") === 1997)
-        .withColumn("version", lit(2)).withColumn("op", lit("D"))
-      graft.sources.LogTable.upsert(s, outRoot.toString,
-        upd.unionByName(del),
+      graft.sources.LogTable.upsert(s, root,
+        ordersUpdDel(base, col("o_year") === 1997),
         keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
       val pred = col("odate").between("1997-03-01", "1997-09-30")
-      val t = graft.sources.LogTable.table(s, outRoot.toString)
+      val t = graft.sources.LogTable.table(s, root)
       // one probe execution surfaces the scan's numFiles metric — the
       // proof the FileIndex actually answered the pushdown with fewer
       // files (inputFiles can't show this: it reports the snapshot)
       val probe = t.filter(pred).select(col("k"))
       probe.collect(): Unit
-      val root = probe.queryExecution.executedPlan match {
+      val exec = probe.queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan
         case p => p
       }
-      val scanned = root.collect {
+      val scanned = exec.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.map(_.metrics("numFiles").value).sum
-      val total = graft.sources.LogTable.snapshot(s, outRoot.toString).files.length
+      val total = graft.sources.LogTable.snapshot(s, root).files.length
       t.filter(pred)
         .groupBy(col("status").as("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .withColumn("files_skipped", lit(scanned < total))
         .withColumn("via_table_api", lit(true))
+    }),
+
+    // METADATA-ONLY COUNT off the log: countWhere proves whole files in
+    // or out from their stats (single-year files under the partition
+    // equality, an always-true cents bound riding along) and scans only
+    // the undecided boundary — decided_some/excluded_some pin that both
+    // proof classes actually fired, and the count restates the merged
+    // state. A count built on faith instead of proof is hash-red.
+    "q134_logtable_count" -> ((s, dir) => {
+      val root = scratch(s, dir, "graft_q134")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, root, base, Seq("o_year"), Seq("cents"))
+      graft.sources.LogTable.upsert(s, root,
+        ordersUpdDel(base, col("o_year") === 1997),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      val r = graft.sources.LogTable.countWhere(s, root,
+        col("o_year") === 1997 && col("cents") >= 0L)
+      s.range(1).select(
+        lit(r.count).as("n"),
+        lit(r.decidedFiles > 0).as("decided_some"),
+        lit(r.excludedFiles > 0).as("excluded_some"))
     }),
 
     // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
@@ -570,43 +600,29 @@ object SourceQueries {
     // from the raw table. A missed removed file, a double-counted add,
     // or a vacuumed-too-early change window is hash-red.
     "q130_logtable_changes" -> ((s, dir) => {
-      val outRoot = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
-        "graft_q130_" + new java.io.File(dir).getName.replace('.', '_'))
-      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
-      def shape(df: DataFrame): DataFrame = df.select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        year(col("o_orderdate")).as("o_year"),
-        lit(0).as("version"), lit("U").as("op"))
-      val base = shape(Tables(s, dir, "orders"))
-      graft.sources.LogTable.create(s, outRoot.toString, base, "o_year") // v1
+      val root = scratch(s, dir, "graft_q130")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, root, base, "o_year") // v1
       val inYears = col("o_year").isin(1997, 1999)
-      val upd = base.filter(col("k") % 7 === 0 && inYears)
-        .withColumn("cents", expr("(cents * 110) div 100"))
-        .withColumn("version", lit(1))
-      val del = base.filter(col("k") % 13 === 0 && inYears)
-        .withColumn("version", lit(2)).withColumn("op", lit("D"))
       val ins = base.filter(col("k") % 11 === 0 && inYears)
         .withColumn("k", col("k") + lit(10000000L))
         .withColumn("status", lit("N"))
         .withColumn("cents", expr("cents div 2"))
         .withColumn("version", lit(1))
-      graft.sources.LogTable.upsert(s, outRoot.toString,
-        upd.unionByName(del).unionByName(ins),
+      graft.sources.LogTable.upsert(s, root,
+        ordersUpdDel(base, inYears).unionByName(ins),
         keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit // v2
       val upd3 = base.filter(col("k") % 5 === 0 && col("o_year") === 1996)
         .withColumn("cents", expr("cents div 3"))
         .withColumn("version", lit(3))
-      graft.sources.LogTable.upsert(s, outRoot.toString, upd3,
+      graft.sources.LogTable.upsert(s, root, upd3,
         keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit // v3
-      val ch = graft.sources.LogTable.readChanges(s, outRoot.toString, 1L, 3L)
+      val ch = graft.sources.LogTable.readChanges(s, root, 1L, 3L)
       val insRows = ch.filter(col("_change_type") === "insert").drop("_change_type")
       val delRows = ch.filter(col("_change_type") === "delete").drop("_change_type")
-      val recon = graft.sources.LogTable.read(s, outRoot.toString, Some(1L))
+      val recon = graft.sources.LogTable.read(s, root, Some(1L))
         .exceptAll(delRows).unionAll(insRows)
-      val direct = graft.sources.LogTable.read(s, outRoot.toString, Some(3L))
+      val direct = graft.sources.LogTable.read(s, root, Some(3L))
       val consistent = recon.exceptAll(direct).count() == 0 &&
         direct.exceptAll(recon).count() == 0
       recon
@@ -625,31 +641,16 @@ object SourceQueries {
     // may not move a row across its partition tuple — the batch keeps
     // status fixed, the contract `upsertPartitioned` documents.
     "q131_logtable_multipart" -> ((s, dir) => {
-      val outRoot = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
-        "graft_q131_" + new java.io.File(dir).getName.replace('.', '_'))
-      val fs = outRoot.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(outRoot)) fs.delete(outRoot, true): Unit
-      def shape(df: DataFrame): DataFrame = df.select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        year(col("o_orderdate")).as("o_year"),
-        lit(0).as("version"), lit("U").as("op"))
-      val base = shape(Tables(s, dir, "orders"))
-      graft.sources.LogTable.create(s, outRoot.toString, base,
-        Seq("o_year", "status"), Nil)
+      val root = scratch(s, dir, "graft_q131")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, root, base, Seq("o_year", "status"))
       val touched = col("o_year") === 1997 && col("status") === "O"
-      val upd = base.filter(col("k") % 7 === 0 && touched)
-        .withColumn("cents", expr("(cents * 110) div 100"))
-        .withColumn("version", lit(1))
-      val del = base.filter(col("k") % 13 === 0 && touched)
-        .withColumn("version", lit(2)).withColumn("op", lit("D"))
-      val v = graft.sources.LogTable.upsert(s, outRoot.toString,
-        upd.unionByName(del),
+      val v = graft.sources.LogTable.upsert(s, root,
+        ordersUpdDel(base, touched),
         keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
       val nPcols =
-        graft.sources.LogTable.snapshot(s, outRoot.toString).partitionCols.length
-      graft.sources.LogTable.read(s, outRoot.toString)
+        graft.sources.LogTable.snapshot(s, root).partitionCols.length
+      graft.sources.LogTable.read(s, root)
         .groupBy(col("o_year"), col("status").as("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .withColumn("log_version", lit(v).cast("int"))
@@ -990,6 +991,28 @@ object SourceQueries {
         |FROM final
         |WHERE odate BETWEEN DATE '1997-03-01' AND DATE '1997-09-30'
         |GROUP BY 1""".stripMargin,
+
+    // The merged 1997 count restated; both proof-class bits pinned TRUE.
+    "q134_logtable_count" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, (cents * 110) // 100 AS cents, o_year, 1 AS version,
+        |         'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year = 1997),
+        |del AS (
+        |  SELECT k, cents, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year = 1997),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT count(*) AS n, TRUE AS decided_some, TRUE AS excluded_some
+        |FROM final WHERE o_year = 1997 AND cents >= 0""".stripMargin,
 
     // The version-3 state restated (the reconstruction must equal it);
     // the CDF identity bit pinned TRUE and the window pinned (1, 3).

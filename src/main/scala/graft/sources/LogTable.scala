@@ -429,23 +429,132 @@ object LogTable {
     * predicate is always applied residually, so the result is exactly
     * `read(...).filter(predicate)` with fewer files planned.
     */
+  /** Resolve `predicate` through the ANALYZER against the table schema
+    * (an empty relation — metadata only, no scan): names resolve
+    * case-insensitively, literals get coerced to the column's type
+    * ("2024-03-01" against a date column becomes a date literal), and a
+    * typo'd column fails LOUD here instead of silently skipping nothing.
+    */
+  private def analyzedConjuncts(spark: SparkSession, snap: Snapshot,
+                                predicate: Column): Seq[Expression] =
+    spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+      .filter(predicate).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        conjuncts(f.condition) }
+      .getOrElse(Nil)
+
   def readWhere(spark: SparkSession, path: String, predicate: Column,
                 asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
-    // Resolve the predicate through the ANALYZER against the table schema
-    // (an empty relation — metadata only, no scan): names resolve
-    // case-insensitively, literals get coerced to the column's type
-    // ("2024-03-01" against a date column becomes a date literal), and a
-    // typo'd column fails LOUD here instead of silently skipping nothing.
-    val probe = spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
-      .filter(predicate)
-    val cj = probe.queryExecution.analyzed
-      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        conjuncts(f.condition) }
-      .getOrElse(Nil)
+    val cj = analyzedConjuncts(spark, snap, predicate)
     val keep = snap.files.filter(f => cj.forall(c => mayMatch(snap, f, c, zone)))
     readFiles(spark, path, snap, keep).filter(predicate)
+  }
+
+  /** What a [[countWhere]] answered from: exact total, plus how many
+    * files were DECIDED by the log alone (every row provably matches),
+    * EXCLUDED (no row can match), or actually SCANNED.
+    */
+  final case class CountResult(count: Long, decidedFiles: Int,
+                               excludedFiles: Int, scannedFiles: Int)
+
+  /** METADATA-ONLY count where the stats allow it: a file whose stats
+    * PROVE every row satisfies the predicate contributes its exact
+    * per-file row count straight from the log (min strictly above a
+    * `>` bound, a single-value partition file under an equality, zero
+    * nulls — the dual of [[mayMatch]]'s can-any-row test); a file whose
+    * stats exclude every row contributes nothing; only the UNDECIDED
+    * boundary files are scanned. A `count(*) WHERE date = yesterday`
+    * over a 100 TB table then reads a handful of boundary files instead
+    * of a partition — and a fully-aligned predicate reads nothing at
+    * all. Proof obligations are strict: any uninterpretable conjunct
+    * sends the file to the scan side, never to a guessed count.
+    */
+  def countWhere(spark: SparkSession, path: String, predicate: Column,
+                 asOf: Option[Long] = None): CountResult = {
+    val snap = snapshot(spark, path, asOf)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val cj = analyzedConjuncts(spark, snap, predicate)
+    val (possible, excluded) = snap.files.partition(f =>
+      cj.forall(c => mayMatch(snap, f, c, zone)))
+    val (decided, scan) = possible.partition(f =>
+      cj.forall(c => mustMatch(snap, f, c, zone)))
+    val scanned =
+      if (scan.isEmpty) 0L
+      else readFiles(spark, path, snap, scan).filter(predicate).count()
+    CountResult(decided.iterator.map(_.rows).sum + scanned,
+      decided.length, excluded.length, scan.length)
+  }
+
+  /** Does EVERY row of `f` provably satisfy conjunct `e`? The strict
+    * dual of [[mayMatch]]: comparisons additionally require ZERO nulls
+    * in the column (a NULL row satisfies no comparison), and anything
+    * unprovable answers false — the file is scanned, never counted on
+    * faith.
+    */
+  private def mustMatch(snap: Snapshot, f: LogFile, e: Expression,
+                        zone: String): Boolean = {
+    val schema = snap.schema
+    def colInfo(a: Expression): Option[(DataType, ColStats)] =
+      attrName(a).flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))
+        .flatMap(fd =>
+          f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(n) => s }
+            .orElse(
+              if (n.equalsIgnoreCase(snap.partitionCol))
+                Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
+              else None)
+            .map(st => (fd.dataType, st))))
+    def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
+      cmpStatLit(dt, stat, l, zone)
+    // all-rows proof for a comparison: no nulls, and the WHOLE [min,max]
+    // range sits on the satisfying side of the bound
+    def prove(a: Expression, l: Literal)(
+        p: (DataType, ColStats) => Option[Boolean]): Boolean =
+      colInfo(a) match {
+        case Some((dt, st)) if st.nulls == 0L && st.min.isDefined =>
+          p(dt, st).getOrElse(false)
+        case _ => false
+      }
+    e match {
+      case EqualTo(a, FoldedLit(l)) => prove(a, l)((dt, st) =>
+        for (cl <- st.min.flatMap(cmp(dt, _, l));
+             ch <- st.max.flatMap(cmp(dt, _, l))) yield cl == 0 && ch == 0)
+      case EqualTo(FoldedLit(l), a) => prove(a, l)((dt, st) =>
+        for (cl <- st.min.flatMap(cmp(dt, _, l));
+             ch <- st.max.flatMap(cmp(dt, _, l))) yield cl == 0 && ch == 0)
+      case GreaterThan(a, FoldedLit(l)) => // every row > l: min > l
+        prove(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ > 0))
+      case GreaterThan(FoldedLit(l), a) => // every row < l: max < l
+        prove(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ < 0))
+      case GreaterThanOrEqual(a, FoldedLit(l)) =>
+        prove(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ >= 0))
+      case GreaterThanOrEqual(FoldedLit(l), a) =>
+        prove(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ <= 0))
+      case LessThan(a, FoldedLit(l)) =>
+        prove(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ < 0))
+      case LessThan(FoldedLit(l), a) =>
+        prove(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ > 0))
+      case LessThanOrEqual(a, FoldedLit(l)) =>
+        prove(a, l)((dt, st) => st.max.flatMap(cmp(dt, _, l)).map(_ <= 0))
+      case LessThanOrEqual(FoldedLit(l), a) =>
+        prove(a, l)((dt, st) => st.min.flatMap(cmp(dt, _, l)).map(_ >= 0))
+      case In(a, vs) if vs.nonEmpty &&
+          vs.forall(FoldedLit.unapply(_).isDefined) =>
+        // provable when the file holds ONE value and it is in the list
+        vs.exists { v =>
+          val l = FoldedLit.unapply(v).get
+          prove(a, l)((dt, st) =>
+            for (cl <- st.min.flatMap(cmp(dt, _, l));
+                 ch <- st.max.flatMap(cmp(dt, _, l))) yield cl == 0 && ch == 0)
+        }
+      case IsNotNull(a) =>
+        colInfo(a).exists { case (_, st) => st.nulls == 0L }
+      case IsNull(a) =>
+        colInfo(a).exists { case (_, st) =>
+          st.nulls == f.rows && st.min.isEmpty }
+      case _ => false
+    }
   }
 
   /** The log table as a FIRST-CLASS Spark DataFrame: a parquet
@@ -688,23 +797,52 @@ object LogTable {
     case _ => false
   }
 
+  /** Normalize a double for comparison the way the engine's primitive
+    * comparison behaves: -0.0 collapses to 0.0, and NaN is UNORDERABLE —
+    * a NaN bound (or literal) yields None so the caller keeps the file
+    * (Spark's binary comparisons on NaN answer false per row, but a NaN
+    * MAX hides real non-NaN values behind it, so pruning on it would be
+    * wrong).
+    */
+  private def fracKey(d: Double): Option[Comparable[Any]] =
+    if (d.isNaN) None
+    else Some(java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d)
+      .asInstanceOf[Comparable[Any]])
+
+  /** Timestamp stats are persisted as UTC MICROSECOND integers (zone-free
+    * and monotonic — a local-time string rendering would re-parse under
+    * the READER's zone and order wrongly across DST folds); a
+    * non-numeric value falls back to a session-zone parse for values
+    * that arrive as strings (readPartitions arguments).
+    */
+  private def tsMicros(s: String, zone: String): Option[Long] =
+    scala.util.Try(s.toLong).toOption.orElse(
+      DateTimeUtils.stringToTimestamp(UTF8String.fromString(s),
+        java.time.ZoneId.of(zone)))
+
   /** Parse a persisted stat/partition string into a comparable key under
     * the column's type. None ⇒ not comparable ⇒ the caller must keep the
-    * file (prune conservatively, never wrongly).
+    * file (prune conservatively, never wrongly). Float/double columns
+    * compare as the DOUBLES the engine compares (the stat string
+    * round-trips the stored value exactly; widening float→double is
+    * exact), never as their decimal renderings — BigDecimal("0.1") and
+    * the float 0.1f are different numbers, and comparing renderings
+    * would prune files whose rows actually match.
     */
   private def keyOfString(dt: DataType, s: String,
                           zone: String): Option[Comparable[Any]] = {
     def c(x: Any) = Some(x.asInstanceOf[Comparable[Any]])
     try dt match {
-      case _: NumericType => c(BigDecimal(s))
+      case FloatType => fracKey(s.toFloat.toDouble)
+      case DoubleType => fracKey(s.toDouble)
+      case _: NumericType => c(BigDecimal(s)) // integrals + decimals: exact
       case StringType => c(UTF8String.fromString(s))
       case BooleanType => c(java.lang.Boolean.valueOf(s))
       case DateType =>
         c(java.lang.Long.valueOf(java.time.LocalDate.parse(s).toEpochDay))
       case TimestampType =>
-        DateTimeUtils.stringToTimestamp(UTF8String.fromString(s),
-          java.time.ZoneId.of(zone)).map(m => java.lang.Long.valueOf(m))
-          .map(_.asInstanceOf[Comparable[Any]])
+        tsMicros(s, zone).map(m =>
+          java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
       case TimestampNTZType =>
         DateTimeUtils.stringToTimestampWithoutTimeZone(UTF8String.fromString(s))
           .map(m => java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
@@ -712,42 +850,81 @@ object LogTable {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** The same key space, from a predicate literal — the literal's OWN
-    * type decides how its internal value is interpreted (an unresolved
-    * predicate has seen no type coercion), the COLUMN's type decides the
-    * key space. A cross-family literal (e.g. an int against a string
-    * column) yields None ⇒ no pruning.
+  /** Sign of (stat − literal) under the semantics the ENGINE evaluates
+    * the comparison with. For mixed numeric types that means computing
+    * at the coerced common type: if either side is float/double the
+    * engine compares binary floating point, so both sides are taken to
+    * that exact value (stat parsed per the COLUMN type, then rounded to
+    * float first when float is the common type) — mirroring, not
+    * approximating, the runtime comparison. Exact integral/decimal
+    * pairs compare as unlimited-precision decimals. None ⇒ unknown ⇒
+    * the caller keeps the file.
     */
-  private def keyOfLiteral(colDt: DataType, l: Literal,
-                           zone: String): Option[Comparable[Any]] = {
-    def c(x: Any) = Some(x.asInstanceOf[Comparable[Any]])
+  private def cmpStatLit(colDt: DataType, s: String, l: Literal,
+                         zone: String): Option[Int] = {
     try (colDt, l.dataType) match {
       case (_, _) if l.value == null => None
-      case (_: NumericType, _: NumericType) => l.value match {
-        case d: Decimal => c(d.toBigDecimal)
-        case n: java.lang.Number => c(BigDecimal(n.toString))
-        case _ => None
-      }
-      case (StringType, StringType) => c(l.value.asInstanceOf[UTF8String])
+      case (a: NumericType, b: NumericType)
+          if a == FloatType || a == DoubleType ||
+             b == FloatType || b == DoubleType =>
+        val statD = a match {
+          case FloatType => s.toFloat.toDouble
+          case DoubleType => s.toDouble
+          case _: DecimalType => BigDecimal(s).toDouble
+          case _ => s.toLong.toDouble
+        }
+        val litD = l.value match {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case dec: Decimal => dec.toDouble
+          case n: java.lang.Number => n.longValue().toDouble
+          case _ => return None
+        }
+        // float is the common type when no double is involved — round
+        // both to float exactly as the engine's coercion cast does
+        val useFloat = a != DoubleType && b != DoubleType
+        val (sd, ld) =
+          if (useFloat) (statD.toFloat.toDouble, litD.toFloat.toDouble)
+          else (statD, litD)
+        for (ks <- fracKey(sd); kl <- fracKey(ld)) yield ks.compareTo(kl)
+      case (_: NumericType, _: NumericType) =>
+        val lb = l.value match {
+          case dec: Decimal => dec.toBigDecimal
+          case n: java.lang.Number => BigDecimal(n.toString)
+          case _ => return None
+        }
+        Some(BigDecimal(s).compare(lb))
+      case (StringType, StringType) =>
+        Some(UTF8String.fromString(s)
+          .compareTo(l.value.asInstanceOf[UTF8String]))
       case (BooleanType, BooleanType) =>
-        c(java.lang.Boolean.valueOf(l.value.asInstanceOf[Boolean]))
+        Some(java.lang.Boolean.valueOf(s)
+          .compareTo(l.value.asInstanceOf[Boolean]))
       case (DateType, DateType) =>
-        c(java.lang.Long.valueOf(l.value.asInstanceOf[Int].toLong))
+        Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay,
+          l.value.asInstanceOf[Int].toLong))
       case (DateType, StringType) =>
-        c(java.lang.Long.valueOf(
+        Some(java.lang.Long.compare(java.time.LocalDate.parse(s).toEpochDay,
           java.time.LocalDate.parse(l.value.toString).toEpochDay))
       case (TimestampType, TimestampType) =>
-        c(java.lang.Long.valueOf(l.value.asInstanceOf[Long]))
+        tsMicros(s, zone).map(m =>
+          java.lang.Long.compare(m, l.value.asInstanceOf[Long]))
       case (TimestampType, StringType) =>
-        DateTimeUtils.stringToTimestamp(UTF8String.fromString(l.value.toString),
-          java.time.ZoneId.of(zone))
-          .map(m => java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
+        for {
+          m <- tsMicros(s, zone)
+          lm <- DateTimeUtils.stringToTimestamp(
+            UTF8String.fromString(l.value.toString), java.time.ZoneId.of(zone))
+        } yield java.lang.Long.compare(m, lm)
       case (TimestampNTZType, TimestampNTZType) =>
-        c(java.lang.Long.valueOf(l.value.asInstanceOf[Long]))
+        DateTimeUtils.stringToTimestampWithoutTimeZone(UTF8String.fromString(s))
+          .map(m => java.lang.Long.compare(m, l.value.asInstanceOf[Long]))
       case (TimestampNTZType, StringType) =>
-        DateTimeUtils.stringToTimestampWithoutTimeZone(
-          UTF8String.fromString(l.value.toString))
-          .map(m => java.lang.Long.valueOf(m).asInstanceOf[Comparable[Any]])
+        for {
+          m <- DateTimeUtils.stringToTimestampWithoutTimeZone(
+            UTF8String.fromString(s))
+          lm <- DateTimeUtils.stringToTimestampWithoutTimeZone(
+            UTF8String.fromString(l.value.toString))
+        } yield java.lang.Long.compare(m, lm)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -812,15 +989,20 @@ object LogTable {
     case x => Seq(x)
   }
 
-  /** The column an analyzed comparison side refers to. A widening CAST
-    * around the attribute (analyzer type coercion, e.g. int column vs
-    * long literal) is transparent: the literal then carries the widened
-    * type and [[keyOfLiteral]]'s family matrix decides comparability —
-    * an unsupported pairing yields None there, never a wrong prune.
+  /** The column an analyzed comparison side refers to. ONLY a provably
+    * value-preserving up-cast around the attribute (analyzer type
+    * coercion, e.g. int column vs long literal — `Cast.canUpCast`) is
+    * transparent: the literal then carries the widened type and
+    * [[cmpStatLit]]'s family matrix decides comparability. A narrowing
+    * or otherwise lossy cast (`col.cast("int")` on a long column
+    * overflows, so the predicate tests a DIFFERENT value than the stats
+    * range bounds) stays opaque — no pruning, the residual filter
+    * answers.
     */
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
-    case c: Cast => attrName(c.child)
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+      attrName(c.child)
     case _ => None
   }
 
@@ -858,10 +1040,7 @@ object LogTable {
               else None))))
     // sign of (stat − literal), None ⇒ unknown ⇒ keep
     def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
-      for {
-        ks <- keyOfString(dt, stat, zone)
-        kl <- keyOfLiteral(dt, l, zone)
-      } yield ks.compareTo(kl)
+      cmpStatLit(dt, stat, l, zone)
     // each bound test answers Some(false) only when provably impossible
     def test(a: Expression, l: Literal)(
         p: (DataType, ColStats) => Option[Boolean]): Boolean =
@@ -976,8 +1155,18 @@ object LogTable {
     }.flatMap(c => df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
     val aggs = count(lit(1)).as("__rows") +:
       tracked.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c)).cast("string").as(s"__min_$i"),
-          max(col(c)).cast("string").as(s"__max_$i"),
+        // timestamps persist as UTC MICROSECOND integers, not the
+        // session-zone string rendering — zone-free (a reader in another
+        // session zone must not re-interpret the bound) and monotonic
+        // (local-time strings order wrongly across a DST fold);
+        // unix_micros is monotonic, so min/max commute with it
+        val v = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType) match {
+          case Some(TimestampType) => unix_micros(col(c))
+          case _ => col(c)
+        }
+        Seq(min(v).cast("string").as(s"__min_$i"),
+          max(v).cast("string").as(s"__max_$i"),
           count(col(c)).as(s"__nn_$i"))
       }
     val stats = spark.read.parquet(tmp.toString)

@@ -133,11 +133,13 @@ object Merge {
                 broadcastKeyLimit: Long = 1000000L): DataFrame = {
     // cached: the distinct key-set is computed ONCE and reused by the
     // guard count and both join probes (uncached it would run three
-    // times). MEMORY_ONLY so a long-lived driver never accumulates
-    // orphaned disk blocks — an evicted partition recomputes from the
-    // batch instead of lingering on local disk.
+    // times). MEMORY_AND_DISK: the cache matters MOST on the backfill
+    // path (> broadcastKeyLimit keys), exactly where a memory-only level
+    // would evict under pressure and silently re-run the full distinct
+    // shuffle for each probe. The daily-apply leak concern is handled on
+    // the broadcast path below, which releases the cache eagerly.
     val newKeys = changes.select(keyCols.map(col): _*).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keySide =
       if (newKeys.count() <= broadcastKeyLimit) {
         // Broadcast path: the key rows would be collected to the driver at
@@ -151,8 +153,9 @@ object Merge {
         newKeys.unpersist(): Unit
         broadcast(changes.sparkSession.createDataFrame(
           java.util.Arrays.asList(rows: _*), schema))
-      } else newKeys // backfill shape: cache reused by both shuffled probes,
-                     // evicted cleanly (recompute) and context-cleaned
+      } else newKeys // backfill shape: cache reused by both shuffled
+                     // probes (spills rather than evicting); released by
+                     // the context cleaner when the result plan is GC'd
     val untouched = history.join(keySide, keyCols, "left_anti")
     val affected = history.join(keySide, keyCols, "left_semi")
     val closed = affected.filter(!col("is_current"))

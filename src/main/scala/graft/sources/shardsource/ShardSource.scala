@@ -283,8 +283,12 @@ class ShardScan(path: String, required: StructType,
     def bloomSaysPossible(s: ShardAggManifest.ShardSummary): Boolean =
       exact.forall {
         case EqualTo(_, v: String) => s.bloom.mightContainString(v)
-        case In(_, vs) => vs.exists(v =>
-          s.bloom.mightContainString(v.asInstanceOf[String]))
+        case In(_, vs) => vs.exists {
+          // non-string elements can't appear (ShardFilters only accepts
+          // all-string INs for pushdown) — keep-the-shard if one ever does
+          case v: String => s.bloom.mightContainString(v)
+          case _ => true
+        }
         case _ => true
       }
     candidates.groupBy(u => new Path(java.net.URI.create(u)).getParent)

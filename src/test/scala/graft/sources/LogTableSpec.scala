@@ -467,6 +467,89 @@ class LogTableSpec extends SparkSpec {
     assert(before.files.exists(f => !live.contains(f.name)))
   }
 
+  test("countWhere: stats-decided files contribute counts without a scan") {
+    val dir = tmp() + "/t"
+    val rows = (1 to 90).map { i =>
+      val p = if (i <= 30) "p1" else if (i <= 60) "p2" else "p3"
+      (i.toLong, i * 100L, p, if (i % 30 == 0) "x" else null, "U", 0)
+    }.toDF("k", "cents", "p", "tag", "op", "ver")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, rows, Seq("p"), Seq("cents", "tag"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // partition equality: single-value files are PROVEN whole (no nulls,
+    // min==max==p2) and counted from the log; only boundary files scan
+    val r = LogTable.countWhere(spark, dir, col("p") === "p2")
+    assert(r.count == 30)
+    assert(r.decidedFiles > 0, r)
+    assert(r.excludedFiles > 0, r)
+    // conjunction: the always-true cents bound keeps the proof intact
+    val r2 = LogTable.countWhere(spark, dir,
+      col("p") === "p2" && col("cents") >= 0L)
+    assert(r2.count == 30 && r2.decidedFiles > 0, r2)
+    // an unprovable conjunct sends files to the SCAN side, never to a
+    // guessed count — result still exact
+    val r3 = LogTable.countWhere(spark, dir, length(col("p")) === 2)
+    assert(r3.count == 90 && r3.decidedFiles == 0 && r3.scannedFiles > 0, r3)
+    // NULL semantics: comparisons require zero nulls to prove; IS NULL /
+    // IS NOT NULL count through the null stats
+    assert(LogTable.countWhere(spark, dir, col("tag").isNotNull).count == 3)
+    assert(LogTable.countWhere(spark, dir, col("tag").isNull).count == 87)
+    val tagged = LogTable.countWhere(spark, dir, col("tag") === "x")
+    assert(tagged.count == 3)
+    // agreement with the full scan, always
+    assert(LogTable.countWhere(spark, dir, col("cents") > 4500L).count ==
+      LogTable.read(spark, dir).filter(col("cents") > 4500L).count())
+  }
+
+  test("skipping edge cases: narrowing casts, float boundaries, NaN, cross-zone timestamps") {
+    // each partition value lands its rows in dedicated files, so a wrong
+    // prune would visibly lose them
+    val dir = tmp() + "/t"
+    val rows = Seq(
+      (1L, 0.1f, 0.1d, "2024-06-01 12:00:00", "pa", "U", 0),
+      (7L, Float.NaN, 2.0d, "2024-06-02 12:00:00", "pb", "U", 0),
+      (8L, 55.5f, 3.0d, "2024-06-03 12:00:00", "pc", "U", 0))
+      .toDF("k", "v", "d", "tss", "p", "op", "ver")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // the table is WRITTEN in one zone...
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      LogTable.create(spark, dir, rows, Seq("p"), Seq("k", "v", "d", "ts"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    // NARROWING cast stays OPAQUE: the engine evaluates (float)0.1d ==
+    // 0.1f → true, but the stats hold the double 0.1 whose exact value
+    // differs from 0.1f — treating the cast as transparent would compare
+    // doubles and wrongly prune the file the match lives in
+    val narrowed = LogTable.readWhere(spark, dir,
+      col("d").cast("float") === lit(0.1f))
+    assert(narrowed.select("p").as[String].collect().toSeq == Seq("pa"),
+      "lossy-cast row lost to pruning")
+    // FLOAT boundary: 0.1f widens to 0.100000001490116... > 0.1d — a
+    // decimal-rendering compare ("0.1" vs 0.1) would wrongly prune
+    val fl = LogTable.readWhere(spark, dir, col("v") > 0.1)
+    assert(fl.filter($"p" === "pa").count() == 1,
+      "float-vs-double boundary row lost to pruning")
+    // NaN stats are unorderable to the pruner — the NaN file is KEPT and
+    // the residual filter answers with Spark's NaN-greatest semantics
+    // (NaN > 100.0f is TRUE in Spark SQL), so the row survives; a
+    // primitive-comparison pruner would have dropped the file
+    assert(LogTable.readWhere(spark, dir, col("v") > 100.0f).count() == 1)
+    assert(LogTable.readWhere(spark, dir, col("v") < 100.0f).count() == 2)
+    // CROSS-ZONE timestamps: stats persisted as UTC micros, so a reader
+    // in a different session zone prunes correctly (a local-time string
+    // rendering would shift the bounds by the zone offset)
+    val lateTs = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-03T00:00:00Z"))
+    val late = LogTable.readWhere(spark, dir, col("ts") >= lit(lateTs))
+    assert(late.select("p").as[String].collect().toSeq == Seq("pc"))
+    assert(late.inputFiles.length <
+      LogTable.read(spark, dir).inputFiles.length,
+      "timestamp stats did not prune")
+  }
+
   test("clusterBy: compaction re-sorts a scattered column into working skipping") {
     val dir = tmp() + "/t"
     // cents is UNCORRELATED with the partition column — the salted write
