@@ -115,6 +115,23 @@ object LogTable {
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** One commit (or checkpoint) file, parsed: the table metadata it
+    * carried plus its add/remove delta. Checkpoints are full snapshots
+    * in the same shape (adds = all live files, removes empty).
+    */
+  private[sources] final case class ParsedCommit(
+      version: Long, schemaDdl: String, partitionCols: Seq[String],
+      statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String])
+
+  /** Count of commits published by the disjoint-writer fast path: a
+    * losing [[upsert]] whose winners touched only OTHER partitions
+    * re-commits its already-written files instead of re-running the
+    * merge. Monotonic, process-lifetime — a concurrency observability
+    * metric (and the spec's hook), same spirit as the shard scan
+    * metrics.
+    */
+  val disjointRecommits = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The PUBLISH primitive of the commit protocol, extracted so the
     * exactly-once guarantee can come from whatever the storage offers:
     * the default is the no-overwrite rename below; an object-store
@@ -221,6 +238,58 @@ object LogTable {
     * whole history), then folds the remaining commits — one directory
     * listing plus O(commits since checkpoint) small JSON reads.
     */
+  /** Parse one commit/checkpoint file. The original single-column format
+    * carried `partitionCol`; new commits carry `partitionCols` — both
+    * are readable forever.
+    */
+  private def parseCommitFile(fs: FileSystem, p: Path): ParsedCommit = {
+    val in = fs.open(p)
+    val node = try Mapper.readTree(in) finally in.close()
+    val pcols =
+      if (node.hasNonNull("partitionCols")) {
+        val b = Seq.newBuilder[String]
+        node.get("partitionCols").forEach(c => b += c.asText(): Unit)
+        b.result()
+      } else Seq(node.get("partitionCol").asText())
+    val scols =
+      if (node.hasNonNull("statsCols")) {
+        val b = Seq.newBuilder[String]
+        node.get("statsCols").forEach(c => b += c.asText(): Unit)
+        b.result()
+      } else Nil
+    val removes = Seq.newBuilder[String]
+    node.get("removes").forEach(r => removes += r.asText(): Unit)
+    val adds = Seq.newBuilder[LogFile]
+    node.get("adds").forEach { a =>
+      val stats =
+        if (a.hasNonNull("stats")) {
+          val b = Map.newBuilder[String, ColStats]
+          a.get("stats").properties().forEach { e =>
+            val s = e.getValue
+            b += e.getKey -> ColStats(
+              if (s.hasNonNull("min")) Some(s.get("min").asText()) else None,
+              if (s.hasNonNull("max")) Some(s.get("max").asText()) else None,
+              s.get("nulls").asLong())
+          }
+          b.result()
+        } else Map.empty[String, ColStats]
+      adds += LogFile(a.get("name").asText(), a.get("pmin").asText(),
+        a.get("pmax").asText(), a.get("rows").asLong(),
+        a.get("bytes").asLong(), stats)
+    }
+    ParsedCommit(node.get("version").asLong(), node.get("schema").asText(),
+      pcols, scols, adds.result(), removes.result())
+  }
+
+  /** The single commit that produced `version` — its add/remove delta,
+    * not a snapshot. Fails (FileNotFoundException) when the commit has
+    * been expired behind a checkpoint; callers needing history must
+    * tolerate that (see [[expireLog]]).
+    */
+  private[sources] def commitAt(spark: SparkSession, path: String,
+                                version: Long): ParsedCommit =
+    parseCommitFile(fsOf(spark, path), commitPath(path, version))
+
   def snapshot(spark: SparkSession, path: String,
                asOf: Option[Long] = None): Snapshot = {
     val fs = fsOf(spark, path)
@@ -247,43 +316,13 @@ object LogTable {
     var version = 0L
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
     def fold(p: Path): Unit = {
-      val in = fs.open(p)
-      val node = try Mapper.readTree(in) finally in.close()
-      schemaDdl = node.get("schema").asText()
-      // new commits carry `partitionCols`; the original single-column
-      // format carried `partitionCol` — both are readable forever
-      pcols =
-        if (node.hasNonNull("partitionCols")) {
-          val b = Seq.newBuilder[String]
-          node.get("partitionCols").forEach(c => b += c.asText(): Unit)
-          b.result()
-        } else Seq(node.get("partitionCol").asText())
-      scols =
-        if (node.hasNonNull("statsCols")) {
-          val b = Seq.newBuilder[String]
-          node.get("statsCols").forEach(c => b += c.asText(): Unit)
-          b.result()
-        } else Nil
-      version = node.get("version").asLong()
-      node.get("removes").forEach(r => live.remove(r.asText()): Unit)
-      node.get("adds").forEach { a =>
-        val stats =
-          if (a.hasNonNull("stats")) {
-            val b = Map.newBuilder[String, ColStats]
-            a.get("stats").properties().forEach { e =>
-              val s = e.getValue
-              b += e.getKey -> ColStats(
-                if (s.hasNonNull("min")) Some(s.get("min").asText()) else None,
-                if (s.hasNonNull("max")) Some(s.get("max").asText()) else None,
-                s.get("nulls").asLong())
-            }
-            b.result()
-          } else Map.empty[String, ColStats]
-        val f = LogFile(a.get("name").asText(), a.get("pmin").asText(),
-          a.get("pmax").asText(), a.get("rows").asLong(),
-          a.get("bytes").asLong(), stats)
-        live.put(f.name, f): Unit
-      }
+      val c = parseCommitFile(fs, p)
+      schemaDdl = c.schemaDdl
+      pcols = c.partitionCols
+      scols = c.statsCols
+      version = c.version
+      c.removes.foreach(r => live.remove(r): Unit)
+      c.adds.foreach(f => live.put(f.name, f): Unit)
     }
     ckpt.foreach { case (_, p) => fold(p) }
     upTo.filter { case (v, _) => ckpt.forall(v > _._1) }
@@ -647,12 +686,72 @@ object LogTable {
     snap.files.filter(f => values.exists(v => rangeMayContain(dt, f.pmin, f.pmax, v)))
   }
 
+  /** Disjoint-writer conflict resolution (the Delta/Iceberg conflict-
+    * checker move): a losing [[upsert]]'s merge result is STILL correct
+    * if every commit that beat it (a) carried the same schema and
+    * partition/stats layout, (b) removed none of the loser's victim
+    * files, and (c) added no file whose partition-range may contain any
+    * of the loser's touched partition tuples — then the winners read and
+    * wrote only OTHER partitions, so the loser's already-written files
+    * can be re-committed as-is at the next version. Serializability
+    * argument: commuting the loser after the winners changes no file
+    * either one reads or replaces — (b) says the loser's removes are
+    * still live, (c) says no winner row belongs to a partition the
+    * loser rewrote (rangeMayContain is conservative, so an
+    * uninterpretable bound CONFLICTS rather than commutes). Without this
+    * path, N writers to N disjoint partitions serialize through full
+    * re-merges — O(N²) reads under contention; with it, each loser pays
+    * one metadata check per winner. Falls back to the re-merge retry on
+    * any doubt (expired winner commits, schema drift, overlap). Bounded
+    * to `maxRetries` re-commit attempts. Increments
+    * [[disjointRecommits]] on success.
+    */
+  private def recommitDisjoint(spark: SparkSession, path: String,
+                               base: Snapshot, schemaDdl: String,
+                               touched: Seq[Seq[String]], adds: Seq[LogFile],
+                               victims: Set[String],
+                               maxRetries: Int): Option[Long] = {
+    var known = base.version
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      val latest = snapshot(spark, path)
+      if (latest.version <= known) return None
+      val winners =
+        try (known + 1 to latest.version).map(v => commitAt(spark, path, v))
+        catch { case _: java.io.IOException => return None }
+      val commutes = winners.forall { w =>
+        w.schemaDdl == schemaDdl &&
+          w.partitionCols == base.partitionCols &&
+          w.statsCols == base.statsCols &&
+          !w.removes.exists(victims.contains) &&
+          victimFiles(base.copy(files = w.adds), touched).isEmpty
+      }
+      if (!commutes) return None
+      known = latest.version
+      try {
+        commit(spark, path, latest.version + 1, schemaDdl,
+          base.partitionCols, base.statsCols, adds, victims.toSeq)
+        disjointRecommits.incrementAndGet(): Unit
+        return Some(latest.version + 1)
+      } catch {
+        // a NEWER writer won again while we re-committed — loop, checking
+        // only the winners we have not yet proven disjoint
+        case _: CommitConflictException => attempts += 1
+      }
+    }
+    None
+  }
+
   /** Delete-aware latest-wins merge (q108 semantics — see [[Merge.merge]])
     * committed as one log transaction: read ONLY the prunable files, merge
     * with the batch, write the replacement files once, commit
-    * {adds, removes}. A losing race re-reads the fresh snapshot and
-    * retries the whole merge (the batch re-merges against the winner's
-    * state — converging exactly because the merge itself is the conflict
+    * {adds, removes}. A losing race first tries the disjoint-writer
+    * fast path ([[recommitDisjoint]] — winners that touched only other
+    * partitions commute, so the already-written files re-commit at the
+    * next version with no new data pass); only a genuinely overlapping
+    * winner forces the full retry: re-read the fresh snapshot and
+    * re-run the merge (the batch re-merges against the winner's state —
+    * converging exactly because the merge itself is the conflict
     * resolution).
     */
   def upsert(spark: SparkSession, path: String, changes: DataFrame,
@@ -746,11 +845,18 @@ object LogTable {
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
-          // our uncommitted files are invisible; drop them eagerly rather
-          // than waiting for vacuum, then retry against the new snapshot
-          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
-          attempt += 1
-          if (attempt > maxRetries) throw e
+          recommitDisjoint(spark, path, snap, evolved.schemaDdl, touched,
+            adds, victims.map(_.name).toSet, maxRetries) match {
+            case Some(v) => return v
+            case None =>
+              // overlapping winner (or unverifiable history): our
+              // uncommitted files are invisible; drop them eagerly rather
+              // than waiting for vacuum, then retry against the new
+              // snapshot
+              adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          }
       }
     }
     -1L // unreachable

@@ -661,6 +661,91 @@ class LogTableSpec extends SparkSpec {
       .select("v").as[String].head() == "d1")
   }
 
+  test("a disjoint-partition loser re-commits its staged files without re-merging") {
+    val dir = tmp() + "/t"
+    // well-populated partitions + enough writer tasks that files come out
+    // single-partition — the precondition for two writers to be disjoint
+    val big = (1L to 60L).map(k => (k, "v" + k, 0, "p" + (k % 3 + 1), "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoord = LogTable.coordinator
+    val before = LogTable.disjointRecommits.get()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, "p")
+      // precondition: no base file spans p1 AND p3 (else the writers
+      // genuinely overlap and the fast path must rightly decline)
+      LogTable.snapshot(spark, dir).files
+        .foreach(f => assert(!(f.pmin <= "p1" && "p3" <= f.pmax), f))
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // a competing writer merges a P3-ONLY batch and wins this
+            // version while we are publishing ours (keys keep their base
+            // partition — k%3+1 — the pruned merge's standing contract)
+            val w = Seq((5L, "winner", 1, "p3", "U"))
+              .toDF("k", "v", "ver", "p", "op")
+            LogTable.upsert(spark, dir, w, Seq("k"), Seq("ver"), "op"): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      val l = Seq((3L, "loser", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+      // loser's original v2 is taken by the winner; the fast path
+      // re-commits the SAME staged files at v3 — no second merge pass
+      assert(LogTable.upsert(spark, dir, l, Seq("k"), Seq("ver"), "op") == 3L)
+    } finally {
+      LogTable.coordinator = prevCoord
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    assert(LogTable.disjointRecommits.get() == before + 1)
+    val out = LogTable.read(spark, dir).filter($"k".isin(3L, 5L))
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(out == Seq(Row(3L, "loser"), Row(5L, "winner")))
+  }
+
+  test("an overlapping winner forces the full re-merge, never a blind re-commit") {
+    val dir = tmp() + "/t"
+    val big = (1L to 60L).map(k => (k, "v" + k, 0, "p" + (k % 3 + 1), "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoord = LogTable.coordinator
+    val before = LogTable.disjointRecommits.get()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, "p")
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // the winner rewrites the SAME p1 partition (another key,
+            // staying in its base partition k%3+1)
+            val w = Seq((6L, "winner", 1, "p1", "U"))
+              .toDF("k", "v", "ver", "p", "op")
+            LogTable.upsert(spark, dir, w, Seq("k"), Seq("ver"), "op"): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      val l = Seq((3L, "loser", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+      assert(LogTable.upsert(spark, dir, l, Seq("k"), Seq("ver"), "op") == 3L)
+    } finally {
+      LogTable.coordinator = prevCoord
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // the fast path must NOT have fired — the winner removed the loser's
+    // victim files, so the loser re-merged against the winner's state
+    assert(LogTable.disjointRecommits.get() == before)
+    val out = LogTable.read(spark, dir).filter($"k".isin(3L, 6L))
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(out == Seq(Row(3L, "loser"), Row(6L, "winner")))
+  }
+
   test("version numbers are contended: the same version cannot commit twice") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
