@@ -445,6 +445,93 @@ object StreamQueries {
         .withColumn("batches_ok", lit(batches.get() >= 3L))
     }),
 
+    // THE TABLE AS ITS OWN QUEUE — Structured Streaming over the commit
+    // log ([[graft.sources.LogTableSourceProvider]]): q127 streams a file
+    // feed INTO the log table; this streams the log table's own CHANGE
+    // FEED out, version-paced (maxVersionsPerTrigger=1 ⇒ one commit per
+    // micro-batch, ≥3 enforced), with the documented downstream contract
+    // for rewrite commits (ignoreChanges=true + latest-wins fold by key —
+    // rider re-emissions converge exactly like an at-least-once replay).
+    // A compaction commit (dataChange=false) lands mid-feed and must
+    // emit NOTHING (feed_ok pins the emitted version ceiling under it).
+    // The answer is computed from the STREAMED BYTES, never the table;
+    // the oracle restates the merge from raw orders.
+    "q135_stream_logtable_feed" -> ((s, dir) => {
+      import graft.sources.{LogTable, LogTableSourceProvider}
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q135_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val sinkPath = new org.apache.hadoop.fs.Path(outRoot, "sink").toString
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(graft.Tables(s, dir, "orders"))
+      val inYears = col("o_year").isin(1997, 1999)
+      LogTable.create(s, tablePath, base, "o_year"): Unit
+      // commit 2: price bumps — version 1 (rewrites ⇒ the feed needs
+      // ignoreChanges; no deletes: a FILE feed cannot see a tombstone,
+      // that is readChanges' job and the source fails loud saying so)
+      LogTable.upsert(s, tablePath,
+        base.filter(col("o_orderkey") % 7 === 0 && inYears)
+          .withColumn("cents", expr("(cents * 110) div 100"))
+          .withColumn("version", lit(1)),
+        Seq("o_orderkey"), Seq("version"), "op"): Unit
+      // commit 3: late-arriving NEW orders — version 1
+      LogTable.upsert(s, tablePath,
+        base.filter(col("o_orderkey") % 11 === 0 && inYears)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("cents", expr("cents div 2"))
+          .withColumn("version", lit(1)),
+        Seq("o_orderkey"), Seq("version"), "op"): Unit
+      // commit 4: a second corrections wave — version 2 beats version 1
+      LogTable.upsert(s, tablePath,
+        base.filter(col("o_orderkey") % 13 === 0 && inYears)
+          .withColumn("cents", col("cents") + lit(7L))
+          .withColumn("version", lit(2)),
+        Seq("o_orderkey"), Seq("version"), "op"): Unit
+      // commit 5: maintenance — dataChange=false, invisible to the feed
+      val cv = LogTable.compactPartitions(s, tablePath,
+        maxFilesPerPartition = 2)
+      val feed = s.readStream
+        .format(classOf[LogTableSourceProvider].getName)
+        .option("path", tablePath)
+        .option("maxVersionsPerTrigger", "1")
+        .option("ignoreChanges", "true").load()
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val land: (DataFrame, Long) => Unit = (b, id) => {
+        batches.incrementAndGet(): Unit
+        // batch-id-keyed overwrite: an at-least-once replay rewrites the
+        // same dir — the q115/q127/q132 convergence discipline
+        b.write.mode("overwrite").parquet(s"$sinkPath/b$id")
+      }
+      withStatePartitions(s, 8) {
+        val q = feed.writeStream.foreachBatch(land)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      require(batches.get() >= 3,
+        s"expected ≥3 micro-batches (maxVersionsPerTrigger=1 over ≥4 " +
+          s"commits), saw ${batches.get()}")
+      val dirs = batchDirs(s, new org.apache.hadoop.fs.Path(sinkPath))
+      val emitted = s.read.parquet(dirs: _*)
+      val maxEmitted = emitted.agg(max(col("_commit_version"))).head.getLong(0)
+      // latest-wins by key: (version, _commit_version) — riders tie on
+      // content, updated keys pick the newest correction
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey")
+        .orderBy(col("version").desc, col("_commit_version").desc)
+      emitted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("feed_ok",
+          lit(maxEmitted == 4L && (cv == -1L || cv == 5L)))
+    }),
+
     "q85_stream_index_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val idx = s"g85_idx_$sf"
@@ -819,6 +906,41 @@ object StreamQueries {
          |  TRUE AS batches_ok
          |FROM e JOIN q USING (event_type)""".stripMargin
     },
+
+    // The change-feed fold restated from raw orders: base ∪ three change
+    // waves, latest version per key — what the streamed bytes must
+    // converge to under the latest-wins contract. feed_ok (the emitted
+    // version ceiling sits under the compaction commit) pinned TRUE.
+    "q135_stream_logtable_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, (cents * 110) // 100 AS cents,
+        |         o_year, 1 AS version
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_year IN (1997, 1999)),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |         cents // 2 AS cents, o_year, 1 AS version
+        |  FROM base WHERE o_orderkey % 11 = 0 AND o_year IN (1997, 1999)),
+        |upd2 AS (
+        |  SELECT o_orderkey, o_orderstatus, cents + 7 AS cents,
+        |         o_year, 2 AS version
+        |  FROM base WHERE o_orderkey % 13 = 0 AND o_year IN (1997, 1999)),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM upd2)),
+        |final AS (SELECT * FROM w WHERE rn = 1)
+        |SELECT o_year, o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  TRUE AS feed_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
 
     // Accepted keys = distinct batch content keys absent from the corpus
     // key set — the in-flight half of the incremental-dedup contract.

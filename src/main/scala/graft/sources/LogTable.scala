@@ -118,10 +118,14 @@ object LogTable {
   /** One commit (or checkpoint) file, parsed: the table metadata it
     * carried plus its add/remove delta. Checkpoints are full snapshots
     * in the same shape (adds = all live files, removes empty).
+    * `dataChange = false` marks a commit that REARRANGED rows without
+    * changing the table's content (compaction / re-clustering) — a
+    * change-feed consumer skips it; legacy commits read as `true`.
     */
   private[sources] final case class ParsedCommit(
       version: Long, schemaDdl: String, partitionCols: Seq[String],
-      statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String])
+      statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String],
+      dataChange: Boolean)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -278,7 +282,9 @@ object LogTable {
         a.get("bytes").asLong(), stats)
     }
     ParsedCommit(node.get("version").asLong(), node.get("schema").asText(),
-      pcols, scols, adds.result(), removes.result())
+      pcols, scols, adds.result(), removes.result(),
+      dataChange = !node.hasNonNull("dataChange") ||
+        node.get("dataChange").asBoolean(true))
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -289,6 +295,21 @@ object LogTable {
   private[sources] def commitAt(spark: SparkSession, path: String,
                                 version: Long): ParsedCommit =
     parseCommitFile(fsOf(spark, path), commitPath(path, version))
+
+  /** Newest committed version visible in the log — ONE directory listing,
+    * no commit parsing. The streaming source's poll primitive: cheap
+    * enough to call every trigger interval.
+    */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val vs = fsOf(spark, path).listStatus(logDir(path)).iterator
+      .filter(_.isFile).map(_.getPath.getName).flatMap {
+        case CommitName(v) => Iterator.single(v.toLong)
+        case CheckpointName(v) => Iterator.single(v.toLong)
+        case _ => Iterator.empty
+      }.toSeq
+    require(vs.nonEmpty, s"no commits at $path")
+    vs.max
+  }
 
   def snapshot(spark: SparkSession, path: String,
                asOf: Option[Long] = None): Snapshot = {
@@ -413,8 +434,10 @@ object LogTable {
         snap.statsCols, Some(target), clusterBy)
       finally { rows.unpersist(): Unit }
     try {
+      // dataChange = false: rows were REARRANGED, not changed — streaming
+      // consumers of the change feed skip this commit entirely
       commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
-        snap.statsCols, adds, victims.map(_.name))
+        snap.statsCols, adds, victims.map(_.name), dataChange = false)
     } catch {
       case e: CommitConflictException =>
         // same discipline as upsert's losing race: our files are invisible,
@@ -1207,8 +1230,9 @@ object LogTable {
 
   // -------------------------------------------------------------- internals
 
-  private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
-                        files: Seq[LogFile]): DataFrame =
+  private[sources] def readFiles(spark: SparkSession, path: String,
+                                 snap: Snapshot,
+                                 files: Seq[LogFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
     else
@@ -1311,10 +1335,13 @@ object LogTable {
 
   private def commitJson(version: Long, schemaDdl: String,
                          partitionCols: Seq[String], statsCols: Seq[String],
-                         adds: Seq[LogFile], removes: Seq[String]): Array[Byte] = {
+                         adds: Seq[LogFile], removes: Seq[String],
+                         dataChange: Boolean = true): Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
+    // written only when false — legacy commits (absent) read as true
+    if (!dataChange) root.put("dataChange", false): Unit
     // `partitionCol` (singular) kept for forward-compat reading of the
     // leading column by older tooling; `partitionCols` is authoritative
     root.put("partitionCol", partitionCols.head): Unit
@@ -1351,13 +1378,14 @@ object LogTable {
   private def commit(spark: SparkSession, path: String, version: Long,
                      schemaDdl: String, partitionCols: Seq[String],
                      statsCols: Seq[String],
-                     adds: Seq[LogFile], removes: Seq[String]): Unit = {
+                     adds: Seq[LogFile], removes: Seq[String],
+                     dataChange: Boolean = true): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
-      adds, removes))
+      adds, removes, dataChange))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

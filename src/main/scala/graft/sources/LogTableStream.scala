@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** STRUCTURED STREAMING over the commit log — the table is its own
+  * queue (the Delta-streaming-source architecture: reference CDC
+  * pipelines tail a table the way `etlutil`'s incremental jobs tail
+  * date partitions, cf. /root/reference/etlutil/date_utils.py:1).
+  * Offsets ARE committed versions, so the offset log gives exactly-once
+  * version delivery with zero source-side state: a batch `(from, to]`
+  * reads the files each commit in the window ADDED — O(changed files),
+  * never a table scan — tagged with a `_commit_version` column.
+  *
+  * Semantics per commit:
+  *  - `dataChange = false` (compaction / re-clustering) → SKIPPED:
+  *    the rows only moved between files, re-emitting them would
+  *    duplicate every compacted partition downstream.
+  *  - removes empty (create / pure append) → adds stream as-is.
+  *  - removes non-empty (a merge REWROTE partitions) → the adds carry
+  *    updated rows AND unchanged rider rows, so by default the stream
+  *    FAILS LOUD; `ignoreChanges = true` opts into emitting them, and
+  *    the documented downstream contract is a latest-wins fold by key
+  *    (rider re-emissions converge exactly like an at-least-once
+  *    replay). Physical deletes never appear in a file feed — a
+  *    tombstoned key simply stops arriving; consumers that must see
+  *    deletions use [[LogTable.readChanges]], whose file-diff emits
+  *    `_change_type = 'delete'` rows.
+  *
+  * Options: `path` (required), `startingVersion` (a version number or
+  * `latest`; default 0 = from the table's creation, so the initial
+  * snapshot arrives as the first batch), `maxVersionsPerTrigger`
+  * (admission control: bounds both batch size and the per-batch plan
+  * width on catch-up), `ignoreChanges` (above). The read schema is
+  * PINNED at stream start: columns evolved onto the table later are
+  * invisible until restart (old files NULL-fill newer columns exactly
+  * as a snapshot read would). Commits expired behind a checkpoint and
+  * files reclaimed by vacuum fail loud at plan/scan time — a stream
+  * can never silently skip a window it cannot prove empty.
+  *
+  * Scale: `latestOffset` is one directory listing; `getBatch` parses
+  * O(versions-in-window) small JSON files and plans only their added
+  * files through [[LogTableFileIndex]] (metadata-only listing, the
+  * vectorized parquet reader, whole-stage codegen downstream). Nothing
+  * driver-side grows with table size — only with the window's commit
+  * count, which `maxVersionsPerTrigger` caps.
+  */
+final class LogTableStreamSource(spark: SparkSession, path: String,
+                                 pinned: StructType,
+                                 partitionCols: Seq[String],
+                                 statsCols: Seq[String],
+                                 startingVersion: Long,
+                                 maxVersionsPerTrigger: Long,
+                                 ignoreChanges: Boolean)
+    extends Source with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
+
+  // read schema = pinned table schema; output schema adds the version tag
+  override val schema: StructType =
+    StructType(pinned.fields :+ StructField("_commit_version", LongType,
+      nullable = false))
+
+  // Trigger.AvailableNow pins "all data" at START, then admission paces
+  // batches up to it (the FileStreamSource discipline — without the
+  // interface the engine's wrapper would capture ONE admission-limited
+  // getOffset as the run's end and stop after a single batch)
+  @volatile private var availableAtPrepare: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableAtPrepare = Some(LogTable.latestVersion(spark, path))
+
+  // pacing is maxVersionsPerTrigger, applied in latestOffset itself
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def versionOf(json: String): Long = json.trim.toLong
+
+  /** Admission control: the engine hands the CURRENT end (`start`,
+    * null on the very first call), we answer with the next end —
+    * `min(latest, start + maxVersionsPerTrigger)`. Deriving pacing from
+    * the engine's own progress makes restarts self-correcting: there is
+    * no source-side cursor to desynchronize.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(start).map(o => versionOf(o.json)).getOrElse(startingVersion)
+    val latest = availableAtPrepare.getOrElse(LogTable.latestVersion(spark, path))
+    val cap = from + maxVersionsPerTrigger
+    val end = if (cap < from) latest else math.min(latest, cap) // +∞ guard
+    LongOffset(math.max(from, end))
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine calls latestOffset")
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val fromV = start.map(o => versionOf(o.json)).getOrElse(startingVersion)
+    val toV = versionOf(end.json)
+    val batches = (fromV + 1) to toV
+    val emit = Seq.newBuilder[(Long, Seq[LogTable.LogFile])]
+    batches.foreach { v =>
+      val c =
+        try LogTable.commitAt(spark, path, v)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"log table $path: commit $v has been expired behind a " +
+                "checkpoint — this stream's window is gone; restart the " +
+                "stream from a fresh snapshot (startingVersion=latest) " +
+                "or stop expiring the log while streams read it", e)
+        }
+      if (c.dataChange) {
+        require(c.removes.isEmpty || ignoreChanges,
+          s"log table $path: commit $v rewrote files (a merge). Its adds " +
+            "carry unchanged rider rows alongside the real changes; set " +
+            "ignoreChanges=true and fold latest-wins by key downstream, " +
+            "or consume LogTable.readChanges for row-level deletes")
+        emit += ((v, c.adds))
+      }
+    }
+    val versions = emit.result()
+    def frame(v: Long, files: Seq[LogTable.LogFile]): DataFrame = {
+      // pinned-schema snapshot shell — the TRUE partition columns matter:
+      // mayMatch falls back to (pmin, pmax) for the leading partition
+      // column, so a wrong name here would prune pushed filters on an
+      // unrelated column against the partition bounds
+      val snap = LogTable.Snapshot(v, pinned.toDDL, partitionCols,
+        statsCols, files)
+      val index = new LogTableFileIndex(spark, path, snap)
+      val relation = HadoopFsRelation(index, StructType(Nil), pinned, None,
+        new ParquetFileFormat, Map.empty[String, String])(spark)
+      // isStreaming = true: the engine asserts every getBatch plan is a
+      // streaming leaf (the FileStreamSource/Delta pattern)
+      org.apache.spark.sql.GraftBridge
+        .ofRows(spark, LogicalRelation(relation, isStreaming = true))
+        .withColumn("_commit_version", lit(v))
+    }
+    versions match {
+      case Seq() => frame(toV, Nil) // zero-file scan: empty, still streaming
+      case vs => vs.map { case (v, fl) => frame(v, fl) }.reduce(_ union _)
+    }
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"LogTableStreamSource[$path]"
+}
+
+/** `spark.readStream.format(classOf[LogTableSourceProvider].getName)
+  * .option("path", dir).load()` — V1 provider, no service registration
+  * needed (Spark resolves a fully-qualified provider class name).
+  */
+class LogTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-logtable"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-logtable source needs .option(\"path\", <table dir>)"))
+
+  private def opt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-logtable source reads the schema from the commit log — " +
+        "do not pass one")
+    val snap = LogTable.snapshot(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(), StructType(snap.schema.fields :+
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val snap = LogTable.snapshot(spark, path)
+    // the engine hands back sourceSchema's answer — pin exactly it, so
+    // analysis and execution can never disagree about columns
+    val pinned = schema match {
+      case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
+      case None => snap.schema
+    }
+    val startingVersion = opt(parameters, "startingVersion") match {
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        LogTable.latestVersion(spark, path)
+      case Some(s) => s.toLong
+      case None => 0L
+    }
+    val maxPer = opt(parameters, "maxVersionsPerTrigger")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    val ignoreChanges = opt(parameters, "ignoreChanges")
+      .exists(_.toBoolean)
+    new LogTableStreamSource(spark, path, pinned, snap.partitionCols,
+      snap.statsCols, startingVersion, maxPer, ignoreChanges)
+  }
+}

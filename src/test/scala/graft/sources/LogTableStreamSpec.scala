@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Structured Streaming over the commit log: versions as offsets,
+  * admission control, dataChange skipping, rewrite fail-loud, and the
+  * latest-wins downstream contract.
+  */
+class LogTableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-ltstream").toString
+  private val fmt = classOf[LogTableSourceProvider].getName
+
+  private def stream(dir: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.readStream.format(fmt).option("path", dir)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** Run to completion under AvailableNow, collecting every emitted row
+    * (thread-safe buffer) and counting NON-EMPTY micro-batches.
+    */
+  private def drain(df: DataFrame): (Seq[org.apache.spark.sql.Row], Long) = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      val rows = b.collect()
+      if (rows.nonEmpty) batches.incrementAndGet(): Unit
+      rows.foreach(r => buf.add(r): Unit)
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq,
+      batches.get())
+  }
+
+  /** Does any throwable in the cause chain mention `needle`? */
+  private def causeContains(t: Throwable, needle: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains(needle)))
+
+  private def baseDf = Seq(
+    (1L, "a", 0, "p1", "U"), (2L, "b", 0, "p1", "U"),
+    (3L, "c", 0, "p2", "U")).toDF("k", "v", "ver", "p", "op")
+
+  test("append-only commits stream as-is, tagged with their commit version") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // new partitions ⇒ no victims ⇒ pure appends, no ignoreChanges needed
+    LogTable.upsert(spark, dir,
+      Seq((4L, "d", 0, "p3", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    LogTable.upsert(spark, dir,
+      Seq((5L, "e", 0, "p4", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    val (rows, _) = drain(stream(dir))
+    val got = rows.map(r => (r.getLong(r.fieldIndex("k")),
+      r.getLong(r.fieldIndex("_commit_version")))).sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L)))
+  }
+
+  test("maxVersionsPerTrigger paces one commit per micro-batch") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    (0 until 3).foreach { i =>
+      LogTable.upsert(spark, dir,
+        Seq((10L + i, "x", 0, s"q$i", "U")).toDF("k", "v", "ver", "p", "op"),
+        Seq("k"), Seq("ver"), "op")
+    }
+    val (rows, nonEmpty) = drain(stream(dir, "maxVersionsPerTrigger" -> "1"))
+    assert(nonEmpty == 4L, s"expected 4 single-version batches, saw $nonEmpty")
+    assert(rows.size == baseDf.count() + 3)
+  }
+
+  test("a rewrite commit fails loud unless ignoreChanges; latest-wins fold converges") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // rewrites p1 (k=1 exists there) ⇒ removes non-empty
+    LogTable.upsert(spark, dir,
+      Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(stream(dir))
+    }
+    assert(causeContains(e, "ignoreChanges"), e.toString)
+    val (rows, _) = drain(stream(dir, "ignoreChanges" -> "true"))
+    // latest-wins by key over (ver, _commit_version): rider re-emissions
+    // carry identical content, updated keys pick the newest version
+    val latest = rows.groupBy(_.getLong(0)).map { case (k, rs) =>
+      val best = rs.maxBy(r => (r.getInt(r.fieldIndex("ver")),
+        r.getLong(r.fieldIndex("_commit_version"))))
+      (k, best.getString(best.fieldIndex("v")))
+    }.toSeq.sorted
+    val snap = LogTable.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(latest == snap)
+  }
+
+  test("compaction commits (dataChange=false) emit nothing") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // one multi-row append to p9 fans out across the write parallelism
+    // (several small files), putting the value over a budget of 1
+    LogTable.upsert(spark, dir,
+      (0 until 8).map(i => (20L + i, s"z$i", 0, "p9", "U"))
+        .toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    val cv = LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    assert(cv > 0L, "compaction should have triggered")
+    // every data commit here is append-only, so NO ignoreChanges — the
+    // skipped compaction commit must not poison a plain stream
+    val (rows, _) = drain(stream(dir))
+    assert(rows.forall(_.getLong(rows.head.fieldIndex("_commit_version")) < cv),
+      "no row may carry the compaction commit's version")
+    // content still converges to the snapshot under latest-wins
+    assert(rows.map(_.getLong(0)).distinct.sorted ==
+      LogTable.read(spark, dir).select("k").as[Long].collect().sorted.toSeq)
+  }
+
+  test("startingVersion skips the prefix; expired commits fail loud") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.upsert(spark, dir,
+      Seq((6L, "f", 0, "p5", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    val (rows, _) = drain(stream(dir, "startingVersion" -> "1"))
+    assert(rows.map(_.getLong(0)).sorted == Seq(6L))
+    // expire the prefix: a from-0 stream must fail loud, never skip
+    LogTable.checkpoint(spark, dir)
+    assert(LogTable.expireLog(spark, dir) > 0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(stream(dir))
+    }
+    assert(causeContains(e, "expired"), e.toString)
+  }
+}
