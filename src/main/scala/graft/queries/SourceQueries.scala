@@ -517,8 +517,13 @@ object SourceQueries {
     "q129_logtable_skipping" -> ((s, dir) => {
       val t = scratch(s, dir, "graft_q129")
       val base = ordersShaped(s, dir, withOdate = true)
+      // bloomFilterCols: point lookups on the scattered key skip at the
+      // ROW-GROUP level inside the scan (parquet blooms, written by the
+      // data files themselves) — declared here so the verify gate
+      // exercises bloom-writing tables end-to-end; min/max skipping
+      // below is unaffected
       graft.sources.LogTable.create(s, t, base,
-        Seq("o_year"), Seq("odate", "cents"))
+        Seq("o_year"), Seq("odate", "cents"), bloomFilterCols = Seq("k"))
       graft.sources.LogTable.upsert(s, t,
         ordersUpdDel(base, col("o_year") === 1997),
         keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit

@@ -107,7 +107,8 @@ object LogTable {
 
   final case class Snapshot(version: Long, schemaDdl: String,
                             partitionCols: Seq[String],
-                            statsCols: Seq[String], files: Seq[LogFile]) {
+                            statsCols: Seq[String], files: Seq[LogFile],
+                            bloomCols: Seq[String] = Nil) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** Leading partition column (single-column tables' only one). */
     def partitionCol: String = partitionCols.head
@@ -125,7 +126,7 @@ object LogTable {
   private[sources] final case class ParsedCommit(
       version: Long, schemaDdl: String, partitionCols: Seq[String],
       statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String],
-      dataChange: Boolean)
+      dataChange: Boolean, bloomCols: Seq[String] = Nil)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -201,7 +202,8 @@ object LogTable {
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String], statsCols: Seq[String] = Nil,
-             clusterBy: Seq[String] = Nil): Long = {
+             clusterBy: Seq[String] = Nil,
+             bloomFilterCols: Seq[String] = Nil): Long = {
     val fs = fsOf(spark, path)
     require(!fs.exists(logDir(path)),
       s"log table already exists at $path — use upsert")
@@ -222,10 +224,25 @@ object LogTable {
         s"log table $path: clusterBy column `$c` must also be declared in " +
           "statsCols — clustering exists to make ITS min/max ranges prune")
     }
+    // BLOOM columns complement min/max: a point lookup on a column whose
+    // values scatter across files (random ids) skips nothing by range,
+    // but a per-ROW-GROUP parquet bloom filter answers `id = x` inside
+    // the scan — written by parquet itself, consulted by Spark's
+    // vectorized reader on every pushed equality/IN filter, zero reader
+    // changes here. A table property (persisted in the log) so every
+    // later merge/compaction rewrite keeps writing them.
+    bloomFilterCols.foreach { c =>
+      val fd = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"log table $path: bloom column `$c` is not in the schema"))
+      require(fd.dataType != BooleanType,
+        s"log table $path: a boolean bloom filter is pointless")
+    }
     fs.mkdirs(logDir(path)): Unit
     val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
-      clusterBy = clusterBy)
-    commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds, Nil)
+      clusterBy = clusterBy, bloomCols = bloomFilterCols)
+    commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
+      Nil, bloomCols = bloomFilterCols)
     1L
   }
 
@@ -261,6 +278,12 @@ object LogTable {
         node.get("statsCols").forEach(c => b += c.asText(): Unit)
         b.result()
       } else Nil
+    val bcols =
+      if (node.hasNonNull("bloomCols")) {
+        val b = Seq.newBuilder[String]
+        node.get("bloomCols").forEach(c => b += c.asText(): Unit)
+        b.result()
+      } else Nil
     val removes = Seq.newBuilder[String]
     node.get("removes").forEach(r => removes += r.asText(): Unit)
     val adds = Seq.newBuilder[LogFile]
@@ -284,7 +307,8 @@ object LogTable {
     ParsedCommit(node.get("version").asLong(), node.get("schema").asText(),
       pcols, scols, adds.result(), removes.result(),
       dataChange = !node.hasNonNull("dataChange") ||
-        node.get("dataChange").asBoolean(true))
+        node.get("dataChange").asBoolean(true),
+      bloomCols = bcols)
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -334,6 +358,7 @@ object LogTable {
     var schemaDdl = ""
     var pcols = Seq.empty[String]
     var scols = Seq.empty[String]
+    var bcols = Seq.empty[String]
     var version = 0L
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
     def fold(p: Path): Unit = {
@@ -341,6 +366,7 @@ object LogTable {
       schemaDdl = c.schemaDdl
       pcols = c.partitionCols
       scols = c.statsCols
+      bcols = c.bloomCols
       version = c.version
       c.removes.foreach(r => live.remove(r): Unit)
       c.adds.foreach(f => live.put(f.name, f): Unit)
@@ -352,7 +378,7 @@ object LogTable {
     // past the checkpoint) is an error, not a silently older table
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
-    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq)
+    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols)
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -368,7 +394,8 @@ object LogTable {
         ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
-        snap.statsCols, snap.files, Nil)) finally out.close()
+        snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols))
+      finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
         // lost a race to an identical checkpoint — fine
@@ -431,13 +458,14 @@ object LogTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
       try writeDataFiles(spark, path, rows, snap.partitionCols,
-        snap.statsCols, Some(target), clusterBy)
+        snap.statsCols, Some(target), clusterBy, bloomCols = snap.bloomCols)
       finally { rows.unpersist(): Unit }
     try {
       // dataChange = false: rows were REARRANGED, not changed — streaming
       // consumers of the change feed skip this commit entirely
       commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
-        snap.statsCols, adds, victims.map(_.name), dataChange = false)
+        snap.statsCols, adds, victims.map(_.name), dataChange = false,
+        bloomCols = snap.bloomCols)
     } catch {
       case e: CommitConflictException =>
         // same discipline as upsert's losing race: our files are invisible,
@@ -746,6 +774,7 @@ object LogTable {
         w.schemaDdl == schemaDdl &&
           w.partitionCols == base.partitionCols &&
           w.statsCols == base.statsCols &&
+          w.bloomCols == base.bloomCols &&
           !w.removes.exists(victims.contains) &&
           victimFiles(base.copy(files = w.adds), touched).isEmpty
       }
@@ -753,7 +782,8 @@ object LogTable {
       known = latest.version
       try {
         commit(spark, path, latest.version + 1, schemaDdl,
-          base.partitionCols, base.statsCols, adds, victims.toSeq)
+          base.partitionCols, base.statsCols, adds, victims.toSeq,
+          bloomCols = base.bloomCols)
         disjointRecommits.incrementAndGet(): Unit
         return Some(latest.version + 1)
       } catch {
@@ -860,11 +890,13 @@ object LogTable {
       val merged = Merge.merge(base, aligned, keyCols, orderCols, opCol, deleteOp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val adds =
-        try writeDataFiles(spark, path, merged, snap.partitionCols, snap.statsCols)
+        try writeDataFiles(spark, path, merged, snap.partitionCols,
+          snap.statsCols, bloomCols = snap.bloomCols)
         finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
-          snap.partitionCols, snap.statsCols, adds, victims.map(_.name))
+          snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
+          bloomCols = snap.bloomCols)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1250,7 +1282,8 @@ object LogTable {
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
                              numFiles: Option[Int] = None,
-                             clusterBy: Seq[String] = Nil): Seq[LogFile] = {
+                             clusterBy: Seq[String] = Nil,
+                             bloomCols: Seq[String] = Nil): Seq[LogFile] = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
     // partition-clustered output: RANGE partitioning on (partition
@@ -1271,12 +1304,18 @@ object LogTable {
     // multi-partition file.
     val n = numFiles.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
+    // declared bloom columns: parquet's own per-row-group bloom filters
+    // (adaptive sizing), keyed by the frame's EXACT field name — the
+    // option key is case-sensitive on the parquet side
+    val bloomOpts = bloomCols.flatMap(c =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(f =>
+        s"parquet.bloom.filter.enabled#${f.name}" -> "true")).toMap
     df.withColumn("__salt",
         pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
       .repartitionByRange(n,
         (partitionCols ++ clusterBy).map(col) :+ col("__salt"): _*)
       .drop("__salt")
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").options(bloomOpts).parquet(tmp.toString)
     // tracked columns: partitions first (dedup preserves order), then the
     // declared data-skipping columns; matched case-insensitively against
     // the frame actually written (an evolved merge carries every column)
@@ -1336,12 +1375,17 @@ object LogTable {
   private def commitJson(version: Long, schemaDdl: String,
                          partitionCols: Seq[String], statsCols: Seq[String],
                          adds: Seq[LogFile], removes: Seq[String],
-                         dataChange: Boolean = true): Array[Byte] = {
+                         dataChange: Boolean = true,
+                         bloomCols: Seq[String] = Nil): Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
     // written only when false — legacy commits (absent) read as true
     if (!dataChange) root.put("dataChange", false): Unit
+    if (bloomCols.nonEmpty) {
+      val bArr = root.putArray("bloomCols")
+      bloomCols.foreach(c => bArr.add(c): Unit)
+    }
     // `partitionCol` (singular) kept for forward-compat reading of the
     // leading column by older tooling; `partitionCols` is authoritative
     root.put("partitionCol", partitionCols.head): Unit
@@ -1379,13 +1423,14 @@ object LogTable {
                      schemaDdl: String, partitionCols: Seq[String],
                      statsCols: Seq[String],
                      adds: Seq[LogFile], removes: Seq[String],
-                     dataChange: Boolean = true): Unit = {
+                     dataChange: Boolean = true,
+                     bloomCols: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
-      adds, removes, dataChange))
+      adds, removes, dataChange, bloomCols))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

@@ -746,6 +746,43 @@ class LogTableSpec extends SparkSpec {
     assert(out == Seq(Row(3L, "loser"), Row(6L, "winner")))
   }
 
+  test("bloom columns write parquet bloom filters; the property survives rewrites") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, Seq("p"),
+      bloomFilterCols = Seq("k"))
+    def bloomPresence(): Seq[(String, Boolean, Boolean)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      LogTable.snapshot(spark, dir).files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir, f.name), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val rg = r.getRowGroups.get(0)
+          def has(c: String) = rg.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .exists(m => r.getBloomFilterDataReader(rg).readBloomFilter(m) != null)
+          (f.name, has("k"), has("v"))
+        } finally r.close()
+      }
+    }
+    val created = bloomPresence()
+    assert(created.nonEmpty && created.forall(_._2),
+      s"every created file must carry a bloom for k: $created")
+    assert(created.forall(!_._3), "undeclared columns carry no bloom")
+    // a merge REWRITE keeps writing blooms (table property, not a
+    // create-time one-off) and the commit keeps declaring it
+    LogTable.upsert(spark, dir,
+      Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    assert(LogTable.snapshot(spark, dir).bloomCols == Seq("k"))
+    val afterMerge = bloomPresence()
+    assert(afterMerge.forall(_._2), s"rewritten files lost the bloom: $afterMerge")
+    // results are unchanged — blooms only skip row groups, never rows
+    assert(LogTable.read(spark, dir).filter($"k" === 1L)
+      .select("v").as[String].collect().toSeq == Seq("a1"))
+  }
+
   test("version numbers are contended: the same version cannot commit twice") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
