@@ -206,6 +206,26 @@ object ScaleProbe {
         .select(col("name"), length(col("content")).as("n_bytes"))
     }
 
+    // the one orders shape every log-table probe merges on, and the
+    // shared cache guard (marker = the artifact's FIRST COMMIT / success
+    // file, so a crash mid-build never poisons the cache) — one copy,
+    // or the probes drift apart silently
+    def orderShape(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      s.read.parquet(s"$d/orders.parquet").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+    def freshCache(s: SparkSession, t: String, markerRel: String)
+                  (build: => Unit): Unit = {
+      if (!new java.io.File(t, markerRel).exists()) {
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val tfs = tp.getFileSystem(s.sessionState.newHadoopConf())
+        if (tfs.exists(tp)) tfs.delete(tp, true): Unit
+        build
+      }
+    }
+
     // the DATA-SKIPPING read in isolation: a stats-declared log table is
     // built once per tier, and the probe times only readWhere — a
     // predicate on the partition column plus a stats-tracked data column.
@@ -219,19 +239,9 @@ object ScaleProbe {
       val key = new java.io.File(d).getName
       val t = new java.io.File(
         s"target/scaleprobe/mergecache/logtable_stats/$key").getAbsolutePath
-      // the marker is the FIRST COMMIT, not the bare log dir — a crash
-      // between create's mkdirs and its commit must not poison the cache
-      val marker = new java.io.File(t, f"_graft_log/${1L}%020d.json")
-      if (!marker.exists()) {
-        val tp = new org.apache.hadoop.fs.Path(t)
-        val tfs = tp.getFileSystem(s.sessionState.newHadoopConf())
-        if (tfs.exists(tp)) tfs.delete(tp, true): Unit
-        val base = s.read.parquet(s"$d/orders.parquet").select(
-          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"),
-          year(col("o_orderdate")).as("o_year"),
-          lit(0).as("version"), lit("U").as("op"))
-        LogTable.create(s, t, base, Seq("o_year"), Seq("status", "cents")): Unit
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t, orderShape(s, d),
+          Seq("o_year"), Seq("status", "cents")): Unit
       }
       LogTable.readWhere(s, t,
           col("o_year") === 1998 && col("cents") >= 10000L)
@@ -250,20 +260,9 @@ object ScaleProbe {
       import graft.sources.{LogTable, Merge, Sources}
       val key = new java.io.File(d).getName
       val t = new java.io.File(s"target/scaleprobe/mergecache/$kind/$key").getAbsolutePath
-      def shape(df: org.apache.spark.sql.DataFrame) = df.select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        year(col("o_orderdate")).as("o_year"),
-        lit(0).as("version"), lit("U").as("op"))
-      val base = shape(s.read.parquet(s"$d/orders.parquet"))
-      // log-table marker = the FIRST COMMIT (a crash between create's
-      // mkdirs and its commit would otherwise poison the cache forever)
-      val marker = new java.io.File(t,
-        if (kind == "logtable") f"_graft_log/${1L}%020d.json" else "_SUCCESS")
-      if (!marker.exists()) {
-        val tp = new org.apache.hadoop.fs.Path(t)
-        val tfs = tp.getFileSystem(s.sessionState.newHadoopConf())
-        if (tfs.exists(tp)) tfs.delete(tp, true): Unit
+      val base = orderShape(s, d)
+      freshCache(s, t,
+        if (kind == "logtable") f"_graft_log/${1L}%020d.json" else "_SUCCESS") {
         if (kind == "logtable") LogTable.create(s, t, base, "o_year"): Unit
         else Sources.writeParquet(base, t, partitionBy = Seq("o_year"))
       }
@@ -283,6 +282,56 @@ object ScaleProbe {
       }
     }
 
+    // the CHANGE-FEED read in isolation: a two-version log table is built
+    // once per tier (v1 = full create, v2 = one merge touching only year
+    // 1998), and the probe times streaming versions (1, 2] through the
+    // LogTableStreamSource — the incremental-consumer shape. Its cost
+    // must track the CHANGED partition's files (≈ linear in copies,
+    // since the changed year itself grows with the tier) and sit well
+    // under the full-snapshot baseline timed on the SAME table; a
+    // superlinear ratio would mean commit parsing or the per-version
+    // relation assembly bends with table size.
+    def cdfTable(s: SparkSession, d: String): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/logtable_cdf/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${2L}%020d.json") {
+        val base = orderShape(s, d)
+        LogTable.create(s, t, base, "o_year"): Unit
+        LogTable.upsert(s, t,
+          base.filter(col("o_year") === 1998 && col("k") % 7 === 0)
+            .withColumn("cents", expr("(cents * 110) div 100"))
+            .withColumn("version", lit(1)),
+          Seq("k"), Seq("version"), "op"): Unit
+      }
+      t
+    }
+    def changefeedRead(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      val t = cdfTable(s, d)
+      val n = new java.util.concurrent.atomic.AtomicLong(0L)
+      val cents = new java.util.concurrent.atomic.AtomicLong(0L)
+      val feed = s.readStream
+        .format(classOf[graft.sources.LogTableSourceProvider].getName)
+        .option("path", t).option("startingVersion", "1")
+        .option("ignoreChanges", "true").load()
+      val fold: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+        val r = b.agg(count(lit(1)), sum(col("cents"))).head()
+        n.addAndGet(r.getLong(0)): Unit
+        if (!r.isNullAt(1)) cents.addAndGet(r.getLong(1)): Unit
+      }
+      val q = feed.writeStream.foreachBatch(fold)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import s.implicits._
+      Seq((n.get(), cents.get())).toDF("n", "sum_cents")
+    }
+    def snapshotRead(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      val t = cdfTable(s, d)
+      graft.sources.LogTable.read(s, t)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (HeavyQueries ++ EmbeddingQueries ++ MergeQueries ++
@@ -290,6 +339,8 @@ object ScaleProbe {
         .map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "shard_lookup_pushdown" -> (shardLookup _),
         "logtable_skipping_read" -> (skippingRead _),
+        "logtable_changefeed_read" -> (changefeedRead _),
+        "logtable_snapshot_read" -> (snapshotRead _),
         "merge_only:partitioned" -> (mergeOnly("partitioned") _),
         "merge_only:logtable" -> (mergeOnly("logtable") _),
         "q86_token_quantiles:preagg" ->

@@ -492,9 +492,14 @@ object StreamQueries {
           .withColumn("cents", col("cents") + lit(7L))
           .withColumn("version", lit(2)),
         Seq("o_orderkey"), Seq("version"), "op"): Unit
-      // commit 5: maintenance — dataChange=false, invisible to the feed
+      // commit 5: maintenance — dataChange=false, invisible to the feed.
+      // Budget 1 so compaction ALWAYS triggers (any multi-file partition
+      // qualifies) — feed_ok must never be satisfied vacuously by a
+      // compaction that didn't happen
       val cv = LogTable.compactPartitions(s, tablePath,
-        maxFilesPerPartition = 2)
+        maxFilesPerPartition = 1)
+      require(cv == 5L,
+        s"compaction must land as commit 5 for the skip assertion, got $cv")
       val feed = s.readStream
         .format(classOf[LogTableSourceProvider].getName)
         .option("path", tablePath)
@@ -528,8 +533,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).as("sum_cents"),
           sum(col("version")).as("sum_version"))
-        .withColumn("feed_ok",
-          lit(maxEmitted == 4L && (cv == -1L || cv == 5L)))
+        .withColumn("feed_ok", lit(maxEmitted == 4L && cv == 5L))
     }),
 
     "q85_stream_index_dedup" -> ((s, dir) => {

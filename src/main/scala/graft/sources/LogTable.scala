@@ -266,24 +266,16 @@ object LogTable {
   private def parseCommitFile(fs: FileSystem, p: Path): ParsedCommit = {
     val in = fs.open(p)
     val node = try Mapper.readTree(in) finally in.close()
-    val pcols =
-      if (node.hasNonNull("partitionCols")) {
+    def strArr(name: String): Option[Seq[String]] =
+      if (node.hasNonNull(name)) {
         val b = Seq.newBuilder[String]
-        node.get("partitionCols").forEach(c => b += c.asText(): Unit)
-        b.result()
-      } else Seq(node.get("partitionCol").asText())
-    val scols =
-      if (node.hasNonNull("statsCols")) {
-        val b = Seq.newBuilder[String]
-        node.get("statsCols").forEach(c => b += c.asText(): Unit)
-        b.result()
-      } else Nil
-    val bcols =
-      if (node.hasNonNull("bloomCols")) {
-        val b = Seq.newBuilder[String]
-        node.get("bloomCols").forEach(c => b += c.asText(): Unit)
-        b.result()
-      } else Nil
+        node.get(name).forEach(c => b += c.asText(): Unit)
+        Some(b.result())
+      } else None
+    val pcols = strArr("partitionCols")
+      .getOrElse(Seq(node.get("partitionCol").asText()))
+    val scols = strArr("statsCols").getOrElse(Nil)
+    val bcols = strArr("bloomCols").getOrElse(Nil)
     val removes = Seq.newBuilder[String]
     node.get("removes").forEach(r => removes += r.asText(): Unit)
     val adds = Seq.newBuilder[LogFile]
@@ -717,12 +709,40 @@ object LogTable {
   def readPartitions(spark: SparkSession, path: String, values: Seq[Any],
                      asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
-    val wanted = values.map(String.valueOf)
+    val dt = leadingType(snap)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val wanted = values.map(v => boundString(dt, v, zone))
     val keep = prunedFiles(snap, wanted.toSet)
-    readFiles(spark, path, snap, keep)
-      .filter(col(snap.partitionCol).cast("string")
-        .isin(wanted: _*))
+    // the residual compares in the SAME rendering the bounds use —
+    // timestamps as UTC micros, everything else as its string cast
+    val lhs = dt match {
+      case TimestampType => unix_micros(col(snap.partitionCol)).cast("string")
+      case _ => col(snap.partitionCol).cast("string")
+    }
+    readFiles(spark, path, snap, keep).filter(lhs.isin(wanted: _*))
   }
+
+  /** Render a caller-supplied partition value the way stats are
+    * PERSISTED: timestamps as UTC microsecond integers (zone-free —
+    * matching [[writeDataFiles]]' `unix_micros` bounds), everything else
+    * as its plain string form. A string-typed timestamp value parses
+    * under the SESSION zone, exactly as the engine would cast it.
+    */
+  private def boundString(dt: DataType, v: Any, zone: String): String =
+    dt match {
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          DateTimeUtils.fromJavaTimestamp(t).toString
+        case i: java.time.Instant =>
+          DateTimeUtils.instantToMicros(i).toString
+        case s: String =>
+          DateTimeUtils.stringToTimestamp(UTF8String.fromString(s),
+              java.time.ZoneId.of(zone))
+            .map(_.toString).getOrElse(s)
+        case other => String.valueOf(other)
+      }
+      case _ => String.valueOf(v)
+    }
 
   /** The files whose LEADING-partition value range may contain any of
     * `values` (stringified): every such file must be scanned by a read
@@ -854,9 +874,18 @@ object LogTable {
           else f) ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
       // bounded: one row per touched partition TUPLE (a daily batch
-      // touches a handful of partitions, never the table's full set)
+      // touches a handful of partitions, never the table's full set).
+      // Values render EXACTLY as the stats persist them — timestamps as
+      // UTC micros, not a session-zone wall string, or victim matching
+      // would compare across reference frames and miss rewrites
       val touched = changes
-        .select(snap.partitionCols.map(c => col(c).cast("string")): _*)
+        .select(snap.partitionCols.map { c =>
+          snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType) match {
+            case Some(TimestampType) => unix_micros(col(c)).cast("string")
+            case _ => col(c).cast("string")
+          }
+        }: _*)
         .distinct().collect()
         .map { r =>
           snap.partitionCols.indices.map { i =>
@@ -1028,25 +1057,37 @@ object LogTable {
       case (a: NumericType, b: NumericType)
           if a == FloatType || a == DoubleType ||
              b == FloatType || b == DoubleType =>
-        val statD = a match {
-          case FloatType => s.toFloat.toDouble
-          case DoubleType => s.toDouble
-          case _: DecimalType => BigDecimal(s).toDouble
-          case _ => s.toLong.toDouble
-        }
-        val litD = l.value match {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-          case dec: Decimal => dec.toDouble
-          case n: java.lang.Number => n.longValue().toDouble
-          case _ => return None
-        }
-        // float is the common type when no double is involved — round
-        // both to float exactly as the engine's coercion cast does
-        val useFloat = a != DoubleType && b != DoubleType
-        val (sd, ld) =
-          if (useFloat) (statD.toFloat.toDouble, litD.toFloat.toDouble)
-          else (statD, litD)
+        // float is the common type only for float-vs-integral pairs —
+        // the engine coerces decimal+float to DOUBLE, never float. Each
+        // side casts DIRECTLY to the common type exactly as the engine's
+        // coercion does (long→double→float double-rounds differently
+        // than long→float on tie points past 2^53, so no intermediate)
+        val useFloat = a != DoubleType && b != DoubleType &&
+          !a.isInstanceOf[DecimalType] && !b.isInstanceOf[DecimalType]
+        val sd =
+          if (useFloat) (a match {
+            case FloatType => s.toFloat
+            case _ => s.toLong.toFloat // integrals only (no decimals here)
+          }).toDouble // float→double widening is exact
+          else a match {
+            case FloatType => s.toFloat.toDouble
+            case DoubleType => s.toDouble
+            case _: DecimalType => BigDecimal(s).toDouble
+            case _ => s.toLong.toDouble
+          }
+        val ld =
+          if (useFloat) (l.value match {
+            case f: java.lang.Float => f.floatValue()
+            case n: java.lang.Number => n.longValue().toFloat
+            case _ => return None
+          }).toDouble
+          else l.value match {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case dec: Decimal => dec.toDouble
+            case n: java.lang.Number => n.longValue().toDouble
+            case _ => return None
+          }
         for (ks <- fracKey(sd); kl <- fracKey(ld)) yield ks.compareTo(kl)
       case (_: NumericType, _: NumericType) =>
         val lb = l.value match {
@@ -1095,15 +1136,24 @@ object LogTable {
       .map(_.dataType).getOrElse(StringType)
 
   /** Typed `lo ≤ v ≤ hi` over string renderings; an uninterpretable
-    * bound answers TRUE (keep the file).
+    * bound answers TRUE (keep the file). Timestamp values only compare
+    * when all three sides are in the SAME rendering (all UTC-micros
+    * integers, or all legacy wall strings) — a mixed-frame comparison
+    * (a pre-micros file's bounds against a micros value) is meaningless
+    * and conservatively keeps the file.
     */
   private def rangeMayContain(dt: DataType, lo: String, hi: String,
-                              v: String, zone: String = "UTC"): Boolean =
+                              v: String, zone: String = "UTC"): Boolean = {
+    if (dt == TimestampType) {
+      def micros(x: String) = scala.util.Try(x.trim.toLong).isSuccess
+      if (Seq(lo, hi, v).map(micros).distinct.size > 1) return true
+    }
     (for {
       kl <- keyOfString(dt, lo, zone)
       kh <- keyOfString(dt, hi, zone)
       kv <- keyOfString(dt, v, zone)
     } yield kl.compareTo(kv) <= 0 && kv.compareTo(kh) <= 0).getOrElse(true)
+  }
 
   /** The files a batch touching the given partition-value TUPLES must
     * rewrite: a file is a victim unless, for every touched tuple, some

@@ -185,9 +185,25 @@ class LogTableSourceProvider extends StreamSourceProvider with DataSourceRegiste
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    val snap = LogTable.snapshot(spark, path)
     // the engine hands back sourceSchema's answer — pin exactly it, so
-    // analysis and execution can never disagree about columns
+    // analysis and execution can never disagree about columns. With the
+    // schema in hand only the table LAYOUT is needed, and the newest
+    // commit file carries it — one small JSON read instead of a second
+    // full snapshot replay at stream start (an expired newest commit —
+    // checkpoint-only log tip — falls back to the replay).
+    def replay() = LogTable.snapshot(spark, path)
+    lazy val snap = replay()
+    val meta = schema match {
+      case Some(_) =>
+        try {
+          val c = LogTable.commitAt(spark, path,
+            LogTable.latestVersion(spark, path))
+          (c.partitionCols, c.statsCols)
+        } catch {
+          case _: java.io.IOException => (snap.partitionCols, snap.statsCols)
+        }
+      case None => (snap.partitionCols, snap.statsCols)
+    }
     val pinned = schema match {
       case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
       case None => snap.schema
@@ -202,7 +218,7 @@ class LogTableSourceProvider extends StreamSourceProvider with DataSourceRegiste
       .map(_.toLong).getOrElse(Long.MaxValue)
     val ignoreChanges = opt(parameters, "ignoreChanges")
       .exists(_.toBoolean)
-    new LogTableStreamSource(spark, path, pinned, snap.partitionCols,
-      snap.statsCols, startingVersion, maxPer, ignoreChanges)
+    new LogTableStreamSource(spark, path, pinned, meta._1, meta._2,
+      startingVersion, maxPer, ignoreChanges)
   }
 }

@@ -783,6 +783,49 @@ class LogTableSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq == Seq("a1"))
   }
 
+  test("timestamp partitions: victims match in UTC micros whatever the session zone") {
+    // stats persist timestamp bounds as UTC micros; the touched-tuple
+    // rendering and readPartitions must use the SAME frame, or a
+    // non-UTC session zone shifts the comparison and misses rewrites
+    // (duplicate keys). Regression for the frame-mismatch review find.
+    val dir = tmp() + "/t"
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val base = Seq(
+        (1L, "a", 0, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "U"),
+        (2L, "b", 0, java.sql.Timestamp.valueOf("2024-03-02 12:00:00"), "U"))
+        .toDF("k", "v", "ver", "pts", "op")
+      LogTable.create(spark, dir, base, "pts")
+      // update k=1 in its EXISTING partition: the old copy must be
+      // removed — a frame mismatch would leave it live
+      LogTable.upsert(spark, dir,
+        Seq((1L, "a1", 1, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "U"))
+          .toDF("k", "v", "ver", "pts", "op"),
+        Seq("k"), Seq("ver"), "op")
+      val rows = LogTable.read(spark, dir).select("k", "v")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(rows == Seq((1L, "a1"), (2L, "b")),
+        s"duplicate or lost keys across the timestamp merge: $rows")
+      // precision: the OTHER day's file survived untouched (no blanket
+      // keep-everything rewrite), and readPartitions finds the updated
+      // day from both a Timestamp and a session-zone string value
+      val v2 = LogTable.snapshot(spark, dir)
+      assert(v2.files.exists(f => f.pmin == f.pmax &&
+        LogTable.readFiles(spark, dir, v2, Seq(f))
+          .filter($"k" === 2L).count() == 1L))
+      val byTs = LogTable.readPartitions(spark, dir,
+        Seq(java.sql.Timestamp.valueOf("2024-03-01 12:00:00")))
+      assert(byTs.select("v").as[String].collect().toSeq == Seq("a1"))
+      // a STRING value parses under the session zone — use the zone's
+      // own rendering of the stored instant, the true round-trip
+      val strVal = LogTable.read(spark, dir).filter($"k" === 1L)
+        .select(col("pts").cast("string")).head().getString(0)
+      val byStr = LogTable.readPartitions(spark, dir, Seq(strVal))
+      assert(byStr.select("v").as[String].collect().toSeq == Seq("a1"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
   test("version numbers are contended: the same version cannot commit twice") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
