@@ -652,14 +652,24 @@ object LogTable {
     */
   def table(spark: SparkSession, path: String,
             asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(fsRelation(spark, path, asOf), isStreaming = false))
+  }
+
+  /** The FileIndex-backed parquet relation behind [[table]] — shared with
+    * the `graft-logtable` batch provider, so `spark.read.format(...)` and
+    * the programmatic API can never plan differently.
+    */
+  private[sources] def fsRelation(
+      spark: SparkSession, path: String, asOf: Option[Long])
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val snap = snapshot(spark, path, asOf)
     val index = new LogTableFileIndex(spark, path, snap)
-    val relation = HadoopFsRelation(index, StructType(Nil), snap.schema,
+    HadoopFsRelation(index, StructType(Nil), snap.schema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
-    org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(relation, isStreaming = false))
   }
 
   /** File-level CHANGE FEED between two committed versions, off the log

@@ -153,13 +153,26 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
   override def toString: String = s"LogTableStreamSource[$path]"
 }
 
-/** `spark.readStream.format(classOf[LogTableSourceProvider].getName)
-  * .option("path", dir).load()` — V1 provider, no service registration
-  * needed (Spark resolves a fully-qualified provider class name).
+/** One provider string, both directions:
+  * `spark.readStream.format(classOf[LogTableSourceProvider].getName)
+  * .option("path", dir).load()` streams the change feed, and
+  * `spark.read.format(...)` (plus optional `versionAsOf`) reads a
+  * snapshot through the same FileIndex-backed relation as
+  * [[LogTable.table]] — identical pruning, vectorized reader, codegen.
+  * V1 provider; no service registration needed (Spark resolves a
+  * fully-qualified provider class name).
   */
-class LogTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class LogTableSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-logtable"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    LogTable.fsRelation(sqlContext.sparkSession, pathOf(parameters),
+      opt(parameters, "versionAsOf").map(_.toLong))
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }

@@ -122,6 +122,30 @@ class LogTableStreamSpec extends SparkSpec {
       LogTable.read(spark, dir).select("k").as[Long].collect().sorted.toSeq)
   }
 
+  test("the same provider serves batch reads with versionAsOf time travel") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.upsert(spark, dir,
+      Seq((9L, "n", 0, "p9", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    val now = spark.read.format(fmt).option("path", dir).load()
+    assert(now.orderBy("k").collect().toSeq ==
+      LogTable.read(spark, dir).orderBy("k").collect().toSeq)
+    // the batch path IS the FileIndex-backed relation — same pruning,
+    // same planning as LogTable.table (q133 pins the skip behavior)
+    val loc = now.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+    }
+    assert(loc.exists(_.isInstanceOf[LogTableFileIndex]))
+    val v1 = spark.read.format(fmt).option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(v1.count() == baseDf.count())
+    assert(now.filter($"p" === "p9").select("v")
+      .as[String].collect().toSeq == Seq("n"))
+  }
+
   test("startingVersion skips the prefix; expired commits fail loud") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
