@@ -599,6 +599,32 @@ object SourceQueries {
 
     // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
     // must reconstruct version 3 from version 1 EXACTLY —
+    // PREDICATE DELETE as one log transaction — the GDPR-class operation:
+    // stats plan the write set (only files whose ranges may hold a
+    // matching 1997 row are rewritten; every other file survives BY
+    // NAME), NULL-predicate rows survive, and the surviving state is
+    // restated by the oracle as `WHERE NOT (pred)` over raw orders.
+    // delete_ok pins the single committed version, that some files were
+    // spared AND some rewritten (a blanket table rewrite or a no-op both
+    // fail), making the skip claim part of the hash.
+    "q136_logtable_delete" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q136")
+      val base = ordersShaped(s, dir, withOdate = true)
+      graft.sources.LogTable.create(s, t, base,
+        Seq("o_year"), Seq("odate", "cents"))
+      val before = graft.sources.LogTable.snapshot(s, t)
+      val v = graft.sources.LogTable.deleteWhere(s, t,
+        col("o_year") === 1997 && col("cents") < 15000000L)
+      val after = graft.sources.LogTable.snapshot(s, t)
+      val afterNames = after.files.map(_.name).toSet
+      val spared = before.files.count(f => afterNames.contains(f.name))
+      val ok = v == 2L && spared > 0 && spared < before.files.size
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("delete_ok", lit(ok))
+    }),
+
     // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
     // (pinned by cdf_consistent via two exceptAll probes), and the
     // aggregate of the RECONSTRUCTION restates the final merged state
@@ -967,6 +993,21 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS files_skipped
         |FROM final
         |WHERE odate BETWEEN DATE '1997-03-01' AND DATE '1997-09-30'
+        |GROUP BY 1""".stripMargin,
+
+    // The survivors of the predicate delete, restated as WHERE NOT(pred)
+    // over raw orders; delete_ok (one commit, spared>0, rewrote>0)
+    // pinned TRUE.
+    "q136_logtable_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS delete_ok
+        |FROM base
+        |WHERE NOT (o_year = 1997 AND cents < 15000000)
         |GROUP BY 1""".stripMargin,
 
     // q129's restatement through the table() read path: same merged

@@ -534,6 +534,54 @@ object LogTable {
     readFiles(spark, path, snap, keep).filter(predicate)
   }
 
+  /** Predicate DELETE as one log transaction — the GDPR-class operation
+    * next to [[upsert]]'s merge. The rows where `predicate` is TRUE are
+    * removed; NULL-predicate rows SURVIVE (SQL `DELETE WHERE` semantics,
+    * not `filter`'s). Stats plan the write set exactly like [[readWhere]]
+    * plans the read set: only files whose per-file ranges MAY hold a
+    * matching row are rewritten (their non-matching rider rows carry
+    * through), every other file is untouched metadata — a selective
+    * delete on a 100 TB table costs the matching files, not a table
+    * rewrite. A delete the stats prove empty is a NO-OP: returns -1 and
+    * commits nothing. Emptied files are removed without replacement. The
+    * commit carries removes, so a change-feed stream treats it exactly
+    * like a merge rewrite (fails loud without `ignoreChanges`); row-level
+    * delete consumers use [[readChanges]]. A losing commit race retries
+    * against the winner's snapshot — re-deleting is idempotent, so the
+    * retry converges. Returns the committed version.
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val cj = analyzedConjuncts(spark, snap, predicate)
+      val victims = snap.files.filter(f =>
+        cj.forall(c => mayMatch(snap, f, c, zone)))
+      if (victims.isEmpty) return -1L
+      // NOT(coalesce(p, false)): keep rows where p is FALSE or NULL —
+      // a bare !p would silently delete every NULL-predicate row
+      val kept = readFiles(spark, path, snap, victims)
+        .filter(!coalesce(predicate, lit(false)))
+      val adds = writeDataFiles(spark, path, kept, snap.partitionCols,
+        snap.statsCols, bloomCols = snap.bloomCols)
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
+          bloomCols = snap.bloomCols)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** What a [[countWhere]] answered from: exact total, plus how many
     * files were DECIDED by the log alone (every row provably matches),
     * EXCLUDED (no row can match), or actually SCANNED.
@@ -1398,7 +1446,10 @@ object LogTable {
           max(v).cast("string").as(s"__max_$i"),
           count(col(c)).as(s"__nn_$i"))
       }
-    val stats = spark.read.parquet(tmp.toString)
+    // explicit schema: no footer inference, and a legitimately EMPTY
+    // write (deleteWhere emptying every victim file) still reads as an
+    // empty frame instead of failing schema inference
+    val stats = spark.read.schema(df.schema).parquet(tmp.toString)
       .select(col("_metadata.file_path").as("__f") +: tracked.map(col): _*)
       .groupBy(col("__f"))
       .agg(aggs.head, aggs.tail: _*)

@@ -783,6 +783,43 @@ class LogTableSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq == Seq("a1"))
   }
 
+  test("deleteWhere removes matching rows, spares NULL-predicate rows and untouched files") {
+    val dir = tmp() + "/t"
+    // enough rows + write parallelism that files come out single-partition
+    val base = (1L to 12L).map(k => (k,
+      if (k == 3L) None else Some(if (k <= 2L) 10L else 99L),
+      if (k <= 6L) "p1" else "p2")).toDF("k", "amt", "p")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val before = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("amt"))
+      LogTable.snapshot(spark, dir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val p2Files = before.files.filter(f => f.pmin == "p2" && f.pmax == "p2")
+    assert(p2Files.nonEmpty)
+    // delete amt < 50 in p1 only: k=1 goes, k=2 stays, k=3 (NULL amt)
+    // SURVIVES — SQL DELETE WHERE, not filter semantics
+    val v = LogTable.deleteWhere(spark, dir,
+      col("p") === "p1" && col("amt") < 50L)
+    assert(v == 2L)
+    val rows = LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(rows == (3L to 12L), s"got $rows")
+    // p2's files were never rewritten — same physical names survive
+    val after = LogTable.snapshot(spark, dir)
+    assert(p2Files.forall(f => after.files.exists(_.name == f.name)))
+    // a delete the stats PROVE empty is a no-op: no commit, no version
+    assert(LogTable.deleteWhere(spark, dir, col("amt") > 1000L) == -1L)
+    assert(LogTable.snapshot(spark, dir).version == 2L)
+    // whole-partition delete: victims empty out, no replacement files
+    val v3 = LogTable.deleteWhere(spark, dir, col("p") === "p2")
+    assert(v3 == 3L)
+    assert(LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == (3L to 6L))
+    assert(!LogTable.snapshot(spark, dir).files
+      .exists(f => f.pmin == "p2" && f.pmax == "p2"))
+  }
+
   test("timestamp partitions: victims match in UTC micros whatever the session zone") {
     // stats persist timestamp bounds as UTC micros; the touched-tuple
     // rendering and readPartitions must use the SAME frame, or a
