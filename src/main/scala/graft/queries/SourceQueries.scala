@@ -625,6 +625,34 @@ object SourceQueries {
         .withColumn("delete_ok", lit(ok))
     }),
 
+    // PREDICATE UPDATE — q136's sibling completing the CRUD triple
+    // (UPDATE / DELETE / MERGE): SET two columns where the predicate
+    // holds, stats-planned the same way (only may-match files rewritten,
+    // spared files survive by name), NULL/FALSE rows pass through
+    // byte-identical. The oracle restates the update as CASE WHEN over
+    // raw orders; update_ok pins one commit + spare-and-rewrite
+    // accounting into the hash.
+    "q137_logtable_update" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q137")
+      val base = ordersShaped(s, dir, withOdate = true)
+      graft.sources.LogTable.create(s, t, base,
+        Seq("o_year"), Seq("odate", "cents"))
+      val before = graft.sources.LogTable.snapshot(s, t)
+      val v = graft.sources.LogTable.updateWhere(s, t,
+        col("o_year") === 1997 && col("status") === "F",
+        Map("cents" -> expr("(cents * 110) div 100"),
+          "version" -> lit(1)))
+      val after = graft.sources.LogTable.snapshot(s, t)
+      val afterNames = after.files.map(_.name).toSet
+      val spared = before.files.count(f => afterNames.contains(f.name))
+      val ok = v == 2L && spared > 0 && spared < before.files.size
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("update_ok", lit(ok))
+    }),
+
     // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
     // (pinned by cdf_consistent via two exceptAll probes), and the
     // aggregate of the RECONSTRUCTION restates the final merged state
@@ -1008,6 +1036,24 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS delete_ok
         |FROM base
         |WHERE NOT (o_year = 1997 AND cents < 15000000)
+        |GROUP BY 1""".stripMargin,
+
+    // The predicate update restated as CASE WHEN over raw orders;
+    // update_ok (one commit, spared>0, rewrote>0) pinned TRUE.
+    "q137_logtable_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_year = 1997 AND status = 'F'
+        |                THEN (cents * 110) // 100 ELSE cents END)
+        |       AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN o_year = 1997 AND status = 'F'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS sum_version,
+        |  TRUE AS update_ok
+        |FROM base
         |GROUP BY 1""".stripMargin,
 
     // q129's restatement through the table() read path: same merged

@@ -550,6 +550,68 @@ object LogTable {
     * against the winner's snapshot — re-deleting is idempotent, so the
     * retry converges. Returns the committed version.
     */
+  /** Predicate UPDATE as one log transaction — SET the given columns on
+    * every row where `predicate` is TRUE (NULL/FALSE rows pass through
+    * untouched), planned exactly like [[deleteWhere]]: only files whose
+    * stats may hold a matching row are rewritten, a provably-empty
+    * update is a NO-OP (returns -1, commits nothing). Assignments cast to the
+    * column's declared type (standard SQL UPDATE coercion); assigning a
+    * PARTITION column fails loud — the pruned-merge contract fixes a
+    * key's partition value for the table's lifetime, so moving rows
+    * between partitions is a delete + insert, never an update. A losing
+    * race retries, but note UPDATE is only idempotent when `set` is
+    * (e.g. `cents = cents * 2` re-applies on retry against a winner
+    * that already contains this update's rows — the retry re-reads the
+    * WINNER's state, so self-referential sets stay correct; they are
+    * re-derived, not double-applied).
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  set: Map[String, Column], maxRetries: Int = 3): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val fs = fsOf(spark, path)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      set.keys.foreach { c =>
+        require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"log table $path: cannot update unknown column `$c`")
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: partition column `$c` is immutable under the " +
+            "pruned-merge contract — move rows with delete + insert")
+      }
+      val cj = analyzedConjuncts(spark, snap, predicate)
+      val victims = snap.files.filter(f =>
+        cj.forall(c => mayMatch(snap, f, c, zone)))
+      if (victims.isEmpty) return -1L
+      val hit = coalesce(predicate, lit(false))
+      val updated = readFiles(spark, path, snap, victims)
+        .select(snap.schema.fields.toIndexedSeq.map { f =>
+          set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
+            match {
+              case Some(expr) =>
+                when(hit, expr.cast(f.dataType)).otherwise(col(f.name))
+                  .as(f.name)
+              case None => col(f.name)
+            }
+        }: _*)
+      val adds = writeDataFiles(spark, path, updated, snap.partitionCols,
+        snap.statsCols, bloomCols = snap.bloomCols)
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
+          bloomCols = snap.bloomCols)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
                   maxRetries: Int = 3): Long = {
     val fs = fsOf(spark, path)

@@ -820,6 +820,36 @@ class LogTableSpec extends SparkSpec {
       .exists(f => f.pmin == "p2" && f.pmax == "p2"))
   }
 
+  test("updateWhere sets only matching rows, refuses partition-column assignments") {
+    val dir = tmp() + "/t"
+    val base = Seq(
+      (1L, 10L, "x", "p1"), (2L, 99L, "y", "p1"), (3L, 10L, "z", "p2"))
+      .toDF("k", "amt", "tag", "p")
+    LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("amt"))
+    val v = LogTable.updateWhere(spark, dir,
+      col("p") === "p1" && col("amt") < 50L,
+      Map("amt" -> (col("amt") * 2), "tag" -> lit("bumped")))
+    assert(v == 2L)
+    val rows = LogTable.read(spark, dir).select("k", "amt", "tag")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, 20L, "bumped"), (2L, 99L, "y"), (3L, 10L, "z")))
+    // stats-proven empty ⇒ no-op, no commit
+    assert(LogTable.updateWhere(spark, dir, col("amt") > 1000L,
+      Map("tag" -> lit("never"))) == -1L)
+    assert(LogTable.snapshot(spark, dir).version == 2L)
+    // partition values are immutable — fail loud, not a silent move
+    val e = intercept[IllegalArgumentException] {
+      LogTable.updateWhere(spark, dir, col("k") === 1L,
+        Map("p" -> lit("p9")))
+    }
+    assert(e.getMessage.contains("immutable"))
+    // unknown column fails loud (a typo must never no-op)
+    intercept[IllegalArgumentException] {
+      LogTable.updateWhere(spark, dir, col("k") === 1L,
+        Map("nope" -> lit(1)))
+    }
+  }
+
   test("timestamp partitions: victims match in UTC micros whatever the session zone") {
     // stats persist timestamp bounds as UTC micros; the touched-tuple
     // rendering and readPartitions must use the SAME frame, or a
