@@ -597,8 +597,6 @@ object SourceQueries {
         lit(r.excludedFiles > 0).as("excluded_some"))
     }),
 
-    // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
-    // must reconstruct version 3 from version 1 EXACTLY —
     // PREDICATE DELETE as one log transaction — the GDPR-class operation:
     // stats plan the write set (only files whose ranges may hold a
     // matching 1997 row are rewritten; every other file survives BY
@@ -653,6 +651,8 @@ object SourceQueries {
         .withColumn("update_ok", lit(ok))
     }),
 
+    // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
+    // must reconstruct version 3 from version 1 EXACTLY —
     // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
     // (pinned by cdf_consistent via two exceptAll probes), and the
     // aggregate of the RECONSTRUCTION restates the final merged state

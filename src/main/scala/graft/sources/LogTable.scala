@@ -534,71 +534,35 @@ object LogTable {
     readFiles(spark, path, snap, keep).filter(predicate)
   }
 
-  /** Predicate DELETE as one log transaction — the GDPR-class operation
-    * next to [[upsert]]'s merge. The rows where `predicate` is TRUE are
-    * removed; NULL-predicate rows SURVIVE (SQL `DELETE WHERE` semantics,
-    * not `filter`'s). Stats plan the write set exactly like [[readWhere]]
-    * plans the read set: only files whose per-file ranges MAY hold a
-    * matching row are rewritten (their non-matching rider rows carry
-    * through), every other file is untouched metadata — a selective
-    * delete on a 100 TB table costs the matching files, not a table
-    * rewrite. A delete the stats prove empty is a NO-OP: returns -1 and
-    * commits nothing. Emptied files are removed without replacement. The
-    * commit carries removes, so a change-feed stream treats it exactly
-    * like a merge rewrite (fails loud without `ignoreChanges`); row-level
-    * delete consumers use [[readChanges]]. A losing commit race retries
-    * against the winner's snapshot — re-deleting is idempotent, so the
-    * retry converges. Returns the committed version.
+  /** The shared scaffold of the predicate WRITE operations
+    * ([[deleteWhere]], [[updateWhere]]): plan the write set with the
+    * SAME stats pruning [[readWhere]] uses for the read set (only files
+    * whose per-file ranges MAY hold a matching row are rewritten, their
+    * non-matching rider rows carry through, every other file is
+    * untouched metadata), no-op without committing when the stats prove
+    * nothing matches, and on a losing commit race drop the invisible
+    * files and retry the whole rewrite against the winner's snapshot.
+    * `transform` turns the victim rows into their replacement and names
+    * the schema DDL the commit carries.
     */
-  /** Predicate UPDATE as one log transaction — SET the given columns on
-    * every row where `predicate` is TRUE (NULL/FALSE rows pass through
-    * untouched), planned exactly like [[deleteWhere]]: only files whose
-    * stats may hold a matching row are rewritten, a provably-empty
-    * update is a NO-OP (returns -1, commits nothing). Assignments cast to the
-    * column's declared type (standard SQL UPDATE coercion); assigning a
-    * PARTITION column fails loud — the pruned-merge contract fixes a
-    * key's partition value for the table's lifetime, so moving rows
-    * between partitions is a delete + insert, never an update. A losing
-    * race retries, but note UPDATE is only idempotent when `set` is
-    * (e.g. `cents = cents * 2` re-applies on retry against a winner
-    * that already contains this update's rows — the retry re-reads the
-    * WINNER's state, so self-referential sets stay correct; they are
-    * re-derived, not double-applied).
-    */
-  def updateWhere(spark: SparkSession, path: String, predicate: Column,
-                  set: Map[String, Column], maxRetries: Int = 3): Long = {
-    require(set.nonEmpty, "updateWhere needs at least one assignment")
+  private def rewriteWhere(spark: SparkSession, path: String,
+                           predicate: Column, maxRetries: Int)
+                          (transform: (Snapshot, DataFrame) => (DataFrame, String))
+      : Long = {
     val fs = fsOf(spark, path)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
-      set.keys.foreach { c =>
-        require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
-          s"log table $path: cannot update unknown column `$c`")
-        require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
-          s"log table $path: partition column `$c` is immutable under the " +
-            "pruned-merge contract — move rows with delete + insert")
-      }
       val cj = analyzedConjuncts(spark, snap, predicate)
       val victims = snap.files.filter(f =>
         cj.forall(c => mayMatch(snap, f, c, zone)))
       if (victims.isEmpty) return -1L
-      val hit = coalesce(predicate, lit(false))
-      val updated = readFiles(spark, path, snap, victims)
-        .select(snap.schema.fields.toIndexedSeq.map { f =>
-          set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
-            match {
-              case Some(expr) =>
-                when(hit, expr.cast(f.dataType)).otherwise(col(f.name))
-                  .as(f.name)
-              case None => col(f.name)
-            }
-        }: _*)
-      val adds = writeDataFiles(spark, path, updated, snap.partitionCols,
+      val (rewritten, ddl) = transform(snap, readFiles(spark, path, snap, victims))
+      val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols)
       try {
-        commit(spark, path, snap.version + 1, snap.schemaDdl,
+        commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols)
         return snap.version + 1
@@ -612,36 +576,83 @@ object LogTable {
     -1L // unreachable
   }
 
+  /** Predicate DELETE as one log transaction — the GDPR-class operation
+    * next to [[upsert]]'s merge. The rows where `predicate` is TRUE are
+    * removed; NULL-predicate rows SURVIVE (SQL `DELETE WHERE` semantics,
+    * not `filter`'s). Stats plan the write set ([[rewriteWhere]]) so a
+    * selective delete on a 100 TB table costs the matching files, not a
+    * table rewrite; a delete the stats prove empty is a NO-OP (returns
+    * -1, commits nothing); emptied files are removed without
+    * replacement. The commit carries removes, so a change-feed stream
+    * treats it exactly like a merge rewrite (fails loud without
+    * `ignoreChanges`); row-level delete consumers use [[readChanges]].
+    * A losing commit race retries against the winner's snapshot —
+    * re-deleting is idempotent, so the retry converges. Returns the
+    * committed version.
+    */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  maxRetries: Int = 3): Long = {
-    val fs = fsOf(spark, path)
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
-    var attempt = 0
-    while (true) {
-      val snap = snapshot(spark, path)
-      val cj = analyzedConjuncts(spark, snap, predicate)
-      val victims = snap.files.filter(f =>
-        cj.forall(c => mayMatch(snap, f, c, zone)))
-      if (victims.isEmpty) return -1L
+                  maxRetries: Int = 3): Long =
+    rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
       // NOT(coalesce(p, false)): keep rows where p is FALSE or NULL —
       // a bare !p would silently delete every NULL-predicate row
-      val kept = readFiles(spark, path, snap, victims)
-        .filter(!coalesce(predicate, lit(false)))
-      val adds = writeDataFiles(spark, path, kept, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols)
-      try {
-        commit(spark, path, snap.version + 1, snap.schemaDdl,
-          snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols)
-        return snap.version + 1
-      } catch {
-        case e: CommitConflictException =>
-          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
-          attempt += 1
-          if (attempt > maxRetries) throw e
-      }
+      (rows.filter(!coalesce(predicate, lit(false))), snap.schemaDdl)
     }
-    -1L // unreachable
+
+  /** Predicate UPDATE as one log transaction — SET the given columns on
+    * every row where `predicate` is TRUE (NULL/FALSE rows pass through
+    * untouched), planned exactly like [[deleteWhere]] (provably-empty
+    * update ⇒ NO-OP, returns -1). Assignments cast to the column's
+    * declared type under the session's cast semantics — ANSI by default
+    * in Spark 4, so an invalid cast fails the job loud instead of
+    * writing NULLs. An assignment that MAY produce NULLs (a nullable
+    * expression, `lit(null)`) flips the committed column nullable, the
+    * same discipline as [[upsert]]'s NULL-fill — the schema never lies
+    * about the data. Assigning a PARTITION column fails loud: the
+    * pruned-merge contract fixes a key's partition value for the
+    * table's lifetime, so moving rows between partitions is a delete +
+    * insert, never an update. A losing race retries against the
+    * winner's snapshot; self-referential sets (`cents = cents * 2`)
+    * stay correct because the retry re-reads and re-derives, never
+    * double-applies.
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  set: Map[String, Column], maxRetries: Int = 3): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
+      set.keys.foreach { c =>
+        require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"log table $path: cannot update unknown column `$c`")
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: partition column `$c` is immutable under the " +
+            "pruned-merge contract — move rows with delete + insert")
+      }
+      val hit = coalesce(predicate, lit(false))
+      def assigned(rel: DataFrame): DataFrame =
+        rel.select(snap.schema.fields.toIndexedSeq.map { f =>
+          set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
+            match {
+              case Some(expr) =>
+                when(hit, expr.cast(f.dataType)).otherwise(col(f.name))
+                  .as(f.name)
+              case None => col(f.name)
+            }
+        }: _*)
+      // a NULL-capable assignment makes the column's data nullable — the
+      // committed DDL must say so. Nullability comes from analyzing the
+      // assignments over the DECLARED schema (an empty local shell), not
+      // the scanned frame: a parquet scan reports every column nullable,
+      // which would wrongly demote NOT NULL on every update
+      val probe = assigned(
+        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema))
+      val outSchema = StructType(snap.schema.fields.map { f =>
+        if (set.keys.exists(_.equalsIgnoreCase(f.name)) && !f.nullable &&
+            probe.schema.fields
+              .find(_.name.equalsIgnoreCase(f.name)).exists(_.nullable))
+          f.copy(nullable = true)
+        else f
+      })
+      (assigned(rows), outSchema.toDDL)
+    }
   }
 
   /** What a [[countWhere]] answered from: exact total, plus how many

@@ -848,6 +848,14 @@ class LogTableSpec extends SparkSpec {
       LogTable.updateWhere(spark, dir, col("k") === 1L,
         Map("nope" -> lit(1)))
     }
+    // a NULL-capable assignment flips the committed column nullable —
+    // the schema must never declare NOT NULL over data holding NULLs
+    assert(!LogTable.snapshot(spark, dir).schema("amt").nullable)
+    assert(LogTable.updateWhere(spark, dir, col("k") === 2L,
+      Map("amt" -> lit(null))) == 3L)
+    assert(LogTable.snapshot(spark, dir).schema("amt").nullable)
+    assert(LogTable.read(spark, dir).filter($"k" === 2L)
+      .select("amt").head().isNullAt(0))
   }
 
   test("timestamp partitions: victims match in UTC micros whatever the session zone") {
