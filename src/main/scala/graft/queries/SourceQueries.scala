@@ -651,6 +651,103 @@ object SourceQueries {
         .withColumn("update_ok", lit(ok))
     }),
 
+    // DELETION VECTORS — q136's predicate delete WITHOUT rewriting a
+    // single data file: matched row positions land in sidecar vectors,
+    // the data files stay byte-identical on disk, and a second
+    // overlapping delete copy-forwards the vectors. dv_ok pins two
+    // committed versions, ZERO new data files written (every after-file
+    // name existed before), untouched partitions surviving vector-free,
+    // and at least one live vector. The read restates the survivors
+    // from raw orders with both predicates negated under SQL DELETE
+    // semantics — a vector that misses a row, double-kills one, or
+    // leaks through any read path is hash-red.
+    "q138_logtable_dv_delete" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q138")
+      val base = ordersShaped(s, dir, withOdate = true)
+      graft.sources.LogTable.create(s, t, base,
+        Seq("o_year"), Seq("odate", "cents"))
+      val before = graft.sources.LogTable.snapshot(s, t)
+      val v1 = graft.sources.LogTable.deleteWhere(s, t,
+        col("o_year") === 1997 && col("cents") < 15000000L,
+        deletionVectors = true)
+      val v2 = graft.sources.LogTable.deleteWhere(s, t,
+        col("o_year") === 1997 && col("cents") >= 40000000L,
+        deletionVectors = true)
+      val after = graft.sources.LogTable.snapshot(s, t)
+      val beforeNames = before.files.map(_.name).toSet
+      val noNewData = after.files.forall(f => beforeNames.contains(f.name))
+      val untouchedClean = after.files
+        .filter(f => f.pmin != "1997" && f.pmax != "1997")
+        .forall(_.dv.isEmpty)
+      val ok = v1 == 2L && v2 == 3L && noNewData && untouchedClean &&
+        after.files.exists(_.dv.isDefined)
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("dv_ok", lit(ok))
+    }),
+
+    // DV UPDATE — q137's predicate update in Delta's deletion-vector
+    // shape: ONLY the matched rows are rewritten (into fresh files);
+    // their old positions die by vector; rider rows are never copied.
+    // update_dv_ok pins one commit, at least one vector, at least one
+    // fresh data file, and every non-1997 file surviving by name
+    // vector-free. The oracle restates the update as CASE WHEN over raw
+    // orders — identical to q137's, proving both write strategies meet
+    // at the same answer through a different physical plan.
+    "q139_logtable_dv_update" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q139")
+      val base = ordersShaped(s, dir, withOdate = true)
+      graft.sources.LogTable.create(s, t, base,
+        Seq("o_year"), Seq("odate", "cents"))
+      val before = graft.sources.LogTable.snapshot(s, t)
+      val v = graft.sources.LogTable.updateWhere(s, t,
+        col("o_year") === 1997 && col("status") === "F",
+        Map("cents" -> expr("(cents * 110) div 100"),
+          "version" -> lit(1)),
+        deletionVectors = true)
+      val after = graft.sources.LogTable.snapshot(s, t)
+      val beforeNames = before.files.map(_.name).toSet
+      val fresh = after.files.filter(f => !beforeNames.contains(f.name))
+      val untouchedClean = after.files
+        .filter(f => f.pmin != "1997" && f.pmax != "1997")
+        .forall(f => f.dv.isEmpty && beforeNames.contains(f.name))
+      val ok = v == 2L && after.files.exists(_.dv.isDefined) &&
+        fresh.nonEmpty && fresh.forall(_.dv.isEmpty) && untouchedClean
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("update_dv_ok", lit(ok))
+    }),
+
+    // RESTORE — the metadata-only undo: a merge (v2) and a predicate
+    // delete (v3) land on the table, then restore(1) re-points the live
+    // set at version 1 AS version 4, no data read or written. The
+    // aggregate must equal RAW orders exactly (the oracle never applies
+    // the merge or the delete), while restore_ok pins that history
+    // survived: the restored table is at v4, and the undone v3 state is
+    // still time-travelable with its delete applied. A restore that
+    // leaks a v2/v3 row, loses one, or rewrites history is hash-red.
+    "q140_logtable_restore" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q140")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, t, base, Seq("o_year"), Seq("cents"))
+      graft.sources.LogTable.upsert(s, t,
+        ordersUpdDel(base, col("o_year") === 1997),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      graft.sources.LogTable.deleteWhere(s, t,
+        col("o_year") === 1998 && col("cents") < 10000000L): Unit
+      val v = graft.sources.LogTable.restore(s, t, 1L)
+      val restoredAt3 = graft.sources.LogTable.read(s, t, asOf = Some(3L))
+        .filter(col("o_year") === 1998 && col("cents") < 10000000L).count()
+      val ok = v == 4L && restoredAt3 == 0L
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("restore_ok", lit(ok))
+    }),
+
     // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
     // must reconstruct version 3 from version 1 EXACTLY —
     // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
@@ -1053,6 +1150,52 @@ object SourceQueries {
         |  CAST(sum(CASE WHEN o_year = 1997 AND status = 'F'
         |                THEN 1 ELSE 0 END) AS BIGINT) AS sum_version,
         |  TRUE AS update_ok
+        |FROM base
+        |GROUP BY 1""".stripMargin,
+
+    // The survivors of BOTH vector deletes, restated as negated
+    // predicates over raw orders; dv_ok pinned TRUE.
+    "q138_logtable_dv_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS dv_ok
+        |FROM base
+        |WHERE NOT (o_year = 1997 AND cents < 15000000)
+        |  AND NOT (o_year = 1997 AND cents >= 40000000)
+        |GROUP BY 1""".stripMargin,
+
+    // q137's CASE restatement — the DV write strategy must meet the
+    // rewrite strategy at the same answer; update_dv_ok pinned TRUE.
+    "q139_logtable_dv_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_year = 1997 AND status = 'F'
+        |                THEN (cents * 110) // 100 ELSE cents END)
+        |       AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN o_year = 1997 AND status = 'F'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS sum_version,
+        |  TRUE AS update_dv_ok
+        |FROM base
+        |GROUP BY 1""".stripMargin,
+
+    // After restore(1), the table IS raw orders again — the oracle
+    // applies neither the merge nor the delete; restore_ok pinned TRUE.
+    "q140_logtable_restore" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS restore_ok
         |FROM base
         |GROUP BY 1""".stripMargin,
 

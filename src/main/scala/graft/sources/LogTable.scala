@@ -76,6 +76,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    itself consumes (keys, order, op, partitions) must always be
   *    physically present in the batch.
   *
+  *  - **Deletion vectors** (opt-in per call): `deleteWhere`/`updateWhere`
+  *    with `deletionVectors = true` mark matched row POSITIONS in small
+  *    sidecar files instead of rewriting every may-match data file — a
+  *    selective delete on a 100 TB table costs O(matched rows), the data
+  *    files stay byte-identical, and every read path applies the vectors
+  *    (one anti-join, usually broadcast). [[compactPartitions]] and
+  *    [[purgeDeletes]] materialize them away.
+  *  - **Restore**: [[restore]] re-points the live set at an earlier
+  *    version as a NEW commit — metadata-only undo with history intact.
+  *
   * Log growth is handled the standard way: [[checkpoint]] writes a full
   * snapshot file at the current version, [[snapshot]] replays from the
   * newest checkpoint at-or-before the requested version instead of from
@@ -94,16 +104,30 @@ object LogTable {
     */
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
 
+  /** A data file's DELETION VECTOR: `name` is the sidecar parquet file
+    * (table-rooted, `(file, row_index)` rows) holding the COMPLETE set of
+    * this file's logically-deleted row positions — copy-forward: a later
+    * DV transaction touching the file writes a new sidecar carrying the
+    * union, so one pointer is always authoritative. `deleted` is that
+    * set's exact cardinality (live rows = `LogFile.rows − deleted`).
+    */
+  final case class DvDescriptor(name: String, deleted: Long)
+
   /** One live data file: table-rooted name, the LEADING partition
     * column's value range (pmin==pmax ⇒ single-partition file), exact
     * rows, bytes, and per-column stats for every tracked column
     * (partition columns + declared statsCols). `stats` is empty on files
     * committed by a pre-stats writer — they are kept (never wrongly
-    * pruned) by every skipping path.
+    * pruned) by every skipping path. `rows`, `bytes` and `stats` are
+    * PHYSICAL (the immutable file's) even when `dv` marks rows deleted —
+    * still sound for may-match pruning (an over-approximation only ever
+    * KEEPS files); exact-count paths must treat a DV'd file as
+    * undecidable (see [[countWhere]]).
     */
   final case class LogFile(name: String, pmin: String, pmax: String,
                            rows: Long, bytes: Long,
-                           stats: Map[String, ColStats] = Map.empty)
+                           stats: Map[String, ColStats] = Map.empty,
+                           dv: Option[DvDescriptor] = None)
 
   final case class Snapshot(version: Long, schemaDdl: String,
                             partitionCols: Seq[String],
@@ -292,9 +316,14 @@ object LogTable {
           }
           b.result()
         } else Map.empty[String, ColStats]
+      val dv =
+        if (a.hasNonNull("dv")) {
+          val d = a.get("dv")
+          Some(DvDescriptor(d.get("name").asText(), d.get("deleted").asLong()))
+        } else None
       adds += LogFile(a.get("name").asText(), a.get("pmin").asText(),
         a.get("pmax").asText(), a.get("rows").asLong(),
-        a.get("bytes").asLong(), stats)
+        a.get("bytes").asLong(), stats, dv)
     }
     ParsedCommit(node.get("version").asLong(), node.get("schema").asText(),
       pcols, scols, adds.result(), removes.result(),
@@ -591,8 +620,10 @@ object LogTable {
     * committed version.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  maxRetries: Int = 3): Long =
-    rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
+                  maxRetries: Int = 3,
+                  deletionVectors: Boolean = false): Long =
+    if (deletionVectors) dvMarkWhere(spark, path, predicate, maxRetries, None)
+    else rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
       // NOT(coalesce(p, false)): keep rows where p is FALSE or NULL —
       // a bare !p would silently delete every NULL-predicate row
       (rows.filter(!coalesce(predicate, lit(false))), snap.schemaDdl)
@@ -616,16 +647,13 @@ object LogTable {
     * double-applies.
     */
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
-                  set: Map[String, Column], maxRetries: Int = 3): Long = {
+                  set: Map[String, Column], maxRetries: Int = 3,
+                  deletionVectors: Boolean = false): Long = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
+    if (deletionVectors)
+      return dvMarkWhere(spark, path, predicate, maxRetries, Some(set))
     rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
-      set.keys.foreach { c =>
-        require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
-          s"log table $path: cannot update unknown column `$c`")
-        require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
-          s"log table $path: partition column `$c` is immutable under the " +
-            "pruned-merge contract — move rows with delete + insert")
-      }
+      validateAssignments(path, snap, set)
       val hit = coalesce(predicate, lit(false))
       def assigned(rel: DataFrame): DataFrame =
         rel.select(snap.schema.fields.toIndexedSeq.map { f =>
@@ -637,22 +665,264 @@ object LogTable {
               case None => col(f.name)
             }
         }: _*)
-      // a NULL-capable assignment makes the column's data nullable — the
-      // committed DDL must say so. Nullability comes from analyzing the
-      // assignments over the DECLARED schema (an empty local shell), not
-      // the scanned frame: a parquet scan reports every column nullable,
-      // which would wrongly demote NOT NULL on every update
-      val probe = assigned(
-        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema))
-      val outSchema = StructType(snap.schema.fields.map { f =>
-        if (set.keys.exists(_.equalsIgnoreCase(f.name)) && !f.nullable &&
-            probe.schema.fields
-              .find(_.name.equalsIgnoreCase(f.name)).exists(_.nullable))
-          f.copy(nullable = true)
-        else f
-      })
-      (assigned(rows), outSchema.toDDL)
+      (assigned(rows), widenedDdl(spark, snap, set, assigned))
     }
+  }
+
+  private def validateAssignments(path: String, snap: Snapshot,
+                                  set: Map[String, Column]): Unit =
+    set.keys.foreach { c =>
+      require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"log table $path: cannot update unknown column `$c`")
+      require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"log table $path: partition column `$c` is immutable under the " +
+          "pruned-merge contract — move rows with delete + insert")
+    }
+
+  /** The committed DDL after `set` lands: a NULL-capable assignment makes
+    * the column's data nullable and the schema must say so. Nullability
+    * comes from analyzing the assignments over the DECLARED schema (an
+    * empty local shell), not the scanned frame — a parquet scan reports
+    * every column nullable, which would wrongly demote NOT NULL on every
+    * update.
+    */
+  private def widenedDdl(spark: SparkSession, snap: Snapshot,
+                         set: Map[String, Column],
+                         assigned: DataFrame => DataFrame): String = {
+    val probe = assigned(emptyDf(spark, snap.schema))
+    StructType(snap.schema.fields.map { f =>
+      if (set.keys.exists(_.equalsIgnoreCase(f.name)) && !f.nullable &&
+          probe.schema.fields
+            .find(_.name.equalsIgnoreCase(f.name)).exists(_.nullable))
+        f.copy(nullable = true)
+      else f
+    }).toDDL
+  }
+
+  /** The DELETION-VECTOR write transaction behind
+    * `deleteWhere(deletionVectors = true)` and
+    * `updateWhere(deletionVectors = true)` — the move that makes a
+    * SELECTIVE delete/update on a 100 TB table cost O(matching rows)
+    * instead of O(touched files): rather than rewriting every file whose
+    * stats MAY hold a match (dragging the non-matching rider rows
+    * through a full rewrite), the matched rows' physical positions are
+    * recorded in per-file deletion vectors and the data files stay
+    * byte-identical on disk. The transaction:
+    *
+    *  1. stats-plans the victim set exactly like [[readWhere]];
+    *  2. scans ONLY the victims (with their existing vectors applied, so
+    *     an already-deleted row can never re-match) and collects the
+    *     matched positions;
+    *  3. a file whose every live row matched is REMOVED outright (no
+    *     vector needed); a partially-matched file is re-committed with
+    *     an extended vector (copy-forward union into ONE new sidecar);
+    *     an unmatched victim (stats false positive) is untouched;
+    *  4. UPDATE mode additionally writes the matched rows — transformed —
+    *     as fresh data files (Delta's DV-update shape: old positions die
+    *     by vector, new values live in new files);
+    *  5. one commit publishes it all; a losing race drops the invisible
+    *     sidecar/files and retries against the winner's snapshot.
+    *
+    * A provably-empty predicate (or one matching no LIVE row) commits
+    * NOTHING and returns -1. Read-side cost of an accumulated vector is
+    * one (usually broadcast) anti-join; [[compactPartitions]] and
+    * [[purgeDeletes]] materialize vectors away. The rewrite paths remain
+    * the right tool for deletes big enough that most of a file dies.
+    */
+  private def dvMarkWhere(spark: SparkSession, path: String,
+                          predicate: Column, maxRetries: Int,
+                          set: Option[Map[String, Column]]): Long = {
+    val fs = fsOf(spark, path)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      set.foreach(s => validateAssignments(path, snap, s))
+      def applySet(s: Map[String, Column])(rel: DataFrame): DataFrame =
+        rel.select(snap.schema.fields.toIndexedSeq.map { f =>
+          s.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
+            match {
+              case Some(e) => e.cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+        }: _*)
+      val cj = analyzedConjuncts(spark, snap, predicate)
+      val victims = snap.files.filter(f =>
+        cj.forall(c => mayMatch(snap, f, c, zone)))
+      if (victims.isEmpty) return -1L
+      // the victims' LIVE rows with their physical positions attached
+      val raw = withDvHelpers(spark.read.schema(snap.schema)
+        .parquet(victims.map(f => new Path(path, f.name).toString): _*))
+      val live = antiJoinDv(raw, dvPairs(spark, path, victims),
+        victims.iterator.flatMap(_.dv).map(_.deleted).sum,
+        dropHelpers = false)
+      val hit = live.filter(coalesce(predicate, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val marked = hit.select(col("__gdv_file").as("file"),
+          col("__gdv_idx").as("row_index"))
+        val perFile = marked.groupBy(col("file")).count()
+          .collect() // bounded: one row per victim file
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (perFile.isEmpty) return -1L
+        val affected = victims.filter(f => perFile.contains(f.name))
+        def newDeleted(f: LogFile): Long =
+          perFile(f.name) + f.dv.map(_.deleted).getOrElse(0L)
+        val (fully, partial) = affected.partition(f => newDeleted(f) == f.rows)
+        val _ = fully // removed without replacement — no vector to carry
+        // ONE new sidecar holds every partial file's COMPLETE new vector
+        // (old rows copied forward + this transaction's marks)
+        val sidecar: Option[String] =
+          if (partial.isEmpty) None
+          else {
+            val names = partial.map(_.name)
+            Some(writeDvFile(spark, path,
+              dvPairs(spark, path, partial)
+                .unionByName(marked.filter(col("file").isin(names: _*)))
+                .distinct()))
+          }
+        // UPDATE mode: matched rows, transformed, land in fresh files
+        val newFiles: Seq[LogFile] = set match {
+          case Some(s) =>
+            writeDataFiles(spark, path,
+              applySet(s)(hit.drop("__gdv_file", "__gdv_idx")),
+              snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
+          case None => Nil
+        }
+        val ddl = set match {
+          // unconditional probe: every rewritten row applies the expr
+          case Some(s) => widenedDdl(spark, snap, s, applySet(s))
+          case None => snap.schemaDdl
+        }
+        val adds = newFiles ++ partial.map(f =>
+          f.copy(dv = Some(DvDescriptor(sidecar.get, newDeleted(f)))))
+        try {
+          commit(spark, path, snap.version + 1, ddl, snap.partitionCols,
+            snap.statsCols, adds, affected.map(_.name),
+            bloomCols = snap.bloomCols)
+          return snap.version + 1
+        } catch {
+          case e: CommitConflictException =>
+            sidecar.foreach(n => fs.delete(new Path(path, n), false): Unit)
+            newFiles.foreach(a =>
+              fs.delete(new Path(path, a.name), false): Unit)
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      } finally { hit.unpersist(): Unit }
+    }
+    -1L // unreachable
+  }
+
+  /** Persist one transaction's deletion-vector rows as a single sidecar
+    * parquet file in the table root (invisible until a commit references
+    * it), sorted by (file, row_index) for run-length-friendly encoding.
+    * One file BY DESIGN: a vector's size is O(marked rows), and the DV
+    * path's contract is selective deletes — a delete big enough to
+    * produce an oversized vector wants the rewrite path (or ends in
+    * full-file drops, which need no vector at all).
+    */
+  private def writeDvFile(spark: SparkSession, path: String,
+                          pairs: DataFrame): String = {
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path,
+      "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    pairs.repartition(1).sortWithinPartitions(col("file"), col("row_index"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).iterator.map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(s"no parquet output under $tmp"))
+    val name = "dv-" + java.util.UUID.randomUUID().toString.take(12) + ".parquet"
+    if (!fs.rename(part, new Path(path, name)))
+      throw new java.io.IOException(s"rename $part -> $name failed")
+    fs.delete(tmp, true): Unit
+    name
+  }
+
+  /** Materialize every deletion vector: rewrite each DV'd file's LIVE
+    * rows into fresh files and drop the vectors (Delta's
+    * `REORG ... APPLY (PURGE)`). `dataChange = false` — the marked rows
+    * were already logically gone, so change-feed consumers skip the
+    * commit. Re-enables the bare-relation provider read. Returns the new
+    * version, or -1 when no live file carries a vector.
+    */
+  def purgeDeletes(spark: SparkSession, path: String,
+                   maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val victims = snap.files.filter(_.dv.isDefined)
+      if (victims.isEmpty) return -1L
+      val adds = writeDataFiles(spark, path,
+        readFiles(spark, path, snap, victims),
+        snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
+          dataChange = false, bloomCols = snap.bloomCols)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** RESTORE the table to an earlier version AS A NEW COMMIT — the
+    * operational undo for a bad merge/delete: metadata-only (no data
+    * read or written), the commit re-points the live set, schema, and
+    * layout at `toVersion`'s, and HISTORY IS PRESERVED — the bad
+    * versions stay time-travelable until expiry, unlike resetting the
+    * log. Every re-added file (and sidecar) must still exist on disk: a
+    * vacuum that reclaimed them breaks restore, and it fails LOUD here —
+    * never at some later scan. Cost is O(changed entries) metadata plus
+    * one existence probe per re-added file. Returns the new version, or
+    * -1 when the live state already equals the target's.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+              maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val cur = snapshot(spark, path)
+      require(toVersion >= 1 && toVersion <= cur.version,
+        s"log table $path: cannot restore to $toVersion " +
+          s"(current version ${cur.version})")
+      if (toVersion == cur.version) return -1L
+      val target = snapshot(spark, path, Some(toVersion))
+      def ident(f: LogFile) = (f.name, f.dv.map(_.name))
+      val curIds = cur.files.map(ident).toSet
+      val targetIds = target.files.map(ident).toSet
+      val adds = target.files.filterNot(f => curIds.contains(ident(f)))
+      val removes =
+        cur.files.filterNot(f => targetIds.contains(ident(f))).map(_.name)
+      if (adds.isEmpty && removes.isEmpty &&
+          target.schemaDdl == cur.schemaDdl &&
+          target.partitionCols == cur.partitionCols &&
+          target.statsCols == cur.statsCols &&
+          target.bloomCols == cur.bloomCols) return -1L
+      val missing = adds.flatMap(f => f.name +: f.dv.map(_.name).toList)
+        .distinct.filterNot(n => fs.exists(new Path(path, n)))
+      require(missing.isEmpty,
+        s"log table $path: cannot restore to $toVersion — ${missing.size} " +
+          s"file(s) already reclaimed by vacuum " +
+          s"(e.g. ${missing.take(3).mkString(", ")})")
+      try {
+        commit(spark, path, cur.version + 1, target.schemaDdl,
+          target.partitionCols, target.statsCols, adds, removes,
+          bloomCols = target.bloomCols)
+        return cur.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** What a [[countWhere]] answered from: exact total, plus how many
@@ -681,8 +951,12 @@ object LogTable {
     val cj = analyzedConjuncts(spark, snap, predicate)
     val (possible, excluded) = snap.files.partition(f =>
       cj.forall(c => mayMatch(snap, f, c, zone)))
+    // a DV'd file is never metadata-decided: its stats and row count are
+    // PHYSICAL, and some physical rows are logically gone — exclusion
+    // stays sound (no physical row matches ⇒ no live row does), but an
+    // all-rows proof would count deleted rows, so those files scan
     val (decided, scan) = possible.partition(f =>
-      cj.forall(c => mustMatch(snap, f, c, zone)))
+      f.dv.isEmpty && cj.forall(c => mustMatch(snap, f, c, zone)))
     val scanned =
       if (scan.isEmpty) 0L
       else readFiles(spark, path, snap, scan).filter(predicate).count()
@@ -774,20 +1048,43 @@ object LogTable {
   def table(spark: SparkSession, path: String,
             asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(fsRelation(spark, path, asOf), isStreaming = false))
+    val snap = snapshot(spark, path, asOf)
+    val rel = org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(fsRelationFor(spark, path, snap), isStreaming = false))
+    val dved = snap.files.filter(_.dv.isDefined)
+    if (dved.isEmpty) rel
+    else
+      // DELETION VECTORS compose with the relation read: one anti-join
+      // against the (file, row_index) pairs over the whole scan — rows
+      // from un-DV'd files can't match any pair and pass untouched, and
+      // Catalyst still pushes data-column filters below the join into
+      // the FileIndex (left side of a left-anti join)
+      antiJoinDv(withDvHelpers(rel), dvPairs(spark, path, dved),
+        dved.iterator.map(_.dv.get.deleted).sum)
   }
 
   /** The FileIndex-backed parquet relation behind [[table]] — shared with
     * the `graft-logtable` batch provider, so `spark.read.format(...)` and
-    * the programmatic API can never plan differently.
+    * the programmatic API can never plan differently. The bare relation
+    * cannot apply deletion vectors (a `BaseRelation` is just the scan),
+    * so a snapshot carrying any fails LOUD here — provider readers hit
+    * this; [[table]]/[[read]] apply vectors above the scan instead.
     */
   private[sources] def fsRelation(
       spark: SparkSession, path: String, asOf: Option[Long])
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val snap = snapshot(spark, path, asOf)
+    require(snap.files.forall(_.dv.isEmpty),
+      s"log table $path: snapshot ${snap.version} carries deletion " +
+        "vectors, which a bare relation cannot apply — read via " +
+        "LogTable.read/table, or materialize them first (purgeDeletes)")
+    fsRelationFor(spark, path, snap)
+  }
+
+  private def fsRelationFor(spark: SparkSession, path: String, snap: Snapshot)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val snap = snapshot(spark, path, asOf)
     val index = new LogTableFileIndex(spark, path, snap)
     HadoopFsRelation(index, StructType(Nil), snap.schema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
@@ -819,10 +1116,16 @@ object LogTable {
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val from = snapshot(spark, path, Some(fromVersion))
     val to = snapshot(spark, path, Some(toVersion))
-    val fromNames = from.files.map(_.name).toSet
-    val toNames = to.files.map(_.name).toSet
-    val inserted = to.files.filterNot(f => fromNames.contains(f.name))
-    val removed = from.files.filterNot(f => toNames.contains(f.name))
+    // identity = (file, deletion-vector pointer): a DV transaction keeps
+    // the data file but changes its LIVE row set, so the old entry's live
+    // rows stream as deletes and the new entry's as inserts — the
+    // reconstruction identity holds because readFiles applies each
+    // entry's OWN vector
+    def ident(f: LogFile) = (f.name, f.dv.map(_.name))
+    val fromIds = from.files.map(ident).toSet
+    val toIds = to.files.map(ident).toSet
+    val inserted = to.files.filterNot(f => fromIds.contains(ident(f)))
+    val removed = from.files.filterNot(f => toIds.contains(ident(f)))
     readFiles(spark, path, to, inserted)
       .withColumn("_change_type", lit("insert"))
       .unionByName(readFiles(spark, path, to, removed)
@@ -1088,7 +1391,8 @@ object LogTable {
     */
   def vacuum(spark: SparkSession, path: String, olderThanMs: Long): Int = {
     val fs = fsOf(spark, path)
-    val live = snapshot(spark, path).files.map(_.name).toSet
+    val live = snapshot(spark, path).files
+      .flatMap(f => f.name +: f.dv.map(_.name).toList).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val deadData = fs.listStatus(new Path(path)).iterator.filter { st =>
       st.getModificationTime < cutoff && {
@@ -1443,14 +1747,79 @@ object LogTable {
 
   // -------------------------------------------------------------- internals
 
+  /** Sidecar schema: which data file, which row position (the parquet
+    * scan's `_metadata.row_index` — stable forever because data files
+    * are write-once).
+    */
+  private val DvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("row_index", LongType, nullable = false)))
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  /** The deleted (file, row_index) pairs across `entries`' deletion
+    * vectors. Each referenced sidecar is read ONCE, filtered to the data
+    * files whose entry points at IT — an older sidecar may still carry a
+    * file's superseded (subset) rows for a file now pointing elsewhere;
+    * the entry's pointer, not a sidecar's content, is authoritative.
+    */
+  private def dvPairs(spark: SparkSession, path: String,
+                      entries: Seq[LogFile]): DataFrame = {
+    val bySidecar = entries
+      .flatMap(f => f.dv.map(d => d.name -> f.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    if (bySidecar.isEmpty) emptyDf(spark, DvSchema)
+    else bySidecar.map { case (sc, names) =>
+      spark.read.schema(DvSchema).parquet(new Path(path, sc).toString)
+        .filter(col("file").isin(names: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Anti-join `data` (which must carry `__gdv_file`/`__gdv_idx` helper
+    * columns) against the DV pairs, dropping survivors' helpers. The DV
+    * side broadcasts when its exact cardinality (the log knows it) says
+    * it fits comfortably; a pathologically large vector degrades to a
+    * shuffle join, never an OOM.
+    */
+  private def antiJoinDv(data: DataFrame, dv: DataFrame, dvRows: Long,
+                         dropHelpers: Boolean = true): DataFrame = {
+    val side = if (dvRows * 64L < (256L << 20)) broadcast(dv) else dv
+    val joined = data.join(side,
+      data("__gdv_file") === side("file") &&
+        data("__gdv_idx") === side("row_index"), "left_anti")
+    if (dropHelpers) joined.drop("__gdv_file", "__gdv_idx") else joined
+  }
+
+  /** Attach the DV helper columns: the scan's own file name + row index. */
+  private def withDvHelpers(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      substring_index(col("_metadata.file_path"), "/", -1).as("__gdv_file"),
+      col("_metadata.row_index").as("__gdv_idx"))
+
+  /** Read `files` under `snap.schema`, applying each entry's OWN deletion
+    * vector: files without a DV scan straight through the vectorized
+    * reader; DV'd files additionally materialize `_metadata` row
+    * positions and anti-join the (small, usually broadcast) deleted-pair
+    * set. Plans only what it must — a snapshot with no DVs costs exactly
+    * what it did before DVs existed.
+    */
   private[sources] def readFiles(spark: SparkSession, path: String,
                                  snap: Snapshot,
-                                 files: Seq[LogFile]): DataFrame =
-    if (files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
-    else
+                                 files: Seq[LogFile]): DataFrame = {
+    def raw(fs: Seq[LogFile]): DataFrame =
       spark.read.schema(snap.schema)
-        .parquet(files.map(f => new Path(path, f.name).toString): _*)
+        .parquet(fs.map(f => new Path(path, f.name).toString): _*)
+    val (dved, plain) = files.partition(_.dv.isDefined)
+    val plainDf =
+      if (plain.isEmpty) emptyDf(spark, snap.schema) else raw(plain)
+    if (dved.isEmpty) plainDf
+    else {
+      val filtered = antiJoinDv(withDvHelpers(raw(dved)),
+        dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum)
+      if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
+    }
+  }
 
   /** Write `df` once as parquet files directly referenced by the log:
     * land in a scratch dir, collect per-file stats (partition bounds,
@@ -1596,6 +1965,11 @@ object LogTable {
                         case None => o.putNull("max"): Unit }
           o.put("nulls", s.nulls): Unit
         }
+      }
+      f.dv.foreach { d =>
+        val o = n.putObject("dv")
+        o.put("name", d.name): Unit
+        o.put("deleted", d.deleted): Unit
       }
     }
     val rArr = root.putArray("removes")

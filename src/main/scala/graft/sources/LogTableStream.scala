@@ -122,6 +122,13 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
             "carry unchanged rider rows alongside the real changes; set " +
             "ignoreChanges=true and fold latest-wins by key downstream, " +
             "or consume LogTable.readChanges for row-level deletes")
+        // a deletion-vector commit keeps the file but kills rows INSIDE
+        // it — a file feed cannot represent that (the raw scan would
+        // re-emit the dead rows), and no option opts into wrong data
+        require(c.adds.forall(_.dv.isEmpty),
+          s"log table $path: commit $v attached deletion vectors; a file " +
+            "stream cannot apply row-level deletes — consume " +
+            "LogTable.readChanges (or purgeDeletes + restart)")
         emit += ((v, c.adds))
       }
     }

@@ -65,7 +65,8 @@ class LogTablePropertySpec extends SparkSpec {
 
   private def runScenario(partitionCols: Seq[String],
                           toDf: Seq[Change] => DataFrame,
-                          samples: Int, checkCdf: Boolean): Unit =
+                          samples: Int, checkCdf: Boolean,
+                          dvDeletes: Boolean = false): Unit =
     forSamples(batchesGen, samples) { (batches, i) =>
       val dir = java.nio.file.Files.createTempDirectory("graft-lt-prop")
         .toString + "/t"
@@ -82,6 +83,16 @@ class LogTablePropertySpec extends SparkSpec {
           // pre-maintenance: vacuum below may reclaim the removed files)
           if (checkCdf) assertCdf(dir, before, after)
         }
+        // deletion-vector deletes interleave with the merges: the fold
+        // must see them exactly (and purge must stay row-invisible)
+        if (dvDeletes && (i + j) % 2 == 1) {
+          val kk = (i.toLong + j) % 8L
+          LogTable.deleteWhere(spark, dir,
+            $"k" === kk && $"ver" <= 5, deletionVectors = true): Unit
+          ref = ref.filterNot { case (k, c) => k == kk && c.ver <= 5 }
+        }
+        if (dvDeletes && (i + j) % 3 == 1)
+          LogTable.purgeDeletes(spark, dir): Unit
         // maintenance between batches must be row-invisible
         if ((i + j) % 2 == 0)
           LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 1): Unit
@@ -102,6 +113,13 @@ class LogTablePropertySpec extends SparkSpec {
       rows => rows.map(c => (c.k, c.v, c.ver, c.p, c.op))
         .toDF("k", "v", "ver", "p", "op"),
       samples = 4, checkCdf = true)
+  }
+
+  test("deletion vectors interleaved with merges and maintenance keep the fold exact") {
+    runScenario(Seq("p"),
+      rows => rows.map(c => (c.k, c.v, c.ver, c.p, c.op))
+        .toDF("k", "v", "ver", "p", "op"),
+      samples = 2, checkCdf = true, dvDeletes = true)
   }
 
   test("multi-column partitioning folds identically (tuple-pruned rewrites)") {

@@ -901,6 +901,188 @@ class LogTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
   }
 
+  test("deletion vectors: a DV delete kills rows without touching data files") {
+    val dir = tmp() + "/t"
+    val base = (1L to 12L).map(k => (k,
+      if (k == 3L) None else Some(if (k <= 2L) 10L else 99L),
+      if (k <= 6L) "p1" else "p2")).toDF("k", "amt", "p")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val before = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("amt"))
+      LogTable.snapshot(spark, dir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // k=1 and k=2 die (amt=10), k=3 (NULL amt) SURVIVES — DELETE WHERE
+    // semantics, now by vector instead of rewrite
+    val v = LogTable.deleteWhere(spark, dir,
+      col("p") === "p1" && col("amt") < 50L, deletionVectors = true)
+    assert(v == 2L)
+    val after = LogTable.snapshot(spark, dir)
+    // EVERY data file survives by name — nothing was rewritten
+    assert(before.files.map(_.name)
+      .forall(n => after.files.exists(_.name == n)))
+    val dved = after.files.filter(_.dv.isDefined)
+    assert(dved.nonEmpty && dved.forall(f => f.dv.get.deleted > 0))
+    assert(LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == (3L to 12L))
+    // stats-proven-empty and no-live-match deletes commit NOTHING
+    assert(LogTable.deleteWhere(spark, dir, col("amt") > 1000L,
+      deletionVectors = true) == -1L)
+    assert(LogTable.deleteWhere(spark, dir,
+      col("p") === "p1" && col("amt") < 50L, deletionVectors = true) == -1L,
+      "rows already dead by vector must not re-match")
+    assert(LogTable.snapshot(spark, dir).version == 2L)
+    // copy-forward: a second DV delete extends the vectors — one sidecar
+    // pointer per file, total count grown by exactly the new kill
+    assert(LogTable.deleteWhere(spark, dir, col("k") === 4L,
+      deletionVectors = true) == 3L)
+    val s3 = LogTable.snapshot(spark, dir)
+    assert(s3.files.flatMap(_.dv).map(_.deleted).sum ==
+      dved.map(_.dv.get.deleted).sum + 1)
+    assert(LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == (3L to 12L).filterNot(_ == 4L))
+    // readWhere/countWhere stay exact over vectors: a DV'd file is
+    // scanned (never metadata-decided), so counts see live rows only
+    assert(LogTable.readWhere(spark, dir, col("p") === "p1").count() == 3L)
+    val cw = LogTable.countWhere(spark, dir, col("p") === "p1")
+    assert(cw.count == 3L && cw.scannedFiles > 0)
+    // whole-file kill: deleting all of p2 removes its files outright —
+    // no vector, no replacement
+    assert(LogTable.deleteWhere(spark, dir, col("p") === "p2",
+      deletionVectors = true) == 4L)
+    val s4 = LogTable.snapshot(spark, dir)
+    assert(!s4.files.exists(f => f.pmin == "p2"))
+    assert(LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 5L, 6L))
+    // vacuum keeps live sidecars, reclaims superseded ones
+    val allDvOnDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("dv-")).toSet
+    assert(LogTable.vacuum(spark, dir, olderThanMs = 0L) >= 0)
+    val liveDv = s4.files.flatMap(_.dv.map(_.name)).toSet
+    val kept = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("dv-")).toSet
+    assert(kept == liveDv, s"disk $allDvOnDisk -> $kept, live $liveDv")
+    assert(LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 5L, 6L))
+  }
+
+  test("deletion vectors: a DV update rewrites ONLY the matched rows") {
+    val dir = tmp() + "/t"
+    val base = Seq(
+      (1L, 10L, "x", "p1"), (2L, 99L, "y", "p1"), (3L, 10L, "z", "p2"))
+      .toDF("k", "amt", "tag", "p")
+    LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("amt"))
+    val before = LogTable.snapshot(spark, dir)
+    val v = LogTable.updateWhere(spark, dir,
+      col("p") === "p1" && col("amt") < 50L,
+      Map("amt" -> (col("amt") * 2), "tag" -> lit("bumped")),
+      deletionVectors = true)
+    assert(v == 2L)
+    val after = LogTable.snapshot(spark, dir)
+    // old files live on (vector-marked or untouched) — no old file was
+    // rewritten; matched rows ALSO exist in fresh files
+    assert(before.files.map(_.name)
+      .forall(n => after.files.exists(_.name == n)))
+    assert(after.files.exists(_.dv.isDefined))
+    assert(after.files.exists(f => f.dv.isEmpty &&
+      !before.files.exists(_.name == f.name)), "no fresh update file")
+    val rows = LogTable.read(spark, dir).select("k", "amt", "tag")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, 20L, "bumped"), (2L, 99L, "y"), (3L, 10L, "z")))
+    // p2 untouched by NAME (stats excluded it or no match marked it)
+    val p2 = before.files.filter(f => f.pmin == "p2" && f.pmax == "p2")
+    assert(p2.forall(f => after.files.exists(g =>
+      g.name == f.name && g.dv.isEmpty)))
+    // NULL-capable assignment still widens the committed schema
+    assert(!LogTable.snapshot(spark, dir).schema("amt").nullable)
+    assert(LogTable.updateWhere(spark, dir, col("k") === 2L,
+      Map("amt" -> lit(null)), deletionVectors = true) == 3L)
+    assert(LogTable.snapshot(spark, dir).schema("amt").nullable)
+    // partition columns stay immutable in DV mode too
+    intercept[IllegalArgumentException] {
+      LogTable.updateWhere(spark, dir, col("k") === 1L,
+        Map("p" -> lit("p9")), deletionVectors = true)
+    }
+  }
+
+  test("deletion vectors: table() applies them; the bare provider fails loud; purge materializes") {
+    val dir = tmp() + "/t"
+    val base = (1L to 10L).map(k => (k, k * 10L, "p" + (k % 2))).toDF("k", "amt", "p")
+    LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("amt"))
+    LogTable.deleteWhere(spark, dir, col("amt") <= 30L,
+      deletionVectors = true): Unit
+    // the composable table() read applies vectors...
+    assert(LogTable.table(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == (4L to 10L))
+    // ...and pushes data filters below the anti-join (still prunes)
+    assert(LogTable.table(spark, dir).filter(col("amt") > 80L)
+      .count() == 2L)
+    // the bare relation provider cannot apply vectors — loud, not wrong
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[LogTableSourceProvider].getName).option("path", dir).load()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // time travel composes: version 1 predates the vectors
+    assert(LogTable.table(spark, dir, asOf = Some(1L)).count() == 10L)
+    // purge rewrites the DV'd files' live rows and drops the vectors
+    val pv = LogTable.purgeDeletes(spark, dir)
+    assert(pv == 3L)
+    val purged = LogTable.snapshot(spark, dir)
+    assert(purged.files.forall(_.dv.isEmpty))
+    assert(spark.read.format(classOf[LogTableSourceProvider].getName).option("path", dir).load()
+      .select("k").as[Long].collect().sorted.toSeq == (4L to 10L))
+    assert(LogTable.purgeDeletes(spark, dir) == -1L)
+  }
+
+  test("deletion vectors: readChanges keeps the reconstruction identity") {
+    val dir = tmp() + "/t"
+    val base = (1L to 10L).map(k => (k, k * 10L, "p" + (k % 2))).toDF("k", "amt", "p")
+    LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("amt")) // v1
+    LogTable.deleteWhere(spark, dir, col("amt") <= 30L,
+      deletionVectors = true): Unit // v2
+    LogTable.deleteWhere(spark, dir, col("k") === 8L,
+      deletionVectors = true): Unit // v3 (copy-forward on a DV'd file)
+    val changes = LogTable.readChanges(spark, dir, 1L, 3L)
+    val dels = changes.filter(col("_change_type") === "delete").drop("_change_type")
+    val ins = changes.filter(col("_change_type") === "insert").drop("_change_type")
+    val rebuilt = LogTable.read(spark, dir, asOf = Some(1L))
+      .exceptAll(dels).unionAll(ins)
+    val want = LogTable.read(spark, dir, asOf = Some(3L))
+    assert(rebuilt.exceptAll(want).count() == 0L &&
+      want.exceptAll(rebuilt).count() == 0L)
+  }
+
+  test("restore re-points the live set at an earlier version, history intact") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p") // v1
+    LogTable.upsert(spark, dir,
+      Seq((1L, "a1", 1, "p1", "U"), (9L, "n", 1, "p2", "U"))
+        .toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op"): Unit // v2
+    LogTable.deleteWhere(spark, dir, col("p") === "p3"): Unit // v3
+    // restore to v1 lands as v4; content equals v1 exactly
+    assert(LogTable.restore(spark, dir, 1L) == 4L)
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq ==
+      baseDf.orderBy("k").collect().toSeq)
+    // the bad versions are STILL time-travelable (history preserved)
+    assert(LogTable.read(spark, dir, asOf = Some(3L))
+      .filter($"p" === "p3").count() == 0L)
+    assert(LogTable.read(spark, dir, asOf = Some(2L))
+      .filter($"k" === 9L).count() == 1L)
+    // restoring to the state we're already at is a no-op
+    assert(LogTable.restore(spark, dir, 4L) == -1L)
+    assert(LogTable.restore(spark, dir, 1L) == -1L,
+      "content-identical restore must not commit")
+    // a vacuum that reclaimed the target's files breaks restore LOUD
+    assert(LogTable.restore(spark, dir, 2L) == 5L)
+    assert(LogTable.restore(spark, dir, 1L) == 6L)
+    LogTable.vacuum(spark, dir, olderThanMs = 0L): Unit
+    val e = intercept[IllegalArgumentException] {
+      LogTable.restore(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("version numbers are contended: the same version cannot commit twice") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
