@@ -748,6 +748,45 @@ object SourceQueries {
         .withColumn("restore_ok", lit(ok))
     }),
 
+    // FULL MERGE INTO — the general clause form beyond upsert's fixed
+    // latest-wins: one transaction applies a CONDITIONAL matched-update
+    // (only when the source price is strictly higher, bumping a version
+    // counter), a matched-delete on an op marker, and a not-matched
+    // insert — all as one full-outer-join plan over stats-pruned victim
+    // files. The oracle restates the same clause semantics in SQL (LEFT
+    // JOIN + CASE for the survivors, anti-join for the inserts), so a
+    // clause mis-ordered, a condition evaluated on the wrong side, or a
+    // rider row lost through the rewrite is hash-red; merge_version
+    // pins the single commit.
+    "q141_logtable_merge_into" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q141")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, t, base, Seq("o_year"), Seq("cents"))
+      val inYears = col("o_year").isin(1997, 1999)
+      val upd = base.filter(col("k") % 7 === 0 && inYears)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+      val del = base.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0 && inYears)
+        .withColumn("op", lit("D"))
+      val ins = base.filter(col("k") % 11 === 0 && inYears)
+        .withColumn("k", col("k") + lit(10000000L))
+        .withColumn("status", lit("N"))
+        .withColumn("cents", expr("cents div 2"))
+      val src = upd.unionByName(del).unionByName(ins)
+        .select("k", "status", "cents", "o_year", "op")
+      val v = graft.sources.LogTable.mergeInto(s, t, src, Seq("k"))
+        .whenMatchedDelete(condition = Some("s.op = 'D'"))
+        .whenMatchedUpdate(
+          Map("cents" -> "s.cents", "version" -> "t.version + 1"),
+          condition = Some("s.cents > t.cents"))
+        .whenNotMatchedInsert(values = Map("version" -> "0"))
+        .run()
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("merge_version", lit(v).cast("int"))
+    }),
+
     // CHANGE FEED off the log: after two merge commits, readChanges(1, 3)
     // must reconstruct version 3 from version 1 EXACTLY —
     // `snapshot(1) ∖ deletes ∪ inserts ≡ snapshot(3)` as multisets
@@ -1198,6 +1237,45 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS restore_ok
         |FROM base
         |GROUP BY 1""".stripMargin,
+
+    // The merge clauses restated relationally: survivors via LEFT JOIN +
+    // CASE (delete-marked rows excluded), inserts via anti-join;
+    // merge_version pinned.
+    "q141_logtable_merge_into" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k, status, cents, o_year, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND k % 7 <> 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, 'N' AS status, cents // 2 AS cents,
+        |         o_year, 'U' AS op
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |kept AS (
+        |  SELECT t.o_year, t.status,
+        |         CASE WHEN s.k IS NOT NULL AND s.op <> 'D' AND s.cents > t.cents
+        |              THEN s.cents ELSE t.cents END AS cents,
+        |         CASE WHEN s.k IS NOT NULL AND s.op <> 'D' AND s.cents > t.cents
+        |              THEN t.version + 1 ELSE t.version END AS version
+        |  FROM base t LEFT JOIN src s ON t.k = s.k
+        |  WHERE s.k IS NULL OR s.op <> 'D'),
+        |inserted AS (
+        |  SELECT s.o_year, s.status, s.cents, 0 AS version
+        |  FROM src s LEFT JOIN base t ON s.k = t.k
+        |  WHERE t.k IS NULL),
+        |final AS (SELECT * FROM kept UNION ALL SELECT * FROM inserted)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  2 AS merge_version
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
 
     // q129's restatement through the table() read path: same merged
     // state, same predicate; the scan-metric and route bits pinned TRUE.

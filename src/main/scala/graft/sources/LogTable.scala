@@ -210,7 +210,7 @@ object LogTable {
   private def logDir(path: String) = new Path(path, "_graft_log")
   private def commitPath(path: String, v: Long) =
     new Path(logDir(path), f"$v%020d.json")
-  private def fsOf(spark: SparkSession, path: String): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Create a new log table at `path` from `df`, partition-tracked on
@@ -1211,7 +1211,7 @@ object LogTable {
     * to `maxRetries` re-commit attempts. Increments
     * [[disjointRecommits]] on success.
     */
-  private def recommitDisjoint(spark: SparkSession, path: String,
+  private[sources] def recommitDisjoint(spark: SparkSession, path: String,
                                base: Snapshot, schemaDdl: String,
                                touched: Seq[Seq[String]], adds: Seq[LogFile],
                                victims: Set[String],
@@ -1307,28 +1307,7 @@ object LogTable {
           if (missingNames.contains(f.name.toLowerCase)) f.copy(nullable = true)
           else f) ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
-      // bounded: one row per touched partition TUPLE (a daily batch
-      // touches a handful of partitions, never the table's full set).
-      // Values render EXACTLY as the stats persist them — timestamps as
-      // UTC micros, not a session-zone wall string, or victim matching
-      // would compare across reference frames and miss rewrites
-      val touched = changes
-        .select(snap.partitionCols.map { c =>
-          snap.schema.fields.find(_.name.equalsIgnoreCase(c))
-            .map(_.dataType) match {
-            case Some(TimestampType) => unix_micros(col(c)).cast("string")
-            case _ => col(c).cast("string")
-          }
-        }: _*)
-        .distinct().collect()
-        .map { r =>
-          snap.partitionCols.indices.map { i =>
-            require(!r.isNullAt(i),
-              s"log table $path: NULL values in partition column " +
-                s"`${snap.partitionCols(i)}` are not supported")
-            r.getString(i)
-          }
-        }.toIndexedSeq
+      val touched = touchedTuples(path, snap, changes)
       val victims = victimFiles(snap, touched)
       val base = readFiles(spark, path, evolved, victims)
       // the batch aligned to the (possibly widened) table schema: a
@@ -1378,6 +1357,17 @@ object LogTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** Full MERGE INTO — conditional matched-update/-delete and
+    * not-matched-insert clauses over `t.`/`s.` SQL scopes, one log
+    * transaction. See [[MergeInto]] for semantics and contracts;
+    * [[upsert]] remains the fixed latest-wins CDC form.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keyCols: Seq[String], maxRetries: Int = 3): MergeInto = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    MergeInto(spark, path, source, keyCols, maxRetries = maxRetries)
   }
 
   /** Reclaim everything invisible to the CURRENT snapshot: unreferenced
@@ -1597,7 +1587,33 @@ object LogTable {
     * uninterpretable bounds keep the file — over-rewriting is safe,
     * under-rewriting would duplicate keys.
     */
-  private def victimFiles(snap: Snapshot,
+  /** The distinct partition-value TUPLES a batch touches — bounded: one
+    * row per tuple (a daily batch touches a handful of partitions, never
+    * the table's full set). Values render EXACTLY as the stats persist
+    * them — timestamps as UTC micros, not a session-zone wall string, or
+    * victim matching would compare across reference frames and miss
+    * rewrites. NULL partition values fail loud.
+    */
+  private[sources] def touchedTuples(path: String, snap: Snapshot,
+                                     df: DataFrame): Seq[Seq[String]] =
+    df.select(snap.partitionCols.map { c =>
+        snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType) match {
+          case Some(TimestampType) => unix_micros(col(c)).cast("string")
+          case _ => col(c).cast("string")
+        }
+      }: _*)
+      .distinct().collect()
+      .map { r =>
+        snap.partitionCols.indices.map { i =>
+          require(!r.isNullAt(i),
+            s"log table $path: NULL values in partition column " +
+              s"`${snap.partitionCols(i)}` are not supported")
+          r.getString(i)
+        }
+      }.toIndexedSeq
+
+  private[sources] def victimFiles(snap: Snapshot,
                           touched: Seq[Seq[String]]): Seq[LogFile] = {
     val types = snap.partitionCols.map(c =>
       c -> snap.schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -1755,7 +1771,7 @@ object LogTable {
     StructField("file", StringType, nullable = false),
     StructField("row_index", LongType, nullable = false)))
 
-  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+  private[sources] def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
   /** The deleted (file, row_index) pairs across `entries`' deletion
@@ -1828,7 +1844,7 @@ object LogTable {
     * columns — then rename each into the table root under its (already
     * unique) name. Files are invisible until a commit references them.
     */
-  private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
+  private[sources] def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
                              numFiles: Option[Int] = None,
@@ -1977,7 +1993,7 @@ object LogTable {
     Mapper.writeValueAsBytes(root)
   }
 
-  private def commit(spark: SparkSession, path: String, version: Long,
+  private[sources] def commit(spark: SparkSession, path: String, version: Long,
                      schemaDdl: String, partitionCols: Seq[String],
                      statsCols: Seq[String],
                      adds: Seq[LogFile], removes: Seq[String],

@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Full MERGE INTO over the log table: clause ordering, conditional
+  * update/delete/insert, ambiguity and immutability contracts, partition
+  * pruning, nullability honesty, and composition with deletion vectors.
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-mergeinto").toString
+
+  private def baseDf = Seq(
+    (1L, 100L, 0, "p1"), (2L, 200L, 0, "p1"),
+    (3L, 300L, 0, "p2"), (4L, 400L, 0, "p3"))
+    .toDF("k", "cents", "ver", "p")
+
+  test("update / delete / insert clauses apply per row; unmatched targets survive") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val src = Seq(
+      (1L, 150L, "U", "p1"),  // matched, s.cents > t.cents → update
+      (2L, 50L, "U", "p1"),   // matched, not bigger, op=U → keeps (no clause)
+      (3L, 0L, "D", "p2"),    // matched, op=D → delete
+      (9L, 900L, "U", "p1"))  // unmatched → insert
+      .toDF("k", "cents", "op", "p")
+    val v = LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedDelete(condition = Some("s.op = 'D'"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents", "ver" -> "t.ver + 1"),
+        condition = Some("s.cents > t.cents"))
+      .whenNotMatchedInsert(values = Map("ver" -> "0"))
+      .run()
+    assert(v == 2L)
+    val got = LogTable.read(spark, dir).select("k", "cents", "ver")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, 150L, 1), (2L, 200L, 0), (4L, 400L, 0),
+      (9L, 900L, 0)))
+  }
+
+  test("clause ORDER decides: first true condition wins") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val src = Seq((1L, 999L, "p1")).toDF("k", "cents", "p")
+    // delete listed FIRST with an always-true condition shadows the update
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedDelete()
+      .whenMatchedUpdate(Map("cents" -> "s.cents"))
+      .run(): Unit
+    assert(LogTable.read(spark, dir).filter($"k" === 1L).count() == 0L)
+    // and the reverse order updates
+    val dir2 = tmp() + "/t2"
+    LogTable.create(spark, dir2, baseDf, "p")
+    LogTable.mergeInto(spark, dir2, src, Seq("k"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents"))
+      .whenMatchedDelete()
+      .run(): Unit
+    assert(LogTable.read(spark, dir2).filter($"k" === 1L)
+      .select("cents").as[Long].head() == 999L)
+  }
+
+  test("a NULL condition is FALSE; untouched partitions survive by name") {
+    val dir = tmp() + "/t"
+    val big = (1L to 60L).map(k => (k, k * 10L, 0, "p" + (k % 3 + 1)))
+      .toDF("k", "cents", "ver", "p")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val before = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, "p")
+      LogTable.snapshot(spark, dir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // k=1 is in p2 (1 % 3 + 1 = 2): only p2's files are victims
+    val src = Seq((1L, Option.empty[Long], "p2")).toDF("k", "bonus", "p")
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedDelete(condition = Some("s.bonus > 0")) // NULL → no delete
+      .whenMatchedUpdate(Map("cents" -> "t.cents + coalesce(s.bonus, 7)"))
+      .run(): Unit
+    assert(LogTable.read(spark, dir).filter($"k" === 1L)
+      .select("cents").as[Long].head() == 17L)
+    val after = LogTable.snapshot(spark, dir)
+    before.files.filter(f => f.pmin == f.pmax && f.pmin != "p2").foreach(f =>
+      assert(after.files.exists(_.name == f.name), s"rewrote $f"))
+  }
+
+  test("contracts fail loud: duplicate source keys, immutable key/partition, missing columns") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val dupSrc = Seq((1L, 1L, "p1"), (1L, 2L, "p1")).toDF("k", "cents", "p")
+    val e1 = intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, dupSrc, Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents")).run()
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val src = Seq((1L, 1L, "p1")).toDF("k", "cents", "p")
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenMatchedUpdate(Map("p" -> "'p9'")).run()
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenMatchedUpdate(Map("k" -> "t.k + 1")).run()
+    }
+    intercept[IllegalArgumentException] { // no partition column in source
+      LogTable.mergeInto(spark, dir,
+        Seq((1L, 1L)).toDF("k", "cents"), Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents")).run()
+    }
+    intercept[IllegalArgumentException] { // no clauses at all
+      LogTable.mergeInto(spark, dir, src, Seq("k")).run()
+    }
+  }
+
+  test("inserts NULL-fill absent columns and widen the committed schema honestly") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    assert(!LogTable.snapshot(spark, dir).schema("cents").nullable)
+    // source has no `cents`; the insert defaults it to NULL → the
+    // committed schema must flip the column nullable
+    val src = Seq((9L, "p1")).toDF("k", "p")
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenNotMatchedInsert(values = Map("ver" -> "42"))
+      .run(): Unit
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.schema("cents").nullable)
+    val row = LogTable.read(spark, dir).filter($"k" === 9L)
+      .select("cents", "ver").head()
+    assert(row.isNullAt(0) && row.getInt(1) == 42)
+    // an update whose expression cannot be NULL must NOT widen
+    val dir2 = tmp() + "/t2"
+    LogTable.create(spark, dir2, baseDf, "p")
+    LogTable.mergeInto(spark, dir2,
+      Seq((1L, 5L, "p1")).toDF("k", "cents", "p"), Seq("k"))
+      .whenMatchedUpdate(Map("ver" -> "t.ver + 1")).run(): Unit
+    assert(!LogTable.snapshot(spark, dir2).schema("ver").nullable)
+  }
+
+  test("merge composes with deletion vectors: dead rows never match") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.deleteWhere(spark, dir, col("k") === 1L,
+      deletionVectors = true): Unit
+    // k=1 is dead: the merge must treat it as NOT MATCHED and re-insert
+    val src = Seq((1L, 111L, "p1"), (2L, 222L, "p1")).toDF("k", "cents", "p")
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents"))
+      .whenNotMatchedInsert(values = Map("ver" -> "9"))
+      .run(): Unit
+    val got = LogTable.read(spark, dir).select("k", "cents", "ver")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, 111L, 9), (2L, 222L, 0), (3L, 300L, 0),
+      (4L, 400L, 0)))
+    // the rewritten partition's vector is gone; p2/p3 files untouched
+    assert(LogTable.snapshot(spark, dir).files.forall(_.dv.isEmpty))
+  }
+
+  test("a merge equivalent to upsert agrees with Merge.merge exactly") {
+    val dir = tmp() + "/t"
+    val base = (1L to 30L).map(k => (k, "v" + k, 0, "p" + (k % 3), "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    LogTable.create(spark, dir, base, "p")
+    val changes = Seq(
+      (1L, "a1", 1, "p1", "U"), (3L, "c", 1, "p0", "D"),
+      (99L, "n", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op")
+    LogTable.mergeInto(spark, dir, changes, Seq("k"))
+      .whenMatchedDelete(condition = Some("s.op = 'D' AND s.ver >= t.ver"))
+      .whenMatchedUpdate(Map("v" -> "s.v", "ver" -> "s.ver"),
+        condition = Some("s.ver >= t.ver"))
+      .whenNotMatchedInsert(condition = Some("s.op <> 'D'"))
+      .run(): Unit
+    val expect = Merge.merge(base, changes, Seq("k"), Seq("ver"), "op")
+      .orderBy("k").collect().toSeq
+    assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expect)
+  }
+}
