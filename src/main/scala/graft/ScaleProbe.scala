@@ -332,6 +332,61 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // the DELETE strategies head-to-head: a scattered ~30% kill inside
+    // one partition (the DV sweet spot — stats prune to the year, but
+    // every file in it holds matches). Rewrite mode pays a full rewrite
+    // of every 1997 file; vector mode pays the same victim scan but
+    // writes only a sidecar of positions. Each timed pass RESTOREs to
+    // version 1 first (metadata-only) so the delete re-runs identical
+    // work — restore is what makes a destructive probe repeatable. The
+    // read-back is timed too, so the vector path's anti-join cost is in
+    // its own number, not hidden.
+    def dvDelete(mode: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/logtable_dvdel_$mode/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t, orderShape(s, d),
+          Seq("o_year"), Seq("cents")): Unit
+      }
+      LogTable.restore(s, t, 1L): Unit
+      LogTable.deleteWhere(s, t,
+        col("o_year") === 1997 && col("cents") % 10L < 3L,
+        deletionVectors = mode == "vectors"): Unit
+      LogTable.read(s, t)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
+    // MERGE INTO in isolation: conditional update + delete clauses over
+    // the cached table (no insert clause, so re-applying converges to a
+    // rider-only rewrite of the same victim set — equivalent work every
+    // pass). Its curve should track mergeOnly:logtable's; a gap opening
+    // with scale would implicate the clause projection, not the layout.
+    def mergeIntoProbe(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/logtable_mergeinto/$key").getAbsolutePath
+      val base = orderShape(s, d)
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t, base, "o_year"): Unit
+      }
+      val inYears = col("o_year").isin(1997, 1999)
+      val src = base.filter(col("k") % 7 === 0 && inYears)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .unionByName(
+          base.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0 && inYears)
+            .withColumn("op", lit("D")))
+        .select("k", "cents", "o_year", "op")
+      LogTable.mergeInto(s, t, src, Seq("k"))
+        .whenMatchedDelete(condition = Some("s.op = 'D'"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents"),
+          condition = Some("s.cents > t.cents"))
+        .run(): Unit
+      LogTable.read(s, t).groupBy(col("o_year")).count()
+    }
+
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (HeavyQueries ++ EmbeddingQueries ++ MergeQueries ++
@@ -343,6 +398,9 @@ object ScaleProbe {
         "logtable_snapshot_read" -> (snapshotRead _),
         "merge_only:partitioned" -> (mergeOnly("partitioned") _),
         "merge_only:logtable" -> (mergeOnly("logtable") _),
+        "dv_delete:rewrite" -> (dvDelete("rewrite") _),
+        "dv_delete:vectors" -> (dvDelete("vectors") _),
+        "merge_into:clauses" -> (mergeIntoProbe _),
         "q86_token_quantiles:preagg" ->
           ((s: SparkSession, d: String) =>
             queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),

@@ -748,6 +748,58 @@ object SourceQueries {
         .withColumn("restore_ok", lit(ok))
     }),
 
+    // ROW-LEVEL NET CHANGE FEED — the Delta-CDF view on top of the
+    // file-level feed: a merge rewrites whole files, and q130's
+    // consumers must diff riders away themselves; readNetChanges does
+    // it in the engine — updated keys emit pre+post images, tombstoned
+    // keys a delete, and every rider row (identical content both sides)
+    // cancels EXACTLY. The oracle derives the same three change sets
+    // from raw orders (deletes = tombstoned keys' originals, pre/post =
+    // the updated keys' old and new rows); one surviving rider, one
+    // missed image, or a mis-keyed cancellation changes the counts and
+    // goes hash-red.
+    "q142_logtable_net_changes" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q142")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, t, base, Seq("o_year"), Seq("cents"))
+      graft.sources.LogTable.upsert(s, t,
+        ordersUpdDel(base, col("o_year").isin(1997, 1999)),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      graft.sources.LogTable.readNetChanges(s, t, 1L, 2L, Seq("k"))
+        .groupBy(col("_change_type"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // OPERATION HISTORY — the log as its own audit trail: seven
+    // lifecycle operations land on one table (create, merge, DV delete,
+    // purge, restore, clause merge, compaction) and history() must name
+    // each commit and its dataChange flag exactly — the oracle is the
+    // literal expected ledger. A mis-tagged operation, a purge or
+    // compaction claiming dataChange, or a lost commit is hash-red.
+    "q143_logtable_history" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q143")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, t, base, Seq("o_year"), Seq("cents"))
+      graft.sources.LogTable.upsert(s, t,
+        ordersUpdDel(base, col("o_year") === 1997),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op"): Unit
+      graft.sources.LogTable.deleteWhere(s, t,
+        col("o_year") === 1997 && col("cents") % 10L < 3L,
+        deletionVectors = true): Unit
+      graft.sources.LogTable.purgeDeletes(s, t): Unit
+      graft.sources.LogTable.restore(s, t, 1L): Unit
+      val src = base.filter(col("k") % 1000 === 1)
+        .withColumn("cents", col("cents") + 1L)
+        .select("k", "cents", "o_year")
+      graft.sources.LogTable.mergeInto(s, t, src, Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents"))
+        .run(): Unit
+      graft.sources.LogTable.compactPartitions(s, t,
+        maxFilesPerPartition = 1): Unit
+      graft.sources.LogTable.history(s, t)
+        .select(col("version"), col("operation"), col("data_change"))
+    }),
+
     // FULL MERGE INTO — the general clause form beyond upsert's fixed
     // latest-wins: one transaction applies a CONDITIONAL matched-update
     // (only when the source price is strictly higher, bumping a version
@@ -1237,6 +1289,42 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS restore_ok
         |FROM base
         |GROUP BY 1""".stripMargin,
+
+    // The three net-change sets derived from raw orders: tombstoned keys
+    // (the version-2 'D' wins even over an update), updated keys' pre
+    // and post images; riders appear in NO set.
+    "q142_logtable_net_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |chg AS (
+        |  SELECT 'delete' AS _change_type, status, cents
+        |  FROM base WHERE k % 13 = 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT 'update_preimage', status, cents
+        |  FROM base WHERE k % 7 = 0 AND k % 13 <> 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT 'update_postimage', status, (cents * 110) // 100
+        |  FROM base WHERE k % 7 = 0 AND k % 13 <> 0 AND o_year IN (1997, 1999))
+        |SELECT _change_type, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM chg
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The literal expected ledger: seven operations, purge and
+    // compaction as dataChange=false rearrangements.
+    "q143_logtable_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'CREATE', TRUE),
+        |  (CAST(2 AS BIGINT), 'MERGE', TRUE),
+        |  (CAST(3 AS BIGINT), 'DELETE', TRUE),
+        |  (CAST(4 AS BIGINT), 'PURGE', FALSE),
+        |  (CAST(5 AS BIGINT), 'RESTORE', TRUE),
+        |  (CAST(6 AS BIGINT), 'MERGE_INTO', TRUE),
+        |  (CAST(7 AS BIGINT), 'COMPACT', FALSE))
+        |  AS t(version, operation, data_change)""".stripMargin,
 
     // The merge clauses restated relationally: survivors via LEFT JOIN +
     // CASE (delete-marked rows excluded), inserts via anti-join;

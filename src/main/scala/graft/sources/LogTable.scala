@@ -150,7 +150,8 @@ object LogTable {
   private[sources] final case class ParsedCommit(
       version: Long, schemaDdl: String, partitionCols: Seq[String],
       statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String],
-      dataChange: Boolean, bloomCols: Seq[String] = Nil)
+      dataChange: Boolean, bloomCols: Seq[String] = Nil,
+      operation: String = "UNKNOWN")
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -266,7 +267,7 @@ object LogTable {
     val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
       clusterBy = clusterBy, bloomCols = bloomFilterCols)
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
-      Nil, bloomCols = bloomFilterCols)
+      Nil, bloomCols = bloomFilterCols, operation = "CREATE")
     1L
   }
 
@@ -329,7 +330,9 @@ object LogTable {
       pcols, scols, adds.result(), removes.result(),
       dataChange = !node.hasNonNull("dataChange") ||
         node.get("dataChange").asBoolean(true),
-      bloomCols = bcols)
+      bloomCols = bcols,
+      operation =
+        if (node.hasNonNull("op")) node.get("op").asText() else "UNKNOWN")
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -415,7 +418,8 @@ object LogTable {
         ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
-        snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols))
+        snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols,
+        operation = "CHECKPOINT"))
       finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
@@ -486,7 +490,7 @@ object LogTable {
       // consumers of the change feed skip this commit entirely
       commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, adds, victims.map(_.name), dataChange = false,
-        bloomCols = snap.bloomCols)
+        bloomCols = snap.bloomCols, operation = "COMPACT")
     } catch {
       case e: CommitConflictException =>
         // same discipline as upsert's losing race: our files are invisible,
@@ -575,7 +579,7 @@ object LogTable {
     * the schema DDL the commit carries.
     */
   private def rewriteWhere(spark: SparkSession, path: String,
-                           predicate: Column, maxRetries: Int)
+                           predicate: Column, maxRetries: Int, op: String)
                           (transform: (Snapshot, DataFrame) => (DataFrame, String))
       : Long = {
     val fs = fsOf(spark, path)
@@ -593,7 +597,7 @@ object LogTable {
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols)
+          bloomCols = snap.bloomCols, operation = op)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -623,7 +627,7 @@ object LogTable {
                   maxRetries: Int = 3,
                   deletionVectors: Boolean = false): Long =
     if (deletionVectors) dvMarkWhere(spark, path, predicate, maxRetries, None)
-    else rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
+    else rewriteWhere(spark, path, predicate, maxRetries, "DELETE") { (snap, rows) =>
       // NOT(coalesce(p, false)): keep rows where p is FALSE or NULL —
       // a bare !p would silently delete every NULL-predicate row
       (rows.filter(!coalesce(predicate, lit(false))), snap.schemaDdl)
@@ -652,7 +656,7 @@ object LogTable {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     if (deletionVectors)
       return dvMarkWhere(spark, path, predicate, maxRetries, Some(set))
-    rewriteWhere(spark, path, predicate, maxRetries) { (snap, rows) =>
+    rewriteWhere(spark, path, predicate, maxRetries, "UPDATE") { (snap, rows) =>
       validateAssignments(path, snap, set)
       val hit = coalesce(predicate, lit(false))
       def assigned(rel: DataFrame): DataFrame =
@@ -799,7 +803,8 @@ object LogTable {
         try {
           commit(spark, path, snap.version + 1, ddl, snap.partitionCols,
             snap.statsCols, adds, affected.map(_.name),
-            bloomCols = snap.bloomCols)
+            bloomCols = snap.bloomCols,
+            operation = if (set.isDefined) "UPDATE" else "DELETE")
           return snap.version + 1
         } catch {
           case e: CommitConflictException =>
@@ -860,7 +865,8 @@ object LogTable {
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          dataChange = false, bloomCols = snap.bloomCols)
+          dataChange = false, bloomCols = snap.bloomCols,
+          operation = "PURGE")
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -914,7 +920,7 @@ object LogTable {
       try {
         commit(spark, path, cur.version + 1, target.schemaDdl,
           target.partitionCols, target.statsCols, adds, removes,
-          bloomCols = target.bloomCols)
+          bloomCols = target.bloomCols, operation = "RESTORE")
         return cur.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1132,6 +1138,91 @@ object LogTable {
         .withColumn("_change_type", lit("delete")))
   }
 
+  /** ROW-LEVEL net change feed between two versions, derived from the
+    * file-level [[readChanges]] by keying: a merge rewrites whole files,
+    * re-emitting unchanged rider rows as (delete, insert) pairs, and
+    * this view CANCELS them — a key leaving is a `delete`, a key
+    * arriving an `insert`, a key on both sides with different content an
+    * update, emitted as `update_preimage` + `update_postimage` rows (the
+    * Delta CDF vocabulary). The caller names the key columns, and the
+    * table must hold at most one live row per key at each end (the
+    * merge-maintained discipline) — enforced with a uniqueness check
+    * over the CHANGED rows only, never a table scan. Cost: the changed
+    * files plus one key-join of the two change sides — an incremental
+    * consumer gets exact row deltas without re-reading snapshots.
+    */
+  def readNetChanges(spark: SparkSession, path: String, fromVersion: Long,
+                     toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "readNetChanges needs key columns")
+    val schema = snapshot(spark, path, Some(toVersion)).schema
+    val keyNames = keyCols.map(k =>
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"log table $path: unknown key column `$k`")))
+    val ch = readChanges(spark, path, fromVersion, toVersion)
+    def keyed(tag: String, pre: String): DataFrame = {
+      val df = ch.filter(col("_change_type") === tag).drop("_change_type")
+      df.select(struct(keyNames.map(col): _*).as(pre + "k"),
+        struct(df.columns.map(col).toIndexedSeq: _*).as(pre + "r"))
+    }
+    val d = keyed("delete", "__d")
+    val i = keyed("insert", "__i")
+    Seq(("__dk", d, "pre"), ("__ik", i, "post")).foreach { case (k, df, side) =>
+      val dup = df.groupBy(col(k)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"log table $path: duplicate keys on (${keyNames.mkString(", ")}) " +
+          s"in the $side-change rows — net changes need the " +
+          "one-live-row-per-key discipline")
+    }
+    val joined = d.join(i, col("__dk") <=> col("__ik"), "full_outer")
+      // riders: same key, same content on both sides — net nothing
+      .filter(col("__dk").isNull || col("__ik").isNull ||
+        !(col("__dr") <=> col("__ir")))
+    val evs = when(col("__dk").isNull,
+        array(struct(col("__ir").as("r"), lit("insert").as("t"))))
+      .when(col("__ik").isNull,
+        array(struct(col("__dr").as("r"), lit("delete").as("t"))))
+      .otherwise(array(
+        struct(col("__dr").as("r"), lit("update_preimage").as("t")),
+        struct(col("__ir").as("r"), lit("update_postimage").as("t"))))
+    joined.select(explode(evs).as("e"))
+      .select(col("e.r.*"), col("e.t").as("_change_type"))
+  }
+
+  /** OPERATION HISTORY off the log — one row per still-readable commit,
+    * newest first: version, operation name, dataChange, file/row/byte
+    * deltas, and the commit file's timestamp. Driver-side parse of
+    * O(commits) small JSON files (the same cost class as [[snapshot]]);
+    * commits expired behind a checkpoint are absent; commits from
+    * pre-history writers read as operation `UNKNOWN`.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val commits = fs.listStatus(logDir(path)).iterator
+      .filter(_.isFile).flatMap(st => st.getPath.getName match {
+        case CommitName(v) => Some((v.toLong, st))
+        case _ => None
+      }).toSeq.sortBy(-_._1)
+    val rows: Seq[Row] = commits.map { case (v, st) =>
+      val c = parseCommitFile(fs, st.getPath)
+      Row(v, c.operation, c.dataChange, c.adds.length, c.removes.length,
+        c.adds.iterator.map(_.rows).sum, c.adds.iterator.map(_.bytes).sum,
+        new java.sql.Timestamp(st.getModificationTime))
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("data_change", BooleanType, nullable = false),
+        StructField("num_added_files", IntegerType, nullable = false),
+        StructField("num_removed_files", IntegerType, nullable = false),
+        StructField("rows_added", LongType, nullable = false),
+        StructField("bytes_added", LongType, nullable = false),
+        StructField("commit_time", TimestampType, nullable = false))))
+  }
+
   /** Read ONLY the rows whose LEADING partition column is in `values` —
     * log-level file pruning: the plan never references a file whose
     * typed (pmin, pmax) range excludes every requested value, so the
@@ -1215,7 +1306,8 @@ object LogTable {
                                base: Snapshot, schemaDdl: String,
                                touched: Seq[Seq[String]], adds: Seq[LogFile],
                                victims: Set[String],
-                               maxRetries: Int): Option[Long] = {
+                               maxRetries: Int,
+                               operation: String = "MERGE"): Option[Long] = {
     var known = base.version
     var attempts = 0
     while (attempts <= maxRetries) {
@@ -1237,7 +1329,7 @@ object LogTable {
       try {
         commit(spark, path, latest.version + 1, schemaDdl,
           base.partitionCols, base.statsCols, adds, victims.toSeq,
-          bloomCols = base.bloomCols)
+          bloomCols = base.bloomCols, operation = operation)
         disjointRecommits.incrementAndGet(): Unit
         return Some(latest.version + 1)
       } catch {
@@ -1338,7 +1430,7 @@ object LogTable {
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols)
+          bloomCols = snap.bloomCols, operation = "MERGE")
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1945,10 +2037,12 @@ object LogTable {
                          partitionCols: Seq[String], statsCols: Seq[String],
                          adds: Seq[LogFile], removes: Seq[String],
                          dataChange: Boolean = true,
-                         bloomCols: Seq[String] = Nil): Array[Byte] = {
+                         bloomCols: Seq[String] = Nil,
+                         operation: String = "UNKNOWN"): Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
+    if (operation != "UNKNOWN") root.put("op", operation): Unit
     // written only when false — legacy commits (absent) read as true
     if (!dataChange) root.put("dataChange", false): Unit
     if (bloomCols.nonEmpty) {
@@ -1998,13 +2092,14 @@ object LogTable {
                      statsCols: Seq[String],
                      adds: Seq[LogFile], removes: Seq[String],
                      dataChange: Boolean = true,
-                     bloomCols: Seq[String] = Nil): Unit = {
+                     bloomCols: Seq[String] = Nil,
+                     operation: String = "UNKNOWN"): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
-      adds, removes, dataChange, bloomCols))
+      adds, removes, dataChange, bloomCols, operation))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

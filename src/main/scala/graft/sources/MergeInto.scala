@@ -102,12 +102,13 @@ final case class MergeInto private[sources] (
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols)
+          bloomCols = snap.bloomCols, operation = "MERGE_INTO")
         return snap.version + 1
       } catch {
         case e: LogTable.CommitConflictException =>
           LogTable.recommitDisjoint(spark, path, snap, ddl, touched, adds,
-            victims.map(_.name).toSet, maxRetries) match {
+            victims.map(_.name).toSet, maxRetries,
+            operation = "MERGE_INTO") match {
             case Some(v) => return v
             case None =>
               adds.foreach(a => fs.delete(

@@ -1052,6 +1052,60 @@ class LogTableSpec extends SparkSpec {
       want.exceptAll(rebuilt).count() == 0L)
   }
 
+  test("readNetChanges cancels riders and emits pre/post images") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p") // v1: k=1..4
+    LogTable.upsert(spark, dir, Seq(
+      (1L, "a1", 1, "p1", "U"), // update (k=2 rides along in p1)
+      (3L, "c", 1, "p2", "D"),  // tombstone
+      (9L, "n", 1, "p1", "U"))  // insert
+      .toDF("k", "v", "ver", "p", "op"), Seq("k"), Seq("ver"), "op"): Unit
+    val net = LogTable.readNetChanges(spark, dir, 1L, 2L, Seq("k"))
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // riders (k=2) and untouched partitions (k=4) emit NOTHING
+    assert(net == Seq(
+      (1L, "a1", "update_postimage"), (1L, "a", "update_preimage"),
+      (3L, "c", "delete"), (9L, "n", "insert")), net)
+    // a DV delete nets as plain deletes too
+    LogTable.deleteWhere(spark, dir, $"k" === 2L,
+      deletionVectors = true): Unit
+    val net2 = LogTable.readNetChanges(spark, dir, 2L, 3L, Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(net2 == Seq((2L, "delete")), net2)
+    // unknown key column fails loud
+    intercept[IllegalArgumentException] {
+      LogTable.readNetChanges(spark, dir, 1L, 2L, Seq("nope"))
+    }
+  }
+
+  test("history names every commit's operation, newest first") {
+    val dir = tmp() + "/t"
+    // one file per write ⇒ the DV delete below is guaranteed PARTIAL
+    // (the file keeps live rows), so purge has a vector to materialize
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      LogTable.create(spark, dir, baseDf, "p"): Unit // 1 CREATE
+      LogTable.upsert(spark, dir,
+        Seq((1L, "a1", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+        Seq("k"), Seq("ver"), "op"): Unit // 2 MERGE
+      LogTable.deleteWhere(spark, dir, $"k" === 2L,
+        deletionVectors = true): Unit // 3 DELETE
+      LogTable.purgeDeletes(spark, dir): Unit // 4 PURGE (dataChange=false)
+      LogTable.restore(spark, dir, 1L): Unit // 5 RESTORE
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val h = LogTable.history(spark, dir)
+      .select("version", "operation", "data_change")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(h == Seq(
+      (5L, "RESTORE", true), (4L, "PURGE", false), (3L, "DELETE", true),
+      (2L, "MERGE", true), (1L, "CREATE", true)), h)
+    assert(LogTable.history(spark, dir)
+      .filter($"operation" === "CREATE")
+      .select("rows_added").as[Long].head() == 4L)
+  }
+
   test("restore re-points the live set at an earlier version, history intact") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p") // v1
