@@ -536,6 +536,76 @@ object StreamQueries {
         .withColumn("feed_ok", lit(maxEmitted == 4L && cv == 5L))
     }),
 
+    // THE EXACTLY-ONCE SINK — q127's ingest loop promoted into the
+    // engine: `writeStream.format(graft-logtable)` lands each micro-batch
+    // as one upsert transaction CARRYING its (txnAppId, batchId)
+    // watermark. Four single-file batches stream in (pinned: the final
+    // version is exactly create + 4 transactions), then the WHOLE stream
+    // re-runs against a FRESH checkpoint with the same app id — an
+    // at-least-once replay of every batch — and the watermark must skip
+    // all of it (version unchanged, pinned in sink_ok alongside the
+    // recorded last batch id). The oracle restates the merged state from
+    // raw orders; a double-applied batch changes sums and goes hash-red.
+    "q144_stream_logtable_sink" -> ((s, dir) => {
+      import graft.sources.{LogTable, LogTableSourceProvider}
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q144_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val feedRoot = new org.apache.hadoop.fs.Path(outRoot, "feed").toString
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(graft.Tables(s, dir, "orders"))
+      LogTable.create(s, tablePath, base, "o_year"): Unit
+      val inYears = col("o_year").isin(1997, 1999)
+      // four self-contained change waves, one file each — latest-wins by
+      // version makes the final state independent of delivery order
+      val waves = Seq(
+        base.filter(col("k") % 7 === 0 && inYears)
+          .withColumn("cents", expr("(cents * 110) div 100"))
+          .withColumn("version", lit(1)),
+        base.filter(col("k") % 7 === 0 && inYears)
+          .withColumn("cents", col("cents") + lit(7L))
+          .withColumn("version", lit(2)),
+        base.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0 && inYears)
+          .withColumn("version", lit(3)).withColumn("op", lit("D")),
+        base.filter(col("k") % 11 === 0 && inYears)
+          .withColumn("k", col("k") + lit(10000000L))
+          .withColumn("status", lit("N"))
+          .withColumn("cents", expr("cents div 2"))
+          .withColumn("version", lit(1)))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        w.repartition(1).write.parquet(s"$feedRoot/b$i")
+      }
+      val sch = base.schema
+      def run(ckpt: String): Unit = withStatePartitions(s, 8) {
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$feedRoot/*/")
+          .writeStream.format(classOf[LogTableSourceProvider].getName)
+          .option("path", tablePath).option("txnAppId", "q144-feed")
+          .option("keyCols", "k").option("orderCols", "version")
+          .option("opCol", "op")
+          .option("checkpointLocation",
+            new org.apache.hadoop.fs.Path(outRoot, ckpt).toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run("ck1")
+      val vFirst = LogTable.latestVersion(s, tablePath)
+      run("ck2") // full at-least-once replay, same app id, fresh offsets
+      val vReplay = LogTable.latestVersion(s, tablePath)
+      val ok = vFirst == 5L && vReplay == vFirst &&
+        LogTable.lastTxn(s, tablePath, "q144-feed").contains(3L)
+      LogTable.read(s, tablePath)
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("sink_ok", lit(ok))
+    }),
+
     "q85_stream_index_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val idx = s"g85_idx_$sf"
@@ -910,6 +980,37 @@ object StreamQueries {
          |  TRUE AS batches_ok
          |FROM e JOIN q USING (event_type)""".stripMargin
     },
+
+    // The four sink waves folded latest-wins by version; sink_ok (exact
+    // version count + replay no-op + recorded watermark) pinned TRUE.
+    "q144_stream_logtable_sink" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |changes AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k, status, cents + 7, o_year, 2, 'U'
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k, status, cents, o_year, 3, 'D'
+        |  FROM base WHERE k % 13 = 0 AND k % 7 <> 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k + 10000000, 'N', cents // 2, o_year, 1, 'U'
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS sink_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
 
     // The change-feed fold restated from raw orders: base ∪ three change
     // waves, latest version per key — what the streamed bytes must

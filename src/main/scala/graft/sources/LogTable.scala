@@ -132,7 +132,8 @@ object LogTable {
   final case class Snapshot(version: Long, schemaDdl: String,
                             partitionCols: Seq[String],
                             statsCols: Seq[String], files: Seq[LogFile],
-                            bloomCols: Seq[String] = Nil) {
+                            bloomCols: Seq[String] = Nil,
+                            txns: Map[String, Long] = Map.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** Leading partition column (single-column tables' only one). */
     def partitionCol: String = partitionCols.head
@@ -151,7 +152,8 @@ object LogTable {
       version: Long, schemaDdl: String, partitionCols: Seq[String],
       statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String],
       dataChange: Boolean, bloomCols: Seq[String] = Nil,
-      operation: String = "UNKNOWN")
+      operation: String = "UNKNOWN",
+      txns: Map[String, Long] = Map.empty)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -332,7 +334,14 @@ object LogTable {
         node.get("dataChange").asBoolean(true),
       bloomCols = bcols,
       operation =
-        if (node.hasNonNull("op")) node.get("op").asText() else "UNKNOWN")
+        if (node.hasNonNull("op")) node.get("op").asText() else "UNKNOWN",
+      txns =
+        if (node.hasNonNull("txns")) {
+          val b = Map.newBuilder[String, Long]
+          node.get("txns").properties().forEach(e =>
+            b += e.getKey -> e.getValue.asLong(): Unit)
+          b.result()
+        } else Map.empty)
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -359,6 +368,14 @@ object LogTable {
     vs.max
   }
 
+  /** The highest batch id `appId` has committed to this table, if any —
+    * the idempotent-writer watermark an external exactly-once loop checks
+    * before re-applying work (see [[upsert]]'s `txn` and the streaming
+    * sink in [[LogTableSourceProvider]]).
+    */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] =
+    snapshot(spark, path).txns.get(appId)
+
   def snapshot(spark: SparkSession, path: String,
                asOf: Option[Long] = None): Snapshot = {
     val fs = fsOf(spark, path)
@@ -384,6 +401,7 @@ object LogTable {
     var scols = Seq.empty[String]
     var bcols = Seq.empty[String]
     var version = 0L
+    var txns = Map.empty[String, Long]
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
     def fold(p: Path): Unit = {
       val c = parseCommitFile(fs, p)
@@ -392,6 +410,11 @@ object LogTable {
       scols = c.statsCols
       bcols = c.bloomCols
       version = c.version
+      // streaming-transaction watermarks accumulate monotonically: the
+      // HIGHEST batch id each writer app has committed
+      c.txns.foreach { case (app, id) =>
+        txns += app -> math.max(id, txns.getOrElse(app, Long.MinValue))
+      }
       c.removes.foreach(r => live.remove(r): Unit)
       c.adds.foreach(f => live.put(f.name, f): Unit)
     }
@@ -402,7 +425,7 @@ object LogTable {
     // past the checkpoint) is an error, not a silently older table
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
-    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols)
+    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols, txns)
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -419,7 +442,7 @@ object LogTable {
       val out = fs.create(tmp, true)
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols,
-        operation = "CHECKPOINT"))
+        operation = "CHECKPOINT", txns = snap.txns))
       finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
@@ -1307,7 +1330,9 @@ object LogTable {
                                touched: Seq[Seq[String]], adds: Seq[LogFile],
                                victims: Set[String],
                                maxRetries: Int,
-                               operation: String = "MERGE"): Option[Long] = {
+                               operation: String = "MERGE",
+                               txns: Map[String, Long] = Map.empty)
+      : Option[Long] = {
     var known = base.version
     var attempts = 0
     while (attempts <= maxRetries) {
@@ -1329,7 +1354,7 @@ object LogTable {
       try {
         commit(spark, path, latest.version + 1, schemaDdl,
           base.partitionCols, base.statsCols, adds, victims.toSeq,
-          bloomCols = base.bloomCols, operation = operation)
+          bloomCols = base.bloomCols, operation = operation, txns = txns)
         disjointRecommits.incrementAndGet(): Unit
         return Some(latest.version + 1)
       } catch {
@@ -1356,11 +1381,21 @@ object LogTable {
   def upsert(spark: SparkSession, path: String, changes: DataFrame,
              keyCols: Seq[String], orderCols: Seq[String], opCol: String,
              deleteOp: String = "D", maxRetries: Int = 3,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             txn: Option[(String, Long)] = None): Long = {
     val fs = fsOf(spark, path)
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      // idempotent-writer watermark (the Delta `txn` action): a batch the
+      // snapshot proves already committed for this (appId, batchId) is a
+      // REPLAY — exactly-once for at-least-once callers (the streaming
+      // sink's restart/retry path). Checked inside the retry loop: a
+      // race loser re-checks against the winner's snapshot, so the same
+      // batch can never land twice even under contention.
+      txn.foreach { case (app, id) =>
+        if (snap.txns.get(app).exists(_ >= id)) return -1L
+      }
       // The columns the MERGE ITSELF consumes must be physically present
       // in the batch regardless of evolution mode — NULL-filling the op
       // column would turn `op =!= deleteOp` three-valued and silently
@@ -1430,12 +1465,14 @@ object LogTable {
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols, operation = "MERGE")
+          bloomCols = snap.bloomCols, operation = "MERGE",
+          txns = txn.map { case (a, i) => a -> i }.toMap)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
           recommitDisjoint(spark, path, snap, evolved.schemaDdl, touched,
-            adds, victims.map(_.name).toSet, maxRetries) match {
+            adds, victims.map(_.name).toSet, maxRetries,
+            txns = txn.map { case (a, i) => a -> i }.toMap) match {
             case Some(v) => return v
             case None =>
               // overlapping winner (or unverifiable history): our
@@ -1471,7 +1508,22 @@ object LogTable {
     * that has staged but not committed. Returns the number of
     * files/directories deleted.
     */
-  def vacuum(spark: SparkSession, path: String, olderThanMs: Long): Int = {
+  /** The youngest age [[vacuum]] accepts without `force` — the
+    * Delta-style retention guard: reclaiming younger files can yank data
+    * out from under in-flight readers of old snapshots, writers that
+    * have staged but not committed, time travel, change feeds, and
+    * [[restore]] targets. A deliberate short-retention vacuum (tests,
+    * space emergencies) says so explicitly with `force = true`.
+    */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  def vacuum(spark: SparkSession, path: String, olderThanMs: Long,
+             force: Boolean = false): Int = {
+    require(force || olderThanMs >= DefaultRetentionMs,
+      s"log table $path: vacuum(olderThanMs = $olderThanMs) is under the " +
+        s"$DefaultRetentionMs ms retention floor — in-flight readers, " +
+        "time travel, change feeds and restore targets may still need " +
+        "those files; pass force = true to override deliberately")
     val fs = fsOf(spark, path)
     val live = snapshot(spark, path).files
       .flatMap(f => f.name +: f.dv.map(_.name).toList).toSet
@@ -2038,11 +2090,16 @@ object LogTable {
                          adds: Seq[LogFile], removes: Seq[String],
                          dataChange: Boolean = true,
                          bloomCols: Seq[String] = Nil,
-                         operation: String = "UNKNOWN"): Array[Byte] = {
+                         operation: String = "UNKNOWN",
+                         txns: Map[String, Long] = Map.empty): Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
     if (operation != "UNKNOWN") root.put("op", operation): Unit
+    if (txns.nonEmpty) {
+      val t = root.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (a, v) => t.put(a, v): Unit }
+    }
     // written only when false — legacy commits (absent) read as true
     if (!dataChange) root.put("dataChange", false): Unit
     if (bloomCols.nonEmpty) {
@@ -2093,13 +2150,14 @@ object LogTable {
                      adds: Seq[LogFile], removes: Seq[String],
                      dataChange: Boolean = true,
                      bloomCols: Seq[String] = Nil,
-                     operation: String = "UNKNOWN"): Unit = {
+                     operation: String = "UNKNOWN",
+                     txns: Map[String, Long] = Map.empty): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
-      adds, removes, dataChange, bloomCols, operation))
+      adds, removes, dataChange, bloomCols, operation, txns))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

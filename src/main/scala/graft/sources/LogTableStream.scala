@@ -160,18 +160,70 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
   override def toString: String = s"LogTableStreamSource[$path]"
 }
 
-/** One provider string, both directions:
+/** EXACTLY-ONCE streaming SINK into the commit log — the write-side twin
+  * of the streaming source: each micro-batch lands as one [[LogTable
+  * .upsert]] transaction CARRYING its (txnAppId, batchId) watermark, so
+  * a replayed batch (engine restart mid-commit, foreachBatch retry, a
+  * whole re-run against a fresh checkpoint with the same app id) is
+  * SKIPPED by the snapshot's transaction map instead of double-merging —
+  * at-least-once delivery from the engine, exactly-once effects in the
+  * table, the Delta `txn`-action architecture. The merge itself is
+  * already idempotent latest-wins, so this watermark buys exactness for
+  * NON-idempotent-safe batches too (e.g. monotonically versioned feeds
+  * where re-application is correct but wasteful, or accounting tables
+  * where it is not). The batch frame is lifted off its streaming plan
+  * (`GraftBridge.stripStreaming`) before the transaction re-executes it
+  * across the merge's passes.
+  */
+final class LogTableSink(spark: SparkSession, path: String,
+                         keyCols: Seq[String], orderCols: Seq[String],
+                         opCol: String, deleteOp: String, appId: String,
+                         mergeSchema: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftBridge.stripStreaming(data)
+    LogTable.upsert(spark, path, batch, keyCols, orderCols, opCol, deleteOp,
+      mergeSchema = mergeSchema, txn = Some((appId, batchId))): Unit
+  }
+  override def toString: String = s"LogTableSink[$path]"
+}
+
+/** One provider string, all three directions:
   * `spark.readStream.format(classOf[LogTableSourceProvider].getName)
-  * .option("path", dir).load()` streams the change feed, and
+  * .option("path", dir).load()` streams the change feed,
   * `spark.read.format(...)` (plus optional `versionAsOf`) reads a
   * snapshot through the same FileIndex-backed relation as
-  * [[LogTable.table]] — identical pruning, vectorized reader, codegen.
+  * [[LogTable.table]] — identical pruning, vectorized reader, codegen —
+  * and `df.writeStream.format(...)` with `path`, `txnAppId`, `keyCols`,
+  * `orderCols`, `opCol` (+ optional `deleteOp`, `mergeSchema`) merges
+  * each micro-batch exactly-once (see [[LogTableSink]]).
   * V1 provider; no service registration needed (Spark resolves a
   * fully-qualified provider class name).
   */
 class LogTableSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = pathOf(parameters)
+    def req(name: String): String = opt(parameters, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-logtable sink needs .option(\"$name\", ...)"))
+    def cols(name: String): Seq[String] =
+      req(name).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // the replay watermark is keyed on it — an ACCIDENTALLY shared id
+    // would silently drop another writer's batches, so it must be
+    // explicit, never defaulted
+    new LogTableSink(sqlContext.sparkSession, path,
+      cols("keyCols"), cols("orderCols"), req("opCol"),
+      opt(parameters, "deleteOp").getOrElse("D"), req("txnAppId"),
+      opt(parameters, "mergeSchema").exists(_.toBoolean))
+  }
 
   override def shortName(): String = "graft-logtable"
 

@@ -19,6 +19,19 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Materialize a micro-batch DataFrame handed to a V1 `Sink.addBatch`
+    * as an ordinary batch frame over the SAME already-planned rows —
+    * the FileStreamSink/Delta-sink pattern: the incoming frame is backed
+    * by an `IncrementalExecution` whose plan must not be re-analyzed or
+    * multiply re-executed by a downstream transaction; lifting its RDD
+    * into a fresh LogicalRDD decouples the two.
+    */
+  def stripStreaming(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
+
   /** Install an extensions object's injected functions into an ALREADY
     * RUNNING session's function registry. `spark.sql.extensions` only
     * applies at session construction; this is the live-session path (and

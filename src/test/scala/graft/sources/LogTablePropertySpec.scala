@@ -99,7 +99,7 @@ class LogTablePropertySpec extends SparkSpec {
         if ((i + j) % 3 == 0) {
           LogTable.checkpoint(spark, dir): Unit
           LogTable.expireLog(spark, dir): Unit
-          LogTable.vacuum(spark, dir, olderThanMs = 0L): Unit
+          LogTable.vacuum(spark, dir, olderThanMs = 0L, force = true): Unit
         }
       }
       val got = LogTable.read(spark, dir).select("k", "v", "ver", "op").collect()

@@ -138,7 +138,13 @@ class LogTableSpec extends SparkSpec {
       new java.io.File(dir + "/_graft_log/.commit_dead.tmp").toPath,
       Array[Byte](1))
     val live = LogTable.snapshot(spark, dir).files.map(_.name).toSet
-    val deleted = LogTable.vacuum(spark, dir, olderThanMs = 0L)
+    // the retention floor guards in-flight readers — a short vacuum must
+    // be an explicit, forced decision
+    val g = intercept[IllegalArgumentException] {
+      LogTable.vacuum(spark, dir, olderThanMs = 0L)
+    }
+    assert(g.getMessage.contains("retention"))
+    val deleted = LogTable.vacuum(spark, dir, olderThanMs = 0L, force = true)
     assert(deleted == 3, s"deleted $deleted")
     assert(!orphan.exists())
     assert(!new java.io.File(dir + "/_tmp_deadbeef").exists())
@@ -957,7 +963,7 @@ class LogTableSpec extends SparkSpec {
     // vacuum keeps live sidecars, reclaims superseded ones
     val allDvOnDisk = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("dv-")).toSet
-    assert(LogTable.vacuum(spark, dir, olderThanMs = 0L) >= 0)
+    assert(LogTable.vacuum(spark, dir, olderThanMs = 0L, force = true) >= 0)
     val liveDv = s4.files.flatMap(_.dv.map(_.name)).toSet
     val kept = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("dv-")).toSet
@@ -1130,7 +1136,7 @@ class LogTableSpec extends SparkSpec {
     // a vacuum that reclaimed the target's files breaks restore LOUD
     assert(LogTable.restore(spark, dir, 2L) == 5L)
     assert(LogTable.restore(spark, dir, 1L) == 6L)
-    LogTable.vacuum(spark, dir, olderThanMs = 0L): Unit
+    LogTable.vacuum(spark, dir, olderThanMs = 0L, force = true): Unit
     val e = intercept[IllegalArgumentException] {
       LogTable.restore(spark, dir, 2L)
     }

@@ -101,6 +101,64 @@ class LogTableStreamSpec extends SparkSpec {
     assert(latest == snap)
   }
 
+  test("the sink lands each micro-batch exactly once; full replays are skipped") {
+    val root = tmp()
+    val dir = root + "/t"
+    val srcDir = root + "/feed"
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING, ver INT, p STRING, op STRING")
+    LogTable.create(spark, dir,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch),
+      "p")
+    Seq(
+      Seq((1L, "a", 1, "p1", "U"), (2L, "b", 1, "p2", "U")),
+      Seq((1L, "a2", 2, "p1", "U"), (3L, "c", 1, "p2", "U")),
+      Seq((2L, "b", 2, "p2", "D"))).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "v", "ver", "p", "op").repartition(1)
+        .write.json(s"$srcDir/f$i")
+    }
+    def run(ckpt: String, appId: String): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$srcDir/*/")
+        .writeStream.format(fmt)
+        .option("path", dir).option("txnAppId", appId)
+        .option("keyCols", "k").option("orderCols", "ver")
+        .option("opCol", "op")
+        .option("checkpointLocation", s"$root/$ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run("ck1", "app-a")
+    val v1 = LogTable.latestVersion(spark, dir)
+    assert(v1 == 4L, s"create + 3 single-file batches, got $v1") // 1 + 3
+    val got = LogTable.read(spark, dir).select("k", "v", "ver")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a2", 2), (3L, "c", 1)))
+    assert(LogTable.lastTxn(spark, dir, "app-a").contains(2L))
+    // a FULL re-run against a fresh checkpoint replays batch ids 0..2
+    // under the same app id — every one skips, no version moves
+    run("ck2", "app-a")
+    assert(LogTable.latestVersion(spark, dir) == v1)
+    assert(LogTable.read(spark, dir).count() == 2L)
+    // a different app id is a different writer: its batches land (and
+    // converge to the same content — the merge itself is idempotent)
+    run("ck3", "app-b")
+    assert(LogTable.latestVersion(spark, dir) > v1)
+    assert(LogTable.read(spark, dir).select("k", "v", "ver")
+      .as[(Long, String, Int)].collect().sorted.toSeq == got)
+    // missing txnAppId fails loud at sink construction
+    val e = intercept[Exception] {
+      spark.readStream.schema(sch).json(s"$srcDir/*/")
+        .writeStream.format(fmt).option("path", dir)
+        .option("keyCols", "k").option("orderCols", "ver")
+        .option("opCol", "op")
+        .option("checkpointLocation", s"$root/ck4")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(causeContains(e, "txnAppId"), e.toString)
+  }
+
   test("a deletion-vector commit fails loud — even under ignoreChanges") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
