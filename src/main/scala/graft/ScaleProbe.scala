@@ -332,15 +332,15 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
-    // the DELETE strategies head-to-head: a scattered ~30% kill inside
-    // one partition (the DV sweet spot — stats prune to the year, but
-    // every file in it holds matches). Rewrite mode pays a full rewrite
-    // of every 1997 file; vector mode pays the same victim scan but
-    // writes only a sidecar of positions. Each timed pass RESTOREs to
-    // version 1 first (metadata-only) so the delete re-runs identical
-    // work — restore is what makes a destructive probe repeatable. The
-    // read-back is timed too, so the vector path's anti-join cost is in
-    // its own number, not hidden.
+    // the DELETE strategies head-to-head on the DV sweet spot: a SPARSE
+    // scattered kill (~0.1% of rows, no partition alignment — the GDPR /
+    // bad-record shape) whose victims are EVERY file. Rewrite mode pays
+    // a full-table rewrite to drop a sliver; vector mode pays the same
+    // victim scan but writes only a sidecar of positions. Each timed
+    // pass RESTOREs to version 1 first (metadata-only) so the delete
+    // re-runs identical work — restore is what makes a destructive probe
+    // repeatable. The read-back is timed too, so the vector path's
+    // anti-join cost is in its own number, not hidden.
     def dvDelete(mode: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       import graft.sources.LogTable
       val key = new java.io.File(d).getName
@@ -351,8 +351,7 @@ object ScaleProbe {
           Seq("o_year"), Seq("cents")): Unit
       }
       LogTable.restore(s, t, 1L): Unit
-      LogTable.deleteWhere(s, t,
-        col("o_year") === 1997 && col("cents") % 10L < 3L,
+      LogTable.deleteWhere(s, t, col("cents") % 997L === 7L,
         deletionVectors = mode == "vectors"): Unit
       LogTable.read(s, t)
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))

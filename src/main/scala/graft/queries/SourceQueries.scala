@@ -800,6 +800,43 @@ object SourceQueries {
         .select(col("version"), col("operation"), col("data_change"))
     }),
 
+    // CHECK CONSTRAINTS — ingest-time data quality as a table property:
+    // the constraint lands as its own (dataChange=false) commit after a
+    // one-off validation scan, a VALID merge then commits, and a batch
+    // smuggling one violating row fails the WHOLE transaction before
+    // its commit — constraint_ok pins the caught failure, the frozen
+    // version, and the persisted constraint text. The final aggregate
+    // restates the valid merge only; a leaked violating row (or a
+    // constraint that silently stopped enforcing) changes it hash-red.
+    "q145_logtable_constraint" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q145")
+      val base = ordersShaped(s, dir, withOdate = false)
+      graft.sources.LogTable.create(s, t, base, Seq("o_year"), Seq("cents"))
+      graft.sources.LogTable.addConstraint(s, t, "cents_nonneg",
+        "cents >= 0"): Unit
+      val v = graft.sources.LogTable.upsert(s, t,
+        ordersUpdDel(base, col("o_year") === 1997),
+        keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
+      val caught =
+        try {
+          graft.sources.LogTable.upsert(s, t,
+            base.filter(col("k") % 501 === 0)
+              .withColumn("cents", lit(-1L))
+              .withColumn("version", lit(9)),
+            keyCols = Seq("k"), orderCols = Seq("version"), opCol = "op")
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cents_nonneg") }
+      val snap = graft.sources.LogTable.snapshot(s, t)
+      val ok = v == 3L && caught && snap.version == 3L &&
+        snap.constraints == Map("cents_nonneg" -> "cents >= 0")
+      graft.sources.LogTable.read(s, t)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("constraint_ok", lit(ok))
+    }),
+
     // FULL MERGE INTO — the general clause form beyond upsert's fixed
     // latest-wins: one transaction applies a CONDITIONAL matched-update
     // (only when the source price is strictly higher, bumping a version
@@ -1288,6 +1325,33 @@ object SourceQueries {
         |SELECT status AS o_orderstatus, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS restore_ok
         |FROM base
+        |GROUP BY 1""".stripMargin,
+
+    // The VALID merge's state only — the violating batch never lands;
+    // constraint_ok pinned TRUE.
+    "q145_logtable_constraint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year = 1997),
+        |del AS (
+        |  SELECT k, status, cents, o_year, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year = 1997),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  TRUE AS constraint_ok
+        |FROM final
         |GROUP BY 1""".stripMargin,
 
     // The three net-change sets derived from raw orders: tombstoned keys

@@ -133,7 +133,8 @@ object LogTable {
                             partitionCols: Seq[String],
                             statsCols: Seq[String], files: Seq[LogFile],
                             bloomCols: Seq[String] = Nil,
-                            txns: Map[String, Long] = Map.empty) {
+                            txns: Map[String, Long] = Map.empty,
+                            constraints: Map[String, String] = Map.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** Leading partition column (single-column tables' only one). */
     def partitionCol: String = partitionCols.head
@@ -153,7 +154,8 @@ object LogTable {
       statsCols: Seq[String], adds: Seq[LogFile], removes: Seq[String],
       dataChange: Boolean, bloomCols: Seq[String] = Nil,
       operation: String = "UNKNOWN",
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -341,6 +343,13 @@ object LogTable {
           node.get("txns").properties().forEach(e =>
             b += e.getKey -> e.getValue.asLong(): Unit)
           b.result()
+        } else Map.empty,
+      constraints =
+        if (node.hasNonNull("constraints")) {
+          val b = Map.newBuilder[String, String]
+          node.get("constraints").properties().forEach(e =>
+            b += e.getKey -> e.getValue.asText(): Unit)
+          b.result()
         } else Map.empty)
   }
 
@@ -402,6 +411,7 @@ object LogTable {
     var bcols = Seq.empty[String]
     var version = 0L
     var txns = Map.empty[String, Long]
+    var cons = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
     def fold(p: Path): Unit = {
       val c = parseCommitFile(fs, p)
@@ -409,6 +419,7 @@ object LogTable {
       pcols = c.partitionCols
       scols = c.statsCols
       bcols = c.bloomCols
+      cons = c.constraints
       version = c.version
       // streaming-transaction watermarks accumulate monotonically: the
       // HIGHEST batch id each writer app has committed
@@ -425,7 +436,8 @@ object LogTable {
     // past the checkpoint) is an error, not a silently older table
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
-    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols, txns)
+    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols,
+      txns, cons)
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -442,7 +454,8 @@ object LogTable {
       val out = fs.create(tmp, true)
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols,
-        operation = "CHECKPOINT", txns = snap.txns))
+        operation = "CHECKPOINT", txns = snap.txns,
+        constraints = snap.constraints))
       finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
@@ -513,7 +526,8 @@ object LogTable {
       // consumers of the change feed skip this commit entirely
       commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, adds, victims.map(_.name), dataChange = false,
-        bloomCols = snap.bloomCols, operation = "COMPACT")
+        bloomCols = snap.bloomCols, operation = "COMPACT",
+        constraints = snap.constraints)
     } catch {
       case e: CommitConflictException =>
         // same discipline as upsert's losing race: our files are invisible,
@@ -615,12 +629,15 @@ object LogTable {
         cj.forall(c => mayMatch(snap, f, c, zone)))
       if (victims.isEmpty) return -1L
       val (rewritten, ddl) = transform(snap, readFiles(spark, path, snap, victims))
+      // an UPDATE can manufacture violating rows; a DELETE only drops
+      if (op == "UPDATE") enforceConstraints(path, snap, rewritten)
       val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols)
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols, operation = op)
+          bloomCols = snap.bloomCols, operation = op,
+          constraints = snap.constraints)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -811,8 +828,9 @@ object LogTable {
         // UPDATE mode: matched rows, transformed, land in fresh files
         val newFiles: Seq[LogFile] = set match {
           case Some(s) =>
-            writeDataFiles(spark, path,
-              applySet(s)(hit.drop("__gdv_file", "__gdv_idx")),
+            val assigned = applySet(s)(hit.drop("__gdv_file", "__gdv_idx"))
+            enforceConstraints(path, snap, assigned)
+            writeDataFiles(spark, path, assigned,
               snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
           case None => Nil
         }
@@ -827,7 +845,8 @@ object LogTable {
           commit(spark, path, snap.version + 1, ddl, snap.partitionCols,
             snap.statsCols, adds, affected.map(_.name),
             bloomCols = snap.bloomCols,
-            operation = if (set.isDefined) "UPDATE" else "DELETE")
+            operation = if (set.isDefined) "UPDATE" else "DELETE",
+            constraints = snap.constraints)
           return snap.version + 1
         } catch {
           case e: CommitConflictException =>
@@ -889,7 +908,7 @@ object LogTable {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           dataChange = false, bloomCols = snap.bloomCols,
-          operation = "PURGE")
+          operation = "PURGE", constraints = snap.constraints)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -943,7 +962,8 @@ object LogTable {
       try {
         commit(spark, path, cur.version + 1, target.schemaDdl,
           target.partitionCols, target.statsCols, adds, removes,
-          bloomCols = target.bloomCols, operation = "RESTORE")
+          bloomCols = target.bloomCols, operation = "RESTORE",
+          constraints = target.constraints)
         return cur.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1346,6 +1366,7 @@ object LogTable {
           w.partitionCols == base.partitionCols &&
           w.statsCols == base.statsCols &&
           w.bloomCols == base.bloomCols &&
+          w.constraints == base.constraints &&
           !w.removes.exists(victims.contains) &&
           victimFiles(base.copy(files = w.adds), touched).isEmpty
       }
@@ -1354,7 +1375,8 @@ object LogTable {
       try {
         commit(spark, path, latest.version + 1, schemaDdl,
           base.partitionCols, base.statsCols, adds, victims.toSeq,
-          bloomCols = base.bloomCols, operation = operation, txns = txns)
+          bloomCols = base.bloomCols, operation = operation, txns = txns,
+          constraints = base.constraints)
         disjointRecommits.incrementAndGet(): Unit
         return Some(latest.version + 1)
       } catch {
@@ -1459,14 +1481,17 @@ object LogTable {
       val merged = Merge.merge(base, aligned, keyCols, orderCols, opCol, deleteOp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val adds =
-        try writeDataFiles(spark, path, merged, snap.partitionCols,
-          snap.statsCols, bloomCols = snap.bloomCols)
-        finally { merged.unpersist(): Unit }
+        try {
+          enforceConstraints(path, snap, merged)
+          writeDataFiles(spark, path, merged, snap.partitionCols,
+            snap.statsCols, bloomCols = snap.bloomCols)
+        } finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols, operation = "MERGE",
-          txns = txn.map { case (a, i) => a -> i }.toMap)
+          txns = txn.map { case (a, i) => a -> i }.toMap,
+          constraints = snap.constraints)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1487,6 +1512,90 @@ object LogTable {
     }
     -1L // unreachable
   }
+
+  /** Add a CHECK constraint — a table-level data-quality invariant
+    * persisted in the log and ENFORCED on every subsequent write that
+    * produces rows (merge, update, insert-through-merge): a transaction
+    * writing even one row where the expression is FALSE fails loud
+    * BEFORE its commit (SQL CHECK semantics — a NULL expression passes).
+    * Adding first validates the EXISTING table (one scan, the ALTER
+    * TABLE cost), then publishes as a dataChange=false commit; a
+    * concurrent writer racing the validation loses the version race and
+    * forces a re-validation, so a violating row can never slip in
+    * between scan and publish. Rearrangements (compaction, purge) carry
+    * constraints unchanged; [[restore]] carries the TARGET version's
+    * set — the whole state travels together.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    expression: String, maxRetries: Int = 3): Long = {
+    require(name.nonEmpty, "constraint needs a name")
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      require(!snap.constraints.contains(name),
+        s"log table $path: constraint `$name` already exists")
+      // the expression must analyze against the schema — a typo fails
+      // HERE, not silently passing forever
+      emptyDf(spark, snap.schema).filter(expr(expression)).queryExecution
+        .analyzed: Unit
+      val bad = readFiles(spark, path, snap, snap.files)
+        .filter(coalesce(expr(expression), lit(true)) === false)
+        .limit(1).count()
+      require(bad == 0L,
+        s"log table $path: existing rows violate `$name` ($expression)")
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, Nil, Nil, dataChange = false,
+          bloomCols = snap.bloomCols, operation = "ADD CONSTRAINT",
+          constraints = snap.constraints + (name -> expression))
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a CHECK constraint (dataChange = false). */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+                     maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      require(snap.constraints.contains(name),
+        s"log table $path: no constraint `$name` to drop")
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, Nil, Nil, dataChange = false,
+          bloomCols = snap.bloomCols, operation = "DROP CONSTRAINT",
+          constraints = snap.constraints - name)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** One pass per constraint over the rows a transaction is about to
+    * write (bounded by the write, never the table). Violation = the
+    * expression is provably FALSE for some row — NULL passes, per SQL
+    * CHECK. The failing row rides in the error message.
+    */
+  private[sources] def enforceConstraints(path: String, snap: Snapshot,
+                                          rows: DataFrame): Unit =
+    snap.constraints.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val bad = rows.filter(coalesce(expr(e), lit(true)) === false)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"log table $path: CHECK constraint `$name` ($e) violated by " +
+            s"row ${bad.head}")
+    }
 
   /** Full MERGE INTO — conditional matched-update/-delete and
     * not-matched-insert clauses over `t.`/`s.` SQL scopes, one log
@@ -2091,7 +2200,9 @@ object LogTable {
                          dataChange: Boolean = true,
                          bloomCols: Seq[String] = Nil,
                          operation: String = "UNKNOWN",
-                         txns: Map[String, Long] = Map.empty): Array[Byte] = {
+                         txns: Map[String, Long] = Map.empty,
+                         constraints: Map[String, String] = Map.empty)
+      : Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     root.put("schema", schemaDdl): Unit
@@ -2099,6 +2210,10 @@ object LogTable {
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (a, v) => t.put(a, v): Unit }
+    }
+    if (constraints.nonEmpty) {
+      val t = root.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, e) => t.put(n, e): Unit }
     }
     // written only when false — legacy commits (absent) read as true
     if (!dataChange) root.put("dataChange", false): Unit
@@ -2151,13 +2266,14 @@ object LogTable {
                      dataChange: Boolean = true,
                      bloomCols: Seq[String] = Nil,
                      operation: String = "UNKNOWN",
-                     txns: Map[String, Long] = Map.empty): Unit = {
+                     txns: Map[String, Long] = Map.empty,
+                     constraints: Map[String, String] = Map.empty): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
-      adds, removes, dataChange, bloomCols, operation, txns))
+      adds, removes, dataChange, bloomCols, operation, txns, constraints))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

@@ -96,13 +96,15 @@ final case class MergeInto private[sources] (
       val victims = LogTable.victimFiles(snap, touched)
       val result = apply(snap,
         LogTable.readFiles(spark, path, snap, victims), source)
+      LogTable.enforceConstraints(path, snap, result)
       val ddl = widenedDdl(snap)
       val adds = LogTable.writeDataFiles(spark, path, result,
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
-          bloomCols = snap.bloomCols, operation = "MERGE_INTO")
+          bloomCols = snap.bloomCols, operation = "MERGE_INTO",
+          constraints = snap.constraints)
         return snap.version + 1
       } catch {
         case e: LogTable.CommitConflictException =>

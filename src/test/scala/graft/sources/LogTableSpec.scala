@@ -1112,6 +1112,61 @@ class LogTableSpec extends SparkSpec {
       .select("rows_added").as[Long].head() == 4L)
   }
 
+  test("CHECK constraints gate every write path; NULL passes; drop re-opens") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // adding a constraint the EXISTING data violates fails, no commit
+    intercept[IllegalArgumentException] {
+      LogTable.addConstraint(spark, dir, "long_v", "length(v) > 5")
+    }
+    // a typo'd expression fails analysis loud
+    intercept[Exception] {
+      LogTable.addConstraint(spark, dir, "typo", "nope_col > 0")
+    }
+    assert(LogTable.snapshot(spark, dir).version == 1L)
+    assert(LogTable.addConstraint(spark, dir, "ver_ok",
+      "ver >= 0 AND ver < 100") == 2L)
+    assert(LogTable.snapshot(spark, dir).constraints ==
+      Map("ver_ok" -> "ver >= 0 AND ver < 100"))
+    // valid merge lands; violating merge fails WHOLE, version frozen
+    assert(LogTable.upsert(spark, dir,
+      Seq((9L, "n", 5, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op") == 3L)
+    intercept[IllegalArgumentException] {
+      LogTable.upsert(spark, dir,
+        Seq((10L, "x", 100, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+        Seq("k"), Seq("ver"), "op")
+    }
+    assert(LogTable.snapshot(spark, dir).version == 3L)
+    assert(LogTable.read(spark, dir).filter($"k" === 10L).count() == 0L)
+    // both UPDATE strategies enforce; mergeInto enforces
+    intercept[IllegalArgumentException] {
+      LogTable.updateWhere(spark, dir, col("k") === 1L,
+        Map("ver" -> lit(100)))
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.updateWhere(spark, dir, col("k") === 1L,
+        Map("ver" -> lit(100)), deletionVectors = true)
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir,
+        Seq((1L, "p1")).toDF("k", "p"), Seq("k"))
+        .whenMatchedUpdate(Map("ver" -> "100")).run()
+    }
+    assert(LogTable.snapshot(spark, dir).version == 3L)
+    // SQL CHECK: a NULL expression value PASSES
+    assert(LogTable.updateWhere(spark, dir, col("k") === 9L,
+      Map("ver" -> lit(null))) == 4L)
+    // the constraint survives in history and is droppable; after drop
+    // the formerly-violating write lands
+    assert(LogTable.history(spark, dir)
+      .filter($"operation" === "ADD CONSTRAINT").count() == 1L)
+    assert(LogTable.dropConstraint(spark, dir, "ver_ok") == 5L)
+    assert(LogTable.upsert(spark, dir,
+      Seq((10L, "x", 100, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op") == 6L)
+  }
+
   test("restore re-points the live set at an earlier version, history intact") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p") // v1
