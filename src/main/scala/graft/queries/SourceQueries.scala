@@ -800,6 +800,38 @@ object SourceQueries {
         .select(col("version"), col("operation"), col("data_change"))
     }),
 
+    // Z-ORDER LAYOUT — multi-dimensional data skipping: the table is
+    // created range-partitioned on the MORTON interleave of (odate,
+    // cents), so each file's min/max stats bound a RECTANGLE of the 2-D
+    // space and a predicate on EITHER column prunes files — where
+    // lexicographic clustering would leave the second column's ranges
+    // spanning everything (q129 proves the 1-D story; this is the 2-D
+    // one). zorder_ok pins that a date-window read AND a cents-band
+    // read each plan strictly fewer files than the snapshot holds; the
+    // aggregate restates the 2-D box from raw orders — a wrongly pruned
+    // file loses rows and goes hash-red.
+    "q146_logtable_zorder" -> ((s, dir) => {
+      val t = scratch(s, dir, "graft_q146")
+      val base = ordersShaped(s, dir, withOdate = true)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // enough files that the z-blocks subdivide each year partition
+        s.conf.set("spark.sql.shuffle.partitions", "64")
+        graft.sources.LogTable.create(s, t, base, Seq("o_year"),
+          Seq("odate", "cents"), zorderBy = Seq("odate", "cents"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val total = graft.sources.LogTable.snapshot(s, t).files.length
+      def kept(p: org.apache.spark.sql.Column): Int =
+        graft.sources.LogTable.readWhere(s, t, p).inputFiles.length
+      val dateWindow = col("odate").between("1997-04-01", "1997-06-30")
+      val centsBand = col("cents") >= 30000000L
+      val ok = kept(dateWindow) < total && kept(centsBand) < total
+      graft.sources.LogTable.readWhere(s, t, dateWindow && centsBand)
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("zorder_ok", lit(ok))
+    }),
+
     // CHECK CONSTRAINTS — ingest-time data quality as a table property:
     // the constraint lands as its own (dataChange=false) commit after a
     // one-off validation scan, a VALID merge then commits, and a batch
@@ -1325,6 +1357,21 @@ object SourceQueries {
         |SELECT status AS o_orderstatus, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS restore_ok
         |FROM base
+        |GROUP BY 1""".stripMargin,
+
+    // The 2-D box straight off raw orders; both prune bits folded into
+    // zorder_ok pinned TRUE.
+    "q146_logtable_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderdate AS odate
+        |  FROM orders)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS zorder_ok
+        |FROM base
+        |WHERE odate BETWEEN DATE '1997-04-01' AND DATE '1997-06-30'
+        |  AND cents >= 30000000
         |GROUP BY 1""".stripMargin,
 
     // The VALID merge's state only — the violating batch never lands;

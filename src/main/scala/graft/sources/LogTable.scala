@@ -232,12 +232,16 @@ object LogTable {
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String], statsCols: Seq[String] = Nil,
              clusterBy: Seq[String] = Nil,
-             bloomFilterCols: Seq[String] = Nil): Long = {
+             bloomFilterCols: Seq[String] = Nil,
+             zorderBy: Seq[String] = Nil): Long = {
     val fs = fsOf(spark, path)
     require(!fs.exists(logDir(path)),
       s"log table already exists at $path — use upsert")
     require(partitionCols.nonEmpty, "need at least one partition column")
-    (partitionCols ++ statsCols ++ clusterBy).foreach { c =>
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"log table $path: zorderBy interleaves exactly TWO dimensions " +
+        s"(got ${zorderBy.size}) — one dimension is plain clusterBy")
+    (partitionCols ++ statsCols ++ clusterBy ++ zorderBy).foreach { c =>
       val fd = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"log table $path: tracked column `$c` is not in the schema"))
@@ -248,10 +252,11 @@ object LogTable {
     }
     // clustering without recorded stats would sort data for nothing —
     // the read side prunes from statsCols, so demand the declaration
-    clusterBy.foreach { c =>
+    (clusterBy ++ zorderBy).foreach { c =>
       require((partitionCols ++ statsCols).exists(_.equalsIgnoreCase(c)),
-        s"log table $path: clusterBy column `$c` must also be declared in " +
-          "statsCols — clustering exists to make ITS min/max ranges prune")
+        s"log table $path: cluster/z-order column `$c` must also be " +
+          "declared in statsCols — the layout exists to make ITS min/max " +
+          "ranges prune")
     }
     // BLOOM columns complement min/max: a point lookup on a column whose
     // values scatter across files (random ids) skips nothing by range,
@@ -269,7 +274,8 @@ object LogTable {
     }
     fs.mkdirs(logDir(path)): Unit
     val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
-      clusterBy = clusterBy, bloomCols = bloomFilterCols)
+      clusterBy = clusterBy, bloomCols = bloomFilterCols,
+      zorderBy = zorderBy)
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
       Nil, bloomCols = bloomFilterCols, operation = "CREATE")
     1L
@@ -485,14 +491,17 @@ object LogTable {
     */
   def compactPartitions(spark: SparkSession, path: String,
                         maxFilesPerPartition: Int = 8,
-                        clusterBy: Seq[String] = Nil): Long = {
+                        clusterBy: Seq[String] = Nil,
+                        zorderBy: Seq[String] = Nil): Long = {
     require(maxFilesPerPartition > 0, "need a positive file budget")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"log table $path: zorderBy interleaves exactly TWO dimensions")
     val snap = snapshot(spark, path)
-    clusterBy.foreach { c =>
+    (clusterBy ++ zorderBy).foreach { c =>
       require((snap.partitionCols ++ snap.statsCols).exists(_.equalsIgnoreCase(c)),
-        s"log table $path: clusterBy column `$c` must be stats-declared " +
-          "(create-time statsCols) — clustering exists to make ITS " +
-          "min/max ranges prune")
+        s"log table $path: cluster/z-order column `$c` must be " +
+          "stats-declared (create-time statsCols) — the layout exists to " +
+          "make ITS min/max ranges prune")
     }
     val countByValue = scala.collection.mutable.Map.empty[String, Int]
     snap.files.foreach { f =>
@@ -519,7 +528,8 @@ object LogTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
       try writeDataFiles(spark, path, rows, snap.partitionCols,
-        snap.statsCols, Some(target), clusterBy, bloomCols = snap.bloomCols)
+        snap.statsCols, Some(target), clusterBy, bloomCols = snap.bloomCols,
+        zorderBy = zorderBy)
       finally { rows.unpersist(): Unit }
     try {
       // dataChange = false: rows were REARRANGED, not changed — streaming
@@ -2097,12 +2107,60 @@ object LogTable {
     * columns — then rename each into the table root under its (already
     * unique) name. Files are invisible until a commit references them.
     */
+  /** A cluster column as a double preserving order — what both the
+    * Z-order bucketer interleaves and `width_bucket` requires.
+    */
+  private def numericize(c: Column, dt: DataType): Column = dt match {
+    case _: NumericType => c.cast("double")
+    case DateType => datediff(c, lit("1970-01-01").cast("date")).cast("double")
+    case TimestampType => unix_micros(c).cast("double")
+    // any MONOTONE map works for a layout ordinal — zone shift included
+    case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")
+    case _ => throw new IllegalArgumentException(
+      s"z-order needs a numeric/date/timestamp column, got ${dt.sql}")
+  }
+
+  /** The Morton key of the two `zorderBy` columns: each dimension
+    * equi-width bucketed into 2^16 ordinals over THIS write's value
+    * range (one extra aggregate over the rows being written — they are
+    * in hand anyway), then bit-interleaved
+    * ([[graft.functions.ZOrder.interleave]], plain codegen'd bitwise
+    * arithmetic). Range-partitioning the write on this key gives each
+    * file a bounded RECTANGLE of the 2-D space, so min/max stats prune
+    * on EITHER column — where a lexicographic clusterBy sorts perfectly
+    * on the first column and not at all on the second. Equi-width (not
+    * equi-depth) bucketing: heavy skew in a dimension degrades skipping
+    * quality, never correctness — stats stay exact per file.
+    */
+  private def zorderKey(df: DataFrame, zorderBy: Seq[String]): Column = {
+    val dims = zorderBy.map(c => df.schema.fields
+      .find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown z-order column `$c`")))
+    val nums = dims.map(f => numericize(col(f.name), f.dataType))
+    val bounds = df.agg(
+      min(nums(0)), max(nums(0)), min(nums(1)), max(nums(1))).head()
+    val B = 1 << 16
+    val ords = nums.zipWithIndex.map { case (v, i) =>
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val mn = bounds.getDouble(2 * i)
+        val mx = bounds.getDouble(2 * i + 1)
+        if (!(mx > mn)) lit(0L)
+        else least(greatest(
+          width_bucket(v, lit(mn), lit(mx), lit(B)) - 1, lit(0L)),
+          lit((B - 1).toLong))
+      }
+    }
+    graft.functions.ZOrder.interleave(ords(0), ords(1))
+  }
+
   private[sources] def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
                              numFiles: Option[Int] = None,
                              clusterBy: Seq[String] = Nil,
-                             bloomCols: Seq[String] = Nil): Seq[LogFile] = {
+                             bloomCols: Seq[String] = Nil,
+                             zorderBy: Seq[String] = Nil): Seq[LogFile] = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
     // partition-clustered output: RANGE partitioning on (partition
@@ -2129,10 +2187,17 @@ object LogTable {
     val bloomOpts = bloomCols.flatMap(c =>
       df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(f =>
         s"parquet.bloom.filter.enabled#${f.name}" -> "true")).toMap
+    // layout key inside each partition value: lexicographic cluster
+    // columns, or the 2-D Morton key (see [[zorderKey]]) — never both
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are alternative layouts — pick one")
+    val layout: Seq[Column] =
+      if (zorderBy.nonEmpty) Seq(zorderKey(df, zorderBy))
+      else clusterBy.map(col)
     df.withColumn("__salt",
         pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
       .repartitionByRange(n,
-        (partitionCols ++ clusterBy).map(col) :+ col("__salt"): _*)
+        (partitionCols.map(col) ++ layout) :+ col("__salt"): _*)
       .drop("__salt")
       .write.mode("overwrite").options(bloomOpts).parquet(tmp.toString)
     // tracked columns: partitions first (dedup preserves order), then the

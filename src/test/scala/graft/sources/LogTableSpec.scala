@@ -1112,6 +1112,58 @@ class LogTableSpec extends SparkSpec {
       .select("rows_added").as[Long].head() == 4L)
   }
 
+  test("zorderBy bounds BOTH dimensions; lexicographic clusterBy only the first") {
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong * n + y, x.toLong, y.toLong, "p"))
+      .toDF("k", "x", "y", "p")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val (zdir, cdir) = (tmp() + "/z", tmp() + "/c")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      LogTable.create(spark, zdir, grid, Seq("p"),
+        statsCols = Seq("x", "y"), zorderBy = Seq("x", "y"))
+      LogTable.create(spark, cdir, grid, Seq("p"),
+        statsCols = Seq("x", "y"), clusterBy = Seq("x", "y"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    def kept(dir: String, pred: org.apache.spark.sql.Column): Int =
+      LogTable.readWhere(spark, dir, pred).inputFiles.length
+    val zTotal = LogTable.snapshot(spark, zdir).files.length
+    val cTotal = LogTable.snapshot(spark, cdir).files.length
+    // z-order: a thin slice in EITHER dimension prunes most files
+    assert(kept(zdir, $"x" < 8) < zTotal)
+    assert(kept(zdir, $"y" < 8) < zTotal)
+    // lexicographic: x prunes, y spans every file — prunes nothing
+    assert(kept(cdir, $"x" < 8) < cTotal)
+    assert(kept(cdir, $"y" < 8) == cTotal)
+    // correctness under the pruned plan
+    assert(LogTable.readWhere(spark, zdir, $"x" < 8 && $"y" < 8).count() == 64L)
+    // invalid declarations fail loud
+    intercept[IllegalArgumentException] {
+      LogTable.create(spark, tmp() + "/bad1", grid, Seq("p"),
+        statsCols = Seq("x", "y"), zorderBy = Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.create(spark, tmp() + "/bad2", grid, Seq("p"),
+        statsCols = Seq("x"), zorderBy = Seq("x", "y"))
+    }
+    // OPTIMIZE ZORDER: a scattered table compacts INTO the z layout
+    val odir = tmp() + "/o"
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      LogTable.create(spark, odir, grid.orderBy(rand(7)), Seq("p"),
+        statsCols = Seq("x", "y"))
+      assert(kept(odir, $"y" < 8) ==
+        LogTable.snapshot(spark, odir).files.length) // scattered: no prune
+      // budget 8 over 16 scattered files ⇒ rewrite into 4 z-ordered ones
+      LogTable.compactPartitions(spark, odir, maxFilesPerPartition = 8,
+        zorderBy = Seq("x", "y")): Unit
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val oTotal = LogTable.snapshot(spark, odir).files.length
+    assert(oTotal > 1 && kept(odir, $"y" < 8) < oTotal)
+    assert(LogTable.read(spark, odir).count() == (n * n).toLong)
+  }
+
   test("CHECK constraints gate every write path; NULL passes; drop re-opens") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
