@@ -157,6 +157,49 @@ class MergeIntoSpec extends SparkSpec {
     assert(LogTable.snapshot(spark, dir).files.forall(_.dv.isEmpty))
   }
 
+  test("a disjoint-partition winner lets a racing mergeInto re-commit without re-merging") {
+    val dir = tmp() + "/t"
+    val big = (1L to 60L).map(k => (k, k * 10L, 0, "p" + (k % 3 + 1)))
+      .toDF("k", "cents", "ver", "p")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoord = LogTable.coordinator
+    val before = LogTable.disjointRecommits.get()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, "p")
+      LogTable.snapshot(spark, dir).files
+        .foreach(f => assert(!(f.pmin <= "p1" && "p3" <= f.pmax), f))
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // a P3-only clause merge wins the version race mid-publish
+            LogTable.mergeInto(spark, dir,
+              Seq((5L, 999L, "p3")).toDF("k", "cents", "p"), Seq("k"))
+              .whenMatchedUpdate(Map("cents" -> "s.cents")).run(): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      // loser targets P1 only — the fast path re-commits its files at v3
+      assert(LogTable.mergeInto(spark, dir,
+        Seq((3L, 111L, "p1")).toDF("k", "cents", "p"), Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents")).run() == 3L)
+    } finally {
+      LogTable.coordinator = prevCoord
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    assert(LogTable.disjointRecommits.get() == before + 1)
+    assert(LogTable.read(spark, dir).filter($"k".isin(3L, 5L))
+      .select("k", "cents").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((3L, 111L), (5L, 999L)))
+    // and the ledger names both as MERGE_INTO
+    assert(LogTable.history(spark, dir)
+      .filter($"operation" === "MERGE_INTO").count() == 2L)
+  }
+
   test("a merge equivalent to upsert agrees with Merge.merge exactly") {
     val dir = tmp() + "/t"
     val base = (1L to 30L).map(k => (k, "v" + k, 0, "p" + (k % 3), "U"))
