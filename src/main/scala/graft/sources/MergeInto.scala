@@ -94,7 +94,7 @@ final case class MergeInto private[sources] (
       validate(snap)
       val touched = LogTable.touchedTuples(path, snap, source)
       val victims = LogTable.victimFiles(snap, touched)
-      val result = apply(snap,
+      val result = applyClauses(snap,
         LogTable.readFiles(spark, path, snap, victims), source)
       LogTable.enforceConstraints(path, snap, result)
       val ddl = widenedDdl(snap)
@@ -152,8 +152,8 @@ final case class MergeInto private[sources] (
     * dispatches each target column on it. All codegen-friendly CASE
     * chains — no UDFs, no driver loops.
     */
-  private def apply(snap: LogTable.Snapshot, base: DataFrame,
-                    src: DataFrame): DataFrame = {
+  private[sources] def applyClauses(snap: LogTable.Snapshot, base: DataFrame,
+                                    src: DataFrame): DataFrame = {
     val t = base.withColumn("__t_ex", lit(true)).alias("t")
     val s = src.withColumn("__s_ex", lit(true)).alias("s")
     val joinCond = keyCols.map(k =>

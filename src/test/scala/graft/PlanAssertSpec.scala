@@ -181,6 +181,30 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("DV read: the vector anti-join broadcasts; data filters still reach the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-dv")
+      .toString + "/t"
+    val base = spark.range(0, 1000).selectExpr(
+      "id as k", "id % 7 as x", "concat('p', id % 3) as p")
+    graft.sources.LogTable.create(spark, dir, base, Seq("p"),
+      statsCols = Seq("x"))
+    graft.sources.LogTable.deleteWhere(spark, dir, col("k") % 97 === 0,
+      deletionVectors = true): Unit
+    val df = graft.sources.LogTable.table(spark, dir).filter(col("x") === 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case q => q.toString
+    }
+    // the (tiny, log-counted) vector side broadcasts under the anti join —
+    // never a shuffle of the table against its own deletes
+    assert(count(p, "BroadcastHashJoin") >= 1 && p.contains("LeftAnti"), p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    // the data predicate is pushed below the join into the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(x,3)"), p)
+  }
+
   test("global sweep: no registered query plans a CartesianProduct") {
     // Skipped: streaming queries (memory-table output — the stateful plan
     // already ran), the CC loops (iterative jobs during construction; the

@@ -200,6 +200,32 @@ class MergeIntoSpec extends SparkSpec {
       .filter($"operation" === "MERGE_INTO").count() == 2L)
   }
 
+  test("the clause plan is an equi full-outer join — never cartesian") {
+    val dir = tmp() + "/t"
+    val base = spark.range(0, 500).selectExpr(
+      "id as k", "id * 10 as cents", "concat('p', id % 3) as p")
+    LogTable.create(spark, dir, base, Seq("p"))
+    val src = spark.range(0, 50).selectExpr(
+      "id * 7 as k", "id as cents", "concat('p', (id * 7) % 3) as p",
+      "'U' as op")
+    val snap = LogTable.snapshot(spark, dir)
+    val planned = LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedDelete(condition = Some("s.op = 'D'"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents"),
+        condition = Some("s.cents > t.cents"))
+      .whenNotMatchedInsert()
+      .applyClauses(snap, LogTable.read(spark, dir), src)
+    planned.collect()
+    val p = planned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case q => q.toString
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("a merge equivalent to upsert agrees with Merge.merge exactly") {
     val dir = tmp() + "/t"
     val base = (1L to 30L).map(k => (k, "v" + k, 0, "p" + (k % 3), "U"))
