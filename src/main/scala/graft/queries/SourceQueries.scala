@@ -832,6 +832,58 @@ object SourceQueries {
         .withColumn("zorder_ok", lit(ok))
     }),
 
+    // INCREMENTAL MATERIALIZED VIEW — the 100 TB answer to "keep this
+    // rollup fresh": define count/count(col)/sum/avg over the base log
+    // table once, then each refresh folds ONLY the files changed since
+    // the watermark (signed-delta IVM) into a bucketed state table. The
+    // change window touches one year, so the second refresh rewrites
+    // only the buckets holding 1997 groups (spared>0 pinned); the same
+    // window re-refreshed returns -1 (exactly-once watermark). The
+    // oracle recomputes the final aggregate from scratch in DuckDB —
+    // a drifted delta, a double-applied window, a mishandled NULL
+    // input, or a stale group all hash-red.
+    "q147_materialized_view" -> ((s, dir) => {
+      import graft.sources.{LogTable, MaterializedView => MV}
+      val t = scratch(s, dir, "graft_q147")
+      val mv = scratch(s, dir, "graft_q147mv")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        lit(0).as("version"), lit("U").as("op"))
+        .withColumn("bonus", when(col("cents") % 3 === 0, col("cents")))
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k", "o_month"))
+      // 252 (year, month, status) groups over 32 buckets: enough group
+      // cardinality that the salt-ranged writer lays state files out
+      // bucket-pure, so the sparing pin below measures real pruning
+      MV.define(s, mv, t, Seq("o_year", "o_month", "status"), Seq(
+        MV.MvCount("n"), MV.MvCountCol("n_bonus", "bonus"),
+        MV.MvSum("sum_cents", "cents"), MV.MvAvg("avg_bonus", "bonus")),
+        nBuckets = 32): Unit
+      MV.refresh(s, mv): Unit
+      // the change window touches ONE month -> 3 groups -> <=3 buckets
+      val touched = col("o_year") === 1997 && col("o_month") === 6
+      val upd = base.filter(col("k") % 7 === 0 && touched)
+        .withColumn("cents", expr("(cents * 110) div 100"))
+        .withColumn("bonus", when(col("cents") % 3 === 0, col("cents")))
+        .withColumn("version", lit(1))
+      val del = base.filter(col("k") % 13 === 0 && touched)
+        .withColumn("version", lit(2)).withColumn("op", lit("D"))
+      LogTable.upsert(s, t, upd.unionByName(del),
+        Seq("k"), Seq("version"), "op"): Unit
+      val before = LogTable.snapshot(s, mv)
+      MV.refresh(s, mv): Unit
+      val afterNames = LogTable.snapshot(s, mv).files.map(_.name).toSet
+      val spared = before.files.count(f => afterNames.contains(f.name))
+      val ok = spared > 0 && spared < before.files.size &&
+        MV.refresh(s, mv) == -1L &&
+        MV.refreshedVersion(s, mv) == LogTable.latestVersion(s, t)
+      MV.read(s, mv)
+        .withColumn("avg_bonus", round(col("avg_bonus"), 4))
+        .withColumn("mv_ok", lit(ok))
+    }),
+
     // CHECK CONSTRAINTS — ingest-time data quality as a table property:
     // the constraint lands as its own (dataChange=false) commit after a
     // one-off validation scan, a VALID merge then commits, and a batch
@@ -1373,6 +1425,37 @@ object SourceQueries {
         |WHERE odate BETWEEN DATE '1997-04-01' AND DATE '1997-06-30'
         |  AND cents >= 30000000
         |GROUP BY 1""".stripMargin,
+
+    // Full recompute of the view over the merged-from-scratch final
+    // state — the incremental path must land on EXACTLY this; mv_ok
+    // (spared buckets, -1 re-refresh, watermark at head) pinned TRUE.
+    "q147_materialized_view" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        |         0 AS version, 'U' AS op
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year, o_month,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year = 1997 AND o_month = 6),
+        |del AS (
+        |  SELECT k, status, cents, o_year, o_month, 2 AS version, 'D' AS op
+        |  FROM base WHERE k % 13 = 0 AND o_year = 1997 AND o_month = 6),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM del)),
+        |final AS (
+        |  SELECT *, CASE WHEN cents % 3 = 0 THEN cents END AS bonus
+        |  FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, o_month, status, count(*) AS n, count(bonus) AS n_bonus,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  round(CAST(sum(bonus) AS DOUBLE) / count(bonus), 4) AS avg_bonus,
+        |  TRUE AS mv_ok
+        |FROM final
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // The VALID merge's state only — the violating batch never lands;
     // constraint_ok pinned TRUE.

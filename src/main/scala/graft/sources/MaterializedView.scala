@@ -1,0 +1,357 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** INCREMENTAL MATERIALIZED VIEW maintenance over a [[LogTable]] — the
+  * 100 TB answer to "keep this grouped aggregate fresh": a full
+  * recompute re-reads the whole base table on every refresh, while this
+  * module folds ONLY the base files changed since the last refresh into
+  * a persisted aggregate state table, so refresh cost tracks the size of
+  * the change window, not the table.
+  *
+  * Design (classic signed-delta IVM, e.g. Griffin & Libkin, "Incremental
+  * Maintenance of Views with Duplicates", SIGMOD '95, re-expressed on
+  * Spark + the log table's file-level change feed):
+  *
+  *  - The view definition is `GROUP BY groupCols` + retractable
+  *    aggregates (count/sum/avg). Each aggregate keeps exact additive
+  *    STATE (signed counts and sums) in an MV log table, bucketed by a
+  *    hash of the group key so a refresh rewrites only touched buckets.
+  *  - A refresh reads [[LogTable.readChanges]] between the stored
+  *    watermark and the base head: removed-file rows enter with sign −1,
+  *    added-file rows with +1. Rider rows (unchanged content rewritten
+  *    by a merge) cancel EXACTLY in the signed aggregate — which is why
+  *    float/double inputs are rejected at [[define]] time: IEEE addition
+  *    is not exactly cancellable, so only integral and decimal inputs
+  *    keep `state + delta` bit-equal to a recompute.
+  *  - New state = old state + delta, merged through [[LogTable.upsert]]
+  *    with the batch carrying ABSOLUTE group state; a group whose live
+  *    row count reaches zero is deleted. The base version folded is
+  *    recorded as the upsert's idempotent-writer watermark
+  *    (`txn = (graft-mv, toVersion)`), so a crashed/retried refresh can
+  *    never double-apply a window — exactly-once per window for
+  *    at-least-once callers.
+  *
+  * Refresh discipline: ONE refresher at a time (the txn watermark makes
+  * restarts of the SAME refresh safe; two refreshers racing DIFFERENT
+  * windows are out of contract — an insert-then-delete landing entirely
+  * inside the larger window is invisible to its endpoint file diff, so
+  * the narrower racer's write could survive incorrectly).
+  *
+  * NULL group keys are rejected loud at refresh time: the underlying
+  * merge joins by key equality, under which a NULL key never matches
+  * its own state row — silent duplicate groups would accrue instead.
+  */
+object MaterializedView {
+
+  /** The idempotent-writer id under which refreshes record the folded
+    * base version in the MV table's own log.
+    */
+  val MvApp = "graft-mv"
+
+  private val DefFile = "_graft_mv.json"
+  private val Mapper = new ObjectMapper()
+
+  /** One aggregate of the view. `name` is the OUTPUT column; state
+    * columns derive from it (`name`, and `name __sum`/`__cnt`/`__nn`
+    * internals for avg/sum).
+    */
+  sealed trait MvAgg { def name: String; def input: Option[String] }
+  /** `count(*)` — reads the group's signed row count. */
+  final case class MvCount(name: String) extends MvAgg {
+    def input: Option[String] = None
+  }
+  /** `count(col)` — non-NULL count. */
+  final case class MvCountCol(name: String, col: String) extends MvAgg {
+    def input: Option[String] = Some(col)
+  }
+  /** `sum(col)` — exact types only (integral/decimal). */
+  final case class MvSum(name: String, col: String) extends MvAgg {
+    def input: Option[String] = Some(col)
+  }
+  /** `avg(col)` — maintained as sum + non-NULL count. */
+  final case class MvAvg(name: String, col: String) extends MvAgg {
+    def input: Option[String] = Some(col)
+  }
+
+  final case class MvDef(basePath: String, groupCols: Seq[String],
+                         aggs: Seq[MvAgg], nBuckets: Int)
+
+  private val RowsCol = "__mv_rows"
+  private val VerCol = "__mv_ver"
+  private val OpCol = "__mv_op"
+  private val BucketCol = "__mv_bucket"
+
+  /** Spark's `sum` result type for an EXACT input type; float/double
+    * (not exactly retractable) and non-numerics fail loud.
+    */
+  private def sumType(dt: DataType, what: String): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case d: DecimalType =>
+      // state additions must stay EXACT: `state(p+10,s) + delta(p+10,s)`
+      // is typed (p+11,s), and once that crosses 38 Spark trades SCALE
+      // for headroom (allowPrecisionLoss), silently rounding the state —
+      // so demand the headroom up front instead of drifting
+      require(d.precision <= 27,
+        s"$what: decimal(${d.precision},${d.scale}) leaves no exact " +
+          "accumulator headroom (state needs precision+11 <= 38) — " +
+          "cast to decimal(<=27,s) in the base table")
+      DecimalType(d.precision + 10, d.scale)
+    case FloatType | DoubleType => throw new IllegalArgumentException(
+      s"$what: float/double aggregates are not exactly retractable " +
+        "(rider rows would not cancel bit-exactly) — cast to DECIMAL " +
+        "in the base table, or maintain integer micro-units")
+    case other => throw new IllegalArgumentException(
+      s"$what: cannot sum ${other.sql}")
+  }
+
+  private def fieldOf(schema: StructType, name: String, ctx: String): StructField =
+    schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"$ctx: unknown base column `$name`"))
+
+  /** The MV table's state columns for one aggregate (internal names). */
+  private def stateFields(base: StructType, a: MvAgg): Seq[StructField] = a match {
+    case MvCount(_) => Nil // derived from RowsCol
+    case MvCountCol(n, c) =>
+      fieldOf(base, c, s"mv agg $n"): Unit
+      Seq(StructField(n, LongType, nullable = false))
+    case MvSum(n, c) =>
+      val st = sumType(fieldOf(base, c, s"mv agg $n").dataType, s"mv agg $n")
+      Seq(StructField(n, st, nullable = false),
+        StructField(n + "__nn", LongType, nullable = false))
+    case MvAvg(n, c) =>
+      val st = sumType(fieldOf(base, c, s"mv agg $n").dataType, s"mv agg $n")
+      Seq(StructField(n + "__sum", st, nullable = false),
+        StructField(n + "__cnt", LongType, nullable = false))
+  }
+
+  private def statsTrackable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _ => false
+  }
+
+  /** Create the (empty) MV state table + persist the definition. The
+    * first [[refresh]] performs the initial full load through the same
+    * code path as every later one (window `0 → head`).
+    */
+  def define(spark: SparkSession, mvPath: String, basePath: String,
+             groupCols: Seq[String], aggs: Seq[MvAgg],
+             nBuckets: Int = 16): Long = {
+    require(groupCols.nonEmpty, "materialized view needs group columns")
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val names = aggs.map(_.name.toLowerCase)
+    require(names.distinct.size == names.size,
+      s"duplicate aggregate output names: ${names.mkString(", ")}")
+    val reserved = Set(RowsCol, VerCol, OpCol, BucketCol)
+    (names ++ groupCols.map(_.toLowerCase)).foreach(n =>
+      require(!reserved.contains(n), s"`$n` is a reserved MV column name"))
+    groupCols.foreach(g => require(!names.contains(g.toLowerCase),
+      s"aggregate output `$g` collides with a group column"))
+    val baseSchema = LogTable.snapshot(spark, basePath).schema
+    val keyFields = groupCols.map { g =>
+      val f = fieldOf(baseSchema, g, "mv group column")
+      require(statsTrackable(f.dataType),
+        s"mv group column `$g` (${f.dataType.sql}) is not groupable/stats-" +
+          "trackable — only numeric, string, boolean, date, timestamp")
+      f
+    }
+    val schema = StructType(keyFields ++
+      Seq(StructField(RowsCol, LongType, nullable = false)) ++
+      aggs.flatMap(a => stateFields(baseSchema, a)) ++
+      Seq(StructField(VerCol, LongType, nullable = false),
+        StructField(OpCol, StringType, nullable = false),
+        StructField(BucketCol, IntegerType, nullable = false)))
+    val v = LogTable.create(spark, mvPath, LogTable.emptyDf(spark, schema),
+      partitionCols = Seq(BucketCol),
+      statsCols = keyFields.map(_.name))
+    val fs = LogTable.fsOf(spark, mvPath)
+    val root = Mapper.createObjectNode()
+    root.put("version", 1): Unit
+    root.put("basePath", basePath): Unit
+    val gc = root.putArray("groupCols")
+    groupCols.foreach(g => gc.add(g): Unit)
+    root.put("nBuckets", nBuckets): Unit
+    val arr = root.putArray("aggs")
+    aggs.foreach { a =>
+      val o = arr.addObject()
+      val kind = a match {
+        case _: MvCount => "count"; case _: MvCountCol => "count_col"
+        case _: MvSum => "sum"; case _: MvAvg => "avg"
+      }
+      o.put("kind", kind): Unit
+      o.put("name", a.name): Unit
+      a.input.foreach(c => o.put("input", c): Unit)
+    }
+    val out = fs.create(new Path(mvPath, DefFile), false)
+    try out.write(Mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+    v
+  }
+
+  /** Parse the persisted definition. */
+  def definition(spark: SparkSession, mvPath: String): MvDef = {
+    val fs = LogTable.fsOf(spark, mvPath)
+    val p = new Path(mvPath, DefFile)
+    require(fs.exists(p), s"$mvPath is not a materialized view (no $DefFile)")
+    val in = fs.open(p)
+    val node = try Mapper.readTree(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val aggs = node.get("aggs").elements().asScala.map { o =>
+      val n = o.get("name").asText()
+      def in0 = o.get("input").asText()
+      o.get("kind").asText() match {
+        case "count" => MvCount(n)
+        case "count_col" => MvCountCol(n, in0)
+        case "sum" => MvSum(n, in0)
+        case "avg" => MvAvg(n, in0)
+        case k => throw new IllegalArgumentException(s"unknown mv agg kind $k")
+      }
+    }.toSeq
+    MvDef(node.get("basePath").asText(),
+      node.get("groupCols").elements().asScala.map(_.asText()).toSeq,
+      aggs, node.get("nBuckets").asInt())
+  }
+
+  /** The base version the MV currently reflects (0 = never refreshed). */
+  def refreshedVersion(spark: SparkSession, mvPath: String): Long =
+    LogTable.lastTxn(spark, mvPath, MvApp).getOrElse(0L)
+
+  /** Fold base changes since the last refresh into the state table.
+    * Returns the committed MV version, or −1 if already up to date (or
+    * another refresher already folded this window — the txn watermark).
+    * Cost: O(changed base files) + O(touched MV buckets).
+    */
+  def refresh(spark: SparkSession, mvPath: String): Long = {
+    val d = definition(spark, mvPath)
+    val to = LogTable.latestVersion(spark, d.basePath)
+    val from = refreshedVersion(spark, mvPath)
+    if (from >= to) return -1L
+    val baseSchema = LogTable.snapshot(spark, d.basePath, Some(to)).schema
+    val keyFields = d.groupCols.map(g => fieldOf(baseSchema, g, "mv group"))
+    val keyNames = keyFields.map(_.name)
+
+    // signed change rows: initial load (from == 0) reads the snapshot
+    // as all-inserts — no file diff, no empty-side join
+    val signed =
+      (if (from == 0L) LogTable.read(spark, d.basePath, Some(to))
+        .withColumn("__sign", lit(1L))
+      else LogTable.readChanges(spark, d.basePath, from, to)
+        .withColumn("__sign",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L)))
+
+    val sgn = col("__sign")
+    def inCol(c: String) = col(fieldOf(baseSchema, c, "mv agg").name)
+    def dSum(n: String, c: String): Seq[Column] = {
+      val st = sumType(fieldOf(baseSchema, c, s"mv agg $n").dataType, n)
+      // sign by NEGATION, never multiplication: `decimal * bigint` is
+      // typed past 38 digits and Spark would trade scale for headroom,
+      // rounding the delta; unary minus keeps the exact type
+      val stv = inCol(c).cast(st)
+      Seq(coalesce(sum(when(inCol(c).isNotNull,
+          when(sgn > 0L, stv).otherwise(-stv))), lit(0).cast(st)).as("__d_" + n),
+        sum(when(inCol(c).isNotNull, sgn).otherwise(0L)).as("__d_" + n + "__nn"))
+    }
+    val deltaAggs: Seq[Column] = sum(sgn).as("__d_rows") +: d.aggs.flatMap {
+      case MvCount(_) => Nil
+      case MvCountCol(n, c) =>
+        Seq(sum(when(inCol(c).isNotNull, sgn).otherwise(0L)).as("__d_" + n))
+      case MvSum(n, c) => dSum(n, c)
+      case MvAvg(n, c) =>
+        val Seq(s, nn) = dSum(n, c)
+        Seq(s.as("__d_" + n + "__sum"), nn.as("__d_" + n + "__cnt"))
+    }
+    // state column -> its delta column, pairing new = old + delta
+    val statePairs: Seq[(String, String)] = d.aggs.flatMap {
+      case MvCount(_) => Nil
+      case MvCountCol(n, _) => Seq(n -> ("__d_" + n))
+      case MvSum(n, _) => Seq(n -> ("__d_" + n), (n + "__nn") -> ("__d_" + n + "__nn"))
+      case MvAvg(n, _) => Seq((n + "__sum") -> ("__d_" + n + "__sum"),
+        (n + "__cnt") -> ("__d_" + n + "__cnt"))
+    }
+    val deltaCols = "__d_rows" +: statePairs.map(_._2)
+    // a group every component of whose delta is zero (rider-only files:
+    // compaction, clustering, unrelated-row rewrites) needs no write
+    val nonZero = deltaCols.map(c => col(c) =!= 0L).reduce(_ || _)
+    val delta = signed.groupBy(keyNames.map(col): _*).agg(
+        deltaAggs.head, deltaAggs.tail: _*)
+      .filter(nonZero)
+      .withColumn(BucketCol,
+        pmod(xxhash64(keyNames.map(col): _*), lit(d.nBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched buckets: a bounded driver list (≤ nBuckets ints) that
+      // lets the state read prune to touched partitions only
+      val buckets = delta.select(BucketCol).distinct().collect()
+        .map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) {
+        // rider-only window — nothing to write, but the watermark must
+        // still advance, or every later refresh re-reads this window
+        return LogTable.upsert(spark, mvPath,
+          LogTable.emptyDf(spark, LogTable.snapshot(spark, mvPath).schema),
+          keyNames, Seq(VerCol), OpCol, txn = Some((MvApp, to)))
+      }
+      val mvSchema = LogTable.snapshot(spark, mvPath).schema
+      val old = LogTable.readPartitions(spark, mvPath, buckets)
+      val joinCond = keyNames.map(k => delta(k) <=> old(k)).reduce(_ && _)
+      val joined = delta.join(old, joinCond, "left")
+      val guardKeys = keyNames.map(k =>
+        when(delta(k).isNull, raise_error(lit(
+          "materialized view: NULL group key — NULL keys cannot merge " +
+            "by equality; filter them in the base or map to a sentinel")))
+          .otherwise(delta(k)).as(k))
+      val newRows = coalesce(old(RowsCol), lit(0L)) + col("__d_rows")
+      val stateCols = statePairs.map { case (st, dl) =>
+        val dt = mvSchema.apply(st).dataType
+        (coalesce(old(st), lit(0).cast(dt)) + col(dl)).cast(dt).as(st)
+      }
+      val batch = joined.select((guardKeys :+
+        when(newRows < 0L, raise_error(lit(
+          "materialized view: negative group row count — the base " +
+            "change feed and the stored state disagree (vacuumed " +
+            "window, out-of-contract concurrent refresh, or base key " +
+            "discipline violation)"))).otherwise(newRows).as(RowsCol)) ++
+        stateCols ++ Seq(
+          lit(to).as(VerCol),
+          when(newRows === 0L, "D").otherwise("U").as(OpCol),
+          delta(BucketCol).as(BucketCol)): _*)
+      LogTable.upsert(spark, mvPath, batch, keyNames, Seq(VerCol), OpCol,
+        txn = Some((MvApp, to)))
+    } finally delta.unpersist(): Unit
+  }
+
+  /** The user-facing view: group columns + aggregate outputs with SQL
+    * semantics (`sum`/`avg` are NULL for a group with no non-NULL
+    * inputs; `avg` divides in Spark's result type for the input).
+    */
+  def read(spark: SparkSession, mvPath: String): DataFrame = {
+    val d = definition(spark, mvPath)
+    val st = LogTable.read(spark, mvPath)
+    val baseSchema = LogTable.snapshot(spark, d.basePath).schema
+    def avgCast(c: String): Column => Column = {
+      fieldOf(baseSchema, c, "mv agg").dataType match {
+        case dec: DecimalType => x => x.cast(DecimalType(
+          math.min(38, dec.precision + 4), math.min(38, dec.scale + 4)))
+        case _ => x => x.cast(DoubleType)
+      }
+    }
+    val outs = d.aggs.map {
+      case MvCount(n) => col(RowsCol).as(n)
+      case MvCountCol(n, _) => col(n)
+      case MvSum(n, _) =>
+        when(col(n + "__nn") > 0L, col(n)).otherwise(lit(null)).as(n)
+      case MvAvg(n, c) =>
+        when(col(n + "__cnt") > 0L,
+          avgCast(c)(col(n + "__sum")) / col(n + "__cnt"))
+          .otherwise(lit(null)).as(n)
+    }
+    st.select(d.groupCols.map(g =>
+      col(fieldOf(st.schema, g, "mv state").name)) ++ outs: _*)
+  }
+}

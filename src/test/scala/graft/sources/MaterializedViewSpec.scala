@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental materialized-view maintenance: every refresh must leave
+  * the view EXACTLY equal to a from-scratch recompute of the same
+  * aggregate over the base table's current state — inserts, updates,
+  * deletes, rider-only windows, restarts included.
+  */
+class MaterializedViewSpec extends SparkSpec {
+  import MaterializedView._
+
+  private def tmp() = Files.createTempDirectory("graft-mv").toString
+
+  private def mkBase(path: String, n: Int): Unit = {
+    import spark.implicits._
+    val df = (1 to n).map { i =>
+      (i.toLong, s"g${i % 5}", (i % 3).toLong, if (i % 7 == 0) None else Some(i.toLong * 10),
+        0L, "U")
+    }.toDF("id", "grp", "part", "x", "ver", "op")
+    LogTable.create(spark, path, df, Seq("part"), Seq("id")): Unit
+  }
+
+  private def upd(rows: Seq[(Long, String, Long, Option[Long], Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "part", "x", "ver", "op")
+  }
+
+  private def recompute(base: String): DataFrame =
+    LogTable.read(spark, base).groupBy("grp")
+      .agg(count(lit(1)).as("n"), count(col("x")).as("n_x"),
+        sum(col("x")).as("sum_x"), avg(col("x")).as("avg_x"))
+
+  private def assertSame(mv: String, base: String): Unit = {
+    val got = MaterializedView.read(spark, mv)
+    val want = recompute(base)
+    assert(got.schema.fieldNames.toSeq ===
+      Seq("grp", "n", "n_x", "sum_x", "avg_x"))
+    val diff = got.unionByName(want).except(got.intersect(want))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"view != recompute:\n${diff.collect().mkString("\n")}")
+    assert(got.count() === want.count())
+  }
+
+  private def define(mv: String, base: String, nBuckets: Int = 4): Unit =
+    MaterializedView.define(spark, mv, base, Seq("grp"),
+      Seq(MvCount("n"), MvCountCol("n_x", "x"), MvSum("sum_x", "x"),
+        MvAvg("avg_x", "x")), nBuckets): Unit
+
+  test("initial load equals full recompute (NULL inputs included)") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 100)
+    define(mv, base)
+    assert(MaterializedView.refreshedVersion(spark, mv) === 0L)
+    assert(MaterializedView.refresh(spark, mv) > 0L)
+    assert(MaterializedView.refreshedVersion(spark, mv) === 1L)
+    assertSame(mv, base)
+  }
+
+  test("refresh is a no-op when up to date") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 20)
+    define(mv, base)
+    assert(MaterializedView.refresh(spark, mv) > 0L)
+    assert(MaterializedView.refresh(spark, mv) === -1L)
+  }
+
+  test("incremental refresh folds inserts, updates and deletes exactly") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 100)
+    define(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    // window 1: updates (change x), inserts (new ids), a delete
+    LogTable.upsert(spark, base, upd(Seq(
+      (3L, "g3", 0L, Some(999L), 1L, "U"),      // update non-null -> non-null
+      (7L, "g2", 1L, Some(70L), 1L, "U"),       // update null -> non-null
+      (10L, "g0", 1L, None, 1L, "U"),           // update non-null -> null
+      (101L, "g1", 2L, Some(5L), 1L, "U"),      // insert
+      (102L, "gNEW", 0L, None, 1L, "U"),        // insert: brand-new group
+      (4L, "g4", 1L, Some(40L), 1L, "D"))),     // delete
+      Seq("id"), Seq("ver"), "op"): Unit
+    assert(MaterializedView.refresh(spark, mv) > 0L)
+    assertSame(mv, base)
+    // window 2: kill an entire group (gNEW has exactly one row)
+    LogTable.upsert(spark, base, upd(Seq(
+      (102L, "gNEW", 0L, None, 2L, "D"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assertSame(mv, base)
+    assert(MaterializedView.read(spark, mv)
+      .filter(col("grp") === "gNEW").count() === 0L,
+      "emptied group must be deleted from the state table")
+  }
+
+  test("rider-only window (compaction) advances the watermark, writes no groups") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 60)
+    define(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    val mvVerBefore = LogTable.latestVersion(spark, mv)
+    LogTable.compactPartitions(spark, base, maxFilesPerPartition = 1): Unit
+    val baseHead = LogTable.latestVersion(spark, base)
+    assert(MaterializedView.refresh(spark, mv) > 0L)
+    assert(MaterializedView.refreshedVersion(spark, mv) === baseHead)
+    val hist = LogTable.history(spark, mv)
+      .filter(col("version") > mvVerBefore)
+      .agg(sum(col("rows_added"))).collect()(0)
+    assert(hist.isNullAt(0) || hist.getLong(0) == 0L,
+      "rider-only refresh must write zero state rows")
+    assertSame(mv, base)
+  }
+
+  test("same-window retry is exactly-once (txn watermark)") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 30)
+    define(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    LogTable.upsert(spark, base, upd(Seq(
+      (1L, "g1", 1L, Some(1000L), 1L, "U"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    assert(MaterializedView.refresh(spark, mv) > 0L)
+    // a second refresh of the same window must be skipped, not re-applied
+    assert(MaterializedView.refresh(spark, mv) === -1L)
+    assertSame(mv, base)
+  }
+
+  test("refresh rewrites only touched buckets") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 200)
+    define(mv, base, nBuckets = 8)
+    MaterializedView.refresh(spark, mv): Unit
+    val before = LogTable.snapshot(spark, mv)
+    // touch exactly one group -> exactly one bucket
+    LogTable.upsert(spark, base, upd(Seq(
+      (2L, "g2", 0L, Some(123L), 1L, "U"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    val after = LogTable.snapshot(spark, mv)
+    val afterNames = after.files.map(_.name).toSet
+    val spared = before.files.count(f => afterNames.contains(f.name))
+    assert(spared > 0 && before.files.size - spared <= 1,
+      s"one-group refresh rewrote ${before.files.size - spared} buckets")
+    assertSame(mv, base)
+  }
+
+  test("float/double aggregates are rejected at define time") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    import spark.implicits._
+    val df = Seq((1L, "a", 0L, 1.5, 0L, "U"))
+      .toDF("id", "grp", "part", "d", "ver", "op")
+    LogTable.create(spark, base, df, Seq("part")): Unit
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.define(spark, mv, base, Seq("grp"),
+        Seq(MvSum("s", "d")))
+    }
+    assert(e.getMessage.contains("not exactly retractable"))
+  }
+
+  test("decimals without accumulator headroom are rejected at define time") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    import spark.implicits._
+    val df = Seq((1L, "a", 0L, BigDecimal("1.5"), 0L, "U"))
+      .toDF("id", "grp", "part", "amt", "ver", "op") // scala default: (38,18)
+    LogTable.create(spark, base, df, Seq("part")): Unit
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.define(spark, mv, base, Seq("grp"),
+        Seq(MvSum("s", "amt")))
+    }
+    assert(e.getMessage.contains("headroom"))
+  }
+
+  test("NULL group keys fail loud at refresh") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), 0L, 1L, 0L, "U"),
+      (2L, Option.empty[String], 0L, 2L, 0L, "U"))
+      .toDF("id", "grp", "part", "x", "ver", "op")
+    LogTable.create(spark, base, df, Seq("part")): Unit
+    MaterializedView.define(spark, mv, base, Seq("grp"),
+      Seq(MvCount("n"))): Unit
+    val e = intercept[Exception] {
+      MaterializedView.refresh(spark, mv): Unit
+    }
+    assert(e.getMessage.contains("NULL group key") ||
+      e.getCause != null && e.getCause.getMessage.contains("NULL group key"))
+  }
+
+  test("decimal sums stay exact through update churn") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"g${i % 3}", 0L,
+        BigDecimal(i).setScale(2) / 7, 0L, "U"))
+      .toDF("id", "grp", "part", "amt", "ver", "op")
+      .withColumn("amt", col("amt").cast("decimal(14,4)"))
+    LogTable.create(spark, base, df, Seq("part")): Unit
+    MaterializedView.define(spark, mv, base, Seq("grp"),
+      Seq(MvCount("n"), MvSum("s", "amt"))): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    val upd2 = (1 to 50).filter(_ % 4 == 0).map(i => (i.toLong, s"g${i % 3}", 0L,
+        BigDecimal(i * 3).setScale(2) / 11, 1L, "U"))
+      .toDF("id", "grp", "part", "amt", "ver", "op")
+      .withColumn("amt", col("amt").cast("decimal(14,4)"))
+    LogTable.upsert(spark, base, upd2, Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    val got = MaterializedView.read(spark, mv)
+    val want = LogTable.read(spark, base).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("s"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"got:\n${got.orderBy("grp").collect().mkString("\n")}\nwant:\n" +
+        want.orderBy("grp").collect().mkString("\n"))
+  }
+
+  test("definition round-trips through the sidecar file") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 10)
+    define(mv, base, nBuckets = 9)
+    val d = MaterializedView.definition(spark, mv)
+    assert(d.basePath === base)
+    assert(d.groupCols === Seq("grp"))
+    assert(d.nBuckets === 9)
+    assert(d.aggs === Seq(MvCount("n"), MvCountCol("n_x", "x"),
+      MvSum("sum_x", "x"), MvAvg("avg_x", "x")))
+  }
+}
