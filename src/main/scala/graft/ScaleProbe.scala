@@ -386,6 +386,41 @@ object ScaleProbe {
       LogTable.read(s, t).groupBy(col("o_year")).count()
     }
 
+    // INCREMENTAL MATERIALIZED VIEW vs FULL RECOMPUTE: both runners pay
+    // the same base upsert (a one-year change window with pass-varying
+    // cents so every pass folds real deltas), then either refresh the
+    // MV (reads only the changed files + touched state buckets) or
+    // recompute the aggregate over the whole base — the cost IVM
+    // avoids. The claim at stake: the refresh-vs-recompute gap WIDENS
+    // with table size, because refresh cost tracks the change window.
+    var mvPass = 0L
+    def mvRefresh(mode: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.{LogTable, MaterializedView => MV}
+      val key = new java.io.File(d).getName
+      val root = new java.io.File(s"target/scaleprobe/mvcache/$key").getAbsolutePath
+      val b = s"$root/base"; val mv = s"$root/view"
+      // marker = the MV's initial-load commit, written LAST in the build
+      freshCache(s, root, f"view/_graft_log/${2L}%020d.json") {
+        LogTable.create(s, b, orderShape(s, d), Seq("o_year"), Seq("k")): Unit
+        MV.define(s, mv, b, Seq("o_year", "status"),
+          Seq(MV.MvCount("n"), MV.MvSum("sum_cents", "cents")),
+          nBuckets = 32): Unit
+        MV.refresh(s, mv): Unit
+      }
+      mvPass += 1
+      val batch = LogTable.read(s, b)
+        .filter(col("o_year") === 1998 && col("k") % 7 === 0)
+        .withColumn("cents", col("cents") + mvPass)
+        .withColumn("version", lit(mvPass.toInt))
+      LogTable.upsert(s, b, batch, Seq("k"), Seq("version"), "op"): Unit
+      if (mode == "incremental") {
+        MV.refresh(s, mv): Unit
+        MV.read(s, mv)
+      } else
+        LogTable.read(s, b).groupBy(col("o_year"), col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (HeavyQueries ++ EmbeddingQueries ++ MergeQueries ++
@@ -400,6 +435,8 @@ object ScaleProbe {
         "dv_delete:rewrite" -> (dvDelete("rewrite") _),
         "dv_delete:vectors" -> (dvDelete("vectors") _),
         "merge_into:clauses" -> (mergeIntoProbe _),
+        "mv_refresh:incremental" -> (mvRefresh("incremental") _),
+        "mv_refresh:full_recompute" -> (mvRefresh("full") _),
         "q86_token_quantiles:preagg" ->
           ((s: SparkSession, d: String) =>
             queries.ScaleQueries.tokenQuantiles(s, d, queries.ScaleQueries.DefaultSubCap, preAgg = true)),

@@ -15,6 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * as integer literals — they size generated loops and must be known at
   * plan time. [[NearestCells]] is deliberately NOT registered: its
   * centroid matrix is driver-trained per corpus and has no literal form.
+  *
+  * Also injects [[graft.sources.LogTableSql.LogTableRule]], the analysis
+  * rule that resolves `graft.`<table dir>`` names to log-table relations
+  * and rewrites SQL DML (INSERT/DELETE/UPDATE/MERGE) onto the log
+  * table's transactional entry points.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("stopword_hits", classOf[StopwordHits])(c =>
       StopwordHits(c(0), stringSeqLit(c(1), "vocabulary")))
     register("nfc_normalize", classOf[NfcNormalize])(c => NfcNormalize(c.head))
+
+    ext.injectResolutionRule(session =>
+      graft.sources.LogTableSql.LogTableRule(session))
   }
 }

@@ -884,6 +884,56 @@ object SourceQueries {
         .withColumn("mv_ok", lit(ok))
     }),
 
+    // SQL FRONT DOOR — the whole DML surface through spark.sql over
+    // `graft.`<dir>``: DELETE, UPDATE, MERGE (clause mapping), INSERT
+    // (blind append) and VERSION AS OF time travel, each landing on the
+    // SAME transactional entry points as the programmatic API (the
+    // resolution rule in GraftExtensions — no second write path). The
+    // oracle restates the four statements as a WITH-chain over raw
+    // orders; sql_ok pins the time-travel count and one commit per
+    // operation kind in the history ledger.
+    "q148_sql_surface" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q148")
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      val ref = s"graft.`$t`"
+      val n0 = base.count()
+      s.sql(s"DELETE FROM $ref WHERE o_year = 1996 AND k % 5 = 0"): Unit
+      s.sql(s"UPDATE $ref SET cents = (cents * 110) div 100, version = 1 " +
+        "WHERE o_year = 1997 AND k % 7 = 0"): Unit
+      val y94 = base.filter(col("o_year") === 1998)
+      y94.filter(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .withColumn("act", when(col("k") % 13 === 0, "D").otherwise("U"))
+        .withColumn("newcents", col("cents") + 1111)
+        .select("k", "status", "newcents", "o_year", "act")
+        .unionByName(y94.filter(col("k") % 11 === 0)
+          .select((col("k") + 10000000L).as("k"), col("status"),
+            (col("cents") + 5).as("newcents"), col("o_year"),
+            lit("I").as("act")))
+        .createOrReplaceTempView("q148_src")
+      s.sql(
+        s"""MERGE INTO $ref t USING q148_src s ON t.k = s.k
+           |WHEN MATCHED AND s.act = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = s.newcents, version = 2
+           |WHEN NOT MATCHED THEN INSERT (k, status, cents, o_year, version, op)
+           |  VALUES (s.k, s.status, s.newcents, s.o_year, 3, 'U')
+           |""".stripMargin): Unit
+      s.sql(s"INSERT INTO $ref SELECT k + 20000000, status, cents * 2, " +
+        s"o_year, 4, 'U' FROM $ref WHERE o_year = 1999 AND k % 50 = 0"): Unit
+      val nv1 = s.sql(s"SELECT count(*) AS n FROM $ref VERSION AS OF 1")
+        .head().getLong(0)
+      val ops = LogTable.history(s, t).groupBy("operation").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ok = nv1 == n0 &&
+        Seq("DELETE", "UPDATE", "MERGE_INTO", "APPEND")
+          .forall(ops.get(_).contains(1L))
+      s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS sum_cents, sum(version) AS sum_version " +
+        s"FROM $ref GROUP BY o_year, status")
+        .withColumn("sql_ok", lit(ok))
+    }),
+
     // CHECK CONSTRAINTS — ingest-time data quality as a table property:
     // the constraint lands as its own (dataChange=false) commit after a
     // one-off validation scan, a VALID merge then commits, and a batch
@@ -1456,6 +1506,50 @@ object SourceQueries {
         |  TRUE AS mv_ok
         |FROM final
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // The four SQL DML statements restated as a WITH-chain over raw
+    // orders: delete 1992/k%5, +10% update 1993/k%7, the 1994 merge
+    // (conditional delete k%13 / update k%7 / insert k%11 under shifted
+    // keys), then the 1995/k%50 doubled-cents append; sql_ok (time
+    // travel count + one commit per operation kind) pinned TRUE.
+    "q148_sql_surface" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |d1 AS (SELECT * FROM base WHERE NOT (o_year = 1996 AND k % 5 = 0)),
+        |u1 AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0
+        |         THEN (cents * 110) // 100 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0 THEN 1 ELSE version END AS version
+        |  FROM d1),
+        |m1 AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1998 AND k % 7 = 0 AND k % 13 <> 0
+        |         THEN cents + 1111 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1998 AND k % 7 = 0 AND k % 13 <> 0
+        |         THEN 2 ELSE version END AS version
+        |  FROM u1
+        |  WHERE NOT (o_year = 1998 AND k % 13 = 0)),
+        |mi AS (
+        |  SELECT k + 10000000 AS k, status, cents + 5 AS cents, o_year,
+        |         3 AS version
+        |  FROM base WHERE o_year = 1998 AND k % 11 = 0),
+        |ai AS (
+        |  SELECT k + 20000000 AS k, status, cents * 2 AS cents, o_year,
+        |         4 AS version
+        |  FROM base WHERE o_year = 1999 AND k % 50 = 0),
+        |final AS (SELECT * FROM m1 UNION ALL SELECT * FROM mi
+        |          UNION ALL SELECT * FROM ai)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS sql_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
 
     // The VALID merge's state only — the violating batch never lands;
     // constraint_ok pinned TRUE.

@@ -1607,6 +1607,136 @@ object LogTable {
             s"row ${bad.head}")
     }
 
+  /** `rows` reordered/validated against the table schema, STRICTLY: same
+    * column set (case-insensitive), same types, no evolution — the
+    * append/overwrite write shapes, where a silent NULL-fill or a
+    * dropped extra column would corrupt without a merge's key discipline
+    * to catch it.
+    */
+  private def alignStrict(path: String, snap: Snapshot,
+                          rows: DataFrame): DataFrame = {
+    val schema = snap.schema
+    val have = rows.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val extra = rows.schema.fieldNames
+      .filterNot(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(extra.isEmpty,
+      s"log table $path: batch carries unknown column(s) " +
+        s"${extra.mkString(", ")} — appends do not evolve the schema")
+    rows.select(schema.fields.toIndexedSeq.map { f =>
+      def ref(n: String) = col("`" + n.replace("`", "``") + "`")
+      have.get(f.name.toLowerCase) match {
+        case Some(g) if g.dataType == f.dataType => ref(g.name).as(f.name)
+        case Some(g) => throw new IllegalArgumentException(
+          s"log table $path: column `${f.name}` is ${f.dataType.sql}, " +
+            s"batch has ${g.dataType.sql} — cast explicitly")
+        case None => throw new IllegalArgumentException(
+          s"log table $path: batch is missing column `${f.name}`")
+      }
+    }: _*)
+  }
+
+  /** BLIND APPEND — one commit that ADDS files and removes none, the
+    * cheapest write path (no victim read, no merge join): the
+    * fact-stream / event-log shape. Appends commute with EVERYTHING
+    * disjoint-schema'd, so a lost commit race re-publishes the
+    * already-written files at the next version ([[recommitDisjoint]]
+    * with an empty victim set) — no second data pass. The caller owns
+    * the key discipline: appending rows whose keys live elsewhere in a
+    * merge-maintained table breaks [[readNetChanges]]/[[upsert]]'s
+    * one-live-row-per-key contract — appends belong on append-only
+    * tables (or provably fresh keys). CHECK constraints enforce; the
+    * `txn` watermark gives exactly-once for at-least-once callers.
+    */
+  def append(spark: SparkSession, path: String, rows: DataFrame,
+             txn: Option[(String, Long)] = None, maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      txn.foreach { case (app, id) =>
+        if (snap.txns.get(app).exists(_ >= id)) return -1L
+      }
+      val aligned = alignStrict(path, snap, rows)
+      enforceConstraints(path, snap, aligned)
+      val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
+        snap.statsCols, bloomCols = snap.bloomCols)
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, adds, Nil,
+          bloomCols = snap.bloomCols, operation = "APPEND",
+          txns = txn.map { case (a, i) => a -> i }.toMap,
+          constraints = snap.constraints)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          recommitDisjoint(spark, path, snap, snap.schemaDdl, Nil, adds,
+            Set.empty, maxRetries, operation = "APPEND",
+            txns = txn.map { case (a, i) => a -> i }.toMap) match {
+            case Some(v) => return v
+            case None =>
+              adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** FULL OVERWRITE — one commit replacing every live file (the INSERT
+    * OVERWRITE / full-refresh shape): schema, partitioning, stats/bloom
+    * declarations and constraints all survive; only the rows change.
+    * Time travel to the pre-overwrite state keeps working until
+    * [[vacuum]]. An overwrite removes everything, so there is no
+    * disjoint fast path — a lost race re-reads and re-removes the
+    * winner's files (the last overwrite wins wholesale).
+    */
+  def overwriteAll(spark: SparkSession, path: String, rows: DataFrame,
+                   maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val aligned = alignStrict(path, snap, rows)
+      enforceConstraints(path, snap, aligned)
+      val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
+        snap.statsCols, bloomCols = snap.bloomCols)
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, adds,
+          snap.files.map(_.name), bloomCols = snap.bloomCols,
+          operation = "OVERWRITE", constraints = snap.constraints)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The newest version whose commit file existed at `tsMillis` — the
+    * `TIMESTAMP AS OF` lookup, resolved from commit-file modification
+    * times (the same clock [[history]] reports). Fails loud when the
+    * timestamp predates the oldest still-readable commit.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, path)
+    val eligible = fs.listStatus(logDir(path)).iterator
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case CommitName(v) if st.getModificationTime <= tsMillis =>
+          Some(v.toLong)
+        case _ => None
+      }).toSeq
+    require(eligible.nonEmpty,
+      s"log table $path: no commit at or before timestamp $tsMillis — " +
+        "before the table existed, or the history was expired")
+    eligible.max
+  }
+
   /** Full MERGE INTO — conditional matched-update/-delete and
     * not-matched-insert clauses over `t.`/`s.` SQL scopes, one log
     * transaction. See [[MergeInto]] for semantics and contracts;

@@ -1,0 +1,358 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** SQL front door for the log table — `graft.`<table dir>`` as a relation
+  * name anywhere SQL takes one, via ONE injected resolution rule (the
+  * `SparkSessionExtensions` path, not a custom parser):
+  *
+  * {{{
+  * SELECT ... FROM graft.`/data/orders` [VERSION AS OF 3 | TIMESTAMP AS OF ...]
+  * INSERT INTO graft.`/data/orders` SELECT ...          -- blind append
+  * INSERT OVERWRITE graft.`/data/orders` SELECT ...     -- full refresh
+  * DELETE FROM graft.`/data/orders` WHERE o_year = 1992
+  * UPDATE graft.`/data/orders` SET cents = cents * 2 WHERE k % 7 = 0
+  * MERGE INTO graft.`/data/orders` t USING src s ON t.k = s.k
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT ...
+  * }}}
+  *
+  * Reads substitute the SAME analyzed plan [[LogTable.table]] builds —
+  * FileIndex pruning, data skipping and deletion vectors included, so
+  * SQL and the programmatic API can never plan differently. Writes
+  * rewrite to commands over the SAME transactional entry points
+  * ([[LogTable.append]]/[[LogTable.overwriteAll]]/[[LogTable.deleteWhere]]/
+  * [[LogTable.updateWhere]]/[[MergeInto]]) — the SQL layer adds no
+  * second write path.
+  *
+  * MERGE constraints surface the engine's contracts, loud: the ON
+  * clause must be a conjunction of same-name key equalities (the
+  * pruned-merge key model), and `WHEN NOT MATCHED BY SOURCE` /
+  * `WITH SCHEMA EVOLUTION` are not supported.
+  */
+object LogTableSql {
+
+  /** `Seq("graft", "<path>")` → the path; anything else → None. */
+  private[sources] def graftPath(parts: Seq[String]): Option[String] =
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft"))
+      Some(parts(1))
+    else None
+
+  private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case u: UnresolvedRelation => graftPath(u.multipartIdentifier).map(_ -> None)
+      case SubqueryAlias(ident, u: UnresolvedRelation) =>
+        graftPath(u.multipartIdentifier).map(_ -> Some(ident.name))
+      case _ => None
+    }
+
+  /** Re-qualify `alias.column` references to the builder's fixed `t.`/
+    * `s.` scopes (or strip the alias for single-table DML), then render
+    * back to SQL text — clause expressions travel as SQL because the
+    * underlying operators resolve them against their own row scopes.
+    */
+  private def requalify(e: Expression,
+                        mapping: Map[String, Option[String]]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        mapping.get(a.nameParts.head.toLowerCase) match {
+          case Some(Some(to)) => UnresolvedAttribute(to +: a.nameParts.tail)
+          case Some(None) => UnresolvedAttribute(a.nameParts.tail)
+          case None => a
+        }
+    }
+
+  private def assignName(key: Expression): String = key match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"graft SQL: cannot assign to expression $other — name a column")
+  }
+
+  /** The analysis-time rewrite rule. Injected by
+    * [[graft.expr.GraftExtensions]]; sessions built without the
+    * extension simply do not see `graft.`…`` names.
+    */
+  final case class LogTableRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    private def relation(path: String, asOf: Option[Long]): LogicalPlan =
+      LogTable.table(spark, path, asOf).queryExecution.analyzed
+
+    /** True when `plan` is (an alias over) the ALREADY-substituted
+      * log-table relation — a DML statement must never descend to it:
+      * Spark's native file-source INSERT/DELETE paths would write into
+      * the table directory BEHIND the commit log.
+      */
+    private def substituted(plan: LogicalPlan): Boolean = {
+      val inner = plan match {
+        case SubqueryAlias(_, c) => c
+        case p => p
+      }
+      inner.collectFirst {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) if fs.location.isInstanceOf[LogTableFileIndex] => ()
+      }.isDefined
+    }
+
+    // TOP-DOWN: DML statements must capture their target while it is
+    // still the `graft.`…`` name — a bottom-up pass would substitute the
+    // relation first and drop the statement onto Spark's native
+    // file-source write paths, bypassing the commit log. The inner
+    // query/source plans are deliberately carried UNRESOLVED and
+    // analyzed at command run time (ofRows), so no resolved-ness guard
+    // can reorder this rewrite behind the substitution.
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsDown {
+        // SELECT ... FROM graft.`path` (also spark.table / joins / CTEs)
+        case u: UnresolvedRelation if !u.isStreaming &&
+            graftPath(u.multipartIdentifier).isDefined =>
+          relation(graftPath(u.multipartIdentifier).get, None)
+
+        // VERSION AS OF n / TIMESTAMP AS OF ts
+        case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+            if graftPath(u.multipartIdentifier).isDefined =>
+          val path = graftPath(u.multipartIdentifier).get
+          val asOf = ver.map(_.toLong).orElse(ts.map { e =>
+            val micros = Cast(e, TimestampType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+            require(micros != null,
+              s"graft SQL: cannot evaluate TIMESTAMP AS OF $e")
+            LogTable.versionAt(spark, path,
+              micros.asInstanceOf[Long] / 1000L)
+          })
+          relation(path, asOf)
+
+        // INSERT INTO / INSERT OVERWRITE (append / full refresh)
+        case InsertIntoStatement(target, partSpec, userCols, query,
+            overwrite, _, byName) if pathOf(target).isDefined =>
+          require(partSpec.isEmpty,
+            "graft SQL: static PARTITION specs are not supported — log " +
+              "table partitioning is automatic from the row values")
+          InsertCommand(pathOf(target).get._1, query, userCols, overwrite,
+            byName)
+
+        // DELETE FROM ... WHERE ...
+        case DeleteFromTable(target, condition) if pathOf(target).isDefined =>
+          val (path, alias) = pathOf(target).get
+          DeleteCommand(path,
+            requalify(condition, alias.map(_.toLowerCase -> None).toMap).sql)
+
+        // UPDATE ... SET ... WHERE ...
+        case UpdateTable(target, assignments, condition)
+            if pathOf(target).isDefined =>
+          val (path, alias) = pathOf(target).get
+          val m = alias.map(_.toLowerCase -> None).toMap
+          UpdateCommand(path,
+            assignments.map(a => assignName(a.key) -> requalify(a.value, m).sql),
+            condition.map(c => requalify(c, m).sql))
+
+        // MERGE INTO graft.`path` t USING src s ON ...
+        case MergeIntoTable(target, source, mergeCond, matchedActions,
+            notMatchedActions, notMatchedBySourceActions, withSchemaEvolution)
+            if pathOf(target).isDefined =>
+          val (path, tAlias) = pathOf(target).get
+          require(notMatchedBySourceActions.isEmpty,
+            "graft SQL: WHEN NOT MATCHED BY SOURCE is not supported — " +
+              "unmatched target rows always survive a log-table merge")
+          require(!withSchemaEvolution,
+            "graft SQL: WITH SCHEMA EVOLUTION is not supported on merge")
+          val sAlias = source match {
+            case SubqueryAlias(ident, _) => Some(ident.name)
+            case _ => None
+          }
+          val m = (tAlias.map(_.toLowerCase -> Some("t")).toSeq ++
+            sAlias.map(_.toLowerCase -> Some("s")).toSeq).toMap
+          MergeCommand(path, source, keyColsOf(mergeCond, tAlias, sAlias),
+            matchedActions.map(matchedOf(_, m)),
+            notMatchedActions.map(insertOf(_, m)))
+
+        // fail-loud backstop: DML that reached the substituted relation
+        // (it should be impossible with the top-down rewrite above)
+        case InsertIntoStatement(target, _, _, _, _, _, _)
+            if substituted(target) => bypassError("INSERT")
+        case DeleteFromTable(target, _) if substituted(target) =>
+          bypassError("DELETE")
+        case UpdateTable(target, _, _) if substituted(target) =>
+          bypassError("UPDATE")
+        case MergeIntoTable(target, _, _, _, _, _, _)
+            if substituted(target) => bypassError("MERGE")
+      }
+
+    private def bypassError(what: String): Nothing =
+      throw new IllegalStateException(
+        s"graft SQL: $what reached the substituted log-table relation — " +
+          "refusing to write behind the commit log")
+
+    /** The ON clause as same-name key equalities — the log-table merge
+      * model (a key's partition value is fixed for life; victims prune
+      * from the source's key tuples). Anything else fails loud.
+      */
+    private def keyColsOf(cond: Expression, tAlias: Option[String],
+                          sAlias: Option[String]): Seq[String] = {
+      def side(e: Expression): Option[(Boolean, String)] = e match {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+          val q = a.nameParts.head
+          if (tAlias.exists(_.equalsIgnoreCase(q))) Some((true, a.nameParts.last))
+          else if (sAlias.exists(_.equalsIgnoreCase(q))) Some((false, a.nameParts.last))
+          else None
+        case _ => None
+      }
+      def keys(e: Expression): Seq[String] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          keys(l) ++ keys(r)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          (side(l), side(r)) match {
+            case (Some((true, tn)), Some((false, sn))) if tn.equalsIgnoreCase(sn) =>
+              Seq(tn)
+            case (Some((false, sn)), Some((true, tn))) if tn.equalsIgnoreCase(sn) =>
+              Seq(tn)
+            case _ => throw new IllegalArgumentException(
+              s"graft SQL: merge ON clause term `${e.sql}` is not a " +
+                "same-name target/source key equality — the log-table " +
+                "merge joins by key (alias the target and source, e.g. " +
+                "ON t.k = s.k)")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft SQL: merge ON clause `${other.sql}` must be a " +
+            "conjunction of same-name key equalities")
+      }
+      keys(cond)
+    }
+
+    private def matchedOf(a: MergeAction,
+                          m: Map[String, Option[String]]): MatchedSpec =
+      a match {
+        case UpdateAction(cond, assignments, _) =>
+          MatchedSpec(cond.map(requalify(_, m).sql),
+            Some(assignments.map(x =>
+              assignName(x.key) -> requalify(x.value, m).sql).toMap))
+        case _: UpdateStarAction => throw new IllegalArgumentException(
+          "graft SQL: UPDATE SET * is not supported — name the assignments")
+        case DeleteAction(cond) =>
+          MatchedSpec(cond.map(requalify(_, m).sql), None)
+        case other => throw new IllegalArgumentException(
+          s"graft SQL: unsupported WHEN MATCHED action $other")
+      }
+
+    private def insertOf(a: MergeAction,
+                         m: Map[String, Option[String]]): InsertSpec =
+      a match {
+        case InsertAction(cond, assignments) =>
+          InsertSpec(cond.map(requalify(_, m).sql),
+            assignments.map(x =>
+              assignName(x.key) -> requalify(x.value, m).sql).toMap)
+        case InsertStarAction(cond) =>
+          InsertSpec(cond.map(requalify(_, m).sql), Map.empty)
+        case other => throw new IllegalArgumentException(
+          s"graft SQL: unsupported WHEN NOT MATCHED action $other")
+      }
+  }
+
+  private[sources] final case class MatchedSpec(condition: Option[String],
+                                                set: Option[Map[String, String]])
+  private[sources] final case class InsertSpec(condition: Option[String],
+                                               values: Map[String, String])
+
+  /** INSERT → [[LogTable.append]]/[[LogTable.overwriteAll]], with SQL
+    * INSERT column semantics: positional with casts by default; a
+    * column list maps the query's outputs to the NAMED columns (the
+    * rest NULL-fill if nullable, loud otherwise); BY NAME matches
+    * case-insensitively.
+    */
+  private[sources] final case class InsertCommand(path: String,
+      query: LogicalPlan, userCols: Seq[String], overwrite: Boolean,
+      byName: Boolean) extends LeafRunnableCommand {
+    override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+    override def run(session: SparkSession): Seq[Row] = {
+      val snap = LogTable.snapshot(session, path)
+      val schema = snap.schema
+      val src = GraftBridge.ofRows(session, query)
+      def fill(f: org.apache.spark.sql.types.StructField) = {
+        require(f.nullable,
+          s"graft SQL: INSERT omits non-nullable column `${f.name}`")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+      val aligned: DataFrame =
+        if (byName) {
+          src.select(schema.fields.toIndexedSeq.map { f =>
+            src.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+              case Some(g) => col(g.name).cast(f.dataType).as(f.name)
+              case None => fill(f)
+            }
+          }: _*)
+        } else if (userCols.nonEmpty) {
+          require(userCols.size == src.columns.length,
+            s"graft SQL: INSERT names ${userCols.size} columns but the " +
+              s"query produces ${src.columns.length}")
+          val byTarget = userCols.map(_.toLowerCase).zip(src.columns).toMap
+          src.select(schema.fields.toIndexedSeq.map { f =>
+            byTarget.get(f.name.toLowerCase) match {
+              case Some(srcCol) => col(srcCol).cast(f.dataType).as(f.name)
+              case None => fill(f)
+            }
+          }: _*)
+        } else {
+          require(src.columns.length == schema.size,
+            s"graft SQL: INSERT query produces ${src.columns.length} " +
+              s"columns, table has ${schema.size} — list the target columns")
+          src.select(schema.fields.toIndexedSeq.zip(src.columns).map {
+            case (f, c) => col(c).cast(f.dataType).as(f.name)
+          }: _*)
+        }
+      if (overwrite) LogTable.overwriteAll(session, path, aligned): Unit
+      else LogTable.append(session, path, aligned): Unit
+      Seq.empty
+    }
+  }
+
+  private[sources] final case class DeleteCommand(path: String,
+      conditionSql: String) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      LogTable.deleteWhere(session, path,
+        org.apache.spark.sql.functions.expr(conditionSql)): Unit
+      Seq.empty
+    }
+  }
+
+  private[sources] final case class UpdateCommand(path: String,
+      set: Seq[(String, String)], conditionSql: Option[String])
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.expr
+      LogTable.updateWhere(session, path,
+        conditionSql.map(expr).getOrElse(lit(true)),
+        set.map { case (n, v) => n -> expr(v) }.toMap): Unit
+      Seq.empty
+    }
+  }
+
+  private[sources] final case class MergeCommand(path: String,
+      source: LogicalPlan, keyCols: Seq[String], matched: Seq[MatchedSpec],
+      notMatched: Seq[InsertSpec]) extends LeafRunnableCommand {
+    override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+    override def run(session: SparkSession): Seq[Row] = {
+      require(notMatched.size <= 1,
+        "graft SQL: at most one WHEN NOT MATCHED THEN INSERT clause")
+      val src = GraftBridge.ofRows(session, source)
+      var m = LogTable.mergeInto(session, path, src, keyCols)
+      matched.foreach { spec =>
+        m = spec.set match {
+          case Some(s) => m.whenMatchedUpdate(s, spec.condition)
+          case None => m.whenMatchedDelete(spec.condition)
+        }
+      }
+      notMatched.foreach(spec =>
+        m = m.whenNotMatchedInsert(spec.values, spec.condition))
+      m.run(): Unit
+      Seq.empty
+    }
+  }
+}

@@ -77,6 +77,17 @@ object MaterializedView {
   final case class MvAvg(name: String, col: String) extends MvAgg {
     def input: Option[String] = Some(col)
   }
+  /** `min(col)` — NOT retractable: deleting the current minimum cannot
+    * be folded from a delta, so refresh RECOMPUTES min for the touched
+    * groups from the base snapshot (see the rescan notes on [[refresh]]).
+    */
+  final case class MvMin(name: String, col: String) extends MvAgg {
+    def input: Option[String] = Some(col)
+  }
+  /** `max(col)` — same rescan discipline as [[MvMin]]. */
+  final case class MvMax(name: String, col: String) extends MvAgg {
+    def input: Option[String] = Some(col)
+  }
 
   final case class MvDef(basePath: String, groupCols: Seq[String],
                          aggs: Seq[MvAgg], nBuckets: Int)
@@ -127,6 +138,21 @@ object MaterializedView {
       val st = sumType(fieldOf(base, c, s"mv agg $n").dataType, s"mv agg $n")
       Seq(StructField(n + "__sum", st, nullable = false),
         StructField(n + "__cnt", LongType, nullable = false))
+    case MvMin(n, c) =>
+      val f = fieldOf(base, c, s"mv agg $n")
+      require(statsTrackable(f.dataType),
+        s"mv agg $n: cannot order ${f.dataType.sql}")
+      Seq(StructField(n, f.dataType, nullable = true))
+    case MvMax(n, c) =>
+      val f = fieldOf(base, c, s"mv agg $n")
+      require(statsTrackable(f.dataType),
+        s"mv agg $n: cannot order ${f.dataType.sql}")
+      Seq(StructField(n, f.dataType, nullable = true))
+  }
+
+  private def isRescan(a: MvAgg): Boolean = a match {
+    case _: MvMin | _: MvMax => true
+    case _ => false
   }
 
   private def statsTrackable(dt: DataType): Boolean = dt match {
@@ -183,6 +209,7 @@ object MaterializedView {
       val kind = a match {
         case _: MvCount => "count"; case _: MvCountCol => "count_col"
         case _: MvSum => "sum"; case _: MvAvg => "avg"
+        case _: MvMin => "min"; case _: MvMax => "max"
       }
       o.put("kind", kind): Unit
       o.put("name", a.name): Unit
@@ -211,6 +238,8 @@ object MaterializedView {
         case "count_col" => MvCountCol(n, in0)
         case "sum" => MvSum(n, in0)
         case "avg" => MvAvg(n, in0)
+        case "min" => MvMin(n, in0)
+        case "max" => MvMax(n, in0)
         case k => throw new IllegalArgumentException(s"unknown mv agg kind $k")
       }
     }.toSeq

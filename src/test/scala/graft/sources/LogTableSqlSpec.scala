@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The SQL front door (`graft.`<dir>``): reads must plan EXACTLY like the
+  * programmatic API, and every DML statement must land on the same
+  * transactional entry points (append/overwrite/delete/update/merge).
+  * The shared test session enables `graft.expr.GraftExtensions`, so this
+  * suite also covers the injection path itself.
+  */
+class LogTableSqlSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-sql").toString
+
+  private def mkTable(n: Int = 40): String = {
+    import spark.implicits._
+    val path = tmp()
+    val df = (1 to n).map(i =>
+      (i.toLong, i % 4, s"v$i", i.toLong * 100, 0L, "U"))
+      .toDF("k", "part", "name", "cents", "ver", "op")
+    LogTable.create(spark, path, df, Seq("part"), Seq("k")): Unit
+    path
+  }
+
+  private def sqlRef(path: String) = s"graft.`$path`"
+
+  test("SELECT over graft.`path` matches the programmatic read") {
+    val t = mkTable()
+    val viaSql = spark.sql(s"SELECT k, cents FROM ${sqlRef(t)} WHERE part = 2")
+    val viaApi = LogTable.read(spark, t).filter(col("part") === 2)
+      .select("k", "cents")
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+    assert(viaSql.count() === 10)
+  }
+
+  test("graft tables join with ordinary relations in one statement") {
+    val t = mkTable()
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("k", "tag").createOrReplaceTempView("tags")
+    val got = spark.sql(
+      s"SELECT g.k, tags.tag FROM ${sqlRef(t)} g JOIN tags ON g.k = tags.k ORDER BY g.k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("VERSION AS OF reads a pinned snapshot") {
+    val t = mkTable(10)
+    import spark.implicits._
+    LogTable.append(spark, t, Seq((100L, 1, "new", 1L, 0L, "U"))
+      .toDF("k", "part", "name", "cents", "ver", "op")): Unit
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlRef(t)}")
+      .head().getLong(0) === 11)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlRef(t)} VERSION AS OF 1")
+      .head().getLong(0) === 10)
+  }
+
+  test("TIMESTAMP AS OF resolves through commit times") {
+    val t = mkTable(10)
+    import spark.implicits._
+    Thread.sleep(1100) // commit-file mtimes are second-granular on some FS
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    LogTable.append(spark, t, Seq((100L, 1, "new", 1L, 0L, "U"))
+      .toDF("k", "part", "name", "cents", "ver", "op")): Unit
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ${sqlRef(t)} TIMESTAMP AS OF '$cut'")
+      .head().getLong(0) === 10)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM ${sqlRef(t)} TIMESTAMP AS OF '1990-01-01'").collect())
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
+  test("INSERT INTO appends through one commit; INSERT OVERWRITE replaces") {
+    val t = mkTable(10)
+    spark.sql(s"INSERT INTO ${sqlRef(t)} VALUES (41, 1, 'ins', 4100, 0, 'U')")
+    assert(LogTable.read(spark, t).count() === 11)
+    val h = LogTable.history(spark, t).filter(col("operation") === "APPEND")
+    assert(h.count() === 1)
+    // column-list form: unnamed nullable columns fill with NULL
+    spark.sql(s"INSERT INTO ${sqlRef(t)} (k, part, cents, ver, op) " +
+      "VALUES (42, 2, 4200, 0, 'U')")
+    val r42 = LogTable.read(spark, t).filter(col("k") === 42).head()
+    assert(r42.isNullAt(r42.fieldIndex("name")))
+    spark.sql(s"INSERT OVERWRITE ${sqlRef(t)} " +
+      s"SELECT * FROM ${sqlRef(t)} WHERE part = 0")
+    assert(LogTable.read(spark, t).count() === 2) // k in {4, 8}
+    assert(LogTable.history(spark, t)
+      .filter(col("operation") === "OVERWRITE").count() === 1)
+    // time travel still reaches the pre-overwrite state
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlRef(t)} VERSION AS OF 3")
+      .head().getLong(0) === 12)
+  }
+
+  test("positional INSERT with wrong arity fails loud") {
+    val t = mkTable(4)
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO ${sqlRef(t)} VALUES (1, 2, 'x')"))
+    assert(e.getMessage.contains("columns"))
+  }
+
+  test("DELETE FROM ... WHERE runs the stats-planned delete") {
+    val t = mkTable()
+    spark.sql(s"DELETE FROM ${sqlRef(t)} WHERE part = 1 AND cents < 2000")
+    val want = LogTable.read(spark, t)
+    assert(want.filter(col("part") === 1 && col("cents") < 2000).count() === 0)
+    assert(want.count() === 40 - 5) // k in {1,5,9,13,17} killed
+    assert(LogTable.history(spark, t)
+      .filter(col("operation") === "DELETE").count() === 1)
+  }
+
+  test("UPDATE ... SET ... WHERE updates in one transaction") {
+    val t = mkTable()
+    spark.sql(s"UPDATE ${sqlRef(t)} SET cents = cents * 2, name = 'upd' " +
+      "WHERE k % 10 = 0")
+    val rows = LogTable.read(spark, t).filter(col("k") % 10 === 0)
+    assert(rows.count() === 4)
+    assert(rows.filter(col("name") === "upd").count() === 4)
+    assert(rows.agg(sum("cents")).head().getLong(0) === (10 + 20 + 30 + 40) * 100 * 2)
+  }
+
+  test("MERGE INTO maps clauses onto the log-table merge") {
+    val t = mkTable(10)
+    import spark.implicits._
+    // the pruned-merge contract: the source must carry key AND partition
+    // columns (a key's partition value is fixed for life)
+    Seq((2L, 2, 5000L, "U"), (3L, 3, 0L, "D"), (99L, 3, 9900L, "I"))
+      .toDF("k", "part", "cents", "action").createOrReplaceTempView("changes")
+    spark.sql(
+      s"""MERGE INTO ${sqlRef(t)} t USING changes s ON t.k = s.k
+         |WHEN MATCHED AND s.action = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET cents = s.cents, name = 'merged'
+         |WHEN NOT MATCHED THEN INSERT (k, part, name, cents, ver, op)
+         |  VALUES (s.k, s.part, 'inserted', s.cents, 0, 'U')
+         |""".stripMargin)
+    val now = LogTable.read(spark, t)
+    assert(now.count() === 10) // 10 - 1 deleted + 1 inserted
+    assert(now.filter(col("k") === 3).count() === 0)
+    val r2 = now.filter(col("k") === 2).head()
+    assert(r2.getLong(r2.fieldIndex("cents")) === 5000L &&
+      r2.getString(r2.fieldIndex("name")) === "merged")
+    val r99 = now.filter(col("k") === 99).head()
+    assert(r99.getString(r99.fieldIndex("name")) === "inserted")
+  }
+
+  test("merge ON clause must be same-name key equalities") {
+    val t = mkTable(4)
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("k", "cents").createOrReplaceTempView("src1")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO ${sqlRef(t)} t USING src1 s ON t.k > s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("key equalit"))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE is rejected loud") {
+    val t = mkTable(4)
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("k", "cents").createOrReplaceTempView("src2")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO ${sqlRef(t)} t USING src2 s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
+  test("non-graft relations are untouched by the rule") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("x", "y").createOrReplaceTempView("plain")
+    assert(spark.sql("SELECT * FROM plain").count() === 1)
+    intercept[AnalysisException](spark.sql("SELECT * FROM graftish.`/nope`"))
+  }
+
+  test("append is strict about schema; overwrite survives constraints") {
+    val t = mkTable(4)
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException](
+      LogTable.append(spark, t,
+        Seq((1L, 1)).toDF("k", "part"))) // missing columns
+    assert(e.getMessage.contains("missing column"))
+    LogTable.addConstraint(spark, t, "cents_pos", "cents >= 0"): Unit
+    val bad = intercept[IllegalArgumentException](spark.sql(
+      s"INSERT INTO ${sqlRef(t)} VALUES (50, 1, 'bad', -1, 0, 'U')"))
+    assert(bad.getMessage.contains("cents_pos"))
+    // constraint also survives an overwrite
+    spark.sql(s"INSERT OVERWRITE ${sqlRef(t)} " +
+      s"SELECT * FROM ${sqlRef(t)} WHERE part <> 1")
+    assert(LogTable.snapshot(spark, t).constraints.contains("cents_pos"))
+  }
+}
