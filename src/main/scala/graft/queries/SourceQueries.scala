@@ -884,6 +884,92 @@ object SourceQueries {
         .withColumn("mv_ok", lit(ok))
     }),
 
+    // MV MIN/MAX — the non-retractable aggregates under the rescan
+    // discipline: the initial load folds extremes in place; deleting the
+    // CURRENT MINIMUM row of every 1997 group forces the per-group
+    // rescan (the fold cannot know the runner-up), and a pure-insert
+    // window of new global maxima folds without touching the base. The
+    // oracle recomputes min/max/count/sum from scratch over the final
+    // state — a stale extremum after the targeted delete hash-reds
+    // immediately.
+    "q149_mv_minmax" -> ((s, dir) => {
+      import graft.sources.{LogTable, MaterializedView => MV}
+      import org.apache.spark.sql.expressions.Window
+      val t = scratch(s, dir, "graft_q149")
+      val mv = scratch(s, dir, "graft_q149mv")
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      MV.define(s, mv, t, Seq("o_year", "status"), Seq(
+        MV.MvCount("n"), MV.MvMin("min_cents", "cents"),
+        MV.MvMax("max_cents", "cents"), MV.MvSum("sum_cents", "cents")),
+        nBuckets = 16): Unit
+      MV.refresh(s, mv): Unit
+      // delete exactly each 1997 group's minimum-cents row (ties broken
+      // by key — mirrored in the oracle) → the rescan must repair min
+      val w = Window.partitionBy("o_year", "status")
+        .orderBy(col("cents"), col("k"))
+      val delMin = LogTable.read(s, t).filter(col("o_year") === 1997)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn").withColumn("version", lit(1)).withColumn("op", lit("D"))
+      LogTable.upsert(s, t, delMin, Seq("k"), Seq("version"), "op"): Unit
+      MV.refresh(s, mv): Unit
+      // pure-insert window: new 1998 maxima fold via greatest(), no rescan
+      val insMax = base.filter(col("o_year") === 1998 && col("k") % 97 === 0)
+        .withColumn("k", col("k") + 30000000L)
+        .withColumn("cents", col("cents") + 1000000000L)
+        .withColumn("version", lit(1))
+      LogTable.upsert(s, t, insMax, Seq("k"), Seq("version"), "op"): Unit
+      MV.refresh(s, mv): Unit
+      val ok = MV.refresh(s, mv) == -1L &&
+        MV.refreshedVersion(s, mv) == LogTable.latestVersion(s, t)
+      MV.read(s, mv).withColumnRenamed("status", "o_orderstatus")
+        .withColumn("mv_ok", lit(ok))
+    }),
+
+    // SYNC-FROM-SNAPSHOT MERGE — WHEN NOT MATCHED BY SOURCE through the
+    // SQL front door: ONE statement upserts the desired 1997 snapshot
+    // (update matched, insert new) AND deletes departed 1997 rows, the
+    // classic dimension-table refresh that previously needed a second
+    // anti-join delete transaction. The by-source condition scopes the
+    // expiry to t.o_year = 1997, so every other year rides through
+    // untouched; sync_ok pins one MERGE_INTO transaction and zero
+    // departed survivors.
+    "q150_merge_by_source" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q150")
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      val y97 = base.filter(col("o_year") === 1997)
+      // the desired snapshot: k%13 departed, k%7 repriced, k%11 cloned new
+      y97.filter(col("k") % 13 =!= 0)
+        .withColumn("cents", when(col("k") % 7 === 0,
+          expr("(cents * 110) div 100")).otherwise(col("cents")))
+        .select("k", "status", "cents", "o_year")
+        .unionByName(y97.filter(col("k") % 11 === 0)
+          .select((col("k") + 10000000L).as("k"), col("status"),
+            (col("cents") + 7L).as("cents"), col("o_year")))
+        .createOrReplaceTempView("q150_src")
+      s.sql(
+        s"""MERGE INTO graft.`$t` t USING q150_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents, version = 1
+           |WHEN NOT MATCHED THEN INSERT (k, status, cents, o_year, version, op)
+           |  VALUES (s.k, s.status, s.cents, s.o_year, 1, 'U')
+           |WHEN NOT MATCHED BY SOURCE AND t.o_year = 1997 THEN DELETE
+           |""".stripMargin): Unit
+      val departed = LogTable.read(s, t)
+        .filter(col("o_year") === 1997 && col("k") % 13 === 0 &&
+          col("k") < 10000000L).count()
+      val ops = LogTable.history(s, t).groupBy("operation").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ok = departed == 0L && ops.get("MERGE_INTO").contains(1L) &&
+        LogTable.snapshot(s, t).version == 2L
+      LogTable.read(s, t)
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("sync_ok", lit(ok))
+    }),
+
     // SQL FRONT DOOR — the whole DML surface through spark.sql over
     // `graft.`<dir>``: DELETE, UPDATE, MERGE (clause mapping), INSERT
     // (blind append) and VERSION AS OF time travel, each landing on the
@@ -1506,6 +1592,61 @@ object SourceQueries {
         |  TRUE AS mv_ok
         |FROM final
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Full recompute of min/max/count/sum over the final state (base
+    // minus each 1997 group's minimum row, plus the 1998 insert wave) —
+    // a min the rescan failed to repair hash-reds; mv_ok pinned TRUE.
+    "q149_mv_minmax" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |mins AS (
+        |  SELECT k FROM (
+        |    SELECT k, row_number() OVER (
+        |      PARTITION BY o_year, status ORDER BY cents, k) AS rn
+        |    FROM base WHERE o_year = 1997) WHERE rn = 1),
+        |kept AS (SELECT * FROM base WHERE k NOT IN (SELECT k FROM mins)),
+        |ins AS (
+        |  SELECT k + 30000000 AS k, status, cents + 1000000000 AS cents,
+        |         o_year
+        |  FROM base WHERE o_year = 1998 AND k % 97 = 0),
+        |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS mv_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The one-statement snapshot sync restated: 1997 becomes exactly the
+    // source (departed k%13 gone, matched rows repriced and versioned,
+    // k%11 clones inserted), every other year untouched; sync_ok TRUE.
+    "q150_merge_by_source" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 7 = 0 THEN (cents * 110) // 100 ELSE cents END AS cents,
+        |    o_year, 1 AS version
+        |  FROM base WHERE o_year = 1997 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, status, cents + 7 AS cents, o_year,
+        |         1 AS version
+        |  FROM base WHERE o_year = 1997 AND k % 11 = 0),
+        |final AS (
+        |  SELECT k, status, cents, o_year, version FROM base
+        |  WHERE o_year <> 1997
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS sync_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
 
     // The four SQL DML statements restated as a WITH-chain over raw
     // orders: delete 1992/k%5, +10% update 1993/k%7, the 1994 merge

@@ -250,6 +250,18 @@ object LogTable {
           "min/max stats — only numeric, string, boolean, date and " +
           "timestamp columns are trackable")
     }
+    // z-order interleaves NUMERIC ordinals — mirror numericize()'s type
+    // vocabulary HERE, before mkdirs, or a string z-order column fails
+    // mid-write leaving a half-created table whose empty log blocks
+    // re-creation
+    zorderBy.foreach { c =>
+      val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType,
+        s"log table $path: z-order column `$c` must be numeric/date/" +
+          s"timestamp (got ${dt.sql}) — a lexicographic dimension " +
+          "belongs in clusterBy")
+    }
     // clustering without recorded stats would sort data for nothing —
     // the read side prunes from statsCols, so demand the declaration
     (clusterBy ++ zorderBy).foreach { c =>
@@ -1213,33 +1225,44 @@ object LogTable {
         throw new IllegalArgumentException(
           s"log table $path: unknown key column `$k`")))
     val ch = readChanges(spark, path, fromVersion, toVersion)
-    def keyed(tag: String, pre: String): DataFrame = {
-      val df = ch.filter(col("_change_type") === tag).drop("_change_type")
-      df.select(struct(keyNames.map(col): _*).as(pre + "k"),
-        struct(df.columns.map(col).toIndexedSeq: _*).as(pre + "r"))
-    }
-    val d = keyed("delete", "__d")
-    val i = keyed("insert", "__i")
-    Seq(("__dk", d, "pre"), ("__ik", i, "post")).foreach { case (k, df, side) =>
-      val dup = df.groupBy(col(k)).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        s"log table $path: duplicate keys on (${keyNames.mkString(", ")}) " +
-          s"in the $side-change rows — net changes need the " +
-          "one-live-row-per-key discipline")
-    }
-    val joined = d.join(i, col("__dk") <=> col("__ik"), "full_outer")
+    val dataCols = ch.columns.filterNot(_ == "_change_type").toIndexedSeq
+    // ONE pass over the change scan: the delete/insert sides pivot
+    // through a single keyed aggregate (one shuffle) instead of a
+    // full-outer self-join, and the one-live-row-per-key discipline
+    // rides IN the plan as a raise_error — calling this runs ZERO jobs
+    // and the changed files are read exactly once (they used to be
+    // evaluated twice for the probes and twice more for the join)
+    val keyed = ch.select(
+      struct(keyNames.map(col): _*).as("__k"),
+      struct(dataCols.map(col): _*).as("__r"),
+      col("_change_type").as("__t"))
+    def dupMsg(side: String) =
+      s"log table $path: duplicate keys on (${keyNames.mkString(", ")}) " +
+        s"in the $side-change rows — net changes need the " +
+        "one-live-row-per-key discipline"
+    val g = keyed.groupBy(col("__k")).agg(
+      first(when(col("__t") === "delete", col("__r")),
+        ignoreNulls = true).as("__dr"),
+      sum(when(col("__t") === "delete", 1L).otherwise(0L)).as("__dc0"),
+      first(when(col("__t") === "insert", col("__r")),
+        ignoreNulls = true).as("__ir"),
+      sum(when(col("__t") === "insert", 1L).otherwise(0L)).as("__ic0"))
+    val checked = g
+      .withColumn("__dc", when(col("__dc0") > 1L,
+        raise_error(lit(dupMsg("pre")))).otherwise(col("__dc0")))
+      .withColumn("__ic", when(col("__ic0") > 1L,
+        raise_error(lit(dupMsg("post")))).otherwise(col("__ic0")))
       // riders: same key, same content on both sides — net nothing
-      .filter(col("__dk").isNull || col("__ik").isNull ||
-        !(col("__dr") <=> col("__ir")))
-    val evs = when(col("__dk").isNull,
+      .filter(!(col("__dc") > 0L && col("__ic") > 0L &&
+        col("__dr") <=> col("__ir")))
+    val evs = when(col("__dc") === 0L,
         array(struct(col("__ir").as("r"), lit("insert").as("t"))))
-      .when(col("__ik").isNull,
+      .when(col("__ic") === 0L,
         array(struct(col("__dr").as("r"), lit("delete").as("t"))))
       .otherwise(array(
         struct(col("__dr").as("r"), lit("update_preimage").as("t")),
         struct(col("__ir").as("r"), lit("update_postimage").as("t"))))
-    joined.select(explode(evs).as("e"))
+    checked.select(explode(evs).as("e"))
       .select(col("e.r.*"), col("e.t").as("_change_type"))
   }
 
@@ -1256,13 +1279,34 @@ object LogTable {
       .filter(_.isFile).flatMap(st => st.getPath.getName match {
         case CommitName(v) => Some((v.toLong, st))
         case _ => None
-      }).toSeq.sortBy(-_._1)
+      }).toSeq.sortBy(_._1)
+    // rows/bytes "added" must mean PHYSICALLY WRITTEN: a deletion-vector
+    // commit (and a metadata-only restore) re-ADDS an existing data file
+    // under a new DV pointer, and counting its full physical rows would
+    // overstate the ledger by the victim files' whole size on every DV
+    // commit. Data-file names are UUID-unique per write, so "this name
+    // was added by an earlier still-readable commit" identifies a
+    // re-pointing exactly. Seeded from checkpoints BELOW the earliest
+    // visible commit (they summarize expired history, whose files a
+    // later DV/restore may re-point); a checkpoint inside the visible
+    // range must NOT seed — its files were added by visible commits
+    // whose ledger would otherwise wrongly read zero.
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val earliest = commits.headOption.map(_._1).getOrElse(Long.MaxValue)
+    fs.listStatus(logDir(path)).iterator.filter(_.isFile)
+      .map(_.getPath).foreach(p => p.getName match {
+        case CheckpointName(v) if v.toLong < earliest =>
+          parseCommitFile(fs, p).adds.foreach(a => seen += a.name: Unit)
+        case _ => ()
+      })
     val rows: Seq[Row] = commits.map { case (v, st) =>
       val c = parseCommitFile(fs, st.getPath)
+      val fresh = c.adds.filter(a => !seen.contains(a.name))
+      c.adds.foreach(a => seen += a.name: Unit)
       Row(v, c.operation, c.dataChange, c.adds.length, c.removes.length,
-        c.adds.iterator.map(_.rows).sum, c.adds.iterator.map(_.bytes).sum,
+        fresh.iterator.map(_.rows).sum, fresh.iterator.map(_.bytes).sum,
         new java.sql.Timestamp(st.getModificationTime))
-    }
+    }.reverse
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
       StructType(Seq(
@@ -1377,6 +1421,17 @@ object LogTable {
           w.statsCols == base.statsCols &&
           w.bloomCols == base.bloomCols &&
           w.constraints == base.constraints &&
+          // the idempotent-writer watermark must survive contention: a
+          // winner that already committed this (appId, batchId) — the
+          // zombie-driver replay racing itself — means OUR batch is a
+          // duplicate, and file-disjointness proves nothing about row
+          // identity (a blind append's victim set is empty, so every
+          // winner would otherwise trivially "commute" and the batch
+          // would land twice). Decline; the full retry's snapshot
+          // watermark check then returns -1 instead of re-applying.
+          !txns.exists { case (app, id) =>
+            w.txns.get(app).exists(_ >= id)
+          } &&
           !w.removes.exists(victims.contains) &&
           victimFiles(base.copy(files = w.adds), touched).isEmpty
       }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   * MERGE INTO graft.`/data/orders` t USING src s ON t.k = s.k
   *   WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
   *   WHEN NOT MATCHED [AND cond] THEN INSERT ...
+  *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE
   * }}}
   *
   * Reads substitute the SAME analyzed plan [[LogTable.table]] builds —
@@ -35,8 +36,10 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   *
   * MERGE constraints surface the engine's contracts, loud: the ON
   * clause must be a conjunction of same-name key equalities (the
-  * pruned-merge key model), and `WHEN NOT MATCHED BY SOURCE` /
-  * `WITH SCHEMA EVOLUTION` are not supported.
+  * pruned-merge key model); `WITH SCHEMA EVOLUTION` is not supported.
+  * `WHEN NOT MATCHED BY SOURCE` clauses map onto the builder's
+  * by-source forms (target-scope only; the transaction reads the whole
+  * table — see [[MergeInto.whenNotMatchedBySourceUpdate]]).
   */
 object LogTableSql {
 
@@ -159,9 +162,6 @@ object LogTableSql {
             notMatchedActions, notMatchedBySourceActions, withSchemaEvolution)
             if pathOf(target).isDefined =>
           val (path, tAlias) = pathOf(target).get
-          require(notMatchedBySourceActions.isEmpty,
-            "graft SQL: WHEN NOT MATCHED BY SOURCE is not supported — " +
-              "unmatched target rows always survive a log-table merge")
           require(!withSchemaEvolution,
             "graft SQL: WITH SCHEMA EVOLUTION is not supported on merge")
           val sAlias = source match {
@@ -170,9 +170,13 @@ object LogTableSql {
           }
           val m = (tAlias.map(_.toLowerCase -> Some("t")).toSeq ++
             sAlias.map(_.toLowerCase -> Some("s")).toSeq).toMap
+          // by-source clauses requalify under the SAME mapping, so a
+          // source reference surfaces as `s.` and the builder rejects it
+          // with the real reason (no source row exists in that scope)
           MergeCommand(path, source, keyColsOf(mergeCond, tAlias, sAlias),
             matchedActions.map(matchedOf(_, m)),
-            notMatchedActions.map(insertOf(_, m)))
+            notMatchedActions.map(insertOf(_, m)),
+            notMatchedBySourceActions.map(matchedOf(_, m)))
 
         // fail-loud backstop: DML that reached the substituted relation
         // (it should be impossible with the top-down rewrite above)
@@ -336,7 +340,9 @@ object LogTableSql {
 
   private[sources] final case class MergeCommand(path: String,
       source: LogicalPlan, keyCols: Seq[String], matched: Seq[MatchedSpec],
-      notMatched: Seq[InsertSpec]) extends LeafRunnableCommand {
+      notMatched: Seq[InsertSpec],
+      notMatchedBySource: Seq[MatchedSpec] = Nil)
+      extends LeafRunnableCommand {
     override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
       require(notMatched.size <= 1,
@@ -351,6 +357,12 @@ object LogTableSql {
       }
       notMatched.foreach(spec =>
         m = m.whenNotMatchedInsert(spec.values, spec.condition))
+      notMatchedBySource.foreach { spec =>
+        m = spec.set match {
+          case Some(s) => m.whenNotMatchedBySourceUpdate(s, spec.condition)
+          case None => m.whenNotMatchedBySourceDelete(spec.condition)
+        }
+      }
       m.run(): Unit
       Seq.empty
     }

@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
   * Spark + the log table's file-level change feed):
   *
   *  - The view definition is `GROUP BY groupCols` + retractable
-  *    aggregates (count/sum/avg). Each aggregate keeps exact additive
-  *    STATE (signed counts and sums) in an MV log table, bucketed by a
-  *    hash of the group key so a refresh rewrites only touched buckets.
+  *    aggregates (count/sum/avg) and/or min/max. Each retractable
+  *    aggregate keeps exact additive STATE (signed counts and sums) in
+  *    an MV log table, bucketed by a hash of the group key so a refresh
+  *    rewrites only touched buckets. min/max keep the extremum itself:
+  *    inserts fold in place (`least`/`greatest`), while a delete at or
+  *    beyond the stored extremum RESCANS that group from the base
+  *    snapshot (a keyed semi-join over exactly the undecidable groups —
+  *    never a table scan; the classic non-retractable-aggregate
+  *    discipline).
   *  - A refresh reads [[LogTable.readChanges]] between the stored
   *    watermark and the base head: removed-file rows enter with sign −1,
   *    added-file rows with +1. Rider rows (unchanged content rewritten
@@ -150,11 +156,6 @@ object MaterializedView {
       Seq(StructField(n, f.dataType, nullable = true))
   }
 
-  private def isRescan(a: MvAgg): Boolean = a match {
-    case _: MvMin | _: MvMax => true
-    case _ => false
-  }
-
   private def statsTrackable(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | BooleanType | DateType |
          TimestampType => true
@@ -255,7 +256,11 @@ object MaterializedView {
   /** Fold base changes since the last refresh into the state table.
     * Returns the committed MV version, or −1 if already up to date (or
     * another refresher already folded this window — the txn watermark).
-    * Cost: O(changed base files) + O(touched MV buckets).
+    * Cost: O(changed base files) + O(touched MV buckets); when the view
+    * carries min/max, plus ONE keyed semi-join rescan of the base
+    * snapshot for exactly the groups where a delete may have removed the
+    * stored extremum (pure-insert windows fold in place and never
+    * rescan).
     */
   def refresh(spark: SparkSession, mvPath: String): Long = {
     val d = definition(spark, mvPath)
@@ -295,6 +300,16 @@ object MaterializedView {
       case MvAvg(n, c) =>
         val Seq(s, nn) = dSum(n, c)
         Seq(s.as("__d_" + n + "__sum"), nn.as("__d_" + n + "__cnt"))
+      // min/max are NOT retractable — the delta keeps each side's
+      // EXTREME so the join below can decide per group: an insert that
+      // extends the extremum folds in place; a delete that may have
+      // removed it forces that group's rescan
+      case MvMin(n, c) =>
+        Seq(min(when(sgn > 0L, inCol(c))).as("__d_" + n + "__ins"),
+          min(when(sgn < 0L, inCol(c))).as("__d_" + n + "__del"))
+      case MvMax(n, c) =>
+        Seq(max(when(sgn > 0L, inCol(c))).as("__d_" + n + "__ins"),
+          max(when(sgn < 0L, inCol(c))).as("__d_" + n + "__del"))
     }
     // state column -> its delta column, pairing new = old + delta
     val statePairs: Seq[(String, String)] = d.aggs.flatMap {
@@ -303,11 +318,21 @@ object MaterializedView {
       case MvSum(n, _) => Seq(n -> ("__d_" + n), (n + "__nn") -> ("__d_" + n + "__nn"))
       case MvAvg(n, _) => Seq((n + "__sum") -> ("__d_" + n + "__sum"),
         (n + "__cnt") -> ("__d_" + n + "__cnt"))
+      case _: MvMin | _: MvMax => Nil
+    }
+    val minmax: Seq[MvAgg] = d.aggs.filter {
+      case _: MvMin | _: MvMax => true
+      case _ => false
     }
     val deltaCols = "__d_rows" +: statePairs.map(_._2)
     // a group every component of whose delta is zero (rider-only files:
-    // compaction, clustering, unrelated-row rewrites) needs no write
-    val nonZero = deltaCols.map(c => col(c) =!= 0L).reduce(_ || _)
+    // compaction, clustering, unrelated-row rewrites) needs no write —
+    // for min/max a group is touched whenever EITHER side carries a
+    // non-NULL input value (a value-for-value rider rewrite then
+    // rescans that group: correct, and bounded by the changed files)
+    val nonZero = (deltaCols.map(c => col(c) =!= 0L) ++
+      minmax.map(a => col("__d_" + a.name + "__ins").isNotNull ||
+        col("__d_" + a.name + "__del").isNotNull)).reduce(_ || _)
     val delta = signed.groupBy(keyNames.map(col): _*).agg(
         deltaAggs.head, deltaAggs.tail: _*)
       .filter(nonZero)
@@ -329,7 +354,49 @@ object MaterializedView {
       val mvSchema = LogTable.snapshot(spark, mvPath).schema
       val old = LogTable.readPartitions(spark, mvPath, buckets)
       val joinCond = keyNames.map(k => delta(k) <=> old(k)).reduce(_ && _)
-      val joined = delta.join(old, joinCond, "left")
+      // per-group rescan decision (min/max only): a delete at-or-beyond
+      // the stored extremum may have removed it — the fold cannot know
+      // what the runner-up was, so the group recomputes from the base
+      // snapshot; an unknown old state (NULL) with any delete is also
+      // undecidable and rescans
+      val rescanCond = minmax.map { a =>
+        val del = col("__d_" + a.name + "__del")
+        a match {
+          case _: MvMin => del.isNotNull && (old(a.name).isNull || del <= old(a.name))
+          case _ => del.isNotNull && (old(a.name).isNull || del >= old(a.name))
+        }
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val pre = delta.join(old, joinCond, "left")
+        .withColumn("__rescan", rescanCond)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      // the rescan set: TOUCHED groups needing recomputation — a keyed
+      // semi-join against the base snapshot, never a table scan of state
+      // (and pure-insert windows never enter here: their deletes are all
+      // NULL, so __rescan is false everywhere and this read is skipped)
+      val needRescan = minmax.nonEmpty &&
+        pre.filter(col("__rescan")).limit(1).count() > 0
+      val rescanned: Option[DataFrame] =
+        if (!needRescan) None
+        else {
+          val rkeys = pre.filter(col("__rescan"))
+            .select(keyNames.map(k => delta(k).as(k)): _*)
+          val base = LogTable.read(spark, d.basePath, Some(to))
+          val semiCond = keyNames.map(k => base(k) <=> rkeys(k)).reduce(_ && _)
+          val rAggs = minmax.map {
+            case MvMin(n, c) => min(inCol(c)).as("__r_" + n)
+            case a => max(inCol(a.input.get)).as("__r_" + a.name)
+          }
+          Some(base.join(rkeys, semiCond, "left_semi")
+            .groupBy(keyNames.map(col): _*)
+            .agg(rAggs.head, rAggs.tail: _*))
+        }
+      val joined = rescanned match {
+        case Some(r) =>
+          pre.join(r, keyNames.map(k => delta(k) <=> r(k)).reduce(_ && _),
+            "left")
+        case None => pre
+      }
       val guardKeys = keyNames.map(k =>
         when(delta(k).isNull, raise_error(lit(
           "materialized view: NULL group key — NULL keys cannot merge " +
@@ -339,6 +406,18 @@ object MaterializedView {
       val stateCols = statePairs.map { case (st, dl) =>
         val dt = mvSchema.apply(st).dataType
         (coalesce(old(st), lit(0).cast(dt)) + col(dl)).cast(dt).as(st)
+      } ++ minmax.map { a =>
+        val dt = mvSchema.apply(a.name).dataType
+        val folded = a match {
+          case _: MvMin => least(old(a.name), col("__d_" + a.name + "__ins"))
+          case _ => greatest(old(a.name), col("__d_" + a.name + "__ins"))
+        }
+        val v = rescanned match {
+          case Some(r) => when(col("__rescan"), r("__r_" + a.name))
+            .otherwise(folded)
+          case None => folded
+        }
+        v.cast(dt).as(a.name)
       }
       val batch = joined.select((guardKeys :+
         when(newRows < 0L, raise_error(lit(
@@ -352,6 +431,7 @@ object MaterializedView {
           delta(BucketCol).as(BucketCol)): _*)
       LogTable.upsert(spark, mvPath, batch, keyNames, Seq(VerCol), OpCol,
         txn = Some((MvApp, to)))
+      } finally pre.unpersist(): Unit
     } finally delta.unpersist(): Unit
   }
 
@@ -379,6 +459,10 @@ object MaterializedView {
         when(col(n + "__cnt") > 0L,
           avgCast(c)(col(n + "__sum")) / col(n + "__cnt"))
           .otherwise(lit(null)).as(n)
+      // min/max state IS the value (NULL when the live group has no
+      // non-NULL inputs — maintained by the rescan discipline)
+      case MvMin(n, _) => col(n)
+      case MvMax(n, _) => col(n)
     }
     st.select(d.groupCols.map(g =>
       col(fieldOf(st.schema, g, "mv state").name)) ++ outs: _*)

@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * and `s.` (the source row). MATCHED clauses evaluate IN ORDER, first
   * true condition wins (condition `None` = always true); a matched pair
   * satisfying no clause keeps the target row unchanged. Unmatched target
-  * rows always survive; unmatched source rows insert only through
-  * `whenNotMatchedInsert` (default values: the source's same-name column,
-  * else NULL; `values` entries override).
+  * rows survive unless a `whenNotMatchedBySource*` clause claims them
+  * (the sync-from-snapshot form); unmatched source rows insert only
+  * through `whenNotMatchedInsert` (default values: the source's
+  * same-name column, else NULL; `values` entries override).
   *
   * Contracts, all enforced loud:
   *  - source keys must be UNIQUE — two source rows matching one target
@@ -52,6 +53,7 @@ final case class MergeInto private[sources] (
     keyCols: Seq[String],
     matched: Seq[MergeInto.MatchedClause] = Nil,
     insert: Option[MergeInto.InsertClause] = None,
+    bySource: Seq[MergeInto.MatchedClause] = Nil,
     maxRetries: Int = 3) {
   import MergeInto._
 
@@ -70,17 +72,83 @@ final case class MergeInto private[sources] (
     copy(insert = Some(InsertClause(condition, values)))
   }
 
+  /** `WHEN NOT MATCHED BY SOURCE THEN UPDATE` — target rows whose key has
+    * no source row (the Delta/ANSI sync-from-snapshot form: one merge
+    * upserts present keys AND expires departed ones). Clause SQL sees the
+    * TARGET scope only (`t.` or bare names); `s.` references are rejected
+    * loud — every source column is definitionally NULL here. A by-source
+    * clause widens the transaction to the WHOLE table (an unmatched key
+    * can live in any partition), so the pruned-victim fast paths are off.
+    */
+  def whenNotMatchedBySourceUpdate(set: Map[String, String],
+                                   condition: Option[String] = None)
+      : MergeInto = {
+    require(set.nonEmpty,
+      "whenNotMatchedBySourceUpdate needs at least one assignment")
+    (condition.toSeq ++ set.values).foreach(rejectSourceRefs)
+    copy(bySource = bySource :+ MatchedClause(condition, Some(set)))
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE THEN DELETE` — see
+    * [[whenNotMatchedBySourceUpdate]].
+    */
+  def whenNotMatchedBySourceDelete(condition: Option[String] = None)
+      : MergeInto = {
+    condition.foreach(rejectSourceRefs)
+    copy(bySource = bySource :+ MatchedClause(condition, None))
+  }
+
+  /** A by-source clause runs where NO source row exists — an `s.`
+    * reference there can only ever be NULL, which silently falsifies
+    * conditions and NULLs assignments; refuse it at build time (the
+    * Delta rule).
+    */
+  private def rejectSourceRefs(sql: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    parsed.foreach {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length > 1 && a.nameParts.head.equalsIgnoreCase("s") =>
+        throw new IllegalArgumentException(
+          s"merge into $path: WHEN NOT MATCHED BY SOURCE clause `$sql` " +
+            "references the source scope `s.` — no source row exists " +
+            "for these target rows")
+      case _ => ()
+    }
+  }
+
   def run(): Long = {
-    require(matched.nonEmpty || insert.isDefined,
+    require(matched.nonEmpty || insert.isDefined || bySource.nonEmpty,
       s"merge into $path: no clauses — nothing to do")
     val fs = LogTable.fsOf(spark, path)
     val srcFields = source.schema.fieldNames
     def srcField(n: String): Option[String] =
       srcFields.find(_.equalsIgnoreCase(n))
-    (keyCols ++ LogTable.snapshot(spark, path).partitionCols).foreach { c =>
+    keyCols.foreach { c =>
       require(srcField(c).isDefined,
         s"merge into $path: source is missing merge-critical column `$c`")
     }
+    // the pruned-merge contract wants the PARTITION columns in the source
+    // (the batch's tuples name every file a matched key can live in) —
+    // unless a by-source clause already widens the transaction to the
+    // whole table; an INSERT clause still needs a value for each
+    // partition column (a NULL-partition row would be unfindable)
+    LogTable.snapshot(spark, path).partitionCols.foreach { c =>
+      val provided = srcField(c).isDefined ||
+        insert.exists(_.values.keys.exists(_.equalsIgnoreCase(c)))
+      if (bySource.isEmpty)
+        require(srcField(c).isDefined,
+          s"merge into $path: source is missing merge-critical column `$c`")
+      else if (insert.isDefined)
+        require(provided,
+          s"merge into $path: the INSERT clause needs partition column " +
+            s"`$c` (a source column or an explicit value)")
+    }
+    // the source evaluates at least thrice (ambiguity check, touched
+    // tuples, the join itself — more under retry): persist for the
+    // transaction's scope so an expensive source query runs ONCE (the
+    // scd2Apply discipline, cf. Merge.scala)
+    source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
+    try {
     // ambiguity check, once: two source rows for one key would make the
     // clause outcome depend on join order — fail loud, the Delta rule
     val dup = source.groupBy(keyCols.map(c => col(quote(c))): _*)
@@ -92,8 +160,19 @@ final case class MergeInto private[sources] (
     while (true) {
       val snap = LogTable.snapshot(spark, path)
       validate(snap)
-      val touched = LogTable.touchedTuples(path, snap, source)
-      val victims = LogTable.victimFiles(snap, touched)
+      // touched tuples exist for pruning and the disjoint fast path —
+      // both off under a by-source clause (and the source may then
+      // legitimately lack the partition columns the computation reads)
+      val touched =
+        if (bySource.nonEmpty) Nil
+        else LogTable.touchedTuples(path, snap, source)
+      // a by-source clause reaches target rows whose key the source does
+      // NOT carry — they can live in any partition, so the transaction's
+      // victim set is the whole live file set (exactly Delta's by-source
+      // cost model: the merge reads the full target)
+      val victims =
+        if (bySource.nonEmpty) snap.files
+        else LogTable.victimFiles(snap, touched)
       val result = applyClauses(snap,
         LogTable.readFiles(spark, path, snap, victims), source)
       LogTable.enforceConstraints(path, snap, result)
@@ -108,9 +187,14 @@ final case class MergeInto private[sources] (
         return snap.version + 1
       } catch {
         case e: LogTable.CommitConflictException =>
-          LogTable.recommitDisjoint(spark, path, snap, ddl, touched, adds,
-            victims.map(_.name).toSet, maxRetries,
-            operation = "MERGE_INTO") match {
+          // a by-source merge NEVER re-commits blind: even a winner that
+          // only appended rows to an untouched partition breaks
+          // serializability (re-running after the winner could expire
+          // those very rows), so the full re-merge is the only sound path
+          (if (bySource.nonEmpty) None
+          else LogTable.recommitDisjoint(spark, path, snap, ddl, touched,
+            adds, victims.map(_.name).toSet, maxRetries,
+            operation = "MERGE_INTO")) match {
             case Some(v) => return v
             case None =>
               adds.foreach(a => fs.delete(
@@ -121,6 +205,7 @@ final case class MergeInto private[sources] (
       }
     }
     -1L // unreachable
+    } finally source.unpersist(): Unit
   }
 
   // ------------------------------------------------------------ internals
@@ -130,7 +215,7 @@ final case class MergeInto private[sources] (
   private def validate(snap: LogTable.Snapshot): Unit = {
     def known(c: String): Boolean =
       snap.schema.fields.exists(_.name.equalsIgnoreCase(c))
-    matched.flatMap(_.set).flatMap(_.keys).foreach { c =>
+    (matched ++ bySource).flatMap(_.set).flatMap(_.keys).foreach { c =>
       require(known(c), s"merge into $path: cannot update unknown column `$c`")
       require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
         s"merge into $path: partition column `$c` is immutable under the " +
@@ -167,9 +252,16 @@ final case class MergeInto private[sources] (
     val insAct = insert
       .map(ic => when(cond(ic.condition), lit("ins")).otherwise(lit("drop")))
       .getOrElse(lit("drop"))
+    // target rows the source does not match: first true BY SOURCE clause
+    // wins (none defined → always "keep", the classic merge)
+    val bySourceAct = bySource.zipWithIndex.foldRight(lit("keep"): Column) {
+      case ((cl, i), acc) =>
+        when(cond(cl.condition),
+          lit(if (cl.set.isDefined) s"b$i" else "del")).otherwise(acc)
+    }
     val act = when(col("t.__t_ex").isNotNull && col("s.__s_ex").isNotNull,
         matchedAct)
-      .when(col("t.__t_ex").isNotNull, lit("keep"))
+      .when(col("t.__t_ex").isNotNull, bySourceAct)
       .otherwise(insAct)
     val outCols = snap.schema.fields.toIndexedSeq.map { f =>
       var e: Column = col("t." + quote(f.name))
@@ -178,6 +270,15 @@ final case class MergeInto private[sources] (
           m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
             .foreach { v =>
               e = when(col("__act") === s"u$i",
+                expr(v).cast(f.dataType)).otherwise(e)
+            }
+        }
+      }
+      bySource.zipWithIndex.foreach { case (cl, i) =>
+        cl.set.foreach { m =>
+          m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
+            .foreach { v =>
+              e = when(col("__act") === s"b$i",
                 expr(v).cast(f.dataType)).otherwise(e)
             }
         }
@@ -221,9 +322,14 @@ final case class MergeInto private[sources] (
         val byUpdate = matched.flatMap(_.set).exists(m =>
           m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
             .exists(v => nullableOn(inner, expr(v), f.dataType)))
+        // by-source assignments see the target scope alone (s. refs were
+        // rejected at build time) — probe over the target shell
+        val byBySource = bySource.flatMap(_.set).exists(m =>
+          m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
+            .exists(v => nullableOn(tShell, expr(v), f.dataType)))
         val byInsert = insert.exists(ic =>
           nullableOn(sShell, insertExpr(ic, f.name, f.dataType), f.dataType))
-        if (byUpdate || byInsert) f.copy(nullable = true) else f
+        if (byUpdate || byBySource || byInsert) f.copy(nullable = true) else f
       }
     }).toDDL
   }

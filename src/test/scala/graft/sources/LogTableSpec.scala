@@ -1267,4 +1267,85 @@ class LogTableSpec extends SparkSpec {
     assert(LogTable.read(spark, dir).filter($"k" === 4L)
       .select("v").as[String].head() == "d1")
   }
+
+  test("a replayed txn batch cannot land twice through the disjoint fast path") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val batch = Seq((100L, "x", 0, "p9", "U")).toDF("k", "v", "ver", "p", "op")
+    val prev = LogTable.coordinator
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // the zombie-driver replay: the SAME (appId, batchId) append
+            // wins the version race while we are publishing ours — blind
+            // appends have no victims, so without the txn check every
+            // winner would trivially "commute" and the batch lands twice
+            LogTable.append(spark, dir, batch, txn = Some(("zombie", 7L))): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      assert(LogTable.append(spark, dir, batch, txn = Some(("zombie", 7L))) == -1L)
+    } finally LogTable.coordinator = prev
+    assert(LogTable.read(spark, dir).filter($"k" === 100L).count() == 1L)
+    assert(LogTable.lastTxn(spark, dir, "zombie").contains(7L))
+  }
+
+  test("history charges only physically written files to rows/bytes added") {
+    val dir = tmp() + "/t"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      LogTable.create(spark, dir, baseDf, "p") // v1
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // v2: a DV delete re-points the file — nothing physically written
+    LogTable.deleteWhere(spark, dir, $"k" === 2L,
+      deletionVectors = true): Unit
+    // v3: metadata-only restore re-adds v1's files — nothing written
+    LogTable.restore(spark, dir, 1L): Unit
+    val h = LogTable.history(spark, dir)
+      .select("version", "rows_added", "num_added_files")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h(1L)._1 == 4L, s"create ledger: $h")
+    assert(h(2L)._1 == 0L && h(2L)._2 > 0, s"DV ledger must be 0 rows: $h")
+    assert(h(3L)._1 == 0L, s"restore ledger must be 0 rows: $h")
+    // a genuine rewrite charges again
+    LogTable.upsert(spark, dir, Seq((1L, "a2", 1, "p1", "U"))
+      .toDF("k", "v", "ver", "p", "op"), Seq("k"), Seq("ver"), "op"): Unit
+    val h2 = LogTable.history(spark, dir).filter($"version" === 4L)
+      .select("rows_added").as[Long].head()
+    assert(h2 > 0L, "a real merge write must charge rows_added")
+  }
+
+  test("create rejects a string z-order column before touching disk") {
+    val dir = tmp() + "/t"
+    intercept[IllegalArgumentException] {
+      LogTable.create(spark, dir, baseDf, Seq("p"),
+        statsCols = Seq("v", "k"), zorderBy = Seq("v", "k"))
+    }
+    // nothing half-created: the same path creates cleanly afterwards
+    LogTable.create(spark, dir, baseDf, "p"): Unit
+    assert(LogTable.read(spark, dir).count() == 4L)
+  }
+
+  test("readNetChanges is lazy and single-pass; key discipline raises at action") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p") // v1
+    // v2 appends TWO rows under one key — breaking the one-live-row
+    // discipline on the post side
+    LogTable.append(spark, dir, Seq(
+      (50L, "x", 0, "p1", "U"), (50L, "y", 0, "p1", "U"))
+      .toDF("k", "v", "ver", "p", "op")): Unit
+    // constructing the feed runs no jobs and does not throw — the
+    // uniqueness check rides in the plan (the change scan evaluates once)
+    val df = LogTable.readNetChanges(spark, dir, 1L, 2L, Seq("k"))
+    val e = intercept[Exception] { df.collect(): Unit }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate keys")), e.toString)
+  }
 }

@@ -157,15 +157,24 @@ class LogTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("key equalit"))
   }
 
-  test("WHEN NOT MATCHED BY SOURCE is rejected loud") {
-    val t = mkTable(4)
+  test("WHEN NOT MATCHED BY SOURCE maps onto the builder's by-source clauses") {
+    val t = mkTable(6)
     import spark.implicits._
-    Seq((1L, 1L)).toDF("k", "cents").createOrReplaceTempView("src2")
-    val e = intercept[Exception](spark.sql(
+    // keep 2 and 4, reprice 2; everything else departs in ONE statement
+    Seq((2L, 9999L), (4L, 400L)).toDF("k", "cents")
+      .createOrReplaceTempView("src2")
+    spark.sql(
       s"""MERGE INTO ${sqlRef(t)} t USING src2 s ON t.k = s.k
-         |WHEN MATCHED THEN DELETE
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+         |WHEN MATCHED THEN UPDATE SET cents = s.cents, ver = t.ver + 1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin): Unit
+    val got = LogTable.read(spark, t).select("k", "cents")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((2L, 9999L), (4L, 400L)))
+    // a by-source clause referencing the source scope is rejected loud
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"""MERGE INTO ${sqlRef(t)} t USING src2 s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND s.cents > 0 THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("source scope"))
   }
 
   test("non-graft relations are untouched by the rule") {

@@ -226,4 +226,102 @@ class MaterializedViewSpec extends SparkSpec {
     assert(d.aggs === Seq(MvCount("n"), MvCountCol("n_x", "x"),
       MvSum("sum_x", "x"), MvAvg("avg_x", "x")))
   }
+
+  private def defineMinMax(mv: String, base: String): Unit =
+    MaterializedView.define(spark, mv, base, Seq("grp"),
+      Seq(MvCount("n"), MvMin("min_x", "x"), MvMax("max_x", "x")), 4): Unit
+
+  private def assertMinMax(mv: String, base: String): Unit = {
+    val got = MaterializedView.read(spark, mv)
+    val want = LogTable.read(spark, base).groupBy("grp")
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"minmax view drifted:\ngot  ${got.orderBy("grp").collect().mkString("|")}" +
+        s"\nwant ${want.orderBy("grp").collect().mkString("|")}")
+    assert(got.count() === want.count())
+  }
+
+  test("min/max: deleting the current extremum rescans and repairs the group") {
+    import spark.implicits._
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 100)
+    defineMinMax(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    assertMinMax(mv, base)
+    // g1's current minimum is id=1 (x=10): delete it — the fold cannot
+    // know the runner-up, the rescan must find 60 (id=6)
+    LogTable.upsert(spark, base, upd(Seq((1L, "g1", 1L, Some(10L), 1L, "D"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assertMinMax(mv, base)
+    assert(MaterializedView.read(spark, mv).filter(col("grp") === "g1")
+      .select("min_x").as[Long].head() === 60L)
+    // g2's current maximum is id=97 (x=970): delete it → rescan → 920
+    LogTable.upsert(spark, base, upd(Seq((97L, "g2", 1L, Some(970L), 1L, "D"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assertMinMax(mv, base)
+    assert(MaterializedView.read(spark, mv).filter(col("grp") === "g2")
+      .select("max_x").as[Long].head() === 920L)
+  }
+
+  test("min/max: pure inserts fold in place; NULL inputs never move extremes") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 50)
+    defineMinMax(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    // new global min for g1 + a NULL-x row + a brand-new group
+    LogTable.upsert(spark, base, upd(Seq(
+      (201L, "g1", 0L, Some(1L), 1L, "U"),
+      (202L, "g2", 1L, None, 1L, "U"),
+      (203L, "gz", 2L, Some(42L), 1L, "U"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assertMinMax(mv, base)
+    import spark.implicits._
+    assert(MaterializedView.read(spark, mv).filter(col("grp") === "g1")
+      .select("min_x").as[Long].head() === 1L)
+    assert(MaterializedView.read(spark, mv).filter(col("grp") === "gz")
+      .select("min_x", "max_x").as[(Long, Long)].head() === ((42L, 42L)))
+  }
+
+  test("min/max: update churn, all-NULL groups and compaction riders stay exact") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 60)
+    defineMinMax(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    // an UPDATE that moves the minimum down (delete 60 / insert 5 in one
+    // window for g1 after removing id=1) and a group whose only non-NULL
+    // value disappears (g-only via deleting every x of gz-like rows)
+    LogTable.upsert(spark, base, upd(Seq(
+      (1L, "g1", 1L, Some(10L), 1L, "D"),
+      (6L, "g1", 0L, Some(5L), 1L, "U"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assertMinMax(mv, base)
+    import spark.implicits._
+    assert(MaterializedView.read(spark, mv).filter(col("grp") === "g1")
+      .select("min_x").as[Long].head() === 5L)
+    // a group reduced to only-NULL inputs reads NULL extremes
+    val gz = upd(Seq((301L, "gz", 0L, Some(7L), 1L, "U"),
+      (302L, "gz", 1L, None, 1L, "U")))
+    LogTable.upsert(spark, base, gz, Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    LogTable.upsert(spark, base, upd(Seq((301L, "gz", 0L, Some(7L), 2L, "D"))),
+      Seq("id"), Seq("ver"), "op"): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assertMinMax(mv, base)
+    assert(MaterializedView.read(spark, mv).filter(col("grp") === "gz")
+      .select(col("min_x").isNull, col("max_x").isNull)
+      .as[(Boolean, Boolean)].head() === ((true, true)))
+    // compaction riders (delete+insert of identical content) must not
+    // drift the extremes — the rescan recomputes them identically
+    LogTable.compactPartitions(spark, base, maxFilesPerPartition = 1): Unit
+    if (MaterializedView.refreshedVersion(spark, mv) <
+        LogTable.latestVersion(spark, base)) {
+      MaterializedView.refresh(spark, mv): Unit
+    }
+    assertMinMax(mv, base)
+  }
 }

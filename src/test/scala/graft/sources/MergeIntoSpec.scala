@@ -244,4 +244,85 @@ class MergeIntoSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expect)
   }
+
+  test("WHEN NOT MATCHED BY SOURCE DELETE syncs the table to the snapshot in one merge") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    // desired snapshot: k=1 repriced, k=3 unchanged, k=9 new; k=2,4 departed
+    val src = Seq((1L, 111L, "p1"), (3L, 300L, "p2"), (9L, 900L, "p1"))
+      .toDF("k", "cents", "p")
+    val v = LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents"))
+      .whenNotMatchedInsert(values = Map("ver" -> "0"))
+      .whenNotMatchedBySourceDelete()
+      .run()
+    assert(v == 2L)
+    val got = LogTable.read(spark, dir).select("k", "cents")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 111L), (3L, 300L), (9L, 900L)))
+  }
+
+  test("by-source UPDATE applies target-scope assignments under its condition") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val src = Seq((1L, 111L, "p1")).toDF("k", "cents", "p")
+    // soft-expire departed rows, but only inside p1
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenNotMatchedBySourceUpdate(Map("ver" -> "t.ver - 1"),
+        condition = Some("t.p = 'p1'"))
+      .run(): Unit
+    val got = LogTable.read(spark, dir).select("k", "ver")
+      .as[(Long, Int)].collect().sorted.toSeq
+    // k=1 is matched (no matched clause -> keeps); only unmatched p1 rows age
+    assert(got == Seq((1L, 0), (2L, -1), (3L, 0), (4L, 0)))
+  }
+
+  test("by-source clauses reject source-scope references at build time") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val src = Seq((1L, 111L, "p1")).toDF("k", "cents", "p")
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenNotMatchedBySourceDelete(condition = Some("s.cents > 0"))
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenNotMatchedBySourceUpdate(Map("cents" -> "s.cents"))
+    }
+  }
+
+  test("by-source clause order decides, and a conflicting race re-merges convergently") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val src = Seq((1L, 111L, "p1")).toDF("k", "cents", "p")
+    val prevCoord = LogTable.coordinator
+    val before = LogTable.disjointRecommits.get()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // a winner appends a row the by-source merge has not seen —
+            // the fast path must NOT fire (the re-run must expire it too)
+            LogTable.append(spark, dir, Seq((77L, 770L, 0, "p3"))
+              .toDF("k", "cents", "ver", "p")): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      // first clause (keep p2 rows) shadows the delete for k=3
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenNotMatchedBySourceUpdate(Map("ver" -> "t.ver + 10"),
+          condition = Some("t.p = 'p2'"))
+        .whenNotMatchedBySourceDelete()
+        .run(): Unit
+    } finally LogTable.coordinator = prevCoord
+    // no blind re-commit happened; the re-merge saw (and expired) k=77
+    assert(LogTable.disjointRecommits.get() == before)
+    val got = LogTable.read(spark, dir).select("k", "ver")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, 0), (3L, 10)))
+  }
 }
