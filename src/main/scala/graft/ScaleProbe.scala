@@ -200,6 +200,13 @@ object ScaleProbe {
           col("text").cast("binary"), cache, maxShardBytes = 64L << 10)
         java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
       }
+      // the marker write above (and caches built before the sidecar
+      // existed) stale the LISTING manifest — re-pin it once, so the
+      // timed lookups measure the flat discovery path, not the walk
+      val cp = new org.apache.hadoop.fs.Path(cache)
+      val cfs = cp.getFileSystem(s.sessionState.newHadoopConf())
+      if (graft.sources.shardsource.ShardListingManifest.read(cfs, cp).isEmpty)
+        graft.sources.shardsource.ShardListingManifest.write(cfs, cp): Unit
       val wanted = (7L to 97L by 10L).map(i => s"$i.bin")
       s.read.format("graft-shards").load(cache)
         .filter(col("name").isin(wanted: _*))

@@ -64,5 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectResolutionRule(session =>
       graft.sources.LogTableSql.LogTableRule(session))
+    // table-lifecycle statements Spark's grammar lacks (DESCRIBE
+    // HISTORY / VACUUM / OPTIMIZE / ALTER TABLE ... CONSTRAINT) — a
+    // delegating parser in the Delta style; everything else passes
+    // through to Spark's own parser untouched
+    ext.injectParser((_, delegate) =>
+      new graft.sources.LogTableSql.GraftSqlParser(delegate))
   }
 }

@@ -970,6 +970,55 @@ object SourceQueries {
         .withColumn("sync_ok", lit(ok))
     }),
 
+    // SQL LIFECYCLE — the maintenance dialect through the delegating
+    // parser (the statements Spark's grammar lacks): ALTER TABLE ADD
+    // CONSTRAINT enforces on a violating SQL INSERT, OPTIMIZE compacts
+    // under the persisted layout, VACUUM respects the retention floor
+    // (loud) and prunes dead files under FORCE, DESCRIBE HISTORY reads
+    // the ledger, DROP CONSTRAINT clears — all landing on the SAME
+    // maintenance entry points as the programmatic API. The oracle
+    // restates the one row-visible change (the UPDATE); everything else
+    // must be row-invisible, so a compaction or vacuum that altered
+    // rows hash-reds.
+    "q151_sql_lifecycle" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q151")
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      val ref = s"graft.`$t`"
+      s.sql(s"ALTER TABLE $ref ADD CONSTRAINT cents_nonneg " +
+        "CHECK (cents >= 0)"): Unit
+      val caught =
+        try {
+          s.sql(s"INSERT INTO $ref VALUES (1, 'O', -1, 1997, 9, 'U')")
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cents_nonneg") }
+      s.sql(s"UPDATE $ref SET cents = cents + 1, version = 1 " +
+        "WHERE o_year = 1997 AND k % 10 = 0"): Unit
+      val filesBefore = LogTable.snapshot(s, t).files.length
+      s.sql(s"OPTIMIZE $ref MAX 1 FILES PER PARTITION"): Unit
+      val filesAfter = LogTable.snapshot(s, t).files.length
+      val floorCaught =
+        try { s.sql(s"VACUUM $ref RETAIN 0 HOURS"); false }
+        catch { case _: IllegalArgumentException => true }
+      Thread.sleep(5L) // ms-mtime granularity: the dead files must age
+      val vacd = s.sql(s"VACUUM $ref RETAIN 0 HOURS FORCE")
+        .head().getInt(0)
+      val ops = s.sql(s"DESCRIBE HISTORY $ref").groupBy("operation")
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      s.sql(s"ALTER TABLE $ref DROP CONSTRAINT cents_nonneg"): Unit
+      val ok = caught && floorCaught && filesAfter <= filesBefore &&
+        vacd > 0 &&
+        Seq("ADD CONSTRAINT", "UPDATE", "COMPACT")
+          .forall(ops.get(_).contains(1L)) &&
+        LogTable.snapshot(s, t).constraints.isEmpty
+      s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS sum_cents, sum(version) AS sum_version " +
+        s"FROM $ref GROUP BY o_year, status")
+        .withColumn("lifecycle_ok", lit(ok))
+    }),
+
     // SQL FRONT DOOR — the whole DML surface through spark.sql over
     // `graft.`<dir>``: DELETE, UPDATE, MERGE (clause mapping), INSERT
     // (blind append) and VERSION AS OF time travel, each landing on the
@@ -1646,6 +1695,28 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS sync_ok
         |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Only the UPDATE is row-visible — constraint add/drop, the caught
+    // violating insert, OPTIMIZE and VACUUM must all leave rows alone;
+    // lifecycle_ok pins the enforcement, the floor, and the ledger.
+    "q151_sql_lifecycle" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |u AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 10 = 0 THEN cents + 1
+        |         ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1997 AND k % 10 = 0 THEN 1 ELSE 0 END AS version
+        |  FROM base)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS lifecycle_ok
+        |FROM u
         |GROUP BY 1, 2""".stripMargin,
 
     // The four SQL DML statements restated as a WITH-chain over raw

@@ -283,6 +283,12 @@ object Multimodal {
     // this point leaves committed, scannable shards with per-shard
     // pruning only — degradation, not wrongness.
     graft.sources.shardsource.ShardAggManifest.write(df.sparkSession, dir): Unit
+    // LISTING sidecar strictly LAST (every earlier commit bumps the
+    // directory mtime and would stale it): the walk that discovers
+    // shards then costs two getFileStatus probes per directory instead
+    // of an O(children) listStatus — see ShardListingManifest
+    graft.sources.shardsource.ShardListingManifest.write(
+      base.getFileSystem(hconf.value), base): Unit
   }
 
   /** Ingest an [[exportPayloadShards]] directory back into rows of

@@ -203,6 +203,100 @@ object LogTable {
       }
   }
 
+  /** Lock-file coordinator for SEPARATE-PROCESS writers on storage whose
+    * no-overwrite rename is not atomic across processes (raw local
+    * paths, NFS — the boundary [[RenameCommitCoordinator]] documents).
+    * The publish serializes through `<dst>.lock`, created
+    * atomically-if-absent (`O_CREAT|O_EXCL` via `File.createNewFile` on
+    * local filesystems; the filesystem's own create-no-overwrite
+    * elsewhere) and stamped with an owner id:
+    *
+    *  1. acquire the lock (retrying briefly; losing immediately once
+    *     `dst` exists — the other writer finished this version);
+    *  2. under the lock, re-check `dst`: present → release, report loss;
+    *     absent → rename `tmp` into place (no other writer can race the
+    *     rename: they would need the lock);
+    *  3. release.
+    *
+    * A crashed holder's lock is TAKEN OVER once older than `staleMs`
+    * (delete + re-race the create; two concurrent takeovers still
+    * serialize through the atomic create). The takeover horizon is the
+    * protocol's liveness/safety trade: a holder must finish its
+    * (milliseconds-long) rename within `staleMs` or be presumed dead —
+    * a live-but-frozen holder past that horizon is out of contract, the
+    * same clock assumption every lease-based lock service makes.
+    */
+  final class LockFileCommitCoordinator(
+      staleMs: Long = 60000L, acquireTimeoutMs: Long = 120000L)
+      extends CommitCoordinator {
+    private val owner = java.util.UUID.randomUUID().toString
+
+    private def lockPath(dst: Path) =
+      new Path(dst.getParent, dst.getName + ".lock")
+
+    /** Atomic create-if-absent, stamped. Local filesystems get the real
+      * O_EXCL (Hadoop's own `create(overwrite=false)` on a local path is
+      * exists-then-create, not atomic across processes).
+      */
+    private def tryAcquire(fs: FileSystem, lock: Path): Boolean = {
+      val stamp = (owner + "\n" + System.currentTimeMillis() + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val f = new java.io.File(lock.toUri.getPath)
+          if (!f.createNewFile()) false
+          else {
+            val o = new java.io.FileOutputStream(f)
+            try o.write(stamp) finally o.close()
+            true
+          }
+        case _ =>
+          try {
+            val o = fs.create(lock, false)
+            try o.write(stamp) finally o.close()
+            true
+          } catch { case _: java.io.IOException => false }
+      }
+    }
+
+    override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      val lock = lockPath(dst)
+      val deadline = System.currentTimeMillis() + acquireTimeoutMs
+      var acquired = false
+      while (!acquired) {
+        // the version may be decided while we queue — lose immediately,
+        // the caller retries against the new snapshot
+        if (fs.exists(dst)) return false
+        acquired = tryAcquire(fs, lock)
+        if (!acquired) {
+          val holderAge =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime
+            catch { case scala.util.control.NonFatal(_) => 0L } // released
+          if (holderAge > staleMs) {
+            // presumed-dead holder: delete and re-race the atomic create
+            try fs.delete(lock, false): Unit
+            catch { case scala.util.control.NonFatal(_) => () }
+          } else if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"could not acquire commit lock $lock within " +
+                s"$acquireTimeoutMs ms (holder age $holderAge ms)")
+          else Thread.sleep(5L)
+        }
+      }
+      try {
+        if (fs.exists(dst)) false
+        else if (fs.rename(tmp, dst)) true
+        else throw new java.io.IOException(
+          s"rename $tmp -> $dst failed under the commit lock")
+      } finally {
+        try fs.delete(lock, false): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
   /** Session-level commit-publish policy — swap for storage that needs a
     * different exactly-once primitive. Applies to every table this JVM
     * writes (publish semantics are a property of the storage, not of one

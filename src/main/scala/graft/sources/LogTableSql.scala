@@ -317,6 +317,172 @@ object LogTableSql {
     }
   }
 
+  // ------------------------------------------------ lifecycle statements
+
+  /** Delegating SQL parser (the Delta-parser pattern, via
+    * `SparkSessionExtensions.injectParser`): intercepts the table
+    * LIFECYCLE statements Spark's grammar does not know —
+    *
+    * {{{
+    * DESCRIBE HISTORY graft.`/data/orders`
+    * VACUUM graft.`/data/orders` [RETAIN <n> HOURS] [FORCE]
+    * OPTIMIZE graft.`/data/orders` [MAX <n> FILES PER PARTITION]
+    * ALTER TABLE graft.`/data/orders` ADD CONSTRAINT nm CHECK (<expr>)
+    * ALTER TABLE graft.`/data/orders` DROP CONSTRAINT nm
+    * }}}
+    *
+    * — and delegates EVERYTHING else (including every other method of
+    * the interface) to Spark's own parser, so the dialect is additive.
+    * Each statement lands on the same maintenance entry point the
+    * programmatic API calls; none introduces a second write path.
+    */
+  final class GraftSqlParser(
+      delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+      extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+    import java.util.regex.Pattern
+    private val F = Pattern.CASE_INSENSITIVE | Pattern.DOTALL
+    private val Ref = "graft\\.`([^`]+)`"
+    private val HistoryP = Pattern.compile(
+      s"^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*$$", F)
+    private val VacuumP = Pattern.compile(
+      s"^\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
+        "(\\s+FORCE)?\\s*$", F)
+    private val OptimizeP = Pattern.compile(
+      s"^\\s*OPTIMIZE\\s+$Ref" +
+        "(?:\\s+MAX\\s+(\\d+)\\s+FILES\\s+PER\\s+PARTITION)?\\s*$", F)
+    private val AddConstraintP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+" +
+        "CHECK\\s*\\((.*)\\)\\s*$", F)
+    private val DropConstraintP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*$$", F)
+
+    private def matchCommand(sqlText: String): Option[LogicalPlan] = {
+      val h = HistoryP.matcher(sqlText)
+      if (h.matches()) return Some(HistoryCommand(h.group(1)))
+      val v = VacuumP.matcher(sqlText)
+      if (v.matches())
+        return Some(VacuumCommand(v.group(1),
+          Option(v.group(2)).map(_.toLong), v.group(3) != null))
+      val o = OptimizeP.matcher(sqlText)
+      if (o.matches())
+        return Some(OptimizeCommand(o.group(1),
+          Option(o.group(2)).map(_.toInt)))
+      val a = AddConstraintP.matcher(sqlText)
+      if (a.matches())
+        return Some(AddConstraintCommand(a.group(1), a.group(2), a.group(3)))
+      val d = DropConstraintP.matcher(sqlText)
+      if (d.matches()) return Some(DropConstraintCommand(d.group(1), d.group(2)))
+      None
+    }
+
+    override def parsePlan(sqlText: String): LogicalPlan =
+      matchCommand(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+    override def parseQuery(sqlText: String): LogicalPlan =
+      delegate.parseQuery(sqlText)
+    override def parseExpression(sqlText: String): Expression =
+      delegate.parseExpression(sqlText)
+    override def parseTableIdentifier(sqlText: String)
+        : org.apache.spark.sql.catalyst.TableIdentifier =
+      delegate.parseTableIdentifier(sqlText)
+    override def parseFunctionIdentifier(sqlText: String)
+        : org.apache.spark.sql.catalyst.FunctionIdentifier =
+      delegate.parseFunctionIdentifier(sqlText)
+    override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+      delegate.parseMultipartIdentifier(sqlText)
+    override def parseTableSchema(sqlText: String): StructType =
+      delegate.parseTableSchema(sqlText)
+    override def parseDataType(sqlText: String)
+        : org.apache.spark.sql.types.DataType =
+      delegate.parseDataType(sqlText)
+    override def parseRoutineParam(sqlText: String): StructType =
+      delegate.parseRoutineParam(sqlText)
+    override def parsePlanWithParameters(sqlText: String,
+        ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+        : LogicalPlan =
+      // lifecycle statements carry no parameter markers — intercept the
+      // same way, else delegate WITH the parameters intact
+      matchCommand(sqlText)
+        .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  }
+
+  private def attrsOf(schema: StructType) =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+
+  /** `DESCRIBE HISTORY` — the operation ledger as a command result. */
+  private[sources] final case class HistoryCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("operation",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("data_change",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_added_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_removed_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_added",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes_added",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("commit_time",
+          TimestampType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      LogTable.history(session, path).collect().toIndexedSeq
+  }
+
+  /** `VACUUM` — physical cleanup behind the retention floor; RETAIN n
+    * HOURS below the floor needs FORCE, exactly like the programmatic
+    * call.
+    */
+  private[sources] final case class VacuumCommand(path: String,
+      retainHours: Option[Long], force: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "files_deleted", org.apache.spark.sql.types.IntegerType,
+        nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val ms = retainHours.map(_ * 3600000L)
+        .getOrElse(LogTable.DefaultRetentionMs)
+      Seq(Row(LogTable.vacuum(session, path, ms, force)))
+    }
+  }
+
+  /** `OPTIMIZE` — partition compaction under the table's persisted
+    * layout declarations (cluster/z-order properties travel with the
+    * table; a rewrite keeps writing them).
+    */
+  private[sources] final case class OptimizeCommand(path: String,
+      maxFiles: Option[Int]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.compactPartitions(session, path,
+        maxFilesPerPartition = maxFiles.getOrElse(1))))
+  }
+
+  private[sources] final case class AddConstraintCommand(path: String,
+      name: String, expression: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.addConstraint(session, path, name, expression)))
+  }
+
+  private[sources] final case class DropConstraintCommand(path: String,
+      name: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.dropConstraint(session, path, name)))
+  }
+
   private[sources] final case class DeleteCommand(path: String,
       conditionSql: String) extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {

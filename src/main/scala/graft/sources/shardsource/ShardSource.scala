@@ -184,6 +184,12 @@ object ShardScan {
     * `InMemoryFileIndex` parallel-listing discipline).
     */
   val ParallelListThreshold = 32
+
+  /** Real `listStatus` calls the walk had to make (JVM-local — the
+    * spec's hook): with fresh listing sidecars everywhere this stays 0
+    * and discovery is O(directories) sidecar reads, flat in shards.
+    */
+  val listStatusCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 class ShardScan(path: String, required: StructType,
@@ -218,13 +224,19 @@ class ShardScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
-  /** Recursive shard listing — driver-serial `listStatus` recursion for
-    * shallow trees, fanning out as a Spark job once the pending-directory
-    * frontier exceeds [[ShardScan.ParallelListThreshold]]. Plain
-    * listStatus, NOT fs.listFiles(recursive): the located-status iterator
-    * fetches block locations per file, which we never use and which costs
-    * ~100x on some filesystems (measured 3 s vs 0.03 s for 720 local
-    * files). `.tmp` orphans and sidecar files never plan (only `.tar`).
+  /** Recursive shard listing — each directory is answered by its fresh
+    * LISTING sidecar when one exists ([[ShardListingManifest]] — two
+    * `getFileStatus` probes + one cached parse, flat in the shard
+    * count), degrading per-directory to a real `listStatus` when the
+    * sidecar is absent or stale (a shard written after it can never be
+    * missed: the write bumped the directory's mtime). The `listStatus`
+    * fallback is driver-serial for shallow trees and fans out as a
+    * Spark job once the pending-directory frontier exceeds
+    * [[ShardScan.ParallelListThreshold]]. Plain listStatus, NOT
+    * fs.listFiles(recursive): the located-status iterator fetches block
+    * locations per file, which we never use and which costs ~100x on
+    * some filesystems (measured 3 s vs 0.03 s for 720 local files).
+    * `.tmp` orphans and sidecar files never plan (only `.tar`).
     */
   private def listShards(spark: org.apache.spark.sql.SparkSession,
                          fs: org.apache.hadoop.fs.FileSystem,
@@ -244,11 +256,19 @@ class ShardScan(path: String, required: StructType,
             val d = new Path(java.net.URI.create(uri))
             val dfs = d.getFileSystem(conf.value)
             def walk(x: Path): Iterator[(String, Long)] =
-              dfs.listStatus(x).iterator.flatMap { st =>
-                if (st.isDirectory) walk(st.getPath)
-                else if (st.getPath.getName.endsWith(".tar"))
-                  Iterator((st.getPath.toUri.toString, st.getLen))
-                else Iterator.empty
+              ShardListingManifest.read(dfs, x) match {
+                case Some(l) =>
+                  l.shards.iterator.map { case (n, len) =>
+                    (new Path(x, n).toUri.toString, len)
+                  } ++ l.subdirs.iterator.flatMap(n => walk(new Path(x, n)))
+                case None =>
+                  ShardScan.listStatusCalls.incrementAndGet(): Unit
+                  dfs.listStatus(x).iterator.flatMap { st =>
+                    if (st.isDirectory) walk(st.getPath)
+                    else if (st.getPath.getName.endsWith(".tar"))
+                      Iterator((st.getPath.toUri.toString, st.getLen))
+                    else Iterator.empty
+                  }
               }
             walk(d)
           }
@@ -257,10 +277,19 @@ class ShardScan(path: String, required: StructType,
         val level = pending
         pending = Nil
         level.foreach { d =>
-          fs.listStatus(d).foreach { st =>
-            if (st.isDirectory) pending ::= st.getPath
-            else if (st.getPath.getName.endsWith(".tar"))
-              out += ((st.getPath.toUri.toString, st.getLen))
+          ShardListingManifest.read(fs, d) match {
+            case Some(l) =>
+              l.subdirs.foreach(n => pending ::= new Path(d, n))
+              l.shards.foreach { case (n, len) =>
+                out += ((new Path(d, n).toUri.toString, len))
+              }
+            case None =>
+              ShardScan.listStatusCalls.incrementAndGet(): Unit
+              fs.listStatus(d).foreach { st =>
+                if (st.isDirectory) pending ::= st.getPath
+                else if (st.getPath.getName.endsWith(".tar"))
+                  out += ((st.getPath.toUri.toString, st.getLen))
+              }
           }
         }
       }

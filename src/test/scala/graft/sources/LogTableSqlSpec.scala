@@ -177,6 +177,48 @@ class LogTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("source scope"))
   }
 
+  test("lifecycle statements: DESCRIBE HISTORY / OPTIMIZE / VACUUM / constraints") {
+    val t = mkTable(40)
+    import spark.implicits._
+    // ALTER TABLE ADD CONSTRAINT persists and enforces
+    val v = spark.sql(
+      s"ALTER TABLE ${sqlRef(t)} ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+      .as[Long].head()
+    assert(v == 2L)
+    assert(LogTable.snapshot(spark, t).constraints ==
+      Map("cents_pos" -> "cents >= 0"))
+    val bad = intercept[IllegalArgumentException](spark.sql(
+      s"INSERT INTO ${sqlRef(t)} VALUES (999, 1, 'bad', -5, 0, 'U')"))
+    assert(bad.getMessage.contains("cents_pos"))
+    // OPTIMIZE compacts under the persisted layout
+    LogTable.append(spark, t, Seq((100L, 1, "x", 1L, 0L, "U"))
+      .toDF("k", "part", "name", "cents", "ver", "op")): Unit
+    val filesBefore = LogTable.snapshot(spark, t).files.length
+    val ov = spark.sql(s"OPTIMIZE ${sqlRef(t)} MAX 1 FILES PER PARTITION")
+      .as[Long].head()
+    assert(ov > 0L)
+    assert(LogTable.snapshot(spark, t).files.length <= filesBefore)
+    assert(LogTable.read(spark, t).count() === 41)
+    // DESCRIBE HISTORY lists every commit, newest first
+    val hist = spark.sql(s"DESCRIBE HISTORY ${sqlRef(t)}")
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(hist.head._1 == hist.map(_._1).max)
+    assert(hist.map(_._2).contains("ADD CONSTRAINT"))
+    assert(hist.map(_._2).contains("COMPACT"))
+    // VACUUM under the floor fails loud; FORCE prunes the dead files
+    intercept[IllegalArgumentException](
+      spark.sql(s"VACUUM ${sqlRef(t)} RETAIN 0 HOURS"))
+    val deleted = spark.sql(s"VACUUM ${sqlRef(t)} RETAIN 0 HOURS FORCE")
+      .as[Int].head()
+    assert(deleted > 0, "compaction leftovers must vacuum")
+    assert(LogTable.read(spark, t).count() === 41)
+    // DROP CONSTRAINT
+    spark.sql(s"ALTER TABLE ${sqlRef(t)} DROP CONSTRAINT cents_pos"): Unit
+    assert(LogTable.snapshot(spark, t).constraints.isEmpty)
+    // the delegating parser leaves ordinary SQL alone
+    assert(spark.sql("SELECT 1 AS one").as[Int].head() == 1)
+  }
+
   test("non-graft relations are untouched by the rule") {
     import spark.implicits._
     Seq((1, "a")).toDF("x", "y").createOrReplaceTempView("plain")

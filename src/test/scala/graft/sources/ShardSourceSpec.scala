@@ -311,6 +311,40 @@ class ShardSourceSpec extends SparkSpec {
       s"${ShardManifest.reads.get()} vs $nShards")
   }
 
+  test("listing sidecar: zero listStatus on fresh dirs; staleness degrades to the walk") {
+    val (dir, nShards) = writeShards()
+    import graft.sources.shardsource.{ShardListingManifest, ShardScan}
+    def lookup(): Long = spark.read.format("graft-shards").load(dir)
+      .filter(col("name") === "17.bin").count()
+    assert(lookup() == 1L) // warm the parsed-listing cache
+    ShardScan.listStatusCalls.set(0L)
+    val hitsBefore = ShardListingManifest.hits.get()
+    assert(lookup() == 1L)
+    assert(ShardScan.listStatusCalls.get() == 0L,
+      "a fresh listing sidecar must answer discovery without listStatus")
+    assert(ShardListingManifest.hits.get() > hitsBefore)
+    // a shard landing WITHOUT a sidecar refresh bumps the directory's
+    // mtime — the sidecar goes stale, the walk lists, the shard is seen
+    Thread.sleep(5) // local-FS mtime granularity
+    val one = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    java.nio.file.Files.copy(one.toPath,
+      new java.io.File(dir, "shard-zzzzz-00000.tar").toPath)
+    ShardScan.listStatusCalls.set(0L)
+    assert(spark.read.format("graft-shards").load(dir)
+      .rdd.getNumPartitions == nShards + 1,
+      "a stale sidecar must degrade to the walk and plan the new shard")
+    assert(ShardScan.listStatusCalls.get() >= 1L)
+    // rebuilding the sidecar restores flat discovery over the new state
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ShardListingManifest.write(fs, p): Unit
+    ShardScan.listStatusCalls.set(0L)
+    assert(spark.read.format("graft-shards").load(dir)
+      .rdd.getNumPartitions == nShards + 1)
+    assert(ShardScan.listStatusCalls.get() == 0L)
+  }
+
   test("listing fans out above the directory threshold — same shards planned") {
     val (src, _) = writeShards()
     val one = new java.io.File(src).listFiles()
