@@ -193,8 +193,14 @@ object ScaleProbe {
     def shardLookup(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       val key = new java.io.File(d).getName
       val cache = new java.io.File(s"target/scaleprobe/shardcache/$key").getAbsolutePath
-      val marker = new java.io.File(cache, ".probe_done")
+      // v2: re-export once so the cached corpus carries the round-14
+      // sidecars (listing manifest + 0.5%-fpp blooms)
+      val marker = new java.io.File(cache, ".probe_done_v2")
       if (!marker.exists()) {
+        // clear any previous-generation cache so sidecar formats never mix
+        val cpath = new org.apache.hadoop.fs.Path(cache)
+        val pfs = cpath.getFileSystem(s.sessionState.newHadoopConf())
+        if (pfs.exists(cpath)) pfs.delete(cpath, true): Unit
         val docs = s.read.parquet(s"$d/documents.parquet")
         graft.scale.Multimodal.exportPayloadShards(docs, "doc_id",
           col("text").cast("binary"), cache, maxShardBytes = 64L << 10)
@@ -404,13 +410,22 @@ object ScaleProbe {
     def mvRefresh(mode: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       import graft.sources.{LogTable, MaterializedView => MV}
       val key = new java.io.File(d).getName
-      val root = new java.io.File(s"target/scaleprobe/mvcache/$key").getAbsolutePath
+      val kind = if (mode == "minmax") "minmax" else "sums"
+      val root = new java.io.File(
+        s"target/scaleprobe/mvcache/$kind/$key").getAbsolutePath
       val b = s"$root/base"; val mv = s"$root/view"
       // marker = the MV's initial-load commit, written LAST in the build
       freshCache(s, root, f"view/_graft_log/${2L}%020d.json") {
         LogTable.create(s, b, orderShape(s, d), Seq("o_year"), Seq("k")): Unit
         MV.define(s, mv, b, Seq("o_year", "status"),
-          Seq(MV.MvCount("n"), MV.MvSum("sum_cents", "cents")),
+          if (mode == "minmax")
+            // the NON-retractable aggregates: every pass's update moves
+            // values, so groups whose extremum moved pay the keyed
+            // base-snapshot rescan — the path whose boundedness is the
+            // claim at stake
+            Seq(MV.MvCount("n"), MV.MvMin("min_cents", "cents"),
+              MV.MvMax("max_cents", "cents"))
+          else Seq(MV.MvCount("n"), MV.MvSum("sum_cents", "cents")),
           nBuckets = 32): Unit
         MV.refresh(s, mv): Unit
       }
@@ -420,12 +435,13 @@ object ScaleProbe {
         .withColumn("cents", col("cents") + mvPass)
         .withColumn("version", lit(mvPass.toInt))
       LogTable.upsert(s, b, batch, Seq("k"), Seq("version"), "op"): Unit
-      if (mode == "incremental") {
-        MV.refresh(s, mv): Unit
-        MV.read(s, mv)
-      } else
+      if (mode == "full") {
         LogTable.read(s, b).groupBy(col("o_year"), col("status"))
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      } else {
+        MV.refresh(s, mv): Unit
+        MV.read(s, mv)
+      }
     }
 
     // named runners: registered heavy queries + both order-stats variants
@@ -443,6 +459,7 @@ object ScaleProbe {
         "dv_delete:vectors" -> (dvDelete("vectors") _),
         "merge_into:clauses" -> (mergeIntoProbe _),
         "mv_refresh:incremental" -> (mvRefresh("incremental") _),
+        "mv_refresh:minmax" -> (mvRefresh("minmax") _),
         "mv_refresh:full_recompute" -> (mvRefresh("full") _),
         "q86_token_quantiles:preagg" ->
           ((s: SparkSession, d: String) =>

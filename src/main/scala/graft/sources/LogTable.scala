@@ -105,11 +105,13 @@ object LogTable {
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
 
   /** A data file's DELETION VECTOR: `name` is the sidecar parquet file
-    * (table-rooted, `(file, row_index)` rows) holding the COMPLETE set of
-    * this file's logically-deleted row positions — copy-forward: a later
-    * DV transaction touching the file writes a new sidecar carrying the
-    * union, so one pointer is always authoritative. `deleted` is that
-    * set's exact cardinality (live rows = `LogFile.rows − deleted`).
+    * (table-rooted; `dv2-` bitmap rows, or legacy `dv-` `(file,
+    * row_index)` pairs — dispatched by name, both read forever) holding
+    * the COMPLETE set of this file's logically-deleted row positions —
+    * copy-forward: a later DV transaction touching the file writes a new
+    * sidecar carrying the union, so one pointer is always authoritative.
+    * `deleted` is that set's exact cardinality (live rows =
+    * `LogFile.rows − deleted`).
     */
   final case class DvDescriptor(name: String, deleted: Long)
 
@@ -979,23 +981,48 @@ object LogTable {
 
   /** Persist one transaction's deletion-vector rows as a single sidecar
     * parquet file in the table root (invisible until a commit references
-    * it), sorted by (file, row_index) for run-length-friendly encoding.
-    * One file BY DESIGN: a vector's size is O(marked rows), and the DV
-    * path's contract is selective deletes — a delete big enough to
-    * produce an oversized vector wants the rewrite path (or ends in
-    * full-file drops, which need no vector at all).
+    * it) — v2 by default: per-file roaring bitmaps, ~100× denser than
+    * the v1 pair rows on dense runs; v1 written only under the spec's
+    * compat flag, sorted by (file, row_index) for run-length-friendly
+    * encoding. One file BY DESIGN: a vector's size is O(marked rows),
+    * and the DV path's contract is selective deletes — a delete big
+    * enough to produce an oversized vector wants the rewrite path (or
+    * ends in full-file drops, which need no vector at all).
     */
   private def writeDvFile(spark: SparkSession, path: String,
                           pairs: DataFrame): String = {
+    val staged =
+      if (!dvWriteV2)
+        (pairs.repartition(1)
+          .sortWithinPartitions(col("file"), col("row_index")), "dv-")
+      else {
+        // v2: fold each file's positions into one roaring bitmap —
+        // distributed per file (memory is one file's bitmap, never the
+        // transaction's), then one tiny (file, bitmap) parquet
+        import spark.implicits._
+        val bitmaps = pairs
+          .select(col("file").as[String], col("row_index").as[Long])
+          .groupByKey(_._1)
+          .mapGroups { (f, it) =>
+            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            it.foreach(t => bm.addLong(t._2))
+            bm.runOptimize(): Unit
+            val bos = new java.io.ByteArrayOutputStream()
+            val dos = new java.io.DataOutputStream(bos)
+            bm.serialize(dos); dos.close()
+            (f, bos.toByteArray)
+          }.toDF("file", "bitmap")
+        (bitmaps.repartition(1), Dv2Prefix)
+      }
+    val (df, prefix) = staged
     val fs = fsOf(spark, path)
     val tmp = new Path(path,
       "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    pairs.repartition(1).sortWithinPartitions(col("file"), col("row_index"))
-      .write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
     val part = fs.listStatus(tmp).iterator.map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new java.io.IOException(s"no parquet output under $tmp"))
-    val name = "dv-" + java.util.UUID.randomUUID().toString.take(12) + ".parquet"
+    val name = prefix + java.util.UUID.randomUUID().toString.take(12) + ".parquet"
     if (!fs.rename(part, new Path(path, name)))
       throw new java.io.IOException(s"rename $part -> $name failed")
     fs.delete(tmp, true): Unit
@@ -2305,13 +2332,31 @@ object LogTable {
 
   // -------------------------------------------------------------- internals
 
-  /** Sidecar schema: which data file, which row position (the parquet
+  /** v1 sidecar schema: which data file, which row position (the parquet
     * scan's `_metadata.row_index` — stable forever because data files
-    * are write-once).
+    * are write-once). ~16 B per deleted row.
     */
   private val DvSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("row_index", LongType, nullable = false)))
+
+  /** v2 sidecar schema: one row per data file, its COMPLETE deleted
+    * position set as a serialized `Roaring64Bitmap` (the compressed
+    * bitmap Delta's own DV format uses; RoaringBitmap ships with Spark).
+    * Dense deletion runs cost ~2 bytes/row instead of v1's ~16 — the
+    * churn-heavy table's sidecar-accretion answer. The format travels in
+    * the sidecar NAME (`dv2-`), so v1 sidecars read forever and one
+    * table can carry both across a copy-forward.
+    */
+  private val Dv2Schema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bitmap", BinaryType, nullable = false)))
+  private val Dv2Prefix = "dv2-"
+
+  /** Spec hook: write v1 pair sidecars instead of v2 bitmaps, to prove
+    * the cross-format read/copy-forward path with a genuinely old table.
+    */
+  @volatile private[sources] var dvWriteV2: Boolean = true
 
   private[sources] def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
@@ -2329,8 +2374,26 @@ object LogTable {
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     if (bySidecar.isEmpty) emptyDf(spark, DvSchema)
     else bySidecar.map { case (sc, names) =>
-      spark.read.schema(DvSchema).parquet(new Path(path, sc).toString)
-        .filter(col("file").isin(names: _*))
+      if (sc.startsWith(Dv2Prefix)) {
+        // v2: per-file bitmaps explode back to (file, row_index) pairs —
+        // the join shape is unchanged, only the bytes at rest shrink
+        import spark.implicits._
+        spark.read.schema(Dv2Schema).parquet(new Path(path, sc).toString)
+          .filter(col("file").isin(names: _*))
+          .as[(String, Array[Byte])]
+          .flatMap { case (f, bytes) =>
+            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            bm.deserialize(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            val it = bm.iterator()
+            new Iterator[(String, Long)] {
+              override def hasNext: Boolean = it.hasNext
+              override def next(): (String, Long) = (f, it.next())
+            }
+          }.toDF("file", "row_index")
+      } else
+        spark.read.schema(DvSchema).parquet(new Path(path, sc).toString)
+          .filter(col("file").isin(names: _*))
     }.reduce(_ unionByName _)
   }
 
@@ -2631,5 +2694,31 @@ object LogTable {
           s"version $version already committed at $path")
       throw new java.io.IOException(s"commit rename failed for $dst")
     }
+    // post-commit hooks fire AFTER the version is durably published —
+    // the transaction's outcome can no longer change, so a hook failure
+    // must never unwind the (already successful) write
+    if (!commitHooks.isEmpty) {
+      val it = commitHooks.iterator()
+      while (it.hasNext) {
+        try it.next()(spark, path, version, operation, dataChange)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft: post-commit hook failed for $path v$version: $e")
+        }
+      }
+    }
   }
+
+  /** Post-commit hooks: observers of durably published versions —
+    * (session, path, version, operation, dataChange), fired on the
+    * committing thread after the publish wins. JVM-local (one driver's
+    * writes), failures logged and swallowed: the write already
+    * succeeded. The MV auto-refresh hook is the shipped user.
+    */
+  private val commitHooks = new java.util.concurrent.CopyOnWriteArrayList[
+    (SparkSession, String, Long, String, Boolean) => Unit]()
+
+  private[sources] def addCommitHook(
+      f: (SparkSession, String, Long, String, Boolean) => Unit): Unit =
+    commitHooks.add(f): Unit
 }

@@ -435,6 +435,53 @@ object MaterializedView {
     } finally delta.unpersist(): Unit
   }
 
+  // ------------------------------------------------------- auto-refresh
+
+  /** base path (qualified URI) → dependent MV paths, consulted by the
+    * single installed post-commit hook. JVM-local: one driver's writes
+    * keep its own registered views fresh — multi-driver deployments
+    * schedule [[refresh]] externally (the txn watermark makes BOTH safe
+    * at once: a hook firing next to an orchestrator's refresh of the
+    * same window is a harmless −1).
+    */
+  private val autoRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def qualified(spark: SparkSession, p: String): String =
+    LogTable.fsOf(spark, p).makeQualified(new Path(p)).toUri.toString
+
+  /** Opt-in ORCHESTRATOR-FREE freshness: after registration, every
+    * row-visible commit this JVM publishes to the MV's base table
+    * triggers [[refresh]] on the committing thread, post-publish — a
+    * merge returns with the rollup already folded. dataChange=false
+    * commits (compaction, constraint bookkeeping) skip the fire
+    * entirely; a refresh failure is logged, never unwinds the base
+    * write, and the next fire (or manual refresh) folds the missed
+    * window — the watermark makes the feed gapless. Returns the number
+    * of views now registered on that base.
+    */
+  def enableAutoRefresh(spark: SparkSession, mvPath: String): Int = {
+    val base = qualified(spark, definition(spark, mvPath).basePath)
+    val mv = qualified(spark, mvPath)
+    if (hookInstalled.compareAndSet(false, true))
+      LogTable.addCommitHook { (s, p, _, _, dataChange) =>
+        if (dataChange) {
+          val key = qualified(s, p)
+          Option(autoRegistry.get(key)).foreach(_.foreach { m =>
+            if (m != key) refresh(s, m): Unit // self-commits never recurse
+          })
+        }
+      }
+    autoRegistry.merge(base, Set(mv), (a, b) => a ++ b).size
+  }
+
+  /** Remove one MV from the auto-refresh registry. */
+  def disableAutoRefresh(spark: SparkSession, mvPath: String): Unit = {
+    val mv = qualified(spark, mvPath)
+    autoRegistry.replaceAll((_, s) => s - mv)
+  }
+
   /** The user-facing view: group columns + aggregate outputs with SQL
     * semantics (`sum`/`avg` are NULL for a group with no non-NULL
     * inputs; `avg` divides in Spark's result type for the input).

@@ -53,7 +53,12 @@ object ShardAggManifest {
 
   val FileName = "_graft_shards.agg"
   private val Header = "graft-shard-aggmanifest\tv1"
-  private val Fpp = 0.03
+  // sized for IN-lists, not just single lookups: a k-name IN keeps a
+  // shard with probability 1-(1-fpp)^k, so 3% fpp made a 10-name probe
+  // keep ~26% of ALL shards (the round-14 scale probe's residual
+  // growth); 0.5% keeps ~5% at k=10 for ~1.5x the bloom bytes —
+  // planning metadata, still ~11 bits/entry
+  private val Fpp = 0.005
 
   /** One shard's summary: the tar length stamp and its name bloom. */
   final case class ShardSummary(tarBytes: Long, bloom: BloomFilter)

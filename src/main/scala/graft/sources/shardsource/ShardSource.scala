@@ -389,8 +389,12 @@ class ShardScan(path: String, required: StructType,
             spark.sessionState.newHadoopConf())
           val nf = nameFilters // avoid closing over the Scan
           val withSizes = candidates.map(u => (u, sizeOf.getOrElse(u, -1L)))
+          // chunk ~16 manifests per task: one-candidate-per-task pays a
+          // scheduler round trip per tiny metadata read and made the
+          // fan-out SLOWER than the serial sweep it replaced
           sc.parallelize(withSizes.toIndexedSeq,
-            math.min(candidates.length, sc.defaultParallelism * 4))
+            math.min(math.max(candidates.length / 16, 1),
+              sc.defaultParallelism * 4))
             .filter { case (uri, len) =>
               val sp = new Path(java.net.URI.create(uri))
               ShardManifest.read(sp.getFileSystem(conf.value), sp, len) match {

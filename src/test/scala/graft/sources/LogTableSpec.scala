@@ -961,12 +961,13 @@ class LogTableSpec extends SparkSpec {
     assert(LogTable.read(spark, dir).select("k").as[Long]
       .collect().sorted.toSeq == Seq(3L, 5L, 6L))
     // vacuum keeps live sidecars, reclaims superseded ones
+    def dvSidecar(n: String) = n.startsWith("dv-") || n.startsWith("dv2-")
     val allDvOnDisk = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.startsWith("dv-")).toSet
+      .map(_.getName).filter(dvSidecar).toSet
     assert(LogTable.vacuum(spark, dir, olderThanMs = 0L, force = true) >= 0)
     val liveDv = s4.files.flatMap(_.dv.map(_.name)).toSet
     val kept = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.startsWith("dv-")).toSet
+      .map(_.getName).filter(dvSidecar).toSet
     assert(kept == liveDv, s"disk $allDvOnDisk -> $kept, live $liveDv")
     assert(LogTable.read(spark, dir).select("k").as[Long]
       .collect().sorted.toSeq == Seq(3L, 5L, 6L))
@@ -1330,6 +1331,43 @@ class LogTableSpec extends SparkSpec {
     // nothing half-created: the same path creates cleanly afterwards
     LogTable.create(spark, dir, baseDf, "p"): Unit
     assert(LogTable.read(spark, dir).count() == 4L)
+  }
+
+  test("dv v2 bitmaps round-trip; v1 sidecars read forever; copy-forward crosses formats") {
+    val dir = tmp() + "/t"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      LogTable.create(spark, dir, baseDf, "p") // one file, 4 rows
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    def sidecar(): String =
+      LogTable.snapshot(spark, dir).files.flatMap(_.dv).map(_.name).head
+    try {
+      // a LEGACY v1 table: pair-encoded sidecar
+      LogTable.dvWriteV2 = false
+      LogTable.deleteWhere(spark, dir, $"k" === 2L,
+        deletionVectors = true): Unit
+      assert(sidecar().startsWith("dv-"), sidecar())
+      assert(LogTable.read(spark, dir).select("k").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      // the next delete copies the v1 content forward INTO a v2 bitmap
+      LogTable.dvWriteV2 = true
+      LogTable.deleteWhere(spark, dir, $"k" === 3L,
+        deletionVectors = true): Unit
+      assert(sidecar().startsWith("dv2-"), sidecar())
+      assert(LogTable.snapshot(spark, dir).files.flatMap(_.dv)
+        .map(_.deleted).sum == 2L)
+      assert(LogTable.read(spark, dir).select("k").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 4L))
+      // time travel still reads the RETIRED v1 sidecar
+      assert(LogTable.read(spark, dir, Some(2L)).select("k").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      // purge materializes bitmapped vectors away like pair vectors
+      assert(LogTable.purgeDeletes(spark, dir) > 0L)
+      assert(LogTable.snapshot(spark, dir).files.forall(_.dv.isEmpty))
+      assert(LogTable.read(spark, dir).select("k").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 4L))
+    } finally LogTable.dvWriteV2 = true
   }
 
   test("readNetChanges is lazy and single-pass; key discipline raises at action") {

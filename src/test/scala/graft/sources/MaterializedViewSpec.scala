@@ -227,6 +227,40 @@ class MaterializedViewSpec extends SparkSpec {
       MvSum("sum_x", "x"), MvAvg("avg_x", "x")))
   }
 
+  test("auto-refresh hook folds each base commit; dataChange=false skips") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 60)
+    define(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    MaterializedView.enableAutoRefresh(spark, mv): Unit
+    try {
+      // NO manual refresh below — the post-commit hook must keep pace
+      LogTable.upsert(spark, base, upd(Seq(
+        (1L, "g1", 1L, Some(999L), 1L, "U"),
+        (7L, "g2", 1L, Some(70L), 1L, "D"))),
+        Seq("id"), Seq("ver"), "op"): Unit
+      assert(MaterializedView.refreshedVersion(spark, mv) ===
+        LogTable.latestVersion(spark, base),
+        "hook must fold the window before upsert returns")
+      assertSame(mv, base)
+      // a row-invisible commit (compaction) must NOT fire the hook
+      val w = MaterializedView.refreshedVersion(spark, mv)
+      LogTable.compactPartitions(spark, base, maxFilesPerPartition = 1): Unit
+      assert(MaterializedView.refreshedVersion(spark, mv) === w,
+        "dataChange=false commits skip the auto-refresh")
+      assertSame(mv, base)
+      // after disable, commits stop refreshing
+      MaterializedView.disableAutoRefresh(spark, mv)
+      LogTable.upsert(spark, base, upd(Seq(
+        (2L, "g2", 2L, Some(20L), 2L, "U"))),
+        Seq("id"), Seq("ver"), "op"): Unit
+      assert(MaterializedView.refreshedVersion(spark, mv) <
+        LogTable.latestVersion(spark, base))
+      MaterializedView.refresh(spark, mv): Unit
+      assertSame(mv, base)
+    } finally MaterializedView.disableAutoRefresh(spark, mv)
+  }
+
   private def defineMinMax(mv: String, base: String): Unit =
     MaterializedView.define(spark, mv, base, Seq("grp"),
       Seq(MvCount("n"), MvMin("min_x", "x"), MvMax("max_x", "x")), 4): Unit

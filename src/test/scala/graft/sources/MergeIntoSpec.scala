@@ -245,6 +245,26 @@ class MergeIntoSpec extends SparkSpec {
     assert(LogTable.read(spark, dir).orderBy("k").collect().toSeq == expect)
   }
 
+  test("the source query evaluates once per merge (persisted across its uses)") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val evals = spark.sparkContext.longAccumulator("src-evals")
+    val src = spark.createDataFrame(
+      baseDf.limit(2).rdd.map { r => evals.add(1L); r },
+      baseDf.schema)
+      .select(col("k"), (col("cents") + 1000L).as("cents"), col("p"))
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents"))
+      .whenNotMatchedInsert(values = Map("ver" -> "0"))
+      .run(): Unit
+    // dup-check + touched-tuples + the join all read the persisted
+    // source: each input row materializes ONCE, not three times
+    assert(evals.value == 2L,
+      s"source evaluated ${evals.value} row-reads for 2 rows — recomputed")
+    assert(LogTable.read(spark, dir).filter($"k" === 1L)
+      .select("cents").as[Long].head() == 1100L)
+  }
+
   test("WHEN NOT MATCHED BY SOURCE DELETE syncs the table to the snapshot in one merge") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
