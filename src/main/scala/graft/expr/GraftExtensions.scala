@@ -64,6 +64,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectResolutionRule(session =>
       graft.sources.LogTableSql.LogTableRule(session))
+    // change feeds as TABLE-valued functions (the Delta table_changes
+    // shape): SELECT * FROM graft_changes('path', 1, 5)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.sources.LogTableSql.getClass.getName,
+        "graft_changes"),
+      (args: Seq[Expression]) =>
+        graft.sources.LogTableSql.changesPlan(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_net_changes"),
+      new ExpressionInfo(graft.sources.LogTableSql.getClass.getName,
+        "graft_net_changes"),
+      (args: Seq[Expression]) =>
+        graft.sources.LogTableSql.netChangesPlan(args)))
     // table-lifecycle statements Spark's grammar lacks (DESCRIBE
     // HISTORY / VACUUM / OPTIMIZE / ALTER TABLE ... CONSTRAINT) — a
     // delegating parser in the Delta style; everything else passes

@@ -996,6 +996,14 @@ object SourceQueries {
           e.getMessage.contains("cents_nonneg") }
       s.sql(s"UPDATE $ref SET cents = cents + 1, version = 1 " +
         "WHERE o_year = 1997 AND k % 10 = 0"): Unit
+      // the change-feed TVF surfaces the UPDATE window's exact row
+      // deltas — checked BEFORE the forced vacuum below breaks feeds
+      // behind the head (by contract)
+      val updated = base.filter(col("o_year") === 1997 && col("k") % 10 === 0)
+        .count()
+      val tvfPost = s.sql(s"SELECT count(*) AS n FROM " +
+        s"graft_net_changes('$t', 2, 3, 'k') " +
+        "WHERE _change_type = 'update_postimage'").head().getLong(0)
       val filesBefore = LogTable.snapshot(s, t).files.length
       s.sql(s"OPTIMIZE $ref MAX 1 FILES PER PARTITION"): Unit
       val filesAfter = LogTable.snapshot(s, t).files.length
@@ -1009,7 +1017,7 @@ object SourceQueries {
         .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       s.sql(s"ALTER TABLE $ref DROP CONSTRAINT cents_nonneg"): Unit
       val ok = caught && floorCaught && filesAfter <= filesBefore &&
-        vacd > 0 &&
+        vacd > 0 && tvfPost == updated &&
         Seq("ADD CONSTRAINT", "UPDATE", "COMPACT")
           .forall(ops.get(_).contains(1L)) &&
         LogTable.snapshot(s, t).constraints.isEmpty

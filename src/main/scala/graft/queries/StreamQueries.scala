@@ -606,6 +606,84 @@ object StreamQueries {
         .withColumn("sink_ok", lit(ok))
     }),
 
+    // ORCHESTRATOR-FREE STREAMING ROLLUP — the round-14 composition: the
+    // exactly-once streaming sink (q144's contract) lands four change
+    // waves as log-table transactions, and a registered materialized
+    // view — including the NON-retractable min/max aggregates — is kept
+    // fresh by the post-commit auto-refresh hook alone: no manual
+    // refresh anywhere in this query. The at-least-once replay run is
+    // skipped by the txn watermark, so the hook never double-folds. The
+    // oracle recomputes count/sum/min/max from the merged-from-scratch
+    // final state — a stale extremum, a missed window, or a double-fold
+    // all hash-red.
+    "q152_stream_mv_autorefresh" -> ((s, dir) => {
+      import graft.sources.{LogTable, LogTableSourceProvider, MaterializedView => MV}
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q152_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val feedRoot = new org.apache.hadoop.fs.Path(outRoot, "feed").toString
+      val mvPath = new org.apache.hadoop.fs.Path(outRoot, "mv").toString
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      val base = shape(graft.Tables(s, dir, "orders"))
+      LogTable.create(s, tablePath, base, "o_year"): Unit
+      MV.define(s, mvPath, tablePath, Seq("o_year", "status"), Seq(
+        MV.MvCount("n"), MV.MvSum("sum_cents", "cents"),
+        MV.MvMin("min_cents", "cents"), MV.MvMax("max_cents", "cents")),
+        nBuckets = 16): Unit
+      MV.refresh(s, mvPath): Unit // initial load; everything after is hooks
+      MV.enableAutoRefresh(s, mvPath): Unit
+      try {
+        val inYears = col("o_year").isin(1997, 1999)
+        val waves = Seq(
+          base.filter(col("k") % 7 === 0 && inYears)
+            .withColumn("cents", expr("(cents * 110) div 100"))
+            .withColumn("version", lit(1)),
+          base.filter(col("k") % 7 === 0 && inYears)
+            .withColumn("cents", col("cents") + lit(7L))
+            .withColumn("version", lit(2)),
+          base.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0 && inYears)
+            .withColumn("version", lit(3)).withColumn("op", lit("D")),
+          base.filter(col("k") % 11 === 0 && inYears)
+            .withColumn("k", col("k") + lit(10000000L))
+            .withColumn("status", lit("N"))
+            .withColumn("cents", expr("cents div 2"))
+            .withColumn("version", lit(1)))
+        waves.zipWithIndex.foreach { case (w, i) =>
+          w.repartition(1).write.parquet(s"$feedRoot/b$i")
+        }
+        val sch = base.schema
+        def run(ckpt: String): Unit = withStatePartitions(s, 8) {
+          val q = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$feedRoot/*/")
+            .writeStream.format(classOf[LogTableSourceProvider].getName)
+            .option("path", tablePath).option("txnAppId", "q152-feed")
+            .option("keyCols", "k").option("orderCols", "version")
+            .option("opCol", "op")
+            .option("checkpointLocation",
+              new org.apache.hadoop.fs.Path(outRoot, ckpt).toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        run("ck1")
+        // the hook folded every micro-batch before its upsert returned
+        val hookFresh = MV.refreshedVersion(s, mvPath) ==
+          LogTable.latestVersion(s, tablePath)
+        run("ck2") // at-least-once replay: watermark skips, hook silent
+        val ok = hookFresh &&
+          LogTable.latestVersion(s, tablePath) == 5L &&
+          MV.refresh(s, mvPath) == -1L &&
+          LogTable.lastTxn(s, tablePath, "q152-feed").contains(3L)
+        MV.read(s, mvPath)
+          .withColumnRenamed("status", "o_orderstatus")
+          .withColumn("mv_stream_ok", lit(ok))
+      } finally MV.disableAutoRefresh(s, mvPath)
+    }),
+
     "q85_stream_index_dedup" -> ((s, dir) => {
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val idx = s"g85_idx_$sf"
@@ -1009,6 +1087,40 @@ object StreamQueries {
         |SELECT o_year, status AS o_orderstatus, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS sink_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The auto-refreshed view recomputed from scratch over the same
+    // merged final state as q144 — count/sum/min/max per group;
+    // mv_stream_ok (hook kept pace, replay skipped, -1 re-refresh)
+    // pinned TRUE.
+    "q152_stream_mv_autorefresh" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version, 'U' AS op
+        |  FROM orders),
+        |changes AS (
+        |  SELECT k, status, (cents * 110) // 100 AS cents, o_year,
+        |         1 AS version, 'U' AS op
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k, status, cents + 7, o_year, 2, 'U'
+        |  FROM base WHERE k % 7 = 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k, status, cents, o_year, 3, 'D'
+        |  FROM base WHERE k % 13 = 0 AND k % 7 <> 0 AND o_year IN (1997, 1999)
+        |  UNION ALL
+        |  SELECT k + 10000000, 'N', cents // 2, o_year, 1, 'U'
+        |  FROM base WHERE k % 11 = 0 AND o_year IN (1997, 1999)),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)),
+        |final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents, TRUE AS mv_stream_ok
         |FROM final
         |GROUP BY 1, 2""".stripMargin,
 

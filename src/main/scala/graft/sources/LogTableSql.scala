@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   * INSERT OVERWRITE graft.`/data/orders` SELECT ...     -- full refresh
   * DELETE FROM graft.`/data/orders` WHERE o_year = 1992
   * UPDATE graft.`/data/orders` SET cents = cents * 2 WHERE k % 7 = 0
+  * SELECT * FROM graft_changes('/data/orders', 1, 5)        -- file-level CDF
+  * SELECT * FROM graft_net_changes('/data/orders', 1, 5, 'k') -- row-level
   * MERGE INTO graft.`/data/orders` t USING src s ON t.k = s.k
   *   WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
   *   WHEN NOT MATCHED [AND cond] THEN INSERT ...
@@ -317,6 +319,53 @@ object LogTableSql {
     }
   }
 
+  // --------------------------------------------- change-feed TVF plans
+
+  /** A TVF argument as a literal string/long — change-feed bounds are
+    * plan-time values (they pick COMMITS, not rows).
+    */
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"graft SQL: $what must be a string literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft SQL: $what must be an integer literal, got $other")
+  }
+
+  /** `graft_changes('path', from, to)` — the file-level CDF as a
+    * table-valued function (the Delta `table_changes` shape), registered
+    * via `SparkSessionExtensions.injectTableFunction`: the SAME
+    * [[LogTable.readChanges]] plan the programmatic API builds,
+    * composable with any SQL on top.
+    */
+  def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "graft_changes(path, fromVersion, toVersion) takes 3 arguments")
+    val spark = SparkSession.active
+    LogTable.readChanges(spark, strArg(args(0), "path"),
+        longArg(args(1), "fromVersion"), longArg(args(2), "toVersion"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_net_changes('path', from, to, 'k1', ...)` — the row-level
+    * net change feed as a table-valued function.
+    */
+  def netChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4,
+      "graft_net_changes(path, fromVersion, toVersion, keyCols...) " +
+        "needs a path, two versions and at least one key column")
+    val spark = SparkSession.active
+    LogTable.readNetChanges(spark, strArg(args(0), "path"),
+        longArg(args(1), "fromVersion"), longArg(args(2), "toVersion"),
+        args.drop(3).zipWithIndex.map { case (a, i) =>
+          strArg(a, s"key column ${i + 1}") })
+      .queryExecution.analyzed
+  }
+
   // ------------------------------------------------ lifecycle statements
 
   /** Delegating SQL parser (the Delta-parser pattern, via
@@ -349,7 +398,8 @@ object LogTableSql {
         "(\\s+FORCE)?\\s*$", F)
     private val OptimizeP = Pattern.compile(
       s"^\\s*OPTIMIZE\\s+$Ref" +
-        "(?:\\s+MAX\\s+(\\d+)\\s+FILES\\s+PER\\s+PARTITION)?\\s*$", F)
+        "(?:\\s+MAX\\s+(\\d+)\\s+FILES\\s+PER\\s+PARTITION)?" +
+        "(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*$", F)
     private val AddConstraintP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+" +
         "CHECK\\s*\\((.*)\\)\\s*$", F)
@@ -366,7 +416,9 @@ object LogTableSql {
       val o = OptimizeP.matcher(sqlText)
       if (o.matches())
         return Some(OptimizeCommand(o.group(1),
-          Option(o.group(2)).map(_.toInt)))
+          Option(o.group(2)).map(_.toInt),
+          Option(o.group(3)).map(a => Seq(a, o.group(4)))
+            .getOrElse(Nil)))
       val a = AddConstraintP.matcher(sqlText)
       if (a.matches())
         return Some(AddConstraintCommand(a.group(1), a.group(2), a.group(3)))
@@ -456,13 +508,15 @@ object LogTableSql {
     * table; a rewrite keeps writing them).
     */
   private[sources] final case class OptimizeCommand(path: String,
-      maxFiles: Option[Int]) extends LeafRunnableCommand {
+      maxFiles: Option[Int], zorderBy: Seq[String] = Nil)
+      extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.compactPartitions(session, path,
-        maxFilesPerPartition = maxFiles.getOrElse(1))))
+        maxFilesPerPartition = maxFiles.getOrElse(1),
+        zorderBy = zorderBy)))
   }
 
   private[sources] final case class AddConstraintCommand(path: String,

@@ -252,7 +252,8 @@ class TextMultimodalSpec extends SparkSpec {
     val listed = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq
     assert(listed.forall(f => f.endsWith(".tar") || f.endsWith(".tar.manifest") ||
-      f == graft.sources.shardsource.ShardAggManifest.FileName),
+      f == graft.sources.shardsource.ShardAggManifest.FileName ||
+      f == graft.sources.shardsource.ShardListingManifest.FileName),
       s"non-tar debris: $listed")
     val shards = listed.filter(_.endsWith(".tar"))
     assert(shards.size >= 3, s"cap never rolled a shard: $shards")

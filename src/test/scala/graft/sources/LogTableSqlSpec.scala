@@ -219,6 +219,55 @@ class LogTableSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 AS one").as[Int].head() == 1)
   }
 
+  test("graft_changes / graft_net_changes TVFs surface the feeds in SQL") {
+    val t = mkTable(10) // v1
+    import spark.implicits._
+    spark.sql(s"UPDATE ${sqlRef(t)} SET cents = cents + 5 WHERE k <= 2"): Unit
+    // file-level CDF: reconstruction identity rows (riders included)
+    val ch = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_changes('$t', 1, 2) " +
+        "GROUP BY 1").as[(String, Long)].collect().toMap
+    assert(ch("insert") == ch("delete") && ch("insert") >= 2,
+      s"CDF must re-emit the rewritten files' rows: $ch")
+    // row-level net changes: riders cancel, only k=1,2 remain as updates
+    val net = spark.sql(
+      s"SELECT k, _change_type FROM graft_net_changes('$t', 1, 2, 'k')")
+      .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(net == Seq(
+      (1L, "update_postimage"), (1L, "update_preimage"),
+      (2L, "update_postimage"), (2L, "update_preimage")), net)
+    // composes with SQL on top (filters, aggregates, joins)
+    assert(spark.sql(s"SELECT sum(cents) FROM graft_net_changes('$t', 1, 2, " +
+      "'k') WHERE _change_type = 'update_postimage'")
+      .as[Long].head() == (100L + 5) + (200L + 5))
+    // non-literal bounds fail loud — versions pick COMMITS at plan time
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$t', 1, 1 + 1)").collect())
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("OPTIMIZE ... ZORDER BY re-clusters through SQL") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (1 to 80).map(i =>
+      (i.toLong, i % 4, s"v$i", i.toLong * 100, 0L, "U"))
+      .toDF("k", "part", "name", "cents", "ver", "op")
+    LogTable.create(spark, path, df, Seq("part"), Seq("k", "cents")): Unit
+    // a second wave fragments every partition value past the budget
+    LogTable.append(spark, path, (81 to 120).map(i =>
+      (i.toLong, i % 4, s"v$i", i.toLong * 100, 0L, "U"))
+      .toDF("k", "part", "name", "cents", "ver", "op")): Unit
+    val ref = s"graft.`$path`"
+    val v = spark.sql(s"OPTIMIZE $ref MAX 1 FILES PER PARTITION " +
+      "ZORDER BY (k, cents)").as[Long].head()
+    assert(v > 0L)
+    assert(LogTable.read(spark, path).count() === 120)
+    // an undeclared z-order column fails loud, transactionally nothing
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE $ref MAX 1 FILES PER PARTITION ZORDER BY (ver, cents)"))
+    assert(e.getMessage.contains("stats-declared"))
+  }
+
   test("non-graft relations are untouched by the rule") {
     import spark.implicits._
     Seq((1, "a")).toDF("x", "y").createOrReplaceTempView("plain")
