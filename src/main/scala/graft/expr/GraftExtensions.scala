@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_net_changes"),
       (args: Seq[Expression]) =>
         graft.sources.LogTableSql.netChangesPlan(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_mv"),
+      new ExpressionInfo(graft.sources.LogTableSql.getClass.getName,
+        "graft_mv"),
+      (args: Seq[Expression]) =>
+        graft.sources.LogTableSql.mvReadPlan(args)))
     // table-lifecycle statements Spark's grammar lacks (DESCRIBE
     // HISTORY / VACUUM / OPTIMIZE / ALTER TABLE ... CONSTRAINT) — a
     // delegating parser in the Delta style; everything else passes

@@ -970,6 +970,79 @@ object SourceQueries {
         .withColumn("sync_ok", lit(ok))
     }),
 
+    // MATERIALIZED VIEW THROUGH SQL — the whole IVM lifecycle as
+    // statements: CREATE MATERIALIZED VIEW ... AS SELECT (the defining
+    // query is real SQL, analyzed and pattern-matched into the
+    // incremental definition — min/max included), base DML through SQL
+    // DELETE/UPDATE (the delete takes group minima with it, forcing the
+    // rescan), REFRESH MATERIALIZED VIEW, and the graft_mv() read TVF.
+    // The oracle recomputes the view from the restated final base state.
+    "q154_mv_sql" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q154")
+      val mv = scratch(s, dir, "graft_q154mv")
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` BUCKETS 16 AS " +
+        s"SELECT o_year, status, count(*) AS n, sum(cents) AS sum_cents, " +
+        s"min(cents) AS min_cents, max(cents) AS max_cents " +
+        s"FROM graft.`$t` GROUP BY o_year, status"): Unit
+      s.sql(s"DELETE FROM graft.`$t` WHERE o_year = 1997 AND k % 13 = 0"): Unit
+      s.sql(s"UPDATE graft.`$t` SET cents = (cents * 110) div 100, " +
+        "version = 1 WHERE o_year = 1997 AND k % 7 = 0"): Unit
+      val rv = s.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+        .head().getLong(0)
+      val ok = rv > 0L &&
+        s.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+          .head().getLong(0) == -1L
+      s.sql(s"SELECT * FROM graft_mv('$mv')")
+        .withColumnRenamed("status", "o_orderstatus")
+        .withColumn("mv_sql_ok", lit(ok))
+    }),
+
+    // TYPE-WIDENING EVOLUTION — the day a 32-bit counter overflows: the
+    // table is created with INT cents, and a repricing batch carrying
+    // values past Int.MaxValue widens the column to LONG in ONE merge
+    // (mergeSchema — rejected loud without it). Metadata-only: untouched
+    // int-era files survive by name under the widened read schema (the
+    // vectorized reader serves narrow physical pages as long), and their
+    // int-era min/max stats still prune a >10B predicate down to the new
+    // files alone. The oracle recomputes the final state with the widened
+    // arithmetic — an overflow, a dropped file, or a mis-cast hash-reds.
+    "q153_type_widening" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q153")
+      val base = ordersShaped(s, dir, withOdate = false)
+        .withColumn("cents", col("cents").cast("int"))
+      LogTable.create(s, t, base, Seq("o_year"), Seq("cents"))
+      val before = LogTable.snapshot(s, t)
+      val upd = base.filter(col("o_year") === 1997 && col("k") % 7 === 0)
+        .withColumn("cents", col("cents").cast("long") + 10000000000L)
+        .withColumn("version", lit(1))
+      val caught =
+        try {
+          LogTable.upsert(s, t, upd, Seq("k"), Seq("version"), "op")
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("widens") }
+      LogTable.upsert(s, t, upd, Seq("k"), Seq("version"), "op",
+        mergeSchema = true): Unit
+      val after = LogTable.snapshot(s, t)
+      val spared = before.files.map(_.name).toSet
+        .intersect(after.files.map(_.name).toSet)
+      val pruned = LogTable.readWhere(s, t, col("cents") >= 10000000000L)
+        .inputFiles.length
+      val ok = caught &&
+        after.schema("cents").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        spared.nonEmpty && pruned < after.files.length
+      LogTable.read(s, t)
+        .groupBy(col("o_year"), col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("widen_ok", lit(ok))
+    }),
+
     // SQL LIFECYCLE — the maintenance dialect through the delegating
     // parser (the statements Spark's grammar lacks): ALTER TABLE ADD
     // CONSTRAINT enforces on a violating SQL INSERT, OPTIMIZE compacts
@@ -1703,6 +1776,50 @@ object SourceQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS sync_ok
         |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The SQL-defined view recomputed from scratch over the restated
+    // base (k%13 deleted in 1997, k%7 repriced); mv_sql_ok pinned TRUE.
+    "q154_mv_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |kept AS (
+        |  SELECT * FROM base WHERE NOT (o_year = 1997 AND k % 13 = 0)),
+        |u AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0
+        |         THEN (cents * 110) // 100 ELSE cents END AS cents, o_year
+        |  FROM kept)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents, TRUE AS mv_sql_ok
+        |FROM u
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The widened final state recomputed with 64-bit arithmetic from
+    // raw orders; widen_ok (loud-without-mergeSchema, LONG schema,
+    // spared files, stats pruning) pinned TRUE.
+    "q153_type_widening" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |u AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0
+        |         THEN cents + 10000000000 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0 THEN 1 ELSE 0 END AS version
+        |  FROM base)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS widen_ok
+        |FROM u
         |GROUP BY 1, 2""".stripMargin,
 
     // Only the UPDATE is row-visible — constraint add/drop, the caught

@@ -1624,11 +1624,30 @@ object LogTable {
       // Table columns the batch omits NULL-fill on the batch's own rows
       // (also gated by mergeSchema), and the committed field becomes
       // nullable — the data now contains NULLs and the DDL must say so.
-      // Column TYPE changes are not evolution and fail loud below.
+      // TYPE-WIDENING evolution (also gated): a batch column STRICTLY
+      // WIDER than the table's (int under a long batch, float under
+      // double) widens the committed type — metadata-only, because the
+      // vectorized parquet reader serves physically-narrow files under
+      // the widened read schema (pinned by WideningProbeSpec) and the
+      // string-rendered file stats re-parse under the wider type
+      // unchanged. A batch NARROWER than the table is not evolution at
+      // all — it upcasts losslessly into the table's type, always.
+      // Everything else is not evolution and fails loud below.
       val known = snap.schema.fieldNames.map(_.toLowerCase).toSet
       val added = changes.schema.fields.toIndexedSeq
         .filterNot(f => known.contains(f.name.toLowerCase))
         .map(_.copy(nullable = true))
+      val widened: Map[String, DataType] =
+        snap.schema.fields.toIndexedSeq.flatMap { f =>
+          changes.schema.fields
+            .find(g => g.name.equalsIgnoreCase(f.name) &&
+              typeWidens(f.dataType, g.dataType))
+            .map(g => f.name.toLowerCase -> g.dataType)
+        }.toMap
+      require(mergeSchema || widened.isEmpty,
+        s"log table $path: batch widens column type(s) " +
+          s"${widened.keys.mkString(", ")} — pass mergeSchema=true to " +
+          "evolve, or cast the batch down")
       val missing = snap.schema.fields.toIndexedSeq
         .filterNot(f => batchCols.contains(f.name.toLowerCase))
       require(mergeSchema || (added.isEmpty && missing.isEmpty),
@@ -1638,26 +1657,32 @@ object LogTable {
           "mergeSchema=true to evolve/NULL-fill, or fix the batch")
       val missingNames = missing.map(_.name.toLowerCase).toSet
       val schema = StructType(
-        snap.schema.fields.toIndexedSeq.map(f =>
+        snap.schema.fields.toIndexedSeq.map { f0 =>
+          val f = widened.get(f0.name.toLowerCase)
+            .map(dt => f0.copy(dataType = dt)).getOrElse(f0)
           if (missingNames.contains(f.name.toLowerCase)) f.copy(nullable = true)
-          else f) ++ added)
+          else f
+        } ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
       val touched = touchedTuples(path, snap, changes)
       val victims = victimFiles(snap, touched)
       val base = readFiles(spark, path, evolved, victims)
       // the batch aligned to the (possibly widened) table schema: a
-      // missing nullable column fills with typed NULL; a TYPE clash is
-      // not evolution and fails loud
+      // missing nullable column fills with typed NULL; a NARROWER batch
+      // column upcasts losslessly; any other TYPE clash is not evolution
+      // and fails loud
       val aligned = changes.select(schema.fields.toIndexedSeq.map { f =>
         // backtick-quoted so a literal dot in a column name is never
         // parsed as nested-field access
         def ref(n: String) = col("`" + n.replace("`", "``") + "`")
         changes.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
           case Some(g) if g.dataType == f.dataType => ref(g.name).as(f.name)
+          case Some(g) if typeWidens(g.dataType, f.dataType) =>
+            ref(g.name).cast(f.dataType).as(f.name)
           case Some(g) => throw new IllegalArgumentException(
             s"log table $path: column `${f.name}` is ${f.dataType.sql}; a " +
               s"${g.dataType.sql} batch cannot evolve it — only ADD-column " +
-              "evolution is supported")
+              "and type-WIDENING evolution are supported")
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
@@ -1802,6 +1827,10 @@ object LogTable {
       def ref(n: String) = col("`" + n.replace("`", "``") + "`")
       have.get(f.name.toLowerCase) match {
         case Some(g) if g.dataType == f.dataType => ref(g.name).as(f.name)
+        // a NARROWER batch column upcasts losslessly — alignment, not
+        // evolution (appends never change the schema)
+        case Some(g) if typeWidens(g.dataType, f.dataType) =>
+          ref(g.name).cast(f.dataType).as(f.name)
         case Some(g) => throw new IllegalArgumentException(
           s"log table $path: column `${f.name}` is ${f.dataType.sql}, " +
             s"batch has ${g.dataType.sql} — cast explicitly")
@@ -1980,6 +2009,22 @@ object LogTable {
          TimestampType | TimestampNTZType => true
     case _ => false
   }
+
+  /** The lossless type-widening lattice — exactly the pairs the
+    * vectorized parquet reader serves from physically-NARROW files under
+    * the widened read schema (pinned by `WideningProbeSpec`), which is
+    * what makes widening a METADATA-ONLY evolution: the commit carries
+    * the wider DDL, no old file rewrites, and string-rendered file stats
+    * re-parse identically under the wider type.
+    */
+  private[sources] def typeWidens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 
   /** Normalize a double for comparison the way the engine's primitive
     * comparison behaves: -0.0 collapses to 0.0, and NaN is UNORDERABLE —

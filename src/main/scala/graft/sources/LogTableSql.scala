@@ -366,6 +366,15 @@ object LogTableSql {
       .queryExecution.analyzed
   }
 
+  /** `graft_mv('path')` — read a materialized view's user-facing
+    * aggregate through SQL (the state table's internals stay internal).
+    */
+  def mvReadPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_mv(path) takes one argument")
+    MaterializedView.read(SparkSession.active, strArg(args(0), "path"))
+      .queryExecution.analyzed
+  }
+
   // ------------------------------------------------ lifecycle statements
 
   /** Delegating SQL parser (the Delta-parser pattern, via
@@ -405,6 +414,11 @@ object LogTableSql {
         "CHECK\\s*\\((.*)\\)\\s*$", F)
     private val DropConstraintP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*$$", F)
+    private val CreateMvP = Pattern.compile(
+      s"^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref" +
+        "(?:\\s+BUCKETS\\s+(\\d+))?\\s+AS\\s+(.+)$", F)
+    private val RefreshMvP = Pattern.compile(
+      s"^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*$$", F)
 
     private def matchCommand(sqlText: String): Option[LogicalPlan] = {
       val h = HistoryP.matcher(sqlText)
@@ -424,6 +438,12 @@ object LogTableSql {
         return Some(AddConstraintCommand(a.group(1), a.group(2), a.group(3)))
       val d = DropConstraintP.matcher(sqlText)
       if (d.matches()) return Some(DropConstraintCommand(d.group(1), d.group(2)))
+      val cm = CreateMvP.matcher(sqlText)
+      if (cm.matches())
+        return Some(CreateMvCommand(cm.group(1),
+          Option(cm.group(2)).map(_.toInt), cm.group(3)))
+      val rm = RefreshMvP.matcher(sqlText)
+      if (rm.matches()) return Some(RefreshMvCommand(rm.group(1)))
       None
     }
 
@@ -535,6 +555,91 @@ object LogTableSql {
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.dropConstraint(session, path, name)))
+  }
+
+  /** `CREATE MATERIALIZED VIEW graft.`mv` [BUCKETS n] AS SELECT ...` —
+    * the defining query is REAL SQL, parsed by Spark's own parser and
+    * analyzed through the resolution rule, then pattern-matched into the
+    * IVM definition: it must be a single `GROUP BY` over one log table
+    * (attribute group keys; count(*)/count(col)/sum/avg/min/max over
+    * plain columns — no DISTINCT, FILTER, expressions, joins or WHERE,
+    * which the incremental state machine does not maintain). Defines AND
+    * populates (the initial refresh), like the Postgres statement.
+    */
+  private[sources] final case class CreateMvCommand(mvPath: String,
+      nBuckets: Option[Int], querySql: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      import org.apache.spark.sql.catalyst.expressions.aggregate._
+      import MaterializedView._
+      def bad(why: String): Nothing = throw new IllegalArgumentException(
+        s"graft SQL: CREATE MATERIALIZED VIEW needs a single GROUP BY " +
+          s"over one log table — $why")
+      val analyzed = GraftBridge.ofRows(session,
+        session.sessionState.sqlParser.parsePlan(querySql))
+        .queryExecution.analyzed
+      val agg = analyzed match {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case _ => bad("the query is not a plain aggregate")
+      }
+      val basePath = agg.child match {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) if fs.location.isInstanceOf[LogTableFileIndex] =>
+          fs.location.rootPaths.head.toString
+        case other => bad(s"FROM must be exactly a graft.`dir` log table " +
+          s"(no joins, filters or projections), got ${other.nodeName}")
+      }
+      val groupNames = agg.groupingExpressions.map {
+        case a: AttributeReference => a.name
+        case other => bad(s"group key `${other.sql}` is not a plain column")
+      }
+      def colOf(e: Expression, ctx: String): String = e match {
+        case a: AttributeReference => a.name
+        case other => bad(s"$ctx takes a plain column, got `${other.sql}` " +
+          "(expressions are not incrementally maintainable state)")
+      }
+      val aggs = agg.aggregateExpressions.flatMap {
+        case a: AttributeReference =>
+          if (groupNames.exists(_.equalsIgnoreCase(a.name))) None
+          else bad(s"non-aggregate output `${a.name}` is not a group key")
+        case al @ Alias(ae: AggregateExpression, name) =>
+          if (ae.isDistinct) bad(s"`${al.sql}`: DISTINCT aggregates are " +
+            "not incrementally maintainable")
+          if (ae.filter.isDefined) bad(s"`${al.sql}`: FILTER clauses are " +
+            "not supported")
+          Some(ae.aggregateFunction match {
+            case Count(Seq(Literal(1, _))) => MvCount(name)
+            case Count(Seq(e)) => MvCountCol(name, colOf(e, "count"))
+            case Sum(e, _) => MvSum(name, colOf(e, "sum"))
+            case Average(e, _) => MvAvg(name, colOf(e, "avg"))
+            case Min(e) => MvMin(name, colOf(e, "min"))
+            case Max(e) => MvMax(name, colOf(e, "max"))
+            case other => bad(s"aggregate `${other.prettyName}` is not " +
+              "supported (count/count(col)/sum/avg/min/max)")
+          })
+        case other => bad(s"output `${other.sql}` is neither a group key " +
+          "nor an aliased aggregate (alias every aggregate: `... AS n`)")
+      }
+      MaterializedView.define(session, mvPath, basePath, groupNames, aggs,
+        nBuckets.getOrElse(16)): Unit
+      Seq(Row(MaterializedView.refresh(session, mvPath)))
+    }
+  }
+
+  /** `REFRESH MATERIALIZED VIEW graft.`mv`` — fold base changes since
+    * the last refresh; returns the MV version (−1 = already fresh).
+    */
+  private[sources] final case class RefreshMvCommand(mvPath: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(MaterializedView.refresh(session, mvPath)))
   }
 
   private[sources] final case class DeleteCommand(path: String,

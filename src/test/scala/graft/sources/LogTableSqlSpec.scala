@@ -268,6 +268,40 @@ class LogTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("stats-declared"))
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW + graft_mv run the IVM through SQL") {
+    val base = mkTable(40)
+    val mv = tmp() + "/mv"
+    import spark.implicits._
+    val v = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` BUCKETS 8 AS " +
+      s"SELECT part, count(*) AS n, sum(cents) AS sum_cents, " +
+      s"min(cents) AS min_cents, max(cents) AS max_cents " +
+      s"FROM ${sqlRef(base)} GROUP BY part").as[Long].head()
+    assert(v > 0L)
+    def want = LogTable.read(spark, base).groupBy("part")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    def got = spark.sql(s"SELECT * FROM graft_mv('$mv')")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // base DML through SQL, refresh through SQL — deleting the current
+    // minima exercises the rescan from the statement path too
+    spark.sql(s"DELETE FROM ${sqlRef(base)} WHERE cents <= 200"): Unit
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .as[Long].head() > 0L)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .as[Long].head() == -1L)
+    // non-maintainable shapes are rejected loud
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`${tmp()}/m2` AS SELECT part, " +
+        s"count(*) AS n FROM ${sqlRef(base)} WHERE part = 1 GROUP BY part"))
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`${tmp()}/m3` AS SELECT part, " +
+        s"sum(cents + 1) AS s FROM ${sqlRef(base)} GROUP BY part"))
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`${tmp()}/m4` AS SELECT part, " +
+        s"count(DISTINCT cents) AS s FROM ${sqlRef(base)} GROUP BY part"))
+  }
+
   test("non-graft relations are untouched by the rule") {
     import spark.implicits._
     Seq((1, "a")).toDF("x", "y").createOrReplaceTempView("plain")
