@@ -1057,7 +1057,10 @@ object SourceQueries {
       import graft.sources.LogTable
       val t = scratch(s, dir, "graft_q151")
       val base = ordersShaped(s, dir, withOdate = false)
-      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      // even the table's BIRTH is a statement (CTAS onto LogTable.create)
+      base.createOrReplaceTempView("q151_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (o_year) " +
+        "STATS BY (k) AS SELECT * FROM q151_base"): Unit
       val ref = s"graft.`$t`"
       s.sql(s"ALTER TABLE $ref ADD CONSTRAINT cents_nonneg " +
         "CHECK (cents >= 0)"): Unit
@@ -1091,7 +1094,7 @@ object SourceQueries {
       s.sql(s"ALTER TABLE $ref DROP CONSTRAINT cents_nonneg"): Unit
       val ok = caught && floorCaught && filesAfter <= filesBefore &&
         vacd > 0 && tvfPost == updated &&
-        Seq("ADD CONSTRAINT", "UPDATE", "COMPACT")
+        Seq("CREATE", "ADD CONSTRAINT", "UPDATE", "COMPACT")
           .forall(ops.get(_).contains(1L)) &&
         LogTable.snapshot(s, t).constraints.isEmpty
       s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +

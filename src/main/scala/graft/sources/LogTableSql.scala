@@ -414,6 +414,11 @@ object LogTableSql {
         "CHECK\\s*\\((.*)\\)\\s*$", F)
     private val DropConstraintP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*$$", F)
+    private val CreateTableP = Pattern.compile(
+      s"^\\s*CREATE\\s+TABLE\\s+$Ref\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\)" +
+        "(?:\\s+STATS\\s+BY\\s*\\(([^)]+)\\))?" +
+        "(?:\\s+ZORDER\\s+BY\\s*\\((\\w+)\\s*,\\s*(\\w+)\\s*\\))?" +
+        "\\s+AS\\s+(.+)$", F)
     private val CreateMvP = Pattern.compile(
       s"^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref" +
         "(?:\\s+BUCKETS\\s+(\\d+))?\\s+AS\\s+(.+)$", F)
@@ -438,6 +443,15 @@ object LogTableSql {
         return Some(AddConstraintCommand(a.group(1), a.group(2), a.group(3)))
       val d = DropConstraintP.matcher(sqlText)
       if (d.matches()) return Some(DropConstraintCommand(d.group(1), d.group(2)))
+      val ct = CreateTableP.matcher(sqlText)
+      if (ct.matches()) {
+        def cols(g: String): Seq[String] =
+          Option(g).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        return Some(CreateTableCommand(ct.group(1), cols(ct.group(2)),
+          cols(ct.group(3)),
+          Option(ct.group(4)).map(a => Seq(a, ct.group(5))).getOrElse(Nil),
+          ct.group(6)))
+      }
       val cm = CreateMvP.matcher(sqlText)
       if (cm.matches())
         return Some(CreateMvCommand(cm.group(1),
@@ -555,6 +569,27 @@ object LogTableSql {
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.dropConstraint(session, path, name)))
+  }
+
+  /** `CREATE TABLE graft.`dir` PARTITIONED BY (p[, q]) [STATS BY (c, …)]
+    * [ZORDER BY (a, b)] AS SELECT …` — table creation through SQL, onto
+    * the same [[LogTable.create]] the programmatic API calls (partition
+    * tracking, stats declarations and z-order layout all persisted in
+    * the log). The SELECT is real SQL — any source, including other
+    * graft tables.
+    */
+  private[sources] final case class CreateTableCommand(path: String,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      zorderBy: Seq[String], querySql: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val df = GraftBridge.ofRows(session,
+        session.sessionState.sqlParser.parsePlan(querySql))
+      Seq(Row(LogTable.create(session, path, df, partitionCols,
+        statsCols = statsCols, zorderBy = zorderBy)))
+    }
   }
 
   /** `CREATE MATERIALIZED VIEW graft.`mv` [BUCKETS n] AS SELECT ...` —

@@ -268,6 +268,33 @@ class LogTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("stats-declared"))
   }
 
+  test("CREATE TABLE ... AS SELECT builds a real log table through SQL") {
+    import spark.implicits._
+    val src = mkTable(20)
+    val t = tmp() + "/ctas"
+    val v = spark.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (part) " +
+      s"STATS BY (k, cents) AS SELECT * FROM ${sqlRef(src)} WHERE k <= 12")
+      .as[Long].head()
+    assert(v == 1L)
+    val snap = LogTable.snapshot(spark, t)
+    assert(snap.partitionCols == Seq("part"))
+    assert(snap.statsCols == Seq("k", "cents"))
+    assert(LogTable.read(spark, t).count() === 12)
+    // the created table takes DML + lifecycle statements immediately
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 1"): Unit
+    assert(LogTable.read(spark, t).count() === 11)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$t`").count() === 2)
+    // z-order clause persists the layout (stats declaration enforced)
+    val tz = tmp() + "/ctaz"
+    spark.sql(s"CREATE TABLE graft.`$tz` PARTITIONED BY (part) " +
+      s"STATS BY (k, cents) ZORDER BY (k, cents) " +
+      s"AS SELECT * FROM ${sqlRef(src)}"): Unit
+    assert(LogTable.read(spark, tz).count() === 20)
+    intercept[IllegalArgumentException](spark.sql(
+      s"CREATE TABLE graft.`${tmp()}/bad` PARTITIONED BY (part) " +
+        s"ZORDER BY (k, cents) AS SELECT * FROM ${sqlRef(src)}"))
+  }
+
   test("CREATE/REFRESH MATERIALIZED VIEW + graft_mv run the IVM through SQL") {
     val base = mkTable(40)
     val mv = tmp() + "/mv"
