@@ -402,6 +402,8 @@ object LogTableSql {
     private val Ref = "graft\\.`([^`]+)`"
     private val HistoryP = Pattern.compile(
       s"^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*$$", F)
+    private val DetailP = Pattern.compile(
+      s"^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*$$", F)
     private val VacuumP = Pattern.compile(
       s"^\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
         "(\\s+FORCE)?\\s*$", F)
@@ -428,6 +430,8 @@ object LogTableSql {
     private def matchCommand(sqlText: String): Option[LogicalPlan] = {
       val h = HistoryP.matcher(sqlText)
       if (h.matches()) return Some(HistoryCommand(h.group(1)))
+      val dd = DetailP.matcher(sqlText)
+      if (dd.matches()) return Some(DetailCommand(dd.group(1)))
       val v = VacuumP.matcher(sqlText)
       if (v.matches())
         return Some(VacuumCommand(v.group(1),
@@ -518,6 +522,46 @@ object LogTableSql {
           TimestampType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       LogTable.history(session, path).collect().toIndexedSeq
+  }
+
+  /** `DESCRIBE DETAIL` — one row of table-level metadata off the
+    * snapshot alone (no data scan): version, layout declarations, live
+    * file/row/byte totals, deletion-vector load, constraints.
+    */
+  private[sources] final case class DetailCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("partition_columns",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("stats_columns",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bloom_columns",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("total_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("deleted_rows_in_vectors",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("constraints",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val s = LogTable.snapshot(session, path)
+      Seq(Row(s.version, s.partitionCols.mkString(","),
+        s.statsCols.mkString(","), s.bloomCols.mkString(","),
+        s.files.length,
+        s.files.iterator.map(f =>
+          f.rows - f.dv.map(_.deleted).getOrElse(0L)).sum,
+        s.files.iterator.map(_.bytes).sum,
+        s.files.iterator.flatMap(_.dv).map(_.deleted).sum,
+        s.constraints.toSeq.sorted
+          .map { case (n, e) => s"$n: $e" }.mkString("; ")))
+    }
   }
 
   /** `VACUUM` — physical cleanup behind the retention floor; RETAIN n

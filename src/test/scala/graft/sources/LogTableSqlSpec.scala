@@ -268,6 +268,22 @@ class LogTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("stats-declared"))
   }
 
+  test("DESCRIBE DETAIL summarizes the snapshot without a data scan") {
+    val t = mkTable(10)
+    import spark.implicits._
+    LogTable.addConstraint(spark, t, "cents_pos", "cents >= 0"): Unit
+    LogTable.deleteWhere(spark, t, col("k") === 1L,
+      deletionVectors = true): Unit
+    val d = spark.sql(s"DESCRIBE DETAIL ${sqlRef(t)}").head()
+    assert(d.getLong(d.fieldIndex("version")) == 3L)
+    assert(d.getString(d.fieldIndex("partition_columns")) == "part")
+    assert(d.getString(d.fieldIndex("stats_columns")) == "k")
+    assert(d.getLong(d.fieldIndex("num_rows")) == 9L) // DV-net live rows
+    assert(d.getLong(d.fieldIndex("deleted_rows_in_vectors")) == 1L)
+    assert(d.getString(d.fieldIndex("constraints"))
+      .contains("cents_pos: cents >= 0"))
+  }
+
   test("CREATE TABLE ... AS SELECT builds a real log table through SQL") {
     import spark.implicits._
     val src = mkTable(20)
