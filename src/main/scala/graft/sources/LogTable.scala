@@ -208,25 +208,34 @@ object LogTable {
   /** Lock-file coordinator for SEPARATE-PROCESS writers on storage whose
     * no-overwrite rename is not atomic across processes (raw local
     * paths, NFS — the boundary [[RenameCommitCoordinator]] documents).
-    * The publish serializes through `<dst>.lock`, created
-    * atomically-if-absent (`O_CREAT|O_EXCL` via `File.createNewFile` on
-    * local filesystems; the filesystem's own create-no-overwrite
-    * elsewhere) and stamped with an owner id:
     *
-    *  1. acquire the lock (retrying briefly; losing immediately once
-    *     `dst` exists — the other writer finished this version);
-    *  2. under the lock, re-check `dst`: present → release, report loss;
-    *     absent → rename `tmp` into place (no other writer can race the
-    *     rename: they would need the lock);
-    *  3. release.
+    * **Local filesystems use OS file locks** (`FileChannel.tryLock` on
+    * `<dst>.lock`): genuinely atomic across processes, and released by
+    * the kernel when the holder dies — a crashed holder never blocks
+    * anyone and there is NO stale-lock heuristic to get wrong. Same-JVM
+    * contention surfaces as `OverlappingFileLockException`, handled as
+    * lock-busy. The lock FILE is deliberately never deleted: unlinking
+    * a path another process is about to lock would let two processes
+    * hold locks on different inodes of the same name (the classic
+    * unlink+flock race) — the inert empty file is the price of
+    * correctness. Under the lock: re-check `dst` (present → loss),
+    * rename; a failed rename re-checks `dst` once more and reports LOSS
+    * if a competing writer landed it, throwing only when `dst` is
+    * genuinely absent (storage fault, not a race).
     *
-    * A crashed holder's lock is TAKEN OVER once older than `staleMs`
-    * (delete + re-race the create; two concurrent takeovers still
-    * serialize through the atomic create). The takeover horizon is the
-    * protocol's liveness/safety trade: a holder must finish its
-    * (milliseconds-long) rename within `staleMs` or be presumed dead —
-    * a live-but-frozen holder past that horizon is out of contract, the
-    * same clock assumption every lease-based lock service makes.
+    * **Other filesystems keep the stamp-file protocol**: acquire by
+    * create-no-overwrite of an owner-stamped `<dst>.lock`, with a
+    * crashed holder's lock TAKEN OVER once older than `staleMs`. The
+    * takeover re-stats the lock immediately before deleting and only
+    * deletes if the holder's identity (mtime + length) is unchanged —
+    * narrowing, not closing, the delete-a-fresh-lock race; after the
+    * create wins, ownership is FENCED by re-reading the stamp before
+    * the rename (a concurrent takeover that replaced our lock is a
+    * reported loss, never a double-publish). The residual window —
+    * takeover verifies, then the verified-stale lock is replaced before
+    * the delete lands — is the lease-clock assumption every such
+    * protocol makes; deployments with a conditional-put primitive
+    * should use it instead.
     */
   final class LockFileCommitCoordinator(
       staleMs: Long = 60000L, acquireTimeoutMs: Long = 120000L)
@@ -236,50 +245,113 @@ object LogTable {
     private def lockPath(dst: Path) =
       new Path(dst.getParent, dst.getName + ".lock")
 
-    /** Atomic create-if-absent, stamped. Local filesystems get the real
-      * O_EXCL (Hadoop's own `create(overwrite=false)` on a local path is
-      * exists-then-create, not atomic across processes).
+    override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          publishFlock(fs, tmp, dst)
+        case _ => publishStampFile(fs, tmp, dst)
+      }
+
+    /** Rename under a HELD lock: exactly one holder runs this at a time,
+      * so an existing `dst` (before or after a failed rename) is a lost
+      * race to a writer that finished first — report loss, let the
+      * caller retry against the new snapshot. Throw only when the rename
+      * failed with `dst` absent: that is storage misbehaving, not a
+      * race.
+      */
+    private def renameUnderLock(fs: FileSystem, tmp: Path,
+                                dst: Path): Boolean =
+      if (fs.exists(dst)) false
+      else if (fs.rename(tmp, dst)) true
+      else if (fs.exists(dst)) false
+      else throw new java.io.IOException(
+        s"rename $tmp -> $dst failed under the commit lock")
+
+    private def publishFlock(fs: FileSystem, tmp: Path,
+                             dst: Path): Boolean = {
+      val lockFile = new java.io.File(lockPath(dst).toUri.getPath)
+      val deadline = System.currentTimeMillis() + acquireTimeoutMs
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var lock: java.nio.channels.FileLock = null
+        while (lock == null) {
+          // the version may be decided while we queue — lose immediately,
+          // the caller retries against the new snapshot
+          if (fs.exists(dst)) return false
+          lock =
+            try ch.tryLock()
+            catch {
+              // another thread of THIS JVM holds it — same as lock-busy
+              case _: java.nio.channels.OverlappingFileLockException => null
+            }
+          if (lock == null) {
+            if (System.currentTimeMillis() > deadline)
+              throw new java.io.IOException(
+                s"could not acquire commit lock $lockFile within " +
+                  s"$acquireTimeoutMs ms (holder alive — OS locks die " +
+                  "with their process)")
+            Thread.sleep(5L)
+          }
+        }
+        try renameUnderLock(fs, tmp, dst) finally lock.release()
+      } finally ch.close()
+    }
+
+    /** Atomic-if-the-FS-says-so create-no-overwrite, stamped with the
+      * owner id (the fencing token [[publishStampFile]] re-verifies).
       */
     private def tryAcquire(fs: FileSystem, lock: Path): Boolean = {
       val stamp = (owner + "\n" + System.currentTimeMillis() + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      fs match {
-        case _: org.apache.hadoop.fs.LocalFileSystem |
-             _: org.apache.hadoop.fs.RawLocalFileSystem =>
-          val f = new java.io.File(lock.toUri.getPath)
-          if (!f.createNewFile()) false
-          else {
-            val o = new java.io.FileOutputStream(f)
-            try o.write(stamp) finally o.close()
-            true
-          }
-        case _ =>
-          try {
-            val o = fs.create(lock, false)
-            try o.write(stamp) finally o.close()
-            true
-          } catch { case _: java.io.IOException => false }
-      }
+      try {
+        val o = fs.create(lock, false)
+        try o.write(stamp) finally o.close()
+        true
+      } catch { case _: java.io.IOException => false }
     }
 
-    override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    /** Does the lock file currently carry OUR owner stamp? A concurrent
+      * takeover deletes+recreates the lock — re-reading before the
+      * rename fences a holder whose lock was stolen out from under it.
+      */
+    private def ownsLock(fs: FileSystem, lock: Path): Boolean =
+      try {
+        val in = fs.open(lock)
+        val head =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        head.startsWith(owner + "\n")
+      } catch { case scala.util.control.NonFatal(_) => false }
+
+    private[sources] def publishStampFile(fs: FileSystem, tmp: Path,
+                                          dst: Path): Boolean = {
       val lock = lockPath(dst)
       val deadline = System.currentTimeMillis() + acquireTimeoutMs
       var acquired = false
       while (!acquired) {
-        // the version may be decided while we queue — lose immediately,
-        // the caller retries against the new snapshot
         if (fs.exists(dst)) return false
         acquired = tryAcquire(fs, lock)
         if (!acquired) {
-          val holderAge =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime
-            catch { case scala.util.control.NonFatal(_) => 0L } // released
-          if (holderAge > staleMs) {
-            // presumed-dead holder: delete and re-race the atomic create
-            try fs.delete(lock, false): Unit
-            catch { case scala.util.control.NonFatal(_) => () }
+          val holder =
+            try Some(fs.getFileStatus(lock))
+            catch { case scala.util.control.NonFatal(_) => None } // released
+          val holderAge = holder.map(h =>
+            System.currentTimeMillis() - h.getModificationTime).getOrElse(0L)
+          if (holder.isDefined && holderAge > staleMs) {
+            // presumed-dead holder: re-stat IMMEDIATELY before the delete
+            // and only delete the exact lock we judged stale (same mtime
+            // + length) — a takeover that raced us and already recreated
+            // the lock is left alone
+            try {
+              val again = fs.getFileStatus(lock)
+              if (again.getModificationTime == holder.get.getModificationTime
+                  && again.getLen == holder.get.getLen)
+                fs.delete(lock, false): Unit
+            } catch { case scala.util.control.NonFatal(_) => () }
           } else if (System.currentTimeMillis() > deadline)
             throw new java.io.IOException(
               s"could not acquire commit lock $lock within " +
@@ -288,12 +360,14 @@ object LogTable {
         }
       }
       try {
-        if (fs.exists(dst)) false
-        else if (fs.rename(tmp, dst)) true
-        else throw new java.io.IOException(
-          s"rename $tmp -> $dst failed under the commit lock")
+        // fence: a takeover may have replaced our lock while we worked —
+        // publishing without still OWNING it could double-publish
+        if (!ownsLock(fs, lock)) false
+        else renameUnderLock(fs, tmp, dst)
       } finally {
-        try fs.delete(lock, false): Unit
+        // release only OUR lock — deleting a successor's fresh lock
+        // would re-open the very race the fencing closed
+        try if (ownsLock(fs, lock)) fs.delete(lock, false): Unit
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
@@ -351,7 +425,9 @@ object LogTable {
     // mid-write leaving a half-created table whose empty log blocks
     // re-creation
     zorderBy.foreach { c =>
-      val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+      val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"log table $path: unknown z-order column `$c`")).dataType
       require(dt.isInstanceOf[NumericType] || dt == DateType ||
         dt == TimestampType || dt == TimestampNTZType,
         s"log table $path: z-order column `$c` must be numeric/date/" +
@@ -1363,16 +1439,22 @@ object LogTable {
         "one-live-row-per-key discipline"
     val g = keyed.groupBy(col("__k")).agg(
       first(when(col("__t") === "delete", col("__r")),
-        ignoreNulls = true).as("__dr"),
-      sum(when(col("__t") === "delete", 1L).otherwise(0L)).as("__dc0"),
+        ignoreNulls = true).as("__dr0"),
+      sum(when(col("__t") === "delete", 1L).otherwise(0L)).as("__dc"),
       first(when(col("__t") === "insert", col("__r")),
-        ignoreNulls = true).as("__ir"),
-      sum(when(col("__t") === "insert", 1L).otherwise(0L)).as("__ic0"))
+        ignoreNulls = true).as("__ir0"),
+      sum(when(col("__t") === "insert", 1L).otherwise(0L)).as("__ic"))
+    // the uniqueness guard rides ON THE ROW VALUES, not the counts: every
+    // consumer below (the rider filter's <=> and each event branch) reads
+    // a side's row exactly when that side is populated, so a duplicated
+    // side raises STRUCTURALLY wherever its value would be used — no
+    // reliance on how the optimizer folds the projection (a plan change
+    // can reorder evaluation, never drop the guard with the value)
     val checked = g
-      .withColumn("__dc", when(col("__dc0") > 1L,
-        raise_error(lit(dupMsg("pre")))).otherwise(col("__dc0")))
-      .withColumn("__ic", when(col("__ic0") > 1L,
-        raise_error(lit(dupMsg("post")))).otherwise(col("__ic0")))
+      .withColumn("__dr", when(col("__dc") > 1L,
+        raise_error(lit(dupMsg("pre")))).otherwise(col("__dr0")))
+      .withColumn("__ir", when(col("__ic") > 1L,
+        raise_error(lit(dupMsg("post")))).otherwise(col("__ir0")))
       // riders: same key, same content on both sides — net nothing
       .filter(!(col("__dc") > 0L && col("__ic") > 0L &&
         col("__dr") <=> col("__ir")))
@@ -2483,6 +2565,34 @@ object LogTable {
     else {
       val filtered = antiJoinDv(withDvHelpers(raw(dved)),
         dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum)
+      if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
+    }
+  }
+
+  /** [[readFiles]] plus a `tag` column carrying each row's SOURCE FILE
+    * name — what lets a whole-table transaction decide per-file whether
+    * any of its rows actually changed (see [[MergeInto]]'s by-source
+    * victim restriction). Deletion vectors apply exactly as in
+    * [[readFiles]]; the tag is the log-rooted file name.
+    */
+  private[sources] def readFilesTagged(spark: SparkSession, path: String,
+                                       snap: Snapshot, files: Seq[LogFile],
+                                       tag: String): DataFrame = {
+    def raw(fs: Seq[LogFile]): DataFrame =
+      spark.read.schema(snap.schema)
+        .parquet(fs.map(f => new Path(path, f.name).toString): _*)
+    val (dved, plain) = files.partition(_.dv.isDefined)
+    val plainDf =
+      if (plain.isEmpty)
+        emptyDf(spark, snap.schema).withColumn(tag, lit(null).cast("string"))
+      else raw(plain).select(col("*"),
+        substring_index(col("_metadata.file_path"), "/", -1).as(tag))
+    if (dved.isEmpty) plainDf
+    else {
+      val filtered = antiJoinDv(withDvHelpers(raw(dved)),
+        dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum,
+        dropHelpers = false)
+        .withColumnRenamed("__gdv_file", tag).drop("__gdv_idx")
       if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
     }
   }

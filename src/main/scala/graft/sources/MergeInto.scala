@@ -77,8 +77,11 @@ final case class MergeInto private[sources] (
     * upserts present keys AND expires departed ones). Clause SQL sees the
     * TARGET scope only (`t.` or bare names); `s.` references are rejected
     * loud — every source column is definitionally NULL here. A by-source
-    * clause widens the transaction to the WHOLE table (an unmatched key
-    * can live in any partition), so the pruned-victim fast paths are off.
+    * clause widens the transaction's READ to the WHOLE table (an
+    * unmatched key can live in any partition), so the pruned-victim and
+    * disjoint-recommit fast paths are off; the REWRITE is still
+    * restricted to files whose rows actually changed (a cheap
+    * changed-file pass first — Delta's by-source cost model).
     */
   def whenNotMatchedBySourceUpdate(set: Map[String, String],
                                    condition: Option[String] = None)
@@ -167,14 +170,39 @@ final case class MergeInto private[sources] (
         if (bySource.nonEmpty) Nil
         else LogTable.touchedTuples(path, snap, source)
       // a by-source clause reaches target rows whose key the source does
-      // NOT carry — they can live in any partition, so the transaction's
-      // victim set is the whole live file set (exactly Delta's by-source
-      // cost model: the merge reads the full target)
-      val victims =
-        if (bySource.nonEmpty) snap.files
-        else LogTable.victimFiles(snap, touched)
-      val result = applyClauses(snap,
-        LogTable.readFiles(spark, path, snap, victims), source)
+      // NOT carry — they can live in any partition, so the transaction
+      // READS the whole live file set (exactly Delta's by-source cost
+      // model). The REWRITE set is then restricted to the files whose
+      // rows actually changed: a cheap first pass (column-pruned to the
+      // keys + clause-condition columns) collects the distinct source
+      // files of changed rows, and untouched files survive the commit —
+      // a routine snapshot-sync touching few rows no longer rewrites
+      // (and vacuum-indebts) the entire table.
+      val (victims, result) =
+        if (bySource.isEmpty) {
+          val v = LogTable.victimFiles(snap, touched)
+          (v, applyClauses(snap,
+            LogTable.readFiles(spark, path, snap, v), source))
+        } else {
+          val joined = taggedJoin(snap, LogTable.readFilesTagged(
+            spark, path, snap, snap.files, "__graft_file"), source)
+          val changed = joined
+            .filter(col("__act") =!= "keep" && col("__act") =!= "drop" &&
+              col("__graft_file").isNotNull)
+            .select("__graft_file").distinct()
+            .collect().map(_.getString(0)).toSet // bounded: ≤ live files
+          if (changed.size > MergeInto.RestrictVictimsMaxFiles) {
+            // an IN-list over very many names stops paying for itself —
+            // degrade to the classic full rewrite
+            (snap.files, projectResult(snap,
+              joined.drop("__graft_file")))
+          } else {
+            val keep = joined.filter(col("__graft_file").isNull ||
+              col("__graft_file").isin(changed.toSeq: _*))
+            (snap.files.filter(f => changed.contains(f.name)),
+              projectResult(snap, keep.drop("__graft_file")))
+          }
+        }
       LogTable.enforceConstraints(path, snap, result)
       val ddl = widenedDdl(snap)
       val adds = LogTable.writeDataFiles(spark, path, result,
@@ -232,13 +260,13 @@ final case class MergeInto private[sources] (
   private def cond(c: Option[String]): Column =
     c.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true))
 
-  /** The merge as one declarative plan over `base FULL OUTER JOIN source`:
-    * a per-row `__act` tag picks the first true clause, the projection
-    * dispatches each target column on it. All codegen-friendly CASE
-    * chains — no UDFs, no driver loops.
+  /** `base FULL OUTER JOIN source` with the per-row `__act` tag — the
+    * first true clause's verdict for every row, before any filtering
+    * (the by-source path reads it twice: once to find the files whose
+    * rows changed, once to produce the surviving rows).
     */
-  private[sources] def applyClauses(snap: LogTable.Snapshot, base: DataFrame,
-                                    src: DataFrame): DataFrame = {
+  private[sources] def taggedJoin(snap: LogTable.Snapshot, base: DataFrame,
+                                  src: DataFrame): DataFrame = {
     val t = base.withColumn("__t_ex", lit(true)).alias("t")
     val s = src.withColumn("__s_ex", lit(true)).alias("s")
     val joinCond = keyCols.map(k =>
@@ -263,6 +291,15 @@ final case class MergeInto private[sources] (
         matchedAct)
       .when(col("t.__t_ex").isNotNull, bySourceAct)
       .otherwise(insAct)
+    joined.withColumn("__act", act)
+  }
+
+  /** The merge's surviving rows: drop deletions and non-inserted source
+    * rows, dispatch each target column on `__act`. All codegen-friendly
+    * CASE chains — no UDFs, no driver loops.
+    */
+  private[sources] def projectResult(snap: LogTable.Snapshot,
+                                     joined: DataFrame): DataFrame = {
     val outCols = snap.schema.fields.toIndexedSeq.map { f =>
       var e: Column = col("t." + quote(f.name))
       matched.zipWithIndex.foreach { case (cl, i) =>
@@ -287,10 +324,16 @@ final case class MergeInto private[sources] (
         insertExpr(ic, f.name, f.dataType)).otherwise(e) }
       e.as(f.name)
     }
-    joined.withColumn("__act", act)
-      .filter(col("__act") =!= "del" && col("__act") =!= "drop")
+    joined.filter(col("__act") =!= "del" && col("__act") =!= "drop")
       .select(outCols: _*)
   }
+
+  /** The merge as one declarative plan over `base FULL OUTER JOIN
+    * source` — see [[taggedJoin]] and [[projectResult]].
+    */
+  private[sources] def applyClauses(snap: LogTable.Snapshot, base: DataFrame,
+                                    src: DataFrame): DataFrame =
+    projectResult(snap, taggedJoin(snap, base, src))
 
   private def insertExpr(ic: MergeInto.InsertClause, field: String,
                          dt: DataType): Column =
@@ -336,6 +379,13 @@ final case class MergeInto private[sources] (
 }
 
 object MergeInto {
+  /** Above this many changed files a by-source merge's restricted
+    * rewrite degrades to the classic full rewrite — an IN-list of file
+    * names larger than this costs more in the plan than it saves in
+    * write volume (and a change set that wide IS a full rewrite).
+    */
+  val RestrictVictimsMaxFiles = 10000
+
   /** A WHEN MATCHED clause: `set = Some(assignments)` updates,
     * `set = None` deletes; `condition` is SQL over `t.`/`s.`.
     */

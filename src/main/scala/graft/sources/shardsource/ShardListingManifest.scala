@@ -17,19 +17,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * file, so the recursive walk costs two `getFileStatus` calls and one
   * short read per directory, flat in the shard count.
   *
-  * **Freshness without listing** — the sidecar is trusted only when the
-  * DIRECTORY's mtime is at or before the sidecar's own: every child
-  * add/remove/rename bumps the parent directory's mtime on a POSIX
-  * filesystem, so a shard exported after the sidecar (or a crashed
-  * export's leftover churn) makes the directory strictly newer and the
+  * **Freshness without listing** — the sidecar is trusted outright only
+  * when the DIRECTORY's mtime is strictly BEFORE the sidecar's own:
+  * every child add/remove/rename bumps the parent directory's mtime on
+  * a POSIX filesystem, so a shard exported after the sidecar (or a
+  * crashed export's leftover churn) makes the directory newer and the
   * walk DEGRADES to the real `listStatus` — staleness costs the old
-  * price, never a missed shard. [[write]] pins the sidecar's mtime to
-  * the directory's own post-rename mtime so the fresh state is
-  * deterministic; a writer landing a shard within the same millisecond
-  * as the sidecar commit is outside the export discipline (the listing
-  * is written LAST, after every shard and the aggregate). Filesystems
-  * without directory mtimes (object stores lacking the semantic) never
-  * validate — same degradation.
+  * price, never a missed shard. [[write]] pins the sidecar's mtime one
+  * millisecond PAST the directory's post-rename mtime so the fresh
+  * state validates strictly. The two untrustworthy cases both fail
+  * CLOSED: a non-positive directory mtime (object stores whose marker
+  * directories report 0 — mtime carries no information there) is a
+  * miss, and an EQUAL stamp (a change landed within the sidecar's own
+  * mtime granule, or a coarse-granularity filesystem rounded the pin
+  * away) triggers a VERIFYING read — one real `listStatus`, compared
+  * name-for-name (and byte-for-byte on shard sizes) against the
+  * sidecar's records; any mismatch is a miss. The residual blind spot
+  * is a change landing within the same mtime granule as the
+  * directory's LAST pre-sidecar stamp — outside the export discipline
+  * (the listing is written last, after every shard and the aggregate).
   *
   * The sidecar is DERIVED state (rebuilt from one listing at any time),
   * written by `exportPayloadShards` after the aggregate manifest with
@@ -39,7 +45,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ShardListingManifest {
 
   val FileName = "_graft_shards.list"
-  private val Header = "graft-shard-listing\tv1"
+  private val HeaderV1 = "graft-shard-listing\tv1"
+  // v2 adds the record count to the header — a torn/truncated sidecar
+  // (fewer lines than promised) parses as None instead of as a shorter
+  // directory; v1 sidecars read forever (no count check)
+  private val HeaderV2 = "graft-shard-listing\tv2"
 
   /** One directory's frozen children: subdirectory names and committed
     * shard (name, tarBytes) pairs — names relative to the directory.
@@ -49,10 +59,13 @@ object ShardListingManifest {
   def listPath(dir: Path): Path = new Path(dir, FileName)
 
   /** Observability counters (JVM-local — what the spec pins): sidecar
-    * walks served from a fresh listing vs degraded to `listStatus`.
+    * walks served from a fresh listing vs degraded to `listStatus`;
+    * `verified` counts the equal-stamp probes that paid a real listing
+    * to break the mtime tie (a subset of hits when the compare held).
     */
   val hits = new java.util.concurrent.atomic.AtomicLong(0L)
   val misses = new java.util.concurrent.atomic.AtomicLong(0L)
+  val verified = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
@@ -79,8 +92,9 @@ object ShardListingManifest {
     val tmp = new Path(dir, FileName + "." +
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write((Header + "\n" + lines.mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      (HeaderV2 + "\t" + lines.size + "\n" + lines.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = listPath(dir)
     if (fs.exists(dst)) fs.delete(dst, false): Unit
@@ -89,9 +103,12 @@ object ShardListingManifest {
       else throw new java.io.IOException(s"rename $tmp -> $dst failed")
     }
     // the rename above just bumped the directory's mtime past the
-    // sidecar's creation time — align them so the sidecar validates
+    // sidecar's creation time — pin the sidecar one millisecond PAST it
+    // so the fresh state validates STRICTLY (dir < sidecar); a coarse
+    // filesystem that rounds the pin back to equality degrades to the
+    // verifying read, never to blind trust
     val dirM = fs.getFileStatus(dir).getModificationTime
-    try fs.setTimes(dst, math.max(dirM, fs.getFileStatus(dst)
+    try fs.setTimes(dst, math.max(dirM + 1L, fs.getFileStatus(dst)
       .getModificationTime), -1)
     catch { case scala.util.control.NonFatal(_) => () } // degrade: stale
     lines.size
@@ -138,8 +155,11 @@ object ShardListingManifest {
       try fs.getFileStatus(dir).getModificationTime
       catch { case scala.util.control.NonFatal(_) =>
         misses.incrementAndGet(); return None }
-    if (dirM > side.getModificationTime) {
-      // the directory changed after the sidecar — degrade to the walk
+    // fail CLOSED on an untrustworthy directory mtime: 0/negative means
+    // the filesystem carries no directory-change signal (S3A marker
+    // dirs) — trusting a sidecar forever there would silently miss
+    // every shard exported after it
+    if (dirM <= 0L || dirM > side.getModificationTime) {
       misses.incrementAndGet()
       return None
     }
@@ -155,9 +175,35 @@ object ShardListingManifest {
           p
       }
     }
-    (if (parsed.isDefined) hits else misses).incrementAndGet(): Unit
-    parsed
+    // EQUAL stamps cannot distinguish "unchanged" from "changed within
+    // the sidecar's mtime granule" — break the tie with one real
+    // listing, compared against the records; costs the old price, which
+    // is exactly the promised degradation
+    val checked = parsed.filter { l =>
+      dirM < side.getModificationTime || {
+        verified.incrementAndGet()
+        matchesLive(fs, dir, l)
+      }
+    }
+    (if (checked.isDefined) hits else misses).incrementAndGet(): Unit
+    checked
   }
+
+  /** Does one REAL listing agree with the sidecar's records exactly —
+    * same subdirectory names, same committed shard (name, bytes) pairs?
+    */
+  private def matchesLive(fs: FileSystem, dir: Path, l: Listing): Boolean =
+    try {
+      val subdirs = Set.newBuilder[String]
+      val shards = Set.newBuilder[(String, Long)]
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) subdirs += n
+        else if (st.isFile && n.endsWith(".tar")) shards += ((n, st.getLen))
+      }
+      subdirs.result() == l.subdirs.toSet &&
+        shards.result() == l.shards.toSet
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def parse(fs: FileSystem, dir: Path): Option[Listing] =
     try {
@@ -171,7 +217,15 @@ object ShardListingManifest {
           new String(bos.toByteArray, StandardCharsets.UTF_8)
         } finally in.close()
       val lines = text.split('\n').iterator.filter(_.nonEmpty).toIndexedSeq
-      if (lines.isEmpty || lines.head != Header) None
+      val expected: Option[Int] =
+        if (lines.isEmpty) return None
+        else if (lines.head == HeaderV1) None
+        else if (lines.head.startsWith(HeaderV2 + "\t"))
+          Some(lines.head.drop(HeaderV2.length + 1).toInt)
+        else return None
+      // a truncated v2 sidecar has fewer records than its header
+      // promised — torn, not a shorter directory
+      if (expected.exists(_ != lines.size - 1)) None
       else {
         val subdirs = Seq.newBuilder[String]
         val shards = Seq.newBuilder[(String, Long)]

@@ -32,7 +32,12 @@ class LockCoordinatorSpec extends SparkSpec {
     val dst = new Path(dir, "00001.json")
     assert(coord.publish(fs, mkTmp("t1"), dst))
     assert(fs.exists(dst))
-    assert(!fs.exists(new Path(dir, "00001.json.lock")), "lock must release")
+    // the OS lock must be RELEASED (the inert lock file may remain —
+    // flock identity is the lock, not the file): a different coordinator
+    // can immediately decide the next version through the same lock path
+    val coord2 = new LogTable.LockFileCommitCoordinator(
+      acquireTimeoutMs = 2000L)
+    assert(coord2.publish(fs, mkTmp("t1b"), new Path(dir, "00001b.json")))
     // second publish to the same version must LOSE, not replace
     val t2 = mkTmp("t2")
     assert(!coord.publish(fs, t2, dst))
@@ -42,27 +47,97 @@ class LockCoordinatorSpec extends SparkSpec {
     assert(new String(buf, 0, n, "UTF-8") == "t1", "loser must not clobber")
   }
 
-  test("a stale (crashed-holder) lock is taken over; a live one is respected") {
+  test("a crashed holder's lock file is inert; a LIVE OS lock is respected") {
     val dir = tmp()
     val fs = fsOf(dir)
     val dst = new Path(dir, "00002.json")
     val lock = new java.io.File(dir, "00002.json.lock")
-    // plant a crashed holder's lock, aged past the staleness horizon
+    // a crashed holder leaves only a FILE — the kernel released its lock
+    // with the process, so publish proceeds immediately (no staleness
+    // horizon exists on local filesystems)
     java.nio.file.Files.write(lock.toPath, "dead\n0\n".getBytes("UTF-8")): Unit
     assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
-    val coord = new LogTable.LockFileCommitCoordinator(staleMs = 1000L)
+    val coord = new LogTable.LockFileCommitCoordinator()
     val t = new Path(dir, "t")
     val o = fs.create(t, true); o.write(1); o.close()
-    assert(coord.publish(fs, t, dst), "stale lock must be taken over")
-    // a FRESH foreign lock blocks until the acquire timeout, loud
+    assert(coord.publish(fs, t, dst), "a dead holder's file must not block")
+    // a HELD lock (live holder) blocks until the acquire timeout, loud
     val dst3 = new Path(dir, "00003.json")
     val lock3 = new java.io.File(dir, "00003.json.lock")
-    java.nio.file.Files.write(lock3.toPath, "live\n0\n".getBytes("UTF-8")): Unit
+    val ch = java.nio.channels.FileChannel.open(lock3.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      val strict = new LogTable.LockFileCommitCoordinator(
+        acquireTimeoutMs = 300L)
+      val t3 = new Path(dir, "t3")
+      val o3 = fs.create(t3, true); o3.write(1); o3.close()
+      intercept[java.io.IOException] { strict.publish(fs, t3, dst3) }
+    } finally { held.release(); ch.close() }
+  }
+
+  test("a failed rename re-checks dst: competing commit = LOSS, absence = loud") {
+    val dir = tmp()
+    val fs = fsOf(dir)
+    // wrapper filesystem whose rename FAILS after landing a competing
+    // writer's dst — the lost-race edge a frozen-then-resumed holder hits
+    // when a foreign writer decided the version while it slept
+    class RaceFs(inner: org.apache.hadoop.fs.FileSystem, competing: Boolean)
+        extends org.apache.hadoop.fs.FilterFileSystem(inner) {
+      override def rename(src: Path, dst: Path): Boolean = {
+        if (competing) {
+          val o = inner.create(dst, true)
+          o.write("foreign".getBytes("UTF-8")); o.close()
+        }
+        false // the holder's own rename fails either way
+      }
+    }
+    def mkTmp(n: String): Path = {
+      val p = new Path(dir, n)
+      val o = fs.create(p, true); o.write(n.getBytes("UTF-8")); o.close()
+      p
+    }
+    val coord = new LogTable.LockFileCommitCoordinator()
+    // competing dst landed → publish reports LOSS (caller retries) …
+    assert(!coord.publish(new RaceFs(fs, competing = true),
+      mkTmp("t4"), new Path(dir, "00004.json")))
+    // … while a rename failing with dst ABSENT is storage misbehaving
+    intercept[java.io.IOException] {
+      coord.publish(new RaceFs(fs, competing = false),
+        mkTmp("t5"), new Path(dir, "00005.json"))
+    }
+  }
+
+  test("stamp-file protocol: stale takeover, fencing, fresh-holder respect") {
+    val dir = tmp()
+    val fs = fsOf(dir)
+    val coord = new LogTable.LockFileCommitCoordinator(staleMs = 1000L)
+    def mkTmp(n: String): Path = {
+      val p = new Path(dir, n)
+      val o = fs.create(p, true); o.write(n.getBytes("UTF-8")); o.close()
+      p
+    }
+    // a stale foreign stamp is taken over (re-stat + delete + re-race)
+    val dst = new Path(dir, "00006.json")
+    val lock = new java.io.File(dir, "00006.json.lock")
+    java.nio.file.Files.write(lock.toPath, "dead\n0\n".getBytes("UTF-8")): Unit
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    assert(coord.publishStampFile(fs, mkTmp("t6"), dst),
+      "stale stamp must be taken over")
+    assert(fs.exists(dst))
+    assert(!lock.exists(), "winner must release its own stamp")
+    // a FRESH foreign stamp blocks until the acquire timeout, loud, and
+    // is NOT deleted on the way out (it is not ours — fencing)
+    val dst7 = new Path(dir, "00007.json")
+    val lock7 = new java.io.File(dir, "00007.json.lock")
+    java.nio.file.Files.write(lock7.toPath, "live\n0\n".getBytes("UTF-8")): Unit
     val strict = new LogTable.LockFileCommitCoordinator(
       staleMs = 60000L, acquireTimeoutMs = 300L)
-    val t3 = new Path(dir, "t3")
-    val o3 = fs.create(t3, true); o3.write(1); o3.close()
-    intercept[java.io.IOException] { strict.publish(fs, t3, dst3) }
+    intercept[java.io.IOException] {
+      strict.publishStampFile(fs, mkTmp("t7"), dst7)
+    }
+    assert(lock7.exists(), "a foreign live stamp must survive our timeout")
   }
 
   test("thread race: N writers, one destination each version, no torn commits") {

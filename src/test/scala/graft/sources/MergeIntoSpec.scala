@@ -282,6 +282,41 @@ class MergeIntoSpec extends SparkSpec {
     assert(got == Seq((1L, 111L), (3L, 300L), (9L, 900L)))
   }
 
+  test("by-source merge rewrites ONLY the files whose rows changed") {
+    val dir = tmp() + "/t"
+    // enough shuffle partitions that each partition value gets own files
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, baseDf, "p")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val before = LogTable.snapshot(spark, dir)
+    assert(before.files.size >= 2, "need multiple files to tell apart")
+    // the source mirrors every key except k=4 (p3's only row) — the
+    // by-source DELETE touches exactly p3's file; p1/p2 rows are
+    // byte-identical survivors and their files must NOT be rewritten
+    val src = Seq((1L, 100L, "p1"), (2L, 200L, "p1"), (3L, 300L, "p2"))
+      .toDF("k", "cents", "p")
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents"),
+        condition = Some("s.cents <> t.cents")) // never true here
+      .whenNotMatchedBySourceDelete()
+      .run(): Unit
+    val after = LogTable.snapshot(spark, dir)
+    val beforeNames = before.files.map(_.name).toSet
+    val survivors = after.files.map(_.name).toSet.intersect(beforeNames)
+    assert(survivors.nonEmpty,
+      "files with no changed rows must survive a by-source merge")
+    val removed = beforeNames.diff(after.files.map(_.name).toSet)
+    // only the file(s) holding k=4 (partition p3) were rewritten
+    assert(removed.forall(n => before.files.find(_.name == n)
+      .exists(f => f.pmin <= "p3" && f.pmax >= "p3")),
+      s"rewrote files outside the changed set: $removed")
+    assert(LogTable.read(spark, dir).count() == 3L)
+    assert(LogTable.read(spark, dir)
+      .filter(col("k") === 4L).count() == 0L)
+  }
+
   test("by-source UPDATE applies target-scope assignments under its condition") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")

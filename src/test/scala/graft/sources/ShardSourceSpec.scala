@@ -345,6 +345,41 @@ class ShardSourceSpec extends SparkSpec {
     assert(ShardScan.listStatusCalls.get() == 0L)
   }
 
+  test("listing sidecar fails CLOSED: same-stamp churn verified, zero dir mtime missed") {
+    val (dir, _) = writeShards()
+    import graft.sources.shardsource.ShardListingManifest
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ShardListingManifest.write(fs, p): Unit
+    assert(ShardListingManifest.read(fs, p).isDefined)
+    // land a shard, then BACK-DATE the directory to the sidecar's own
+    // stamp — the coarse-mtime blind spot where add-time == sidecar-time;
+    // the equal-stamp verifying read must catch the extra child
+    val one = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    java.nio.file.Files.copy(one.toPath,
+      new java.io.File(dir, "shard-zzzzz-00000.tar").toPath)
+    val sideM = fs.getFileStatus(ShardListingManifest.listPath(p))
+      .getModificationTime
+    fs.setTimes(p, sideM, -1)
+    val vBefore = ShardListingManifest.verified.get()
+    assert(ShardListingManifest.read(fs, p).isEmpty,
+      "same-stamp churn must not be trusted")
+    assert(ShardListingManifest.verified.get() > vBefore,
+      "the equal-stamp tie must be broken by a verifying listing")
+    // equal stamp with NO churn: verification agrees, the listing serves
+    ShardListingManifest.write(fs, p): Unit
+    fs.setTimes(p, fs.getFileStatus(ShardListingManifest.listPath(p))
+      .getModificationTime, -1)
+    assert(ShardListingManifest.read(fs, p).isDefined,
+      "a verified equal-stamp sidecar must serve")
+    // a directory whose mtime carries no signal (0 — S3A marker-dir
+    // semantics) must never validate, fresh sidecar or not
+    fs.setTimes(p, 0L, -1)
+    assert(ShardListingManifest.read(fs, p).isEmpty,
+      "a zero directory mtime must fail closed")
+  }
+
   test("listing fans out above the directory threshold — same shards planned") {
     val (src, _) = writeShards()
     val one = new java.io.File(src).listFiles()
