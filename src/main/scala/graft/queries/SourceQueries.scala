@@ -1053,6 +1053,92 @@ object SourceQueries {
     // restates the one row-visible change (the UPDATE); everything else
     // must be row-invisible, so a compaction or vacuum that altered
     // rows hash-reds.
+    // NAMED TABLES — the DSv2 TableCatalog gate: the full lifecycle
+    // (CREATE NAMESPACE, CTAS, DELETE/UPDATE/MERGE/INSERT, VERSION AS
+    // OF, DESCRIBE HISTORY/DETAIL, ALTER evolution) through
+    // `glake.db.orders` NAMES, resolving through the SAME
+    // snapshot/FileIndex plan as the `graft.`path`` form — named_ok
+    // pins plan identity (LogTableFileIndex behind the name),
+    // name/path parity, time travel, the history ledger and the
+    // metadata-only evolution; the oracle restates the DML chain.
+    "q155_named_catalog" -> ((s, dir) => {
+      import graft.sources.{GraftCatalog, LogTable}
+      val root = scratch(s, dir, "graft_q155")
+      s.conf.set("spark.sql.catalog.glake", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake.root", root)
+      val base = ordersShaped(s, dir, withOdate = false)
+      base.createOrReplaceTempView("q155_base")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS glake.db"): Unit
+      s.sql("CREATE TABLE glake.db.orders PARTITIONED BY (o_year) " +
+        "STATS BY (k) AS SELECT * FROM q155_base"): Unit
+      s.sql("DELETE FROM glake.db.orders " +
+        "WHERE o_year = 1996 AND k % 5 = 0"): Unit
+      s.sql("UPDATE glake.db.orders SET cents = (cents * 110) div 100, " +
+        "version = 1 WHERE o_year = 1997 AND k % 7 = 0"): Unit
+      val y98 = base.filter(col("o_year") === 1998)
+      y98.filter(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .withColumn("act", when(col("k") % 13 === 0, "D").otherwise("U"))
+        .withColumn("newcents", col("cents") + 1111)
+        .select("k", "status", "newcents", "o_year", "act")
+        .unionByName(y98.filter(col("k") % 11 === 0)
+          .select((col("k") + 10000000L).as("k"), col("status"),
+            (col("cents") + 5).as("newcents"), col("o_year"),
+            lit("I").as("act")))
+        .createOrReplaceTempView("q155_src")
+      s.sql(
+        """MERGE INTO glake.db.orders t USING q155_src s ON t.k = s.k
+          |WHEN MATCHED AND s.act = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET cents = s.newcents, version = 2
+          |WHEN NOT MATCHED THEN INSERT (k, status, cents, o_year, version, op)
+          |  VALUES (s.k, s.status, s.newcents, s.o_year, 3, 'U')
+          |""".stripMargin): Unit
+      s.sql("INSERT INTO glake.db.orders " +
+        "SELECT k + 20000000, status, cents * 2, o_year, 4, 'U' " +
+        "FROM q155_base WHERE o_year = 1999 AND k % 50 = 0"): Unit
+      // time travel by NAME sees the CTAS state; name/path parity holds
+      val v1 = s.sql(
+        "SELECT count(*) AS n FROM glake.db.orders VERSION AS OF 1")
+        .head().getLong(0)
+      val tablePath = s"$root/db/orders"
+      val byPath = LogTable.read(s, tablePath).count()
+      val byName = s.table("glake.db.orders").count()
+      // the scan behind the name IS the log-table FileIndex plan
+      val planOk = s.table("glake.db.orders").queryExecution.analyzed
+        .collectFirst {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+              fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+              _, _, _, _)
+              if fs.location.isInstanceOf[
+                graft.sources.LogTableFileIndex] => ()
+        }.isDefined
+      val ops = s.sql("DESCRIBE HISTORY glake.db.orders")
+        .groupBy("operation").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val detailOk = s.sql("DESCRIBE DETAIL glake.db.orders")
+        .head().getAs[String]("partition_columns") == "o_year"
+      // schema evolution by name: append a column, widen a type —
+      // metadata-only (zero files touched), old rows NULL-fill
+      val filesBefore = LogTable.snapshot(s, tablePath).files.map(_.name)
+      s.sql("ALTER TABLE glake.db.orders ADD COLUMNS (note STRING)"): Unit
+      s.sql("ALTER TABLE glake.db.orders " +
+        "ALTER COLUMN version TYPE BIGINT"): Unit
+      val schema = s.table("glake.db.orders").schema
+      val evolveOk =
+        schema.fieldNames.contains("note") &&
+        schema("version").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        LogTable.snapshot(s, tablePath).files.map(_.name) == filesBefore &&
+        s.table("glake.db.orders")
+          .filter(col("note").isNotNull).count() == 0L
+      val ok = v1 == base.count() && byPath == byName && planOk &&
+        detailOk && evolveOk &&
+        Seq("CREATE", "MERGE_INTO").forall(ops.contains)
+      s.sql("SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+        "sum(cents) AS sum_cents, sum(version) AS sum_version " +
+        "FROM glake.db.orders GROUP BY o_year, status")
+        .withColumn("named_ok", lit(ok))
+    }),
+
     "q151_sql_lifecycle" -> ((s, dir) => {
       import graft.sources.LogTable
       val t = scratch(s, dir, "graft_q151")
@@ -1828,6 +1914,45 @@ object SourceQueries {
     // Only the UPDATE is row-visible — constraint add/drop, the caught
     // violating insert, OPTIMIZE and VACUUM must all leave rows alone;
     // lifecycle_ok pins the enforcement, the floor, and the ledger.
+    "q155_named_catalog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |d1 AS (SELECT * FROM base WHERE NOT (o_year = 1996 AND k % 5 = 0)),
+        |u1 AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0
+        |         THEN (cents * 110) // 100 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0 THEN 1 ELSE version END AS version
+        |  FROM d1),
+        |m1 AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1998 AND k % 7 = 0 AND k % 13 <> 0
+        |         THEN cents + 1111 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1998 AND k % 7 = 0 AND k % 13 <> 0
+        |         THEN 2 ELSE version END AS version
+        |  FROM u1
+        |  WHERE NOT (o_year = 1998 AND k % 13 = 0)),
+        |mi AS (
+        |  SELECT k + 10000000 AS k, status, cents + 5 AS cents, o_year,
+        |         3 AS version
+        |  FROM base WHERE o_year = 1998 AND k % 11 = 0),
+        |ai AS (
+        |  SELECT k + 20000000 AS k, status, cents * 2 AS cents, o_year,
+        |         4 AS version
+        |  FROM base WHERE o_year = 1999 AND k % 50 = 0),
+        |final AS (SELECT * FROM m1 UNION ALL SELECT * FROM mi
+        |          UNION ALL SELECT * FROM ai)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS named_ok
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
+
     "q151_sql_lifecycle" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -2108,6 +2108,75 @@ object LogTable {
       case _ => false
     }
 
+  /** EXPLICIT schema evolution — the DDL-statement form of what
+    * `mergeSchema = true` does implicitly on a write: ADD COLUMNS
+    * (appended, nullable — existing files NULL-fill on read) and
+    * widening ALTER COLUMN TYPE (the [[typeWidens]] lattice; old files
+    * never rewritten — the vectorized reader serves narrow pages under
+    * the wider schema). One metadata-only commit (`dataChange = false`,
+    * zero files touched); a commit race re-derives from the winner's
+    * snapshot and retries. Fed by the catalog's `alterTable`
+    * ([[GraftCatalog]], Spark's native `ALTER TABLE name ...`) and by
+    * the path-form SQL dialect ([[LogTableSql.GraftSqlParser]]).
+    */
+  def evolveSchema(spark: SparkSession, path: String,
+                   changes: Seq[org.apache.spark.sql.connector.catalog.TableChange],
+                   maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      var fields = snap.schema.fields.toIndexedSeq
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1,
+            s"log table $path: nested column adds are not supported " +
+              s"(got `${a.fieldNames.mkString(".")}`)")
+          val n = a.fieldNames.head
+          require(!fields.exists(_.name.equalsIgnoreCase(n)),
+            s"log table $path: column `$n` already exists")
+          require(a.isNullable,
+            s"log table $path: new column `$n` must be nullable — " +
+              "existing rows can only NULL-fill")
+          require(a.position() == null,
+            s"log table $path: column position is not supported — new " +
+              "columns append (readers resolve by name)")
+          fields = fields :+ org.apache.spark.sql.types.StructField(
+            n, a.dataType, nullable = true)
+        case u: TableChange.UpdateColumnType =>
+          require(u.fieldNames.length == 1,
+            s"log table $path: nested column types are not supported")
+          val n = u.fieldNames.head
+          val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
+          require(i >= 0, s"log table $path: unknown column `$n`")
+          val f = fields(i)
+          if (f.dataType != u.newDataType) {
+            require(typeWidens(f.dataType, u.newDataType),
+              s"log table $path: cannot alter `$n` " +
+                s"${f.dataType.sql} -> ${u.newDataType.sql} — only the " +
+                "lossless widenings byte->short->int->long and " +
+                "float->double evolve without rewriting files")
+            fields = fields.updated(i, f.copy(dataType = u.newDataType))
+          }
+        case other => throw new UnsupportedOperationException(
+          s"log table $path: unsupported ALTER TABLE change $other — " +
+            "ADD COLUMNS and widening ALTER COLUMN TYPE only")
+      }
+      try {
+        commit(spark, path, snap.version + 1,
+          StructType(fields).toDDL, snap.partitionCols, snap.statsCols,
+          Nil, Nil, dataChange = false, bloomCols = snap.bloomCols,
+          operation = "ALTER_SCHEMA", constraints = snap.constraints)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Normalize a double for comparison the way the engine's primitive
     * comparison behaves: -0.0 collapses to 0.0, and NaN is UNORDERABLE —
     * a NaN bound (or literal) yields None so the caller keeps the file
@@ -2727,7 +2796,17 @@ object LogTable {
       .groupBy(col("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per NEW file
-    val adds = stats.map { r =>
+    // a zero-row file (footer-only artifact of an empty write) carries
+    // no information and would trip the non-null partition-stats
+    // contract — drop it physically, reference nothing
+    val adds = stats.filter { r =>
+      val live = r.getLong(r.fieldIndex("__rows")) > 0L
+      if (!live) {
+        val src = new Path(java.net.URI.create(r.getString(r.fieldIndex("__f"))))
+        fs.delete(src, false): Unit
+      }
+      live
+    }.map { r =>
       val rows = r.getLong(r.fieldIndex("__rows"))
       val colStats = tracked.zipWithIndex.map { case (c, i) =>
         val mn = Option(r.getString(r.fieldIndex(s"__min_$i")))

@@ -51,6 +51,33 @@ object LogTableSql {
       Some(parts(1))
     else None
 
+  /** `Seq("lake", "db", "orders")` → the table directory, when `lake`
+    * is a registered [[GraftCatalog]] in the ACTIVE session — how every
+    * named reference resolves to the same path the `graft.`dir`` form
+    * names directly. None for anything else (unregistered head, another
+    * catalog's table, a bare name): the caller falls through to Spark's
+    * own resolution.
+    */
+  private[sources] def namedGraftPath(parts: Seq[String]): Option[String] =
+    if (parts.length < 2 || parts.head.equalsIgnoreCase("graft")) None
+    else try {
+      val cm = SparkSession.active.sessionState.catalogManager
+      if (!cm.isCatalogRegistered(parts.head)) None
+      else cm.catalog(parts.head) match {
+        case g: GraftCatalog => Some(g.pathOf(parts.tail))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A lifecycle-statement table reference — either form — to its path:
+    * `graft.`/dir`` directly, `lake.db.orders` through the catalog.
+    */
+  private val PathForm = "graft\\.`([^`]+)`".r
+  private def refPath(ref: String): Option[String] = ref match {
+    case PathForm(p) => Some(p)
+    case _ => namedGraftPath(ref.split('.').toIndexedSeq)
+  }
+
   private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
     plan match {
       case u: UnresolvedRelation => graftPath(u.multipartIdentifier).map(_ -> None)
@@ -120,6 +147,25 @@ object LogTableSql {
         case u: UnresolvedRelation if !u.isStreaming &&
             graftPath(u.multipartIdentifier).isDefined =>
           relation(graftPath(u.multipartIdentifier).get, None)
+
+        // a NAMED table Spark's catalog resolution already materialized
+        // (spark.table("lake.db.t"), or SQL under USE lake) — swap the
+        // capability-less catalog handle for the real log-table plan,
+        // KEEPING the original output ids so parents already resolved
+        // against the V2 relation stay valid (one read path, q148)
+        case d: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation if d.table.isInstanceOf[GraftTable] =>
+          val gt = d.table.asInstanceOf[GraftTable]
+          val fresh = relation(gt.path, gt.asOf)
+          val byName = fresh.output.map(a => a.name.toLowerCase -> a).toMap
+          Project(d.output.map { a =>
+            val src = byName.getOrElse(a.name.toLowerCase,
+              throw new IllegalStateException(
+                s"graft catalog: column `${a.name}` of ${gt.name()} is " +
+                  "missing from the log-table relation"))
+            org.apache.spark.sql.catalyst.expressions.Alias(src, a.name)(
+              exprId = a.exprId)
+          }, fresh)
 
         // VERSION AS OF n / TIMESTAMP AS OF ts
         case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
@@ -329,6 +375,15 @@ object LogTableSql {
     case other => throw new IllegalArgumentException(
       s"graft SQL: $what must be a string literal, got $other")
   }
+
+  /** A TVF's table argument: a path as-is, or a catalog NAME
+    * (`'lake.db.orders'`) resolved to its directory.
+    */
+  private def pathArg(e: Expression, what: String): String = {
+    val s = strArg(e, what)
+    if (s.contains("/")) s
+    else namedGraftPath(s.split('.').toIndexedSeq).getOrElse(s)
+  }
   private def longArg(e: Expression, what: String): Long = e match {
     case Literal(v: Int, _) => v.toLong
     case Literal(v: Long, _) => v
@@ -346,7 +401,7 @@ object LogTableSql {
     require(args.length == 3,
       "graft_changes(path, fromVersion, toVersion) takes 3 arguments")
     val spark = SparkSession.active
-    LogTable.readChanges(spark, strArg(args(0), "path"),
+    LogTable.readChanges(spark, pathArg(args(0), "path"),
         longArg(args(1), "fromVersion"), longArg(args(2), "toVersion"))
       .queryExecution.analyzed
   }
@@ -359,7 +414,7 @@ object LogTableSql {
       "graft_net_changes(path, fromVersion, toVersion, keyCols...) " +
         "needs a path, two versions and at least one key column")
     val spark = SparkSession.active
-    LogTable.readNetChanges(spark, strArg(args(0), "path"),
+    LogTable.readNetChanges(spark, pathArg(args(0), "path"),
         longArg(args(1), "fromVersion"), longArg(args(2), "toVersion"),
         args.drop(3).zipWithIndex.map { case (a, i) =>
           strArg(a, s"key column ${i + 1}") })
@@ -371,7 +426,7 @@ object LogTableSql {
     */
   def mvReadPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1, "graft_mv(path) takes one argument")
-    MaterializedView.read(SparkSession.active, strArg(args(0), "path"))
+    MaterializedView.read(SparkSession.active, pathArg(args(0), "path"))
       .queryExecution.analyzed
   }
 
@@ -399,7 +454,9 @@ object LogTableSql {
       extends org.apache.spark.sql.catalyst.parser.ParserInterface {
     import java.util.regex.Pattern
     private val F = Pattern.CASE_INSENSITIVE | Pattern.DOTALL
-    private val Ref = "graft\\.`([^`]+)`"
+    // one capture group either way: the backticked path form, or a
+    // dotted NAME resolved through a registered GraftCatalog (refPath)
+    private val Ref = "(graft\\.`[^`]+`|\\w+(?:\\.\\w+)+)"
     private val HistoryP = Pattern.compile(
       s"^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*$$", F)
     private val DetailP = Pattern.compile(
@@ -426,47 +483,94 @@ object LogTableSql {
         "(?:\\s+BUCKETS\\s+(\\d+))?\\s+AS\\s+(.+)$", F)
     private val RefreshMvP = Pattern.compile(
       s"^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*$$", F)
+    private val AddColumnsP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*$$",
+      F)
+    private val AlterTypeP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+" +
+        "TYPE\\s+(.+?)\\s*$", F)
 
+    /** A matched pattern whose reference does NOT resolve to a graft
+      * table (another catalog's name) falls through to the delegate —
+      * `flatMap(refPath)` everywhere below.
+      */
     private def matchCommand(sqlText: String): Option[LogicalPlan] = {
       val h = HistoryP.matcher(sqlText)
-      if (h.matches()) return Some(HistoryCommand(h.group(1)))
+      if (h.matches()) return refPath(h.group(1)).map(HistoryCommand)
       val dd = DetailP.matcher(sqlText)
-      if (dd.matches()) return Some(DetailCommand(dd.group(1)))
+      if (dd.matches()) return refPath(dd.group(1)).map(DetailCommand)
       val v = VacuumP.matcher(sqlText)
       if (v.matches())
-        return Some(VacuumCommand(v.group(1),
+        return refPath(v.group(1)).map(VacuumCommand(_,
           Option(v.group(2)).map(_.toLong), v.group(3) != null))
       val o = OptimizeP.matcher(sqlText)
       if (o.matches())
-        return Some(OptimizeCommand(o.group(1),
+        return refPath(o.group(1)).map(OptimizeCommand(_,
           Option(o.group(2)).map(_.toInt),
           Option(o.group(3)).map(a => Seq(a, o.group(4)))
             .getOrElse(Nil)))
       val a = AddConstraintP.matcher(sqlText)
       if (a.matches())
-        return Some(AddConstraintCommand(a.group(1), a.group(2), a.group(3)))
+        return refPath(a.group(1)).map(
+          AddConstraintCommand(_, a.group(2), a.group(3)))
       val d = DropConstraintP.matcher(sqlText)
-      if (d.matches()) return Some(DropConstraintCommand(d.group(1), d.group(2)))
+      if (d.matches())
+        return refPath(d.group(1)).map(DropConstraintCommand(_, d.group(2)))
+      val ac = AddColumnsP.matcher(sqlText)
+      if (ac.matches())
+        return refPath(ac.group(1)).map(AddColumnsCommand(_, ac.group(2)))
+      val at = AlterTypeP.matcher(sqlText)
+      if (at.matches())
+        return refPath(at.group(1)).map(
+          AlterColumnTypeCommand(_, at.group(2), at.group(3)))
       val ct = CreateTableP.matcher(sqlText)
       if (ct.matches()) {
         def cols(g: String): Seq[String] =
           Option(g).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        return Some(CreateTableCommand(ct.group(1), cols(ct.group(2)),
-          cols(ct.group(3)),
+        // CREATE targets a table that does not exist yet — a NAMED ref
+        // resolves through the catalog root, not through tableExists
+        return createRefPath(ct.group(1)).map(CreateTableCommand(_,
+          cols(ct.group(2)), cols(ct.group(3)),
           Option(ct.group(4)).map(a => Seq(a, ct.group(5))).getOrElse(Nil),
           ct.group(6)))
       }
       val cm = CreateMvP.matcher(sqlText)
       if (cm.matches())
-        return Some(CreateMvCommand(cm.group(1),
+        return createRefPath(cm.group(1)).map(CreateMvCommand(_,
           Option(cm.group(2)).map(_.toInt), cm.group(3)))
       val rm = RefreshMvP.matcher(sqlText)
-      if (rm.matches()) return Some(RefreshMvCommand(rm.group(1)))
+      if (rm.matches()) return refPath(rm.group(1)).map(RefreshMvCommand)
       None
     }
 
+    /** Create-statement references resolve like [[refPath]] (name →
+      * catalog root mapping needs no existing table either way).
+      */
+    private def createRefPath(ref: String): Option[String] = refPath(ref)
+
+    /** Rewrite every NAMED graft-catalog relation in a freshly parsed
+      * plan to the canonical `graft.`path`` form — reads, DML targets,
+      * time travel and subqueries all funnel into the ONE resolution
+      * rule before Spark's catalog resolution can put them on a V2
+      * scan/write path.
+      */
+    private def canonicalizeNames(plan: LogicalPlan): LogicalPlan =
+      plan.transformDownWithSubqueries {
+        // InsertIntoStatement's target is NOT a transform child (only
+        // the query is) — rewrite it explicitly or INSERT INTO a named
+        // table would slip through to the V2 append path
+        case i: InsertIntoStatement =>
+          i.copy(table = canonicalizeNames(i.table))
+        case u: UnresolvedRelation if !u.isStreaming =>
+          namedGraftPath(u.multipartIdentifier) match {
+            case Some(p) => u.copy(multipartIdentifier = Seq("graft", p))
+            case None => u
+          }
+      }
+
     override def parsePlan(sqlText: String): LogicalPlan =
-      matchCommand(sqlText).getOrElse(delegate.parsePlan(sqlText))
+      matchCommand(sqlText)
+        .getOrElse(canonicalizeNames(delegate.parsePlan(sqlText)))
 
     override def parseQuery(sqlText: String): LogicalPlan =
       delegate.parseQuery(sqlText)
@@ -492,8 +596,8 @@ object LogTableSql {
         : LogicalPlan =
       // lifecycle statements carry no parameter markers — intercept the
       // same way, else delegate WITH the parameters intact
-      matchCommand(sqlText)
-        .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      matchCommand(sqlText).getOrElse(
+        canonicalizeNames(delegate.parsePlanWithParameters(sqlText, ctx)))
   }
 
   private def attrsOf(schema: StructType) =
@@ -613,6 +717,38 @@ object LogTableSql {
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.dropConstraint(session, path, name)))
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS (x INT, y STRING)` — append-only,
+    * nullable, metadata-only (see [[LogTable.evolveSchema]]); the column
+    * list parses with Spark's own schema grammar.
+    */
+  private[sources] final case class AddColumnsCommand(path: String,
+      colsDdl: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val cols = session.sessionState.sqlParser.parseTableSchema(colsDdl)
+      Seq(Row(LogTable.evolveSchema(session, path, cols.fields.toIndexedSeq
+        .map(f => org.apache.spark.sql.connector.catalog.TableChange
+          .addColumn(Array(f.name), f.dataType, f.nullable)))))
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN x TYPE BIGINT` — the widening
+    * lattice only; old files never rewritten.
+    */
+  private[sources] final case class AlterColumnTypeCommand(path: String,
+      column: String, typeDdl: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.evolveSchema(session, path, Seq(
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array(column),
+          session.sessionState.sqlParser.parseDataType(typeDdl))))))
   }
 
   /** `CREATE TABLE graft.`dir` PARTITIONED BY (p[, q]) [STATS BY (c, …)]
