@@ -84,6 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_mv"),
       (args: Seq[Expression]) =>
         graft.sources.LogTableSql.mvReadPlan(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.sources.LogTableSql.getClass.getName,
+        "graft_history"),
+      (args: Seq[Expression]) =>
+        graft.sources.LogTableSql.historyPlan(args)))
     // table-lifecycle statements Spark's grammar lacks (DESCRIBE
     // HISTORY / VACUUM / OPTIMIZE / ALTER TABLE ... CONSTRAINT) — a
     // delegating parser in the Delta style; everything else passes

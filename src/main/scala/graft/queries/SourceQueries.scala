@@ -1139,6 +1139,78 @@ object SourceQueries {
         .withColumn("named_ok", lit(ok))
     }),
 
+    // GENERATED PARTITION COLUMNS — `PARTITIONED BY (year(odate))` at
+    // CREATE derives `odate_year`, materialized on every write (the
+    // INSERT below omits it) and PRUNED THROUGH on predicates that
+    // bound only the SOURCE column: gen_ok pins the persisted
+    // declaration, metadata exclusion of files from an odate-only
+    // bound (countWhere.excludedFiles > 0 — no derived column in the
+    // user's predicate), and the recompute on ingest.
+    "q156_generated_partitions" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q156")
+      val base = ordersShaped(s, dir, withOdate = true)
+      base.createOrReplaceTempView("q156_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (year(odate)) " +
+        "STATS BY (k) AS SELECT k, status, cents, odate, version, op " +
+        "FROM q156_base"): Unit
+      val snap = LogTable.snapshot(s, t)
+      // a bound on odate ALONE excludes files by the derived column
+      val cw = LogTable.countWhere(s, t,
+        expr("odate < TIMESTAMP_NTZ'1995-01-01 00:00:00'"))
+      val want = base
+        .filter(expr("odate < TIMESTAMP_NTZ'1995-01-01 00:00:00'")).count()
+      // ingest WITHOUT the derived column — recomputed on write
+      s.sql(s"INSERT INTO graft.`$t` BY NAME " +
+        "SELECT k + 30000000 AS k, status, cents, odate, version, op " +
+        "FROM q156_base WHERE o_year = 1992 AND k % 97 = 0"): Unit
+      val driftFree = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+        "WHERE odate_year <> year(odate)").head().getLong(0) == 0L
+      val ok = snap.partitionCols == Seq("odate_year") &&
+        snap.properties.get("gen.odate_year").contains("year(odate)") &&
+        cw.count == want && cw.excludedFiles > 0 && driftFree
+      s.sql(s"SELECT odate_year, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM graft.`$t` GROUP BY odate_year")
+        .withColumn("odate_year", col("odate_year").cast("int"))
+        .withColumn("gen_ok", lit(ok))
+    }),
+
+    // SHALLOW CLONE — one metadata commit referencing the source's
+    // files (zero data copied), then independent divergence: the source deletes
+    // a window, the clone updates another, a FORCED source vacuum runs
+    // in between — and the clone must still read its pre-divergence
+    // state through the vacuum (the clone registry's protection).
+    // Output: both sides' aggregates, side-tagged; the oracle restates
+    // each side's transformation from raw orders.
+    "q157_shallow_clone" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val root = scratch(s, dir, "graft_q157")
+      val src = root + "/src"; val dst = root + "/dst"
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, src, base, Seq("o_year"), Seq("k"))
+      s.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`"): Unit
+      val copied = Option(new java.io.File(dst).listFiles())
+        .getOrElse(Array.empty)
+      val noCopy = copied.forall(f => !f.getName.endsWith(".parquet"))
+      // diverge both sides, then vacuum the SOURCE hard
+      LogTable.deleteWhere(s, src,
+        col("o_year") === 1996 && col("k") % 5 === 0): Unit
+      s.sql(s"UPDATE graft.`$dst` SET cents = (cents * 110) div 100, " +
+        "version = 1 WHERE o_year = 1997 AND k % 7 = 0"): Unit
+      Thread.sleep(5L)
+      LogTable.vacuum(s, src, 0L, force = true): Unit
+      val props = LogTable.snapshot(s, dst).properties
+      val ok = noCopy && props.get("clone.source").exists(_.endsWith("/src"))
+      def agg(df: DataFrame, side: String): DataFrame =
+        df.groupBy(col("o_year"), col("status").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            sum("version").as("sum_version"))
+          .withColumn("side", lit(side))
+      agg(LogTable.read(s, src), "src")
+        .unionByName(agg(s.sql(s"SELECT * FROM graft.`$dst`"), "clone"))
+        .withColumn("clone_ok", lit(ok))
+    }),
+
     "q151_sql_lifecycle" -> ((s, dir) => {
       import graft.sources.LogTable
       val t = scratch(s, dir, "graft_q151")
@@ -1914,6 +1986,46 @@ object SourceQueries {
     // Only the UPDATE is row-visible — constraint add/drop, the caught
     // violating insert, OPTIMIZE and VACUUM must all leave rows alone;
     // lifecycle_ok pins the enforcement, the floor, and the ledger.
+    "q156_generated_partitions" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderdate AS odate, year(o_orderdate) AS o_year
+        |  FROM orders),
+        |ins AS (
+        |  SELECT k + 30000000 AS k, cents, odate, o_year
+        |  FROM base WHERE o_year = 1992 AND k % 97 = 0),
+        |final AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT CAST(year(odate) AS INT) AS odate_year, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS gen_ok
+        |FROM final GROUP BY 1""".stripMargin,
+
+    "q157_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |srcf AS (SELECT * FROM base WHERE NOT (o_year = 1996 AND k % 5 = 0)),
+        |clonef AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0
+        |         THEN (cents * 110) // 100 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1997 AND k % 7 = 0 THEN 1 ELSE version END AS version
+        |  FROM base)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  'src' AS side, TRUE AS clone_ok
+        |FROM srcf GROUP BY 1, 2
+        |UNION ALL
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  'clone' AS side, TRUE AS clone_ok
+        |FROM clonef GROUP BY 1, 2""".stripMargin,
+
     "q155_named_catalog" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -674,8 +674,11 @@ object StreamQueries {
         val hookFresh = MV.refreshedVersion(s, mvPath) ==
           LogTable.latestVersion(s, tablePath)
         run("ck2") // at-least-once replay: watermark skips, hook silent
+        // v1 create, v2 the REGISTER_MV registration commit (the
+        // auto-refresh registry is log-persisted), v3–v6 the four
+        // micro-batch upserts
         val ok = hookFresh &&
-          LogTable.latestVersion(s, tablePath) == 5L &&
+          LogTable.latestVersion(s, tablePath) == 6L &&
           MV.refresh(s, mvPath) == -1L &&
           LogTable.lastTxn(s, tablePath, "q152-feed").contains(3L)
         MV.read(s, mvPath)

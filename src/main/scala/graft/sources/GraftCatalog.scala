@@ -118,14 +118,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            properties: java.util.Map[String, String]): Table = {
     val p = pathOf(ident)
     if (isTableDir(new Path(p))) throw new TableAlreadyExistsException(ident)
-    val pcols = partitions.toSeq.map { t =>
-      if (t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1)
-        t.references.head.fieldNames.head
-      else throw new IllegalArgumentException(
-        s"graft catalog `$catName`: unsupported partition transform " +
-          s"`$t` — log tables partition by identity column values")
+    // identity transforms partition directly; years/months/days become
+    // GENERATED derived columns (the Iceberg-transform shape), shared
+    // with the CTAS dialect's vocabulary
+    val entries = partitions.toSeq.map { t =>
+      val singleRef = t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1
+      (t.name, singleRef) match {
+        case ("identity", true) => t.references.head.fieldNames.head
+        case ("years" | "months" | "days", true) =>
+          s"${t.name.stripSuffix("s")}(${t.references.head.fieldNames.head})"
+        case _ => throw new IllegalArgumentException(
+          s"graft catalog `$catName`: unsupported partition transform " +
+            s"`$t` — identity, years, months or days of one column")
+      }
     }
+    val (pcols, gens) = LogTableSql.partitionSpecs(entries)
     require(pcols.nonEmpty,
       s"graft catalog `$catName`: CREATE TABLE needs PARTITIONED BY — " +
         "log tables are partition-tracked")
@@ -136,7 +144,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     LogTable.create(spark, p, LogTable.emptyDf(spark, schema), pcols,
       statsCols = propCols("stats_by"), clusterBy = propCols("cluster_by"),
       bloomFilterCols = propCols("bloom_by"),
-      zorderBy = propCols("zorder_by")): Unit
+      zorderBy = propCols("zorder_by"), generatedColumns = gens): Unit
     loadTable(ident)
   }
 

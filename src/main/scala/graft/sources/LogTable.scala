@@ -136,7 +136,8 @@ object LogTable {
                             statsCols: Seq[String], files: Seq[LogFile],
                             bloomCols: Seq[String] = Nil,
                             txns: Map[String, Long] = Map.empty,
-                            constraints: Map[String, String] = Map.empty) {
+                            constraints: Map[String, String] = Map.empty,
+                            properties: Map[String, String] = Map.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** Leading partition column (single-column tables' only one). */
     def partitionCol: String = partitionCols.head
@@ -157,7 +158,8 @@ object LogTable {
       dataChange: Boolean, bloomCols: Seq[String] = Nil,
       operation: String = "UNKNOWN",
       txns: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -383,6 +385,16 @@ object LogTable {
   private val Mapper = new ObjectMapper()
 
   private def logDir(path: String) = new Path(path, "_graft_log")
+  private def clonesDir(path: String) = new Path(path, "_graft_clones")
+
+  /** Resolve a log entry's file name against its table root. Names
+    * written by this table are BASE names (no slash); a SHALLOW CLONE
+    * references its source's files by absolute qualified URI — those
+    * resolve as-is. One helper so every reader (scans, DV sidecars,
+    * streaming's FileIndex, restore's existence probe) agrees.
+    */
+  private[sources] def dataPath(path: String, name: String): Path =
+    if (name.contains("/")) new Path(name) else new Path(path, name)
   private def commitPath(path: String, v: Long) =
     new Path(logDir(path), f"$v%020d.json")
   private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
@@ -399,15 +411,28 @@ object LogTable {
     * span every file and skip nothing. One data write, one commit. Fails
     * if a log already exists.
     */
-  def create(spark: SparkSession, path: String, df: DataFrame,
+  def create(spark: SparkSession, path: String, df0: DataFrame,
              partitionCols: Seq[String], statsCols: Seq[String] = Nil,
              clusterBy: Seq[String] = Nil,
              bloomFilterCols: Seq[String] = Nil,
-             zorderBy: Seq[String] = Nil): Long = {
+             zorderBy: Seq[String] = Nil,
+             tableProperties: Map[String, String] = Map.empty,
+             generatedColumns: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, path)
     require(!fs.exists(logDir(path)),
       s"log table already exists at $path — use upsert")
     require(partitionCols.nonEmpty, "need at least one partition column")
+    // GENERATED columns (year(ts)-style partition derivations): validate
+    // the monotone vocabulary against the BASE schema, then materialize —
+    // the declarations persist as table properties and every later write
+    // recomputes them (see [[materializeGenerated]]); reads prune
+    // through [[impliedConjuncts]]
+    generatedColumns.foreach { case (c, g) =>
+      require(!df0.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"log table $path: generated column `$c` already exists in the data")
+      validateGenerator(spark, df0.schema, c, g)
+    }
+    val df = materializeGenerated(generatedColumns, df0)
     require(zorderBy.isEmpty || zorderBy.size == 2,
       s"log table $path: zorderBy interleaves exactly TWO dimensions " +
         s"(got ${zorderBy.size}) — one dimension is plain clusterBy")
@@ -461,7 +486,10 @@ object LogTable {
       clusterBy = clusterBy, bloomCols = bloomFilterCols,
       zorderBy = zorderBy)
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
-      Nil, bloomCols = bloomFilterCols, operation = "CREATE")
+      Nil, bloomCols = bloomFilterCols, operation = "CREATE",
+      properties = tableProperties ++ generatedColumns.map {
+        case (c, g) => (GenPropPrefix + c) -> g
+      })
     1L
   }
 
@@ -540,6 +568,13 @@ object LogTable {
           node.get("constraints").properties().forEach(e =>
             b += e.getKey -> e.getValue.asText(): Unit)
           b.result()
+        } else Map.empty,
+      properties =
+        if (node.hasNonNull("props")) {
+          val b = Map.newBuilder[String, String]
+          node.get("props").properties().forEach(e =>
+            b += e.getKey -> e.getValue.asText(): Unit)
+          b.result()
         } else Map.empty)
   }
 
@@ -602,6 +637,7 @@ object LogTable {
     var version = 0L
     var txns = Map.empty[String, Long]
     var cons = Map.empty[String, String]
+    var props = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
     def fold(p: Path): Unit = {
       val c = parseCommitFile(fs, p)
@@ -610,6 +646,7 @@ object LogTable {
       scols = c.statsCols
       bcols = c.bloomCols
       cons = c.constraints
+      props = c.properties
       version = c.version
       // streaming-transaction watermarks accumulate monotonically: the
       // HIGHEST batch id each writer app has committed
@@ -627,7 +664,7 @@ object LogTable {
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
     Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols,
-      txns, cons)
+      txns, cons, props)
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -645,7 +682,8 @@ object LogTable {
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols,
         operation = "CHECKPOINT", txns = snap.txns,
-        constraints = snap.constraints))
+        constraints = snap.constraints,
+          properties = snap.properties))
       finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
@@ -721,7 +759,8 @@ object LogTable {
       commit(spark, path, snap.version + 1, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, adds, victims.map(_.name), dataChange = false,
         bloomCols = snap.bloomCols, operation = "COMPACT",
-        constraints = snap.constraints)
+        constraints = snap.constraints,
+          properties = snap.properties)
     } catch {
       case e: CommitConflictException =>
         // same discipline as upsert's losing race: our files are invisible,
@@ -780,14 +819,174 @@ object LogTable {
     * case-insensitively, literals get coerced to the column's type
     * ("2024-03-01" against a date column becomes a date literal), and a
     * typo'd column fails LOUD here instead of silently skipping nothing.
+    * Generated-column implications ([[impliedConjuncts]]) ride along, so
+    * every consumer (readWhere, countWhere, the predicate writes) prunes
+    * through them.
     */
   private def analyzedConjuncts(spark: SparkSession, snap: Snapshot,
-                                predicate: Column): Seq[Expression] =
-    spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+                                predicate: Column): Seq[Expression] = {
+    val cj = spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
       .filter(predicate).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         conjuncts(f.condition) }
       .getOrElse(Nil)
+    cj ++ impliedConjuncts(spark, snap, cj)
+  }
+
+  // --------------------------------------- generated partition columns
+
+  /** Property prefix declaring a GENERATED column: `gen.<col> = <sql>`.
+    * The generator is a MONOTONE map of exactly one source column
+    * ([[validateGenerator]]'s vocabulary), which is what makes the
+    * read-side implication sound: `src ⋈ L` bounds `gen ⋈ f(L)`.
+    */
+  private[sources] val GenPropPrefix = "gen."
+
+  private[sources] def generatorsOf(snap: Snapshot): Map[String, String] =
+    snap.properties.collect {
+      case (k, v) if k.startsWith(GenPropPrefix) =>
+        k.drop(GenPropPrefix.length) -> v
+    }
+
+  /** Recompute every generated column onto `df` — the engine OWNS these
+    * columns: a caller-supplied value is recomputed, never trusted, so
+    * the partition value can never drift from its source (the
+    * Delta-generated-column contract, enforced by construction instead
+    * of by check constraint). Applied by every row-writing path.
+    */
+  private[sources] def materializeGenerated(gens: Map[String, String],
+                                            df: DataFrame): DataFrame =
+    gens.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (c, g)) => d.withColumn(c, expr(g))
+    }
+
+  /** The analyzed generator expression with any RuntimeReplaceable
+    * unwrapped (so it both pattern-matches and EVALUATES), plus its
+    * single source-column name.
+    */
+  private def analyzedGenerator(spark: SparkSession, schema: StructType,
+                                gsql: String): (Expression, String) = {
+    val e = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      .select(expr(gsql)).queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case other => other
+      }
+    val replaced = e.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }
+    val refs = replaced.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }.distinct
+    require(refs.length == 1,
+      s"generated column expression `$gsql` must reference exactly one " +
+        s"source column (got ${refs.mkString(", ")})")
+    (replaced, refs.head)
+  }
+
+  /** The single source-column name a generator expression reads. */
+  private[sources] def generatorSource(spark: SparkSession,
+                                       schema: StructType,
+                                       gsql: String): String =
+    analyzedGenerator(spark, schema, gsql)._2
+
+  /** Create-time shape check: the generator must be one of the MONOTONE
+    * non-decreasing maps the implication rule is sound for — year(c),
+    * date_format(c, 'yyyy-MM'), to_date/cast-to-date(c),
+    * date_trunc('UNIT', c), substring(c, 1, n). Anything else is
+    * refused loud (a non-monotone generator would prune files that hold
+    * matches).
+    */
+  private def validateGenerator(spark: SparkSession, schema: StructType,
+                                name: String, gsql: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val (e, _) = analyzedGenerator(spark, schema, gsql)
+    def core(x: Expression): Expression = x match {
+      case c: Cast => core(c.child) // implicit coercions wrap the source
+      case other => other
+    }
+    val ok = e match {
+      case Year(_) => true
+      case _: Cast => true // cast to date/timestamp — monotone
+      case DateFormatClass(_, Literal(fmt, _), _) =>
+        fmt.toString == "yyyy-MM" || fmt.toString == "yyyy"
+      case TruncTimestamp(Literal(_, _), _, _) => true
+      case TruncDate(_, Literal(_, _)) => true
+      case Substring(s, Literal(pos, _), Literal(_, _))
+          if core(s).isInstanceOf[AttributeReference] && pos == 1 => true
+      case _ => false
+    }
+    require(ok,
+      s"generated column `$name`: expression `$gsql` is not in the " +
+        "supported monotone vocabulary — year(c), date_format(c, " +
+        "'yyyy-MM'), to_date(c), date_trunc('UNIT', c), " +
+        "substring(c, 1, n)")
+  }
+
+  /** Conjuncts IMPLIED by the query's own, through the generated-column
+    * declarations: a bound on the SOURCE column becomes a bound on the
+    * generated (partition) column — `o_date >= L` implies
+    * `o_date_year >= year(L)` — so a query that never mentions the
+    * derived column still prunes by it. Non-decreasing monotonicity
+    * turns strict bounds into inclusive ones (year('1995-06-01') = 1995
+    * admits the rest of 1995); equality maps to equality; IN maps
+    * pointwise. An implication that fails to evaluate contributes
+    * nothing (never wrongly prunes).
+    */
+  private[sources] def impliedConjuncts(spark: SparkSession, snap: Snapshot,
+                                        cj: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val gens = generatorsOf(snap)
+    if (gens.isEmpty || cj.isEmpty) return Nil
+    val schema = snap.schema
+    gens.toSeq.flatMap { case (gcol, gsql) =>
+      val (ge, src) =
+        try analyzedGenerator(spark, schema, gsql)
+        catch { case scala.util.control.NonFatal(_) => return Nil }
+      val gattr = AttributeReference(gcol, ge.dataType, nullable = false)()
+      def f(l: Literal): Option[Literal] =
+        try {
+          val v = ge.transformUp {
+            case a: AttributeReference if a.name.equalsIgnoreCase(src) =>
+              Literal(l.value, l.dataType)
+          }.eval(null)
+          if (v == null) None else Some(Literal(v, ge.dataType))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      def isSrc(a: Expression): Boolean =
+        attrName(a).exists(_.equalsIgnoreCase(src))
+      cj.flatMap {
+        case EqualTo(a, FoldedLit(l)) if isSrc(a) =>
+          f(l).map(EqualTo(gattr, _))
+        case EqualTo(FoldedLit(l), a) if isSrc(a) =>
+          f(l).map(EqualTo(gattr, _))
+        case GreaterThan(a, FoldedLit(l)) if isSrc(a) =>
+          f(l).map(GreaterThanOrEqual(gattr, _))
+        case GreaterThanOrEqual(a, FoldedLit(l)) if isSrc(a) =>
+          f(l).map(GreaterThanOrEqual(gattr, _))
+        case LessThan(a, FoldedLit(l)) if isSrc(a) =>
+          f(l).map(LessThanOrEqual(gattr, _))
+        case LessThanOrEqual(a, FoldedLit(l)) if isSrc(a) =>
+          f(l).map(LessThanOrEqual(gattr, _))
+        // literal-first renderings mirror (l < a ⇔ a > l)
+        case GreaterThan(FoldedLit(l), a) if isSrc(a) =>
+          f(l).map(LessThanOrEqual(gattr, _))
+        case GreaterThanOrEqual(FoldedLit(l), a) if isSrc(a) =>
+          f(l).map(LessThanOrEqual(gattr, _))
+        case LessThan(FoldedLit(l), a) if isSrc(a) =>
+          f(l).map(GreaterThanOrEqual(gattr, _))
+        case LessThanOrEqual(FoldedLit(l), a) if isSrc(a) =>
+          f(l).map(GreaterThanOrEqual(gattr, _))
+        case In(a, vs) if isSrc(a) &&
+            vs.forall(FoldedLit.unapply(_).isDefined) =>
+          val mapped = vs.flatMap(v => f(FoldedLit.unapply(v).get))
+          if (mapped.length == vs.length) Some(In(gattr, mapped)) else None
+        case _ => None
+      }
+    }
+  }
 
   def readWhere(spark: SparkSession, path: String, predicate: Column,
                 asOf: Option[Long] = None): DataFrame = {
@@ -831,7 +1030,8 @@ object LogTable {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols, operation = op,
-          constraints = snap.constraints)
+          constraints = snap.constraints,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -903,7 +1103,10 @@ object LogTable {
               case None => col(f.name)
             }
         }: _*)
-      (assigned(rows), widenedDdl(spark, snap, set, assigned))
+      // a SET on a generator's SOURCE column re-derives the generated
+      // column — the derived value can never drift from its source
+      (materializeGenerated(generatorsOf(snap), assigned(rows)),
+        widenedDdl(spark, snap, set, assigned))
     }
   }
 
@@ -990,7 +1193,7 @@ object LogTable {
       if (victims.isEmpty) return -1L
       // the victims' LIVE rows with their physical positions attached
       val raw = withDvHelpers(spark.read.schema(snap.schema)
-        .parquet(victims.map(f => new Path(path, f.name).toString): _*))
+        .parquet(victims.map(f => dataPath(path, f.name).toString): _*))
       val live = antiJoinDv(raw, dvPairs(spark, path, victims),
         victims.iterator.flatMap(_.dv).map(_.deleted).sum,
         dropHelpers = false)
@@ -1040,7 +1243,8 @@ object LogTable {
             snap.statsCols, adds, affected.map(_.name),
             bloomCols = snap.bloomCols,
             operation = if (set.isDefined) "UPDATE" else "DELETE",
-            constraints = snap.constraints)
+            constraints = snap.constraints,
+          properties = snap.properties)
           return snap.version + 1
         } catch {
           case e: CommitConflictException =>
@@ -1127,7 +1331,8 @@ object LogTable {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           dataChange = false, bloomCols = snap.bloomCols,
-          operation = "PURGE", constraints = snap.constraints)
+          operation = "PURGE", constraints = snap.constraints,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1173,7 +1378,7 @@ object LogTable {
           target.statsCols == cur.statsCols &&
           target.bloomCols == cur.bloomCols) return -1L
       val missing = adds.flatMap(f => f.name +: f.dv.map(_.name).toList)
-        .distinct.filterNot(n => fs.exists(new Path(path, n)))
+        .distinct.filterNot(n => fs.exists(dataPath(path, n)))
       require(missing.isEmpty,
         s"log table $path: cannot restore to $toVersion — ${missing.size} " +
           s"file(s) already reclaimed by vacuum " +
@@ -1182,7 +1387,8 @@ object LogTable {
         commit(spark, path, cur.version + 1, target.schemaDdl,
           target.partitionCols, target.statsCols, adds, removes,
           bloomCols = target.bloomCols, operation = "RESTORE",
-          constraints = target.constraints)
+          constraints = target.constraints,
+          properties = target.properties)
         return cur.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1191,6 +1397,83 @@ object LogTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** SHALLOW CLONE — a new log table at `dst` whose version 1 REFERENCES
+    * `src`'s live files by absolute URI: one metadata commit, zero data
+    * copied, and the two tables diverge independently from there
+    * (writes land locally; a rewrite on either side never touches the
+    * other's files — copy-on-write by construction, the Delta
+    * SHALLOW CLONE shape). Schema, partitioning, stats/bloom
+    * declarations, deletion vectors and constraints all carry over;
+    * the source's MV auto-refresh registry deliberately does NOT (a
+    * clone's writes must not fold into the SOURCE's views), and
+    * `clone.source` records provenance.
+    *
+    * **Vacuum safety**: the clone registers itself in
+    * `src/_graft_clones/` — [[vacuum]] on the source resolves each
+    * registered clone's CURRENT snapshot and protects the files it
+    * still references (a dropped clone's marker is reaped on the next
+    * vacuum). Compacting the clone re-localizes its data and releases
+    * the references naturally.
+    */
+  def clone(spark: SparkSession, src: String, dst: String): Long = {
+    val sfs = fsOf(spark, src)
+    val dfs = fsOf(spark, dst)
+    require(!dfs.exists(logDir(dst)),
+      s"log table already exists at $dst")
+    val snap = snapshot(spark, src)
+    def abs(name: String): String =
+      sfs.makeQualified(dataPath(src, name)).toUri.toString
+    val adds = snap.files.map(f => f.copy(name = abs(f.name),
+      dv = f.dv.map(d => d.copy(name = abs(d.name)))))
+    dfs.mkdirs(logDir(dst)): Unit
+    commit(spark, dst, 1L, snap.schemaDdl, snap.partitionCols,
+      snap.statsCols, adds, Nil, bloomCols = snap.bloomCols,
+      operation = "CLONE", constraints = snap.constraints,
+      properties = (snap.properties - MvAutoRefreshProp) +
+        ("clone.source" ->
+          sfs.makeQualified(new Path(src)).toUri.toString))
+    // register AFTER the clone's commit is durable: a marker for a
+    // never-materialized clone would only cost a stat on next vacuum
+    sfs.mkdirs(clonesDir(src)): Unit
+    val marker = new Path(clonesDir(src),
+      "clone_" + java.util.UUID.randomUUID().toString.take(12))
+    val out = sfs.create(marker, false)
+    try out.write(dfs.makeQualified(new Path(dst)).toUri.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    1L
+  }
+
+  /** The file base-names a source table's registered clones still
+    * reference INSIDE `path` — vacuum's protected set. Markers whose
+    * clone no longer exists (dropped table) are reaped here.
+    */
+  private def cloneProtected(spark: SparkSession, path: String,
+                             fs: FileSystem): Set[String] = {
+    val dir = clonesDir(path)
+    if (!fs.exists(dir)) return Set.empty
+    val out = Set.newBuilder[String]
+    fs.listStatus(dir).iterator.filter(_.isFile).foreach { st =>
+      val in = fs.open(st.getPath)
+      val dst =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      val alive =
+        try fsOf(spark, dst).exists(logDir(dst))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!alive) fs.delete(st.getPath, false): Unit // dropped clone
+      else snapshot(spark, dst).files.iterator
+        .flatMap(f => f.name +: f.dv.map(_.name).toList)
+        // absolute references only; protection is by BASE name (write
+        // names are UUID-unique, so over-matching across tables cannot
+        // happen and URI-rendering differences cannot under-match)
+        .filter(_.contains("/"))
+        .foreach(n => out += new Path(n).getName)
+    }
+    out.result()
   }
 
   /** What a [[countWhere]] answered from: exact total, plus how many
@@ -1602,14 +1885,71 @@ object LogTable {
     * to `maxRetries` re-commit attempts. Increments
     * [[disjointRecommits]] on success.
     */
+  /** MIN/MAX of the batch's key columns, rendered exactly as file stats
+    * are (timestamps as UTC micros) — what [[recommitDisjoint]] compares
+    * against a winner's file stats to admit KEY-disjoint writes into the
+    * same partition. One small aggregate over the batch, computed only
+    * when a race actually needs it (the caller passes a memoized thunk).
+    */
+  private[sources] def batchKeyRanges(spark: SparkSession, snap: Snapshot,
+                                      batch: DataFrame, keyCols: Seq[String])
+      : Map[String, (String, String)] = {
+    val present = keyCols.filter(c =>
+      batch.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (present.isEmpty) return Map.empty
+    val aggs = present.zipWithIndex.flatMap { case (c, i) =>
+      val v = snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType) match {
+        case Some(TimestampType) => unix_micros(col(c))
+        case _ => col(c)
+      }
+      Seq(min(v).cast("string").as(s"__lo_$i"),
+        max(v).cast("string").as(s"__hi_$i"))
+    }
+    val r = batch.agg(aggs.head, aggs.tail: _*).head()
+    present.zipWithIndex.flatMap { case (c, i) =>
+      (Option(r.getString(r.fieldIndex(s"__lo_$i"))),
+        Option(r.getString(r.fieldIndex(s"__hi_$i")))) match {
+        case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+        case _ => None // empty/all-NULL batch keys: no provable range
+      }
+    }.toMap
+  }
+
+  /** Can `f` provably hold NO key in `ranges`? One key column whose
+    * stored range lies strictly outside the batch's suffices (a match
+    * must satisfy every key equality). Unprovable ⇒ false ⇒ the caller
+    * declines the fast path — never admits wrongly.
+    */
+  private[sources] def keyRangeDisjoint(snap: Snapshot, f: LogFile,
+                               ranges: Map[String, (String, String)],
+                               zone: String): Boolean =
+    ranges.exists { case (c, (bLo, bHi)) =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(c)).exists { fd =>
+        statsRange(snap, f, c).exists { case (fLo, fHi) =>
+          (for {
+            fl <- keyOfString(fd.dataType, fLo, zone)
+            fh <- keyOfString(fd.dataType, fHi, zone)
+            bl <- keyOfString(fd.dataType, bLo, zone)
+            bh <- keyOfString(fd.dataType, bHi, zone)
+          } yield fh.compareTo(bl) < 0 || fl.compareTo(bh) > 0)
+            .getOrElse(false)
+        }
+      }
+    }
+
   private[sources] def recommitDisjoint(spark: SparkSession, path: String,
                                base: Snapshot, schemaDdl: String,
                                touched: Seq[Seq[String]], adds: Seq[LogFile],
                                victims: Set[String],
                                maxRetries: Int,
                                operation: String = "MERGE",
-                               txns: Map[String, Long] = Map.empty)
+                               txns: Map[String, Long] = Map.empty,
+                               keyRanges: () => Map[String, (String, String)] =
+                                 () => Map.empty)
       : Option[Long] = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    lazy val kr = keyRanges() // one batch aggregate, only if ever needed
     var known = base.version
     var attempts = 0
     while (attempts <= maxRetries) {
@@ -1635,8 +1975,20 @@ object LogTable {
           !txns.exists { case (app, id) =>
             w.txns.get(app).exists(_ >= id)
           } &&
-          !w.removes.exists(victims.contains) &&
-          victimFiles(base.copy(files = w.adds), touched).isEmpty
+          !w.removes.exists(victims.contains) && {
+            // partition-level disjointness first; a winner that DID add
+            // into our partitions still commutes when its files' key
+            // stats provably miss every batch key (same-partition,
+            // disjoint-key writers — the file-stats upgrade of the
+            // Delta conflict matrix). Our victims cover ALL base rows
+            // of the touched partitions and the winner removed none of
+            // them, so key-disjoint additions are rows our merge could
+            // never have matched.
+            val overlapping = victimFiles(base.copy(files = w.adds), touched)
+            overlapping.isEmpty ||
+              (kr.nonEmpty &&
+                overlapping.forall(f => keyRangeDisjoint(base, f, kr, zone)))
+          }
       }
       if (!commutes) return None
       known = latest.version
@@ -1644,7 +1996,8 @@ object LogTable {
         commit(spark, path, latest.version + 1, schemaDdl,
           base.partitionCols, base.statsCols, adds, victims.toSeq,
           bloomCols = base.bloomCols, operation = operation, txns = txns,
-          constraints = base.constraints)
+          constraints = base.constraints,
+          properties = base.properties)
         disjointRecommits.incrementAndGet(): Unit
         return Some(latest.version + 1)
       } catch {
@@ -1668,7 +2021,7 @@ object LogTable {
     * converging exactly because the merge itself is the conflict
     * resolution).
     */
-  def upsert(spark: SparkSession, path: String, changes: DataFrame,
+  def upsert(spark: SparkSession, path: String, changes0: DataFrame,
              keyCols: Seq[String], orderCols: Seq[String], opCol: String,
              deleteOp: String = "D", maxRetries: Int = 3,
              mergeSchema: Boolean = false,
@@ -1686,6 +2039,10 @@ object LogTable {
       txn.foreach { case (app, id) =>
         if (snap.txns.get(app).exists(_ >= id)) return -1L
       }
+      // generated columns recompute from their sources — a batch may
+      // omit them (they are merge-critical partition columns, so this
+      // must happen before the physical-presence check below)
+      val changes = materializeGenerated(generatorsOf(snap), changes0)
       // The columns the MERGE ITSELF consumes must be physically present
       // in the batch regardless of evolution mode — NULL-filling the op
       // column would turn `op =!= deleteOp` three-valued and silently
@@ -1747,7 +2104,16 @@ object LogTable {
         } ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
       val touched = touchedTuples(path, snap, changes)
+      // victims prune by partition TUPLE, then by the batch's KEY range
+      // against each file's key stats: a file provably holding no batch
+      // key has nothing to merge — its rows survive untouched, unread
+      // and unrewritten (and two key-disjoint merges into the SAME
+      // partition stop conflicting: their victim sets no longer overlap,
+      // so the disjoint fast path admits both)
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
+      val kr = batchKeyRanges(spark, evolved, changes, keyCols)
       val victims = victimFiles(snap, touched)
+        .filterNot(f => kr.nonEmpty && keyRangeDisjoint(snap, f, kr, zone))
       val base = readFiles(spark, path, evolved, victims)
       // the batch aligned to the (possibly widened) table schema: a
       // missing nullable column fills with typed NULL; a NARROWER batch
@@ -1784,13 +2150,16 @@ object LogTable {
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols, operation = "MERGE",
           txns = txn.map { case (a, i) => a -> i }.toMap,
-          constraints = snap.constraints)
+          constraints = snap.constraints,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
           recommitDisjoint(spark, path, snap, evolved.schemaDdl, touched,
             adds, victims.map(_.name).toSet, maxRetries,
-            txns = txn.map { case (a, i) => a -> i }.toMap) match {
+            txns = txn.map { case (a, i) => a -> i }.toMap,
+            keyRanges =
+              () => batchKeyRanges(spark, evolved, changes, keyCols)) match {
             case Some(v) => return v
             case None =>
               // overlapping winner (or unverifiable history): our
@@ -1840,7 +2209,8 @@ object LogTable {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, Nil, Nil, dataChange = false,
           bloomCols = snap.bloomCols, operation = "ADD CONSTRAINT",
-          constraints = snap.constraints + (name -> expression))
+          constraints = snap.constraints + (name -> expression),
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1863,7 +2233,8 @@ object LogTable {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, Nil, Nil, dataChange = false,
           bloomCols = snap.bloomCols, operation = "DROP CONSTRAINT",
-          constraints = snap.constraints - name)
+          constraints = snap.constraints - name,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1897,7 +2268,10 @@ object LogTable {
     * to catch it.
     */
   private def alignStrict(path: String, snap: Snapshot,
-                          rows: DataFrame): DataFrame = {
+                          rows0: DataFrame): DataFrame = {
+    // generated columns recompute from their sources — a batch may omit
+    // them entirely, and a supplied value is never trusted
+    val rows = materializeGenerated(generatorsOf(snap), rows0)
     val schema = snap.schema
     val have = rows.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val extra = rows.schema.fieldNames
@@ -1952,7 +2326,8 @@ object LogTable {
           snap.partitionCols, snap.statsCols, adds, Nil,
           bloomCols = snap.bloomCols, operation = "APPEND",
           txns = txn.map { case (a, i) => a -> i }.toMap,
-          constraints = snap.constraints)
+          constraints = snap.constraints,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -1992,7 +2367,8 @@ object LogTable {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds,
           snap.files.map(_.name), bloomCols = snap.bloomCols,
-          operation = "OVERWRITE", constraints = snap.constraints)
+          operation = "OVERWRITE", constraints = snap.constraints,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -2061,8 +2437,12 @@ object LogTable {
         "time travel, change feeds and restore targets may still need " +
         "those files; pass force = true to override deliberately")
     val fs = fsOf(spark, path)
+    // live = this table's snapshot PLUS every file a registered shallow
+    // clone still references here — a clone's read set must survive the
+    // source's vacuum (see [[clone]]; dead clones reap their markers)
     val live = snapshot(spark, path).files
-      .flatMap(f => f.name +: f.dv.map(_.name).toList).toSet
+      .flatMap(f => f.name +: f.dv.map(_.name).toList).toSet ++
+      cloneProtected(spark, path, fs)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val deadData = fs.listStatus(new Path(path)).iterator.filter { st =>
       st.getModificationTime < cutoff && {
@@ -2166,7 +2546,8 @@ object LogTable {
         commit(spark, path, snap.version + 1,
           StructType(fields).toDDL, snap.partitionCols, snap.statsCols,
           Nil, Nil, dataChange = false, bloomCols = snap.bloomCols,
-          operation = "ALTER_SCHEMA", constraints = snap.constraints)
+          operation = "ALTER_SCHEMA", constraints = snap.constraints,
+          properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -2565,16 +2946,19 @@ object LogTable {
     */
   private def dvPairs(spark: SparkSession, path: String,
                       entries: Seq[LogFile]): DataFrame = {
+    // sidecars record data files by BASE name; a shallow clone's log
+    // references both sidecar and data file absolutely — dispatch and
+    // filter on base names so cloned vectors keep applying
     val bySidecar = entries
-      .flatMap(f => f.dv.map(d => d.name -> f.name))
+      .flatMap(f => f.dv.map(d => d.name -> new Path(f.name).getName))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     if (bySidecar.isEmpty) emptyDf(spark, DvSchema)
     else bySidecar.map { case (sc, names) =>
-      if (sc.startsWith(Dv2Prefix)) {
+      if (new Path(sc).getName.startsWith(Dv2Prefix)) {
         // v2: per-file bitmaps explode back to (file, row_index) pairs —
         // the join shape is unchanged, only the bytes at rest shrink
         import spark.implicits._
-        spark.read.schema(Dv2Schema).parquet(new Path(path, sc).toString)
+        spark.read.schema(Dv2Schema).parquet(dataPath(path, sc).toString)
           .filter(col("file").isin(names: _*))
           .as[(String, Array[Byte])]
           .flatMap { case (f, bytes) =>
@@ -2588,7 +2972,7 @@ object LogTable {
             }
           }.toDF("file", "row_index")
       } else
-        spark.read.schema(DvSchema).parquet(new Path(path, sc).toString)
+        spark.read.schema(DvSchema).parquet(dataPath(path, sc).toString)
           .filter(col("file").isin(names: _*))
     }.reduce(_ unionByName _)
   }
@@ -2626,7 +3010,7 @@ object LogTable {
                                  files: Seq[LogFile]): DataFrame = {
     def raw(fs: Seq[LogFile]): DataFrame =
       spark.read.schema(snap.schema)
-        .parquet(fs.map(f => new Path(path, f.name).toString): _*)
+        .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
     val (dved, plain) = files.partition(_.dv.isDefined)
     val plainDf =
       if (plain.isEmpty) emptyDf(spark, snap.schema) else raw(plain)
@@ -2649,7 +3033,7 @@ object LogTable {
                                        tag: String): DataFrame = {
     def raw(fs: Seq[LogFile]): DataFrame =
       spark.read.schema(snap.schema)
-        .parquet(fs.map(f => new Path(path, f.name).toString): _*)
+        .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
     val (dved, plain) = files.partition(_.dv.isDefined)
     val plainDf =
       if (plain.isEmpty)
@@ -2842,7 +3226,8 @@ object LogTable {
                          bloomCols: Seq[String] = Nil,
                          operation: String = "UNKNOWN",
                          txns: Map[String, Long] = Map.empty,
-                         constraints: Map[String, String] = Map.empty)
+                         constraints: Map[String, String] = Map.empty,
+                         properties: Map[String, String] = Map.empty)
       : Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
@@ -2855,6 +3240,14 @@ object LogTable {
     if (constraints.nonEmpty) {
       val t = root.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, e) => t.put(n, e): Unit }
+    }
+    // TABLE PROPERTIES: engine-interpreted key/values that ride every
+    // commit (last writer wins, like constraints) — the persistence
+    // channel for the MV auto-refresh registry, generated-column
+    // declarations and clone provenance; legacy commits read as empty
+    if (properties.nonEmpty) {
+      val t = root.putObject("props")
+      properties.toSeq.sortBy(_._1).foreach { case (n, e) => t.put(n, e): Unit }
     }
     // written only when false — legacy commits (absent) read as true
     if (!dataChange) root.put("dataChange", false): Unit
@@ -2900,6 +3293,13 @@ object LogTable {
     Mapper.writeValueAsBytes(root)
   }
 
+  /** Table property listing the MVs to refresh after every row-visible
+    * commit — persisted IN THE LOG (a dataChange=false registration
+    * commit), so registration survives driver restarts and ANY writer's
+    * commit fires the refresh, not just the registering JVM's.
+    */
+  private[sources] val MvAutoRefreshProp = "mv.autorefresh"
+
   private[sources] def commit(spark: SparkSession, path: String, version: Long,
                      schemaDdl: String, partitionCols: Seq[String],
                      statsCols: Seq[String],
@@ -2908,13 +3308,15 @@ object LogTable {
                      bloomCols: Seq[String] = Nil,
                      operation: String = "UNKNOWN",
                      txns: Map[String, Long] = Map.empty,
-                     constraints: Map[String, String] = Map.empty): Unit = {
+                     constraints: Map[String, String] = Map.empty,
+                     properties: Map[String, String] = Map.empty): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
-      adds, removes, dataChange, bloomCols, operation, txns, constraints))
+      adds, removes, dataChange, bloomCols, operation, txns, constraints,
+      properties))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer
@@ -2940,6 +3342,24 @@ object LogTable {
             s"graft: post-commit hook failed for $path v$version: $e")
         }
       }
+    }
+    // LOG-PERSISTED MV auto-refresh: the registry rides the commit's own
+    // properties (no snapshot re-read, no JVM state), so a restarted
+    // driver — or a different writer entirely — keeps registered views
+    // fresh. Fires only on row-visible commits; failures log and never
+    // unwind the (already durable) write; the self-guard keeps a
+    // misregistered self-reference from recursing.
+    if (dataChange) properties.get(MvAutoRefreshProp).foreach { list =>
+      val self = fs.makeQualified(new Path(path)).toUri.toString
+      list.split(';').iterator.filter(_.nonEmpty)
+        .filterNot(_ == self).foreach { mv =>
+          try MaterializedView.refresh(spark, mv): Unit
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graft: auto-refresh of MV $mv after $path v$version " +
+                s"failed: $e")
+          }
+        }
     }
   }
 

@@ -45,17 +45,20 @@ final class LogTableFileIndex(spark: SparkSession, path: String,
   override def sizeInBytes: Long = snap.files.iterator.map(_.bytes).sum
 
   override def inputFiles: Array[String] =
-    snap.files.map(f => new Path(path, f.name).toString).toArray
+    snap.files.map(f => LogTable.dataPath(path, f.name).toString).toArray
 
   override def refresh(): Unit = () // snapshot-pinned; nothing cached beyond it
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val cj = (partitionFilters ++ dataFilters).flatMap(LogTable.conjuncts)
+    val pushed = (partitionFilters ++ dataFilters).flatMap(LogTable.conjuncts)
+    // generated-column implications: a pushed bound on a source column
+    // prunes by the derived partition column the query never mentioned
+    val cj = pushed ++ LogTable.impliedConjuncts(spark, snap, pushed)
     val keep = snap.files.filter(f =>
       cj.forall(c => LogTable.mayMatch(snap, f, c, zone)))
     Seq(PartitionDirectory(InternalRow.empty,
       keep.map(f => new FileStatus(f.bytes, false, 1, 128L << 20, 0L,
-        new Path(path, f.name))).toArray))
+        LogTable.dataPath(path, f.name))).toArray))
   }
 }

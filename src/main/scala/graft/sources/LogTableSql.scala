@@ -78,6 +78,30 @@ object LogTableSql {
     case _ => namedGraftPath(ref.split('.').toIndexedSeq)
   }
 
+  /** PARTITIONED BY entries → (partition column names, generated-column
+    * declarations): `year(ts)`/`month(ts)`/`day(ts)` become derived
+    * columns `<src>_year|_month|_day` with the matching monotone
+    * generator SQL; plain names pass through. Shared by the CTAS dialect
+    * and the catalog's transform mapping.
+    */
+  private[sources] def partitionSpecs(entries: Seq[String])
+      : (Seq[String], Map[String, String]) = {
+    val Gen = """(?i)(year|month|day)s?\s*\(\s*(\w+)\s*\)""".r
+    val gens = Map.newBuilder[String, String]
+    val cols = entries.map {
+      case Gen(fn, src) =>
+        val (name, gsql) = fn.toLowerCase match {
+          case "year" => (s"${src}_year", s"year($src)")
+          case "month" => (s"${src}_month", s"date_format($src, 'yyyy-MM')")
+          case _ => (s"${src}_day", s"to_date($src)")
+        }
+        gens += name -> gsql
+        name
+      case plain => plain
+    }
+    (cols, gens.result())
+  }
+
   private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
     plan match {
       case u: UnresolvedRelation => graftPath(u.multipartIdentifier).map(_ -> None)
@@ -421,6 +445,17 @@ object LogTableSql {
       .queryExecution.analyzed
   }
 
+  /** `graft_history('path-or-name')` — the operation ledger as a
+    * TABLE-valued function, composable with any SQL on top (the
+    * DESCRIBE HISTORY statement returns the same rows but, as a
+    * command, cannot be filtered/joined in-query).
+    */
+  def historyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_history(path) takes one argument")
+    LogTable.history(SparkSession.active, pathArg(args(0), "path"))
+      .queryExecution.analyzed
+  }
+
   /** `graft_mv('path')` — read a materialized view's user-facing
     * aggregate through SQL (the state table's internals stay internal).
     */
@@ -474,7 +509,10 @@ object LogTableSql {
     private val DropConstraintP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*$$", F)
     private val CreateTableP = Pattern.compile(
-      s"^\\s*CREATE\\s+TABLE\\s+$Ref\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\)" +
+      // the partition list admits one level of nesting: year(ts)-style
+      // generated-column derivations
+      s"^\\s*CREATE\\s+TABLE\\s+$Ref\\s+PARTITIONED\\s+BY\\s*" +
+        "\\(((?:[^()]|\\([^()]*\\))+)\\)" +
         "(?:\\s+STATS\\s+BY\\s*\\(([^)]+)\\))?" +
         "(?:\\s+ZORDER\\s+BY\\s*\\((\\w+)\\s*,\\s*(\\w+)\\s*\\))?" +
         "\\s+AS\\s+(.+)$", F)
@@ -483,6 +521,8 @@ object LogTableSql {
         "(?:\\s+BUCKETS\\s+(\\d+))?\\s+AS\\s+(.+)$", F)
     private val RefreshMvP = Pattern.compile(
       s"^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*$$", F)
+    private val CloneP = Pattern.compile(
+      s"^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*$$", F)
     private val AddColumnsP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*$$",
       F)
@@ -523,6 +563,10 @@ object LogTableSql {
       if (at.matches())
         return refPath(at.group(1)).map(
           AlterColumnTypeCommand(_, at.group(2), at.group(3)))
+      val cl = CloneP.matcher(sqlText)
+      if (cl.matches())
+        return for (d <- createRefPath(cl.group(1)); s <- refPath(cl.group(2)))
+          yield CloneCommand(d, s)
       val ct = CreateTableP.matcher(sqlText)
       if (ct.matches()) {
         def cols(g: String): Seq[String] =
@@ -653,6 +697,8 @@ object LogTableSql {
         org.apache.spark.sql.types.StructField("deleted_rows_in_vectors",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("constraints",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("properties",
           org.apache.spark.sql.types.StringType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] = {
       val s = LogTable.snapshot(session, path)
@@ -664,7 +710,9 @@ object LogTableSql {
         s.files.iterator.map(_.bytes).sum,
         s.files.iterator.flatMap(_.dv).map(_.deleted).sum,
         s.constraints.toSeq.sorted
-          .map { case (n, e) => s"$n: $e" }.mkString("; ")))
+          .map { case (n, e) => s"$n: $e" }.mkString("; "),
+        s.properties.toSeq.sorted
+          .map { case (n, v) => s"$n=$v" }.mkString("; ")))
     }
   }
 
@@ -719,6 +767,18 @@ object LogTableSql {
       Seq(Row(LogTable.dropConstraint(session, path, name)))
   }
 
+  /** `CREATE TABLE <dst> SHALLOW CLONE <src>` — one metadata commit
+    * referencing the source's live files (see [[LogTable.clone]]).
+    */
+  private[sources] final case class CloneCommand(dst: String, src: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.clone(session, src, dst)))
+  }
+
   /** `ALTER TABLE ... ADD COLUMNS (x INT, y STRING)` — append-only,
     * nullable, metadata-only (see [[LogTable.evolveSchema]]); the column
     * list parses with Spark's own schema grammar.
@@ -756,7 +816,11 @@ object LogTableSql {
     * the same [[LogTable.create]] the programmatic API calls (partition
     * tracking, stats declarations and z-order layout all persisted in
     * the log). The SELECT is real SQL — any source, including other
-    * graft tables.
+    * graft tables. A PARTITIONED BY entry may be a GENERATED derivation
+    * — `year(ts)`, `month(ts)`, `day(ts)` — creating a derived column
+    * named `<src>_year|_month|_day`, materialized on every write and
+    * pruned through on reads of the SOURCE column (the
+    * Delta-generated-column / Iceberg-transform shape).
     */
   private[sources] final case class CreateTableCommand(path: String,
       partitionCols: Seq[String], statsCols: Seq[String],
@@ -767,8 +831,10 @@ object LogTableSql {
     override def run(session: SparkSession): Seq[Row] = {
       val df = GraftBridge.ofRows(session,
         session.sessionState.sqlParser.parsePlan(querySql))
-      Seq(Row(LogTable.create(session, path, df, partitionCols,
-        statsCols = statsCols, zorderBy = zorderBy)))
+      val (pcols, gens) = LogTableSql.partitionSpecs(partitionCols)
+      Seq(Row(LogTable.create(session, path, df, pcols,
+        statsCols = statsCols, zorderBy = zorderBy,
+        generatedColumns = gens)))
     }
   }
 

@@ -437,49 +437,63 @@ object MaterializedView {
 
   // ------------------------------------------------------- auto-refresh
 
-  /** base path (qualified URI) → dependent MV paths, consulted by the
-    * single installed post-commit hook. JVM-local: one driver's writes
-    * keep its own registered views fresh — multi-driver deployments
-    * schedule [[refresh]] externally (the txn watermark makes BOTH safe
-    * at once: a hook firing next to an orchestrator's refresh of the
-    * same window is a harmless −1).
-    */
-  private val autoRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
-  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
-
   private def qualified(spark: SparkSession, p: String): String =
     LogTable.fsOf(spark, p).makeQualified(new Path(p)).toUri.toString
 
   /** Opt-in ORCHESTRATOR-FREE freshness: after registration, every
-    * row-visible commit this JVM publishes to the MV's base table
-    * triggers [[refresh]] on the committing thread, post-publish — a
-    * merge returns with the rollup already folded. dataChange=false
-    * commits (compaction, constraint bookkeeping) skip the fire
-    * entirely; a refresh failure is logged, never unwinds the base
-    * write, and the next fire (or manual refresh) folds the missed
-    * window — the watermark makes the feed gapless. Returns the number
-    * of views now registered on that base.
+    * row-visible commit to the MV's base table triggers [[refresh]] on
+    * the committing thread, post-publish — a merge returns with the
+    * rollup already folded. The registry is a TABLE PROPERTY of the
+    * base (`mv.autorefresh`, a `;`-joined list), written as a
+    * dataChange=false commit and carried forward by every write — so
+    * registration survives driver restarts and ANY writer's commit
+    * fires it, not just this JVM's (the fire itself lives in
+    * [[LogTable.commit]], reading the committed properties — no
+    * snapshot re-read, no process state). dataChange=false commits
+    * (compaction, constraint bookkeeping) skip the fire entirely; a
+    * refresh failure is logged, never unwinds the base write, and the
+    * next fire (or manual refresh) folds the missed window — the
+    * watermark makes the feed gapless. Returns the number of views now
+    * registered on that base.
     */
-  def enableAutoRefresh(spark: SparkSession, mvPath: String): Int = {
-    val base = qualified(spark, definition(spark, mvPath).basePath)
-    val mv = qualified(spark, mvPath)
-    if (hookInstalled.compareAndSet(false, true))
-      LogTable.addCommitHook { (s, p, _, _, dataChange) =>
-        if (dataChange) {
-          val key = qualified(s, p)
-          Option(autoRegistry.get(key)).foreach(_.foreach { m =>
-            if (m != key) refresh(s, m): Unit // self-commits never recurse
-          })
-        }
-      }
-    autoRegistry.merge(base, Set(mv), (a, b) => a ++ b).size
+  def enableAutoRefresh(spark: SparkSession, mvPath: String): Int =
+    editRegistry(spark, definition(spark, mvPath).basePath,
+      qualified(spark, mvPath), add = true)
+
+  /** Remove one MV from its base's persisted auto-refresh registry. */
+  def disableAutoRefresh(spark: SparkSession, mvPath: String): Unit = {
+    editRegistry(spark, definition(spark, mvPath).basePath,
+      qualified(spark, mvPath), add = false): Unit
   }
 
-  /** Remove one MV from the auto-refresh registry. */
-  def disableAutoRefresh(spark: SparkSession, mvPath: String): Unit = {
-    val mv = qualified(spark, mvPath)
-    autoRegistry.replaceAll((_, s) => s - mv)
+  private def editRegistry(spark: SparkSession, basePath: String,
+                           mv: String, add: Boolean,
+                           maxRetries: Int = 3): Int = {
+    var attempt = 0
+    while (true) {
+      val snap = LogTable.snapshot(spark, basePath)
+      val cur = snap.properties.get(LogTable.MvAutoRefreshProp)
+        .map(_.split(';').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      val next = if (add) cur + mv else cur - mv
+      if (next == cur) return cur.size
+      val props =
+        if (next.isEmpty) snap.properties - LogTable.MvAutoRefreshProp
+        else snap.properties +
+          (LogTable.MvAutoRefreshProp -> next.toSeq.sorted.mkString(";"))
+      try {
+        LogTable.commit(spark, basePath, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, Nil, Nil, dataChange = false,
+          bloomCols = snap.bloomCols,
+          operation = if (add) "REGISTER_MV" else "UNREGISTER_MV",
+          constraints = snap.constraints, properties = props)
+        return next.size
+      } catch {
+        case e: LogTable.CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** The user-facing view: group columns + aggregate outputs with SQL

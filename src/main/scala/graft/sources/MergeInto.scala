@@ -123,6 +123,25 @@ final case class MergeInto private[sources] (
     require(matched.nonEmpty || insert.isDefined || bySource.nonEmpty,
       s"merge into $path: no clauses — nothing to do")
     val fs = LogTable.fsOf(spark, path)
+    // GENERATED partition columns derive from the batch's own source
+    // column — materialize them onto the merge source so the pruned-
+    // merge contract (partition tuples name every candidate file) holds
+    // without the caller hand-deriving; a caller-supplied value is
+    // recomputed, never trusted (it prunes victims — drift would lose
+    // matches). A pruning merge REQUIRES the generator's source column;
+    // a by-source merge reads the whole table and may omit it.
+    val snap0 = LogTable.snapshot(spark, path)
+    val gens = LogTable.generatorsOf(snap0)
+    val source = gens.foldLeft(this.source) { case (s, (gcol, gsql)) =>
+      val srcCol = LogTable.generatorSource(spark, snap0.schema, gsql)
+      if (s.schema.fieldNames.exists(_.equalsIgnoreCase(srcCol)))
+        s.withColumn(gcol, org.apache.spark.sql.functions.expr(gsql))
+      else if (bySource.isEmpty)
+        throw new IllegalArgumentException(
+          s"merge into $path: source must carry `$srcCol` to derive " +
+            s"generated partition column `$gcol`")
+      else s
+    }
     val srcFields = source.schema.fieldNames
     def srcField(n: String): Option[String] =
       srcFields.find(_.equalsIgnoreCase(n))
@@ -180,7 +199,15 @@ final case class MergeInto private[sources] (
       // (and vacuum-indebts) the entire table.
       val (victims, result) =
         if (bySource.isEmpty) {
-          val v = LogTable.victimFiles(snap, touched)
+          // partition-tuple pruning, then KEY-RANGE pruning: a candidate
+          // file whose key stats provably miss every source key holds
+          // only unmatched target rows — it survives unread and
+          // unrewritten (and key-disjoint merges into the same partition
+          // stop conflicting: disjoint victim sets admit the fast path)
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          val kr = LogTable.batchKeyRanges(spark, snap, source, keyCols)
+          val v = LogTable.victimFiles(snap, touched).filterNot(f =>
+            kr.nonEmpty && LogTable.keyRangeDisjoint(snap, f, kr, zone))
           (v, applyClauses(snap,
             LogTable.readFiles(spark, path, snap, v), source))
         } else {
@@ -203,15 +230,18 @@ final case class MergeInto private[sources] (
               projectResult(snap, keep.drop("__graft_file")))
           }
         }
-      LogTable.enforceConstraints(path, snap, result)
+      // recompute generated columns on the outgoing rows (one spot for
+      // both victim strategies — a clause assigning one is overridden)
+      val outRows = LogTable.materializeGenerated(gens, result)
+      LogTable.enforceConstraints(path, snap, outRows)
       val ddl = widenedDdl(snap)
-      val adds = LogTable.writeDataFiles(spark, path, result,
+      val adds = LogTable.writeDataFiles(spark, path, outRows,
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols, operation = "MERGE_INTO",
-          constraints = snap.constraints)
+          constraints = snap.constraints, properties = snap.properties)
         return snap.version + 1
       } catch {
         case e: LogTable.CommitConflictException =>
@@ -222,7 +252,9 @@ final case class MergeInto private[sources] (
           (if (bySource.nonEmpty) None
           else LogTable.recommitDisjoint(spark, path, snap, ddl, touched,
             adds, victims.map(_.name).toSet, maxRetries,
-            operation = "MERGE_INTO")) match {
+            operation = "MERGE_INTO",
+            keyRanges = () =>
+              LogTable.batchKeyRanges(spark, snap, source, keyCols))) match {
             case Some(v) => return v
             case None =>
               adds.foreach(a => fs.delete(

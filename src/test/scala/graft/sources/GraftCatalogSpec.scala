@@ -79,6 +79,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(hist.map(_.getString(1)).contains("MERGE_INTO"))
     val detail = spark.sql("DESCRIBE DETAIL lake.m").head()
     assert(detail.getAs[String]("partition_columns") == "p")
+    // the ledger as a TVF — filterable in-query, names resolve too
+    assert(spark.sql("SELECT count(*) AS n FROM graft_history('lake.m') " +
+      "WHERE operation = 'MERGE_INTO'").head().getLong(0) == 1L)
     assert(spark.sql("VACUUM lake.m FORCE").head().getInt(0) >= 0)
   }
 

@@ -261,6 +261,32 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedView.disableAutoRefresh(spark, mv)
   }
 
+  test("auto-refresh registration is LOG-persisted: a fresh session's first commit fires it") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 40)
+    define(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    MaterializedView.enableAutoRefresh(spark, mv): Unit
+    try {
+      // the registry lives in the base table's committed properties, not
+      // in any JVM map — the structural restart-survival claim
+      assert(LogTable.snapshot(spark, base).properties
+        .get("mv.autorefresh").exists(_.contains("/mv")),
+        "registration must ride the log, not process memory")
+      // a DIFFERENT session (driver restart: no shared session state)
+      // commits to the base — its commit must still fold the view
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.shuffle.partitions", "2")
+      LogTable.upsert(fresh, base, upd(Seq(
+        (3L, "g1", 5L, Some(123L), 9L, "U"))),
+        Seq("id"), Seq("ver"), "op"): Unit
+      assert(MaterializedView.refreshedVersion(spark, mv) ===
+        LogTable.latestVersion(spark, base),
+        "a fresh session's commit must fire the persisted registration")
+      assertSame(mv, base)
+    } finally MaterializedView.disableAutoRefresh(spark, mv)
+  }
+
   private def defineMinMax(mv: String, base: String): Unit =
     MaterializedView.define(spark, mv, base, Seq("grp"),
       Seq(MvCount("n"), MvMin("min_x", "x"), MvMax("max_x", "x")), 4): Unit

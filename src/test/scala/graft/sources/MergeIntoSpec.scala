@@ -200,6 +200,76 @@ class MergeIntoSpec extends SparkSpec {
       .filter($"operation" === "MERGE_INTO").count() == 2L)
   }
 
+  test("two KEY-disjoint merges into the SAME partition both land on the fast path") {
+    val dir = tmp() + "/t"
+    // one partition value, keys range-clustered so per-file k stats are
+    // tight — the layout that makes key-level conflict detection bite
+    val big = (1L to 60L).map(k => (k, k * 10L, 0, "a"))
+      .toDF("k", "cents", "ver", "p")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoord = LogTable.coordinator
+    val before = LogTable.disjointRecommits.get()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, Seq("p"), statsCols = Seq("k"),
+        clusterBy = Seq("k"))
+      assert(LogTable.snapshot(spark, dir).files.length > 2)
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             t: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // a LOW-key merge in the SAME partition wins the race
+            LogTable.mergeInto(spark, dir,
+              Seq((5L, 999L, "a")).toDF("k", "cents", "p"), Seq("k"))
+              .whenMatchedUpdate(Map("cents" -> "s.cents")).run(): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, t, d)
+        }
+      }
+      // the loser targets a HIGH key: pre-round-15 this was a full
+      // re-merge (same partition = conflict); key-range victim pruning
+      // plus the stats-overlap admission re-commits it untouched
+      assert(LogTable.mergeInto(spark, dir,
+        Seq((55L, 111L, "a")).toDF("k", "cents", "p"), Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents")).run() == 3L)
+    } finally {
+      LogTable.coordinator = prevCoord
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    assert(LogTable.disjointRecommits.get() == before + 1,
+      "the key-disjoint loser must take the fast path, not re-merge")
+    assert(LogTable.read(spark, dir).filter($"k".isin(5L, 55L))
+      .select("k", "cents").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((5L, 999L), (55L, 111L)))
+    assert(LogTable.read(spark, dir).count() == 60L)
+  }
+
+  test("key-pruned victims: a merge rewrites only files whose key stats can match") {
+    val dir = tmp() + "/t"
+    val big = (1L to 60L).map(k => (k, k * 10L, 0, "a"))
+      .toDF("k", "cents", "ver", "p")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      LogTable.create(spark, dir, big, Seq("p"), statsCols = Seq("k"),
+        clusterBy = Seq("k"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val beforeFiles = LogTable.snapshot(spark, dir).files.map(_.name).toSet
+    assert(beforeFiles.size > 2)
+    LogTable.mergeInto(spark, dir,
+      Seq((1L, 999L, "a")).toDF("k", "cents", "p"), Seq("k"))
+      .whenMatchedUpdate(Map("cents" -> "s.cents")).run(): Unit
+    val afterFiles = LogTable.snapshot(spark, dir).files.map(_.name).toSet
+    val survivors = afterFiles.intersect(beforeFiles)
+    assert(survivors.nonEmpty,
+      "files whose key range misses the batch must survive the merge")
+    assert(LogTable.read(spark, dir).count() == 60L)
+    assert(LogTable.read(spark, dir).filter($"k" === 1L)
+      .select("cents").as[Long].head() == 999L)
+  }
+
   test("the clause plan is an equi full-outer join — never cartesian") {
     val dir = tmp() + "/t"
     val base = spark.range(0, 500).selectExpr(
