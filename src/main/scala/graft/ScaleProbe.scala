@@ -262,6 +262,72 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // GENERATED-PARTITION pruning at scale: a table partitioned by the
+    // DERIVED odate_year (the user's schema carries only odate), read
+    // with a bound on odate ALONE. The pruned window read should track
+    // the MATCHING year's size (~linear in copies — each year grows
+    // copies×) while staying well under the full-table aggregate at the
+    // same tier; "full" is that denominator.
+    def genpartCache(s: SparkSession, d: String): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/genpart/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t,
+          graft.Tables(s, d, "orders").select(
+            col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderdate").as("odate"),
+            lit(0).as("version"), lit("U").as("op")),
+          Seq("odate_year"), statsCols = Seq("k"),
+          generatedColumns = Map("odate_year" -> "year(odate)")): Unit
+      }
+      t
+    }
+    def genpartRead(mode: String)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = genpartCache(s, d)
+      val df =
+        if (mode == "pruned")
+          LogTable.readWhere(s, t,
+            col("odate") >= lit(java.sql.Timestamp.valueOf(
+              "1997-01-01 00:00:00")) &&
+            col("odate") < lit(java.sql.Timestamp.valueOf(
+              "1998-01-01 00:00:00")))
+        else LogTable.read(s, t)
+      df.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
+    // KEY-RANGE victim pruning at scale: a bounded-key merge against a
+    // k-clustered table. The batch targets a FIXED key window, so at N×
+    // the candidate files still covering that window stay ~constant —
+    // the merge's read+rewrite should be ~FLAT in table size (the
+    // pre-round-15 cost was the whole partition, i.e. ~N×).
+    def keyRangeMerge(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/keyrange/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t, orderShape(s, d), Seq("o_year"),
+          statsCols = Seq("k"), clusterBy = Seq("k")): Unit
+      }
+      // fixed absolute key window (the base tier's low keys — present at
+      // every tier); re-applying converges, so passes repeat fair work
+      val batch = orderShape(s, d)
+        .filter(col("k") < 5000L && col("o_year") === 1997)
+        .withColumn("cents", col("cents") + lit(1L))
+        .withColumn("version", lit(1))
+      LogTable.upsert(s, t, batch, Seq("k"), Seq("version"), "op",
+        maxRetries = 8): Unit
+      LogTable.readWhere(s, t, col("k") < 5000L && col("o_year") === 1997)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }
+
     // the MERGE in isolation: the registered q108/q125 runners rebuild
     // their base table every pass (q125's create is a full range shuffle
     // of the tier), which swamps the layout comparison actually at stake.
@@ -458,6 +524,9 @@ object ScaleProbe {
         "dv_delete:rewrite" -> (dvDelete("rewrite") _),
         "dv_delete:vectors" -> (dvDelete("vectors") _),
         "merge_into:clauses" -> (mergeIntoProbe _),
+        "genpart_read:pruned" -> (genpartRead("pruned") _),
+        "genpart_read:full" -> (genpartRead("full") _),
+        "merge_keyrange:bounded" -> (keyRangeMerge _),
         "mv_refresh:incremental" -> (mvRefresh("incremental") _),
         "mv_refresh:minmax" -> (mvRefresh("minmax") _),
         "mv_refresh:full_recompute" -> (mvRefresh("full") _),

@@ -523,6 +523,9 @@ object LogTableSql {
       s"^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*$$", F)
     private val CloneP = Pattern.compile(
       s"^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*$$", F)
+    private val RestoreP = Pattern.compile(
+      s"^\\s*RESTORE\\s+TABLE\\s+$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+" +
+        "(\\d+)\\s*$", F)
     private val AddColumnsP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*$$",
       F)
@@ -563,6 +566,10 @@ object LogTableSql {
       if (at.matches())
         return refPath(at.group(1)).map(
           AlterColumnTypeCommand(_, at.group(2), at.group(3)))
+      val rs = RestoreP.matcher(sqlText)
+      if (rs.matches())
+        return refPath(rs.group(1)).map(
+          RestoreCommand(_, rs.group(2).toLong))
       val cl = CloneP.matcher(sqlText)
       if (cl.matches())
         return for (d <- createRefPath(cl.group(1)); s <- refPath(cl.group(2)))
@@ -765,6 +772,20 @@ object LogTableSql {
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.dropConstraint(session, path, name)))
+  }
+
+  /** `RESTORE TABLE ... TO VERSION AS OF n` — the operational undo as a
+    * statement (metadata-only, history preserved; see
+    * [[LogTable.restore]]). Returns the new version, −1 if already
+    * there.
+    */
+  private[sources] final case class RestoreCommand(path: String,
+      toVersion: Long) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.restore(session, path, toVersion)))
   }
 
   /** `CREATE TABLE <dst> SHALLOW CLONE <src>` — one metadata commit

@@ -118,4 +118,19 @@ class CloneSpec extends SparkSpec {
       LogTable.clone(spark, src, dst)
     }
   }
+
+  test("SQL: RESTORE TABLE ... TO VERSION AS OF undoes a bad delete") {
+    val root = tmp()
+    val t = root + "/t"
+    mk(t)
+    LogTable.deleteWhere(spark, t, col("k") < 25): Unit
+    assert(LogTable.read(spark, t).count() == 5L)
+    val v = spark.sql(
+      s"RESTORE TABLE graft.`$t` TO VERSION AS OF 1").head().getLong(0)
+    assert(v == 3L, "restore is a NEW commit, history preserved")
+    assert(LogTable.read(spark, t).count() == 30L)
+    // already-there restores answer -1 without committing
+    assert(spark.sql(s"RESTORE TABLE graft.`$t` TO VERSION AS OF 3")
+      .head().getLong(0) == -1L)
+  }
 }
