@@ -172,6 +172,50 @@ object LogTableSql {
             graftPath(u.multipartIdentifier).isDefined =>
           relation(graftPath(u.multipartIdentifier).get, None)
 
+        // STREAMING reads by name or path —
+        // `spark.readStream.table("lake.db.orders")` (or the
+        // `graft.`dir`` form) resolves to the SAME change-feed source
+        // the format("graft-logtable") path builds: versions as
+        // offsets, admission control, dataChange skipping
+        case u: UnresolvedRelation if u.isStreaming &&
+            (graftPath(u.multipartIdentifier).isDefined ||
+              namedGraftPath(u.multipartIdentifier).isDefined) =>
+          val path = graftPath(u.multipartIdentifier)
+            .orElse(namedGraftPath(u.multipartIdentifier)).get
+          spark.readStream
+            .format(classOf[LogTableSourceProvider].getName)
+            .option("path", path).load()
+            .queryExecution.analyzed
+
+        // a NAMED streaming table Spark's catalog resolution already
+        // wrapped (readStream.table("lake.db.t") bypasses the parser, so
+        // the V2 wrapper appears before our UnresolvedRelation case can
+        // fire) — swap it for the real change-feed source, KEEPING the
+        // original output ids; the capability check that would otherwise
+        // reject the scan runs after resolution, never seeing the handle
+        case sr: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+            if sr.table.isInstanceOf[GraftTable] =>
+          val gt = sr.table.asInstanceOf[GraftTable]
+          val fresh = spark.readStream
+            .format(classOf[LogTableSourceProvider].getName)
+            .option("path", gt.path).load()
+            .queryExecution.analyzed
+          val byName = fresh.output.map(a => a.name.toLowerCase -> a).toMap
+          val mapped = sr.output.map { a =>
+            val src = byName.getOrElse(a.name.toLowerCase,
+              throw new IllegalStateException(
+                s"graft catalog: column `${a.name}` of ${gt.name()} is " +
+                  "missing from the streaming source"))
+            org.apache.spark.sql.catalyst.expressions.Alias(src, a.name)(
+              exprId = a.exprId): org.apache.spark.sql.catalyst.expressions
+              .NamedExpression
+          }
+          // the source's extra columns (_commit_version) ride along —
+          // the handle's schema does not advertise them, the feed does
+          val extras = fresh.output.filterNot(a =>
+            sr.output.exists(_.name.equalsIgnoreCase(a.name)))
+          Project(mapped ++ extras, fresh)
+
         // a NAMED table Spark's catalog resolution already materialized
         // (spark.table("lake.db.t"), or SQL under USE lake) — swap the
         // capability-less catalog handle for the real log-table plan,

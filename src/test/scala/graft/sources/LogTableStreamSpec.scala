@@ -48,6 +48,23 @@ class LogTableStreamSpec extends SparkSpec {
     (1L, "a", 0, "p1", "U"), (2L, "b", 0, "p1", "U"),
     (3L, "c", 0, "p2", "U")).toDF("k", "v", "ver", "p", "op")
 
+  test("streaming reads resolve by NAME and by graft.`path` — same source") {
+    val root = tmp()
+    val dir = root + "/cat/t"
+    spark.conf.set("spark.sql.catalog.slake", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.slake.root", root + "/cat")
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.append(spark, dir,
+      Seq((4L, "d", 0, "p3", "U")).toDF("k", "v", "ver", "p", "op")): Unit
+    // by NAME through the catalog
+    val (namedRows, _) = drain(spark.readStream.table("slake.t"))
+    assert(namedRows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L, 4L))
+    // by backticked path — the same change-feed source
+    val (pathRows, _) = drain(spark.readStream.table(s"graft.`$dir`"))
+    assert(pathRows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(namedRows.head.schema.fieldNames.contains("_commit_version"))
+  }
+
   test("append-only commits stream as-is, tagged with their commit version") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
