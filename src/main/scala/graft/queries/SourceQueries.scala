@@ -1064,16 +1064,20 @@ object SourceQueries {
     "q155_named_catalog" -> ((s, dir) => {
       import graft.sources.{GraftCatalog, LogTable}
       val root = scratch(s, dir, "graft_q155")
-      s.conf.set("spark.sql.catalog.glake", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.glake.root", root)
+      // one catalog NAME per dataset dir: CatalogManager caches the
+      // plugin instance at first use, so a shared name registered during
+      // a warm-up pass at another sf would keep ITS root forever
+      val cat = "glake_" + new java.io.File(dir).getName.replace('.', '_')
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       val base = ordersShaped(s, dir, withOdate = false)
       base.createOrReplaceTempView("q155_base")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS glake.db"): Unit
-      s.sql("CREATE TABLE glake.db.orders PARTITIONED BY (o_year) " +
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db"): Unit
+      s.sql(s"CREATE TABLE $cat.db.orders PARTITIONED BY (o_year) " +
         "STATS BY (k) AS SELECT * FROM q155_base"): Unit
-      s.sql("DELETE FROM glake.db.orders " +
+      s.sql(s"DELETE FROM $cat.db.orders " +
         "WHERE o_year = 1996 AND k % 5 = 0"): Unit
-      s.sql("UPDATE glake.db.orders SET cents = (cents * 110) div 100, " +
+      s.sql(s"UPDATE $cat.db.orders SET cents = (cents * 110) div 100, " +
         "version = 1 WHERE o_year = 1997 AND k % 7 = 0"): Unit
       val y98 = base.filter(col("o_year") === 1998)
       y98.filter(col("k") % 7 === 0 || col("k") % 13 === 0)
@@ -1086,24 +1090,24 @@ object SourceQueries {
             lit("I").as("act")))
         .createOrReplaceTempView("q155_src")
       s.sql(
-        """MERGE INTO glake.db.orders t USING q155_src s ON t.k = s.k
+        s"""MERGE INTO $cat.db.orders t USING q155_src s ON t.k = s.k
           |WHEN MATCHED AND s.act = 'D' THEN DELETE
           |WHEN MATCHED THEN UPDATE SET cents = s.newcents, version = 2
           |WHEN NOT MATCHED THEN INSERT (k, status, cents, o_year, version, op)
           |  VALUES (s.k, s.status, s.newcents, s.o_year, 3, 'U')
           |""".stripMargin): Unit
-      s.sql("INSERT INTO glake.db.orders " +
+      s.sql(s"INSERT INTO $cat.db.orders " +
         "SELECT k + 20000000, status, cents * 2, o_year, 4, 'U' " +
         "FROM q155_base WHERE o_year = 1999 AND k % 50 = 0"): Unit
       // time travel by NAME sees the CTAS state; name/path parity holds
       val v1 = s.sql(
-        "SELECT count(*) AS n FROM glake.db.orders VERSION AS OF 1")
+        s"SELECT count(*) AS n FROM $cat.db.orders VERSION AS OF 1")
         .head().getLong(0)
       val tablePath = s"$root/db/orders"
       val byPath = LogTable.read(s, tablePath).count()
-      val byName = s.table("glake.db.orders").count()
+      val byName = s.table(s"$cat.db.orders").count()
       // the scan behind the name IS the log-table FileIndex plan
-      val planOk = s.table("glake.db.orders").queryExecution.analyzed
+      val planOk = s.table(s"$cat.db.orders").queryExecution.analyzed
         .collectFirst {
           case org.apache.spark.sql.execution.datasources.LogicalRelation(
               fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
@@ -1111,31 +1115,31 @@ object SourceQueries {
               if fs.location.isInstanceOf[
                 graft.sources.LogTableFileIndex] => ()
         }.isDefined
-      val ops = s.sql("DESCRIBE HISTORY glake.db.orders")
+      val ops = s.sql(s"DESCRIBE HISTORY $cat.db.orders")
         .groupBy("operation").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val detailOk = s.sql("DESCRIBE DETAIL glake.db.orders")
+      val detailOk = s.sql(s"DESCRIBE DETAIL $cat.db.orders")
         .head().getAs[String]("partition_columns") == "o_year"
       // schema evolution by name: append a column, widen a type —
       // metadata-only (zero files touched), old rows NULL-fill
       val filesBefore = LogTable.snapshot(s, tablePath).files.map(_.name)
-      s.sql("ALTER TABLE glake.db.orders ADD COLUMNS (note STRING)"): Unit
-      s.sql("ALTER TABLE glake.db.orders " +
+      s.sql(s"ALTER TABLE $cat.db.orders ADD COLUMNS (note STRING)"): Unit
+      s.sql(s"ALTER TABLE $cat.db.orders " +
         "ALTER COLUMN version TYPE BIGINT"): Unit
-      val schema = s.table("glake.db.orders").schema
+      val schema = s.table(s"$cat.db.orders").schema
       val evolveOk =
         schema.fieldNames.contains("note") &&
         schema("version").dataType ==
           org.apache.spark.sql.types.LongType &&
         LogTable.snapshot(s, tablePath).files.map(_.name) == filesBefore &&
-        s.table("glake.db.orders")
+        s.table(s"$cat.db.orders")
           .filter(col("note").isNotNull).count() == 0L
       val ok = v1 == base.count() && byPath == byName && planOk &&
         detailOk && evolveOk &&
         Seq("CREATE", "MERGE_INTO").forall(ops.contains)
-      s.sql("SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+      s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
         "sum(cents) AS sum_cents, sum(version) AS sum_version " +
-        "FROM glake.db.orders GROUP BY o_year, status")
+        s"FROM $cat.db.orders GROUP BY o_year, status")
         .withColumn("named_ok", lit(ok))
     }),
 
