@@ -90,6 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_history"),
       (args: Seq[Expression]) =>
         graft.sources.LogTableSql.historyPlan(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      new ExpressionInfo(graft.sources.LogTableSql.getClass.getName,
+        "graft_files"),
+      (args: Seq[Expression]) =>
+        graft.sources.LogTableSql.filesPlan(args)))
     // table-lifecycle statements Spark's grammar lacks (DESCRIBE
     // HISTORY / VACUUM / OPTIMIZE / ALTER TABLE ... CONSTRAINT) — a
     // delegating parser in the Delta style; everything else passes

@@ -500,6 +500,24 @@ object LogTableSql {
       .queryExecution.analyzed
   }
 
+  /** `graft_files('path-or-name'[, version])` — the snapshot's FILE
+    * inventory as a table: name, leading-partition bounds, physical
+    * rows/bytes, deletion-vector load. Metadata-only (the log already
+    * knows it); the ops view behind "why is this partition 400 files".
+    */
+  def filesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.length <= 2,
+      "graft_files(path[, version]) takes one or two arguments")
+    val spark = SparkSession.active
+    val snap = LogTable.snapshot(spark, pathArg(args(0), "path"),
+      args.lift(1).map(longArg(_, "version")))
+    import spark.implicits._
+    snap.files.map(f => (f.name, f.pmin, f.pmax, f.rows, f.bytes,
+        f.dv.map(_.deleted).getOrElse(0L)))
+      .toDF("name", "pmin", "pmax", "rows", "bytes", "dv_deleted")
+      .queryExecution.analyzed
+  }
+
   /** `graft_mv('path')` — read a materialized view's user-facing
     * aggregate through SQL (the state table's internals stay internal).
     */
@@ -570,6 +588,11 @@ object LogTableSql {
     private val RestoreP = Pattern.compile(
       s"^\\s*RESTORE\\s+TABLE\\s+$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+" +
         "(\\d+)\\s*$", F)
+    private val RestoreTsP = Pattern.compile(
+      s"^\\s*RESTORE\\s+TABLE\\s+$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+" +
+        "'([^']+)'\\s*$", F)
+    private val CheckpointP = Pattern.compile(
+      s"^\\s*CHECKPOINT\\s+$Ref(\\s+EXPIRE)?\\s*$$", F)
     private val AddColumnsP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*$$",
       F)
@@ -614,6 +637,14 @@ object LogTableSql {
       if (rs.matches())
         return refPath(rs.group(1)).map(
           RestoreCommand(_, rs.group(2).toLong))
+      val rt = RestoreTsP.matcher(sqlText)
+      if (rt.matches())
+        return refPath(rt.group(1)).map(
+          RestoreTsCommand(_, rt.group(2)))
+      val cp = CheckpointP.matcher(sqlText)
+      if (cp.matches())
+        return refPath(cp.group(1)).map(
+          CheckpointCommand(_, cp.group(2) != null))
       val cl = CloneP.matcher(sqlText)
       if (cl.matches())
         return for (d <- createRefPath(cl.group(1)); s <- refPath(cl.group(2)))
@@ -830,6 +861,46 @@ object LogTableSql {
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.restore(session, path, toVersion)))
+  }
+
+  /** `RESTORE TABLE ... TO TIMESTAMP AS OF 'ts'` — the version is the
+    * newest commit published at or before the timestamp
+    * ([[LogTable.versionAt]]), then the metadata-only restore.
+    */
+  private[sources] final case class RestoreTsCommand(path: String,
+      ts: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val micros = Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString(ts), org.apache.spark.sql.types.StringType),
+          TimestampType,
+          Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      require(micros != null,
+        s"graft SQL: cannot parse TIMESTAMP AS OF '$ts'")
+      Seq(Row(LogTable.restore(session, path, LogTable.versionAt(
+        session, path, micros.asInstanceOf[Long] / 1000L))))
+    }
+  }
+
+  /** `CHECKPOINT <ref> [EXPIRE]` — write a full-snapshot checkpoint so
+    * replay is O(commits since); EXPIRE additionally deletes the commits
+    * the checkpoint made redundant (time travel behind it stops, loud).
+    */
+  private[sources] final case class CheckpointCommand(path: String,
+      expire: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("expired_commits",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val v = LogTable.checkpoint(session, path)
+      val n = if (expire) LogTable.expireLog(session, path) else 0
+      Seq(Row(v, n))
+    }
   }
 
   /** `CREATE TABLE <dst> SHALLOW CLONE <src>` — one metadata commit

@@ -268,6 +268,37 @@ class LogTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("stats-declared"))
   }
 
+  test("RESTORE by timestamp, CHECKPOINT [EXPIRE], and the graft_files TVF") {
+    import spark.implicits._
+    val t = mkTable(30)
+    val beforeDelete = System.currentTimeMillis()
+    Thread.sleep(5L)
+    LogTable.deleteWhere(spark, t, org.apache.spark.sql.functions
+      .col("k") <= 20L): Unit
+    // the file inventory is metadata-only and names every live file
+    val files = spark.sql(s"SELECT * FROM graft_files('$t')").collect()
+    assert(files.nonEmpty)
+    assert(files.map(_.getAs[Long]("rows")).sum >= 10L)
+    // time-travel the inventory to the pre-delete version
+    assert(spark.sql(s"SELECT sum(rows) AS r FROM graft_files('$t', 1)")
+      .as[Long].head() == 30L)
+    // restore to the wall-clock moment before the delete
+    val ts = new java.sql.Timestamp(beforeDelete).toString
+    val v = spark.sql(
+      s"RESTORE TABLE ${sqlRef(t)} TO TIMESTAMP AS OF '$ts'")
+      .head().getLong(0)
+    assert(v == 3L)
+    assert(LogTable.read(spark, t).count() == 30L)
+    // checkpoint + expire collapses replay to one file and drops the
+    // now-redundant commits; the table still reads whole
+    val r = spark.sql(s"CHECKPOINT ${sqlRef(t)} EXPIRE").head()
+    assert(r.getLong(0) == 3L && r.getInt(1) >= 3)
+    assert(LogTable.read(spark, t).count() == 30L)
+    intercept[IllegalArgumentException] {
+      LogTable.snapshot(spark, t, Some(1L)) // expired behind the checkpoint
+    }
+  }
+
   test("DESCRIBE DETAIL summarizes the snapshot without a data scan") {
     val t = mkTable(10)
     import spark.implicits._
