@@ -167,7 +167,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
     if (!isTableDir(new Path(p))) throw new NoSuchTableException(ident)
-    LogTable.evolveSchema(spark, p, changes): Unit
+    val (props, schema) = changes.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (props.nonEmpty)
+      LogTable.setProperties(spark, p,
+        props.collect { case s: TableChange.SetProperty =>
+          s.property -> s.value }.toMap,
+        props.collect { case r: TableChange.RemoveProperty =>
+          r.property }): Unit
+    if (schema.nonEmpty) LogTable.evolveSchema(spark, p, schema): Unit
     loadTable(ident)
   }
 

@@ -3293,6 +3293,53 @@ object LogTable {
     Mapper.writeValueAsBytes(root)
   }
 
+  /** Table property `checkpoint.every = n`: after every n-th version,
+    * the committing writer also writes a CHECKPOINT (best-effort,
+    * post-publish — a failure never unwinds the commit), so snapshot
+    * replay stays O(n) commits forever without an external maintenance
+    * job. The property rides the log like every other; 0/absent = manual
+    * checkpointing only.
+    */
+  private[sources] val CheckpointEveryProp = "checkpoint.every"
+
+  /** Property keys the ENGINE owns — they carry validated structure
+    * (generator expressions, the MV registry, clone provenance) and must
+    * change through their dedicated APIs, not raw property DDL.
+    */
+  private[sources] def reservedProperty(k: String): Boolean =
+    k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
+      k == "clone.source"
+
+  /** SET/UNSET table properties as one metadata-only commit — the
+    * generic carrier for user metadata and the engine's OPT-IN knobs
+    * (`checkpoint.every`). Reserved keys are refused loud.
+    */
+  def setProperties(spark: SparkSession, path: String,
+                    set: Map[String, String], unset: Seq[String] = Nil,
+                    maxRetries: Int = 3): Long = {
+    (set.keys ++ unset).foreach(k => require(!reservedProperty(k),
+      s"log table $path: property `$k` is engine-owned — use its " +
+        "dedicated API (generated columns, MV auto-refresh, clone)"))
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val props = (snap.properties ++ set) -- unset
+      if (props == snap.properties) return -1L
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, Nil, Nil, dataChange = false,
+          bloomCols = snap.bloomCols, operation = "SET PROPERTIES",
+          constraints = snap.constraints, properties = props)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Table property listing the MVs to refresh after every row-visible
     * commit — persisted IN THE LOG (a dataChange=false registration
     * commit), so registration survives driver restarts and ANY writer's
@@ -3361,6 +3408,19 @@ object LogTable {
           }
         }
     }
+    // AUTO-CHECKPOINT: every n-th version also lands a checkpoint, so
+    // replay stays O(n) without an external maintenance job. Post-
+    // publish and best-effort — the commit already succeeded.
+    properties.get(CheckpointEveryProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+      .foreach { n =>
+        if (version % n == 0)
+          try checkpoint(spark, path): Unit
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graft: auto-checkpoint of $path at v$version failed: $e")
+          }
+      }
   }
 
   /** Post-commit hooks: observers of durably published versions —

@@ -593,6 +593,15 @@ object LogTableSql {
         "'([^']+)'\\s*$", F)
     private val CheckpointP = Pattern.compile(
       s"^\\s*CHECKPOINT\\s+$Ref(\\s+EXPIRE)?\\s*$$", F)
+    private val SetPropsP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*" +
+        "\\((.+)\\)\\s*$", F)
+    private val UnsetPropsP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*" +
+        "\\((.+)\\)\\s*$", F)
+    // 'k' = 'v' pairs / 'k' names, quoted, comma-separated
+    private val PropPair = "'([^']*)'\\s*=\\s*'([^']*)'".r
+    private val PropName = "'([^']*)'".r
     private val AddColumnsP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*$$",
       F)
@@ -645,6 +654,15 @@ object LogTableSql {
       if (cp.matches())
         return refPath(cp.group(1)).map(
           CheckpointCommand(_, cp.group(2) != null))
+      val sp = SetPropsP.matcher(sqlText)
+      if (sp.matches())
+        return refPath(sp.group(1)).map(SetPropertiesCommand(_,
+          PropPair.findAllMatchIn(sp.group(2))
+            .map(m => m.group(1) -> m.group(2)).toMap, Nil))
+      val up = UnsetPropsP.matcher(sqlText)
+      if (up.matches())
+        return refPath(up.group(1)).map(SetPropertiesCommand(_, Map.empty,
+          PropName.findAllMatchIn(up.group(2)).map(_.group(1)).toSeq))
       val cl = CloneP.matcher(sqlText)
       if (cl.matches())
         return for (d <- createRefPath(cl.group(1)); s <- refPath(cl.group(2)))
@@ -861,6 +879,21 @@ object LogTableSql {
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.restore(session, path, toVersion)))
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES ('k' = 'v', …)` — one
+    * metadata-only commit; engine-owned keys (generators, MV registry,
+    * clone provenance) are refused — they change through their own
+    * statements. The opt-in `checkpoint.every` knob lands here.
+    */
+  private[sources] final case class SetPropertiesCommand(path: String,
+      set: Map[String, String], unset: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.setProperties(session, path, set, unset)))
   }
 
   /** `RESTORE TABLE ... TO TIMESTAMP AS OF 'ts'` — the version is the

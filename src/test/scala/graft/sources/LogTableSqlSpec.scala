@@ -299,6 +299,41 @@ class LogTableSqlSpec extends SparkSpec {
     }
   }
 
+  test("SET TBLPROPERTIES drives auto-checkpointing; reserved keys refuse") {
+    import spark.implicits._
+    val t = mkTable(20)
+    spark.sql(s"ALTER TABLE ${sqlRef(t)} SET TBLPROPERTIES " +
+      "('checkpoint.every' = '3', 'team' = 'ingest')"): Unit
+    assert(LogTable.snapshot(spark, t).properties ==
+      Map("checkpoint.every" -> "3", "team" -> "ingest"))
+    // versions: 1 create, 2 set-props; the next commit is v3 → the
+    // writer itself lands a checkpoint, no maintenance job involved
+    LogTable.append(spark, t,
+      Seq((100L, 0, "x", 1L, 0L, "U"))
+        .toDF("k", "part", "name", "cents", "ver", "op")): Unit
+    assert(new java.io.File(t, f"_graft_log/${3L}%020d.checkpoint.json")
+      .exists(), "the 3rd version must auto-checkpoint")
+    // v4 does not checkpoint; v6 does
+    LogTable.deleteWhere(spark, t, col("k") === 100L): Unit
+    assert(!new java.io.File(t, f"_graft_log/${4L}%020d.checkpoint.json")
+      .exists())
+    // UNSET stops the policy
+    spark.sql(s"ALTER TABLE ${sqlRef(t)} UNSET TBLPROPERTIES " +
+      "('checkpoint.every')"): Unit
+    LogTable.append(spark, t,
+      Seq((101L, 0, "y", 1L, 0L, "U"))
+        .toDF("k", "part", "name", "cents", "ver", "op")): Unit
+    assert(!new java.io.File(t, f"_graft_log/${6L}%020d.checkpoint.json")
+      .exists(), "unset must stop the auto-checkpoint")
+    assert(LogTable.read(spark, t).count() == 21L)
+    // engine-owned keys are not writable through property DDL
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE ${sqlRef(t)} SET TBLPROPERTIES " +
+        "('gen.sneaky' = 'year(k)')")
+    }
+    assert(e.getMessage.contains("engine-owned"))
+  }
+
   test("DESCRIBE DETAIL summarizes the snapshot without a data scan") {
     val t = mkTable(10)
     import spark.implicits._
