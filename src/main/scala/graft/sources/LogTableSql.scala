@@ -393,7 +393,12 @@ object LogTableSql {
     override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
     override def run(session: SparkSession): Seq[Row] = {
       val snap = LogTable.snapshot(session, path)
-      val schema = snap.schema
+      // GENERATED columns are the engine's to compute — INSERT aligns
+      // against the user-facing schema without them (the write path
+      // recomputes them regardless, so a supplied value is ignored)
+      val gens = LogTable.generatorsOf(snap).keySet.map(_.toLowerCase)
+      val fields = snap.schema.fields.toIndexedSeq
+        .filterNot(f => gens.contains(f.name.toLowerCase))
       val src = GraftBridge.ofRows(session, query)
       def fill(f: org.apache.spark.sql.types.StructField) = {
         require(f.nullable,
@@ -402,7 +407,7 @@ object LogTableSql {
       }
       val aligned: DataFrame =
         if (byName) {
-          src.select(schema.fields.toIndexedSeq.map { f =>
+          src.select(fields.map { f =>
             src.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
               case Some(g) => col(g.name).cast(f.dataType).as(f.name)
               case None => fill(f)
@@ -413,17 +418,17 @@ object LogTableSql {
             s"graft SQL: INSERT names ${userCols.size} columns but the " +
               s"query produces ${src.columns.length}")
           val byTarget = userCols.map(_.toLowerCase).zip(src.columns).toMap
-          src.select(schema.fields.toIndexedSeq.map { f =>
+          src.select(fields.map { f =>
             byTarget.get(f.name.toLowerCase) match {
               case Some(srcCol) => col(srcCol).cast(f.dataType).as(f.name)
               case None => fill(f)
             }
           }: _*)
         } else {
-          require(src.columns.length == schema.size,
+          require(src.columns.length == fields.size,
             s"graft SQL: INSERT query produces ${src.columns.length} " +
-              s"columns, table has ${schema.size} — list the target columns")
-          src.select(schema.fields.toIndexedSeq.zip(src.columns).map {
+              s"columns, table has ${fields.size} — list the target columns")
+          src.select(fields.zip(src.columns).map {
             case (f, c) => col(c).cast(f.dataType).as(f.name)
           }: _*)
         }

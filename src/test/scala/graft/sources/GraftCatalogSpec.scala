@@ -137,6 +137,24 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.db.t") }
   }
 
+  test("native CREATE TABLE with a years() transform maps to a generated column") {
+    register()
+    spark.sql("CREATE TABLE lake.gp (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (years(ts)) TBLPROPERTIES ('stats_by' = 'k')")
+    val snap = LogTable.snapshot(spark,
+      s"$catalogRoot/gp")
+    assert(snap.partitionCols == Seq("ts_year"))
+    assert(snap.properties.get("gen.ts_year").contains("year(ts)"))
+    spark.sql("INSERT INTO lake.gp VALUES " +
+      "(1, TIMESTAMP'2003-04-05 00:00:00'), " +
+      "(2, TIMESTAMP'2007-08-09 00:00:00')")
+    assert(spark.sql(
+      "SELECT k FROM lake.gp WHERE ts_year = 2007").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // the derived column materialized even though INSERT never named it
+    assert(spark.table("lake.gp").filter(col("ts_year").isNull).count() == 0)
+  }
+
   test("writeTo/V2 exec paths are locked out; spark.table backstop substitutes") {
     register()
     spark.sql("CREATE TABLE lake.locked PARTITIONED BY (p) AS " +
