@@ -301,6 +301,40 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // BUCKET(N) hidden partitioning at scale: a POINT lookup on the
+    // high-cardinality key against a pmod(hash(k),16)-partitioned table
+    // opens only the files of ONE bucket (~1/16 of the table at every
+    // tier), so its cost should track the bucket's size — "full" is the
+    // same aggregate over the whole table, the denominator showing what
+    // the lookup avoided.
+    def bucketCache(s: SparkSession, d: String): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/bucket/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t,
+          graft.Tables(s, d, "orders").select(
+            col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          Seq("k_bucket"), statsCols = Seq("cents"),
+          generatedColumns = Map("k_bucket" -> "pmod(hash(k), 16)")): Unit
+      }
+      t
+    }
+    def bucketLookup(mode: String)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = bucketCache(s, d)
+      val df =
+        if (mode == "point")
+          LogTable.readWhere(s, t,
+            col("k").isin(1L, 7L, 1000L, 4999L))
+        else LogTable.read(s, t)
+      df.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
     // KEY-RANGE victim pruning at scale: a bounded-key merge against a
     // k-clustered table. The batch targets a FIXED key window, so at N×
     // the candidate files still covering that window stay ~constant —
@@ -526,6 +560,8 @@ object ScaleProbe {
         "merge_into:clauses" -> (mergeIntoProbe _),
         "genpart_read:pruned" -> (genpartRead("pruned") _),
         "genpart_read:full" -> (genpartRead("full") _),
+        "bucket_lookup:point" -> (bucketLookup("point") _),
+        "bucket_lookup:full" -> (bucketLookup("full") _),
         "merge_keyrange:bounded" -> (keyRangeMerge _),
         "mv_refresh:incremental" -> (mvRefresh("incremental") _),
         "mv_refresh:minmax" -> (mvRefresh("minmax") _),

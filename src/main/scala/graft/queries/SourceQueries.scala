@@ -1221,6 +1221,115 @@ object SourceQueries {
         .withColumn("clone_ok", lit(ok))
     }),
 
+    // COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (the Delta
+    // name-mode architecture): the at-rest physical name never moves,
+    // so the ALTER rewrites ZERO files (pinned below against the live
+    // file list), old versions time-travel under their own names, DML
+    // speaks the new name, and data skipping still consults the stats
+    // keyed under the retired physical name (pinned metadata-only: a
+    // provably-empty predicate on the RENAMED column must exclude every
+    // file without scanning one).
+    "q158_column_mapping" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q158")
+      val base = ordersShaped(s, dir, withOdate = false)
+      base.createOrReplaceTempView("q158_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (o_year) " +
+        "STATS BY (k, cents) AS SELECT * FROM q158_base"): Unit
+      val ref = s"graft.`$t`"
+      val v0 = LogTable.snapshot(s, t).version
+      val filesBefore = LogTable.snapshot(s, t).files.map(_.name).sorted
+      s.sql(s"ALTER TABLE $ref RENAME COLUMN cents TO amount"): Unit
+      s.sql(s"ALTER TABLE $ref DROP COLUMN op"): Unit
+      val filesAfter = LogTable.snapshot(s, t).files.map(_.name).sorted
+      val zeroTouched = filesBefore == filesAfter
+      // DML under the new name (victims rewrite under the SAME physical
+      // layout — the mapping survives the rewrite)
+      s.sql(s"UPDATE $ref SET amount = amount + 5, version = 1 " +
+        "WHERE o_year = 1997 AND k % 11 = 0"): Unit
+      // metadata-only proof through the mapping: every cents value is
+      // positive, so `amount < 0` must EXCLUDE every file from the
+      // stats alone — zero scans, through the old physical stats key
+      val pr = LogTable.countWhere(s, t, col("amount") < 0L)
+      val prunedOk = pr.count == 0L && pr.scannedFiles == 0 &&
+        pr.excludedFiles == LogTable.snapshot(s, t).files.length
+      val v0df = LogTable.read(s, t, asOf = Some(v0))
+      val v0ok = v0df.columns.contains("cents") && v0df.columns.contains("op")
+      val mapOk = zeroTouched && prunedOk && v0ok
+      def agg(df: DataFrame, amountCol: String, side: String): DataFrame =
+        df.groupBy(col("o_year"))
+          .agg(count(lit(1)).as("n"), sum(col(amountCol)).as("sum_amount"),
+            sum("version").as("sum_version"))
+          .withColumn("side", lit(side))
+      agg(s.sql(s"SELECT * FROM $ref"), "amount", "current")
+        .unionByName(agg(v0df, "cents", "v0"))
+        .withColumn("map_ok", lit(mapOk))
+    }),
+
+    // UNPARTITIONED log tables — zero partition columns, one partition
+    // tuple: the dimension/lookup-table shape, with the full DML
+    // surface (CTAS without PARTITIONED BY, DELETE, UPDATE, INSERT,
+    // stats skipping off declared statsCols alone).
+    "q159_unpartitioned" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q159")
+      Tables(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .createOrReplaceTempView("q159_base")
+      s.sql(s"CREATE TABLE graft.`$t` STATS BY (k) " +
+        "AS SELECT * FROM q159_base"): Unit
+      val ref = s"graft.`$t`"
+      val unpart = LogTable.snapshot(s, t).partitionCols.isEmpty
+      s.sql(s"DELETE FROM $ref WHERE k % 10 = 0"): Unit
+      s.sql(s"UPDATE $ref SET bal_cents = bal_cents + 100 " +
+        "WHERE segment = 'BUILDING'"): Unit
+      s.sql(s"INSERT INTO $ref VALUES (9000001, 'SYNTH', 5), " +
+        "(9000002, 'SYNTH', 7)"): Unit
+      // stats skipping works with no partition column at all: a
+      // provably-empty key predicate decides from metadata alone
+      val pr = LogTable.countWhere(s, t, col("k") < 0L)
+      val ok = unpart && pr.count == 0L && pr.scannedFiles == 0
+      s.sql(s"SELECT segment, count(*) AS n, sum(bal_cents) AS sum_bal " +
+        s"FROM $ref GROUP BY segment")
+        .withColumn("unpart_ok", lit(ok))
+    }),
+
+    // BUCKET(N) HIDDEN PARTITIONING — pmod(hash(k), N) as a generated
+    // partition column (the Iceberg bucket transform): a point lookup
+    // on the high-cardinality source key opens ~1/N of the files via
+    // the implied bucket equality (pinned below), while range
+    // predicates — for which hash buckets prove nothing — stay exact
+    // through the source-column fallback.
+    "q160_bucket_pruning" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q160")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // one file per bucket (deterministic regardless of the session's
+      // parallelism) — the shape a real bucketed layout converges to
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "32")
+        LogTable.create(s, t, base, Seq("k_bucket"),
+          statsCols = Seq("cents"),
+          generatedColumns = Map("k_bucket" -> "pmod(hash(k), 16)"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val files = LogTable.snapshot(s, t).files.length
+      // three point lookups: each must exclude MOST files metadata-only
+      val prunes = Seq(1L, 32775L, 59998L).map(k =>
+        LogTable.countWhere(s, t, col("k") === k))
+      val ok = files >= 8 && prunes.forall(_.excludedFiles > files / 2)
+      // the answer itself (hash-compared): the looked-up rows plus a
+      // range aggregate that the bucket CANNOT help with
+      val points = s.sql(s"SELECT CAST(k AS BIGINT) AS k, status, cents " +
+        s"FROM graft.`$t` WHERE k IN (1, 32775, 59998)")
+      val range = s.sql(s"SELECT CAST(-1 AS BIGINT) AS k, 'R' AS status, " +
+        s"sum(cents) AS cents FROM graft.`$t` WHERE k < 1000")
+      points.unionByName(range).withColumn("bucket_ok", lit(ok))
+    }),
+
     "q151_sql_lifecycle" -> ((s, dir) => {
       import graft.sources.LogTable
       val t = scratch(s, dir, "graft_q151")
@@ -1523,6 +1632,61 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q159_unpartitioned" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |after_del AS (SELECT * FROM base WHERE k % 10 <> 0),
+        |after_upd AS (
+        |  SELECT k, segment,
+        |    CASE WHEN segment = 'BUILDING' THEN bal_cents + 100
+        |         ELSE bal_cents END AS bal_cents
+        |  FROM after_del),
+        |final AS (
+        |  SELECT * FROM after_upd
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (9000001, 'SYNTH', 5), (9000002, 'SYNTH', 7))
+        |    AS v(k, segment, bal_cents))
+        |SELECT segment, count(*) AS n,
+        |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal, TRUE AS unpart_ok
+        |FROM final GROUP BY segment""".stripMargin,
+
+    "q160_bucket_pruning" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  TRUE AS bucket_ok
+        |FROM orders WHERE o_orderkey IN (1, 32775, 59998)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS k, 'R' AS status,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS bucket_ok
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+
+    "q158_column_mapping" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |cur AS (
+        |  SELECT o_year,
+        |    CASE WHEN o_year = 1997 AND k % 11 = 0
+        |         THEN cents + 5 ELSE cents END AS amount,
+        |    CASE WHEN o_year = 1997 AND k % 11 = 0
+        |         THEN 1 ELSE version END AS version
+        |  FROM base)
+        |SELECT o_year, count(*) AS n,
+        |  CAST(sum(amount) AS BIGINT) AS sum_amount,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  'current' AS side, TRUE AS map_ok
+        |FROM cur GROUP BY 1
+        |UNION ALL
+        |SELECT o_year, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_amount,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  'v0' AS side, TRUE AS map_ok
+        |FROM base GROUP BY 1""".stripMargin,
     "q53_partitioned_roundtrip" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value,

@@ -126,17 +126,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.references.head.fieldNames.length == 1
       (t.name, singleRef) match {
         case ("identity", true) => t.references.head.fieldNames.head
-        case ("years" | "months" | "days", true) =>
+        case ("years" | "months" | "days" | "hours", true) =>
           s"${t.name.stripSuffix("s")}(${t.references.head.fieldNames.head})"
+        case ("bucket", true) =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft catalog `$catName`: bucket transform needs a " +
+              "bucket count"))
+          s"bucket($n, ${t.references.head.fieldNames.head})"
         case _ => throw new IllegalArgumentException(
           s"graft catalog `$catName`: unsupported partition transform " +
-            s"`$t` — identity, years, months or days of one column")
+            s"`$t` — identity, years/months/days/hours, or bucket(N) " +
+            "of one column")
       }
     }
+    // no PARTITIONED BY = an unpartitioned table (one partition tuple) —
+    // the dimension/lookup-table shape
     val (pcols, gens) = LogTableSql.partitionSpecs(entries)
-    require(pcols.nonEmpty,
-      s"graft catalog `$catName`: CREATE TABLE needs PARTITIONED BY — " +
-        "log tables are partition-tracked")
     def propCols(key: String): Seq[String] =
       Option(properties.get(key)).toSeq.flatMap(_.split(","))
         .map(_.trim).filter(_.nonEmpty)
@@ -181,11 +189,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** DROP TABLE deletes the directory — data, log, everything (the
-    * managed-table semantic: the catalog's tree owns its tables).
+    * managed-table semantic: the catalog's tree owns its tables) — but
+    * REFUSES while live shallow clones still reference this table's
+    * data files by absolute URI (vacuum respects those markers; so must
+    * drop). Drop the clones first: dropping a clone eagerly releases
+    * its source-side marker. DROP NAMESPACE ... CASCADE deletes the
+    * subtree raw and does NOT consult clone markers — a clone living
+    * OUTSIDE the dropped namespace whose source lives inside it breaks;
+    * drop such clones before cascading.
     */
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(pathOf(ident))
-    isTableDir(dir) && fs.delete(dir, true)
+    if (!isTableDir(dir)) return false
+    val clones = LogTable.liveClones(spark, dir.toString)
+    if (clones.nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog `$catName`: cannot DROP TABLE $ident — live " +
+          s"shallow clones still reference its data files: " +
+          s"${clones.mkString(", ")}. Drop the clones first.")
+    // if THIS table is a clone, releasing its source-side marker frees
+    // the source immediately (no grace-window wait)
+    val srcUri =
+      try LogTable.snapshot(spark, dir.toString)
+        .properties.get("clone.source")
+      catch { case scala.util.control.NonFatal(_) => None }
+    val dstUri = fs.makeQualified(dir).toUri.toString
+    val ok = fs.delete(dir, true)
+    if (ok) srcUri.foreach(s =>
+      LogTable.releaseCloneMarker(spark, s, dstUri))
+    ok
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

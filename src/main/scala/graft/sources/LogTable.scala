@@ -139,9 +139,56 @@ object LogTable {
                             constraints: Map[String, String] = Map.empty,
                             properties: Map[String, String] = Map.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
-    /** Leading partition column (single-column tables' only one). */
-    def partitionCol: String = partitionCols.head
+    /** Leading partition column; "" on an UNPARTITIONED table — the
+      * empty string never name-matches a real column, so every
+      * pmin/pmax fallback comparison is simply unreachable there.
+      */
+    def partitionCol: String = partitionCols.headOption.getOrElse("")
+
+    /** COLUMN MAPPING (logical → physical), the mechanism behind
+      * metadata-only RENAME/DROP COLUMN: a column's PHYSICAL name (what
+      * parquet files, per-file stats keys, and the at-rest
+      * partition/stats/bloom column lists carry) is fixed at birth;
+      * renames move only the LOGICAL name in the versioned DDL plus one
+      * `colmap.map.<logical> = <physical>` property. Identity (no
+      * property) for never-renamed columns — the empty-map fast path
+      * keeps every pre-mapping table's plan byte-identical.
+      */
+    lazy val colMap: Map[String, String] = properties.collect {
+      case (k, v) if k.startsWith(ColMapMapPrefix) =>
+        k.drop(ColMapMapPrefix.length) -> v
+    }
+    /** This column's at-rest name (identity when never renamed). */
+    def physicalOf(logical: String): String =
+      colMap.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(logical) => p
+      }.getOrElse(logical)
+    /** The schema as the files store it — field names mapped physical. */
+    lazy val physicalSchema: StructType =
+      if (colMap.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = physicalOf(f.name))))
+    /** Physical names retired by DROP COLUMN — never reusable (a new
+      * column reusing a dropped physical name would resurrect the
+      * dropped column's old values out of pre-drop files).
+      */
+    lazy val droppedPhysicals: Set[String] =
+      properties.get(ColMapDroppedProp)
+        .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
   }
+
+  private[sources] val ColMapMapPrefix = "colmap.map."
+  private[sources] val ColMapDroppedProp = "colmap.dropped"
+
+  /** The logical→physical column mapping out of a raw properties map —
+    * for callers holding a [[ParsedCommit]] rather than a snapshot.
+    */
+  private[sources] def colMapOfProps(props: Map[String, String])
+      : Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith(ColMapMapPrefix) =>
+        k.drop(ColMapMapPrefix.length) -> v
+    }
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
@@ -421,7 +468,10 @@ object LogTable {
     val fs = fsOf(spark, path)
     require(!fs.exists(logDir(path)),
       s"log table already exists at $path — use upsert")
-    require(partitionCols.nonEmpty, "need at least one partition column")
+    // zero partition columns = an UNPARTITIONED table (one partition
+    // tuple): listing, stats skipping, DVs, merges and clone all key on
+    // file identity, so only the partition-specific machinery no-ops —
+    // the small dimension/lookup-table shape, first-class
     // GENERATED columns (year(ts)-style partition derivations): validate
     // the monotone vocabulary against the BASE schema, then materialize —
     // the declarations persist as table properties and every later write
@@ -433,9 +483,10 @@ object LogTable {
       validateGenerator(spark, df0.schema, c, g)
     }
     val df = materializeGenerated(generatedColumns, df0)
-    require(zorderBy.isEmpty || zorderBy.size == 2,
-      s"log table $path: zorderBy interleaves exactly TWO dimensions " +
-        s"(got ${zorderBy.size}) — one dimension is plain clusterBy")
+    require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
+      s"log table $path: zorderBy interleaves 2 to 4 dimensions " +
+        s"(got ${zorderBy.size}) — one dimension is plain clusterBy; " +
+        "beyond 4 each dimension keeps too few Morton bits to skip")
     (partitionCols ++ statsCols ++ clusterBy ++ zorderBy).foreach { c =>
       val fd = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
@@ -716,10 +767,11 @@ object LogTable {
                         clusterBy: Seq[String] = Nil,
                         zorderBy: Seq[String] = Nil): Long = {
     require(maxFilesPerPartition > 0, "need a positive file budget")
-    require(zorderBy.isEmpty || zorderBy.size == 2,
-      s"log table $path: zorderBy interleaves exactly TWO dimensions")
+    require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
+      s"log table $path: zorderBy interleaves 2 to 4 dimensions")
     val snap = snapshot(spark, path)
-    (clusterBy ++ zorderBy).foreach { c =>
+    (clusterBy ++ zorderBy).foreach { c0 =>
+      val c = snap.physicalOf(c0) // at-rest lists carry physical names
       require((snap.partitionCols ++ snap.statsCols).exists(_.equalsIgnoreCase(c)),
         s"log table $path: cluster/z-order column `$c` must be " +
           "stats-declared (create-time statsCols) — the layout exists to " +
@@ -750,8 +802,9 @@ object LogTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
       try writeDataFiles(spark, path, rows, snap.partitionCols,
-        snap.statsCols, Some(target), clusterBy, bloomCols = snap.bloomCols,
-        zorderBy = zorderBy)
+        snap.statsCols, Some(target), clusterBy.map(snap.physicalOf),
+        bloomCols = snap.bloomCols,
+        zorderBy = zorderBy.map(snap.physicalOf), colMap = snap.colMap)
       finally { rows.unpersist(): Unit }
     try {
       // dataChange = false: rows were REARRANGED, not changed — streaming
@@ -893,37 +946,74 @@ object LogTable {
                                        gsql: String): String =
     analyzedGenerator(spark, schema, gsql)._2
 
-  /** Create-time shape check: the generator must be one of the MONOTONE
-    * non-decreasing maps the implication rule is sound for — year(c),
-    * date_format(c, 'yyyy-MM'), to_date/cast-to-date(c),
-    * date_trunc('UNIT', c), substring(c, 1, n). Anything else is
-    * refused loud (a non-monotone generator would prune files that hold
-    * matches).
+  /** How a generator's implications may prune. MONOTONE maps admit the
+    * full bound algebra (a range on the source implies a range on the
+    * derived column); POINT-ONLY maps (hash buckets) admit ONLY the
+    * pointwise equality/IN implications — sound for any deterministic
+    * function — and contribute nothing to range predicates (the scan
+    * falls back to the source column's own stats, never wrong).
     */
-  private def validateGenerator(spark: SparkSession, schema: StructType,
-                                name: String, gsql: String): Unit = {
+  private[sources] sealed trait GenKind
+  private[sources] case object GenMonotone extends GenKind
+  private[sources] case object GenPointOnly extends GenKind
+
+  /** Classify an analyzed generator expression, or None if outside the
+    * supported vocabulary.
+    */
+  private def generatorKind(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[GenKind] = {
     import org.apache.spark.sql.catalyst.expressions._
-    val (e, _) = analyzedGenerator(spark, schema, gsql)
+    import org.apache.spark.sql.types.{DateType, TimestampType,
+      TimestampNTZType, IntegerType}
     def core(x: Expression): Expression = x match {
       case c: Cast => core(c.child) // implicit coercions wrap the source
       case other => other
     }
-    val ok = e match {
-      case Year(_) => true
-      case _: Cast => true // cast to date/timestamp — monotone
-      case DateFormatClass(_, Literal(fmt, _), _) =>
-        fmt.toString == "yyyy-MM" || fmt.toString == "yyyy"
-      case TruncTimestamp(Literal(_, _), _, _) => true
-      case TruncDate(_, Literal(_, _)) => true
+    e match {
+      case Year(_) => Some(GenMonotone)
+      // a bare cast is monotone ONLY between temporal orderings (date ↔
+      // timestamp truncation/widening) — cast(string AS int/date) et al.
+      // are not monotone in the source column's own ordering (e.g.
+      // '1995-12-1' < '1995-2-1' lexically yet Dec > Feb) and would
+      // wrongly prune
+      case c: Cast =>
+        val temporal = Set[org.apache.spark.sql.types.DataType](
+          DateType, TimestampType, TimestampNTZType)
+        if (temporal(c.child.dataType) && temporal(c.dataType))
+          Some(GenMonotone)
+        else None
+      case DateFormatClass(_, Literal(fmt, _), _)
+          if fmt.toString == "yyyy-MM" || fmt.toString == "yyyy" =>
+        Some(GenMonotone)
+      case TruncTimestamp(Literal(_, _), _, _) => Some(GenMonotone)
+      case TruncDate(_, Literal(_, _)) => Some(GenMonotone)
       case Substring(s, Literal(pos, _), Literal(_, _))
-          if core(s).isInstanceOf[AttributeReference] && pos == 1 => true
-      case _ => false
+          if core(s).isInstanceOf[AttributeReference] && pos == 1 =>
+        Some(GenMonotone)
+      // HASH BUCKETS — `pmod(hash(c), N)`, the Iceberg bucket(N)
+      // transform: not monotone (equality/IN pruning only)
+      case Pmod(Murmur3Hash(Seq(a), _), Literal(_, IntegerType), _)
+          if core(a).isInstanceOf[AttributeReference] =>
+        Some(GenPointOnly)
+      case _ => None
     }
-    require(ok,
+  }
+
+  /** Create-time shape check: the generator must be in the supported
+    * vocabulary — the MONOTONE maps year(c), date_format(c, 'yyyy-MM'),
+    * to_date/cast-to-date(c), date_trunc('UNIT', c), substring(c, 1, n),
+    * or the POINT-ONLY pmod(hash(c), N) bucket map. Anything else is
+    * refused loud (an unclassified generator could prune files that
+    * hold matches).
+    */
+  private def validateGenerator(spark: SparkSession, schema: StructType,
+                                name: String, gsql: String): Unit = {
+    val (e, _) = analyzedGenerator(spark, schema, gsql)
+    require(generatorKind(e).isDefined,
       s"generated column `$name`: expression `$gsql` is not in the " +
-        "supported monotone vocabulary — year(c), date_format(c, " +
-        "'yyyy-MM'), to_date(c), date_trunc('UNIT', c), " +
-        "substring(c, 1, n)")
+        "supported vocabulary — year(c), date_format(c, 'yyyy-MM'), " +
+        "to_date(c), date_trunc('UNIT', c), substring(c, 1, n), or " +
+        "pmod(hash(c), N) for hash buckets")
   }
 
   /** Conjuncts IMPLIED by the query's own, through the generated-column
@@ -946,14 +1036,38 @@ object LogTable {
       val (ge, src) =
         try analyzedGenerator(spark, schema, gsql)
         catch { case scala.util.control.NonFatal(_) => return Nil }
+      // point-only generators (hash buckets): equality/IN implications
+      // are sound for ANY deterministic map; range implications demand
+      // monotonicity and are skipped (fall back to source-column stats)
+      val rangeable = generatorKind(ge).contains(GenMonotone)
       val gattr = AttributeReference(gcol, ge.dataType, nullable = false)()
+      val srcType = schema.fields.find(_.name.equalsIgnoreCase(src))
+        .map(_.dataType)
       def f(l: Literal): Option[Literal] =
         try {
-          val v = ge.transformUp {
-            case a: AttributeReference if a.name.equalsIgnoreCase(src) =>
-              Literal(l.value, l.dataType)
-          }.eval(null)
-          if (v == null) None else Some(Literal(v, ge.dataType))
+          // the analyzer may have COERCED the comparison (int column vs
+          // long literal): substitute the literal at the SOURCE column's
+          // own type, or a bit-sensitive generator (hash buckets) maps
+          // it to the wrong bucket and prunes files that hold matches.
+          // Only a value-preserving round-trip qualifies; anything else
+          // contributes no implication (never wrongly prunes).
+          val typed: Option[Literal] = srcType match {
+            case Some(dt) if dt != l.dataType =>
+              val down = Cast(l, dt).eval(null)
+              if (down == null) None
+              else {
+                val back = Cast(Literal(down, dt), l.dataType).eval(null)
+                if (back == l.value) Some(Literal(down, dt)) else None
+              }
+            case _ => Some(l)
+          }
+          typed.flatMap { tl =>
+            val v = ge.transformUp {
+              case a: AttributeReference if a.name.equalsIgnoreCase(src) =>
+                tl
+            }.eval(null)
+            if (v == null) None else Some(Literal(v, ge.dataType))
+          }
         } catch { case scala.util.control.NonFatal(_) => None }
       def isSrc(a: Expression): Boolean =
         attrName(a).exists(_.equalsIgnoreCase(src))
@@ -962,22 +1076,22 @@ object LogTable {
           f(l).map(EqualTo(gattr, _))
         case EqualTo(FoldedLit(l), a) if isSrc(a) =>
           f(l).map(EqualTo(gattr, _))
-        case GreaterThan(a, FoldedLit(l)) if isSrc(a) =>
+        case GreaterThan(a, FoldedLit(l)) if isSrc(a) && rangeable =>
           f(l).map(GreaterThanOrEqual(gattr, _))
-        case GreaterThanOrEqual(a, FoldedLit(l)) if isSrc(a) =>
+        case GreaterThanOrEqual(a, FoldedLit(l)) if isSrc(a) && rangeable =>
           f(l).map(GreaterThanOrEqual(gattr, _))
-        case LessThan(a, FoldedLit(l)) if isSrc(a) =>
+        case LessThan(a, FoldedLit(l)) if isSrc(a) && rangeable =>
           f(l).map(LessThanOrEqual(gattr, _))
-        case LessThanOrEqual(a, FoldedLit(l)) if isSrc(a) =>
+        case LessThanOrEqual(a, FoldedLit(l)) if isSrc(a) && rangeable =>
           f(l).map(LessThanOrEqual(gattr, _))
         // literal-first renderings mirror (l < a ⇔ a > l)
-        case GreaterThan(FoldedLit(l), a) if isSrc(a) =>
+        case GreaterThan(FoldedLit(l), a) if isSrc(a) && rangeable =>
           f(l).map(LessThanOrEqual(gattr, _))
-        case GreaterThanOrEqual(FoldedLit(l), a) if isSrc(a) =>
+        case GreaterThanOrEqual(FoldedLit(l), a) if isSrc(a) && rangeable =>
           f(l).map(LessThanOrEqual(gattr, _))
-        case LessThan(FoldedLit(l), a) if isSrc(a) =>
+        case LessThan(FoldedLit(l), a) if isSrc(a) && rangeable =>
           f(l).map(GreaterThanOrEqual(gattr, _))
-        case LessThanOrEqual(FoldedLit(l), a) if isSrc(a) =>
+        case LessThanOrEqual(FoldedLit(l), a) if isSrc(a) && rangeable =>
           f(l).map(GreaterThanOrEqual(gattr, _))
         case In(a, vs) if isSrc(a) &&
             vs.forall(FoldedLit.unapply(_).isDefined) =>
@@ -1025,7 +1139,7 @@ object LogTable {
       // an UPDATE can manufacture violating rows; a DELETE only drops
       if (op == "UPDATE") enforceConstraints(path, snap, rewritten)
       val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols)
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap)
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -1192,8 +1306,12 @@ object LogTable {
         cj.forall(c => mayMatch(snap, f, c, zone)))
       if (victims.isEmpty) return -1L
       // the victims' LIVE rows with their physical positions attached
-      val raw = withDvHelpers(spark.read.schema(snap.schema)
-        .parquet(victims.map(f => dataPath(path, f.name).toString): _*))
+      // (scan under PHYSICAL names, alias logical — predicate and SET
+      // expressions below speak logical)
+      val raw = toLogical(snap,
+        withDvHelpers(spark.read.schema(snap.physicalSchema)
+          .parquet(victims.map(f => dataPath(path, f.name).toString): _*)),
+        extras = Seq("__gdv_file", "__gdv_idx"))
       val live = antiJoinDv(raw, dvPairs(spark, path, victims),
         victims.iterator.flatMap(_.dv).map(_.deleted).sum,
         dropHelpers = false)
@@ -1206,9 +1324,14 @@ object LogTable {
           .collect() // bounded: one row per victim file
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         if (perFile.isEmpty) return -1L
-        val affected = victims.filter(f => perFile.contains(f.name))
+        // __gdv_file carries BASE names; a clone's log names are
+        // absolute URIs — normalize like dvPairs does, or a DV DELETE
+        // on a clone matches rows yet commits a no-op (and a DV UPDATE
+        // adds transformed rows without killing the old positions)
+        def base(n: String): String = new Path(n).getName
+        val affected = victims.filter(f => perFile.contains(base(f.name)))
         def newDeleted(f: LogFile): Long =
-          perFile(f.name) + f.dv.map(_.deleted).getOrElse(0L)
+          perFile(base(f.name)) + f.dv.map(_.deleted).getOrElse(0L)
         val (fully, partial) = affected.partition(f => newDeleted(f) == f.rows)
         val _ = fully // removed without replacement — no vector to carry
         // ONE new sidecar holds every partial file's COMPLETE new vector
@@ -1216,7 +1339,7 @@ object LogTable {
         val sidecar: Option[String] =
           if (partial.isEmpty) None
           else {
-            val names = partial.map(_.name)
+            val names = partial.map(f => base(f.name))
             Some(writeDvFile(spark, path,
               dvPairs(spark, path, partial)
                 .unionByName(marked.filter(col("file").isin(names: _*)))
@@ -1228,7 +1351,8 @@ object LogTable {
             val assigned = applySet(s)(hit.drop("__gdv_file", "__gdv_idx"))
             enforceConstraints(path, snap, assigned)
             writeDataFiles(spark, path, assigned,
-              snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
+              snap.partitionCols, snap.statsCols,
+              bloomCols = snap.bloomCols, colMap = snap.colMap)
           case None => Nil
         }
         val ddl = set match {
@@ -1326,7 +1450,8 @@ object LogTable {
       if (victims.isEmpty) return -1L
       val adds = writeDataFiles(spark, path,
         readFiles(spark, path, snap, victims),
-        snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
+        snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
+        colMap = snap.colMap)
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -1422,20 +1547,12 @@ object LogTable {
     val dfs = fsOf(spark, dst)
     require(!dfs.exists(logDir(dst)),
       s"log table already exists at $dst")
-    val snap = snapshot(spark, src)
-    def abs(name: String): String =
-      sfs.makeQualified(dataPath(src, name)).toUri.toString
-    val adds = snap.files.map(f => f.copy(name = abs(f.name),
-      dv = f.dv.map(d => d.copy(name = abs(d.name)))))
-    dfs.mkdirs(logDir(dst)): Unit
-    commit(spark, dst, 1L, snap.schemaDdl, snap.partitionCols,
-      snap.statsCols, adds, Nil, bloomCols = snap.bloomCols,
-      operation = "CLONE", constraints = snap.constraints,
-      properties = (snap.properties - MvAutoRefreshProp) +
-        ("clone.source" ->
-          sfs.makeQualified(new Path(src)).toUri.toString))
-    // register AFTER the clone's commit is durable: a marker for a
-    // never-materialized clone would only cost a stat on next vacuum
+    // register BEFORE reading the source snapshot: a vacuum racing the
+    // clone sees the pending marker (dst log not materialized yet) and
+    // skips data reclaim for its grace window — were the marker written
+    // after the commit, a vacuum running in between could reclaim files
+    // the just-created clone references. A marker whose clone never
+    // materializes is reaped once the grace window lapses.
     sfs.mkdirs(clonesDir(src)): Unit
     val marker = new Path(clonesDir(src),
       "clone_" + java.util.UUID.randomUUID().toString.take(12))
@@ -1443,18 +1560,50 @@ object LogTable {
     try out.write(dfs.makeQualified(new Path(dst)).toUri.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      val snap = snapshot(spark, src)
+      def abs(name: String): String =
+        sfs.makeQualified(dataPath(src, name)).toUri.toString
+      val adds = snap.files.map(f => f.copy(name = abs(f.name),
+        dv = f.dv.map(d => d.copy(name = abs(d.name)))))
+      dfs.mkdirs(logDir(dst)): Unit
+      commit(spark, dst, 1L, snap.schemaDdl, snap.partitionCols,
+        snap.statsCols, adds, Nil, bloomCols = snap.bloomCols,
+        operation = "CLONE", constraints = snap.constraints,
+        properties = (snap.properties - MvAutoRefreshProp) +
+          ("clone.source" ->
+            sfs.makeQualified(new Path(src)).toUri.toString))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        sfs.delete(marker, false): Unit // failed clone frees vacuum now
+        throw e
+    }
     1L
   }
 
-  /** The file base-names a source table's registered clones still
-    * reference INSIDE `path` — vacuum's protected set. Markers whose
-    * clone no longer exists (dropped table) are reaped here.
+  /** How long a clone marker with no materialized destination is
+    * treated as an IN-FLIGHT clone (vacuum skips data reclaim) before
+    * being reaped as the debris of a failed clone. Far above any real
+    * clone's marker→commit window (one snapshot read + one commit).
     */
-  private def cloneProtected(spark: SparkSession, path: String,
-                             fs: FileSystem): Set[String] = {
+  private[sources] val ClonePendingGraceMs: Long = 15L * 60 * 1000
+
+  /** The file base-names a source table's registered clones still
+    * reference INSIDE `path` — vacuum's protected set — plus whether a
+    * PENDING clone (marker written, destination log not yet committed,
+    * inside the grace window) is in flight, in which case the caller
+    * must not reclaim anything (the pending clone's read set is the
+    * source's live snapshot at an instant this process cannot observe).
+    * Markers whose clone no longer exists (dropped table, or a failed
+    * clone past the grace window) are reaped here.
+    */
+  private[sources] def cloneProtected(spark: SparkSession, path: String,
+                                      fs: FileSystem)
+      : (Set[String], Boolean) = {
     val dir = clonesDir(path)
-    if (!fs.exists(dir)) return Set.empty
+    if (!fs.exists(dir)) return (Set.empty, false)
     val out = Set.newBuilder[String]
+    var pending = false
     fs.listStatus(dir).iterator.filter(_.isFile).foreach { st =>
       val in = fs.open(st.getPath)
       val dst =
@@ -1464,7 +1613,13 @@ object LogTable {
       val alive =
         try fsOf(spark, dst).exists(logDir(dst))
         catch { case scala.util.control.NonFatal(_) => false }
-      if (!alive) fs.delete(st.getPath, false): Unit // dropped clone
+      if (!alive) {
+        val grace = spark.conf.getOption("spark.graft.clonePendingGraceMs")
+          .map(_.toLong).getOrElse(ClonePendingGraceMs)
+        if (System.currentTimeMillis() - st.getModificationTime < grace)
+          pending = true // clone in flight
+        else fs.delete(st.getPath, false): Unit // dropped/failed clone
+      }
       else snapshot(spark, dst).files.iterator
         .flatMap(f => f.name +: f.dv.map(_.name).toList)
         // absolute references only; protection is by BASE name (write
@@ -1473,7 +1628,57 @@ object LogTable {
         .filter(_.contains("/"))
         .foreach(n => out += new Path(n).getName)
     }
-    out.result()
+    (out.result(), pending)
+  }
+
+  /** The destination URIs of this table's still-live (or in-flight)
+    * shallow clones — what makes dropping a cloned source refusable BY
+    * NAME. Dead markers (dropped clones past the pending grace) are
+    * reaped as a side effect, exactly like [[cloneProtected]].
+    */
+  private[sources] def liveClones(spark: SparkSession, path: String)
+      : Seq[String] = {
+    val fs = fsOf(spark, path)
+    val dir = clonesDir(path)
+    if (!fs.exists(dir)) return Nil
+    val grace = spark.conf.getOption("spark.graft.clonePendingGraceMs")
+      .map(_.toLong).getOrElse(ClonePendingGraceMs)
+    fs.listStatus(dir).iterator.filter(_.isFile).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val dst =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      val alive =
+        try fsOf(spark, dst).exists(logDir(dst))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (alive) Some(dst)
+      else if (System.currentTimeMillis() - st.getModificationTime < grace)
+        Some(dst) // pending — a clone mid-flight counts as live
+      else { fs.delete(st.getPath, false): Unit; None }
+    }.toSeq
+  }
+
+  /** Release the source-side marker(s) a dropped clone left behind —
+    * the eager counterpart of the grace-window reap, so `DROP TABLE
+    * clone` immediately frees its source for dropping/vacuuming.
+    */
+  private[sources] def releaseCloneMarker(spark: SparkSession,
+                                          srcPath: String,
+                                          dstUri: String): Unit = {
+    val fs =
+      try fsOf(spark, srcPath)
+      catch { case scala.util.control.NonFatal(_) => return }
+    val dir = clonesDir(srcPath)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).iterator.filter(_.isFile).foreach { st =>
+      val in = fs.open(st.getPath)
+      val dst =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (dst == dstUri) fs.delete(st.getPath, false): Unit
+    }
   }
 
   /** What a [[countWhere]] answered from: exact total, plus how many
@@ -1525,14 +1730,20 @@ object LogTable {
                         zone: String): Boolean = {
     val schema = snap.schema
     def colInfo(a: Expression): Option[(DataType, ColStats)] =
-      attrName(a).flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))
-        .flatMap(fd =>
-          f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(n) => s }
-            .orElse(
-              if (n.equalsIgnoreCase(snap.partitionCol))
-                Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
-              else None)
-            .map(st => (fd.dataType, st))))
+      attrName(a).flatMap { n =>
+        // names may be logical (DML) or physical (FileIndex) — resolve
+        // the type on the logical field whose PHYSICAL name matches,
+        // and key stats physically
+        val pn = snap.physicalOf(n)
+        schema.fields.find(fd => snap.physicalOf(fd.name).equalsIgnoreCase(pn))
+          .flatMap(fd =>
+            f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(pn) => s }
+              .orElse(
+                if (pn.equalsIgnoreCase(snap.partitionCol))
+                  Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
+                else None)
+              .map(st => (fd.dataType, st)))
+      }
     def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
       cmpStatLit(dt, stat, l, zone)
     // all-rows proof for a comparison: no nulls, and the WHOLE [min,max]
@@ -1603,15 +1814,20 @@ object LogTable {
     val rel = org.apache.spark.sql.GraftBridge.ofRows(spark,
       LogicalRelation(fsRelationFor(spark, path, snap), isStreaming = false))
     val dved = snap.files.filter(_.dv.isDefined)
-    if (dved.isEmpty) rel
-    else
-      // DELETION VECTORS compose with the relation read: one anti-join
-      // against the (file, row_index) pairs over the whole scan — rows
-      // from un-DV'd files can't match any pair and pass untouched, and
-      // Catalyst still pushes data-column filters below the join into
-      // the FileIndex (left side of a left-anti join)
-      antiJoinDv(withDvHelpers(rel), dvPairs(spark, path, dved),
-        dved.iterator.map(_.dv.get.deleted).sum)
+    // the relation scans under PHYSICAL names; the exit projection
+    // restores logical ones (identity mapping adds no node). Catalyst
+    // rewrites filters on logical columns through the aliases, so
+    // pushdown/pruning still reach the FileIndex in physical terms.
+    toLogical(snap,
+      if (dved.isEmpty) rel
+      else
+        // DELETION VECTORS compose with the relation read: one anti-join
+        // against the (file, row_index) pairs over the whole scan — rows
+        // from un-DV'd files can't match any pair and pass untouched, and
+        // Catalyst still pushes data-column filters below the join into
+        // the FileIndex (left side of a left-anti join)
+        antiJoinDv(withDvHelpers(rel), dvPairs(spark, path, dved),
+          dved.iterator.map(_.dv.get.deleted).sum))
   }
 
   /** The FileIndex-backed parquet relation behind [[table]] — shared with
@@ -1629,6 +1845,10 @@ object LogTable {
       s"log table $path: snapshot ${snap.version} carries deletion " +
         "vectors, which a bare relation cannot apply — read via " +
         "LogTable.read/table, or materialize them first (purgeDeletes)")
+    require(snap.colMap.isEmpty,
+      s"log table $path: snapshot ${snap.version} carries renamed " +
+        "columns (column mapping), which a bare relation cannot alias " +
+        "back to logical names — read via LogTable.read/table")
     fsRelationFor(spark, path, snap)
   }
 
@@ -1637,7 +1857,7 @@ object LogTable {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val index = new LogTableFileIndex(spark, path, snap)
-    HadoopFsRelation(index, StructType(Nil), snap.schema,
+    HadoopFsRelation(index, StructType(Nil), snap.physicalSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
   }
 
@@ -1817,6 +2037,9 @@ object LogTable {
   def readPartitions(spark: SparkSession, path: String, values: Seq[Any],
                      asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
+    require(snap.partitionCols.nonEmpty,
+      s"log table $path is unpartitioned — readPartitions has no " +
+        "partition column to address; use readWhere")
     val dt = leadingType(snap)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val wanted = values.map(v => boundString(dt, v, zone))
@@ -1964,6 +2187,12 @@ object LogTable {
           w.statsCols == base.statsCols &&
           w.bloomCols == base.bloomCols &&
           w.constraints == base.constraints &&
+          // properties ride every commit last-writer-wins: re-committing
+          // base.properties over a winner that changed them (REGISTER_MV,
+          // SET TBLPROPERTIES, a gen.* vocabulary change) would silently
+          // revert the winner — and gen.* changes even invalidate our
+          // already-written adds. Decline; the full retry re-reads them.
+          w.properties == base.properties &&
           // the idempotent-writer watermark must survive contention: a
           // winner that already committed this (appId, batchId) — the
           // zombie-driver replay racing itself — means OUR batch is a
@@ -2076,6 +2305,23 @@ object LogTable {
       val added = changes.schema.fields.toIndexedSeq
         .filterNot(f => known.contains(f.name.toLowerCase))
         .map(_.copy(nullable = true))
+      // column-mapping safety: a merge-evolved NEW column writes
+      // physically under its own name — if that name was ever another
+      // column's at-rest physical name (dropped, or renamed-away), old
+      // files would resurrect the retired values under the new column.
+      // Such adds must go through ALTER TABLE ADD COLUMNS, which maps a
+      // fresh physical name.
+      added.foreach { f =>
+        val clash =
+          snap.droppedPhysicals.exists(_.equalsIgnoreCase(f.name)) ||
+            snap.schema.fields.exists(g =>
+              !g.name.equalsIgnoreCase(f.name) &&
+                snap.physicalOf(g.name).equalsIgnoreCase(f.name))
+        require(!clash,
+          s"log table $path: evolved column `${f.name}` collides with a " +
+            "retired or renamed column's at-rest physical name — add it " +
+            "via ALTER TABLE ... ADD COLUMNS instead")
+      }
       val widened: Map[String, DataType] =
         snap.schema.fields.toIndexedSeq.flatMap { f =>
           changes.schema.fields
@@ -2143,7 +2389,8 @@ object LogTable {
         try {
           enforceConstraints(path, snap, merged)
           writeDataFiles(spark, path, merged, snap.partitionCols,
-            snap.statsCols, bloomCols = snap.bloomCols)
+            snap.statsCols, bloomCols = snap.bloomCols,
+            colMap = snap.colMap)
         } finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
@@ -2320,7 +2567,7 @@ object LogTable {
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols)
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap)
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, Nil,
@@ -2362,7 +2609,7 @@ object LogTable {
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols)
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap)
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds,
@@ -2439,15 +2686,19 @@ object LogTable {
     val fs = fsOf(spark, path)
     // live = this table's snapshot PLUS every file a registered shallow
     // clone still references here — a clone's read set must survive the
-    // source's vacuum (see [[clone]]; dead clones reap their markers)
+    // source's vacuum (see [[clone]]; dead clones reap their markers).
+    // A PENDING clone (marker present, destination not yet committed)
+    // suspends data reclaim entirely: its read set is the source's live
+    // snapshot at an instant this vacuum cannot observe.
+    val (protectedNames, clonePending) = cloneProtected(spark, path, fs)
     val live = snapshot(spark, path).files
       .flatMap(f => f.name +: f.dv.map(_.name).toList).toSet ++
-      cloneProtected(spark, path, fs)
+      protectedNames
     val cutoff = System.currentTimeMillis() - olderThanMs
     val deadData = fs.listStatus(new Path(path)).iterator.filter { st =>
       st.getModificationTime < cutoff && {
         (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !live.contains(st.getPath.getName)) ||
+          !clonePending && !live.contains(st.getPath.getName)) ||
           (st.isDirectory && st.getPath.getName.startsWith("_tmp_"))
       }
     }.map(_.getPath).toSeq
@@ -2507,6 +2758,56 @@ object LogTable {
     while (true) {
       val snap = snapshot(spark, path)
       var fields = snap.schema.fields.toIndexedSeq
+      var props = snap.properties
+      var statsCols = snap.statsCols
+      var bloomCols = snap.bloomCols
+      // the mapping AS BEING EDITED (a rename earlier in this same
+      // ALTER must be visible to a later change's collision checks)
+      def physCur(n: String): String = props.collectFirst {
+        case (k, p) if k.startsWith(ColMapMapPrefix) &&
+          k.drop(ColMapMapPrefix.length).equalsIgnoreCase(n) => p
+      }.getOrElse(n)
+      def dropped: Set[String] = props.get(ColMapDroppedProp)
+        .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      // every name the mapping must stay unambiguous against: current
+      // logicals, current physicals, and retired physicals — one
+      // namespace, so a name is EITHER a mapped logical or its own
+      // physical, never both (what keeps statsRange's one-shot
+      // translation sound)
+      def taken(n: String): Boolean =
+        fields.exists(_.name.equalsIgnoreCase(n)) ||
+          fields.exists(f => physCur(f.name).equalsIgnoreCase(n)) ||
+          dropped.exists(_.equalsIgnoreCase(n))
+      val gens = generatorsOf(snap)
+      lazy val genSources: Set[String] = gens.values
+        .map(g => generatorSource(spark, snap.schema, g)).toSet
+      def exprRefs(sql: String): Seq[String] =
+        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+          .select(expr(sql)).queryExecution.analyzed
+          .collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList }.flatten
+          .flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.name
+          })
+      // the refusals shared by RENAME and DROP: columns other machinery
+      // addresses BY NAME at rest or in stored SQL
+      def refuseStructural(n: String, what: String): Unit = {
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(physCur(n))),
+          s"log table $path: cannot $what partition column `$n` — " +
+            "partitioning is the table's physical identity")
+        require(!gens.keys.exists(_.equalsIgnoreCase(n)),
+          s"log table $path: cannot $what generated column `$n`")
+        require(!genSources.exists(_.equalsIgnoreCase(n)),
+          s"log table $path: cannot $what `$n` — a generated partition " +
+            "column derives from it")
+        snap.constraints.foreach { case (cn, csql) =>
+          require(!exprRefs(csql).exists(_.equalsIgnoreCase(n)),
+            s"log table $path: cannot $what `$n` — CHECK constraint " +
+              s"`$cn` ($csql) references it; drop the constraint first")
+        }
+      }
       changes.foreach {
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1,
@@ -2521,6 +2822,14 @@ object LogTable {
           require(a.position() == null,
             s"log table $path: column position is not supported — new " +
               "columns append (readers resolve by name)")
+          // the physical name must be FRESH across the table's whole
+          // history: reusing a dropped (or renamed-away) physical would
+          // resurrect old values out of pre-drop files
+          if (taken(n)) {
+            var i = snap.version + 1
+            while (taken(s"${n}_g$i")) i += 1
+            props = props + ((ColMapMapPrefix + n) -> s"${n}_g$i")
+          }
           fields = fields :+ org.apache.spark.sql.types.StructField(
             n, a.dataType, nullable = true)
         case u: TableChange.UpdateColumnType =>
@@ -2538,16 +2847,62 @@ object LogTable {
                 "float->double evolve without rewriting files")
             fields = fields.updated(i, f.copy(dataType = u.newDataType))
           }
+        case r: TableChange.RenameColumn =>
+          // METADATA-ONLY rename: the at-rest physical name never moves —
+          // the new logical name maps to it, zero files rewritten, and
+          // every older version still reads under its own DDL + mapping
+          require(r.fieldNames.length == 1,
+            s"log table $path: nested column renames are not supported")
+          val from = r.fieldNames.head; val to = r.newName
+          val i = fields.indexWhere(_.name.equalsIgnoreCase(from))
+          require(i >= 0, s"log table $path: unknown column `$from`")
+          require(!fields.exists(_.name.equalsIgnoreCase(to)),
+            s"log table $path: column `$to` already exists")
+          require(!taken(to),
+            s"log table $path: cannot rename `$from` to `$to` — `$to` " +
+              "is (or once was) another column's at-rest physical name")
+          refuseStructural(from, "rename")
+          val p = physCur(from)
+          props = props.filterNot { case (k, _) =>
+            k.startsWith(ColMapMapPrefix) &&
+              k.drop(ColMapMapPrefix.length).equalsIgnoreCase(from)
+          } + ((ColMapMapPrefix + to) -> p)
+          fields = fields.updated(i, fields(i).copy(name = to))
+        case d: TableChange.DeleteColumn =>
+          // METADATA-ONLY drop: the logical schema loses the field; the
+          // physical data stays in old files, simply never projected.
+          // The physical name is tombstoned so no later ADD resurrects it.
+          require(d.fieldNames.length == 1,
+            s"log table $path: nested column drops are not supported")
+          val n = d.fieldNames.head
+          val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
+          if (i < 0) {
+            require(d.ifExists,
+              s"log table $path: unknown column `$n`")
+          } else {
+            require(fields.length > 1,
+              s"log table $path: cannot drop the last column")
+            refuseStructural(n, "drop")
+            val p = physCur(n)
+            statsCols = statsCols.filterNot(_.equalsIgnoreCase(p))
+            bloomCols = bloomCols.filterNot(_.equalsIgnoreCase(p))
+            props = props.filterNot { case (k, _) =>
+              k.startsWith(ColMapMapPrefix) &&
+                k.drop(ColMapMapPrefix.length).equalsIgnoreCase(n)
+            } + (ColMapDroppedProp -> (dropped + p).mkString(","))
+            fields = fields.filterNot(_.name.equalsIgnoreCase(n))
+          }
         case other => throw new UnsupportedOperationException(
           s"log table $path: unsupported ALTER TABLE change $other — " +
-            "ADD COLUMNS and widening ALTER COLUMN TYPE only")
+            "ADD COLUMNS, widening ALTER COLUMN TYPE, RENAME COLUMN " +
+            "and DROP COLUMN only")
       }
       try {
         commit(spark, path, snap.version + 1,
-          StructType(fields).toDDL, snap.partitionCols, snap.statsCols,
-          Nil, Nil, dataChange = false, bloomCols = snap.bloomCols,
+          StructType(fields).toDDL, snap.partitionCols, statsCols,
+          Nil, Nil, dataChange = false, bloomCols = bloomCols,
           operation = "ALTER_SCHEMA", constraints = snap.constraints,
-          properties = snap.properties)
+          properties = props)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
@@ -2741,7 +3096,10 @@ object LogTable {
     * rewrites. NULL partition values fail loud.
     */
   private[sources] def touchedTuples(path: String, snap: Snapshot,
-                                     df: DataFrame): Seq[Seq[String]] =
+                                     df: DataFrame): Seq[Seq[String]] = {
+    // an UNPARTITIONED table is ONE partition tuple — every file is a
+    // candidate (key-range pruning still narrows the victims)
+    if (snap.partitionCols.isEmpty) return Seq(Seq.empty)
     df.select(snap.partitionCols.map { c =>
         snap.schema.fields.find(_.name.equalsIgnoreCase(c))
           .map(_.dataType) match {
@@ -2758,6 +3116,7 @@ object LogTable {
           r.getString(i)
         }
       }.toIndexedSeq
+  }
 
   private[sources] def victimFiles(snap: Snapshot,
                           touched: Seq[Seq[String]]): Seq[LogFile] = {
@@ -2784,13 +3143,18 @@ object LogTable {
     * committed before per-column stats existed. None ⇒ unknown.
     */
   private def statsRange(snap: Snapshot, f: LogFile,
-                         c: String): Option[(String, String)] =
+                         c: String): Option[(String, String)] = {
+    // stats are keyed by the column's PHYSICAL name; `c` may arrive
+    // logical (DML predicates) or already physical (FileIndex filters) —
+    // physicalOf is identity on anything that is not a mapped logical
+    val pc = snap.physicalOf(c)
     f.stats.collectFirst {
-      case (k, ColStats(Some(lo), Some(hi), _)) if k.equalsIgnoreCase(c) =>
+      case (k, ColStats(Some(lo), Some(hi), _)) if k.equalsIgnoreCase(pc) =>
         (lo, hi)
     }.orElse(
-      if (c.equalsIgnoreCase(snap.partitionCol)) Some((f.pmin, f.pmax))
+      if (pc.equalsIgnoreCase(snap.partitionCol)) Some((f.pmin, f.pmax))
       else None)
+  }
 
   private[sources] def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -2836,16 +3200,20 @@ object LogTable {
                                 zone: String): Boolean = {
     val schema = snap.schema
     def colInfo(a: Expression): Option[(DataType, Option[ColStats])] =
-      attrName(a).flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))
-        .map(fd => (fd.dataType,
-          f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(n) => s }
-            .orElse(
-              // leading partition column: legacy pmin/pmax double as stats
-              // (null count unknown ⇒ 0 is safe: partition values are
-              // non-null by the write-path contract)
-              if (n.equalsIgnoreCase(snap.partitionCol))
-                Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
-              else None))))
+      attrName(a).flatMap { n =>
+        // logical OR physical name (DML vs FileIndex) — see mustMatch
+        val pn = snap.physicalOf(n)
+        schema.fields.find(fd => snap.physicalOf(fd.name).equalsIgnoreCase(pn))
+          .map(fd => (fd.dataType,
+            f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(pn) => s }
+              .orElse(
+                // leading partition column: legacy pmin/pmax double as stats
+                // (null count unknown ⇒ 0 is safe: partition values are
+                // non-null by the write-path contract)
+                if (pn.equalsIgnoreCase(snap.partitionCol))
+                  Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
+                else None)))
+      }
     // sign of (stat − literal), None ⇒ unknown ⇒ keep
     def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
       cmpStatLit(dt, stat, l, zone)
@@ -2998,6 +3366,18 @@ object LogTable {
       substring_index(col("_metadata.file_path"), "/", -1).as("__gdv_file"),
       col("_metadata.row_index").as("__gdv_idx"))
 
+  /** Alias a PHYSICAL-named frame (fresh off the files) back to the
+    * snapshot's LOGICAL names, carrying `extras` (tags, DV helpers)
+    * through untouched. The identity-mapping fast path adds NO plan
+    * node — a never-renamed table's scan stays byte-identical.
+    */
+  private def toLogical(snap: Snapshot, df: DataFrame,
+                        extras: Seq[String] = Nil): DataFrame =
+    if (snap.colMap.isEmpty) df
+    else df.select(snap.schema.fields.toIndexedSeq.map { f =>
+      col("`" + snap.physicalOf(f.name).replace("`", "``") + "`").as(f.name)
+    } ++ extras.map(col): _*)
+
   /** Read `files` under `snap.schema`, applying each entry's OWN deletion
     * vector: files without a DV scan straight through the vectorized
     * reader; DV'd files additionally materialize `_metadata` row
@@ -3008,18 +3388,20 @@ object LogTable {
   private[sources] def readFiles(spark: SparkSession, path: String,
                                  snap: Snapshot,
                                  files: Seq[LogFile]): DataFrame = {
+    // files store PHYSICAL names — scan physical, alias logical at exit
     def raw(fs: Seq[LogFile]): DataFrame =
-      spark.read.schema(snap.schema)
+      spark.read.schema(snap.physicalSchema)
         .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
     val (dved, plain) = files.partition(_.dv.isDefined)
     val plainDf =
-      if (plain.isEmpty) emptyDf(spark, snap.schema) else raw(plain)
-    if (dved.isEmpty) plainDf
-    else {
-      val filtered = antiJoinDv(withDvHelpers(raw(dved)),
-        dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum)
-      if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
-    }
+      if (plain.isEmpty) emptyDf(spark, snap.physicalSchema) else raw(plain)
+    toLogical(snap,
+      if (dved.isEmpty) plainDf
+      else {
+        val filtered = antiJoinDv(withDvHelpers(raw(dved)),
+          dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum)
+        if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
+      })
   }
 
   /** [[readFiles]] plus a `tag` column carrying each row's SOURCE FILE
@@ -3032,22 +3414,24 @@ object LogTable {
                                        snap: Snapshot, files: Seq[LogFile],
                                        tag: String): DataFrame = {
     def raw(fs: Seq[LogFile]): DataFrame =
-      spark.read.schema(snap.schema)
+      spark.read.schema(snap.physicalSchema)
         .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
     val (dved, plain) = files.partition(_.dv.isDefined)
     val plainDf =
       if (plain.isEmpty)
-        emptyDf(spark, snap.schema).withColumn(tag, lit(null).cast("string"))
+        emptyDf(spark, snap.physicalSchema)
+          .withColumn(tag, lit(null).cast("string"))
       else raw(plain).select(col("*"),
         substring_index(col("_metadata.file_path"), "/", -1).as(tag))
-    if (dved.isEmpty) plainDf
-    else {
-      val filtered = antiJoinDv(withDvHelpers(raw(dved)),
-        dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum,
-        dropHelpers = false)
-        .withColumnRenamed("__gdv_file", tag).drop("__gdv_idx")
-      if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
-    }
+    toLogical(snap,
+      if (dved.isEmpty) plainDf
+      else {
+        val filtered = antiJoinDv(withDvHelpers(raw(dved)),
+          dvPairs(spark, path, dved), dved.iterator.map(_.dv.get.deleted).sum,
+          dropHelpers = false)
+          .withColumnRenamed("__gdv_file", tag).drop("__gdv_idx")
+        if (plain.isEmpty) filtered else plainDf.unionByName(filtered)
+      }, extras = Seq(tag))
   }
 
   /** Write `df` once as parquet files directly referenced by the log:
@@ -3087,9 +3471,10 @@ object LogTable {
       .find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown z-order column `$c`")))
     val nums = dims.map(f => numericize(col(f.name), f.dataType))
-    val bounds = df.agg(
-      min(nums(0)), max(nums(0)), min(nums(1)), max(nums(1))).head()
-    val B = 1 << 16
+    val aggs = nums.flatMap(v => Seq(min(v), max(v)))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = graft.functions.ZOrder.bitsPerDim(nums.length)
+    val B = 1 << bits
     val ords = nums.zipWithIndex.map { case (v, i) =>
       if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
       else {
@@ -3101,16 +3486,32 @@ object LogTable {
           lit((B - 1).toLong))
       }
     }
-    graft.functions.ZOrder.interleave(ords(0), ords(1))
+    graft.functions.ZOrder.interleaveN(ords)
   }
 
-  private[sources] def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
+  private[sources] def writeDataFiles(spark: SparkSession, path: String,
+                             df0: DataFrame,
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
                              numFiles: Option[Int] = None,
                              clusterBy: Seq[String] = Nil,
                              bloomCols: Seq[String] = Nil,
-                             zorderBy: Seq[String] = Nil): Seq[LogFile] = {
+                             zorderBy: Seq[String] = Nil,
+                             colMap: Map[String, String] = Map.empty)
+      : Seq[LogFile] = {
+    // everything at rest is PHYSICAL: the incoming frame speaks logical
+    // names — rename through the snapshot's column mapping before any
+    // byte lands (partition/stats/bloom/layout params are already the
+    // at-rest physical names, so they match the renamed frame)
+    val df =
+      if (colMap.isEmpty) df0
+      else {
+        def phys(n: String): String = colMap.collectFirst {
+          case (l, p) if l.equalsIgnoreCase(n) => p
+        }.getOrElse(n)
+        df0.select(df0.columns.toIndexedSeq.map(c =>
+          col("`" + c.replace("`", "``") + "`").as(phys(c))): _*)
+      }
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
     // partition-clustered output: RANGE partitioning on (partition
@@ -3205,15 +3606,21 @@ object LogTable {
               s"`$c` are not supported")
         c -> ColStats(mn, mx, nulls)
       }.toMap
-      val lead = tracked.head
+      // unpartitioned tables carry no leading-column range — pmin/pmax
+      // are "" and never consulted (partitionCol is "" there)
+      val (pmin, pmax) =
+        if (partitionCols.isEmpty) ("", "")
+        else {
+          val lead = tracked.head
+          (colStats(lead).min.get, colStats(lead).max.get)
+        }
       val src = new Path(java.net.URI.create(r.getString(r.fieldIndex("__f"))))
       val name = src.getName
       val bytes = fs.getFileStatus(src).getLen
       val dst = new Path(path, name)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"rename $src -> $dst failed")
-      LogFile(name, colStats(lead).min.get, colStats(lead).max.get,
-        rows, bytes, colStats)
+      LogFile(name, pmin, pmax, rows, bytes, colStats)
     }.toIndexedSeq
     fs.delete(tmp, true): Unit
     adds
@@ -3257,7 +3664,7 @@ object LogTable {
     }
     // `partitionCol` (singular) kept for forward-compat reading of the
     // leading column by older tooling; `partitionCols` is authoritative
-    root.put("partitionCol", partitionCols.head): Unit
+    root.put("partitionCol", partitionCols.headOption.getOrElse("")): Unit
     val pArr = root.putArray("partitionCols")
     partitionCols.foreach(c => pArr.add(c): Unit)
     val sArr = root.putArray("statsCols")
@@ -3308,7 +3715,7 @@ object LogTable {
     */
   private[sources] def reservedProperty(k: String): Boolean =
     k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
-      k == "clone.source"
+      k == "clone.source" || k.startsWith("colmap.")
 
   /** SET/UNSET table properties as one metadata-only commit — the
     * generic carrier for user metadata and the engine's OPT-IN knobs
@@ -3346,6 +3753,35 @@ object LogTable {
     * commit fires the refresh, not just the registering JVM's.
     */
   private[sources] val MvAutoRefreshProp = "mv.autorefresh"
+
+  /** OPT-IN async auto-refresh (`ALTER TABLE base SET TBLPROPERTIES
+    * ('mv.refreshmode' = 'async')`): registered MVs refresh on a
+    * bounded single-thread daemon executor instead of the committing
+    * thread. With k registered views a data commit no longer pays k
+    * full refreshes before returning; staleness is bounded by the
+    * queue (fires coalesce), and correctness is unchanged — refresh
+    * reads the base's latest version under the idempotent-writer
+    * watermark, so replays and races fold exactly once.
+    */
+  private[sources] val MvRefreshModeProp = "mv.refreshmode"
+
+  /** One daemon thread BY DESIGN: refreshes are already incremental
+    * (O(changed files) + O(touched buckets)); serializing them bounds
+    * concurrent memory and keeps per-MV ordering trivial. Visible for
+    * the spec, which wedges it with a latch to prove the commit
+    * returns first.
+    */
+  private[sources] lazy val mvRefreshExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-mv-autorefresh")
+      t.setDaemon(true)
+      t
+    })
+  private val mvRefreshQueued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Completed async refreshes — observability + the spec's hook. */
+  private[sources] val asyncRefreshes =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   private[sources] def commit(spark: SparkSession, path: String, version: Long,
                      schemaDdl: String, partitionCols: Seq[String],
@@ -3398,13 +3834,40 @@ object LogTable {
     // misregistered self-reference from recursing.
     if (dataChange) properties.get(MvAutoRefreshProp).foreach { list =>
       val self = fs.makeQualified(new Path(path)).toUri.toString
+      // refresh mode is a TABLE PROPERTY (`mv.refreshmode = async`):
+      // inline (default) folds the rollup before the writer returns;
+      // async hands the fire to a bounded single-thread executor —
+      // the writer returns immediately, duplicate fires COALESCE (a
+      // queued refresh reads the base's LATEST version, so n commits
+      // while one is pending fold in one pass), and the `(MvApp, to)`
+      // txn watermark makes concurrent/duplicate fires safe.
+      val async = properties.get(MvRefreshModeProp)
+        .exists(_.equalsIgnoreCase("async"))
       list.split(';').iterator.filter(_.nonEmpty)
         .filterNot(_ == self).foreach { mv =>
-          try MaterializedView.refresh(spark, mv): Unit
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"graft: auto-refresh of MV $mv after $path v$version " +
-                s"failed: $e")
+          if (!async) {
+            try MaterializedView.refresh(spark, mv): Unit
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"graft: auto-refresh of MV $mv after $path v$version " +
+                  s"failed: $e")
+            }
+          } else if (mvRefreshQueued.add(mv)) {
+            mvRefreshExecutor.submit(new Runnable {
+              override def run(): Unit = {
+                // dequeue BEFORE refreshing: a commit landing mid-
+                // refresh re-queues, so its window is never missed
+                mvRefreshQueued.remove(mv): Unit
+                try {
+                  MaterializedView.refresh(spark, mv): Unit
+                  asyncRefreshes.incrementAndGet(): Unit
+                } catch { case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"graft: async auto-refresh of MV $mv after $path " +
+                      s"v$version failed: $e")
+                }
+              }
+            }): Unit
           }
         }
     }

@@ -38,7 +38,9 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   *
   * MERGE constraints surface the engine's contracts, loud: the ON
   * clause must be a conjunction of same-name key equalities (the
-  * pruned-merge key model); `WITH SCHEMA EVOLUTION` is not supported.
+  * pruned-merge key model); `MERGE WITH SCHEMA EVOLUTION` evolves the
+  * target inside the merge's own commit (new source columns append
+  * nullable, strictly-wider source types widen — zero file rewrites).
   * `WHEN NOT MATCHED BY SOURCE` clauses map onto the builder's
   * by-source forms (target-scope only; the transaction reads the whole
   * table — see [[MergeInto.whenNotMatchedBySourceUpdate]]).
@@ -86,16 +88,25 @@ object LogTableSql {
     */
   private[sources] def partitionSpecs(entries: Seq[String])
       : (Seq[String], Map[String, String]) = {
-    val Gen = """(?i)(year|month|day)s?\s*\(\s*(\w+)\s*\)""".r
+    val Gen = """(?i)(year|month|day|hour)s?\s*\(\s*(\w+)\s*\)""".r
+    val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
     val gens = Map.newBuilder[String, String]
     val cols = entries.map {
       case Gen(fn, src) =>
         val (name, gsql) = fn.toLowerCase match {
           case "year" => (s"${src}_year", s"year($src)")
           case "month" => (s"${src}_month", s"date_format($src, 'yyyy-MM')")
+          case "hour" => (s"${src}_hour", s"date_trunc('HOUR', $src)")
           case _ => (s"${src}_day", s"to_date($src)")
         }
         gens += name -> gsql
+        name
+      case Bucket(n, src) =>
+        // HIDDEN hash-bucket partitioning (the Iceberg bucket(N)
+        // transform): point lookups on the source column open ~1/N of
+        // the files; range predicates fall back to source stats
+        val name = s"${src}_bucket"
+        gens += name -> s"pmod(hash($src), $n)"
         name
       case plain => plain
     }
@@ -278,8 +289,6 @@ object LogTableSql {
             notMatchedActions, notMatchedBySourceActions, withSchemaEvolution)
             if pathOf(target).isDefined =>
           val (path, tAlias) = pathOf(target).get
-          require(!withSchemaEvolution,
-            "graft SQL: WITH SCHEMA EVOLUTION is not supported on merge")
           val sAlias = source match {
             case SubqueryAlias(ident, _) => Some(ident.name)
             case _ => None
@@ -292,7 +301,8 @@ object LogTableSql {
           MergeCommand(path, source, keyColsOf(mergeCond, tAlias, sAlias),
             matchedActions.map(matchedOf(_, m)),
             notMatchedActions.map(insertOf(_, m)),
-            notMatchedBySourceActions.map(matchedOf(_, m)))
+            notMatchedBySourceActions.map(matchedOf(_, m)),
+            schemaEvolution = withSchemaEvolution)
 
         // fail-loud backstop: DML that reached the substituted relation
         // (it should be impossible with the top-down rewrite above)
@@ -569,7 +579,7 @@ object LogTableSql {
     private val OptimizeP = Pattern.compile(
       s"^\\s*OPTIMIZE\\s+$Ref" +
         "(?:\\s+MAX\\s+(\\d+)\\s+FILES\\s+PER\\s+PARTITION)?" +
-        "(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*$", F)
+        "(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+){1,3})\\s*\\))?\\s*$", F)
     private val AddConstraintP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+" +
         "CHECK\\s*\\((.*)\\)\\s*$", F)
@@ -578,10 +588,10 @@ object LogTableSql {
     private val CreateTableP = Pattern.compile(
       // the partition list admits one level of nesting: year(ts)-style
       // generated-column derivations
-      s"^\\s*CREATE\\s+TABLE\\s+$Ref\\s+PARTITIONED\\s+BY\\s*" +
-        "\\(((?:[^()]|\\([^()]*\\))+)\\)" +
+      s"^\\s*CREATE\\s+TABLE\\s+$Ref" +
+        "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))+)\\))?" +
         "(?:\\s+STATS\\s+BY\\s*\\(([^)]+)\\))?" +
-        "(?:\\s+ZORDER\\s+BY\\s*\\((\\w+)\\s*,\\s*(\\w+)\\s*\\))?" +
+        "(?:\\s+ZORDER\\s+BY\\s*\\((\\w+(?:\\s*,\\s*\\w+){1,3})\\s*\\))?" +
         "\\s+AS\\s+(.+)$", F)
     private val CreateMvP = Pattern.compile(
       s"^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref" +
@@ -613,6 +623,12 @@ object LogTableSql {
     private val AlterTypeP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+" +
         "TYPE\\s+(.+?)\\s*$", F)
+    private val RenameColP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+" +
+        "TO\\s+(\\w+)\\s*$", F)
+    private val DropColP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+" +
+        "(IF\\s+EXISTS\\s+)?(\\w+)\\s*$", F)
 
     /** A matched pattern whose reference does NOT resolve to a graft
       * table (another catalog's name) falls through to the delegate —
@@ -631,8 +647,8 @@ object LogTableSql {
       if (o.matches())
         return refPath(o.group(1)).map(OptimizeCommand(_,
           Option(o.group(2)).map(_.toInt),
-          Option(o.group(3)).map(a => Seq(a, o.group(4)))
-            .getOrElse(Nil)))
+          Option(o.group(3)).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
       val a = AddConstraintP.matcher(sqlText)
       if (a.matches())
         return refPath(a.group(1)).map(
@@ -647,6 +663,14 @@ object LogTableSql {
       if (at.matches())
         return refPath(at.group(1)).map(
           AlterColumnTypeCommand(_, at.group(2), at.group(3)))
+      val rc = RenameColP.matcher(sqlText)
+      if (rc.matches())
+        return refPath(rc.group(1)).map(
+          RenameColumnCommand(_, rc.group(2), rc.group(3)))
+      val dc = DropColP.matcher(sqlText)
+      if (dc.matches())
+        return refPath(dc.group(1)).map(
+          DropColumnCommand(_, dc.group(3), dc.group(2) != null))
       val rs = RestoreP.matcher(sqlText)
       if (rs.matches())
         return refPath(rs.group(1)).map(
@@ -680,8 +704,8 @@ object LogTableSql {
         // resolves through the catalog root, not through tableExists
         return createRefPath(ct.group(1)).map(CreateTableCommand(_,
           cols(ct.group(2)), cols(ct.group(3)),
-          Option(ct.group(4)).map(a => Seq(a, ct.group(5))).getOrElse(Nil),
-          ct.group(6)))
+          cols(ct.group(4)),
+          ct.group(5)))
       }
       val cm = CreateMvP.matcher(sqlText)
       if (cm.matches())
@@ -985,6 +1009,40 @@ object LogTableSql {
           session.sessionState.sqlParser.parseDataType(typeDdl))))))
   }
 
+  /** `ALTER TABLE ... RENAME COLUMN a TO b` — metadata-only through the
+    * column mapping: the at-rest physical name never moves, zero files
+    * rewritten, older versions still read under their own names.
+    */
+  private[sources] final case class RenameColumnCommand(path: String,
+      from: String, to: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.evolveSchema(session, path, Seq(
+        org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+          Array(from), to)))))
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN [IF EXISTS] c` — metadata-only: the
+    * logical schema loses the field, old files keep (and never again
+    * project) the physical data, the physical name is tombstoned.
+    */
+  private[sources] final case class DropColumnCommand(path: String,
+      column: String, ifExists: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.evolveSchema(session, path, Seq(
+        if (ifExists)
+          org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+            Array(column), true)
+        else
+          org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+            Array(column), false)))))
+  }
+
   /** `CREATE TABLE graft.`dir` PARTITIONED BY (p[, q]) [STATS BY (c, …)]
     * [ZORDER BY (a, b)] AS SELECT …` — table creation through SQL, onto
     * the same [[LogTable.create]] the programmatic API calls (partition
@@ -1121,7 +1179,8 @@ object LogTableSql {
   private[sources] final case class MergeCommand(path: String,
       source: LogicalPlan, keyCols: Seq[String], matched: Seq[MatchedSpec],
       notMatched: Seq[InsertSpec],
-      notMatchedBySource: Seq[MatchedSpec] = Nil)
+      notMatchedBySource: Seq[MatchedSpec] = Nil,
+      schemaEvolution: Boolean = false)
       extends LeafRunnableCommand {
     override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
@@ -1129,6 +1188,7 @@ object LogTableSql {
         "graft SQL: at most one WHEN NOT MATCHED THEN INSERT clause")
       val src = GraftBridge.ofRows(session, source)
       var m = LogTable.mergeInto(session, path, src, keyCols)
+      if (schemaEvolution) m = m.withSchemaEvolution()
       matched.foreach { spec =>
         m = spec.set match {
           case Some(s) => m.whenMatchedUpdate(s, spec.condition)

@@ -58,8 +58,21 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
                                  statsCols: Seq[String],
                                  startingVersion: Long,
                                  maxVersionsPerTrigger: Long,
-                                 ignoreChanges: Boolean)
+                                 ignoreChanges: Boolean,
+                                 colMap: Map[String, String] = Map.empty)
     extends Source with SupportsTriggerAvailableNow {
+
+  // files store PHYSICAL column names (column mapping): scan under them,
+  // alias back to the pinned logical names per batch — pinned at stream
+  // start like the schema itself (a mid-stream rename does not retitle
+  // this stream's columns; physical names are stable forever)
+  private val pinnedPhysical: StructType =
+    if (colMap.isEmpty) pinned
+    else StructType(pinned.fields.map { f =>
+      f.copy(name = colMap.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(f.name) => p
+      }.getOrElse(f.name))
+    })
 
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
 
@@ -138,16 +151,22 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
       // mayMatch falls back to (pmin, pmax) for the leading partition
       // column, so a wrong name here would prune pushed filters on an
       // unrelated column against the partition bounds
-      val snap = LogTable.Snapshot(v, pinned.toDDL, partitionCols,
+      val snap = LogTable.Snapshot(v, pinnedPhysical.toDDL, partitionCols,
         statsCols, files)
       val index = new LogTableFileIndex(spark, path, snap)
-      val relation = HadoopFsRelation(index, StructType(Nil), pinned, None,
-        new ParquetFileFormat, Map.empty[String, String])(spark)
+      val relation = HadoopFsRelation(index, StructType(Nil), pinnedPhysical,
+        None, new ParquetFileFormat, Map.empty[String, String])(spark)
       // isStreaming = true: the engine asserts every getBatch plan is a
       // streaming leaf (the FileStreamSource/Delta pattern)
-      org.apache.spark.sql.GraftBridge
+      val raw = org.apache.spark.sql.GraftBridge
         .ofRows(spark, LogicalRelation(relation, isStreaming = true))
-        .withColumn("_commit_version", lit(v))
+      val logical =
+        if (colMap.isEmpty) raw
+        else raw.select(pinned.fields.zip(pinnedPhysical.fields)
+          .map { case (lf, pf) =>
+            col("`" + pf.name.replace("`", "``") + "`").as(lf.name)
+          }.toIndexedSeq: _*)
+      logical.withColumn("_commit_version", lit(v))
     }
     versions match {
       case Seq() => frame(toV, Nil) // zero-file scan: empty, still streaming
@@ -270,11 +289,12 @@ class LogTableSourceProvider extends StreamSourceProvider
         try {
           val c = LogTable.commitAt(spark, path,
             LogTable.latestVersion(spark, path))
-          (c.partitionCols, c.statsCols)
+          (c.partitionCols, c.statsCols, LogTable.colMapOfProps(c.properties))
         } catch {
-          case _: java.io.IOException => (snap.partitionCols, snap.statsCols)
+          case _: java.io.IOException =>
+            (snap.partitionCols, snap.statsCols, snap.colMap)
         }
-      case None => (snap.partitionCols, snap.statsCols)
+      case None => (snap.partitionCols, snap.statsCols, snap.colMap)
     }
     val pinned = schema match {
       case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
@@ -291,6 +311,6 @@ class LogTableSourceProvider extends StreamSourceProvider
     val ignoreChanges = opt(parameters, "ignoreChanges")
       .exists(_.toBoolean)
     new LogTableStreamSource(spark, path, pinned, meta._1, meta._2,
-      startingVersion, maxPer, ignoreChanges)
+      startingVersion, maxPer, ignoreChanges, colMap = meta._3)
   }
 }

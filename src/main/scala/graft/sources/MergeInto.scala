@@ -54,8 +54,23 @@ final case class MergeInto private[sources] (
     matched: Seq[MergeInto.MatchedClause] = Nil,
     insert: Option[MergeInto.InsertClause] = None,
     bySource: Seq[MergeInto.MatchedClause] = Nil,
-    maxRetries: Int = 3) {
+    maxRetries: Int = 3,
+    schemaEvolution: Boolean = false) {
   import MergeInto._
+
+  /** `MERGE WITH SCHEMA EVOLUTION` — source columns absent from the
+    * target append (nullable), source columns strictly WIDER widen the
+    * committed type, both INSIDE the merge's own commit (atomic: one
+    * DDL, one file set, one version — the Delta `WITH SCHEMA
+    * EVOLUTION` shape, composing the engine's existing mergeSchema
+    * append path with the widening lattice). Old files are never
+    * rewritten — schema-on-read NULL-fills. INSERT clauses pick the new
+    * columns up automatically (same-name source default); UPDATE
+    * clauses assign them explicitly. A concurrent conflicting evolution
+    * still serializes: the disjoint-recommit fast path declines on any
+    * DDL drift, forcing the full re-merge against the winner's schema.
+    */
+  def withSchemaEvolution(): MergeInto = copy(schemaEvolution = true)
 
   def whenMatchedUpdate(set: Map[String, String],
                         condition: Option[String] = None): MergeInto = {
@@ -180,7 +195,7 @@ final case class MergeInto private[sources] (
         s"(${keyCols.mkString(", ")}) — ambiguous merge")
     var attempt = 0
     while (true) {
-      val snap = LogTable.snapshot(spark, path)
+      val snap = evolveForMerge(LogTable.snapshot(spark, path))
       validate(snap)
       // touched tuples exist for pruning and the disjoint fast path —
       // both off under a by-source clause (and the source may then
@@ -226,7 +241,13 @@ final case class MergeInto private[sources] (
           } else {
             val keep = joined.filter(col("__graft_file").isNull ||
               col("__graft_file").isin(changed.toSeq: _*))
-            (snap.files.filter(f => changed.contains(f.name)),
+            // tags are BASE names (substring_index of file_path); a
+            // shallow clone's log entries are absolute URIs — match on
+            // base names (write names are UUID-unique) or a changed
+            // cloned file would never join the victim set while its
+            // rewritten rows land in the adds, duplicating rows
+            (snap.files.filter(f => changed.contains(
+              new org.apache.hadoop.fs.Path(f.name).getName)),
               projectResult(snap, keep.drop("__graft_file")))
           }
         }
@@ -236,7 +257,8 @@ final case class MergeInto private[sources] (
       LogTable.enforceConstraints(path, snap, outRows)
       val ddl = widenedDdl(snap)
       val adds = LogTable.writeDataFiles(spark, path, outRows,
-        snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols)
+        snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
+        colMap = snap.colMap)
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -383,6 +405,41 @@ final case class MergeInto private[sources] (
     * never over the full-outer plan, whose blanket nullability would
     * wrongly demote every NOT NULL column.
     */
+  /** The snapshot under the schema this merge COMMITS: unchanged
+    * without [[withSchemaEvolution]]; with it, source-only columns
+    * append nullable and strictly-wider source types widen — computed
+    * fresh per retry (a race winner's own evolution folds in).
+    */
+  private def evolveForMerge(raw: LogTable.Snapshot): LogTable.Snapshot = {
+    if (!schemaEvolution) return raw
+    val known = raw.schema.fieldNames.map(_.toLowerCase).toSet
+    val added = source.schema.fields.toIndexedSeq
+      .filterNot(f => known.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true))
+    // column-mapping resurrection guard — same contract as upsert's
+    // mergeSchema path: a new column may not reuse a retired or
+    // renamed-away at-rest physical name
+    added.foreach { f =>
+      val clash =
+        raw.droppedPhysicals.exists(_.equalsIgnoreCase(f.name)) ||
+          raw.schema.fields.exists(g =>
+            !g.name.equalsIgnoreCase(f.name) &&
+              raw.physicalOf(g.name).equalsIgnoreCase(f.name))
+      require(!clash,
+        s"merge into $path: evolved column `${f.name}` collides with a " +
+          "retired or renamed column's at-rest physical name — add it " +
+          "via ALTER TABLE ... ADD COLUMNS instead")
+    }
+    val widened = raw.schema.fields.toIndexedSeq.map { f =>
+      source.schema.fields
+        .find(g => g.name.equalsIgnoreCase(f.name) &&
+          LogTable.typeWidens(f.dataType, g.dataType))
+        .map(g => f.copy(dataType = g.dataType)).getOrElse(f)
+    }
+    if (added.isEmpty && widened == raw.schema.fields.toIndexedSeq) raw
+    else raw.copy(schemaDdl = StructType(widened ++ added).toDDL)
+  }
+
   private def widenedDdl(snap: LogTable.Snapshot): String = {
     val tShell = LogTable.emptyDf(spark, snap.schema).alias("t")
     val sShell = LogTable.emptyDf(spark, source.schema).alias("s")

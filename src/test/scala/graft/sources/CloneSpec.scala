@@ -78,6 +78,12 @@ class CloneSpec extends SparkSpec {
     }
     deleteRec(new java.io.File(dst))
     Thread.sleep(5L)
+    // a marker whose destination is gone sits in the pending-clone grace
+    // window (it could be a clone mid-flight) — age it out so this
+    // vacuum treats it as a genuinely dead clone
+    new java.io.File(src, "_graft_clones").listFiles().foreach(m =>
+      assert(m.setLastModified(
+        System.currentTimeMillis() - LogTable.ClonePendingGraceMs - 1000L)))
     val reclaimed = LogTable.vacuum(spark, src, 0L, force = true)
     assert(reclaimed > 0, "a dead clone's references must release files")
     assert(new java.io.File(src, "_graft_clones").listFiles().isEmpty,

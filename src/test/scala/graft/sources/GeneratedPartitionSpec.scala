@@ -130,11 +130,41 @@ class GeneratedPartitionSpec extends SparkSpec {
       LogTable.create(spark, dir, rows(10), Seq("m"),
         generatedColumns = Map("m" -> "month(odate)")) // cyclic, not monotone
     }
-    assert(e.getMessage.contains("monotone"))
+    assert(e.getMessage.contains("vocabulary"))
     val e2 = intercept[IllegalArgumentException] {
       LogTable.create(spark, dir, rows(10), Seq("h"),
-        generatedColumns = Map("h" -> "hash(odate)"))
+        generatedColumns = Map("h" -> "hash(odate)")) // bare hash: no N
     }
-    assert(e2.getMessage.contains("monotone"))
+    assert(e2.getMessage.contains("vocabulary"))
+  }
+
+  test("bucket(N) hidden partitioning: point lookups open ~1/N files, ranges stay correct") {
+    val dir = tmp() + "/bucketed"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      LogTable.create(spark, dir,
+        (0L until 4000L).map(i => (i, i % 97, s"u$i")).toDF("k", "v", "uid"),
+        Seq("k_bucket"), statsCols = Seq("v"),
+        generatedColumns = Map("k_bucket" -> "pmod(hash(k), 16)"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val files = LogTable.snapshot(spark, dir).files.length
+    assert(files >= 8, s"need a spread of bucket files, got $files")
+    // POINT lookup on the high-cardinality source column: the implied
+    // k_bucket equality must exclude most files — metadata-decided
+    val r = LogTable.countWhere(spark, dir, col("k") === 1234L)
+    assert(r.count == 1L)
+    assert(r.excludedFiles > files / 2,
+      s"bucket pruning must exclude most files (excluded=${r.excludedFiles}/$files)")
+    // IN-list maps pointwise
+    val rin = LogTable.countWhere(spark, dir,
+      col("k").isin(1L, 2L, 3999L))
+    assert(rin.count == 3L && rin.excludedFiles > 0)
+    // RANGE predicate: bucket implications are OFF (non-monotone) — the
+    // answer is still exact through the residual scan
+    assert(LogTable.readWhere(spark, dir, col("k") < 100L).count() == 100L)
+    // and the FileIndex path agrees with the metadata path
+    assert(LogTable.read(spark, dir).filter(col("k") === 1234L)
+      .count() == 1L)
   }
 }

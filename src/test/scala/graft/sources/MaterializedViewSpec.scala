@@ -287,6 +287,60 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedView.disableAutoRefresh(spark, mv)
   }
 
+  test("async refresh mode: the commit returns BEFORE the refresh; the view converges") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    mkBase(base, 40)
+    define(mv, base)
+    MaterializedView.refresh(spark, mv): Unit
+    MaterializedView.enableAutoRefresh(spark, mv): Unit
+    LogTable.setProperties(spark, base, Map("mv.refreshmode" -> "async")): Unit
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    try {
+      // wedge the single-thread executor: nothing refreshes until the
+      // latch opens, so "the commit returned first" is structural, not
+      // a timing accident
+      LogTable.mvRefreshExecutor.submit(new Runnable {
+        override def run(): Unit = latch.await()
+      }): Unit
+      val staleV = MaterializedView.refreshedVersion(spark, mv)
+      LogTable.upsert(spark, base, upd(Seq(
+        (3L, "g1", 5L, Some(321L), 9L, "U"))),
+        Seq("id"), Seq("ver"), "op"): Unit
+      // the writer is back while the refresh is still queued
+      assert(MaterializedView.refreshedVersion(spark, mv) === staleV,
+        "async mode must not refresh on the committing thread")
+      val done = LogTable.asyncRefreshes.get()
+      latch.countDown()
+      val deadline = System.currentTimeMillis() + 60000
+      while (LogTable.asyncRefreshes.get() == done &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50L)
+      assert(LogTable.asyncRefreshes.get() > done, "async refresh must run")
+      assert(MaterializedView.refreshedVersion(spark, mv) ===
+        LogTable.latestVersion(spark, base))
+      assertSame(mv, base)
+      // coalescing: two commits while wedged fold in ONE queued pass
+      LogTable.mvRefreshExecutor.submit(new Runnable {
+        override def run(): Unit = latch.await() // already open — no wedge
+      }): Unit
+      val c0 = LogTable.asyncRefreshes.get()
+      LogTable.upsert(spark, base, upd(Seq(
+        (4L, "g2", 5L, Some(1L), 9L, "U"))), Seq("id"), Seq("ver"), "op"): Unit
+      LogTable.upsert(spark, base, upd(Seq(
+        (5L, "g3", 5L, Some(2L), 9L, "U"))), Seq("id"), Seq("ver"), "op"): Unit
+      val dl2 = System.currentTimeMillis() + 60000
+      while (MaterializedView.refreshedVersion(spark, mv) !=
+        LogTable.latestVersion(spark, base) &&
+        System.currentTimeMillis() < dl2) Thread.sleep(50L)
+      assertSame(mv, base)
+      assert(LogTable.asyncRefreshes.get() - c0 <= 2L)
+    } finally {
+      latch.countDown()
+      LogTable.setProperties(spark, base, Map.empty,
+        unset = Seq("mv.refreshmode")): Unit
+      MaterializedView.disableAutoRefresh(spark, mv)
+    }
+  }
+
   private def defineMinMax(mv: String, base: String): Unit =
     MaterializedView.define(spark, mv, base, Seq("grp"),
       Seq(MvCount("n"), MvMin("min_x", "x"), MvMax("max_x", "x")), 4): Unit

@@ -450,4 +450,84 @@ class MergeIntoSpec extends SparkSpec {
       .as[(Long, Int)].collect().sorted.toSeq
     assert(got == Seq((1L, 0), (3L, 10)))
   }
+
+  test("WITH SCHEMA EVOLUTION: new + widened columns land in the merge's own commit") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir,
+      Seq((1L, 10, "p1"), (2L, 20, "p1"), (3L, 30, "p2"))
+        .toDF("k", "cents", "p"), "p")
+    val src = Seq((1L, 999L, "hot", "p1"), (9L, 900L, "new", "p2"))
+      .toDF("k", "cents", "note", "p") // cents LONG (wider) + note (new)
+    // without the flag, the unknown column refuses loud
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "s.cents", "note" -> "s.note"))
+        .run()
+    }
+    val vBefore = LogTable.snapshot(spark, dir).version
+    val untouched = LogTable.snapshot(spark, dir).files
+      .filter(f => f.pmin == "p2" && f.pmax == "p2").map(_.name).toSet
+    val v = LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("cents" -> "s.cents", "note" -> "s.note"))
+      .whenNotMatchedInsert() // picks note up by same-name default
+      .run()
+    // ONE commit: evolution + merge atomic
+    assert(v == vBefore + 1)
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.schema("cents").dataType ==
+      org.apache.spark.sql.types.LongType, "widened inside the merge")
+    assert(snap.schema.fieldNames.contains("note"))
+    // old files in untouched partitions were NOT rewritten (p2 had no
+    // matched key and no insert lands there... except k=9 -> p2 does.
+    // k=9 inserts into p2, so p2 IS touched; instead pin that the
+    // pre-merge p2 file still exists for time travel)
+    assert(untouched.forall(n => new java.io.File(dir, n).exists()))
+    val got = LogTable.read(spark, dir)
+      .select("k", "cents", "note").as[(Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 999L, Some("hot")), (2L, 20L, None),
+      (3L, 30L, None), (9L, 900L, Some("new"))))
+    // time travel: pre-evolution version answers under the old schema
+    val old = LogTable.read(spark, dir, asOf = Some(vBefore))
+    assert(!old.columns.contains("note"))
+    assert(old.schema("cents").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("SQL: MERGE WITH SCHEMA EVOLUTION evolves through the dialect") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir,
+      Seq((1L, 10L, "p1"), (2L, 20L, "p2")).toDF("k", "cents", "p"), "p")
+    Seq((1L, 111L, "x", "p1"), (7L, 700L, "y", "p2"))
+      .toDF("k", "cents", "note", "p").createOrReplaceTempView("mse_src")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t " +
+      "USING mse_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET cents = s.cents, note = s.note " +
+      "WHEN NOT MATCHED THEN INSERT (k, cents, note, p) " +
+      "VALUES (s.k, s.cents, s.note, s.p)"): Unit
+    val got = spark.sql(s"SELECT k, cents, note FROM graft.`$dir`")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 111L, Some("x")), (2L, 20L, None),
+      (7L, 700L, Some("y"))))
+  }
+
+  test("a concurrent schema/properties winner declines the disjoint fast path") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    val base = LogTable.snapshot(spark, dir)
+    // winner 1: a schema evolution
+    LogTable.evolveSchema(spark, dir, Seq(
+      org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+        Array("extra"), org.apache.spark.sql.types.LongType, true))): Unit
+    assert(LogTable.recommitDisjoint(spark, dir, base, base.schemaDdl,
+      Nil, Nil, Set.empty, maxRetries = 1).isEmpty,
+      "DDL drift must force the full re-merge")
+    // winner 2: a properties change (e.g. REGISTER_MV / SET TBLPROPERTIES)
+    val snap2 = LogTable.snapshot(spark, dir)
+    LogTable.setProperties(spark, dir, Map("owner" -> "t2")): Unit
+    assert(LogTable.recommitDisjoint(spark, dir, snap2, snap2.schemaDdl,
+      Nil, Nil, Set.empty, maxRetries = 1).isEmpty,
+      "a properties winner must never be silently reverted")
+  }
 }
