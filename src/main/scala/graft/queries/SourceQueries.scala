@@ -1266,6 +1266,44 @@ object SourceQueries {
         .withColumn("map_ok", lit(mapOk))
     }),
 
+    // RENAME TABLE — one atomic directory move (the log is
+    // self-contained: relative file names), with history, time travel
+    // and stats skipping intact at the new home; DML before and after
+    // the move land in one continuous version chain.
+    "q161_rename_table" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q161")
+      val t2 = t + "_moved"
+      // scratch() cleared t; the rename TARGET from a previous run must
+      // clear too, or re-running the gate refuses on the stale dir
+      val fs2 = new org.apache.hadoop.fs.Path(t2)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (fs2.exists(new org.apache.hadoop.fs.Path(t2)))
+        fs2.delete(new org.apache.hadoop.fs.Path(t2), true): Unit
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      s.sql(s"UPDATE graft.`$t` SET cents = cents + 3, version = 1 " +
+        "WHERE o_year = 1996 AND k % 9 = 0"): Unit
+      val vPre = LogTable.latestVersion(s, t)
+      LogTable.renameTable(s, t, t2)
+      // the move carried the whole version chain (NO commit of its own);
+      // DML continues on it at the new home
+      val vPost = LogTable.latestVersion(s, t2)
+      s.sql(s"DELETE FROM graft.`$t2` WHERE o_year = 1998 AND k % 4 = 0"): Unit
+      val snap = LogTable.snapshot(s, t2)
+      val fsT = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val ok = !fsT.exists(new org.apache.hadoop.fs.Path(t)) &&
+        vPre == 2L && vPost == vPre && snap.version == vPre + 1 &&
+        LogTable.read(s, t2, asOf = Some(1L)).count() ==
+          LogTable.read(s, t2, asOf = Some(2L)).count() &&
+        LogTable.countWhere(s, t2, col("k") < 0L).scannedFiles == 0
+      s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS sum_cents, sum(version) AS sum_version " +
+        s"FROM graft.`$t2` GROUP BY o_year, status")
+        .withColumn("rename_ok", lit(ok))
+    }),
+
     // UNPARTITIONED log tables — zero partition columns, one partition
     // tuple: the dimension/lookup-table shape, with the full DML
     // surface (CTAS without PARTITIONED BY, DELETE, UPDATE, INSERT,
@@ -1632,6 +1670,27 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q161_rename_table" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1996 AND k % 9 = 0
+        |         THEN cents + 3 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1996 AND k % 9 = 0
+        |         THEN 1 ELSE version END AS version
+        |  FROM base),
+        |final AS (
+        |  SELECT * FROM upd WHERE NOT (o_year = 1998 AND k % 4 = 0))
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version, TRUE AS rename_ok
+        |FROM final GROUP BY o_year, status""".stripMargin,
+
     "q159_unpartitioned" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS segment,

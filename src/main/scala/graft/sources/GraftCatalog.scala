@@ -220,10 +220,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ok
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"graft catalog `$catName`: RENAME is not supported — a table's " +
-        "path is its identity (clone + drop instead)")
+  /** ALTER TABLE ... RENAME TO — one atomic directory move (the log is
+    * self-contained); see [[LogTable.renameTable]] for the clone/MV
+    * bookkeeping and the loud refusals.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val op = pathOf(oldIdent); val np = pathOf(newIdent)
+    if (!isTableDir(new Path(op))) throw new NoSuchTableException(oldIdent)
+    if (isTableDir(new Path(np)))
+      throw new TableAlreadyExistsException(newIdent)
+    LogTable.renameTable(spark, op, np)
+  }
 
   // --------------------------------------------------------- namespaces
 

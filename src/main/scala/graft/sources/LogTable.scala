@@ -1501,7 +1501,12 @@ object LogTable {
           target.schemaDdl == cur.schemaDdl &&
           target.partitionCols == cur.partitionCols &&
           target.statsCols == cur.statsCols &&
-          target.bloomCols == cur.bloomCols) return -1L
+          target.bloomCols == cur.bloomCols &&
+          // properties are versioned state too (column mapping, MV
+          // registry, generators) — a property-only difference is a
+          // real restore, not a no-op
+          target.properties == cur.properties &&
+          target.constraints == cur.constraints) return -1L
       val missing = adds.flatMap(f => f.name +: f.dv.map(_.name).toList)
         .distinct.filterNot(n => fs.exists(dataPath(path, n)))
       require(missing.isEmpty,
@@ -1657,6 +1662,79 @@ object LogTable {
         Some(dst) // pending — a clone mid-flight counts as live
       else { fs.delete(st.getPath, false): Unit; None }
     }.toSeq
+  }
+
+  /** Register a source-side clone marker recording `dstUri` — shared by
+    * [[clone]] and [[renameTable]] (which must stage the NEW location's
+    * marker before the move so vacuum protection never lapses).
+    */
+  private[sources] def registerCloneMarker(spark: SparkSession,
+                                           srcPath: String,
+                                           dstUri: String): Unit = {
+    val fs = fsOf(spark, srcPath)
+    fs.mkdirs(clonesDir(srcPath)): Unit
+    val marker = new Path(clonesDir(srcPath),
+      "clone_" + java.util.UUID.randomUUID().toString.take(12))
+    val out = fs.create(marker, false)
+    try out.write(dstUri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** RENAME (move) a log table to a new directory. The log is
+    * self-contained (relative file names), so the move is one atomic
+    * directory rename — plus the bookkeeping that ties tables together
+    * by absolute URI:
+    *
+    *  - refused while live shallow CLONES reference this table's files
+    *    (their logs carry absolute URIs into the old path);
+    *  - refused while MATERIALIZED VIEWS are registered on it (their
+    *    definition files record this base path);
+    *  - a table that IS a clone stages its new-location marker on the
+    *    source BEFORE the move and releases the old one after — vacuum
+    *    protection never lapses;
+    *  - a table that IS an MV re-points its base's registry entry.
+    *
+    * No concurrent writer may straddle the move (a commit landing
+    * mid-rename fails loud on the vanished directory — never silent).
+    */
+  def renameTable(spark: SparkSession, oldPath: String,
+                  newPath: String): Unit = {
+    val ofs = fsOf(spark, oldPath)
+    val nfs = fsOf(spark, newPath)
+    require(ofs.exists(logDir(oldPath)), s"no log table at $oldPath")
+    require(!nfs.exists(new Path(newPath)),
+      s"rename target $newPath already exists")
+    val clones = liveClones(spark, oldPath)
+    require(clones.isEmpty,
+      s"cannot rename $oldPath — live shallow clones reference its data " +
+        s"files by absolute URI: ${clones.mkString(", ")}. Drop them first.")
+    val snap = snapshot(spark, oldPath)
+    require(!snap.properties.contains(MvAutoRefreshProp),
+      s"cannot rename $oldPath — materialized views are registered on " +
+        "it and their definitions record this path; unregister and " +
+        "re-define them first")
+    val oldUri = ofs.makeQualified(new Path(oldPath)).toUri.toString
+    val newUri = nfs.makeQualified(new Path(newPath)).toUri.toString
+    // an MV's base-side registration records THIS table's URI
+    val mvBase: Option[String] =
+      if (ofs.exists(new Path(oldPath, MaterializedView.DefFile)))
+        Some(MaterializedView.definition(spark, oldPath).basePath)
+          .filter(b => scala.util.Try(snapshot(spark, b).properties
+            .get(MvAutoRefreshProp).exists(_.split(';').contains(oldUri)))
+            .getOrElse(false))
+      else None
+    // a clone's source-side marker records THIS table's URI — stage the
+    // new one first (vacuum keeps protecting through the move)
+    val cloneSrc = snap.properties.get("clone.source")
+    cloneSrc.foreach(src => registerCloneMarker(spark, src, newUri))
+    Option(new Path(newPath).getParent).foreach(p => nfs.mkdirs(p): Unit)
+    if (!ofs.rename(new Path(oldPath), new Path(newPath))) {
+      cloneSrc.foreach(src => releaseCloneMarker(spark, src, newUri))
+      throw new java.io.IOException(s"rename $oldPath -> $newPath failed")
+    }
+    cloneSrc.foreach(src => releaseCloneMarker(spark, src, oldUri))
+    mvBase.foreach(b =>
+      MaterializedView.repointRegistration(spark, b, oldUri, newUri))
   }
 
   /** Release the source-side marker(s) a dropped clone left behind —
@@ -2556,13 +2634,45 @@ object LogTable {
     * `txn` watermark gives exactly-once for at-least-once callers.
     */
   def append(spark: SparkSession, path: String, rows: DataFrame,
-             txn: Option[(String, Long)] = None, maxRetries: Int = 3): Long = {
+             txn: Option[(String, Long)] = None, maxRetries: Int = 3,
+             mergeSchema: Boolean = false): Long = {
     val fs = fsOf(spark, path)
     var attempt = 0
     while (true) {
-      val snap = snapshot(spark, path)
+      val snap0 = snapshot(spark, path)
       txn.foreach { case (app, id) =>
-        if (snap.txns.get(app).exists(_ >= id)) return -1L
+        if (snap0.txns.get(app).exists(_ >= id)) return -1L
+      }
+      // OPT-IN auto-evolution (the drifting-source ingest shape): batch
+      // columns absent from the table append nullable, strictly-wider
+      // batch types widen — inside THIS append's own commit, with the
+      // same column-mapping resurrection guard the merge paths apply.
+      // Everything else stays alignStrict's loud refusal.
+      val snap = if (!mergeSchema) snap0 else {
+        val known = snap0.schema.fieldNames.map(_.toLowerCase).toSet
+        val added = rows.schema.fields.toIndexedSeq
+          .filterNot(f => known.contains(f.name.toLowerCase))
+          .map(_.copy(nullable = true))
+        added.foreach { f =>
+          val clash =
+            snap0.droppedPhysicals.exists(_.equalsIgnoreCase(f.name)) ||
+              snap0.schema.fields.exists(g =>
+                !g.name.equalsIgnoreCase(f.name) &&
+                  snap0.physicalOf(g.name).equalsIgnoreCase(f.name))
+          require(!clash,
+            s"log table $path: evolved column `${f.name}` collides with " +
+              "a retired or renamed column's at-rest physical name — " +
+              "add it via ALTER TABLE ... ADD COLUMNS instead")
+        }
+        val widened = snap0.schema.fields.toIndexedSeq.map { f =>
+          rows.schema.fields
+            .find(g => g.name.equalsIgnoreCase(f.name) &&
+              typeWidens(f.dataType, g.dataType))
+            .map(g => f.copy(dataType = g.dataType)).getOrElse(f)
+        }
+        if (added.isEmpty && widened == snap0.schema.fields.toIndexedSeq)
+          snap0
+        else snap0.copy(schemaDdl = StructType(widened ++ added).toDDL)
       }
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)

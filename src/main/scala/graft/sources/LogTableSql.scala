@@ -623,6 +623,8 @@ object LogTableSql {
     private val AlterTypeP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+" +
         "TYPE\\s+(.+?)\\s*$", F)
+    private val RenameTableP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+TO\\s+$Ref\\s*$$", F)
     private val RenameColP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+" +
         "TO\\s+(\\w+)\\s*$", F)
@@ -663,6 +665,10 @@ object LogTableSql {
       if (at.matches())
         return refPath(at.group(1)).map(
           AlterColumnTypeCommand(_, at.group(2), at.group(3)))
+      val rnt = RenameTableP.matcher(sqlText)
+      if (rnt.matches())
+        return for (o <- refPath(rnt.group(1)); n <- createRefPath(rnt.group(2)))
+          yield RenameTableCommand(o, n)
       val rc = RenameColP.matcher(sqlText)
       if (rc.matches())
         return refPath(rc.group(1)).map(
@@ -1007,6 +1013,21 @@ object LogTableSql {
         org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
           Array(column),
           session.sessionState.sqlParser.parseDataType(typeDdl))))))
+  }
+
+  /** `ALTER TABLE graft.`old` RENAME TO graft.`new`` — one atomic
+    * directory move; see [[LogTable.renameTable]] for the clone/MV
+    * bookkeeping and refusals. (Named tables rename through the
+    * catalog's own ALTER TABLE ... RENAME TO.)
+    */
+  private[sources] final case class RenameTableCommand(oldPath: String,
+      newPath: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      LogTable.renameTable(session, oldPath, newPath)
+      Seq.empty
+    }
   }
 
   /** `ALTER TABLE ... RENAME COLUMN a TO b` — metadata-only through the

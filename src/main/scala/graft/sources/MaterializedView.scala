@@ -59,7 +59,7 @@ object MaterializedView {
     */
   val MvApp = "graft-mv"
 
-  private val DefFile = "_graft_mv.json"
+  private[sources] val DefFile = "_graft_mv.json"
   private val Mapper = new ObjectMapper()
 
   /** One aggregate of the view. `name` is the OUTPUT column; state
@@ -464,6 +464,18 @@ object MaterializedView {
   def disableAutoRefresh(spark: SparkSession, mvPath: String): Unit = {
     editRegistry(spark, definition(spark, mvPath).basePath,
       qualified(spark, mvPath), add = false): Unit
+  }
+
+  /** Re-point one registry entry after the MV itself was RENAMED —
+    * remove the old URI, add the new one (two metadata commits on the
+    * base; the fire between them at worst logs one failed refresh of a
+    * URI that no longer exists, never corrupts).
+    */
+  private[sources] def repointRegistration(spark: SparkSession,
+                                           basePath: String,
+                                           from: String, to: String): Unit = {
+    editRegistry(spark, basePath, from, add = false): Unit
+    editRegistry(spark, basePath, to, add = true): Unit
   }
 
   private def editRegistry(spark: SparkSession, basePath: String,

@@ -472,4 +472,32 @@ class PlanAssertSpec extends SparkSpec {
       assert(p.contains("SelectedBucketsCount"), "scan not bucket-aware:\n" + p)
     } finally spark.conf.set(key, prev)
   }
+
+  test("column mapping: a filter on a RENAMED column pushes to the scan under its physical name") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.LogTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-colmap-plan")
+      .toString + "/t"
+    import spark.implicits._
+    LogTable.create(spark, dir,
+      (0L until 100L).map(i => (i, i * 2, s"p${i % 2}")).toDF("k", "v", "p"),
+      Seq("p"), statsCols = Seq("k"))
+    LogTable.evolveSchema(spark, dir, Seq(
+      org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+        Array("k"), "id"))): Unit
+    val df = LogTable.table(spark, dir).filter(col("id") > 90L)
+      .select("id", "v")
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case q => q.toString
+    }
+    // the alias projection must not strand the filter above the scan:
+    // Catalyst rewrites `id > 90` through it to the at-rest name `k`
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(k,90)"),
+      "renamed-column filter must reach the parquet scan physically:\n" + p)
+    // and the scan reads ONLY the two physical columns the query needs
+    assert(p.contains("ReadSchema: struct<k:bigint,v:bigint>"),
+      "column pruning must survive the mapping:\n" + p)
+  }
 }

@@ -168,6 +168,55 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.contains("ADD COLUMNS"))
   }
 
+  test("append(mergeSchema): new + wider batch columns evolve in the append's own commit") {
+    val dir = tmp()
+    LogTable.create(spark, dir,
+      (0 until 10).map(i => (i.toLong, i * 10, s"p${i % 2}"))
+        .toDF("k", "v", "p"), Seq("p"), statsCols = Seq("k"))
+    // strict append still refuses drift loud
+    intercept[IllegalArgumentException] {
+      LogTable.append(spark, dir,
+        Seq((100L, 1L, "p0", "x")).toDF("k", "v", "p", "note"))
+    }
+    val v = LogTable.append(spark, dir,
+      Seq((100L, 999999999999L, "p0", "x")).toDF("k", "v", "p", "note"),
+      mergeSchema = true)
+    val snap = LogTable.snapshot(spark, dir)
+    assert(v == snap.version, "one commit: evolution + append atomic")
+    assert(snap.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, "int widened to the batch's long")
+    assert(snap.schema.fieldNames.contains("note"))
+    assert(LogTable.read(spark, dir).filter(col("note").isNotNull)
+      .count() == 1L)
+    // resurrection guard: a dropped physical name cannot come back via
+    // a merge-schema append either
+    drop(dir, "note"): Unit
+    val e = intercept[IllegalArgumentException] {
+      LogTable.append(spark, dir,
+        Seq((101L, 5L, "p1", "y")).toDF("k", "v", "p", "note"),
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("ADD COLUMNS"))
+  }
+
+  test("RESTORE crosses a rename atomically: DDL and mapping revert together") {
+    val dir = tmp()
+    mk(dir)
+    val v0 = LogTable.snapshot(spark, dir).version
+    rename(dir, "v", "value"): Unit
+    LogTable.updateWhere(spark, dir, col("k") === 1L,
+      Map("value" -> lit(111L))): Unit
+    LogTable.restore(spark, dir, v0): Unit
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v", "p"))
+    assert(snap.colMap.isEmpty, "the mapping reverts with the DDL")
+    assert(LogTable.read(spark, dir).filter(col("k") === 1L)
+      .select("v").as[Long].head() == 10L)
+    // and restoring FORWARD to the renamed version re-applies the mapping
+    LogTable.restore(spark, dir, v0 + 1): Unit
+    assert(LogTable.read(spark, dir).columns.toSeq == Seq("k", "value", "p"))
+  }
+
   test("structural columns refuse rename/drop loud") {
     val dir = tmp()
     mk(dir)

@@ -155,6 +155,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("lake.gp").filter(col("ts_year").isNull).count() == 0)
   }
 
+  test("native CREATE TABLE with hours() and bucket(N) transforms") {
+    register()
+    spark.sql("CREATE TABLE lake.hp (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts)) TBLPROPERTIES ('stats_by' = 'k')")
+    val hs = LogTable.snapshot(spark, s"$catalogRoot/hp")
+    assert(hs.partitionCols == Seq("ts_hour"))
+    assert(hs.properties.get("gen.ts_hour")
+      .contains("date_trunc('HOUR', ts)"))
+    spark.sql("INSERT INTO lake.hp VALUES " +
+      "(1, TIMESTAMP'2003-04-05 07:15:00'), " +
+      "(2, TIMESTAMP'2003-04-05 09:45:00')")
+    assert(spark.sql("SELECT k FROM lake.hp " +
+      "WHERE ts >= TIMESTAMP'2003-04-05 09:00:00'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    spark.sql("CREATE TABLE lake.bp (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val bs = LogTable.snapshot(spark, s"$catalogRoot/bp")
+    assert(bs.partitionCols == Seq("k_bucket"))
+    assert(bs.properties.get("gen.k_bucket").contains("pmod(hash(k), 8)"))
+    spark.sql("INSERT INTO lake.bp SELECT id, id * 2 FROM range(64)")
+    assert(spark.sql("SELECT v FROM lake.bp WHERE k = 11").collect()
+      .map(_.getLong(0)).toSeq == Seq(22L))
+  }
+
   test("writeTo/V2 exec paths are locked out; spark.table backstop substitutes") {
     register()
     spark.sql("CREATE TABLE lake.locked PARTITIONED BY (p) AS " +
