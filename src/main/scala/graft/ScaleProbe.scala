@@ -335,6 +335,46 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // COLUMN MAPPING read cost at scale: the same filtered aggregate
+    // over one table whose columns were RENAMED post-create (reads
+    // traverse the alias projection + physical-name stats translation)
+    // and over an identical PLAIN table. The ratio between them at any
+    // tier should be ~1 — the mapping must be pure metadata, invisible
+    // to the scan.
+    def colmapCache(renamed: Boolean)(s: SparkSession, d: String): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val suffix = if (renamed) "ren" else "plain"
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/colmap_$suffix/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t,
+          graft.Tables(s, d, "orders").select(
+            col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            year(col("o_orderdate")).as("o_year")),
+          Seq("o_year"), statsCols = Seq("k", "cents"),
+          clusterBy = Seq("k")): Unit
+        if (renamed) {
+          import org.apache.spark.sql.connector.catalog.TableChange
+          LogTable.evolveSchema(s, t, Seq(
+            TableChange.renameColumn(Array("cents"), "amount"),
+            TableChange.renameColumn(Array("k"), "id"))): Unit
+        }
+      }
+      t
+    }
+    def colmapRead(renamed: Boolean)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = colmapCache(renamed)(s, d)
+      val (kCol, cCol) = if (renamed) ("id", "amount") else ("k", "cents")
+      LogTable.readWhere(s, t,
+          col("o_year") === 1998 && col(kCol) < 5000L)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col(cCol)).as("s"))
+    }
+
     // KEY-RANGE victim pruning at scale: a bounded-key merge against a
     // k-clustered table. The batch targets a FIXED key window, so at N×
     // the candidate files still covering that window stay ~constant —
@@ -562,6 +602,8 @@ object ScaleProbe {
         "genpart_read:full" -> (genpartRead("full") _),
         "bucket_lookup:point" -> (bucketLookup("point") _),
         "bucket_lookup:full" -> (bucketLookup("full") _),
+        "colmap_read:renamed" -> (colmapRead(renamed = true) _),
+        "colmap_read:plain" -> (colmapRead(renamed = false) _),
         "merge_keyrange:bounded" -> (keyRangeMerge _),
         "mv_refresh:incremental" -> (mvRefresh("incremental") _),
         "mv_refresh:minmax" -> (mvRefresh("minmax") _),

@@ -1889,8 +1889,14 @@ object LogTable {
             asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val snap = snapshot(spark, path, asOf)
+    // the catalog-table shell exists ONLY to carry Statistics: the log
+    // knows exact live rows (physical rows minus DV-deleted), so CBO and
+    // join reordering see true cardinality, not just bytes. sizeInBytes
+    // matches the FileIndex's live-bytes number, so non-CBO planning
+    // (broadcast thresholds) is byte-identical with or without it.
     val rel = org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(fsRelationFor(spark, path, snap), isStreaming = false))
+      LogicalRelation(fsRelationFor(spark, path, snap),
+        statsShell(spark, path, snap)))
     val dved = snap.files.filter(_.dv.isDefined)
     // the relation scans under PHYSICAL names; the exit projection
     // restores logical ones (identity mapping adds no node). Catalyst
@@ -1928,6 +1934,44 @@ object LogTable {
         "columns (column mapping), which a bare relation cannot alias " +
         "back to logical names — read via LogTable.read/table")
     fsRelationFor(spark, path, snap)
+  }
+
+  /** Live bytes (DV-deleted fraction excluded) — the one size number
+    * the FileIndex and the stats shell must agree on.
+    */
+  private[sources] def liveBytes(snap: Snapshot): Long =
+    snap.files.iterator.map { f =>
+      f.dv match {
+        case Some(d) if f.rows > 0 =>
+          (f.bytes * ((f.rows - d.deleted).toDouble / f.rows)).toLong
+        case _ => f.bytes
+      }
+    }.sum
+
+  /** Exact live row count straight from the log. */
+  private[sources] def liveRows(snap: Snapshot): Long =
+    snap.files.iterator.map(f =>
+      f.rows - f.dv.map(_.deleted).getOrElse(0L)).sum
+
+  /** A minimal CatalogTable whose only real content is Statistics —
+    * LogicalRelation.computeStats prefers it over the relation's bare
+    * sizeInBytes, which is how the EXACT row count the log already
+    * tracks reaches CBO/join-reorder without estimating anything.
+    */
+  private def statsShell(spark: SparkSession, path: String,
+                         snap: Snapshot)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        new Path(path).getName),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(path).toUri)),
+      schema = snap.physicalSchema,
+      provider = Some("graft-logtable"),
+      stats = Some(CatalogStatistics(BigInt(liveBytes(snap)),
+        Some(BigInt(liveRows(snap))))))
   }
 
   private def fsRelationFor(spark: SparkSession, path: String, snap: Snapshot)

@@ -45,14 +45,10 @@ final class LogTableFileIndex(spark: SparkSession, path: String,
   // LIVE bytes, not physical bytes: a deletion vector's dead rows never
   // surface, so counting their bytes would wrongly push a mostly-deleted
   // small table over the broadcast threshold's better judgment (the
-  // planner's only cardinality signal from a V1 relation is this number)
-  override def sizeInBytes: Long = snap.files.iterator.map { f =>
-    f.dv match {
-      case Some(d) if f.rows > 0 =>
-        (f.bytes * ((f.rows - d.deleted).toDouble / f.rows)).toLong
-      case _ => f.bytes
-    }
-  }.sum
+  // planner's only cardinality signal from a V1 relation is this number;
+  // LogTable.table additionally carries the EXACT live row count via a
+  // stats-only CatalogTable shell for CBO)
+  override def sizeInBytes: Long = LogTable.liveBytes(snap)
 
   override def inputFiles: Array[String] =
     snap.files.map(f => LogTable.dataPath(path, f.name).toString).toArray

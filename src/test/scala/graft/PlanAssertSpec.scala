@@ -473,6 +473,31 @@ class PlanAssertSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("CBO sees the log's EXACT live row count (DV deletes excluded)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.LogTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cbo")
+      .toString + "/t"
+    LogTable.create(spark, dir,
+      (0L until 100L).map(i => (i, s"p${i % 2}")).toDF("k", "p"), Seq("p"))
+    LogTable.deleteWhere(spark, dir, col("k") < 40L,
+      deletionVectors = true): Unit
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the LEAF relation's stats (the DV anti-join above it estimates
+      // its own output) — the log's exact live count, not a guess
+      val leafStats = LogTable.table(spark, dir)
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.stats
+        }
+      assert(leafStats.exists(_.rowCount.contains(BigInt(60))),
+        s"CBO must see 60 live rows at the scan, got $leafStats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("column mapping: a filter on a RENAMED column pushes to the scan under its physical name") {
     import org.apache.spark.sql.functions._
     import graft.sources.LogTable
