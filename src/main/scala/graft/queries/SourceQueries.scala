@@ -1266,6 +1266,51 @@ object SourceQueries {
         .withColumn("map_ok", lit(mapOk))
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION — a drifting source (one NEW column,
+    // one strictly-WIDER column) evolves the target inside the merge's
+    // own commit: one version, old files untouched (schema-on-read
+    // NULL-fills), refused loud without the clause.
+    "q162_merge_schema_evolution" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q162")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("int").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"))
+      val vPre = LogTable.latestVersion(s, t)
+      val src = base.filter(col("o_year") === 1997 && col("k") % 13 === 0)
+        .select(col("k"), col("status"),
+          (col("cents").cast("long") + 1000L).as("cents"),
+          col("o_year"), lit("upd").as("note"))
+        .unionByName(
+          base.filter(col("o_year") === 1996 && col("k") % 97 === 0)
+            .select((col("k") + 90000000L).as("k"), col("status"),
+              col("cents").cast("long").as("cents"), col("o_year"),
+              lit("new").as("note")))
+      src.createOrReplaceTempView("q162_src")
+      // without the clause: the unknown column refuses loud
+      val refused =
+        try {
+          s.sql(s"MERGE INTO graft.`$t` t USING q162_src s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET cents = s.cents, note = s.note")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      s.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t " +
+        "USING q162_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents, note = s.note " +
+        "WHEN NOT MATCHED THEN INSERT (k, status, cents, o_year, note) " +
+        "VALUES (s.k, s.status, s.cents, s.o_year, s.note)"): Unit
+      val snap = LogTable.snapshot(s, t)
+      val ok = refused && snap.version == vPre + 1 &&
+        snap.schema("cents").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        snap.schema.fieldNames.contains("note")
+      s.sql(s"SELECT o_year, count(*) AS n, sum(cents) AS sum_cents, " +
+        s"count(note) AS n_note FROM graft.`$t` GROUP BY o_year")
+        .withColumn("mse_ok", lit(ok))
+    }),
+
     // RENAME TABLE — one atomic directory move (the log is
     // self-contained: relative file names), with history, time travel
     // and stats skipping intact at the new home; DML before and after
@@ -1670,6 +1715,27 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q162_merge_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status,
+        |    CASE WHEN o_year = 1997 AND k % 13 = 0
+        |         THEN cents + 1000 ELSE cents END AS cents,
+        |    o_year,
+        |    CASE WHEN o_year = 1997 AND k % 13 = 0 THEN 'upd' END AS note
+        |  FROM base),
+        |ins AS (
+        |  SELECT k + 90000000 AS k, status, cents, o_year, 'new' AS note
+        |  FROM base WHERE o_year = 1996 AND k % 97 = 0),
+        |final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT o_year, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(note) AS n_note, TRUE AS mse_ok
+        |FROM final GROUP BY o_year""".stripMargin,
+
     "q161_rename_table" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -193,10 +193,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * REFUSES while live shallow clones still reference this table's
     * data files by absolute URI (vacuum respects those markers; so must
     * drop). Drop the clones first: dropping a clone eagerly releases
-    * its source-side marker. DROP NAMESPACE ... CASCADE deletes the
-    * subtree raw and does NOT consult clone markers — a clone living
-    * OUTSIDE the dropped namespace whose source lives inside it breaks;
-    * drop such clones before cascading.
+    * its source-side marker. DROP NAMESPACE ... CASCADE applies the
+    * same guard subtree-wide (see [[dropNamespace]]).
     */
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(pathOf(ident))
@@ -274,6 +272,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       s"graft catalog `$catName`: namespaces carry no mutable metadata")
 
+  /** DROP NAMESPACE [CASCADE] — CASCADE walks the subtree first: a live
+    * shallow clone OUTSIDE the namespace whose source lives inside it
+    * refuses the drop loud (its log references the doomed files by
+    * absolute URI); clones wholly inside die together, and their
+    * source-side markers on OUTSIDE sources are released eagerly so
+    * those sources free up without waiting out the grace window.
+    */
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     val dir = nsPath(namespace)
@@ -283,6 +288,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(fs.listStatus(dir).isEmpty,
           s"graft catalog `$catName`: namespace " +
             s"${namespace.mkString(".")} is not empty — DROP ... CASCADE")
+      else {
+        val nsUri = fs.makeQualified(dir).toUri.toString
+        def inside(uri: String): Boolean =
+          uri == nsUri || uri.startsWith(nsUri + "/")
+        val outsideSources = Seq.newBuilder[(String, String)] // (src, dst)
+        def walk(p: Path): Unit =
+          if (isTableDir(p)) {
+            val escaped = LogTable.liveClones(spark, p.toString)
+              .filterNot(inside)
+            require(escaped.isEmpty,
+              s"graft catalog `$catName`: cannot DROP NAMESPACE " +
+                s"${namespace.mkString(".")} CASCADE — live shallow " +
+                s"clones outside it reference ${p.getName}'s data " +
+                s"files: ${escaped.mkString(", ")}. Drop them first.")
+            val dstUri = fs.makeQualified(p).toUri.toString
+            try LogTable.snapshot(spark, p.toString)
+              .properties.get("clone.source")
+              .filterNot(inside)
+              .foreach(src => outsideSources += ((src, dstUri)))
+            catch { case scala.util.control.NonFatal(_) => () }
+          } else fs.listStatus(p).iterator.filter(_.isDirectory)
+            .foreach(st => walk(st.getPath))
+        walk(dir)
+        val ok = fs.delete(dir, true)
+        if (ok) outsideSources.result().foreach { case (src, dst) =>
+          LogTable.releaseCloneMarker(spark, src, dst)
+        }
+        return ok
+      }
       fs.delete(dir, true)
     }
   }

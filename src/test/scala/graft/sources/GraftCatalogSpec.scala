@@ -137,6 +137,31 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.db.t") }
   }
 
+  test("DROP TABLE / DROP NAMESPACE CASCADE refuse while live clones reference the target") {
+    val root = register()
+    spark.sql("CREATE NAMESPACE lake.dropns")
+    spark.sql("CREATE TABLE lake.dropns.src PARTITIONED BY (p) AS " +
+      "SELECT id AS k, concat('p', cast(id % 2 AS string)) AS p " +
+      "FROM range(20)")
+    // a clone OUTSIDE the namespace pins both the table and the subtree
+    spark.sql(s"CREATE TABLE graft.`$root/ext_clone` SHALLOW CLONE " +
+      "lake.dropns.src"): Unit
+    val e1 = intercept[IllegalStateException](
+      spark.sql("DROP TABLE lake.dropns.src"))
+    assert(e1.getMessage.contains("ext_clone"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("DROP NAMESPACE lake.dropns CASCADE"))
+    assert(e2.getMessage.contains("ext_clone"))
+    // dropping the clone first releases its marker eagerly (no grace
+    // wait) — both drops then succeed
+    spark.sql("DROP TABLE lake.ext_clone")
+    spark.sql("DROP TABLE lake.dropns.src")
+    spark.sql("CREATE TABLE lake.dropns.src2 PARTITIONED BY (p) AS " +
+      "SELECT id AS k, 'p0' AS p FROM range(5)")
+    assert(spark.sql("DROP NAMESPACE lake.dropns CASCADE") != null)
+    assert(!new java.io.File(s"$root/dropns").exists())
+  }
+
   test("native CREATE TABLE with a years() transform maps to a generated column") {
     register()
     spark.sql("CREATE TABLE lake.gp (k BIGINT, ts TIMESTAMP) " +

@@ -65,6 +65,24 @@ class LogTableStreamSpec extends SparkSpec {
     assert(namedRows.head.schema.fieldNames.contains("_commit_version"))
   }
 
+  test("streaming a RENAMED-column table: scan physical, emit logical") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.evolveSchema(spark, dir, Seq(
+      org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+        Array("v"), "val_renamed"))): Unit
+    LogTable.append(spark, dir,
+      Seq((4L, "d", 0, "p3", "U")).toDF("k", "val_renamed", "ver", "p", "op")): Unit
+    val (rows, _) = drain(stream(dir))
+    assert(rows.head.schema.fieldNames.contains("val_renamed"),
+      "stream output speaks the pinned LOGICAL names")
+    // files written before AND after the rename both land (physical
+    // names are stable, so one pinned mapping reads both)
+    val got = rows.map(r => (r.getLong(r.fieldIndex("k")),
+      r.getString(r.fieldIndex("val_renamed")))).sorted
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("append-only commits stream as-is, tagged with their commit version") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")
