@@ -137,6 +137,40 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.db.t") }
   }
 
+  test("RENAME COLUMN / DROP COLUMN / OPTIMIZE ZORDER by NAME through the catalog") {
+    val root = register()
+    spark.sql("CREATE TABLE lake.cm PARTITIONED BY (p) AS " +
+      "SELECT id AS k, id * 2 AS a, id * 3 AS b, id * 5 AS c, " +
+      "concat('p', cast(id % 2 AS string)) AS p FROM range(200)")
+    // stats for the z-order dimensions (metadata-only evolution cannot
+    // add stats cols, so recreate via the dialect's STATS BY instead)
+    spark.sql(s"DROP TABLE lake.cm")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "12")
+      spark.sql(s"CREATE TABLE graft.`$root/cm` PARTITIONED BY (p) " +
+        "STATS BY (a, b, k) AS SELECT id AS k, id * 2 AS a, id * 3 AS b, " +
+        "id * 5 AS c, concat('p', cast(id % 2 AS string)) AS p " +
+        "FROM range(200)")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val before = LogTable.snapshot(spark, s"$root/cm").files.map(_.name)
+    spark.sql("ALTER TABLE lake.cm RENAME COLUMN a TO alpha"): Unit
+    spark.sql("ALTER TABLE lake.cm DROP COLUMN c"): Unit
+    val snap = LogTable.snapshot(spark, s"$root/cm")
+    assert(snap.files.map(_.name).sorted == before.sorted,
+      "named-catalog rename/drop must touch zero files")
+    assert(spark.table("lake.cm").columns.toSeq ==
+      Seq("k", "alpha", "b", "p"))
+    assert(spark.sql("SELECT sum(alpha) AS s FROM lake.cm")
+      .head().getLong(0) == (0L until 200L).map(_ * 2).sum)
+    // 3-dimension OPTIMIZE ZORDER through SQL (alpha resolves through
+    // the mapping to the at-rest stats name)
+    spark.sql(s"OPTIMIZE graft.`$root/cm` MAX 1 FILES PER PARTITION " +
+      "ZORDER BY (alpha, b, k)"): Unit
+    assert(spark.table("lake.cm").count() == 200L)
+    assert(LogTable.snapshot(spark, s"$root/cm").version > snap.version)
+  }
+
   test("DROP TABLE / DROP NAMESPACE CASCADE refuse while live clones reference the target") {
     val root = register()
     spark.sql("CREATE NAMESPACE lake.dropns")
