@@ -1266,6 +1266,32 @@ object SourceQueries {
         .withColumn("map_ok", lit(mapOk))
     }),
 
+    // HOURLY hidden partitioning — `PARTITIONED BY (hour(ts))` derives
+    // ts_hour = date_trunc('HOUR', ts) (monotone, so a bound on ts
+    // ALONE prunes files through the implied ts_hour bound — pinned
+    // metadata-only below), the Iceberg hours() transform.
+    "q163_hour_partitioning" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q163")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("ts"))
+        .createOrReplaceTempView("q163_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (hour(ts)) " +
+        "STATS BY (user_id) AS SELECT * FROM q163_base"): Unit
+      val snap = LogTable.snapshot(s, t)
+      val pr = LogTable.countWhere(s, t,
+        col("ts") < expr("TIMESTAMP'2024-01-02 00:00:00'"))
+      val ok = snap.partitionCols == Seq("ts_hour") &&
+        snap.properties.get("gen.ts_hour")
+          .contains("date_trunc('HOUR', ts)") &&
+        pr.excludedFiles > 0
+      s.sql(s"SELECT date_format(ts_hour, 'yyyy-MM-dd HH') AS hr, " +
+        s"count(*) AS n, round(sum(value), 2) AS sum_value " +
+        s"FROM graft.`$t` " +
+        "WHERE ts < TIMESTAMP'2024-01-03 00:00:00' GROUP BY ts_hour")
+        .withColumn("hour_ok", lit(ok))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION — a drifting source (one NEW column,
     // one strictly-WIDER column) evolves the target inside the merge's
     // own commit: one version, old files untouched (schema-on-read
@@ -1715,6 +1741,14 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q163_hour_partitioning" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  TRUE AS hour_ok
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        |GROUP BY date_trunc('hour', ts)""".stripMargin,
+
     "q162_merge_schema_evolution" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,
