@@ -96,6 +96,29 @@ class UnpartitionedSpec extends SparkSpec {
     assert(v1.columns.toSeq == Seq("k", "v", "grp"))
   }
 
+  test("streaming reads an unpartitioned table (empty partition-column shell)") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir,
+      (0L until 6L).map(i => (i, i * 10)).toDF("k", "v"), Nil,
+      statsCols = Seq("k"))
+    LogTable.append(spark, dir, Seq((100L, 1L)).toDF("k", "v")): Unit
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[LogTableSourceProvider].getName)
+      .option("path", dir).load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").collect().foreach(r => out.add(r.getLong(0)): Unit)
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L): Unit
+    q.stop()
+    assert(out.iterator().hasNext)
+    val got = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(out.iterator()).asScala.toSeq.sorted
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L, 5L, 100L))
+  }
+
   test("SQL + catalog create without PARTITIONED BY") {
     val dir = tmp() + "/t"
     (0L until 10L).map(i => (i, s"n$i")).toDF("id", "name")
