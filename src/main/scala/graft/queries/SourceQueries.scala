@@ -1292,6 +1292,70 @@ object SourceQueries {
         .withColumn("hour_ok", lit(ok))
     }),
 
+    // PARTITION EVOLUTION — `ALTER TABLE ... REPLACE PARTITIONED BY
+    // (month(odate))` re-declares the spec in ONE metadata commit
+    // (files pinned untouched), new writes cluster by the derived
+    // month, files from BOTH specs answer reads/DML exactly, old rows
+    // COMPUTE the late generated column at read (never stored), and
+    // OPTIMIZE migrates old-spec files into the new layout (spec
+    // debt). Output: the per-month rollup read THROUGH the derived
+    // column; the oracle restates it from the source column.
+    "q164_partition_evolution" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q164")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").as("odate"),
+        year(col("o_orderdate")).as("o_year"))
+      base.createOrReplaceTempView("q164_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (o_year) " +
+        "STATS BY (k) AS SELECT * FROM q164_base"): Unit
+      val filesBefore = LogTable.snapshot(s, t).files.map(_.name).toSet
+      s.sql(s"ALTER TABLE graft.`$t` " +
+        "REPLACE PARTITIONED BY (month(odate))").collect(): Unit
+      val snap = LogTable.snapshot(s, t)
+      val metaOnly = snap.files.map(_.name).toSet == filesBefore
+      val specOk = snap.partitionCols == Seq("odate_month") &&
+        snap.properties.get("gen.odate_month")
+          .contains("date_format(odate, 'yyyy-MM')") &&
+        snap.properties.get("pspec.lategen").contains("odate_month") &&
+        snap.statsCols.exists(_.equalsIgnoreCase("o_year"))
+      // ingest under the NEW spec — the derived column is recomputed,
+      // never supplied
+      s.sql(s"INSERT INTO graft.`$t` BY NAME " +
+        "SELECT k + 50000000 AS k, status, cents, odate, o_year " +
+        "FROM q164_base WHERE o_year = 1994 AND k % 61 = 0"): Unit
+      // mixed-spec row DML keyed on the new spec's SOURCE column
+      LogTable.deleteWhere(s, t,
+        col("odate") >= lit("1992-03-01").cast("timestamp_ntz") &&
+          col("odate") < lit("1992-04-01").cast("timestamp_ntz")): Unit
+      // the late generated column never drifts from its source — on old
+      // rows it is COMPUTED (the files predate it), on new rows stored
+      val driftFree = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+        "WHERE odate_month <> date_format(odate, 'yyyy-MM')")
+        .head().getLong(0) == 0L
+      // old-column pruning survives the evolution (o_year rides
+      // statsCols now); time travel reads the pre-evolution state
+      val cwOld = LogTable.countWhere(s, t, col("o_year") === 1997)
+      val v1n = LogTable.read(s, t, asOf = Some(1L)).count()
+      // OPTIMIZE migrates every old-spec file (spec debt) into the new
+      // layout; after it, a bound on the SOURCE column excludes files
+      // through the derived column's stats alone
+      s.sql(s"OPTIMIZE graft.`$t` MAX 8 FILES PER PARTITION").collect(): Unit
+      val migrated = LogTable.snapshot(s, t)
+      val migratedOk = migrated.files.forall(_.stats.keys
+        .exists(_.equalsIgnoreCase("odate_month")))
+      val cwNew = LogTable.countWhere(s, t,
+        col("odate") < lit("1993-01-01").cast("timestamp_ntz"))
+      val ok = metaOnly && specOk && driftFree &&
+        cwOld.excludedFiles > 0 && v1n == base.count() &&
+        migratedOk && cwNew.excludedFiles > 0
+      s.sql(s"SELECT odate_month AS om, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM graft.`$t` GROUP BY odate_month")
+        .withColumn("pevo_ok", lit(ok))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION — a drifting source (one NEW column,
     // one strictly-WIDER column) evolves the target inside the merge's
     // own commit: one version, old files untouched (schema-on-read
@@ -1741,6 +1805,24 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q164_partition_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderdate AS odate, year(o_orderdate) AS o_year
+        |  FROM orders),
+        |ins AS (
+        |  SELECT k + 50000000 AS k, status, cents, odate, o_year
+        |  FROM base WHERE o_year = 1994 AND k % 61 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |kept AS (
+        |  SELECT * FROM allr
+        |  WHERE NOT (odate >= TIMESTAMP '1992-03-01'
+        |         AND odate < TIMESTAMP '1992-04-01'))
+        |SELECT strftime(odate, '%Y-%m') AS om, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS pevo_ok
+        |FROM kept GROUP BY 1""".stripMargin,
+
     "q163_hour_partitioning" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
         |  count(*) AS n, round(sum(value), 2) AS sum_value,

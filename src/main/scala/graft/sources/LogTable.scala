@@ -180,6 +180,45 @@ object LogTable {
   private[sources] val ColMapMapPrefix = "colmap.map."
   private[sources] val ColMapDroppedProp = "colmap.dropped"
 
+  /** PARTITION EVOLUTION bookkeeping. `pspec.origin` — stamped ONCE, at
+    * the first [[evolvePartitioning]] that changes the LEADING partition
+    * column — records the physical leading column the table was CREATED
+    * under. Its job is to keep the legacy (pmin, pmax) fallback honest:
+    * a file's pmin/pmax describe the leading column IN EFFECT WHEN IT
+    * WAS WRITTEN, so once the current leading column differs from the
+    * original, the fallback could compare a predicate's literal against
+    * a DIFFERENT column's values and wrongly prune — every fallback site
+    * consults [[leadFallbackSound]] instead. Engine-written files always
+    * carry real per-column stats for their spec's partition columns, so
+    * disabling the fallback costs pruning only on pre-stats legacy files
+    * (kept, never wrongly dropped).
+    *
+    * `pspec.lategen` — comma-joined generated columns introduced AFTER
+    * create (by an evolution): old data files predate the column
+    * physically, so the read exit projection computes them on the fly
+    * from their source column ([[toLogical]]'s coalesce — sound because
+    * a STORED generated value is never NULL: the write path refuses NULL
+    * partition values). NOT under the `gen.` prefix — that whole
+    * namespace is parsed as generator declarations by [[generatorsOf]].
+    */
+  private[sources] val PspecOriginProp = "pspec.origin"
+  private[sources] val GenLateProp = "pspec.lategen"
+
+  /** May (pmin, pmax) stand in for the CURRENT leading partition
+    * column's stats on a file that predates per-column stats? Only while
+    * the leading column has never moved away from the create-time one.
+    */
+  private[sources] def leadFallbackSound(snap: Snapshot): Boolean =
+    snap.properties.get(PspecOriginProp)
+      .forall(_.equalsIgnoreCase(snap.partitionCol))
+
+  /** Generated columns introduced by partition evolution — these must be
+    * computed at read exit for files that predate them.
+    */
+  private[sources] def lateGenerated(snap: Snapshot): Seq[String] =
+    snap.properties.get(GenLateProp)
+      .map(_.split(",").iterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   /** The logical→physical column mapping out of a raw properties map —
     * for callers holding a [[ParsedCommit]] rather than a snapshot.
     */
@@ -787,9 +826,18 @@ object LogTable {
       }
     }
     val over = countByValue.filter(_._2 > maxFilesPerPartition).keySet
-    if (over.isEmpty) return -1L
-    val victims = snap.files.filter(f =>
-      over.contains(f.pmin) || over.contains(f.pmax))
+    // SPEC DEBT: a file written under an OLDER partition spec carries no
+    // stats for the current leading column — it prunes worse than its
+    // neighbors on the new spec, so OPTIMIZE rewrites it into the
+    // current layout (this is how a partition evolution migrates data:
+    // incrementally, at the operator's leisure, never inside the
+    // evolution commit itself)
+    val stale =
+      if (snap.partitionCols.isEmpty) Nil
+      else snap.files.filter(f => statsRange(snap, f, snap.partitionCol).isEmpty)
+    if (over.isEmpty && stale.isEmpty) return -1L
+    val victims = (snap.files.filter(f =>
+      over.contains(f.pmin) || over.contains(f.pmax)) ++ stale).distinct
     // EXPLICIT output count, or the default shuffle-partition fan-out
     // would re-fragment exactly what we are defragmenting: half the
     // budget per value involved, so the rewritten partitions land well
@@ -1817,7 +1865,8 @@ object LogTable {
           .flatMap(fd =>
             f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(pn) => s }
               .orElse(
-                if (pn.equalsIgnoreCase(snap.partitionCol))
+                if (pn.equalsIgnoreCase(snap.partitionCol) &&
+                    leadFallbackSound(snap))
                   Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
                 else None)
               .map(st => (fd.dataType, st)))
@@ -2207,7 +2256,14 @@ object LogTable {
     */
   def prunedFiles(snap: Snapshot, values: Set[String]): Seq[LogFile] = {
     val dt = leadingType(snap)
-    snap.files.filter(f => values.exists(v => rangeMayContain(dt, f.pmin, f.pmax, v)))
+    // statsRange (not raw pmin/pmax): on a partition-EVOLVED table a
+    // file written under an older spec carries no range for the current
+    // leading column — it must be KEPT, not compared against the wrong
+    // column's bounds
+    snap.files.filter(f => statsRange(snap, f, snap.partitionCol) match {
+      case Some((lo, hi)) => values.exists(v => rangeMayContain(dt, lo, hi, v))
+      case None => true
+    })
   }
 
   /** Disjoint-writer conflict resolution (the Delta/Iceberg conflict-
@@ -3067,6 +3123,133 @@ object LogTable {
     -1L // unreachable
   }
 
+  /** PARTITION EVOLUTION — re-declare how the table clusters and prunes,
+    * in ONE metadata commit that rewrites ZERO data files (the Iceberg
+    * partition-spec-evolution architecture, re-expressed on the stats
+    * model: this engine prunes from PER-FILE COLUMN STATS, not from
+    * directory layout, so a file written under any historical spec keeps
+    * pruning by the columns IT carries stats for).
+    *
+    * After the commit: every subsequent write range-clusters by
+    * `newPartitionCols` (so new files come out single-partition and
+    * equality-prunable on them); files written under older specs are
+    * untouched — a predicate on the NEW columns keeps them (no stats ⇒
+    * conservative), a predicate on the OLD columns still prunes them,
+    * and [[compactPartitions]] / OPTIMIZE migrates them into the new
+    * layout incrementally, at the operator's leisure. The old partition
+    * columns are folded into `statsCols`, so post-evolution files keep
+    * carrying their stats and old-column pruning never degrades.
+    *
+    * `generatedColumns` may introduce NEW derived columns for the new
+    * spec (`month(ts)`-style hidden partitioning, [[validateGenerator]]'s
+    * vocabulary): they join the schema, every write materializes them,
+    * and reads compute them on the fly for files that predate them (see
+    * [[toLogical]]) — old rows surface the same value a rewrite would
+    * store. An evolution that changes the LEADING column also stamps
+    * [[PspecOriginProp]], retiring the legacy pmin/pmax fallback (see
+    * [[leadFallbackSound]]).
+    *
+    * An empty `newPartitionCols` evolves to an UNPARTITIONED table.
+    * Returns the new version, or -1 when the spec already matches.
+    */
+  def evolvePartitioning(spark: SparkSession, path: String,
+                         newPartitionCols: Seq[String],
+                         generatedColumns: Map[String, String] = Map.empty,
+                         maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val gens = generatorsOf(snap)
+      // a requested generator that ALREADY exists with the same SQL is a
+      // passthrough (SQL callers re-derive names); a clashing one is not
+      val (existing, fresh) = generatedColumns.partition { case (c, g) =>
+        gens.exists { case (ec, eg) => ec.equalsIgnoreCase(c) && eg == g }
+      }
+      existing.keys.foreach { c =>
+        require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: generated column `$c` declared but missing " +
+            "from the schema") // impossible by construction; fail loud
+      }
+      fresh.foreach { case (c, g) =>
+        require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: generated column `$c` already exists in " +
+            "the data — pick a fresh name or reuse its declaration")
+        require(!gens.keys.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: generated column `$c` is already declared " +
+            s"as `${gens.find(_._1.equalsIgnoreCase(c)).get._2}`")
+        require(!snap.droppedPhysicals.exists(_.equalsIgnoreCase(c)) &&
+          !snap.colMap.valuesIterator.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: generated column `$c` collides with a " +
+            "retired or renamed column's at-rest physical name")
+        validateGenerator(spark, snap.schema, c, g)
+      }
+      val freshFields = fresh.toSeq.sortBy(_._1).map { case (c, g) =>
+        StructField(c,
+          analyzedGeneratorType(spark, snap.schema, g), nullable = true)
+      }
+      val fields = snap.schema.fields.toIndexedSeq ++ freshFields
+      newPartitionCols.foreach { c =>
+        val fd = fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"log table $path: partition column `$c` is not in the " +
+              "schema and no generator declares it"))
+        require(orderableForStats(fd.dataType),
+          s"log table $path: partition column `$c` (${fd.dataType.sql}) " +
+            "cannot carry min/max stats")
+        // at-rest lists (partitionCols, stats keys, pmin/pmax) carry
+        // PHYSICAL names, and every partition-value path resolves the
+        // batch by that name — a column renamed away from its physical
+        // can't join the spec until that plumbing speaks the mapping
+        require(snap.physicalOf(c).equalsIgnoreCase(c),
+          s"log table $path: cannot partition by renamed column `$c` " +
+            s"(at-rest name `${snap.physicalOf(c)}`) — partitioning " +
+            "addresses columns by their physical identity")
+      }
+      if (fresh.isEmpty &&
+          newPartitionCols.map(_.toLowerCase) ==
+            snap.partitionCols.map(_.toLowerCase))
+        return -1L // spec already in effect
+      // old partition columns keep their stats flowing on NEW files too —
+      // old-column pruning must never degrade across the evolution
+      val statsCols = (snap.statsCols ++ snap.partitionCols)
+        .foldLeft(Vector.empty[String]) { (acc, c) =>
+          if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+        }
+      var props = snap.properties ++ fresh.map { case (c, g) =>
+        (GenPropPrefix + c) -> g
+      }
+      if (fresh.nonEmpty) {
+        val late = (lateGenerated(snap) ++ fresh.keys.toSeq.sorted)
+          .distinct.mkString(",")
+        props = props + (GenLateProp -> late)
+      }
+      val leadBefore = snap.partitionCol
+      val leadAfter = newPartitionCols.headOption.getOrElse("")
+      if (!leadAfter.equalsIgnoreCase(leadBefore) &&
+          !props.contains(PspecOriginProp))
+        props = props + (PspecOriginProp -> leadBefore)
+      try {
+        commit(spark, path, snap.version + 1, StructType(fields).toDDL,
+          newPartitionCols, statsCols, Nil, Nil, dataChange = false,
+          bloomCols = snap.bloomCols, operation = "EVOLVE_PARTITIONING",
+          constraints = snap.constraints, properties = props)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The analyzed result type of a generator expression over `schema` —
+    * what an evolution-introduced derived column's schema field gets.
+    */
+  private def analyzedGeneratorType(spark: SparkSession, schema: StructType,
+                                    gsql: String): DataType =
+    analyzedGenerator(spark, schema, gsql)._1.dataType
+
   /** Normalize a double for comparison the way the engine's primitive
     * comparison behaves: -0.0 collapses to 0.0, and NaN is UNORDERABLE —
     * a NaN bound (or literal) yields None so the caller keeps the file
@@ -3306,7 +3489,11 @@ object LogTable {
       case (k, ColStats(Some(lo), Some(hi), _)) if k.equalsIgnoreCase(pc) =>
         (lo, hi)
     }.orElse(
-      if (pc.equalsIgnoreCase(snap.partitionCol)) Some((f.pmin, f.pmax))
+      // pmin/pmax describe the leading column AT WRITE TIME — once the
+      // leading column has evolved away from the create-time one, the
+      // fallback would compare against a different column's values
+      if (pc.equalsIgnoreCase(snap.partitionCol) && leadFallbackSound(snap))
+        Some((f.pmin, f.pmax))
       else None)
   }
 
@@ -3363,8 +3550,11 @@ object LogTable {
               .orElse(
                 // leading partition column: legacy pmin/pmax double as stats
                 // (null count unknown ⇒ 0 is safe: partition values are
-                // non-null by the write-path contract)
-                if (pn.equalsIgnoreCase(snap.partitionCol))
+                // non-null by the write-path contract). Disabled once the
+                // leading column has EVOLVED away from the create-time
+                // one — the range would describe a different column.
+                if (pn.equalsIgnoreCase(snap.partitionCol) &&
+                    leadFallbackSound(snap))
                   Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
                 else None)))
       }
@@ -3526,11 +3716,32 @@ object LogTable {
     * node — a never-renamed table's scan stays byte-identical.
     */
   private def toLogical(snap: Snapshot, df: DataFrame,
-                        extras: Seq[String] = Nil): DataFrame =
-    if (snap.colMap.isEmpty) df
-    else df.select(snap.schema.fields.toIndexedSeq.map { f =>
-      col("`" + snap.physicalOf(f.name).replace("`", "``") + "`").as(f.name)
-    } ++ extras.map(col): _*)
+                        extras: Seq[String] = Nil): DataFrame = {
+    val aliased =
+      if (snap.colMap.isEmpty) df
+      else df.select(snap.schema.fields.toIndexedSeq.map { f =>
+        col("`" + snap.physicalOf(f.name).replace("`", "``") + "`").as(f.name)
+      } ++ extras.map(col): _*)
+    // generated columns introduced by PARTITION EVOLUTION: files written
+    // before the evolution lack the column physically (the scan NULL
+    // fills) — compute it from its source on the way out. Sound because
+    // a STORED value is never NULL (the write path refuses NULL
+    // partition values), so coalesce changes exactly the predating rows.
+    val late = lateGenerated(snap)
+    if (late.isEmpty) aliased
+    else {
+      val gens = generatorsOf(snap)
+      late.foldLeft(aliased) { (d, c) =>
+        (gens.get(c), snap.schema.fields.find(_.name.equalsIgnoreCase(c))) match {
+          case (Some(g), Some(fd)) =>
+            d.withColumn(fd.name,
+              coalesce(col("`" + fd.name.replace("`", "``") + "`"),
+                expr(g).cast(fd.dataType)))
+          case _ => d
+        }
+      }
+    }
+  }
 
   /** Read `files` under `snap.schema`, applying each entry's OWN deletion
     * vector: files without a DV scan straight through the vectorized

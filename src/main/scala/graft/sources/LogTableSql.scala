@@ -113,6 +113,27 @@ object LogTableSql {
     (cols, gens.result())
   }
 
+  /** Split a parenthesized entry list on TOP-LEVEL commas only —
+    * `bucket(16, k), year(ts)` is two entries, not three (the naive
+    * split the plain-name lists use would cut inside `bucket`'s
+    * argument list).
+    */
+  private[sources] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('('): Unit
+      case ')' => depth -= 1; cur.append(')'): Unit
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur.append(c): Unit
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
   private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
     plan match {
       case u: UnresolvedRelation => graftPath(u.multipartIdentifier).map(_ -> None)
@@ -631,6 +652,12 @@ object LogTableSql {
     private val DropColP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+" +
         "(IF\\s+EXISTS\\s+)?(\\w+)\\s*$", F)
+    // PARTITION EVOLUTION — same one-level-nested entry vocabulary as
+    // CREATE (names, year(c)/month(c)/day(c)/hour(c), bucket(N, c));
+    // an EMPTY list evolves to an unpartitioned table
+    private val ReplacePartP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+REPLACE\\s+PARTITIONED\\s+BY\\s*" +
+        "\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*$", F)
 
     /** A matched pattern whose reference does NOT resolve to a graft
       * table (another catalog's name) falls through to the delegate —
@@ -677,6 +704,10 @@ object LogTableSql {
       if (dc.matches())
         return refPath(dc.group(1)).map(
           DropColumnCommand(_, dc.group(3), dc.group(2) != null))
+      val rp = ReplacePartP.matcher(sqlText)
+      if (rp.matches())
+        return refPath(rp.group(1)).map(
+          ReplacePartitioningCommand(_, splitTopLevel(rp.group(2))))
       val rs = RestoreP.matcher(sqlText)
       if (rs.matches())
         return refPath(rs.group(1)).map(
@@ -882,6 +913,24 @@ object LogTableSql {
       Seq(Row(LogTable.compactPartitions(session, path,
         maxFilesPerPartition = maxFiles.getOrElse(1),
         zorderBy = zorderBy)))
+  }
+
+  /** `ALTER TABLE ... REPLACE PARTITIONED BY (...)` — partition
+    * evolution: ONE metadata commit, zero files rewritten; transform
+    * entries (`month(ts)`, `bucket(16, k)`) become generated columns
+    * exactly as at CREATE, reusing an existing declaration when the
+    * derived name and SQL already match. See
+    * [[LogTable.evolvePartitioning]] for read/write semantics.
+    */
+  private[sources] final case class ReplacePartitioningCommand(path: String,
+      entries: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = {
+      val (pcols, gens) = LogTableSql.partitionSpecs(entries)
+      Seq(Row(LogTable.evolvePartitioning(session, path, pcols, gens)))
+    }
   }
 
   private[sources] final case class AddConstraintCommand(path: String,
