@@ -137,7 +137,8 @@ object LogTable {
                             bloomCols: Seq[String] = Nil,
                             txns: Map[String, Long] = Map.empty,
                             constraints: Map[String, String] = Map.empty,
-                            properties: Map[String, String] = Map.empty) {
+                            properties: Map[String, String] = Map.empty,
+                            commitTs: Long = 0L) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** Leading partition column; "" on an UNPARTITIONED table — the
       * empty string never name-matches a real column, so every
@@ -245,7 +246,8 @@ object LogTable {
       operation: String = "UNKNOWN",
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      ts: Long = 0L)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -665,7 +667,12 @@ object LogTable {
           node.get("props").properties().forEach(e =>
             b += e.getKey -> e.getValue.asText(): Unit)
           b.result()
-        } else Map.empty)
+        } else Map.empty,
+      // IN-COMMIT timestamp — the version's authoritative wall clock,
+      // carried in the bytes so storage-layer mtime churn (object-store
+      // copies, checkpoint rewrites, restores) can never reorder time
+      // travel; legacy commits read 0 (callers fall back to mtime)
+      ts = if (node.hasNonNull("ts")) node.get("ts").asLong() else 0L)
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -725,6 +732,7 @@ object LogTable {
     var scols = Seq.empty[String]
     var bcols = Seq.empty[String]
     var version = 0L
+    var cts = 0L
     var txns = Map.empty[String, Long]
     var cons = Map.empty[String, String]
     var props = Map.empty[String, String]
@@ -738,6 +746,7 @@ object LogTable {
       cons = c.constraints
       props = c.properties
       version = c.version
+      cts = c.ts
       // streaming-transaction watermarks accumulate monotonically: the
       // HIGHEST batch id each writer app has committed
       c.txns.foreach { case (app, id) =>
@@ -754,7 +763,7 @@ object LogTable {
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
     Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols,
-      txns, cons, props)
+      txns, cons, props, commitTs = cts)
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -769,11 +778,20 @@ object LogTable {
       val tmp = new Path(logDir(path),
         ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val out = fs.create(tmp, true)
+      // the checkpoint CARRIES the version's own timestamp — its file
+      // mtime is the rewrite moment and means nothing for time travel;
+      // a legacy version (no in-commit ts) freezes its commit file's
+      // mtime into the carried field before that file can expire
+      val carriedTs =
+        if (snap.commitTs > 0L) snap.commitTs
+        else scala.util.Try(
+          fs.getFileStatus(commitPath(path, snap.version))
+            .getModificationTime).getOrElse(0L)
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols,
         operation = "CHECKPOINT", txns = snap.txns,
         constraints = snap.constraints,
-          properties = snap.properties))
+          properties = snap.properties, tsMillis = carriedTs))
       finally out.close()
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false): Unit
@@ -2180,9 +2198,12 @@ object LogTable {
       val c = parseCommitFile(fs, st.getPath)
       val fresh = c.adds.filter(a => !seen.contains(a.name))
       c.adds.foreach(a => seen += a.name: Unit)
+      // commit_time = the IN-COMMIT timestamp (mtime only for commits
+      // that predate the field) — the same clock versionAt resolves
       Row(v, c.operation, c.dataChange, c.adds.length, c.removes.length,
         fresh.iterator.map(_.rows).sum, fresh.iterator.map(_.bytes).sum,
-        new java.sql.Timestamp(st.getModificationTime))
+        new java.sql.Timestamp(
+          if (c.ts > 0L) c.ts else st.getModificationTime))
     }.reverse
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
@@ -2844,17 +2865,48 @@ object LogTable {
     */
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
     val fs = fsOf(spark, path)
+    // IN-COMMIT timestamps are authoritative — mtime is only the legacy
+    // fallback for commits written before the field existed. Checkpoint
+    // files witness their version through the ts they CARRY (their own
+    // mtime is the rewrite moment, meaningless for time travel), which
+    // keeps `TIMESTAMP AS OF` exact for a checkpointed version whose
+    // commit file has been expired.
     val eligible = fs.listStatus(logDir(path)).iterator
       .filter(_.isFile)
       .flatMap(st => st.getPath.getName match {
-        case CommitName(v) if st.getModificationTime <= tsMillis =>
-          Some(v.toLong)
+        case CommitName(v) =>
+          val ict = parseCommitFile(fs, st.getPath).ts
+          val at = if (ict > 0L) ict else st.getModificationTime
+          if (at <= tsMillis) Some(v.toLong) else None
+        case CheckpointName(v) =>
+          val carried = parseCommitFile(fs, st.getPath).ts
+          if (carried > 0L && carried <= tsMillis) Some(v.toLong) else None
         case _ => None
       }).toSeq
     require(eligible.nonEmpty,
       s"log table $path: no commit at or before timestamp $tsMillis — " +
         "before the table existed, or the history was expired")
     eligible.max
+  }
+
+  /** The timestamp version `v` committed at: its in-commit ts, its
+    * commit file's mtime (legacy), or a checkpoint's carried ts when
+    * the commit file has expired; 0 when nothing witnesses it. Feeds
+    * the next commit's monotonicity clamp.
+    */
+  private def committedTs(fs: FileSystem, path: String, v: Long): Long = {
+    def ofCommit(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val c = parseCommitFile(fs, p)
+        Some(if (c.ts > 0L) c.ts else fs.getFileStatus(p).getModificationTime)
+      }
+    def ofCheckpoint(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else Some(parseCommitFile(fs, p).ts).filter(_ > 0L) // never its mtime
+    ofCommit(commitPath(path, v))
+      .orElse(ofCheckpoint(new Path(logDir(path), f"$v%020d.checkpoint.json")))
+      .getOrElse(0L)
   }
 
   /** Full MERGE INTO — conditional matched-update/-delete and
@@ -3999,10 +4051,13 @@ object LogTable {
                          operation: String = "UNKNOWN",
                          txns: Map[String, Long] = Map.empty,
                          constraints: Map[String, String] = Map.empty,
-                         properties: Map[String, String] = Map.empty)
+                         properties: Map[String, String] = Map.empty,
+                         tsMillis: Long = 0L)
       : Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
+    // IN-COMMIT timestamp: travels in the bytes (see [[ParsedCommit.ts]])
+    if (tsMillis > 0L) root.put("ts", tsMillis): Unit
     root.put("schema", schemaDdl): Unit
     if (operation != "UNKNOWN") root.put("op", operation): Unit
     if (txns.nonEmpty) {
@@ -4161,10 +4216,19 @@ object LogTable {
     val fs = fsOf(spark, path)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    // IN-COMMIT timestamp, clamped MONOTONE against the parent version's
+    // (same-millisecond commits and clock skew between writers both get
+    // parent + 1) — `TIMESTAMP AS OF`, history and CDF-by-time resolve
+    // from this field, never from storage mtimes an object store's
+    // copies/renames can churn. One extra small read per commit; a
+    // parent expired behind a checkpoint resolves through the
+    // checkpoint's carried ts.
+    val ict = math.max(System.currentTimeMillis(),
+      (if (version <= 1L) 0L else committedTs(fs, path, version - 1)) + 1L)
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
       adds, removes, dataChange, bloomCols, operation, txns, constraints,
-      properties))
+      properties, tsMillis = ict))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer
