@@ -1356,6 +1356,55 @@ object SourceQueries {
         .withColumn("pevo_ok", lit(ok))
     }),
 
+    // COLUMN DEFAULTS + SCOPED OPTIMIZE — `ADD COLUMNS (src STRING
+    // DEFAULT 'etl')` is metadata-only (old rows NULL, the Delta
+    // semantics); an ingest that OMITS the column fills the declared
+    // literal, one that supplies it wins; `OPTIMIZE ... WHERE` compacts
+    // ONLY the matching partition's files (pinned: the other years'
+    // file names are byte-identical after the run).
+    "q165_column_defaults" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q165")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      base.createOrReplaceTempView("q165_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (o_year) " +
+        "STATS BY (k) AS SELECT * FROM q165_base"): Unit
+      val filesBefore = LogTable.snapshot(s, t).files.map(_.name).toSet
+      s.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS " +
+        "(src STRING DEFAULT 'etl')"): Unit
+      val snapA = LogTable.snapshot(s, t)
+      val metaOnly = snapA.files.map(_.name).toSet == filesBefore &&
+        snapA.properties.get("coldefault.src").contains("'etl'")
+      // two fragmenting ingests into 1993 — one OMITS src (defaults),
+      // one supplies it
+      s.sql(s"INSERT INTO graft.`$t` BY NAME " +
+        "SELECT k + 50000000 AS k, status, cents, o_year " +
+        "FROM q165_base WHERE o_year = 1993 AND k % 41 = 0"): Unit
+      s.sql(s"INSERT INTO graft.`$t` BY NAME " +
+        "SELECT k + 60000000 AS k, status, cents, o_year, " +
+        "'manual' AS src FROM q165_base " +
+        "WHERE o_year = 1993 AND k % 43 = 0"): Unit
+      // scoped maintenance: compact ONLY 1993; every other year's file
+      // set must come through byte-identical
+      val others = LogTable.snapshot(s, t).files
+        .filterNot(f => f.pmin == "1993" || f.pmax == "1993")
+        .map(_.name).toSet
+      s.sql(s"OPTIMIZE graft.`$t` WHERE o_year = 1993 " +
+        "MAX 2 FILES PER PARTITION").collect(): Unit
+      val after = LogTable.snapshot(s, t)
+      val scopedOk = after.files
+        .filterNot(f => f.pmin == "1993" || f.pmax == "1993")
+        .map(_.name).toSet == others
+      val ok = metaOnly && scopedOk
+      s.sql(s"SELECT o_year, coalesce(src, 'legacy') AS src, " +
+        s"count(*) AS n, sum(cents) AS sum_cents FROM graft.`$t` " +
+        "GROUP BY o_year, src")
+        .withColumn("dflt_ok", lit(ok))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION — a drifting source (one NEW column,
     // one strictly-WIDER column) evolves the target inside the merge's
     // own commit: one version, old files untouched (schema-on-read
@@ -1805,6 +1854,26 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q165_column_defaults" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |legacy AS (SELECT k, status, cents, o_year,
+        |           CAST(NULL AS VARCHAR) AS src FROM base),
+        |dflt AS (
+        |  SELECT k + 50000000 AS k, status, cents, o_year, 'etl' AS src
+        |  FROM base WHERE o_year = 1993 AND k % 41 = 0),
+        |manual AS (
+        |  SELECT k + 60000000 AS k, status, cents, o_year, 'manual' AS src
+        |  FROM base WHERE o_year = 1993 AND k % 43 = 0),
+        |allr AS (SELECT * FROM legacy UNION ALL SELECT * FROM dflt
+        |         UNION ALL SELECT * FROM manual)
+        |SELECT o_year, coalesce(src, 'legacy') AS src, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS dflt_ok
+        |FROM allr GROUP BY 1, 2""".stripMargin,
+
     "q164_partition_evolution" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

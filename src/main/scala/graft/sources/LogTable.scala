@@ -205,6 +205,23 @@ object LogTable {
   private[sources] val PspecOriginProp = "pspec.origin"
   private[sources] val GenLateProp = "pspec.lategen"
 
+  /** COLUMN DEFAULT declarations: `coldefault.<physical> = <sql literal>`
+    * (the Delta semantics — a WRITE-side default: a batch that OMITS the
+    * column fills the declared value instead of refusing; rows that
+    * existed before the column read NULL, exactly like a plain ADD
+    * COLUMNS, because re-interpreting old files' absence as a value
+    * would need per-file projection the shared scan cannot do). Keyed by
+    * the at-rest PHYSICAL name, so the default survives RENAME COLUMN
+    * and dies with DROP COLUMN.
+    */
+  private[sources] val ColDefaultPrefix = "coldefault."
+
+  private[sources] def defaultsOf(snap: Snapshot): Map[String, String] =
+    snap.properties.collect {
+      case (k, v) if k.startsWith(ColDefaultPrefix) =>
+        k.drop(ColDefaultPrefix.length) -> v
+    }
+
   /** May (pmin, pmax) stand in for the CURRENT leading partition
     * column's stats on a file that predates per-column stats? Only while
     * the leading column has never moved away from the create-time one.
@@ -822,7 +839,8 @@ object LogTable {
   def compactPartitions(spark: SparkSession, path: String,
                         maxFilesPerPartition: Int = 8,
                         clusterBy: Seq[String] = Nil,
-                        zorderBy: Seq[String] = Nil): Long = {
+                        zorderBy: Seq[String] = Nil,
+                        where: Option[Column] = None): Long = {
     require(maxFilesPerPartition > 0, "need a positive file budget")
     require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
       s"log table $path: zorderBy interleaves 2 to 4 dimensions")
@@ -834,8 +852,20 @@ object LogTable {
           "stats-declared (create-time statsCols) — the layout exists to " +
           "make ITS min/max ranges prune")
     }
+    // `OPTIMIZE ... WHERE` scopes maintenance to the files that MAY hold
+    // matching rows (mayMatch inclusion is conservative — compacting a
+    // boundary file that turns out not to match is harmless; at 100 TB
+    // the point is compacting yesterday's partition without listing,
+    // judging, or rewriting the other 3,000 days)
+    val zoneW = spark.sessionState.conf.sessionLocalTimeZone
+    val candidates = where match {
+      case None => snap.files
+      case Some(p) =>
+        val cj = analyzedConjuncts(spark, snap, p)
+        snap.files.filter(f => cj.forall(c => mayMatch(snap, f, c, zoneW)))
+    }
     val countByValue = scala.collection.mutable.Map.empty[String, Int]
-    snap.files.foreach { f =>
+    candidates.foreach { f =>
       // a range file adds debt to both endpoints (values between the
       // endpoints are unknown without reading — endpoints are the
       // honest lower bound)
@@ -852,9 +882,9 @@ object LogTable {
     // evolution commit itself)
     val stale =
       if (snap.partitionCols.isEmpty) Nil
-      else snap.files.filter(f => statsRange(snap, f, snap.partitionCol).isEmpty)
+      else candidates.filter(f => statsRange(snap, f, snap.partitionCol).isEmpty)
     if (over.isEmpty && stale.isEmpty) return -1L
-    val victims = (snap.files.filter(f =>
+    val victims = (candidates.filter(f =>
       over.contains(f.pmin) || over.contains(f.pmax)) ++ stale).distinct
     // EXPLICIT output count, or the default shuffle-partition fan-out
     // would re-fragment exactly what we are defragmenting: half the
@@ -2736,8 +2766,16 @@ object LogTable {
         case Some(g) => throw new IllegalArgumentException(
           s"log table $path: column `${f.name}` is ${f.dataType.sql}, " +
             s"batch has ${g.dataType.sql} — cast explicitly")
-        case None => throw new IllegalArgumentException(
-          s"log table $path: batch is missing column `${f.name}`")
+        case None =>
+          // a DECLARED default fills an omitted column (write-side only —
+          // the batch simply lacks it); anything undeclared stays the
+          // loud refusal (a silent NULL-fill corrupts without a merge's
+          // key discipline to catch it)
+          defaultsOf(snap).collectFirst {
+            case (pn, d) if pn.equalsIgnoreCase(snap.physicalOf(f.name)) =>
+              expr(d).cast(f.dataType).as(f.name)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"log table $path: batch is missing column `${f.name}`"))
       }
     }: _*)
   }
@@ -3014,7 +3052,8 @@ object LogTable {
     */
   def evolveSchema(spark: SparkSession, path: String,
                    changes: Seq[org.apache.spark.sql.connector.catalog.TableChange],
-                   maxRetries: Int = 3): Long = {
+                   maxRetries: Int = 3,
+                   defaults: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.connector.catalog.TableChange
     var attempt = 0
     while (true) {
@@ -3092,6 +3131,39 @@ object LogTable {
             while (taken(s"${n}_g$i")) i += 1
             props = props + ((ColMapMapPrefix + n) -> s"${n}_g$i")
           }
+          // DEFAULT <literal> — a WRITE-side default (see
+          // [[ColDefaultPrefix]]): must fold to a constant (no column
+          // references) and cast to the column's type, validated HERE so
+          // a bad declaration fails the ALTER, not some later append.
+          // Arrives through the connector's own channel (catalog ALTER)
+          // or the dialect's `defaults` map — connector wins when both.
+          Option(a.defaultValue()).map(_.getSql)
+            .orElse(defaults.collectFirst {
+              case (dn, sql) if dn.equalsIgnoreCase(n) => sql
+            }).foreach { sql =>
+            require(sql != null && sql.nonEmpty,
+              s"log table $path: default for `$n` carries no SQL form")
+            val analyzed =
+              try spark.range(1).toDF("__r")
+                .select(expr(sql).cast(a.dataType)).queryExecution.analyzed
+              catch { case scala.util.control.NonFatal(e) =>
+                throw new IllegalArgumentException(
+                  s"log table $path: default for `$n` must be a literal " +
+                    s"expression — `$sql` does not analyze standalone " +
+                    s"(${e.getMessage})")
+              }
+            val refs = analyzed.expressions.flatMap(_.collect {
+              case r: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => r.name
+            }).filterNot(_ == "__r")
+            require(refs.isEmpty,
+              s"log table $path: default for `$n` must be a literal " +
+                s"expression (references ${refs.mkString(", ")})")
+            val physN = props.collectFirst {
+              case (k, p) if k == ColMapMapPrefix + n => p
+            }.getOrElse(n)
+            props = props + ((ColDefaultPrefix + physN) -> sql)
+          }
           fields = fields :+ org.apache.spark.sql.types.StructField(
             n, a.dataType, nullable = true)
         case u: TableChange.UpdateColumnType =>
@@ -3149,8 +3221,11 @@ object LogTable {
             statsCols = statsCols.filterNot(_.equalsIgnoreCase(p))
             bloomCols = bloomCols.filterNot(_.equalsIgnoreCase(p))
             props = props.filterNot { case (k, _) =>
-              k.startsWith(ColMapMapPrefix) &&
-                k.drop(ColMapMapPrefix.length).equalsIgnoreCase(n)
+              (k.startsWith(ColMapMapPrefix) &&
+                k.drop(ColMapMapPrefix.length).equalsIgnoreCase(n)) ||
+                // the column's DEFAULT dies with it
+                (k.startsWith(ColDefaultPrefix) &&
+                  k.drop(ColDefaultPrefix.length).equalsIgnoreCase(p))
             } + (ColMapDroppedProp -> (dropped + p).mkString(","))
             fields = fields.filterNot(_.name.equalsIgnoreCase(n))
           }

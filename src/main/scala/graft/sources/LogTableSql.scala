@@ -599,6 +599,7 @@ object LogTableSql {
         "(\\s+FORCE)?\\s*$", F)
     private val OptimizeP = Pattern.compile(
       s"^\\s*OPTIMIZE\\s+$Ref" +
+        "(?:\\s+WHERE\\s+(.+?))?" +
         "(?:\\s+MAX\\s+(\\d+)\\s+FILES\\s+PER\\s+PARTITION)?" +
         "(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+){1,3})\\s*\\))?\\s*$", F)
     private val AddConstraintP = Pattern.compile(
@@ -675,9 +676,10 @@ object LogTableSql {
       val o = OptimizeP.matcher(sqlText)
       if (o.matches())
         return refPath(o.group(1)).map(OptimizeCommand(_,
-          Option(o.group(2)).map(_.toInt),
-          Option(o.group(3)).toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+          Option(o.group(3)).map(_.toInt),
+          Option(o.group(4)).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          Option(o.group(2))))
       val a = AddConstraintP.matcher(sqlText)
       if (a.matches())
         return refPath(a.group(1)).map(
@@ -904,7 +906,8 @@ object LogTableSql {
     * table; a rewrite keeps writing them).
     */
   private[sources] final case class OptimizeCommand(path: String,
-      maxFiles: Option[Int], zorderBy: Seq[String] = Nil)
+      maxFiles: Option[Int], zorderBy: Seq[String] = Nil,
+      where: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
@@ -912,7 +915,8 @@ object LogTableSql {
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.compactPartitions(session, path,
         maxFilesPerPartition = maxFiles.getOrElse(1),
-        zorderBy = zorderBy)))
+        zorderBy = zorderBy,
+        where = where.map(org.apache.spark.sql.functions.expr))))
   }
 
   /** `ALTER TABLE ... REPLACE PARTITIONED BY (...)` — partition
@@ -1042,10 +1046,24 @@ object LogTableSql {
       attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] = {
-      val cols = session.sessionState.sqlParser.parseTableSchema(colsDdl)
-      Seq(Row(LogTable.evolveSchema(session, path, cols.fields.toIndexedSeq
-        .map(f => org.apache.spark.sql.connector.catalog.TableChange
-          .addColumn(Array(f.name), f.dataType, f.nullable)))))
+      // each top-level entry may end with `DEFAULT <literal>` — a
+      // WRITE-side default (batches that omit the column fill it);
+      // strip it here, hand the rest to the stock schema parser, and
+      // carry the SQL through the connector's own default channel
+      val Default = """(?is)^(.*?)\s+DEFAULT\s+(.+?)\s*$""".r
+      val parsed = LogTableSql.splitTopLevel(colsDdl).map { entry =>
+        val (ddl, dflt) = entry match {
+          case Default(d, v) => (d, Some(v))
+          case _ => (entry, None)
+        }
+        val f = session.sessionState.sqlParser.parseTableSchema(ddl)
+          .fields.head
+        (org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+          Array(f.name), f.dataType, f.nullable), f.name, dflt)
+      }
+      Seq(Row(LogTable.evolveSchema(session, path, parsed.map(_._1),
+        defaults = parsed.collect { case (_, n, Some(sql)) => n -> sql }
+          .toMap)))
     }
   }
 
