@@ -335,6 +335,51 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // PARTITION EVOLUTION at scale: half the table written under the
+    // create-time spec (o_year), the spec evolved to the derived
+    // odate_month, half written after. "mixed" reads a one-month window
+    // over the two-spec table — old-spec files carry no month stats and
+    // are kept conservatively, so the window read pays ~the OLD half
+    // plus the month's new files (the honest, documented cost of never
+    // migrating). "migrated" is the same window after OPTIMIZE rewrote
+    // the spec debt: it should track the month's size alone. The
+    // evolution commit itself is metadata-only at every tier.
+    def pevoCache(s: SparkSession, d: String, migrate: Boolean): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName +
+        (if (migrate) "_migrated" else "_mixed")
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/pevo/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        val base = graft.Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate").as("odate"),
+          year(col("o_orderdate")).as("o_year"))
+        LogTable.create(s, t, base.filter(col("k") % 2 === 0),
+          Seq("o_year"), statsCols = Seq("k")): Unit
+        LogTable.evolvePartitioning(s, t, Seq("odate_month"),
+          generatedColumns =
+            Map("odate_month" -> "date_format(odate, 'yyyy-MM')")): Unit
+        LogTable.append(s, t, base.filter(col("k") % 2 === 1)): Unit
+        if (migrate)
+          LogTable.compactPartitions(s, t, maxFilesPerPartition = 8): Unit
+      }
+      t
+    }
+    def pevoRead(mode: String)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = pevoCache(s, d, migrate = mode == "migrated")
+      LogTable.readWhere(s, t,
+          col("odate") >= lit(java.sql.Timestamp.valueOf(
+            "1997-03-01 00:00:00")) &&
+          col("odate") < lit(java.sql.Timestamp.valueOf(
+            "1997-04-01 00:00:00")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
     // COLUMN MAPPING read cost at scale: the same filtered aggregate
     // over one table whose columns were RENAMED post-create (reads
     // traverse the alias projection + physical-name stats translation)
@@ -604,6 +649,8 @@ object ScaleProbe {
         "bucket_lookup:full" -> (bucketLookup("full") _),
         "colmap_read:renamed" -> (colmapRead(renamed = true) _),
         "colmap_read:plain" -> (colmapRead(renamed = false) _),
+        "pevo_read:mixed" -> (pevoRead("mixed") _),
+        "pevo_read:migrated" -> (pevoRead("migrated") _),
         "merge_keyrange:bounded" -> (keyRangeMerge _),
         "mv_refresh:incremental" -> (mvRefresh("incremental") _),
         "mv_refresh:minmax" -> (mvRefresh("minmax") _),

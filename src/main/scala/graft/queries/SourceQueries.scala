@@ -1405,6 +1405,47 @@ object SourceQueries {
         .withColumn("dflt_ok", lit(ok))
     }),
 
+    // INCREMENTAL NDV — `ndv.cols` columns carry a per-file HLL sketch
+    // written by the SAME one-pass stats scan every write already runs;
+    // the snapshot unions them into table-level distinct counts that
+    // feed CBO column statistics. No ANALYZE rescan exists or is
+    // needed; deletes update the estimate because removed files'
+    // sketches drop out of the union. ndv_ok pins the high-cardinality
+    // estimate within HLL tolerance, the low-cardinality one exactly,
+    // the post-delete refresh, and the CBO surface.
+    "q166_ndv_stats" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q166")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      base.createOrReplaceTempView("q166_base")
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"),
+        tableProperties = Map("ndv.cols" -> "k,status")): Unit
+      LogTable.deleteWhere(s, t, col("o_year") === 1998): Unit
+      val snap = LogTable.snapshot(s, t)
+      val live = LogTable.read(s, t)
+      val exactK = live.select("k").distinct().count()
+      val estK = snap.ndv.getOrElse("k", 0L)
+      val withinTol = estK > 0L &&
+        math.abs(estK - exactK).toDouble / exactK < 0.15
+      val statusExact = snap.ndv.get("status").contains(3L)
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val cboOk =
+        try {
+          val st = LogTable.table(s, t).queryExecution.optimizedPlan.stats
+          st.attributeStats.exists { case (a, cs) =>
+            a.name == "k" && cs.distinctCount.contains(BigInt(estK))
+          } && st.rowCount.contains(BigInt(live.count()))
+        } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      val ok = withinTol && statusExact && cboOk
+      s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM graft.`$t` GROUP BY o_year, status")
+        .withColumn("ndv_ok", lit(ok))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION — a drifting source (one NEW column,
     // one strictly-WIDER column) evolves the target inside the merge's
     // own commit: one version, old files untouched (schema-on-read
@@ -1854,6 +1895,17 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q166_ndv_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS ndv_ok
+        |FROM base WHERE o_year <> 1998
+        |GROUP BY o_year, status""".stripMargin,
+
     "q165_column_defaults" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

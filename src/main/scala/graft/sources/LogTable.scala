@@ -102,7 +102,16 @@ object LogTable {
     * column's null count in the file. min/max are None when every value
     * in the file is NULL.
     */
-  final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+  /** Per-file, per-column statistics. `ndv` is an OPT-IN (see
+    * [[NdvColsProp]]) base64 compact HLL sketch of the file's values —
+    * per-file sketches union into the snapshot's table-level distinct
+    * count ([[Snapshot.ndv]]) without any ANALYZE-style rescan, and
+    * because they live per FILE, deletes and compaction update the
+    * estimate for free (a removed file's sketch simply drops out of the
+    * union).
+    */
+  final case class ColStats(min: Option[String], max: Option[String],
+                            nulls: Long, ndv: Option[String] = None)
 
   /** A data file's DELETION VECTOR: `name` is the sidecar parquet file
     * (table-rooted; `dv2-` bitmap rows, or legacy `dv-` `(file,
@@ -176,6 +185,32 @@ object LogTable {
       properties.get(ColMapDroppedProp)
         .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
+
+    /** Table-level DISTINCT-COUNT estimates by physical column, from the
+      * union of the live files' per-file HLL sketches ([[ColStats.ndv]]).
+      * Incremental by construction: every write already paid for its
+      * files' sketches, so the union here is a driver-side fold over
+      * O(files) small byte arrays — no scan. Files written before the
+      * declaration carry no sketch and contribute nothing (the estimate
+      * is a lower bound until they rewrite); a DV'd file's sketch still
+      * counts its deleted rows (a high-water estimate, documented).
+      */
+    lazy val ndv: Map[String, Long] = {
+      val unions = scala.collection.mutable.Map
+        .empty[String, org.apache.datasketches.hll.Union]
+      files.foreach(_.stats.foreach { case (c, s) =>
+        s.ndv.foreach { b64 =>
+          val sk = org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(b64))
+          unions.getOrElseUpdate(c,
+            new org.apache.datasketches.hll.Union(LogTable.NdvLgK))
+            .update(sk)
+        }
+      })
+      unions.iterator.map { case (c, u) =>
+        c -> math.max(0L, math.round(u.getEstimate))
+      }.toMap
+    }
   }
 
   private[sources] val ColMapMapPrefix = "colmap.map."
@@ -221,6 +256,30 @@ object LogTable {
       case (k, v) if k.startsWith(ColDefaultPrefix) =>
         k.drop(ColDefaultPrefix.length) -> v
     }
+
+  /** `ndv.cols = a,b` — columns whose per-file HLL sketches every write
+    * records (see [[ColStats.ndv]]), feeding CBO distinct counts through
+    * [[Snapshot.ndv]] with NO table rescan, ever: the sketches are
+    * computed in the same one-pass stats scan each write already runs,
+    * and the union is a driver-side fold over O(files) ~hundred-byte
+    * sketches. The 100 TB contrast is ANALYZE TABLE: a full-column
+    * rescan that is stale the moment the next batch lands.
+    */
+  private[sources] val NdvColsProp = "ndv.cols"
+  /** lgK for the sketches — the library default: ±~1.6% relative error
+    * saturated, exact at small per-file cardinalities (lower lgK shrinks
+    * the compact form but its narrower coupon space already collides at
+    * tens of values — measured, not theorized). A saturated compact
+    * sketch is ≤ ~2 KB per declared column per file; the declaration is
+    * opt-in precisely because that is a real metadata budget at millions
+    * of files.
+    */
+  private[sources] val NdvLgK = 12
+
+  private[sources] def ndvColsOf(props: Map[String, String]): Seq[String] =
+    props.get(NdvColsProp)
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   /** May (pmin, pmax) stand in for the CURRENT leading partition
     * column's stats on a file that predates per-column stats? Only while
@@ -593,7 +652,7 @@ object LogTable {
     fs.mkdirs(logDir(path)): Unit
     val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
       clusterBy = clusterBy, bloomCols = bloomFilterCols,
-      zorderBy = zorderBy)
+      zorderBy = zorderBy, ndvCols = ndvColsOf(tableProperties))
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
       Nil, bloomCols = bloomFilterCols, operation = "CREATE",
       properties = tableProperties ++ generatedColumns.map {
@@ -644,7 +703,9 @@ object LogTable {
             b += e.getKey -> ColStats(
               if (s.hasNonNull("min")) Some(s.get("min").asText()) else None,
               if (s.hasNonNull("max")) Some(s.get("max").asText()) else None,
-              s.get("nulls").asLong())
+              s.get("nulls").asLong(),
+              ndv =
+                if (s.hasNonNull("ndv")) Some(s.get("ndv").asText()) else None)
           }
           b.result()
         } else Map.empty[String, ColStats]
@@ -900,7 +961,8 @@ object LogTable {
       try writeDataFiles(spark, path, rows, snap.partitionCols,
         snap.statsCols, Some(target), clusterBy.map(snap.physicalOf),
         bloomCols = snap.bloomCols,
-        zorderBy = zorderBy.map(snap.physicalOf), colMap = snap.colMap)
+        zorderBy = zorderBy.map(snap.physicalOf), colMap = snap.colMap,
+        ndvCols = ndvColsOf(snap.properties))
       finally { rows.unpersist(): Unit }
     try {
       // dataChange = false: rows were REARRANGED, not changed — streaming
@@ -1235,7 +1297,8 @@ object LogTable {
       // an UPDATE can manufacture violating rows; a DELETE only drops
       if (op == "UPDATE") enforceConstraints(path, snap, rewritten)
       val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap)
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap,
+        ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -1448,7 +1511,8 @@ object LogTable {
             enforceConstraints(path, snap, assigned)
             writeDataFiles(spark, path, assigned,
               snap.partitionCols, snap.statsCols,
-              bloomCols = snap.bloomCols, colMap = snap.colMap)
+              bloomCols = snap.bloomCols, colMap = snap.colMap,
+              ndvCols = ndvColsOf(snap.properties))
           case None => Nil
         }
         val ddl = set match {
@@ -1547,7 +1611,7 @@ object LogTable {
       val adds = writeDataFiles(spark, path,
         readFiles(spark, path, snap, victims),
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
-        colMap = snap.colMap)
+        colMap = snap.colMap, ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -2068,7 +2132,20 @@ object LogTable {
       schema = snap.physicalSchema,
       provider = Some("graft-logtable"),
       stats = Some(CatalogStatistics(BigInt(liveBytes(snap)),
-        Some(BigInt(liveRows(snap))))))
+        Some(BigInt(liveRows(snap))),
+        // per-column DISTINCT COUNTS from the log-carried HLL union
+        // ([[Snapshot.ndv]]) plus exact null counts — maintained by the
+        // writes themselves, so CBO join planning sees fresh NDV with
+        // no ANALYZE rescan; keyed physical (the relation's output)
+        colStats = snap.ndv.map { case (c, n) =>
+          val nulls = snap.files.iterator.map(
+            _.stats.collectFirst {
+              case (k, s) if k.equalsIgnoreCase(c) => s.nulls
+            }.getOrElse(0L)).sum
+          c -> CatalogColumnStat(
+            distinctCount = Some(BigInt(n)),
+            nullCount = Some(BigInt(nulls)))
+        })))
   }
 
   private def fsRelationFor(spark: SparkSession, path: String, snap: Snapshot)
@@ -2619,7 +2696,7 @@ object LogTable {
           enforceConstraints(path, snap, merged)
           writeDataFiles(spark, path, merged, snap.partitionCols,
             snap.statsCols, bloomCols = snap.bloomCols,
-            colMap = snap.colMap)
+            colMap = snap.colMap, ndvCols = ndvColsOf(snap.properties))
         } finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
@@ -2836,7 +2913,8 @@ object LogTable {
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap)
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap,
+        ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, Nil,
@@ -2878,7 +2956,8 @@ object LogTable {
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap)
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap,
+        ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds,
@@ -3613,7 +3692,7 @@ object LogTable {
     // physicalOf is identity on anything that is not a mapped logical
     val pc = snap.physicalOf(c)
     f.stats.collectFirst {
-      case (k, ColStats(Some(lo), Some(hi), _)) if k.equalsIgnoreCase(pc) =>
+      case (k, ColStats(Some(lo), Some(hi), _, _)) if k.equalsIgnoreCase(pc) =>
         (lo, hi)
     }.orElse(
       // pmin/pmax describe the leading column AT WRITE TIME — once the
@@ -3695,7 +3774,7 @@ object LogTable {
         case Some((dt, Some(st))) =>
           st match {
             // all-NULL file: no non-null value can satisfy a comparison
-            case ColStats(None, None, _) => false
+            case ColStats(None, None, _, _) => false
             case _ => p(dt, st).getOrElse(true)
           }
         case _ => true // untracked column / no stats ⇒ keep
@@ -3989,7 +4068,8 @@ object LogTable {
                              clusterBy: Seq[String] = Nil,
                              bloomCols: Seq[String] = Nil,
                              zorderBy: Seq[String] = Nil,
-                             colMap: Map[String, String] = Map.empty)
+                             colMap: Map[String, String] = Map.empty,
+                             ndvCols: Seq[String] = Nil)
       : Seq[LogFile] = {
     // everything at rest is PHYSICAL: the incoming frame speaks logical
     // names — rename through the snapshot's column mapping before any
@@ -4046,10 +4126,21 @@ object LogTable {
     // tracked columns: partitions first (dedup preserves order), then the
     // declared data-skipping columns; matched case-insensitively against
     // the frame actually written (an evolved merge carries every column)
-    val tracked = (partitionCols ++ statsCols).foldLeft(Vector.empty[String]) {
+    val tracked0 = (partitionCols ++ statsCols).foldLeft(Vector.empty[String]) {
       (acc, c) => if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
     }.flatMap(c => df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
-    val aggs = count(lit(1)).as("__rows") +:
+    // declared NDV columns join the same one-pass scan: min/max/nulls
+    // like any tracked column (extra skipping for free) PLUS a per-file
+    // HLL sketch — the increment [[Snapshot.ndv]] unions, so distinct
+    // counts stay fresh without ever rescanning the table
+    val ndvTracked = ndvCols.flatMap(c =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+      .foldLeft(Vector.empty[String]) { (acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+      }
+    val tracked = tracked0 ++
+      ndvTracked.filterNot(c => tracked0.exists(_.equalsIgnoreCase(c)))
+    val aggs = (count(lit(1)).as("__rows") +:
       tracked.zipWithIndex.flatMap { case (c, i) =>
         // timestamps persist as UTC MICROSECOND integers, not the
         // session-zone string rendering — zone-free (a reader in another
@@ -4064,6 +4155,17 @@ object LogTable {
         Seq(min(v).cast("string").as(s"__min_$i"),
           max(v).cast("string").as(s"__max_$i"),
           count(col(c)).as(s"__nn_$i"))
+      }) ++ ndvTracked.zipWithIndex.map { case (c, j) =>
+        // the sketch agg's input vocabulary is integral/string/binary —
+        // anything else renders injectively as its string form (distinct
+        // values stay distinct; the count is what matters, not the type)
+        val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+        val v = dt match {
+          case ByteType | ShortType | IntegerType | LongType | StringType |
+               BinaryType => col(c)
+          case _ => col(c).cast("string")
+        }
+        hll_sketch_agg(v, lit(NdvLgK)).as(s"__ndv_$j")
       }
     // explicit schema: no footer inference, and a legitimately EMPTY
     // write (deleteWhere emptying every victim file) still reads as an
@@ -4085,6 +4187,12 @@ object LogTable {
       live
     }.map { r =>
       val rows = r.getLong(r.fieldIndex("__rows"))
+      val ndvB64: Map[String, String] = ndvTracked.zipWithIndex.flatMap {
+        case (c, j) =>
+          Option(r.getAs[Array[Byte]](r.fieldIndex(s"__ndv_$j")))
+            .filter(_.nonEmpty)
+            .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
+      }.toMap
       val colStats = tracked.zipWithIndex.map { case (c, i) =>
         val mn = Option(r.getString(r.fieldIndex(s"__min_$i")))
         val mx = Option(r.getString(r.fieldIndex(s"__max_$i")))
@@ -4096,7 +4204,10 @@ object LogTable {
           require(nulls == 0L && mn.isDefined && mx.isDefined,
             s"log table $path: NULL values in partition column " +
               s"`$c` are not supported")
-        c -> ColStats(mn, mx, nulls)
+        c -> ColStats(mn, mx, nulls,
+          ndv = ndvB64.collectFirst {
+            case (nc, b) if nc.equalsIgnoreCase(c) => b
+          })
       }.toMap
       // unpartitioned tables carry no leading-column range — pmin/pmax
       // are "" and never consulted (partitionCol is "" there)
@@ -4182,6 +4293,7 @@ object LogTable {
           s.max match { case Some(v) => o.put("max", v): Unit
                         case None => o.putNull("max"): Unit }
           o.put("nulls", s.nulls): Unit
+          s.ndv.foreach(b => o.put("ndv", b): Unit)
         }
       }
       f.dv.foreach { d =>
@@ -4210,7 +4322,8 @@ object LogTable {
     */
   private[sources] def reservedProperty(k: String): Boolean =
     k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
-      k == "clone.source" || k.startsWith("colmap.")
+      k == "clone.source" || k.startsWith("colmap.") ||
+      k.startsWith("pspec.") || k.startsWith(ColDefaultPrefix)
 
   /** SET/UNSET table properties as one metadata-only commit — the
     * generic carrier for user metadata and the engine's OPT-IN knobs

@@ -258,7 +258,8 @@ final case class MergeInto private[sources] (
       val ddl = widenedDdl(snap)
       val adds = LogTable.writeDataFiles(spark, path, outRows,
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
-        colMap = snap.colMap)
+        colMap = snap.colMap,
+        ndvCols = LogTable.ndvColsOf(snap.properties))
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
