@@ -629,6 +629,54 @@ object ScaleProbe {
       }
     }
 
+    // MV AUTO-REFRESH commit latency, A/B: the WRITER's wall time for a
+    // data commit on a base with a registered auto-refresh view, inline
+    // (the commit folds the rollup before returning) vs async (the fire
+    // hands to the bounded executor; the writer returns at publish). The
+    // probe DRAINS the async refresh before returning so the measured
+    // work is comparable and the cache stays converged — the claim is
+    // about where the latency sits, not about skipping the work.
+    def mvCommit(mode: String)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.{LogTable, MaterializedView => MV}
+      val key = new java.io.File(d).getName
+      val root = new java.io.File(
+        s"target/scaleprobe/mvcache/commit_$mode/$key").getAbsolutePath
+      val b = s"$root/base"; val mv = s"$root/view"
+      freshCache(s, root, f"view/_graft_log/${2L}%020d.json") {
+        LogTable.create(s, b, orderShape(s, d), Seq("o_year"), Seq("k")): Unit
+        MV.define(s, mv, b, Seq("o_year", "status"),
+          Seq(MV.MvCount("n"), MV.MvSum("sum_cents", "cents")),
+          nBuckets = 32): Unit
+        MV.refresh(s, mv): Unit
+        MV.enableAutoRefresh(s, mv): Unit
+        if (mode == "async")
+          LogTable.setProperties(s, b,
+            Map("mv.refreshmode" -> "async")): Unit
+      }
+      mvPass += 1
+      val batch = LogTable.read(s, b)
+        .filter(col("o_year") === 1998 && col("k") % 7 === 0)
+        .withColumn("cents", col("cents") + mvPass)
+        .withColumn("version", lit(1000 + mvPass.toInt))
+      // NO drain: the probe's timed window IS the writer's latency —
+      // inline pays the refresh before returning, async returns at
+      // publish and the daemon executor folds it behind the measurement
+      // (duplicate/queued fires coalesce; the txn watermark keeps any
+      // interleaving safe, so an un-drained next pass is still correct)
+      val t0 = System.nanoTime()
+      LogTable.upsert(s, b, batch, Seq("k"), Seq("version"), "op"): Unit
+      val commitMs = (System.nanoTime() - t0) / 1e6
+      s.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(mode, math.round(commitMs))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("mode",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("commit_ms",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     // named runners: registered heavy queries + both order-stats variants
     val runners: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (HeavyQueries ++ EmbeddingQueries ++ MergeQueries ++
@@ -652,6 +700,8 @@ object ScaleProbe {
         "pevo_read:mixed" -> (pevoRead("mixed") _),
         "pevo_read:migrated" -> (pevoRead("migrated") _),
         "merge_keyrange:bounded" -> (keyRangeMerge _),
+        "mv_commit:inline" -> (mvCommit("inline") _),
+        "mv_commit:async" -> (mvCommit("async") _),
         "mv_refresh:incremental" -> (mvRefresh("incremental") _),
         "mv_refresh:minmax" -> (mvRefresh("minmax") _),
         "mv_refresh:full_recompute" -> (mvRefresh("full") _),

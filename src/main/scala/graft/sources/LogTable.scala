@@ -296,6 +296,22 @@ object LogTable {
     snap.properties.get(GenLateProp)
       .map(_.split(",").iterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  /** The late generated columns WITH their generator SQL, from a raw
+    * properties map — for the streaming source, whose per-batch frames
+    * bypass [[toLogical]] and must apply the same read-exit computation.
+    */
+  private[sources] def lateGeneratorsOf(props: Map[String, String])
+      : Map[String, String] = {
+    val late = props.get(GenLateProp)
+      .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    props.collect {
+      case (k, v) if k.startsWith(GenPropPrefix) &&
+          late.contains(k.drop(GenPropPrefix.length)) =>
+        k.drop(GenPropPrefix.length) -> v
+    }
+  }
+
   /** The logical→physical column mapping out of a raw properties map —
     * for callers holding a [[ParsedCommit]] rather than a snapshot.
     */
@@ -3057,6 +3073,27 @@ object LogTable {
 
   def vacuum(spark: SparkSession, path: String, olderThanMs: Long,
              force: Boolean = false): Int = {
+    val (deadData, deadLog) = vacuumCandidates(spark, path, olderThanMs, force)
+    deadData.foreach(p => fsOf(spark, path).delete(p, true): Unit)
+    deadLog.foreach(p => fsOf(spark, path).delete(p, false): Unit)
+    deadData.size + deadLog.size
+  }
+
+  /** What [[vacuum]] WOULD reclaim, without touching a byte — the dry
+    * run an operator reads before an irreversible pass over a 100 TB
+    * table (`VACUUM ... DRY RUN` in SQL). Same retention guard, same
+    * clone protection, same enumeration; the only difference is that
+    * nothing deletes.
+    */
+  def vacuumPreview(spark: SparkSession, path: String, olderThanMs: Long,
+                    force: Boolean = false): Seq[Path] = {
+    val (deadData, deadLog) = vacuumCandidates(spark, path, olderThanMs, force)
+    deadData ++ deadLog
+  }
+
+  private def vacuumCandidates(spark: SparkSession, path: String,
+                               olderThanMs: Long, force: Boolean)
+      : (Seq[Path], Seq[Path]) = {
     require(force || olderThanMs >= DefaultRetentionMs,
       s"log table $path: vacuum(olderThanMs = $olderThanMs) is under the " +
         s"$DefaultRetentionMs ms retention floor — in-flight readers, " +
@@ -3085,9 +3122,7 @@ object LogTable {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime < cutoff)
       .map(_.getPath).toSeq
-    deadData.foreach(p => fs.delete(p, true): Unit)
-    deadLog.foreach(p => fs.delete(p, false): Unit)
-    deadData.size + deadLog.size
+    (deadData, deadLog)
   }
 
   // ------------------------------------------------------- typed pruning
@@ -4388,7 +4423,7 @@ object LogTable {
   private val mvRefreshQueued =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** Completed async refreshes — observability + the spec's hook. */
-  private[sources] val asyncRefreshes =
+  private[graft] val asyncRefreshes =
     new java.util.concurrent.atomic.AtomicLong(0)
 
   private[sources] def commit(spark: SparkSession, path: String, version: Long,

@@ -495,6 +495,31 @@ object LogTableSql {
       s"graft SQL: $what must be an integer literal, got $other")
   }
 
+  /** A CDF window bound: an integer literal is a VERSION; a timestamp
+    * or timestamp-looking string literal resolves through
+    * [[LogTable.versionAt]] — the in-commit-timestamp clock, so
+    * `graft_changes(t, TIMESTAMP'...', TIMESTAMP'...')` means exactly
+    * what `TIMESTAMP AS OF` means.
+    */
+  private def versionOrTsArg(spark: SparkSession, path: String,
+                             e: Expression, what: String): Long = e match {
+    // a timestamp literal's value is ALSO a Long (micros) — match the
+    // type before the bare integral cases or it would read as a version
+    case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
+      LogTable.versionAt(spark, path, micros / 1000L)
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(s, java.time.ZoneId.of(zone))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft SQL: $what — `$s` is neither a version nor a timestamp"))
+      LogTable.versionAt(spark, path, micros / 1000L)
+    case other => throw new IllegalArgumentException(
+      s"graft SQL: $what must be a version or timestamp literal, got $other")
+  }
+
   /** `graft_changes('path', from, to)` — the file-level CDF as a
     * table-valued function (the Delta `table_changes` shape), registered
     * via `SparkSessionExtensions.injectTableFunction`: the SAME
@@ -505,8 +530,10 @@ object LogTableSql {
     require(args.length == 3,
       "graft_changes(path, fromVersion, toVersion) takes 3 arguments")
     val spark = SparkSession.active
-    LogTable.readChanges(spark, pathArg(args(0), "path"),
-        longArg(args(1), "fromVersion"), longArg(args(2), "toVersion"))
+    val p = pathArg(args(0), "path")
+    LogTable.readChanges(spark, p,
+        versionOrTsArg(spark, p, args(1), "fromVersion"),
+        versionOrTsArg(spark, p, args(2), "toVersion"))
       .queryExecution.analyzed
   }
 
@@ -518,8 +545,10 @@ object LogTableSql {
       "graft_net_changes(path, fromVersion, toVersion, keyCols...) " +
         "needs a path, two versions and at least one key column")
     val spark = SparkSession.active
-    LogTable.readNetChanges(spark, pathArg(args(0), "path"),
-        longArg(args(1), "fromVersion"), longArg(args(2), "toVersion"),
+    val p = pathArg(args(0), "path")
+    LogTable.readNetChanges(spark, p,
+        versionOrTsArg(spark, p, args(1), "fromVersion"),
+        versionOrTsArg(spark, p, args(2), "toVersion"),
         args.drop(3).zipWithIndex.map { case (a, i) =>
           strArg(a, s"key column ${i + 1}") })
       .queryExecution.analyzed
@@ -596,7 +625,7 @@ object LogTableSql {
       s"^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*$$", F)
     private val VacuumP = Pattern.compile(
       s"^\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
-        "(\\s+FORCE)?\\s*$", F)
+        "(\\s+FORCE)?(\\s+DRY\\s+RUN)?\\s*$", F)
     private val OptimizeP = Pattern.compile(
       s"^\\s*OPTIMIZE\\s+$Ref" +
         "(?:\\s+WHERE\\s+(.+?))?" +
@@ -614,6 +643,7 @@ object LogTableSql {
         "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))+)\\))?" +
         "(?:\\s+STATS\\s+BY\\s*\\(([^)]+)\\))?" +
         "(?:\\s+ZORDER\\s+BY\\s*\\((\\w+(?:\\s*,\\s*\\w+){1,3})\\s*\\))?" +
+        "(?:\\s+TBLPROPERTIES\\s*\\(([^)]+)\\))?" +
         "\\s+AS\\s+(.+)$", F)
     private val CreateMvP = Pattern.compile(
       s"^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref" +
@@ -672,7 +702,8 @@ object LogTableSql {
       val v = VacuumP.matcher(sqlText)
       if (v.matches())
         return refPath(v.group(1)).map(VacuumCommand(_,
-          Option(v.group(2)).map(_.toLong), v.group(3) != null))
+          Option(v.group(2)).map(_.toLong), v.group(3) != null,
+          dryRun = v.group(4) != null))
       val o = OptimizeP.matcher(sqlText)
       if (o.matches())
         return refPath(o.group(1)).map(OptimizeCommand(_,
@@ -744,7 +775,11 @@ object LogTableSql {
         return createRefPath(ct.group(1)).map(CreateTableCommand(_,
           cols(ct.group(2)), cols(ct.group(3)),
           cols(ct.group(4)),
-          ct.group(5)))
+          ct.group(6),
+          properties = Option(ct.group(5)).map(g =>
+            PropPair.findAllMatchIn(g)
+              .map(m => m.group(1) -> m.group(2)).toMap)
+            .getOrElse(Map.empty)))
       }
       val cm = CreateMvP.matcher(sqlText)
       if (cm.matches())
@@ -867,6 +902,10 @@ object LogTableSql {
         org.apache.spark.sql.types.StructField("constraints",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("properties",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("commit_time",
+          org.apache.spark.sql.types.TimestampType, nullable = true),
+        org.apache.spark.sql.types.StructField("distinct_counts",
           org.apache.spark.sql.types.StringType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] = {
       val s = LogTable.snapshot(session, path)
@@ -880,7 +919,12 @@ object LogTableSql {
         s.constraints.toSeq.sorted
           .map { case (n, e) => s"$n: $e" }.mkString("; "),
         s.properties.toSeq.sorted
-          .map { case (n, v) => s"$n=$v" }.mkString("; ")))
+          .map { case (n, v) => s"$n=$v" }.mkString("; "),
+        // the current version's IN-COMMIT timestamp (null pre-ICT)
+        if (s.commitTs > 0L) new java.sql.Timestamp(s.commitTs) else null,
+        // ndv.cols estimates from the log-carried sketch union
+        s.ndv.toSeq.sorted
+          .map { case (c, n) => s"$c=$n" }.mkString("; ")))
     }
   }
 
@@ -889,15 +933,25 @@ object LogTableSql {
     * call.
     */
   private[sources] final case class VacuumCommand(path: String,
-      retainHours: Option[Long], force: Boolean) extends LeafRunnableCommand {
+      retainHours: Option[Long], force: Boolean, dryRun: Boolean = false)
+      extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
-      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
-        "files_deleted", org.apache.spark.sql.types.IntegerType,
-        nullable = false))))
+      attrsOf(StructType(
+        if (dryRun)
+          Seq(org.apache.spark.sql.types.StructField("would_delete",
+            org.apache.spark.sql.types.StringType, nullable = false))
+        else
+          Seq(org.apache.spark.sql.types.StructField("files_deleted",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] = {
       val ms = retainHours.map(_ * 3600000L)
         .getOrElse(LogTable.DefaultRetentionMs)
-      Seq(Row(LogTable.vacuum(session, path, ms, force)))
+      // DRY RUN: one row per path vacuum WOULD reclaim, nothing deleted —
+      // what an operator reads before an irreversible 100 TB pass
+      if (dryRun)
+        LogTable.vacuumPreview(session, path, ms, force)
+          .map(p => Row(p.toString))
+      else Seq(Row(LogTable.vacuum(session, path, ms, force)))
     }
   }
 
@@ -1144,17 +1198,25 @@ object LogTableSql {
     */
   private[sources] final case class CreateTableCommand(path: String,
       partitionCols: Seq[String], statsCols: Seq[String],
-      zorderBy: Seq[String], querySql: String) extends LeafRunnableCommand {
+      zorderBy: Seq[String], querySql: String,
+      properties: Map[String, String] = Map.empty)
+      extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
         "version", org.apache.spark.sql.types.LongType, nullable = false))))
     override def run(session: SparkSession): Seq[Row] = {
+      // declared TBLPROPERTIES are USER properties (ndv.cols,
+      // checkpoint.every, mv.refreshmode, user metadata) — engine-owned
+      // namespaces stay behind their dedicated DDL, same rule as SET
+      properties.keys.foreach(k => require(!LogTable.reservedProperty(k),
+        s"graft SQL: property `$k` is engine-owned — use its dedicated " +
+          "statement (generated columns, clones, column mapping)"))
       val df = GraftBridge.ofRows(session,
         session.sessionState.sqlParser.parsePlan(querySql))
       val (pcols, gens) = LogTableSql.partitionSpecs(partitionCols)
       Seq(Row(LogTable.create(session, path, df, pcols,
         statsCols = statsCols, zorderBy = zorderBy,
-        generatedColumns = gens)))
+        generatedColumns = gens, tableProperties = properties)))
     }
   }
 

@@ -59,7 +59,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
                                  startingVersion: Long,
                                  maxVersionsPerTrigger: Long,
                                  ignoreChanges: Boolean,
-                                 colMap: Map[String, String] = Map.empty)
+                                 colMap: Map[String, String] = Map.empty,
+                                 lateGens: Map[String, String] = Map.empty)
     extends Source with SupportsTriggerAvailableNow {
 
   // files store PHYSICAL column names (column mapping): scan under them,
@@ -160,12 +161,26 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
       // streaming leaf (the FileStreamSource/Delta pattern)
       val raw = org.apache.spark.sql.GraftBridge
         .ofRows(spark, LogicalRelation(relation, isStreaming = true))
-      val logical =
+      val logical0 =
         if (colMap.isEmpty) raw
         else raw.select(pinned.fields.zip(pinnedPhysical.fields)
           .map { case (lf, pf) =>
             col("`" + pf.name.replace("`", "``") + "`").as(lf.name)
           }.toIndexedSeq: _*)
+      // generated columns introduced by a PARTITION EVOLUTION before
+      // stream start: files that predate them scan as NULL — compute
+      // from the source column exactly as batch reads do (toLogical's
+      // contract; a stored value is never NULL, so coalesce changes
+      // only the predating rows)
+      val logical = lateGens.foldLeft(logical0) { case (d, (c, g)) =>
+        pinned.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(fd) =>
+            d.withColumn(fd.name,
+              coalesce(col("`" + fd.name.replace("`", "``") + "`"),
+                expr(g).cast(fd.dataType)))
+          case None => d
+        }
+      }
       logical.withColumn("_commit_version", lit(v))
     }
     versions match {
@@ -289,12 +304,15 @@ class LogTableSourceProvider extends StreamSourceProvider
         try {
           val c = LogTable.commitAt(spark, path,
             LogTable.latestVersion(spark, path))
-          (c.partitionCols, c.statsCols, LogTable.colMapOfProps(c.properties))
+          (c.partitionCols, c.statsCols, LogTable.colMapOfProps(c.properties),
+            LogTable.lateGeneratorsOf(c.properties))
         } catch {
           case _: java.io.IOException =>
-            (snap.partitionCols, snap.statsCols, snap.colMap)
+            (snap.partitionCols, snap.statsCols, snap.colMap,
+              LogTable.lateGeneratorsOf(snap.properties))
         }
-      case None => (snap.partitionCols, snap.statsCols, snap.colMap)
+      case None => (snap.partitionCols, snap.statsCols, snap.colMap,
+        LogTable.lateGeneratorsOf(snap.properties))
     }
     val pinned = schema match {
       case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
@@ -311,6 +329,7 @@ class LogTableSourceProvider extends StreamSourceProvider
     val ignoreChanges = opt(parameters, "ignoreChanges")
       .exists(_.toBoolean)
     new LogTableStreamSource(spark, path, pinned, meta._1, meta._2,
-      startingVersion, maxPer, ignoreChanges, colMap = meta._3)
+      startingVersion, maxPer, ignoreChanges, colMap = meta._3,
+      lateGens = meta._4)
   }
 }

@@ -102,4 +102,21 @@ class InCommitTimestampSpec extends SparkSpec {
       .head().getLong(0)
     assert(n == 12L)
   }
+
+  test("the CDF table functions take TIMESTAMP bounds on the same clock") {
+    val t = tmp()
+    mk(t)
+    LogTable.append(spark, t, Seq((100L, "p0", 5L)).toDF("k", "p", "v")): Unit
+    LogTable.append(spark, t, Seq((101L, "p1", 6L)).toDF("k", "p", "v")): Unit
+    def iso(v: Long) = new java.sql.Timestamp(ictOf(t, v)).toInstant.toString
+    // (v1, v3] by timestamp = both appended rows
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft_changes('$t', " +
+      s"TIMESTAMP'${iso(1L)}', TIMESTAMP'${iso(3L)}') " +
+      "WHERE _change_type = 'insert'").head().getLong(0)
+    assert(n == 2L, s"timestamp-bounded CDF saw $n inserts")
+    // mixed bounds: version from, timestamp to
+    val n2 = spark.sql(s"SELECT count(*) AS n FROM graft_net_changes('$t', " +
+      s"2, TIMESTAMP'${iso(3L)}', 'k')").head().getLong(0)
+    assert(n2 == 1L)
+  }
 }

@@ -74,6 +74,22 @@ class NdvStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("CTAS declares ndv.cols through TBLPROPERTIES; engine-owned " +
+    "namespaces refuse") {
+    val t = tmp() + "/t"
+    (0L until 25L).map(i => (i, s"p${i % 2}")).toDF("k", "p")
+      .createOrReplaceTempView("ndv_ctas_base")
+    spark.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (p) " +
+      "STATS BY (k) TBLPROPERTIES ('ndv.cols' = 'k') " +
+      "AS SELECT * FROM ndv_ctas_base"): Unit
+    assert(LogTable.snapshot(spark, t).ndv("k") == 25L)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`${t}2` " +
+        "TBLPROPERTIES ('colmap.map.x' = 'y') " +
+        "AS SELECT * FROM ndv_ctas_base"): Unit
+    }
+  }
+
   test("sketches follow RENAME COLUMN (physical key) and keep " +
     "accumulating on post-rename writes") {
     val t = tmp()

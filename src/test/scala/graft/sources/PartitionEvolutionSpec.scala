@@ -250,6 +250,54 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(LogTable.compactPartitions(spark, t, maxFilesPerPartition = 8) == -1L)
   }
 
+  test("a stream started AFTER an evolution computes the late " +
+    "generated column on pre-evolution rows, like batch reads do") {
+    val t = tmp()
+    val base = rows()
+      .withColumn("ts", col("day").cast("timestamp")).drop("day")
+    LogTable.create(spark, t, base, Seq("region"), statsCols = Seq("k"))
+    LogTable.evolvePartitioning(spark, t, Seq("ts_day"),
+      generatedColumns = Map("ts_day" -> "to_date(ts)")): Unit
+    LogTable.append(spark, t,
+      rows(offset = 300L).withColumn("ts", col("day").cast("timestamp"))
+        .drop("day")): Unit
+    val nulls = new java.util.concurrent.atomic.AtomicLong()
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream
+      .format(classOf[LogTableSourceProvider].getName)
+      .option("path", t).load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          nulls.addAndGet(b.filter(col("ts_day").isNull ||
+            col("ts_day") =!= to_date(col("ts"))).count()): Unit
+          seen.addAndGet(b.count()): Unit
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L): Unit
+    q.stop()
+    assert(seen.get() == 60L, s"stream saw ${seen.get()} rows")
+    assert(nulls.get() == 0L,
+      "pre-evolution rows must stream the COMPUTED derived value")
+  }
+
+  test("REPLACE PARTITIONED BY works on NAMED tables through the catalog") {
+    val root = Files.createTempDirectory("graft-pevo-cat").toString
+    spark.conf.set("spark.sql.catalog.pevocat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pevocat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pevocat.db")
+    rows().createOrReplaceTempView("pevo_named_base")
+    spark.sql("CREATE TABLE pevocat.db.t PARTITIONED BY (region) AS " +
+      "SELECT * FROM pevo_named_base")
+    spark.sql("ALTER TABLE pevocat.db.t REPLACE PARTITIONED BY (day)")
+      .collect(): Unit
+    val snap = LogTable.snapshot(spark, s"$root/db/t")
+    assert(snap.partitionCols == Seq("day"))
+    spark.sql("INSERT INTO pevocat.db.t BY NAME " +
+      "SELECT k + 500 AS k, region, day, cents FROM pevo_named_base")
+    assert(spark.table("pevocat.db.t").count() == 60L)
+  }
+
   test("change feed and DV deletes survive an evolution") {
     val t = tmp()
     LogTable.create(spark, t, rows(), Seq("region"), statsCols = Seq("k"))
