@@ -265,6 +265,26 @@ object LogTable {
     * sketches. The 100 TB contrast is ANALYZE TABLE: a full-column
     * rescan that is stale the moment the next batch lands.
     */
+  /** PROTOCOL fence — the Delta/Iceberg forward-compat discipline: a
+    * table records the MINIMUM reader level its at-rest state requires,
+    * and a reader that does not implement that level fails LOUD at
+    * snapshot load instead of silently mis-reading. Levels: 1 = base;
+    * 2 = column mapping / deletion vectors (at-rest physical names and
+    * row-level deletes an older reader would surface wrong); 3 = late
+    * generated columns (readers must COMPUTE them on predating files).
+    * The property appears only when a feature first activates — plain
+    * tables stay readable by every level.
+    */
+  private[sources] val ProtocolProp = "protocol.minreader"
+  private[sources] val ReaderVersion = 3
+
+  /** Raise the table's min-reader requirement to `level` (never lowers). */
+  private def ensureProtocol(props: Map[String, String],
+                             level: Int): Map[String, String] = {
+    val cur = props.get(ProtocolProp).map(_.toInt).getOrElse(1)
+    if (cur >= level) props else props + (ProtocolProp -> level.toString)
+  }
+
   private[sources] val NdvColsProp = "ndv.cols"
   /** lgK for the sketches — the library default: ±~1.6% relative error
     * saturated, exact at small per-file cardinalities (lower lgK shrinks
@@ -801,26 +821,76 @@ object LogTable {
   def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] =
     snapshot(spark, path).txns.get(appId)
 
+  /** SNAPSHOT CACHE — the driver-side cost that actually compounds at
+    * scale: every operation (reads, victim planning, every retry loop)
+    * re-derives the snapshot, and a naive derivation re-parses every
+    * commit since the newest checkpoint — O(commits²) small-file reads
+    * across a write sequence, and at a million-file table a full replay
+    * per operation. Entries are keyed by (qualified path, version) and
+    * guarded by the version's WITNESS — its commit (or checkpoint)
+    * file's (mtime, length): published log files never mutate in place,
+    * so a matching witness proves the cached lineage is the live one,
+    * and a dropped-and-recreated table at the same path misses. A newer
+    * version replays INCREMENTALLY from the newest cached ancestor
+    * (only the new commits parse); Snapshot is immutable, so sharing
+    * across callers is free. Bounded LRU — the cache can only ever
+    * trade a re-parse, never correctness.
+    */
+  private val SnapCacheMax = 64
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long), (String, Snapshot)](
+      SnapCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (String, Snapshot)]): Boolean =
+        size() > SnapCacheMax
+    }
+
   def snapshot(spark: SparkSession, path: String,
                asOf: Option[Long] = None): Snapshot = {
     val fs = fsOf(spark, path)
     val listed = fs.listStatus(logDir(path)).iterator
-      .filter(_.isFile).map(_.getPath).toSeq
-    val commits = listed.flatMap(p => p.getName match {
-      case CommitName(v) => Some((v.toLong, p))
+      .filter(_.isFile).toSeq
+    val commits = listed.flatMap(st => st.getPath.getName match {
+      case CommitName(v) => Some((v.toLong, st))
       case _ => None
     }).sortBy(_._1)
-    val ckptAll = listed.flatMap(p => p.getName match {
-      case CheckpointName(v) => Some((v.toLong, p))
+    val ckptAll = listed.flatMap(st => st.getPath.getName match {
+      case CheckpointName(v) => Some((v.toLong, st))
       case _ => None
     }).sortBy(_._1)
     require(commits.nonEmpty || ckptAll.nonEmpty, s"no commits at $path")
     val target = asOf.getOrElse(
       (commits.lastOption.map(_._1) ++ ckptAll.lastOption.map(_._1)).max)
+    def sig(st: org.apache.hadoop.fs.FileStatus): String =
+      st.getModificationTime.toString + ":" + st.getLen
+    def witnessOf(v: Long): Option[String] =
+      commits.find(_._1 == v).map(c => "c" + sig(c._2))
+        .orElse(ckptAll.find(_._1 == v).map(c => "k" + sig(c._2)))
+    val qpath = fs.makeQualified(new Path(path)).toUri.toString
+    witnessOf(target).foreach { w =>
+      val hit = snapCache.synchronized(Option(snapCache.get((qpath, target))))
+      hit.foreach { case (w0, snap) => if (w0 == w) return snap }
+    }
     val upTo = commits.filter(_._1 <= target)
     val ckpt = ckptAll.filter(_._1 <= target).lastOption
     require(upTo.nonEmpty || ckpt.nonEmpty,
       s"no commit at or before version $target (expired log?)")
+    // the newest cached ANCESTOR whose witness still matches a present
+    // log file seeds the fold — only (ancestor, target] parses; every
+    // commit in that window must be present (expiry leaves gaps only
+    // at or below a checkpoint, which the full replay handles)
+    val have = upTo.map(_._1).toSet
+    val ancestor: Option[(Long, Snapshot)] = snapCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      snapCache.entrySet().asScala.iterator
+        .filter(e => e.getKey._1 == qpath && e.getKey._2 < target)
+        .toSeq.sortBy(-_.getKey._2)
+        .collectFirst {
+          case e if witnessOf(e.getKey._2).contains(e.getValue._1) &&
+            (e.getKey._2 + 1 to target).forall(have.contains) =>
+            e.getKey._2 -> e.getValue._2
+        }
+    }
     var schemaDdl = ""
     var pcols = Seq.empty[String]
     var scols = Seq.empty[String]
@@ -831,6 +901,12 @@ object LogTable {
     var cons = Map.empty[String, String]
     var props = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LogFile]
+    ancestor.foreach { case (_, a) =>
+      schemaDdl = a.schemaDdl; pcols = a.partitionCols; scols = a.statsCols
+      bcols = a.bloomCols; cons = a.constraints; props = a.properties
+      version = a.version; cts = a.commitTs; txns = a.txns
+      a.files.foreach(f => live.put(f.name, f): Unit)
+    }
     def fold(p: Path): Unit = {
       val c = parseCommitFile(fs, p)
       schemaDdl = c.schemaDdl
@@ -849,15 +925,34 @@ object LogTable {
       c.removes.foreach(r => live.remove(r): Unit)
       c.adds.foreach(f => live.put(f.name, f): Unit)
     }
-    ckpt.foreach { case (_, p) => fold(p) }
-    upTo.filter { case (v, _) => ckpt.forall(v > _._1) }
-      .foreach { case (_, p) => fold(p) }
+    val floor = ancestor.map(_._1)
+    floor match {
+      case Some(v0) =>
+        upTo.filter(_._1 > v0).foreach { case (_, st) => fold(st.getPath) }
+      case None =>
+        ckpt.foreach { case (_, st) => fold(st.getPath) }
+        upTo.filter { case (v, _) => ckpt.forall(v > _._1) }
+          .foreach { case (_, st) => fold(st.getPath) }
+    }
     // a replay must END at the requested version — a gap (expired commits
     // past the checkpoint) is an error, not a silently older table
     require(asOf.forall(_ == version),
       s"version ${asOf.getOrElse(-1L)} not reachable (replay ends at $version)")
-    Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq, bcols,
-      txns, cons, props, commitTs = cts)
+    // the PROTOCOL fence: refuse to serve a state this reader level
+    // would mis-read (see [[ProtocolProp]]) — loud, never wrong data
+    props.get(ProtocolProp).map(_.toInt).filter(_ > ReaderVersion)
+      .foreach { lvl =>
+        throw new IllegalArgumentException(
+          s"log table $path: version $version requires reader protocol " +
+            s"$lvl; this engine implements $ReaderVersion — upgrade " +
+            "before reading (serving it anyway could silently mis-read)")
+      }
+    val snap = Snapshot(version, schemaDdl, pcols, scols, live.values.toSeq,
+      bcols, txns, cons, props, commitTs = cts)
+    witnessOf(version).foreach { w =>
+      snapCache.synchronized(snapCache.put((qpath, version), (w, snap)): Unit)
+    }
+    snap
   }
 
   /** Write a full-snapshot checkpoint at the current version, so future
@@ -1544,7 +1639,9 @@ object LogTable {
             bloomCols = snap.bloomCols,
             operation = if (set.isDefined) "UPDATE" else "DELETE",
             constraints = snap.constraints,
-          properties = snap.properties)
+            // deletion vectors are a reader-level-2 feature: an older
+            // reader would surface the marked rows as live
+            properties = ensureProtocol(snap.properties, 2))
           return snap.version + 1
         } catch {
           case e: CommitConflictException =>
@@ -3311,10 +3408,13 @@ object LogTable {
               "is (or once was) another column's at-rest physical name")
           refuseStructural(from, "rename")
           val p = physCur(from)
-          props = props.filterNot { case (k, _) =>
+          props = ensureProtocol(props.filterNot { case (k, _) =>
             k.startsWith(ColMapMapPrefix) &&
               k.drop(ColMapMapPrefix.length).equalsIgnoreCase(from)
-          } + ((ColMapMapPrefix + to) -> p)
+          } + ((ColMapMapPrefix + to) -> p),
+            // column mapping = reader level 2: an older reader would
+            // project the at-rest physical names
+            2)
           fields = fields.updated(i, fields(i).copy(name = to))
         case d: TableChange.DeleteColumn =>
           // METADATA-ONLY drop: the logical schema loses the field; the
@@ -3334,13 +3434,13 @@ object LogTable {
             val p = physCur(n)
             statsCols = statsCols.filterNot(_.equalsIgnoreCase(p))
             bloomCols = bloomCols.filterNot(_.equalsIgnoreCase(p))
-            props = props.filterNot { case (k, _) =>
+            props = ensureProtocol(props.filterNot { case (k, _) =>
               (k.startsWith(ColMapMapPrefix) &&
                 k.drop(ColMapMapPrefix.length).equalsIgnoreCase(n)) ||
                 // the column's DEFAULT dies with it
                 (k.startsWith(ColDefaultPrefix) &&
                   k.drop(ColDefaultPrefix.length).equalsIgnoreCase(p))
-            } + (ColMapDroppedProp -> (dropped + p).mkString(","))
+            } + (ColMapDroppedProp -> (dropped + p).mkString(",")), 2)
             fields = fields.filterNot(_.name.equalsIgnoreCase(n))
           }
         case other => throw new UnsupportedOperationException(
@@ -3462,7 +3562,9 @@ object LogTable {
       if (fresh.nonEmpty) {
         val late = (lateGenerated(snap) ++ fresh.keys.toSeq.sorted)
           .distinct.mkString(",")
-        props = props + (GenLateProp -> late)
+        // late generated columns = reader level 3: predating files lack
+        // the column physically and readers must COMPUTE it
+        props = ensureProtocol(props + (GenLateProp -> late), 3)
       }
       val leadBefore = snap.partitionCol
       val leadAfter = newPartitionCols.headOption.getOrElse("")
@@ -4358,7 +4460,8 @@ object LogTable {
   private[sources] def reservedProperty(k: String): Boolean =
     k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
       k == "clone.source" || k.startsWith("colmap.") ||
-      k.startsWith("pspec.") || k.startsWith(ColDefaultPrefix)
+      k.startsWith("pspec.") || k.startsWith(ColDefaultPrefix) ||
+      k.startsWith("protocol.")
 
   /** SET/UNSET table properties as one metadata-only commit — the
     * generic carrier for user metadata and the engine's OPT-IN knobs

@@ -243,7 +243,8 @@ class LogTableSqlSpec extends SparkSpec {
     // non-literal bounds fail loud — versions pick COMMITS at plan time
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_changes('$t', 1, 1 + 1)").collect())
-    assert(e.getMessage.contains("integer literal"), e.getMessage)
+    assert(e.getMessage.contains("version or timestamp literal"),
+      e.getMessage)
   }
 
   test("OPTIMIZE ... ZORDER BY re-clusters through SQL") {
