@@ -1185,6 +1185,59 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // TIME-TRAVEL OPERATIONS on the in-commit clock + VACUUM DRY RUN —
+    // history's commit_time IS the TIMESTAMP AS OF clock (each
+    // version's instant round-trips through versionAt), the CDF TVF
+    // takes the same timestamps as bounds, and VACUUM DRY RUN
+    // enumerates exactly what the real pass then reclaims (pinned:
+    // preview set == deleted count, table content untouched).
+    "q167_time_travel_ops" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q167")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      base.createOrReplaceTempView("q167_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (o_year) " +
+        "STATS BY (k) AS SELECT * FROM q167_base"): Unit
+      // v2: delete a year (whole-partition rewrite leaves dead files)
+      LogTable.deleteWhere(s, t, col("o_year") === 1995): Unit
+      // v3: re-insert a filtered slice of it
+      s.sql(s"INSERT INTO graft.`$t` BY NAME " +
+        "SELECT k, status, cents, o_year FROM q167_base " +
+        "WHERE o_year = 1995 AND k % 3 = 0"): Unit
+      // the history clock round-trips through versionAt, per version
+      val h = LogTable.history(s, t)
+        .select("version", "commit_time").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      val clockOk = h.forall { case (v, ts) =>
+        LogTable.versionAt(s, t, ts.getTime) == v
+      }
+      // TIMESTAMP AS OF v1's instant = the full original table
+      val iso1 = h(1L).toInstant.toString
+      val v1n = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+        s"TIMESTAMP AS OF '$iso1'").head().getLong(0)
+      // CDF between v1 and v3 BY TIMESTAMP: net deletes = the 2/3 of
+      // 1995 that never came back
+      val iso3 = h(3L).toInstant.toString
+      val netDel = s.sql(s"SELECT count(*) AS n FROM graft_net_changes(" +
+        s"'$t', TIMESTAMP'$iso1', TIMESTAMP'$iso3', 'k') " +
+        "WHERE _change_type = 'delete'").head().getLong(0)
+      val del1995 = base.filter(col("o_year") === 1995 &&
+        col("k") % 3 =!= 0).count()
+      // DRY RUN enumerates exactly what the real vacuum then deletes
+      val preview = s.sql(s"VACUUM graft.`$t` RETAIN 0 HOURS FORCE DRY RUN")
+        .count()
+      val reclaimed = s.sql(s"VACUUM graft.`$t` RETAIN 0 HOURS FORCE")
+        .head().getInt(0)
+      val ok = clockOk && v1n == base.count() && netDel == del1995 &&
+        preview == reclaimed.toLong
+      s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM graft.`$t` GROUP BY o_year, status")
+        .withColumn("tt_ok", lit(ok))
+    }),
+
     // SHALLOW CLONE — one metadata commit referencing the source's
     // files (zero data copied), then independent divergence: the source deletes
     // a window, the clone updates another, a FORCED source vacuum runs
@@ -1895,6 +1948,19 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q167_time_travel_ops" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE o_year <> 1995 OR k % 3 = 0)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS tt_ok
+        |FROM kept GROUP BY o_year, status""".stripMargin,
+
     "q166_ndv_stats" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -4546,11 +4546,21 @@ object LogTable {
     // (same-millisecond commits and clock skew between writers both get
     // parent + 1) — `TIMESTAMP AS OF`, history and CDF-by-time resolve
     // from this field, never from storage mtimes an object store's
-    // copies/renames can churn. One extra small read per commit; a
-    // parent expired behind a checkpoint resolves through the
-    // checkpoint's carried ts.
-    val ict = math.max(System.currentTimeMillis(),
-      (if (version <= 1L) 0L else committedTs(fs, path, version - 1)) + 1L)
+    // copies/renames can churn. The parent's ts comes from the SNAPSHOT
+    // CACHE when possible (every writer just built that snapshot, and a
+    // full re-parse of the parent commit's file list per commit showed
+    // up as a measurable bench regression on commit-heavy paths); a
+    // miss — or a parent expired behind a checkpoint — pays one small
+    // read through [[committedTs]].
+    val parentTs =
+      if (version <= 1L) 0L
+      else {
+        val qp = fs.makeQualified(new Path(path)).toUri.toString
+        snapCache.synchronized(Option(snapCache.get((qp, version - 1))))
+          .map(_._2.commitTs).filter(_ > 0L)
+          .getOrElse(committedTs(fs, path, version - 1))
+      }
+    val ict = math.max(System.currentTimeMillis(), parentTs + 1L)
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
       adds, removes, dataChange, bloomCols, operation, txns, constraints,
