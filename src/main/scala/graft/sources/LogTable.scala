@@ -211,6 +211,44 @@ object LogTable {
         c -> math.max(0L, math.round(u.getEstimate))
       }.toMap
     }
+
+    /** Table-level (min, max, nullCount) by physical column, merged from
+      * the live files' per-file stats — fed to CBO as column statistics
+      * (range selectivity for free, off metadata the log already
+      * carries). STRICT: an entry exists only when EVERY live file
+      * carries stats for the column (a file without them could hold
+      * anything), and only NUMERIC columns emit min/max (their persisted
+      * string rendering IS the catalog's external form; timestamps
+      * persist as micros integers the catalog would misparse).
+      */
+    lazy val colRanges: Map[String, (Option[String], Option[String], Long)] = {
+      if (files.isEmpty) Map.empty
+      else {
+        val numeric: Set[String] = physicalSchema.fields.iterator.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types
+            .NumericType] => f.name.toLowerCase
+        }.toSet
+        val everywhere = files.map(_.stats.keys.map(_.toLowerCase).toSet)
+          .reduce(_ intersect _)
+        everywhere.iterator.map { c =>
+          val per = files.map(f => f.stats.collectFirst {
+            case (k, s) if k.equalsIgnoreCase(c) => s
+          }.get)
+          val nulls = per.iterator.map(_.nulls).sum
+          val (mn, mx) =
+            if (!numeric.contains(c) ||
+                per.exists(s => s.min.isEmpty || s.max.isEmpty))
+              (None, None)
+            else {
+              val lo = per.iterator.map(s => BigDecimal(s.min.get)).min
+              val hi = per.iterator.map(s => BigDecimal(s.max.get)).max
+              (Some(lo.bigDecimal.toPlainString),
+                Some(hi.bigDecimal.toPlainString))
+            }
+          c -> ((mn, mx, nulls))
+        }.toMap
+      }
+    }
   }
 
   private[sources] val ColMapMapPrefix = "colmap.map."
@@ -2246,19 +2284,24 @@ object LogTable {
       provider = Some("graft-logtable"),
       stats = Some(CatalogStatistics(BigInt(liveBytes(snap)),
         Some(BigInt(liveRows(snap))),
-        // per-column DISTINCT COUNTS from the log-carried HLL union
-        // ([[Snapshot.ndv]]) plus exact null counts — maintained by the
-        // writes themselves, so CBO join planning sees fresh NDV with
-        // no ANALYZE rescan; keyed physical (the relation's output)
-        colStats = snap.ndv.map { case (c, n) =>
-          val nulls = snap.files.iterator.map(
-            _.stats.collectFirst {
-              case (k, s) if k.equalsIgnoreCase(c) => s.nulls
-            }.getOrElse(0L)).sum
-          c -> CatalogColumnStat(
-            distinctCount = Some(BigInt(n)),
-            nullCount = Some(BigInt(nulls)))
-        })))
+        // per-column statistics straight off the log: DISTINCT COUNTS
+        // from the HLL union ([[Snapshot.ndv]]), numeric min/max and
+        // null counts merged from per-file stats ([[Snapshot.colRanges]])
+        // — maintained by the writes themselves, so CBO join planning
+        // and filter selectivity see fresh numbers with no ANALYZE
+        // rescan; keyed physical (the relation's output attributes)
+        colStats = snap.physicalSchema.fields.iterator.flatMap { f =>
+          val rng = snap.colRanges.get(f.name.toLowerCase)
+          val n = snap.ndv.collectFirst {
+            case (c, v) if c.equalsIgnoreCase(f.name) => v
+          }
+          if (rng.isEmpty && n.isEmpty) None
+          else Some(f.name -> CatalogColumnStat(
+            distinctCount = n.map(BigInt(_)),
+            min = rng.flatMap(_._1),
+            max = rng.flatMap(_._2),
+            nullCount = rng.map(r => BigInt(r._3))))
+        }.toMap)))
   }
 
   private def fsRelationFor(spark: SparkSession, path: String, snap: Snapshot)

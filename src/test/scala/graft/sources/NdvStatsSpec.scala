@@ -70,6 +70,10 @@ class NdvStatsSpec extends SparkSpec {
         s"CBO must see ndv(k)=40, got ${byName.get("k")}")
       assert(byName.get("u").flatMap(_.distinctCount).contains(BigInt(7)))
       assert(byName.get("k").flatMap(_.nullCount).contains(BigInt(0)))
+      // numeric min/max merged from per-file stats ride along — range
+      // selectivity without ANALYZE
+      assert(byName.get("k").flatMap(_.min).contains(0L))
+      assert(byName.get("k").flatMap(_.max).contains(39L))
       assert(stats.rowCount.contains(BigInt(40)))
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }

@@ -250,6 +250,40 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(LogTable.compactPartitions(spark, t, maxFilesPerPartition = 8) == -1L)
   }
 
+  test("an append LOSING to a concurrent evolution retries under the " +
+    "NEW spec (never publishes old-spec files blind)") {
+    val t = tmp()
+    LogTable.create(spark, t, rows(), Seq("region"), statsCols = Seq("k"))
+    val prevCoord = LogTable.coordinator
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      LogTable.coordinator = new LogTable.CommitCoordinator {
+        override def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             tp: org.apache.hadoop.fs.Path,
+                             d: org.apache.hadoop.fs.Path): Boolean = {
+          if (fired.compareAndSet(false, true)) {
+            // the evolution wins the version the append staged for —
+            // partitionCols differ, so the disjoint fast path must
+            // decline and the append must REBUILD under the new spec
+            LogTable.evolvePartitioning(spark, t, Seq("day")): Unit
+          }
+          LogTable.RenameCommitCoordinator.publish(fs, tp, d)
+        }
+      }
+      LogTable.append(spark, t, rows(offset = 100L)): Unit
+    } finally LogTable.coordinator = prevCoord
+    val snap = LogTable.snapshot(spark, t)
+    assert(snap.partitionCols == Seq("day"))
+    assert(LogTable.read(spark, t).count() == 60L)
+    // the appended files were REWRITTEN under the new spec: they carry
+    // stats for the new leading column (pre-evolution files do not)
+    val appended = snap.files.filter(_.stats.get("k").exists(
+      _.min.exists(_.toLong >= 100L)))
+    assert(appended.nonEmpty)
+    assert(appended.forall(_.stats.keys.exists(_.equalsIgnoreCase("day"))),
+      "the losing append must re-cluster and re-stat under the new spec")
+  }
+
   test("a stream started AFTER an evolution computes the late " +
     "generated column on pre-evolution rows, like batch reads do") {
     val t = tmp()
