@@ -88,7 +88,7 @@ object LogTableSql {
     */
   private[sources] def partitionSpecs(entries: Seq[String])
       : (Seq[String], Map[String, String]) = {
-    val Gen = """(?i)(year|month|day|hour)s?\s*\(\s*(\w+)\s*\)""".r
+    val Gen = """(?i)(year|month|week|day|hour)s?\s*\(\s*(\w+)\s*\)""".r
     val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
     val gens = Map.newBuilder[String, String]
     val cols = entries.map {
@@ -96,6 +96,7 @@ object LogTableSql {
         val (name, gsql) = fn.toLowerCase match {
           case "year" => (s"${src}_year", s"year($src)")
           case "month" => (s"${src}_month", s"date_format($src, 'yyyy-MM')")
+          case "week" => (s"${src}_week", s"date_trunc('WEEK', $src)")
           case "hour" => (s"${src}_hour", s"date_trunc('HOUR', $src)")
           case _ => (s"${src}_day", s"to_date($src)")
         }

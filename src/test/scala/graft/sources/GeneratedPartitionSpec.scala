@@ -124,6 +124,25 @@ class GeneratedPartitionSpec extends SparkSpec {
       .select("odate_year").as[Int].head() == 2001)
   }
 
+  test("SQL: week(ts) partitioning derives a monotone date_trunc column") {
+    val t = tmp() + "/t"
+    rows(40).withColumn("ts", col("odate").cast("timestamp")).drop("odate")
+      .createOrReplaceTempView("genweek_base")
+    spark.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (week(ts)) " +
+      "STATS BY (k) AS SELECT * FROM genweek_base"): Unit
+    val snap = LogTable.snapshot(spark, t)
+    assert(snap.partitionCols == Seq("ts_week"))
+    assert(snap.properties.get("gen.ts_week")
+      .contains("date_trunc('WEEK', ts)"))
+    // the derived week never drifts, and a source bound prunes
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+      "WHERE ts_week <> date_trunc('WEEK', ts)").head().getLong(0) == 0L)
+    val cw = LogTable.countWhere(spark, t,
+      col("ts") < lit("1996-01-01").cast("timestamp"))
+    assert(cw.count == rows(40).filter(col("odate") <
+      Date.valueOf("1996-01-01")).count())
+  }
+
   test("non-monotone generators are refused at create") {
     val dir = tmp() + "/bad"
     val e = intercept[IllegalArgumentException] {
