@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectResolutionRule(session =>
       graft.sources.LogTableSql.LogTableRule(session))
+    // metadata-only count(*): a global unfiltered count over a log-table
+    // relation answers from the log's exact row counts, zero scan
+    ext.injectOptimizerRule(session =>
+      graft.sources.LogTableSql.MetadataCountRule(session))
     // change feeds as TABLE-valued functions (the Delta table_changes
     // shape): SELECT * FROM graft_changes('path', 1, 5)
     ext.injectTableFunction((

@@ -1185,6 +1185,39 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // METADATA-ONLY COUNT — `SELECT count(*)` over a log table folds to
+    // the log's exact row counts (a one-row LocalRelation; mc_ok pins
+    // the fold IN THE PLAN), stays exact across an append and a
+    // rewriting delete, and refuses to fold anything that could change
+    // the answer (the filtered count below scans and is the oracle's
+    // second row).
+    "q168_metadata_count" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q168")
+      val base = Tables(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      base.createOrReplaceTempView("q168_base")
+      s.sql(s"CREATE TABLE graft.`$t` PARTITIONED BY (segment) " +
+        "STATS BY (k) AS SELECT * FROM q168_base"): Unit
+      s.sql(s"INSERT INTO graft.`$t` BY NAME " +
+        "SELECT k + 90000000 AS k, segment, bal_cents " +
+        "FROM q168_base WHERE k % 97 = 0"): Unit
+      LogTable.deleteWhere(s, t, col("k") % 10 === 0): Unit
+      def folded(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation => ()
+        }.isDefined
+      val total = s.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      val filtered = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+        "WHERE segment = 'BUILDING'")
+      val ok = folded(total) && !folded(filtered)
+      total.withColumn("which", lit("total"))
+        .unionByName(filtered.withColumn("which", lit("building")))
+        .withColumn("mc_ok", lit(ok))
+    }),
+
     // TIME-TRAVEL OPERATIONS on the in-commit clock + VACUUM DRY RUN —
     // history's commit_time IS the TIMESTAMP AS OF clock (each
     // version's instant round-trips through versionAt), the CDF TVF
@@ -1948,6 +1981,22 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q168_metadata_count" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |ins AS (
+        |  SELECT k + 90000000 AS k, segment, bal_cents FROM base
+        |  WHERE k % 97 = 0),
+        |live AS (
+        |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |  WHERE k % 10 <> 0)
+        |SELECT count(*) AS n, 'total' AS which, TRUE AS mc_ok FROM live
+        |UNION ALL
+        |SELECT count(*) AS n, 'building' AS which, TRUE AS mc_ok
+        |FROM live WHERE segment = 'BUILDING'""".stripMargin,
+
     "q167_time_travel_ops" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

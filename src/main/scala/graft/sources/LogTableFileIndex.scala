@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   * fresh view.
   */
 final class LogTableFileIndex(spark: SparkSession, path: String,
-                              snap: LogTable.Snapshot) extends FileIndex {
+                              private[sources] val snap: LogTable.Snapshot)
+    extends FileIndex {
 
   private val zone = spark.sessionState.conf.sessionLocalTimeZone
 

@@ -521,6 +521,67 @@ object LogTableSql {
       s"graft SQL: $what must be a version or timestamp literal, got $other")
   }
 
+  /** METADATA-ONLY `count(*)` — the Delta OptimizeMetadataOnlyQuery
+    * move: a global, unfiltered, non-distinct count over a log-table
+    * relation folds to the snapshot's EXACT row count straight from the
+    * log (every file's committed row count), replacing the whole scan
+    * with a one-row LocalRelation. At 100 TB that is the difference
+    * between a constant-time answer and reading a million parquet
+    * footers. STRICT eligibility, never a wrong answer: no grouping, no
+    * filter anywhere below the aggregate (the relation must be the
+    * direct child, modulo a pure column-pruning Project), every
+    * aggregate a plain `count(literal)`, and no deletion vectors in the
+    * snapshot (a DV'd read plans an anti-join ABOVE the relation, so
+    * this shape cannot match it — and the bare relation refuses DV
+    * snapshots outright).
+    */
+  final case class MetadataCountRule(session: SparkSession)
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+      AttributeReference, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Count}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      LocalRelation, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+
+    private def indexOf(plan: LogicalPlan): Option[LogTableFileIndex] =
+      plan match {
+        case LogicalRelation(
+            fs: HadoopFsRelation, _, _, false, _)
+            if fs.location.isInstanceOf[LogTableFileIndex] =>
+          Some(fs.location.asInstanceOf[LogTableFileIndex])
+        // a pure column-pruning projection never changes the row count
+        case Project(ps, child) if ps.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } => indexOf(child)
+        case _ => None
+      }
+
+    private def countStar(e: Expression): Boolean = e match {
+      case Alias(c, _) => countStar(c)
+      case AggregateExpression(Count(Seq(_: CLit)), _, false, None, _) => true
+      case _ => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if exprs.nonEmpty && exprs.forall(countStar) =>
+        indexOf(child) match {
+          case Some(index) if index.snap.files.forall(_.dv.isEmpty) =>
+            val cnt = LogTable.liveRows(index.snap)
+            LocalRelation(
+              agg.output.map(_.asInstanceOf[Attribute]),
+              Seq(org.apache.spark.sql.catalyst.InternalRow(
+                agg.output.map(_ => cnt): _*)))
+          case _ => agg
+        }
+    }
+  }
+
   /** `graft_changes('path', from, to)` — the file-level CDF as a
     * table-valued function (the Delta `table_changes` shape), registered
     * via `SparkSessionExtensions.injectTableFunction`: the SAME
