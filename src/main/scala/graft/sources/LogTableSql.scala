@@ -540,11 +540,12 @@ object LogTableSql {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
       AttributeReference, Literal => CLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{
-      AggregateExpression, Count}
+      AggregateExpression, Count, Max, Min}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
       LocalRelation, Project}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
       LogicalRelation}
+    import org.apache.spark.sql.types._
 
     private def indexOf(plan: LogicalPlan): Option[LogTableFileIndex] =
       plan match {
@@ -552,7 +553,7 @@ object LogTableSql {
             fs: HadoopFsRelation, _, _, false, _)
             if fs.location.isInstanceOf[LogTableFileIndex] =>
           Some(fs.location.asInstanceOf[LogTableFileIndex])
-        // a pure column-pruning projection never changes the row count
+        // a pure column-pruning projection never changes the rows
         case Project(ps, child) if ps.forall {
           case _: AttributeReference => true
           case Alias(_: AttributeReference, _) => true
@@ -561,22 +562,85 @@ object LogTableSql {
         case _ => None
       }
 
-    private def countStar(e: Expression): Boolean = e match {
-      case Alias(c, _) => countStar(c)
-      case AggregateExpression(Count(Seq(_: CLit)), _, false, None, _) => true
-      case _ => false
+    /** Parse a persisted stat string back into the column type's
+      * INTERNAL value. Only types whose stat rendering round-trips
+      * losslessly participate — anything else declines the fold.
+      */
+    private def statValue(dt: DataType, s: String): Option[Any] =
+      try dt match {
+        case ByteType => Some(s.toByte)
+        case ShortType => Some(s.toShort)
+        case IntegerType => Some(s.toInt)
+        case LongType => Some(s.toLong)
+        case FloatType => Some(s.toFloat)
+        case DoubleType => Some(s.toDouble)
+        case d: DecimalType =>
+          Some(org.apache.spark.sql.types.Decimal(
+            BigDecimal(s), d.precision, d.scale))
+        case StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case DateType =>
+          Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case TimestampType => Some(s.toLong) // persisted as UTC micros
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def ordering(dt: DataType): Option[Ordering[Any]] =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt) match {
+        case o => Some(o.asInstanceOf[Ordering[Any]])
+      }
+
+    /** The folded value for one aggregate over the snapshot, or None
+      * when this aggregate (or the metadata) cannot answer it exactly.
+      */
+    private def foldOne(snap: LogTable.Snapshot,
+                        e: Expression): Option[Any] = e match {
+      case Alias(c, _) => foldOne(snap, c)
+      case AggregateExpression(Count(Seq(_: CLit)), _, false, None, _) =>
+        Some(LogTable.liveRows(snap))
+      case AggregateExpression(mm @ (_: Min | _: Max), _, false, None, _) =>
+        val (attr, isMin) = mm match {
+          case Min(a: AttributeReference) => (a, true)
+          case Max(a: AttributeReference) => (a, false)
+          case _ => return None
+        }
+        // EVERY live file must carry min/max stats for the column (a
+        // file without them could hold the true extremum); all-NULL
+        // files (stats present, bounds absent, nulls == rows) skip —
+        // min/max ignore NULLs. A column that is NULL everywhere folds
+        // to NULL, exactly like the scan would answer.
+        val per = snap.files.map(f => f.stats.collectFirst {
+          case (k, s) if k.equalsIgnoreCase(snap.physicalOf(attr.name)) => s
+        })
+        if (per.exists(_.isEmpty)) return None
+        val bounds = per.flatten.flatMap { s =>
+          (s.min, s.max) match {
+            case (Some(lo), Some(hi)) => Some((lo, hi))
+            case _ if s.nulls > 0 => None // all-NULL file: contributes nothing
+            case _ => None
+          }
+        }
+        if (bounds.isEmpty) return Some(null) // NULL everywhere
+        val vals = bounds.map { case (lo, hi) => if (isMin) lo else hi }
+          .map(statValue(attr.dataType, _))
+        if (vals.exists(_.isEmpty)) return None
+        ordering(attr.dataType).map { ord =>
+          if (isMin) vals.flatten.min(ord) else vals.flatten.max(ord)
+        }
+      case _ => None
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(Nil, exprs, child, _)
-          if exprs.nonEmpty && exprs.forall(countStar) =>
+      case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
         indexOf(child) match {
           case Some(index) if index.snap.files.forall(_.dv.isEmpty) =>
-            val cnt = LogTable.liveRows(index.snap)
-            LocalRelation(
+            val folded = exprs.map(foldOne(index.snap, _))
+            if (folded.exists(_.isEmpty)) agg
+            else LocalRelation(
               agg.output.map(_.asInstanceOf[Attribute]),
               Seq(org.apache.spark.sql.catalyst.InternalRow(
-                agg.output.map(_ => cnt): _*)))
+                folded.map(_.get): _*)))
           case _ => agg
         }
     }

@@ -48,6 +48,26 @@ class MetadataCountSpec extends SparkSpec {
     assert(isFolded(df3) && df3.head().getLong(0) == 30L)
   }
 
+  test("global min/max over stats-tracked columns fold too — mixed " +
+    "with count in one aggregate") {
+    val t = tmp()
+    mk(t)
+    val df = spark.sql(s"SELECT min(k) AS lo, max(k) AS hi, " +
+      s"count(*) AS n, min(p) AS plo FROM graft.`$t`")
+    assert(isFolded(df), df.queryExecution.optimizedPlan.toString)
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 29L &&
+      r.getLong(2) == 30L && r.getString(3) == "p0")
+    // a column without universal stats declines (v is untracked)
+    val dfv = spark.sql(s"SELECT max(v) AS hv FROM graft.`$t`")
+    assert(!isFolded(dfv))
+    assert(dfv.head().getLong(0) == 29L)
+    // the fold tracks deletes exactly (victims re-stat on rewrite)
+    LogTable.deleteWhere(spark, t, col("k") >= 25L): Unit
+    val df2 = spark.sql(s"SELECT max(k) AS hi FROM graft.`$t`")
+    assert(isFolded(df2) && df2.head().getLong(0) == 24L)
+  }
+
   test("ineligible shapes keep scanning: filter, group-by, distinct, " +
     "deletion vectors — and still answer exactly") {
     val t = tmp()
