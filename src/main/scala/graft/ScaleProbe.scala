@@ -335,6 +335,27 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // METADATA AGGREGATE at scale: the folded global min/max/count
+    // answers from the log at ANY tier (flat), while the same aggregate
+    // forced onto the scan path (a tautological filter defeats the
+    // fold's strict eligibility) pays the table's size — the contrast
+    // that prices the rule at 100 TB.
+    def metaAgg(mode: String)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/metaagg/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t, orderShape(s, d),
+          Seq("o_year"), Seq("cents")): Unit
+      }
+      val base = LogTable.table(s, t)
+      val src = if (mode == "folded") base else base.filter(col("k") >= 0L)
+      src.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        count(lit(1)).as("n"))
+    }
+
     // PARTITION EVOLUTION at scale: half the table written under the
     // create-time spec (o_year), the spec evolved to the derived
     // odate_month, half written after. "mixed" reads a one-month window
@@ -699,6 +720,8 @@ object ScaleProbe {
         "colmap_read:plain" -> (colmapRead(renamed = false) _),
         "pevo_read:mixed" -> (pevoRead("mixed") _),
         "pevo_read:migrated" -> (pevoRead("migrated") _),
+        "meta_agg:folded" -> (metaAgg("folded") _),
+        "meta_agg:scan" -> (metaAgg("scan") _),
         "merge_keyrange:bounded" -> (keyRangeMerge _),
         "mv_commit:inline" -> (mvCommit("inline") _),
         "mv_commit:async" -> (mvCommit("async") _),
