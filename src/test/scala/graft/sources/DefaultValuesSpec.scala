@@ -109,4 +109,27 @@ class DefaultValuesSpec extends SparkSpec {
     assert(LogTable.compactPartitions(spark, t, maxFilesPerPartition = 2,
       where = Some(col("p") === "p0")) == -1L)
   }
+
+  test("OPTIMIZE WHERE composes with ZORDER BY: only the matching " +
+    "partition re-clusters") {
+    val t = tmp()
+    LogTable.create(spark, t,
+      (0L until 24L).map(i => (i, (i * 7) % 24, s"p${i % 2}", i))
+        .toDF("k", "x", "p", "v"),
+      Seq("p"), statsCols = Seq("k", "x"))
+    (1 to 3).foreach { i =>
+      LogTable.append(spark, t,
+        (0L until 4L).map(j => (100L * i + j, (j * 5) % 24, s"p${j % 2}", j))
+          .toDF("k", "x", "p", "v")): Unit
+    }
+    val p1Before = LogTable.snapshot(spark, t).files
+      .filter(f => f.pmin == "p1" || f.pmax == "p1").map(_.name).toSet
+    val v = spark.sql(s"OPTIMIZE graft.`$t` WHERE p = 'p0' " +
+      "MAX 2 FILES PER PARTITION ZORDER BY (k, x)").head().getLong(0)
+    assert(v > 0)
+    val after = LogTable.snapshot(spark, t)
+    assert(after.files.filter(f => f.pmin == "p1" || f.pmax == "p1")
+      .map(_.name).toSet == p1Before)
+    assert(LogTable.read(spark, t).count() == 36L)
+  }
 }
