@@ -2109,6 +2109,28 @@ object LogTable {
       decided.length, excluded.length, scan.length)
   }
 
+  /** A FILTERED count answered purely from metadata, or None when any
+    * file is undecided — the SQL fold's strict form of [[countWhere]]:
+    * every live file must be either provably empty under the conjuncts
+    * (mayMatch false) or provably all-matching (mustMatch true, no DV,
+    * zero nulls per mustMatch's discipline). `cj` arrives ANALYZED
+    * (optimizer-plan conjuncts referencing the relation's physical
+    * attributes — the same vocabulary mayMatch resolves).
+    */
+  private[sources] def decidedCount(snap: Snapshot, cj: Seq[Expression],
+                                    zone: String): Option[Long] = {
+    var total = 0L
+    snap.files.foreach { f =>
+      val may = cj.forall(c => mayMatch(snap, f, c, zone))
+      if (may) {
+        if (f.dv.isEmpty && cj.forall(c => mustMatch(snap, f, c, zone)))
+          total += f.rows
+        else return None // undecided: the scan must answer
+      }
+    }
+    Some(total)
+  }
+
   /** Does EVERY row of `f` provably satisfy conjunct `e`? The strict
     * dual of [[mayMatch]]: comparisons additionally require ZERO nulls
     * in the column (a NULL row satisfies no comparison), and anything

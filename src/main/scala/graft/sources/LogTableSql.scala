@@ -631,17 +631,58 @@ object LogTableSql {
       case _ => None
     }
 
+    private def isCountStar(e: Expression): Boolean = e match {
+      case Alias(c, _) => isCountStar(c)
+      case AggregateExpression(Count(Seq(_: CLit)), _, false, None, _) => true
+      case _ => false
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
-        indexOf(child) match {
-          case Some(index) if index.snap.files.forall(_.dv.isEmpty) =>
-            val folded = exprs.map(foldOne(index.snap, _))
-            if (folded.exists(_.isEmpty)) agg
-            else LocalRelation(
-              agg.output.map(_.asInstanceOf[Attribute]),
-              Seq(org.apache.spark.sql.catalyst.InternalRow(
-                folded.map(_.get): _*)))
-          case _ => agg
+        // pruning Projects (attribute-only, incl. the empty count(*)
+        // projection) never change row counts — look through them
+        def unwrap(p: LogicalPlan): LogicalPlan = p match {
+          case Project(ps, c) if ps.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } => unwrap(c)
+          case other => other
+        }
+        unwrap(child) match {
+          // FILTERED count: folds only when the predicate is FULLY
+          // stats-decided — every file provably empty or provably
+          // all-matching under the pushed conjuncts (no scan residue,
+          // no DVs). `count(*) WHERE day = yesterday` over an aligned
+          // layout then answers in constant time; one undecided
+          // boundary file and the whole aggregate scans as before.
+          case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(cond, grandchild) if exprs.forall(isCountStar) =>
+            indexOf(grandchild) match {
+              case Some(index) =>
+                val zone = session.sessionState.conf.sessionLocalTimeZone
+                LogTable.decidedCount(index.snap,
+                    LogTable.conjuncts(cond), zone) match {
+                  case Some(cnt) =>
+                    LocalRelation(
+                      agg.output.map(_.asInstanceOf[Attribute]),
+                      Seq(org.apache.spark.sql.catalyst.InternalRow(
+                        agg.output.map(_ => cnt): _*)))
+                  case None => agg
+                }
+              case None => agg
+            }
+          case _ =>
+            indexOf(child) match {
+              case Some(index) if index.snap.files.forall(_.dv.isEmpty) =>
+                val folded = exprs.map(foldOne(index.snap, _))
+                if (folded.exists(_.isEmpty)) agg
+                else LocalRelation(
+                  agg.output.map(_.asInstanceOf[Attribute]),
+                  Seq(org.apache.spark.sql.catalyst.InternalRow(
+                    folded.map(_.get): _*)))
+              case _ => agg
+            }
         }
     }
   }

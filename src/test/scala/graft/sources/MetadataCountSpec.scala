@@ -68,6 +68,29 @@ class MetadataCountSpec extends SparkSpec {
     assert(isFolded(df2) && df2.head().getLong(0) == 24L)
   }
 
+  test("a FULLY stats-decided filtered count folds; one undecided " +
+    "boundary file sends the whole aggregate back to the scan") {
+    val t = tmp()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "12")
+    try mk(t) finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // partition-aligned predicate: every file provably in or out
+    val aligned = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE p = 'p1'")
+    assert(isFolded(aligned),
+      aligned.queryExecution.optimizedPlan.toString)
+    assert(aligned.head().getLong(0) == 10L)
+    // a mid-range bound on k leaves boundary files undecided — scans
+    val boundary = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE k < 13")
+    assert(!isFolded(boundary))
+    assert(boundary.head().getLong(0) == 13L)
+    // a provably-empty predicate folds to zero
+    val empty = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE k < 0")
+    assert(isFolded(empty) && empty.head().getLong(0) == 0L)
+  }
+
   test("ineligible shapes keep scanning: filter, group-by, distinct, " +
     "deletion vectors — and still answer exactly") {
     val t = tmp()
