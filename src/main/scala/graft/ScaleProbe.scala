@@ -441,6 +441,51 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col(cCol)).as("s"))
     }
 
+    // COLD SNAPSHOT LOAD at scale, JSON vs PARQUET checkpoint: a table
+    // whose FILE COUNT grows with the tier (≈ rows/8, capped) is
+    // checkpointed in each format and its commits expired, so the next
+    // snapshot() must replay the checkpoint alone. JSON replays as one
+    // driver-side Jackson parse — linear in files; the parquet form is
+    // a parallel columnar scan whose job overhead dominates small logs
+    // and whose curve stays flat as the log grows. The probe drops the
+    // snapshot cache each pass, so every measurement is a genuine cold
+    // load of O(files) metadata.
+    def ckptCache(fmt: String)(s: SparkSession, d: String): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/ckpt_$fmt/$key").getAbsolutePath
+      freshCache(s, t, ".ckpt_probe_done") {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("k"), col("lang").as("p"),
+            col("n_chars").cast("long").as("v"))
+        val rows = docs.count()
+        val nf = math.min(8192L, math.max(64L, rows / 8L)).toInt
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", nf.toString)
+          LogTable.create(s, t, docs, Seq("p"), statsCols = Seq("k", "v"),
+            tableProperties =
+              if (fmt == "parquet") Map(LogTable.CkptFormatProp -> "parquet")
+              else Map.empty): Unit
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        LogTable.checkpoint(s, t): Unit
+        LogTable.expireLog(s, t): Unit
+        java.nio.file.Files.write(
+          new java.io.File(t, ".ckpt_probe_done").toPath,
+          Array.emptyByteArray): Unit
+      }
+      t
+    }
+    def ckptColdLoad(fmt: String)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = ckptCache(fmt)(s, d)
+      LogTable.dropCachedSnapshots(s, t)
+      val n = LogTable.snapshot(s, t).files.length
+      s.range(n.toLong).toDF()
+    }
+
     // KEY-RANGE victim pruning at scale: a bounded-key merge against a
     // k-clustered table. The batch targets a FIXED key window, so at N×
     // the candidate files still covering that window stay ~constant —
@@ -718,6 +763,8 @@ object ScaleProbe {
         "bucket_lookup:full" -> (bucketLookup("full") _),
         "colmap_read:renamed" -> (colmapRead(renamed = true) _),
         "colmap_read:plain" -> (colmapRead(renamed = false) _),
+        "ckpt_coldload:json" -> (ckptColdLoad("json") _),
+        "ckpt_coldload:parquet" -> (ckptColdLoad("parquet") _),
         "pevo_read:mixed" -> (pevoRead("mixed") _),
         "pevo_read:migrated" -> (pevoRead("migrated") _),
         "meta_agg:folded" -> (metaAgg("folded") _),

@@ -1185,6 +1185,110 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // PARQUET MULTI-PART CHECKPOINT — the file list in bounded columnar
+    // parts + a small meta JSON written last (completeness witness):
+    // after checkpoint + expireLog the cold snapshot replays from the
+    // parts alone, pinned IDENTICAL to the pre-checkpoint snapshot
+    // (version + every file entry), and a JSON-checkpointed sibling of
+    // the same content replays to the same live set — version identity
+    // across formats.
+    "q170_checkpoint_formats" -> ((s, dir) => {
+      import graft.sources.LogTable
+      def seed(t: String, props: Map[String, String]): Unit = {
+        val base = Tables(s, dir, "supplier").select(
+          col("s_suppkey").cast("long").as("k"),
+          col("s_nationkey").cast("long").as("nk"),
+          round(col("s_acctbal") * 100).cast("long").as("cents"))
+        LogTable.create(s, t, base, Seq("nk"), statsCols = Seq("k"),
+          tableProperties = props): Unit
+        LogTable.append(s, t, base.filter(col("k") % 7 === 0)
+          .select((col("k") + 8000000L).as("k"), col("nk"),
+            (col("cents") + 11L).as("cents"))): Unit
+      }
+      val tp = scratch(s, dir, "graft_q170p")
+      val tj = scratch(s, dir, "graft_q170j")
+      seed(tp, Map(LogTable.CkptFormatProp -> "parquet",
+        LogTable.CkptPartRowsProp -> "2"))
+      seed(tj, Map.empty)
+      val pre = LogTable.snapshot(s, tp)
+      Seq(tp, tj).foreach { t =>
+        LogTable.checkpoint(s, t): Unit
+        LogTable.expireLog(s, t): Unit
+        LogTable.dropCachedSnapshots(s, t)
+      }
+      val post = LogTable.snapshot(s, tp)
+      val multiPart = new org.apache.hadoop.fs.Path(tp, "_graft_log")
+        .getFileSystem(s.sessionState.newHadoopConf())
+        .listStatus(new org.apache.hadoop.fs.Path(tp, "_graft_log"))
+        .count(_.getPath.getName.matches(
+          """\d{20}\.checkpoint\.\d{5}\.\d{5}\.parquet""")) > 1
+      val identOk = post.version == pre.version &&
+        post.files.sortBy(_.name) == pre.files.sortBy(_.name)
+      val sj = LogTable.snapshot(s, tj)
+      val crossOk = sj.version == post.version &&
+        sj.files.map(_.rows).sum == post.files.map(_.rows).sum
+      val ckptOk = identOk && crossOk && multiPart
+      LogTable.read(s, tp).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("ckpt_ok", lit(ckptOk))
+    }),
+
+    // NESTED (struct-field) SCHEMA EVOLUTION — metadata-only
+    // ADD/RENAME/DROP of fields INSIDE a struct column: zero files
+    // rewritten (pinned by file-list equality), data skipping keeps
+    // pruning through the RETIRED dotted physical stats key
+    // (`meta.score` at rest, addressed as `meta.pts` — scannedFiles
+    // pinned 0 on a provably-empty predicate), old versions time-travel
+    // under the OLD nested shape, and an old-shape append fills the
+    // added field's DEFAULT recursively.
+    "q169_nested_evolution" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q169")
+      val base = Tables(s, dir, "events").select(
+        col("event_id").as("k"),
+        col("event_type").as("etype"),
+        struct(
+          col("value").as("score"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("pk"),
+          col("user_id").as("uid")).as("meta"))
+      LogTable.create(s, t, base, Seq("etype"),
+        statsCols = Seq("k", "meta.score"))
+      val v0 = LogTable.snapshot(s, t).version
+      val filesBefore = LogTable.snapshot(s, t).files.map(_.name).sorted
+      s.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN meta.score TO pts"): Unit
+      s.sql(s"ALTER TABLE graft.`$t` DROP COLUMN meta.uid"): Unit
+      s.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS " +
+        "(meta.src STRING DEFAULT 'etl')"): Unit
+      val filesAfter = LogTable.snapshot(s, t).files.map(_.name).sorted
+      val zeroTouched = filesBefore == filesAfter
+      // provably-empty predicate over the RENAMED leaf: decided on the
+      // retired dotted stats key alone — zero scans
+      val pr = LogTable.countWhere(s, t, col("meta.pts") > lit(1e18))
+      val prunedOk = pr.count == 0L && pr.scannedFiles == 0 &&
+        pr.excludedFiles == LogTable.snapshot(s, t).files.length
+      // time travel: the pre-evolution version keeps the OLD shape
+      val v0fields = LogTable.read(s, t, asOf = Some(v0))
+        .schema("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSet
+      val v0ok = v0fields == Set("score", "pk", "uid")
+      // an OLD-SHAPE batch (struct without src): the DEFAULT fills it
+      val batch = base.filter(col("k") % 97 === 0)
+        .select((col("k") + 1000000000L).as("k"), col("etype"),
+          struct((col("meta.score") + 1).as("pts"),
+            col("meta.pk").as("pk")).as("meta"))
+      LogTable.append(s, t, batch): Unit
+      val nestOk = zeroTouched && prunedOk && v0ok
+      LogTable.read(s, t).groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.pk")).cast("long").as("sum_pk"),
+          round(sum(col("meta.pts")), 2).as("sum_pts"),
+          count(col("meta.src")).as("n_src"))
+        .withColumn("nest_ok", lit(nestOk))
+    }),
+
     // METADATA-ONLY COUNT — `SELECT count(*)` over a log table folds to
     // the log's exact row counts (a one-row LocalRelation; mc_ok pins
     // the fold IN THE PLAN), stays exact across an append and a
@@ -1981,6 +2085,32 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q170_checkpoint_formats" ->
+      """WITH base AS (
+        |  SELECT s_suppkey AS k, s_nationkey AS nk,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        |  FROM supplier),
+        |final AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT k + 8000000, nk, cents + 11 FROM base WHERE k % 7 = 0)
+        |SELECT nk, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS ckpt_ok
+        |FROM final GROUP BY nk""".stripMargin,
+    "q169_nested_evolution" ->
+      """WITH base AS (
+        |  SELECT event_id AS k, event_type AS etype, value AS pts,
+        |         CAST(regexp_extract(props, '[0-9]+') AS INT) AS pk
+        |  FROM events),
+        |final AS (
+        |  SELECT k, etype, pts, pk, NULL AS src FROM base
+        |  UNION ALL
+        |  SELECT k + 1000000000, etype, pts + 1, pk, 'etl' FROM base
+        |  WHERE k % 97 = 0)
+        |SELECT etype, count(*) AS n, CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  round(sum(pts), 2) AS sum_pts, count(src) AS n_src,
+        |  TRUE AS nest_ok
+        |FROM final GROUP BY etype""".stripMargin,
     "q168_metadata_count" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS segment,

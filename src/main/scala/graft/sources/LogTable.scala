@@ -173,10 +173,48 @@ object LogTable {
       colMap.collectFirst {
         case (l, p) if l.equalsIgnoreCase(logical) => p
       }.getOrElse(logical)
-    /** The schema as the files store it — field names mapped physical. */
+
+    /** NESTED column mapping — the struct-field extension of [[colMap]]:
+      * `colmap.nest.<physParentPath>.<logical> = <physLeaf>` maps one
+      * struct FIELD's logical name to its at-rest physical name, scoped
+      * to its parent's PHYSICAL dotted path (stable forever, so a later
+      * rename of the parent never invalidates child keys). Grouped here
+      * by parent physical path. Empty on every table that never evolved
+      * a nested field — the fast paths stay byte-identical.
+      */
+    lazy val nestMaps: Map[String, Map[String, String]] =
+      nestMapsOfProps(properties)
+    /** A nested field's at-rest name under `parentPhys` (identity when
+      * never renamed).
+      */
+    def nestPhysicalOf(parentPhys: String, logical: String): String =
+      nestPhysIn(nestMaps, parentPhys, logical)
+    /** A dotted logical path's at-rest dotted physical path — identity
+      * per segment on anything not mapped, so an already-physical path
+      * (FileIndex filters, statsCols at rest) round-trips unchanged.
+      */
+    def physicalOfPath(path: String): String =
+      if (!path.contains('.')) physicalOf(path)
+      else {
+        val segs = path.split("\\.")
+        val sb = new StringBuilder(physicalOf(segs.head))
+        segs.iterator.drop(1).foreach { s =>
+          val parent = sb.toString
+          sb.append('.').append(nestPhysicalOf(parent, s)): Unit
+        }
+        sb.toString
+      }
+    /** Does any nested mapping live at or below this physical path? */
+    def nestMappedBelow(physPath: String): Boolean =
+      nestMappedBelowIn(nestMaps, physPath)
+    /** The schema as the files store it — field names mapped physical,
+      * recursively through struct levels (nested mapping applies to
+      * plain struct paths only — never inside arrays or maps, enforced
+      * at evolution time).
+      */
     lazy val physicalSchema: StructType =
-      if (colMap.isEmpty) schema
-      else StructType(schema.fields.map(f => f.copy(name = physicalOf(f.name))))
+      if (colMap.isEmpty && nestMaps.isEmpty) schema
+      else physicalizeStruct(schema, colMap, nestMaps)
     /** Physical names retired by DROP COLUMN — never reusable (a new
       * column reusing a dropped physical name would resurrect the
       * dropped column's old values out of pre-drop files).
@@ -235,9 +273,15 @@ object LogTable {
             case (k, s) if k.equalsIgnoreCase(c) => s
           }.get)
           val nulls = per.iterator.map(_.nulls).sum
+          // Float/double stats render NaN/Infinity verbatim; those bounds
+          // are unorderable (mirrors fracKey's discipline) — decline the
+          // range for the column rather than throw on BigDecimal parse.
+          def finite(s: String): Boolean =
+            scala.util.Try(BigDecimal(s)).isSuccess
           val (mn, mx) =
             if (!numeric.contains(c) ||
-                per.exists(s => s.min.isEmpty || s.max.isEmpty))
+                per.exists(s => s.min.isEmpty || s.max.isEmpty) ||
+                per.exists(s => !finite(s.min.get) || !finite(s.max.get)))
               (None, None)
             else {
               val lo = per.iterator.map(s => BigDecimal(s.min.get)).min
@@ -252,6 +296,7 @@ object LogTable {
   }
 
   private[sources] val ColMapMapPrefix = "colmap.map."
+  private[sources] val ColMapNestPrefix = "colmap.nest."
   private[sources] val ColMapDroppedProp = "colmap.dropped"
 
   /** PARTITION EVOLUTION bookkeeping. `pspec.origin` — stamped ONCE, at
@@ -309,12 +354,14 @@ object LogTable {
     * snapshot load instead of silently mis-reading. Levels: 1 = base;
     * 2 = column mapping / deletion vectors (at-rest physical names and
     * row-level deletes an older reader would surface wrong); 3 = late
-    * generated columns (readers must COMPUTE them on predating files).
-    * The property appears only when a feature first activates — plain
-    * tables stay readable by every level.
+    * generated columns (readers must COMPUTE them on predating files);
+    * 4 = NESTED column mapping (struct-field renames — an older reader
+    * would project logical leaf names the files never carry, silent
+    * NULLs). The property appears only when a feature first activates —
+    * plain tables stay readable by every level.
     */
   private[sources] val ProtocolProp = "protocol.minreader"
-  private[sources] val ReaderVersion = 3
+  private[sources] val ReaderVersion = 4
 
   /** Raise the table's min-reader requirement to `level` (never lowers). */
   private def ensureProtocol(props: Map[String, String],
@@ -380,6 +427,120 @@ object LogTable {
         k.drop(ColMapMapPrefix.length) -> v
     }
 
+  /** The NESTED mapping ([[Snapshot.nestMaps]]) out of raw properties. */
+  private[sources] def nestMapsOfProps(props: Map[String, String])
+      : Map[String, Map[String, String]] =
+    props.iterator.collect {
+      case (k, v) if k.startsWith(ColMapNestPrefix) =>
+        val rest = k.drop(ColMapNestPrefix.length)
+        val cut = rest.lastIndexOf('.')
+        (rest.substring(0, cut), rest.substring(cut + 1), v)
+    }.toSeq.groupBy(_._1).map { case (p, es) =>
+      p -> es.map(e => e._2 -> e._3).toMap
+    }
+
+  private[sources] def nestPhysIn(nestMaps: Map[String, Map[String, String]],
+                                  parentPhys: String, logical: String): String =
+    nestMaps.collectFirst {
+      case (p, m) if p.equalsIgnoreCase(parentPhys) =>
+        m.collectFirst {
+          case (l, ph) if l.equalsIgnoreCase(logical) => ph
+        }.getOrElse(logical)
+    }.getOrElse(logical)
+
+  private[sources] def nestMappedBelowIn(
+      nestMaps: Map[String, Map[String, String]], physPath: String): Boolean =
+    nestMaps.keys.exists(k => k.equalsIgnoreCase(physPath) ||
+      k.toLowerCase.startsWith(physPath.toLowerCase + "."))
+
+  /** Resolve a (possibly dotted) path against a schema,
+    * case-insensitively per segment, to its EXACT-cased dotted path and
+    * leaf type. None when any segment misses or a non-terminal segment
+    * is not a plain struct (arrays/maps are opaque to stats and
+    * mapping).
+    */
+  private[sources] def resolvePathIn(schema: StructType,
+                                     path: String): Option[(String, DataType)] = {
+    val segs = path.split("\\.")
+    var cur: DataType = schema
+    val exact = Seq.newBuilder[String]
+    segs.foreach { s =>
+      cur match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(s)) match {
+            case Some(f) => exact += f.name; cur = f.dataType
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    Some((exact.result().mkString("."), cur))
+  }
+
+  /** A Column addressing a dotted path, each segment backtick-quoted. */
+  private[sources] def pathCol(path: String): Column =
+    col(path.split("\\.").iterator
+      .map(s => "`" + s.replace("`", "``") + "`").mkString("."))
+
+  /** A logical-named struct VALUE rebuilt under physical leaf names (the
+    * write direction), or vice versa (the read direction) — shared by
+    * batch reads, the write path, and the streaming source. The rebuild
+    * wraps in `when(isNotNull)` so a NULL struct stays NULL instead of
+    * becoming a struct of NULLs; subtrees with no mapping below them
+    * pass through untouched (no plan nodes added).
+    */
+  private[sources] def colToPhysical(c: Column, logicalDt: DataType,
+      physPath: String, nestMaps: Map[String, Map[String, String]]): Column =
+    logicalDt match {
+      case st: StructType if nestMappedBelowIn(nestMaps, physPath) =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map { f =>
+          val pn = nestPhysIn(nestMaps, physPath, f.name)
+          colToPhysical(c.getField(f.name), f.dataType,
+            physPath + "." + pn, nestMaps).as(pn)
+        }: _*)
+        when(c.isNotNull, rebuilt)
+      case _ => c
+    }
+
+  private[sources] def colToLogical(c: Column, logicalDt: DataType,
+      physPath: String, nestMaps: Map[String, Map[String, String]]): Column =
+    logicalDt match {
+      case st: StructType if nestMappedBelowIn(nestMaps, physPath) =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map { f =>
+          val pn = nestPhysIn(nestMaps, physPath, f.name)
+          colToLogical(c.getField(pn), f.dataType,
+            physPath + "." + pn, nestMaps).as(f.name)
+        }: _*)
+        when(c.isNotNull, rebuilt)
+      case _ => c
+    }
+
+  /** A logical StructType re-titled under physical names, recursively —
+    * the generalization of the flat `f.copy(name = physicalOf(f.name))`.
+    */
+  private[sources] def physicalizeStruct(st: StructType,
+      colMap: Map[String, String],
+      nestMaps: Map[String, Map[String, String]]): StructType = {
+    def phys(n: String): String = colMap.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(n) => p
+    }.getOrElse(n)
+    def conv(s: StructType, parentPhys: Option[String]): StructType =
+      StructType(s.fields.map { f =>
+        val pn = parentPhys match {
+          case None => phys(f.name)
+          case Some(pp) => nestPhysIn(nestMaps, pp, f.name)
+        }
+        val childPath = parentPhys.map(_ + "." + pn).getOrElse(pn)
+        val dt = f.dataType match {
+          case inner: StructType if nestMappedBelowIn(nestMaps, childPath) =>
+            conv(inner, Some(childPath))
+          case other => other
+        }
+        f.copy(name = pn, dataType = dt)
+      })
+    conv(st, None)
+  }
+
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
   /** One commit (or checkpoint) file, parsed: the table metadata it
@@ -397,7 +558,8 @@ object LogTable {
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
       properties: Map[String, String] = Map.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      ckptParts: Int = -1)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -613,12 +775,72 @@ object LogTable {
     }
   }
 
+  /** CONDITIONAL-PUT coordinator — the object-store exactly-once
+    * primitive (S3 `If-None-Match: *`, GCS
+    * `x-goog-if-generation-match: 0`, ABFS etag create): one PUT that
+    * succeeds iff the key does not exist, atomically and full-object,
+    * so no lock, no lease, no stale-holder heuristic exists at all.
+    * The LOCAL simulation uses `link(2)`: hard-linking is atomic on
+    * POSIX and fails `EEXIST` when `dst` exists, and the linked object
+    * is the fully-written `tmp` bytes — `dst` can never be torn. A
+    * real deployment swaps [[putIfAbsent]] for the store's conditional
+    * PUT; the publish contract and every caller stay identical.
+    */
+  class ConditionalPutCommitCoordinator extends CommitCoordinator {
+    protected def putIfAbsent(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem => ()
+        case other => throw new java.io.IOException(
+          s"ConditionalPutCommitCoordinator's local link(2) simulation " +
+            s"does not apply to ${other.getClass.getSimpleName} — plug " +
+            "the store's conditional PUT (if-none-match) here")
+      }
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val to = java.nio.file.Paths.get(dst.toUri.getPath)
+      try { java.nio.file.Files.createLink(to, src); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+    override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      val won = putIfAbsent(fs, tmp, dst)
+      // match the rename coordinator's contract: a WIN consumes tmp
+      if (won) fs.delete(tmp, false): Unit
+      won
+    }
+  }
+
   /** Session-level commit-publish policy — swap for storage that needs a
     * different exactly-once primitive. Applies to every table this JVM
     * writes (publish semantics are a property of the storage, not of one
     * table).
     */
   @volatile var coordinator: CommitCoordinator = RenameCommitCoordinator
+
+  /** Coordinator selection by TABLE PROPERTY (`commit.coordinator`) or
+    * session conf (`spark.graft.commit.coordinator`) — values `rename`,
+    * `lockfile`, `condput`. The explicit [[coordinator]] var (a
+    * programmatic swap) is the fallback, so existing callers keep their
+    * behavior bit-for-bit.
+    */
+  private[sources] val CommitCoordinatorProp = "commit.coordinator"
+  private lazy val lockFileCoordinator = new LockFileCommitCoordinator()
+  private lazy val condPutCoordinator = new ConditionalPutCommitCoordinator()
+  private def coordinatorNamed(path: String, name: String): CommitCoordinator =
+    name.toLowerCase match {
+      case "rename" => RenameCommitCoordinator
+      case "lockfile" => lockFileCoordinator
+      case "condput" => condPutCoordinator
+      case other => throw new IllegalArgumentException(
+        s"log table $path: unknown commit coordinator `$other` — " +
+          "rename, lockfile or condput")
+    }
+  private def coordinatorFor(spark: SparkSession, path: String,
+                             properties: Map[String, String])
+      : CommitCoordinator =
+    properties.get(CommitCoordinatorProp)
+      .orElse(Option(spark.conf.get("spark.graft.commit.coordinator", null)))
+      .map(coordinatorNamed(path, _))
+      .getOrElse(coordinator)
 
   private val Mapper = new ObjectMapper()
 
@@ -678,12 +900,20 @@ object LogTable {
       s"log table $path: zorderBy interleaves 2 to 4 dimensions " +
         s"(got ${zorderBy.size}) — one dimension is plain clusterBy; " +
         "beyond 4 each dimension keeps too few Morton bits to skip")
+    // a statsCol may be a DOTTED struct path ("meta.score") — partition
+    // and layout columns stay top-level (a partition value must be a
+    // whole column; nested layout keys would sort by an extraction)
+    (partitionCols ++ clusterBy ++ zorderBy).foreach { c =>
+      require(!c.contains('.'),
+        s"log table $path: `$c` — partition/cluster/z-order columns " +
+          "must be top-level (nested paths carry stats only)")
+    }
     (partitionCols ++ statsCols ++ clusterBy ++ zorderBy).foreach { c =>
-      val fd = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      val (_, dt) = resolvePathIn(df.schema, c).getOrElse(
         throw new IllegalArgumentException(
           s"log table $path: tracked column `$c` is not in the schema"))
-      require(orderableForStats(fd.dataType),
-        s"log table $path: column `$c` (${fd.dataType.sql}) cannot carry " +
+      require(orderableForStats(dt),
+        s"log table $path: column `$c` (${dt.sql}) cannot carry " +
           "min/max stats — only numeric, string, boolean, date and " +
           "timestamp columns are trackable")
     }
@@ -742,12 +972,117 @@ object LogTable {
 
   private val CommitName = """^(\d{20})\.json$""".r
   private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
+  // PARQUET MULTI-PART checkpoint (the Delta checkpoint-v2 shape): the
+  // file list lives in `<v>.checkpoint.<i>.<n>.parquet` parts (columnar,
+  // bounded rows per part — a million-file snapshot loads as a parallel
+  // scan instead of one driver-side JSON parse), and the table-level
+  // metadata in a SMALL `<v>.checkpoint.meta.json` in the ordinary
+  // commit format (adds empty, `ckptParts` = n). The meta file is
+  // written LAST, so its presence witnesses a complete part set; a
+  // reader finding fewer parts than advertised treats the checkpoint as
+  // absent. JSON checkpoints remain readable (and writable) forever.
+  private val CkptPartName =
+    """^(\d{20})\.checkpoint\.(\d{5})\.(\d{5})\.parquet$""".r
+  private val CkptMetaName = """^(\d{20})\.checkpoint\.meta\.json$""".r
+  private[graft] val CkptFormatProp = "ckpt.format"
+  private[graft] val CkptPartRowsProp = "ckpt.partrows"
+
+  /** Columnar schema of one checkpoint part: exactly the commit-entry
+    * file fields incl. per-column stats and the DV pointer.
+    */
+  private val CkptFileSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("pmin", StringType, nullable = false),
+    StructField("pmax", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("stats", MapType(StringType, StructType(Seq(
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true),
+      StructField("nulls", LongType, nullable = false),
+      StructField("ndv", StringType, nullable = true))), valueContainsNull = false),
+      nullable = true),
+    StructField("dv_name", StringType, nullable = true),
+    StructField("dv_deleted", LongType, nullable = true)))
 
   /** Current (or `asOf`-pinned) snapshot: replay starts from the newest
     * checkpoint at-or-before the target version (one file instead of the
     * whole history), then folds the remaining commits — one directory
     * listing plus O(commits since checkpoint) small JSON reads.
     */
+  /** A readable checkpoint at `v`: the witness file `st` (the JSON
+    * checkpoint itself, or the parquet form's small meta file) plus the
+    * columnar parts for the parquet form.
+    */
+  private final case class CkptRef(v: Long,
+                                   st: org.apache.hadoop.fs.FileStatus,
+                                   parts: Option[Seq[Path]])
+
+  /** All COMPLETE checkpoints in a log listing, ascending by version.
+    * A parquet checkpoint counts only when its meta file exists AND
+    * every advertised part is present (the meta is written last, so a
+    * torn writer leaves only inert parts). When both formats exist at
+    * one version the parquet one wins (identical content; columnar
+    * reads scale).
+    */
+  private def checkpointRefs(
+      listed: Seq[org.apache.hadoop.fs.FileStatus]): Seq[CkptRef] = {
+    val json = listed.flatMap(st => st.getPath.getName match {
+      case CheckpointName(v) => Some(CkptRef(v.toLong, st, None))
+      case _ => None
+    })
+    val parts = listed.flatMap(st => st.getPath.getName match {
+      case CkptPartName(v, i, n) =>
+        Some((v.toLong, i.toInt, n.toInt, st.getPath))
+      case _ => None
+    })
+    val parquet = listed.flatMap(st => st.getPath.getName match {
+      case CkptMetaName(v) =>
+        val mine = parts.filter(_._1 == v.toLong)
+        // a complete set: for some advertised n, parts 1..n all present
+        val byN = mine.groupBy(_._3)
+        byN.collectFirst {
+          case (n, ps) if ps.map(_._2).toSet == (1 to n).toSet =>
+            CkptRef(v.toLong, st, Some(ps.sortBy(_._2).map(_._4)))
+        }.orElse(
+          // an EMPTY table checkpoints with zero parts (ckptParts = 0)
+          if (mine.isEmpty) Some(CkptRef(v.toLong, st, Some(Nil))) else None)
+      case _ => None
+    })
+    val pv = parquet.map(_.v).toSet
+    (parquet ++ json.filterNot(j => pv.contains(j.v))).sortBy(_.v)
+  }
+
+  /** Parse a checkpoint to the same shape as a commit: the JSON form in
+    * one read; the parquet form as meta JSON + a (parallel, columnar)
+    * scan of its parts.
+    */
+  private def parseCheckpoint(spark: SparkSession, fs: FileSystem,
+                              ref: CkptRef): ParsedCommit = {
+    val meta = parseCommitFile(fs, ref.st.getPath)
+    ref.parts match {
+      case None => meta
+      case Some(Nil) => meta
+      case Some(ps) =>
+        val rows = spark.read.schema(CkptFileSchema)
+          .parquet(ps.map(_.toString): _*).collect()
+        val files = rows.iterator.map { r =>
+          val stats: Map[String, ColStats] =
+            if (r.isNullAt(5)) Map.empty
+            else r.getMap[String, Row](5).iterator.map { case (c, s) =>
+              c -> ColStats(Option(s.getString(0)), Option(s.getString(1)),
+                s.getLong(2), ndv = Option(s.getString(3)))
+            }.toMap
+          val dv =
+            if (r.isNullAt(6)) None
+            else Some(DvDescriptor(r.getString(6), r.getLong(7)))
+          LogFile(r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4), stats, dv)
+        }.toSeq
+        meta.copy(adds = files)
+    }
+  }
+
   /** Parse one commit/checkpoint file. The original single-column format
     * carried `partitionCol`; new commits carry `partitionCols` — both
     * are readable forever.
@@ -824,7 +1159,9 @@ object LogTable {
       // carried in the bytes so storage-layer mtime churn (object-store
       // copies, checkpoint rewrites, restores) can never reorder time
       // travel; legacy commits read 0 (callers fall back to mtime)
-      ts = if (node.hasNonNull("ts")) node.get("ts").asLong() else 0L)
+      ts = if (node.hasNonNull("ts")) node.get("ts").asLong() else 0L,
+      ckptParts = if (node.hasNonNull("ckptParts"))
+        node.get("ckptParts").asInt() else -1)
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -845,6 +1182,7 @@ object LogTable {
       .filter(_.isFile).map(_.getPath.getName).flatMap {
         case CommitName(v) => Iterator.single(v.toLong)
         case CheckpointName(v) => Iterator.single(v.toLong)
+        case CkptMetaName(v) => Iterator.single(v.toLong)
         case _ => Iterator.empty
       }.toSeq
     require(vs.nonEmpty, s"no commits at $path")
@@ -883,6 +1221,20 @@ object LogTable {
         size() > SnapCacheMax
     }
 
+  /** Drop this table's cached snapshots — a COLD-load hook for specs and
+    * scale probes (the cache is correctness-neutral; this only forces
+    * the next [[snapshot]] to replay from the log).
+    */
+  private[graft] def dropCachedSnapshots(spark: SparkSession,
+                                         path: String): Unit = {
+    val qpath = fsOf(spark, path).makeQualified(new Path(path)).toUri.toString
+    snapCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      val dead = snapCache.keySet().asScala.filter(_._1 == qpath).toSeq
+      dead.foreach(k => snapCache.remove(k): Unit)
+    }
+  }
+
   def snapshot(spark: SparkSession, path: String,
                asOf: Option[Long] = None): Snapshot = {
     val fs = fsOf(spark, path)
@@ -892,25 +1244,44 @@ object LogTable {
       case CommitName(v) => Some((v.toLong, st))
       case _ => None
     }).sortBy(_._1)
-    val ckptAll = listed.flatMap(st => st.getPath.getName match {
-      case CheckpointName(v) => Some((v.toLong, st))
-      case _ => None
-    }).sortBy(_._1)
+    val ckptAll = checkpointRefs(listed)
     require(commits.nonEmpty || ckptAll.nonEmpty, s"no commits at $path")
     val target = asOf.getOrElse(
-      (commits.lastOption.map(_._1) ++ ckptAll.lastOption.map(_._1)).max)
+      (commits.lastOption.map(_._1) ++ ckptAll.lastOption.map(_.v)).max)
+    // The witness is (mtime:length) PLUS a hash of the file's first 64
+    // bytes — the JSON header carries version and the in-commit ts, so a
+    // table dropped and recreated at the same path that reaches the same
+    // version with a same-length commit file inside the filesystem's
+    // mtime granularity window still misses the cache (the ICT millis
+    // differ). One 64-byte read per witness check, memoized per call.
+    val sigMemo = scala.collection.mutable.Map.empty[String, String]
     def sig(st: org.apache.hadoop.fs.FileStatus): String =
-      st.getModificationTime.toString + ":" + st.getLen
+      sigMemo.getOrElseUpdate(st.getPath.getName, {
+        val head = {
+          val in = fs.open(st.getPath)
+          try {
+            val buf = new Array[Byte](64)
+            var n = 0
+            var r = 0
+            while (n < buf.length && r >= 0) {
+              r = in.read(buf, n, buf.length - n)
+              if (r > 0) n += r
+            }
+            java.util.Arrays.hashCode(java.util.Arrays.copyOf(buf, n))
+          } finally in.close()
+        }
+        st.getModificationTime.toString + ":" + st.getLen + ":" + head
+      })
     def witnessOf(v: Long): Option[String] =
       commits.find(_._1 == v).map(c => "c" + sig(c._2))
-        .orElse(ckptAll.find(_._1 == v).map(c => "k" + sig(c._2)))
+        .orElse(ckptAll.find(_.v == v).map(c => "k" + sig(c.st)))
     val qpath = fs.makeQualified(new Path(path)).toUri.toString
     witnessOf(target).foreach { w =>
       val hit = snapCache.synchronized(Option(snapCache.get((qpath, target))))
       hit.foreach { case (w0, snap) => if (w0 == w) return snap }
     }
     val upTo = commits.filter(_._1 <= target)
-    val ckpt = ckptAll.filter(_._1 <= target).lastOption
+    val ckpt = ckptAll.filter(_.v <= target).lastOption
     require(upTo.nonEmpty || ckpt.nonEmpty,
       s"no commit at or before version $target (expired log?)")
     // the newest cached ANCESTOR whose witness still matches a present
@@ -945,8 +1316,7 @@ object LogTable {
       version = a.version; cts = a.commitTs; txns = a.txns
       a.files.foreach(f => live.put(f.name, f): Unit)
     }
-    def fold(p: Path): Unit = {
-      val c = parseCommitFile(fs, p)
+    def foldParsed(c: ParsedCommit): Unit = {
       schemaDdl = c.schemaDdl
       pcols = c.partitionCols
       scols = c.statsCols
@@ -963,13 +1333,14 @@ object LogTable {
       c.removes.foreach(r => live.remove(r): Unit)
       c.adds.foreach(f => live.put(f.name, f): Unit)
     }
+    def fold(p: Path): Unit = foldParsed(parseCommitFile(fs, p))
     val floor = ancestor.map(_._1)
     floor match {
       case Some(v0) =>
         upTo.filter(_._1 > v0).foreach { case (_, st) => fold(st.getPath) }
       case None =>
-        ckpt.foreach { case (_, st) => fold(st.getPath) }
-        upTo.filter { case (v, _) => ckpt.forall(v > _._1) }
+        ckpt.foreach(r => foldParsed(parseCheckpoint(spark, fs, r)))
+        upTo.filter { case (v, _) => ckpt.forall(v > _.v) }
           .foreach { case (_, st) => fold(st.getPath) }
     }
     // a replay must END at the requested version — a gap (expired commits
@@ -1000,20 +1371,84 @@ object LogTable {
   def checkpoint(spark: SparkSession, path: String): Long = {
     val snap = snapshot(spark, path)
     val fs = fsOf(spark, path)
+    // the checkpoint CARRIES the version's own timestamp — its file
+    // mtime is the rewrite moment and means nothing for time travel;
+    // a legacy version (no in-commit ts) freezes its commit file's
+    // mtime into the carried field before that file can expire
+    val carriedTs =
+      if (snap.commitTs > 0L) snap.commitTs
+      else scala.util.Try(
+        fs.getFileStatus(commitPath(path, snap.version))
+          .getModificationTime).getOrElse(0L)
+    val parquetFmt = snap.properties.get(CkptFormatProp)
+      .exists(_.equalsIgnoreCase("parquet"))
+    if (parquetFmt) {
+      val meta = new Path(logDir(path),
+        f"${snap.version}%020d.checkpoint.meta.json")
+      if (fs.exists(meta)) return snap.version // complete already
+      // 1) the file list, columnar, in bounded parts — written to a
+      //    scratch dir by one Spark job (repartition(n) → n files),
+      //    then renamed into the log under the part names
+      val partRows = snap.properties.get(CkptPartRowsProp)
+        .map(_.toInt).getOrElse(100000)
+      val rows = new java.util.ArrayList[Row](snap.files.length)
+      snap.files.foreach { f =>
+        rows.add(Row(f.name, f.pmin, f.pmax, f.rows, f.bytes,
+          if (f.stats.isEmpty) null
+          else f.stats.map { case (c, s) =>
+            c -> Row(s.min.orNull, s.max.orNull, s.nulls, s.ndv.orNull)
+          },
+          f.dv.map(_.name).orNull,
+          f.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull))
+      }
+      val n = math.max(1, math.min(
+        (snap.files.length + partRows - 1) / math.max(1, partRows),
+        99999))
+      val scratch = new Path(logDir(path),
+        ".ckptp_" + java.util.UUID.randomUUID().toString.take(8))
+      var parts = 0
+      try {
+        if (snap.files.nonEmpty) {
+          spark.createDataFrame(rows, CkptFileSchema)
+            .repartition(n)
+            .write.mode("overwrite").parquet(scratch.toString)
+          val produced = fs.listStatus(scratch).iterator
+            .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+          parts = produced.length
+          produced.zipWithIndex.foreach { case (p, i) =>
+            val dst = new Path(logDir(path),
+              f"${snap.version}%020d.checkpoint.${i + 1}%05d.$parts%05d.parquet")
+            if (!fs.rename(p, dst) && !fs.exists(dst))
+              throw new java.io.IOException(
+                s"checkpoint part rename failed for $dst")
+          }
+        }
+      } finally fs.delete(scratch, true): Unit
+      // 2) the SMALL meta file, LAST — its presence witnesses the
+      //    complete part set (a crash before this line leaves inert
+      //    part files vacuum reclaims)
+      val tmp = new Path(logDir(path),
+        ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(commitJson(snap.version, snap.schemaDdl,
+        snap.partitionCols, snap.statsCols, Nil, Nil,
+        bloomCols = snap.bloomCols, operation = "CHECKPOINT",
+        txns = snap.txns, constraints = snap.constraints,
+        properties = snap.properties, tsMillis = carriedTs,
+        ckptParts = parts))
+      finally out.close()
+      if (!fs.rename(tmp, meta)) {
+        fs.delete(tmp, false): Unit
+        if (!fs.exists(meta))
+          throw new java.io.IOException(s"checkpoint rename failed for $meta")
+      }
+      return snap.version
+    }
     val dst = new Path(logDir(path), f"${snap.version}%020d.checkpoint.json")
     if (!fs.exists(dst)) {
       val tmp = new Path(logDir(path),
         ".ckpt_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val out = fs.create(tmp, true)
-      // the checkpoint CARRIES the version's own timestamp — its file
-      // mtime is the rewrite moment and means nothing for time travel;
-      // a legacy version (no in-commit ts) freezes its commit file's
-      // mtime into the carried field before that file can expire
-      val carriedTs =
-        if (snap.commitTs > 0L) snap.commitTs
-        else scala.util.Try(
-          fs.getFileStatus(commitPath(path, snap.version))
-            .getModificationTime).getOrElse(0L)
       try out.write(commitJson(snap.version, snap.schemaDdl, snap.partitionCols,
         snap.statsCols, snap.files, Nil, bloomCols = snap.bloomCols,
         operation = "CHECKPOINT", txns = snap.txns,
@@ -1110,7 +1545,7 @@ object LogTable {
       try writeDataFiles(spark, path, rows, snap.partitionCols,
         snap.statsCols, Some(target), clusterBy.map(snap.physicalOf),
         bloomCols = snap.bloomCols,
-        zorderBy = zorderBy.map(snap.physicalOf), colMap = snap.colMap,
+        zorderBy = zorderBy.map(snap.physicalOf), colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties))
       finally { rows.unpersist(): Unit }
     try {
@@ -1144,6 +1579,9 @@ object LogTable {
       .filter(_.isFile).map(_.getPath).toSeq
     val ckptV = listed.flatMap(p => p.getName match {
       case CheckpointName(v) => Some(v.toLong)
+      // the parquet form: meta is written LAST, so it witnesses a
+      // complete part set — safe to expire behind it
+      case CkptMetaName(v) => Some(v.toLong)
       case _ => None
     }).sorted.lastOption.getOrElse(return 0)
     val dead = listed.filter(p => p.getName match {
@@ -1446,7 +1884,7 @@ object LogTable {
       // an UPDATE can manufacture violating rows; a DELETE only drops
       if (op == "UPDATE") enforceConstraints(path, snap, rewritten)
       val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap,
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, ddl,
@@ -1660,7 +2098,7 @@ object LogTable {
             enforceConstraints(path, snap, assigned)
             writeDataFiles(spark, path, assigned,
               snap.partitionCols, snap.statsCols,
-              bloomCols = snap.bloomCols, colMap = snap.colMap,
+              bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
               ndvCols = ndvColsOf(snap.properties))
           case None => Nil
         }
@@ -1762,7 +2200,8 @@ object LogTable {
       val adds = writeDataFiles(spark, path,
         readFiles(spark, path, snap, victims),
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
-        colMap = snap.colMap, ndvCols = ndvColsOf(snap.properties))
+        colMap = snap.colMap, nestMaps = snap.nestMaps,
+            ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -2139,22 +2578,22 @@ object LogTable {
     */
   private def mustMatch(snap: Snapshot, f: LogFile, e: Expression,
                         zone: String): Boolean = {
-    val schema = snap.schema
     def colInfo(a: Expression): Option[(DataType, ColStats)] =
       attrName(a).flatMap { n =>
-        // names may be logical (DML) or physical (FileIndex) — resolve
-        // the type on the logical field whose PHYSICAL name matches,
-        // and key stats physically
-        val pn = snap.physicalOf(n)
-        schema.fields.find(fd => snap.physicalOf(fd.name).equalsIgnoreCase(pn))
-          .flatMap(fd =>
+        // names may be logical (DML) or physical (FileIndex), possibly a
+        // dotted struct path — resolve to the at-rest physical path and
+        // key stats by it; leaf type off the physical schema
+        val pn = snap.physicalOfPath(n)
+        resolvePathIn(snap.physicalSchema, pn)
+          .flatMap { case (_, dt) =>
             f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(pn) => s }
               .orElse(
                 if (pn.equalsIgnoreCase(snap.partitionCol) &&
                     leadFallbackSound(snap))
                   Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
                 else None)
-              .map(st => (fd.dataType, st)))
+              .map(st => (dt, st))
+          }
       }
     def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
       cmpStatLit(dt, stat, l, zone)
@@ -2473,12 +2912,10 @@ object LogTable {
     // whose ledger would otherwise wrongly read zero.
     val seen = scala.collection.mutable.HashSet.empty[String]
     val earliest = commits.headOption.map(_._1).getOrElse(Long.MaxValue)
-    fs.listStatus(logDir(path)).iterator.filter(_.isFile)
-      .map(_.getPath).foreach(p => p.getName match {
-        case CheckpointName(v) if v.toLong < earliest =>
-          parseCommitFile(fs, p).adds.foreach(a => seen += a.name: Unit)
-        case _ => ()
-      })
+    checkpointRefs(fs.listStatus(logDir(path)).iterator.filter(_.isFile).toSeq)
+      .filter(_.v < earliest)
+      .foreach(r => parseCheckpoint(spark, fs, r).adds
+        .foreach(a => seen += a.name: Unit))
     val rows: Seq[Row] = commits.map { case (v, st) =>
       val c = parseCommitFile(fs, st.getPath)
       val fresh = c.adds.filter(a => !seen.contains(a.name))
@@ -2874,7 +3311,8 @@ object LogTable {
           enforceConstraints(path, snap, merged)
           writeDataFiles(spark, path, merged, snap.partitionCols,
             snap.statsCols, bloomCols = snap.bloomCols,
-            colMap = snap.colMap, ndvCols = ndvColsOf(snap.properties))
+            colMap = snap.colMap, nestMaps = snap.nestMaps,
+            ndvCols = ndvColsOf(snap.properties))
         } finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
@@ -3010,17 +3448,52 @@ object LogTable {
     require(extra.isEmpty,
       s"log table $path: batch carries unknown column(s) " +
         s"${extra.mkString(", ")} — appends do not evolve the schema")
+    // STRUCT columns align recursively: a batch struct missing a field
+    // ADDED after its producer was written fills the field's DEFAULT
+    // (keyed by physical dotted path) — refusing loud without one, the
+    // exact top-level discipline; narrower nested leaves widen
+    // losslessly; unknown nested fields refuse.
+    def alignCol(ref: Column, have: DataType, want: DataType,
+                 physPath: String, label: String): Column =
+      (have, want) match {
+        case (h, w) if h == w => ref
+        case (h: StructType, w: StructType) =>
+          val extra = h.fields.filterNot(hf =>
+            w.fields.exists(_.name.equalsIgnoreCase(hf.name)))
+          require(extra.isEmpty,
+            s"log table $path: batch carries unknown field(s) " +
+              s"${extra.map(x => s"$label.${x.name}").mkString(", ")} — " +
+              "appends do not evolve the schema")
+          val rebuilt = struct(w.fields.toIndexedSeq.map { wf =>
+            val childPhys =
+              physPath + "." + snap.nestPhysicalOf(physPath, wf.name)
+            h.fields.find(_.name.equalsIgnoreCase(wf.name)) match {
+              case Some(hf) =>
+                alignCol(ref.getField(hf.name), hf.dataType, wf.dataType,
+                  childPhys, s"$label.${wf.name}").as(wf.name)
+              case None =>
+                defaultsOf(snap).collectFirst {
+                  case (pn, d) if pn.equalsIgnoreCase(childPhys) =>
+                    expr(d).cast(wf.dataType).as(wf.name)
+                }.getOrElse(throw new IllegalArgumentException(
+                  s"log table $path: batch is missing field " +
+                    s"`$label.${wf.name}`"))
+            }
+          }: _*)
+          // a NULL struct stays NULL — never a struct of NULLs
+          when(ref.isNotNull, rebuilt)
+        case (h, w) if typeWidens(h, w) => ref.cast(w)
+        case (h, w) => throw new IllegalArgumentException(
+          s"log table $path: column `$label` is ${w.sql}, " +
+            s"batch has ${h.sql} — cast explicitly")
+      }
     rows.select(schema.fields.toIndexedSeq.map { f =>
       def ref(n: String) = col("`" + n.replace("`", "``") + "`")
       have.get(f.name.toLowerCase) match {
         case Some(g) if g.dataType == f.dataType => ref(g.name).as(f.name)
-        // a NARROWER batch column upcasts losslessly — alignment, not
-        // evolution (appends never change the schema)
-        case Some(g) if typeWidens(g.dataType, f.dataType) =>
-          ref(g.name).cast(f.dataType).as(f.name)
-        case Some(g) => throw new IllegalArgumentException(
-          s"log table $path: column `${f.name}` is ${f.dataType.sql}, " +
-            s"batch has ${g.dataType.sql} — cast explicitly")
+        case Some(g) =>
+          alignCol(ref(g.name), g.dataType, f.dataType,
+            snap.physicalOf(f.name), f.name).as(f.name)
         case None =>
           // a DECLARED default fills an omitted column (write-side only —
           // the batch simply lacks it); anything undeclared stays the
@@ -3091,7 +3564,7 @@ object LogTable {
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap,
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
@@ -3134,7 +3607,7 @@ object LogTable {
       val aligned = alignStrict(path, snap, rows)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap,
+        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
@@ -3158,6 +3631,35 @@ object LogTable {
     * times (the same clock [[history]] reports). Fails loud when the
     * timestamp predates the oldest still-readable commit.
     */
+  /** Parsed in-commit-timestamp cache — `versionAt` needs ONE field from
+    * every commit/checkpoint file per `TIMESTAMP AS OF` lookup, and the
+    * change-feed TVFs call it once per bound; a full JSON parse per file
+    * per lookup is O(log bytes) where the old mtime scan was O(listing).
+    * Keyed by file URI and guarded by the same (mtime:length) witness as
+    * the snapshot cache: published log files never mutate in place, so a
+    * matching witness proves the cached ts is the file's. Bounded LRU.
+    */
+  private val TsCacheMax = 8192
+  private val tsCache =
+    new java.util.LinkedHashMap[String, (String, Long)](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Long)]): Boolean =
+        size() > TsCacheMax
+    }
+
+  private def carriedTs(fs: FileSystem,
+                        st: org.apache.hadoop.fs.FileStatus): Long = {
+    val key = st.getPath.toUri.toString
+    val w = st.getModificationTime.toString + ":" + st.getLen
+    tsCache.synchronized(Option(tsCache.get(key))) match {
+      case Some((w0, ts)) if w0 == w => ts
+      case _ =>
+        val ts = parseCommitFile(fs, st.getPath).ts
+        tsCache.synchronized(tsCache.put(key, (w, ts)): Unit)
+        ts
+    }
+  }
+
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
     val fs = fsOf(spark, path)
     // IN-COMMIT timestamps are authoritative — mtime is only the legacy
@@ -3170,11 +3672,14 @@ object LogTable {
       .filter(_.isFile)
       .flatMap(st => st.getPath.getName match {
         case CommitName(v) =>
-          val ict = parseCommitFile(fs, st.getPath).ts
+          val ict = carriedTs(fs, st)
           val at = if (ict > 0L) ict else st.getModificationTime
           if (at <= tsMillis) Some(v.toLong) else None
         case CheckpointName(v) =>
-          val carried = parseCommitFile(fs, st.getPath).ts
+          val carried = carriedTs(fs, st)
+          if (carried > 0L && carried <= tsMillis) Some(v.toLong) else None
+        case CkptMetaName(v) =>
+          val carried = carriedTs(fs, st)
           if (carried > 0L && carried <= tsMillis) Some(v.toLong) else None
         case _ => None
       }).toSeq
@@ -3193,14 +3698,17 @@ object LogTable {
     def ofCommit(p: Path): Option[Long] =
       if (!fs.exists(p)) None
       else {
-        val c = parseCommitFile(fs, p)
-        Some(if (c.ts > 0L) c.ts else fs.getFileStatus(p).getModificationTime)
+        val st = fs.getFileStatus(p)
+        val ict = carriedTs(fs, st)
+        Some(if (ict > 0L) ict else st.getModificationTime)
       }
     def ofCheckpoint(p: Path): Option[Long] =
       if (!fs.exists(p)) None
-      else Some(parseCommitFile(fs, p).ts).filter(_ > 0L) // never its mtime
+      else Some(carriedTs(fs, fs.getFileStatus(p))).filter(_ > 0L) // never mtime
     ofCommit(commitPath(path, v))
       .orElse(ofCheckpoint(new Path(logDir(path), f"$v%020d.checkpoint.json")))
+      .orElse(ofCheckpoint(
+        new Path(logDir(path), f"$v%020d.checkpoint.meta.json")))
       .getOrElse(0L)
   }
 
@@ -3281,8 +3789,20 @@ object LogTable {
       }
     }.map(_.getPath).toSeq
     val deadLog = fs.listStatus(logDir(path)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp") &&
-        st.getModificationTime < cutoff)
+      .filter { st =>
+        st.getModificationTime < cutoff &&
+        ((st.isFile && st.getPath.getName.endsWith(".tmp")) ||
+          // torn parquet-checkpoint scratch dirs, and ORPHANED part
+          // files whose meta never landed (the writer died before its
+          // final rename — no reader ever saw them)
+          (st.isDirectory && st.getPath.getName.startsWith(".ckptp_")) ||
+          (st.isFile && (st.getPath.getName match {
+            case CkptPartName(v, _, _) =>
+              !fs.exists(new Path(logDir(path),
+                f"${v.toLong}%020d.checkpoint.meta.json"))
+            case _ => false
+          })))
+      }
       .map(_.getPath).toSeq
     (deadData, deadLog)
   }
@@ -3368,6 +3888,104 @@ object LogTable {
             case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
               a.name
           })
+      // DOTTED logical paths a stored SQL expression extracts — the
+      // nested counterpart of exprRefs, for nested rename/drop refusals
+      def nestedRefs(sql: String): Seq[String] = {
+        def pathOf(e: Expression): Option[String] = e match {
+          case a: AttributeReference => Some(a.name)
+          case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+            pathOf(g.child).map(_ + "." + g.extractFieldName)
+          case _ => None
+        }
+        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+          .select(expr(sql)).queryExecution.analyzed
+          .collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList }.flatten
+          .flatMap(_.collect {
+            case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+              pathOf(g)
+          }.flatten)
+      }
+      // the NESTED mapping as being edited (same discipline as physCur)
+      def nestPhysCur(pp: String, n: String): String = props.collectFirst {
+        case (k, p) if k.startsWith(ColMapNestPrefix) && {
+          val rest = k.drop(ColMapNestPrefix.length)
+          val cut = rest.lastIndexOf('.')
+          cut > 0 && rest.substring(0, cut).equalsIgnoreCase(pp) &&
+            rest.substring(cut + 1).equalsIgnoreCase(n)
+        } => p
+      }.getOrElse(n)
+      def isNestKeyFor(k: String, pp: String, n: String): Boolean =
+        k.startsWith(ColMapNestPrefix) && {
+          val rest = k.drop(ColMapNestPrefix.length)
+          val cut = rest.lastIndexOf('.')
+          cut > 0 && rest.substring(0, cut).equalsIgnoreCase(pp) &&
+            rest.substring(cut + 1).equalsIgnoreCase(n)
+        }
+      // one namespace per parent: current logical field names, their
+      // physical names, and the parent's retired (dropped) physicals
+      def nestTaken(pp: String, st: StructType, n: String): Boolean =
+        st.fields.exists(_.name.equalsIgnoreCase(n)) ||
+          st.fields.exists(f => nestPhysCur(pp, f.name).equalsIgnoreCase(n)) ||
+          dropped.exists { d =>
+            val cut = d.lastIndexOf('.')
+            cut > 0 && d.substring(0, cut).equalsIgnoreCase(pp) &&
+              d.substring(cut + 1).equalsIgnoreCase(n)
+          }
+      // Navigate to the struct holding a nested path's LEAF and replace
+      // it with `op`'s result; `op` receives the parent struct and the
+      // parent's PHYSICAL dotted path. Every non-terminal segment must
+      // be a plain struct — arrays and maps are opaque to the mapping
+      // (their elements have no stable per-field stats identity).
+      def editNested(fieldPath: Seq[String], what: String)
+          (op: (StructType, String) => StructType): Unit = {
+        def rec(st: StructType, segs: Seq[String],
+                physPath: Option[String]): StructType =
+          segs match {
+            case Seq() => op(st, physPath.get)
+            case head +: tail =>
+              val i = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+              require(i >= 0, s"log table $path: unknown column `$head`")
+              val f = st.fields(i)
+              val childPhys = physPath match {
+                case None => physCur(f.name)
+                case Some(pp) => pp + "." + nestPhysCur(pp, f.name)
+              }
+              f.dataType match {
+                case s: StructType =>
+                  StructType(st.fields.updated(i,
+                    f.copy(dataType = rec(s, tail, Some(childPhys)))))
+                case dt => throw new IllegalArgumentException(
+                  s"log table $path: cannot $what through `${f.name}` " +
+                    s"(${dt.simpleString}) — nested evolution applies to " +
+                    "plain struct paths only (not arrays or maps)")
+              }
+          }
+        fields = rec(StructType(fields), fieldPath.init, None)
+          .fields.toIndexedSeq
+      }
+      // DEFAULT <literal> validation, shared by top-level and nested
+      // adds: must analyze standalone and reference no columns
+      def validateDefaultSql(n: String, dt: DataType, sql: String): Unit = {
+        require(sql != null && sql.nonEmpty,
+          s"log table $path: default for `$n` carries no SQL form")
+        val analyzed =
+          try spark.range(1).toDF("__r")
+            .select(expr(sql).cast(dt)).queryExecution.analyzed
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"log table $path: default for `$n` must be a literal " +
+                s"expression — `$sql` does not analyze standalone " +
+                s"(${e.getMessage})")
+          }
+        val refs = analyzed.expressions.flatMap(_.collect {
+          case r: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => r.name
+        }).filterNot(_ == "__r")
+        require(refs.isEmpty,
+          s"log table $path: default for `$n` must be a literal " +
+            s"expression (references ${refs.mkString(", ")})")
+      }
       // the refusals shared by RENAME and DROP: columns other machinery
       // addresses BY NAME at rest or in stored SQL
       def refuseStructural(n: String, what: String): Unit = {
@@ -3386,10 +4004,49 @@ object LogTable {
         }
       }
       changes.foreach {
+        case a: TableChange.AddColumn if a.fieldNames.length > 1 =>
+          // NESTED add: metadata-only like the flat form — old files
+          // simply lack the struct field and the scan NULL-fills it
+          // (parquet resolves struct fields by name). A DEFAULT is
+          // write-side, keyed by the field's physical dotted path.
+          val n = a.fieldNames.last
+          val dotted = a.fieldNames.mkString(".")
+          require(a.isNullable,
+            s"log table $path: new field `$dotted` must be nullable — " +
+              "existing rows can only NULL-fill")
+          require(a.position() == null,
+            s"log table $path: column position is not supported — new " +
+              "fields append (readers resolve by name)")
+          val dfltSql = Option(a.defaultValue()).map(_.getSql)
+            .orElse(defaults.collectFirst {
+              case (dn, sql) if dn.equalsIgnoreCase(dotted) => sql
+            })
+          dfltSql.foreach(validateDefaultSql(dotted, a.dataType, _))
+          editNested(a.fieldNames.toIndexedSeq, "add a field") { (st, pp) =>
+            require(!st.fields.exists(_.name.equalsIgnoreCase(n)),
+              s"log table $path: field `$dotted` already exists")
+            // the physical leaf must be fresh across the PARENT's whole
+            // history (same resurrection hazard as top level)
+            val physLeaf =
+              if (!nestTaken(pp, st, n)) n
+              else {
+                var i = snap.version + 1
+                while (nestTaken(pp, st, s"${n}_g$i")) i += 1
+                // nested mapping = reader level 4: an older reader
+                // would project the logical leaf name, which the files
+                // never carry — silent NULLs, so fence it out
+                props = ensureProtocol(
+                  props + ((ColMapNestPrefix + pp + "." + n) -> s"${n}_g$i"),
+                  4)
+                s"${n}_g$i"
+              }
+            dfltSql.foreach { sql =>
+              props = props + ((ColDefaultPrefix + pp + "." + physLeaf) -> sql)
+            }
+            StructType(st.fields :+ org.apache.spark.sql.types.StructField(
+              n, a.dataType, nullable = true))
+          }
         case a: TableChange.AddColumn =>
-          require(a.fieldNames.length == 1,
-            s"log table $path: nested column adds are not supported " +
-              s"(got `${a.fieldNames.mkString(".")}`)")
           val n = a.fieldNames.head
           require(!fields.exists(_.name.equalsIgnoreCase(n)),
             s"log table $path: column `$n` already exists")
@@ -3442,9 +4099,26 @@ object LogTable {
           }
           fields = fields :+ org.apache.spark.sql.types.StructField(
             n, a.dataType, nullable = true)
+        case u: TableChange.UpdateColumnType if u.fieldNames.length > 1 =>
+          // NESTED widen: the same lossless lattice; the parquet reader
+          // up-casts old files' narrower leaves at scan time
+          val n = u.fieldNames.last
+          val dotted = u.fieldNames.mkString(".")
+          editNested(u.fieldNames.toIndexedSeq, "widen a field") { (st, _) =>
+            val i = st.fields.indexWhere(_.name.equalsIgnoreCase(n))
+            require(i >= 0, s"log table $path: unknown column `$dotted`")
+            val f = st.fields(i)
+            if (f.dataType == u.newDataType) st
+            else {
+              require(typeWidens(f.dataType, u.newDataType),
+                s"log table $path: cannot alter `$dotted` " +
+                  s"${f.dataType.sql} -> ${u.newDataType.sql} — only the " +
+                  "lossless widenings byte->short->int->long and " +
+                  "float->double evolve without rewriting files")
+              StructType(st.fields.updated(i, f.copy(dataType = u.newDataType)))
+            }
+          }
         case u: TableChange.UpdateColumnType =>
-          require(u.fieldNames.length == 1,
-            s"log table $path: nested column types are not supported")
           val n = u.fieldNames.head
           val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
           require(i >= 0, s"log table $path: unknown column `$n`")
@@ -3457,12 +4131,42 @@ object LogTable {
                 "float->double evolve without rewriting files")
             fields = fields.updated(i, f.copy(dataType = u.newDataType))
           }
+        case r: TableChange.RenameColumn if r.fieldNames.length > 1 =>
+          // NESTED metadata-only rename: the at-rest physical leaf never
+          // moves — the new logical leaf maps to it under the parent's
+          // PHYSICAL path (stable forever, so later parent renames
+          // cannot orphan this key); zero files rewritten
+          val from = r.fieldNames.last; val to = r.newName
+          val dotted = r.fieldNames.mkString(".")
+          snap.constraints.foreach { case (cn, csql) =>
+            require(!nestedRefs(csql).exists(_.equalsIgnoreCase(dotted)),
+              s"log table $path: cannot rename `$dotted` — CHECK " +
+                s"constraint `$cn` ($csql) references it; drop the " +
+                "constraint first")
+          }
+          require(!genSources.exists(_.equalsIgnoreCase(dotted)),
+            s"log table $path: cannot rename `$dotted` — a generated " +
+              "partition column derives from it")
+          editNested(r.fieldNames.toIndexedSeq, "rename a field") { (st, pp) =>
+            val i = st.fields.indexWhere(_.name.equalsIgnoreCase(from))
+            require(i >= 0, s"log table $path: unknown column `$dotted`")
+            require(!st.fields.exists(_.name.equalsIgnoreCase(to)),
+              s"log table $path: field `$to` already exists under " +
+                s"`${r.fieldNames.init.mkString(".")}`")
+            require(!nestTaken(pp, st, to),
+              s"log table $path: cannot rename `$dotted` to `$to` — " +
+                s"`$to` is (or once was) another field's at-rest " +
+                "physical name under this struct")
+            val p = nestPhysCur(pp, from)
+            props = ensureProtocol(props.filterNot { case (k, _) =>
+              isNestKeyFor(k, pp, from)
+            } + ((ColMapNestPrefix + pp + "." + to) -> p), 4)
+            StructType(st.fields.updated(i, st.fields(i).copy(name = to)))
+          }
         case r: TableChange.RenameColumn =>
           // METADATA-ONLY rename: the at-rest physical name never moves —
           // the new logical name maps to it, zero files rewritten, and
           // every older version still reads under its own DDL + mapping
-          require(r.fieldNames.length == 1,
-            s"log table $path: nested column renames are not supported")
           val from = r.fieldNames.head; val to = r.newName
           val i = fields.indexWhere(_.name.equalsIgnoreCase(from))
           require(i >= 0, s"log table $path: unknown column `$from`")
@@ -3481,12 +4185,49 @@ object LogTable {
             // project the at-rest physical names
             2)
           fields = fields.updated(i, fields(i).copy(name = to))
+        case d: TableChange.DeleteColumn if d.fieldNames.length > 1 =>
+          // NESTED metadata-only drop: the logical struct loses the
+          // field (nested schema pruning never reads it again); the
+          // physical dotted path is tombstoned under the parent so no
+          // later nested ADD resurrects pre-drop values
+          val n = d.fieldNames.last
+          val dotted = d.fieldNames.mkString(".")
+          snap.constraints.foreach { case (cn, csql) =>
+            require(!nestedRefs(csql).exists(_.equalsIgnoreCase(dotted)),
+              s"log table $path: cannot drop `$dotted` — CHECK " +
+                s"constraint `$cn` ($csql) references it; drop the " +
+                "constraint first")
+          }
+          require(!genSources.exists(_.equalsIgnoreCase(dotted)),
+            s"log table $path: cannot drop `$dotted` — a generated " +
+              "partition column derives from it")
+          editNested(d.fieldNames.toIndexedSeq, "drop a field") { (st, pp) =>
+            val i = st.fields.indexWhere(_.name.equalsIgnoreCase(n))
+            if (i < 0) {
+              require(d.ifExists, s"log table $path: unknown column `$dotted`")
+              st
+            } else {
+              require(st.fields.length > 1,
+                s"log table $path: cannot drop the last field of a " +
+                  "struct — drop the struct column itself instead")
+              val p = nestPhysCur(pp, n)
+              val physDotted = pp + "." + p
+              statsCols = statsCols.filterNot(_.equalsIgnoreCase(physDotted))
+              bloomCols = bloomCols.filterNot(_.equalsIgnoreCase(physDotted))
+              props = ensureProtocol(props.filterNot { case (k, _) =>
+                isNestKeyFor(k, pp, n) ||
+                  (k.startsWith(ColDefaultPrefix) &&
+                    k.drop(ColDefaultPrefix.length)
+                      .equalsIgnoreCase(physDotted))
+              } + (ColMapDroppedProp -> (dropped + physDotted).mkString(",")),
+                2)
+              StructType(st.fields.filterNot(_.name.equalsIgnoreCase(n)))
+            }
+          }
         case d: TableChange.DeleteColumn =>
           // METADATA-ONLY drop: the logical schema loses the field; the
           // physical data stays in old files, simply never projected.
           // The physical name is tombstoned so no later ADD resurrects it.
-          require(d.fieldNames.length == 1,
-            s"log table $path: nested column drops are not supported")
           val n = d.fieldNames.head
           val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
           if (i < 0) {
@@ -3497,14 +4238,27 @@ object LogTable {
               s"log table $path: cannot drop the last column")
             refuseStructural(n, "drop")
             val p = physCur(n)
-            statsCols = statsCols.filterNot(_.equalsIgnoreCase(p))
-            bloomCols = bloomCols.filterNot(_.equalsIgnoreCase(p))
+            // a struct column takes its whole stats/default/nested-
+            // mapping subtree with it
+            def below(x: String): Boolean =
+              x.toLowerCase.startsWith(p.toLowerCase + ".")
+            statsCols = statsCols.filterNot(c =>
+              c.equalsIgnoreCase(p) || below(c))
+            bloomCols = bloomCols.filterNot(c =>
+              c.equalsIgnoreCase(p) || below(c))
             props = ensureProtocol(props.filterNot { case (k, _) =>
               (k.startsWith(ColMapMapPrefix) &&
                 k.drop(ColMapMapPrefix.length).equalsIgnoreCase(n)) ||
-                // the column's DEFAULT dies with it
-                (k.startsWith(ColDefaultPrefix) &&
-                  k.drop(ColDefaultPrefix.length).equalsIgnoreCase(p))
+                // the column's DEFAULT (and any nested fields') dies
+                (k.startsWith(ColDefaultPrefix) && {
+                  val dk = k.drop(ColDefaultPrefix.length)
+                  dk.equalsIgnoreCase(p) || below(dk)
+                }) ||
+                // nested mappings under the dropped subtree are garbage
+                (k.startsWith(ColMapNestPrefix) && {
+                  val nk = k.drop(ColMapNestPrefix.length)
+                  nk.equalsIgnoreCase(p) || below(nk)
+                })
             } + (ColMapDroppedProp -> (dropped + p).mkString(",")), 2)
             fields = fields.filterNot(_.name.equalsIgnoreCase(n))
           }
@@ -3889,10 +4643,11 @@ object LogTable {
     */
   private def statsRange(snap: Snapshot, f: LogFile,
                          c: String): Option[(String, String)] = {
-    // stats are keyed by the column's PHYSICAL name; `c` may arrive
-    // logical (DML predicates) or already physical (FileIndex filters) —
-    // physicalOf is identity on anything that is not a mapped logical
-    val pc = snap.physicalOf(c)
+    // stats are keyed by the column's PHYSICAL name (a dotted path for
+    // nested statsCols); `c` may arrive logical (DML predicates) or
+    // already physical (FileIndex filters) — physicalOfPath is identity
+    // per segment on anything that is not a mapped logical
+    val pc = snap.physicalOfPath(c)
     f.stats.collectFirst {
       case (k, ColStats(Some(lo), Some(hi), _, _)) if k.equalsIgnoreCase(pc) =>
         (lo, hi)
@@ -3922,6 +4677,11 @@ object LogTable {
     */
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
+    // nested struct-field access names a DOTTED path — the stats
+    // vocabulary for nested statsCols ("meta.ua"); resolved through the
+    // nested column mapping exactly like a top-level name
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      attrName(g.child).map(_ + "." + g.extractFieldName)
     case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
       attrName(c.child)
     case _ => None
@@ -3947,13 +4707,14 @@ object LogTable {
     */
   private[sources] def mayMatch(snap: Snapshot, f: LogFile, e: Expression,
                                 zone: String): Boolean = {
-    val schema = snap.schema
     def colInfo(a: Expression): Option[(DataType, Option[ColStats])] =
       attrName(a).flatMap { n =>
-        // logical OR physical name (DML vs FileIndex) — see mustMatch
-        val pn = snap.physicalOf(n)
-        schema.fields.find(fd => snap.physicalOf(fd.name).equalsIgnoreCase(pn))
-          .map(fd => (fd.dataType,
+        // logical OR physical name (DML vs FileIndex), possibly a dotted
+        // struct path — resolve to the at-rest physical path, then the
+        // leaf type off the physical schema
+        val pn = snap.physicalOfPath(n)
+        resolvePathIn(snap.physicalSchema, pn)
+          .map { case (_, dt) => (dt,
             f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(pn) => s }
               .orElse(
                 // leading partition column: legacy pmin/pmax double as stats
@@ -3964,7 +4725,8 @@ object LogTable {
                 if (pn.equalsIgnoreCase(snap.partitionCol) &&
                     leadFallbackSound(snap))
                   Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
-                else None)))
+                else None))
+          }
       }
     // sign of (stat − literal), None ⇒ unknown ⇒ keep
     def cmp(dt: DataType, stat: String, l: Literal): Option[Int] =
@@ -4126,9 +4888,11 @@ object LogTable {
   private def toLogical(snap: Snapshot, df: DataFrame,
                         extras: Seq[String] = Nil): DataFrame = {
     val aliased =
-      if (snap.colMap.isEmpty) df
+      if (snap.colMap.isEmpty && snap.nestMaps.isEmpty) df
       else df.select(snap.schema.fields.toIndexedSeq.map { f =>
-        col("`" + snap.physicalOf(f.name).replace("`", "``") + "`").as(f.name)
+        val pn = snap.physicalOf(f.name)
+        colToLogical(col("`" + pn.replace("`", "``") + "`"), f.dataType,
+          pn, snap.nestMaps).as(f.name)
       } ++ extras.map(col): _*)
     // generated columns introduced by PARTITION EVOLUTION: files written
     // before the evolution lack the column physically (the scan NULL
@@ -4271,20 +5035,26 @@ object LogTable {
                              bloomCols: Seq[String] = Nil,
                              zorderBy: Seq[String] = Nil,
                              colMap: Map[String, String] = Map.empty,
-                             ndvCols: Seq[String] = Nil)
+                             ndvCols: Seq[String] = Nil,
+                             nestMaps: Map[String, Map[String, String]] =
+                               Map.empty)
       : Seq[LogFile] = {
     // everything at rest is PHYSICAL: the incoming frame speaks logical
-    // names — rename through the snapshot's column mapping before any
-    // byte lands (partition/stats/bloom/layout params are already the
-    // at-rest physical names, so they match the renamed frame)
+    // names — rename through the snapshot's column mapping (recursively,
+    // for nested-renamed struct fields) before any byte lands
+    // (partition/stats/bloom/layout params are already the at-rest
+    // physical names, so they match the renamed frame)
     val df =
-      if (colMap.isEmpty) df0
+      if (colMap.isEmpty && nestMaps.isEmpty) df0
       else {
         def phys(n: String): String = colMap.collectFirst {
           case (l, p) if l.equalsIgnoreCase(n) => p
         }.getOrElse(n)
-        df0.select(df0.columns.toIndexedSeq.map(c =>
-          col("`" + c.replace("`", "``") + "`").as(phys(c))): _*)
+        df0.select(df0.schema.fields.toIndexedSeq.map { f =>
+          val pn = phys(f.name)
+          colToPhysical(col("`" + f.name.replace("`", "``") + "`"),
+            f.dataType, pn, nestMaps).as(pn)
+        }: _*)
       }
     val fs = fsOf(spark, path)
     val tmp = new Path(path, "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
@@ -4327,21 +5097,30 @@ object LogTable {
       .write.mode("overwrite").options(bloomOpts).parquet(tmp.toString)
     // tracked columns: partitions first (dedup preserves order), then the
     // declared data-skipping columns; matched case-insensitively against
-    // the frame actually written (an evolved merge carries every column)
+    // the frame actually written (an evolved merge carries every column).
+    // A statsCol may be a DOTTED path into a struct ("meta.ua") — the
+    // resolver walks the levels and the stats key at rest is the exact
+    // dotted physical path.
     val tracked0 = (partitionCols ++ statsCols).foldLeft(Vector.empty[String]) {
       (acc, c) => if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
-    }.flatMap(c => df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+    }.flatMap(c => resolvePathIn(df.schema, c).map(_._1))
     // declared NDV columns join the same one-pass scan: min/max/nulls
     // like any tracked column (extra skipping for free) PLUS a per-file
     // HLL sketch — the increment [[Snapshot.ndv]] unions, so distinct
     // counts stay fresh without ever rescanning the table
     val ndvTracked = ndvCols.flatMap(c =>
-      df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+      resolvePathIn(df.schema, c).map(_._1))
       .foldLeft(Vector.empty[String]) { (acc, c) =>
         if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
       }
     val tracked = tracked0 ++
       ndvTracked.filterNot(c => tracked0.exists(_.equalsIgnoreCase(c)))
+    val trackedType: Map[String, DataType] = tracked.iterator
+      .flatMap(c => resolvePathIn(df.schema, c).map(c -> _._2)).toMap
+    // the stats scan projects each tracked path to a FLAT alias first —
+    // a dotted path is an extraction, not a column name the later
+    // aggregate could reference
+    def tAlias(c: String): String = s"__t_${tracked.indexOf(c)}"
     val aggs = (count(lit(1)).as("__rows") +:
       tracked.zipWithIndex.flatMap { case (c, i) =>
         // timestamps persist as UTC MICROSECOND integers, not the
@@ -4349,23 +5128,21 @@ object LogTable {
         // session zone must not re-interpret the bound) and monotonic
         // (local-time strings order wrongly across a DST fold);
         // unix_micros is monotonic, so min/max commute with it
-        val v = df.schema.fields.find(_.name.equalsIgnoreCase(c))
-          .map(_.dataType) match {
-          case Some(TimestampType) => unix_micros(col(c))
-          case _ => col(c)
+        val v = trackedType.get(c) match {
+          case Some(TimestampType) => unix_micros(col(tAlias(c)))
+          case _ => col(tAlias(c))
         }
         Seq(min(v).cast("string").as(s"__min_$i"),
           max(v).cast("string").as(s"__max_$i"),
-          count(col(c)).as(s"__nn_$i"))
+          count(col(tAlias(c))).as(s"__nn_$i"))
       }) ++ ndvTracked.zipWithIndex.map { case (c, j) =>
         // the sketch agg's input vocabulary is integral/string/binary —
         // anything else renders injectively as its string form (distinct
         // values stay distinct; the count is what matters, not the type)
-        val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
-        val v = dt match {
+        val v = trackedType(c) match {
           case ByteType | ShortType | IntegerType | LongType | StringType |
-               BinaryType => col(c)
-          case _ => col(c).cast("string")
+               BinaryType => col(tAlias(c))
+          case _ => col(tAlias(c)).cast("string")
         }
         hll_sketch_agg(v, lit(NdvLgK)).as(s"__ndv_$j")
       }
@@ -4373,7 +5150,10 @@ object LogTable {
     // write (deleteWhere emptying every victim file) still reads as an
     // empty frame instead of failing schema inference
     val stats = spark.read.schema(df.schema).parquet(tmp.toString)
-      .select(col("_metadata.file_path").as("__f") +: tracked.map(col): _*)
+      .select(col("_metadata.file_path").as("__f") +:
+        tracked.zipWithIndex.map { case (c, i) =>
+          pathCol(c).as(s"__t_$i")
+        }: _*)
       .groupBy(col("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per NEW file
@@ -4440,12 +5220,15 @@ object LogTable {
                          txns: Map[String, Long] = Map.empty,
                          constraints: Map[String, String] = Map.empty,
                          properties: Map[String, String] = Map.empty,
-                         tsMillis: Long = 0L)
+                         tsMillis: Long = 0L,
+                         ckptParts: Int = -1)
       : Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     // IN-COMMIT timestamp: travels in the bytes (see [[ParsedCommit.ts]])
     if (tsMillis > 0L) root.put("ts", tsMillis): Unit
+    // parquet-checkpoint meta file: how many parts make it complete
+    if (ckptParts >= 0) root.put("ckptParts", ckptParts): Unit
     root.put("schema", schemaDdl): Unit
     if (operation != "UNKNOWN") root.put("op", operation): Unit
     if (txns.nonEmpty) {
@@ -4634,8 +5417,9 @@ object LogTable {
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer
     // can own version N (see [[CommitCoordinator]]; the default is the
-    // no-overwrite rename, serialized under a JVM lock on raw local FS).
-    val won = coordinator.publish(fs, tmp, dst)
+    // no-overwrite rename, serialized under a JVM lock on raw local FS;
+    // a table property or session conf swaps in lockfile/condput).
+    val won = coordinatorFor(spark, path, properties).publish(fs, tmp, dst)
     if (!won) {
       fs.delete(tmp, false): Unit
       if (fs.exists(dst))

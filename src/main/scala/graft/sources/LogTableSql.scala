@@ -117,15 +117,17 @@ object LogTableSql {
   /** Split a parenthesized entry list on TOP-LEVEL commas only —
     * `bucket(16, k), year(ts)` is two entries, not three (the naive
     * split the plain-name lists use would cut inside `bucket`'s
-    * argument list).
+    * argument list), and `m MAP<STRING,INT>, s STRUCT<a:INT,b:STRING>`
+    * is two entries (angle-bracket depth counts too, or nested-type
+    * ADD COLUMNS would split inside the type arguments).
     */
   private[sources] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     s.foreach {
-      case '(' => depth += 1; cur.append('('): Unit
-      case ')' => depth -= 1; cur.append(')'): Unit
+      case c @ ('(' | '<') => depth += 1; cur.append(c): Unit
+      case c @ (')' | '>') => depth -= 1; cur.append(c): Unit
       case ',' if depth == 0 =>
         if (cur.toString.trim.nonEmpty) out += cur.toString.trim
         cur.clear()
@@ -840,16 +842,16 @@ object LogTableSql {
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*$$",
       F)
     private val AlterTypeP = Pattern.compile(
-      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+" +
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+([\\w.]+)\\s+" +
         "TYPE\\s+(.+?)\\s*$", F)
     private val RenameTableP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+TO\\s+$Ref\\s*$$", F)
     private val RenameColP = Pattern.compile(
-      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+" +
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+([\\w.]+)\\s+" +
         "TO\\s+(\\w+)\\s*$", F)
     private val DropColP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+" +
-        "(IF\\s+EXISTS\\s+)?(\\w+)\\s*$", F)
+        "(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$", F)
     // PARTITION EVOLUTION — same one-level-nested entry vocabulary as
     // CREATE (names, year(c)/month(c)/day(c)/hour(c), bucket(N, c));
     // an EMPTY list evolves to an unpartitioned table
@@ -1272,15 +1274,26 @@ object LogTableSql {
       // strip it here, hand the rest to the stock schema parser, and
       // carry the SQL through the connector's own default channel
       val Default = """(?is)^(.*?)\s+DEFAULT\s+(.+?)\s*$""".r
+      val Dotted = """(?s)^([\w]+(?:\.[\w]+)+)\s+(.+)$""".r
       val parsed = LogTableSql.splitTopLevel(colsDdl).map { entry =>
         val (ddl, dflt) = entry match {
           case Default(d, v) => (d, Some(v))
           case _ => (entry, None)
         }
-        val f = session.sessionState.sqlParser.parseTableSchema(ddl)
-          .fields.head
-        (org.apache.spark.sql.connector.catalog.TableChange.addColumn(
-          Array(f.name), f.dataType, f.nullable), f.name, dflt)
+        ddl.trim match {
+          // NESTED add (`meta.note STRING`): the dotted path addresses a
+          // struct field — split the path by hand (the stock schema
+          // grammar reads the dot as an error), parse only the type
+          case Dotted(dottedName, typeDdl) =>
+            val dt = session.sessionState.sqlParser.parseDataType(typeDdl)
+            (org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+              dottedName.split("\\."), dt, true), dottedName, dflt)
+          case flat =>
+            val f = session.sessionState.sqlParser.parseTableSchema(flat)
+              .fields.head
+            (org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+              Array(f.name), f.dataType, f.nullable), f.name, dflt)
+        }
       }
       Seq(Row(LogTable.evolveSchema(session, path, parsed.map(_._1),
         defaults = parsed.collect { case (_, n, Some(sql)) => n -> sql }
@@ -1299,7 +1312,7 @@ object LogTableSql {
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.evolveSchema(session, path, Seq(
         org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
-          Array(column),
+          column.split("\\."),
           session.sessionState.sqlParser.parseDataType(typeDdl))))))
   }
 
@@ -1330,7 +1343,7 @@ object LogTableSql {
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(LogTable.evolveSchema(session, path, Seq(
         org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
-          Array(from), to)))))
+          from.split("\\."), to)))))
   }
 
   /** `ALTER TABLE ... DROP COLUMN [IF EXISTS] c` — metadata-only: the
@@ -1346,10 +1359,10 @@ object LogTableSql {
       Seq(Row(LogTable.evolveSchema(session, path, Seq(
         if (ifExists)
           org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
-            Array(column), true)
+            column.split("\\."), true)
         else
           org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
-            Array(column), false)))))
+            column.split("\\."), false)))))
   }
 
   /** `CREATE TABLE graft.`dir` PARTITIONED BY (p[, q]) [STATS BY (c, …)]

@@ -60,20 +60,19 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
                                  maxVersionsPerTrigger: Long,
                                  ignoreChanges: Boolean,
                                  colMap: Map[String, String] = Map.empty,
-                                 lateGens: Map[String, String] = Map.empty)
+                                 lateGens: Map[String, String] = Map.empty,
+                                 nestMaps: Map[String, Map[String, String]] =
+                                   Map.empty)
     extends Source with SupportsTriggerAvailableNow {
 
-  // files store PHYSICAL column names (column mapping): scan under them,
-  // alias back to the pinned logical names per batch — pinned at stream
-  // start like the schema itself (a mid-stream rename does not retitle
-  // this stream's columns; physical names are stable forever)
+  // files store PHYSICAL column names (column mapping, incl. nested
+  // struct fields): scan under them, alias back to the pinned logical
+  // names per batch — pinned at stream start like the schema itself (a
+  // mid-stream rename does not retitle this stream's columns; physical
+  // names are stable forever)
   private val pinnedPhysical: StructType =
-    if (colMap.isEmpty) pinned
-    else StructType(pinned.fields.map { f =>
-      f.copy(name = colMap.collectFirst {
-        case (l, p) if l.equalsIgnoreCase(f.name) => p
-      }.getOrElse(f.name))
-    })
+    if (colMap.isEmpty && nestMaps.isEmpty) pinned
+    else LogTable.physicalizeStruct(pinned, colMap, nestMaps)
 
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
 
@@ -162,10 +161,12 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
       val raw = org.apache.spark.sql.GraftBridge
         .ofRows(spark, LogicalRelation(relation, isStreaming = true))
       val logical0 =
-        if (colMap.isEmpty) raw
+        if (colMap.isEmpty && nestMaps.isEmpty) raw
         else raw.select(pinned.fields.zip(pinnedPhysical.fields)
           .map { case (lf, pf) =>
-            col("`" + pf.name.replace("`", "``") + "`").as(lf.name)
+            LogTable.colToLogical(
+              col("`" + pf.name.replace("`", "``") + "`"),
+              lf.dataType, pf.name, nestMaps).as(lf.name)
           }.toIndexedSeq: _*)
       // generated columns introduced by a PARTITION EVOLUTION before
       // stream start: files that predate them scan as NULL — compute
@@ -305,14 +306,15 @@ class LogTableSourceProvider extends StreamSourceProvider
           val c = LogTable.commitAt(spark, path,
             LogTable.latestVersion(spark, path))
           (c.partitionCols, c.statsCols, LogTable.colMapOfProps(c.properties),
-            LogTable.lateGeneratorsOf(c.properties))
+            LogTable.lateGeneratorsOf(c.properties),
+            LogTable.nestMapsOfProps(c.properties))
         } catch {
           case _: java.io.IOException =>
             (snap.partitionCols, snap.statsCols, snap.colMap,
-              LogTable.lateGeneratorsOf(snap.properties))
+              LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps)
         }
       case None => (snap.partitionCols, snap.statsCols, snap.colMap,
-        LogTable.lateGeneratorsOf(snap.properties))
+        LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps)
     }
     val pinned = schema match {
       case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
@@ -330,6 +332,6 @@ class LogTableSourceProvider extends StreamSourceProvider
       .exists(_.toBoolean)
     new LogTableStreamSource(spark, path, pinned, meta._1, meta._2,
       startingVersion, maxPer, ignoreChanges, colMap = meta._3,
-      lateGens = meta._4)
+      lateGens = meta._4, nestMaps = meta._5)
   }
 }

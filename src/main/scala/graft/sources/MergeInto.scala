@@ -258,7 +258,7 @@ final case class MergeInto private[sources] (
       val ddl = widenedDdl(snap)
       val adds = LogTable.writeDataFiles(spark, path, outRows,
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
-        colMap = snap.colMap,
+        colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = LogTable.ndvColsOf(snap.properties))
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,

@@ -19,7 +19,10 @@ object LockRaceChild {
     val waitStart = System.currentTimeMillis()
     while (!go.exists() &&
       System.currentTimeMillis() - waitStart < 30000L) Thread.sleep(2L)
-    val coord = new LogTable.LockFileCommitCoordinator()
+    val coord: LogTable.CommitCoordinator =
+      if (args.length > 3 && args(3) == "condput")
+        new LogTable.ConditionalPutCommitCoordinator()
+      else new LogTable.LockFileCommitCoordinator()
     var wins = 0
     (0 until n).foreach { i =>
       val tmp = new Path(root, s"tmp-$id-$i")

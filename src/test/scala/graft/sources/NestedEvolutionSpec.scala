@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.connector.catalog.TableChange
+
+import graft.SparkSpec
+
+/** NESTED (struct-field) schema evolution — the dotted-path extension
+  * of column mapping: ADD/RENAME/DROP/WIDEN a field INSIDE a struct
+  * column rewrites zero files; the logical leaf maps to a stable
+  * physical name under the parent's PHYSICAL dotted path
+  * (`colmap.nest.*`), per-file stats key nested columns by dotted
+  * physical path, and reads rebuild the struct under logical names at
+  * exit (NULL structs stay NULL).
+  */
+class NestedEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-nest").toString
+
+  /** A table whose `meta` struct carries (ua, ip, score) with per-file
+    * stats on the nested score — cluster-sorted so ranges are tight.
+    */
+  private def mk(dir: String): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val df = (0L until 40L).map(i =>
+        (i, s"p${i % 4}", s"ua$i", s"10.0.0.$i", i * 3))
+        .toDF("k", "p", "ua", "ip", "score")
+        .select(col("k"), col("p"),
+          struct(col("ua"), col("ip"), col("score")).as("meta"))
+      LogTable.create(spark, dir, df, Seq("p"),
+        statsCols = Seq("k", "meta.score"), clusterBy = Seq("k"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def rename(dir: String, path: Array[String], to: String): Long =
+    LogTable.evolveSchema(spark, dir,
+      Seq(TableChange.renameColumn(path, to)))
+
+  test("nested rename is metadata-only: zero files touched, struct " +
+    "rebuilt logical at exit, old versions time-travel under old shape") {
+    val dir = tmp()
+    mk(dir)
+    val before = LogTable.snapshot(spark, dir)
+    rename(dir, Array("meta", "ua"), "agent"): Unit
+    val after = LogTable.snapshot(spark, dir)
+    assert(after.files.map(_.name).sorted == before.files.map(_.name).sorted,
+      "a nested rename must not touch a single data file")
+    assert(after.nestMaps == Map("meta" -> Map("agent" -> "ua")))
+    val df = LogTable.read(spark, dir)
+    assert(df.select("meta.agent").as[String].collect().sorted.head == "ua0")
+    assert(df.filter(col("meta.agent") === "ua7").count() == 1L)
+    // physical schema still speaks `ua` (the at-rest name never moves)
+    assert(after.physicalSchema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.contains("ua"))
+    // time travel: the pre-rename version answers under the OLD shape
+    val old = LogTable.read(spark, dir, asOf = Some(before.version))
+    assert(old.select("meta.ua").as[String].collect().length == 40)
+  }
+
+  test("nested stats skipping survives the rename: predicates on the " +
+    "NEW leaf prune through the retired dotted physical stats key") {
+    val dir = tmp()
+    mk(dir)
+    // stats live under `meta.score`; rename the leaf and prune anyway
+    rename(dir, Array("meta", "score"), "pts"): Unit
+    val r = LogTable.countWhere(spark, dir, col("meta.pts") === 21L)
+    assert(r.count == 1L)
+    assert(r.excludedFiles > 0,
+      s"nested predicate must prune via dotted stats (excluded=${r.excludedFiles})")
+    // a provably-empty predicate over the renamed leaf decides on
+    // metadata alone
+    val none = LogTable.countWhere(spark, dir, col("meta.pts") > 1000000L)
+    assert(none.count == 0L && none.scannedFiles == 0,
+      s"metadata-only decision expected (scanned=${none.scannedFiles})")
+  }
+
+  test("nested drop tombstones the physical path; a re-added field gets " +
+    "a fresh physical name and never resurrects old values") {
+    val dir = tmp()
+    mk(dir)
+    val before = LogTable.snapshot(spark, dir)
+    LogTable.evolveSchema(spark, dir,
+      Seq(TableChange.deleteColumn(Array("meta", "ip"), false))): Unit
+    val after = LogTable.snapshot(spark, dir)
+    assert(after.files.map(_.name).sorted == before.files.map(_.name).sorted)
+    assert(!LogTable.read(spark, dir).select("meta.*").columns.contains("ip"))
+    assert(after.droppedPhysicals.contains("meta.ip"))
+    // re-ADD under the same logical name: fresh physical, old rows NULL
+    LogTable.evolveSchema(spark, dir, Seq(TableChange.addColumn(
+      Array("meta", "ip"), org.apache.spark.sql.types.StringType, true))): Unit
+    val re = LogTable.read(spark, dir)
+    assert(re.filter(col("meta.ip").isNotNull).count() == 0L,
+      "a re-added nested field must NOT resurrect pre-drop values")
+    assert(LogTable.snapshot(spark, dir)
+      .nestMaps("meta").keys.exists(_.equalsIgnoreCase("ip")))
+  }
+
+  test("rename-then-widen of a nested field: the widened leaf reads old " +
+    "files up-cast; appends align recursively") {
+    val dir = tmp()
+    mk(dir)
+    rename(dir, Array("meta", "score"), "pts"): Unit
+    LogTable.evolveSchema(spark, dir, Seq(TableChange.updateColumnType(
+      Array("meta", "pts"), org.apache.spark.sql.types.LongType))): Unit
+    val df = LogTable.read(spark, dir)
+    assert(df.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("pts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.agg(sum(col("meta.pts"))).as[Long].head() ==
+      (0L until 40L).map(_ * 3).sum)
+    // an old-shape batch (narrower leaf, logical names) aligns in
+    val batch = Seq((100L, "p0", "uaX", "1.2.3.4", 999))
+      .toDF("k", "p", "agent", "ip", "score")
+      .select(col("k"), col("p"),
+        struct(col("agent").as("ua2"), col("ip"),
+          col("score").as("pts")).as("meta"))
+    // note: batch speaks the CURRENT logical shape (ua2 is wrong name)
+    intercept[IllegalArgumentException] {
+      LogTable.append(spark, dir, batch): Unit
+    }
+    val good = Seq((100L, "p0", "uaX", "1.2.3.4", 999))
+      .toDF("k", "p", "ua", "ip", "score")
+      .select(col("k"), col("p"),
+        struct(col("ua"), col("ip"),
+          col("score").cast("int").as("pts")).as("meta"))
+    LogTable.append(spark, dir, good): Unit
+    assert(LogTable.read(spark, dir)
+      .filter(col("meta.pts") === 999L).count() == 1L)
+  }
+
+  test("nested ADD with DEFAULT: old rows NULL, an old-shape batch " +
+    "fills the default, a supplied value wins") {
+    val dir = tmp()
+    mk(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(meta.src STRING DEFAULT 'etl')"): Unit
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.properties.get("coldefault.meta.src").contains("'etl'"))
+    // metadata-only: pre-existing rows read NULL
+    assert(LogTable.read(spark, dir)
+      .filter(col("meta.src").isNotNull).count() == 0L)
+    // a batch whose struct OMITS the field fills the default
+    val oldShape = Seq((200L, "p1", "uaY", "2.3.4.5", 7L))
+      .toDF("k", "p", "ua", "ip", "score")
+      .select(col("k"), col("p"),
+        struct(col("ua"), col("ip"), col("score")).as("meta"))
+    LogTable.append(spark, dir, oldShape): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 200L)
+      .select("meta.src").as[String].head() == "etl")
+    // a batch SUPPLYING it keeps its value
+    val newShape = Seq((201L, "p1", "uaZ", "3.4.5.6", 8L, "manual"))
+      .toDF("k", "p", "ua", "ip", "score", "src")
+      .select(col("k"), col("p"),
+        struct(col("ua"), col("ip"), col("score"), col("src")).as("meta"))
+    LogTable.append(spark, dir, newShape): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 201L)
+      .select("meta.src").as[String].head() == "manual")
+  }
+
+  test("NULL structs stay NULL through the nested-rename rebuild") {
+    val dir = tmp()
+    val df = Seq((1L, "p0", Some(("a", 1L))), (2L, "p0", None))
+      .toDF("k", "p", "m0")
+      .select(col("k"), col("p"),
+        when(col("m0").isNotNull,
+          struct(col("m0._1").as("tag"), col("m0._2").as("n")))
+          .as("meta"))
+    LogTable.create(spark, dir, df, Seq("p"), statsCols = Seq("k"))
+    rename(dir, Array("meta", "tag"), "label"): Unit
+    val out = LogTable.read(spark, dir)
+    assert(out.filter(col("meta").isNull).count() == 1L,
+      "a NULL struct must not become a struct of NULLs")
+    assert(out.filter(col("meta.label") === "a").count() == 1L)
+  }
+
+  test("refusals: evolution through arrays/maps, constraint references, " +
+    "last-field drop") {
+    val dir = tmp()
+    val df = Seq((1L, "p0", Seq("x"), ("a", 2L)))
+      .toDF("k", "p", "tags", "m0")
+      .select(col("k"), col("p"), col("tags"),
+        struct(col("m0._1").as("tag"), col("m0._2").as("n")).as("meta"))
+    LogTable.create(spark, dir, df, Seq("p"), statsCols = Seq("k"))
+    // through an array: refuse
+    intercept[IllegalArgumentException] {
+      rename(dir, Array("tags", "element"), "e"): Unit
+    }
+    // a CHECK constraint referencing the nested path blocks rename/drop
+    LogTable.addConstraint(spark, dir, "tag_ok", "meta.tag IS NOT NULL"): Unit
+    intercept[IllegalArgumentException] {
+      rename(dir, Array("meta", "tag"), "label"): Unit
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.evolveSchema(spark, dir,
+        Seq(TableChange.deleteColumn(Array("meta", "tag"), false))): Unit
+    }
+    LogTable.dropConstraint(spark, dir, "tag_ok"): Unit
+    // last field of a struct: drop the struct column instead
+    LogTable.evolveSchema(spark, dir,
+      Seq(TableChange.deleteColumn(Array("meta", "tag"), false))): Unit
+    intercept[IllegalArgumentException] {
+      LogTable.evolveSchema(spark, dir,
+        Seq(TableChange.deleteColumn(Array("meta", "n"), false))): Unit
+    }
+  }
+
+  test("SQL dialect routes: RENAME/DROP/ADD/ALTER COLUMN with dotted " +
+    "paths, and the whole shape round-trips through SQL reads") {
+    val dir = tmp()
+    mk(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN meta.ua TO agent"): Unit
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN meta.ip"): Unit
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN meta.score TYPE BIGINT"): Unit
+    val row = spark.sql(
+      s"SELECT meta.agent AS a, meta.score AS s FROM graft.`$dir` " +
+        "WHERE k = 3").head()
+    assert(row.getString(0) == "ua3" && row.getLong(1) == 9L)
+    val cols = spark.sql(s"SELECT meta.* FROM graft.`$dir`").columns.toSeq
+    assert(cols == Seq("agent", "score"))
+  }
+}
