@@ -460,7 +460,7 @@ object ScaleProbe {
           .select(col("doc_id").cast("long").as("k"), col("lang").as("p"),
             col("n_chars").cast("long").as("v"))
         val rows = docs.count()
-        val nf = math.min(8192L, math.max(64L, rows / 8L)).toInt
+        val nf = math.min(20000L, math.max(64L, rows / 8L)).toInt
         val prev = s.conf.get("spark.sql.shuffle.partitions")
         try {
           s.conf.set("spark.sql.shuffle.partitions", nf.toString)

@@ -1185,6 +1185,113 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // APPROX-DISTINCT INCREMENTAL MV — `approx_count_distinct` as a
+    // maintained aggregate: per-group mergeable HLL sketches union in
+    // place on inserts, a delete of a non-NULL input rescans exactly
+    // that group (sketches cannot retract). The gate feeds insert and
+    // delete windows through SQL refreshes and pins the estimates
+    // within tolerance of the exact distinct counts per group
+    // (tolerance-pinned, the q166 pattern); counts/sums hash exactly.
+    "q172_approx_distinct_mv" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q172")
+      val tablePath = t + "/base"
+      val mvPath = t + "/mv"
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_custkey").as("cust"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      LogTable.create(s, tablePath, base, "o_year"): Unit
+      s.sql(s"CREATE MATERIALIZED VIEW graft.`$mvPath` BUCKETS 8 AS " +
+        s"SELECT status, count(*) AS n, sum(cents) AS sum_cents, " +
+        s"approx_count_distinct(cust) AS adc_cust " +
+        s"FROM graft.`$tablePath` GROUP BY status"): Unit
+      // an INSERT window (new keys, some repeat customers) then a
+      // DELETE window (drops whole customers from one year)
+      LogTable.upsert(s, tablePath,
+        base.filter(col("k") % 13 === 0)
+          .withColumn("k", col("k") + 20000000L)
+          .withColumn("version", lit(1)),
+        Seq("k"), Seq("version"), "op"): Unit
+      s.sql(s"REFRESH MATERIALIZED VIEW graft.`$mvPath`"): Unit
+      LogTable.deleteWhere(s, tablePath, col("o_year") === 1995): Unit
+      s.sql(s"REFRESH MATERIALIZED VIEW graft.`$mvPath`"): Unit
+      val got = graft.sources.MaterializedView.read(s, mvPath)
+        .select(col("status"), col("adc_cust"))
+      val exact = LogTable.read(s, tablePath).groupBy("status")
+        .agg(count_distinct(col("cust")).as("exact_cust"))
+      val within = got.join(exact, "status")
+        .filter(abs(col("adc_cust") - col("exact_cust")) >
+          greatest(lit(1.0), col("exact_cust") * lit(0.05)))
+        .isEmpty
+      graft.sources.MaterializedView.read(s, mvPath)
+        .select(col("status").as("o_orderstatus"), col("n"),
+          col("sum_cents"))
+        .withColumn("adc_ok", lit(within))
+    }),
+
+    // ASYNC MV AUTO-REFRESH — `mv.refreshmode = async` hands the
+    // post-commit fold to a bounded executor: the WRITER's commit
+    // returns while the refresh is still queued (pinned structurally by
+    // wedging the executor — not a timing accident), the completed-
+    // refresh counter moves, the view converges to exactly the
+    // merged-from-scratch state (hash-matched), and a manual refresh
+    // afterwards is a no-op.
+    "q171_async_mv" -> ((s, dir) => {
+      import graft.sources.{LogTable, MaterializedView => MV}
+      val t = scratch(s, dir, "graft_q171")
+      val tablePath = t + "/base"
+      val mvPath = t + "/mv"
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0).as("version"), lit("U").as("op"))
+      LogTable.create(s, tablePath, base, "o_year"): Unit
+      MV.define(s, mvPath, tablePath, Seq("o_year", "status"),
+        Seq(MV.MvCount("n"), MV.MvSum("sum_cents", "cents")),
+        nBuckets = 16): Unit
+      MV.refresh(s, mvPath): Unit
+      MV.enableAutoRefresh(s, mvPath): Unit
+      LogTable.setProperties(s, tablePath,
+        Map("mv.refreshmode" -> "async")): Unit
+      try {
+        // wedge the executor: nothing refreshes until the latch opens,
+        // so "the commit returned first" is structural
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        LogTable.mvRefreshExecutor.submit(new Runnable {
+          override def run(): Unit = latch.await()
+        }): Unit
+        val staleV = MV.refreshedVersion(s, mvPath)
+        val c0 = LogTable.asyncRefreshes.get()
+        LogTable.upsert(s, tablePath,
+          base.filter(col("k") % 7 === 0)
+            .withColumn("cents", col("cents") + 5L)
+            .withColumn("version", lit(1)),
+          Seq("k"), Seq("version"), "op"): Unit
+        val returnedFirst = MV.refreshedVersion(s, mvPath) == staleV
+        latch.countDown()
+        LogTable.upsert(s, tablePath,
+          base.filter(col("k") % 11 === 0)
+            .withColumn("op", lit("D")).withColumn("version", lit(2)),
+          Seq("k"), Seq("version"), "op"): Unit
+        val dl = System.currentTimeMillis() + 120000
+        while ((MV.refreshedVersion(s, mvPath) !=
+            LogTable.latestVersion(s, tablePath) ||
+            LogTable.asyncRefreshes.get() == c0) &&
+          System.currentTimeMillis() < dl) Thread.sleep(50L)
+        val ok = returnedFirst && LogTable.asyncRefreshes.get() > c0 &&
+          MV.refreshedVersion(s, mvPath) ==
+            LogTable.latestVersion(s, tablePath) &&
+          MV.refresh(s, mvPath) == -1L
+        MV.read(s, mvPath)
+          .withColumnRenamed("status", "o_orderstatus")
+          .withColumn("amv_ok", lit(ok))
+      } finally MV.disableAutoRefresh(s, mvPath)
+    }),
+
     // PARQUET MULTI-PART CHECKPOINT — the file list in bounded columnar
     // parts + a small meta JSON written last (completeness witness):
     // after checkpoint + expireLog the cold snapshot replays from the
@@ -1314,11 +1421,25 @@ object SourceQueries {
             .LocalRelation => ()
         }.isDefined
       val total = s.sql(s"SELECT count(*) AS n FROM graft.`$t`")
-      val filtered = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+      // boundary files (range-partitioned writes leave a few spanning
+      // two segment values) keep this filtered count UNFOLDED — one
+      // undecided file and the whole aggregate scans
+      val boundary = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
         "WHERE segment = 'BUILDING'")
-      val ok = folded(total) && !folded(filtered)
+      // the POSITIVE folds: a predicate every file provably
+      // ALL-MATCHES (k >= 1 — every file's min is ≥ 1 with zero
+      // nulls), and one every file provably EMPTIES (k < 0) — both
+      // decided on stats alone, both hash-matched against the oracle
+      val allMatch = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+        "WHERE k >= 1")
+      val noneMatch = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+        "WHERE k < 0")
+      val ok = folded(total) && !folded(boundary) &&
+        folded(allMatch) && folded(noneMatch)
       total.withColumn("which", lit("total"))
-        .unionByName(filtered.withColumn("which", lit("building")))
+        .unionByName(boundary.withColumn("which", lit("building")))
+        .unionByName(allMatch.withColumn("which", lit("all_match")))
+        .unionByName(noneMatch.withColumn("which", lit("none_match")))
         .withColumn("mc_ok", lit(ok))
     }),
 
@@ -2085,6 +2206,36 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q172_approx_distinct_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |final AS (
+        |  SELECT * FROM (
+        |    SELECT k, status, cents, o_year FROM base
+        |    UNION ALL
+        |    SELECT k + 20000000, status, cents, o_year FROM base
+        |    WHERE k % 13 = 0)
+        |  WHERE o_year <> 1995)
+        |SELECT status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS adc_ok
+        |FROM final GROUP BY status""".stripMargin,
+    "q171_async_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 7 = 0 THEN cents + 5 ELSE cents END AS cents,
+        |    o_year
+        |  FROM base WHERE k % 11 <> 0)
+        |SELECT o_year, status AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS amv_ok
+        |FROM final GROUP BY 1, 2""".stripMargin,
     "q170_checkpoint_formats" ->
       """WITH base AS (
         |  SELECT s_suppkey AS k, s_nationkey AS nk,
@@ -2125,7 +2276,13 @@ object SourceQueries {
         |SELECT count(*) AS n, 'total' AS which, TRUE AS mc_ok FROM live
         |UNION ALL
         |SELECT count(*) AS n, 'building' AS which, TRUE AS mc_ok
-        |FROM live WHERE segment = 'BUILDING'""".stripMargin,
+        |FROM live WHERE segment = 'BUILDING'
+        |UNION ALL
+        |SELECT count(*) AS n, 'all_match' AS which, TRUE AS mc_ok
+        |FROM live WHERE k >= 1
+        |UNION ALL
+        |SELECT count(*) AS n, 'none_match' AS which, TRUE AS mc_ok
+        |FROM live WHERE k < 0""".stripMargin,
 
     "q167_time_travel_ops" ->
       """WITH base AS (

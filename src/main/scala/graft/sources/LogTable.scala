@@ -111,7 +111,8 @@ object LogTable {
     * union).
     */
   final case class ColStats(min: Option[String], max: Option[String],
-                            nulls: Long, ndv: Option[String] = None)
+                            nulls: Long, ndv: Option[String] = None,
+                            hq: Option[String] = None)
 
   /** A data file's DELETION VECTOR: `name` is the sidecar parquet file
     * (table-rooted; `dv2-` bitmap rows, or legacy `dv-` `(file,
@@ -223,6 +224,102 @@ object LogTable {
       properties.get(ColMapDroppedProp)
         .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
+
+    /** Global EQUI-HEIGHT histogram for a hist-declared column, merged
+      * from the live files' per-file quantile pieces ([[ColStats.hq]]):
+      * each file contributes `HistQuantiles − 1` equal-weight uniform
+      * intervals, the merged piecewise-uniform distribution is cut at
+      * equal-mass boundaries, and per-bin NDV scales the column's
+      * HLL-union estimate by bin mass (rows-bounded). Declines (None)
+      * unless EVERY live file holding non-null rows carries quantiles —
+      * a file without them could hide arbitrary mass. Driver-side fold
+      * over O(files × 16) numbers; no scan, ever.
+      */
+    def histogramOf(c: String, nBins: Int = 32)
+        : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+      if (files.isEmpty) return None
+      val pc = physicalOfPath(c)
+      val pieces = Seq.newBuilder[(Double, Double, Double)]
+      files.foreach { f =>
+        f.stats.collectFirst {
+          case (k, s) if k.equalsIgnoreCase(pc) => s
+        } match {
+          case Some(s) =>
+            val nonNull = f.rows - s.nulls
+            if (nonNull > 0L) s.hq match {
+              case Some(q) =>
+                val qs = q.split(",").map(_.toDouble)
+                if (qs.length < 2) return None
+                val w = nonNull.toDouble / (qs.length - 1)
+                qs.sliding(2).foreach { pair =>
+                  pieces += ((pair(0), pair(1), w))
+                }
+              case None => return None
+            }
+          case None => return None
+        }
+      }
+      val ps = pieces.result()
+      if (ps.isEmpty) return None
+      val total = ps.iterator.map(_._3).sum
+      // merged CDF over the union of piece endpoints: point masses
+      // (lo == hi) sit AT their endpoint; uniform pieces spread between
+      val bps = ps.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct.sorted
+      def massAt(x: Double): Double =
+        ps.iterator.filter(p => p._1 == p._2 && p._1 == x).map(_._3).sum
+      def massIn(a: Double, b: Double): Double = // open interval (a, b)
+        ps.iterator.filter(p => p._1 < p._2).map { case (lo, hi, w) =>
+          val o = math.min(hi, b) - math.max(lo, a)
+          if (o <= 0) 0.0 else w * o / (hi - lo)
+        }.sum
+      val ndvTotal = math.max(1L, ndv.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(pc) => v
+      }.getOrElse(math.round(total)))
+      val height = total / nBins
+      val bins = Array.newBuilder[
+        org.apache.spark.sql.catalyst.plans.logical.HistogramBin]
+      var lo = bps.head
+      var acc = massAt(lo)
+      var seg = 0
+      var segLo = bps.head // progress INSIDE the current segment
+      var made = 0
+      val binNdv = math.max(1L, math.round(
+        ndvTotal.toDouble * height / total))
+      while (made < nBins - 1 && seg < bps.length - 1) {
+        val b = bps(seg + 1)
+        val a = math.max(segLo, bps(seg))
+        val m = massIn(a, b) + massAt(b)
+        if (acc + m >= height * (made + 1) - 1e-9) {
+          // cut inside (a, b): linear interpolation on the uniform part
+          val need = height * (made + 1) - acc
+          val uni = massIn(a, b)
+          val cut =
+            if (need <= 0) a // a heavy point mass spans several bins
+            else if (uni <= 0 || need >= uni) b
+            else a + (b - a) * (need / uni)
+          bins += org.apache.spark.sql.catalyst.plans.logical
+            .HistogramBin(lo, cut, binNdv)
+          made += 1
+          lo = cut
+          if (cut >= b) {
+            // the segment (incl. any point mass at b) is consumed; a
+            // point mass heavier than the remaining need pushes acc
+            // PAST the target — keep the true cumulative, never clamp
+            acc = math.max(acc + m, height * made)
+            seg += 1; segLo = b
+          } else {
+            // interpolated interior cut: cumulative is exactly on target
+            acc = height * made
+            segLo = cut // only the REMAINDER of this segment is left
+          }
+        } else { acc += m; seg += 1; segLo = b }
+      }
+      bins += org.apache.spark.sql.catalyst.plans.logical
+        .HistogramBin(lo, bps.last, binNdv)
+      Some(org.apache.spark.sql.catalyst.plans.logical.Histogram(
+        height, bins.result()))
+    }
 
     /** Table-level DISTINCT-COUNT estimates by physical column, from the
       * union of the live files' per-file HLL sketches ([[ColStats.ndv]]).
@@ -383,6 +480,23 @@ object LogTable {
 
   private[sources] def ndvColsOf(props: Map[String, String]): Seq[String] =
     props.get(NdvColsProp)
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** `hist.cols = a,b` — NUMERIC columns whose per-file equi-spaced
+    * quantile points every write records (17 points = 16 equal-weight
+    * intervals, one `percentile_approx` riding the same one-pass stats
+    * scan). [[Snapshot.histogramOf]] merges the per-file pieces into a
+    * global EQUI-HEIGHT histogram for CBO ([[CatalogColumnStat]]
+    * `histogram`) — skewed-key join estimates stop assuming uniformity,
+    * with NO ANALYZE rescan, ever: deletes and compaction update the
+    * histogram for free (a removed file's pieces drop out of the merge).
+    */
+  private[graft] val HistColsProp = "hist.cols"
+  private[sources] val HistQuantiles = 17
+
+  private[sources] def histColsOf(props: Map[String, String]): Seq[String] =
+    props.get(HistColsProp)
       .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
@@ -956,7 +1070,8 @@ object LogTable {
     fs.mkdirs(logDir(path)): Unit
     val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
       clusterBy = clusterBy, bloomCols = bloomFilterCols,
-      zorderBy = zorderBy, ndvCols = ndvColsOf(tableProperties))
+      zorderBy = zorderBy, ndvCols = ndvColsOf(tableProperties),
+      histCols = histColsOf(tableProperties))
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
       Nil, bloomCols = bloomFilterCols, operation = "CREATE",
       properties = tableProperties ++ generatedColumns.map {
@@ -1000,7 +1115,8 @@ object LogTable {
       StructField("min", StringType, nullable = true),
       StructField("max", StringType, nullable = true),
       StructField("nulls", LongType, nullable = false),
-      StructField("ndv", StringType, nullable = true))), valueContainsNull = false),
+      StructField("ndv", StringType, nullable = true),
+      StructField("hq", StringType, nullable = true))), valueContainsNull = false),
       nullable = true),
     StructField("dv_name", StringType, nullable = true),
     StructField("dv_deleted", LongType, nullable = true)))
@@ -1071,7 +1187,8 @@ object LogTable {
             if (r.isNullAt(5)) Map.empty
             else r.getMap[String, Row](5).iterator.map { case (c, s) =>
               c -> ColStats(Option(s.getString(0)), Option(s.getString(1)),
-                s.getLong(2), ndv = Option(s.getString(3)))
+                s.getLong(2), ndv = Option(s.getString(3)),
+                hq = Option(s.getString(4)))
             }.toMap
           val dv =
             if (r.isNullAt(6)) None
@@ -1114,7 +1231,9 @@ object LogTable {
               if (s.hasNonNull("max")) Some(s.get("max").asText()) else None,
               s.get("nulls").asLong(),
               ndv =
-                if (s.hasNonNull("ndv")) Some(s.get("ndv").asText()) else None)
+                if (s.hasNonNull("ndv")) Some(s.get("ndv").asText()) else None,
+              hq =
+                if (s.hasNonNull("hq")) Some(s.get("hq").asText()) else None)
           }
           b.result()
         } else Map.empty[String, ColStats]
@@ -1396,7 +1515,8 @@ object LogTable {
         rows.add(Row(f.name, f.pmin, f.pmax, f.rows, f.bytes,
           if (f.stats.isEmpty) null
           else f.stats.map { case (c, s) =>
-            c -> Row(s.min.orNull, s.max.orNull, s.nulls, s.ndv.orNull)
+            c -> Row(s.min.orNull, s.max.orNull, s.nulls, s.ndv.orNull,
+              s.hq.orNull)
           },
           f.dv.map(_.name).orNull,
           f.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull))
@@ -1546,7 +1666,8 @@ object LogTable {
         snap.statsCols, Some(target), clusterBy.map(snap.physicalOf),
         bloomCols = snap.bloomCols,
         zorderBy = zorderBy.map(snap.physicalOf), colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = ndvColsOf(snap.properties))
+        ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
       finally { rows.unpersist(): Unit }
     try {
       // dataChange = false: rows were REARRANGED, not changed — streaming
@@ -1675,10 +1796,21 @@ object LogTable {
       case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
         r.replacement
     }
-    val refs = replaced.collect {
+    // the source may be a NESTED field (`year(meta.ts)`) — collect the
+    // MAXIMAL dotted paths (a GetStructField chain counts as one path,
+    // not as its base attribute)
+    def paths(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[String] = x match {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        a.name
-    }.distinct
+        Seq(a.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        paths(g.child) match {
+          case Seq(one) => Seq(one + "." + g.extractFieldName)
+          case other => other
+        }
+      case other => other.children.flatMap(paths)
+    }
+    val refs = paths(replaced).distinct
     require(refs.length == 1,
       s"generated column expression `$gsql` must reference exactly one " +
         s"source column (got ${refs.mkString(", ")})")
@@ -1733,12 +1865,12 @@ object LogTable {
       case TruncTimestamp(Literal(_, _), _, _) => Some(GenMonotone)
       case TruncDate(_, Literal(_, _)) => Some(GenMonotone)
       case Substring(s, Literal(pos, _), Literal(_, _))
-          if core(s).isInstanceOf[AttributeReference] && pos == 1 =>
+          if attrName(core(s)).isDefined && pos == 1 =>
         Some(GenMonotone)
       // HASH BUCKETS — `pmod(hash(c), N)`, the Iceberg bucket(N)
       // transform: not monotone (equality/IN pruning only)
       case Pmod(Murmur3Hash(Seq(a), _), Literal(_, IntegerType), _)
-          if core(a).isInstanceOf[AttributeReference] =>
+          if attrName(core(a)).isDefined =>
         Some(GenPointOnly)
       case _ => None
     }
@@ -1786,8 +1918,7 @@ object LogTable {
       // monotonicity and are skipped (fall back to source-column stats)
       val rangeable = generatorKind(ge).contains(GenMonotone)
       val gattr = AttributeReference(gcol, ge.dataType, nullable = false)()
-      val srcType = schema.fields.find(_.name.equalsIgnoreCase(src))
-        .map(_.dataType)
+      val srcType = resolvePathIn(schema, src).map(_._2)
       def f(l: Literal): Option[Literal] =
         try {
           // the analyzer may have COERCED the comparison (int column vs
@@ -1807,9 +1938,13 @@ object LogTable {
             case _ => Some(l)
           }
           typed.flatMap { tl =>
+            // substitute the WHOLE source reference — a bare attribute,
+            // or the GetStructField chain of a nested source
             val v = ge.transformUp {
               case a: AttributeReference if a.name.equalsIgnoreCase(src) =>
                 tl
+              case g: GetStructField
+                  if attrName(g).exists(_.equalsIgnoreCase(src)) => tl
             }.eval(null)
             if (v == null) None else Some(Literal(v, ge.dataType))
           }
@@ -1885,7 +2020,8 @@ object LogTable {
       if (op == "UPDATE") enforceConstraints(path, snap, rewritten)
       val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = ndvColsOf(snap.properties))
+        ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -2099,7 +2235,8 @@ object LogTable {
             writeDataFiles(spark, path, assigned,
               snap.partitionCols, snap.statsCols,
               bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
-              ndvCols = ndvColsOf(snap.properties))
+              ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
           case None => Nil
         }
         val ddl = set match {
@@ -2201,7 +2338,8 @@ object LogTable {
         readFiles(spark, path, snap, victims),
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
         colMap = snap.colMap, nestMaps = snap.nestMaps,
-            ndvCols = ndvColsOf(snap.properties))
+            ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -2756,12 +2894,21 @@ object LogTable {
           val n = snap.ndv.collectFirst {
             case (c, v) if c.equalsIgnoreCase(f.name) => v
           }
-          if (rng.isEmpty && n.isEmpty) None
+          // equi-height histogram off the per-file quantile pieces, for
+          // hist-declared columns only (histogramOf declines unless
+          // every live file carries them)
+          val hist =
+            if (!histColsOf(snap.properties)
+              .exists(c => snap.physicalOfPath(c).equalsIgnoreCase(f.name)))
+              None
+            else snap.histogramOf(f.name)
+          if (rng.isEmpty && n.isEmpty && hist.isEmpty) None
           else Some(f.name -> CatalogColumnStat(
             distinctCount = n.map(BigInt(_)),
             min = rng.flatMap(_._1),
             max = rng.flatMap(_._2),
-            nullCount = rng.map(r => BigInt(r._3))))
+            nullCount = rng.map(r => BigInt(r._3)),
+            histogram = hist))
         }.toMap)))
   }
 
@@ -3312,7 +3459,8 @@ object LogTable {
           writeDataFiles(spark, path, merged, snap.partitionCols,
             snap.statsCols, bloomCols = snap.bloomCols,
             colMap = snap.colMap, nestMaps = snap.nestMaps,
-            ndvCols = ndvColsOf(snap.properties))
+            ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
         } finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
@@ -3565,7 +3713,8 @@ object LogTable {
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = ndvColsOf(snap.properties))
+        ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, Nil,
@@ -3608,7 +3757,8 @@ object LogTable {
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = ndvColsOf(snap.properties))
+        ndvCols = ndvColsOf(snap.properties),
+        histCols = histColsOf(snap.properties))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds,
@@ -3991,12 +4141,15 @@ object LogTable {
       def refuseStructural(n: String, what: String): Unit = {
         require(!snap.partitionCols.exists(_.equalsIgnoreCase(physCur(n))),
           s"log table $path: cannot $what partition column `$n` — " +
-            "partitioning is the table's physical identity")
+            "partitioning is the table's physical identity; evolve the " +
+            "spec off it first (ALTER TABLE ... REPLACE PARTITIONED BY), " +
+            s"then $what `$n` as an ordinary column")
         require(!gens.keys.exists(_.equalsIgnoreCase(n)),
           s"log table $path: cannot $what generated column `$n`")
-        require(!genSources.exists(_.equalsIgnoreCase(n)),
+        require(!genSources.exists(g => g.equalsIgnoreCase(n) ||
+            g.toLowerCase.startsWith(n.toLowerCase + ".")),
           s"log table $path: cannot $what `$n` — a generated partition " +
-            "column derives from it")
+            "column derives from it (or from a field inside it)")
         snap.constraints.foreach { case (cn, csql) =>
           require(!exprRefs(csql).exists(_.equalsIgnoreCase(n)),
             s"log table $path: cannot $what `$n` — CHECK constraint " +
@@ -4144,7 +4297,8 @@ object LogTable {
                 s"constraint `$cn` ($csql) references it; drop the " +
                 "constraint first")
           }
-          require(!genSources.exists(_.equalsIgnoreCase(dotted)),
+          require(!genSources.exists(g => g.equalsIgnoreCase(dotted) ||
+              g.toLowerCase.startsWith(dotted.toLowerCase + ".")),
             s"log table $path: cannot rename `$dotted` — a generated " +
               "partition column derives from it")
           editNested(r.fieldNames.toIndexedSeq, "rename a field") { (st, pp) =>
@@ -4198,7 +4352,8 @@ object LogTable {
                 s"constraint `$cn` ($csql) references it; drop the " +
                 "constraint first")
           }
-          require(!genSources.exists(_.equalsIgnoreCase(dotted)),
+          require(!genSources.exists(g => g.equalsIgnoreCase(dotted) ||
+              g.toLowerCase.startsWith(dotted.toLowerCase + ".")),
             s"log table $path: cannot drop `$dotted` — a generated " +
               "partition column derives from it")
           editNested(d.fieldNames.toIndexedSeq, "drop a field") { (st, pp) =>
@@ -4649,7 +4804,7 @@ object LogTable {
     // per segment on anything that is not a mapped logical
     val pc = snap.physicalOfPath(c)
     f.stats.collectFirst {
-      case (k, ColStats(Some(lo), Some(hi), _, _)) if k.equalsIgnoreCase(pc) =>
+      case (k, ColStats(Some(lo), Some(hi), _, _, _)) if k.equalsIgnoreCase(pc) =>
         (lo, hi)
     }.orElse(
       // pmin/pmax describe the leading column AT WRITE TIME — once the
@@ -4738,7 +4893,7 @@ object LogTable {
         case Some((dt, Some(st))) =>
           st match {
             // all-NULL file: no non-null value can satisfy a comparison
-            case ColStats(None, None, _, _) => false
+            case ColStats(None, None, _, _, _) => false
             case _ => p(dt, st).getOrElse(true)
           }
         case _ => true // untracked column / no stats ⇒ keep
@@ -5037,7 +5192,8 @@ object LogTable {
                              colMap: Map[String, String] = Map.empty,
                              ndvCols: Seq[String] = Nil,
                              nestMaps: Map[String, Map[String, String]] =
-                               Map.empty)
+                               Map.empty,
+                             histCols: Seq[String] = Nil)
       : Seq[LogFile] = {
     // everything at rest is PHYSICAL: the incoming frame speaks logical
     // names — rename through the snapshot's column mapping (recursively,
@@ -5113,8 +5269,18 @@ object LogTable {
       .foldLeft(Vector.empty[String]) { (acc, c) =>
         if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
       }
-    val tracked = tracked0 ++
-      ndvTracked.filterNot(c => tracked0.exists(_.equalsIgnoreCase(c)))
+    // declared HISTOGRAM columns: numeric only (quantiles of anything
+    // else are meaningless to the CBO); non-numeric declarations are
+    // silently skipped rather than failing a write
+    val histTracked = histCols.flatMap(c => resolvePathIn(df.schema, c))
+      .collect { case (c, dt) if dt.isInstanceOf[NumericType] => c }
+      .foldLeft(Vector.empty[String]) { (acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+      }
+    val tracked = (tracked0 ++
+      ndvTracked.filterNot(c => tracked0.exists(_.equalsIgnoreCase(c)))) ++
+      histTracked.filterNot(c => (tracked0 ++ ndvTracked)
+        .exists(_.equalsIgnoreCase(c)))
     val trackedType: Map[String, DataType] = tracked.iterator
       .flatMap(c => resolvePathIn(df.schema, c).map(c -> _._2)).toMap
     // the stats scan projects each tracked path to a FLAT alias first —
@@ -5145,6 +5311,11 @@ object LogTable {
           case _ => col(tAlias(c)).cast("string")
         }
         hll_sketch_agg(v, lit(NdvLgK)).as(s"__ndv_$j")
+      } ++ histTracked.zipWithIndex.map { case (c, j) =>
+        val ps = (0 until HistQuantiles)
+          .map(i => i.toDouble / (HistQuantiles - 1))
+        percentile_approx(col(tAlias(c)).cast("double"),
+          array(ps.map(lit): _*), lit(2500)).as(s"__hq_$j")
       }
     // explicit schema: no footer inference, and a legitimately EMPTY
     // write (deleteWhere emptying every victim file) still reads as an
@@ -5175,6 +5346,12 @@ object LogTable {
             .filter(_.nonEmpty)
             .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
       }.toMap
+      val hqOf: Map[String, String] = histTracked.zipWithIndex.flatMap {
+        case (c, j) =>
+          Option(r.getSeq[Double](r.fieldIndex(s"__hq_$j")))
+            .filter(_.nonEmpty)
+            .map(qs => c -> qs.map(_.toString).mkString(","))
+      }.toMap
       val colStats = tracked.zipWithIndex.map { case (c, i) =>
         val mn = Option(r.getString(r.fieldIndex(s"__min_$i")))
         val mx = Option(r.getString(r.fieldIndex(s"__max_$i")))
@@ -5189,6 +5366,9 @@ object LogTable {
         c -> ColStats(mn, mx, nulls,
           ndv = ndvB64.collectFirst {
             case (nc, b) if nc.equalsIgnoreCase(c) => b
+          },
+          hq = hqOf.collectFirst {
+            case (hc, q) if hc.equalsIgnoreCase(c) => q
           })
       }.toMap
       // unpartitioned tables carry no leading-column range — pmin/pmax
@@ -5279,6 +5459,7 @@ object LogTable {
                         case None => o.putNull("max"): Unit }
           o.put("nulls", s.nulls): Unit
           s.ndv.foreach(b => o.put("ndv", b): Unit)
+          s.hq.foreach(q => o.put("hq", q): Unit)
         }
       }
       f.dv.foreach { d =>
@@ -5365,7 +5546,7 @@ object LogTable {
     * the spec, which wedges it with a latch to prove the commit
     * returns first.
     */
-  private[sources] lazy val mvRefreshExecutor =
+  private[graft] lazy val mvRefreshExecutor =
     java.util.concurrent.Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, "graft-mv-autorefresh")
       t.setDaemon(true)

@@ -1461,8 +1461,14 @@ object LogTableSql {
             case Average(e, _) => MvAvg(name, colOf(e, "avg"))
             case Min(e) => MvMin(name, colOf(e, "min"))
             case Max(e) => MvMax(name, colOf(e, "max"))
+            // approx_count_distinct maintains a MERGEABLE HLL sketch per
+            // group (exact DISTINCT stays refused above — it is not
+            // incrementally maintainable; the sketch is)
+            case h: HyperLogLogPlusPlus =>
+              MvApproxDistinct(name, colOf(h.child, "approx_count_distinct"))
             case other => bad(s"aggregate `${other.prettyName}` is not " +
-              "supported (count/count(col)/sum/avg/min/max)")
+              "supported (count/count(col)/sum/avg/min/max/" +
+              "approx_count_distinct)")
           })
         case other => bad(s"output `${other.sql}` is neither a group key " +
           "nor an aliased aggregate (alias every aggregate: `... AS n`)")

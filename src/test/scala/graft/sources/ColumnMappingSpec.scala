@@ -222,7 +222,19 @@ class ColumnMappingSpec extends SparkSpec {
     mk(dir)
     val pe = intercept[IllegalArgumentException](rename(dir, "p", "part"))
     assert(pe.getMessage.contains("partition column"))
+    // the refusal NAMES the sanctioned migration: evolve the spec off
+    // the column first, then rename it as an ordinary column
+    assert(pe.getMessage.contains("REPLACE PARTITIONED BY"))
     intercept[IllegalArgumentException](drop(dir, "p")): Unit
+    // ... and that path WORKS: re-declare the spec, then the rename of
+    // the now-ordinary column succeeds with history intact
+    val mdir = tmp() + "/mig"
+    mk(mdir)
+    LogTable.evolvePartitioning(spark, mdir, Seq("k")): Unit
+    rename(mdir, "p", "part"): Unit
+    assert(LogTable.read(spark, mdir).columns.contains("part"))
+    assert(LogTable.readWhere(spark, mdir,
+      org.apache.spark.sql.functions.col("part") === "p1").count() > 0)
     LogTable.addConstraint(spark, dir, "v_nonneg", "v >= 0"): Unit
     val ce = intercept[IllegalArgumentException](rename(dir, "v", "value"))
     assert(ce.getMessage.contains("v_nonneg"))

@@ -209,6 +209,83 @@ class NestedEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("CDF and the STREAMING source read a nested-renamed table under " +
+    "logical names (files at rest keep physical leaves)") {
+    val dir = tmp()
+    mk(dir)
+    rename(dir, Array("meta", "ua"), "agent"): Unit
+    val vPre = LogTable.latestVersion(spark, dir)
+    LogTable.append(spark, dir,
+      Seq((500L, "p0", "uaNEW", "9.9.9.9", 7L))
+        .toDF("k", "p", "ua", "ip", "score")
+        .select(col("k"), col("p"),
+          struct(col("ua").as("agent"), col("ip"),
+            col("score")).as("meta"))): Unit
+    // CDF: the change feed rebuilds structs logical-named
+    val ch = LogTable.readChanges(spark, dir, vPre, vPre + 1L)
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("meta.agent").as[String].collect().toSeq == Seq("uaNEW"))
+    // streaming: one AvailableNow pass over the table's change feed
+    val out = java.nio.file.Files.createTempDirectory("graft-nest-st")
+    val q = spark.readStream.format(classOf[LogTableSourceProvider].getName)
+      .option("path", dir).load()
+      .select(col("k"), col("meta.agent").as("agent"))
+      .writeStream.format("parquet")
+      .option("path", out.toString + "/data")
+      .option("checkpointLocation", out.toString + "/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out.toString + "/data")
+    assert(got.count() == 41L)
+    assert(got.filter(col("agent") === "uaNEW").count() == 1L)
+    assert(got.filter(col("agent") === "ua7").count() == 1L)
+  }
+
+  test("hidden partitioning from a NESTED source: year(meta.ts) " +
+    "materializes, a bound on meta.ts alone prunes, evolution refuses " +
+    "to touch the source or its parent") {
+    val dir = tmp()
+    val df = (0L until 36L).map { i =>
+      (i, java.sql.Date.valueOf(s"${2020 + (i % 3)}-0${1 + (i % 9)}-01"),
+        s"ua$i")
+    }.toDF("k", "d", "ua")
+      .select(col("k"), struct(col("d").as("ts"), col("ua")).as("meta"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      LogTable.create(spark, dir, df, Seq("d_year"), statsCols = Seq("k"),
+        generatedColumns = Map("d_year" -> "year(meta.ts)"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(LogTable.read(spark, dir)
+      .filter(col("d_year") =!= year(col("meta.ts"))).count() == 0L,
+      "the derived column must equal its nested source's projection")
+    // a predicate on the NESTED SOURCE alone prunes through the implied
+    // bound on the derived partition column
+    val pr = LogTable.countWhere(spark, dir,
+      col("meta.ts") < lit("2021-01-01").cast("date"))
+    assert(pr.count == 12L)
+    assert(pr.excludedFiles > 0,
+      s"nested-source bound must prune (excluded=${pr.excludedFiles})")
+    // the generator's source is structural: neither the leaf nor its
+    // PARENT struct may rename/drop away
+    intercept[IllegalArgumentException] {
+      rename(dir, Array("meta", "ts"), "when"): Unit
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.evolveSchema(spark, dir, Seq(
+        org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+          Array("meta"), "m"))): Unit
+    }
+    // an append omitting the derived column recomputes it
+    LogTable.append(spark, dir,
+      Seq((100L, java.sql.Date.valueOf("2022-05-01"), "uaX"))
+        .toDF("k", "d", "ua")
+        .select(col("k"), struct(col("d").as("ts"), col("ua")).as("meta"))): Unit
+    assert(LogTable.read(spark, dir)
+      .filter(col("k") === 100L).select("d_year").head().getInt(0) == 2022)
+  }
+
   test("SQL dialect routes: RENAME/DROP/ADD/ALTER COLUMN with dotted " +
     "paths, and the whole shape round-trips through SQL reads") {
     val dir = tmp()
