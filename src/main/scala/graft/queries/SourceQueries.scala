@@ -1185,6 +1185,43 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // AUTO-OPTIMIZE — `optimize.every = n` fires the debt-triggered
+    // compaction off every n-th data-change commit (post-publish,
+    // best-effort, metadata-only when under budget): a 6-wave ingest
+    // loop that would accrete files per partition stays under the
+    // declared budget with NO manual OPTIMIZE anywhere, COMPACT commits
+    // land dataChange=false, and the final content hashes against the
+    // merged-from-scratch oracle.
+    "q173_auto_optimize" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q173")
+      val base = Tables(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      LogTable.create(s, t, base, Seq("segment"), statsCols = Seq("k"),
+        tableProperties = Map(
+          LogTable.OptimizeEveryProp -> "2",
+          LogTable.OptimizeMaxFilesProp -> "4")): Unit
+      (1 to 6).foreach { w =>
+        LogTable.append(s, t,
+          base.filter(col("k") % 31 === (w % 31).toLong)
+            .select((col("k") + w * 10000000L).as("k"), col("segment"),
+              (col("cents") + w.toLong).as("cents"))): Unit
+      }
+      val snap = LogTable.snapshot(s, t)
+      val perValue = snap.files.flatMap(f => Set(f.pmin, f.pmax))
+        .groupBy(identity).view.mapValues(_.size)
+      // budget 4 + at most the last uncompacted wave's spill
+      val bounded = perValue.values.forall(_ <= 6)
+      val h = LogTable.history(s, t)
+        .select("operation", "data_change").collect()
+      val compacts = h.filter(_.getString(0) == "COMPACT")
+      val fired = compacts.nonEmpty && compacts.forall(!_.getBoolean(1))
+      LogTable.read(s, t).groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("ao_ok", lit(bounded && fired))
+    }),
+
     // APPROX-DISTINCT INCREMENTAL MV — `approx_count_distinct` as a
     // maintained aggregate: per-group mergeable HLL sketches union in
     // place on inserts, a delete of a non-NULL input rescans exactly
@@ -2206,6 +2243,19 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q173_auto_optimize" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |waves AS (
+        |  SELECT k + w * 10000000 AS k, segment, cents + w AS cents
+        |  FROM base, (SELECT UNNEST([1,2,3,4,5,6]) AS w)
+        |  WHERE k % 31 = w % 31),
+        |final AS (SELECT * FROM base UNION ALL SELECT * FROM waves)
+        |SELECT segment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS ao_ok
+        |FROM final GROUP BY segment""".stripMargin,
     "q172_approx_distinct_mv" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -3839,6 +3839,36 @@ object LogTable {
     eligible.max
   }
 
+  /** The OLDEST version committed at or after `tsMillis` — the streaming
+    * source's `startingTimestamp` lookup (the Delta semantic: begin the
+    * feed at the first commit the instant could have observed). Fails
+    * loud when the timestamp is beyond the newest commit — a silent
+    * empty stream would read as "nothing ever changed".
+    */
+  def versionAtOrAfter(spark: SparkSession, path: String,
+                       tsMillis: Long): Long = {
+    val fs = fsOf(spark, path)
+    val eligible = fs.listStatus(logDir(path)).iterator
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case CommitName(v) =>
+          val ict = carriedTs(fs, st)
+          val at = if (ict > 0L) ict else st.getModificationTime
+          if (at >= tsMillis) Some(v.toLong) else None
+        case CheckpointName(v) =>
+          val carried = carriedTs(fs, st)
+          if (carried > 0L && carried >= tsMillis) Some(v.toLong) else None
+        case CkptMetaName(v) =>
+          val carried = carriedTs(fs, st)
+          if (carried > 0L && carried >= tsMillis) Some(v.toLong) else None
+        case _ => None
+      }).toSeq
+    require(eligible.nonEmpty,
+      s"log table $path: no commit at or after timestamp $tsMillis — " +
+        "the timestamp is beyond the newest version")
+    eligible.min
+  }
+
   /** The timestamp version `v` committed at: its in-commit ts, its
     * commit file's mtime (legacy), or a checkpoint's carried ts when
     * the commit file has expired; 0 when nothing witnesses it. Feeds
@@ -5482,6 +5512,16 @@ object LogTable {
     */
   private[sources] val CheckpointEveryProp = "checkpoint.every"
 
+  /** Table properties `optimize.every = n` / `optimize.maxfiles = k`:
+    * after every n-th data-change version the committing writer runs
+    * [[compactPartitions]] with budget k (default 8) — orchestrator-free
+    * small-file maintenance, the same post-publish best-effort
+    * discipline as `checkpoint.every`. Under budget the fire is a
+    * metadata-only no-op.
+    */
+  private[graft] val OptimizeEveryProp = "optimize.every"
+  private[graft] val OptimizeMaxFilesProp = "optimize.maxfiles"
+
   /** Property keys the ENGINE owns — they carry validated structure
     * (generator expressions, the MV registry, clone provenance) and must
     * change through their dedicated APIs, not raw property DDL.
@@ -5679,6 +5719,30 @@ object LogTable {
               s"graft: auto-checkpoint of $path at v$version failed: $e")
           }
       }
+    // AUTO-OPTIMIZE (`optimize.every = n` [+ `optimize.maxfiles`]):
+    // after every n-th DATA-CHANGE version the committing writer runs
+    // the debt-triggered compaction — a metadata-only check when every
+    // partition value is under budget (compactPartitions returns
+    // without reading a byte), a bounded rewrite of exactly the
+    // over-budget values when one is not. Post-publish, best-effort;
+    // the compaction commit itself is dataChange = false, so the policy
+    // can never re-fire off its own write.
+    if (dataChange)
+      properties.get(OptimizeEveryProp)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+        .foreach { n =>
+          if (version % n == 0) {
+            val budget = properties.get(OptimizeMaxFilesProp)
+              .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+              .getOrElse(8)
+            try compactPartitions(spark, path,
+              maxFilesPerPartition = budget): Unit
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"graft: auto-optimize of $path at v$version failed: $e")
+            }
+          }
+        }
   }
 
   /** Post-commit hooks: observers of durably published versions —

@@ -320,11 +320,29 @@ class LogTableSourceProvider extends StreamSourceProvider
       case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
       case None => snap.schema
     }
+    val startingTs = opt(parameters, "startingTimestamp")
+    require(startingTs.isEmpty || opt(parameters, "startingVersion").isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
     val startingVersion = opt(parameters, "startingVersion") match {
       case Some(s) if s.equalsIgnoreCase("latest") =>
         LogTable.latestVersion(spark, path)
       case Some(s) => s.toLong
-      case None => 0L
+      case None => startingTs match {
+        case Some(ts) =>
+          // ISO instant or SQL timestamp (session zone), resolved against
+          // the IN-COMMIT clock — the oldest version at or after it
+          // starts the feed EXCLUSIVE of everything before (−1 because
+          // the source's offsets admit versions > startingVersion)
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+              java.time.ZoneId.of(zone))
+            .getOrElse(throw new IllegalArgumentException(
+              s"startingTimestamp `$ts` is not a timestamp"))
+          LogTable.versionAtOrAfter(spark, path, micros / 1000L) - 1L
+        case None => 0L
+      }
     }
     val maxPer = opt(parameters, "maxVersionsPerTrigger")
       .map(_.toLong).getOrElse(Long.MaxValue)

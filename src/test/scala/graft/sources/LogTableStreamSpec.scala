@@ -282,4 +282,39 @@ class LogTableStreamSpec extends SparkSpec {
     }
     assert(causeContains(e, "expired"), e.toString)
   }
+
+  test("startingTimestamp starts the feed at the first commit at or " +
+    "after the instant (in-commit clock); beyond-head fails loud") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p")
+    LogTable.upsert(spark, dir,
+      Seq((6L, "f", 0, "p5", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    LogTable.upsert(spark, dir,
+      Seq((7L, "g", 0, "p6", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    // the instant v2 committed at (the in-commit clock): the feed must
+    // begin WITH v2 — v1's create rows stay out, v2 and v3 stream
+    val h = LogTable.history(spark, dir)
+      .select("version", "commit_time").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val iso = h(2L).toInstant.toString
+    val (rows, _) = drain(stream(dir, "startingTimestamp" -> iso))
+    assert(rows.map(_.getLong(0)).sorted == Seq(6L, 7L),
+      s"expected v2..v3 rows, got ${rows.map(_.getLong(0)).sorted}")
+    // mutually exclusive with startingVersion (surfaces when the stream
+    // materializes its source — on the query thread)
+    val me = intercept[Exception] {
+      drain(stream(dir, "startingTimestamp" -> iso,
+        "startingVersion" -> "1"))
+    }
+    assert(causeContains(me, "mutually exclusive"), me.toString)
+    // an instant beyond the newest commit fails loud, never an empty feed
+    val e = intercept[Exception] {
+      drain(stream(dir,
+        "startingTimestamp" -> h(3L).toInstant.plusSeconds(3600).toString))
+    }
+    assert(causeContains(e, "at or after") ||
+      Option(e.getMessage).exists(_.contains("at or after")), e.toString)
+  }
 }
