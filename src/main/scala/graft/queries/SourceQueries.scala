@@ -1185,6 +1185,63 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // EQUI-HEIGHT HISTOGRAMS FOR CBO — `hist.cols` columns record 17
+    // per-file quantile points in the one-pass stats scan; the snapshot
+    // merges them into CatalogColumnStat.histogram. The gate builds a
+    // SKEWED fact (most rows on one hot key outside the dim's range)
+    // twice — with and without histograms — and pins that the
+    // histogram-backed join ESTIMATE lands closer to the true join
+    // cardinality than the uniform assumption; the join itself is the
+    // hash-matched output.
+    "q174_histogram_cbo" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q174")
+      // fact: orders keyed by custkey — naturally skewed bottom-coded
+      // key: clamp most keys to 1, keep a uniform tail
+      val fact = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        when(col("o_orderkey") % 10 =!= 0, lit(1L))
+          .otherwise((col("o_orderkey") % 97) + 2L).as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = Tables(s, dir, "nation").select(
+        (col("n_nationkey") + 50L).as("k"), col("n_name").as("name"))
+      def mk(sub: String, hist: Boolean): String = {
+        val d = t + "/" + sub
+        LogTable.create(s, d + "/fact", fact, Seq("status"),
+          statsCols = Seq("k"),
+          tableProperties =
+            if (hist) Map(LogTable.HistColsProp -> "k", "ndv.cols" -> "k")
+            else Map("ndv.cols" -> "k")): Unit
+        LogTable.create(s, d + "/dim", dim, Nil, statsCols = Seq("k"),
+          tableProperties =
+            if (hist) Map(LogTable.HistColsProp -> "k", "ndv.cols" -> "k")
+            else Map("ndv.cols" -> "k")): Unit
+        d
+      }
+      val dh = mk("hist", hist = true)
+      val dp = mk("plain", hist = false)
+      val actual = LogTable.table(s, dh + "/fact")
+        .join(LogTable.table(s, dh + "/dim"), "k").count()
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val histOk =
+        try {
+          def est(d: String): BigInt =
+            LogTable.table(s, d + "/fact")
+              .join(LogTable.table(s, d + "/dim"), "k")
+              .queryExecution.optimizedPlan.stats.rowCount
+              .getOrElse(BigInt(-1))
+          val (eh, ep) = (est(dh), est(dp))
+          eh >= 0 && ep >= 0 &&
+            (eh - actual).abs < (ep - actual).abs
+        } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      LogTable.table(s, dh + "/fact")
+        .join(LogTable.table(s, dh + "/dim"), "k")
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("hist_ok", lit(histOk))
+    }),
+
     // AUTO-OPTIMIZE — `optimize.every = n` fires the debt-triggered
     // compaction off every n-th data-change commit (post-publish,
     // best-effort, metadata-only when under budget): a 6-wave ingest
@@ -2243,6 +2300,19 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q174_histogram_cbo" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CASE WHEN o_orderkey % 10 <> 0 THEN 1
+        |         ELSE (o_orderkey % 97) + 2 END AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |dim AS (
+        |  SELECT n_nationkey + 50 AS k, n_name AS name FROM nation)
+        |SELECT name, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS hist_ok
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY name""".stripMargin,
     "q173_auto_optimize" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS segment,

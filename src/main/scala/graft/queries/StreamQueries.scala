@@ -629,7 +629,12 @@ object StreamQueries {
         year(col("o_orderdate")).as("o_year"),
         lit(0).as("version"), lit("U").as("op"))
       val base = shape(graft.Tables(s, dir, "orders"))
-      LogTable.create(s, tablePath, base, "o_year"): Unit
+      // ASYNC refresh mode from birth: the hook hands each fold to the
+      // bounded executor, so micro-batch commits return at publish and
+      // refreshes overlap the next batch's work — the writer-latency
+      // win BENCH_SCALE_MVASYNC prices, exercised here end to end
+      LogTable.create(s, tablePath, base, Seq("o_year"),
+        tableProperties = Map("mv.refreshmode" -> "async")): Unit
       MV.define(s, mvPath, tablePath, Seq("o_year", "status"), Seq(
         MV.MvCount("n"), MV.MvSum("sum_cents", "cents"),
         MV.MvMin("min_cents", "cents"), MV.MvMax("max_cents", "cents")),
@@ -669,10 +674,18 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
+        val c0 = LogTable.asyncRefreshes.get()
         run("ck1")
-        // the hook folded every micro-batch before its upsert returned
+        // the hooks QUEUED each micro-batch's fold; the executor drains
+        // concurrently — converge, and pin that the async path (not some
+        // inline fallback) did the folding via the completed counter
+        val dl = System.currentTimeMillis() + 120000
+        while (MV.refreshedVersion(s, mvPath) !=
+          LogTable.latestVersion(s, tablePath) &&
+          System.currentTimeMillis() < dl) Thread.sleep(50L)
         val hookFresh = MV.refreshedVersion(s, mvPath) ==
-          LogTable.latestVersion(s, tablePath)
+          LogTable.latestVersion(s, tablePath) &&
+          LogTable.asyncRefreshes.get() > c0
         run("ck2") // at-least-once replay: watermark skips, hook silent
         // v1 create, v2 the REGISTER_MV registration commit (the
         // auto-refresh registry is log-persisted), v3–v6 the four

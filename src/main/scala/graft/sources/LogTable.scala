@@ -2090,15 +2090,8 @@ object LogTable {
       validateAssignments(path, snap, set)
       val hit = coalesce(predicate, lit(false))
       def assigned(rel: DataFrame): DataFrame =
-        rel.select(snap.schema.fields.toIndexedSeq.map { f =>
-          set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
-            match {
-              case Some(expr) =>
-                when(hit, expr.cast(f.dataType)).otherwise(col(f.name))
-                  .as(f.name)
-              case None => col(f.name)
-            }
-        }: _*)
+        rel.select(snap.schema.fields.toIndexedSeq
+          .map(f => assignedCol(set, f, Some(hit))): _*)
       // a SET on a generator's SOURCE column re-derives the generated
       // column — the derived value can never drift from its source
       (materializeGenerated(generatorsOf(snap), assigned(rows)),
@@ -2109,12 +2102,52 @@ object LogTable {
   private def validateAssignments(path: String, snap: Snapshot,
                                   set: Map[String, Column]): Unit =
     set.keys.foreach { c =>
-      require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
-        s"log table $path: cannot update unknown column `$c`")
-      require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
-        s"log table $path: partition column `$c` is immutable under the " +
-          "pruned-merge contract — move rows with delete + insert")
+      if (c.contains('.'))
+        // a DOTTED key assigns a struct FIELD — must resolve through
+        // plain structs (arrays/maps have no assignable field identity)
+        require(resolvePathIn(snap.schema, c).isDefined,
+          s"log table $path: cannot update unknown nested field `$c`")
+      else {
+        require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"log table $path: cannot update unknown column `$c`")
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
+          s"log table $path: partition column `$c` is immutable under the " +
+            "pruned-merge contract — move rows with delete + insert")
+      }
     }
+
+  /** One output column for schema field `f` under assignments `set`: a
+    * direct hit applies (guarded by `gate` when the relation mixes
+    * matched and unmatched rows); a DOTTED key below a struct field
+    * rebuilds the struct with the assigned leaves replaced — a NULL
+    * struct stays NULL (there is no field of a NULL struct to assign).
+    */
+  private def assignedCol(set: Map[String, Column], f: StructField,
+                          gate: Option[Column]): Column = {
+    def guard(e: Column, old: Column, dt: DataType): Column = gate match {
+      case Some(h) => when(h, e.cast(dt)).otherwise(old)
+      case None => e.cast(dt)
+    }
+    def rec(base: Column, dt: DataType, prefix: String): Column = dt match {
+      case st: StructType if set.keys.exists(k =>
+          k.toLowerCase.startsWith(prefix.toLowerCase + ".")) =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map { sf =>
+          val p = prefix + "." + sf.name
+          set.collectFirst { case (k, v) if k.equalsIgnoreCase(p) => v } match {
+            case Some(e) =>
+              guard(e, base.getField(sf.name), sf.dataType).as(sf.name)
+            case None =>
+              rec(base.getField(sf.name), sf.dataType, p).as(sf.name)
+          }
+        }: _*)
+        when(base.isNotNull, rebuilt)
+      case _ => base
+    }
+    set.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v } match {
+      case Some(e) => guard(e, col(f.name), f.dataType).as(f.name)
+      case None => rec(col(f.name), f.dataType, f.name).as(f.name)
+    }
+  }
 
   /** The committed DDL after `set` lands: a NULL-capable assignment makes
     * the column's data nullable and the schema must say so. Nullability
@@ -2127,13 +2160,32 @@ object LogTable {
                          set: Map[String, Column],
                          assigned: DataFrame => DataFrame): String = {
     val probe = assigned(emptyDf(spark, snap.schema))
-    StructType(snap.schema.fields.map { f =>
-      if (set.keys.exists(_.equalsIgnoreCase(f.name)) && !f.nullable &&
-          probe.schema.fields
-            .find(_.name.equalsIgnoreCase(f.name)).exists(_.nullable))
-        f.copy(nullable = true)
-      else f
-    }).toDDL
+    def leafNullable(st: StructType, path: String): Boolean = {
+      val segs = path.split("\\.")
+      var cur: DataType = st
+      var n = false
+      segs.foreach { seg =>
+        cur match {
+          case s0: StructType => s0.fields.find(_.name.equalsIgnoreCase(seg))
+            .foreach { f => n = f.nullable; cur = f.dataType }
+          case _ => ()
+        }
+      }
+      n
+    }
+    def widen(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val p = if (prefix.isEmpty) f.name else prefix + "." + f.name
+        val f1 = f.dataType match {
+          case s0: StructType => f.copy(dataType = widen(s0, p))
+          case _ => f
+        }
+        if (set.keys.exists(_.equalsIgnoreCase(p)) && !f1.nullable &&
+            leafNullable(probe.schema, p))
+          f1.copy(nullable = true)
+        else f1
+      })
+    widen(snap.schema, "").toDDL
   }
 
   /** The DELETION-VECTOR write transaction behind
@@ -2176,13 +2228,8 @@ object LogTable {
       val snap = snapshot(spark, path)
       set.foreach(s => validateAssignments(path, snap, s))
       def applySet(s: Map[String, Column])(rel: DataFrame): DataFrame =
-        rel.select(snap.schema.fields.toIndexedSeq.map { f =>
-          s.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
-            match {
-              case Some(e) => e.cast(f.dataType).as(f.name)
-              case None => col(f.name)
-            }
-        }: _*)
+        rel.select(snap.schema.fields.toIndexedSeq
+          .map(f => assignedCol(s, f, None)): _*)
       val cj = analyzedConjuncts(spark, snap, predicate)
       val victims = snap.files.filter(f =>
         cj.forall(c => mayMatch(snap, f, c, zone)))

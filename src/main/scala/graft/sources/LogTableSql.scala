@@ -161,11 +161,23 @@ object LogTableSql {
         }
     }
 
-  private def assignName(key: Expression): String = key match {
-    case a: UnresolvedAttribute => a.nameParts.last
-    case other => throw new IllegalArgumentException(
-      s"graft SQL: cannot assign to expression $other — name a column")
-  }
+  /** The assignment TARGET: a plain column, an alias-qualified column
+    * (`t.cents` — the alias strips), or a DOTTED struct-field path
+    * (`meta.pts` — kept whole; updateWhere rebuilds the struct).
+    */
+  private def assignName(key: Expression,
+                         aliases: Map[String, Option[String]]): String =
+    key match {
+      case a: UnresolvedAttribute =>
+        val parts =
+          if (a.nameParts.length > 1 &&
+              aliases.contains(a.nameParts.head.toLowerCase))
+            a.nameParts.tail
+          else a.nameParts
+        parts.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"graft SQL: cannot assign to expression $other — name a column")
+    }
 
   /** The analysis-time rewrite rule. Injected by
     * [[graft.expr.GraftExtensions]]; sessions built without the
@@ -305,7 +317,7 @@ object LogTableSql {
           val (path, alias) = pathOf(target).get
           val m = alias.map(_.toLowerCase -> None).toMap
           UpdateCommand(path,
-            assignments.map(a => assignName(a.key) -> requalify(a.value, m).sql),
+            assignments.map(a => assignName(a.key, m) -> requalify(a.value, m).sql),
             condition.map(c => requalify(c, m).sql))
 
         // MERGE INTO graft.`path` t USING src s ON ...
@@ -387,7 +399,7 @@ object LogTableSql {
         case UpdateAction(cond, assignments, _) =>
           MatchedSpec(cond.map(requalify(_, m).sql),
             Some(assignments.map(x =>
-              assignName(x.key) -> requalify(x.value, m).sql).toMap))
+              assignName(x.key, m) -> requalify(x.value, m).sql).toMap))
         case _: UpdateStarAction => throw new IllegalArgumentException(
           "graft SQL: UPDATE SET * is not supported — name the assignments")
         case DeleteAction(cond) =>
@@ -402,7 +414,7 @@ object LogTableSql {
         case InsertAction(cond, assignments) =>
           InsertSpec(cond.map(requalify(_, m).sql),
             assignments.map(x =>
-              assignName(x.key) -> requalify(x.value, m).sql).toMap)
+              assignName(x.key, m) -> requalify(x.value, m).sql).toMap)
         case InsertStarAction(cond) =>
           InsertSpec(cond.map(requalify(_, m).sql), Map.empty)
         case other => throw new IllegalArgumentException(

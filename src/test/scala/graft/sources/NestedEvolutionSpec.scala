@@ -162,6 +162,26 @@ class NestedEvolutionSpec extends SparkSpec {
       .select("meta.src").as[String].head() == "manual")
   }
 
+  test("RESTORE crosses a nested rename atomically: DDL, nested mapping " +
+    "and defaults revert together") {
+    val dir = tmp()
+    mk(dir)
+    val v0 = LogTable.snapshot(spark, dir).version
+    rename(dir, Array("meta", "ua"), "agent"): Unit
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(meta.src STRING DEFAULT 'etl')"): Unit
+    assert(LogTable.snapshot(spark, dir).nestMaps.nonEmpty)
+    LogTable.restore(spark, dir, v0): Unit
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.nestMaps.isEmpty, "the nested mapping must revert")
+    assert(!snap.properties.keys.exists(_.startsWith("coldefault.")),
+      "the nested default must revert")
+    val cols = LogTable.read(spark, dir).select("meta.*").columns.toSeq
+    assert(cols == Seq("ua", "ip", "score"))
+    assert(LogTable.read(spark, dir)
+      .filter(col("meta.ua") === "ua7").count() == 1L)
+  }
+
   test("NULL structs stay NULL through the nested-rename rebuild") {
     val dir = tmp()
     val df = Seq((1L, "p0", Some(("a", 1L))), (2L, "p0", None))
@@ -299,5 +319,70 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(row.getString(0) == "ua3" && row.getLong(1) == 9L)
     val cols = spark.sql(s"SELECT meta.* FROM graft.`$dir`").columns.toSeq
     assert(cols == Seq("agent", "score"))
+    // CTAS declares DOTTED stats straight from SQL
+    val t2 = tmp() + "/sqlstats"
+    spark.sql(s"SELECT k, p, meta FROM graft.`$dir`")
+      .createOrReplaceTempView("nest_src")
+    spark.sql(s"CREATE TABLE graft.`$t2` PARTITIONED BY (p) " +
+      "STATS BY (k, meta.score) AS SELECT * FROM nest_src"): Unit
+    val pr = LogTable.countWhere(spark, t2, col("meta.score") > 1000000L)
+    assert(pr.count == 0L && pr.scannedFiles == 0,
+      "SQL-declared dotted stats must skip metadata-only")
+  }
+
+  test("UPDATE assigns NESTED fields: API, SQL with dotted SET, and the " +
+    "deletion-vector path; NULL structs stay NULL; unknowns refuse") {
+    val dir = tmp()
+    mk(dir)
+    // API: rewrite path — only matched rows' leaf changes, siblings keep
+    LogTable.updateWhere(spark, dir, col("k") === 3L,
+      Map("meta.score" -> lit(999L))): Unit
+    val r3 = LogTable.read(spark, dir).filter(col("k") === 3L)
+      .select("meta.ua", "meta.score").head()
+    assert(r3.getString(0) == "ua3" && r3.getLong(1) == 999L)
+    assert(LogTable.read(spark, dir)
+      .filter(col("meta.score") === 12L).count() == 1L, "k=4 untouched")
+    // SQL: dotted SET target
+    spark.sql(s"UPDATE graft.`$dir` SET meta.score = meta.score + 1 " +
+      "WHERE k = 5"): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 5L)
+      .select("meta.score").head().getLong(0) == 16L)
+    // DV path: the matched rows rewrite with the leaf assigned
+    LogTable.updateWhere(spark, dir, col("k") === 6L,
+      Map("meta.ua" -> lit("patched")), deletionVectors = true): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 6L)
+      .select("meta.ua").head().getString(0) == "patched")
+    // after a RENAME the assignment speaks the NEW logical name
+    rename(dir, Array("meta", "score"), "pts"): Unit
+    LogTable.updateWhere(spark, dir, col("k") === 7L,
+      Map("meta.pts" -> lit(777L))): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 7L)
+      .select("meta.pts").head().getLong(0) == 777L)
+    // unknown nested target refuses loud
+    intercept[IllegalArgumentException] {
+      LogTable.updateWhere(spark, dir, col("k") === 1L,
+        Map("meta.nope" -> lit(1))): Unit
+    }
+  }
+
+  test("a SHALLOW CLONE of a nested-renamed table reads logical names " +
+    "through the source's physical files") {
+    val dir = tmp()
+    mk(dir)
+    rename(dir, Array("meta", "score"), "pts"): Unit
+    val dst = tmp() + "/clone"
+    LogTable.clone(spark, dir, dst): Unit
+    val got = LogTable.read(spark, dst)
+    assert(got.select("meta.*").columns.toSeq == Seq("ua", "ip", "pts"))
+    assert(got.agg(sum(col("meta.pts"))).as[Long].head() ==
+      (0L until 40L).map(_ * 3).sum)
+    // skipping through the retired dotted key works on the clone too
+    val pr = LogTable.countWhere(spark, dst, col("meta.pts") > 1000000L)
+    assert(pr.count == 0L && pr.scannedFiles == 0)
+    // diverge the clone: its own nested evolution never touches the src
+    LogTable.evolveSchema(spark, dst, Seq(
+      TableChange.renameColumn(Array("meta", "ua"), "agent"))): Unit
+    assert(LogTable.read(spark, dst).select("meta.*").columns.contains("agent"))
+    assert(LogTable.read(spark, dir).select("meta.*").columns.contains("ua"))
   }
 }
