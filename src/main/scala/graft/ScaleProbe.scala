@@ -441,6 +441,73 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col(cCol)).as("s"))
     }
 
+    // NESTED-MAPPING read exit at scale: after struct-field renames the
+    // read rebuilds each mapped struct under logical names (a
+    // when(isNotNull, struct(...)) projection per mapped column) — this
+    // pair prices that rebuild against the identity read. Both tables
+    // carry the same struct; only one is renamed.
+    def nestmapCache(renamed: Boolean)(s: SparkSession, d: String): String = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val suffix = if (renamed) "ren" else "plain"
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/nestmap_$suffix/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t,
+          graft.Tables(s, d, "orders").select(
+            col("o_orderkey").as("k"),
+            year(col("o_orderdate")).as("o_year"),
+            struct(col("o_orderstatus").as("status"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+              .as("meta")),
+          Seq("o_year"), statsCols = Seq("k", "meta.cents"),
+          clusterBy = Seq("k")): Unit
+        if (renamed) {
+          import org.apache.spark.sql.connector.catalog.TableChange
+          LogTable.evolveSchema(s, t, Seq(
+            TableChange.renameColumn(Array("meta", "cents"), "amount"),
+            TableChange.renameColumn(Array("meta", "status"), "st"))): Unit
+        }
+      }
+      t
+    }
+    def nestmapRead(renamed: Boolean)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = nestmapCache(renamed)(s, d)
+      val (cCol, sCol) =
+        if (renamed) ("meta.amount", "meta.st")
+        else ("meta.cents", "meta.status")
+      LogTable.readWhere(s, t,
+          col("o_year") === 1998 && col(cCol) < 500000L)
+        .groupBy(col(sCol))
+        .agg(count(lit(1)).as("n"), sum(col(cCol)).as("s"))
+    }
+
+    // HISTOGRAM write-side cost: `hist.cols` adds one percentile_approx
+    // per declared column to the SAME one-pass stats scan — this pair
+    // prices a full create (write + stats) with and without the
+    // declaration. The claim under test: histograms never add a pass.
+    def statsWrite(hist: Boolean)(s: SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/statswrite_${if (hist) "h" else "p"}")
+        .getAbsolutePath
+      val tp = new org.apache.hadoop.fs.Path(t)
+      val tfs = tp.getFileSystem(s.sessionState.newHadoopConf())
+      if (tfs.exists(tp)) tfs.delete(tp, true): Unit
+      LogTable.create(s, t,
+        graft.Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          year(col("o_orderdate")).as("o_year"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq("o_year"), statsCols = Seq("k", "cents"),
+        tableProperties =
+          if (hist) Map(LogTable.HistColsProp -> "cents") else Map.empty): Unit
+      s.range(LogTable.snapshot(s, t).files.length.toLong).toDF()
+    }
+
     // COLD SNAPSHOT LOAD at scale, JSON vs PARQUET checkpoint: a table
     // whose FILE COUNT grows with the tier (≈ rows/8, capped) is
     // checkpointed in each format and its commits expired, so the next
@@ -765,6 +832,10 @@ object ScaleProbe {
         "colmap_read:plain" -> (colmapRead(renamed = false) _),
         "ckpt_coldload:json" -> (ckptColdLoad("json") _),
         "ckpt_coldload:parquet" -> (ckptColdLoad("parquet") _),
+        "nestmap_read:renamed" -> (nestmapRead(renamed = true) _),
+        "nestmap_read:plain" -> (nestmapRead(renamed = false) _),
+        "stats_write:hist" -> (statsWrite(hist = true) _),
+        "stats_write:plain" -> (statsWrite(hist = false) _),
         "pevo_read:mixed" -> (pevoRead("mixed") _),
         "pevo_read:migrated" -> (pevoRead("migrated") _),
         "meta_agg:folded" -> (metaAgg("folded") _),
