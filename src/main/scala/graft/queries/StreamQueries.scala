@@ -456,6 +456,62 @@ object StreamQueries {
     // emit NOTHING (feed_ok pins the emitted version ceiling under it).
     // The answer is computed from the STREAMED BYTES, never the table;
     // the oracle restates the merge from raw orders.
+    // STREAMING CHANGE FEED — `readChangeFeed = true`: the source emits
+    // per-commit inserts AND deletes (`_change_type`, `_commit_version`),
+    // so merges and deletion-vector commits stream NATIVELY — no
+    // ignoreChanges, no fail-loud on rewrites; dataChange=false commits
+    // stay invisible. The gate drives an update wave (whole-partition
+    // rewrite: riders flow as delete+insert pairs), a DV delete wave and
+    // a compaction through the stream, folds the collected feed back to
+    // row multiplicities (insert − delete), and hash-matches the
+    // reconstruction against the oracle's final state — a missed delete,
+    // a double-emitted rider or a leaked compaction all hash-red.
+    "q175_stream_change_feed" -> ((s, dir) => {
+      import graft.sources.{LogTable, LogTableSourceProvider}
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q175_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val sinkPath = new org.apache.hadoop.fs.Path(outRoot, "sink").toString
+      val base = graft.Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      LogTable.create(s, tablePath, base, "o_year"): Unit
+      // v2: a rewriting UPDATE; v3: a DV delete; v4: compaction
+      LogTable.updateWhere(s, tablePath, col("k") % 7 === 0,
+        Map("cents" -> (col("cents") + 10L))): Unit
+      LogTable.deleteWhere(s, tablePath, col("k") % 11 === 0,
+        deletionVectors = true): Unit
+      LogTable.compactPartitions(s, tablePath,
+        maxFilesPerPartition = 1): Unit
+      val feed = s.readStream
+        .format(classOf[LogTableSourceProvider].getName)
+        .option("path", tablePath)
+        .option("maxVersionsPerTrigger", "1")
+        .option("readChangeFeed", "true").load()
+      withStatePartitions(s, 8) {
+        val q = feed.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$sinkPath/b$id")
+        }.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val feedDf = s.read.parquet(s"$sinkPath/*")
+      val sawDvDelete = feedDf.filter(col("_commit_version") === 3L &&
+        col("_change_type") === "delete").limit(1).count() > 0
+      val compactionSilent = feedDf
+        .filter(col("_commit_version") >= 4L).limit(1).count() == 0
+      val cdfOk = sawDvDelete && compactionSilent
+      // reconstruct: per full row, inserts minus deletes = multiplicity
+      feedDf.groupBy(col("k"), col("status"), col("cents"), col("o_year"))
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("__m"))
+        .filter(col("__m") =!= 0L)
+        .groupBy(col("o_year"))
+        .agg(sum(col("__m")).cast("long").as("n"),
+          sum(col("cents") * col("__m")).cast("long").as("sum_cents"))
+        .withColumn("cdf_ok", lit(cdfOk))
+    }),
+
     "q135_stream_logtable_feed" -> ((s, dir) => {
       import graft.sources.{LogTable, LogTableSourceProvider}
       val sf = new java.io.File(dir).getName.replace('.', '_')
@@ -957,6 +1013,21 @@ object StreamQueries {
        |WHERE vec_id NOT IN (SELECT vec_id FROM matched)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q175_stream_change_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 7 = 0 THEN cents + 10 ELSE cents END AS cents,
+        |    o_year
+        |  FROM base),
+        |final AS (SELECT * FROM upd WHERE k % 11 <> 0)
+        |SELECT o_year, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS cdf_ok
+        |FROM final GROUP BY o_year""".stripMargin,
     // Spark's window("1 day") is epoch-aligned; so is date_trunc('day').
     // CAST(ts AS TIMESTAMP) truncates ns→µs exactly like `ts div 1000`.
     "q34_stream_rollup" ->

@@ -2100,7 +2100,18 @@ object LogTable {
   }
 
   private def validateAssignments(path: String, snap: Snapshot,
-                                  set: Map[String, Column]): Unit =
+                                  set: Map[String, Column]): Unit = {
+    // a whole-column assignment and a leaf assignment under it in ONE
+    // statement is ambiguous (which wins?) — refuse, never silently
+    // drop the leaf
+    set.keys.foreach { c =>
+      set.keys.find(o => o.toLowerCase.startsWith(c.toLowerCase + "."))
+        .foreach { o =>
+          throw new IllegalArgumentException(
+            s"log table $path: assignments `$c` and `$o` overlap — " +
+              "assign the whole column or its fields, not both")
+        }
+    }
     set.keys.foreach { c =>
       if (c.contains('.'))
         // a DOTTED key assigns a struct FIELD — must resolve through
@@ -2115,6 +2126,7 @@ object LogTable {
             "pruned-merge contract — move rows with delete + insert")
       }
     }
+  }
 
   /** One output column for schema field `f` under assignments `set`: a
     * direct hit applies (guarded by `gate` when the relation mixes
@@ -5058,7 +5070,7 @@ object LogTable {
     * file's superseded (subset) rows for a file now pointing elsewhere;
     * the entry's pointer, not a sidecar's content, is authoritative.
     */
-  private def dvPairs(spark: SparkSession, path: String,
+  private[sources] def dvPairs(spark: SparkSession, path: String,
                       entries: Seq[LogFile]): DataFrame = {
     // sidecars record data files by BASE name; a shallow clone's log
     // references both sidecar and data file absolutely — dispatch and
@@ -5097,7 +5109,7 @@ object LogTable {
     * it fits comfortably; a pathologically large vector degrades to a
     * shuffle join, never an OOM.
     */
-  private def antiJoinDv(data: DataFrame, dv: DataFrame, dvRows: Long,
+  private[sources] def antiJoinDv(data: DataFrame, dv: DataFrame, dvRows: Long,
                          dropHelpers: Boolean = true): DataFrame = {
     val side = if (dvRows * 64L < (256L << 20)) broadcast(dv) else dv
     val joined = data.join(side,
@@ -5107,7 +5119,7 @@ object LogTable {
   }
 
   /** Attach the DV helper columns: the scan's own file name + row index. */
-  private def withDvHelpers(df: DataFrame): DataFrame =
+  private[sources] def withDvHelpers(df: DataFrame): DataFrame =
     df.select(col("*"),
       substring_index(col("_metadata.file_path"), "/", -1).as("__gdv_file"),
       col("_metadata.row_index").as("__gdv_idx"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** STRUCTURED STREAMING over the commit log — the table is its own
   * queue (the Delta-streaming-source architecture: reference CDC
@@ -62,7 +62,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
                                  colMap: Map[String, String] = Map.empty,
                                  lateGens: Map[String, String] = Map.empty,
                                  nestMaps: Map[String, Map[String, String]] =
-                                   Map.empty)
+                                   Map.empty,
+                                 changeFeed: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
 
   // files store PHYSICAL column names (column mapping, incl. nested
@@ -76,10 +77,14 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
 
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
 
-  // read schema = pinned table schema; output schema adds the version tag
+  // read schema = pinned table schema; output schema adds the version
+  // tag (and, in CHANGE-FEED mode, the Delta CDF _change_type column)
   override val schema: StructType =
-    StructType(pinned.fields :+ StructField("_commit_version", LongType,
-      nullable = false))
+    StructType(pinned.fields ++
+      (if (changeFeed)
+        Seq(StructField("_change_type", StringType, nullable = false))
+      else Nil) :+
+      StructField("_commit_version", LongType, nullable = false))
 
   // Trigger.AvailableNow pins "all data" at START, then admission paces
   // batches up to it (the FileStreamSource discipline — without the
@@ -113,9 +118,108 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     throw new UnsupportedOperationException(
       "admission-controlled source: the engine calls latestOffset")
 
+  /** The pinned-physical streaming scan of `files` at version `v` —
+    * shared by the file feed and the change feed.
+    */
+  private def rawScan(v: Long, files: Seq[LogTable.LogFile]): DataFrame = {
+    // pinned-schema snapshot shell — the TRUE partition columns matter:
+    // mayMatch falls back to (pmin, pmax) for the leading partition
+    // column, so a wrong name here would prune pushed filters on an
+    // unrelated column against the partition bounds
+    val snap = LogTable.Snapshot(v, pinnedPhysical.toDDL, partitionCols,
+      statsCols, files)
+    val index = new LogTableFileIndex(spark, path, snap)
+    val relation = HadoopFsRelation(index, StructType(Nil), pinnedPhysical,
+      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    // isStreaming = true: the engine asserts every getBatch plan is a
+    // streaming leaf (the FileStreamSource/Delta pattern)
+    org.apache.spark.sql.GraftBridge
+      .ofRows(spark, LogicalRelation(relation, isStreaming = true))
+  }
+
+  /** Physical→logical exit + late generated columns (the streaming twin
+    * of LogTable.toLogical — per-batch frames bypass it).
+    */
+  private def toPinnedLogical(raw: DataFrame): DataFrame = {
+    val logical0 =
+      if (colMap.isEmpty && nestMaps.isEmpty) raw
+      else raw.select(pinned.fields.zip(pinnedPhysical.fields)
+        .map { case (lf, pf) =>
+          LogTable.colToLogical(
+            col("`" + pf.name.replace("`", "``") + "`"),
+            lf.dataType, pf.name, nestMaps).as(lf.name)
+        }.toIndexedSeq: _*)
+    lateGens.foldLeft(logical0) { case (d, (c, g)) =>
+      pinned.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(fd) =>
+          d.withColumn(fd.name,
+            coalesce(col("`" + fd.name.replace("`", "``") + "`"),
+              expr(g).cast(fd.dataType)))
+        case None => d
+      }
+    }
+  }
+
+  /** One change-feed side at one version: the entries' LIVE rows (each
+    * file under its OWN deletion vector — the static DV-pair set joins
+    * the streaming scan) tagged with the change type and version.
+    */
+  private def cdfFrame(v: Long, files: Seq[LogTable.LogFile],
+                       change: String): DataFrame = {
+    val raw0 = rawScan(v, files)
+    val dved = files.filter(_.dv.isDefined)
+    val raw =
+      if (dved.isEmpty) raw0
+      else LogTable.antiJoinDv(LogTable.withDvHelpers(raw0),
+        LogTable.dvPairs(spark, path, dved),
+        dved.iterator.map(_.dv.get.deleted).sum)
+    toPinnedLogical(raw)
+      .withColumn("_change_type", lit(change))
+      .withColumn("_commit_version", lit(v))
+  }
+
+  /** CHANGE-FEED batch: per data-change commit in (from, to], the ADDED
+    * entries' live rows stream as `insert`s and the REMOVED entries' —
+    * as of the PARENT snapshot, each under its own deletion vector — as
+    * `delete`s: per commit, the same identity the batch
+    * [[LogTable.readChanges]] proves, with `_commit_version`
+    * attribution. Merges and DV commits stream NATIVELY here (riders
+    * appear as delete+insert pairs — the batch CDF's file-level shape;
+    * key them through readNetChanges-style folding downstream to cancel).
+    */
+  private def getChangeBatch(fromV: Long, toV: Long): DataFrame = {
+    val parts = Seq.newBuilder[DataFrame]
+    ((fromV + 1) to toV).foreach { v =>
+      val c =
+        try LogTable.commitAt(spark, path, v)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"log table $path: commit $v has been expired behind a " +
+                "checkpoint — this stream's window is gone; restart the " +
+                "stream from a fresh snapshot (startingVersion=latest) " +
+                "or stop expiring the log while streams read it", e)
+        }
+      if (c.dataChange) {
+        if (c.adds.nonEmpty) parts += cdfFrame(v, c.adds, "insert")
+        if (c.removes.nonEmpty) {
+          val removedSet = c.removes.toSet
+          val removed = LogTable.snapshot(spark, path, Some(v - 1))
+            .files.filter(f => removedSet.contains(f.name))
+          if (removed.nonEmpty) parts += cdfFrame(v, removed, "delete")
+        }
+      }
+    }
+    parts.result() match {
+      case Seq() => cdfFrame(toV, Nil, "insert") // empty, still streaming
+      case ps => ps.reduce(_ union _)
+    }
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(o => versionOf(o.json)).getOrElse(startingVersion)
     val toV = versionOf(end.json)
+    if (changeFeed) return getChangeBatch(fromV, toV)
     val batches = (fromV + 1) to toV
     val emit = Seq.newBuilder[(Long, Seq[LogTable.LogFile])]
     batches.foreach { v =>
@@ -146,44 +250,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
       }
     }
     val versions = emit.result()
-    def frame(v: Long, files: Seq[LogTable.LogFile]): DataFrame = {
-      // pinned-schema snapshot shell — the TRUE partition columns matter:
-      // mayMatch falls back to (pmin, pmax) for the leading partition
-      // column, so a wrong name here would prune pushed filters on an
-      // unrelated column against the partition bounds
-      val snap = LogTable.Snapshot(v, pinnedPhysical.toDDL, partitionCols,
-        statsCols, files)
-      val index = new LogTableFileIndex(spark, path, snap)
-      val relation = HadoopFsRelation(index, StructType(Nil), pinnedPhysical,
-        None, new ParquetFileFormat, Map.empty[String, String])(spark)
-      // isStreaming = true: the engine asserts every getBatch plan is a
-      // streaming leaf (the FileStreamSource/Delta pattern)
-      val raw = org.apache.spark.sql.GraftBridge
-        .ofRows(spark, LogicalRelation(relation, isStreaming = true))
-      val logical0 =
-        if (colMap.isEmpty && nestMaps.isEmpty) raw
-        else raw.select(pinned.fields.zip(pinnedPhysical.fields)
-          .map { case (lf, pf) =>
-            LogTable.colToLogical(
-              col("`" + pf.name.replace("`", "``") + "`"),
-              lf.dataType, pf.name, nestMaps).as(lf.name)
-          }.toIndexedSeq: _*)
-      // generated columns introduced by a PARTITION EVOLUTION before
-      // stream start: files that predate them scan as NULL — compute
-      // from the source column exactly as batch reads do (toLogical's
-      // contract; a stored value is never NULL, so coalesce changes
-      // only the predating rows)
-      val logical = lateGens.foldLeft(logical0) { case (d, (c, g)) =>
-        pinned.fields.find(_.name.equalsIgnoreCase(c)) match {
-          case Some(fd) =>
-            d.withColumn(fd.name,
-              coalesce(col("`" + fd.name.replace("`", "``") + "`"),
-                expr(g).cast(fd.dataType)))
-          case None => d
-        }
-      }
-      logical.withColumn("_commit_version", lit(v))
-    }
+    def frame(v: Long, files: Seq[LogTable.LogFile]): DataFrame =
+      toPinnedLogical(rawScan(v, files)).withColumn("_commit_version", lit(v))
     versions match {
       case Seq() => frame(toV, Nil) // zero-file scan: empty, still streaming
       case vs => vs.map { case (v, fl) => frame(v, fl) }.reduce(_ union _)
@@ -283,8 +351,12 @@ class LogTableSourceProvider extends StreamSourceProvider
       "graft-logtable source reads the schema from the commit log — " +
         "do not pass one")
     val snap = LogTable.snapshot(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), StructType(snap.schema.fields :+
-      StructField("_commit_version", LongType, nullable = false)))
+    val cdf = opt(parameters, "readChangeFeed").exists(_.toBoolean)
+    val metaCols =
+      (if (cdf) Seq(StructField("_change_type", StringType, nullable = false))
+       else Nil) :+
+        StructField("_commit_version", LongType, nullable = false)
+    (shortName(), StructType(snap.schema.fields ++ metaCols))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -316,8 +388,10 @@ class LogTableSourceProvider extends StreamSourceProvider
       case None => (snap.partitionCols, snap.statsCols, snap.colMap,
         LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps)
     }
+    val changeFeed = opt(parameters, "readChangeFeed").exists(_.toBoolean)
     val pinned = schema match {
-      case Some(s) => StructType(s.fields.filterNot(_.name == "_commit_version"))
+      case Some(s) => StructType(s.fields.filterNot(f =>
+        f.name == "_commit_version" || f.name == "_change_type"))
       case None => snap.schema
     }
     val startingTs = opt(parameters, "startingTimestamp")
@@ -350,6 +424,6 @@ class LogTableSourceProvider extends StreamSourceProvider
       .exists(_.toBoolean)
     new LogTableStreamSource(spark, path, pinned, meta._1, meta._2,
       startingVersion, maxPer, ignoreChanges, colMap = meta._3,
-      lateGens = meta._4, nestMaps = meta._5)
+      lateGens = meta._4, nestMaps = meta._5, changeFeed = changeFeed)
   }
 }

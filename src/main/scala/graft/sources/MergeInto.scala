@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Full MERGE INTO over the commit-log table — the general form of
   * [[LogTable.upsert]]'s fixed latest-wins semantics (the reference's
@@ -298,14 +298,31 @@ final case class MergeInto private[sources] (
   private def validate(snap: LogTable.Snapshot): Unit = {
     def known(c: String): Boolean =
       snap.schema.fields.exists(_.name.equalsIgnoreCase(c))
+    (matched ++ bySource).flatMap(_.set).foreach { m =>
+      // whole-column + leaf-under-it in ONE clause is ambiguous — refuse
+      m.keys.foreach { c =>
+        m.keys.find(o => o.toLowerCase.startsWith(c.toLowerCase + "."))
+          .foreach { o =>
+            throw new IllegalArgumentException(
+              s"merge into $path: assignments `$c` and `$o` overlap — " +
+                "assign the whole column or its fields, not both")
+          }
+      }
+    }
     (matched ++ bySource).flatMap(_.set).flatMap(_.keys).foreach { c =>
-      require(known(c), s"merge into $path: cannot update unknown column `$c`")
-      require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
-        s"merge into $path: partition column `$c` is immutable under the " +
-          "pruned-merge contract — move rows with delete + insert")
-      require(!keyCols.exists(_.equalsIgnoreCase(c)),
-        s"merge into $path: key column `$c` is immutable in an update — " +
-          "re-keying is delete + insert")
+      if (c.contains('.'))
+        // a DOTTED key assigns a struct FIELD (updateWhere's vocabulary)
+        require(LogTable.resolvePathIn(snap.schema, c).isDefined,
+          s"merge into $path: cannot update unknown nested field `$c`")
+      else {
+        require(known(c), s"merge into $path: cannot update unknown column `$c`")
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
+          s"merge into $path: partition column `$c` is immutable under the " +
+            "pruned-merge contract — move rows with delete + insert")
+        require(!keyCols.exists(_.equalsIgnoreCase(c)),
+          s"merge into $path: key column `$c` is immutable in an update — " +
+            "re-keying is delete + insert")
+      }
     }
     insert.foreach(_.values.keys.foreach { c =>
       require(known(c), s"merge into $path: cannot insert unknown column `$c`")
@@ -355,24 +372,49 @@ final case class MergeInto private[sources] (
     */
   private[sources] def projectResult(snap: LogTable.Snapshot,
                                      joined: DataFrame): DataFrame = {
+    // one clause's value for field f: a whole-column assignment, or —
+    // for DOTTED keys below a struct — the struct rebuilt with exactly
+    // that clause's leaves replaced (clauses are act-exclusive per row,
+    // so each branch bases on the TARGET's own value; a NULL struct
+    // stays NULL, updateWhere's discipline)
+    def rebuild(base: Column, dt: DataType, prefix: String,
+                m: Map[String, String]): Column = dt match {
+      case st: StructType if m.keys.exists(k =>
+          k.toLowerCase.startsWith(prefix.toLowerCase + ".")) =>
+        when(base.isNotNull, struct(st.fields.toIndexedSeq.map { sf =>
+          val p = prefix + "." + sf.name
+          m.collectFirst { case (k, v) if k.equalsIgnoreCase(p) =>
+            expr(v).cast(sf.dataType)
+          }.getOrElse(rebuild(base.getField(sf.name), sf.dataType, p, m))
+            .as(sf.name)
+        }: _*))
+      case _ => base
+    }
+    def branchValue(f: StructField, m: Map[String, String]): Option[Column] =
+      m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) =>
+        expr(v).cast(f.dataType)
+      }.orElse {
+        if (!m.keys.exists(_.toLowerCase.startsWith(f.name.toLowerCase + ".")))
+          None
+        // no outer cast: each leaf already cast to its own type, and a
+        // struct cast that TIGHTENS nullability (NOT NULL leaves) is
+        // refused by the analyzer
+        else Some(rebuild(col("t." + quote(f.name)), f.dataType, f.name, m))
+      }
     val outCols = snap.schema.fields.toIndexedSeq.map { f =>
       var e: Column = col("t." + quote(f.name))
       matched.zipWithIndex.foreach { case (cl, i) =>
         cl.set.foreach { m =>
-          m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
-            .foreach { v =>
-              e = when(col("__act") === s"u$i",
-                expr(v).cast(f.dataType)).otherwise(e)
-            }
+          branchValue(f, m).foreach { v =>
+            e = when(col("__act") === s"u$i", v).otherwise(e)
+          }
         }
       }
       bySource.zipWithIndex.foreach { case (cl, i) =>
         cl.set.foreach { m =>
-          m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
-            .foreach { v =>
-              e = when(col("__act") === s"b$i",
-                expr(v).cast(f.dataType)).otherwise(e)
-            }
+          branchValue(f, m).foreach { v =>
+            e = when(col("__act") === s"b$i", v).otherwise(e)
+          }
         }
       }
       insert.foreach { ic => e = when(col("__act") === "ins",

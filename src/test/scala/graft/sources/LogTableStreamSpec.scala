@@ -283,6 +283,49 @@ class LogTableStreamSpec extends SparkSpec {
     assert(causeContains(e, "expired"), e.toString)
   }
 
+  test("readChangeFeed streams per-commit inserts AND deletes — merges " +
+    "and deletion-vector commits flow natively, dataChange=false skips") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, baseDf, "p") // v1: 3 inserts
+    // v2: a MERGE rewrites p1 (k=1 updated; k=2 rides along)
+    LogTable.upsert(spark, dir,
+      Seq((1L, "a2", 1, "p1", "U")).toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op")
+    // v3: a DV delete kills k=3 WITHOUT touching data files
+    LogTable.deleteWhere(spark, dir, col("k") === 3L,
+      deletionVectors = true): Unit
+    // v4: compaction (dataChange=false) must emit NOTHING
+    LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 1): Unit
+    val (rows, _) = drain(stream(dir, "readChangeFeed" -> "true"))
+    def at(ver: Long, tpe: String): Seq[Long] = rows
+      .filter(r => r.getAs[Long]("_commit_version") == ver &&
+        r.getAs[String]("_change_type") == tpe)
+      .map(_.getAs[Long]("k")).sorted
+    assert(at(1L, "insert") == Seq(1L, 2L, 3L))
+    assert(at(1L, "delete").isEmpty)
+    // the merge: old p1 rows leave, new p1 rows (update + rider) arrive
+    assert(at(2L, "delete") == Seq(1L, 2L))
+    assert(at(2L, "insert") == Seq(1L, 2L))
+    assert(rows.filter(r => r.getAs[Long]("_commit_version") == 2L &&
+      r.getAs[String]("_change_type") == "insert" &&
+      r.getAs[Long]("k") == 1L).head.getAs[String]("v") == "a2")
+    // the DV commit: k=3 leaves; the file's SURVIVING rows re-enter
+    // under the new vector (the batch readChanges identity, per commit)
+    assert(at(3L, "delete").contains(3L))
+    assert(!at(3L, "insert").contains(3L))
+    // compaction emitted nothing
+    assert(rows.forall(_.getAs[Long]("_commit_version") != 4L))
+    // reconstruction identity: inserts minus deletes = the live table
+    val net = rows.groupBy(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+      .map { case (kv, rs) =>
+        kv -> (rs.count(_.getAs[String]("_change_type") == "insert") -
+          rs.count(_.getAs[String]("_change_type") == "delete"))
+      }.filter(_._2 != 0).keys.map(_._1).toSeq.sorted
+    val live = LogTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(net == live, s"net $net != live $live")
+  }
+
   test("startingTimestamp starts the feed at the first commit at or " +
     "after the instant (in-commit clock); beyond-head fails loud") {
     val dir = tmp() + "/t"

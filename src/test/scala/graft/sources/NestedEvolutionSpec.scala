@@ -365,6 +365,37 @@ class NestedEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO assigns nested fields — API clauses and SQL dotted " +
+    "SET targets; whole-struct and leaf assignments coexist") {
+    val dir = tmp()
+    mk(dir)
+    val src = Seq((3L, "p3", 500L), (100L, "p0", 7L))
+      .toDF("k", "p", "bump")
+    LogTable.mergeInto(spark, dir, src, Seq("k"))
+      .whenMatchedUpdate(Map("meta.score" -> "t.meta.score + s.bump"))
+      .run(): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 3L)
+      .select("meta.score").head().getLong(0) == 509L)
+    assert(LogTable.read(spark, dir).filter(col("k") === 4L)
+      .select("meta.score").head().getLong(0) == 12L, "k=4 untouched")
+    // SQL MERGE with a dotted SET target
+    Seq((5L, "p1", 1000L)).toDF("k", "p", "bump")
+      .createOrReplaceTempView("nest_merge_src")
+    spark.sql(s"MERGE INTO graft.`$dir` t USING nest_merge_src s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET meta.score = t.meta.score + s.bump"): Unit
+    assert(LogTable.read(spark, dir).filter(col("k") === 5L)
+      .select("meta.score").head().getLong(0) == 1015L)
+    // sibling leaves survive an adjacent-leaf assignment
+    assert(LogTable.read(spark, dir).filter(col("k") === 5L)
+      .select("meta.ua").head().getString(0) == "ua5")
+    // unknown nested target refuses loud
+    intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("k"))
+        .whenMatchedUpdate(Map("meta.nope" -> "1")).run(): Unit
+    }
+  }
+
   test("a SHALLOW CLONE of a nested-renamed table reads logical names " +
     "through the source's physical files") {
     val dir = tmp()
