@@ -1185,6 +1185,49 @@ object SourceQueries {
         .withColumn("gen_ok", lit(ok))
     }),
 
+    // IDENTITY COLUMNS — `identity.col = id`: append batches OMITTING
+    // the column fill generated values, unique and strictly above every
+    // previously committed value; the high-water rides the commit
+    // properties off the stats the write already records. Generated
+    // values are non-deterministic (gaps allowed), so the gate pins
+    // uniqueness and ordering as FLAGS and hashes the deterministic
+    // content (counts/sums per segment) against the oracle.
+    "q176_identity" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q176")
+      val base = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        lit("base").as("src"))
+      LogTable.create(s, t, base, Seq("segment"), statsCols = Seq("id"),
+        tableProperties = Map(LogTable.IdentityColProp -> "id")): Unit
+      val maxBase = base.agg(max("id")).head().getLong(0)
+      base.filter(col("id") % 13 === 0)
+        .select(col("segment"), (col("cents") + 5L).as("cents"),
+          lit("w1").as("src"))
+        .createOrReplaceTempView("q176_w1")
+      LogTable.append(s, t, s.table("q176_w1")): Unit
+      LogTable.append(s, t,
+        base.filter(col("id") % 17 === 0)
+          .select(col("segment"), (col("cents") + 7L).as("cents"),
+            lit("w2").as("src"))): Unit
+      val all = LogTable.read(s, t)
+      val uniqueOk = all.select("id").distinct().count() == all.count()
+      val w1Min = all.filter(col("src") === "w1")
+        .agg(min("id")).head().getLong(0)
+      val w1Max = all.filter(col("src") === "w1")
+        .agg(max("id")).head().getLong(0)
+      val w2Min = all.filter(col("src") === "w2")
+        .agg(min("id")).head().getLong(0)
+      // generated values clear the seed AND each earlier wave
+      val orderedOk = w1Min > maxBase && w2Min > w1Max
+      val idOk = uniqueOk && orderedOk
+      all.groupBy(col("segment"), col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("id_ok", lit(idOk))
+    }),
+
     // EQUI-HEIGHT HISTOGRAMS FOR CBO — `hist.cols` columns record 17
     // per-file quantile points in the one-pass stats scan; the snapshot
     // merges them into CatalogColumnStat.histogram. The gate builds a
@@ -2300,6 +2343,20 @@ object SourceQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q176_identity" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |final AS (
+        |  SELECT segment, cents, 'base' AS src FROM base
+        |  UNION ALL
+        |  SELECT segment, cents + 5, 'w1' FROM base WHERE id % 13 = 0
+        |  UNION ALL
+        |  SELECT segment, cents + 7, 'w2' FROM base WHERE id % 17 = 0)
+        |SELECT segment, src, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS id_ok
+        |FROM final GROUP BY segment, src""".stripMargin,
     "q174_histogram_cbo" ->
       """WITH fact AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -1022,6 +1022,19 @@ object LogTable {
         s"log table $path: `$c` — partition/cluster/z-order columns " +
           "must be top-level (nested paths carry stats only)")
     }
+    tableProperties.get(IdentityColProp).foreach { c =>
+      val dt = resolvePathIn(df.schema, c).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"log table $path: identity column `$c` is not in the schema"))
+      require(dt == LongType || dt == IntegerType,
+        s"log table $path: identity column `$c` must be integral " +
+          s"(got ${dt.sql})")
+      require(statsCols.exists(_.equalsIgnoreCase(c)),
+        s"log table $path: identity column `$c` must be declared in " +
+          "statsCols — the high-water rides the per-file stats")
+      require(!c.contains('.'),
+        s"log table $path: identity column `$c` must be top-level")
+    }
     (partitionCols ++ statsCols ++ clusterBy ++ zorderBy).foreach { c =>
       val (_, dt) = resolvePathIn(df.schema, c).getOrElse(
         throw new IllegalArgumentException(
@@ -1072,9 +1085,16 @@ object LogTable {
       clusterBy = clusterBy, bloomCols = bloomFilterCols,
       zorderBy = zorderBy, ndvCols = ndvColsOf(tableProperties),
       histCols = histColsOf(tableProperties))
+    // identity high-water seeds from the create's own rows (1 if none)
+    val idSeed = tableProperties.get(IdentityColProp).map { c =>
+      val mx = adds.flatMap(_.stats.collectFirst {
+        case (k, st) if k.equalsIgnoreCase(c) => st.max
+      }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
+      IdentityNextProp -> (if (mx.isEmpty) 1L else mx.max + 1L).toString
+    }.toMap
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
       Nil, bloomCols = bloomFilterCols, operation = "CREATE",
-      properties = tableProperties ++ generatedColumns.map {
+      properties = tableProperties ++ idSeed ++ generatedColumns.map {
         case (c, g) => (GenPropPrefix + c) -> g
       })
     1L
@@ -3768,25 +3788,42 @@ object LogTable {
           snap0
         else snap0.copy(schemaDdl = StructType(widened ++ added).toDDL)
       }
-      val aligned = alignStrict(path, snap, rows)
+      // IDENTITY fill: a batch omitting the declared identity column
+      // gets generated values from the committed high-water — unique,
+      // increasing, gaps allowed (see [[IdentityColProp]])
+      val rowsFilled = snap.properties.get(IdentityColProp) match {
+        case Some(c)
+            if !rows.schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
+          val nxt = snap.properties.get(IdentityNextProp)
+            .map(_.toLong).getOrElse(1L)
+          rows.withColumn(c, lit(nxt) + monotonically_increasing_id())
+        case _ => rows
+      }
+      val aligned = alignStrict(path, snap, rowsFilled)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties),
         histCols = histColsOf(snap.properties))
+      val idAdv = identityAdvance(snap, adds)
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, Nil,
           bloomCols = snap.bloomCols, operation = "APPEND",
           txns = txn.map { case (a, i) => a -> i }.toMap,
           constraints = snap.constraints,
-          properties = snap.properties)
+          properties = snap.properties ++ idAdv)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
-          recommitDisjoint(spark, path, snap, snap.schemaDdl, Nil, adds,
-            Set.empty, maxRetries, operation = "APPEND",
-            txns = txn.map { case (a, i) => a -> i }.toMap) match {
+          // identity appends never take the blind fast path: the
+          // high-water must re-read the winner's (and the commutes
+          // check would decline on the property drift anyway)
+          (if (idAdv.isEmpty)
+            recommitDisjoint(spark, path, snap, snap.schemaDdl, Nil, adds,
+              Set.empty, maxRetries, operation = "APPEND",
+              txns = txn.map { case (a, i) => a -> i }.toMap)
+          else None) match {
             case Some(v) => return v
             case None =>
               adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
@@ -5581,6 +5618,47 @@ object LogTable {
   private[graft] val OptimizeEveryProp = "optimize.every"
   private[graft] val OptimizeMaxFilesProp = "optimize.maxfiles"
 
+  /** IDENTITY column (`identity.col = id`, declared with the column in
+    * `statsCols`): an APPEND batch that OMITS the column fills it with
+    * generated values — unique among system-generated values, strictly
+    * above every previously committed value of the column, gaps allowed
+    * (the Delta GENERATED BY DEFAULT AS IDENTITY semantics). The
+    * high-water (`identity.next`, engine-managed) rides the commit
+    * properties, piggybacking the column's per-file max from the stats
+    * the write already records — no extra pass, ever. Uniqueness under
+    * contention comes from the property CHANGING on every advance: the
+    * disjoint-recommit fast path declines on property drift, so racing
+    * identity appends serialize through the full retry, which re-reads
+    * the winner's high-water before re-assigning. A batch SUPPLYING the
+    * column keeps its values (BY DEFAULT semantics) and still advances
+    * the high-water past them; uniqueness is guaranteed only among
+    * system-generated values (the Delta rule).
+    */
+  private[graft] val IdentityColProp = "identity.col"
+  private[graft] val IdentityNextProp = "identity.next"
+
+  /** The committed high-water update for one write's adds (empty when
+    * the table declares no identity column or the adds carry no values).
+    */
+  private def identityAdvance(snap: Snapshot,
+                              adds: Seq[LogFile]): Map[String, String] =
+    snap.properties.get(IdentityColProp) match {
+      case None => Map.empty
+      case Some(c) =>
+        val pc = snap.physicalOfPath(c)
+        val mx = adds.flatMap(_.stats.collectFirst {
+          case (k, st) if k.equalsIgnoreCase(pc) => st.max
+        }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
+        val cur = snap.properties.get(IdentityNextProp)
+          .map(_.toLong).getOrElse(1L)
+        if (mx.isEmpty) Map.empty
+        else {
+          val next = math.max(cur, mx.max + 1L)
+          if (next == cur) Map.empty
+          else Map(IdentityNextProp -> next.toString)
+        }
+    }
+
   /** Property keys the ENGINE owns — they carry validated structure
     * (generator expressions, the MV registry, clone provenance) and must
     * change through their dedicated APIs, not raw property DDL.
@@ -5589,7 +5667,7 @@ object LogTable {
     k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
       k == "clone.source" || k.startsWith("colmap.") ||
       k.startsWith("pspec.") || k.startsWith(ColDefaultPrefix) ||
-      k.startsWith("protocol.")
+      k.startsWith("protocol.") || k == IdentityNextProp
 
   /** SET/UNSET table properties as one metadata-only commit — the
     * generic carrier for user metadata and the engine's OPT-IN knobs
