@@ -235,7 +235,16 @@ object LogTable {
       * a file without them could hide arbitrary mass. Driver-side fold
       * over O(files × 16) numbers; no scan, ever.
       */
+    private val histMemo = scala.collection.concurrent.TrieMap
+      .empty[(String, Int),
+        Option[org.apache.spark.sql.catalyst.plans.logical.Histogram]]
+
     def histogramOf(c: String, nBins: Int = 32)
+        : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+      histMemo.getOrElseUpdate((c.toLowerCase, nBins),
+        computeHistogram(c, nBins))
+
+    private def computeHistogram(c: String, nBins: Int)
         : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
       if (files.isEmpty) return None
       val pc = physicalOfPath(c)
@@ -262,38 +271,55 @@ object LogTable {
       val ps = pieces.result()
       if (ps.isEmpty) return None
       val total = ps.iterator.map(_._3).sum
-      // merged CDF over the union of piece endpoints: point masses
-      // (lo == hi) sit AT their endpoint; uniform pieces spread between
-      val bps = ps.iterator.flatMap(p => Iterator(p._1, p._2))
+      // EVENT SWEEP over the union of piece endpoints — O(p log p + s),
+      // never O(p × s): uniform pieces contribute density deltas at
+      // their endpoints, point masses (lo == hi) sit AT their value
+      val bps = ps.iterator.flatMap(x => Iterator(x._1, x._2))
         .toArray.distinct.sorted
-      def massAt(x: Double): Double =
-        ps.iterator.filter(p => p._1 == p._2 && p._1 == x).map(_._3).sum
-      def massIn(a: Double, b: Double): Double = // open interval (a, b)
-        ps.iterator.filter(p => p._1 < p._2).map { case (lo, hi, w) =>
-          val o = math.min(hi, b) - math.max(lo, a)
-          if (o <= 0) 0.0 else w * o / (hi - lo)
-        }.sum
+      val idx = bps.zipWithIndex.toMap
+      val densDelta = new Array[Double](bps.length)
+      val ptMass = new Array[Double](bps.length)
+      ps.foreach { case (lo, hi, w) =>
+        if (lo == hi) ptMass(idx(lo)) += w
+        else {
+          val d = w / (hi - lo)
+          densDelta(idx(lo)) += d
+          densDelta(idx(hi)) -= d
+        }
+      }
+      val segMass = new Array[Double](math.max(0, bps.length - 1))
+      var dens = 0.0
+      var i = 0
+      while (i < bps.length - 1) {
+        dens += densDelta(i)
+        segMass(i) = dens * (bps(i + 1) - bps(i))
+        i += 1
+      }
       val ndvTotal = math.max(1L, ndv.collectFirst {
         case (k, v) if k.equalsIgnoreCase(pc) => v
       }.getOrElse(math.round(total)))
       val height = total / nBins
       val bins = Array.newBuilder[
         org.apache.spark.sql.catalyst.plans.logical.HistogramBin]
+      val binNdv = math.max(1L, math.round(
+        ndvTotal.toDouble * height / total))
       var lo = bps.head
-      var acc = massAt(lo)
+      var acc = ptMass(0)
       var seg = 0
       var segLo = bps.head // progress INSIDE the current segment
       var made = 0
-      val binNdv = math.max(1L, math.round(
-        ndvTotal.toDouble * height / total))
       while (made < nBins - 1 && seg < bps.length - 1) {
+        val segA = bps(seg)
         val b = bps(seg + 1)
-        val a = math.max(segLo, bps(seg))
-        val m = massIn(a, b) + massAt(b)
-        if (acc + m >= height * (made + 1) - 1e-9) {
-          // cut inside (a, b): linear interpolation on the uniform part
-          val need = height * (made + 1) - acc
-          val uni = massIn(a, b)
+        val a = math.max(segLo, segA)
+        // remaining UNIFORM mass of this segment past the last cut
+        val uni =
+          if (b <= segA) 0.0
+          else segMass(seg) * ((b - a) / (b - segA))
+        val m = uni + ptMass(seg + 1)
+        val target = height * (made + 1)
+        if (acc + m >= target - 1e-9) {
+          val need = target - acc
           val cut =
             if (need <= 0) a // a heavy point mass spans several bins
             else if (uni <= 0 || need >= uni) b
@@ -306,11 +332,13 @@ object LogTable {
             // the segment (incl. any point mass at b) is consumed; a
             // point mass heavier than the remaining need pushes acc
             // PAST the target — keep the true cumulative, never clamp
-            acc = math.max(acc + m, height * made)
+            acc = math.max(acc + m, target)
             seg += 1; segLo = b
           } else {
-            // interpolated interior cut: cumulative is exactly on target
-            acc = height * made
+            // interior cut: cumulative reaches the target exactly —
+            // unless an earlier heavy point already pushed PAST it
+            // (cut == a consumed nothing); never LOWER acc
+            acc = math.max(acc, target)
             segLo = cut // only the REMAINDER of this segment is left
           }
         } else { acc += m; seg += 1; segLo = b }
@@ -1026,9 +1054,9 @@ object LogTable {
       val dt = resolvePathIn(df.schema, c).map(_._2).getOrElse(
         throw new IllegalArgumentException(
           s"log table $path: identity column `$c` is not in the schema"))
-      require(dt == LongType || dt == IntegerType,
-        s"log table $path: identity column `$c` must be integral " +
-          s"(got ${dt.sql})")
+      require(dt == LongType,
+        s"log table $path: identity column `$c` must be BIGINT " +
+          s"(got ${dt.sql}) — generated values exceed narrower types")
       require(statsCols.exists(_.equalsIgnoreCase(c)),
         s"log table $path: identity column `$c` must be declared in " +
           "statsCols — the high-water rides the per-file stats")
@@ -1196,6 +1224,17 @@ object LogTable {
   private def parseCheckpoint(spark: SparkSession, fs: FileSystem,
                               ref: CkptRef): ParsedCommit = {
     val meta = parseCommitFile(fs, ref.st.getPath)
+    // the meta ADVERTISES its part count — a listing that found fewer
+    // (a partial log copy that carried the small meta without the
+    // parts, misdirected cleanup) must fail LOUD, never replay an
+    // empty or truncated file set as the table's state
+    ref.parts.foreach { ps =>
+      require(meta.ckptParts < 0 || meta.ckptParts == ps.length,
+        s"log table: checkpoint v${meta.version} advertises " +
+          s"${meta.ckptParts} parquet part(s) but ${ps.length} are " +
+          "present — the checkpoint is torn; restore the missing parts " +
+          "or delete the meta file to fall back to commit replay")
+    }
     ref.parts match {
       case None => meta
       case Some(Nil) => meta
@@ -2919,10 +2958,11 @@ object LogTable {
       s"log table $path: snapshot ${snap.version} carries deletion " +
         "vectors, which a bare relation cannot apply — read via " +
         "LogTable.read/table, or materialize them first (purgeDeletes)")
-    require(snap.colMap.isEmpty,
+    require(snap.colMap.isEmpty && snap.nestMaps.isEmpty,
       s"log table $path: snapshot ${snap.version} carries renamed " +
-        "columns (column mapping), which a bare relation cannot alias " +
-        "back to logical names — read via LogTable.read/table")
+        "columns (column mapping, top-level or nested), which a bare " +
+        "relation cannot alias back to logical names — read via " +
+        "LogTable.read/table")
     fsRelationFor(spark, path, snap)
   }
 
@@ -3805,7 +3845,7 @@ object LogTable {
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties),
         histCols = histColsOf(snap.properties))
-      val idAdv = identityAdvance(snap, adds)
+      val idAdv = identityAdvance(snap.properties, adds)
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, Nil,
@@ -3896,7 +3936,25 @@ object LogTable {
   private def carriedTs(fs: FileSystem,
                         st: org.apache.hadoop.fs.FileStatus): Long = {
     val key = st.getPath.toUri.toString
-    val w = st.getModificationTime.toString + ":" + st.getLen
+    // the same witness discipline as the snapshot cache: (mtime:length)
+    // PLUS a hash of the first 64 bytes (version + in-commit ts live in
+    // the JSON header), so a drop-and-recreate inside the filesystem's
+    // mtime granularity never serves a stale timestamp. One 64-byte
+    // read per call buys skipping the full JSON parse.
+    val head = {
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new Array[Byte](64)
+        var n = 0
+        var r = 0
+        while (n < buf.length && r >= 0) {
+          r = in.read(buf, n, buf.length - n)
+          if (r > 0) n += r
+        }
+        java.util.Arrays.hashCode(java.util.Arrays.copyOf(buf, n))
+      } finally in.close()
+    }
+    val w = st.getModificationTime.toString + ":" + st.getLen + ":" + head
     tsCache.synchronized(Option(tsCache.get(key))) match {
       case Some((w0, ts)) if w0 == w => ts
       case _ =>
@@ -5640,16 +5698,20 @@ object LogTable {
   /** The committed high-water update for one write's adds (empty when
     * the table declares no identity column or the adds carry no values).
     */
-  private def identityAdvance(snap: Snapshot,
+  private def identityAdvance(properties: Map[String, String],
                               adds: Seq[LogFile]): Map[String, String] =
-    snap.properties.get(IdentityColProp) match {
+    properties.get(IdentityColProp) match {
       case None => Map.empty
       case Some(c) =>
-        val pc = snap.physicalOfPath(c)
+        // identity columns are top-level (enforced at create); resolve
+        // the at-rest name through the props' own mapping
+        val pc = colMapOfProps(properties).collectFirst {
+          case (l, ph) if l.equalsIgnoreCase(c) => ph
+        }.getOrElse(c)
         val mx = adds.flatMap(_.stats.collectFirst {
           case (k, st) if k.equalsIgnoreCase(pc) => st.max
         }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
-        val cur = snap.properties.get(IdentityNextProp)
+        val cur = properties.get(IdentityNextProp)
           .map(_.toLong).getOrElse(1L)
         if (mx.isEmpty) Map.empty
         else {
@@ -5746,6 +5808,11 @@ object LogTable {
                      constraints: Map[String, String] = Map.empty,
                      properties: Map[String, String] = Map.empty): Unit = {
     val fs = fsOf(spark, path)
+    // IDENTITY high-water: every commit that ADDS files advances
+    // `identity.next` past its adds' max (off the stats the write
+    // already recorded) — so values supplied through ANY path (upsert,
+    // MERGE, UPDATE, overwrite) keep later generated values above them
+    val committedProps = properties ++ identityAdvance(properties, adds)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     // IN-COMMIT timestamp, clamped MONOTONE against the parent version's
@@ -5770,7 +5837,7 @@ object LogTable {
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
       adds, removes, dataChange, bloomCols, operation, txns, constraints,
-      properties, tsMillis = ict))
+      committedProps, tsMillis = ict))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

@@ -370,8 +370,14 @@ object MaterializedView {
     // non-NULL input value (a value-for-value rider rewrite then
     // rescans that group: correct, and bounded by the changed files)
     val nonZero = (deltaCols.map(c => col(c) =!= 0L) ++
-      (minmax ++ sketches).map(a => col("__d_" + a.name + "__ins").isNotNull ||
-        col("__d_" + a.name + "__del").isNotNull)).reduce(_ || _)
+      minmax.map(a => col("__d_" + a.name + "__ins").isNotNull ||
+        col("__d_" + a.name + "__del").isNotNull) ++
+      // hll_sketch_agg yields an EMPTY sketch (not NULL) for an
+      // all-null group — the estimate, not nullness, is the touch test
+      sketches.map(a =>
+        coalesce(hll_sketch_estimate(col("__d_" + a.name + "__ins")),
+          lit(0L)) > 0L ||
+          col("__d_" + a.name + "__del").isNotNull)).reduce(_ || _)
     val delta = signed.groupBy(keyNames.map(col): _*).agg(
         deltaAggs.head, deltaAggs.tail: _*)
       .filter(nonZero)
@@ -462,7 +468,11 @@ object MaterializedView {
         }
         v.cast(dt).as(a.name)
       } ++ sketches.map { a =>
-        val ins = col("__d_" + a.name + "__ins")
+        val ins0 = col("__d_" + a.name + "__ins")
+        // an EMPTY insert sketch (all-null inputs) carries nothing —
+        // normalize it to NULL so the fold keeps the old state bytes
+        val ins = when(coalesce(hll_sketch_estimate(ins0), lit(0L)) > 0L,
+          ins0)
         // union is the whole fold: old ∪ insert-sketch (either side may
         // be NULL); a rescanned group takes its recomputed sketch
         val folded = when(old(a.name).isNull, ins)

@@ -259,7 +259,8 @@ final case class MergeInto private[sources] (
       val adds = LogTable.writeDataFiles(spark, path, outRows,
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
         colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = LogTable.ndvColsOf(snap.properties))
+        ndvCols = LogTable.ndvColsOf(snap.properties),
+        histCols = LogTable.histColsOf(snap.properties))
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),

@@ -88,6 +88,38 @@ class HistogramStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("a heavy point mass spans multiple bins without stealing later " +
+    "boundaries (the overshoot is never clamped away)") {
+    val t = tmp() + "/t"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // 90% of rows sit AT v=100; the rest spread over 10..1000
+      LogTable.create(spark, t,
+        (1L to 1000L).map { i =>
+          val v = if (i % 10 != 0) 100L else (i % 100) * 10L + 10L
+          (i, s"p${i % 2}", v)
+        }.toDF("k", "p", "v"),
+        Seq("p"), statsCols = Seq("k"),
+        tableProperties = Map(LogTable.HistColsProp -> "v"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val h = LogTable.snapshot(spark, t).histogramOf("v", nBins = 10)
+      .getOrElse(fail("histogram must merge"))
+    assert(h.bins.length == 10)
+    // ~900 of 1000 rows at 100 → ~9 of 10 equal-mass bins live at the
+    // hot value (ending at it); the tail keeps its own boundaries
+    val hotBins = h.bins.count(b => math.abs(b.hi - 100.0) < 30.0)
+    assert(hotBins >= 7, s"expected most bins at the hot key, got " +
+      h.bins.map(b => (b.lo, b.hi)).mkString(", "))
+    assert(h.bins.last.hi > 900.0,
+      "the tail's upper boundary must survive the point mass")
+    // boundaries are monotone — an unclamped overshoot walk never
+    // regresses
+    h.bins.sliding(2).foreach { w =>
+      assert(w(0).hi <= w(1).hi + 1e-9)
+    }
+  }
+
   test("histograms survive DML and decline when a file lacks quantiles") {
     val t = tmp() + "/t"
     LogTable.create(spark, t,

@@ -54,6 +54,17 @@ class IdentitySpec extends SparkSpec {
     assert(LogTable.read(spark, t).filter(col("v") === "h")
       .select("id").as[Long].head() > 1000L,
       "the high-water must clear supplied values")
+    // a NON-append write path (MERGE insert) supplying an even higher
+    // value ALSO pushes the high-water — the advance rides commit
+    // itself, so no path can strand later generated values below
+    // committed ones
+    LogTable.mergeInto(spark, t,
+      Seq((777777L, "p0", "m")).toDF("id", "p", "v"), Seq("id"))
+      .whenNotMatchedInsert().run(): Unit
+    LogTable.append(spark, t, Seq(("p1", "i")).toDF("p", "v")): Unit
+    assert(LogTable.read(spark, t).filter(col("v") === "i")
+      .select("id").as[Long].head() > 777777L,
+      "merge-supplied values must push the high-water too")
     // identity.next is engine-managed: raw property DDL refuses
     intercept[IllegalArgumentException] {
       LogTable.setProperties(spark, t, Map("identity.next" -> "1")): Unit

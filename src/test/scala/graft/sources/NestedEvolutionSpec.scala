@@ -57,6 +57,13 @@ class NestedEvolutionSpec extends SparkSpec {
     // physical schema still speaks `ua` (the at-rest name never moves)
     assert(after.physicalSchema("meta").dataType.asInstanceOf[
       org.apache.spark.sql.types.StructType].fieldNames.contains("ua"))
+    // the BARE provider (no alias projection) refuses a nested-mapped
+    // table — serving physical leaf names would be a silent mis-read
+    val bp = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[LogTableSourceProvider].getName)
+        .option("path", dir).load()
+    }
+    assert(bp.getMessage.contains("column mapping"))
     // time travel: the pre-rename version answers under the OLD shape
     val old = LogTable.read(spark, dir, asOf = Some(before.version))
     assert(old.select("meta.ua").as[String].collect().length == 40)
