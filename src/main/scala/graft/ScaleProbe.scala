@@ -663,6 +663,46 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // ROW-LEVEL CDC vs FILE-LEVEL feed, head-to-head on the claim that
+    // matters at 100 TB: a CONSTANT-size update (10 fixed keys, present
+    // at every tier) against a table whose files GROW with the tier.
+    // The file-level feed streams the rewritten files' delete+insert
+    // pairs — cost rises with the tier; the cdc.enabled feed streams 20
+    // rows whatever the tier. Decoupled = the rowlevel curve stays flat
+    // while filelevel bends.
+    def cdcFeed(mode: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/logtable_cdcfeed_$mode/$key").getAbsolutePath
+      val keys = (1 to 10).map(i => i * 997L)
+      freshCache(s, t, f"_graft_log/${2L}%020d.json") {
+        LogTable.create(s, t, orderShape(s, d), Seq("o_year"),
+          statsCols = Seq("k"),
+          tableProperties =
+            if (mode == "rowlevel") Map(LogTable.CdcProp -> "true")
+            else Map.empty): Unit
+        LogTable.updateWhere(s, t, col("k").isin(keys: _*),
+          Map("cents" -> (col("cents") + 1L))): Unit
+      }
+      val n = new java.util.concurrent.atomic.AtomicLong(0L)
+      val cents = new java.util.concurrent.atomic.AtomicLong(0L)
+      val feed = s.readStream
+        .format(classOf[graft.sources.LogTableSourceProvider].getName)
+        .option("path", t).option("startingVersion", "1")
+        .option("readChangeFeed", "true").load()
+      val fold: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+        val r = b.agg(count(lit(1)), sum(col("cents"))).head()
+        n.addAndGet(r.getLong(0)): Unit
+        if (!r.isNullAt(1)) cents.addAndGet(r.getLong(1)): Unit
+      }
+      val q = feed.writeStream.foreachBatch(fold)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import s.implicits._
+      Seq((n.get(), cents.get())).toDF("n", "sum_cents")
+    }
+
     // the DELETE strategies head-to-head on the DV sweet spot: a SPARSE
     // scattered kill (~0.1% of rows, no partition alignment — the GDPR /
     // bad-record shape) whose victims are EVERY file. Rewrite mode pays
@@ -819,6 +859,8 @@ object ScaleProbe {
         "logtable_skipping_read" -> (skippingRead _),
         "logtable_changefeed_read" -> (changefeedRead _),
         "logtable_snapshot_read" -> (snapshotRead _),
+        "cdc_feed:rowlevel" -> (cdcFeed("rowlevel") _),
+        "cdc_feed:filelevel" -> (cdcFeed("filelevel") _),
         "merge_only:partitioned" -> (mergeOnly("partitioned") _),
         "merge_only:logtable" -> (mergeOnly("logtable") _),
         "dv_delete:rewrite" -> (dvDelete("rewrite") _),

@@ -1228,6 +1228,118 @@ object SourceQueries {
         .withColumn("id_ok", lit(idOk))
     }),
 
+    // CONVERT — in-place adoption of an existing hive-partitioned
+    // parquet directory (the `CONVERT TO DELTA` shape): one metadata
+    // pass + one column-pruned stats scan, ZERO rewrites (pinned by
+    // file-list equality against the raw directory listing). After
+    // adoption the directory IS a log table: reads fill partition
+    // values from the directory names (pinned equal to the raw parquet
+    // read), predicate DELETE and APPEND work, and time travel to the
+    // adopted version still reproduces the original directory.
+    "q180_convert_adopt" -> ((s, dir) => {
+      import graft.sources.{LogTable, Sources}
+      val t = scratch(s, dir, "graft_q180")
+      val raw = t + "/adopted"
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      Sources.writeParquet(base, raw, partitionBy = Seq("status"))
+      val fsys = new org.apache.hadoop.fs.Path(raw)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def listParquet(d: org.apache.hadoop.fs.Path): Seq[String] =
+        fsys.listStatus(d).toSeq.flatMap { st =>
+          if (st.isDirectory && !st.getPath.getName.startsWith("_"))
+            listParquet(st.getPath)
+          else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.getName)
+          else Nil
+        }
+      val preFiles = listParquet(new org.apache.hadoop.fs.Path(raw)).sorted
+      val rawRead = s.read.parquet(raw)
+        .select(col("k"), col("cents"), col("o_year"),
+          col("status").cast("string").as("status"))
+      LogTable.convert(s, raw, statsCols = Seq("k")): Unit
+      val snap = LogTable.snapshot(s, raw)
+      val adoptOk = snap.version == 1L &&
+        snap.files.map(f => new org.apache.hadoop.fs.Path(f.name).getName)
+          .sorted == preFiles &&
+        snap.partitionCols == Seq("status")
+      // adopted read ≡ raw parquet read, both directions
+      val adopted = LogTable.read(s, raw)
+        .select(col("k"), col("cents"), col("o_year"), col("status"))
+      val eqOk = adopted.exceptAll(rawRead).limit(1).count() == 0L &&
+        rawRead.exceptAll(adopted).limit(1).count() == 0L
+      // DML on the adopted table
+      LogTable.deleteWhere(s, raw, col("k") % 97 === 0): Unit
+      import s.implicits._
+      LogTable.append(s, raw, Seq((9000001L, "X", 123L, 1998))
+        .toDF("k", "status", "cents", "o_year")): Unit
+      // time travel to the adopted version reproduces the original
+      val atV1 = LogTable.read(s, raw, asOf = Some(1L))
+        .select(col("k"), col("cents"), col("o_year"), col("status"))
+      val ttOk = atV1.exceptAll(rawRead).limit(1).count() == 0L
+      val convertOk = adoptOk && eqOk && ttOk
+      LogTable.read(s, raw).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("convert_ok", lit(convertOk))
+    }),
+
+    // IDENTITY DDL SURFACE — the standard-SQL declaration: column-list
+    // CREATE carrying `GENERATED BY DEFAULT AS IDENTITY (START WITH s
+    // INCREMENT BY i)`, the DENSE fill (a batch of n rows burns exactly
+    // n lattice values — never monotonically_increasing_id's 2^33 per
+    // partition), supplied values pushing the high-water to the next
+    // lattice point, and `ALTER COLUMN ... SYNC IDENTITY` as a no-op on
+    // an aligned table. Exact generated-value SETS are pinned Spark-side
+    // (w1 = 1000,1010,…; w2 restarts at the lattice point past the
+    // supplied 999999); the hashed output is the per-segment rollup.
+    "q178_identity_ddl" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q178")
+      s.sql(s"CREATE TABLE graft.`$t` (" +
+        "id BIGINT GENERATED BY DEFAULT AS IDENTITY " +
+        "(START WITH 1000 INCREMENT BY 10), " +
+        "seg STRING, cents BIGINT) " +
+        "PARTITIONED BY (seg) STATS BY (id)").collect(): Unit
+      val props = LogTable.snapshot(s, t).properties
+      val createdOk = props.get(LogTable.IdentityColProp).contains("id") &&
+        props.get(LogTable.IdentityStartProp).contains("1000") &&
+        props.get(LogTable.IdentityIncProp).contains("10") &&
+        s.sql(s"DESCRIBE DETAIL graft.`$t`").collect().nonEmpty
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ck"),
+        col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val w1 = cust.filter(col("ck") % 10 === 0)
+        .select(col("seg"), (col("cents") + 1L).as("cents"))
+      val n1 = w1.count()
+      LogTable.append(s, t, w1): Unit
+      val ids1 = LogTable.read(s, t).select("id").as(
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+      val w1Ok = ids1 == (0L until n1).map(1000L + 10L * _)
+      // a supplied value off past the lattice
+      import s.implicits._
+      LogTable.append(s, t,
+        Seq((999999L, "ZZZ", 42L)).toDF("id", "seg", "cents")): Unit
+      val w2 = cust.filter(col("ck") % 15 === 0)
+        .select(col("seg"), (col("cents") + 2L).as("cents"))
+      val n2 = w2.count()
+      LogTable.append(s, t, w2): Unit
+      val ids2 = LogTable.read(s, t).select("id").as(
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+      // the lattice point past 999999 from start 1000 step 10 = 1000000
+      val w2Ok = ids2 == ((0L until n1).map(1000L + 10L * _) ++
+        Seq(999999L) ++ (0L until n2).map(1000000L + 10L * _))
+      val syncOk = LogTable.syncIdentity(s, t) == -1L &&
+        s.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN id SYNC IDENTITY")
+          .collect().head.getLong(0) == -1L
+      val idOk = createdOk && w1Ok && w2Ok && syncOk
+      LogTable.read(s, t).groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("ddl_ok", lit(idOk))
+    }),
+
     // EQUI-HEIGHT HISTOGRAMS FOR CBO — `hist.cols` columns record 17
     // per-file quantile points in the one-pass stats scan; the snapshot
     // merges them into CatalogColumnStat.histogram. The gate builds a
@@ -1265,19 +1377,22 @@ object SourceQueries {
       val dp = mk("plain", hist = false)
       val actual = LogTable.table(s, dh + "/fact")
         .join(LogTable.table(s, dh + "/dim"), "k").count()
-      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      val histOk =
-        try {
-          def est(d: String): BigInt =
-            LogTable.table(s, d + "/fact")
-              .join(LogTable.table(s, d + "/dim"), "k")
-              .queryExecution.optimizedPlan.stats.rowCount
-              .getOrElse(BigInt(-1))
-          val (eh, ep) = (est(dh), est(dp))
-          eh >= 0 && ep >= 0 &&
-            (eh - actual).abs < (ep - actual).abs
-        } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      // estimate in a CHILD session with CBO pinned on — never toggle
+      // the shared session's conf (parallel gates would inherit a race)
+      val cboS = s.newSession()
+      cboS.conf.set("spark.sql.cbo.enabled", "true")
+      // plan stats read the THREAD-ACTIVE session's conf — evaluate
+      // under the child session, restored afterwards
+      val histOk = org.apache.spark.sql.GraftBridge.withActive(cboS) {
+        def est(d: String): BigInt =
+          LogTable.table(cboS, d + "/fact")
+            .join(LogTable.table(cboS, d + "/dim"), "k")
+            .queryExecution.optimizedPlan.stats.rowCount
+            .getOrElse(BigInt(-1))
+        val (eh, ep) = (est(dh), est(dp))
+        eh >= 0 && ep >= 0 &&
+          (eh - actual).abs < (ep - actual).abs
+      }
       LogTable.table(s, dh + "/fact")
         .join(LogTable.table(s, dh + "/dim"), "k")
         .groupBy(col("name"))
@@ -1465,7 +1580,7 @@ object SourceQueries {
         .getFileSystem(s.sessionState.newHadoopConf())
         .listStatus(new org.apache.hadoop.fs.Path(tp, "_graft_log"))
         .count(_.getPath.getName.matches(
-          """\d{20}\.checkpoint\.\d{5}\.\d{5}\.parquet""")) > 1
+          """\d{20}\.checkpoint\.[0-9a-f]{8}\.\d{5}\.\d{5}\.parquet""")) > 1
       val identOk = post.version == pre.version &&
         post.files.sortBy(_.name) == pre.files.sortBy(_.name)
       val sj = LogTable.snapshot(s, tj)
@@ -1485,6 +1600,65 @@ object SourceQueries {
     // pinned 0 on a provably-empty predicate), old versions time-travel
     // under the OLD nested shape, and an old-shape append fills the
     // added field's DEFAULT recursively.
+    // ARRAY-OF-STRUCTS EVOLUTION (round 18) — nested schema evolution
+    // now crosses the array element layer via the `element` path
+    // segment (the DSv2 convention): renaming a field INSIDE an
+    // array<struct> column is metadata-only (file-list equality pinned),
+    // old versions time-travel under the OLD element shape, an ADD with
+    // DEFAULT inside the elements write-fills old-shape appends per
+    // element, and a later PARENT rename keeps the element keys alive
+    // (they scope by the parent's PHYSICAL path). The hashed output
+    // explodes the evolved column off the final table.
+    "q179_array_struct_evolution" -> ((s, dir) => {
+      import graft.sources.LogTable
+      import org.apache.spark.sql.connector.catalog.TableChange
+      val t = scratch(s, dir, "graft_q179")
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("entries", array(
+          struct(concat(lit("t"), col("k")).as("tag"), col("cents").as("n")),
+          struct(concat(lit("u"), col("k")).as("tag"),
+            (col("cents") * 2 + 1).as("n"))))
+        .drop("cents")
+      LogTable.create(s, t, base, Seq("status"), statsCols = Seq("k"))
+      val v1 = LogTable.snapshot(s, t)
+      // v2: rename INSIDE the array elements — zero files rewritten
+      LogTable.evolveSchema(s, t, Seq(TableChange.renameColumn(
+        Array("entries", "element", "tag"), "label"))): Unit
+      val v2 = LogTable.snapshot(s, t)
+      val untouched =
+        v2.files.map(_.name).sorted == v1.files.map(_.name).sorted
+      // time travel: the old element shape still reads
+      val oldShapeOk = LogTable.read(s, t, asOf = Some(v1.version))
+        .select(explode(col("entries")).as("e"))
+        .schema("e").dataType.asInstanceOf[
+          org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("tag", "n")
+      // v3: ADD a field inside the elements with a write-side DEFAULT
+      LogTable.evolveSchema(s, t, Seq(TableChange.addColumn(
+        Array("entries", "element", "w"),
+        org.apache.spark.sql.types.LongType, true)),
+        defaults = Map("entries.element.w" -> "7")): Unit
+      // v4: an OLD-SHAPE append (elements lack w) — DEFAULT-fills
+      import s.implicits._
+      val oldShape = Seq((9000001L, "Z"))
+        .toDF("k", "status")
+        .withColumn("entries", array(
+          struct(lit("zz").as("label"), lit(5L).as("n"))))
+      LogTable.append(s, t, oldShape): Unit
+      val fillOk = LogTable.read(s, t).filter(col("k") === 9000001L)
+        .select(explode(col("entries")).as("e"))
+        .select(col("e.w")).as[Long].head() == 7L
+      val evoOk = untouched && oldShapeOk && fillOk
+      LogTable.read(s, t)
+        .select(col("status"), explode(col("entries")).as("e"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_elems"),
+          sum(col("e.n")).cast("long").as("sum_n"))
+        .withColumn("evo_ok", lit(evoOk))
+    }),
+
     "q169_nested_evolution" -> ((s, dir) => {
       import graft.sources.LogTable
       val t = scratch(s, dir, "graft_q169")
@@ -1879,15 +2053,16 @@ object SourceQueries {
       val withinTol = estK > 0L &&
         math.abs(estK - exactK).toDouble / exactK < 0.15
       val statusExact = snap.ndv.get("status").contains(3L)
-      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      val cboOk =
-        try {
-          val st = LogTable.table(s, t).queryExecution.optimizedPlan.stats
-          st.attributeStats.exists { case (a, cs) =>
-            a.name == "k" && cs.distinctCount.contains(BigInt(estK))
-          } && st.rowCount.contains(BigInt(live.count()))
-        } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      // CBO surface checked in a CHILD session with the flag pinned on —
+      // never toggle the shared session's conf mid-gate
+      val cboS = s.newSession()
+      cboS.conf.set("spark.sql.cbo.enabled", "true")
+      val cboOk = org.apache.spark.sql.GraftBridge.withActive(cboS) {
+        val st = LogTable.table(cboS, t).queryExecution.optimizedPlan.stats
+        st.attributeStats.exists { case (a, cs) =>
+          a.name == "k" && cs.distinctCount.contains(BigInt(estK))
+        } && st.rowCount.contains(BigInt(live.count()))
+      }
       val ok = withinTol && statusExact && cboOk
       s.sql(s"SELECT o_year, status AS o_orderstatus, count(*) AS n, " +
         s"sum(cents) AS sum_cents FROM graft.`$t` GROUP BY o_year, status")
@@ -2357,6 +2532,45 @@ object SourceQueries {
         |SELECT segment, src, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS id_ok
         |FROM final GROUP BY segment, src""".stripMargin,
+    "q180_convert_adopt" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT * FROM base WHERE k % 97 <> 0),
+        |final AS (SELECT * FROM kept
+        |          UNION ALL SELECT 9000001 AS k, 'X' AS status, 123 AS cents)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS convert_ok
+        |FROM final GROUP BY status""".stripMargin,
+
+    "q179_array_struct_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |elems AS (
+        |  SELECT status, cents AS n FROM base
+        |  UNION ALL SELECT status, cents * 2 + 1 AS n FROM base
+        |  UNION ALL SELECT 'Z' AS status, 5 AS n)
+        |SELECT status, count(*) AS n_elems, CAST(sum(n) AS BIGINT) AS sum_n,
+        |  TRUE AS evo_ok
+        |FROM elems GROUP BY status""".stripMargin,
+
+    "q178_identity_ddl" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |w1 AS (SELECT seg, cents + 1 AS cents FROM cust WHERE ck % 10 = 0),
+        |w2 AS (SELECT seg, cents + 2 AS cents FROM cust WHERE ck % 15 = 0),
+        |sup AS (SELECT 'ZZZ' AS seg, 42 AS cents),
+        |final AS (SELECT * FROM w1 UNION ALL SELECT * FROM sup
+        |          UNION ALL SELECT * FROM w2)
+        |SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS ddl_ok
+        |FROM final GROUP BY seg""".stripMargin,
+
     "q174_histogram_cbo" ->
       """WITH fact AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS status,

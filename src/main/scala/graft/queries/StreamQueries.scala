@@ -512,6 +512,101 @@ object StreamQueries {
         .withColumn("cdf_ok", lit(cdfOk))
     }),
 
+    // ROW-LEVEL CDC (`cdc.enabled` — the Delta enableChangeDataFeed
+    // shape): DML writes the CHANGED ROWS as `_change_data/` parquet
+    // referenced by the commit, and the streaming change feed serves
+    // exactly those — feed volume proportional to changed rows, never
+    // to rewritten bytes. The gate drives an UPDATE touching <1% of
+    // rows across multi-file partitions, a DV delete, and a MERGE
+    // (update+insert) through the stream and PINS EXACT per-commit
+    // counts: 2×hits for the update (pre+post image each), the deleted
+    // rows for the DV commit, pair+insert for the merge — a single
+    // rider row leaking into the feed breaks the equality. Post-images
+    // are verified value-correct per key (post = pre + 10), compaction
+    // stays invisible, and the net fold reconstructs the final table —
+    // hash-matched against the oracle's DML restatement.
+    "q177_cdc_row_feed" -> ((s, dir) => {
+      import graft.sources.{LogTable, LogTableSourceProvider}
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val outRoot = scratchRoot(s, s"graft_q177_$sf")
+      val tablePath = new org.apache.hadoop.fs.Path(outRoot, "table").toString
+      val sinkPath = new org.apache.hadoop.fs.Path(outRoot, "sink").toString
+      val base = graft.Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"))
+      LogTable.create(s, tablePath, base, Seq("o_year"),
+        statsCols = Seq("k"),
+        tableProperties = Map(LogTable.CdcProp -> "true")): Unit      // v1
+      val expUpd = base.filter(col("k") % 500 === 0).count()
+      val expDel = base.filter(col("k") % 700 === 0).count()
+      val expMu = base.filter(col("k") % 900 === 0 &&
+        col("k") % 700 =!= 0).count()
+      val expIns = base.filter(col("k") % 1100 === 0).count()
+      LogTable.updateWhere(s, tablePath, col("k") % 500 === 0,
+        Map("cents" -> (col("cents") + 10L))): Unit                   // v2
+      LogTable.deleteWhere(s, tablePath, col("k") % 700 === 0,
+        deletionVectors = true): Unit                                 // v3
+      val mSrc = base.filter(col("k") % 900 === 0 && col("k") % 700 =!= 0)
+        .unionByName(base.filter(col("k") % 1100 === 0)
+          .withColumn("k", col("k") + 20000000L)
+          .withColumn("cents", expr("cents div 2"))
+          .withColumn("status", lit("N")))
+      LogTable.mergeInto(s, tablePath, mSrc, Seq("k"))
+        .whenMatchedUpdate(Map("cents" -> "t.cents + 3"))
+        .whenNotMatchedInsert()
+        .run(): Unit                                                  // v4
+      LogTable.compactPartitions(s, tablePath,
+        maxFilesPerPartition = 1): Unit                               // v5
+      val feed = s.readStream
+        .format(classOf[LogTableSourceProvider].getName)
+        .option("path", tablePath)
+        .option("maxVersionsPerTrigger", "1")
+        .option("readChangeFeed", "true").load()
+      withStatePartitions(s, 8) {
+        val q = feed.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$sinkPath/b$id")
+        }.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val feedDf = s.read.parquet(s"$sinkPath/*")
+      def n(v: Long, t: String): Long = feedDf
+        .filter(col("_commit_version") === v && col("_change_type") === t)
+        .count()
+      // EXACT volume pins — proportional to changed rows, riders = red
+      val volumeOk =
+        n(2L, "update_preimage") == expUpd &&
+        n(2L, "update_postimage") == expUpd &&
+        feedDf.filter(col("_commit_version") === 2L).count() == 2 * expUpd &&
+        n(3L, "delete") == expDel &&
+        feedDf.filter(col("_commit_version") === 3L).count() == expDel &&
+        n(4L, "update_preimage") == expMu &&
+        n(4L, "update_postimage") == expMu &&
+        n(4L, "insert") == expIns &&
+        feedDf.filter(col("_commit_version") === 4L).count() ==
+          2 * expMu + expIns
+      // post-image VALUES: every v2 key's post = pre + 10
+      val imgOk = feedDf.filter(col("_commit_version") === 2L)
+        .groupBy(col("k"))
+        .agg((max(when(col("_change_type") === "update_postimage",
+            col("cents"))) -
+          max(when(col("_change_type") === "update_preimage",
+            col("cents")))).as("d"))
+        .filter(col("d") =!= 10L).count() == 0L
+      val compactionSilent = feedDf
+        .filter(col("_commit_version") >= 5L).limit(1).count() == 0
+      val cdcOk = volumeOk && imgOk && compactionSilent
+      // net fold (insert/post arrive, delete/pre leave) = final table
+      feedDf.groupBy(col("k"), col("status"), col("cents"), col("o_year"))
+        .agg(sum(when(col("_change_type").isin("insert", "update_postimage"),
+          1L).otherwise(-1L)).as("__m"))
+        .filter(col("__m") =!= 0L)
+        .groupBy(col("o_year"))
+        .agg(sum(col("__m")).cast("long").as("n"),
+          sum(col("cents") * col("__m")).cast("long").as("sum_cents"))
+        .withColumn("cdc_ok", lit(cdcOk))
+    }),
+
     "q135_stream_logtable_feed" -> ((s, dir) => {
       import graft.sources.{LogTable, LogTableSourceProvider}
       val sf = new java.io.File(dir).getName.replace('.', '_')
@@ -1027,6 +1122,34 @@ object StreamQueries {
         |final AS (SELECT * FROM upd WHERE k % 11 <> 0)
         |SELECT o_year, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS cdf_ok
+        |FROM final GROUP BY o_year""".stripMargin,
+
+    // the q177 DML restatement: +10 where k%500=0, delete k%700=0,
+    // merge (+3 where k%900=0 among survivors; insert k%1100=0 clones)
+    "q177_cdc_row_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 500 = 0 THEN cents + 10 ELSE cents END AS cents,
+        |    o_year
+        |  FROM base),
+        |v3 AS (SELECT * FROM v2 WHERE k % 700 <> 0),
+        |v4u AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 900 = 0 THEN cents + 3 ELSE cents END AS cents,
+        |    o_year
+        |  FROM v3),
+        |ins AS (
+        |  SELECT k + 20000000 AS k, 'N' AS status, cents // 2 AS cents,
+        |         o_year
+        |  FROM base WHERE k % 1100 = 0),
+        |final AS (SELECT * FROM v4u UNION ALL SELECT * FROM ins)
+        |SELECT o_year, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS cdc_ok
         |FROM final GROUP BY o_year""".stripMargin,
     // Spark's window("1 day") is epoch-aligned; so is date_trunc('day').
     // CAST(ts AS TIMESTAMP) truncates ns→µs exactly like `ts div 1000`.

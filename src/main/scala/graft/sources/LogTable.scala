@@ -209,9 +209,9 @@ object LogTable {
     def nestMappedBelow(physPath: String): Boolean =
       nestMappedBelowIn(nestMaps, physPath)
     /** The schema as the files store it — field names mapped physical,
-      * recursively through struct levels (nested mapping applies to
-      * plain struct paths only — never inside arrays or maps, enforced
-      * at evolution time).
+      * recursively through struct levels and through arrays of structs
+      * (the `element` path segment; maps stay opaque, enforced at
+      * evolution time).
       */
     lazy val physicalSchema: StructType =
       if (colMap.isEmpty && nestMaps.isEmpty) schema
@@ -259,6 +259,10 @@ object LogTable {
               case Some(q) =>
                 val qs = q.split(",").map(_.toDouble)
                 if (qs.length < 2) return None
+                // non-finite quantile points (NaN columns) would poison
+                // the breakpoint sort — decline, matching the finite()
+                // discipline colRanges applies to merged min/max
+                if (qs.exists(d => d.isNaN || d.isInfinite)) return None
                 val w = nonNull.toDouble / (qs.length - 1)
                 qs.sliding(2).foreach { pair =>
                   pieces += ((pair(0), pair(1), w))
@@ -345,8 +349,19 @@ object LogTable {
       }
       bins += org.apache.spark.sql.catalyst.plans.logical
         .HistogramBin(lo, bps.last, binNdv)
+      // A constant column or segment exhaustion can yield < nBins bins;
+      // re-derive height (and per-bin NDV) from the ACTUAL bin count so
+      // implied mass (height × bins.length) equals the true row mass.
+      val built0 = bins.result()
+      val built =
+        if (built0.length == nBins) built0
+        else {
+          val nd = math.max(1L,
+            math.round(ndvTotal.toDouble / built0.length))
+          built0.map(_.copy(ndv = nd))
+        }
       Some(org.apache.spark.sql.catalyst.plans.logical.Histogram(
-        height, bins.result()))
+        total / built.length, built))
     }
 
     /** Table-level DISTINCT-COUNT estimates by physical column, from the
@@ -641,6 +656,14 @@ object LogTable {
             physPath + "." + pn, nestMaps).as(pn)
         }: _*)
         when(c.isNotNull, rebuilt)
+      // ARRAY OF STRUCTS: the mapping's path crosses the element layer
+      // as the `element` segment (the DSv2 convention) — rebuild each
+      // element with transform(); a NULL array stays NULL
+      case at: ArrayType if at.elementType.isInstanceOf[StructType] &&
+          nestMappedBelowIn(nestMaps, physPath + ".element") =>
+        when(c.isNotNull, org.apache.spark.sql.functions.transform(c,
+          x => colToPhysical(x, at.elementType,
+            physPath + ".element", nestMaps)))
       case _ => c
     }
 
@@ -654,6 +677,11 @@ object LogTable {
             physPath + "." + pn, nestMaps).as(f.name)
         }: _*)
         when(c.isNotNull, rebuilt)
+      case at: ArrayType if at.elementType.isInstanceOf[StructType] &&
+          nestMappedBelowIn(nestMaps, physPath + ".element") =>
+        when(c.isNotNull, org.apache.spark.sql.functions.transform(c,
+          x => colToLogical(x, at.elementType,
+            physPath + ".element", nestMaps)))
       case _ => c
     }
 
@@ -676,6 +704,11 @@ object LogTable {
         val dt = f.dataType match {
           case inner: StructType if nestMappedBelowIn(nestMaps, childPath) =>
             conv(inner, Some(childPath))
+          case at: ArrayType if at.elementType.isInstanceOf[StructType] &&
+              nestMappedBelowIn(nestMaps, childPath + ".element") =>
+            at.copy(elementType = conv(
+              at.elementType.asInstanceOf[StructType],
+              Some(childPath + ".element")))
           case other => other
         }
         f.copy(name = pn, dataType = dt)
@@ -701,7 +734,9 @@ object LogTable {
       constraints: Map[String, String] = Map.empty,
       properties: Map[String, String] = Map.empty,
       ts: Long = 0L,
-      ckptParts: Int = -1)
+      ckptParts: Int = -1,
+      ckptPartNames: Seq[String] = Nil,
+      cdc: Seq[CdcFile] = Nil)
 
   /** Count of commits published by the disjoint-writer fast path: a
     * losing [[upsert]] whose winners touched only OTHER partitions
@@ -995,8 +1030,14 @@ object LogTable {
     * resolve as-is. One helper so every reader (scans, DV sidecars,
     * streaming's FileIndex, restore's existence probe) agrees.
     */
-  private[sources] def dataPath(path: String, name: String): Path =
-    if (name.contains("/")) new Path(name) else new Path(path, name)
+  private[sources] def dataPath(path: String, name: String): Path = {
+    // names are table-relative (incl. `_change_data/...`) — except a
+    // shallow clone's log entries, which are ABSOLUTE URIs into the
+    // source table (scheme or leading slash)
+    val p = new Path(name)
+    if (p.isAbsolute || p.toUri.getScheme != null) p
+    else new Path(path, name)
+  }
   private def commitPath(path: String, v: Long) =
     new Path(logDir(path), f"$v%020d.json")
   private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
@@ -1062,6 +1103,13 @@ object LogTable {
           "statsCols — the high-water rides the per-file stats")
       require(!c.contains('.'),
         s"log table $path: identity column `$c` must be top-level")
+      require(tableProperties.get(IdentityIncProp)
+        .forall(s => scala.util.Try(s.toLong).toOption.exists(_ != 0L)),
+        s"log table $path: identity increment must be a non-zero integer")
+      require(tableProperties.get(IdentityModeProp)
+        .forall(m => m.equalsIgnoreCase("default") ||
+          m.equalsIgnoreCase("always")),
+        s"log table $path: identity.mode must be `default` or `always`")
     }
     (partitionCols ++ statsCols ++ clusterBy ++ zorderBy).foreach { c =>
       val (_, dt) = resolvePathIn(df.schema, c).getOrElse(
@@ -1113,12 +1161,18 @@ object LogTable {
       clusterBy = clusterBy, bloomCols = bloomFilterCols,
       zorderBy = zorderBy, ndvCols = ndvColsOf(tableProperties),
       histCols = histColsOf(tableProperties))
-    // identity high-water seeds from the create's own rows (1 if none)
+    // identity high-water seeds from the create's own rows (START WITH
+    // if none), lattice-aligned past the seed rows' furthest value
     val idSeed = tableProperties.get(IdentityColProp).map { c =>
-      val mx = adds.flatMap(_.stats.collectFirst {
-        case (k, st) if k.equalsIgnoreCase(c) => st.max
+      val inc = identityInc(tableProperties)
+      val start = identityStart(tableProperties)
+      val obs = adds.flatMap(_.stats.collectFirst {
+        case (k, st) if k.equalsIgnoreCase(c) =>
+          if (inc > 0) st.max else st.min
       }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
-      IdentityNextProp -> (if (mx.isEmpty) 1L else mx.max + 1L).toString
+      IdentityNextProp -> (if (obs.isEmpty) start
+        else identityAlign(start, inc, start,
+          if (inc > 0) obs.max else obs.min)).toString
     }.toMap
     commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
       Nil, bloomCols = bloomFilterCols, operation = "CREATE",
@@ -1133,6 +1187,205 @@ object LogTable {
              partitionCol: String): Long =
     create(spark, path, df, Seq(partitionCol))
 
+  /** Hive-layout partition columns of a CONVERTed table — values live
+    * in directory names, not the data; reads fill them from the scan's
+    * own file path (see [[hiveFill]]). Cleared file-by-file as rewrites
+    * bake the values into fresh data files; the fill is a coalesce, so
+    * mixed generations read correctly forever.
+    */
+  private[graft] val ConvertHiveProp = "convert.hive"
+  private[sources] def convertHiveColsOf(
+      props: Map[String, String]): Seq[String] =
+    props.get(ConvertHiveProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Fill a CONVERTed table's hive-layout partition columns from the
+    * file path (`.../p=v/...`): in-data values win (post-convert writes
+    * bake them), directory values fill the converted files. `fp` is the
+    * caller-captured `_metadata.file_path` rendering — metadata columns
+    * resolve only on the scan itself, so every caller captures it in
+    * the SAME projection that needs it.
+    */
+  private def hiveFill(snap: Snapshot, df: DataFrame, fp: Column): DataFrame = {
+    // the raw frame speaks PHYSICAL names, and directory segments carry
+    // the name AT CONVERT TIME — the physical name, stable forever
+    val cols = convertHiveColsOf(snap.properties)
+    cols.foldLeft(df) { (d, c) =>
+      snap.physicalSchema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) =>
+          val q = "`" + f.name.replace("`", "``") + "`"
+          d.withColumn(f.name, coalesce(col(q),
+            url_decode(regexp_extract(fp,
+              "/" + java.util.regex.Pattern.quote(f.name) + "=([^/]+)/", 1))
+              .cast(f.dataType)))
+        case None => d
+      }
+    }
+  }
+
+  /** Attach-then-fill for a raw PHYSICAL scan of a converted table: one
+    * projection captures the file path, the fills coalesce, the helper
+    * drops. The no-hive fast path adds NO plan node.
+    */
+  private def hiveFilled(snap: Snapshot, raw: DataFrame): DataFrame =
+    if (convertHiveColsOf(snap.properties).isEmpty) raw
+    else hiveFill(snap,
+      raw.select(col("*"), col("_metadata.file_path").as("__graft_fp")),
+      col("__graft_fp")).drop("__graft_fp")
+
+  /** IN-PLACE ADOPTION of an existing parquet directory — the `CONVERT
+    * TO DELTA` shape: ONE metadata pass lists the files, derives
+    * partition values from a hive layout's directory names (flat
+    * self-describing layouts convert too), computes per-file stats for
+    * `statsCols` in ONE scan — and commits version 1 referencing the
+    * files WHERE THEY ARE. Nothing rewrites: petabytes laid out as
+    * plain partitioned parquet become a log table for the cost of one
+    * column-pruned stats scan. After conversion every operation works —
+    * appends, merges, predicate DML, time travel to v1, OPTIMIZE — and
+    * rewrites progressively bake hive-directory partition values into
+    * the data (reads coalesce, so mixed generations are exact).
+    * Refusals, all loud: an existing log; files whose schemas DISAGREE
+    * (a union-vs-first-footer probe); inconsistent partition layouts;
+    * `__HIVE_DEFAULT_PARTITION__` (the engine's partition values are
+    * non-null); deletion vectors stay refused while `convert.hive`
+    * debt exists (their row-index helpers and the hive fill need the
+    * same one-shot metadata projection — rewrite-mode DML covers).
+    */
+  def convert(spark: SparkSession, path: String,
+              statsCols: Seq[String] = Nil,
+              tableProperties: Map[String, String] = Map.empty): Long = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    require(fs.exists(root), s"convert: $path does not exist")
+    require(!fs.exists(logDir(path)),
+      s"convert: $path already has a log — nothing to adopt")
+    // recursive listing, skipping hidden/_-prefixed artifacts
+    def list(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) list(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val files = list(root)
+    require(files.nonEmpty, s"convert: $path holds no parquet files")
+    val rootUri = fs.makeQualified(root).toUri
+    def relName(p: Path): String =
+      rootUri.relativize(fs.makeQualified(p).toUri).getPath
+    // hive layout: every file must carry the SAME ordered col=value
+    // directory chain (possibly empty = flat layout)
+    def hiveChain(rel: String): Seq[(String, String)] =
+      rel.split("/").dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0,
+          s"convert: $path: directory `$seg` is not a `col=value` " +
+            "partition segment — mixed or non-hive nesting refuses")
+        val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        require(v != "__HIVE_DEFAULT_PARTITION__",
+          s"convert: $path: NULL partition values " +
+            "(__HIVE_DEFAULT_PARTITION__) are not supported")
+        (seg.substring(0, i), v)
+      }
+    val chains = files.map(st => st -> hiveChain(relName(st.getPath)))
+    val hiveCols = chains.head._2.map(_._1)
+    require(chains.forall(_._2.map(_._1) == hiveCols),
+      s"convert: $path: inconsistent partition layouts across files — " +
+        s"expected (${hiveCols.mkString(", ")}) everywhere")
+    // schema: the data columns (one footer), plus hive columns typed by
+    // Spark's own partition inference; DISAGREEING file schemas refuse
+    val full = spark.read.parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    require(full.schema.fieldNames.sorted.toSeq ==
+        merged.schema.fieldNames.sorted.toSeq,
+      s"convert: $path: files carry disagreeing schemas " +
+        s"(union ${merged.schema.fieldNames.mkString(",")} vs " +
+        s"${full.schema.fieldNames.mkString(",")}) — repair or rewrite " +
+        "before adopting")
+    val hiveFields = hiveCols.map(c => full.schema.fields
+      .find(_.name.equalsIgnoreCase(c)).get)
+    val dataSchema = StructType(full.schema.fields.filterNot(f =>
+      hiveCols.exists(_.equalsIgnoreCase(f.name))))
+    val schema = StructType(dataSchema.fields ++ hiveFields)
+    val partitionCols = hiveFields.map(_.name)
+    (partitionCols ++ statsCols).foreach { c =>
+      val (_, dt) = resolvePathIn(schema, c).getOrElse(
+        throw new IllegalArgumentException(
+          s"convert: $path: tracked column `$c` is not in the schema"))
+      require(orderableForStats(dt),
+        s"convert: $path: column `$c` (${dt.sql}) cannot carry stats")
+    }
+    // ONE column-pruned stats scan over the data columns — never a
+    // rewrite; hive columns get exact min=max stats from their
+    // directory values, driver-side
+    val tracked = statsCols
+      .filterNot(c => hiveCols.exists(_.equalsIgnoreCase(c)))
+      .flatMap(c => resolvePathIn(dataSchema, c).map(_._1))
+      .foldLeft(Vector.empty[String]) { (acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+      }
+    val trackedType: Map[String, DataType] = tracked.iterator
+      .flatMap(c => resolvePathIn(dataSchema, c).map(c -> _._2)).toMap
+    val aggs = count(lit(1)).as("__rows") +:
+      tracked.zipWithIndex.flatMap { case (c, i) =>
+        val v = trackedType.get(c) match {
+          case Some(TimestampType) => unix_micros(col(s"__t_$i"))
+          case _ => col(s"__t_$i")
+        }
+        Seq(min(v).cast("string").as(s"__min_$i"),
+          max(v).cast("string").as(s"__max_$i"),
+          count(col(s"__t_$i")).as(s"__nn_$i"))
+      }
+    val scanned = spark.read.schema(dataSchema)
+      .parquet(files.map(_.getPath.toString): _*)
+      .select(col("_metadata.file_path").as("__f") +:
+        tracked.zipWithIndex.map { case (c, i) =>
+          pathCol(c).as(s"__t_$i") }: _*)
+      .groupBy(col("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per adopted file
+      .map(r => new Path(java.net.URI.create(
+        r.getString(r.fieldIndex("__f")))).toUri.getPath -> r).toMap
+    val byPath = chains.map { case (st, chain) =>
+      val key = fs.makeQualified(st.getPath).toUri.getPath
+      val r = scanned.getOrElse(key, throw new IllegalStateException(
+        s"convert: $path: stats scan did not cover $key"))
+      val rows = r.getLong(r.fieldIndex("__rows"))
+      val dataStats = tracked.zipWithIndex.map { case (c, i) =>
+        c -> ColStats(Option(r.getString(r.fieldIndex(s"__min_$i"))),
+          Option(r.getString(r.fieldIndex(s"__max_$i"))),
+          rows - r.getLong(r.fieldIndex(s"__nn_$i")))
+      }
+      val hiveStats = chain.map { case (c, v) =>
+        val exact = hiveFields.find(_.name.equalsIgnoreCase(c)).get.name
+        val rendered = hiveFields.find(_.name.equalsIgnoreCase(c)).get
+          .dataType match {
+          case TimestampType =>
+            // dir values render the literal; store micros like the
+            // stats scan would — conversion tables rarely partition on
+            // raw timestamps, but never store an unparseable bound
+            scala.util.Try(java.sql.Timestamp.valueOf(v).getTime * 1000L)
+              .map(_.toString).getOrElse(v)
+          case _ => v
+        }
+        exact -> ColStats(Some(rendered), Some(rendered), 0L)
+      }
+      val (pmin, pmax) = hiveCols.headOption
+        .flatMap(c => hiveStats.collectFirst {
+          case (n, s) if n.equalsIgnoreCase(c) => (s.min.get, s.max.get)
+        }).getOrElse(("", ""))
+      LogFile(relName(st.getPath), pmin, pmax, rows, st.getLen,
+        (dataStats ++ hiveStats).toMap)
+    }
+    fs.mkdirs(logDir(path)): Unit
+    val props = tableProperties ++
+      (if (hiveCols.nonEmpty)
+        Map(ConvertHiveProp -> partitionCols.mkString(",")) else Map.empty)
+    commit(spark, path, 1L, schema.toDDL, partitionCols,
+      statsCols, byPath, Nil, operation = "CONVERT", properties = props)
+    1L
+  }
+
   private val CommitName = """^(\d{20})\.json$""".r
   private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
   // PARQUET MULTI-PART checkpoint (the Delta checkpoint-v2 shape): the
@@ -1146,9 +1399,44 @@ object LogTable {
   // absent. JSON checkpoints remain readable (and writable) forever.
   private val CkptPartName =
     """^(\d{20})\.checkpoint\.(\d{5})\.(\d{5})\.parquet$""".r
+  // current part shape: a WRITER id rides the name so two concurrent
+  // checkpointers at one version can never interleave renames into a
+  // mixed part set, and the meta records the EXACT part names it
+  // witnessed (`ckptPartNames`) — a reader combines only those
+  private val CkptPartNameW =
+    """^(\d{20})\.checkpoint\.([0-9a-f]{8})\.(\d{5})\.(\d{5})\.parquet$""".r
   private val CkptMetaName = """^(\d{20})\.checkpoint\.meta\.json$""".r
   private[graft] val CkptFormatProp = "ckpt.format"
   private[graft] val CkptPartRowsProp = "ckpt.partrows"
+
+  // ------------------------------------------------- row-level change data
+  /** `cdc.enabled = true` (the Delta `enableChangeDataFeed` shape): DML
+    * that rewrites files (UPDATE / DELETE / MERGE, both rewrite and
+    * deletion-vector forms) ALSO writes the changed rows — tagged
+    * `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage — as parquet CDC files under `_change_data/`,
+    * referenced by the commit. Change-feed readers (the streaming
+    * `readChangeFeed` source, [[readCommitChanges]], the
+    * `graft_changes` TVF) then serve feed volume proportional to
+    * CHANGED ROWS, not rewritten bytes: a one-row UPDATE in a 1 GB
+    * file streams two rows, not ~2 GB of whole-file delete+insert
+    * pairs. Commits without CDC files (appends — their adds ARE the
+    * inserted rows; pre-enable history; writers that bypass the DML
+    * paths) fall back per-commit to the file-level shape, so the
+    * multiset reconstruction identity of [[readChanges]] always holds.
+    * OFF by default: the extra write costs one pass over the CHANGED
+    * rows only, but it is still a cost appends-only tables never need.
+    */
+  private[graft] val CdcProp = "cdc.enabled"
+  private[graft] val CdcDir = "_change_data"
+  private[sources] def cdcEnabled(props: Map[String, String]): Boolean =
+    props.get(CdcProp).exists(_.equalsIgnoreCase("true"))
+
+  /** One commit-referenced CDC file: `name` is the path relative to the
+    * table root (`_change_data/...parquet`), `bytes` its size (planning
+    * metadata, same role as [[LogFile.bytes]]).
+    */
+  final case class CdcFile(name: String, bytes: Long)
 
   /** Columnar schema of one checkpoint part: exactly the commit-entry
     * file fields incl. per-column stats and the DV pointer.
@@ -1178,9 +1466,11 @@ object LogTable {
     * checkpoint itself, or the parquet form's small meta file) plus the
     * columnar parts for the parquet form.
     */
+  private final case class CkptPart(name: String, wid: Option[String],
+                                    i: Int, n: Int, p: Path)
   private final case class CkptRef(v: Long,
                                    st: org.apache.hadoop.fs.FileStatus,
-                                   parts: Option[Seq[Path]])
+                                   parts: Option[Seq[CkptPart]])
 
   /** All COMPLETE checkpoints in a log listing, ascending by version.
     * A parquet checkpoint counts only when its meta file exists AND
@@ -1195,22 +1485,29 @@ object LogTable {
       case CheckpointName(v) => Some(CkptRef(v.toLong, st, None))
       case _ => None
     })
-    val parts = listed.flatMap(st => st.getPath.getName match {
-      case CkptPartName(v, i, n) =>
-        Some((v.toLong, i.toInt, n.toInt, st.getPath))
-      case _ => None
-    })
+    val parts = listed.flatMap { st =>
+      val nm = st.getPath.getName
+      nm match {
+        case CkptPartNameW(v, w, i, n) =>
+          Some(v.toLong -> CkptPart(nm, Some(w), i.toInt, n.toInt, st.getPath))
+        case CkptPartName(v, i, n) =>
+          Some(v.toLong -> CkptPart(nm, None, i.toInt, n.toInt, st.getPath))
+        case _ => None
+      }
+    }
     val parquet = listed.flatMap(st => st.getPath.getName match {
       case CkptMetaName(v) =>
-        val mine = parts.filter(_._1 == v.toLong)
-        // a complete set: for some advertised n, parts 1..n all present
-        val byN = mine.groupBy(_._3)
-        byN.collectFirst {
-          case (n, ps) if ps.map(_._2).toSet == (1 to n).toSet =>
-            CkptRef(v.toLong, st, Some(ps.sortBy(_._2).map(_._4)))
-        }.orElse(
+        val mine = parts.collect { case (pv, p) if pv == v.toLong => p }
+        // a complete SINGLE-WRITER set: for some (writer, n), parts
+        // 1..n all present — parseCheckpoint then pins the exact names
+        // the meta advertises, so mixed-writer sets can never replay
+        val complete = mine.groupBy(p => (p.wid, p.n)).exists {
+          case ((_, n), ps) => ps.map(_.i).toSet == (1 to n).toSet
+        }
+        if (complete || mine.isEmpty)
           // an EMPTY table checkpoints with zero parts (ckptParts = 0)
-          if (mine.isEmpty) Some(CkptRef(v.toLong, st, Some(Nil))) else None)
+          Some(CkptRef(v.toLong, st, Some(mine)))
+        else None
       case _ => None
     })
     val pv = parquet.map(_.v).toSet
@@ -1224,18 +1521,44 @@ object LogTable {
   private def parseCheckpoint(spark: SparkSession, fs: FileSystem,
                               ref: CkptRef): ParsedCommit = {
     val meta = parseCommitFile(fs, ref.st.getPath)
-    // the meta ADVERTISES its part count — a listing that found fewer
-    // (a partial log copy that carried the small meta without the
-    // parts, misdirected cleanup) must fail LOUD, never replay an
-    // empty or truncated file set as the table's state
-    ref.parts.foreach { ps =>
-      require(meta.ckptParts < 0 || meta.ckptParts == ps.length,
-        s"log table: checkpoint v${meta.version} advertises " +
-          s"${meta.ckptParts} parquet part(s) but ${ps.length} are " +
-          "present — the checkpoint is torn; restore the missing parts " +
-          "or delete the meta file to fall back to commit replay")
+    // the meta ADVERTISES its exact part names (current writers) or at
+    // least a part count (legacy) — a listing that found fewer (a
+    // partial log copy that carried the small meta without the parts,
+    // misdirected cleanup) or a MIXED set from two concurrent writers
+    // must fail LOUD / pick only the advertised writer's parts, never
+    // replay a torn file list as the table's state
+    val chosen: Option[Seq[Path]] = ref.parts.map { all =>
+      if (meta.ckptPartNames.nonEmpty) {
+        val byName = all.iterator.map(p => p.name -> p.p).toMap
+        meta.ckptPartNames.map(n => byName.getOrElse(n,
+          throw new IllegalStateException(
+            s"log table: checkpoint v${meta.version} advertises part " +
+              s"`$n` which is missing — the checkpoint is torn; restore " +
+              "the missing parts or delete the meta file to fall back " +
+              "to commit replay")))
+      } else if (all.isEmpty) {
+        require(meta.ckptParts <= 0,
+          s"log table: checkpoint v${meta.version} advertises " +
+            s"${meta.ckptParts} parquet part(s) but 0 are present — the " +
+            "checkpoint is torn; restore the missing parts or delete " +
+            "the meta file to fall back to commit replay")
+        Nil
+      } else {
+        // LEGACY meta (count only): a complete single-writer set whose
+        // size matches the advertised count
+        val groups = all.groupBy(p => (p.wid, p.n)).values.toSeq
+          .filter(g => g.map(_.i).toSet == (1 to g.head.n).toSet)
+        groups.find(g => meta.ckptParts < 0 || g.length == meta.ckptParts)
+          .getOrElse(throw new IllegalStateException(
+            s"log table: checkpoint v${meta.version} advertises " +
+              s"${meta.ckptParts} parquet part(s) but no complete " +
+              "matching part set is present — the checkpoint is torn; " +
+              "restore the missing parts or delete the meta file to " +
+              "fall back to commit replay"))
+          .sortBy(_.i).map(_.p)
+      }
     }
-    ref.parts match {
+    chosen match {
       case None => meta
       case Some(Nil) => meta
       case Some(ps) =>
@@ -1339,7 +1662,21 @@ object LogTable {
       // travel; legacy commits read 0 (callers fall back to mtime)
       ts = if (node.hasNonNull("ts")) node.get("ts").asLong() else 0L,
       ckptParts = if (node.hasNonNull("ckptParts"))
-        node.get("ckptParts").asInt() else -1)
+        node.get("ckptParts").asInt() else -1,
+      ckptPartNames =
+        if (node.hasNonNull("ckptPartNames")) {
+          val b = Seq.newBuilder[String]
+          node.get("ckptPartNames").forEach(e => b += e.asText(): Unit)
+          b.result()
+        } else Nil,
+      cdc =
+        if (node.hasNonNull("cdc")) {
+          val b = Seq.newBuilder[CdcFile]
+          node.get("cdc").forEach(e =>
+            b += CdcFile(e.get("name").asText(),
+              e.get("bytes").asLong()): Unit)
+          b.result()
+        } else Nil)
   }
 
   /** The single commit that produced `version` — its add/remove delta,
@@ -1583,9 +1920,14 @@ object LogTable {
       val n = math.max(1, math.min(
         (snap.files.length + partRows - 1) / math.max(1, partRows),
         99999))
-      val scratch = new Path(logDir(path),
-        ".ckptp_" + java.util.UUID.randomUUID().toString.take(8))
+      // the WRITER id rides every part name: two concurrent
+      // checkpointers at this version rename into disjoint names, and
+      // the meta below records exactly THIS writer's part names — a
+      // reader can never combine parts from two writers
+      val wid = java.util.UUID.randomUUID().toString.take(8)
+      val scratch = new Path(logDir(path), ".ckptp_" + wid)
       var parts = 0
+      val partNames = Seq.newBuilder[String]
       try {
         if (snap.files.nonEmpty) {
           spark.createDataFrame(rows, CkptFileSchema)
@@ -1595,11 +1937,13 @@ object LogTable {
             .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
           parts = produced.length
           produced.zipWithIndex.foreach { case (p, i) =>
-            val dst = new Path(logDir(path),
-              f"${snap.version}%020d.checkpoint.${i + 1}%05d.$parts%05d.parquet")
+            val nm =
+              f"${snap.version}%020d.checkpoint.$wid.${i + 1}%05d.$parts%05d.parquet"
+            val dst = new Path(logDir(path), nm)
             if (!fs.rename(p, dst) && !fs.exists(dst))
               throw new java.io.IOException(
                 s"checkpoint part rename failed for $dst")
+            partNames += nm
           }
         }
       } finally fs.delete(scratch, true): Unit
@@ -1614,7 +1958,7 @@ object LogTable {
         bloomCols = snap.bloomCols, operation = "CHECKPOINT",
         txns = snap.txns, constraints = snap.constraints,
         properties = snap.properties, tsMillis = carriedTs,
-        ckptParts = parts))
+        ckptParts = parts, ckptPartNames = partNames.result()))
       finally out.close()
       if (!fs.rename(tmp, meta)) {
         fs.delete(tmp, false): Unit
@@ -2064,6 +2408,7 @@ object LogTable {
   private def rewriteWhere(spark: SparkSession, path: String,
                            predicate: Column, maxRetries: Int, op: String)
                           (transform: (Snapshot, DataFrame) => (DataFrame, String))
+                          (cdcOf: (Snapshot, DataFrame) => DataFrame)
       : Long = {
     val fs = fsOf(spark, path)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
@@ -2081,16 +2426,25 @@ object LogTable {
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties),
         histCols = histColsOf(snap.properties))
+      // row-level CDC (cdc.enabled): one extra pass over the victims,
+      // filtered to the rows that actually change — feed volume at read
+      // time becomes O(changed rows), not O(rewritten bytes)
+      val cdcFiles =
+        if (!cdcEnabled(snap.properties)) Nil
+        else writeCdcFiles(spark, path,
+          cdcOf(snap, readFiles(spark, path, snap, victims)), snap)
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols, operation = op,
           constraints = snap.constraints,
-          properties = snap.properties)
+          properties = snap.properties, cdc = cdcFiles)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
           adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          cdcFiles.foreach(c =>
+            fs.delete(dataPath(path, c.name), false): Unit)
           attempt += 1
           if (attempt > maxRetries) throw e
       }
@@ -2120,6 +2474,9 @@ object LogTable {
       // NOT(coalesce(p, false)): keep rows where p is FALSE or NULL —
       // a bare !p would silently delete every NULL-predicate row
       (rows.filter(!coalesce(predicate, lit(false))), snap.schemaDdl)
+    } { (_, rows) =>
+      rows.filter(coalesce(predicate, lit(false)))
+        .withColumn("_change_type", lit("delete"))
     }
 
   /** Predicate UPDATE as one log transaction — SET the given columns on
@@ -2155,6 +2512,17 @@ object LogTable {
       // column — the derived value can never drift from its source
       (materializeGenerated(generatorsOf(snap), assigned(rows)),
         widenedDdl(spark, snap, set, assigned))
+    } { (snap, rows) =>
+      // pre/post images of exactly the HIT rows — filter runs over the
+      // OLD values BEFORE assignment, never after
+      val hit = coalesce(predicate, lit(false))
+      val hitRows = rows.filter(hit)
+      val post = materializeGenerated(generatorsOf(snap),
+        hitRows.select(snap.schema.fields.toIndexedSeq
+          .map(f => assignedCol(set, f, None)): _*))
+      hitRows.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(post
+          .withColumn("_change_type", lit("update_postimage")))
     }
   }
 
@@ -2172,12 +2540,19 @@ object LogTable {
         }
     }
     set.keys.foreach { c =>
-      if (c.contains('.'))
+      if (c.contains('.')) {
         // a DOTTED key assigns a struct FIELD — must resolve through
         // plain structs (arrays/maps have no assignable field identity)
         require(resolvePathIn(snap.schema, c).isDefined,
           s"log table $path: cannot update unknown nested field `$c`")
-      else {
+        // a field INSIDE a partition column would move the row just as
+        // a whole-column assignment would — same refusal (partition
+        // columns are top-level scalars today, but keep the invariant)
+        val root = c.substring(0, c.indexOf('.'))
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(root)),
+          s"log table $path: partition column `$root` is immutable under " +
+            "the pruned-merge contract — move rows with delete + insert")
+      } else {
         require(snap.schema.fields.exists(_.name.equalsIgnoreCase(c)),
           s"log table $path: cannot update unknown column `$c`")
         require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
@@ -2297,6 +2672,10 @@ object LogTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      require(convertHiveColsOf(snap.properties).isEmpty,
+        s"log table $path: deletion vectors are unsupported while " +
+          "convert.hive directory-valued partitions exist — use " +
+          "rewrite-mode DML (deletionVectors = false)")
       set.foreach(s => validateAssignments(path, snap, s))
       def applySet(s: Map[String, Column])(rel: DataFrame): DataFrame =
         rel.select(snap.schema.fields.toIndexedSeq
@@ -2364,6 +2743,23 @@ object LogTable {
         }
         val adds = newFiles ++ partial.map(f =>
           f.copy(dv = Some(DvDescriptor(sidecar.get, newDeleted(f)))))
+        // row-level CDC off the already-persisted hit set: the marked
+        // rows ARE the change — a DV delete's feed then costs the
+        // deleted rows, never the whole file's delete+insert pair
+        val cdcFiles =
+          if (!cdcEnabled(snap.properties)) Nil
+          else {
+            val preRows = hit.drop("__gdv_file", "__gdv_idx")
+            val cdcDf = set match {
+              case Some(s) =>
+                preRows.withColumn("_change_type", lit("update_preimage"))
+                  .unionByName(applySet(s)(preRows)
+                    .withColumn("_change_type", lit("update_postimage")))
+              case None =>
+                preRows.withColumn("_change_type", lit("delete"))
+            }
+            writeCdcFiles(spark, path, cdcDf, snap)
+          }
         try {
           commit(spark, path, snap.version + 1, ddl, snap.partitionCols,
             snap.statsCols, adds, affected.map(_.name),
@@ -2372,13 +2768,16 @@ object LogTable {
             constraints = snap.constraints,
             // deletion vectors are a reader-level-2 feature: an older
             // reader would surface the marked rows as live
-            properties = ensureProtocol(snap.properties, 2))
+            properties = ensureProtocol(snap.properties, 2),
+            cdc = cdcFiles)
           return snap.version + 1
         } catch {
           case e: CommitConflictException =>
             sidecar.foreach(n => fs.delete(new Path(path, n), false): Unit)
             newFiles.foreach(a =>
               fs.delete(new Path(path, a.name), false): Unit)
+            cdcFiles.foreach(c =>
+              fs.delete(dataPath(path, c.name), false): Unit)
             attempt += 1
             if (attempt > maxRetries) throw e
         }
@@ -2927,12 +3326,18 @@ object LogTable {
       LogicalRelation(fsRelationFor(spark, path, snap),
         statsShell(spark, path, snap)))
     val dved = snap.files.filter(_.dv.isDefined)
+    // converted hive-layout fill (no-op projection otherwise); DVs are
+    // refused while convert.hive debt exists, so the two never mix
+    require(dved.isEmpty || convertHiveColsOf(snap.properties).isEmpty,
+      s"log table $path: deletion vectors cannot coexist with " +
+        "convert.hive directory-valued partitions")
+    val base = hiveFilled(snap, rel)
     // the relation scans under PHYSICAL names; the exit projection
     // restores logical ones (identity mapping adds no node). Catalyst
     // rewrites filters on logical columns through the aliases, so
     // pushdown/pruning still reach the FileIndex in physical terms.
     toLogical(snap,
-      if (dved.isEmpty) rel
+      if (dved.isEmpty) base
       else
         // DELETION VECTORS compose with the relation read: one anti-join
         // against the (file, row_index) pairs over the whole scan — rows
@@ -2954,6 +3359,10 @@ object LogTable {
       spark: SparkSession, path: String, asOf: Option[Long])
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val snap = snapshot(spark, path, asOf)
+    require(convertHiveColsOf(snap.properties).isEmpty,
+      s"log table $path: the bare provider relation cannot fill " +
+        "directory-valued (convert.hive) partition columns — read " +
+        "through LogTable.table / LogTable.read / graft.`path`")
     require(snap.files.forall(_.dv.isEmpty),
       s"log table $path: snapshot ${snap.version} carries deletion " +
         "vectors, which a bare relation cannot apply — read via " +
@@ -3149,6 +3558,126 @@ object LogTable {
         struct(col("__ir").as("r"), lit("update_postimage").as("t"))))
     checked.select(explode(evs).as("e"))
       .select(col("e.r.*"), col("e.t").as("_change_type"))
+  }
+
+  /** Write one DML transaction's changed rows (`cdcDf0`: the table's
+    * LOGICAL columns + `_change_type`) as parquet CDC files under
+    * `_change_data/` — invisible until the commit references them (the
+    * write-once + atomic-publish discipline of every other artifact).
+    * Data columns land under PHYSICAL names, exactly like data files, so
+    * column renames never invalidate old CDC files. Cost: one pass over
+    * the CHANGED rows only. An empty change set still writes one empty
+    * part (FileFormatWriter's empty-frame file), so the commit carries a
+    * non-empty `cdc` list and readers serve zero rows instead of falling
+    * back to phantom file-level pairs.
+    */
+  private[sources] def writeCdcFiles(spark: SparkSession, path: String,
+                                     cdcDf0: DataFrame,
+                                     snap: Snapshot): Seq[CdcFile] = {
+    val df =
+      if (snap.colMap.isEmpty && snap.nestMaps.isEmpty) cdcDf0
+      else cdcDf0.select(cdcDf0.schema.fields.toIndexedSeq.map { f =>
+        if (f.name == "_change_type") col("_change_type")
+        else {
+          val pn = snap.physicalOf(f.name)
+          colToPhysical(col("`" + f.name.replace("`", "``") + "`"),
+            f.dataType, pn, snap.nestMaps).as(pn)
+        }
+      }: _*)
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path,
+      "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dir = new Path(path, CdcDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+    val out = fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val name = CdcDir + "/" + st.getPath.getName
+        val dst = new Path(path, name)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"rename ${st.getPath} -> $dst failed")
+        CdcFile(name, st.getLen)
+      }.toIndexedSeq
+    fs.delete(tmp, true): Unit
+    out
+  }
+
+  /** The rows of one commit's CDC files, read under `snap`'s schema
+    * (schema-on-read NULL-fills columns added after the commit, exactly
+    * like data files) with `_change_type` carried through the
+    * physical→logical exit.
+    */
+  private[sources] def readCdcFiles(spark: SparkSession, path: String,
+                                    snap: Snapshot,
+                                    files: Seq[CdcFile]): DataFrame = {
+    val phys = StructType(snap.physicalSchema.fields :+
+      StructField("_change_type", org.apache.spark.sql.types.StringType))
+    toLogical(snap,
+      spark.read.schema(phys)
+        .parquet(files.map(f => dataPath(path, f.name).toString): _*),
+      extras = Seq("_change_type"))
+  }
+
+  /** PER-COMMIT change feed between two versions — the Delta
+    * `table_changes` shape: every data-change commit in `(from, to]`
+    * contributes its changes with `_commit_version` attribution. A
+    * commit carrying CDC files (see [[CdcProp]]) serves its CHANGED ROWS
+    * exactly — update pre/post images attributed, feed volume
+    * proportional to changed rows; a commit without them (appends,
+    * pre-enable history) falls back to the file-level shape per commit
+    * (its adds as `insert`s, its removes' parent-snapshot rows as
+    * `delete`s). Unlike [[readChanges]] — which nets file churn ACROSS
+    * the window — this view preserves per-commit attribution, so a row
+    * inserted then deleted inside the window appears twice, as it
+    * should in an audit feed. Commits expired behind a checkpoint fail
+    * loud, never silently skip.
+    */
+  def readCommitChanges(spark: SparkSession, path: String,
+                        fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val to = snapshot(spark, path, Some(toVersion))
+    val parts = Seq.newBuilder[DataFrame]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val c =
+        try commitAt(spark, path, v)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"log table $path: commit $v has been expired behind a " +
+                "checkpoint — the change window is gone; widen from a " +
+                "later version or stop expiring the log", e)
+        }
+      if (c.dataChange) {
+        if (c.cdc.nonEmpty)
+          parts += readCdcFiles(spark, path, to, c.cdc)
+            .withColumn("_commit_version", lit(v))
+        else {
+          if (c.adds.nonEmpty)
+            parts += readFiles(spark, path, to, c.adds)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+          if (c.removes.nonEmpty) {
+            val removedSet = c.removes.toSet
+            val removed = snapshot(spark, path, Some(v - 1))
+              .files.filter(f => removedSet.contains(f.name))
+            if (removed.nonEmpty)
+              parts += readFiles(spark, path, to, removed)
+                .withColumn("_change_type", lit("delete"))
+                .withColumn("_commit_version", lit(v))
+          }
+        }
+      }
+    }
+    parts.result() match {
+      case Seq() =>
+        emptyDf(spark, to.schema)
+          .withColumn("_change_type", lit("").cast("string"))
+          .withColumn("_commit_version", lit(0L))
+          .limit(0)
+      case ps => ps.reduce(_ unionByName _)
+    }
   }
 
   /** OPERATION HISTORY off the log — one row per still-readable commit,
@@ -3356,7 +3885,8 @@ object LogTable {
                                operation: String = "MERGE",
                                txns: Map[String, Long] = Map.empty,
                                keyRanges: () => Map[String, (String, String)] =
-                                 () => Map.empty)
+                                 () => Map.empty,
+                               cdc: Seq[CdcFile] = Nil)
       : Option[Long] = {
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     lazy val kr = keyRanges() // one batch aggregate, only if ever needed
@@ -3413,7 +3943,7 @@ object LogTable {
           base.partitionCols, base.statsCols, adds, victims.toSeq,
           bloomCols = base.bloomCols, operation = operation, txns = txns,
           constraints = base.constraints,
-          properties = base.properties)
+          properties = base.properties, cdc = cdc)
         disjointRecommits.incrementAndGet(): Unit
         return Some(latest.version + 1)
       } catch {
@@ -3749,6 +4279,12 @@ object LogTable {
           }: _*)
           // a NULL struct stays NULL — never a struct of NULLs
           when(ref.isNotNull, rebuilt)
+        // ARRAYS OF STRUCTS align per element (a field added through
+        // `tags.element.note` DEFAULT-fills old-shape batches too)
+        case (ArrayType(h, _), ArrayType(w, _)) =>
+          when(ref.isNotNull, org.apache.spark.sql.functions.transform(ref,
+            x => alignCol(x, h, w, physPath + ".element",
+              s"$label.element")))
         case (h, w) if typeWidens(h, w) => ref.cast(w)
         case (h, w) => throw new IllegalArgumentException(
           s"log table $path: column `$label` is ${w.sql}, " +
@@ -3830,13 +4366,19 @@ object LogTable {
       }
       // IDENTITY fill: a batch omitting the declared identity column
       // gets generated values from the committed high-water — unique,
-      // increasing, gaps allowed (see [[IdentityColProp]])
+      // DENSE within the batch, gaps only between batches (see
+      // [[IdentityColProp]] and [[identityFill]]); GENERATED ALWAYS
+      // refuses supplied values outright
       val rowsFilled = snap.properties.get(IdentityColProp) match {
         case Some(c)
             if !rows.schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
-          val nxt = snap.properties.get(IdentityNextProp)
-            .map(_.toLong).getOrElse(1L)
-          rows.withColumn(c, lit(nxt) + monotonically_increasing_id())
+          identityFill(spark, path, snap, rows, c)
+        case Some(c) =>
+          require(!snap.properties.get(IdentityModeProp)
+            .exists(_.equalsIgnoreCase("always")),
+            s"log table $path: identity column `$c` is GENERATED " +
+              "ALWAYS — explicit values are refused; omit the column")
+          rows
         case _ => rows
       }
       val aligned = alignStrict(path, snap, rowsFilled)
@@ -4122,23 +4664,61 @@ object LogTable {
           (st.isDirectory && st.getPath.getName.startsWith("_tmp_"))
       }
     }.map(_.getPath).toSeq
+    // losing-checkpointer parts: the meta exists but advertises the
+    // OTHER writer's part names — memoized per version (one small JSON
+    // parse each, not per part)
+    val metaNames = scala.collection.mutable.Map.empty[Long, Set[String]]
+    def advertisedAt(v: Long): Set[String] =
+      metaNames.getOrElseUpdate(v, {
+        val m = new Path(logDir(path), f"$v%020d.checkpoint.meta.json")
+        if (!fs.exists(m)) Set.empty
+        else scala.util.Try(parseCommitFile(fs, m).ckptPartNames.toSet)
+          .getOrElse(Set.empty)
+      })
+    def deadPart(v: Long, name: String): Boolean = {
+      val meta = new Path(logDir(path), f"$v%020d.checkpoint.meta.json")
+      if (!fs.exists(meta)) true // ORPHANED: the writer died pre-witness
+      else {
+        val adv = advertisedAt(v)
+        adv.nonEmpty && !adv.contains(name) // the losing writer's parts
+      }
+    }
     val deadLog = fs.listStatus(logDir(path)).iterator
       .filter { st =>
         st.getModificationTime < cutoff &&
         ((st.isFile && st.getPath.getName.endsWith(".tmp")) ||
-          // torn parquet-checkpoint scratch dirs, and ORPHANED part
-          // files whose meta never landed (the writer died before its
-          // final rename — no reader ever saw them)
+          // torn parquet-checkpoint scratch dirs, and part files no
+          // reader will ever combine (writer died before its final
+          // rename, or lost the meta race to a concurrent writer)
           (st.isDirectory && st.getPath.getName.startsWith(".ckptp_")) ||
           (st.isFile && (st.getPath.getName match {
-            case CkptPartName(v, _, _) =>
-              !fs.exists(new Path(logDir(path),
-                f"${v.toLong}%020d.checkpoint.meta.json"))
+            case CkptPartNameW(v, _, _, _) => deadPart(v.toLong, st.getPath.getName)
+            case CkptPartName(v, _, _) => deadPart(v.toLong, st.getPath.getName)
             case _ => false
           })))
       }
       .map(_.getPath).toSeq
-    (deadData, deadLog)
+    // CDC files whose commit has expired (the feed's history dies with
+    // the log window, exactly like removed data files): referenced =
+    // the union of every still-present commit's `cdc` list — O(commits)
+    // small JSON parses, the replay cost class
+    val cdcDir = new Path(path, CdcDir)
+    val deadCdc =
+      if (!fs.exists(cdcDir)) Nil
+      else {
+        val referenced = fs.listStatus(logDir(path)).iterator
+          .filter(st => st.isFile &&
+            CommitName.matches(st.getPath.getName))
+          .flatMap(st =>
+            scala.util.Try(parseCommitFile(fs, st.getPath).cdc)
+              .getOrElse(Nil))
+          .map(_.name).toSet
+        fs.listStatus(cdcDir).iterator
+          .filter(st => st.isFile && st.getModificationTime < cutoff &&
+            !referenced.contains(CdcDir + "/" + st.getPath.getName))
+          .map(_.getPath).toSeq
+      }
+    (deadData ++ deadCdc, deadLog)
   }
 
   // ------------------------------------------------------- typed pruning
@@ -4268,9 +4848,12 @@ object LogTable {
           }
       // Navigate to the struct holding a nested path's LEAF and replace
       // it with `op`'s result; `op` receives the parent struct and the
-      // parent's PHYSICAL dotted path. Every non-terminal segment must
-      // be a plain struct — arrays and maps are opaque to the mapping
-      // (their elements have no stable per-field stats identity).
+      // parent's PHYSICAL dotted path. Non-terminal segments are plain
+      // structs, or an array of structs crossed with the explicit
+      // `element` segment (`tags.element.tag` — the DSv2 convention;
+      // the element's physical path gains `.element`, so its mapping
+      // keys survive parent renames exactly like struct paths). Maps
+      // stay opaque (their entries have no per-field identity).
       def editNested(fieldPath: Seq[String], what: String)
           (op: (StructType, String) => StructType): Unit = {
         def rec(st: StructType, segs: Seq[String],
@@ -4289,10 +4872,25 @@ object LogTable {
                 case s: StructType =>
                   StructType(st.fields.updated(i,
                     f.copy(dataType = rec(s, tail, Some(childPhys)))))
+                case at: ArrayType
+                    if at.elementType.isInstanceOf[StructType] &&
+                      tail.headOption.exists(_.equalsIgnoreCase("element")) =>
+                  StructType(st.fields.updated(i, f.copy(dataType =
+                    at.copy(elementType = rec(
+                      at.elementType.asInstanceOf[StructType], tail.tail,
+                      Some(childPhys + ".element"))))))
+                case at: ArrayType
+                    if at.elementType.isInstanceOf[StructType] =>
+                  throw new IllegalArgumentException(
+                    s"log table $path: cannot $what through `${f.name}` " +
+                      s"(${at.simpleString}) directly — address fields " +
+                      s"inside an array of structs through the element " +
+                      s"layer: `${f.name}.element.<field>`")
                 case dt => throw new IllegalArgumentException(
                   s"log table $path: cannot $what through `${f.name}` " +
                     s"(${dt.simpleString}) — nested evolution applies to " +
-                    "plain struct paths only (not arrays or maps)")
+                    "struct paths (and `element` through arrays of " +
+                    "structs), never maps")
               }
           }
         fields = rec(StructType(fields), fieldPath.init, None)
@@ -5269,8 +5867,12 @@ object LogTable {
       spark.read.schema(snap.physicalSchema)
         .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
     val (dved, plain) = files.partition(_.dv.isDefined)
+    // converted hive-layout tables fill partition values off the file
+    // path (DVs are refused while that debt exists, so the dved branch
+    // never needs the fill — its metadata projection stays intact)
     val plainDf =
-      if (plain.isEmpty) emptyDf(spark, snap.physicalSchema) else raw(plain)
+      if (plain.isEmpty) emptyDf(spark, snap.physicalSchema)
+      else hiveFilled(snap, raw(plain))
     toLogical(snap,
       if (dved.isEmpty) plainDf
       else {
@@ -5297,8 +5899,16 @@ object LogTable {
       if (plain.isEmpty)
         emptyDf(spark, snap.physicalSchema)
           .withColumn(tag, lit(null).cast("string"))
-      else raw(plain).select(col("*"),
-        substring_index(col("_metadata.file_path"), "/", -1).as(tag))
+      else if (convertHiveColsOf(snap.properties).isEmpty)
+        raw(plain).select(col("*"),
+          substring_index(col("_metadata.file_path"), "/", -1).as(tag))
+      else
+        // ONE metadata projection captures both the tag and the fill's
+        // file path — metadata columns never resolve above a Project
+        hiveFill(snap, raw(plain).select(col("*"),
+          substring_index(col("_metadata.file_path"), "/", -1).as(tag),
+          col("_metadata.file_path").as("__graft_fp")),
+          col("__graft_fp")).drop("__graft_fp")
     toLogical(snap,
       if (dved.isEmpty) plainDf
       else {
@@ -5585,14 +6195,33 @@ object LogTable {
                          constraints: Map[String, String] = Map.empty,
                          properties: Map[String, String] = Map.empty,
                          tsMillis: Long = 0L,
-                         ckptParts: Int = -1)
+                         ckptParts: Int = -1,
+                         ckptPartNames: Seq[String] = Nil,
+                         cdc: Seq[CdcFile] = Nil)
       : Array[Byte] = {
     val root = Mapper.createObjectNode()
     root.put("version", version): Unit
     // IN-COMMIT timestamp: travels in the bytes (see [[ParsedCommit.ts]])
     if (tsMillis > 0L) root.put("ts", tsMillis): Unit
-    // parquet-checkpoint meta file: how many parts make it complete
+    // parquet-checkpoint meta file: how many parts make it complete,
+    // and (current writers) exactly WHICH part files — the witness a
+    // reader pins so concurrent writers' parts can never mix
     if (ckptParts >= 0) root.put("ckptParts", ckptParts): Unit
+    if (ckptPartNames.nonEmpty) {
+      val a = root.putArray("ckptPartNames")
+      ckptPartNames.foreach(n => a.add(n): Unit)
+    }
+    // row-level CDC files this commit's DML wrote (see [[CdcProp]]) —
+    // replay IGNORES them (snapshot state is adds/removes alone); only
+    // per-commit change-feed readers consult them
+    if (cdc.nonEmpty) {
+      val a = root.putArray("cdc")
+      cdc.foreach { f =>
+        val o = a.addObject()
+        o.put("name", f.name): Unit
+        o.put("bytes", f.bytes): Unit
+      }
+    }
     root.put("schema", schemaDdl): Unit
     if (operation != "UNKNOWN") root.put("op", operation): Unit
     if (txns.nonEmpty) {
@@ -5694,6 +6323,115 @@ object LogTable {
     */
   private[graft] val IdentityColProp = "identity.col"
   private[graft] val IdentityNextProp = "identity.next"
+  /** `START WITH` / `INCREMENT BY` (defaults 1 / 1): generated values
+    * live on the lattice `start + k·inc`; a NEGATIVE increment counts
+    * down and the high-water becomes a low-water.
+    */
+  private[graft] val IdentityStartProp = "identity.start"
+  private[graft] val IdentityIncProp = "identity.inc"
+  /** `default` (BY DEFAULT — supplied values pass) or `always`
+    * (GENERATED ALWAYS — a batch supplying the column refuses loud).
+    */
+  private[graft] val IdentityModeProp = "identity.mode"
+
+  private def identityStart(props: Map[String, String]): Long =
+    props.get(IdentityStartProp).map(_.toLong).getOrElse(1L)
+  private def identityInc(props: Map[String, String]): Long =
+    props.get(IdentityIncProp).map(_.toLong).getOrElse(1L)
+
+  /** The smallest lattice value (`start + k·inc`, k ≥ 0) strictly PAST
+    * `observed` in the increment's direction, never regressing below
+    * `cur` — the high-water update after values landed.
+    */
+  private def identityAlign(start: Long, inc: Long, cur: Long,
+                            observed: Long): Long =
+    if (inc > 0) {
+      val target = math.max(cur, observed + 1L)
+      val k = math.max(0L, -Math.floorDiv(-(target - start), inc)) // ceil
+      start + k * inc
+    } else {
+      val target = math.min(cur, observed - 1L)
+      val k = math.max(0L, -Math.floorDiv(-(start - target), -inc))
+      start + k * inc
+    }
+
+  /** DENSE identity fill for a batch omitting the column: per-partition
+    * row counts (one cheap counting job — sizes only) become cumulative
+    * offsets, and row j of the batch gets `next + inc·j`. Value space
+    * burns exactly `rows · |inc|` per batch — never
+    * `monotonically_increasing_id`'s 2³³ per PARTITION, which exhausted
+    * BIGINT headroom at ~2⁵⁰ per wide write. The input RDD is cached
+    * for the two passes (count + assign + the downstream write) and
+    * released by the context cleaner when the frame dies.
+    */
+  private def identityFill(spark: SparkSession, path: String,
+                           snap: Snapshot, rows: DataFrame,
+                           c: String): DataFrame = {
+    val props = snap.properties
+    val inc = identityInc(props)
+    val nxt = props.get(IdentityNextProp).map(_.toLong)
+      .getOrElse(identityStart(props))
+    val fieldName = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(c)
+    val rdd = rows.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1L }
+      Iterator((pid, n))
+    }.collect().sortBy(_._1) // bounded: one entry per partition
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(rows.schema.fields :+
+      StructField(fieldName, LongType, nullable = false))
+    spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var j = bc.value.getOrElse(pid, 0L)
+        it.map { r =>
+          val v = nxt + inc * j; j += 1L
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+        }
+      }, outSchema)
+  }
+
+  /** Re-align `identity.next` with the column's COMMITTED extremum —
+    * the Delta `ALTER COLUMN ... SYNC IDENTITY` shape: user-supplied
+    * values normally advance the high-water at their own commit, but a
+    * table restored/cloned across histories (or written by a
+    * pre-identity engine) can hold values past it. One metadata-only
+    * commit; a no-op returns -1.
+    */
+  def syncIdentity(spark: SparkSession, path: String,
+                   maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val c = snap.properties.getOrElse(IdentityColProp,
+        throw new IllegalArgumentException(
+          s"log table $path: no identity column is declared"))
+      val adv = identityAdvance(snap.properties,
+        snap.files.filter { f =>
+          val pc = snap.physicalOf(c)
+          f.stats.exists { case (k, _) => k.equalsIgnoreCase(pc) }
+        })
+      if (adv.isEmpty) return -1L
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, Nil, Nil,
+          dataChange = false, bloomCols = snap.bloomCols,
+          operation = "SYNC_IDENTITY", constraints = snap.constraints,
+          properties = snap.properties ++ adv)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
 
   /** The committed high-water update for one write's adds (empty when
     * the table declares no identity column or the adds carry no values).
@@ -5708,16 +6446,27 @@ object LogTable {
         val pc = colMapOfProps(properties).collectFirst {
           case (l, ph) if l.equalsIgnoreCase(c) => ph
         }.getOrElse(c)
-        val mx = adds.flatMap(_.stats.collectFirst {
-          case (k, st) if k.equalsIgnoreCase(pc) => st.max
+        val inc = identityInc(properties)
+        val start = identityStart(properties)
+        // the bound that matters follows the increment's direction:
+        // per-file max climbing up, per-file min counting down
+        val obs = adds.flatMap(_.stats.collectFirst {
+          case (k, st) if k.equalsIgnoreCase(pc) =>
+            if (inc > 0) st.max else st.min
         }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
         val cur = properties.get(IdentityNextProp)
-          .map(_.toLong).getOrElse(1L)
-        if (mx.isEmpty) Map.empty
+          .map(_.toLong).getOrElse(start)
+        if (obs.isEmpty) Map.empty
         else {
-          val next = math.max(cur, mx.max + 1L)
-          if (next == cur) Map.empty
-          else Map(IdentityNextProp -> next.toString)
+          val observed = if (inc > 0) obs.max else obs.min
+          // already safely past — no property churn
+          if ((inc > 0 && cur > observed) || (inc < 0 && cur < observed))
+            Map.empty
+          else {
+            val next = identityAlign(start, inc, cur, observed)
+            if (next == cur) Map.empty
+            else Map(IdentityNextProp -> next.toString)
+          }
         }
     }
 
@@ -5806,7 +6555,8 @@ object LogTable {
                      operation: String = "UNKNOWN",
                      txns: Map[String, Long] = Map.empty,
                      constraints: Map[String, String] = Map.empty,
-                     properties: Map[String, String] = Map.empty): Unit = {
+                     properties: Map[String, String] = Map.empty,
+                     cdc: Seq[CdcFile] = Nil): Unit = {
     val fs = fsOf(spark, path)
     // IDENTITY high-water: every commit that ADDS files advances
     // `identity.next` past its adds' max (off the stats the write
@@ -5837,7 +6587,7 @@ object LogTable {
     val out = fs.create(tmp, true)
     try out.write(commitJson(version, schemaDdl, partitionCols, statsCols,
       adds, removes, dataChange, bloomCols, operation, txns, constraints,
-      committedProps, tsMillis = ict))
+      committedProps, tsMillis = ict, cdc = cdc))
     finally out.close()
     val dst = commitPath(path, version)
     // The coordinator's publish IS the transaction: exactly one writer

@@ -63,7 +63,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
                                  lateGens: Map[String, String] = Map.empty,
                                  nestMaps: Map[String, Map[String, String]] =
                                    Map.empty,
-                                 changeFeed: Boolean = false)
+                                 changeFeed: Boolean = false,
+                                 hiveCols: Seq[String] = Nil)
     extends Source with SupportsTriggerAvailableNow {
 
   // files store PHYSICAL column names (column mapping, incl. nested
@@ -121,15 +122,17 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
   /** The pinned-physical streaming scan of `files` at version `v` —
     * shared by the file feed and the change feed.
     */
-  private def rawScan(v: Long, files: Seq[LogTable.LogFile]): DataFrame = {
+  private def rawScan(v: Long, files: Seq[LogTable.LogFile],
+                      schema: StructType = null): DataFrame = {
+    val sch = Option(schema).getOrElse(pinnedPhysical)
     // pinned-schema snapshot shell — the TRUE partition columns matter:
     // mayMatch falls back to (pmin, pmax) for the leading partition
     // column, so a wrong name here would prune pushed filters on an
     // unrelated column against the partition bounds
-    val snap = LogTable.Snapshot(v, pinnedPhysical.toDDL, partitionCols,
+    val snap = LogTable.Snapshot(v, sch.toDDL, partitionCols,
       statsCols, files)
     val index = new LogTableFileIndex(spark, path, snap)
-    val relation = HadoopFsRelation(index, StructType(Nil), pinnedPhysical,
+    val relation = HadoopFsRelation(index, StructType(Nil), sch,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
     // isStreaming = true: the engine asserts every getBatch plan is a
     // streaming leaf (the FileStreamSource/Delta pattern)
@@ -140,7 +143,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
   /** Physical→logical exit + late generated columns (the streaming twin
     * of LogTable.toLogical — per-batch frames bypass it).
     */
-  private def toPinnedLogical(raw: DataFrame): DataFrame = {
+  private def toPinnedLogical(raw: DataFrame,
+                              extras: Seq[String] = Nil): DataFrame = {
     val logical0 =
       if (colMap.isEmpty && nestMaps.isEmpty) raw
       else raw.select(pinned.fields.zip(pinnedPhysical.fields)
@@ -148,7 +152,7 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
           LogTable.colToLogical(
             col("`" + pf.name.replace("`", "``") + "`"),
             lf.dataType, pf.name, nestMaps).as(lf.name)
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq ++ extras.map(col): _*)
     lateGens.foldLeft(logical0) { case (d, (c, g)) =>
       pinned.fields.find(_.name.equalsIgnoreCase(c)) match {
         case Some(fd) =>
@@ -160,6 +164,29 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     }
   }
 
+  /** CONVERTed hive-layout tables: fill directory-valued partition
+    * columns from the scan's own path — one metadata projection on the
+    * raw scan (DVs are refused while convert.hive debt exists, so this
+    * never has to compose with the DV helpers' metadata capture).
+    */
+  private def hiveFillPinned(raw: DataFrame): DataFrame =
+    if (hiveCols.isEmpty) raw
+    else {
+      val withFp = raw.select(col("*"),
+        col("_metadata.file_path").as("__graft_fp"))
+      hiveCols.foldLeft(withFp) { (d, c) =>
+        pinnedPhysical.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) =>
+            d.withColumn(f.name, coalesce(
+              col("`" + f.name.replace("`", "``") + "`"),
+              url_decode(regexp_extract(col("__graft_fp"),
+                "/" + java.util.regex.Pattern.quote(f.name) +
+                  "=([^/]+)/", 1)).cast(f.dataType)))
+          case None => d
+        }
+      }.drop("__graft_fp")
+    }
+
   /** One change-feed side at one version: the entries' LIVE rows (each
     * file under its OWN deletion vector — the static DV-pair set joins
     * the streaming scan) tagged with the change type and version.
@@ -169,12 +196,28 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     val raw0 = rawScan(v, files)
     val dved = files.filter(_.dv.isDefined)
     val raw =
-      if (dved.isEmpty) raw0
+      if (dved.isEmpty) hiveFillPinned(raw0)
       else LogTable.antiJoinDv(LogTable.withDvHelpers(raw0),
         LogTable.dvPairs(spark, path, dved),
         dved.iterator.map(_.dv.get.deleted).sum)
     toPinnedLogical(raw)
       .withColumn("_change_type", lit(change))
+      .withColumn("_commit_version", lit(v))
+  }
+
+  /** One commit's ROW-LEVEL CDC files (`cdc.enabled` DML — see
+    * [[LogTable.CdcProp]]) as a streaming frame: the changed rows with
+    * their written `_change_type` carried through the physical→logical
+    * exit. Feed volume is the changed rows — a one-row UPDATE in a
+    * multi-GB file streams two rows, not the file-level delete+insert
+    * pair [[cdfFrame]] would.
+    */
+  private def cdcFrame(v: Long, files: Seq[LogTable.CdcFile]): DataFrame = {
+    val phys = StructType(pinnedPhysical.fields :+
+      StructField("_change_type", org.apache.spark.sql.types.StringType))
+    val shells = files.map(f =>
+      LogTable.LogFile(f.name, "", "", -1L, f.bytes))
+    toPinnedLogical(rawScan(v, shells, phys), extras = Seq("_change_type"))
       .withColumn("_commit_version", lit(v))
   }
 
@@ -185,7 +228,10 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     * [[LogTable.readChanges]] proves, with `_commit_version`
     * attribution. Merges and DV commits stream NATIVELY here (riders
     * appear as delete+insert pairs — the batch CDF's file-level shape;
-    * key them through readNetChanges-style folding downstream to cancel).
+    * key them through readNetChanges-style folding downstream to
+    * cancel). On a `cdc.enabled` table, DML commits carry ROW-LEVEL
+    * CDC files instead and the feed serves exactly the changed rows
+    * ([[cdcFrame]]) — no riders, update pre/post images attributed.
     */
   private def getChangeBatch(fromV: Long, toV: Long): DataFrame = {
     val parts = Seq.newBuilder[DataFrame]
@@ -201,12 +247,18 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
                 "or stop expiring the log while streams read it", e)
         }
       if (c.dataChange) {
-        if (c.adds.nonEmpty) parts += cdfFrame(v, c.adds, "insert")
-        if (c.removes.nonEmpty) {
-          val removedSet = c.removes.toSet
-          val removed = LogTable.snapshot(spark, path, Some(v - 1))
-            .files.filter(f => removedSet.contains(f.name))
-          if (removed.nonEmpty) parts += cdfFrame(v, removed, "delete")
+        // a commit carrying row-level CDC files serves EXACTLY those —
+        // commits that predate `cdc.enabled` (or bypassed the DML
+        // paths) fall back to the file-level delete+insert shape below
+        if (c.cdc.nonEmpty) parts += cdcFrame(v, c.cdc)
+        else {
+          if (c.adds.nonEmpty) parts += cdfFrame(v, c.adds, "insert")
+          if (c.removes.nonEmpty) {
+            val removedSet = c.removes.toSet
+            val removed = LogTable.snapshot(spark, path, Some(v - 1))
+              .files.filter(f => removedSet.contains(f.name))
+            if (removed.nonEmpty) parts += cdfFrame(v, removed, "delete")
+          }
         }
       }
     }
@@ -251,7 +303,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     }
     val versions = emit.result()
     def frame(v: Long, files: Seq[LogTable.LogFile]): DataFrame =
-      toPinnedLogical(rawScan(v, files)).withColumn("_commit_version", lit(v))
+      toPinnedLogical(hiveFillPinned(rawScan(v, files)))
+        .withColumn("_commit_version", lit(v))
     versions match {
       case Seq() => frame(toV, Nil) // zero-file scan: empty, still streaming
       case vs => vs.map { case (v, fl) => frame(v, fl) }.reduce(_ union _)
@@ -379,14 +432,17 @@ class LogTableSourceProvider extends StreamSourceProvider
             LogTable.latestVersion(spark, path))
           (c.partitionCols, c.statsCols, LogTable.colMapOfProps(c.properties),
             LogTable.lateGeneratorsOf(c.properties),
-            LogTable.nestMapsOfProps(c.properties))
+            LogTable.nestMapsOfProps(c.properties),
+            LogTable.convertHiveColsOf(c.properties))
         } catch {
           case _: java.io.IOException =>
             (snap.partitionCols, snap.statsCols, snap.colMap,
-              LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps)
+              LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps,
+              LogTable.convertHiveColsOf(snap.properties))
         }
       case None => (snap.partitionCols, snap.statsCols, snap.colMap,
-        LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps)
+        LogTable.lateGeneratorsOf(snap.properties), snap.nestMaps,
+        LogTable.convertHiveColsOf(snap.properties))
     }
     val changeFeed = opt(parameters, "readChangeFeed").exists(_.toBoolean)
     val pinned = schema match {
@@ -424,6 +480,7 @@ class LogTableSourceProvider extends StreamSourceProvider
       .exists(_.toBoolean)
     new LogTableStreamSource(spark, path, pinned, meta._1, meta._2,
       startingVersion, maxPer, ignoreChanges, colMap = meta._3,
-      lateGens = meta._4, nestMaps = meta._5, changeFeed = changeFeed)
+      lateGens = meta._4, nestMaps = meta._5, changeFeed = changeFeed,
+      hiveCols = meta._6)
   }
 }

@@ -212,7 +212,8 @@ final case class MergeInto private[sources] (
       // files of changed rows, and untouched files survive the commit —
       // a routine snapshot-sync touching few rows no longer rewrites
       // (and vacuum-indebts) the entire table.
-      val (victims, result) =
+      val cdcOn = LogTable.cdcEnabled(snap.properties)
+      val (victims, result, cdcDf) =
         if (bySource.isEmpty) {
           // partition-tuple pruning, then KEY-RANGE pruning: a candidate
           // file whose key stats provably miss every source key holds
@@ -223,8 +224,10 @@ final case class MergeInto private[sources] (
           val kr = LogTable.batchKeyRanges(spark, snap, source, keyCols)
           val v = LogTable.victimFiles(snap, touched).filterNot(f =>
             kr.nonEmpty && LogTable.keyRangeDisjoint(snap, f, kr, zone))
-          (v, applyClauses(snap,
-            LogTable.readFiles(spark, path, snap, v), source))
+          val tagged = taggedJoin(snap,
+            LogTable.readFiles(spark, path, snap, v), source)
+          (v, projectResult(snap, tagged),
+            if (cdcOn) Some(cdcRows(snap, tagged)) else None)
         } else {
           val joined = taggedJoin(snap, LogTable.readFilesTagged(
             spark, path, snap, snap.files, "__graft_file"), source)
@@ -233,11 +236,16 @@ final case class MergeInto private[sources] (
               col("__graft_file").isNotNull)
             .select("__graft_file").distinct()
             .collect().map(_.getString(0)).toSet // bounded: ≤ live files
+          // row-level CDC comes off the SAME tagged join, independent of
+          // the rewrite-restriction below: the changed rows are the
+          // changed rows whether the rewrite touches 3 files or all
+          val cdc = if (cdcOn)
+            Some(cdcRows(snap, joined.drop("__graft_file"))) else None
           if (changed.size > MergeInto.RestrictVictimsMaxFiles) {
             // an IN-list over very many names stops paying for itself —
             // degrade to the classic full rewrite
             (snap.files, projectResult(snap,
-              joined.drop("__graft_file")))
+              joined.drop("__graft_file")), cdc)
           } else {
             val keep = joined.filter(col("__graft_file").isNull ||
               col("__graft_file").isin(changed.toSeq: _*))
@@ -248,7 +256,7 @@ final case class MergeInto private[sources] (
             // rewritten rows land in the adds, duplicating rows
             (snap.files.filter(f => changed.contains(
               new org.apache.hadoop.fs.Path(f.name).getName)),
-              projectResult(snap, keep.drop("__graft_file")))
+              projectResult(snap, keep.drop("__graft_file")), cdc)
           }
         }
       // recompute generated columns on the outgoing rows (one spot for
@@ -261,11 +269,16 @@ final case class MergeInto private[sources] (
         colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = LogTable.ndvColsOf(snap.properties),
         histCols = LogTable.histColsOf(snap.properties))
+      val cdcFiles = cdcDf match {
+        case Some(df) => LogTable.writeCdcFiles(spark, path, df, snap)
+        case None => Nil
+      }
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
           bloomCols = snap.bloomCols, operation = "MERGE_INTO",
-          constraints = snap.constraints, properties = snap.properties)
+          constraints = snap.constraints, properties = snap.properties,
+          cdc = cdcFiles)
         return snap.version + 1
       } catch {
         case e: LogTable.CommitConflictException =>
@@ -275,7 +288,7 @@ final case class MergeInto private[sources] (
           // those very rows), so the full re-merge is the only sound path
           (if (bySource.nonEmpty) None
           else LogTable.recommitDisjoint(spark, path, snap, ddl, touched,
-            adds, victims.map(_.name).toSet, maxRetries,
+            adds, victims.map(_.name).toSet, maxRetries, cdc = cdcFiles,
             operation = "MERGE_INTO",
             keyRanges = () =>
               LogTable.batchKeyRanges(spark, snap, source, keyCols))) match {
@@ -283,6 +296,8 @@ final case class MergeInto private[sources] (
             case None =>
               adds.foreach(a => fs.delete(
                 new org.apache.hadoop.fs.Path(path, a.name), false): Unit)
+              cdcFiles.foreach(c => fs.delete(
+                LogTable.dataPath(path, c.name), false): Unit)
               attempt += 1
               if (attempt > maxRetries) throw e
           }
@@ -311,11 +326,20 @@ final case class MergeInto private[sources] (
       }
     }
     (matched ++ bySource).flatMap(_.set).flatMap(_.keys).foreach { c =>
-      if (c.contains('.'))
+      if (c.contains('.')) {
         // a DOTTED key assigns a struct FIELD (updateWhere's vocabulary)
         require(LogTable.resolvePathIn(snap.schema, c).isDefined,
           s"merge into $path: cannot update unknown nested field `$c`")
-      else {
+        // assigning INSIDE a key or partition column re-keys the row
+        // just as surely as assigning the whole column — same refusal
+        val root = c.substring(0, c.indexOf('.'))
+        require(!snap.partitionCols.exists(_.equalsIgnoreCase(root)),
+          s"merge into $path: partition column `$root` is immutable under " +
+            "the pruned-merge contract — move rows with delete + insert")
+        require(!keyCols.exists(_.equalsIgnoreCase(root)),
+          s"merge into $path: key column `$root` is immutable in an " +
+            "update — re-keying is delete + insert")
+      } else {
         require(known(c), s"merge into $path: cannot update unknown column `$c`")
         require(!snap.partitionCols.exists(_.equalsIgnoreCase(c)),
           s"merge into $path: partition column `$c` is immutable under the " +
@@ -378,31 +402,44 @@ final case class MergeInto private[sources] (
     // that clause's leaves replaced (clauses are act-exclusive per row,
     // so each branch bases on the TARGET's own value; a NULL struct
     // stays NULL, updateWhere's discipline)
-    def rebuild(base: Column, dt: DataType, prefix: String,
-                m: Map[String, String]): Column = dt match {
-      case st: StructType if m.keys.exists(k =>
-          k.toLowerCase.startsWith(prefix.toLowerCase + ".")) =>
-        when(base.isNotNull, struct(st.fields.toIndexedSeq.map { sf =>
-          val p = prefix + "." + sf.name
-          m.collectFirst { case (k, v) if k.equalsIgnoreCase(p) =>
-            expr(v).cast(sf.dataType)
-          }.getOrElse(rebuild(base.getField(sf.name), sf.dataType, p, m))
-            .as(sf.name)
-        }: _*))
-      case _ => base
+    joined.filter(col("__act") =!= "del" && col("__act") =!= "drop")
+      .select(outputCols(snap): _*)
+  }
+
+  private def rebuild(base: Column, dt: DataType, prefix: String,
+                      m: Map[String, String]): Column = dt match {
+    case st: StructType if m.keys.exists(k =>
+        k.toLowerCase.startsWith(prefix.toLowerCase + ".")) =>
+      when(base.isNotNull, struct(st.fields.toIndexedSeq.map { sf =>
+        val p = prefix + "." + sf.name
+        m.collectFirst { case (k, v) if k.equalsIgnoreCase(p) =>
+          expr(v).cast(sf.dataType)
+        }.getOrElse(rebuild(base.getField(sf.name), sf.dataType, p, m))
+          .as(sf.name)
+      }: _*))
+    case _ => base
+  }
+
+  private def branchValue(f: StructField, m: Map[String, String])
+      : Option[Column] =
+    m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) =>
+      expr(v).cast(f.dataType)
+    }.orElse {
+      if (!m.keys.exists(_.toLowerCase.startsWith(f.name.toLowerCase + ".")))
+        None
+      // no outer cast: each leaf already cast to its own type, and a
+      // struct cast that TIGHTENS nullability (NOT NULL leaves) is
+      // refused by the analyzer
+      else Some(rebuild(col("t." + quote(f.name)), f.dataType, f.name, m))
     }
-    def branchValue(f: StructField, m: Map[String, String]): Option[Column] =
-      m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) =>
-        expr(v).cast(f.dataType)
-      }.orElse {
-        if (!m.keys.exists(_.toLowerCase.startsWith(f.name.toLowerCase + ".")))
-          None
-        // no outer cast: each leaf already cast to its own type, and a
-        // struct cast that TIGHTENS nullability (NOT NULL leaves) is
-        // refused by the analyzer
-        else Some(rebuild(col("t." + quote(f.name)), f.dataType, f.name, m))
-      }
-    val outCols = snap.schema.fields.toIndexedSeq.map { f =>
+
+  /** One output column per schema field, dispatched on `__act` — shared
+    * by [[projectResult]] (the surviving rows) and [[cdcRows]] (the
+    * post-image), so the CDC image can never drift from the rows the
+    * merge actually writes.
+    */
+  private def outputCols(snap: LogTable.Snapshot): Seq[Column] =
+    snap.schema.fields.toIndexedSeq.map { f =>
       var e: Column = col("t." + quote(f.name))
       matched.zipWithIndex.foreach { case (cl, i) =>
         cl.set.foreach { m =>
@@ -422,8 +459,31 @@ final case class MergeInto private[sources] (
         insertExpr(ic, f.name, f.dataType)).otherwise(e) }
       e.as(f.name)
     }
-    joined.filter(col("__act") =!= "del" && col("__act") =!= "drop")
-      .select(outCols: _*)
+
+  /** This merge's ROW-LEVEL changes off the tagged join (`cdc.enabled`
+    * tables): an update act emits the target row as `update_preimage`
+    * plus its post-clause value as `update_postimage`, a delete act the
+    * preimage as `delete`, an insert act the insert-clause row as
+    * `insert` — riders (`keep`) emit NOTHING, which is the whole point:
+    * feed volume is the changed rows, not the rewritten files.
+    */
+  private[sources] def cdcRows(snap: LogTable.Snapshot,
+                               joined: DataFrame): DataFrame = {
+    val fields = snap.schema.fields.toIndexedSeq
+    val preS = struct(fields.map(f =>
+      col("t." + quote(f.name)).as(f.name)): _*)
+    val postS = struct(outputCols(snap): _*)
+    val upd = col("__act").rlike("^[ub]\\d+$")
+    val evs = when(upd, array(
+        struct(preS.as("r"), lit("update_preimage").as("t")),
+        struct(postS.as("r"), lit("update_postimage").as("t"))))
+      .when(col("__act") === "del",
+        array(struct(preS.as("r"), lit("delete").as("t"))))
+      .otherwise(
+        array(struct(postS.as("r"), lit("insert").as("t"))))
+    joined.filter(upd || col("__act").isin("del", "ins"))
+      .select(explode(evs).as("e"))
+      .select(col("e.r.*"), col("e.t").as("_change_type"))
   }
 
   /** The merge as one declarative plan over `base FULL OUTER JOIN

@@ -32,6 +32,15 @@ object GraftBridge {
       data.queryExecution.toRdd, data.schema, isStreaming = false)
   }
 
+  /** Run `body` with `spark` as the thread's ACTIVE session — plan
+    * statistics (`LogicalPlan.stats`) read the thread-local `SQLConf`,
+    * so evaluating a child session's plan under its own conf (e.g. CBO
+    * pinned on) needs the child active for the duration. Restores the
+    * previous active session; never touches other threads.
+    */
+  def withActive[T](spark: SparkSession)(body: => T): T =
+    spark.asInstanceOf[classic.SparkSession].withActive(body)
+
   /** Install an extensions object's injected functions into an ALREADY
     * RUNNING session's function registry. `spark.sql.extensions` only
     * applies at session construction; this is the live-session path (and

@@ -47,7 +47,7 @@ class CheckpointParquetSpec extends SparkSpec {
     val names = logFiles(t)
     assert(names.exists(_.endsWith(".checkpoint.meta.json")))
     val parts = names.filter(_.matches(
-      """\d{20}\.checkpoint\.\d{5}\.\d{5}\.parquet"""))
+      """\d{20}\.checkpoint\.[0-9a-f]{8}\.\d{5}\.\d{5}\.parquet"""))
     assert(parts.size > 1, s"partRows=1 over ${before.files.size} files " +
       s"must split into multiple parts (got ${parts.size})")
     assert(!names.exists(_.endsWith(s"${before.version}.checkpoint.json")),
@@ -111,6 +111,65 @@ class CheckpointParquetSpec extends SparkSpec {
     val n = LogTable.vacuum(spark, t, olderThanMs = 0L, force = true)
     assert(n > 0, "vacuum must reclaim orphaned checkpoint parts")
     assert(!logFiles(t).exists(_.endsWith(".parquet")))
+  }
+
+  test("a rival concurrent checkpointer's parts can never mix into the " +
+    "replay — the meta pins exact part names, vacuum reclaims the loser") {
+    val t = tmp() + "/t"
+    mk(t)
+    LogTable.checkpoint(spark, t): Unit
+    val fs = fsOf(t)
+    val log = new org.apache.hadoop.fs.Path(t, "_graft_log")
+    val before = LogTable.snapshot(spark, t)
+    val real = fs.listStatus(log).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(real.size > 1)
+    // fabricate the LOSING writer: a complete-looking rival set at the
+    // same version under another wid with a DIFFERENT part count —
+    // duplicated entries if a reader ever combined them
+    val v = before.version
+    (1 to 2).foreach { i =>
+      val dst = new org.apache.hadoop.fs.Path(log,
+        f"$v%020d.checkpoint.deadbeef.$i%05d.${2}%05d.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, real(i - 1), fs, dst, false, spark.sessionState.newHadoopConf())
+    }
+    LogTable.expireLog(spark, t): Unit
+    LogTable.dropCachedSnapshots(spark, t)
+    val after = LogTable.snapshot(spark, t)
+    assert(after.files.sortBy(_.name) == before.files.sortBy(_.name),
+      "replay must use exactly the advertised parts, never a rival mix")
+    assert(LogTable.read(spark, t).count() == 24L)
+    // vacuum reclaims the loser's parts, keeps the advertised ones
+    LogTable.vacuum(spark, t, olderThanMs = 0L, force = true): Unit
+    val left = logFiles(t).filter(_.endsWith(".parquet"))
+    assert(left.forall(!_.contains("deadbeef")),
+      s"rival parts must be reclaimed, left: $left")
+    assert(left.size == real.size, "advertised parts must survive vacuum")
+    LogTable.dropCachedSnapshots(spark, t)
+    assert(LogTable.read(spark, t).count() == 24L)
+  }
+
+  test("a checkpoint whose advertised parts are missing fails LOUD when " +
+    "only a rival's complete-looking set remains") {
+    val t = tmp() + "/t"
+    mk(t)
+    LogTable.checkpoint(spark, t): Unit
+    LogTable.expireLog(spark, t): Unit
+    val fs = fsOf(t)
+    val log = new org.apache.hadoop.fs.Path(t, "_graft_log")
+    val real = fs.listStatus(log).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val v = LogTable.snapshot(spark, t).version
+    // a rival single-part set that passes the listing-time screen
+    val dst = new org.apache.hadoop.fs.Path(log,
+      f"$v%020d.checkpoint.00000000.${1}%05d.${1}%05d.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, real.head, fs, dst, false, spark.sessionState.newHadoopConf())
+    real.foreach(p => fs.delete(p, false): Unit)
+    LogTable.dropCachedSnapshots(spark, t)
+    val e = intercept[IllegalStateException](LogTable.snapshot(spark, t))
+    assert(e.getMessage.contains("torn"), e.getMessage)
   }
 
   test("an EMPTY live set checkpoints with zero parts and replays") {

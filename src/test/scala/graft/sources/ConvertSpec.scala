@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CONVERT — in-place adoption of an existing parquet directory: one
+  * metadata pass + one column-pruned stats scan, zero rewrites. Hive
+  * `col=value` layouts adopt with partition values filled from the
+  * directory names at read (coalesce — later rewrites bake them into
+  * data); flat self-describing layouts adopt directly. Mixed layouts
+  * and disagreeing schemas refuse loud.
+  */
+class ConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-convert").toString
+
+  private def seed = (1L to 60L)
+    .map(i => (i, s"v$i", i * 7L, s"p${i % 3}"))
+    .toDF("k", "v", "cents", "p")
+
+  test("a hive-partitioned directory adopts in place: read equals the " +
+    "raw parquet read, stats skip, partition values prune, and time " +
+    "travel to the adopted version keeps working after DML") {
+    val dir = tmp() + "/t"
+    Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
+    val raw = spark.read.parquet(dir)
+      .select("k", "v", "cents", "p").as[(Long, String, Long, String)]
+      .collect().sorted.toSeq
+    val v1 = LogTable.convert(spark, dir, statsCols = Seq("k"))
+    assert(v1 == 1L)
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.partitionCols == Seq("p"))
+    assert(snap.properties.get(LogTable.ConvertHiveProp).contains("p"))
+    // adopted read == raw read, hive partition values filled
+    val got = LogTable.read(spark, dir)
+      .select("k", "v", "cents", "p").as[(Long, String, Long, String)]
+      .collect().sorted.toSeq
+    assert(got == raw)
+    // per-file stats from the one-pass scan: a k-bound prunes files
+    val all = snap.files.size
+    assert(all >= 3, s"hive layout must yield >=3 files, got $all")
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    // partition stats came from DIRECTORY values: exactly the p=p1
+    // files survive a p-equality prune
+    val p1Files = snap.files.count(f => f.pmin == "p1" && f.pmax == "p1")
+    assert(p1Files >= 1 && p1Files < all)
+    assert(LogTable.readWhere(spark, dir, col("p") === "p1")
+      .count() == seed.filter(col("p") === "p1").count())
+    val _ = zone
+    // DML after adoption: append, predicate delete, time travel to v1
+    LogTable.append(spark, dir,
+      Seq((100L, "new", 1L, "p0")).toDF("k", "v", "cents", "p")): Unit
+    LogTable.deleteWhere(spark, dir, col("k") === 5L): Unit
+    assert(LogTable.read(spark, dir).count() == 60L)
+    assert(LogTable.read(spark, dir).filter(col("k") === 5L).count() == 0L)
+    // the DELETE rewrote its victims through the fill — values baked
+    assert(LogTable.read(spark, dir).filter(col("p").isNull).count() == 0L)
+    val atV1 = LogTable.read(spark, dir, asOf = Some(1L))
+      .select("k", "v", "cents", "p").as[(Long, String, Long, String)]
+      .collect().sorted.toSeq
+    assert(atV1 == raw, "time travel to the adopted version = raw dir")
+    // deletion vectors refuse while convert.hive debt exists
+    val e = intercept[IllegalArgumentException] {
+      LogTable.deleteWhere(spark, dir, col("k") === 6L,
+        deletionVectors = true)
+    }
+    assert(e.getMessage.contains("convert.hive"), e.getMessage)
+  }
+
+  test("a FLAT directory adopts without hive debt: deletion vectors " +
+    "work immediately; merges and the change feed run") {
+    val dir = tmp() + "/t"
+    seed.write.parquet(dir) // flat: all columns in the data
+    LogTable.convert(spark, dir, statsCols = Seq("k")): Unit
+    val snap = LogTable.snapshot(spark, dir)
+    assert(snap.partitionCols.isEmpty)
+    assert(!snap.properties.contains(LogTable.ConvertHiveProp))
+    assert(LogTable.read(spark, dir).count() == 60L)
+    LogTable.deleteWhere(spark, dir, col("k") === 7L,
+      deletionVectors = true): Unit
+    assert(LogTable.read(spark, dir).count() == 59L)
+    val ch = LogTable.readChanges(spark, dir, 1L, 2L)
+    assert(ch.filter(col("_change_type") === "delete" && col("k") === 7L)
+      .count() == 1L)
+  }
+
+  test("refusals: an existing log, disagreeing schemas, non-hive " +
+    "nesting, NULL partition directories") {
+    val dir = tmp() + "/t"
+    Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
+    LogTable.convert(spark, dir): Unit
+    intercept[IllegalArgumentException] {
+      LogTable.convert(spark, dir)
+    }
+    // disagreeing schemas: two flat files with different columns
+    val dir2 = tmp() + "/t2"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir2 + "/part1")
+    Seq((2L, 5.0)).toDF("k", "w").write.parquet(dir2 + "/part2")
+    // move the part files up to make one flat dir
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("part1", "part2").zipWithIndex.foreach { case (d, i) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir2, d))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (st, j) =>
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dir2, s"f$i$j.parquet")): Unit
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(dir2, d), true): Unit
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      LogTable.convert(spark, dir2)
+    }
+    assert(e2.getMessage.contains("disagree"), e2.getMessage)
+    // non-hive nesting refuses
+    val dir3 = tmp() + "/t3"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir3 + "/sub")
+    val e3 = intercept[IllegalArgumentException] {
+      LogTable.convert(spark, dir3)
+    }
+    assert(e3.getMessage.contains("col=value"), e3.getMessage)
+    // __HIVE_DEFAULT_PARTITION__ refuses
+    val dir4 = tmp() + "/t4"
+    Sources.writeParquet(
+      Seq((1L, Option("p0")), (2L, Option.empty[String])).toDF("k", "p"),
+      dir4, partitionBy = Seq("p"))
+    val e4 = intercept[IllegalArgumentException] {
+      LogTable.convert(spark, dir4)
+    }
+    assert(e4.getMessage.contains("__HIVE_DEFAULT_PARTITION__"),
+      e4.getMessage)
+  }
+
+  test("the streaming change feed reads a converted hive table with " +
+    "partition values filled") {
+    val dir = tmp() + "/t"
+    Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
+    LogTable.convert(spark, dir, statsCols = Seq("k")): Unit
+    LogTable.append(spark, dir,
+      Seq((200L, "s", 2L, "p1")).toDF("k", "v", "cents", "p")): Unit
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val q = spark.readStream
+      .format(classOf[LogTableSourceProvider].getName)
+      .option("path", dir).load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => buf.add(r): Unit)
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(buf).asScala.toSeq
+    assert(rows.size == 61)
+    assert(rows.forall(_.getAs[String]("p") != null),
+      "hive partition values must fill through the stream")
+  }
+}

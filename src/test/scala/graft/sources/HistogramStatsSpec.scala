@@ -144,4 +144,28 @@ class HistogramStatsSpec extends SparkSpec {
     assert(LogTable.snapshot(spark, t2).histogramOf("v").isEmpty,
       "files predating the declaration must decline the merge")
   }
+
+  test("a constant column collapses to fewer bins with height rescaled " +
+    "so implied mass stays the true row mass; NaN quantiles decline") {
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      (1L to 500L).map(i => (i, s"p${i % 2}", 42L)).toDF("k", "p", "v"),
+      Seq("p"), statsCols = Seq("k"),
+      tableProperties = Map(LogTable.HistColsProp -> "v"))
+    val h = LogTable.snapshot(spark, t).histogramOf("v", nBins = 10)
+      .getOrElse(fail("a constant column still merges"))
+    assert(h.bins.nonEmpty && h.bins.length <= 10)
+    val implied = h.height * h.bins.length
+    assert(math.abs(implied - 500.0) < 1.0,
+      s"implied mass ${implied} must equal the true row mass 500")
+    // NaN quantile points: a double column of NaNs must DECLINE, not
+    // poison the breakpoint sort
+    val t2 = tmp() + "/t2"
+    LogTable.create(spark, t2,
+      (1L to 50L).map(i => (i, "p0", Double.NaN)).toDF("k", "p", "d"),
+      Seq("p"), statsCols = Seq("k"),
+      tableProperties = Map(LogTable.HistColsProp -> "d"))
+    assert(LogTable.snapshot(spark, t2).histogramOf("d").isEmpty,
+      "non-finite quantile points must decline the histogram")
+  }
 }

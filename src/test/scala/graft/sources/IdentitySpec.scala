@@ -88,6 +88,122 @@ class IdentitySpec extends SparkSpec {
     }
   }
 
+  test("the fill is DENSE: a batch of n rows burns exactly n values " +
+    "whatever the input partitioning") {
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      Seq((10L, "p0", "seed")).toDF("id", "p", "v"),
+      Seq("p"), statsCols = Seq("id"),
+      tableProperties = Map(LogTable.IdentityColProp -> "id"))
+    // 8 rows across 4 input partitions — the old
+    // monotonically_increasing_id fill would jump 2^33 per partition
+    val batch = (1 to 8).map(i => (s"p${i % 2}", s"r$i"))
+      .toDF("p", "v").repartition(4)
+    LogTable.append(spark, t, batch): Unit
+    val ids = LogTable.read(spark, t).filter(col("v").startsWith("r"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (11L to 18L), s"dense fill expected 11..18, got $ids")
+    assert(LogTable.snapshot(spark, t).properties("identity.next") == "19")
+  }
+
+  test("START WITH / INCREMENT BY set the lattice; negative increment " +
+    "counts down with a low-water; GENERATED ALWAYS refuses supplied " +
+    "values") {
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      Seq(("p0", "seed")).toDF("p", "v").limit(0)
+        .withColumn("id", lit(0L)).select("id", "p", "v"),
+      Seq("p"), statsCols = Seq("id"),
+      tableProperties = Map(LogTable.IdentityColProp -> "id",
+        LogTable.IdentityStartProp -> "100",
+        LogTable.IdentityIncProp -> "5"))
+    LogTable.append(spark, t,
+      Seq(("p0", "a"), ("p0", "b"), ("p1", "c")).toDF("p", "v")): Unit
+    val ids = LogTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(100L, 105L, 110L), s"lattice fill, got $ids")
+    // a supplied value OFF the lattice still pushes the high-water to
+    // the next lattice point past it
+    LogTable.append(spark, t,
+      Seq((203L, "p0", "x")).toDF("id", "p", "v")): Unit
+    LogTable.append(spark, t, Seq(("p1", "y")).toDF("p", "v")): Unit
+    val yId = LogTable.read(spark, t).filter(col("v") === "y")
+      .select("id").as[Long].head()
+    assert(yId == 205L, s"next lattice point past 203 is 205, got $yId")
+    // negative increment: values count DOWN below the start
+    val t2 = tmp() + "/t2"
+    LogTable.create(spark, t2,
+      Seq((0L, "p0", "s")).toDF("id", "p", "v").limit(0),
+      Seq("p"), statsCols = Seq("id"),
+      tableProperties = Map(LogTable.IdentityColProp -> "id",
+        LogTable.IdentityStartProp -> "-1",
+        LogTable.IdentityIncProp -> "-2"))
+    LogTable.append(spark, t2,
+      Seq(("p0", "a"), ("p0", "b")).toDF("p", "v")): Unit
+    LogTable.append(spark, t2, Seq(("p0", "c")).toDF("p", "v")): Unit
+    val down = LogTable.read(spark, t2).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(down == Seq(-5L, -3L, -1L), s"descending lattice, got $down")
+    // GENERATED ALWAYS: supplying the column refuses loud
+    val t3 = tmp() + "/t3"
+    LogTable.create(spark, t3,
+      Seq((1L, "p0", "s")).toDF("id", "p", "v").limit(0),
+      Seq("p"), statsCols = Seq("id"),
+      tableProperties = Map(LogTable.IdentityColProp -> "id",
+        LogTable.IdentityModeProp -> "always"))
+    LogTable.append(spark, t3, Seq(("p0", "ok")).toDF("p", "v")): Unit
+    val e = intercept[IllegalArgumentException] {
+      LogTable.append(spark, t3,
+        Seq((9L, "p0", "no")).toDF("id", "p", "v")): Unit
+    }
+    assert(e.getMessage.contains("ALWAYS"), e.getMessage)
+    // a zero increment refuses at create
+    intercept[IllegalArgumentException] {
+      LogTable.create(spark, tmp() + "/bad",
+        Seq((1L, "p0")).toDF("id", "p"), Seq("p"), statsCols = Seq("id"),
+        tableProperties = Map(LogTable.IdentityColProp -> "id",
+          LogTable.IdentityIncProp -> "0"))
+    }
+  }
+
+  test("SQL surface: column-list CREATE with GENERATED BY DEFAULT AS " +
+    "IDENTITY round-trips through DESCRIBE DETAIL; SYNC IDENTITY " +
+    "re-aligns after a foreign high value") {
+    val t = tmp() + "/t"
+    org.apache.spark.sql.GraftBridge.installFunctions(spark,
+      new graft.expr.GraftExtensions().apply)
+    spark.sql(s"CREATE TABLE graft.`$t` (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY " +
+      "(START WITH 1000 INCREMENT BY 10), " +
+      "p STRING NOT NULL, v STRING) " +
+      "PARTITIONED BY (p) STATS BY (id)").collect(): Unit
+    val props = LogTable.snapshot(spark, t).properties
+    assert(props.get("identity.col").contains("id"))
+    assert(props.get("identity.start").contains("1000"))
+    assert(props.get("identity.inc").contains("10"))
+    // DESCRIBE DETAIL round-trip: the properties surface
+    val detail = spark.sql(s"DESCRIBE DETAIL graft.`$t`").collect()
+    assert(detail.nonEmpty)
+    LogTable.append(spark, t,
+      Seq(("p0", "a"), ("p0", "b")).toDF("p", "v")): Unit
+    assert(LogTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1000L, 1010L))
+    // a supplied value past the high-water, then SYNC IDENTITY
+    LogTable.append(spark, t,
+      Seq((5003L, "p1", "big")).toDF("id", "p", "v")): Unit
+    // the supplying append itself advances; SYNC on an aligned table
+    // is then a no-op (-1)
+    assert(LogTable.syncIdentity(spark, t) == -1L)
+    val sql = spark.sql(
+      s"ALTER TABLE graft.`$t` ALTER COLUMN id SYNC IDENTITY").collect()
+    assert(sql.head.getLong(0) == -1L)
+    LogTable.append(spark, t, Seq(("p1", "z")).toDF("p", "v")): Unit
+    val zId = LogTable.read(spark, t).filter(col("v") === "z")
+      .select("id").as[Long].head()
+    assert(zId == 5010L,
+      s"next lattice point past 5003 from start 1000 step 10, got $zId")
+  }
+
   test("concurrent omitting appends never collide: contention " +
     "serializes through the full retry") {
     val t = tmp() + "/t"

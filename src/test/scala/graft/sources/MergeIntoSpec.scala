@@ -114,6 +114,21 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("a dotted assignment INSIDE a struct merge key refuses — field " +
+    "writes re-key a row as surely as whole-column writes") {
+    val dir = tmp() + "/t"
+    val base = Seq((1L, 10L, "p1")).toDF("k", "cents", "p")
+      .withColumn("ks", struct($"k".as("id"), lit("x").as("tag")))
+    LogTable.create(spark, dir, base, "p")
+    val src = Seq((1L, 99L, "p1")).toDF("k", "cents", "p")
+      .withColumn("ks", struct($"k".as("id"), lit("y").as("tag")))
+    val e = intercept[IllegalArgumentException] {
+      LogTable.mergeInto(spark, dir, src, Seq("ks"))
+        .whenMatchedUpdate(Map("ks.tag" -> "'z'")).run()
+    }
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+  }
+
   test("inserts NULL-fill absent columns and widen the committed schema honestly") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, baseDf, "p")

@@ -205,6 +205,76 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(out.filter(col("meta.label") === "a").count() == 1L)
   }
 
+  test("ARRAY OF STRUCTS evolves through the `element` segment: rename/" +
+    "add/drop are metadata-only, old files read under the mapping, an " +
+    "old-shape append DEFAULT-fills per element, parent renames keep " +
+    "element keys") {
+    val dir = tmp()
+    val df = (0L until 12L).map { i =>
+      (i, s"p${i % 2}", Seq((s"t$i", i), (s"u$i", i * 2)))
+    }.toDF("k", "p", "raw")
+      .select(col("k"), col("p"), expr(
+        "transform(raw, x -> named_struct('tag', x._1, 'n', x._2))")
+        .as("tags"))
+    LogTable.create(spark, dir, df, Seq("p"), statsCols = Seq("k"))
+    val before = LogTable.snapshot(spark, dir)
+    // rename a field INSIDE the array elements — zero files touched
+    rename(dir, Array("tags", "element", "tag"), "label"): Unit
+    val after = LogTable.snapshot(spark, dir)
+    assert(after.files.map(_.name).sorted == before.files.map(_.name).sorted,
+      "nested-array rename must rewrite nothing")
+    val out = LogTable.read(spark, dir)
+    assert(out.schema("tags").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("label", "n"))
+    assert(out.select(explode(col("tags")).as("t"))
+      .filter(col("t.label") === "t3").count() == 1L)
+    // time travel: the pre-rename version still reads the OLD shape
+    val old = LogTable.read(spark, dir, asOf = Some(before.version))
+    assert(old.select(explode(col("tags")).as("t"))
+      .filter(col("t.tag") === "t3").count() == 1L)
+    // ADD a field inside the elements, with a write-side DEFAULT
+    LogTable.evolveSchema(spark, dir, Seq(TableChange.addColumn(
+      Array("tags", "element", "w"),
+      org.apache.spark.sql.types.LongType, true)),
+      defaults = Map("tags.element.w" -> "7")): Unit
+    // an OLD-SHAPE append (elements lack `w`) DEFAULT-fills per element
+    val oldShape = Seq((100L, "p0", Seq(("zz", 5L))))
+      .toDF("k", "p", "raw")
+      .select(col("k"), col("p"), expr(
+        "transform(raw, x -> named_struct('label', x._1, 'n', x._2))")
+        .as("tags"))
+    LogTable.append(spark, dir, oldShape): Unit
+    val filled = LogTable.read(spark, dir)
+      .filter(col("k") === 100L)
+      .select(explode(col("tags")).as("t")).select("t.label", "t.n", "t.w")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(filled == Seq(("zz", 5L, 7L)), s"default fill, got $filled")
+    // existing rows NULL-fill the added element field at read
+    assert(LogTable.read(spark, dir).filter(col("k") === 3L)
+      .select(explode(col("tags")).as("t")).filter(col("t.w").isNull)
+      .count() == 2L)
+    // rename the PARENT column — element keys scope by PHYSICAL path,
+    // so they survive
+    rename(dir, Array("tags"), "entries"): Unit
+    assert(LogTable.read(spark, dir)
+      .select(explode(col("entries")).as("t"))
+      .filter(col("t.label") === "t3").count() == 1L)
+    // DROP the renamed element field — metadata-only, tombstoned
+    LogTable.evolveSchema(spark, dir, Seq(TableChange.deleteColumn(
+      Array("entries", "element", "label"), false))): Unit
+    val shape = LogTable.read(spark, dir).schema("entries").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(shape == Seq("n", "w"), s"dropped field must vanish, got $shape")
+    // a BARE array path (no element segment) refuses with the pointer
+    val e = intercept[IllegalArgumentException] {
+      rename(dir, Array("entries", "n"), "m"): Unit
+    }
+    assert(e.getMessage.contains("element"), e.getMessage)
+  }
+
   test("refusals: evolution through arrays/maps, constraint references, " +
     "last-field drop") {
     val dir = tmp()
