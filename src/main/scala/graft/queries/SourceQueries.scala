@@ -1228,6 +1228,73 @@ object SourceQueries {
         .withColumn("id_ok", lit(idOk))
     }),
 
+    // WRITE-AUDIT-PUBLISH (branch refs) — stage a batch of DML on a
+    // BRANCH (a clone under _branches/<name> recording its fork
+    // version), audit the staged state with ops/Validate, and publish
+    // as ONE fast-forward metadata commit. The gate pins: main
+    // BYTE-UNCHANGED while staged (version + content), the audit
+    // actually gating (a poisoned branch fails enforce and is dropped
+    // with zero main impact), the published read carrying exactly the
+    // staged state, non-fast-forward publish refusing loud after main
+    // advanced, and a TAG riding the pre-publish version for reads.
+    "q181_wap_branch" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q181")
+      val base = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      LogTable.create(s, t, base, Seq("segment"), statsCols = Seq("k"))
+      val v0 = LogTable.snapshot(s, t).version
+      LogTable.tag(s, t, "pre-wap"): Unit
+      val bp = LogTable.createBranch(s, t, "wap")
+      // stage on the branch: bump + delete + insert
+      LogTable.updateWhere(s, bp, col("k") % 10 === 0,
+        Map("cents" -> (col("cents") + 5L))): Unit
+      LogTable.deleteWhere(s, bp, col("k") % 17 === 0): Unit
+      import s.implicits._
+      LogTable.append(s, bp, Seq((9000001L, "WAP", 777L))
+        .toDF("k", "segment", "cents")): Unit
+      // audit gate: the staged state must pass before any publish
+      graft.ops.Validate.enforce(LogTable.read(s, bp), Seq(
+        graft.ops.Validate.unique("k"),
+        graft.ops.Validate.notNull("segment")))
+      // main pinned UNCHANGED while staged
+      val mainN = LogTable.read(s, t).count()
+      val stagedOk = LogTable.snapshot(s, t).version == v0 &&
+        mainN == base.count() &&
+        LogTable.read(s, t).filter(col("k") === 9000001L).count() == 0L
+      val pv = LogTable.publishBranch(s, t, "wap")
+      val ffOk = pv == v0 + 1
+      // a poisoned second branch: audit fails, branch drops, main clean
+      val bp2 = LogTable.createBranch(s, t, "bad")
+      LogTable.append(s, bp2, Seq((1L, "POISON", 1L))
+        .toDF("k", "segment", "cents")): Unit // duplicate key 1
+      val auditOk =
+        try { graft.ops.Validate.enforce(LogTable.read(s, bp2), Seq(
+          graft.ops.Validate.unique("k"))); false }
+        catch { case _: IllegalStateException => true }
+      LogTable.dropBranch(s, t, "bad")
+      // non-FF: a branch staged before a main advance refuses publish
+      val bp3 = LogTable.createBranch(s, t, "late")
+      LogTable.append(s, bp3, Seq((9000003L, "LATE", 1L))
+        .toDF("k", "segment", "cents")): Unit
+      LogTable.append(s, t, Seq((9000004L, "MAIN", 2L))
+        .toDF("k", "segment", "cents")): Unit
+      val nonFfOk =
+        try { LogTable.publishBranch(s, t, "late"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("fast-forward") }
+      LogTable.dropBranch(s, t, "late")
+      // the tag still reads the pre-WAP state
+      val tagOk = LogTable.readTag(s, t, "pre-wap").count() == mainN
+      val _ = bp
+      val wapOk = stagedOk && ffOk && auditOk && nonFfOk && tagOk
+      LogTable.read(s, t).groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("wap_ok", lit(wapOk))
+    }),
+
     // CONVERT — in-place adoption of an existing hive-partitioned
     // parquet directory (the `CONVERT TO DELTA` shape): one metadata
     // pass + one column-pruned stats scan, ZERO rewrites (pinned by
@@ -2532,6 +2599,23 @@ object SourceQueries {
         |SELECT segment, src, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS id_ok
         |FROM final GROUP BY segment, src""".stripMargin,
+    "q181_wap_branch" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |upd AS (
+        |  SELECT k, segment,
+        |    CASE WHEN k % 10 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM base),
+        |kept AS (SELECT * FROM upd WHERE k % 17 <> 0),
+        |final AS (SELECT * FROM kept
+        |  UNION ALL SELECT 9000001 AS k, 'WAP' AS segment, 777 AS cents
+        |  UNION ALL SELECT 9000004 AS k, 'MAIN' AS segment, 2 AS cents)
+        |SELECT segment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS wap_ok
+        |FROM final GROUP BY segment""".stripMargin,
+
     "q180_convert_adopt" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -2952,7 +2952,11 @@ object LogTable {
     * vacuum). Compacting the clone re-localizes its data and releases
     * the references naturally.
     */
-  def clone(spark: SparkSession, src: String, dst: String): Long = {
+  def clone(spark: SparkSession, src: String, dst: String): Long =
+    clone(spark, src, dst, _ => Map.empty)
+
+  private def clone(spark: SparkSession, src: String, dst: String,
+                    extraPropsOf: Snapshot => Map[String, String]): Long = {
     val sfs = fsOf(spark, src)
     val dfs = fsOf(spark, dst)
     require(!dfs.exists(logDir(dst)),
@@ -2982,7 +2986,8 @@ object LogTable {
         operation = "CLONE", constraints = snap.constraints,
         properties = (snap.properties - MvAutoRefreshProp) +
           ("clone.source" ->
-            sfs.makeQualified(new Path(src)).toUri.toString))
+            sfs.makeQualified(new Path(src)).toUri.toString) ++
+          extraPropsOf(snap))
     } catch {
       case scala.util.control.NonFatal(e) =>
         sfs.delete(marker, false): Unit // failed clone frees vacuum now
@@ -2990,6 +2995,163 @@ object LogTable {
     }
     1L
   }
+
+  // ------------------------------------------------- branches, tags, WAP
+
+  private[graft] val BranchBaseProp = "branch.base"
+  private[sources] def branchDir(path: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"branch/tag name `$name` — letters, digits, _ and - only")
+    path + "/_branches/" + name
+  }
+  private def tagPath(path: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"branch/tag name `$name` — letters, digits, _ and - only")
+    new Path(logDir(path), s"_tag_$name.json")
+  }
+
+  /** Create a BRANCH of the table — the write-audit-publish staging
+    * surface (Iceberg's refs, shaped onto the engine's own clone
+    * machinery): a shallow clone under `<path>/_branches/<name>` that
+    * records the main version it forked from (`branch.base`). EVERY
+    * table operation works on the returned branch path — appends,
+    * merges, predicate DML, schema evolution, `ops/Validate` audits —
+    * and none of it moves main: branch commits extend the branch's own
+    * log; branch data files land in the branch directory, invisible to
+    * main until [[publishBranch]]. Returns the branch path.
+    */
+  def createBranch(spark: SparkSession, path: String, name: String): String = {
+    val bp = branchDir(path, name)
+    clone(spark, path, bp,
+      snap => Map(BranchBaseProp -> snap.version.toString)): Unit
+    bp
+  }
+
+  /** FAST-FORWARD publish of a branch onto main — ONE metadata commit:
+    * main must still sit at the branch's fork version (anything else is
+    * a NON-fast-forward and refuses loud — re-stage on the new head and
+    * re-apply; the branch never guesses a merge). The published commit
+    * carries the branch's final state verbatim: its schema/constraint/
+    * property evolution, removes for every main entry the branch
+    * retired, and adds for every branch-written entry (referenced
+    * ABSOLUTELY into the branch directory — the clone discipline in
+    * reverse; later OPTIMIZE/compaction re-localizes them into main's
+    * root exactly as it re-localizes clones). A main writer racing the
+    * publish wins or loses atomically through the ordinary commit
+    * protocol — a lost publish IS the non-FF refusal. This is the
+    * write-audit-publish pattern: stage on a branch, audit with
+    * `ops/Validate.enforce` against the branch read, publish only when
+    * the audit passes.
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String): Long = {
+    val bp = branchDir(path, name)
+    val fs = fsOf(spark, path)
+    require(fs.exists(logDir(bp)), s"no branch `$name` at $path")
+    val bSnap = snapshot(spark, bp)
+    val base = bSnap.properties.get(BranchBaseProp).map(_.toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$bp is not a branch of $path (no ${BranchBaseProp})"))
+    val mSnap = snapshot(spark, path)
+    require(mSnap.version == base,
+      s"log table $path: cannot fast-forward branch `$name` — main " +
+        s"advanced from v$base to v${mSnap.version} since the branch " +
+        "was staged; re-stage on the new head and re-apply the work")
+    // translate the branch's entries into main's namespace: inherited
+    // source files (absolute URIs under main) back to their RELATIVE
+    // names (so removes/adds line up with main's own entries); branch-
+    // written files (relative to the branch dir) to absolute URIs
+    val mainPrefix = fs.makeQualified(new Path(path)).toUri.toString + "/"
+    def toMain(n: String): String =
+      if (n.startsWith(mainPrefix)) {
+        val rest = n.drop(mainPrefix.length)
+        // a branch-dir file can appear under the main prefix too —
+        // keep those absolute (they live outside main's flat layout)
+        if (rest.startsWith("_branches/")) n else rest
+      } else if (new Path(n).isAbsolute || new Path(n).toUri.getScheme != null)
+        n
+      else fs.makeQualified(dataPath(bp, n)).toUri.toString
+    val translated = bSnap.files.map(f => f.copy(name = toMain(f.name),
+      dv = f.dv.map(d => d.copy(name = toMain(d.name)))))
+    def ident(f: LogFile) = (f.name, f.dv.map(_.name))
+    val mIds = mSnap.files.map(ident).toSet
+    val tIds = translated.map(ident).toSet
+    val adds = translated.filterNot(f => mIds.contains(ident(f)))
+    val removes = mSnap.files.filterNot(f => tIds.contains(ident(f)))
+      .map(_.name)
+    commit(spark, path, mSnap.version + 1, bSnap.schemaDdl,
+      bSnap.partitionCols, bSnap.statsCols, adds, removes,
+      bloomCols = bSnap.bloomCols, operation = "PUBLISH_BRANCH",
+      constraints = bSnap.constraints,
+      properties = bSnap.properties - BranchBaseProp - "clone.source")
+    mSnap.version + 1
+  }
+
+  /** Drop a branch: its log always goes (releasing the clone's vacuum
+    * protection on the next source vacuum); branch-local data files go
+    * too UNLESS main's current snapshot references them absolutely (a
+    * published branch's files stay until compaction re-localizes them).
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Unit = {
+    val bp = branchDir(path, name)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(bp))) return
+    dropCachedSnapshots(spark, bp)
+    val bpPrefix = fs.makeQualified(new Path(bp)).toUri.toString + "/"
+    val referenced = snapshot(spark, path).files
+      .flatMap(f => f.name +: f.dv.map(_.name).toList)
+      .filter(_.startsWith(bpPrefix))
+      .map(_.drop(bpPrefix.length)).toSet
+    fs.delete(logDir(bp), true): Unit
+    if (referenced.isEmpty) fs.delete(new Path(bp), true): Unit
+    else fs.listStatus(new Path(bp)).foreach { st =>
+      if (st.isFile && !referenced.contains(st.getPath.getName))
+        fs.delete(st.getPath, false): Unit
+    }
+  }
+
+  /** TAG a version with a name — an immutable named ref (`_tag_<n>`
+    * in the log). Tags resolve for reads ([[readTag]]) and pin nothing:
+    * like any time travel they need the version still replayable (see
+    * [[expireLog]]). Re-tagging an existing name refuses (tags are
+    * immutable; drop first).
+    */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Option[Long] = None): Long = {
+    val fs = fsOf(spark, path)
+    val v = version.getOrElse(latestVersion(spark, path))
+    snapshot(spark, path, Some(v)): Unit // must be replayable NOW
+    val dst = tagPath(path, name)
+    require(!fs.exists(dst),
+      s"log table $path: tag `$name` already exists — tags are " +
+        "immutable; dropTag first")
+    val tmp = new Path(logDir(path),
+      ".tag_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"version":$v}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false): Unit
+      throw new java.io.IOException(s"tag rename failed for $dst")
+    }
+    v
+  }
+
+  def tagVersion(spark: SparkSession, path: String, name: String): Long = {
+    val fs = fsOf(spark, path)
+    val p = tagPath(path, name)
+    require(fs.exists(p), s"log table $path: no tag `$name`")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    Mapper.readTree(txt).get("version").asLong()
+  }
+
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, asOf = Some(tagVersion(spark, path, name)))
+
+  def dropTag(spark: SparkSession, path: String, name: String): Unit =
+    fsOf(spark, path).delete(tagPath(path, name), false): Unit
 
   /** How long a clone marker with no materialized destination is
     * treated as an IN-FLIGHT clone (vacuum skips data reclaim) before
@@ -6478,7 +6640,8 @@ object LogTable {
     k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
       k == "clone.source" || k.startsWith("colmap.") ||
       k.startsWith("pspec.") || k.startsWith(ColDefaultPrefix) ||
-      k.startsWith("protocol.") || k == IdentityNextProp
+      k.startsWith("protocol.") || k == IdentityNextProp ||
+      k == BranchBaseProp
 
   /** SET/UNSET table properties as one metadata-only commit — the
     * generic carrier for user metadata and the engine's OPT-IN knobs

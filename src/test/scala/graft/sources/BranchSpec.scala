@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Branches, tags and write-audit-publish: a branch stages work in
+  * isolation (main never moves), `ops/Validate` audits the branch read,
+  * and a fast-forward publish lands the branch's final state on main as
+  * ONE metadata commit; a main that advanced refuses the publish loud.
+  */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-branch").toString
+
+  private def seed = (1L to 30L)
+    .map(i => (i, s"v$i", i * 10L, s"p${i % 3}"))
+    .toDF("k", "v", "cents", "p")
+
+  test("branch isolation: every operation works on the branch, main is " +
+    "byte-identical until publish; FF publish is one metadata commit") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    val mainV = LogTable.snapshot(spark, dir).version
+    val bp = LogTable.createBranch(spark, dir, "wap")
+    // stage: append + update + predicate delete ON THE BRANCH
+    LogTable.append(spark, bp,
+      Seq((100L, "new", 1000L, "p0")).toDF("k", "v", "cents", "p")): Unit
+    LogTable.updateWhere(spark, bp, col("k") === 3L,
+      Map("v" -> lit("upd"))): Unit
+    LogTable.deleteWhere(spark, bp, col("k") === 5L): Unit
+    // audit the branch with Validate — the WAP gate
+    graft.ops.Validate.enforce(LogTable.read(spark, bp), Seq(
+      graft.ops.Validate.notNull("v"),
+      graft.ops.Validate.unique("k"),
+      graft.ops.Validate.minRows(30L)))
+    // main: untouched, same version, same content
+    assert(LogTable.snapshot(spark, dir).version == mainV)
+    assert(LogTable.read(spark, dir).count() == 30L)
+    assert(LogTable.read(spark, dir).filter(col("k") === 100L).count() == 0L)
+    assert(LogTable.read(spark, dir).filter(col("v") === "upd").count() == 0L)
+    // publish: one commit on main carrying the branch's net state
+    val pv = LogTable.publishBranch(spark, dir, "wap")
+    assert(pv == mainV + 1, "fast-forward publish is ONE commit")
+    val main = LogTable.read(spark, dir)
+    assert(main.count() == 30L) // 30 − deleted + appended
+    assert(main.filter(col("k") === 100L).count() == 1L)
+    assert(main.filter(col("k") === 3L).select("v")
+      .as[String].head() == "upd")
+    assert(main.filter(col("k") === 5L).count() == 0L)
+    // time travel behind the publish still serves the pre-WAP state
+    assert(LogTable.read(spark, dir, asOf = Some(mainV)).count() == 30L)
+    assert(LogTable.read(spark, dir, asOf = Some(mainV))
+      .filter(col("k") === 100L).count() == 0L)
+    // a further ordinary write on main works; compaction re-localizes
+    LogTable.append(spark, dir,
+      Seq((101L, "post", 1L, "p1")).toDF("k", "v", "cents", "p")): Unit
+    LogTable.compactPartitions(spark, dir, maxFilesPerPartition = 1): Unit
+    assert(LogTable.read(spark, dir).count() == 31L)
+    assert(LogTable.snapshot(spark, dir).files
+      .forall(f => !f.name.contains("_branches/")),
+      "compaction must re-localize published branch files into main")
+    LogTable.dropBranch(spark, dir, "wap")
+    assert(LogTable.read(spark, dir).count() == 31L)
+  }
+
+  test("non-fast-forward publish refuses loud; schema evolved on the " +
+    "branch publishes atomically with its rows") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    LogTable.createBranch(spark, dir, "b1"): Unit
+    // main ADVANCES while b1 is staged
+    LogTable.append(spark, dir,
+      Seq((200L, "m", 2L, "p2")).toDF("k", "v", "cents", "p")): Unit
+    val e = intercept[IllegalArgumentException] {
+      LogTable.publishBranch(spark, dir, "b1")
+    }
+    assert(e.getMessage.contains("fast-forward"), e.getMessage)
+    LogTable.dropBranch(spark, dir, "b1")
+    // a fresh branch off the new head: evolve schema + write, publish
+    val bp = LogTable.createBranch(spark, dir, "b2")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    LogTable.evolveSchema(spark, bp, Seq(TableChange.addColumn(
+      Array("note"), org.apache.spark.sql.types.StringType, true))): Unit
+    LogTable.append(spark, bp,
+      Seq((300L, "b", 3L, "p0", "hello"))
+        .toDF("k", "v", "cents", "p", "note")): Unit
+    LogTable.publishBranch(spark, dir, "b2"): Unit
+    val main = LogTable.read(spark, dir)
+    assert(main.schema.fieldNames.contains("note"))
+    assert(main.filter(col("note") === "hello").count() == 1L)
+    assert(main.filter(col("note").isNull).count() == 31L)
+  }
+
+  test("a failed audit keeps main clean — the branch is simply dropped; " +
+    "branch DV deletes and merges publish correctly") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    val bp = LogTable.createBranch(spark, dir, "audit")
+    LogTable.append(spark, bp,
+      Seq((400L, null.asInstanceOf[String], 4L, "p1"))
+        .toDF("k", "v", "cents", "p")): Unit
+    intercept[IllegalStateException] {
+      graft.ops.Validate.enforce(LogTable.read(spark, bp),
+        Seq(graft.ops.Validate.notNull("v")))
+    }
+    LogTable.dropBranch(spark, dir, "audit")
+    assert(LogTable.read(spark, dir).count() == 30L)
+    assert(!new java.io.File(bp).exists(), "unpublished branch dir dies")
+    // DV delete + merge on a branch publish as net state
+    val bp2 = LogTable.createBranch(spark, dir, "dv")
+    LogTable.deleteWhere(spark, bp2, col("k") === 7L,
+      deletionVectors = true): Unit
+    LogTable.mergeInto(spark, bp2,
+      Seq((8L, "m8", 80L, "p2")).toDF("k", "v", "cents", "p"), Seq("k"))
+      .whenMatchedUpdate(Map("v" -> "s.v")).run(): Unit
+    LogTable.publishBranch(spark, dir, "dv"): Unit
+    val main = LogTable.read(spark, dir)
+    assert(main.count() == 29L)
+    assert(main.filter(col("k") === 8L).select("v").as[String].head() == "m8")
+  }
+
+  test("tags: immutable named versions resolve for reads; re-tagging " +
+    "refuses; dropTag frees the name") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    val v1 = LogTable.tag(spark, dir, "release-1")
+    LogTable.deleteWhere(spark, dir, col("k") <= 10L): Unit
+    assert(LogTable.read(spark, dir).count() == 20L)
+    assert(LogTable.readTag(spark, dir, "release-1").count() == 30L)
+    assert(LogTable.tagVersion(spark, dir, "release-1") == v1)
+    intercept[IllegalArgumentException] {
+      LogTable.tag(spark, dir, "release-1")
+    }
+    LogTable.dropTag(spark, dir, "release-1")
+    intercept[IllegalArgumentException] {
+      LogTable.tagVersion(spark, dir, "release-1")
+    }
+    LogTable.tag(spark, dir, "release-1", Some(2L)): Unit
+    assert(LogTable.readTag(spark, dir, "release-1").count() == 20L)
+  }
+}
