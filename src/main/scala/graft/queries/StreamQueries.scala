@@ -538,18 +538,27 @@ object StreamQueries {
       LogTable.create(s, tablePath, base, Seq("o_year"),
         statsCols = Seq("k"),
         tableProperties = Map(LogTable.CdcProp -> "true")): Unit      // v1
-      val expUpd = base.filter(col("k") % 500 === 0).count()
-      val expDel = base.filter(col("k") % 700 === 0).count()
-      val expMu = base.filter(col("k") % 900 === 0 &&
-        col("k") % 700 =!= 0).count()
-      val expIns = base.filter(col("k") % 1100 === 0).count()
+      // ONE pass over the base for every expected count + the key max
+      val expRow = base.agg(
+        sum(when(col("k") % 500 === 0, 1L).otherwise(0L)),
+        sum(when(col("k") % 700 === 0, 1L).otherwise(0L)),
+        sum(when(col("k") % 900 === 0 && col("k") % 700 =!= 0, 1L)
+          .otherwise(0L)),
+        sum(when(col("k") % 1100 === 0, 1L).otherwise(0L)),
+        max(col("k"))).head()
+      val (expUpd, expDel, expMu, expIns) = (expRow.getLong(0),
+        expRow.getLong(1), expRow.getLong(2), expRow.getLong(3))
       LogTable.updateWhere(s, tablePath, col("k") % 500 === 0,
         Map("cents" -> (col("cents") + 10L))): Unit                   // v2
       LogTable.deleteWhere(s, tablePath, col("k") % 700 === 0,
         deletionVectors = true): Unit                                 // v3
+      // insert keys offset past the LIVE key range, derived from the
+      // data (a constant would collide at larger scale factors and
+      // break the exact volume pins below)
+      val off = (expRow.getLong(4) / 10000000L + 1L) * 10000000L
       val mSrc = base.filter(col("k") % 900 === 0 && col("k") % 700 =!= 0)
         .unionByName(base.filter(col("k") % 1100 === 0)
-          .withColumn("k", col("k") + 20000000L)
+          .withColumn("k", col("k") + lit(off))
           .withColumn("cents", expr("cents div 2"))
           .withColumn("status", lit("N")))
       LogTable.mergeInto(s, tablePath, mSrc, Seq("k"))
@@ -570,21 +579,25 @@ object StreamQueries {
         q.awaitTermination()
       }
       val feedDf = s.read.parquet(s"$sinkPath/*")
-      def n(v: Long, t: String): Long = feedDf
-        .filter(col("_commit_version") === v && col("_change_type") === t)
-        .count()
+      // ONE aggregation pins every per-commit volume (9 count jobs
+      // would re-scan the sink per pin)
+      val counts = feedDf
+        .groupBy(col("_commit_version"), col("_change_type")).count()
+        .collect() // bounded: versions × change types
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      def n(v: Long, t: String): Long = counts.getOrElse((v, t), 0L)
+      def vTotal(v: Long): Long =
+        counts.collect { case ((cv, _), c) if cv == v => c }.sum
       // EXACT volume pins — proportional to changed rows, riders = red
       val volumeOk =
         n(2L, "update_preimage") == expUpd &&
         n(2L, "update_postimage") == expUpd &&
-        feedDf.filter(col("_commit_version") === 2L).count() == 2 * expUpd &&
-        n(3L, "delete") == expDel &&
-        feedDf.filter(col("_commit_version") === 3L).count() == expDel &&
+        vTotal(2L) == 2 * expUpd &&
+        n(3L, "delete") == expDel && vTotal(3L) == expDel &&
         n(4L, "update_preimage") == expMu &&
         n(4L, "update_postimage") == expMu &&
         n(4L, "insert") == expIns &&
-        feedDf.filter(col("_commit_version") === 4L).count() ==
-          2 * expMu + expIns
+        vTotal(4L) == 2 * expMu + expIns
       // post-image VALUES: every v2 key's post = pre + 10
       val imgOk = feedDf.filter(col("_commit_version") === 2L)
         .groupBy(col("k"))
@@ -593,8 +606,7 @@ object StreamQueries {
           max(when(col("_change_type") === "update_preimage",
             col("cents")))).as("d"))
         .filter(col("d") =!= 10L).count() == 0L
-      val compactionSilent = feedDf
-        .filter(col("_commit_version") >= 5L).limit(1).count() == 0
+      val compactionSilent = counts.keys.forall(_._1 < 5L)
       val cdcOk = volumeOk && imgOk && compactionSilent
       // net fold (insert/post arrive, delete/pre leave) = final table
       feedDf.groupBy(col("k"), col("status"), col("cents"), col("o_year"))

@@ -1206,12 +1206,16 @@ object LogTable {
     * resolve only on the scan itself, so every caller captures it in
     * the SAME projection that needs it.
     */
-  private def hiveFill(snap: Snapshot, df: DataFrame, fp: Column): DataFrame = {
-    // the raw frame speaks PHYSICAL names, and directory segments carry
-    // the name AT CONVERT TIME — the physical name, stable forever
-    val cols = convertHiveColsOf(snap.properties)
+  /** The ONE fill expression (shared by batch reads and the streaming
+    * source — two copies would drift): in-data values win, directory
+    * values fill. `schema` is the PHYSICAL frame schema; directory
+    * segments carry the name at convert time — the physical name,
+    * stable forever.
+    */
+  private[sources] def hiveFillOn(schema: StructType, cols: Seq[String],
+                                  df: DataFrame, fp: Column): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      snap.physicalSchema.fields.find(_.name.equalsIgnoreCase(c)) match {
+      schema.fields.find(_.name.equalsIgnoreCase(c)) match {
         case Some(f) =>
           val q = "`" + f.name.replace("`", "``") + "`"
           d.withColumn(f.name, coalesce(col(q),
@@ -1221,7 +1225,10 @@ object LogTable {
         case None => d
       }
     }
-  }
+
+  private def hiveFill(snap: Snapshot, df: DataFrame, fp: Column): DataFrame =
+    hiveFillOn(snap.physicalSchema, convertHiveColsOf(snap.properties),
+      df, fp)
 
   /** Attach-then-fill for a raw PHYSICAL scan of a converted table: one
     * projection captures the file path, the fills coalesce, the helper
@@ -1295,13 +1302,26 @@ object LogTable {
     // schema: the data columns (one footer), plus hive columns typed by
     // Spark's own partition inference; DISAGREEING file schemas refuse
     val full = spark.read.parquet(path)
-    val merged = spark.read.option("mergeSchema", "true").parquet(path)
-    require(full.schema.fieldNames.sorted.toSeq ==
-        merged.schema.fieldNames.sorted.toSeq,
+    // irreconcilable footers (int32 next to int64) make the MERGE
+    // itself throw — surface that as the same loud refusal
+    val merged =
+      try spark.read.option("mergeSchema", "true").parquet(path)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"convert: $path: files carry disagreeing schemas — the " +
+            s"footer merge failed (${e.getMessage}); repair or rewrite " +
+            "before adopting", e)
+      }
+    // names AND types must agree: a union that widened (int32 file next
+    // to an int64 file) or added a field means the footers disagree —
+    // refuse BEFORE committing, not on the first post-adoption read
+    def shape(s: StructType): Map[String, DataType] =
+      s.fields.iterator.map(f => f.name.toLowerCase -> f.dataType).toMap
+    require(shape(full.schema) == shape(merged.schema),
       s"convert: $path: files carry disagreeing schemas " +
-        s"(union ${merged.schema.fieldNames.mkString(",")} vs " +
-        s"${full.schema.fieldNames.mkString(",")}) — repair or rewrite " +
-        "before adopting")
+        s"(union ${merged.schema.simpleString} vs first-footer " +
+        s"${full.schema.simpleString}) — repair or rewrite before " +
+        "adopting")
     val hiveFields = hiveCols.map(c => full.schema.fields
       .find(_.name.equalsIgnoreCase(c)).get)
     val dataSchema = StructType(full.schema.fields.filterNot(f =>
@@ -3082,7 +3102,11 @@ object LogTable {
       bSnap.partitionCols, bSnap.statsCols, adds, removes,
       bloomCols = bSnap.bloomCols, operation = "PUBLISH_BRANCH",
       constraints = bSnap.constraints,
-      properties = bSnap.properties - BranchBaseProp - "clone.source")
+      // the branch's clone.source points at MAIN (the clone machinery
+      // wrote it) — drop it, but RESTORE main's own provenance if main
+      // is itself a clone (renameTable's marker repointing reads it)
+      properties = bSnap.properties - BranchBaseProp - "clone.source" ++
+        mSnap.properties.get("clone.source").map("clone.source" -> _))
     mSnap.version + 1
   }
 
@@ -3097,10 +3121,25 @@ object LogTable {
     if (!fs.exists(new Path(bp))) return
     dropCachedSnapshots(spark, bp)
     val bpPrefix = fs.makeQualified(new Path(bp)).toUri.toString + "/"
-    val referenced = snapshot(spark, path).files
+    // protect files referenced by ANY still-replayable main version —
+    // time travel and tags inside the retained log window must survive
+    // the drop (the current snapshot alone would miss a published file
+    // that a later rewrite retired); O(commits) small JSON parses, the
+    // replay cost class. Files referenced only by EXPIRED commits are
+    // already gone from the addressable history (vacuum semantics).
+    val referenced = fs.listStatus(logDir(path)).iterator
+      .filter(st => st.isFile && (CommitName.matches(st.getPath.getName) ||
+        CheckpointName.matches(st.getPath.getName) ||
+        CkptMetaName.matches(st.getPath.getName)))
+      .flatMap(st =>
+        scala.util.Try(parseCommitFile(fs, st.getPath).adds).getOrElse(Nil))
       .flatMap(f => f.name +: f.dv.map(_.name).toList)
       .filter(_.startsWith(bpPrefix))
-      .map(_.drop(bpPrefix.length)).toSet
+      .map(_.drop(bpPrefix.length)).toSet ++
+      snapshot(spark, path).files
+        .flatMap(f => f.name +: f.dv.map(_.name).toList)
+        .filter(_.startsWith(bpPrefix))
+        .map(_.drop(bpPrefix.length))
     fs.delete(logDir(bp), true): Unit
     if (referenced.isEmpty) fs.delete(new Path(bp), true): Unit
     else fs.listStatus(new Path(bp)).foreach { st =>
@@ -4264,14 +4303,24 @@ object LogTable {
       // partitions + batch — the rows being rewritten anyway)
       val merged = Merge.merge(base, aligned, keyCols, orderCols, opCol, deleteOp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val adds =
+      val (adds, cdcFiles) =
         try {
           enforceConstraints(path, snap, merged)
-          writeDataFiles(spark, path, merged, snap.partitionCols,
+          val a = writeDataFiles(spark, path, merged, snap.partitionCols,
             snap.statsCols, bloomCols = snap.bloomCols,
             colMap = snap.colMap, nestMaps = snap.nestMaps,
             ndvCols = ndvColsOf(snap.properties),
-        histCols = histColsOf(snap.properties))
+            histCols = histColsOf(snap.properties))
+          // row-level CDC (cdc.enabled): pre/post rows restricted to the
+          // BATCH's keys (riders never enter), pivoted through one keyed
+          // aggregate — a no-op batch row (its version lost the argmax)
+          // emits nothing, exactly like readNetChanges' rider cancel
+          val c =
+            if (!cdcEnabled(snap.properties)) Nil
+            else writeCdcFiles(spark, path,
+              upsertCdcRows(evolved, base, merged, aligned, keyCols),
+              evolved)
+          (a, c)
         } finally { merged.unpersist(): Unit }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
@@ -4279,13 +4328,13 @@ object LogTable {
           bloomCols = snap.bloomCols, operation = "MERGE",
           txns = txn.map { case (a, i) => a -> i }.toMap,
           constraints = snap.constraints,
-          properties = snap.properties)
+          properties = snap.properties, cdc = cdcFiles)
         return snap.version + 1
       } catch {
         case e: CommitConflictException =>
           recommitDisjoint(spark, path, snap, evolved.schemaDdl, touched,
             adds, victims.map(_.name).toSet, maxRetries,
-            txns = txn.map { case (a, i) => a -> i }.toMap,
+            txns = txn.map { case (a, i) => a -> i }.toMap, cdc = cdcFiles,
             keyRanges =
               () => batchKeyRanges(spark, evolved, changes, keyCols)) match {
             case Some(v) => return v
@@ -4295,12 +4344,52 @@ object LogTable {
               // than waiting for vacuum, then retry against the new
               // snapshot
               adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+              cdcFiles.foreach(c =>
+                fs.delete(dataPath(path, c.name), false): Unit)
               attempt += 1
               if (attempt > maxRetries) throw e
           }
       }
     }
     -1L // unreachable
+  }
+
+  /** [[upsert]]'s row-level CDC derivation: both sides restricted to
+    * the batch's keys (left-semi — riders never enter the plan), then
+    * ONE keyed pivot classifies each key: pre-only → `delete`,
+    * post-only → `insert`, both-and-different → `update_preimage` +
+    * `update_postimage`, both-and-identical → nothing (a batch row
+    * whose version lost the argmax changed nothing — emitting it would
+    * be a phantom change). The merge discipline guarantees at most one
+    * live row per key on each side, so `first()` per side is exact.
+    */
+  private def upsertCdcRows(snap: Snapshot, base: DataFrame,
+                            merged: DataFrame, batch: DataFrame,
+                            keyCols: Seq[String]): DataFrame = {
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val keys = batch.select(keyCols.map(q): _*).distinct()
+    val dataCols = snap.schema.fieldNames.toIndexedSeq
+    def side(df: DataFrame, t: String): DataFrame =
+      df.join(keys, keyCols, "left_semi").select(
+        struct(keyCols.map(q): _*).as("__k"),
+        struct(dataCols.map(q): _*).as("__r"),
+        lit(t).as("__t"))
+    val g = side(base, "d").unionByName(side(merged, "i"))
+      .groupBy(col("__k")).agg(
+        first(when(col("__t") === "d", col("__r")),
+          ignoreNulls = true).as("__dr"),
+        first(when(col("__t") === "i", col("__r")),
+          ignoreNulls = true).as("__ir"))
+      .filter(!(col("__dr") <=> col("__ir"))) // unchanged keys emit nothing
+    val evs = when(col("__dr").isNull,
+        array(struct(col("__ir").as("r"), lit("insert").as("t"))))
+      .when(col("__ir").isNull,
+        array(struct(col("__dr").as("r"), lit("delete").as("t"))))
+      .otherwise(array(
+        struct(col("__dr").as("r"), lit("update_preimage").as("t")),
+        struct(col("__ir").as("r"), lit("update_postimage").as("t"))))
+    g.select(explode(evs).as("e"))
+      .select(col("e.r.*"), col("e.t").as("_change_type"))
   }
 
   /** Add a CHECK constraint — a table-level data-quality invariant
@@ -6640,7 +6729,12 @@ object LogTable {
     k.startsWith(GenPropPrefix) || k == MvAutoRefreshProp ||
       k == "clone.source" || k.startsWith("colmap.") ||
       k.startsWith("pspec.") || k.startsWith(ColDefaultPrefix) ||
-      k.startsWith("protocol.") || k == IdentityNextProp ||
+      k.startsWith("protocol.") ||
+      // the whole identity.* namespace: declarations validate at
+      // create()/the SQL DDL (BIGINT, statsCols, non-zero increment) —
+      // a raw property write would skip every one of those checks
+      // (identity.inc = 0 alone would silently duplicate values)
+      k.startsWith("identity.") ||
       k == BranchBaseProp
 
   /** SET/UNSET table properties as one metadata-only commit — the

@@ -854,6 +854,15 @@ object LogTableSql {
     private val SyncIdentityP = Pattern.compile(
       s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+" +
         "SYNC\\s+IDENTITY\\s*$", F)
+    private val ConvertP = Pattern.compile(
+      s"^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Ref" +
+        "(?:\\s+STATS\\s+BY\\s*\\(([^)]+)\\))?\\s*$", F)
+    private val BranchP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+" +
+        "(CREATE|PUBLISH|DROP)\\s+BRANCH\\s+([A-Za-z0-9_-]+)\\s*$", F)
+    private val TagP = Pattern.compile(
+      s"^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(CREATE|DROP)\\s+TAG\\s+" +
+        "([A-Za-z0-9_-]+)(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*$", F)
     private val CreateMvP = Pattern.compile(
       s"^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref" +
         "(?:\\s+BUCKETS\\s+(\\d+))?\\s+AS\\s+(.+)$", F)
@@ -978,6 +987,20 @@ object LogTableSql {
       val si = SyncIdentityP.matcher(sqlText)
       if (si.matches())
         return refPath(si.group(1)).map(SyncIdentityCommand(_, si.group(2)))
+      val cv = ConvertP.matcher(sqlText)
+      if (cv.matches())
+        return createRefPath(cv.group(1)).map(ConvertCommand(_,
+          Option(cv.group(2)).toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty)))
+      val br = BranchP.matcher(sqlText)
+      if (br.matches())
+        return refPath(br.group(1)).map(
+          BranchCommand(_, br.group(2).toUpperCase, br.group(3)))
+      val tg = TagP.matcher(sqlText)
+      if (tg.matches())
+        return refPath(tg.group(1)).map(TagCommand(_,
+          tg.group(2).toUpperCase, tg.group(3),
+          Option(tg.group(4)).map(_.toLong)))
       val ctc = CreateTableColsP.matcher(sqlText)
       if (ctc.matches() && {
         // the dialect claims column-list CREATE only for backticked
@@ -1543,6 +1566,54 @@ object LogTableSql {
       Seq(Row(LogTable.create(session, path, empty, pcols,
         statsCols = stats, generatedColumns = gens,
         tableProperties = properties ++ idProps ++ defaultProps)))
+    }
+  }
+
+  /** `CONVERT TO GRAFT graft.`dir` [STATS BY (c, ...)]` — in-place
+    * adoption of an existing parquet directory ([[LogTable.convert]]).
+    */
+  private[sources] final case class ConvertCommand(path: String,
+      statsCols: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(LogTable.convert(session, path, statsCols = statsCols)))
+  }
+
+  /** `ALTER TABLE <t> CREATE|PUBLISH|DROP BRANCH <name>` — the
+    * write-audit-publish refs ([[LogTable.createBranch]] and friends).
+    * CREATE returns the branch path; PUBLISH the published version.
+    */
+  private[sources] final case class BranchCommand(path: String,
+      action: String, name: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "result", org.apache.spark.sql.types.StringType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = action match {
+      case "CREATE" =>
+        Seq(Row(LogTable.createBranch(session, path, name)))
+      case "PUBLISH" =>
+        Seq(Row(LogTable.publishBranch(session, path, name).toString))
+      case "DROP" =>
+        LogTable.dropBranch(session, path, name); Seq(Row("dropped"))
+    }
+  }
+
+  /** `ALTER TABLE <t> CREATE TAG <name> [AS OF VERSION n] | DROP TAG
+    * <name>` — immutable named versions ([[LogTable.tag]]).
+    */
+  private[sources] final case class TagCommand(path: String, action: String,
+      name: String, version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrsOf(StructType(Seq(org.apache.spark.sql.types.StructField(
+        "version", org.apache.spark.sql.types.LongType, nullable = false))))
+    override def run(session: SparkSession): Seq[Row] = action match {
+      case "CREATE" =>
+        Seq(Row(LogTable.tag(session, path, name, version)))
+      case "DROP" =>
+        val v = LogTable.tagVersion(session, path, name)
+        LogTable.dropTag(session, path, name); Seq(Row(v))
     }
   }
 

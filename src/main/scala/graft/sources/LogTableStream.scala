@@ -123,14 +123,18 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     * shared by the file feed and the change feed.
     */
   private def rawScan(v: Long, files: Seq[LogTable.LogFile],
-                      schema: StructType = null): DataFrame = {
+                      schema: StructType = null,
+                      pcols: Seq[String] = null): DataFrame = {
     val sch = Option(schema).getOrElse(pinnedPhysical)
     // pinned-schema snapshot shell — the TRUE partition columns matter:
     // mayMatch falls back to (pmin, pmax) for the leading partition
     // column, so a wrong name here would prune pushed filters on an
-    // unrelated column against the partition bounds
-    val snap = LogTable.Snapshot(v, sch.toDDL, partitionCols,
-      statsCols, files)
+    // unrelated column against the partition bounds. CDC-file shells
+    // pass pcols = Nil: their entries carry NO partition bounds (pmin =
+    // pmax = ""), and the fallback would read those empties as real
+    // bounds and wrongly prune a filtered change feed.
+    val snap = LogTable.Snapshot(v, sch.toDDL,
+      Option(pcols).getOrElse(partitionCols), statsCols, files)
     val index = new LogTableFileIndex(spark, path, snap)
     val relation = HadoopFsRelation(index, StructType(Nil), sch,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
@@ -171,21 +175,9 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
     */
   private def hiveFillPinned(raw: DataFrame): DataFrame =
     if (hiveCols.isEmpty) raw
-    else {
-      val withFp = raw.select(col("*"),
-        col("_metadata.file_path").as("__graft_fp"))
-      hiveCols.foldLeft(withFp) { (d, c) =>
-        pinnedPhysical.fields.find(_.name.equalsIgnoreCase(c)) match {
-          case Some(f) =>
-            d.withColumn(f.name, coalesce(
-              col("`" + f.name.replace("`", "``") + "`"),
-              url_decode(regexp_extract(col("__graft_fp"),
-                "/" + java.util.regex.Pattern.quote(f.name) +
-                  "=([^/]+)/", 1)).cast(f.dataType)))
-          case None => d
-        }
-      }.drop("__graft_fp")
-    }
+    else LogTable.hiveFillOn(pinnedPhysical, hiveCols,
+      raw.select(col("*"), col("_metadata.file_path").as("__graft_fp")),
+      col("__graft_fp")).drop("__graft_fp")
 
   /** One change-feed side at one version: the entries' LIVE rows (each
     * file under its OWN deletion vector — the static DV-pair set joins
@@ -217,7 +209,8 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
       StructField("_change_type", org.apache.spark.sql.types.StringType))
     val shells = files.map(f =>
       LogTable.LogFile(f.name, "", "", -1L, f.bytes))
-    toPinnedLogical(rawScan(v, shells, phys), extras = Seq("_change_type"))
+    toPinnedLogical(rawScan(v, shells, phys, pcols = Nil),
+        extras = Seq("_change_type"))
       .withColumn("_commit_version", lit(v))
   }
 

@@ -123,6 +123,42 @@ class BranchSpec extends SparkSpec {
     assert(main.filter(col("k") === 8L).select("v").as[String].head() == "m8")
   }
 
+  test("dropBranch protects files referenced by OLDER main versions: " +
+    "time travel across a publish survives the drop") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    val bp = LogTable.createBranch(spark, dir, "tt")
+    LogTable.append(spark, bp,
+      Seq((500L, "stage", 5L, "p0")).toDF("k", "v", "cents", "p")): Unit
+    val pv = LogTable.publishBranch(spark, dir, "tt")
+    // the published row's file lives in the branch dir; a later rewrite
+    // RETIRES it from the current snapshot
+    LogTable.deleteWhere(spark, dir, col("k") === 500L): Unit
+    assert(LogTable.read(spark, dir).count() == 30L)
+    LogTable.dropBranch(spark, dir, "tt")
+    // time travel to the published version must still read the row
+    assert(LogTable.read(spark, dir, asOf = Some(pv))
+      .filter(col("k") === 500L).count() == 1L,
+      "dropBranch must keep files older main versions still reference")
+  }
+
+  test("publishing a branch of a table that is ITSELF a clone keeps the " +
+    "table's own clone.source provenance") {
+    val root = tmp()
+    val src = root + "/src"
+    val main = root + "/main"
+    LogTable.create(spark, src, seed, Seq("p"), statsCols = Seq("k"))
+    LogTable.clone(spark, src, main): Unit
+    val provBefore = LogTable.snapshot(spark, main).properties("clone.source")
+    LogTable.createBranch(spark, main, "b"): Unit
+    LogTable.append(spark, LogTable.branchDir(main, "b"),
+      Seq((600L, "x", 6L, "p1")).toDF("k", "v", "cents", "p")): Unit
+    LogTable.publishBranch(spark, main, "b"): Unit
+    assert(LogTable.snapshot(spark, main).properties.get("clone.source")
+      .contains(provBefore),
+      "publish must restore main's own clone provenance")
+  }
+
   test("tags: immutable named versions resolve for reads; re-tagging " +
     "refuses; dropTag frees the name") {
     val dir = tmp() + "/t"
@@ -141,5 +177,31 @@ class BranchSpec extends SparkSpec {
     }
     LogTable.tag(spark, dir, "release-1", Some(2L)): Unit
     assert(LogTable.readTag(spark, dir, "release-1").count() == 20L)
+  }
+
+  test("SQL surface: CREATE/PUBLISH/DROP BRANCH and CREATE/DROP TAG") {
+    val dir = tmp() + "/t"
+    org.apache.spark.sql.GraftBridge.installFunctions(spark,
+      new graft.expr.GraftExtensions().apply)
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    val bp = spark.sql(s"ALTER TABLE graft.`$dir` CREATE BRANCH sqlwap")
+      .collect().head.getString(0)
+    assert(bp.endsWith("_branches/sqlwap"))
+    LogTable.append(spark, bp,
+      Seq((700L, "sql", 7L, "p2")).toDF("k", "v", "cents", "p")): Unit
+    val pv = spark.sql(s"ALTER TABLE graft.`$dir` PUBLISH BRANCH sqlwap")
+      .collect().head.getString(0).toLong
+    assert(pv == 2L)
+    assert(LogTable.read(spark, dir).filter(col("k") === 700L).count() == 1L)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP BRANCH sqlwap").collect(): Unit
+    val tv = spark.sql(
+      s"ALTER TABLE graft.`$dir` CREATE TAG rel AS OF VERSION 1")
+      .collect().head.getLong(0)
+    assert(tv == 1L)
+    assert(LogTable.readTag(spark, dir, "rel").count() == 30L)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP TAG rel").collect(): Unit
+    intercept[IllegalArgumentException] {
+      LogTable.tagVersion(spark, dir, "rel")
+    }
   }
 }

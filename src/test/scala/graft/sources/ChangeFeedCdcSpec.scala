@@ -96,6 +96,30 @@ class ChangeFeedCdcSpec extends SparkSpec {
     assert(LogTable.read(spark, dir).filter($"k" === 99L).count() == 1L)
   }
 
+  test("upsert (the latest-wins CDC merge) writes row-level CDC: " +
+    "updates pair, deletes and inserts attribute, stale versions and " +
+    "riders emit NOTHING") {
+    val dir = tmp() + "/t"
+    val base = (1L to 20L).map(i => (i, s"v$i", 5, s"p${i % 2}", "U"))
+      .toDF("k", "v", "ver", "p", "op")
+    LogTable.create(spark, dir, base, Seq("p"), statsCols = Seq("k"),
+      tableProperties = Map(LogTable.CdcProp -> "true"))
+    val batch = Seq(
+      (2L, "u2", 9, "p0", "U"),    // update (newer version)
+      (3L, "x", 9, "p1", "D"),     // delete
+      (50L, "n", 9, "p0", "U"),    // insert
+      (5L, "stale", 1, "p1", "U")  // LOSES the argmax → no change
+    ).toDF("k", "v", "ver", "p", "op")
+    val v = LogTable.upsert(spark, dir, batch, Seq("k"), Seq("ver"), "op")
+    assert(LogTable.commitAt(spark, dir, v).cdc.nonEmpty)
+    val got = changes(dir, v - 1, v)
+    assert(got == Seq(
+      (2L, "u2", "update_postimage", v),
+      (2L, "v2", "update_preimage", v),
+      (3L, "v3", "delete", v),
+      (50L, "n", "insert", v)), s"got $got")
+  }
+
   test("per-commit fallback: appends serve their adds as inserts; " +
     "commits predating cdc.enabled keep the file-level shape") {
     val dir = tmp() + "/t"
@@ -175,6 +199,31 @@ class ChangeFeedCdcSpec extends SparkSpec {
     val live = LogTable.read(spark, dir).select("k", "v")
       .as[(Long, String)].collect().toSeq.sorted
     assert(net == live, s"net $net != live $live")
+  }
+
+  test("a partition-column filter pushed into the streaming change feed " +
+    "never prunes CDC files (their shells carry no partition bounds)") {
+    val dir = tmp() + "/t"
+    mk(dir)
+    LogTable.updateWhere(spark, dir, col("k") === 11L,
+      Map("v" -> lit("flt"))): Unit // k=11 lives in p1
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val q = spark.readStream.format(classOf[LogTableSourceProvider].getName)
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load()
+      .filter(col("p") === "p1") // pushed into the FileIndex
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => buf.add(r): Unit)
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(buf).asScala.toSeq
+      .filter(_.getAs[Long]("_commit_version") == 2L)
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type")))
+      .sorted
+    assert(rows == Seq((11L, "update_postimage"), (11L, "update_preimage")),
+      s"the filtered feed must still serve the CDC rows, got $rows")
   }
 
   test("the graft_changes TVF serves the row-level per-commit feed on a " +

@@ -116,6 +116,26 @@ class ConvertSpec extends SparkSpec {
       LogTable.convert(spark, dir2)
     }
     assert(e2.getMessage.contains("disagree"), e2.getMessage)
+    // same NAMES, different TYPES (int32 next to int64) also refuses —
+    // the probe compares shapes, not just field-name sets
+    val dir2b = tmp() + "/t2b"
+    Seq((1, "a")).toDF("k", "v").write.parquet(dir2b + "/part1") // k INT
+    Seq((2L, "b")).toDF("k", "v").write.parquet(dir2b + "/part2") // k BIGINT
+    val fs2 = new org.apache.hadoop.fs.Path(dir2b)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("part1", "part2").zipWithIndex.foreach { case (d, i) =>
+      fs2.listStatus(new org.apache.hadoop.fs.Path(dir2b, d))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (st, j) =>
+          fs2.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dir2b, s"g$i$j.parquet")): Unit
+        }
+      fs2.delete(new org.apache.hadoop.fs.Path(dir2b, d), true): Unit
+    }
+    val e2b = intercept[IllegalArgumentException] {
+      LogTable.convert(spark, dir2b)
+    }
+    assert(e2b.getMessage.contains("disagree"), e2b.getMessage)
     // non-hive nesting refuses
     val dir3 = tmp() + "/t3"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir3 + "/sub")
@@ -133,6 +153,18 @@ class ConvertSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("__HIVE_DEFAULT_PARTITION__"),
       e4.getMessage)
+  }
+
+  test("SQL surface: CONVERT TO GRAFT adopts a directory") {
+    val dir = tmp() + "/t"
+    Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
+    org.apache.spark.sql.GraftBridge.installFunctions(spark,
+      new graft.expr.GraftExtensions().apply)
+    val v = spark.sql(s"CONVERT TO GRAFT graft.`$dir` STATS BY (k)")
+      .collect().head.getLong(0)
+    assert(v == 1L)
+    assert(LogTable.read(spark, dir).count() == 60L)
+    assert(LogTable.snapshot(spark, dir).statsCols == Seq("k"))
   }
 
   test("the streaming change feed reads a converted hive table with " +

@@ -65,9 +65,17 @@ class IdentitySpec extends SparkSpec {
     assert(LogTable.read(spark, t).filter(col("v") === "i")
       .select("id").as[Long].head() > 777777L,
       "merge-supplied values must push the high-water too")
-    // identity.next is engine-managed: raw property DDL refuses
+    // the WHOLE identity.* namespace is engine-managed: raw property
+    // DDL refuses (a raw identity.inc = 0 would skip create()'s
+    // validation and silently duplicate generated values)
     intercept[IllegalArgumentException] {
       LogTable.setProperties(spark, t, Map("identity.next" -> "1")): Unit
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.setProperties(spark, t, Map("identity.inc" -> "0")): Unit
+    }
+    intercept[IllegalArgumentException] {
+      LogTable.setProperties(spark, t, Map("identity.col" -> "v")): Unit
     }
     // declarations validate: unknown column / untracked / non-integral
     intercept[IllegalArgumentException] {
