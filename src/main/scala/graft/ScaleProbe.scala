@@ -663,6 +663,31 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // WRITE-AUDIT-PUBLISH in isolation: stage a branch off the cached
+    // tier table, append a CONSTANT 10-row batch, publish, drop. The
+    // whole cycle is metadata + the tiny batch — its wall time must be
+    // DECOUPLED from the table's data volume (10x rows, same cost), or
+    // branching would be priced like a copy instead of a ref.
+    val wapSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    def wapPublish(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.LogTable
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/logtable_wap/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        LogTable.create(s, t, orderShape(s, d), "o_year"): Unit
+      }
+      val name = s"probe${wapSeq.incrementAndGet()}"
+      val bp = LogTable.createBranch(s, t, name)
+      LogTable.append(s, bp,
+        orderShape(s, d).limit(10)
+          .withColumn("k", col("k") + lit(900000000L))): Unit
+      val pv = LogTable.publishBranch(s, t, name)
+      LogTable.dropBranch(s, t, name)
+      import s.implicits._
+      Seq(pv).toDF("published_version")
+    }
+
     // ROW-LEVEL CDC vs FILE-LEVEL feed, head-to-head on the claim that
     // matters at 100 TB: a CONSTANT-size update (10 fixed keys, present
     // at every tier) against a table whose files GROW with the tier.
@@ -861,6 +886,7 @@ object ScaleProbe {
         "logtable_snapshot_read" -> (snapshotRead _),
         "cdc_feed:rowlevel" -> (cdcFeed("rowlevel") _),
         "cdc_feed:filelevel" -> (cdcFeed("filelevel") _),
+        "wap_publish:cycle" -> (wapPublish _),
         "merge_only:partitioned" -> (mergeOnly("partitioned") _),
         "merge_only:logtable" -> (mergeOnly("logtable") _),
         "dv_delete:rewrite" -> (dvDelete("rewrite") _),

@@ -3124,22 +3124,24 @@ object LogTable {
     // protect files referenced by ANY still-replayable main version —
     // time travel and tags inside the retained log window must survive
     // the drop (the current snapshot alone would miss a published file
-    // that a later rewrite retired); O(commits) small JSON parses, the
-    // replay cost class. Files referenced only by EXPIRED commits are
-    // already gone from the addressable history (vacuum semantics).
-    val referenced = fs.listStatus(logDir(path)).iterator
-      .filter(st => st.isFile && (CommitName.matches(st.getPath.getName) ||
-        CheckpointName.matches(st.getPath.getName) ||
-        CkptMetaName.matches(st.getPath.getName)))
-      .flatMap(st =>
-        scala.util.Try(parseCommitFile(fs, st.getPath).adds).getOrElse(Nil))
+    // that a later rewrite retired); O(commits) small parses, the
+    // replay cost class. Parquet multi-part checkpoints go through
+    // parseCheckpoint (their meta JSON carries EMPTY adds — the file
+    // list lives in the parts), and a parse failure propagates LOUD:
+    // swallowing it would read as "references nothing" and delete a
+    // file a replayable version still needs. Files referenced only by
+    // EXPIRED commits are gone from addressable history anyway.
+    val listed = fs.listStatus(logDir(path)).toSeq.filter(_.isFile)
+    val fromCommits = listed.iterator
+      .filter(st => CommitName.matches(st.getPath.getName))
+      .flatMap(st => parseCommitFile(fs, st.getPath).adds)
+    val fromCheckpoints = checkpointRefs(listed).iterator
+      .flatMap(ref => parseCheckpoint(spark, fs, ref).adds)
+    val referenced = (fromCommits ++ fromCheckpoints ++
+      snapshot(spark, path).files.iterator)
       .flatMap(f => f.name +: f.dv.map(_.name).toList)
       .filter(_.startsWith(bpPrefix))
-      .map(_.drop(bpPrefix.length)).toSet ++
-      snapshot(spark, path).files
-        .flatMap(f => f.name +: f.dv.map(_.name).toList)
-        .filter(_.startsWith(bpPrefix))
-        .map(_.drop(bpPrefix.length))
+      .map(_.drop(bpPrefix.length)).toSet
     fs.delete(logDir(bp), true): Unit
     if (referenced.isEmpty) fs.delete(new Path(bp), true): Unit
     else fs.listStatus(new Path(bp)).foreach { st =>
@@ -4278,7 +4280,15 @@ object LogTable {
       val kr = batchKeyRanges(spark, evolved, changes, keyCols)
       val victims = victimFiles(snap, touched)
         .filterNot(f => kr.nonEmpty && keyRangeDisjoint(snap, f, kr, zone))
-      val base = readFiles(spark, path, evolved, victims)
+      // CDC-enabled merges read `base` twice (the merge itself + the
+      // pre-image side of the CDC pivot) — persist so the victim files
+      // are scanned ONCE, not doubled
+      val cdcOn = cdcEnabled(snap.properties)
+      val base0 = readFiles(spark, path, evolved, victims)
+      val base =
+        if (cdcOn)
+          base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else base0
       // the batch aligned to the (possibly widened) table schema: a
       // missing nullable column fills with typed NULL; a NARROWER batch
       // column upcasts losslessly; any other TYPE clash is not evolution
@@ -4316,12 +4326,15 @@ object LogTable {
           // aggregate — a no-op batch row (its version lost the argmax)
           // emits nothing, exactly like readNetChanges' rider cancel
           val c =
-            if (!cdcEnabled(snap.properties)) Nil
+            if (!cdcOn) Nil
             else writeCdcFiles(spark, path,
               upsertCdcRows(evolved, base, merged, aligned, keyCols),
               evolved)
           (a, c)
-        } finally { merged.unpersist(): Unit }
+        } finally {
+          merged.unpersist(): Unit
+          if (cdcOn) base.unpersist(): Unit
+        }
       try {
         commit(spark, path, snap.version + 1, evolved.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -4915,6 +4928,29 @@ object LogTable {
           (st.isDirectory && st.getPath.getName.startsWith("_tmp_"))
       }
     }.map(_.getPath).toSeq
+    // DEAD-BRANCH data files: a branch whose log is gone (dropped, or a
+    // crashed stage) leaves files only main can still reference — by
+    // ABSOLUTE URI. Reclaim the unreferenced ones past the cutoff;
+    // LIVE branches are untouched (their own snapshots own their files,
+    // and the clone marker machinery protects what they read of main).
+    val branchesRoot = new Path(path, "_branches")
+    val deadBranchFiles =
+      if (clonePending || !fs.exists(branchesRoot)) Nil
+      else {
+        lazy val liveAbs = snapshot(spark, path).files
+          .flatMap(f => f.name +: f.dv.map(_.name).toList)
+          .map(n => fs.makeQualified(dataPath(path, n)).toUri.toString)
+          .toSet
+        fs.listStatus(branchesRoot).toSeq.filter(_.isDirectory)
+          .flatMap { bd =>
+            if (fs.exists(new Path(bd.getPath, "_graft_log"))) Nil
+            else fs.listStatus(bd.getPath).toSeq.filter { st =>
+              st.isFile && st.getModificationTime < cutoff &&
+                !liveAbs.contains(
+                  fs.makeQualified(st.getPath).toUri.toString)
+            }.map(_.getPath)
+          }
+      }
     // losing-checkpointer parts: the meta exists but advertises the
     // OTHER writer's part names — memoized per version (one small JSON
     // parse each, not per part)
@@ -4969,7 +5005,7 @@ object LogTable {
             !referenced.contains(CdcDir + "/" + st.getPath.getName))
           .map(_.getPath).toSeq
       }
-    (deadData ++ deadCdc, deadLog)
+    (deadData ++ deadBranchFiles ++ deadCdc, deadLog)
   }
 
   // ------------------------------------------------------- typed pruning
