@@ -1346,7 +1346,16 @@ object SourceQueries {
       val atV1 = LogTable.read(s, raw, asOf = Some(1L))
         .select(col("k"), col("cents"), col("o_year"), col("status"))
       val ttOk = atV1.exceptAll(rawRead).limit(1).count() == 0L
-      val convertOk = adoptOk && eqOk && ttOk
+      // MIGRATE the hive debt (one dataChange=false commit: values bake
+      // into the data, every live file flat) — deletion vectors unlock
+      LogTable.migrateConverted(s, raw): Unit
+      val postMig = LogTable.snapshot(s, raw)
+      val migOk =
+        !postMig.properties.contains(LogTable.ConvertHiveProp) &&
+        postMig.files.forall(f => !f.name.contains("/"))
+      LogTable.deleteWhere(s, raw, col("k") === 42L,
+        deletionVectors = true): Unit
+      val convertOk = adoptOk && eqOk && ttOk && migOk
       LogTable.read(s, raw).groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .withColumn("convert_ok", lit(convertOk))
@@ -2621,7 +2630,7 @@ object SourceQueries {
         |  SELECT o_orderkey AS k, o_orderstatus AS status,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
-        |kept AS (SELECT * FROM base WHERE k % 97 <> 0),
+        |kept AS (SELECT * FROM base WHERE k % 97 <> 0 AND k <> 42),
         |final AS (SELECT * FROM kept
         |          UNION ALL SELECT 9000001 AS k, 'X' AS status, 123 AS cents)
         |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,

@@ -2694,8 +2694,9 @@ object LogTable {
       val snap = snapshot(spark, path)
       require(convertHiveColsOf(snap.properties).isEmpty,
         s"log table $path: deletion vectors are unsupported while " +
-          "convert.hive directory-valued partitions exist — use " +
-          "rewrite-mode DML (deletionVectors = false)")
+          "convert.hive directory-valued partitions exist — run " +
+          "LogTable.migrateConverted(path) once to retire the debt, or " +
+          "use rewrite-mode DML (deletionVectors = false)")
       set.foreach(s => validateAssignments(path, snap, s))
       def applySet(s: Map[String, Column])(rel: DataFrame): DataFrame =
         rel.select(snap.schema.fields.toIndexedSeq
@@ -3194,6 +3195,56 @@ object LogTable {
   def dropTag(spark: SparkSession, path: String, name: String): Unit =
     fsOf(spark, path).delete(tagPath(path, name), false): Unit
 
+  /** Retire a CONVERTed table's hive-layout debt: rewrite exactly the
+    * files still living under `col=value` directories (their rows pass
+    * through the fill, so partition values land IN the data), clear
+    * `convert.hive`, and unlock the features the debt blocked (deletion
+    * vectors, the bare provider relation). One commit; rows only MOVE
+    * (dataChange = false — change feeds stay silent, exactly like
+    * compaction). A table already clean just drops the property.
+    * Returns the committed version, or -1 when there was no debt.
+    */
+  def migrateConverted(spark: SparkSession, path: String,
+                       maxRetries: Int = 3): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      if (convertHiveColsOf(snap.properties).isEmpty) return -1L
+      // converted files are the ones named THROUGH directories —
+      // post-convert writes land flat at the root (clone-absolute
+      // entries stay where they are; their values are in the data)
+      def isHive(n: String): Boolean = {
+        val p = new Path(n)
+        n.contains("/") && !p.isAbsolute && p.toUri.getScheme == null
+      }
+      val victims = snap.files.filter(f => isHive(f.name))
+      val adds =
+        if (victims.isEmpty) Nil
+        else writeDataFiles(spark, path,
+          readFiles(spark, path, snap, victims), snap.partitionCols,
+          snap.statsCols, bloomCols = snap.bloomCols,
+          colMap = snap.colMap, nestMaps = snap.nestMaps,
+          ndvCols = ndvColsOf(snap.properties),
+          histCols = histColsOf(snap.properties))
+      try {
+        commit(spark, path, snap.version + 1, snap.schemaDdl,
+          snap.partitionCols, snap.statsCols, adds,
+          victims.map(_.name), dataChange = false,
+          bloomCols = snap.bloomCols, operation = "MIGRATE_CONVERT",
+          constraints = snap.constraints,
+          properties = snap.properties - ConvertHiveProp)
+        return snap.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          adds.foreach(a => fs.delete(new Path(path, a.name), false): Unit)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** How long a clone marker with no materialized destination is
     * treated as an IN-FLIGHT clone (vacuum skips data reclaim) before
     * being reaped as the debris of a failed clone. Far above any real
@@ -3565,7 +3616,8 @@ object LogTable {
     require(convertHiveColsOf(snap.properties).isEmpty,
       s"log table $path: the bare provider relation cannot fill " +
         "directory-valued (convert.hive) partition columns — read " +
-        "through LogTable.table / LogTable.read / graft.`path`")
+        "through LogTable.table / LogTable.read / graft.`path`, or run " +
+        "LogTable.migrateConverted(path) once to retire the debt")
     require(snap.files.forall(_.dv.isEmpty),
       s"log table $path: snapshot ${snap.version} carries deletion " +
         "vectors, which a bare relation cannot apply — read via " +

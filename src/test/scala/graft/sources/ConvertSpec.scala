@@ -155,6 +155,38 @@ class ConvertSpec extends SparkSpec {
       e4.getMessage)
   }
 
+  test("migrateConverted retires the hive debt in one dataChange=false " +
+    "commit: values bake into the data, deletion vectors unlock, the " +
+    "change feed stays silent, time travel to pre-migration works") {
+    val dir = tmp() + "/t"
+    Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
+    LogTable.convert(spark, dir, statsCols = Seq("k")): Unit
+    LogTable.append(spark, dir,
+      Seq((300L, "post", 3L, "p1")).toDF("k", "v", "cents", "p")): Unit
+    val preMigV = LogTable.snapshot(spark, dir).version
+    val mv = LogTable.migrateConverted(spark, dir)
+    assert(mv == preMigV + 1)
+    val snap = LogTable.snapshot(spark, dir)
+    assert(!snap.properties.contains(LogTable.ConvertHiveProp))
+    assert(snap.files.forall(f => !f.name.contains("/")),
+      "every live file must now sit flat at the root")
+    // content identical, values baked into the data
+    assert(LogTable.read(spark, dir).count() == 61L)
+    assert(LogTable.read(spark, dir).filter(col("p").isNull).count() == 0L)
+    // the migration moved rows without changing them — feed silent
+    assert(LogTable.readCommitChanges(spark, dir, preMigV, mv)
+      .count() == 0L)
+    // DVs now work
+    LogTable.deleteWhere(spark, dir, col("k") === 9L,
+      deletionVectors = true): Unit
+    assert(LogTable.read(spark, dir).count() == 60L)
+    // time travel behind the migration still fills from directories
+    assert(LogTable.read(spark, dir, asOf = Some(preMigV))
+      .filter(col("p").isNull).count() == 0L)
+    // a second migrate is a no-op
+    assert(LogTable.migrateConverted(spark, dir) == -1L)
+  }
+
   test("SQL surface: CONVERT TO GRAFT adopts a directory") {
     val dir = tmp() + "/t"
     Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
