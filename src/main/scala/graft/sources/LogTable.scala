@@ -3143,11 +3143,29 @@ object LogTable {
       .flatMap(f => f.name +: f.dv.map(_.name).toList)
       .filter(_.startsWith(bpPrefix))
       .map(_.drop(bpPrefix.length)).toSet
+    // other LIVE clones/branches of main may reference this branch's
+    // published files through main's history — their registered read
+    // sets (absolute refs, BASE names) protect too. Resolved BEFORE the
+    // branch's own log dies (afterwards its own marker would read as
+    // an in-flight clone and block everything); the marker is then
+    // released eagerly, like renameTable does. A genuinely PENDING
+    // other clone has an unobservable read set — keep every file for
+    // its grace window (the next vacuum reclaims).
+    val (cloneNames, clonePending) = cloneProtected(spark, path, fs)
     fs.delete(logDir(bp), true): Unit
-    if (referenced.isEmpty) fs.delete(new Path(bp), true): Unit
-    else fs.listStatus(new Path(bp)).foreach { st =>
-      if (st.isFile && !referenced.contains(st.getPath.getName))
-        fs.delete(st.getPath, false): Unit
+    releaseCloneMarker(spark, path,
+      fs.makeQualified(new Path(bp)).toUri.toString)
+    if (referenced.isEmpty && cloneNames.isEmpty && !clonePending)
+      fs.delete(new Path(bp), true): Unit
+    else {
+      fs.listStatus(new Path(bp)).foreach { st =>
+        if (st.isFile && !clonePending &&
+            !referenced.contains(st.getPath.getName) &&
+            !cloneNames.contains(st.getPath.getName))
+          fs.delete(st.getPath, false): Unit
+      }
+      if (fs.listStatus(new Path(bp)).isEmpty)
+        fs.delete(new Path(bp), true): Unit
     }
   }
 
@@ -4332,15 +4350,7 @@ object LogTable {
       val kr = batchKeyRanges(spark, evolved, changes, keyCols)
       val victims = victimFiles(snap, touched)
         .filterNot(f => kr.nonEmpty && keyRangeDisjoint(snap, f, kr, zone))
-      // CDC-enabled merges read `base` twice (the merge itself + the
-      // pre-image side of the CDC pivot) — persist so the victim files
-      // are scanned ONCE, not doubled
       val cdcOn = cdcEnabled(snap.properties)
-      val base0 = readFiles(spark, path, evolved, victims)
-      val base =
-        if (cdcOn)
-          base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else base0
       // the batch aligned to the (possibly widened) table schema: a
       // missing nullable column fills with typed NULL; a NARROWER batch
       // column upcasts losslessly; any other TYPE clash is not evolution
@@ -4360,6 +4370,16 @@ object LogTable {
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
+      // CDC-enabled merges read `base` twice (the merge itself + the
+      // pre-image side of the CDC pivot) — persist so the victim files
+      // are scanned ONCE, not doubled. Persisted LAST before the
+      // try/finally that unpersists, so a refusal thrown while building
+      // `aligned` can never leak the cache entry.
+      val base0 = readFiles(spark, path, evolved, victims)
+      val base =
+        if (cdcOn)
+          base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else base0
       // persisted across the range-sampling pass and the shuffled write,
       // so the merge aggregation runs ONCE (bounded by the touched
       // partitions + batch — the rows being rewritten anyway)
@@ -4981,10 +5001,12 @@ object LogTable {
       }
     }.map(_.getPath).toSeq
     // DEAD-BRANCH data files: a branch whose log is gone (dropped, or a
-    // crashed stage) leaves files only main can still reference — by
-    // ABSOLUTE URI. Reclaim the unreferenced ones past the cutoff;
-    // LIVE branches are untouched (their own snapshots own their files,
-    // and the clone marker machinery protects what they read of main).
+    // crashed stage) leaves files only main — or a LIVE clone/branch of
+    // main — can still reference. Reclaim the unreferenced ones past
+    // the cutoff; live branches are untouched (their own snapshots own
+    // their files), and `protectedNames` (the registered clones' read
+    // sets, BASE names) guards what other live clones still read —
+    // base-name matching is conservative, never reclaims wrongly.
     val branchesRoot = new Path(path, "_branches")
     val deadBranchFiles =
       if (clonePending || !fs.exists(branchesRoot)) Nil
@@ -4998,6 +5020,7 @@ object LogTable {
             if (fs.exists(new Path(bd.getPath, "_graft_log"))) Nil
             else fs.listStatus(bd.getPath).toSeq.filter { st =>
               st.isFile && st.getModificationTime < cutoff &&
+                !protectedNames.contains(st.getPath.getName) &&
                 !liveAbs.contains(
                   fs.makeQualified(st.getPath).toUri.toString)
             }.map(_.getPath)
