@@ -3099,7 +3099,7 @@ object LogTable {
     val adds = translated.filterNot(f => mIds.contains(ident(f)))
     val removes = mSnap.files.filterNot(f => tIds.contains(ident(f)))
       .map(_.name)
-    commit(spark, path, mSnap.version + 1, bSnap.schemaDdl,
+    try commit(spark, path, mSnap.version + 1, bSnap.schemaDdl,
       bSnap.partitionCols, bSnap.statsCols, adds, removes,
       bloomCols = bSnap.bloomCols, operation = "PUBLISH_BRANCH",
       constraints = bSnap.constraints,
@@ -3108,6 +3108,16 @@ object LogTable {
       // is itself a clone (renameTable's marker repointing reads it)
       properties = bSnap.properties - BranchBaseProp - "clone.source" ++
         mSnap.properties.get("clone.source").map("clone.source" -> _))
+    catch {
+      // a writer that beat the publish IS a non-fast-forward — surface
+      // it as the same refusal the version check gives, not a raw
+      // commit conflict (the race and the stale stage are one case)
+      case e: CommitConflictException =>
+        throw new IllegalArgumentException(
+          s"log table $path: cannot fast-forward branch `$name` — a " +
+            s"writer committed v${mSnap.version + 1} first; re-stage " +
+            "on the new head and re-apply the work", e)
+    }
     mSnap.version + 1
   }
 

@@ -202,6 +202,34 @@ class BranchSpec extends SparkSpec {
     assert(LogTable.readTag(spark, dir, "release-1").count() == 20L)
   }
 
+  test("two branches racing to publish off the same base: exactly one " +
+    "wins; the loser gets the non-fast-forward refusal, never a torn " +
+    "state") {
+    val dir = tmp() + "/t"
+    LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
+    Seq("r1", "r2").foreach { n =>
+      LogTable.createBranch(spark, dir, n): Unit
+      LogTable.append(spark, LogTable.branchDir(dir, n),
+        Seq((1000L + n.last.toLong, n, 1L, "p0"))
+          .toDF("k", "v", "cents", "p")): Unit
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results = try {
+      Seq("r1", "r2").map { n =>
+        pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+          override def call(): Either[String, Long] =
+            try Right(LogTable.publishBranch(spark, dir, n))
+            catch { case e: IllegalArgumentException => Left(e.getMessage) }
+        })
+      }.map(_.get())
+    } finally pool.shutdown()
+    assert(results.count(_.isRight) == 1, s"exactly one winner: $results")
+    val Left(msg) = results.find(_.isLeft).get: @unchecked
+    assert(msg.contains("fast-forward"), msg)
+    // main carries exactly the winner's row
+    assert(LogTable.read(spark, dir).filter(col("k") >= 1000L).count() == 1L)
+  }
+
   test("vacuum reclaims a dead branch's unreferenced files but keeps " +
     "the ones main still references absolutely") {
     val dir = tmp() + "/t"
