@@ -663,6 +663,33 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }
 
+    // CONVERTED-TABLE read tax, and what migration buys back: the same
+    // order rows (a) adopted in place from a hive layout — reads fill
+    // partition values with a per-row regexp over the file path, and
+    // the layout's many small files tax the scan; (b) adopted then
+    // MIGRATED (migrateConverted bakes values + re-lays files); (c)
+    // written natively. The migrated curve must rejoin the native one —
+    // that is the migration's whole claim.
+    def convertRead(mode: String)(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import graft.sources.{LogTable, Sources}
+      val key = new java.io.File(d).getName
+      val t = new java.io.File(
+        s"target/scaleprobe/mergecache/convert_$mode/$key").getAbsolutePath
+      freshCache(s, t, f"_graft_log/${1L}%020d.json") {
+        val base = orderShape(s, d)
+        if (mode == "native")
+          LogTable.create(s, t, base, Seq("o_year"),
+            statsCols = Seq("k")): Unit
+        else {
+          Sources.writeParquet(base, t, partitionBy = Seq("o_year"))
+          LogTable.convert(s, t, statsCols = Seq("k")): Unit
+          if (mode == "migrated") LogTable.migrateConverted(s, t): Unit
+        }
+      }
+      LogTable.read(s, t).groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+
     // WRITE-AUDIT-PUBLISH in isolation: stage a branch off the cached
     // tier table, append a CONSTANT 10-row batch, publish, drop. The
     // whole cycle is metadata + the tiny batch — its wall time must be
@@ -887,6 +914,9 @@ object ScaleProbe {
         "cdc_feed:rowlevel" -> (cdcFeed("rowlevel") _),
         "cdc_feed:filelevel" -> (cdcFeed("filelevel") _),
         "wap_publish:cycle" -> (wapPublish _),
+        "convert_read:hive" -> (convertRead("hive") _),
+        "convert_read:migrated" -> (convertRead("migrated") _),
+        "convert_read:native" -> (convertRead("native") _),
         "merge_only:partitioned" -> (mergeOnly("partitioned") _),
         "merge_only:logtable" -> (mergeOnly("logtable") _),
         "dv_delete:rewrite" -> (dvDelete("rewrite") _),
