@@ -18,8 +18,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // Fresh warehouse root per bench run: rounds 17→18 showed untouched
+    // shuffle-heavy gates drifting 1.2-1.6× while warehouse/index scratch
+    // from prior rounds accumulated to ~1.5 GB next to them. Benchmarks
+    // must not inherit another round's on-disk state.
+    val warehouse = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAREHOUSE",
+      "/root/repo/target/bench-warehouse")
+    deleteRecursively(new java.io.File(warehouse))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -88,15 +96,26 @@ object Bench {
     // number = 1 + the latest driver-graded round on disk. Only a CLEAN
     // FULL suite at exactly the driver's sf0.1 qualifies — subset runs,
     // other scale factors (exact basename, not substring), and runs with
-    // failures never overwrite the official record.
-    if (only.isEmpty && errors.isEmpty &&
+    // failures never overwrite the official record. Two hard-won rules:
+    // an explicit SPARK_GRAFT_BENCH_OUT is the caller naming the ONLY
+    // destination (the auto-write once parked a round-18 record under
+    // BENCH_FULL_r19.json because grading had already bumped the counter),
+    // and an existing tracked record is NEVER overwritten — extra clean
+    // runs land beside it with a unique suffix, so every committed record
+    // of a round survives for min-of-N accounting (tools/benchcmp.py).
+    if (only.isEmpty && errors.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty &&
         new java.io.File(sfDir).getName == "sf0.1") {
       val graded = Option(new java.io.File("/root/repo").list()).toSeq.flatten
         .flatMap { f =>
           "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(f).map(_.group(1).toInt)
         }
       val round = (graded :+ 0).max + 1
-      val tracked = f"/root/repo/BENCH_FULL_r$round%02d.json"
+      val base = f"/root/repo/BENCH_FULL_r$round%02d"
+      val tracked = Iterator
+        .single(s"$base.json")
+        .concat(Iterator.from(2).map(i => s"${base}_run$i.json"))
+        .find(p => !new java.io.File(p).exists())
+        .get
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(tracked), line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $tracked: ${e.getMessage}")
@@ -104,5 +123,10 @@ object Bench {
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }
