@@ -209,9 +209,9 @@ object LogTable {
     def nestMappedBelow(physPath: String): Boolean =
       nestMappedBelowIn(nestMaps, physPath)
     /** The schema as the files store it — field names mapped physical,
-      * recursively through struct levels and through arrays of structs
-      * (the `element` path segment; maps stay opaque, enforced at
-      * evolution time).
+      * recursively through struct levels, through arrays of structs
+      * (the `element` path segment), and through maps of structs (the
+      * `value` path segment; keys are opaque scalars and never remap).
       */
     lazy val physicalSchema: StructType =
       if (colMap.isEmpty && nestMaps.isEmpty) schema
@@ -664,6 +664,14 @@ object LogTable {
         when(c.isNotNull, org.apache.spark.sql.functions.transform(c,
           x => colToPhysical(x, at.elementType,
             physPath + ".element", nestMaps)))
+      // MAP OF STRUCTS: the mapping crosses the value layer as the
+      // `value` segment — rebuild each value with transform_values();
+      // keys are opaque scalars and never remap
+      case mt: MapType if mt.valueType.isInstanceOf[StructType] &&
+          nestMappedBelowIn(nestMaps, physPath + ".value") =>
+        when(c.isNotNull, org.apache.spark.sql.functions.transform_values(c,
+          (_, v) => colToPhysical(v, mt.valueType,
+            physPath + ".value", nestMaps)))
       case _ => c
     }
 
@@ -682,6 +690,11 @@ object LogTable {
         when(c.isNotNull, org.apache.spark.sql.functions.transform(c,
           x => colToLogical(x, at.elementType,
             physPath + ".element", nestMaps)))
+      case mt: MapType if mt.valueType.isInstanceOf[StructType] &&
+          nestMappedBelowIn(nestMaps, physPath + ".value") =>
+        when(c.isNotNull, org.apache.spark.sql.functions.transform_values(c,
+          (_, v) => colToLogical(v, mt.valueType,
+            physPath + ".value", nestMaps)))
       case _ => c
     }
 
@@ -709,6 +722,11 @@ object LogTable {
             at.copy(elementType = conv(
               at.elementType.asInstanceOf[StructType],
               Some(childPath + ".element")))
+          case mt: MapType if mt.valueType.isInstanceOf[StructType] &&
+              nestMappedBelowIn(nestMaps, childPath + ".value") =>
+            mt.copy(valueType = conv(
+              mt.valueType.asInstanceOf[StructType],
+              Some(childPath + ".value")))
           case other => other
         }
         f.copy(name = pn, dataType = dt)
@@ -1218,10 +1236,16 @@ object LogTable {
       schema.fields.find(_.name.equalsIgnoreCase(c)) match {
         case Some(f) =>
           val q = "`" + f.name.replace("`", "``") + "`"
+          // regexp_extract renders a NO-MATCH as '' (not NULL): a flat
+          // post-convert file whose row holds NULL in a STRING hive
+          // column must stay NULL, not become empty string — nullif
+          // restores the miss. Safe: hive layouts never emit `p=` (NULL
+          // and '' both render __HIVE_DEFAULT_PARTITION__), so '' here
+          // can only ever mean "no directory segment".
           d.withColumn(f.name, coalesce(col(q),
-            url_decode(regexp_extract(fp,
-              "/" + java.util.regex.Pattern.quote(f.name) + "=([^/]+)/", 1))
-              .cast(f.dataType)))
+            nullif(nullif(url_decode(regexp_extract(fp,
+              "/" + java.util.regex.Pattern.quote(f.name) + "=([^/]+)/", 1)),
+              lit("")), lit("__HIVE_DEFAULT_PARTITION__")).cast(f.dataType)))
         case None => d
       }
     }
@@ -1252,10 +1276,11 @@ object LogTable {
     * rewrites progressively bake hive-directory partition values into
     * the data (reads coalesce, so mixed generations are exact).
     * Refusals, all loud: an existing log; files whose schemas DISAGREE
-    * (a union-vs-first-footer probe); inconsistent partition layouts;
-    * `__HIVE_DEFAULT_PARTITION__` (the engine's partition values are
-    * non-null); deletion vectors stay refused while `convert.hive`
-    * debt exists (their row-index helpers and the hive fill need the
+    * (a union-vs-first-footer probe); inconsistent partition layouts.
+    * `__HIVE_DEFAULT_PARTITION__` directories adopt as NULL partition
+    * values (all-null stats, full null count — exactly a natively
+    * written NULL-partition file); deletion vectors stay refused while
+    * `convert.hive` debt exists (their row-index helpers and the hive fill need the
     * same one-shot metadata projection — rewrite-mode DML covers).
     */
   def convert(spark: SparkSession, path: String,
@@ -1289,10 +1314,10 @@ object LogTable {
           s"convert: $path: directory `$seg` is not a `col=value` " +
             "partition segment — mixed or non-hive nesting refuses")
         val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-        require(v != "__HIVE_DEFAULT_PARTITION__",
-          s"convert: $path: NULL partition values " +
-            "(__HIVE_DEFAULT_PARTITION__) are not supported")
-        (seg.substring(0, i), v)
+        // the hive NULL sentinel adopts as a NULL partition value — the
+        // file's stats carry no range and a full null count, exactly
+        // like a natively written NULL-partition file
+        (seg.substring(0, i), if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
       }
     val chains = files.map(st => st -> hiveChain(relName(st.getPath)))
     val hiveCols = chains.head._2.map(_._1)
@@ -1378,21 +1403,25 @@ object LogTable {
       }
       val hiveStats = chain.map { case (c, v) =>
         val exact = hiveFields.find(_.name.equalsIgnoreCase(c)).get.name
-        val rendered = hiveFields.find(_.name.equalsIgnoreCase(c)).get
-          .dataType match {
-          case TimestampType =>
-            // dir values render the literal; store micros like the
-            // stats scan would — conversion tables rarely partition on
-            // raw timestamps, but never store an unparseable bound
-            scala.util.Try(java.sql.Timestamp.valueOf(v).getTime * 1000L)
-              .map(_.toString).getOrElse(v)
-          case _ => v
+        if (v == null) exact -> ColStats(None, None, rows)
+        else {
+          val rendered = hiveFields.find(_.name.equalsIgnoreCase(c)).get
+            .dataType match {
+            case TimestampType =>
+              // dir values render the literal; store micros like the
+              // stats scan would — conversion tables rarely partition on
+              // raw timestamps, but never store an unparseable bound
+              scala.util.Try(java.sql.Timestamp.valueOf(v).getTime * 1000L)
+                .map(_.toString).getOrElse(v)
+            case _ => v
+          }
+          exact -> ColStats(Some(rendered), Some(rendered), 0L)
         }
-        exact -> ColStats(Some(rendered), Some(rendered), 0L)
       }
       val (pmin, pmax) = hiveCols.headOption
         .flatMap(c => hiveStats.collectFirst {
-          case (n, s) if n.equalsIgnoreCase(c) => (s.min.get, s.max.get)
+          case (n, s) if n.equalsIgnoreCase(c) =>
+            (s.min.getOrElse(""), s.max.getOrElse(""))
         }).getOrElse(("", ""))
       LogFile(relName(st.getPath), pmin, pmax, rows, st.getLen,
         (dataStats ++ hiveStats).toMap)
@@ -2070,7 +2099,13 @@ object LogTable {
     // evolution commit itself)
     val stale =
       if (snap.partitionCols.isEmpty) Nil
-      else candidates.filter(f => statsRange(snap, f, snap.partitionCol).isEmpty)
+      else candidates.filter(f =>
+        statsRange(snap, f, snap.partitionCol).isEmpty &&
+          // an EXISTING entry with absent bounds is an all-NULL-lead
+          // file under the CURRENT spec, not debt — rewriting it would
+          // produce another all-NULL file, forever (non-convergent)
+          !f.stats.keys.exists(_.equalsIgnoreCase(
+            snap.physicalOfPath(snap.partitionCol))))
     if (over.isEmpty && stale.isEmpty) return -1L
     val victims = (candidates.filter(f =>
       over.contains(f.pmin) || over.contains(f.pmax)) ++ stale).distinct
@@ -3073,10 +3108,6 @@ object LogTable {
       .getOrElse(throw new IllegalArgumentException(
         s"$bp is not a branch of $path (no ${BranchBaseProp})"))
     val mSnap = snapshot(spark, path)
-    require(mSnap.version == base,
-      s"log table $path: cannot fast-forward branch `$name` — main " +
-        s"advanced from v$base to v${mSnap.version} since the branch " +
-        "was staged; re-stage on the new head and re-apply the work")
     // translate the branch's entries into main's namespace: inherited
     // source files (absolute URIs under main) back to their RELATIVE
     // names (so removes/adds line up with main's own entries); branch-
@@ -3094,6 +3125,9 @@ object LogTable {
     val translated = bSnap.files.map(f => f.copy(name = toMain(f.name),
       dv = f.dv.map(d => d.copy(name = toMain(d.name)))))
     def ident(f: LogFile) = (f.name, f.dv.map(_.name))
+    if (mSnap.version != base)
+      return publishRebase(spark, path, name, bp, bSnap, base, mSnap,
+        translated)
     val mIds = mSnap.files.map(ident).toSet
     val tIds = translated.map(ident).toSet
     val adds = translated.filterNot(f => mIds.contains(ident(f)))
@@ -3109,16 +3143,107 @@ object LogTable {
       properties = bSnap.properties - BranchBaseProp - "clone.source" ++
         mSnap.properties.get("clone.source").map("clone.source" -> _))
     catch {
-      // a writer that beat the publish IS a non-fast-forward — surface
-      // it as the same refusal the version check gives, not a raw
-      // commit conflict (the race and the stale stage are one case)
-      case e: CommitConflictException =>
-        throw new IllegalArgumentException(
-          s"log table $path: cannot fast-forward branch `$name` — a " +
-            s"writer committed v${mSnap.version + 1} first; re-stage " +
-            "on the new head and re-apply the work", e)
+      // a writer that beat the publish is a MAIN ADVANCE — retry through
+      // the rebase path exactly like a pre-checked advance (disjoint
+      // work lands, overlapping work refuses loud)
+      case _: CommitConflictException =>
+        return publishRebase(spark, path, name, bp, bSnap, base,
+          snapshot(spark, path), translated)
     }
     mSnap.version + 1
+  }
+
+  /** Publish a branch whose base main has moved past — the Iceberg
+    * cherry-pick discipline: when every file the branch's net change
+    * TOUCHED (added, removed, or re-pointed vs its base) is DISJOINT
+    * from every file main's interim commits touched, the branch's work
+    * re-bases mechanically onto the new head in ONE metadata commit —
+    * new state = main's current files minus the branch's net removes
+    * plus its net adds. This is snapshot-level replay, not a logical
+    * re-run: rows main added meanwhile are untouched by the branch's
+    * predicates (they were never in its scope). Anything overlapping —
+    * or ANY metadata drift on main (schema, partitioning, stats/bloom
+    * declarations, constraints, properties) — refuses with the classic
+    * non-fast-forward error; identity generation on BOTH sides refuses
+    * too (both sides drew from the same high-water, so the generated
+    * value spaces may collide).
+    */
+  private def publishRebase(spark: SparkSession, path: String, name: String,
+                            bp: String, bSnap: Snapshot, base: Long,
+                            mSnap0: Snapshot,
+                            translated: Seq[LogFile]): Long = {
+    def refuse(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"log table $path: cannot fast-forward branch `$name` — main " +
+          s"advanced from v$base past it, and the staged work does not " +
+          s"re-base ($why); re-stage on the new head and re-apply the work")
+    val baseSnap =
+      try snapshot(spark, path, Some(base))
+      catch { case scala.util.control.NonFatal(_) =>
+        refuse("the base version has expired behind a checkpoint") }
+    def ident(f: LogFile) = (f.name, f.dv.map(_.name))
+    val baseIds = baseSnap.files.map(ident).toSet
+    val bIds = translated.map(ident).toSet
+    // the branch's net change vs ITS base
+    val bAdds = translated.filterNot(f => baseIds.contains(ident(f)))
+    val bRemoves = baseSnap.files.filterNot(f => bIds.contains(ident(f)))
+    val branchTouched = (bAdds ++ bRemoves).map(_.name).toSet
+    val volatileProps = Set(IdentityNextProp, BranchBaseProp, "clone.source")
+    var attempt = 0
+    var mSnap = mSnap0
+    while (true) {
+      // metadata drift on main refuses — the branch carries base's
+      // metadata and a rebase must not silently roll main's back
+      if (mSnap.schemaDdl != baseSnap.schemaDdl) refuse("main's schema changed")
+      if (mSnap.partitionCols != baseSnap.partitionCols)
+        refuse("main's partitioning changed")
+      if (mSnap.statsCols != baseSnap.statsCols ||
+          mSnap.bloomCols != baseSnap.bloomCols)
+        refuse("main's stats declarations changed")
+      if (mSnap.constraints != baseSnap.constraints)
+        refuse("main's constraints changed")
+      if (mSnap.properties.removedAll(volatileProps) !=
+          baseSnap.properties.removedAll(volatileProps))
+        refuse("main's properties changed")
+      val mIds = mSnap.files.map(ident).toSet
+      val mainTouched = (mSnap.files.filterNot(f => baseIds.contains(ident(f)))
+        ++ baseSnap.files.filterNot(f => mIds.contains(ident(f))))
+        .map(_.name).toSet
+      val overlap = branchTouched.intersect(mainTouched)
+      if (overlap.nonEmpty)
+        refuse(s"both touched ${overlap.size} file(s), e.g. " +
+          overlap.take(3).mkString(", "))
+      // identity high-water: carry whichever side advanced; both ⇒ refuse
+      val idNext = (bSnap.properties.get(IdentityNextProp),
+          mSnap.properties.get(IdentityNextProp),
+          baseSnap.properties.get(IdentityNextProp)) match {
+        case (b, m, o) if b != o && m != o =>
+          refuse("identity values were generated on both sides")
+        case (b, m, o) => if (m != o) m else b
+      }
+      try {
+        commit(spark, path, mSnap.version + 1, bSnap.schemaDdl,
+          bSnap.partitionCols, bSnap.statsCols, bAdds,
+          bRemoves.map(_.name), bloomCols = bSnap.bloomCols,
+          operation = "PUBLISH_BRANCH", constraints = bSnap.constraints,
+          properties = bSnap.properties - BranchBaseProp - "clone.source" -
+            IdentityNextProp ++
+            idNext.map(IdentityNextProp -> _) ++
+            mSnap.properties.get("clone.source").map("clone.source" -> _))
+        return mSnap.version + 1
+      } catch {
+        // a racing writer moved main again: re-read and re-judge — the
+        // new commits may still be disjoint
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > 3)
+            throw new IllegalArgumentException(
+              s"log table $path: cannot fast-forward branch `$name` — " +
+                "writers keep advancing main; re-stage on the new head", e)
+          mSnap = snapshot(spark, path)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Drop a branch: its log always goes (releasing the clone's vacuum
@@ -3943,8 +4068,21 @@ object LogTable {
               .withColumn("_commit_version", lit(v))
           if (c.removes.nonEmpty) {
             val removedSet = c.removes.toSet
-            val removed = snapshot(spark, path, Some(v - 1))
-              .files.filter(f => removedSet.contains(f.name))
+            // resolving the removed files' entries needs the PARENT
+            // snapshot — behind the checkpoint horizon it is just as
+            // gone as an expired commit, so it gets the same friendly
+            // refusal (not a raw replay error)
+            val parent =
+              try snapshot(spark, path, Some(v - 1))
+              catch {
+                case e: Exception =>
+                  throw new IllegalStateException(
+                    s"log table $path: version ${v - 1} has been " +
+                      "expired behind a checkpoint — the change window " +
+                      "is gone; widen from a later version or stop " +
+                      "expiring the log", e)
+              }
+            val removed = parent.files.filter(f => removedSet.contains(f.name))
             if (removed.nonEmpty)
               parts += readFiles(spark, path, to, removed)
                 .withColumn("_change_type", lit("delete"))
@@ -4333,8 +4471,22 @@ object LogTable {
         s"log table $path: batch widens column type(s) " +
           s"${widened.keys.mkString(", ")} — pass mergeSchema=true to " +
           "evolve, or cast the batch down")
+      // IDENTITY rides the merge path too: a batch OMITTING the declared
+      // column is the NORMAL insert shape (no mergeSchema flag, no
+      // nullable demotion — the NULL-fill below would silently break
+      // uniqueness); matched keys inherit the target row's value, new
+      // keys get dense generated values. A batch SUPPLYING the column
+      // refuses under GENERATED ALWAYS.
+      val idOmitted = snap.properties.get(IdentityColProp)
+        .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .map(_.name) match {
+        case Some(c) if !batchCols.contains(c.toLowerCase) => Some(c)
+        case Some(c) => identityRefuseAlways(path, snap.properties, c); None
+        case None => None
+      }
       val missing = snap.schema.fields.toIndexedSeq
-        .filterNot(f => batchCols.contains(f.name.toLowerCase))
+        .filterNot(f => batchCols.contains(f.name.toLowerCase) ||
+          idOmitted.exists(_.equalsIgnoreCase(f.name)))
       require(mergeSchema || (added.isEmpty && missing.isEmpty),
         s"log table $path: batch schema differs from the table " +
           s"(new: ${added.map(_.name).mkString(",")}; " +
@@ -4371,7 +4523,8 @@ object LogTable {
         def ref(n: String) = col("`" + n.replace("`", "``") + "`")
         changes.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
           case Some(g) if g.dataType == f.dataType => ref(g.name).as(f.name)
-          case Some(g) if typeWidens(g.dataType, f.dataType) =>
+          case Some(g) if g.dataType == NullType ||
+              typeWidens(g.dataType, f.dataType) =>
             ref(g.name).cast(f.dataType).as(f.name)
           case Some(g) => throw new IllegalArgumentException(
             s"log table $path: column `${f.name}` is ${f.dataType.sql}; a " +
@@ -4390,10 +4543,30 @@ object LogTable {
         if (cdcOn)
           base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else base0
+      // IDENTITY enrichment of an omitting batch: one column-pruned pass
+      // over the victims recovers each matched key's committed value
+      // (replacing a row never re-keys its identity), the rest fill
+      // dense off the high-water — the alignment's NULL would otherwise
+      // break uniqueness silently
+      val alignedId = idOmitted match {
+        case None => aligned
+        case Some(fn) =>
+          def q(n: String) = col("`" + n.replace("`", "``") + "`")
+          val existing = base.select(
+            keyCols.map(q) :+ q(fn).as("__graft_idv"): _*)
+          val j = aligned.drop(fn).join(existing, keyCols, "left")
+          val order = schema.fields.toIndexedSeq.map(f => q(f.name).as(f.name))
+          val kept = j.filter(col("__graft_idv").isNotNull)
+            .withColumn(fn, col("__graft_idv")).select(order: _*)
+          val fresh = identityFill(spark, path, snap,
+            j.filter(col("__graft_idv").isNull).drop("__graft_idv"), fn)
+            .select(order: _*)
+          kept.unionByName(fresh)
+      }
       // persisted across the range-sampling pass and the shuffled write,
       // so the merge aggregation runs ONCE (bounded by the touched
       // partitions + batch — the rows being rewritten anyway)
-      val merged = Merge.merge(base, aligned, keyCols, orderCols, opCol, deleteOp)
+      val merged = Merge.merge(base, alignedId, keyCols, orderCols, opCol, deleteOp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (adds, cdcFiles) =
         try {
@@ -4631,6 +4804,17 @@ object LogTable {
           when(ref.isNotNull, org.apache.spark.sql.functions.transform(ref,
             x => alignCol(x, h, w, physPath + ".element",
               s"$label.element")))
+        // MAPS OF STRUCTS align per value (a field added through
+        // `props.value.note` DEFAULT-fills old-shape batches too)
+        case (MapType(hk, h: StructType, _), MapType(wk, w: StructType, _))
+            if hk == wk =>
+          when(ref.isNotNull,
+            org.apache.spark.sql.functions.transform_values(ref,
+              (_, v) => alignCol(v, h, w, physPath + ".value",
+                s"$label.value")))
+        // a VOID column (an all-NULL literal, the usual way a caller
+        // writes a NULL partition value) upcasts losslessly to anything
+        case (NullType, w) => ref.cast(w)
         case (h, w) if typeWidens(h, w) => ref.cast(w)
         case (h, w) => throw new IllegalArgumentException(
           s"log table $path: column `$label` is ${w.sql}, " +
@@ -4715,18 +4899,7 @@ object LogTable {
       // DENSE within the batch, gaps only between batches (see
       // [[IdentityColProp]] and [[identityFill]]); GENERATED ALWAYS
       // refuses supplied values outright
-      val rowsFilled = snap.properties.get(IdentityColProp) match {
-        case Some(c)
-            if !rows.schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
-          identityFill(spark, path, snap, rows, c)
-        case Some(c) =>
-          require(!snap.properties.get(IdentityModeProp)
-            .exists(_.equalsIgnoreCase("always")),
-            s"log table $path: identity column `$c` is GENERATED " +
-              "ALWAYS — explicit values are refused; omit the column")
-          rows
-        case _ => rows
-      }
+      val rowsFilled = identityApply(spark, path, snap, rows)
       val aligned = alignStrict(path, snap, rowsFilled)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
@@ -4777,7 +4950,10 @@ object LogTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
-      val aligned = alignStrict(path, snap, rows)
+      // identity discipline rides every insert path, not just append:
+      // an omitted identity column fills dense, ALWAYS refuses values
+      val aligned = alignStrict(path, snap,
+        identityApply(spark, path, snap, rows))
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
@@ -5258,11 +5434,26 @@ object LogTable {
                       s"(${at.simpleString}) directly — address fields " +
                       s"inside an array of structs through the element " +
                       s"layer: `${f.name}.element.<field>`")
+                case mt: MapType
+                    if mt.valueType.isInstanceOf[StructType] &&
+                      tail.headOption.exists(_.equalsIgnoreCase("value")) =>
+                  StructType(st.fields.updated(i, f.copy(dataType =
+                    mt.copy(valueType = rec(
+                      mt.valueType.asInstanceOf[StructType], tail.tail,
+                      Some(childPhys + ".value"))))))
+                case mt: MapType
+                    if mt.valueType.isInstanceOf[StructType] =>
+                  throw new IllegalArgumentException(
+                    s"log table $path: cannot $what through `${f.name}` " +
+                      s"(${mt.simpleString}) directly — address fields " +
+                      s"inside a map of structs through the value " +
+                      s"layer: `${f.name}.value.<field>` (keys are " +
+                      "opaque scalars and never evolve)")
                 case dt => throw new IllegalArgumentException(
                   s"log table $path: cannot $what through `${f.name}` " +
                     s"(${dt.simpleString}) — nested evolution applies to " +
-                    "struct paths (and `element` through arrays of " +
-                    "structs), never maps")
+                    "struct paths, `element` through arrays of structs, " +
+                    "and `value` through maps of structs")
               }
           }
         fields = rec(StructType(fields), fieldPath.init, None)
@@ -5901,7 +6092,9 @@ object LogTable {
     * the table's full set). Values render EXACTLY as the stats persist
     * them — timestamps as UTC micros, not a session-zone wall string, or
     * victim matching would compare across reference frames and miss
-    * rewrites. NULL partition values fail loud.
+    * rewrites. A NULL partition value renders as null in the tuple;
+    * [[victimFiles]] matches it against each file's NULL COUNT for the
+    * column (a file provably holding no NULLs is not a victim).
     */
   private[sources] def touchedTuples(path: String, snap: Snapshot,
                                      df: DataFrame): Seq[Seq[String]] = {
@@ -5918,10 +6111,7 @@ object LogTable {
       .distinct().collect()
       .map { r =>
         snap.partitionCols.indices.map { i =>
-          require(!r.isNullAt(i),
-            s"log table $path: NULL values in partition column " +
-              s"`${snap.partitionCols(i)}` are not supported")
-          r.getString(i)
+          if (r.isNullAt(i)) null else r.getString(i)
         }
       }.toIndexedSeq
   }
@@ -5934,12 +6124,20 @@ object LogTable {
     snap.files.filter { f =>
       touched.exists { tuple =>
         types.zip(tuple).forall { case ((c, dt), v) =>
-          statsRange(snap, f, c) match {
+          if (v == null) {
+            // NULL tuple value: the file may hold it unless its stats
+            // PROVE zero NULLs in the column; no entry (legacy) ⇒ keep
+            val pc = snap.physicalOfPath(c)
+            f.stats.collectFirst {
+              case (k, st) if k.equalsIgnoreCase(pc) => st.nulls
+            }.forall(_ > 0L)
+          } else statsRange(snap, f, c) match {
             case Some((lo, hi)) => rangeMayContain(dt, lo, hi, v)
-            case None => true // all-NULL stats can't hold a (non-null)
-                              // touched value — but partition values are
-                              // non-null by contract, so None here means
-                              // UNKNOWN (legacy file) ⇒ keep
+            case None =>
+              // absent range: either UNKNOWN (legacy file, no entry —
+              // keep) or an all-NULL file, which cannot hold a non-null
+              // touched value — skip it
+              !f.stats.keys.exists(_.equalsIgnoreCase(snap.physicalOfPath(c)))
           }
         }
       }
@@ -5963,8 +6161,12 @@ object LogTable {
     }.orElse(
       // pmin/pmax describe the leading column AT WRITE TIME — once the
       // leading column has evolved away from the create-time one, the
-      // fallback would compare against a different column's values
-      if (pc.equalsIgnoreCase(snap.partitionCol) && leadFallbackSound(snap))
+      // fallback would compare against a different column's values. An
+      // EXISTING entry with absent bounds means the file's values are
+      // all NULL (NULL partition tuples) — its "" pmin/pmax sentinels
+      // must never masquerade as a real range
+      if (f.stats.keys.exists(_.equalsIgnoreCase(pc))) None
+      else if (pc.equalsIgnoreCase(snap.partitionCol) && leadFallbackSound(snap))
         Some((f.pmin, f.pmax))
       else None)
   }
@@ -6026,11 +6228,12 @@ object LogTable {
           .map { case (_, dt) => (dt,
             f.stats.collectFirst { case (k, s) if k.equalsIgnoreCase(pn) => s }
               .orElse(
-                // leading partition column: legacy pmin/pmax double as stats
-                // (null count unknown ⇒ 0 is safe: partition values are
-                // non-null by the write-path contract). Disabled once the
-                // leading column has EVOLVED away from the create-time
-                // one — the range would describe a different column.
+                // leading partition column: legacy pmin/pmax double as
+                // stats (null count unknown ⇒ 0 is safe: legacy files
+                // predate NULL partition support, so they hold none).
+                // Disabled once the leading column has EVOLVED away from
+                // the create-time one — the range would describe a
+                // different column.
                 if (pn.equalsIgnoreCase(snap.partitionCol) &&
                     leadFallbackSound(snap))
                   Some(ColStats(Some(f.pmin), Some(f.pmax), 0L))
@@ -6411,8 +6614,21 @@ object LogTable {
     val layout: Seq[Column] =
       if (zorderBy.nonEmpty) Seq(zorderKey(df, zorderBy))
       else clusterBy.map(col)
+    // the salt hashes only HASHABLE columns — map-typed columns (same
+    // map, different hashcodes) are excluded rather than refusing the
+    // whole write; the salt only spreads ties, so a subset is exact
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case st: StructType => st.fields.forall(f => hashable(f.dataType))
+      case at: ArrayType => hashable(at.elementType)
+      case _ => true
+    }
+    val saltCols = df.schema.fields.toIndexedSeq
+      .filter(f => hashable(f.dataType))
+      .map(f => col("`" + f.name.replace("`", "``") + "`"))
     df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1L << 20)))
+        if (saltCols.isEmpty) lit(0L)
+        else pmod(xxhash64(struct(saltCols: _*)), lit(1L << 20)))
       .repartitionByRange(n,
         (partitionCols.map(col) ++ layout) :+ col("__salt"): _*)
       .drop("__salt")
@@ -6495,8 +6711,7 @@ object LogTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per NEW file
     // a zero-row file (footer-only artifact of an empty write) carries
-    // no information and would trip the non-null partition-stats
-    // contract — drop it physically, reference nothing
+    // no information — drop it physically, reference nothing
     val adds = stats.filter { r =>
       val live = r.getLong(r.fieldIndex("__rows")) > 0L
       if (!live) {
@@ -6522,13 +6737,11 @@ object LogTable {
         val mn = Option(r.getString(r.fieldIndex(s"__min_$i")))
         val mx = Option(r.getString(r.fieldIndex(s"__max_$i")))
         val nulls = rows - r.getLong(r.fieldIndex(s"__nn_$i"))
-        // NULL partition values would desynchronize pruning (and a NULL
-        // tuple has no home partition) — same contract as
-        // upsertPartitioned: partition values must be non-null, fail loud
-        if (partitionCols.exists(_.equalsIgnoreCase(c)))
-          require(nulls == 0L && mn.isDefined && mx.isDefined,
-            s"log table $path: NULL values in partition column " +
-              s"`$c` are not supported")
+        // NULL partition values are FIRST-CLASS (the Delta/Iceberg null
+        // partition shape): the file records the column's null count,
+        // victim matching and IS NULL skipping consult it, and non-NULL
+        // predicates prune all-NULL files through mayMatch's absent-range
+        // arm — nothing desynchronizes because nothing pretends a range
         c -> ColStats(mn, mx, nulls,
           ndv = ndvB64.collectFirst {
             case (nc, b) if nc.equalsIgnoreCase(c) => b
@@ -6542,8 +6755,11 @@ object LogTable {
       val (pmin, pmax) =
         if (partitionCols.isEmpty) ("", "")
         else {
+          // an all-NULL leading column has no range — "" sentinels are
+          // never consulted (statsRange declines the pmin/pmax fallback
+          // whenever a stats entry exists for the column)
           val lead = tracked.head
-          (colStats(lead).min.get, colStats(lead).max.get)
+          (colStats(lead).min.getOrElse(""), colStats(lead).max.getOrElse(""))
         }
       val src = new Path(java.net.URI.create(r.getString(r.fieldIndex("__f"))))
       val name = src.getName
@@ -6727,6 +6943,35 @@ object LogTable {
       start + k * inc
     }
 
+  /** The identity write-side discipline, shared by every path that
+    * ingests caller rows wholesale (append, overwrite): a batch OMITTING
+    * the declared identity column gets dense generated values
+    * ([[identityFill]]); a batch SUPPLYING it refuses loud under
+    * GENERATED ALWAYS and passes under BY DEFAULT (the high-water then
+    * advances past the supplied values inside [[commit]]).
+    */
+  private def identityApply(spark: SparkSession, path: String,
+                            snap: Snapshot, rows: DataFrame): DataFrame =
+    snap.properties.get(IdentityColProp) match {
+      case Some(c)
+          if !rows.schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
+        identityFill(spark, path, snap, rows, c)
+      case Some(c) =>
+        identityRefuseAlways(path, snap.properties, c)
+        rows
+      case _ => rows
+    }
+
+  /** GENERATED ALWAYS refuses explicit values — one wording for every
+    * write path (append, overwrite, upsert, MERGE INTO clauses).
+    */
+  private[sources] def identityRefuseAlways(path: String,
+                                            props: Map[String, String],
+                                            c: String): Unit =
+    require(!props.get(IdentityModeProp).exists(_.equalsIgnoreCase("always")),
+      s"log table $path: identity column `$c` is GENERATED " +
+        "ALWAYS — explicit values are refused; omit the column")
+
   /** DENSE identity fill for a batch omitting the column: per-partition
     * row counts (one cheap counting job — sizes only) become cumulative
     * offsets, and row j of the batch gets `next + inc·j`. Value space
@@ -6736,7 +6981,7 @@ object LogTable {
     * for the two passes (count + assign + the downstream write) and
     * released by the context cleaner when the frame dies.
     */
-  private def identityFill(spark: SparkSession, path: String,
+  private[sources] def identityFill(spark: SparkSession, path: String,
                            snap: Snapshot, rows: DataFrame,
                            c: String): DataFrame = {
     val props = snap.properties

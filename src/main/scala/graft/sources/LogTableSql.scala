@@ -708,27 +708,44 @@ object LogTableSql {
     }
   }
 
-  /** `graft_changes('path', from, to)` — the file-level CDF as a
+  /** `graft_changes('path', from, to[, mode])` — the change feed as a
     * table-valued function (the Delta `table_changes` shape), registered
     * via `SparkSessionExtensions.injectTableFunction`: the SAME
-    * [[LogTable.readChanges]] plan the programmatic API builds,
-    * composable with any SQL on top.
+    * [[LogTable.readChanges]] / [[LogTable.readCommitChanges]] plans the
+    * programmatic API builds, composable with any SQL on top.
     */
   def changesPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3,
-      "graft_changes(path, fromVersion, toVersion) takes 3 arguments")
+    require(args.length == 3 || args.length == 4,
+      "graft_changes(path, fromVersion, toVersion[, mode]) takes 3 or 4 " +
+        "arguments")
     val spark = SparkSession.active
     val p = pathArg(args(0), "path")
     val from = versionOrTsArg(spark, p, args(1), "fromVersion")
     val to = versionOrTsArg(spark, p, args(2), "toVersion")
-    // a `cdc.enabled` table serves the PER-COMMIT row-level feed (the
-    // Delta `table_changes` shape, `_commit_version` attributed, DML
-    // volume proportional to changed rows); other tables keep the
-    // file-level net-diff shape unchanged
-    val cdcTable = LogTable.cdcEnabled(
-      LogTable.snapshot(spark, p, Some(to)).properties)
-    (if (cdcTable) LogTable.readCommitChanges(spark, p, from, to)
-     else LogTable.readChanges(spark, p, from, to))
+    // ONE output schema for every table: the per-commit feed attributes
+    // `_commit_version`; the net file-level shape carries it too, NULL
+    // (a net diff is not attributable to one commit) — a table property
+    // flip can change the feed's granularity but never its shape. The
+    // optional 4th argument pins the granularity EXPLICITLY: 'row'
+    // serves the per-commit feed on any table (file-level per-commit
+    // fallback for commits without CDC files), 'file' the net diff,
+    // 'auto' (default) follows `cdc.enabled` at the `to` snapshot.
+    val mode = args.lift(3).map(a =>
+      strArg(a, "mode").toLowerCase(java.util.Locale.ROOT)) match {
+      case None => "auto"
+      case Some(m @ ("auto" | "file" | "row")) => m
+      case Some(m) => throw new IllegalArgumentException(
+        s"graft_changes: unknown mode `$m` — use 'auto', 'file' or 'row'")
+    }
+    val rowLevel = mode match {
+      case "row" => true
+      case "file" => false
+      case _ => LogTable.cdcEnabled(
+        LogTable.snapshot(spark, p, Some(to)).properties)
+    }
+    (if (rowLevel) LogTable.readCommitChanges(spark, p, from, to)
+     else LogTable.readChanges(spark, p, from, to)
+       .withColumn("_commit_version", lit(null).cast("long")))
       .queryExecution.analyzed
   }
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Full MERGE INTO over the commit-log table — the general form of
   * [[LogTable.upsert]]'s fixed latest-wins semantics (the reference's
@@ -197,6 +197,22 @@ final case class MergeInto private[sources] (
     while (true) {
       val snap = evolveForMerge(LogTable.snapshot(spark, path))
       validate(snap)
+      // IDENTITY fill for INSERT clauses: when the declared identity
+      // column arrives neither as an explicit value nor as a source
+      // column, the source enriches with dense generated values and the
+      // insert default picks them up — an inserted row must never carry
+      // the alignment NULL (uniqueness would break silently). Supplied
+      // values were vetted by validate (GENERATED ALWAYS refuses them).
+      // Matched source rows burn their value unused — gaps are allowed.
+      val idFill = snap.properties.get(LogTable.IdentityColProp)
+        .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .map(_.name)
+        .filter(fn => insert.isDefined &&
+          !insert.exists(_.values.keys.exists(_.equalsIgnoreCase(fn))) &&
+          !source.schema.fieldNames.exists(_.equalsIgnoreCase(fn)))
+      val srcEff = idFill.map(fn =>
+        LogTable.identityFill(spark, path, snap, source, fn))
+        .getOrElse(source)
       // touched tuples exist for pruning and the disjoint fast path —
       // both off under a by-source clause (and the source may then
       // legitimately lack the partition columns the computation reads)
@@ -213,7 +229,7 @@ final case class MergeInto private[sources] (
       // a routine snapshot-sync touching few rows no longer rewrites
       // (and vacuum-indebts) the entire table.
       val cdcOn = LogTable.cdcEnabled(snap.properties)
-      val (victims, result, cdcDf) =
+      val (victims, result, cdcDf, augCache) =
         if (bySource.isEmpty) {
           // partition-tuple pruning, then KEY-RANGE pruning: a candidate
           // file whose key stats provably miss every source key holds
@@ -225,13 +241,22 @@ final case class MergeInto private[sources] (
           val v = LogTable.victimFiles(snap, touched).filterNot(f =>
             kr.nonEmpty && LogTable.keyRangeDisjoint(snap, f, kr, zone))
           val tagged = taggedJoin(snap,
-            LogTable.readFiles(spark, path, snap, v), source)
-          (v, projectResult(snap, tagged),
-            if (cdcOn) Some(cdcRows(snap, tagged)) else None)
+            LogTable.readFiles(spark, path, snap, v), srcEff)
+          if (cdcOn) {
+            val aug = cdcAugment(snap, gens, tagged, Nil, idFill)
+            (v, resultFromAug(aug), Some(cdcFromAug(aug)), Some(aug))
+          } else (v, projectResult(snap, tagged, idFill), None, None)
         } else {
           val joined = taggedJoin(snap, LogTable.readFilesTagged(
-            spark, path, snap, snap.files, "__graft_file"), source)
-          val changed = joined
+            spark, path, snap, snap.files, "__graft_file"), srcEff)
+          // under CDC the whole transaction reads ONE persisted frame:
+          // the changed-file collect, the committed rows, and the CDC
+          // images all come off the same materialized pre/post values
+          val shell =
+            if (cdcOn)
+              cdcAugment(snap, gens, joined, Seq("__graft_file"), idFill)
+            else joined
+          val changed = shell
             .filter(col("__act") =!= "keep" && col("__act") =!= "drop" &&
               col("__graft_file").isNotNull)
             .select("__graft_file").distinct()
@@ -239,15 +264,17 @@ final case class MergeInto private[sources] (
           // row-level CDC comes off the SAME tagged join, independent of
           // the rewrite-restriction below: the changed rows are the
           // changed rows whether the rewrite touches 3 files or all
-          val cdc = if (cdcOn)
-            Some(cdcRows(snap, joined.drop("__graft_file"))) else None
+          val cdc = if (cdcOn) Some(cdcFromAug(shell)) else None
+          def resultOf(d: DataFrame): DataFrame =
+            if (cdcOn) resultFromAug(d)
+            else projectResult(snap, d.drop("__graft_file"), idFill)
           if (changed.size > MergeInto.RestrictVictimsMaxFiles) {
             // an IN-list over very many names stops paying for itself —
             // degrade to the classic full rewrite
-            (snap.files, projectResult(snap,
-              joined.drop("__graft_file")), cdc)
+            (snap.files, resultOf(shell), cdc,
+              if (cdcOn) Some(shell) else None)
           } else {
-            val keep = joined.filter(col("__graft_file").isNull ||
+            val keep = shell.filter(col("__graft_file").isNull ||
               col("__graft_file").isin(changed.toSeq: _*))
             // tags are BASE names (substring_index of file_path); a
             // shallow clone's log entries are absolute URIs — match on
@@ -256,23 +283,28 @@ final case class MergeInto private[sources] (
             // rewritten rows land in the adds, duplicating rows
             (snap.files.filter(f => changed.contains(
               new org.apache.hadoop.fs.Path(f.name).getName)),
-              projectResult(snap, keep.drop("__graft_file")), cdc)
+              resultOf(keep), cdc, if (cdcOn) Some(shell) else None)
           }
         }
       // recompute generated columns on the outgoing rows (one spot for
-      // both victim strategies — a clause assigning one is overridden)
+      // both victim strategies — a clause assigning one is overridden;
+      // idempotent over the CDC path, whose post-image already carries
+      // the regenerated values)
       val outRows = LogTable.materializeGenerated(gens, result)
       LogTable.enforceConstraints(path, snap, outRows)
-      val ddl = widenedDdl(snap)
-      val adds = LogTable.writeDataFiles(spark, path, outRows,
-        snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
-        colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = LogTable.ndvColsOf(snap.properties),
-        histCols = LogTable.histColsOf(snap.properties))
-      val cdcFiles = cdcDf match {
-        case Some(df) => LogTable.writeCdcFiles(spark, path, df, snap)
-        case None => Nil
-      }
+      val ddl = widenedDdl(snap, idFill)
+      val (adds, cdcFiles) = try {
+        val a = LogTable.writeDataFiles(spark, path, outRows,
+          snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
+          colMap = snap.colMap, nestMaps = snap.nestMaps,
+          ndvCols = LogTable.ndvColsOf(snap.properties),
+          histCols = LogTable.histColsOf(snap.properties))
+        val c = cdcDf match {
+          case Some(df) => LogTable.writeCdcFiles(spark, path, df, snap)
+          case None => Nil
+        }
+        (a, c)
+      } finally augCache.foreach(_.unpersist(): Unit)
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -352,6 +384,20 @@ final case class MergeInto private[sources] (
     insert.foreach(_.values.keys.foreach { c =>
       require(known(c), s"merge into $path: cannot insert unknown column `$c`")
     })
+    // IDENTITY under GENERATED ALWAYS: any clause SUPPLYING a value —
+    // an UPDATE/by-source SET (whole column or a dotted path under it),
+    // an explicit INSERT value, or the insert default copying a
+    // same-name SOURCE column — refuses loud; BY DEFAULT passes
+    snap.properties.get(LogTable.IdentityColProp).foreach { c =>
+      val assigned = (matched ++ bySource).flatMap(_.set).flatMap(_.keys)
+        .exists(k => k.equalsIgnoreCase(c) || (k.contains('.') &&
+          k.substring(0, k.indexOf('.')).equalsIgnoreCase(c)))
+      val inserted = insert.exists(ic =>
+        ic.values.keys.exists(_.equalsIgnoreCase(c)) ||
+          source.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      if (assigned || inserted)
+        LogTable.identityRefuseAlways(path, snap.properties, c)
+    }
   }
 
   private def cond(c: Option[String]): Column =
@@ -396,14 +442,16 @@ final case class MergeInto private[sources] (
     * CASE chains — no UDFs, no driver loops.
     */
   private[sources] def projectResult(snap: LogTable.Snapshot,
-                                     joined: DataFrame): DataFrame = {
+                                     joined: DataFrame,
+                                     idFill: Option[String] = None)
+      : DataFrame = {
     // one clause's value for field f: a whole-column assignment, or —
     // for DOTTED keys below a struct — the struct rebuilt with exactly
     // that clause's leaves replaced (clauses are act-exclusive per row,
     // so each branch bases on the TARGET's own value; a NULL struct
     // stays NULL, updateWhere's discipline)
     joined.filter(col("__act") =!= "del" && col("__act") =!= "drop")
-      .select(outputCols(snap): _*)
+      .select(outputCols(snap, idFill): _*)
   }
 
   private def rebuild(base: Column, dt: DataType, prefix: String,
@@ -434,11 +482,12 @@ final case class MergeInto private[sources] (
     }
 
   /** One output column per schema field, dispatched on `__act` — shared
-    * by [[projectResult]] (the surviving rows) and [[cdcRows]] (the
+    * by [[projectResult]] (the surviving rows) and [[cdcAugment]] (the
     * post-image), so the CDC image can never drift from the rows the
     * merge actually writes.
     */
-  private def outputCols(snap: LogTable.Snapshot): Seq[Column] =
+  private def outputCols(snap: LogTable.Snapshot,
+                         idFill: Option[String] = None): Seq[Column] =
     snap.schema.fields.toIndexedSeq.map { f =>
       var e: Column = col("t." + quote(f.name))
       matched.zipWithIndex.foreach { case (cl, i) =>
@@ -456,32 +505,60 @@ final case class MergeInto private[sources] (
         }
       }
       insert.foreach { ic => e = when(col("__act") === "ins",
-        insertExpr(ic, f.name, f.dataType)).otherwise(e) }
+        insertExpr(ic, f.name, f.dataType, idFill)).otherwise(e) }
       e.as(f.name)
     }
 
-  /** This merge's ROW-LEVEL changes off the tagged join (`cdc.enabled`
-    * tables): an update act emits the target row as `update_preimage`
-    * plus its post-clause value as `update_postimage`, a delete act the
-    * preimage as `delete`, an insert act the insert-clause row as
-    * `insert` — riders (`keep`) emit NOTHING, which is the whole point:
-    * feed volume is the changed rows, not the rewritten files.
+  /** The tagged join with the pre/post images COMPUTED and PERSISTED
+    * (`cdc.enabled` tables): `__pre` is the target row, `__post` the
+    * post-clause row with generated columns already recomputed, `__act`
+    * the clause tag. The committed rows ([[resultFromAug]]), the CDC
+    * images ([[cdcFromAug]]), and by-source's changed-file collect all
+    * read THIS cache, so a non-deterministic SET/INSERT expression
+    * (current_timestamp, rand) or a non-deterministic source evaluates
+    * exactly once and the feed's post-image can never diverge from the
+    * rows the merge actually commits — the upsert path's base-persist
+    * discipline.
     */
-  private[sources] def cdcRows(snap: LogTable.Snapshot,
-                               joined: DataFrame): DataFrame = {
+  private def cdcAugment(snap: LogTable.Snapshot, gens: Map[String, String],
+                         joined: DataFrame, extraCols: Seq[String],
+                         idFill: Option[String]): DataFrame = {
     val fields = snap.schema.fields.toIndexedSeq
     val preS = struct(fields.map(f =>
       col("t." + quote(f.name)).as(f.name)): _*)
-    val postS = struct(outputCols(snap): _*)
+    // flat post columns first so the generated-column expressions (which
+    // name top-level schema columns) rebind onto the post-clause values
+    val flat = joined.select(Seq(preS.as("__pre"), col("__act")) ++
+      extraCols.map(col) ++ outputCols(snap, idFill): _*)
+    LogTable.materializeGenerated(gens, flat)
+      .select(Seq(col("__pre"),
+        struct(fields.map(f => col(quote(f.name)).as(f.name)): _*)
+          .as("__post"),
+        col("__act")) ++ extraCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The merge's surviving rows off a [[cdcAugment]] frame. */
+  private def resultFromAug(aug: DataFrame): DataFrame =
+    aug.filter(col("__act") =!= "del" && col("__act") =!= "drop")
+      .select(col("__post.*"))
+
+  /** The row-level CDC events off a [[cdcAugment]] frame: an update act
+    * emits `update_preimage` + `update_postimage`, a delete act the
+    * preimage as `delete`, an insert act the post row as `insert` —
+    * riders (`keep`) emit NOTHING, which is the whole point: feed volume
+    * is the changed rows, not the rewritten files.
+    */
+  private def cdcFromAug(aug: DataFrame): DataFrame = {
     val upd = col("__act").rlike("^[ub]\\d+$")
     val evs = when(upd, array(
-        struct(preS.as("r"), lit("update_preimage").as("t")),
-        struct(postS.as("r"), lit("update_postimage").as("t"))))
+        struct(col("__pre").as("r"), lit("update_preimage").as("t")),
+        struct(col("__post").as("r"), lit("update_postimage").as("t"))))
       .when(col("__act") === "del",
-        array(struct(preS.as("r"), lit("delete").as("t"))))
+        array(struct(col("__pre").as("r"), lit("delete").as("t"))))
       .otherwise(
-        array(struct(postS.as("r"), lit("insert").as("t"))))
-    joined.filter(upd || col("__act").isin("del", "ins"))
+        array(struct(col("__post").as("r"), lit("insert").as("t"))))
+    aug.filter(upd || col("__act").isin("del", "ins"))
       .select(explode(evs).as("e"))
       .select(col("e.r.*"), col("e.t").as("_change_type"))
   }
@@ -494,11 +571,13 @@ final case class MergeInto private[sources] (
     projectResult(snap, taggedJoin(snap, base, src))
 
   private def insertExpr(ic: MergeInto.InsertClause, field: String,
-                         dt: DataType): Column =
+                         dt: DataType,
+                         idFill: Option[String] = None): Column =
     ic.values.collectFirst {
         case (k, v) if k.equalsIgnoreCase(field) => expr(v)
       }
-      .orElse(source.schema.fieldNames.find(_.equalsIgnoreCase(field))
+      .orElse((source.schema.fieldNames.toSeq ++ idFill)
+        .find(_.equalsIgnoreCase(field))
         .map(n => col("s." + quote(n))))
       .getOrElse(lit(null))
       .cast(dt)
@@ -544,9 +623,15 @@ final case class MergeInto private[sources] (
     else raw.copy(schemaDdl = StructType(widened ++ added).toDDL)
   }
 
-  private def widenedDdl(snap: LogTable.Snapshot): String = {
+  private def widenedDdl(snap: LogTable.Snapshot,
+                         idFill: Option[String] = None): String = {
     val tShell = LogTable.emptyDf(spark, snap.schema).alias("t")
-    val sShell = LogTable.emptyDf(spark, source.schema).alias("s")
+    // the identity-enriched source carries the generated column NOT NULL,
+    // so the nullability probe must see it — lit(null)'s blanket
+    // nullability would wrongly demote the identity column
+    val srcSchema = idFill.foldLeft(source.schema)((sc, fn) =>
+      StructType(sc.fields :+ StructField(fn, LongType, nullable = false)))
+    val sShell = LogTable.emptyDf(spark, srcSchema).alias("s")
     val joinCond = keyCols.map(k =>
       col("t." + quote(k)) === col("s." + quote(k))).reduce(_ && _)
     val inner = tShell.join(sShell, joinCond, "inner")
@@ -564,7 +649,8 @@ final case class MergeInto private[sources] (
           m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
             .exists(v => nullableOn(tShell, expr(v), f.dataType)))
         val byInsert = insert.exists(ic =>
-          nullableOn(sShell, insertExpr(ic, f.name, f.dataType), f.dataType))
+          nullableOn(sShell, insertExpr(ic, f.name, f.dataType, idFill),
+            f.dataType))
         if (byUpdate || byBySource || byInsert) f.copy(nullable = true) else f
       }
     }).toDDL
