@@ -1237,6 +1237,110 @@ object SourceQueries {
     // with zero main impact), the published read carrying exactly the
     // staged state, non-fast-forward publish refusing loud after main
     // advanced, and a TAG riding the pre-publish version for reads.
+    // NULL PARTITION VALUES — first-class end to end (the Delta/Iceberg
+    // null-partition shape): a table PARTITIONED on a nullable column
+    // writes NULL tuples, IS NULL pruning finds exactly the null-holding
+    // files, non-NULL predicates exclude all-NULL files without reading
+    // them, predicate DML and the latest-wins upsert target the NULL
+    // partition, and the row-level CDC feed serves the changes — volume
+    // proportional to the batch, never the partition.
+    // MAP-OF-STRUCTS nested evolution — the `value` path segment (the
+    // DSv2 convention, the map analog of q179's `element`): rename /
+    // add inside `map<string,struct<…>>` are METADATA-ONLY (file-list
+    // equality pinned), reads rebuild values with transform_values
+    // (UDF-free, codegen-friendly), old files NULL-fill the added
+    // field, and time travel serves the pre-evolution value shape.
+    "q183_map_struct_evolution" -> ((s, dir) => {
+      import graft.sources.LogTable
+      import org.apache.spark.sql.connector.catalog.TableChange
+      val t = scratch(s, dir, "graft_q183")
+      val base = ordersShaped(s, dir, withOdate = false)
+      val df = base.select(col("k"), col("o_year"),
+        map(lit("m"), struct(col("status").as("tag"),
+          col("cents").as("score"))).as("props"))
+      LogTable.create(s, t, df, Seq("o_year"), Seq("k"))       // v1
+      val filesPre = LogTable.snapshot(s, t).files.map(_.name).toSet
+      LogTable.evolveSchema(s, t, Seq(TableChange.renameColumn(
+        Array("props", "value", "tag"), "label"))): Unit       // v2
+      LogTable.evolveSchema(s, t, Seq(TableChange.addColumn(
+        Array("props", "value", "note"),
+        org.apache.spark.sql.types.StringType, true))): Unit   // v3
+      val metaOnly =
+        LogTable.snapshot(s, t).files.map(_.name).toSet == filesPre
+      // a NEW-shape append rides the evolved schema
+      import s.implicits._
+      LogTable.append(s, t, Seq((90000001L, 1999))
+        .toDF("k", "o_year")
+        .select(col("k"), col("o_year"),
+          map(lit("m"), struct(lit("Z").as("label"),
+            lit(5L).as("score"), lit("y").as("note"))).as("props"))): Unit
+      // time travel reads the OLD value shape off the same files
+      val ttOk = LogTable.read(s, t, asOf = Some(1L))
+        .select(explode(col("props")).as(Seq("mk", "mv")))
+        .schema.fields.find(_.name == "mv").get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("tag", "score")
+      val ok = metaOnly && ttOk
+      LogTable.read(s, t)
+        .select(col("o_year"), explode(col("props")).as(Seq("mk", "mv")))
+        .groupBy(col("o_year"), col("mv.label").as("label"))
+        .agg(count(lit(1)).as("n"), sum(col("mv.score")).as("sum_score"),
+          count(col("mv.note")).as("n_note"))
+        .withColumn("map_evo_ok", lit(ok))
+    }),
+
+    "q182_null_partitions" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q182")
+      // a REAL null population: 'O' orders carry NULL seg (~ a third)
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        nullif(col("o_orderstatus"), lit("O")).as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("o_year"),
+        lit(0L).as("version"), lit("U").as("op"))
+      LogTable.create(s, t, base, Seq("seg"), Seq("k"),
+        tableProperties = Map(LogTable.CdcProp -> "true"))         // v1
+      s.sql(s"UPDATE graft.`$t` SET cents = cents + 7, version = 1 " +
+        "WHERE seg IS NULL AND k % 5 = 0"): Unit                   // v2
+      s.sql(s"DELETE FROM graft.`$t` WHERE seg = 'F' AND k % 7 = 0"): Unit // v3
+      // latest-wins upsert INTO the null partition: updates off the
+      // PRE-DML base values (version 9 wins) plus brand-new keys
+      val updBatch = base.filter(col("seg").isNull && col("k") % 11 === 0)
+        .select(col("k"), col("seg"), (col("cents") + 1L).as("cents"),
+          col("o_year"), lit(9L).as("version"), col("op"))
+      val insBatch = updBatch.select((col("k") + 90000000L).as("k"),
+        col("seg"), col("cents"), col("o_year"), col("version"), col("op"))
+      val v4 = LogTable.upsert(s, t, updBatch.unionByName(insBatch),
+        Seq("k"), Seq("version"), "op")
+      // pruning proofs off the log alone: IS NULL excludes provably
+      // null-free files; equality excludes every all-NULL file
+      val snap = LogTable.snapshot(s, t)
+      val nullOnly = snap.files.count(f => f.stats.exists { case (c, st) =>
+        c.equalsIgnoreCase("seg") && st.min.isEmpty && st.nulls > 0 })
+      val cwNull = LogTable.countWhere(s, t, col("seg").isNull)
+      val cwEq = LogTable.countWhere(s, t, col("seg") === "F")
+      val pruneOk = nullOnly >= 1 && cwNull.excludedFiles >= 1 &&
+        cwEq.scannedFiles + cwEq.decidedFiles <= snap.files.size - nullOnly
+      // the row-level feed over the upsert commit: exactly the batch
+      val nUpd = updBatch.count()
+      val feed = LogTable.readCommitChanges(s, t, v4 - 1, v4)
+        .groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val feedOk = feed.getOrElse("insert", 0L) == nUpd &&
+        feed.getOrElse("update_preimage", 0L) == nUpd &&
+        feed.getOrElse("update_postimage", 0L) == nUpd &&
+        feed.getOrElse("delete", 0L) == 0L
+      val ok = pruneOk && feedOk && v4 == 4L &&
+        cwNull.count == LogTable.read(s, t).filter(col("seg").isNull).count()
+      LogTable.read(s, t)
+        .groupBy(coalesce(col("seg"), lit("(null)")).as("seg_g"),
+          col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("null_part_ok", lit(ok))
+    }),
+
     "q181_wap_branch" -> ((s, dir) => {
       import graft.sources.LogTable
       val t = scratch(s, dir, "graft_q181")
@@ -1275,21 +1379,36 @@ object SourceQueries {
           graft.ops.Validate.unique("k"))); false }
         catch { case _: IllegalStateException => true }
       LogTable.dropBranch(s, t, "bad")
-      // non-FF: a branch staged before a main advance refuses publish
+      // non-FF with DISJOINT work REBASES: a branch staged before a
+      // main advance still publishes when the interim commits touched
+      // other files (the Iceberg cherry-pick shape) — main's mid-stage
+      // append survives alongside the branch's
       val bp3 = LogTable.createBranch(s, t, "late")
       LogTable.append(s, bp3, Seq((9000003L, "LATE", 1L))
         .toDF("k", "segment", "cents")): Unit
       LogTable.append(s, t, Seq((9000004L, "MAIN", 2L))
         .toDF("k", "segment", "cents")): Unit
+      val vMid = LogTable.snapshot(s, t).version
+      val rebaseOk = LogTable.publishBranch(s, t, "late") == vMid + 1 &&
+        LogTable.read(s, t).filter(col("k") === 9000003L).count() == 1L &&
+        LogTable.read(s, t).filter(col("k") === 9000004L).count() == 1L
+      LogTable.dropBranch(s, t, "late")
+      // non-FF with OVERLAPPING work refuses: both sides rewrote the
+      // same files — re-basing would lose one side's rows
+      val bp4 = LogTable.createBranch(s, t, "clash")
+      LogTable.updateWhere(s, bp4, col("k") % 10 === 0,
+        Map("cents" -> (col("cents") + 1L))): Unit
+      LogTable.updateWhere(s, t, col("k") % 10 === 0,
+        Map("cents" -> (col("cents") + 2L))): Unit
       val nonFfOk =
-        try { LogTable.publishBranch(s, t, "late"); false }
+        try { LogTable.publishBranch(s, t, "clash"); false }
         catch { case e: IllegalArgumentException =>
           e.getMessage.contains("fast-forward") }
-      LogTable.dropBranch(s, t, "late")
+      LogTable.dropBranch(s, t, "clash")
       // the tag still reads the pre-WAP state
       val tagOk = LogTable.readTag(s, t, "pre-wap").count() == mainN
       val _ = bp
-      val wapOk = stagedOk && ffOk && auditOk && nonFfOk && tagOk
+      val wapOk = stagedOk && ffOk && auditOk && rebaseOk && nonFfOk && tagOk
       LogTable.read(s, t).groupBy(col("segment"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .withColumn("wap_ok", lit(wapOk))
@@ -2608,6 +2727,52 @@ object SourceQueries {
         |SELECT segment, src, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS id_ok
         |FROM final GROUP BY segment, src""".stripMargin,
+    "q183_map_struct_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS label,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, o_year, label, score, CAST(NULL AS VARCHAR) AS note
+        |  FROM base
+        |  UNION ALL SELECT 90000001, 1999, 'Z', 5, 'y')
+        |SELECT o_year, label, count(*) AS n,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  count(note) AS n_note, TRUE AS map_evo_ok
+        |FROM final GROUP BY 1, 2""".stripMargin,
+
+    "q182_null_partitions" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, nullif(o_orderstatus, 'O') AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, seg,
+        |    CASE WHEN seg IS NULL AND k % 5 = 0 THEN cents + 7
+        |         ELSE cents END AS cents, o_year,
+        |    CASE WHEN seg IS NULL AND k % 5 = 0 THEN 1
+        |         ELSE version END AS version
+        |  FROM base),
+        |del AS (
+        |  SELECT * FROM upd
+        |  WHERE NOT coalesce(seg = 'F' AND k % 7 = 0, FALSE)),
+        |batch_upd AS (
+        |  SELECT k, seg, cents + 1 AS cents, o_year, 9 AS version
+        |  FROM base WHERE seg IS NULL AND k % 11 = 0),
+        |merged AS (
+        |  SELECT d.* FROM del d
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch_upd b WHERE b.k = d.k)
+        |  UNION ALL SELECT * FROM batch_upd
+        |  UNION ALL SELECT k + 90000000, seg, cents, o_year, version
+        |  FROM batch_upd)
+        |SELECT coalesce(seg, '(null)') AS seg_g, o_year, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  TRUE AS null_part_ok
+        |FROM merged GROUP BY 1, 2""".stripMargin,
+
     "q181_wap_branch" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_mktsegment AS segment,
@@ -2615,11 +2780,12 @@ object SourceQueries {
         |  FROM customer),
         |upd AS (
         |  SELECT k, segment,
-        |    CASE WHEN k % 10 = 0 THEN cents + 5 ELSE cents END AS cents
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
         |  FROM base),
         |kept AS (SELECT * FROM upd WHERE k % 17 <> 0),
         |final AS (SELECT * FROM kept
         |  UNION ALL SELECT 9000001 AS k, 'WAP' AS segment, 777 AS cents
+        |  UNION ALL SELECT 9000003 AS k, 'LATE' AS segment, 1 AS cents
         |  UNION ALL SELECT 9000004 AS k, 'MAIN' AS segment, 2 AS cents)
         |SELECT segment, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS wap_ok

@@ -102,4 +102,124 @@ class AdviceFixesSpec extends SparkSpec {
     assert(snap1.commitTs != snap0.commitTs,
       "an (mtime,length) collision served the stale cached snapshot")
   }
+
+  test("MERGE INTO under cdc.enabled evaluates non-deterministic SET " +
+    "expressions ONCE: the CDC post-image matches the committed rows") {
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      (1L to 50L).map(k => (k, "p0", 0L)).toDF("k", "p", "cents"),
+      Seq("p"), statsCols = Seq("k"),
+      tableProperties = Map(LogTable.CdcProp -> "true"))
+    val v = LogTable.mergeInto(spark, t,
+      (1L to 50L).map(k => (k, "p0")).toDF("k", "p"), Seq("k"))
+      .whenMatchedUpdate(
+        Map("cents" -> "CAST(rand() * 1000000000 AS BIGINT)"))
+      .run()
+    val post = LogTable.readCommitChanges(spark, t, v - 1, v)
+      .filter(col("_change_type") === "update_postimage")
+      .select("k", "cents")
+    val now = LogTable.read(spark, t).select("k", "cents")
+    assert(post.count() == 50L)
+    assert(post.exceptAll(now).count() == 0 &&
+      now.exceptAll(post).count() == 0,
+      "the feed's post-image re-ran the non-deterministic merge " +
+        "projection instead of reading the committed values")
+    // the insert path pins too (rand in an INSERT VALUES expression)
+    val v2 = LogTable.mergeInto(spark, t,
+      Seq((99L, "p0")).toDF("k", "p"), Seq("k"))
+      .whenNotMatchedInsert(
+        Map("cents" -> "CAST(rand() * 1000000000 AS BIGINT)"))
+      .run()
+    val ins = LogTable.readCommitChanges(spark, t, v2 - 1, v2)
+      .filter(col("_change_type") === "insert").select("k", "cents")
+    val row99 = LogTable.read(spark, t).filter(col("k") === 99L)
+      .select("k", "cents")
+    assert(ins.exceptAll(row99).count() == 0 &&
+      row99.exceptAll(ins).count() == 0,
+      "insert-image diverged from the committed row")
+  }
+
+  test("hiveFillOn: a no-match path extract stays NULL — an in-data " +
+    "NULL in a STRING convert.hive column never becomes empty string") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      ("flatnull", null.asInstanceOf[String], "/w/part-0.parquet"),
+      ("dirfill", null.asInstanceOf[String], "/w/p=dir%20x/part-1.parquet"),
+      ("indata", "win", "/w/p=other/part-2.parquet"))
+      .toDF("v", "p", "fp")
+    val out = LogTable.hiveFillOn(
+      StructType(Seq(StructField("v", StringType),
+        StructField("p", StringType))),
+      Seq("p"), df, col("fp"))
+      .select("v", "p").as[(String, String)].collect().toMap
+    assert(out("flatnull") == null,
+      s"flat-file NULL must stay NULL, got '${out("flatnull")}'")
+    assert(out("dirfill") == "dir x", s"directory fill: ${out("dirfill")}")
+    assert(out("indata") == "win", "in-data values win")
+  }
+
+  test("readCommitChanges: a parent snapshot lost behind the horizon " +
+    "gets the friendly expired-window error, not a raw replay failure") {
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      (1L to 20L).map(k => (k, "p0", k * 10L)).toDF("k", "p", "cents"),
+      Seq("p"), statsCols = Seq("k"))                         // v1
+    LogTable.append(spark, t,
+      Seq((21L, "p0", 210L)).toDF("k", "p", "cents")): Unit   // v2
+    LogTable.deleteWhere(spark, t, col("k") <= 5): Unit       // v3 removes
+    // surgically expire v1-v2 with NO checkpoint: commit 3 is readable
+    // but its parent snapshot is not — exactly the raw-replay hole
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    Seq(1L, 2L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        t + f"/_graft_log/$v%020d.json"), false): Unit
+    }
+    val e = intercept[IllegalStateException] {
+      LogTable.readCommitChanges(spark, t, 2L, 3L).collect()
+    }
+    assert(e.getMessage.contains("expired behind a checkpoint"),
+      e.getMessage)
+  }
+
+  test("graft_changes has ONE output schema: the file-level shape " +
+    "carries _commit_version (NULL), and the mode argument pins the " +
+    "granularity explicitly") {
+    import graft.expr.GraftExtensions
+    org.apache.spark.sql.GraftBridge.installFunctions(spark,
+      new GraftExtensions().apply)
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      Seq((1L, "p0", 10L), (2L, "p0", 20L)).toDF("k", "p", "cents"),
+      Seq("p"), statsCols = Seq("k"))
+    spark.sql(s"UPDATE graft.`$t` SET cents = cents + 1 WHERE k = 1"): Unit
+    // file-level (non-cdc table): same column set as the row-level feed
+    val file = spark.sql(s"SELECT * FROM graft_changes('$t', 1, 2)")
+    assert(file.columns.contains("_commit_version"),
+      file.columns.mkString(","))
+    assert(file.filter(col("_commit_version").isNotNull).count() == 0,
+      "a net diff is not attributable to one commit — NULL, not a guess")
+    // mode 'row' serves the per-commit feed on ANY table (file-level
+    // per-commit fallback), version-attributed
+    val row = spark.sql(s"SELECT * FROM graft_changes('$t', 1, 2, 'row')")
+    assert(row.columns.sorted.toSeq == file.columns.sorted.toSeq,
+      "one schema for every mode")
+    assert(row.filter(col("_commit_version") =!= 2L).count() == 0)
+    // mode 'file' pins the net shape even on a cdc table
+    val t2 = tmp() + "/t2"
+    LogTable.create(spark, t2,
+      Seq((1L, "p0", 10L)).toDF("k", "p", "cents"),
+      Seq("p"), statsCols = Seq("k"),
+      tableProperties = Map(LogTable.CdcProp -> "true"))
+    spark.sql(s"UPDATE graft.`$t2` SET cents = 11 WHERE k = 1"): Unit
+    val pinned = spark.sql(
+      s"SELECT * FROM graft_changes('$t2', 1, 2, 'file')")
+    assert(pinned.filter(col("_commit_version").isNotNull).count() == 0)
+    val auto = spark.sql(s"SELECT * FROM graft_changes('$t2', 1, 2)")
+    assert(auto.filter(col("_change_type") === "update_postimage")
+      .count() == 1L, "auto on a cdc table serves the row-level feed")
+    val bad = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$t2', 1, 2, 'nope')").collect())
+    assert(bad.getMessage.contains("unknown mode"), bad.getMessage)
+  }
 }

@@ -67,19 +67,49 @@ class BranchSpec extends SparkSpec {
     assert(LogTable.read(spark, dir).count() == 31L)
   }
 
-  test("non-fast-forward publish refuses loud; schema evolved on the " +
-    "branch publishes atomically with its rows") {
+  test("non-fast-forward publish REBASES when the file sets are " +
+    "disjoint, refuses on overlap or metadata drift; schema evolved on " +
+    "the branch publishes atomically with its rows") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
-    LogTable.createBranch(spark, dir, "b1"): Unit
-    // main ADVANCES while b1 is staged
+    // DISJOINT: branch appends one file, main appends another — the
+    // staged work re-bases onto the advanced head in one commit
+    val b1 = LogTable.createBranch(spark, dir, "b1")
+    LogTable.append(spark, b1,
+      Seq((100L, "b", 1L, "p1")).toDF("k", "v", "cents", "p")): Unit
     LogTable.append(spark, dir,
       Seq((200L, "m", 2L, "p2")).toDF("k", "v", "cents", "p")): Unit
-    val e = intercept[IllegalArgumentException] {
-      LogTable.publishBranch(spark, dir, "b1")
-    }
-    assert(e.getMessage.contains("fast-forward"), e.getMessage)
+    val vPre = LogTable.snapshot(spark, dir).version
+    assert(LogTable.publishBranch(spark, dir, "b1") == vPre + 1,
+      "disjoint work re-bases in ONE commit")
+    val afterRebase = LogTable.read(spark, dir)
+    assert(afterRebase.filter(col("k") === 100L).count() == 1L &&
+      afterRebase.filter(col("k") === 200L).count() == 1L,
+      "both sides' rows survive the rebase")
     LogTable.dropBranch(spark, dir, "b1")
+    // OVERLAP: both sides rewrite the same files — refuse loud
+    val bo = LogTable.createBranch(spark, dir, "bo")
+    LogTable.updateWhere(spark, bo, col("k") <= 5L,
+      Map("cents" -> (col("cents") + 1L))): Unit
+    LogTable.updateWhere(spark, dir, col("k") <= 5L,
+      Map("cents" -> (col("cents") + 2L))): Unit
+    val eo = intercept[IllegalArgumentException] {
+      LogTable.publishBranch(spark, dir, "bo")
+    }
+    assert(eo.getMessage.contains("fast-forward") &&
+      eo.getMessage.contains("touched"), eo.getMessage)
+    LogTable.dropBranch(spark, dir, "bo")
+    // METADATA DRIFT: main changed a property mid-stage — even disjoint
+    // file sets refuse (a rebase must not roll main's metadata back)
+    val bm = LogTable.createBranch(spark, dir, "bm")
+    LogTable.append(spark, bm,
+      Seq((300L, "x", 3L, "p0")).toDF("k", "v", "cents", "p")): Unit
+    LogTable.setProperties(spark, dir, Map("owner" -> "ops")): Unit
+    val em = intercept[IllegalArgumentException] {
+      LogTable.publishBranch(spark, dir, "bm")
+    }
+    assert(em.getMessage.contains("properties changed"), em.getMessage)
+    LogTable.dropBranch(spark, dir, "bm")
     // a fresh branch off the new head: evolve schema + write, publish
     val bp = LogTable.createBranch(spark, dir, "b2")
     import org.apache.spark.sql.connector.catalog.TableChange
@@ -92,7 +122,8 @@ class BranchSpec extends SparkSpec {
     val main = LogTable.read(spark, dir)
     assert(main.schema.fieldNames.contains("note"))
     assert(main.filter(col("note") === "hello").count() == 1L)
-    assert(main.filter(col("note").isNull).count() == 31L)
+    // 30 seed rows + the rebase-published k=100 + main's own k=200
+    assert(main.filter(col("note").isNull).count() == 32L)
   }
 
   test("a failed audit keeps main clean — the branch is simply dropped; " +
@@ -202,9 +233,9 @@ class BranchSpec extends SparkSpec {
     assert(LogTable.readTag(spark, dir, "release-1").count() == 20L)
   }
 
-  test("two branches racing to publish off the same base: exactly one " +
-    "wins; the loser gets the non-fast-forward refusal, never a torn " +
-    "state") {
+  test("two DISJOINT branches racing to publish off the same base: " +
+    "both land (the loser re-bases); two OVERLAPPING branches: exactly " +
+    "one wins and the loser refuses, never a torn state") {
     val dir = tmp() + "/t"
     LogTable.create(spark, dir, seed, Seq("p"), statsCols = Seq("k"))
     Seq("r1", "r2").foreach { n =>
@@ -214,20 +245,36 @@ class BranchSpec extends SparkSpec {
           .toDF("k", "v", "cents", "p")): Unit
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    val results = try {
-      Seq("r1", "r2").map { n =>
+    def race(names: Seq[String]): Seq[Either[String, Long]] =
+      names.map { n =>
         pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
           override def call(): Either[String, Long] =
             try Right(LogTable.publishBranch(spark, dir, n))
             catch { case e: IllegalArgumentException => Left(e.getMessage) }
         })
       }.map(_.get())
-    } finally pool.shutdown()
-    assert(results.count(_.isRight) == 1, s"exactly one winner: $results")
-    val Left(msg) = results.find(_.isLeft).get: @unchecked
+    val results = race(Seq("r1", "r2"))
+    assert(results.forall(_.isRight),
+      s"disjoint appends both publish (the loser re-bases): $results")
+    assert(results.collect { case Right(v) => v }.distinct.size == 2,
+      "two separate commits")
+    assert(LogTable.read(spark, dir).filter(col("k") >= 1000L).count() == 2L)
+    // OVERLAPPING: both branches rewrite the same base files
+    Seq("o1", "o2").foreach { n =>
+      LogTable.createBranch(spark, dir, n): Unit
+      LogTable.updateWhere(spark, LogTable.branchDir(dir, n),
+        col("k") <= 5L, Map("cents" -> (col("cents") + 1L))): Unit
+    }
+    val results2 = try race(Seq("o1", "o2")) finally pool.shutdown()
+    assert(results2.count(_.isRight) == 1,
+      s"exactly one overlapping winner: $results2")
+    val Left(msg) = results2.find(_.isLeft).get: @unchecked
     assert(msg.contains("fast-forward"), msg)
-    // main carries exactly the winner's row
-    assert(LogTable.read(spark, dir).filter(col("k") >= 1000L).count() == 1L)
+    // the winner's +1 landed exactly once
+    assert(LogTable.read(spark, dir).filter(col("k") <= 5L)
+      .select(sum(col("cents"))).as[Long].head() ==
+      seed.filter(col("k") <= 5L).select(sum(col("cents") + 1L))
+        .as[Long].head())
   }
 
   test("vacuum reclaims a dead branch's unreferenced files but keeps " +

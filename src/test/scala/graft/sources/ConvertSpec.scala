@@ -89,7 +89,7 @@ class ConvertSpec extends SparkSpec {
   }
 
   test("refusals: an existing log, disagreeing schemas, non-hive " +
-    "nesting, NULL partition directories") {
+    "nesting; the hive default partition adopts as NULL") {
     val dir = tmp() + "/t"
     Sources.writeParquet(seed, dir, partitionBy = Seq("p"))
     LogTable.convert(spark, dir): Unit
@@ -143,16 +143,15 @@ class ConvertSpec extends SparkSpec {
       LogTable.convert(spark, dir3)
     }
     assert(e3.getMessage.contains("col=value"), e3.getMessage)
-    // __HIVE_DEFAULT_PARTITION__ refuses
+    // __HIVE_DEFAULT_PARTITION__ no longer refuses — it adopts as a
+    // NULL partition value (see the dedicated default-partition test)
     val dir4 = tmp() + "/t4"
     Sources.writeParquet(
       Seq((1L, Option("p0")), (2L, Option.empty[String])).toDF("k", "p"),
       dir4, partitionBy = Seq("p"))
-    val e4 = intercept[IllegalArgumentException] {
-      LogTable.convert(spark, dir4)
-    }
-    assert(e4.getMessage.contains("__HIVE_DEFAULT_PARTITION__"),
-      e4.getMessage)
+    LogTable.convert(spark, dir4): Unit
+    assert(LogTable.read(spark, dir4).filter(col("p").isNull)
+      .count() == 1L)
   }
 
   test("migrateConverted retires the hive debt in one dataChange=false " +
@@ -222,5 +221,52 @@ class ConvertSpec extends SparkSpec {
     assert(rows.size == 61)
     assert(rows.forall(_.getAs[String]("p") != null),
       "hive partition values must fill through the stream")
+  }
+
+  test("a hive layout containing __HIVE_DEFAULT_PARTITION__ adopts: the " +
+    "default directory reads as NULL, IS NULL prunes to it, DML and " +
+    "post-adoption writes keep the NULL partition coherent") {
+    val dir = tmp() + "/t"
+    val withNull = (1L to 40L)
+      .map(i => (i, s"v$i", i * 7L, if (i % 4 == 0) null else s"p${i % 3}"))
+      .toDF("k", "v", "cents", "p")
+    Sources.writeParquet(withNull, dir, partitionBy = Seq("p"))
+    // Spark wrote the NULL rows under the hive default sentinel
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      dir, "p=__HIVE_DEFAULT_PARTITION__")), "precondition: default dir")
+    LogTable.convert(spark, dir, statsCols = Seq("k")): Unit
+    // the default directory reads as NULL — never as the sentinel string
+    // and never as empty string
+    val read = LogTable.read(spark, dir)
+    assert(read.filter(col("p").isNull).count() == 10L)
+    assert(read.filter(col("p") === "__HIVE_DEFAULT_PARTITION__")
+      .count() == 0L)
+    assert(read.filter(col("p") === "").count() == 0L)
+    // pruning: IS NULL excludes the non-null directories' files
+    val cw = LogTable.countWhere(spark, dir, col("p").isNull)
+    assert(cw.count == 10L && cw.excludedFiles >= 1, cw.toString)
+    // equality never touches the default-partition file
+    val eq = LogTable.countWhere(spark, dir, col("p") === "p1")
+    val snap = LogTable.snapshot(spark, dir)
+    val nullFiles = snap.files.count(_.stats.exists { case (c, st) =>
+      c.equalsIgnoreCase("p") && st.nulls > 0 })
+    assert(nullFiles >= 1)
+    assert(eq.scannedFiles + eq.decidedFiles <= snap.files.size - nullFiles)
+    // DML in the NULL partition
+    LogTable.updateWhere(spark, dir, col("p").isNull && col("k") % 8 === 0,
+      Map("cents" -> (col("cents") + 1L))): Unit
+    assert(LogTable.read(spark, dir)
+      .filter(col("p").isNull && col("k") % 8 === 0)
+      .select(sum(col("cents"))).as[Long].head() ==
+      (8L to 40L by 8L).map(_ * 7L + 1L).sum)
+    LogTable.deleteWhere(spark, dir, col("p").isNull && col("k") === 4L): Unit
+    assert(LogTable.read(spark, dir).count() == 39L)
+    // a post-adoption append with NULL partition values lands natively
+    LogTable.append(spark, dir,
+      Seq((100L, "new", 1L, null.asInstanceOf[String]))
+        .toDF("k", "v", "cents", "p")): Unit
+    assert(LogTable.read(spark, dir).filter(col("p").isNull).count() == 10L)
   }
 }

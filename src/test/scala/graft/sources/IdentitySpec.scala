@@ -238,4 +238,83 @@ class IdentitySpec extends SparkSpec {
     assert(all.select("id").distinct().count() == all.count(),
       "racing identity appends must never assign the same id")
   }
+
+  test("identity rides EVERY insert path: upsert inherits matched keys' " +
+    "values and generates for new keys, overwrite and MERGE INTO " +
+    "inserts fill, GENERATED ALWAYS refuses explicit values everywhere") {
+    val t = tmp() + "/t"
+    LogTable.create(spark, t,
+      Seq((1L, "p0", "a", 0L, "U", 100L), (2L, "p0", "b", 0L, "U", 200L))
+        .toDF("k", "p", "v", "ver", "op", "id"),
+      Seq("p"), statsCols = Seq("k", "id"),
+      tableProperties = Map(LogTable.IdentityColProp -> "id"))
+    // UPSERT omitting the column: matched key keeps its committed id,
+    // the new key gets a generated one above the high-water — never the
+    // alignment NULL
+    LogTable.upsert(spark, t,
+      Seq((2L, "p0", "b2", 1L, "U"), (3L, "p1", "c", 1L, "U"))
+        .toDF("k", "p", "v", "ver", "op"),
+      Seq("k"), Seq("ver"), "op"): Unit
+    val byK = LogTable.read(spark, t).select("k", "id").as[(Long, Long)]
+      .collect().toMap
+    assert(byK(1L) == 100L && byK(2L) == 200L,
+      s"matched keys keep their identity, got $byK")
+    assert(byK(3L) > 200L, s"new key generates past the high-water: $byK")
+    assert(byK.values.toSeq.distinct.size == 3, s"ids stay unique: $byK")
+    // MERGE INTO insert omitting the column: the inserted row fills,
+    // the updated row keeps its id
+    LogTable.mergeInto(spark, t,
+      Seq((1L, "p0", "a2", 9L, "U"), (4L, "p1", "d", 9L, "U"))
+        .toDF("k", "p", "v", "ver", "op"), Seq("k"))
+      .whenMatchedUpdate(Map("v" -> "s.v"))
+      .whenNotMatchedInsert().run(): Unit
+    val byK2 = LogTable.read(spark, t).select("k", "id").as[(Long, Long)]
+      .collect().toMap
+    assert(byK2(1L) == 100L, s"merge update keeps identity: $byK2")
+    assert(byK2(4L) > byK2(3L), s"merge insert generates fresh: $byK2")
+    assert(byK2.values.toSeq.distinct.size == 4, s"unique: $byK2")
+    // OVERWRITE omitting the column: every row fills above the water
+    val before = byK2.values.max
+    LogTable.overwriteAll(spark, t,
+      Seq((7L, "p0", "x", 0L, "U"), (8L, "p1", "y", 0L, "U"))
+        .toDF("k", "p", "v", "ver", "op")): Unit
+    val ow = LogTable.read(spark, t).select("id").as[Long].collect().toSeq
+    assert(ow.size == 2 && ow.distinct.size == 2 && ow.forall(_ > before),
+      s"overwrite fill must be fresh and unique, got $ow past $before")
+    // GENERATED ALWAYS: every supplying path refuses loud
+    val ta = tmp() + "/ta"
+    LogTable.create(spark, ta,
+      Seq((1L, "p0", "a", 0L, "U", 1L))
+        .toDF("k", "p", "v", "ver", "op", "id"),
+      Seq("p"), statsCols = Seq("k", "id"),
+      tableProperties = Map(LogTable.IdentityColProp -> "id",
+        LogTable.IdentityModeProp -> "always",
+        LogTable.IdentityStartProp -> "2"))
+    def refused(f: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("ALWAYS"), e.getMessage)
+    }
+    refused(LogTable.upsert(spark, ta,
+      Seq((2L, "p0", "b", 1L, "U", 9L)).toDF("k", "p", "v", "ver", "op", "id"),
+      Seq("k"), Seq("ver"), "op"): Unit)
+    refused(LogTable.overwriteAll(spark, ta,
+      Seq((2L, "p0", "b", 1L, "U", 9L))
+        .toDF("k", "p", "v", "ver", "op", "id")): Unit)
+    refused(LogTable.mergeInto(spark, ta,
+      Seq((2L, "p0", "b", 1L, "U", 9L)).toDF("k", "p", "v", "ver", "op", "id"),
+      Seq("k")).whenNotMatchedInsert().run(): Unit)
+    refused(LogTable.mergeInto(spark, ta,
+      Seq((1L, "p0", "b", 1L, "U")).toDF("k", "p", "v", "ver", "op"),
+      Seq("k")).whenMatchedUpdate(Map("id" -> "42")).run(): Unit)
+    // and the OMITTING forms still work under ALWAYS
+    LogTable.upsert(spark, ta,
+      Seq((2L, "p0", "b", 1L, "U")).toDF("k", "p", "v", "ver", "op"),
+      Seq("k"), Seq("ver"), "op"): Unit
+    LogTable.mergeInto(spark, ta,
+      Seq((3L, "p1", "c", 1L, "U")).toDF("k", "p", "v", "ver", "op"),
+      Seq("k")).whenNotMatchedInsert().run(): Unit
+    val ids = LogTable.read(spark, ta).select("id").as[Long].collect().toSeq
+    assert(ids.distinct.size == 3 && !ids.contains(null),
+      s"ALWAYS omitting paths still generate unique ids: $ids")
+  }
 }

@@ -216,14 +216,44 @@ class LogTableSpec extends SparkSpec {
     assert(e.getMessage.contains("only ADD-column"))
   }
 
-  test("null partition values fail loud at write time") {
+  test("NULL partition values are first-class: writes land, IS NULL " +
+    "finds them, non-NULL predicates skip all-NULL files, upserts " +
+    "target them") {
     val dir = tmp() + "/t"
-    val withNull = Seq((1L, "a", 0, "p1", "U"), (2L, "b", 0, null, "U"))
+    val withNull = Seq((1L, "a", 0, "p1", "U"), (2L, "b", 0, null, "U"),
+      (3L, "c", 0, null, "U"))
       .toDF("k", "v", "ver", "p", "op")
-    val e = intercept[IllegalArgumentException] {
-      LogTable.create(spark, dir, withNull, "p")
+    LogTable.create(spark, dir, withNull, "p")
+    assert(LogTable.read(spark, dir).filter($"p".isNull).count() == 2L)
+    // pruning: IS NULL keeps only null-holding files; an equality
+    // predicate never scans the all-NULL file
+    val isNull = LogTable.countWhere(spark, dir, $"p".isNull)
+    assert(isNull.count == 2L)
+    val eq = LogTable.countWhere(spark, dir, $"p" === "p1")
+    assert(eq.count == 1L)
+    val nullFiles = {
+      val snap = LogTable.snapshot(spark, dir)
+      snap.files.count(_.stats.exists { case (k, st) =>
+        k.equalsIgnoreCase("p") && st.nulls > 0 })
     }
-    assert(e.getMessage.contains("NULL values in partition column"))
+    assert(nullFiles >= 1, "at least one file holds the NULL partition")
+    assert(eq.scannedFiles <
+      LogTable.snapshot(spark, dir).files.size ||
+      LogTable.snapshot(spark, dir).files.size == 1,
+      "equality must not scan every file when an all-NULL file exists")
+    // an upsert whose batch touches the NULL partition only rewrites
+    // files that may hold NULLs
+    LogTable.upsert(spark, dir,
+      Seq((2L, "b2", 1, null, "U"), (4L, "d", 1, null, "U"))
+        .toDF("k", "v", "ver", "p", "op"),
+      Seq("k"), Seq("ver"), "op"): Unit
+    val after = LogTable.read(spark, dir)
+    assert(after.count() == 4L)
+    assert(after.filter($"p".isNull).count() == 3L)
+    assert(after.filter($"k" === 2L).select("v").as[String].head() == "b2")
+    // deletes find the NULL partition too
+    LogTable.deleteWhere(spark, dir, $"p".isNull && $"k" === 3L): Unit
+    assert(LogTable.read(spark, dir).count() == 3L)
   }
 
   test("a losing commit race retries against the winner's snapshot") {

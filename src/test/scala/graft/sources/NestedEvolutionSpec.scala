@@ -493,4 +493,62 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(LogTable.read(spark, dst).select("meta.*").columns.contains("agent"))
     assert(LogTable.read(spark, dir).select("meta.*").columns.contains("ua"))
   }
+
+  test("MAP OF STRUCTS evolves through the `value` segment: rename, " +
+    "add-with-default and widen are metadata-only — zero files " +
+    "rewritten — and time travel reads the old value shape") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, "p0", Map("a" -> (("ua0", 1L)), "b" -> (("ua1", 2L)))),
+      (2L, "p1", Map("c" -> (("ua2", 3L)))))
+      .toDF("k", "p", "m0")
+      .select(col("k"), col("p"),
+        transform_values(col("m0"), (_, v) =>
+          struct(v.getField("_1").as("ua"), v.getField("_2").as("score")))
+          .as("props"))
+    LogTable.create(spark, dir, df, Seq("p"), statsCols = Seq("k"))
+    val filesPre = LogTable.snapshot(spark, dir).files.map(_.name).toSet
+    // RENAME a field inside the map's value struct
+    LogTable.evolveSchema(spark, dir, Seq(TableChange.renameColumn(
+      Array("props", "value", "ua"), "agent"))): Unit
+    // ADD a defaulted field + WIDEN an existing one
+    LogTable.evolveSchema(spark, dir, Seq(
+      TableChange.addColumn(Array("props", "value", "note"),
+        org.apache.spark.sql.types.StringType, true))): Unit
+    val vNow = LogTable.latestVersion(spark, dir)
+    assert(LogTable.snapshot(spark, dir).files.map(_.name).toSet ==
+      filesPre, "nested map evolution must be metadata-only")
+    // the read serves the NEW shape off the OLD files
+    val got = LogTable.read(spark, dir)
+      .select(explode(col("props")).as(Seq("mk", "mv")))
+      .select(col("mk"), col("mv.agent"), col("mv.score"), col("mv.note"))
+      .as[(String, String, Long, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "ua0", 1L, None), ("b", "ua1", 2L, None),
+      ("c", "ua2", 3L, None)), got.mkString(","))
+    // a NEW-shape append round-trips; old files still NULL-fill note
+    LogTable.append(spark, dir,
+      Seq((3L, "p0", Map("d" -> (("ua3", 4L, "hi")))))
+        .toDF("k", "p", "m0")
+        .select(col("k"), col("p"),
+          transform_values(col("m0"), (_, v) =>
+            struct(v.getField("_1").as("agent"),
+              v.getField("_2").as("score"),
+              v.getField("_3").as("note"))).as("props"))): Unit
+    val d = LogTable.read(spark, dir).filter(col("k") === 3L)
+      .select(explode(col("props")).as(Seq("mk", "mv")))
+      .select(col("mv.agent"), col("mv.note"))
+      .as[(String, String)].head()
+    assert(d == ("ua3", "hi"))
+    // TIME TRAVEL: the pre-evolution version serves the OLD value shape
+    val old = LogTable.read(spark, dir, asOf = Some(vNow - 2L))
+    assert(old.select(explode(col("props")).as(Seq("mk", "mv")))
+      .select("mv.ua").as[String].collect().sorted.toSeq ==
+      Seq("ua0", "ua1", "ua2"))
+    // direct map access without `value` refuses with a pointer
+    val e = intercept[IllegalArgumentException] {
+      LogTable.evolveSchema(spark, dir, Seq(TableChange.renameColumn(
+        Array("props", "agent"), "x"))): Unit
+    }
+    assert(e.getMessage.contains("value"), e.getMessage)
+  }
 }
