@@ -1244,6 +1244,69 @@ object SourceQueries {
     // them, predicate DML and the latest-wins upsert target the NULL
     // partition, and the row-level CDC feed serves the changes — volume
     // proportional to the batch, never the partition.
+    // ROW TRACKING — stable row identity (the Delta row-tracking
+    // shape): `_row_id` dense-assigns at create, SURVIVES a predicate
+    // UPDATE and a compaction bit-identically (pinned by an anti-join
+    // count), upserts inherit matched keys' ids and mint fresh ones,
+    // and the change feed folds KEYLESS — readNetChanges(keyCols=Nil)
+    // reconstructs the head state from the v1 snapshot by _row_id
+    // alone, exceptAll-pinned in both directions.
+    "q184_row_tracking" -> ((s, dir) => {
+      import graft.sources.LogTable
+      val t = scratch(s, dir, "graft_q184")
+      val base = ordersShaped(s, dir, withOdate = false)
+      LogTable.create(s, t, base, Seq("o_year"), Seq("k"),
+        tableProperties = Map(LogTable.RowTrackingProp -> "true")) // v1
+      s.sql(s"UPDATE graft.`$t` SET cents = cents + 3 " +
+        "WHERE k % 9 = 0"): Unit                                   // v2
+      LogTable.compactPartitions(s, t, maxFilesPerPartition = 2): Unit
+      // rewrites must never re-key a row
+      val pre = LogTable.read(s, t, asOf = Some(1L))
+        .select(col("k"), col("_row_id").as("rid0"))
+      val stable = pre.join(
+          LogTable.read(s, t).select(col("k"), col("_row_id")), "k")
+        .filter(col("rid0") =!= col("_row_id")).count() == 0L
+      // upsert: matched keys inherit, new keys mint fresh
+      val updBatch = base.filter(col("k") % 11 === 0)
+        .select(col("k"), col("status"), (col("cents") + 1L).as("cents"),
+          col("o_year"), lit(9).as("version"), col("op"))
+      val insBatch = updBatch
+        .withColumn("k", col("k") + 90000000L)
+      LogTable.upsert(s, t, updBatch.unionByName(insBatch),
+        Seq("k"), Seq("version"), "op"): Unit
+      val cur = LogTable.read(s, t)
+      val inherited = pre.join(cur.filter(col("k") % 11 === 0 &&
+          col("k") < 90000000L).select(col("k"), col("_row_id")), "k")
+        .filter(col("rid0") =!= col("_row_id")).count() == 0L
+      val maxPre = pre.agg(max(col("rid0"))).head().getLong(0)
+      val freshOk = cur.filter(col("k") >= 90000000L)
+        .agg(min(col("_row_id")), count(lit(1)),
+          countDistinct(col("_row_id"))).head() match {
+        case r => r.getLong(0) > maxPre && r.getLong(1) == r.getLong(2)
+      }
+      // KEYLESS net fold: v1 + changes-by-_row_id == head, exactly
+      val head = LogTable.latestVersion(s, t)
+      val net = LogTable.readNetChanges(s, t, 1L, head, Nil)
+      val preRows = LogTable.read(s, t, asOf = Some(1L))
+        .select("_row_id", "k", "status", "cents", "o_year", "version")
+      val gone = net.filter(col("_change_type").isin(
+        "delete", "update_preimage")).select("_row_id")
+      val arrived = net.filter(col("_change_type").isin(
+        "insert", "update_postimage"))
+        .select("_row_id", "k", "status", "cents", "o_year", "version")
+      val rebuilt = preRows.join(gone, Seq("_row_id"), "left_anti")
+        .unionByName(arrived)
+      val nowRows = cur
+        .select("_row_id", "k", "status", "cents", "o_year", "version")
+      val foldOk = rebuilt.exceptAll(nowRows).count() == 0L &&
+        nowRows.exceptAll(rebuilt).count() == 0L
+      val ok = stable && inherited && freshOk && foldOk
+      cur.groupBy(col("o_year"), col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("version")).as("sum_version"))
+        .withColumn("row_track_ok", lit(ok))
+    }),
+
     // MAP-OF-STRUCTS nested evolution — the `value` path segment (the
     // DSv2 convention, the map analog of q179's `element`): rename /
     // add inside `map<string,struct<…>>` are METADATA-ONLY (file-list
@@ -2727,6 +2790,32 @@ object SourceQueries {
         |SELECT segment, src, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS id_ok
         |FROM final GROUP BY segment, src""".stripMargin,
+    "q184_row_tracking" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         year(o_orderdate) AS o_year, 0 AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 9 = 0 THEN cents + 3 ELSE cents END AS cents,
+        |    o_year, version
+        |  FROM base),
+        |batch_upd AS (
+        |  SELECT k, status, cents + 1 AS cents, o_year, 9 AS version
+        |  FROM base WHERE k % 11 = 0),
+        |merged AS (
+        |  SELECT u.* FROM upd u
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch_upd b WHERE b.k = u.k)
+        |  UNION ALL SELECT * FROM batch_upd
+        |  UNION ALL SELECT k + 90000000, status, cents, o_year, version
+        |  FROM batch_upd)
+        |SELECT o_year, status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  TRUE AS row_track_ok
+        |FROM merged GROUP BY 1, 2""".stripMargin,
+
     "q183_map_struct_evolution" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS label,

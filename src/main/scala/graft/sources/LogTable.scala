@@ -1096,7 +1096,23 @@ object LogTable {
         s"log table $path: generated column `$c` already exists in the data")
       validateGenerator(spark, df0.schema, c, g)
     }
-    val df = materializeGenerated(generatedColumns, df0)
+    val df1 = materializeGenerated(generatedColumns, df0)
+    // ROW TRACKING materializes at create: `_row_id` appends to the
+    // schema (dense 0..n-1) and joins the tracked stats so the
+    // high-water can ride every later commit off stats already written
+    val rowTracking = rowTrackingEnabled(tableProperties)
+    val df =
+      if (!rowTracking) df1
+      else {
+        require(!df1.schema.fieldNames.exists(_.equalsIgnoreCase(RowIdCol)),
+          s"log table $path: `$RowIdCol` is the engine's row-tracking " +
+            "column — the create data must not carry it")
+        denseFill(spark, df1, RowIdCol, 0L, 1L)
+      }
+    val statsCols1 =
+      if (rowTracking && !statsCols.exists(_.equalsIgnoreCase(RowIdCol)))
+        statsCols :+ RowIdCol
+      else statsCols
     require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
       s"log table $path: zorderBy interleaves 2 to 4 dimensions " +
         s"(got ${zorderBy.size}) — one dimension is plain clusterBy; " +
@@ -1129,7 +1145,7 @@ object LogTable {
           m.equalsIgnoreCase("always")),
         s"log table $path: identity.mode must be `default` or `always`")
     }
-    (partitionCols ++ statsCols ++ clusterBy ++ zorderBy).foreach { c =>
+    (partitionCols ++ statsCols1 ++ clusterBy ++ zorderBy).foreach { c =>
       val (_, dt) = resolvePathIn(df.schema, c).getOrElse(
         throw new IllegalArgumentException(
           s"log table $path: tracked column `$c` is not in the schema"))
@@ -1175,7 +1191,7 @@ object LogTable {
         s"log table $path: a boolean bloom filter is pointless")
     }
     fs.mkdirs(logDir(path)): Unit
-    val adds = writeDataFiles(spark, path, df, partitionCols, statsCols,
+    val adds = writeDataFiles(spark, path, df, partitionCols, statsCols1,
       clusterBy = clusterBy, bloomCols = bloomFilterCols,
       zorderBy = zorderBy, ndvCols = ndvColsOf(tableProperties),
       histCols = histColsOf(tableProperties))
@@ -1192,11 +1208,19 @@ object LogTable {
         else identityAlign(start, inc, start,
           if (inc > 0) obs.max else obs.min)).toString
     }.toMap
-    commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols, adds,
+    // the row-tracking high-water seeds past the create's own ids
+    val rtSeed =
+      if (!rowTracking) Map.empty[String, String]
+      else Map(RowTrackingNextProp -> (adds.flatMap(_.stats.collectFirst {
+        case (k, st) if k.equalsIgnoreCase(RowIdCol) => st.max
+      }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
+        .foldLeft(0L)((a, b) => math.max(a, b + 1L))).toString)
+    commit(spark, path, 1L, df.schema.toDDL, partitionCols, statsCols1, adds,
       Nil, bloomCols = bloomFilterCols, operation = "CREATE",
-      properties = tableProperties ++ idSeed ++ generatedColumns.map {
-        case (c, g) => (GenPropPrefix + c) -> g
-      })
+      properties = tableProperties ++ idSeed ++ rtSeed ++
+        generatedColumns.map {
+          case (c, g) => (GenPropPrefix + c) -> g
+        })
     1L
   }
 
@@ -1291,6 +1315,10 @@ object LogTable {
     require(fs.exists(root), s"convert: $path does not exist")
     require(!fs.exists(logDir(path)),
       s"convert: $path already has a log — nothing to adopt")
+    require(!rowTrackingEnabled(tableProperties),
+      s"convert: $path: rowtracking.enabled needs every row id " +
+        "materialized, which adoption (zero rewrites) cannot do — " +
+        "create a row-tracking table and INSERT the directory instead")
     // recursive listing, skipping hidden/_-prefixed artifacts
     def list(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
@@ -3914,9 +3942,20 @@ object LogTable {
     */
   def readNetChanges(spark: SparkSession, path: String, fromVersion: Long,
                      toVersion: Long, keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "readNetChanges needs key columns")
-    val schema = snapshot(spark, path, Some(toVersion)).schema
-    val keyNames = keyCols.map(k =>
+    val toSnap = snapshot(spark, path, Some(toVersion))
+    // KEYLESS fold on a row-tracking table: `_row_id` is a stable,
+    // unique per-row key by construction — CDC consumers on tables
+    // without a natural key still get exact row deltas
+    val keys =
+      if (keyCols.nonEmpty) keyCols
+      else {
+        require(rowTrackingEnabled(toSnap.properties),
+          "readNetChanges needs key columns (or rowtracking.enabled " +
+            "for keyless folds on _row_id)")
+        Seq(RowIdCol)
+      }
+    val schema = toSnap.schema
+    val keyNames = keys.map(k =>
       schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"log table $path: unknown key column `$k`")))
@@ -4484,9 +4523,16 @@ object LogTable {
         case Some(c) => identityRefuseAlways(path, snap.properties, c); None
         case None => None
       }
+      // row tracking is the same inheritance shape: matched keys keep
+      // their committed `_row_id`, new keys fill dense off the water
+      val rtOmitted =
+        if (rowTrackingEnabled(snap.properties) &&
+            !batchCols.contains(RowIdCol.toLowerCase)) Some(RowIdCol)
+        else None
+      val sysOmitted = idOmitted.toSeq ++ rtOmitted
       val missing = snap.schema.fields.toIndexedSeq
         .filterNot(f => batchCols.contains(f.name.toLowerCase) ||
-          idOmitted.exists(_.equalsIgnoreCase(f.name)))
+          sysOmitted.exists(_.equalsIgnoreCase(f.name)))
       require(mergeSchema || (added.isEmpty && missing.isEmpty),
         s"log table $path: batch schema differs from the table " +
           s"(new: ${added.map(_.name).mkString(",")}; " +
@@ -4543,25 +4589,30 @@ object LogTable {
         if (cdcOn)
           base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else base0
-      // IDENTITY enrichment of an omitting batch: one column-pruned pass
-      // over the victims recovers each matched key's committed value
-      // (replacing a row never re-keys its identity), the rest fill
-      // dense off the high-water — the alignment's NULL would otherwise
-      // break uniqueness silently
-      val alignedId = idOmitted match {
-        case None => aligned
-        case Some(fn) =>
-          def q(n: String) = col("`" + n.replace("`", "``") + "`")
-          val existing = base.select(
-            keyCols.map(q) :+ q(fn).as("__graft_idv"): _*)
-          val j = aligned.drop(fn).join(existing, keyCols, "left")
-          val order = schema.fields.toIndexedSeq.map(f => q(f.name).as(f.name))
-          val kept = j.filter(col("__graft_idv").isNotNull)
-            .withColumn(fn, col("__graft_idv")).select(order: _*)
-          val fresh = identityFill(spark, path, snap,
-            j.filter(col("__graft_idv").isNull).drop("__graft_idv"), fn)
-            .select(order: _*)
-          kept.unionByName(fresh)
+      // IDENTITY / ROW-ID enrichment of an omitting batch: one
+      // column-pruned pass over the victims recovers each matched key's
+      // committed value (replacing a row never re-keys its identity or
+      // its row id), the rest fill dense off the respective high-water —
+      // the alignment's NULL would otherwise break uniqueness silently
+      val alignedId = sysOmitted.foldLeft(aligned) { (acc, fn0) =>
+        val fn = schema.fields.find(_.name.equalsIgnoreCase(fn0))
+          .map(_.name).getOrElse(fn0)
+        def q(n: String) = col("`" + n.replace("`", "``") + "`")
+        val existing = base.select(
+          keyCols.map(q) :+ q(fn).as("__graft_idv"): _*)
+        val j = acc.drop(fn).join(existing, keyCols, "left")
+        val order = schema.fields.toIndexedSeq.map(f => q(f.name).as(f.name))
+        val kept = j.filter(col("__graft_idv").isNotNull)
+          .withColumn(fn, col("__graft_idv")).select(order: _*)
+        val needFill = j.filter(col("__graft_idv").isNull)
+          .drop("__graft_idv")
+        val fresh = (if (idOmitted.exists(_.equalsIgnoreCase(fn)))
+            identityFill(spark, path, snap, needFill, fn)
+          else denseFill(spark, needFill, fn,
+            snap.properties.get(RowTrackingNextProp).map(_.toLong)
+              .getOrElse(0L), 1L))
+          .select(order: _*)
+        kept.unionByName(fresh)
       }
       // persisted across the range-sampling pass and the shuffled write,
       // so the merge aggregation runs ONCE (bounded by the touched
@@ -4899,7 +4950,8 @@ object LogTable {
       // DENSE within the batch, gaps only between batches (see
       // [[IdentityColProp]] and [[identityFill]]); GENERATED ALWAYS
       // refuses supplied values outright
-      val rowsFilled = identityApply(spark, path, snap, rows)
+      val rowsFilled = rowIdApply(spark, snap,
+        identityApply(spark, path, snap, rows))
       val aligned = alignStrict(path, snap, rowsFilled)
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
@@ -4953,7 +5005,7 @@ object LogTable {
       // identity discipline rides every insert path, not just append:
       // an omitted identity column fills dense, ALWAYS refuses values
       val aligned = alignStrict(path, snap,
-        identityApply(spark, path, snap, rows))
+        rowIdApply(spark, snap, identityApply(spark, path, snap, rows)))
       enforceConstraints(path, snap, aligned)
       val adds = writeDataFiles(spark, path, aligned, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
@@ -5667,6 +5719,10 @@ object LogTable {
           // the new logical name maps to it, zero files rewritten, and
           // every older version still reads under its own DDL + mapping
           val from = r.fieldNames.head; val to = r.newName
+          require(!(rowTrackingEnabled(snap.properties) &&
+            from.equalsIgnoreCase(RowIdCol)),
+            s"log table $path: `$RowIdCol` is the engine's row-tracking " +
+              "column — it cannot be renamed")
           val i = fields.indexWhere(_.name.equalsIgnoreCase(from))
           require(i >= 0, s"log table $path: unknown column `$from`")
           require(!fields.exists(_.name.equalsIgnoreCase(to)),
@@ -5729,6 +5785,10 @@ object LogTable {
           // physical data stays in old files, simply never projected.
           // The physical name is tombstoned so no later ADD resurrects it.
           val n = d.fieldNames.head
+          require(!(rowTrackingEnabled(snap.properties) &&
+            n.equalsIgnoreCase(RowIdCol)),
+            s"log table $path: `$RowIdCol` is the engine's row-tracking " +
+              "column — it cannot be dropped")
           val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
           if (i < 0) {
             require(d.ifExists,
@@ -6985,11 +7045,22 @@ object LogTable {
                            snap: Snapshot, rows: DataFrame,
                            c: String): DataFrame = {
     val props = snap.properties
-    val inc = identityInc(props)
-    val nxt = props.get(IdentityNextProp).map(_.toLong)
-      .getOrElse(identityStart(props))
     val fieldName = snap.schema.fields
       .find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(c)
+    denseFill(spark, rows, fieldName,
+      props.get(IdentityNextProp).map(_.toLong)
+        .getOrElse(identityStart(props)),
+      identityInc(props))
+  }
+
+  /** The dense lattice fill itself — shared by identity columns and
+    * row tracking: per-partition row counts (one cheap sizes-only
+    * counting job) become cumulative offsets, and row j of the batch
+    * gets `next + inc·j`.
+    */
+  private def denseFill(spark: SparkSession, rows: DataFrame,
+                        fieldName: String, nxt: Long,
+                        inc: Long): DataFrame = {
     val rdd = rows.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -7012,6 +7083,53 @@ object LogTable {
         }
       }, outSchema)
   }
+
+  /** ROW TRACKING (`rowtracking.enabled = true`, create-time): every row
+    * carries a stable BIGINT `_row_id`, dense-assigned at first write
+    * and PRESERVED through every rewrite (UPDATE, DELETE's survivors,
+    * OPTIMIZE/Z-ORDER compaction, clone, branch publish) because the
+    * column is ordinary schema riding the rewrite frames — the Delta
+    * row-tracking shape. The latest-wins upsert and MERGE INTO inserts
+    * assign fresh ids to NEW keys while matched keys keep theirs
+    * (identity-style inheritance), so [[readNetChanges]] can fold
+    * KEYLESS — `keyCols = Nil` keys by `_row_id` — and CDC consumers on
+    * tables without a natural key still get exact row deltas. The
+    * high-water (`rowtracking.next`) rides commit properties off the
+    * per-file stats the write already records.
+    */
+  private[graft] val RowTrackingProp = "rowtracking.enabled"
+  private[graft] val RowTrackingNextProp = "rowtracking.next"
+  private[graft] val RowIdCol = "_row_id"
+  private[sources] def rowTrackingEnabled(props: Map[String, String]): Boolean =
+    props.get(RowTrackingProp).exists(_.equalsIgnoreCase("true"))
+
+  /** Fill `_row_id` on a batch that omits it (append/overwrite/create
+    * ingest); rewrite paths carry the column and pass through.
+    */
+  private[sources] def rowIdApply(spark: SparkSession, snap: Snapshot,
+                                  rows: DataFrame): DataFrame =
+    if (!rowTrackingEnabled(snap.properties) ||
+        rows.schema.fieldNames.exists(_.equalsIgnoreCase(RowIdCol))) rows
+    else denseFill(spark, rows, RowIdCol,
+      snap.properties.get(RowTrackingNextProp).map(_.toLong).getOrElse(0L),
+      1L)
+
+  /** The committed `rowtracking.next` update for one write's adds. */
+  private def rowTrackingAdvance(props: Map[String, String],
+                                 adds: Seq[LogFile]): Map[String, String] =
+    if (!rowTrackingEnabled(props)) Map.empty
+    else {
+      val obs = adds.flatMap(_.stats.collectFirst {
+        case (k, st) if k.equalsIgnoreCase(RowIdCol) => st.max
+      }.flatten.flatMap(v => scala.util.Try(v.toLong).toOption))
+      if (obs.isEmpty) Map.empty
+      else {
+        val cur = props.get(RowTrackingNextProp).map(_.toLong).getOrElse(0L)
+        val nxt = math.max(cur, obs.max + 1L)
+        if (nxt == cur) Map.empty
+        else Map(RowTrackingNextProp -> nxt.toString)
+      }
+    }
 
   /** Re-align `identity.next` with the column's COMMITTED extremum —
     * the Delta `ALTER COLUMN ... SYNC IDENTITY` shape: user-supplied
@@ -7101,6 +7219,10 @@ object LogTable {
       // a raw property write would skip every one of those checks
       // (identity.inc = 0 alone would silently duplicate values)
       k.startsWith("identity.") ||
+      // rowtracking.* likewise: enabling is a create-time decision (a
+      // late enable would need a backfill rewrite), and a raw
+      // rowtracking.next write could duplicate ids
+      k.startsWith("rowtracking.") ||
       k == BranchBaseProp
 
   /** SET/UNSET table properties as one metadata-only commit — the
@@ -7185,7 +7307,8 @@ object LogTable {
     // `identity.next` past its adds' max (off the stats the write
     // already recorded) — so values supplied through ANY path (upsert,
     // MERGE, UPDATE, overwrite) keep later generated values above them
-    val committedProps = properties ++ identityAdvance(properties, adds)
+    val committedProps = properties ++ identityAdvance(properties, adds) ++
+      rowTrackingAdvance(properties, adds)
     val tmp = new Path(logDir(path),
       ".commit_" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     // IN-COMMIT timestamp, clamped MONOTONE against the parent version's

@@ -210,9 +210,19 @@ final case class MergeInto private[sources] (
         .filter(fn => insert.isDefined &&
           !insert.exists(_.values.keys.exists(_.equalsIgnoreCase(fn))) &&
           !source.schema.fieldNames.exists(_.equalsIgnoreCase(fn)))
-      val srcEff = idFill.map(fn =>
-        LogTable.identityFill(spark, path, snap, source, fn))
-        .getOrElse(source)
+      // row tracking fills the same way: inserted rows draw fresh ids
+      // from the enriched source, matched rows keep the target's
+      val rtFill = Some(LogTable.RowIdCol).filter(fn =>
+        LogTable.rowTrackingEnabled(snap.properties) && insert.isDefined &&
+          !insert.exists(_.values.keys.exists(_.equalsIgnoreCase(fn))) &&
+          !source.schema.fieldNames.exists(_.equalsIgnoreCase(fn)))
+      val fills = idFill.toSeq ++ rtFill
+      val srcEff = {
+        val s1 = idFill.map(fn =>
+          LogTable.identityFill(spark, path, snap, source, fn))
+          .getOrElse(source)
+        rtFill.map(_ => LogTable.rowIdApply(spark, snap, s1)).getOrElse(s1)
+      }
       // touched tuples exist for pruning and the disjoint fast path —
       // both off under a by-source clause (and the source may then
       // legitimately lack the partition columns the computation reads)
@@ -243,9 +253,9 @@ final case class MergeInto private[sources] (
           val tagged = taggedJoin(snap,
             LogTable.readFiles(spark, path, snap, v), srcEff)
           if (cdcOn) {
-            val aug = cdcAugment(snap, gens, tagged, Nil, idFill)
+            val aug = cdcAugment(snap, gens, tagged, Nil, fills)
             (v, resultFromAug(aug), Some(cdcFromAug(aug)), Some(aug))
-          } else (v, projectResult(snap, tagged, idFill), None, None)
+          } else (v, projectResult(snap, tagged, fills), None, None)
         } else {
           val joined = taggedJoin(snap, LogTable.readFilesTagged(
             spark, path, snap, snap.files, "__graft_file"), srcEff)
@@ -254,7 +264,7 @@ final case class MergeInto private[sources] (
           // images all come off the same materialized pre/post values
           val shell =
             if (cdcOn)
-              cdcAugment(snap, gens, joined, Seq("__graft_file"), idFill)
+              cdcAugment(snap, gens, joined, Seq("__graft_file"), fills)
             else joined
           val changed = shell
             .filter(col("__act") =!= "keep" && col("__act") =!= "drop" &&
@@ -267,7 +277,7 @@ final case class MergeInto private[sources] (
           val cdc = if (cdcOn) Some(cdcFromAug(shell)) else None
           def resultOf(d: DataFrame): DataFrame =
             if (cdcOn) resultFromAug(d)
-            else projectResult(snap, d.drop("__graft_file"), idFill)
+            else projectResult(snap, d.drop("__graft_file"), fills)
           if (changed.size > MergeInto.RestrictVictimsMaxFiles) {
             // an IN-list over very many names stops paying for itself —
             // degrade to the classic full rewrite
@@ -292,7 +302,7 @@ final case class MergeInto private[sources] (
       // the regenerated values)
       val outRows = LogTable.materializeGenerated(gens, result)
       LogTable.enforceConstraints(path, snap, outRows)
-      val ddl = widenedDdl(snap, idFill)
+      val ddl = widenedDdl(snap, fills)
       val (adds, cdcFiles) = try {
         val a = LogTable.writeDataFiles(spark, path, outRows,
           snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
@@ -443,7 +453,7 @@ final case class MergeInto private[sources] (
     */
   private[sources] def projectResult(snap: LogTable.Snapshot,
                                      joined: DataFrame,
-                                     idFill: Option[String] = None)
+                                     fills: Seq[String] = Nil)
       : DataFrame = {
     // one clause's value for field f: a whole-column assignment, or —
     // for DOTTED keys below a struct — the struct rebuilt with exactly
@@ -451,7 +461,7 @@ final case class MergeInto private[sources] (
     // so each branch bases on the TARGET's own value; a NULL struct
     // stays NULL, updateWhere's discipline)
     joined.filter(col("__act") =!= "del" && col("__act") =!= "drop")
-      .select(outputCols(snap, idFill): _*)
+      .select(outputCols(snap, fills): _*)
   }
 
   private def rebuild(base: Column, dt: DataType, prefix: String,
@@ -487,7 +497,7 @@ final case class MergeInto private[sources] (
     * merge actually writes.
     */
   private def outputCols(snap: LogTable.Snapshot,
-                         idFill: Option[String] = None): Seq[Column] =
+                         fills: Seq[String] = Nil): Seq[Column] =
     snap.schema.fields.toIndexedSeq.map { f =>
       var e: Column = col("t." + quote(f.name))
       matched.zipWithIndex.foreach { case (cl, i) =>
@@ -505,7 +515,7 @@ final case class MergeInto private[sources] (
         }
       }
       insert.foreach { ic => e = when(col("__act") === "ins",
-        insertExpr(ic, f.name, f.dataType, idFill)).otherwise(e) }
+        insertExpr(ic, f.name, f.dataType, fills)).otherwise(e) }
       e.as(f.name)
     }
 
@@ -522,14 +532,14 @@ final case class MergeInto private[sources] (
     */
   private def cdcAugment(snap: LogTable.Snapshot, gens: Map[String, String],
                          joined: DataFrame, extraCols: Seq[String],
-                         idFill: Option[String]): DataFrame = {
+                         fills: Seq[String]): DataFrame = {
     val fields = snap.schema.fields.toIndexedSeq
     val preS = struct(fields.map(f =>
       col("t." + quote(f.name)).as(f.name)): _*)
     // flat post columns first so the generated-column expressions (which
     // name top-level schema columns) rebind onto the post-clause values
     val flat = joined.select(Seq(preS.as("__pre"), col("__act")) ++
-      extraCols.map(col) ++ outputCols(snap, idFill): _*)
+      extraCols.map(col) ++ outputCols(snap, fills): _*)
     LogTable.materializeGenerated(gens, flat)
       .select(Seq(col("__pre"),
         struct(fields.map(f => col(quote(f.name)).as(f.name)): _*)
@@ -572,11 +582,11 @@ final case class MergeInto private[sources] (
 
   private def insertExpr(ic: MergeInto.InsertClause, field: String,
                          dt: DataType,
-                         idFill: Option[String] = None): Column =
+                         fills: Seq[String] = Nil): Column =
     ic.values.collectFirst {
         case (k, v) if k.equalsIgnoreCase(field) => expr(v)
       }
-      .orElse((source.schema.fieldNames.toSeq ++ idFill)
+      .orElse((source.schema.fieldNames.toSeq ++ fills)
         .find(_.equalsIgnoreCase(field))
         .map(n => col("s." + quote(n))))
       .getOrElse(lit(null))
@@ -624,12 +634,12 @@ final case class MergeInto private[sources] (
   }
 
   private def widenedDdl(snap: LogTable.Snapshot,
-                         idFill: Option[String] = None): String = {
+                         fills: Seq[String] = Nil): String = {
     val tShell = LogTable.emptyDf(spark, snap.schema).alias("t")
     // the identity-enriched source carries the generated column NOT NULL,
     // so the nullability probe must see it — lit(null)'s blanket
     // nullability would wrongly demote the identity column
-    val srcSchema = idFill.foldLeft(source.schema)((sc, fn) =>
+    val srcSchema = fills.foldLeft(source.schema)((sc, fn) =>
       StructType(sc.fields :+ StructField(fn, LongType, nullable = false)))
     val sShell = LogTable.emptyDf(spark, srcSchema).alias("s")
     val joinCond = keyCols.map(k =>
@@ -649,7 +659,7 @@ final case class MergeInto private[sources] (
           m.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v }
             .exists(v => nullableOn(tShell, expr(v), f.dataType)))
         val byInsert = insert.exists(ic =>
-          nullableOn(sShell, insertExpr(ic, f.name, f.dataType, idFill),
+          nullableOn(sShell, insertExpr(ic, f.name, f.dataType, fills),
             f.dataType))
         if (byUpdate || byBySource || byInsert) f.copy(nullable = true) else f
       }
