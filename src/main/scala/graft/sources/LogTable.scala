@@ -1058,6 +1058,19 @@ object LogTable {
   }
   private def commitPath(path: String, v: Long) =
     new Path(logDir(path), f"$v%020d.json")
+  /** Label the Spark jobs an engine operation submits (guide §1.5):
+    * thread-local, restored on exit, so nested operations keep the
+    * innermost label and caller labels survive. Purely observability —
+    * the UI/event log attribute stages to the semantic operation
+    * instead of an anonymous SQL-execution thread pool frame.
+    */
+  private[sources] def withDesc[T](spark: SparkSession, d: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("graft:" + d)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -2508,7 +2521,8 @@ object LogTable {
       val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
         snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
         ndvCols = ndvColsOf(snap.properties),
-        histCols = histColsOf(snap.properties))
+        histCols = histColsOf(snap.properties),
+        sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
       // row-level CDC (cdc.enabled): one extra pass over the victims,
       // filtered to the rows that actually change — feed volume at read
       // time becomes O(changed rows), not O(rewritten bytes)
@@ -2772,8 +2786,8 @@ object LogTable {
       // (scan under PHYSICAL names, alias logical — predicate and SET
       // expressions below speak logical)
       val raw = toLogical(snap,
-        withDvHelpers(spark.read.schema(snap.physicalSchema)
-          .parquet(victims.map(f => dataPath(path, f.name).toString): _*)),
+        withDvHelpers(scanFiles(spark, path, snap.physicalSchema, victims,
+          snap.partitionCols, snap.statsCols)),
         extras = Seq("__gdv_file", "__gdv_idx"))
       val live = antiJoinDv(raw, dvPairs(spark, path, victims),
         victims.iterator.flatMap(_.dv).map(_.deleted).sum,
@@ -2940,7 +2954,8 @@ object LogTable {
         snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
         colMap = snap.colMap, nestMaps = snap.nestMaps,
             ndvCols = ndvColsOf(snap.properties),
-        histCols = histColsOf(snap.properties))
+        histCols = histColsOf(snap.properties),
+        sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -3407,7 +3422,8 @@ object LogTable {
           snap.statsCols, bloomCols = snap.bloomCols,
           colMap = snap.colMap, nestMaps = snap.nestMaps,
           ndvCols = ndvColsOf(snap.properties),
-          histCols = histColsOf(snap.properties))
+          histCols = histColsOf(snap.properties),
+          sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
       try {
         commit(spark, path, snap.version + 1, snap.schemaDdl,
           snap.partitionCols, snap.statsCols, adds,
@@ -4034,7 +4050,9 @@ object LogTable {
     val fs = fsOf(spark, path)
     val tmp = new Path(path,
       "_tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    withDesc(spark, s"write-cdc-files($path)") {
+      df.write.mode("overwrite").parquet(tmp.toString)
+    }
     val dir = new Path(path, CdcDir)
     if (!fs.exists(dir)) fs.mkdirs(dir): Unit
     val out = fs.listStatus(tmp).iterator
@@ -4061,8 +4079,8 @@ object LogTable {
     val phys = StructType(snap.physicalSchema.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))
     toLogical(snap,
-      spark.read.schema(phys)
-        .parquet(files.map(f => dataPath(path, f.name).toString): _*),
+      scanFiles(spark, path, phys,
+        files.map(f => LogFile(f.name, "", "", -1L, f.bytes))),
       extras = Seq("_change_type"))
   }
 
@@ -4305,7 +4323,9 @@ object LogTable {
       Seq(min(v).cast("string").as(s"__lo_$i"),
         max(v).cast("string").as(s"__hi_$i"))
     }
-    val r = batch.agg(aggs.head, aggs.tail: _*).head()
+    val r = withDesc(spark, "batch-key-ranges") {
+      batch.agg(aggs.head, aggs.tail: _*).head()
+    }
     present.zipWithIndex.flatMap { case (c, i) =>
       (Option(r.getString(r.fieldIndex(s"__lo_$i"))),
         Option(r.getString(r.fieldIndex(s"__hi_$i")))) match {
@@ -4626,7 +4646,8 @@ object LogTable {
             snap.statsCols, bloomCols = snap.bloomCols,
             colMap = snap.colMap, nestMaps = snap.nestMaps,
             ndvCols = ndvColsOf(snap.properties),
-            histCols = histColsOf(snap.properties))
+            histCols = histColsOf(snap.properties),
+            sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
           // row-level CDC (cdc.enabled): pre/post rows restricted to the
           // BATCH's keys (riders never enter), pivoted through one keyed
           // aggregate — a no-op batch row (its version lost the argmax)
@@ -6161,6 +6182,7 @@ object LogTable {
     // an UNPARTITIONED table is ONE partition tuple — every file is a
     // candidate (key-range pruning still narrows the victims)
     if (snap.partitionCols.isEmpty) return Seq(Seq.empty)
+    withDesc(df.sparkSession, s"touched-tuples($path)") {
     df.select(snap.partitionCols.map { c =>
         snap.schema.fields.find(_.name.equalsIgnoreCase(c))
           .map(_.dataType) match {
@@ -6174,6 +6196,7 @@ object LogTable {
           if (r.isNullAt(i)) null else r.getString(i)
         }
       }.toIndexedSeq
+    }
   }
 
   private[sources] def victimFiles(snap: Snapshot,
@@ -6487,6 +6510,55 @@ object LogTable {
     }
   }
 
+  /** Deep-nullable copy of a schema — what `DataFrameReader.schema(...)`
+    * applies (its `asNullable` is private[spark]): files may hold NULL
+    * in columns whose create-time DDL said NOT NULL.
+    */
+  private[sources] def nullableSchema(s: StructType): StructType = {
+    def loop(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = loop(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        at.copy(elementType = loop(at.elementType), containsNull = true)
+      case mt: MapType => mt.copy(keyType = loop(mt.keyType),
+        valueType = loop(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+    loop(s).asInstanceOf[StructType]
+  }
+
+  /** Metadata-only scan of an EXPLICIT file subset under `physSchema`:
+    * a snapshot-shell [[LogTableFileIndex]] synthesizes the FileStatus
+    * rows from the log's own (name, bytes), so planning never touches
+    * the filesystem. The previous `spark.read.parquet(paths: _*)` shape
+    * built an InMemoryFileIndex over N root paths — at N ≥ 32 that
+    * launches a DISTRIBUTED LISTING JOB (N tasks, each deserializing a
+    * Hadoop conf under a shared lock) before reading a byte, and below
+    * the threshold it still getFileStatus-es every path on the driver
+    * (guide §7.3 "listing files" / §6 metadata-format argument). Every
+    * victim/CDC read shares this scan.
+    */
+  private[sources] def scanFiles(spark: SparkSession, path: String,
+                                 physSchema: StructType,
+                                 files: Seq[LogFile],
+                                 partitionCols: Seq[String] = Nil,
+                                 statsCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    // asNullable mirrors DataFrameReader.schema(...): a batch may have
+    // legitimately written NULL into a column whose create-time DDL
+    // said NOT NULL (alignment NULL-fill, evolved columns) — reading
+    // such a file under a non-nullable read schema lets codegen treat
+    // the null slot as garbage (observed: a NULL uid surfacing as 0)
+    val readSchema = nullableSchema(physSchema)
+    val shell = Snapshot(0L, readSchema.toDDL, partitionCols, statsCols, files)
+    val index = new LogTableFileIndex(spark, path, shell)
+    val relation = HadoopFsRelation(index, StructType(Nil), readSchema,
+      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relation, isStreaming = false))
+  }
+
   /** Read `files` under `snap.schema`, applying each entry's OWN deletion
     * vector: files without a DV scan straight through the vectorized
     * reader; DV'd files additionally materialize `_metadata` row
@@ -6499,8 +6571,8 @@ object LogTable {
                                  files: Seq[LogFile]): DataFrame = {
     // files store PHYSICAL names — scan physical, alias logical at exit
     def raw(fs: Seq[LogFile]): DataFrame =
-      spark.read.schema(snap.physicalSchema)
-        .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
+      scanFiles(spark, path, snap.physicalSchema, fs,
+        snap.partitionCols, snap.statsCols)
     val (dved, plain) = files.partition(_.dv.isDefined)
     // converted hive-layout tables fill partition values off the file
     // path (DVs are refused while that debt exists, so the dved branch
@@ -6527,8 +6599,8 @@ object LogTable {
                                        snap: Snapshot, files: Seq[LogFile],
                                        tag: String): DataFrame = {
     def raw(fs: Seq[LogFile]): DataFrame =
-      spark.read.schema(snap.physicalSchema)
-        .parquet(fs.map(f => dataPath(path, f.name).toString): _*)
+      scanFiles(spark, path, snap.physicalSchema, fs,
+        snap.partitionCols, snap.statsCols)
     val (dved, plain) = files.partition(_.dv.isDefined)
     val plainDf =
       if (plain.isEmpty)
@@ -6610,6 +6682,48 @@ object LogTable {
     graft.functions.ZOrder.interleaveN(ords)
   }
 
+  /** SCALE-ADAPTIVE write sizing (optimization guide §2 "make
+    * partitioning scale-adaptive — derive from input size", §6 "aim for
+    * output files in the 128 MB - 1 GB range"): the writer task count —
+    * which IS the output file count, since the range partitioning is
+    * explicit — grows with the frame's estimated bytes over a target
+    * file size instead of staying a session constant. The constant is
+    * wrong at the top end: at 100 TB a 32-partition session would range-
+    * shuffle the whole write through 32 tasks and land 32 multi-TB
+    * files. The session's shuffle-partition count stays the FLOOR (never
+    * fewer files than before), because the engine's observable file
+    * counts are part of its contract: per-file stats granularity,
+    * metadata-count answers, skipping ratios and history all pin it —
+    * ADAPTIVE DOWNSIZING at small scale was tried and reverted (19
+    * gates legitimately expose file counts; see OPTIMIZATION_r19.md).
+    * Sizes come ONLY from an explicit caller hint — the DML rewrite
+    * paths know the exact committed bytes of their victim files from
+    * the log. Catalyst plan stats were tried and reverted: a non-CBO
+    * join estimate is the PRODUCT of its sides, so the merge frame
+    * "estimated" terabytes at dev scale and a 150k-row upsert wrote
+    * through 10,000 tasks. No hint ⇒ the floor (the pre-optimization
+    * behavior, bit-exact). Tunables:
+    * `spark.graft.write.targetFileBytes` (default 128 MiB — guide §6's
+    * lower bound, so compression-factor noise lands files inside the
+    * healthy band) and `spark.graft.write.maxFiles` (default 10000)
+    * bound the answer; explicit `numFiles` callers (compaction,
+    * OPTIMIZE) are untouched.
+    */
+  private[sources] def adaptiveNumFiles(spark: SparkSession,
+                                        sizeHintBytes: Option[Long]): Int = {
+    val conf = spark.sessionState.conf
+    def confLong(k: String, d: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+    val target = math.max(confLong("spark.graft.write.targetFileBytes", 128L << 20), 1L)
+    val floor = conf.numShufflePartitions.toLong
+    val cap = math.max(confLong("spark.graft.write.maxFiles", 10000L), floor)
+    sizeHintBytes match {
+      case Some(b) if b > 0L =>
+        math.min(math.max((b + target - 1L) / target, floor), cap).toInt
+      case _ => conf.numShufflePartitions
+    }
+  }
+
   private[sources] def writeDataFiles(spark: SparkSession, path: String,
                              df0: DataFrame,
                              partitionCols: Seq[String],
@@ -6622,7 +6736,8 @@ object LogTable {
                              ndvCols: Seq[String] = Nil,
                              nestMaps: Map[String, Map[String, String]] =
                                Map.empty,
-                             histCols: Seq[String] = Nil)
+                             histCols: Seq[String] = Nil,
+                             sizeHintBytes: Option[Long] = None)
       : Seq[LogFile] = {
     // everything at rest is PHYSICAL: the incoming frame speaks logical
     // names — rename through the snapshot's column mapping (recursively,
@@ -6659,8 +6774,7 @@ object LogTable {
     // a whole 100 TB date-partition through one task). The partition
     // count is EXPLICIT so AQE cannot coalesce small outputs into one
     // multi-partition file.
-    val n = numFiles.getOrElse(
-      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val n = numFiles.getOrElse(adaptiveNumFiles(spark, sizeHintBytes))
     // declared bloom columns: parquet's own per-row-group bloom filters
     // (adaptive sizing), keyed by the frame's EXACT field name — the
     // option key is case-sensitive on the parquet side
@@ -6686,13 +6800,15 @@ object LogTable {
     val saltCols = df.schema.fields.toIndexedSeq
       .filter(f => hashable(f.dataType))
       .map(f => col("`" + f.name.replace("`", "``") + "`"))
-    df.withColumn("__salt",
-        if (saltCols.isEmpty) lit(0L)
-        else pmod(xxhash64(struct(saltCols: _*)), lit(1L << 20)))
-      .repartitionByRange(n,
-        (partitionCols.map(col) ++ layout) :+ col("__salt"): _*)
-      .drop("__salt")
-      .write.mode("overwrite").options(bloomOpts).parquet(tmp.toString)
+    withDesc(spark, s"write-data-files($path)") {
+      df.withColumn("__salt",
+          if (saltCols.isEmpty) lit(0L)
+          else pmod(xxhash64(struct(saltCols: _*)), lit(1L << 20)))
+        .repartitionByRange(n,
+          (partitionCols.map(col) ++ layout) :+ col("__salt"): _*)
+        .drop("__salt")
+        .write.mode("overwrite").options(bloomOpts).parquet(tmp.toString)
+    }
     // tracked columns: partitions first (dedup preserves order), then the
     // declared data-skipping columns; matched case-insensitively against
     // the frame actually written (an evolved merge carries every column).
@@ -6762,14 +6878,16 @@ object LogTable {
     // explicit schema: no footer inference, and a legitimately EMPTY
     // write (deleteWhere emptying every victim file) still reads as an
     // empty frame instead of failing schema inference
-    val stats = spark.read.schema(df.schema).parquet(tmp.toString)
-      .select(col("_metadata.file_path").as("__f") +:
-        tracked.zipWithIndex.map { case (c, i) =>
-          pathCol(c).as(s"__t_$i")
-        }: _*)
-      .groupBy(col("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // bounded: one row per NEW file
+    val stats = withDesc(spark, s"stats-scan($path)") {
+      spark.read.schema(df.schema).parquet(tmp.toString)
+        .select(col("_metadata.file_path").as("__f") +:
+          tracked.zipWithIndex.map { case (c, i) =>
+            pathCol(c).as(s"__t_$i")
+          }: _*)
+        .groupBy(col("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per NEW file
+    }
     // a zero-row file (footer-only artifact of an empty write) carries
     // no information — drop it physically, reference nothing
     val adds = stats.filter { r =>
@@ -7061,27 +7179,36 @@ object LogTable {
   private def denseFill(spark: SparkSession, rows: DataFrame,
                         fieldName: String, nxt: Long,
                         inc: Long): DataFrame = {
-    val rdd = rows.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; while (it.hasNext) { it.next(); n += 1L }
-      Iterator((pid, n))
-    }.collect().sortBy(_._1) // bounded: one entry per partition
+    // Columnar two-pass fill, no RDD conversion: the old `rows.rdd`
+    // path deserialized every row to external Rows and re-encoded them
+    // through createDataFrame — off the codegen path, with a cached
+    // copy of the deserialized objects on top. Persist the FRAME
+    // (columnar cache) instead; the counting pass materializes it and
+    // pins the partition layout for the assign pass and the downstream
+    // write. monotonically_increasing_id encodes exactly
+    // (partitionId << 33) | localRowIndex with consecutive local
+    // indices per partition, so `mid & (2^33 - 1)` is row j's position
+    // in its partition — the same j the old iterator counted — and the
+    // per-partition cumulative offsets arrive by broadcast hash join
+    // (O(1) per-row lookup; a map-literal lookup would scan linearly
+    // and its expression tree would grow with the partition count).
+    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = withDesc(spark, "dense-fill-counts") {
+      cached.groupBy(spark_partition_id().as("__pid")).count()
+        .collect() // bounded: one row per non-empty partition
+    }.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, n) =>
       val o = (pid, acc); acc += n; o
-    }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(rows.schema.fields :+
-      StructField(fieldName, LongType, nullable = false))
-    spark.createDataFrame(
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        var j = bc.value.getOrElse(pid, 0L)
-        it.map { r =>
-          val v = nxt + inc * j; j += 1L
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
-        }
-      }, outSchema)
+    }.toIndexedSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    val local = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1L))
+    val order = rows.schema.fields.toIndexedSeq
+      .map(f => col("`" + f.name.replace("`", "``") + "`")) :+ col(fieldName)
+    cached.withColumn("__pid", spark_partition_id())
+      .join(broadcast(offDf), "__pid")
+      .withColumn(fieldName, lit(nxt) + lit(inc) * (col("__off") + local))
+      .select(order: _*)
   }
 
   /** ROW TRACKING (`rowtracking.enabled = true`, create-time): every row

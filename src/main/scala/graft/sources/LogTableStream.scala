@@ -125,7 +125,10 @@ final class LogTableStreamSource(spark: SparkSession, path: String,
   private def rawScan(v: Long, files: Seq[LogTable.LogFile],
                       schema: StructType = null,
                       pcols: Seq[String] = null): DataFrame = {
-    val sch = Option(schema).getOrElse(pinnedPhysical)
+    // asNullable mirrors DataFrameReader.schema(...): reading a file
+    // holding NULL under a non-nullable read schema lets codegen treat
+    // the null slot as garbage (see LogTable.scanFiles)
+    val sch = LogTable.nullableSchema(Option(schema).getOrElse(pinnedPhysical))
     // pinned-schema snapshot shell — the TRUE partition columns matter:
     // mayMatch falls back to (pmin, pmax) for the leading partition
     // column, so a wrong name here would prune pushed filters on an

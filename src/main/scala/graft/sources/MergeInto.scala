@@ -308,7 +308,8 @@ final case class MergeInto private[sources] (
           snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
           colMap = snap.colMap, nestMaps = snap.nestMaps,
           ndvCols = LogTable.ndvColsOf(snap.properties),
-          histCols = LogTable.histColsOf(snap.properties))
+          histCols = LogTable.histColsOf(snap.properties),
+          sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
         val c = cdcDf match {
           case Some(df) => LogTable.writeCdcFiles(spark, path, df, snap)
           case None => Nil
