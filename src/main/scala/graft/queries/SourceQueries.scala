@@ -55,6 +55,21 @@ object SourceQueries {
       .unionByName(base.filter(col("k") % 13 === 0 && touched)
         .withColumn("version", lit(2)).withColumn("op", lit("D")))
 
+  /** Multiset equality in ONE aggregation (guide §2.4 — remove
+    * shuffles): the double-`exceptAll` pin costs two except-aggregates
+    * plus their counts (each itself an aggregation over both sides —
+    * four shuffles of the full frames); a signed union needs one.
+    * Equivalent by definition: every row's +1/−1 multiplicities cancel
+    * exactly when the multisets match.
+    */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toIndexedSeq.map(col)
+    a.select(cols: _*).withColumn("__s", lit(1L))
+      .unionAll(b.select(cols: _*).withColumn("__s", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__s")).as("__d"))
+      .filter(col("__d") =!= 0L).limit(1).count() == 0L
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Round trip: events written partitioned by day, read back through a
     // date filter that prunes to the 14 selected partitions (asserted in
@@ -1298,8 +1313,7 @@ object SourceQueries {
         .unionByName(arrived)
       val nowRows = cur
         .select("_row_id", "k", "status", "cents", "o_year", "version")
-      val foldOk = rebuilt.exceptAll(nowRows).count() == 0L &&
-        nowRows.exceptAll(rebuilt).count() == 0L
+      val foldOk = multisetEqual(rebuilt, nowRows)
       val ok = stable && inherited && freshOk && foldOk
       cur.groupBy(col("o_year"), col("status"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
@@ -1517,8 +1531,7 @@ object SourceQueries {
       // adopted read ≡ raw parquet read, both directions
       val adopted = LogTable.read(s, raw)
         .select(col("k"), col("cents"), col("o_year"), col("status"))
-      val eqOk = adopted.exceptAll(rawRead).limit(1).count() == 0L &&
-        rawRead.exceptAll(adopted).limit(1).count() == 0L
+      val eqOk = multisetEqual(adopted, rawRead)
       // DML on the adopted table
       LogTable.deleteWhere(s, raw, col("k") % 97 === 0): Unit
       import s.implicits._
@@ -2681,8 +2694,7 @@ object SourceQueries {
       val recon = graft.sources.LogTable.read(s, root, Some(1L))
         .exceptAll(delRows).unionAll(insRows)
       val direct = graft.sources.LogTable.read(s, root, Some(3L))
-      val consistent = recon.exceptAll(direct).count() == 0 &&
-        direct.exceptAll(recon).count() == 0
+      val consistent = multisetEqual(recon, direct)
       recon
         .groupBy(col("o_year"), col("status").as("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))

@@ -2518,18 +2518,35 @@ object LogTable {
       val (rewritten, ddl) = transform(snap, readFiles(spark, path, snap, victims))
       // an UPDATE can manufacture violating rows; a DELETE only drops
       if (op == "UPDATE") enforceConstraints(path, snap, rewritten)
-      val adds = writeDataFiles(spark, path, rewritten, snap.partitionCols,
-        snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
-        ndvCols = ndvColsOf(snap.properties),
-        histCols = histColsOf(snap.properties),
-        sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
       // row-level CDC (cdc.enabled): one extra pass over the victims,
       // filtered to the rows that actually change — feed volume at read
-      // time becomes O(changed rows), not O(rewritten bytes)
+      // time becomes O(changed rows), not O(rewritten bytes). The CDC
+      // write and the data rewrite are independent jobs into disjoint
+      // tmp dirs — overlapped (guide §2.6), like the upsert path.
+      val cdcF: Option[java.util.concurrent.Future[Seq[CdcFile]]] =
+        if (!cdcEnabled(snap.properties)) None
+        else Some(writeOverlapPool.submit(
+          new java.util.concurrent.Callable[Seq[CdcFile]] {
+            override def call(): Seq[CdcFile] =
+              writeCdcFiles(spark, path,
+                cdcOf(snap, readFiles(spark, path, snap, victims)), snap)
+          }))
+      val adds =
+        try writeDataFiles(spark, path, rewritten, snap.partitionCols,
+          snap.statsCols, bloomCols = snap.bloomCols, colMap = snap.colMap, nestMaps = snap.nestMaps,
+          ndvCols = ndvColsOf(snap.properties),
+          histCols = histColsOf(snap.properties),
+          sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
+        catch { case t: Throwable =>
+          cdcF.foreach(f => try f.get() catch { case _: Throwable => () })
+          throw t
+        }
       val cdcFiles =
-        if (!cdcEnabled(snap.properties)) Nil
-        else writeCdcFiles(spark, path,
-          cdcOf(snap, readFiles(spark, path, snap, victims)), snap)
+        try cdcF.map(_.get()).getOrElse(Nil)
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
       try {
         commit(spark, path, snap.version + 1, ddl,
           snap.partitionCols, snap.statsCols, adds, victims.map(_.name),
@@ -4335,6 +4352,77 @@ object LogTable {
     }.toMap
   }
 
+  /** ONE batch pass computing BOTH the touched partition tuples and the
+    * batch's key min/max ranges — [[touchedTuples]] and
+    * [[batchKeyRanges]] were two separate jobs, i.e. two full
+    * executions of the batch plan per merge (a streaming sink pays
+    * them every micro-batch). A grouping-sets aggregation over
+    * ((partition exprs), ()) yields the distinct tuples (gid 0 rows)
+    * and the global key extremes (the all-grouped row) in one job,
+    * with `grouping_id` telling an all-NULL tuple apart from the
+    * global row. Values are bit-identical to the two originals: same
+    * cast expressions, same NULL handling. Falls back to the original
+    * helpers when only one side is needed.
+    */
+  private[sources] def batchProbe(spark: SparkSession, path: String,
+                                  snap: Snapshot, evolved: Snapshot,
+                                  changes: DataFrame, keyCols: Seq[String])
+      : (Seq[Seq[String]], Map[String, (String, String)]) = {
+    val present = keyCols.filter(c =>
+      changes.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (snap.partitionCols.isEmpty)
+      return (Seq(Seq.empty), batchKeyRanges(spark, evolved, changes, keyCols))
+    if (present.isEmpty)
+      return (touchedTuples(path, snap, changes), Map.empty)
+    // the cast exprs materialize through a SELECT first — grouping sets
+    // given aliased expressions directly treat each occurrence as a
+    // distinct grouping attribute (observed: doubled grouping_id bits,
+    // all-NULL groups); plain references group correctly
+    val pexprs = snap.partitionCols.zipWithIndex.map { case (c, i) =>
+      (snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType) match {
+        case Some(TimestampType) => unix_micros(col(c)).cast("string")
+        case _ => col(c).cast("string")
+      }).as(s"__graft_bp_$i")
+    }
+    val widened = changes.select(col("*") +: pexprs: _*)
+    val refs = snap.partitionCols.indices.map(i => col(s"__graft_bp_$i"))
+    val aggs = present.zipWithIndex.flatMap { case (c, i) =>
+      val v = evolved.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType) match {
+        case Some(TimestampType) => unix_micros(col(c))
+        case _ => col(c)
+      }
+      Seq(min(v).cast("string").as(s"__lo_$i"),
+        max(v).cast("string").as(s"__hi_$i"))
+    }
+    val rows = withDesc(spark, s"batch-probe($path)") {
+      widened.groupingSets(Seq(refs, Seq.empty), refs: _*)
+        .agg(aggs.head, (aggs.tail :+ grouping_id().as("__gid")): _*)
+        .collect() // bounded: distinct tuples + 1 global row
+    }
+    val globalGid = (1L << snap.partitionCols.size) - 1L
+    val touched = rows.iterator
+      .filter(r => r.getLong(r.fieldIndex("__gid")) == 0L)
+      .map { r =>
+        snap.partitionCols.indices.map { i =>
+          val j = r.fieldIndex(s"__graft_bp_$i")
+          if (r.isNullAt(j)) null else r.getString(j)
+        }
+      }.toIndexedSeq
+    val kr = rows.find(r => r.getLong(r.fieldIndex("__gid")) == globalGid)
+      .map { r =>
+        present.zipWithIndex.flatMap { case (c, i) =>
+          (Option(r.getString(r.fieldIndex(s"__lo_$i"))),
+            Option(r.getString(r.fieldIndex(s"__hi_$i")))) match {
+            case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    (touched, kr)
+  }
+
   /** Can `f` provably hold NO key in `ranges`? One key column whose
     * stored range lies strictly outside the batch's suffices (a match
     * must satisfy every key equality). Unprovable ⇒ false ⇒ the caller
@@ -4567,15 +4655,15 @@ object LogTable {
           else f
         } ++ added)
       val evolved = snap.copy(schemaDdl = schema.toDDL)
-      val touched = touchedTuples(path, snap, changes)
       // victims prune by partition TUPLE, then by the batch's KEY range
       // against each file's key stats: a file provably holding no batch
       // key has nothing to merge — its rows survive untouched, unread
       // and unrewritten (and two key-disjoint merges into the SAME
       // partition stop conflicting: their victim sets no longer overlap,
-      // so the disjoint fast path admits both)
+      // so the disjoint fast path admits both). Both probes come out of
+      // ONE batch pass ([[batchProbe]]).
       val zone = spark.sessionState.conf.sessionLocalTimeZone
-      val kr = batchKeyRanges(spark, evolved, changes, keyCols)
+      val (touched, kr) = batchProbe(spark, path, snap, evolved, changes, keyCols)
       val victims = victimFiles(snap, touched)
         .filterNot(f => kr.nonEmpty && keyRangeDisjoint(snap, f, kr, zone))
       val cdcOn = cdcEnabled(snap.properties)
@@ -4642,22 +4730,43 @@ object LogTable {
       val (adds, cdcFiles) =
         try {
           enforceConstraints(path, snap, merged)
-          val a = writeDataFiles(spark, path, merged, snap.partitionCols,
-            snap.statsCols, bloomCols = snap.bloomCols,
-            colMap = snap.colMap, nestMaps = snap.nestMaps,
-            ndvCols = ndvColsOf(snap.properties),
-            histCols = histColsOf(snap.properties),
-            sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
           // row-level CDC (cdc.enabled): pre/post rows restricted to the
           // BATCH's keys (riders never enter), pivoted through one keyed
           // aggregate — a no-op batch row (its version lost the argmax)
-          // emits nothing, exactly like readNetChanges' rider cancel
-          val c =
-            if (!cdcOn) Nil
-            else writeCdcFiles(spark, path,
-              upsertCdcRows(evolved, base, merged, aligned, keyCols),
-              evolved)
+          // emits nothing, exactly like readNetChanges' rider cancel.
+          // The CDC write and the data-file write are INDEPENDENT jobs
+          // over the same persisted frames, into disjoint tmp dirs —
+          // overlap them (guide §2.6: submit independent jobs from
+          // separate threads so one write's task tail back-fills with
+          // the other's tasks) instead of paying two sequential passes.
+          val cdcF: Option[java.util.concurrent.Future[Seq[CdcFile]]] =
+            if (!cdcOn) None
+            else Some(writeOverlapPool.submit(
+              new java.util.concurrent.Callable[Seq[CdcFile]] {
+                override def call(): Seq[CdcFile] =
+                  writeCdcFiles(spark, path,
+                    upsertCdcRows(evolved, base, merged, aligned, keyCols),
+                    evolved)
+              }))
+          val a =
+            try writeDataFiles(spark, path, merged, snap.partitionCols,
+              snap.statsCols, bloomCols = snap.bloomCols,
+              colMap = snap.colMap, nestMaps = snap.nestMaps,
+              ndvCols = ndvColsOf(snap.properties),
+              histCols = histColsOf(snap.properties),
+              sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
+            catch { case t: Throwable =>
+              // the concurrent CDC write must not outlive a failed
+              // transaction — wait it out (its files are invisible until
+              // commit; vacuum reclaims orphans)
+              cdcF.foreach(f => try f.get() catch { case _: Throwable => () })
+              throw t
+            }
+          val c = cdcF.map(_.get()).getOrElse(Nil)
           (a, c)
+        } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
         } finally {
           merged.unpersist(): Unit
           if (cdcOn) base.unpersist(): Unit
@@ -7406,6 +7515,17 @@ object LogTable {
     * the spec, which wedges it with a latch to prove the commit
     * returns first.
     */
+  /** Overlaps a transaction's INDEPENDENT writes (data files + CDC
+    * files, guide §2.6): small, daemon, bounded — a transaction submits
+    * at most one side job and always joins it before committing.
+    */
+  private[sources] lazy val writeOverlapPool =
+    java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-write-overlap")
+      t.setDaemon(true)
+      t
+    })
+
   private[graft] lazy val mvRefreshExecutor =
     java.util.concurrent.Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, "graft-mv-autorefresh")

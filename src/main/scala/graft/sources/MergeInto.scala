@@ -304,17 +304,30 @@ final case class MergeInto private[sources] (
       LogTable.enforceConstraints(path, snap, outRows)
       val ddl = widenedDdl(snap, fills)
       val (adds, cdcFiles) = try {
-        val a = LogTable.writeDataFiles(spark, path, outRows,
-          snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
-          colMap = snap.colMap, nestMaps = snap.nestMaps,
-          ndvCols = LogTable.ndvColsOf(snap.properties),
-          histCols = LogTable.histColsOf(snap.properties),
-          sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
-        val c = cdcDf match {
-          case Some(df) => LogTable.writeCdcFiles(spark, path, df, snap)
-          case None => Nil
-        }
+        // data-file and CDC-file writes are independent jobs over the
+        // persisted tagged join, into disjoint tmp dirs — overlap them
+        // (guide §2.6), mirroring the upsert path
+        val cdcF = cdcDf.map(df => LogTable.writeOverlapPool.submit(
+          new java.util.concurrent.Callable[Seq[LogTable.CdcFile]] {
+            override def call(): Seq[LogTable.CdcFile] =
+              LogTable.writeCdcFiles(spark, path, df, snap)
+          }))
+        val a =
+          try LogTable.writeDataFiles(spark, path, outRows,
+            snap.partitionCols, snap.statsCols, bloomCols = snap.bloomCols,
+            colMap = snap.colMap, nestMaps = snap.nestMaps,
+            ndvCols = LogTable.ndvColsOf(snap.properties),
+            histCols = LogTable.histColsOf(snap.properties),
+            sizeHintBytes = Some(victims.iterator.map(_.bytes).sum))
+          catch { case t: Throwable =>
+            cdcF.foreach(f => try f.get() catch { case _: Throwable => () })
+            throw t
+          }
+        val c = cdcF.map(_.get()).getOrElse(Nil)
         (a, c)
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
       } finally augCache.foreach(_.unpersist(): Unit)
       try {
         LogTable.commit(spark, path, snap.version + 1, ddl,
